@@ -1,0 +1,756 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.dsl.Glob
+import graft.series.SeriesOps
+import graft.series.SeriesOps.{dsum, dmean}
+import graft.store.Tables
+
+/** The driver-facing query registry: one entry per operator row of
+  * SURVEY.md §2, each with a DuckDB-oracle SQL twin where the op is
+  * SQL-expressible.
+  *
+  * Determinism contract with the oracle (the driver hash-compares
+  * values): double sums go through DECIMAL(18,6) so they are exact and
+  * partition-order independent; averages/ratios are exact-sum ÷ count
+  * (IEEE-deterministic); only genuinely algorithm-dependent stats
+  * (stddev, interpolated percentiles, libm fns) are rounded. Every query
+  * ends in an explicit ORDER BY mirrored in the oracle.
+  */
+object Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+  final case class QueryDef(name: String, fn: QFn, oracle: Option[String])
+
+  private val defs = scala.collection.mutable.ArrayBuffer[QueryDef]()
+  private def q(name: String, oracle: String = null)(fn: QFn): Unit =
+    defs += QueryDef(name, fn, Option(oracle))
+
+  def all: Seq[QueryDef] = defs.toSeq
+
+  // -- shared fragments ---------------------------------------------------
+
+  /** Exact order-independent SUM for the oracle side. */
+  private def DSUM(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+  /** Exact decimal SUM kept as decimal (for further exact aggregation). */
+  private def DSUMD(c: String) = s"SUM(CAST($c AS DECIMAL(18,6)))"
+
+  /** 1-minute rollup of the metric store: the materialized shape every
+    * monitor window query reads (SURVEY §4.4 — at 100 TB queries touch
+    * this rollup, never raw events). */
+  private def minuteRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.metricStore(s, dir)
+      .groupBy(col("metric"), date_trunc("minute", col("ts")).as("ts"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("value_dec"),
+        count(lit(1)).as("n"))
+
+  private val RollupSql =
+    s"""SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |       ${DSUMD("value")} AS value_dec, COUNT(*) AS n
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  private def hourRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.metricStore(s, dir)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("ts"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("value_dec"))
+
+  private val HourRollupSql =
+    s"""SELECT 'events.' || event_type AS metric, date_trunc('hour', ts) AS ts,
+       |       ${DSUMD("value")} AS value_dec
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  // =======================================================================
+  // Headline: TPC-H Q1 pricing summary (A4/A7 partial-agg showcase)
+  // =======================================================================
+
+  q("q1_pricing",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${DSUM("l_quantity")} AS sum_qty,
+       |  ${DSUM("l_extendedprice")} AS sum_base_price,
+       |  ${DSUM("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${DSUM("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |  ${DSUM("l_quantity")} / COUNT(*) AS avg_qty,
+       |  ${DSUM("l_extendedprice")} / COUNT(*) AS avg_price,
+       |  ${DSUM("l_discount")} / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // =======================================================================
+  // S: scans / sources
+  // =======================================================================
+
+  // S1 — pruned window scan (the Graphite render fetch become a columnar
+  // scan: metric + time predicates push into parquet).
+  q("s1_window_scan",
+    """SELECT event_id, user_id, ts, value FROM events
+      |WHERE event_type = 'click'
+      |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click" &&
+        col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+      .select("event_id", "user_id", "ts", "value")
+      .orderBy("event_id")
+  }
+
+  // S2 — Graphite path glob selection compiled to prefix + regex.
+  q("s2_glob_select",
+    s"""SELECT 'events.' || event_type AS metric, COUNT(*) AS n, ${DSUM("value")} AS sum_v
+       |FROM events WHERE event_type IN ('click', 'view')
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val g = Glob.compile("events.{click,view}")
+    Tables.metricStore(s, dir)
+      .filter(col("metric").startsWith(g.literalPrefix) && col("metric").rlike(g.regex))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .orderBy("metric")
+  }
+
+  // =======================================================================
+  // P: filters / predicates
+  // =======================================================================
+
+  // P1 — monitor window clip: [to_date - minutes, to_date] (backtest ST8).
+  q("p1_window_clip",
+    s"""SELECT 'events.' || event_type AS metric, COUNT(*) AS n,
+       |  ${DSUM("value")} AS sum_v, ${DSUM("value")} / COUNT(*) AS mean_v
+       |FROM events
+       |WHERE ts BETWEEN TIMESTAMP '2024-01-15 11:00:00' AND TIMESTAMP '2024-01-15 12:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val until = "2024-01-15 12:00:00"
+    Tables.metricStore(s, dir)
+      .filter(col("ts") >= to_timestamp(lit(until)) - expr("INTERVAL 60 MINUTES") &&
+        col("ts") <= to_timestamp(lit(until)))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"), dmean(col("value")).as("mean_v"))
+      .orderBy("metric")
+  }
+
+  // P4 — threshold verdict: the monitor_expr core (reduce → compare).
+  q("p4_threshold_verdict",
+    s"""SELECT 'events.' || event_type AS metric,
+       |  ${DSUM("value")} / COUNT(*) AS observed,
+       |  CASE WHEN ${DSUM("value")} / COUNT(*) < 250 THEN 'failed' ELSE 'success' END AS verdict
+       |FROM events
+       |WHERE ts BETWEEN TIMESTAMP '2024-01-15 11:00:00' AND TIMESTAMP '2024-01-15 12:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.metricStore(s, dir)
+      .filter(col("ts").between(lit("2024-01-15 11:00:00"), lit("2024-01-15 12:00:00")))
+      .groupBy("metric")
+      .agg(dmean(col("value")).as("observed"))
+      .withColumn("verdict", when(col("observed") < 250, "failed").otherwise("success"))
+      .orderBy("metric")
+  }
+
+  // P5 — trailing-null trim (Graphite's incomplete newest buckets).
+  // Nulls are synthesized deterministically (minute ≡ 0 mod 7) so both
+  // engines null the same buckets.
+  q("p5_trim_trailing_nulls",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS mts,
+       |         ${DSUM("value")} AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-29 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+       |  GROUP BY 1, 2),
+       |n AS (
+       |  SELECT metric, mts,
+       |         CASE WHEN (CAST(epoch(mts) AS BIGINT) // 60) % 7 = 0 THEN NULL ELSE v END AS v
+       |  FROM r),
+       |t AS (
+       |  SELECT metric, mts, v,
+       |         MAX(CASE WHEN v IS NOT NULL THEN mts END) OVER (PARTITION BY metric) AS lg
+       |  FROM n)
+       |SELECT metric, COUNT(*) AS n_points, COUNT(v) AS n_values, MAX(mts) AS last_ts
+       |FROM t WHERE mts <= lg GROUP BY metric ORDER BY metric""".stripMargin) { (s, dir) =>
+    val r = Tables.metricStore(s, dir)
+      .filter(col("ts") >= lit("2024-01-29 00:00:00") && col("ts") < lit("2024-01-31 00:00:00"))
+      .groupBy(col("metric"), date_trunc("minute", col("ts")).as("mts"))
+      .agg(dsum(col("value")).as("v"))
+    val n = r.withColumn("v",
+      when(expr("(unix_timestamp(mts) div 60) % 7") === 0, lit(null)).otherwise(col("v")))
+    SeriesOps.trimTrailingNulls(
+      n.withColumnRenamed("mts", "ts").withColumnRenamed("v", "value"))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n_points"), count(col("value")).as("n_values"),
+        max(col("ts")).as("last_ts"))
+      .orderBy("metric")
+  }
+
+  // =======================================================================
+  // J: joins
+  // =======================================================================
+
+  // J1 — FK equi-joins with broadcast dims (the UI/API relational path).
+  q("j1_region_revenue",
+    s"""SELECT r.r_name, n.n_name, COUNT(*) AS n_orders, ${DSUM("o.o_totalprice")} AS revenue
+       |FROM orders o
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // J2/T3 — timestamp-aligned binary series arithmetic
+  // (divideSeries / diffSeries / asPercent) via full-outer align.
+  q("j2_series_arith",
+    s"""WITH a AS (
+       |  SELECT date_trunc('minute', ts) AS ts, ${DSUM("value")} AS va
+       |  FROM events WHERE event_type = 'click'
+       |    AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1),
+       |b AS (
+       |  SELECT date_trunc('minute', ts) AS ts, ${DSUM("value")} AS vb
+       |  FROM events WHERE event_type = 'view'
+       |    AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1)
+       |SELECT COALESCE(a.ts, b.ts) AS ts,
+       |  CASE WHEN vb IS NULL OR vb = 0 THEN NULL ELSE va / vb END AS ratio,
+       |  va - vb AS diff,
+       |  CASE WHEN vb IS NULL OR vb = 0 THEN NULL ELSE va * 100 / vb END AS pct
+       |FROM a FULL OUTER JOIN b ON a.ts = b.ts
+       |ORDER BY ts""".stripMargin) { (s, dir) =>
+    def side(t: String, as: String) = Tables.metricStore(s, dir)
+      .filter(col("metric") === s"events.$t" &&
+        col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+      .groupBy(date_trunc("minute", col("ts")).as("ts"))
+      .agg(dsum(col("value")).as(as))
+    side("click", "va").join(side("view", "vb"), Seq("ts"), "full_outer")
+      .select(col("ts"),
+        SeriesOps.divideSafe(col("va"), col("vb")).as("ratio"),
+        (col("va") - col("vb")).as("diff"),
+        SeriesOps.divideSafe(col("va") * 100, col("vb")).as("pct"))
+      .orderBy("ts")
+  }
+
+  // J3/W5 — timeShift + align: the canonical week-over-week monitor.
+  q("j3_wow_timeshift",
+    s"""WITH cur AS (
+       |  SELECT date_trunc('hour', ts) AS ts, ${DSUM("value")} AS v
+       |  FROM events WHERE event_type = 'click'
+       |    AND ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+       |  GROUP BY 1),
+       |prev AS (
+       |  SELECT date_trunc('hour', ts) + INTERVAL 7 DAY AS ts, ${DSUM("value")} AS v
+       |  FROM events WHERE event_type = 'click'
+       |    AND ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+       |  GROUP BY 1)
+       |SELECT cur.ts AS ts, cur.v AS v_now, prev.v AS v_prev,
+       |  cur.v - prev.v AS wow_diff,
+       |  CASE WHEN prev.v IS NULL OR prev.v = 0 THEN NULL ELSE cur.v / prev.v END AS wow_ratio
+       |FROM cur JOIN prev ON cur.ts = prev.ts
+       |ORDER BY ts""".stripMargin) { (s, dir) =>
+    def hourly(from: String, to: String) = Tables.metricStore(s, dir)
+      .filter(col("metric") === "events.click" && col("ts") >= lit(from) && col("ts") < lit(to))
+      .groupBy(date_trunc("hour", col("ts")).as("ts"))
+      .agg(dsum(col("value")).as("v"))
+    val cur = hourly("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+    val prev = SeriesOps.timeShift(
+      hourly("2024-01-01 00:00:00", "2024-01-08 00:00:00").withColumn("metric", lit("x")),
+      "7 DAYS").drop("metric")
+    cur.as("cur").join(prev.as("prev"), Seq("ts"))
+      .select(col("ts"), col("cur.v").as("v_now"), col("prev.v").as("v_prev"),
+        (col("cur.v") - col("prev.v")).as("wow_diff"),
+        SeriesOps.divideSafe(col("cur.v"), col("prev.v")).as("wow_ratio"))
+      .orderBy("ts")
+  }
+
+  // J4 — top-k whole-series selection via rank + broadcast semi-join.
+  q("j4_top_series_semi",
+    s"""WITH totals AS (
+       |  SELECT 'events.' || event_type AS metric, ${DSUMD("value")} AS total
+       |  FROM events GROUP BY 1),
+       |top2 AS (SELECT metric FROM totals ORDER BY total DESC, metric LIMIT 2)
+       |SELECT 'events.' || event_type AS metric, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |       COUNT(*) AS n, ${DSUM("value")} AS sum_v
+       |FROM events
+       |WHERE 'events.' || event_type IN (SELECT metric FROM top2)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val store = Tables.metricStore(s, dir)
+    SeriesOps.selectTopSeries(store, 2, "sum", highest = true)
+      .groupBy(col("metric"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .orderBy("metric", "day")
+  }
+
+  // J5 — anti-join: (user, day) with clicks but no purchases that day.
+  q("j5_anti_join",
+    """WITH c AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n_clicks
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.day, c.n_clicks FROM c
+      |ANTI JOIN p ON c.user_id = p.user_id AND c.day = p.day
+      |ORDER BY c.user_id, c.day""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    clicks.join(purchases, Seq("user_id", "day"), "left_anti")
+      .orderBy("user_id", "day")
+  }
+
+  // =======================================================================
+  // A: aggregations
+  // =======================================================================
+
+  // A1 — sumSeries/averageSeries/minSeries/maxSeries: point-wise combine
+  // across series (inner rollup stays decimal so the outer combine is
+  // exact too).
+  q("a1_combine_series",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |         ${DSUMD("value")} AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT ts, CAST(SUM(v) AS DOUBLE) AS sum_v,
+       |  CAST(SUM(v) AS DOUBLE) / COUNT(v) AS avg_v,
+       |  CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v,
+       |  COUNT(v) AS n_series
+       |FROM r GROUP BY ts ORDER BY ts""".stripMargin) { (s, dir) =>
+    Tables.metricStore(s, dir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+      .groupBy(col("metric"), date_trunc("minute", col("ts")).as("ts"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("v"))
+      .groupBy("ts")
+      .agg(sum(col("v")).cast("double").as("sum_v"),
+        (sum(col("v")).cast("double") / count(col("v"))).as("avg_v"),
+        min(col("v")).cast("double").as("min_v"),
+        max(col("v")).cast("double").as("max_v"),
+        count(col("v")).as("n_series"))
+      .orderBy("ts")
+  }
+
+  // A2 — summarize(series, "1h"): re-bucket to coarser step.
+  q("a2_summarize_1h",
+    s"""SELECT 'events.' || event_type AS metric, date_trunc('hour', ts) AS ts,
+       |  COUNT(*) AS n, ${DSUM("value")} AS sum_v,
+       |  ${DSUM("value")} / COUNT(*) AS avg_v,
+       |  MIN(value) AS min_v, MAX(value) AS max_v
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.metricStore(s, dir)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("ts"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"),
+        dmean(col("value")).as("avg_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy("metric", "ts")
+  }
+
+  // A3 — hitcount: integral per bucket (minute-rate × 60 s, re-bucketed
+  // hourly).
+  q("a3_hitcount",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS mts,
+       |         ${DSUMD("value")} AS v
+       |  FROM events GROUP BY 1, 2)
+       |SELECT metric, date_trunc('hour', mts) AS ts,
+       |       CAST(SUM(v * 60) AS DOUBLE) AS hits
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    minuteRollup(s, dir)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("ts"))
+      .agg(sum(col("value_dec") * 60).cast("double").as("hits"))
+      .orderBy("metric", "ts")
+  }
+
+  // A4 — monitor reductions: the scalar-per-series menu monitor_exprs
+  // threshold against.
+  q("a4_reductions",
+    s"""SELECT 'events.' || event_type AS metric, COUNT(*) AS n,
+       |  ${DSUM("value")} AS sum_v, ${DSUM("value")} / COUNT(*) AS mean_v,
+       |  MIN(value) AS min_v, MAX(value) AS max_v,
+       |  ROUND(stddev_samp(value), 4) AS sd,
+       |  ROUND(quantile_cont(value, 0.5), 4) AS median_v,
+       |  ROUND(quantile_cont(value, 0.9), 4) AS p90
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.metricStore(s, dir)
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_v"), dmean(col("value")).as("mean_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(percentile(col("value"), lit(0.5)), 4).as("median_v"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"))
+      .orderBy("metric")
+  }
+
+  // A5 — nPercentile per (series, day).
+  q("a5_percentile_daily",
+    """SELECT 'events.' || event_type AS metric, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS p50
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.metricStore(s, dir)
+      .groupBy(col("metric"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(percentile(col("value"), lit(0.95)), 4).as("p95"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"))
+      .orderBy("metric", "day")
+  }
+
+  // A6 — distinct counts (exact; the HLL variant is a6b, spec-checked).
+  q("a6_count_distinct",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS nd_users, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("nd_users"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  // A6b — approximate distinct (HLL): no SQL oracle (approx algorithms
+  // differ per engine); correctness bound is spec-tested.
+  q("a6b_approx_distinct") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  // A7 — grouping sets / rollup (free from Catalyst; exposed for SQL
+  // surface parity).
+  q("a7_rollup",
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${DSUM("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  // =======================================================================
+  // W: per-series ordered window transforms
+  // =======================================================================
+
+  // W1 — moving average/sum/max/min over trailing 5 buckets.
+  q("w1_moving",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |         ${DSUMD("value")} AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT metric, ts, CAST(v AS DOUBLE) AS v,
+       |  CAST(SUM(v) OVER w AS DOUBLE) AS mov_sum5,
+       |  CAST(SUM(v) OVER w AS DOUBLE) / COUNT(v) OVER w AS mov_avg5,
+       |  CAST(MAX(v) OVER w AS DOUBLE) AS mov_max5,
+       |  CAST(MIN(v) OVER w AS DOUBLE) AS mov_min5
+       |FROM r
+       |WINDOW w AS (PARTITION BY metric ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       |ORDER BY metric, ts""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("metric").orderBy("ts").rowsBetween(-4, 0)
+    minuteRollup(s, dir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+      .select(col("metric"), col("ts"), col("value_dec"))
+      .withColumn("mov_sum5", sum(col("value_dec")).over(w).cast("double"))
+      .withColumn("mov_avg5", col("mov_sum5") / count(col("value_dec")).over(w))
+      .withColumn("mov_max5", max(col("value_dec")).over(w).cast("double"))
+      .withColumn("mov_min5", min(col("value_dec")).over(w).cast("double"))
+      .withColumn("v", col("value_dec").cast("double")).drop("value_dec")
+      .select("metric", "ts", "v", "mov_sum5", "mov_avg5", "mov_max5", "mov_min5")
+      .orderBy("metric", "ts")
+  }
+
+  // W2 — derivative / nonNegativeDerivative / perSecond on hourly series.
+  q("w2_derivative",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('hour', ts) AS ts,
+       |         ${DSUMD("value")} AS v
+       |  FROM events GROUP BY 1, 2)
+       |SELECT metric, ts,
+       |  CAST(v - LAG(v) OVER w AS DOUBLE) AS delta,
+       |  CASE WHEN v - LAG(v) OVER w < 0 THEN NULL
+       |       ELSE CAST(v - LAG(v) OVER w AS DOUBLE) END AS nn_delta,
+       |  CAST(v - LAG(v) OVER w AS DOUBLE) / 3600 AS per_second
+       |FROM r WINDOW w AS (PARTITION BY metric ORDER BY ts)
+       |ORDER BY metric, ts""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("metric").orderBy("ts")
+    hourRollup(s, dir)
+      .withColumn("delta_dec", col("value_dec") - lag(col("value_dec"), 1).over(w))
+      .select(col("metric"), col("ts"),
+        col("delta_dec").cast("double").as("delta"),
+        when(col("delta_dec") < 0, lit(null))
+          .otherwise(col("delta_dec").cast("double")).as("nn_delta"),
+        (col("delta_dec").cast("double") / 3600).as("per_second"))
+      .orderBy("metric", "ts")
+  }
+
+  // W3 — integral: running cumulative sum per series.
+  q("w3_integral",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('hour', ts) AS ts,
+       |         ${DSUMD("value")} AS v
+       |  FROM events GROUP BY 1, 2)
+       |SELECT metric, ts,
+       |  CAST(SUM(v) OVER (PARTITION BY metric ORDER BY ts
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+       |FROM r ORDER BY metric, ts""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("metric").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hourRollup(s, dir)
+      .select(col("metric"), col("ts"),
+        sum(col("value_dec")).over(w).cast("double").as("running"))
+      .orderBy("metric", "ts")
+  }
+
+  // W4 — keepLastValue (forward-fill) + transformNull over the
+  // deterministic null grid from p5.
+  q("w4_keep_last",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |         ${DSUM("value")} AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-29 00:00:00' AND ts < TIMESTAMP '2024-01-30 00:00:00'
+       |  GROUP BY 1, 2),
+       |n AS (
+       |  SELECT metric, ts,
+       |         CASE WHEN (CAST(epoch(ts) AS BIGINT) // 60) % 7 = 0 THEN NULL ELSE v END AS v
+       |  FROM r)
+       |SELECT metric, ts, v,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY metric ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       |  COALESCE(v, -1) AS replaced
+       |FROM n ORDER BY metric, ts""".stripMargin) { (s, dir) =>
+    val r = Tables.metricStore(s, dir)
+      .filter(col("ts") >= lit("2024-01-29 00:00:00") && col("ts") < lit("2024-01-30 00:00:00"))
+      .groupBy(col("metric"), date_trunc("minute", col("ts")).as("ts"))
+      .agg(dsum(col("value")).as("v"))
+      .withColumn("v",
+        when(expr("(unix_timestamp(ts) div 60) % 7") === 0, lit(null)).otherwise(col("v")))
+      .withColumnRenamed("v", "value")
+    r.withColumn("filled", SeriesOps.keepLastValue())
+      .withColumn("replaced", SeriesOps.transformNull(-1))
+      .withColumnRenamed("value", "v")
+      .orderBy("metric", "ts")
+  }
+
+  // W6 — rolling stddev (deviation monitors).
+  q("w6_rolling_stddev",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |         ${DSUM("value")} AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT metric, ts,
+       |  ROUND(stddev_samp(v) OVER (PARTITION BY metric ORDER BY ts
+       |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS sd10
+       |FROM r ORDER BY metric, ts""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("metric").orderBy("ts").rowsBetween(-9, 0)
+    Tables.metricStore(s, dir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+      .groupBy(col("metric"), date_trunc("minute", col("ts")).as("ts"))
+      .agg(dsum(col("value")).as("v"))
+      .select(col("metric"), col("ts"),
+        round(stddev_samp(col("v")).over(w), 4).as("sd10"))
+      .orderBy("metric", "ts")
+  }
+
+  // W7 — ranking series by daily score.
+  q("w7_rank_series",
+    s"""WITH d AS (
+       |  SELECT 'events.' || event_type AS metric, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |         ${DSUMD("value")} AS total
+       |  FROM events GROUP BY 1, 2)
+       |SELECT metric, day, CAST(total AS DOUBLE) AS total,
+       |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+       |FROM d WINDOW w AS (PARTITION BY day ORDER BY total DESC, metric)
+       |ORDER BY day, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("day").orderBy(col("total_dec").desc, col("metric"))
+    Tables.metricStore(s, dir)
+      .groupBy(col("metric"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("total_dec"))
+      .select(col("metric"), col("day"), col("total_dec").cast("double").as("total"),
+        row_number().over(w).as("rn"), rank().over(w).as("rk"), dense_rank().over(w).as("drk"))
+      .orderBy("day", "rn")
+  }
+
+  // =======================================================================
+  // T: scalar transforms
+  // =======================================================================
+
+  // T1/T2 — scale, offset, abs, sqrt, log, pow, invert per point.
+  q("t2_scalar_math",
+    """SELECT event_id, value,
+      |  value * 2 + 10 AS scaled,
+      |  abs(value - 100) AS abs_dev,
+      |  sqrt(value) AS sqrt_v,
+      |  ROUND(ln(value), 6) AS ln_v,
+      |  ROUND(power(value, 2), 6) AS sq_v,
+      |  1.0 / value AS inv_v
+      |FROM events
+      |WHERE event_type = 'click'
+      |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click" &&
+        col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+      .select(col("event_id"), col("value"),
+        (col("value") * 2 + 10).as("scaled"),
+        abs(col("value") - 100).as("abs_dev"),
+        sqrt(col("value")).as("sqrt_v"),
+        round(log(col("value")), 6).as("ln_v"),
+        round(pow(col("value"), 2), 6).as("sq_v"),
+        (lit(1.0) / col("value")).as("inv_v"))
+      .orderBy("event_id")
+  }
+
+  // T4 — alias / aliasByNode path manipulation.
+  q("t4_alias_by_node",
+    """SELECT DISTINCT 'events.' || event_type || '.u' || (user_id % 10) AS metric,
+      |  split_part('events.' || event_type || '.u' || (user_id % 10), '.', 2) AS node1,
+      |  split_part('events.' || event_type || '.u' || (user_id % 10), '.', 2) || '.' ||
+      |  split_part('events.' || event_type || '.u' || (user_id % 10), '.', 3) AS node12
+      |FROM events ORDER BY metric""".stripMargin) { (s, dir) =>
+    Tables.metricStoreDeep(s, dir)
+      .select(col("metric"),
+        SeriesOps.aliasByNode(Seq(1)).as("node1"),
+        SeriesOps.aliasByNode(Seq(1, 2)).as("node12"))
+      .distinct()
+      .orderBy("metric")
+  }
+
+  // T7 — date functions (dow numbering aligned: Spark Sunday=1 vs DuckDB
+  // Sunday=0, hence the +1 in the oracle).
+  q("t7_date_parts",
+    s"""SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, COUNT(*) AS n,
+       |  ${DSUM("value")} AS sum_v
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .orderBy("dow", "hr")
+  }
+
+  // T8 — JSON extraction from the event props payload.
+  q("t8_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+      |  COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(s, dir)
+      .groupBy((k % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(k).as("sum_k"))
+      .orderBy("k_bucket")
+  }
+
+  // T9 — higher-order array functions over embedding vectors.
+  q("t9_vector_norm",
+    """SELECT vec_id, len(embedding) AS dim,
+      |  ROUND(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+      |  ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS comp_sum
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), size(col("embedding")).as("dim"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("comp_sum"))
+      .orderBy("vec_id")
+  }
+
+  // =======================================================================
+  // O: sorts / latest / top-k
+  // =======================================================================
+
+  // O1 — latest run per key (the dashboard read path: max_by pattern).
+  q("o1_latest_per_user",
+    """SELECT user_id, event_id, ts, value FROM (
+      |  SELECT user_id, event_id, ts, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase') t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "value")
+      .orderBy("user_id")
+  }
+
+  // O3 — top-k by score (TakeOrderedAndProject).
+  q("o3_topk_users",
+    s"""SELECT user_id, COUNT(*) AS n, ${DSUM("value")} AS total
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY total DESC, user_id LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy(col("total").desc, col("user_id"))
+      .limit(10)
+  }
+
+  // =======================================================================
+  // SET: union / intersect / except
+  // =======================================================================
+
+  q("set1_ops",
+    """SELECT
+      |  (SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'
+      |     UNION SELECT user_id FROM events WHERE event_type = 'purchase') u) AS n_union,
+      |  (SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'
+      |     INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase') i) AS n_intersect,
+      |  (SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'
+      |     EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase') e) AS n_except""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    def users(t: String) = ev.filter(col("event_type") === t).select("user_id").distinct()
+    val a = users("click"); val b = users("purchase")
+    a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+      .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
+  }
+
+  // =======================================================================
+  // ST: streaming-shaped (batch twin; the streaming path is spec-tested)
+  // =======================================================================
+
+  // ST7 — the 1-minute pre-aggregated rollup the streaming ingest
+  // materializes (batch twin of graft.streaming.Ingest).
+  q("st7_rollup_1min",
+    s"""SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |  COUNT(*) AS n, ${DSUM("value")} AS sum_v
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.metricStore(s, dir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+      .groupBy(col("metric"), date_trunc("minute", col("ts")).as("ts"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .orderBy("metric", "ts")
+  }
+}

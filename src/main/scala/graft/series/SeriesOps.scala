@@ -1,0 +1,254 @@
+package graft.series
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The series-function library — the operator surface a rearview monitor
+  * could use inside a `metrics` target (SURVEY §2.4-2.7: the Graphite
+  * target-function language the reference delegates to, reference
+  * README.md:6) re-expressed as declarative DataFrame transforms.
+  *
+  * Data shape: long-format `(metric: String, ts: Timestamp, value:
+  * Double?)`. Per-series = `partitionBy(metric)`; cross-series combine =
+  * `groupBy(ts)`. All ops are pure `DataFrame => DataFrame` (or Column)
+  * transforms, so Catalyst handles pushdown/pruning/codegen and every op
+  * distributes: nothing here collects to the driver.
+  *
+  * Null rule (SURVEY §2.4): Graphite skips None points in combines and
+  * reductions — Spark aggregates already ignore nulls, so the built-ins
+  * carry the exact semantics. Division by zero yields null (Graphite
+  * yields None), encoded in [[divideSafe]].
+  *
+  * Scale note: per-series window functions shuffle once on `metric` and
+  * sort within partitions; at 100 TB the metric store is stored
+  * partitioned/sorted by `(metric, ts)` (SURVEY §4.4) so these become
+  * sort-free. Cross-series combines shuffle on the (high-cardinality)
+  * `ts` key and use partial aggregation map-side.
+  */
+object SeriesOps {
+
+  /** Per-series, time-ordered frame — the heart of W1-W6. */
+  def seriesWindow: WindowSpec = Window.partitionBy("metric").orderBy("ts")
+
+  /** Exact, order-independent sum: doubles summed as decimals so results
+    * are reproducible across engines/partitionings (used by the oracle
+    * gate; also the right call at 100 TB where partition order is
+    * nondeterministic). Scale 6 is lossless for the testdata's 2-decimal
+    * values. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Exact mean = exact decimal sum / count — deterministic double. */
+  def dmean(c: Column): Column = dsum(c) / count(c)
+
+  // ---------------------------------------------------------------------
+  // W1-W6: per-series ordered transforms (Graphite moving*/derivative/...)
+  // ---------------------------------------------------------------------
+
+  private def trailing(n: Int): WindowSpec =
+    seriesWindow.rowsBetween(-(n - 1), 0)
+
+  /** movingAverage(series, n) — trailing n-point mean. Implemented as
+    * exact-sum/count so the result is partition-order independent. */
+  def movingAverage(n: Int, c: Column = col("value")): Column =
+    sum(c.cast(DecimalType(18, 6))).over(trailing(n)).cast("double") /
+      count(c).over(trailing(n))
+
+  def movingSum(n: Int, c: Column = col("value")): Column =
+    sum(c.cast(DecimalType(18, 6))).over(trailing(n)).cast("double")
+
+  def movingMax(n: Int, c: Column = col("value")): Column = max(c).over(trailing(n))
+  def movingMin(n: Int, c: Column = col("value")): Column = min(c).over(trailing(n))
+
+  def movingMedian(n: Int, c: Column = col("value")): Column =
+    percentile_approx(c, lit(0.5), lit(10000)).over(trailing(n))
+
+  /** stdev(series, n) — trailing n-point sample stddev (W6). */
+  def movingStddev(n: Int, c: Column = col("value")): Column =
+    stddev_samp(c).over(trailing(n))
+
+  /** derivative(series) — point-to-point delta (W2). First point null. */
+  def derivative(c: Column = col("value")): Column =
+    c - lag(c, 1).over(seriesWindow)
+
+  /** nonNegativeDerivative — counter-reset (negative delta) → null,
+    * matching Graphite's counter-wrap semantics. */
+  def nonNegativeDerivative(c: Column = col("value")): Column = {
+    val d = derivative(c)
+    when(d < 0, lit(null)).otherwise(d)
+  }
+
+  /** perSecond(series) — derivative divided by the step between points. */
+  def perSecond(c: Column = col("value"), ts: Column = col("ts")): Column = {
+    val dv = derivative(c)
+    val dt = unix_timestamp(ts) - lag(unix_timestamp(ts), 1).over(seriesWindow)
+    when(dt > 0, dv / dt).otherwise(lit(null))
+  }
+
+  /** integral(series) — running cumulative sum (W3). */
+  def integral(c: Column = col("value")): Column =
+    sum(c.cast(DecimalType(18, 6)))
+      .over(seriesWindow.rowsBetween(Window.unboundedPreceding, 0))
+      .cast("double")
+
+  /** keepLastValue(series) — forward-fill nulls from the last non-null
+    * point (W4). */
+  def keepLastValue(c: Column = col("value")): Column =
+    last(c, ignoreNulls = true)
+      .over(seriesWindow.rowsBetween(Window.unboundedPreceding, 0))
+
+  /** transformNull(series, v) — replace nulls with a constant (W4). */
+  def transformNull(v: Double, c: Column = col("value")): Column =
+    coalesce(c, lit(v))
+
+  /** timeShift(series, interval) — move the series forward in time so it
+    * aligns with a later window (W5/J3; the canonical week-over-week
+    * rearview monitor). */
+  def timeShift(df: DataFrame, interval: String): DataFrame =
+    df.withColumn("ts", col("ts") + expr(s"INTERVAL $interval"))
+
+  // ---------------------------------------------------------------------
+  // A1-A3, A5: combines and re-bucketing
+  // ---------------------------------------------------------------------
+
+  /** sumSeries / averageSeries / minSeries / maxSeries — combine all
+    * series in `df` point-wise into one named series (A1). Steps are
+    * assumed aligned (bucket first via [[summarize]] otherwise). */
+  def combineSeries(df: DataFrame, how: String, name: String): DataFrame = {
+    val agg = how match {
+      case "sum" => dsum(col("value"))
+      case "avg" => dmean(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      case other => throw new IllegalArgumentException(s"combineSeries: $other")
+    }
+    df.groupBy(col("ts")).agg(agg.as("value"))
+      .select(lit(name).as("metric"), col("ts"), col("value"))
+  }
+
+  /** summarize(series, step, func) — re-bucket each series to a coarser
+    * step (A2). `step` is any Spark window duration ("1 hour", "5
+    * minutes"). Bucket label = window start, matching Graphite. */
+  def summarize(df: DataFrame, step: String, how: String = "sum"): DataFrame = {
+    val agg = how match {
+      case "sum" => dsum(col("value"))
+      case "avg" => dmean(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      case "last" => last(col("value"), ignoreNulls = true)
+      case "count" => count(col("value")).cast("double")
+      case other => throw new IllegalArgumentException(s"summarize: $other")
+    }
+    df.groupBy(col("metric"), window(col("ts"), step).as("w"))
+      .agg(agg.as("value"))
+      .select(col("metric"), col("w.start").as("ts"), col("value"))
+  }
+
+  /** hitcount(series, step) — integral per bucket: sum(value) × step
+    * seconds (A3), converting a rate back to a count. */
+  def hitcount(df: DataFrame, step: String, stepSeconds: Long): DataFrame =
+    df.groupBy(col("metric"), window(col("ts"), step).as("w"))
+      .agg((dsum(col("value")) * stepSeconds).as("value"))
+      .select(col("metric"), col("w.start").as("ts"), col("value"))
+
+  /** nPercentile(series, p) — one exact percentile scalar per series
+    * (A5). Exact (interpolating) to match DuckDB's quantile_cont. */
+  def nPercentile(df: DataFrame, p: Double): DataFrame =
+    df.groupBy(col("metric"))
+      .agg(percentile(col("value"), lit(p)).as("value"))
+
+  // ---------------------------------------------------------------------
+  // T1-T4: scalar transforms / renames
+  // ---------------------------------------------------------------------
+
+  def scale(k: Double, c: Column = col("value")): Column = c * lit(k)
+  def offset(k: Double, c: Column = col("value")): Column = c + lit(k)
+  /** scaleToSeconds(series, n) — normalize a per-step count to per-n-seconds. */
+  def scaleToSeconds(n: Double, stepSeconds: Double, c: Column = col("value")): Column =
+    c * lit(n / stepSeconds)
+  def absolute(c: Column = col("value")): Column = abs(c)
+  def logarithm(base: Double, c: Column = col("value")): Column =
+    log(c) / math.log(base)
+  def invert(c: Column = col("value")): Column =
+    when(c =!= 0, lit(1.0) / c).otherwise(lit(null))
+
+  /** Division with Graphite's divide-by-zero → None rule (T3). */
+  def divideSafe(a: Column, b: Column): Column =
+    when(b.isNull || b === 0, lit(null)).otherwise(a / b)
+
+  /** alias(series, name) — rename every series (T4). */
+  def aliasSeries(df: DataFrame, name: String): DataFrame =
+    df.withColumn("metric", lit(name))
+
+  /** aliasByNode(series, nodes*) — keep only the given dot-segments of
+    * the metric path (T4). Graphite nodes are 0-based. */
+  def aliasByNode(nodes: Seq[Int], c: Column = col("metric")): Column = {
+    val parts = split(c, "\\.")
+    concat_ws(".", nodes.map(i => element_at(parts, i + 1)): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // P3/P5: name predicates, null hygiene
+  // ---------------------------------------------------------------------
+
+  /** grep(series, rx) — keep series whose name matches (P3). */
+  def grep(df: DataFrame, rx: String): DataFrame = df.filter(col("metric").rlike(rx))
+
+  /** exclude(series, rx) — drop series whose name matches (P3). */
+  def exclude(df: DataFrame, rx: String): DataFrame = df.filter(!col("metric").rlike(rx))
+
+  /** Drop each series' trailing null points (P5) — the newest Graphite
+    * buckets are None until the store flushes; monitors trim them before
+    * reducing. Implemented as a windowed max-non-null-ts, no self-join. */
+  def trimTrailingNulls(df: DataFrame): DataFrame = {
+    val lastGood = max(when(col("value").isNotNull, col("ts")))
+      .over(Window.partitionBy("metric"))
+    df.withColumn("_last_good", lastGood)
+      .filter(col("ts") <= col("_last_good"))
+      .drop("_last_good")
+  }
+
+  // ---------------------------------------------------------------------
+  // J2-J4: cross-series alignment / selection
+  // ---------------------------------------------------------------------
+
+  /** Timestamp-align two series sets and apply a binary op (J2/T3):
+    * divideSeries, diffSeries, multiplySeries, asPercent. Full-outer on
+    * ts so points present on one side only surface as nulls (Graphite
+    * None). */
+  def alignBinary(a: DataFrame, b: DataFrame, name: String)(
+      f: (Column, Column) => Column): DataFrame = {
+    val l = a.select(col("ts"), col("value").as("a"))
+    val r = b.select(col("ts"), col("value").as("b"))
+    l.join(r, Seq("ts"), "full_outer")
+      .select(lit(name).as("metric"), col("ts"), f(col("a"), col("b")).as("value"))
+  }
+
+  def divideSeries(a: DataFrame, b: DataFrame, name: String = "divideSeries"): DataFrame =
+    alignBinary(a, b, name)(divideSafe)
+  def diffSeries(a: DataFrame, b: DataFrame, name: String = "diffSeries"): DataFrame =
+    alignBinary(a, b, name)((x, y) => x - y)
+  def multiplySeries(a: DataFrame, b: DataFrame, name: String = "multiplySeries"): DataFrame =
+    alignBinary(a, b, name)((x, y) => x * y)
+  def asPercent(a: DataFrame, b: DataFrame, name: String = "asPercent"): DataFrame =
+    alignBinary(a, b, name)((x, y) => divideSafe(x * 100, y))
+
+  /** highest/lowest(seriesList, k, score) — keep the k whole series with
+    * the top/bottom score (J4): rank per-series scores, then a left-semi
+    * join back so series bodies never shuffle through the rank. */
+  def selectTopSeries(df: DataFrame, k: Int, how: String, highest: Boolean): DataFrame = {
+    val score = how match {
+      case "avg" => dmean(col("value"))
+      case "sum" => dsum(col("value"))
+      case "max" => max(col("value"))
+      case "min" => min(col("value"))
+      case other => throw new IllegalArgumentException(s"selectTopSeries: $other")
+    }
+    val ranked = df.groupBy(col("metric")).agg(score.as("_score"))
+      .orderBy(if (highest) col("_score").desc else col("_score").asc, col("metric"))
+      .limit(k)
+      .select("metric")
+    df.join(broadcast(ranked), Seq("metric"), "left_semi")
+  }
+}
