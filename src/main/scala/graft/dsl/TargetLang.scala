@@ -1,0 +1,219 @@
+package graft.dsl
+
+import scala.util.parsing.combinator.RegexParsers
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.series.SeriesOps
+
+/** The L1 query surface: Graphite-style target expressions, the strings
+  * a rearview monitor stores one-per-line in `jobs.metrics` (reference
+  * db/schema.rb:65; the function language itself is Graphite's public
+  * render API, reference README.md:6 — we provide it natively since
+  * there is no Graphite to delegate to).
+  *
+  * `movingAverage(events.{click,view}, 10)` parses to an AST and
+  * compiles to a declarative DataFrame pipeline over the long-format
+  * metric store — so a *stored string* still ends up as a Catalyst plan
+  * with full pushdown, not an interpreter loop.
+  */
+object TargetLang {
+
+  sealed trait Expr
+  final case class Path(glob: String) extends Expr
+  final case class Call(fn: String, args: Seq[Arg]) extends Expr
+
+  sealed trait Arg
+  final case class ExprArg(e: Expr) extends Arg
+  final case class NumArg(v: Double) extends Arg
+  final case class StrArg(v: String) extends Arg
+
+  // -- parser -------------------------------------------------------------
+
+  private object P extends RegexParsers {
+    override def skipWhitespace = true
+    // one path segment: idents/wildcards/char-classes/brace alternations
+    private val seg = """(?:[A-Za-z0-9_\-*?]|\{[A-Za-z0-9_\-,*?]*\}|\[[^\]]*\])+"""
+    def path: Parser[Path] = s"$seg(?:\\.$seg)*".r ^^ Path.apply
+    def num: Parser[NumArg] = """-?\d+(?:\.\d+)?""".r ^^ (s => NumArg(s.toDouble))
+    def str: Parser[StrArg] =
+      ("\"" + """[^"]*""" + "\"").r ^^ (s => StrArg(s.substring(1, s.length - 1))) |
+      ("'" + """[^']*""" + "'").r ^^ (s => StrArg(s.substring(1, s.length - 1)))
+    def call: Parser[Call] =
+      """[A-Za-z_][A-Za-z0-9_]*""".r ~ ("(" ~> repsep(arg, ",") <~ ")") ^^ {
+        case fn ~ args => Call(fn, args)
+      }
+    def expr: Parser[Expr] = call ||| (path ^^ (p => p: Expr))
+    def arg: Parser[Arg] = num | str | (expr ^^ ExprArg.apply)
+    def parseTarget(s: String): Either[String, Expr] = parseAll(expr, s) match {
+      case Success(e, _) => Right(e)
+      case NoSuccess(msg, next) => Left(s"$msg at ${next.pos}")
+      case _ => Left("parse failure")
+    }
+  }
+
+  def parse(target: String): Either[String, Expr] = P.parseTarget(target)
+
+  /** "7d" / "1h" / "30min" / "45s" → seconds. */
+  def durationSeconds(s: String): Long = {
+    val m = """(\d+)\s*(s|sec|seconds?|min|minutes?|h|hours?|d|days?|w|weeks?)""".r
+    s.trim match {
+      case m(n, u) =>
+        val mult = u.head match {
+          case 's' => 1L
+          case 'm' => 60L
+          case 'h' => 3600L
+          case 'd' => 86400L
+          case 'w' => 604800L
+        }
+        n.toLong * mult
+      case other => throw new IllegalArgumentException(s"bad duration '$other'")
+    }
+  }
+
+  private def sparkInterval(s: String): String = s"${durationSeconds(s)} seconds"
+
+  // -- compiler -----------------------------------------------------------
+
+  /** Compile a parsed target to a transform of the long-format metric
+    * store. `store` must carry (metric, ts, value). Window clipping
+    * happens *before* this (P1 — so pushdown reaches the scan); ops that
+    * need pre-window history (movingAverage, timeShift) are documented
+    * to read the store as given.
+    */
+  def compile(e: Expr, store: DataFrame): DataFrame = e match {
+    case Path(glob) =>
+      if (!glob.exists("*?{[".contains(_)))
+        store.filter(col("metric") === glob) // literal path: plain equality
+      else {
+        val g = Glob.compile(glob)
+        store.filter(col("metric").startsWith(g.literalPrefix) && col("metric").rlike(g.regex))
+      }
+
+    case Call(fn, args) => (fn, args) match {
+      // combines
+      case ("sumSeries", as) => SeriesOps.combineSeries(unionArgs(as, store), "sum", render(e))
+      case ("averageSeries", as) => SeriesOps.combineSeries(unionArgs(as, store), "avg", render(e))
+      case ("minSeries", as) => SeriesOps.combineSeries(unionArgs(as, store), "min", render(e))
+      case ("maxSeries", as) => SeriesOps.combineSeries(unionArgs(as, store), "max", render(e))
+      case ("group", as) => unionArgs(as, store)
+
+      // re-bucketing
+      case ("summarize", Seq(ExprArg(a), StrArg(step))) =>
+        SeriesOps.summarize(compile(a, store), sparkInterval(step))
+      case ("summarize", Seq(ExprArg(a), StrArg(step), StrArg(how))) =>
+        SeriesOps.summarize(compile(a, store), sparkInterval(step), how)
+      case ("hitcount", Seq(ExprArg(a), StrArg(step))) =>
+        SeriesOps.hitcount(compile(a, store), sparkInterval(step), durationSeconds(step))
+
+      // per-series windows
+      case ("movingAverage", Seq(ExprArg(a), NumArg(n))) =>
+        withValue(compile(a, store), SeriesOps.movingAverage(n.toInt))
+      case ("movingSum", Seq(ExprArg(a), NumArg(n))) =>
+        withValue(compile(a, store), SeriesOps.movingSum(n.toInt))
+      case ("movingMax", Seq(ExprArg(a), NumArg(n))) =>
+        withValue(compile(a, store), SeriesOps.movingMax(n.toInt))
+      case ("movingMin", Seq(ExprArg(a), NumArg(n))) =>
+        withValue(compile(a, store), SeriesOps.movingMin(n.toInt))
+      case ("movingMedian", Seq(ExprArg(a), NumArg(n))) =>
+        withValue(compile(a, store), SeriesOps.movingMedian(n.toInt))
+      case ("stdev", Seq(ExprArg(a), NumArg(n))) =>
+        withValue(compile(a, store), SeriesOps.movingStddev(n.toInt))
+      case ("derivative", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), SeriesOps.derivative())
+      case ("nonNegativeDerivative", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), SeriesOps.nonNegativeDerivative())
+      case ("perSecond", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), SeriesOps.perSecond())
+      case ("integral", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), SeriesOps.integral())
+      case ("keepLastValue", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), SeriesOps.keepLastValue())
+      case ("transformNull", Seq(ExprArg(a), NumArg(v))) =>
+        withValue(compile(a, store), SeriesOps.transformNull(v))
+      case ("timeShift", Seq(ExprArg(a), StrArg(d))) =>
+        SeriesOps.timeShift(compile(a, store), sparkInterval(d))
+
+      // scalar transforms
+      case ("scale", Seq(ExprArg(a), NumArg(k))) =>
+        withValue(compile(a, store), SeriesOps.scale(k))
+      case ("offset", Seq(ExprArg(a), NumArg(k))) =>
+        withValue(compile(a, store), SeriesOps.offset(k))
+      case ("absolute", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), SeriesOps.absolute())
+      case ("logarithm", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), SeriesOps.logarithm(10))
+      case ("logarithm", Seq(ExprArg(a), NumArg(b))) =>
+        withValue(compile(a, store), SeriesOps.logarithm(b))
+      case ("invert", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), SeriesOps.invert())
+
+      // renames
+      case ("alias", Seq(ExprArg(a), StrArg(name))) =>
+        SeriesOps.aliasSeries(compile(a, store), name)
+      case ("aliasByNode", ExprArg(a) +: nodes) =>
+        val df = compile(a, store)
+        df.withColumn("metric",
+          SeriesOps.aliasByNode(nodes.collect { case NumArg(n) => n.toInt }))
+      case ("aliasByMetric", Seq(ExprArg(a))) =>
+        val df = compile(a, store)
+        df.withColumn("metric", element_at(split(col("metric"), "\\."), -1))
+
+      // name predicates
+      case ("exclude", Seq(ExprArg(a), StrArg(rx))) => SeriesOps.exclude(compile(a, store), rx)
+      case ("grep", Seq(ExprArg(a), StrArg(rx))) => SeriesOps.grep(compile(a, store), rx)
+
+      // series selection
+      case ("highestAverage", Seq(ExprArg(a), NumArg(k))) =>
+        SeriesOps.selectTopSeries(compile(a, store), k.toInt, "avg", highest = true)
+      case ("highestMax", Seq(ExprArg(a), NumArg(k))) =>
+        SeriesOps.selectTopSeries(compile(a, store), k.toInt, "max", highest = true)
+      case ("highestSum", Seq(ExprArg(a), NumArg(k))) =>
+        SeriesOps.selectTopSeries(compile(a, store), k.toInt, "sum", highest = true)
+      case ("lowestAverage", Seq(ExprArg(a), NumArg(k))) =>
+        SeriesOps.selectTopSeries(compile(a, store), k.toInt, "avg", highest = false)
+      case ("lowestMax", Seq(ExprArg(a), NumArg(k))) =>
+        SeriesOps.selectTopSeries(compile(a, store), k.toInt, "max", highest = false)
+
+      // cross-series binary ops
+      case ("divideSeries", Seq(ExprArg(a), ExprArg(b))) =>
+        SeriesOps.divideSeries(compile(a, store), compile(b, store), render(e))
+      case ("diffSeries", Seq(ExprArg(a), ExprArg(b))) =>
+        SeriesOps.diffSeries(compile(a, store), compile(b, store), render(e))
+      case ("multiplySeries", Seq(ExprArg(a), ExprArg(b))) =>
+        SeriesOps.multiplySeries(compile(a, store), compile(b, store), render(e))
+      case ("asPercent", Seq(ExprArg(a), ExprArg(b))) =>
+        SeriesOps.asPercent(compile(a, store), compile(b, store), render(e))
+
+      case ("nPercentile", Seq(ExprArg(a), NumArg(p))) =>
+        SeriesOps.nPercentile(compile(a, store), p / 100.0)
+          .select(col("metric"), lit(null).cast("timestamp").as("ts"), col("value"))
+
+      case (other, _) =>
+        throw new IllegalArgumentException(s"unknown target function '$other'")
+    }
+  }
+
+  /** Parse + compile in one step. */
+  def plan(target: String, store: DataFrame): DataFrame =
+    parse(target).fold(
+      err => throw new IllegalArgumentException(s"bad target '$target': $err"),
+      e => compile(e, store))
+
+  private def withValue(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("value", c)
+
+  private def unionArgs(as: Seq[Arg], store: DataFrame): DataFrame =
+    as.collect { case ExprArg(a) => compile(a, store) }.reduce(_ unionByName _)
+
+  /** Canonical name for derived series (Graphite renders the call). */
+  def render(e: Expr): String = e match {
+    case Path(g) => g
+    case Call(fn, args) => fn + "(" + args.map {
+      case ExprArg(x) => render(x)
+      case NumArg(v) => if (v == v.floor && !v.isInfinite) v.toLong.toString else v.toString
+      case StrArg(s) => s"\"$s\""
+    }.mkString(",") + ")"
+  }
+}

@@ -1,0 +1,57 @@
+package graft.engine
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dsl.{MonitorDsl, TargetLang}
+import graft.model.MonitorSpec
+
+/** MonitorSpec → DataFrame plan builder: the Spark-native E1 lifecycle
+  * (SURVEY §3). The whole monitor run — window clip, target functions,
+  * per-series reductions, threshold — is ONE declarative DataFrame, so
+  * Catalyst gets the entire thing: window + metric predicates push into
+  * the scan, reductions get map-side partials, the verdict projection is
+  * codegen'd. No fork/exec, no per-run HTTP, no interpreter (contrast:
+  * reference stages 2-5, which cross two process boundaries per run).
+  */
+object Planner {
+
+  /** The clipped window [until - minutes, until]: P1 applied *before*
+    * target compilation so pushdown reaches the parquet scan. `until` =
+    * `to_date` (backtest, ST8) or the caller's now. */
+  def clipWindow(store: DataFrame, spec: MonitorSpec, now: Timestamp): DataFrame = {
+    val until = spec.toDate.getOrElse(now)
+    val from = new Timestamp(until.getTime - spec.minutes * 60000L)
+    store.filter(col("ts") >= lit(from) && col("ts") <= lit(until))
+  }
+
+  /** Full plan: per-series reduction rows with a boolean `passed`.
+    * Output: (job_id, metric, window_end, red_* ..., passed). */
+  def plan(spark: SparkSession, store: DataFrame, spec: MonitorSpec,
+      now: Timestamp): DataFrame = {
+    val until = spec.toDate.getOrElse(now)
+    val clipped = clipWindow(store, spec, now)
+
+    // L1: each stored target line compiles to a series set; union them.
+    val series = spec.targets.map(t => TargetLang.plan(t, clipped))
+      .reduce(_ unionByName _)
+
+    // L3: aggregate exactly the reductions the monitor expression uses.
+    val ast = MonitorDsl.parse(spec.monitorExpr).fold(
+      err => throw new IllegalArgumentException(
+        s"monitor ${spec.id} '${spec.name}': bad expr: $err"),
+      identity)
+    val reds = MonitorDsl.reductions(ast).toSeq.sorted
+    val aggs = reds.map(r =>
+      MonitorDsl.reductionAgg(r, col("value"), col("ts")).as(s"red_$r"))
+    val reduced = series.groupBy(col("metric"))
+      .agg(aggs.head, aggs.tail: _*)
+
+    reduced
+      .withColumn("passed", MonitorDsl.compile(ast))
+      .withColumn("job_id", lit(spec.id))
+      .withColumn("window_end", lit(until))
+  }
+}

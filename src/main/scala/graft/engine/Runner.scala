@@ -1,0 +1,95 @@
+package graft.engine
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{JobStatus, MonitorSpec, Verdict}
+
+/** Monitor run orchestration — E1 (scheduled run) and E2 (interactive
+  * test) from SURVEY §3, minus the Rails host.
+  *
+  * Pure-plan vs side-effect separation mirrors the reference's
+  * `--no-alerts` split (reference Rakefile:4-7): [[evaluate]] is a pure
+  * function of (store, spec, now) usable for backtests and UI tests;
+  * [[persistRun]] appends the `job_data` / `job_errors` twins.
+  * Verdict collect() is bounded by series count — never data volume.
+  */
+object Runner {
+
+  /** E2 / pure evaluation: verdict rows only, no side effects. */
+  def evaluate(spark: SparkSession, store: DataFrame, spec: MonitorSpec,
+      now: Timestamp): Seq[Verdict] = {
+    val df = Planner.plan(spark, store, spec, now)
+    val redCols = df.columns.filter(_.startsWith("red_")).sorted
+    val firstRed = redCols.headOption.getOrElse("red_mean")
+    df.collect().toSeq.map { r =>
+      val passed = !r.isNullAt(r.fieldIndex("passed")) && r.getBoolean(r.fieldIndex("passed"))
+      Verdict(
+        jobId = spec.id,
+        metric = r.getString(r.fieldIndex("metric")),
+        windowEnd = r.getTimestamp(r.fieldIndex("window_end")),
+        observed = Option(r.get(r.fieldIndex(firstRed))).map(_.toString.toDouble),
+        passed = passed,
+        message = if (passed) "" else s"${spec.name}: ${spec.monitorExpr} violated")
+    }
+  }
+
+  /** Overall job status from per-series verdicts: any failing series
+    * fails the job (a raise in the reference's sandbox fails the run);
+    * an empty series set is an error (bad target / no data). */
+  def jobStatus(verdicts: Seq[Verdict]): String =
+    if (verdicts.isEmpty) JobStatus.Error
+    else if (verdicts.forall(_.passed)) JobStatus.Success
+    else JobStatus.Failed
+
+  /** E1 persistence: append one `job_data` row (JSON chart payload —
+    * reference db/schema.rb:29-36) and, on failure, `job_errors` rows
+    * (db/schema.rb:38-48). Both partitioned by job_id. */
+  def persistRun(spark: SparkSession, spec: MonitorSpec, verdicts: Seq[Verdict],
+      series: DataFrame, jobDataPath: String, jobErrorsPath: String): Unit = {
+    import spark.implicits._
+    val status = jobStatus(verdicts)
+    val payload = series
+      .groupBy(col("metric"))
+      .agg(collect_list(struct(col("ts"), col("value"))).as("points"))
+      .agg(to_json(collect_list(struct(col("metric"), col("points")))).as("chart"))
+    val run = payload.select(
+      lit(spec.id).as("job_id"),
+      lit(verdicts.headOption.map(_.windowEnd).orNull).as("window_end"),
+      lit(status).as("status"),
+      col("chart").as("data"))
+    run.write.mode(SaveMode.Append).partitionBy("job_id").parquet(jobDataPath)
+
+    if (status != JobStatus.Success) {
+      verdicts.filterNot(_.passed).toDF()
+        .select(col("jobId").as("job_id"), col("windowEnd").as("at"),
+          col("message"), lit(status).as("status"))
+        .write.mode(SaveMode.Append).partitionBy("job_id").parquet(jobErrorsPath)
+    }
+  }
+
+  /** E1: evaluate + persist + (throttled) alert rows. Returns verdicts.
+    * Alert dispatch is a side-effecting sink fed by the returned rows —
+    * deliberately OUT of the query plan (SURVEY §2.1 S7). */
+  def runOnce(spark: SparkSession, store: DataFrame, spec: MonitorSpec,
+      now: Timestamp, jobDataPath: String, jobErrorsPath: String): Seq[Verdict] = {
+    val verdicts = evaluate(spark, store, spec, now)
+    val clipped = Planner.clipWindow(store, spec, now)
+    val series = spec.targets.map(t => graft.dsl.TargetLang.plan(t, clipped))
+      .reduce(_ unionByName _)
+    persistRun(spark, spec, verdicts, series, jobDataPath, jobErrorsPath)
+    verdicts
+  }
+
+  /** E3 read path: latest persisted run per job (O1). */
+  def latestRuns(spark: SparkSession, jobDataPath: String): DataFrame = {
+    val runs = spark.read.parquet(jobDataPath)
+    runs.groupBy(col("job_id"))
+      .agg(max_by(struct(col("window_end"), col("status"), col("data")),
+        col("window_end")).as("r"))
+      .select(col("job_id"), col("r.window_end").as("window_end"),
+        col("r.status").as("status"), col("r.data").as("data"))
+  }
+}

@@ -739,6 +739,36 @@ object Queries {
   // ST: streaming-shaped (batch twin; the streaming path is spec-tested)
   // =======================================================================
 
+  // ST6 — session windows (30-min gap) per user over purchase events:
+  // Spark's session_window vs the SQL gaps-and-islands construction.
+  q("st6_session_window",
+    """WITH e AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 30 MINUTE OR
+      |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |       MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   // =======================================================================
   // X: north-star training-data-pipeline operators (U4)
   // =======================================================================

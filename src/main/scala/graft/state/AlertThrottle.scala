@@ -1,0 +1,99 @@
+package graft.state
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.JobStatus
+
+/** Alert throttling + status transitions (ST5): the reference tracks
+  * `job_errors.last_alerted_at` (db/schema.rb:43) and suppresses
+  * re-alerts within `error_timeout` minutes (db/schema.rb:61, default
+  * 60), with job status driven by a state machine (Gemfile.lock:167).
+  *
+  * Two implementations of the same rule:
+  *  - [[throttleBatch]]: per-job ordered fold (groupByKey →
+  *    flatMapGroups) for batch/replay — deterministic, no checkpoint.
+  *  - [[throttleStream]]: flatMapGroupsWithState for Structured
+  *    Streaming, state = (status, lastAlertedAt), checkpointable.
+  *
+  * Rule (matching the reference's semantics): alert fires on a failing
+  * run iff no alert has fired for this job in the previous
+  * `errorTimeoutMinutes`; a passing run resets status (recovery) but
+  * not the throttle clock.
+  */
+object AlertThrottle {
+
+  /** One evaluated run for throttling purposes. */
+  final case class RunEvent(jobId: Long, at: Timestamp, failed: Boolean,
+      errorTimeoutMinutes: Int)
+
+  /** An alert that should actually fire. */
+  final case class Alert(jobId: Long, at: Timestamp, transition: String)
+
+  /** Per-job persisted throttle state (public: Spark codegen needs the
+    * accessors when encoding it into the state store). */
+  final case class ThrottleState(status: String, lastAlertedAtMillis: Long)
+
+  private def foldEvents(events: Iterator[RunEvent],
+      init: Option[ThrottleState]): (Seq[Alert], ThrottleState) = {
+    var st = init.getOrElse(ThrottleState(JobStatus.Success, Long.MinValue))
+    val out = Seq.newBuilder[Alert]
+    events.toSeq.sortBy(_.at.getTime).foreach { e =>
+      if (e.failed) {
+        val throttleMs = e.errorTimeoutMinutes * 60000L
+        // sentinel MinValue = "never alerted" (subtraction would overflow)
+        val due = st.lastAlertedAtMillis == Long.MinValue ||
+          e.at.getTime - st.lastAlertedAtMillis >= throttleMs
+        val transition =
+          if (st.status == JobStatus.Success) "enter-failure" else "still-failing"
+        if (due) {
+          out += Alert(e.jobId, e.at, transition)
+          st = ThrottleState(JobStatus.Failed, e.at.getTime)
+        } else st = st.copy(status = JobStatus.Failed)
+      } else st = st.copy(status = JobStatus.Success)
+    }
+    (out.result(), st)
+  }
+
+  /** Batch mode: replay each job's runs in time order, emit the alerts
+    * that pass the throttle. Parallel across jobs (one group per job —
+    * state is driver-free). */
+  def throttleBatch(events: Dataset[RunEvent]): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.jobId).flatMapGroups { (_, it) =>
+      foldEvents(it, None)._1.iterator
+    }
+  }
+
+  /** Streaming mode: identical fold, state carried by Spark's state
+    * store across micro-batches. */
+  def throttleStream(events: Dataset[RunEvent]): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.jobId)
+      .flatMapGroupsWithState[ThrottleState, Alert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[RunEvent], state: GroupState[ThrottleState]) =>
+          val (alerts, st) = foldEvents(it, state.getOption)
+          state.update(st)
+          alerts.iterator
+      }
+  }
+
+  /** Route an alert to its channels — parse `alert_keys`
+    * (reference db/schema.rb:59) prefixes. Side-effecting sink, kept
+    * out of the plan; the default "log:" channel just returns the
+    * formatted line. */
+  def route(alertKeys: Seq[String], alert: Alert): Seq[(String, String)] = {
+    val msg = s"[job ${alert.jobId}] ${alert.transition} at ${alert.at}"
+    val keys = if (alertKeys.isEmpty) Seq("log:") else alertKeys
+    keys.map { k =>
+      val channel = k.takeWhile(_ != ':')
+      channel match {
+        case "mailto" | "pagerduty" | "campfire" | "log" => (channel, msg)
+        case other => ("log", s"(unknown channel '$other') $msg")
+      }
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming ingest (ST7): events → 1-minute pre-aggregated
+  * metric rollups, the store layout every monitor query reads
+  * (SURVEY §4.4). The reference never ingested (Graphite owned
+  * storage); at 100 TB this rollup is what keeps monitor windows
+  * KB-sized: queries touch (metric, minute) rollups, never raw events.
+  *
+  * Watermarking (ST4) drops events later than the lateness bound, the
+  * streaming twin of Graphite's "newest buckets are incomplete" rule
+  * (P5 trailing-null trim in batch).
+  */
+object Ingest {
+
+  /** Raw events schema — ts read as long nanos (see Tables.events: the
+    * parquet is TIMESTAMP(NANOS), which Spark only reads as int64). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The streaming rollup DataFrame (unstarted). */
+  def rollupStream(spark: SparkSession, srcDir: String,
+      lateness: String = "2 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      // the source wants a directory to monitor; testdata ships one file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(srcDir)
+      .select(
+        concat(lit("events."), col("event_type")).as("metric"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("value"))
+      .withWatermark("ts", lateness)
+      .groupBy(col("metric"), window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .select(col("metric"), col("w.start").as("ts"),
+        col("n"), col("sum_v"), col("min_v"), col("max_v"))
+  }
+
+  /** Drain everything currently available into the rollup store and
+    * stop — `Trigger.AvailableNow` gives the deterministic batch-like
+    * semantics tests need while exercising the real streaming path
+    * (incremental state, watermark, checkpoint). */
+  def runAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = rollupStream(spark, srcDir).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dsl.{Cron, Glob, MonitorDsl, TargetLang}
+
+class GlobSpec extends AnyFunSuite {
+  test("star does not cross path segments") {
+    val g = Glob.compile("stats.web.*.latency")
+    assert(g.matches("stats.web.host1.latency"))
+    assert(!g.matches("stats.web.host1.extra.latency"))
+    assert(g.literalPrefix == "stats.web.")
+  }
+  test("brace alternation and char class") {
+    val g = Glob.compile("events.{click,view}")
+    assert(g.matches("events.click") && g.matches("events.view"))
+    assert(!g.matches("events.clickview") && !g.matches("events.error"))
+    val c = Glob.compile("host[0-9].cpu")
+    assert(c.matches("host3.cpu") && !c.matches("hostx.cpu"))
+  }
+  test("literal dots are escaped (no regex dot-any)") {
+    val g = Glob.compile("a.b")
+    assert(!g.matches("aXb"))
+  }
+  test("property: expanded brace members always match their own glob (100 seeded cases)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 100).foreach { _ =>
+      val names = (1 to (1 + rnd.nextInt(5))).map(_ => s"m${rnd.nextInt(100)}").distinct
+      val g = Glob.compile(s"root.{${names.mkString(",")}}.leaf")
+      names.foreach(n => assert(g.matches(s"root.$n.leaf"), s"glob for $names vs $n"))
+      assert(!g.matches("root.notamember.leaf"))
+    }
+  }
+}
+
+class CronSpec extends AnyFunSuite {
+  private def next(expr: String, after: String): String =
+    Cron.parse(expr).nextAfter(Instant.parse(after)).get.toString
+
+  test("every-5-minutes") {
+    assert(next("*/5 * * * *", "2024-01-01T00:02:00Z") == "2024-01-01T00:05:00Z")
+  }
+  test("daily at 09:30") {
+    assert(next("30 9 * * *", "2024-01-01T10:00:00Z") == "2024-01-02T09:30:00Z")
+  }
+  test("weekday constraint (dow 1-5)") {
+    // 2024-01-05 is a Friday; next 09:00 weekday run after Friday 10:00 is Monday
+    assert(next("0 9 * * 1-5", "2024-01-05T10:00:00Z") == "2024-01-08T09:00:00Z")
+  }
+  test("dow 7 aliases Sunday") {
+    assert(next("0 0 * * 7", "2024-01-01T00:00:00Z") == "2024-01-07T00:00:00Z")
+  }
+  test("vixie OR rule when both dom and dow restricted") {
+    // dom 15 OR Monday: after Jan 8 (Mon) 00:01, next is Jan 15 (Mon)…
+    // after Jan 9, next is Jan 15 (dom match, also a Monday); after Jan 2,
+    // next is Jan 8 (Monday before the 15th)
+    assert(next("0 0 15 * 1", "2024-01-02T01:00:00Z") == "2024-01-08T00:00:00Z")
+    assert(next("0 0 15 * 1", "2024-01-08T01:00:00Z") == "2024-01-15T00:00:00Z")
+  }
+  test("minute list + range") {
+    assert(next("0,30 * * * *", "2024-01-01T00:10:00Z") == "2024-01-01T00:30:00Z")
+  }
+  test("bad field count rejected") {
+    intercept[IllegalArgumentException](Cron.parse("* * * *"))
+  }
+}
+
+class TargetLangSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private lazy val store = Seq(
+    ("events.click", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+    ("events.click", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 20.0),
+    ("events.view", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5.0),
+    ("events.view", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 40.0))
+    .toDF("metric", "ts", "value")
+
+  test("parse: nested calls with globs, numbers, strings") {
+    val e = TargetLang.parse("movingAverage(summarize(events.{click,view}, \"1h\", \"sum\"), 5)")
+    assert(e.isRight)
+    assert(TargetLang.render(e.toOption.get) ==
+      "movingAverage(summarize(events.{click,view},\"1h\",\"sum\"),5)")
+  }
+
+  test("unknown function fails loudly") {
+    intercept[IllegalArgumentException](TargetLang.plan("frobnicate(events.click)", store))
+  }
+
+  test("literal path compiles to equality filter; glob to prefix+rlike") {
+    assert(TargetLang.plan("events.click", store).count() == 2)
+    assert(TargetLang.plan("events.*", store).count() == 4)
+  }
+
+  test("sumSeries combines point-wise across matched series") {
+    val out = TargetLang.plan("sumSeries(events.*)", store).orderBy("ts").collect()
+    assert(out.map(_.getAs[Double]("value")).toSeq == Seq(15.0, 60.0))
+  }
+
+  test("scale + alias pipeline") {
+    val out = TargetLang.plan("alias(scale(events.click, 2), \"double_click\")", store)
+      .orderBy("ts").collect()
+    assert(out.map(_.getAs[Double]("value")).toSeq == Seq(20.0, 40.0))
+    assert(out.forall(_.getAs[String]("metric") == "double_click"))
+  }
+
+  test("divideSeries aligns by ts") {
+    val out = TargetLang.plan("divideSeries(events.click, events.view)", store)
+      .orderBy("ts").collect()
+    assert(out.map(_.getAs[Double]("value")).toSeq == Seq(2.0, 0.5))
+  }
+
+  test("duration parsing") {
+    assert(TargetLang.durationSeconds("7d") == 604800L)
+    assert(TargetLang.durationSeconds("10min") == 600L)
+    assert(TargetLang.durationSeconds("90s") == 90L)
+  }
+}
+
+class MonitorDslSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("parse + reductions extraction") {
+    val ast = MonitorDsl.parse("mean < 100 && p95 > 2 * stddev").toOption.get
+    assert(MonitorDsl.reductions(ast) == Set("mean", "p95", "stddev"))
+  }
+
+  test("rejects unknown identifiers") {
+    assert(MonitorDsl.parse("bogus < 1").isLeft)
+  }
+
+  test("compiles and evaluates against red_ columns") {
+    val ast = MonitorDsl.parse("mean < 100 || max > 500").toOption.get
+    val df = Seq((50.0, 200.0), (150.0, 600.0), (150.0, 400.0))
+      .toDF("red_mean", "red_max")
+      .withColumn("passed", MonitorDsl.compile(ast))
+    assert(df.select("passed").collect().map(_.getBoolean(0)).toSeq ==
+      Seq(true, true, false))
+  }
+
+  test("arithmetic precedence: 2 + 3 * 4 == 14") {
+    val ast = MonitorDsl.parse("mean == 2 + 3 * 4").toOption.get
+    val df = Seq(14.0).toDF("red_mean").withColumn("p", MonitorDsl.compile(ast))
+    assert(df.select("p").head.getBoolean(0))
+  }
+}

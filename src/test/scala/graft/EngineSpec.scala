@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.engine.{Planner, Runner}
+import graft.model.{JobStatus, MonitorSpec}
+import graft.state.AlertThrottle
+import graft.state.AlertThrottle.RunEvent
+import graft.store.Tables
+
+class EngineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val store = Tables.metricStore(spark, dir)
+
+  private def spec(expr: String, targets: Seq[String] = Seq("events.*"),
+      toDate: Option[String] = Some("2024-01-15 12:00:00")) = MonitorSpec(
+    id = 1, name = "t", targets = targets, minutes = 720,
+    toDate = toDate.map(Timestamp.valueOf), cronExpr = "*/5 * * * *",
+    monitorExpr = expr)
+
+  test("E1 evaluate: per-series verdicts with reductions") {
+    val v = Runner.evaluate(spark, store, spec("mean > 0 && count > 0"),
+      Timestamp.valueOf("2024-01-15 12:00:00"))
+    assert(v.nonEmpty && v.forall(_.passed))
+  }
+
+  test("threshold failure flips job status; message names the monitor") {
+    val v = Runner.evaluate(spark, store, spec("mean > 1000000"),
+      Timestamp.valueOf("2024-01-15 12:00:00"))
+    assert(v.nonEmpty && v.forall(!_.passed))
+    assert(Runner.jobStatus(v) == JobStatus.Failed)
+    assert(v.head.message.contains("violated"))
+  }
+
+  test("ST8 backtest determinism: same to_date ⇒ identical verdicts") {
+    val now1 = Timestamp.valueOf("2024-02-01 00:00:00")
+    val now2 = Timestamp.valueOf("2024-03-01 00:00:00") // different 'now'
+    val a = Runner.evaluate(spark, store, spec("mean < 100"), now1)
+    val b = Runner.evaluate(spark, store, spec("mean < 100"), now2)
+    assert(a == b) // to_date pins the window; wall clock is irrelevant
+  }
+
+  test("empty target result ⇒ job error status") {
+    val v = Runner.evaluate(spark, store, spec("mean > 0", targets = Seq("nosuch.metric")),
+      Timestamp.valueOf("2024-01-15 12:00:00"))
+    assert(v.isEmpty && Runner.jobStatus(v) == JobStatus.Error)
+  }
+
+  test("target DSL end-to-end inside a monitor (summarize + glob)") {
+    val v = Runner.evaluate(spark, store,
+      spec("sum > 0", targets = Seq("summarize(events.{click,view}, \"1h\", \"sum\")")),
+      Timestamp.valueOf("2024-01-15 12:00:00"))
+    assert(v.nonEmpty)
+  }
+
+  test("E1 persist + E3 latest-run read path") {
+    val tmp = Files.createTempDirectory("graft").toString
+    val s = spec("mean > 1000000") // failing → job_errors written too
+    Runner.runOnce(spark, store, s, Timestamp.valueOf("2024-01-15 12:00:00"),
+      s"$tmp/job_data", s"$tmp/job_errors")
+    Runner.runOnce(spark, store, s.copy(toDate = Some(Timestamp.valueOf("2024-01-16 12:00:00"))),
+      Timestamp.valueOf("2024-01-16 12:00:00"), s"$tmp/job_data", s"$tmp/job_errors")
+    val latest = Runner.latestRuns(spark, s"$tmp/job_data").collect()
+    assert(latest.length == 1) // one job
+    assert(latest(0).getAs[Timestamp]("window_end") == Timestamp.valueOf("2024-01-16 12:00:00"))
+    assert(latest(0).getAs[String]("status") == JobStatus.Failed)
+    assert(spark.read.parquet(s"$tmp/job_errors").count() > 0)
+  }
+
+  test("ST5 throttle: no re-alert within error_timeout; recovery re-arms transition label") {
+    def ev(min: Int, failed: Boolean) =
+      RunEvent(7L, Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00"), failed, 60)
+    val events = Seq(
+      ev(0, failed = true), // alert (enter-failure)
+      ev(10, failed = true), // throttled
+      ev(50, failed = true), // throttled
+      ev(59, failed = false), // recovery
+    ).toDS()
+    val alerts = AlertThrottle.throttleBatch(events).collect()
+    assert(alerts.length == 1 && alerts(0).transition == "enter-failure")
+
+    val events2 = Seq(ev(0, true), ev(30, false), ev(45, true), ev(61, true)).toDS()
+    val alerts2 = AlertThrottle.throttleBatch(events2).orderBy("at").collect()
+    // 00:45 fail is within 60min of the 00:00 alert → suppressed even
+    // after recovery (throttle clock is per-alert, like last_alerted_at);
+    // 01:01 fires and is 'still-failing'
+    assert(alerts2.length == 2)
+    assert(alerts2(1).transition == "still-failing")
+  }
+
+  test("ST5 property: no two alerts for a job within its error_timeout (200 seeded cases)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val timeout = 1 + rnd.nextInt(90)
+      val evs = (0 until 50).map { i =>
+        RunEvent(1L, new Timestamp(1700000000000L + i * 60000L * (1 + rnd.nextInt(3))),
+          rnd.nextBoolean(), timeout)
+      }
+      val alerts = AlertThrottle.throttleBatch(evs.toDS()).collect().sortBy(_.at.getTime)
+      alerts.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.at.getTime - a.at.getTime >= timeout * 60000L,
+            s"alerts ${a.at} and ${b.at} within $timeout min")
+        case _ =>
+      }
+    }
+  }
+
+  test("ST5 stream == batch on the same events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(min: Int, failed: Boolean) =
+      RunEvent(9L, Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00"), failed, 30)
+    val evs = Seq(ev(0, true), ev(10, true), ev(31, true), ev(40, false), ev(70, true))
+    val ms = MemoryStream[RunEvent]
+    ms.addData(evs)
+    val q = AlertThrottle.throttleStream(ms.toDS()).writeStream
+      .format("memory").queryName("alerts_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("alerts_out").as[AlertThrottle.Alert]
+      .collect().sortBy(_.at.getTime)
+    val batch = AlertThrottle.throttleBatch(evs.toDS()).collect().sortBy(_.at.getTime)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}

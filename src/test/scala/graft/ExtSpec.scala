@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.store.Tables
+
+class ExtSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds every brute-force near-dup pair (recall) and nothing below threshold (precision)") {
+    val docs = Tables.documents(spark, dir)
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 32, 16, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // brute force: exact shingle jaccard over all pairs (small at sf0.001)
+    val rows = Dedup.shingleRows(docs, "doc_id", "text", 3)
+    val all = docs.select(col("doc_id").as("id1"))
+      .crossJoin(docs.select(col("doc_id").as("id2")))
+      .filter(col("id1") < col("id2"))
+    val truth = Dedup.verifyJaccard(all, rows)
+      .filter(col("jaccard") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    assert(found == truth, s"missed=${truth -- found} extra=${found -- truth}")
+  }
+
+  test("simhash: identical docs collide, hamming 0; near-dups within 3 bits detected") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.simhash(docs, "doc_id", "text").orderBy("id").collect()
+    assert(sig(0).getLong(1) == sig(1).getLong(1))
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("exact dedup keeps min id and counts dups") {
+    val df = Seq((5L, "a"), (3L, "a"), (9L, "b")).toDF("id", "k")
+    val out = Dedup.exact(df, "id", Seq("k"))
+      .select("keep_id", "n_dups").orderBy("keep_id").collect()
+    assert(out(0).getLong(0) == 3L && out(0).getLong(1) == 2L)
+    assert(out(1).getLong(0) == 9L && out(1).getLong(1) == 1L)
+  }
+
+  test("LSH ANN recall ≥ 0.8 vs brute force on sf0.001") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall $recall")
+  }
+
+  test("cosine is exact on known vectors") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val c = df.collect().map(_.getDouble(0))
+    assert(math.abs(c(0)) < 1e-12 && math.abs(c(1) - 1.0) < 1e-12)
+  }
+
+  test("langId picks marker-dominant language, und on no hits") {
+    val df = Seq((1L, "der hund und die katze ist ein tier"),
+      (2L, "the cat and the dog is a pet of the house"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.langId(col("text")).as("pred"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "de" && m(2L) == "en" && m(3L) == "und")
+  }
+
+  test("multimodal: metadata pruning before decode, per-partition feature extraction") {
+    val media = Multimodal.syntheticMediaTable(spark, dir)
+    // metadata-only filter must not touch payload (plan check: pushed filter)
+    val videos = media.filter(col("kind") === "video" && col("duration_ms") > 0)
+    val feats = Multimodal.extractFeatures(videos.as[Multimodal.MediaRow])
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.feature.length == Multimodal.FakeCodec.FeatureDim))
+    assert(rows.forall(r => r.n_bytes > 0 && r.checksum != 0))
+    // frame sampling fans out ~duration/interval rows
+    val frames = Multimodal.sampleFrames(media, 800)
+    val perMedia = frames.groupBy("media_id").count().collect()
+    assert(perMedia.forall(_.getLong(1) >= 1))
+  }
+
+  test("rolling fingerprint is order-sensitive (unlike set hashes)") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+      .select(TextOps.rollingFingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.series.SeriesOps
+
+class SeriesOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  /** (metric, minute, value?) rows → long-format frame. */
+  private def series(rows: (String, Int, Option[Double])*): DataFrame =
+    rows.map { case (m, t, v) => (m, ts(t), v) }.toDF("metric", "ts", "value")
+
+  test("derivative: first point null, deltas after; counter reset → null in nonNegative") {
+    val df = series(("a", 0, Some(10.0)), ("a", 1, Some(15.0)), ("a", 2, Some(3.0)))
+      .withColumn("d", SeriesOps.derivative())
+      .withColumn("nn", SeriesOps.nonNegativeDerivative())
+      .orderBy("ts")
+    val rows = df.select("d", "nn").collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) == 5.0 && rows(1).getDouble(1) == 5.0)
+    assert(rows(2).getDouble(0) == -12.0 && rows(2).isNullAt(1)) // counter wrap
+  }
+
+  test("keepLastValue forward-fills across nulls; leading nulls stay null") {
+    val df = series(("a", 0, None), ("a", 1, Some(2.0)), ("a", 2, None), ("a", 3, None),
+        ("a", 4, Some(7.0)))
+      .withColumn("f", SeriesOps.keepLastValue()).orderBy("ts")
+    val f = df.select("f").collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(f.toSeq == Seq(null, 2.0, 2.0, 2.0, 7.0))
+  }
+
+  test("combineSeries skips null points (Graphite None rule: sum{1,None}=1)") {
+    val df = series(("a", 0, Some(1.0)), ("b", 0, None), ("a", 1, None), ("b", 1, None))
+    val sum = SeriesOps.combineSeries(df, "sum", "s").orderBy("ts").collect()
+    assert(sum(0).getAs[Double]("value") == 1.0) // None skipped, not poisoned
+    assert(sum(1).isNullAt(sum(1).fieldIndex("value"))) // all-None bucket → None
+  }
+
+  test("divideSafe: zero or null denominator → null (Graphite None), not error") {
+    val a = series(("x", 0, Some(10.0)), ("x", 1, Some(10.0)))
+    val b = series(("y", 0, Some(0.0)), ("y", 2, Some(5.0)))
+    val out = SeriesOps.divideSeries(a, b, "q").orderBy("ts").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("value"))) // div by zero
+    assert(out(1).isNullAt(out(1).fieldIndex("value"))) // missing denominator
+    assert(out(2).isNullAt(out(2).fieldIndex("value"))) // missing numerator → null/5
+  }
+
+  test("trimTrailingNulls drops only the trailing null run, keeps interior nulls") {
+    val df = series(("a", 0, Some(1.0)), ("a", 1, None), ("a", 2, Some(3.0)),
+      ("a", 3, None), ("a", 4, None))
+    val out = SeriesOps.trimTrailingNulls(df).orderBy("ts").collect()
+    assert(out.length == 3)
+    assert(out(1).isNullAt(out(1).fieldIndex("value"))) // interior null kept
+  }
+
+  test("movingAverage over trailing n rows, short head frames included") {
+    val df = series(("a", 0, Some(2.0)), ("a", 1, Some(4.0)), ("a", 2, Some(6.0)))
+      .withColumn("ma", SeriesOps.movingAverage(2)).orderBy("ts")
+    val ma = df.select("ma").collect().map(_.getDouble(0))
+    assert(ma.toSeq == Seq(2.0, 3.0, 5.0))
+  }
+
+  test("summarize buckets to coarser step with chosen reducer") {
+    val df = series(("a", 0, Some(1.0)), ("a", 1, Some(2.0)), ("a", 2, Some(3.0)),
+      ("a", 3, Some(4.0)))
+    val out = SeriesOps.summarize(df, "2 minutes", "sum").orderBy("ts").collect()
+    assert(out.map(_.getAs[Double]("value")).toSeq == Seq(3.0, 7.0))
+  }
+
+  test("selectTopSeries keeps whole top-k series bodies") {
+    val df = series(("a", 0, Some(1.0)), ("a", 1, Some(1.0)),
+      ("b", 0, Some(100.0)), ("b", 1, Some(100.0)),
+      ("c", 0, Some(10.0)), ("c", 1, Some(10.0)))
+    val out = SeriesOps.selectTopSeries(df, 2, "sum", highest = true)
+    assert(out.select("metric").distinct().as[String].collect().toSet == Set("b", "c"))
+    assert(out.count() == 4) // full bodies, not scores
+  }
+
+  test("timeShift moves timestamps by the interval") {
+    val df = series(("a", 0, Some(1.0)))
+    val out = SeriesOps.timeShift(df, "7 DAYS").collect()
+    assert(out(0).getTimestamp(1) == Timestamp.valueOf("2024-01-08 00:00:00"))
+  }
+}
