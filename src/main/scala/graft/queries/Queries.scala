@@ -739,6 +739,166 @@ object Queries {
   // ST: streaming-shaped (batch twin; the streaming path is spec-tested)
   // =======================================================================
 
+  // P2/Q6 — tight compound predicate + single-row agg (the TPC-H Q6
+  // shape; predicate pushdown showcase).
+  q("p2_q6_filter",
+    s"""SELECT ${DSUM("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  // J3b — true as-of join (nearest ≤ per key): each click joined to the
+  // user's most recent prior purchase. Spark 4 has no ASOF operator;
+  // ours is the union + ordered-window forward-fill; DuckDB's native
+  // ASOF LEFT JOIN is the oracle.
+  q("j3b_asof_join",
+    """WITH c AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      |    AND ts >= TIMESTAMP '2024-01-20 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00:00'),
+      |p AS (
+      |  SELECT user_id, ts, MAX(value) AS pv FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT c.event_id, c.user_id, p.pv AS asof_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click" &&
+        col("ts") >= lit("2024-01-20 00:00:00") && col("ts") < lit("2024-01-25 00:00:00"))
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("pv"))
+    SeriesOps.asOfJoin(clicks, purchases, "user_id", "pv")
+      .select("event_id", "user_id", "asof_value")
+      .orderBy("event_id")
+  }
+
+  // W8 — time-range frame (rangeBetween over epoch seconds): true
+  // range semantics — missing minutes shrink the frame, unlike ROWS.
+  q("w8_range_frame",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric,
+       |         CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS epoch_s,
+       |         ${DSUMD("value")} AS v
+       |  FROM events WHERE event_type IN ('purchase', 'signup')
+       |    AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT metric, epoch_s,
+       |  CAST(SUM(v) OVER w AS DOUBLE) AS range_sum5m,
+       |  COUNT(v) OVER w AS n_in_range
+       |FROM r
+       |WINDOW w AS (PARTITION BY metric ORDER BY epoch_s
+       |             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+       |ORDER BY metric, epoch_s""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("metric").orderBy("epoch_s").rangeBetween(-300, 0)
+    Tables.metricStore(s, dir)
+      .filter(col("metric").isin("events.purchase", "events.signup") &&
+        col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+      .groupBy(col("metric"),
+        unix_timestamp(date_trunc("minute", col("ts"))).as("epoch_s"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("v"))
+      .select(col("metric"), col("epoch_s"),
+        sum(col("v")).over(w).cast("double").as("range_sum5m"),
+        count(col("v")).over(w).as("n_in_range"))
+      .orderBy("metric", "epoch_s")
+  }
+
+  // U3 — step-grid densification via sequence + explode: how sparse
+  // series become fixed-step Graphite-shaped series (missing bucket =
+  // None, the P5/W4 precondition).
+  q("u3_densify_grid",
+    s"""WITH grid AS (
+       |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 00:00:00',
+       |                                TIMESTAMP '2024-01-10 23:59:00',
+       |                                INTERVAL 1 MINUTE)) AS ts),
+       |m AS (SELECT DISTINCT 'events.' || event_type AS metric FROM events),
+       |r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |         ${DSUM("value")} AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT m.metric, COUNT(*) AS n_buckets, COUNT(r.v) AS n_present,
+       |       COUNT(*) - COUNT(r.v) AS n_missing
+       |FROM m CROSS JOIN grid
+       |LEFT JOIN r ON r.metric = m.metric AND r.ts = grid.ts
+       |GROUP BY m.metric ORDER BY m.metric""".stripMargin) { (s, dir) =>
+    val grid = s.range(1).select(explode(expr(
+      "sequence(timestamp'2024-01-10 00:00:00', timestamp'2024-01-10 23:59:00', interval 1 minute)"))
+      .as("ts"))
+    val metrics = Tables.metricStore(s, dir).select("metric").distinct()
+    val rollup = Tables.metricStore(s, dir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+      .groupBy(col("metric"), date_trunc("minute", col("ts")).as("ts"))
+      .agg(dsum(col("value")).as("v"))
+    metrics.crossJoin(grid)
+      .join(rollup, Seq("metric", "ts"), "left")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n_buckets"), count(col("v")).as("n_present"),
+        (count(lit(1)) - count(col("v"))).as("n_missing"))
+      .orderBy("metric")
+  }
+
+  // T6 — string functions (validation/parsing the UI layer needs:
+  // rlike, split_part, upper/lower, length).
+  q("t6_string_fns",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS n_valid,
+      |  MAX(CAST(split_part(c_name, '#', 2) AS BIGINT)) AS max_suffix,
+      |  MIN(length(c_name)) AS min_name_len,
+      |  MIN(lower(c_mktsegment)) AS seg_lower
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_name").rlike("^Customer#[0-9]+$"), 1).otherwise(0)).as("n_valid"),
+        max(element_at(split(col("c_name"), "#"), 2).cast("bigint")).as("max_suffix"),
+        min(length(col("c_name"))).as("min_name_len"),
+        min(lower(col("c_mktsegment"))).as("seg_lower"))
+      .orderBy("c_mktsegment")
+  }
+
+  // A8 — Holt-Winters-style smoothing + confidence bands (order-
+  // sensitive typed Aggregator, the U1 tier-2 escape hatch). Rows-only:
+  // the recurrence has no portable SQL twin.
+  q("a8_holtwinters_bands") { (s, dir) =>
+    import s.implicits._
+    import graft.series.HoltWinters
+    val pts = Tables.metricStore(s, dir)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("ts"))
+      .agg(dsum(col("value")).as("v"))
+      .select(col("metric"), unix_timestamp(col("ts")).as("epochSec"), col("v").as("value"))
+    val agg = HoltWinters.bandsAggregator(HoltWinters.Params()).toColumn
+    pts.select(col("metric"), struct(col("epochSec"), col("value")).as("pt"))
+      .as[(String, HoltWinters.Pt)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("bands"))
+      .flatMap { case (metric, bands) =>
+        bands.map(b => (metric, b._1, b._2, b._3, b._4))
+      }
+      .toDF("metric", "epoch_s", "smoothed", "upper", "lower")
+      .select(col("metric"), col("epoch_s"),
+        round(col("smoothed"), 6).as("smoothed"),
+        round(col("upper"), 6).as("upper"), round(col("lower"), 6).as("lower"))
+      .orderBy("metric", "epoch_s")
+  }
+
+  // S3 — Graphite raw render-format parse (fixture ingestion path).
+  // Rows-only: input is a literal fixture, not a table.
+  q("s3_raw_parse") { (s, dir) =>
+    val lines = Seq(
+      "stats.web.latency,1704067200,1704067500,60|1.5,2.5,None,4.0,5.5",
+      "stats.web.errors,1704067200,1704067500,60|0,1,2,None,4")
+    graft.sources.GraphiteRaw.toDataFrame(s, lines).orderBy("metric", "ts")
+  }
+
   // ST6 — session windows (30-min gap) per user over purchase events:
   // Spark's session_window vs the SQL gaps-and-islands construction.
   q("st6_session_window",

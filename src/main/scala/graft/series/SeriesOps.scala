@@ -234,6 +234,37 @@ object SeriesOps {
   def asPercent(a: DataFrame, b: DataFrame, name: String = "asPercent"): DataFrame =
     alignBinary(a, b, name)((x, y) => divideSafe(x * 100, y))
 
+  /** As-of join (J3): for every left row, the most recent right value
+    * with `right.ts <= left.ts`, per join key — the "nearest ≤" variant
+    * needed when two series have different steps (Spark 4 has no ASOF
+    * join operator).
+    *
+    * Single-pass union + ordered window (no range self-join): tag the
+    * sides, sort (key, ts, tag) with right rows first at equal ts, and
+    * forward-fill the right value. One shuffle on the key, scale-safe —
+    * the classic distributed as-of pattern.
+    *
+    * @param left  (keyCol, ts, ...leftCols)
+    * @param right (keyCol, ts, valueCol)
+    * @return left rows + `asof_value` (null when no prior right row)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("_tag", lit(1)).withColumn("_rv", lit(null).cast("double"))
+    val r = right.select(col(keyCol), col("ts"),
+      lit(0).as("_tag"), col(valueCol).cast("double").as("_rv"))
+    val unioned = l.columns.foldLeft(r) { (acc, c) =>
+      if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*).unionByName(l.select(l.columns.map(col): _*))
+    val w = Window.partitionBy(keyCol).orderBy(col("ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("asof_value", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(leftCols.map(col) :+ col("asof_value"): _*)
+  }
+
   /** highest/lowest(seriesList, k, score) — keep the k whole series with
     * the top/bottom score (J4): rank per-series scores, then a left-semi
     * join back so series bodies never shuffle through the rank. */
