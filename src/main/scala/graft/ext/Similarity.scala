@@ -27,13 +27,20 @@ object Similarity {
   /** Exact top-k neighbors for each query vector: broadcast the (small)
     * query side against the corpus, one windowed top-k per query. The
     * corpus is scanned once; no shuffle of the corpus beyond the final
-    * per-query rank (bounded by queries × corpus candidates). */
+    * per-query rank (bounded by queries × corpus candidates).
+    *
+    * Norms are computed once per vector *before* the pair join (not per
+    * pair — at N queries × M corpus that's the difference between
+    * (N+M) and 2·N·M norm folds); `dot/(n1*n2)` keeps the result
+    * bit-identical to the naive form. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -73,29 +80,40 @@ object Similarity {
     val planes = hyperplanes(nPlanes, dim)
     def withBuckets(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
+          norm(col(vecCol)).as(s"${id}_n"),
           posexplode(lshSignature(col(vecCol), planes, bitsPerBand)).as(Seq("band", "bucket")))
-    val qb = broadcast(withBuckets(queries, "query_id"))
-    val cb = withBuckets(corpus, "neighbor_id")
+    val qb = broadcast(withBuckets(queries, "query_id").select("query_id", "band", "bucket"))
+    val cb = withBuckets(corpus, "neighbor_id").select("neighbor_id", "band", "bucket")
+    // dedup candidate PAIRS first (ids only — distinct over vector
+    // arrays would hash the payloads), then attach vectors+norms once
     val cand = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
-      .distinct()
+      .select("query_id", "neighbor_id").distinct()
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("cos", cosine(col("qv"), col("cv")))
+    cand.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 
   /** Embedding near-duplicate pairs within a blocking column (e.g.
-    * cluster label or LSH bucket): pairwise cosine ≥ threshold. */
+    * cluster label or LSH bucket): pairwise cosine ≥ threshold. Norms
+    * are per-vector, computed before the quadratic pair join. */
   def embeddingNearDups(df: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    val withNorm = df.select(col(blockCol).as("blk"), col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("blk"), col(idCol).as("id1"), col(vecCol).as("v1"),
+      col("nrm").as("n1"))
+    val b = withNorm.select(col("blk"), col(idCol).as("id2"), col(vecCol).as("v2"),
+      col("nrm").as("n2"))
     a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("blk"), col("id1"), col("id2"), col("cos"))
   }

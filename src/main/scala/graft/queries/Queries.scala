@@ -32,6 +32,19 @@ object Queries {
 
   def all: Seq[QueryDef] = defs.toSeq
 
+  /** Deterministic total order for a SMALL final result without the
+    * global-sort tax: `orderBy` plans a range exchange whose sampling
+    * pass is a whole extra Spark job per query — pure overhead when the
+    * result is bounded (every result here is; the comparison protocol is
+    * the only reason these queries end sorted at all). `repartition(1)`
+    * keeps the expensive upstream stages parallel and sorts once. */
+  implicit final class SmallOrdered(private val df: DataFrame) {
+    def ordered(c: String, cs: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(c, cs: _*)
+    def ordered(cols: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
+
   // -- shared fragments ---------------------------------------------------
 
   /** Exact order-independent SUM for the oracle side. */
@@ -93,7 +106,7 @@ object Queries {
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .ordered("l_returnflag", "l_linestatus")
   }
 
   // =======================================================================
@@ -108,11 +121,12 @@ object Queries {
       |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
       |  AND ts <  TIMESTAMP '2024-01-11 00:00:00'
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
-    Tables.events(s, dir)
-      .filter(col("event_type") === "click" &&
-        col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+    Tables.eventsWindowed(s, dir,
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
+      .filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts", "value")
-      .orderBy("event_id")
+      .ordered("event_id")
   }
 
   // S2 — Graphite path glob selection compiled to prefix + regex.
@@ -125,7 +139,7 @@ object Queries {
       .filter(col("metric").startsWith(g.literalPrefix) && col("metric").rlike(g.regex))
       .groupBy("metric")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
-      .orderBy("metric")
+      .ordered("metric")
   }
 
   // =======================================================================
@@ -145,7 +159,7 @@ object Queries {
         col("ts") <= to_timestamp(lit(until)))
       .groupBy("metric")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"), dmean(col("value")).as("mean_v"))
-      .orderBy("metric")
+      .ordered("metric")
   }
 
   // P4 — threshold verdict: the monitor_expr core (reduce → compare).
@@ -161,7 +175,7 @@ object Queries {
       .groupBy("metric")
       .agg(dmean(col("value")).as("observed"))
       .withColumn("verdict", when(col("observed") < 250, "failed").otherwise("success"))
-      .orderBy("metric")
+      .ordered("metric")
   }
 
   // P5 — trailing-null trim (Graphite's incomplete newest buckets).
@@ -195,7 +209,7 @@ object Queries {
       .groupBy("metric")
       .agg(count(lit(1)).as("n_points"), count(col("value")).as("n_values"),
         max(col("ts")).as("last_ts"))
-      .orderBy("metric")
+      .ordered("metric")
   }
 
   // =======================================================================
@@ -216,7 +230,7 @@ object Queries {
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
-      .orderBy("r_name", "n_name")
+      .ordered("r_name", "n_name")
   }
 
   // J2/T3 — timestamp-aligned binary series arithmetic
@@ -248,7 +262,7 @@ object Queries {
         SeriesOps.divideSafe(col("va"), col("vb")).as("ratio"),
         (col("va") - col("vb")).as("diff"),
         SeriesOps.divideSafe(col("va") * 100, col("vb")).as("pct"))
-      .orderBy("ts")
+      .ordered("ts")
   }
 
   // J3/W5 — timeShift + align: the canonical week-over-week monitor.
@@ -280,7 +294,7 @@ object Queries {
       .select(col("ts"), col("cur.v").as("v_now"), col("prev.v").as("v_prev"),
         (col("cur.v") - col("prev.v")).as("wow_diff"),
         SeriesOps.divideSafe(col("cur.v"), col("prev.v")).as("wow_ratio"))
-      .orderBy("ts")
+      .ordered("ts")
   }
 
   // J4 — top-k whole-series selection via rank + broadcast semi-join.
@@ -298,7 +312,7 @@ object Queries {
     SeriesOps.selectTopSeries(store, 2, "sum", highest = true)
       .groupBy(col("metric"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
-      .orderBy("metric", "day")
+      .ordered("metric", "day")
   }
 
   // J5 — anti-join: (user, day) with clicks but no purchases that day.
@@ -319,7 +333,7 @@ object Queries {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
     clicks.join(purchases, Seq("user_id", "day"), "left_anti")
-      .orderBy("user_id", "day")
+      .ordered("user_id", "day")
   }
 
   // =======================================================================
@@ -351,7 +365,7 @@ object Queries {
         min(col("v")).cast("double").as("min_v"),
         max(col("v")).cast("double").as("max_v"),
         count(col("v")).as("n_series"))
-      .orderBy("ts")
+      .ordered("ts")
   }
 
   // A2 — summarize(series, "1h"): re-bucket to coarser step.
@@ -366,7 +380,7 @@ object Queries {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"),
         dmean(col("value")).as("avg_v"),
         min(col("value")).as("min_v"), max(col("value")).as("max_v"))
-      .orderBy("metric", "ts")
+      .ordered("metric", "ts")
   }
 
   // A3 — hitcount: integral per bucket (minute-rate × 60 s, re-bucketed
@@ -382,7 +396,7 @@ object Queries {
     minuteRollup(s, dir)
       .groupBy(col("metric"), date_trunc("hour", col("ts")).as("ts"))
       .agg(sum(col("value_dec") * 60).cast("double").as("hits"))
-      .orderBy("metric", "ts")
+      .ordered("metric", "ts")
   }
 
   // A4 — monitor reductions: the scalar-per-series menu monitor_exprs
@@ -403,7 +417,7 @@ object Queries {
         round(stddev_samp(col("value")), 4).as("sd"),
         round(percentile(col("value"), lit(0.5)), 4).as("median_v"),
         round(percentile(col("value"), lit(0.9)), 4).as("p90"))
-      .orderBy("metric")
+      .ordered("metric")
   }
 
   // A5 — nPercentile per (series, day).
@@ -416,7 +430,7 @@ object Queries {
       .groupBy(col("metric"), date_trunc("day", col("ts")).as("day"))
       .agg(round(percentile(col("value"), lit(0.95)), 4).as("p95"),
         round(percentile(col("value"), lit(0.5)), 4).as("p50"))
-      .orderBy("metric", "day")
+      .ordered("metric", "day")
   }
 
   // A6 — distinct counts (exact; the HLL variant is a6b, spec-checked).
@@ -426,7 +440,7 @@ object Queries {
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("nd_users"), count(lit(1)).as("n"))
-      .orderBy("event_type")
+      .ordered("event_type")
   }
 
   // A6b — approximate distinct (HLL): no SQL oracle (approx algorithms
@@ -435,7 +449,7 @@ object Queries {
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-      .orderBy("event_type")
+      .ordered("event_type")
   }
 
   // A7 — grouping sets / rollup (free from Catalyst; exposed for SQL
@@ -447,7 +461,7 @@ object Queries {
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      .ordered(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
   // =======================================================================
@@ -480,7 +494,7 @@ object Queries {
       .withColumn("mov_min5", min(col("value_dec")).over(w).cast("double"))
       .withColumn("v", col("value_dec").cast("double")).drop("value_dec")
       .select("metric", "ts", "v", "mov_sum5", "mov_avg5", "mov_max5", "mov_min5")
-      .orderBy("metric", "ts")
+      .ordered("metric", "ts")
   }
 
   // W2 — derivative / nonNegativeDerivative / perSecond on hourly series.
@@ -504,7 +518,7 @@ object Queries {
         when(col("delta_dec") < 0, lit(null))
           .otherwise(col("delta_dec").cast("double")).as("nn_delta"),
         (col("delta_dec").cast("double") / 3600).as("per_second"))
-      .orderBy("metric", "ts")
+      .ordered("metric", "ts")
   }
 
   // W3 — integral: running cumulative sum per series.
@@ -522,7 +536,7 @@ object Queries {
     hourRollup(s, dir)
       .select(col("metric"), col("ts"),
         sum(col("value_dec")).over(w).cast("double").as("running"))
-      .orderBy("metric", "ts")
+      .ordered("metric", "ts")
   }
 
   // W4 — keepLastValue (forward-fill) + transformNull over the
@@ -553,7 +567,7 @@ object Queries {
     r.withColumn("filled", SeriesOps.keepLastValue())
       .withColumn("replaced", SeriesOps.transformNull(-1))
       .withColumnRenamed("value", "v")
-      .orderBy("metric", "ts")
+      .ordered("metric", "ts")
   }
 
   // W6 — rolling stddev (deviation monitors).
@@ -575,7 +589,7 @@ object Queries {
       .agg(dsum(col("value")).as("v"))
       .select(col("metric"), col("ts"),
         round(stddev_samp(col("v")).over(w), 4).as("sd10"))
-      .orderBy("metric", "ts")
+      .ordered("metric", "ts")
   }
 
   // W7 — ranking series by daily score.
@@ -594,7 +608,7 @@ object Queries {
       .agg(sum(col("value").cast(DecimalType(18, 6))).as("total_dec"))
       .select(col("metric"), col("day"), col("total_dec").cast("double").as("total"),
         row_number().over(w).as("rn"), rank().over(w).as("rk"), dense_rank().over(w).as("drk"))
-      .orderBy("day", "rn")
+      .ordered("day", "rn")
   }
 
   // =======================================================================
@@ -624,7 +638,7 @@ object Queries {
         round(log(col("value")), 6).as("ln_v"),
         round(pow(col("value"), 2), 6).as("sq_v"),
         (lit(1.0) / col("value")).as("inv_v"))
-      .orderBy("event_id")
+      .ordered("event_id")
   }
 
   // T4 — alias / aliasByNode path manipulation.
@@ -639,7 +653,7 @@ object Queries {
         SeriesOps.aliasByNode(Seq(1)).as("node1"),
         SeriesOps.aliasByNode(Seq(1, 2)).as("node12"))
       .distinct()
-      .orderBy("metric")
+      .ordered("metric")
   }
 
   // T7 — date functions (dow numbering aligned: Spark Sunday=1 vs DuckDB
@@ -651,7 +665,7 @@ object Queries {
     Tables.events(s, dir)
       .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
-      .orderBy("dow", "hr")
+      .ordered("dow", "hr")
   }
 
   // T8 — JSON extraction from the event props payload.
@@ -663,7 +677,7 @@ object Queries {
     Tables.events(s, dir)
       .groupBy((k % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"), sum(k).as("sum_k"))
-      .orderBy("k_bucket")
+      .ordered("k_bucket")
   }
 
   // T9 — higher-order array functions over embedding vectors.
@@ -679,7 +693,7 @@ object Queries {
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"),
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double")), 4).as("comp_sum"))
-      .orderBy("vec_id")
+      .ordered("vec_id")
   }
 
   // =======================================================================
@@ -699,7 +713,7 @@ object Queries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "event_id", "ts", "value")
-      .orderBy("user_id")
+      .ordered("user_id")
   }
 
   // O3 — top-k by score (TakeOrderedAndProject).
@@ -776,7 +790,7 @@ object Queries {
       .groupBy("user_id", "ts").agg(max(col("value")).as("pv"))
     SeriesOps.asOfJoin(clicks, purchases, "user_id", "pv")
       .select("event_id", "user_id", "asof_value")
-      .orderBy("event_id")
+      .ordered("event_id")
   }
 
   // W8 — time-range frame (rangeBetween over epoch seconds): true
@@ -806,7 +820,7 @@ object Queries {
       .select(col("metric"), col("epoch_s"),
         sum(col("v")).over(w).cast("double").as("range_sum5m"),
         count(col("v")).over(w).as("n_in_range"))
-      .orderBy("metric", "epoch_s")
+      .ordered("metric", "epoch_s")
   }
 
   // U3 — step-grid densification via sequence + explode: how sparse
@@ -842,7 +856,7 @@ object Queries {
       .groupBy("metric")
       .agg(count(lit(1)).as("n_buckets"), count(col("v")).as("n_present"),
         (count(lit(1)) - count(col("v"))).as("n_missing"))
-      .orderBy("metric")
+      .ordered("metric")
   }
 
   // T6 — string functions (validation/parsing the UI layer needs:
@@ -861,7 +875,7 @@ object Queries {
         max(element_at(split(col("c_name"), "#"), 2).cast("bigint")).as("max_suffix"),
         min(length(col("c_name"))).as("min_name_len"),
         min(lower(col("c_mktsegment"))).as("seg_lower"))
-      .orderBy("c_mktsegment")
+      .ordered("c_mktsegment")
   }
 
   // A8 — Holt-Winters-style smoothing + confidence bands (order-
@@ -887,7 +901,7 @@ object Queries {
       .select(col("metric"), col("epoch_s"),
         round(col("smoothed"), 6).as("smoothed"),
         round(col("upper"), 6).as("upper"), round(col("lower"), 6).as("lower"))
-      .orderBy("metric", "epoch_s")
+      .ordered("metric", "epoch_s")
   }
 
   // S3 — Graphite raw render-format parse (fixture ingestion path).
@@ -896,7 +910,7 @@ object Queries {
     val lines = Seq(
       "stats.web.latency,1704067200,1704067500,60|1.5,2.5,None,4.0,5.5",
       "stats.web.errors,1704067200,1704067500,60|0,1,2,None,4")
-    graft.sources.GraphiteRaw.toDataFrame(s, lines).orderBy("metric", "ts")
+    graft.sources.GraphiteRaw.toDataFrame(s, lines).ordered("metric", "ts")
   }
 
   // ST6 — session windows (30-min gap) per user over purchase events:
@@ -926,7 +940,7 @@ object Queries {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
-      .orderBy("user_id", "session_start")
+      .ordered("user_id", "session_start")
   }
 
   // =======================================================================
@@ -945,7 +959,7 @@ object Queries {
     val doubled = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     graft.ext.Dedup.exact(doubled, "doc_id", Seq("text"))
       .select("keep_id", "n_dups")
-      .orderBy("keep_id")
+      .ordered("keep_id")
   }
 
   // X2 — MinHash-LSH near-dup detection (shingle→signature→band→verify).
@@ -954,15 +968,15 @@ object Queries {
   q("x2_minhash_neardups") { (s, dir) =>
     graft.ext.Dedup.minhashNearDups(
         Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
-      .orderBy("id1", "id2")
+        shingleN = 3, numHashes = 96, bands = 32, threshold = 0.5)
+      .ordered("id1", "id2")
   }
 
   // X3 — SimHash near-dup detection (64-bit signature, quarter-block
   // LSH, Hamming ≤ 3). Rows-only for the same hash-portability reason.
   q("x3_simhash_neardups") { (s, dir) =>
     graft.ext.Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
-      .orderBy("id1", "id2")
+      .ordered("id1", "id2")
   }
 
   // X4 — exact word-set Jaccard pairs within a blocking key (portable
@@ -986,7 +1000,7 @@ object Queries {
       |ORDER BY i.blk, i.id1, i.id2""".stripMargin) { (s, dir) =>
     graft.ext.Dedup.wordJaccardPairs(
         Tables.documents(s, dir), "doc_id", "text", "source", threshold = 0.8)
-      .orderBy("blk", "id1", "id2")
+      .ordered("blk", "id1", "id2")
   }
 
   // X5 — embedding-cosine near-dup pairs within a blocking key (label).
@@ -1007,7 +1021,7 @@ object Queries {
       |ORDER BY blk, id1, id2""".stripMargin) { (s, dir) =>
     graft.ext.Similarity.embeddingNearDups(Tables.embeddings(s, dir), "label", 0.3)
       .withColumn("cos", round(col("cos"), 4))
-      .orderBy("blk", "id1", "id2")
+      .ordered("blk", "id1", "id2")
   }
 
   // X6 — brute-force cosine top-k similarity search (ANN baseline).
@@ -1029,7 +1043,7 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
     graft.ext.Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
       .withColumn("cos", round(col("cos"), 4))
-      .orderBy("query_id", "rk")
+      .ordered("query_id", "rk")
   }
 
   // X7 — LSH-bucketed approximate top-k (scale path; recall vs X6 is
@@ -1038,7 +1052,7 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
     graft.ext.Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
       .withColumn("cos", round(col("cos"), 4))
-      .orderBy("query_id", "rk")
+      .ordered("query_id", "rk")
   }
 
   // X8 — heuristic language ID (marker-stopword argmax; tie → larger
@@ -1068,7 +1082,7 @@ object Queries {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         graft.ext.TextOps.langId(col("text")).as("pred"))
-      .orderBy("doc_id")
+      .ordered("doc_id")
   }
 
   // X9 — text quality features (training-data filtering signals).
@@ -1087,7 +1101,7 @@ object Queries {
     val feats = graft.ext.TextOps.qualityFeatures(col("text"))
     Tables.documents(s, dir)
       .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
-      .orderBy("doc_id")
+      .ordered("doc_id")
   }
 
   // X10 — token counting: whitespace + BPE-ish lexical tokens.
@@ -1100,7 +1114,7 @@ object Queries {
       .select(col("doc_id"),
         graft.ext.TextOps.tokenCount(col("text")).as("ws_tokens"),
         graft.ext.TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
-      .orderBy("doc_id")
+      .ordered("doc_id")
   }
 
   // X11 — order-sensitive rolling fingerprint (portable variant; the
@@ -1115,7 +1129,7 @@ object Queries {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         graft.ext.TextOps.rollingFingerprint(col("text")).as("fp"))
-      .orderBy("doc_id")
+      .ordered("doc_id")
   }
 
   // X12 — multimodal metadata columns (binary payload + typed metadata;
@@ -1133,7 +1147,7 @@ object Queries {
       .select(col("media_id"), col("kind"),
         octet_length(col("payload")).as("n_bytes"),
         col("width"), col("height"), col("duration_ms"))
-      .orderBy("media_id")
+      .ordered("media_id")
   }
 
   // X12b — frame sampling fan-out for video rows.
@@ -1147,7 +1161,7 @@ object Queries {
         graft.ext.Multimodal.syntheticMediaTable(s, dir), intervalMs = 800)
       .groupBy("media_id", "duration_ms")
       .agg(count(lit(1)).as("n_frames"), max(col("frame_offset_ms")).as("last_offset_ms"))
-      .orderBy("media_id")
+      .ordered("media_id")
   }
 
   // X12c — decode/feature-extract through the per-partition batch path
@@ -1160,7 +1174,7 @@ object Queries {
     graft.ext.Multimodal.extractFeatures(media).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
         round(element_at(col("feature"), 1), 4).as("f0"))
-      .orderBy("media_id")
+      .ordered("media_id")
   }
 
   // ST7 — the 1-minute pre-aggregated rollup the streaming ingest
@@ -1175,6 +1189,6 @@ object Queries {
       .filter(col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
       .groupBy(col("metric"), date_trunc("minute", col("ts")).as("ts"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
-      .orderBy("metric", "ts")
+      .ordered("metric", "ts")
   }
 }

@@ -12,7 +12,7 @@ class ExtSpec extends SparkTestBase {
 
   test("minhash LSH finds every brute-force near-dup pair (recall) and nothing below threshold (precision)") {
     val docs = Tables.documents(spark, dir)
-    val found = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 32, 16, 0.5)
+    val found = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 96, 32, 0.5)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     // brute force: exact shingle jaccard over all pairs (small at sf0.001)
     val rows = Dedup.shingleRows(docs, "doc_id", "text", 3)
