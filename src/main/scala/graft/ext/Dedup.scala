@@ -175,14 +175,15 @@ object Dedup {
   def wordJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val toks = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      // hash tokens to longs: the pair join then shuffles 8-byte sets,
-      // and intersection compares longs, not strings
-      array_distinct(transform(
-        split(trim(lower(col(textCol))), "\\s+"), t => xxhash64(t))).as("toks"))
+      // hash tokens to longs (8-byte shuffles, long compares) and sort
+      // ONCE per doc so every pair intersects by linear merge
+      sort_array(array_distinct(transform(
+        split(trim(lower(col(textCol))), "\\s+"), t => xxhash64(t)))).as("toks"))
     val a = toks.select(col("blk"), col("id").as("id1"), col("toks").as("t1"))
     val b = toks.select(col("blk"), col("id").as("id2"), col("toks").as("t2"))
     a.join(b, Seq("blk")).filter(col("id1") < col("id2"))
-      .withColumn("n_inter", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("n_inter",
+        graft.functions.VectorExpressions.sortedIntersectCount(col("t1"), col("t2")))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (size(col("t1")) + size(col("t2")) - col("n_inter")))
       .filter(col("jaccard") >= threshold)

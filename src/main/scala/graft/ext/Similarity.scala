@@ -14,13 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a double column. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ as a double column — the codegen'd
+    * [[graft.functions.VectorExpressions.DotProductFloat]] kernel
+    * (bit-identical to the aggregate/zip_with form: same index order,
+    * double precision; no per-row intermediate array). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dotF(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -60,7 +60,9 @@ object Similarity {
   def lshSignature(vecCol: Column, planes: Array[Array[Double]],
       bitsPerBand: Int): Column = {
     val bits: Seq[Column] = planes.toIndexedSeq.map { p =>
-      val planeLit = array(p.toIndexedSeq.map(lit): _*)
+      // planes ship as float arrays to match the embedding element type
+      // (the codegen dot kernel is ARRAY<FLOAT> × ARRAY<FLOAT>)
+      val planeLit = array(p.toIndexedSeq.map(v => lit(v.toFloat)): _*)
       when(dot(vecCol, planeLit) >= 0, lit(1L)).otherwise(lit(0L))
     }
     val nBands = planes.length / bitsPerBand

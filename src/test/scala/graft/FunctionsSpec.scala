@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExtensions, VectorExpressions}
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_dot is bit-identical to the aggregate/zip_with form") {
+    val df = Tables_embeddings()
+    val hof = df.select(col("vec_id"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x).as("d"))
+    val fused = df.select(col("vec_id"),
+      VectorExpressions.dotF(col("embedding"), col("embedding")).as("d"))
+    val j = hof.as("h").join(fused.as("f"), "vec_id")
+      .filter(col("h.d") =!= col("f.d")) // exact inequality, not tolerance
+    assert(j.count() == 0)
+  }
+
+  test("graft_dot computes through both eval paths") {
+    // codegen path (DataFrame select)
+    val viaDf = spark.range(1)
+      .select(VectorExpressions.dotF(lit(Array(1f, 2f, 3f)), lit(Array(4f, 5f, 6f))).as("d"))
+      .head.getDouble(0)
+    assert(viaDf == 32.0)
+    // interpreted path (direct expression eval on literals)
+    val e = VectorExpressions.DotProductFloat(
+      org.apache.spark.sql.graft.ColumnBridge.expr(lit(Array(1f, 2f, 3f))),
+      org.apache.spark.sql.graft.ColumnBridge.expr(lit(Array(4f, 5f, 6f))))
+    assert(e.eval(null) == 32.0)
+  }
+
+  test("sortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)), // {3,9}
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(7L), Array(7L)))
+      .toDF("a", "b")
+    val out = df.select(
+      VectorExpressions.sortedIntersectCount(col("a"), col("b")).as("fused"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("SQL surface: functions usable from spark.sql after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d, " +
+      "graft_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS c")
+      .head
+    assert(r.getDouble(0) == 11.0 && r.getLong(1) == 2L)
+  }
+
+  private def Tables_embeddings() =
+    graft.store.Tables.embeddings(spark, "/root/testdata/sf0.001")
+}
