@@ -57,6 +57,24 @@ object AlertThrottle {
     (out.result(), st)
   }
 
+  /** Driver-side replay with carried state (the StreamingRunner
+    * foreachBatch path — input is already collected, bounded by monitor
+    * count × windows per batch). Returns fired alerts + updated
+    * job → last-alerted-ms state. */
+  def replay(events: Seq[RunEvent], init: Map[Long, Long]): (Seq[Alert], Map[Long, Long]) = {
+    val byJob = events.groupBy(_.jobId)
+    val outAlerts = Seq.newBuilder[Alert]
+    val outState = Map.newBuilder[Long, Long]
+    byJob.foreach { case (jobId, evs) =>
+      val st0 = init.get(jobId).map(ms => ThrottleState(JobStatus.Failed, ms))
+      val (alerts, st) = foldEvents(evs.iterator, st0)
+      outAlerts ++= alerts
+      if (st.lastAlertedAtMillis != Long.MinValue) outState += jobId -> st.lastAlertedAtMillis
+    }
+    init.foreach { case (j, ms) => if (!byJob.contains(j)) outState += j -> ms }
+    (outAlerts.result().sortBy(_.at.getTime), outState.result())
+  }
+
   /** Batch mode: replay each job's runs in time order, emit the alerts
     * that pass the throttle. Parallel across jobs (one group per job —
     * state is driver-free). */

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.dsl.MonitorDsl
+import graft.model.MonitorSpec
+import graft.state.AlertThrottle
+import graft.state.AlertThrottle.{Alert, RunEvent}
+
+/** Continuous monitor evaluation (ST2/ST3/ST4/ST5 end-to-end): the
+  * reference's cron-pull loop re-expressed as ONE Structured Streaming
+  * query over the metric stream.
+  *
+  * Stage 1 (stateful, watermarked): sliding event-time windows of
+  * `spec.minutes`, sliding every `slide` — the streaming twin of
+  * "cron period < window length ⇒ overlapping windows" (ST3) — with
+  * the monitor's reductions aggregated per (metric, window).
+  * Append mode ⇒ a window only emits once its watermark closes,
+  * which is exactly the reference's "don't evaluate incomplete
+  * buckets" rule (ST4/P5).
+  *
+  * Stage 2 (foreachBatch): the closed windows become [[RunEvent]]s and
+  * run through the SAME throttle fold as batch mode, with
+  * `last_alerted_at` state carried in a small parquet state table —
+  * the reference's own design (it kept throttle state in
+  * `job_errors.last_alerted_at`, db/schema.rb:43) rather than a second
+  * stateful operator in the same query plan. Alerts append to
+  * `alertsPath`.
+  */
+object StreamingRunner {
+
+  /** Stage 1: closed-window verdict stream for one monitor. */
+  def verdictStream(stream: DataFrame, spec: MonitorSpec,
+      slide: String, lateness: String = "2 minutes"): DataFrame = {
+    val ast = MonitorDsl.parse(spec.monitorExpr).fold(
+      err => throw new IllegalArgumentException(s"monitor ${spec.id}: $err"),
+      identity)
+    val reds = MonitorDsl.reductions(ast).toSeq.sorted
+    val aggs = reds.map(r =>
+      MonitorDsl.reductionAgg(r, col("value"), col("ts")).as(s"red_$r"))
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), s"${spec.minutes} minutes", slide).as("w"), col("metric"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("passed", MonitorDsl.compile(ast))
+      .withColumn("job_id", lit(spec.id))
+      .select(Seq(col("job_id"), col("metric"), col("w.end").as("window_end"),
+        col("passed")) ++ reds.map(r => col(s"red_$r")): _*)
+  }
+
+  /** Tiny parquet-backed throttle-state table (job_id → last alert
+    * epoch ms). Bounded by monitor count — metadata scale, not data
+    * scale. */
+  private def loadState(spark: SparkSession, path: String): Map[Long, Long] =
+    try spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    catch { case _: Exception => Map.empty }
+
+  private def saveState(spark: SparkSession, path: String, st: Map[Long, Long]): Unit = {
+    import spark.implicits._
+    st.toSeq.toDF("job_id", "last_alerted_ms")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Stage 2 wiring: start the full pipeline, appending fired alerts to
+    * `alertsPath` parquet. Returns the running query (AvailableNow for
+    * tests, ProcessingTime in deployment). */
+  def start(spark: SparkSession, stream: DataFrame, spec: MonitorSpec,
+      slide: String, alertsPath: String, statePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    verdictStream(stream, spec, slide).writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // any failing metric fails the job for that window (Runner.jobStatus)
+        val events = batch.groupBy(col("job_id"), col("window_end"))
+          .agg(min(when(col("passed"), 1).otherwise(0)).as("all_passed"))
+          .select(col("job_id"), col("window_end"),
+            (col("all_passed") === 0).as("failed"))
+          .collect()
+          .map(r => RunEvent(r.getLong(0), r.getTimestamp(1), r.getBoolean(2),
+            spec.errorTimeoutMinutes))
+          .toSeq
+        if (events.nonEmpty) {
+          val init = loadState(spark, statePath)
+          val (alerts, newState) = AlertThrottle.replay(events, init)
+          if (alerts.nonEmpty)
+            alerts.toDF().write.mode("append").parquet(alertsPath)
+          saveState(spark, statePath, newState)
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.model.MonitorSpec
+import graft.streaming.StreamingRunner
+
+class StreamingRunnerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private val spec = MonitorSpec(
+    id = 42, name = "stream-mon", targets = Seq("m.a"), minutes = 10,
+    toDate = None, cronExpr = "*/5 * * * *", monitorExpr = "mean > 100",
+    errorTimeoutMinutes = 60)
+
+  test("ST2-ST5 end-to-end: sliding windows close on watermark, alerts throttle across batches") {
+    val tmp = Files.createTempDirectory("graft-sr").toString
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp, Double)]
+    val stream = ms.toDF().toDF("metric", "ts", "value")
+
+    def run(): Unit = {
+      val q = StreamingRunner.start(spark, stream, spec, slide = "5 minutes",
+        s"$tmp/alerts", s"$tmp/state", s"$tmp/ckpt")
+      q.awaitTermination()
+    }
+    def alerts(): Seq[Timestamp] =
+      try spark.read.parquet(s"$tmp/alerts").select("at").collect()
+        .map(_.getTimestamp(0)).toSeq.sorted
+      catch { case _: Exception => Nil }
+
+    // batch 1: minutes 0..30, all failing (value 1 ⇒ mean ≤ 100)
+    ms.addData((0 to 30).map(m => ("m.a", ts(m), 1.0)))
+    run()
+    assert(alerts().size == 1, s"first failing window alerts once, got ${alerts()}")
+
+    // batch 2: minutes 31..60 still failing — inside error_timeout ⇒ throttled
+    ms.addData((31 to 60).map(m => ("m.a", ts(m), 1.0)))
+    run()
+    assert(alerts().size == 1, "re-fire suppressed within error_timeout")
+
+    // batch 3: minutes 61..90 still failing — timeout expired ⇒ exactly one more
+    ms.addData((61 to 90).map(m => ("m.a", ts(m), 1.0)))
+    run()
+    val a = alerts()
+    assert(a.size == 2, s"one re-alert after timeout, got $a")
+    assert(a(1).getTime - a(0).getTime >= 60 * 60000L)
+  }
+}
