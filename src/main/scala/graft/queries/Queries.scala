@@ -1150,7 +1150,7 @@ object Queries {
       .ordered("media_id")
   }
 
-  // X12b — frame sampling fan-out for video rows.
+  // X12c — frame sampling fan-out for video rows.
   q("x12c_frame_sample",
     """SELECT doc_id AS media_id, n_chars * 40 AS duration_ms,
       |  len(range(0, n_chars * 40, 800)) AS n_frames,
@@ -1164,7 +1164,7 @@ object Queries {
       .ordered("media_id")
   }
 
-  // X12c — decode/feature-extract through the per-partition batch path
+  // X12b — decode/feature-extract through the per-partition batch path
   // (mapPartitions with the stub codec); rows-only — the codec is a
   // deterministic fake, the Spark plumbing is what's under test.
   q("x12b_media_features") { (s, dir) =>
