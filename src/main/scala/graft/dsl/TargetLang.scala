@@ -175,6 +175,33 @@ object TargetLang {
         SeriesOps.selectTopSeries(compile(a, store), k.toInt, "avg", highest = false)
       case ("lowestMax", Seq(ExprArg(a), NumArg(k))) =>
         SeriesOps.selectTopSeries(compile(a, store), k.toInt, "max", highest = false)
+      case ("sortByTotal", Seq(ExprArg(a), NumArg(k))) =>
+        SeriesOps.selectTopSeries(compile(a, store), k.toInt, "sum", highest = true)
+      case ("sortByMaxima", Seq(ExprArg(a), NumArg(k))) =>
+        SeriesOps.selectTopSeries(compile(a, store), k.toInt, "max", highest = true)
+
+      // threshold series filters
+      case ("averageAbove", Seq(ExprArg(a), NumArg(t))) =>
+        SeriesOps.filterSeriesByScore(compile(a, store), "avg", above = true, t)
+      case ("averageBelow", Seq(ExprArg(a), NumArg(t))) =>
+        SeriesOps.filterSeriesByScore(compile(a, store), "avg", above = false, t)
+      case ("maximumAbove", Seq(ExprArg(a), NumArg(t))) =>
+        SeriesOps.filterSeriesByScore(compile(a, store), "max", above = true, t)
+      case ("maximumBelow", Seq(ExprArg(a), NumArg(t))) =>
+        SeriesOps.filterSeriesByScore(compile(a, store), "max", above = false, t)
+      case ("minimumAbove", Seq(ExprArg(a), NumArg(t))) =>
+        SeriesOps.filterSeriesByScore(compile(a, store), "min", above = true, t)
+      case ("currentAbove", Seq(ExprArg(a), NumArg(t))) =>
+        SeriesOps.filterSeriesByScore(compile(a, store), "last", above = true, t)
+      case ("currentBelow", Seq(ExprArg(a), NumArg(t))) =>
+        SeriesOps.filterSeriesByScore(compile(a, store), "last", above = false, t)
+
+      // cross-series shape functions
+      case ("countSeries", as) => SeriesOps.countSeries(unionArgs(as, store), render(e))
+      case ("rangeOfSeries", as) => SeriesOps.rangeOfSeries(unionArgs(as, store), render(e))
+      case ("scaleToSeconds", Seq(ExprArg(a), NumArg(n))) =>
+        // series step is the 1-minute rollup grid
+        withValue(compile(a, store), SeriesOps.scaleToSeconds(n, 60.0))
 
       // cross-series binary ops
       case ("divideSeries", Seq(ExprArg(a), ExprArg(b))) =>

@@ -859,6 +859,24 @@ object Queries {
       .ordered("metric")
   }
 
+  // T5 — threshold series filters through the STORED-STRING path: the
+  // target expression parses and compiles via TargetLang, proving the
+  // DSL pipeline itself against the oracle.
+  q("t5_filter_series",
+    s"""WITH scored AS (
+       |  SELECT 'events.' || event_type AS metric,
+       |         ${DSUM("value")} / COUNT(*) AS score
+       |  FROM events GROUP BY 1
+       |  HAVING ${DSUM("value")} / COUNT(*) > 49.7)
+       |SELECT 'events.' || event_type AS metric, COUNT(*) AS n, ${DSUM("value")} AS sum_v
+       |FROM events WHERE 'events.' || event_type IN (SELECT metric FROM scored)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.dsl.TargetLang.plan("averageAbove(events.*, 49.7)", Tables.metricStore(s, dir))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .ordered("metric")
+  }
+
   // T6 — string functions (validation/parsing the UI layer needs:
   // rlike, split_part, upper/lower, length).
   q("t6_string_fns",

@@ -282,4 +282,35 @@ object SeriesOps {
       .select("metric")
     df.join(broadcast(ranked), Seq("metric"), "left_semi")
   }
+
+  /** averageAbove / maximumAbove / currentAbove family (T5/J4): keep
+    * whole series whose per-series score clears a threshold. Same
+    * semi-join shape as [[selectTopSeries]] — bodies never shuffle
+    * through the score. */
+  def filterSeriesByScore(df: DataFrame, how: String, above: Boolean,
+      threshold: Double): DataFrame = {
+    val score = how match {
+      case "avg" => dmean(col("value"))
+      case "sum" => dsum(col("value"))
+      case "max" => max(col("value"))
+      case "min" => min(col("value"))
+      case "last" => max_by(col("value"), when(col("value").isNotNull, col("ts")))
+      case other => throw new IllegalArgumentException(s"filterSeriesByScore: $other")
+    }
+    val keep = df.groupBy(col("metric")).agg(score.as("_score"))
+      .filter(if (above) col("_score") > threshold else col("_score") < threshold)
+      .select("metric")
+    df.join(broadcast(keep), Seq("metric"), "left_semi")
+  }
+
+  /** countSeries — number of series with a point at each ts. */
+  def countSeries(df: DataFrame, name: String = "countSeries"): DataFrame =
+    df.groupBy(col("ts")).agg(count(col("value")).cast("double").as("value"))
+      .select(lit(name).as("metric"), col("ts"), col("value"))
+
+  /** rangeOfSeries — per-ts max-min across series. */
+  def rangeOfSeries(df: DataFrame, name: String = "rangeOfSeries"): DataFrame =
+    df.groupBy(col("ts"))
+      .agg((max(col("value")) - min(col("value"))).as("value"))
+      .select(lit(name).as("metric"), col("ts"), col("value"))
 }

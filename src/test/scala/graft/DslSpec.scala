@@ -117,6 +117,29 @@ class TargetLangSpec extends SparkTestBase {
     assert(TargetLang.durationSeconds("10min") == 600L)
     assert(TargetLang.durationSeconds("90s") == 90L)
   }
+
+  test("threshold series filters keep/drop whole series") {
+    // click avg = 15, view avg = 22.5
+    assert(TargetLang.plan("averageAbove(events.*, 20)", store)
+      .select("metric").distinct().as[String].collect().toSet == Set("events.view"))
+    assert(TargetLang.plan("averageBelow(events.*, 20)", store)
+      .select("metric").distinct().as[String].collect().toSet == Set("events.click"))
+    assert(TargetLang.plan("maximumAbove(events.*, 100)", store).count() == 0)
+    assert(TargetLang.plan("currentAbove(events.*, 25)", store)
+      .select("metric").distinct().as[String].collect().toSet == Set("events.view"))
+  }
+
+  test("countSeries and rangeOfSeries combine per ts") {
+    val c = TargetLang.plan("countSeries(events.*)", store).orderBy("ts").collect()
+    assert(c.map(_.getAs[Double]("value")).toSeq == Seq(2.0, 2.0))
+    val r = TargetLang.plan("rangeOfSeries(events.*)", store).orderBy("ts").collect()
+    assert(r.map(_.getAs[Double]("value")).toSeq == Seq(5.0, 20.0))
+  }
+
+  test("sortByTotal keeps the top-k series by total") {
+    assert(TargetLang.plan("sortByTotal(events.*, 1)", store)
+      .select("metric").distinct().as[String].collect().toSet == Set("events.view"))
+  }
 }
 
 class MonitorDslSpec extends SparkTestBase {
