@@ -9,16 +9,23 @@ import graft.queries.Queries
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The canonical rearview E1 hot path: clip a monitor window out of the
-    * metric store, reduce per series, threshold → verdict row per series.
+    * The canonical rearview E1 hot path, run exactly as a stored monitor
+    * would: string targets through the TargetLang parser, the safe
+    * monitor DSL compiled to a Column, window clipped by `to_date`
+    * (backtest, ST8), one declarative plan end to end.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    graft.store.Tables.metricStore(spark, dir)
-      .filter(col("ts").between(lit("2024-01-15 00:00:00"), lit("2024-01-15 12:00:00")))
-      .groupBy("metric")
-      .agg(avg(col("value")).as("observed"), count(lit(1)).as("n_points"))
-      .withColumn("verdict", when(col("observed") < 30, "failed").otherwise("success"))
+    val spec = graft.model.MonitorSpec(
+      id = 1, name = "flagship",
+      targets = Seq("summarize(events.{click,view,purchase,signup,error}, \"1h\", \"sum\")"),
+      minutes = 720,
+      toDate = Some(java.sql.Timestamp.valueOf("2024-01-15 12:00:00")),
+      cronExpr = "*/5 * * * *",
+      monitorExpr = "mean > 30 && count > 0")
+    graft.engine.Planner.plan(spark,
+      graft.store.Tables.metricStore(spark, dir), spec,
+      java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

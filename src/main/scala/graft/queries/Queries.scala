@@ -1073,6 +1073,18 @@ object Queries {
       .ordered("query_id", "rk")
   }
 
+  // X7b — IVF approximate top-k (k-means coarse quantizer, probe the
+  // nearest cells only). Rows-only: quantizer output is
+  // seed-deterministic but not SQL-portable; recall vs X6 is
+  // spec-tested.
+  q("x7b_sim_topk_ivf") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val idx = graft.ext.Ivf.build(emb, k = math.max(4, math.sqrt(emb.count().toDouble).toInt / 2))
+    graft.ext.Ivf.topK(emb.filter(col("vec_id") < 10), idx, k = 5, nprobe = 4)
+      .withColumn("cos", round(col("cos"), 4))
+      .ordered("query_id", "rk")
+  }
+
   // X8 — heuristic language ID (marker-stopword argmax; tie → larger
   // code, no hits → 'und'; the CASE chain mirrors the struct-max rule).
   q("x8_langid",

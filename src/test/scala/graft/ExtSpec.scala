@@ -56,6 +56,22 @@ class ExtSpec extends SparkTestBase {
     assert(recall >= 0.8, s"LSH recall $recall")
   }
 
+  test("IVF ANN recall ≥ 0.6 vs brute force at nprobe=4, and higher nprobe never hurts") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val idx = graft.ext.Ivf.build(emb, k = 8)
+    def recall(nprobe: Int): Double = {
+      val got = graft.ext.Ivf.topK(q, idx, 5, nprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val r4 = recall(4)
+    assert(r4 >= 0.6, s"IVF recall at nprobe=4: $r4")
+    assert(recall(8) >= r4, "probing every cell must reach full recall path")
+  }
+
   test("cosine is exact on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")
