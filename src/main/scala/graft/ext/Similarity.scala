@@ -103,6 +103,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
 
+  /** Embedding near-duplicate pairs with NO given blocking key — the
+    * realistic corpus-dedup case: candidates are pairs sharing at least
+    * one random-hyperplane LSH band, verified by exact cosine ≥
+    * threshold. Never an all-pairs join: the self-join key is
+    * (band, bucket). */
+  def embeddingNearDupsLsh(df: DataFrame, threshold: Double,
+      nPlanes: Int = 64, bitsPerBand: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"),
+      posexplode(lshSignature(col(vecCol), planes, bitsPerBand)).as(Seq("band", "bucket")))
+    val a = sig.select(col("band"), col("bucket"), col("id").as("id1"))
+    val b = sig.select(col("band"), col("bucket"), col("id").as("id2"))
+    val cand = a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val side = df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    cand
+      .join(side.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1")), "id1")
+      .join(side.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2")), "id2")
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking column (e.g.
     * cluster label or LSH bucket): pairwise cosine ≥ threshold. Norms
     * are per-vector, computed before the quadratic pair join. */

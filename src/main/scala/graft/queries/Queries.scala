@@ -931,6 +931,70 @@ object Queries {
     graft.sources.GraphiteRaw.toDataFrame(s, lines).ordered("metric", "ts")
   }
 
+  // X13 — the whole training-data cleaning pipeline as ONE plan:
+  // language-ID filter → quality filter → near-dup removal (word-set
+  // Jaccard within source, keep the lower doc_id of each pair) →
+  // per-source survival stats. Every stage is portable, so the entire
+  // composition is under the hash gate. pred=='en' mirrors langId's
+  // tie rule: larger code wins ties, so en needs >= h_de but > the rest.
+  q("x13_clean_pipeline",
+    """WITH h AS (
+      |  SELECT doc_id, source, text,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['the','a','of','and','to','is'], t))) AS h_en,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['der','die','das','und','ist','ein'], t))) AS h_de,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['le','la','les','et','est','un'], t))) AS h_fr,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['el','los','las','y','es','un'], t))) AS h_es,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['的','是','了','在','和','有'], t))) AS h_zh
+      |  FROM documents),
+      |kept1 AS (
+      |  SELECT doc_id, source, text FROM h
+      |  WHERE h_en > 0 AND h_en >= h_de AND h_en > h_fr AND h_en > h_es AND h_en > h_zh
+      |    AND n_tokens BETWEEN 20 AND 200),
+      |ktoks AS (
+      |  SELECT DISTINCT source AS blk, doc_id AS id,
+      |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM kept1),
+      |sizes AS (SELECT blk, id, COUNT(*) AS sz FROM ktoks GROUP BY 1, 2),
+      |inter AS (
+      |  SELECT a.blk, a.id AS id1, b.id AS id2, COUNT(*) AS n_inter
+      |  FROM ktoks a JOIN ktoks b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+      |  GROUP BY 1, 2, 3),
+      |drops AS (
+      |  SELECT DISTINCT i.id2 AS doc_id FROM inter i
+      |  JOIN sizes s1 ON s1.blk = i.blk AND s1.id = i.id1
+      |  JOIN sizes s2 ON s2.blk = i.blk AND s2.id = i.id2
+      |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.sz + s2.sz - i.n_inter) >= 0.8),
+      |kept2 AS (
+      |  SELECT k.doc_id, k.source FROM kept1 k
+      |  ANTI JOIN drops d ON k.doc_id = d.doc_id),
+      |raw AS (SELECT source, COUNT(DISTINCT doc_id) AS n_raw FROM documents GROUP BY 1),
+      |kept AS (SELECT source, COUNT(DISTINCT doc_id) AS n_kept FROM kept2 GROUP BY 1)
+      |SELECT r.source, r.n_raw, COALESCE(k.n_kept, 0) AS n_kept
+      |FROM raw r LEFT JOIN kept k USING (source)
+      |ORDER BY r.source""".stripMargin) { (s, dir) =>
+    import graft.ext.{Dedup, TextOps}
+    val docs = Tables.documents(s, dir)
+    val kept1 = docs
+      .withColumn("pred", TextOps.langId(col("text")))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .filter(col("pred") === "en" && col("n_tokens").between(20, 200))
+      .select("doc_id", "source", "text")
+    val drops = Dedup.wordJaccardPairs(kept1, "doc_id", "text", "source", 0.8)
+      .select(col("id2").as("doc_id")).distinct()
+    val kept2 = kept1.join(drops, Seq("doc_id"), "left_anti")
+    val raw = docs.groupBy("source").agg(countDistinct(col("doc_id")).as("n_raw"))
+    val kept = kept2.groupBy("source").agg(countDistinct(col("doc_id")).as("n_kept"))
+    raw.join(kept, Seq("source"), "left")
+      .na.fill(0, Seq("n_kept"))
+      .ordered("source")
+  }
+
   // ST6 — session windows (30-min gap) per user over purchase events:
   // Spark's session_window vs the SQL gaps-and-islands construction.
   q("st6_session_window",
@@ -1040,6 +1104,16 @@ object Queries {
     graft.ext.Similarity.embeddingNearDups(Tables.embeddings(s, dir), "label", 0.3)
       .withColumn("cos", round(col("cos"), 4))
       .ordered("blk", "id1", "id2")
+  }
+
+  // X5b — embedding near-dups with NO blocking key given: LSH-band
+  // candidates verified by exact cosine (the realistic corpus-dedup
+  // shape at 100 TB). Rows-only (hash-dependent candidates).
+  q("x5b_embedding_neardups_lsh") { (s, dir) =>
+    graft.ext.Similarity.embeddingNearDupsLsh(
+        Tables.embeddings(s, dir), threshold = 0.4, bitsPerBand = 4)
+      .withColumn("cos", round(col("cos"), 4))
+      .ordered("id1", "id2")
   }
 
   // X6 — brute-force cosine top-k similarity search (ANN baseline).

@@ -72,6 +72,25 @@ class ExtSpec extends SparkTestBase {
     assert(recall(8) >= r4, "probing every cell must reach full recall path")
   }
 
+  test("LSH-blocked embedding dedup: precision 1.0, recall ≥ 0.8 vs brute-force pairs") {
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("label").as("blk"), col("vec_id").as("id1"), col("embedding").as("v1"))
+    // brute-force ALL pairs ≥ threshold (ignore labels entirely)
+    val l = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val r = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val brute = l.crossJoin(r).filter(col("id1") < col("id2"))
+      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val found = Similarity.embeddingNearDupsLsh(emb, 0.4, bitsPerBand = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert((found -- brute).isEmpty, "verified pairs can never be false positives")
+    if (brute.nonEmpty) {
+      val recall = (brute & found).size.toDouble / brute.size
+      assert(recall >= 0.8, s"LSH dedup recall $recall over ${brute.size} true pairs")
+    }
+  }
+
   test("cosine is exact on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")
