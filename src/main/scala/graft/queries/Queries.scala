@@ -61,20 +61,10 @@ object Queries {
       .agg(sum(col("value").cast(DecimalType(18, 6))).as("value_dec"),
         count(lit(1)).as("n"))
 
-  private val RollupSql =
-    s"""SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
-       |       ${DSUMD("value")} AS value_dec, COUNT(*) AS n
-       |FROM events GROUP BY 1, 2""".stripMargin
-
   private def hourRollup(s: SparkSession, dir: String): DataFrame =
     Tables.metricStore(s, dir)
       .groupBy(col("metric"), date_trunc("hour", col("ts")).as("ts"))
       .agg(sum(col("value").cast(DecimalType(18, 6))).as("value_dec"))
-
-  private val HourRollupSql =
-    s"""SELECT 'events.' || event_type AS metric, date_trunc('hour', ts) AS ts,
-       |       ${DSUMD("value")} AS value_dec
-       |FROM events GROUP BY 1, 2""".stripMargin
 
   // =======================================================================
   // Headline: TPC-H Q1 pricing summary (A4/A7 partial-agg showcase)

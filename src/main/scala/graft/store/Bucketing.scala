@@ -1,0 +1,35 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table support (SURVEY §4.4 / prompt: "bucketing for
+  * co-located joins"): write both sides of a recurring large join
+  * bucketed + sorted on the join key and the shuffle disappears from
+  * every subsequent join — at 100 TB this converts the nightly
+  * fact-to-fact join from a full network shuffle into a local
+  * merge per bucket.
+  *
+  * Spark only reads bucket metadata through the catalog, so these are
+  * `saveAsTable` tables (parquet under `spark.sql.warehouse.dir`), not
+  * bare paths.
+  */
+object Bucketing {
+
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit = {
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** True when the physical plan of `df` contains no shuffle exchange —
+    * the observable proof that a join ran co-located. */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan
+    !plan.toString.contains("Exchange hashpartitioning")
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}
