@@ -65,6 +65,35 @@ class CronSpec extends AnyFunSuite {
   test("bad field count rejected") {
     intercept[IllegalArgumentException](Cron.parse("* * * *"))
   }
+
+  test("property: nextAfter returns the FIRST matching minute (100 seeded cases)") {
+    val rnd = new scala.util.Random(13)
+    (1 to 100).foreach { _ =>
+      val expr = Seq(
+        if (rnd.nextBoolean()) s"*/${1 + rnd.nextInt(29)}" else rnd.nextInt(60).toString,
+        if (rnd.nextBoolean()) "*" else rnd.nextInt(24).toString,
+        "*", "*",
+        if (rnd.nextBoolean()) "*" else rnd.nextInt(7).toString).mkString(" ")
+      val cron = Cron.parse(expr)
+      val after = Instant.parse("2024-03-01T00:00:00Z")
+        .plusSeconds(rnd.nextInt(86400 * 10).toLong)
+      cron.nextAfter(after) match {
+        case Some(next) =>
+          val z = java.time.ZonedDateTime.ofInstant(next, java.time.ZoneOffset.UTC)
+          assert(cron.matches(z), s"'$expr' nextAfter($after) → $next does not match")
+          assert(next.isAfter(after), "strictly after")
+          // brute-force: no earlier matching minute in between (bounded scan)
+          var t = java.time.ZonedDateTime.ofInstant(after, java.time.ZoneOffset.UTC)
+            .withSecond(0).withNano(0).plusMinutes(1)
+          var steps = 0
+          while (t.toInstant.isBefore(next) && steps < 20000) {
+            assert(!cron.matches(t), s"'$expr' skipped earlier match $t (returned $next)")
+            t = t.plusMinutes(1); steps += 1
+          }
+        case None => fail(s"'$expr' found no fire time")
+      }
+    }
+  }
 }
 
 class TargetLangSpec extends SparkTestBase {
