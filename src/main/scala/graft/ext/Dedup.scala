@@ -131,15 +131,16 @@ object Dedup {
     * allocation beats the shuffle it avoids; the vectorized hash-agg
     * is the right engine for this shape. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-        explode(transform(split(trim(lower(col(textCol))), "\\s+"),
-          t => xxhash64(t))).as("th"))
-      .groupBy("id", "th").agg(count(lit(1)).as("tf"))
+    // Σ_tokens tf·(±1 per bit) == Σ_occurrences ±1 — no tf pre-pass
+    // needed, so the whole signature is ONE hash aggregate over the
+    // exploded token hashes (single shuffle, map-side partials).
+    val occ = df.select(col(idCol).as("id"),
+      explode(transform(split(trim(lower(col(textCol))), "\\s+"),
+        t => xxhash64(t))).as("th"))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"b$i")
+      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
-    val sums = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sums = occ.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map(i =>
         when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_ + _)
