@@ -66,6 +66,9 @@ object Cron {
             case "*" => (lo, hi)
             case r if r.contains("-") =>
               val Array(x, y) = r.split("-"); (x.toInt, y.toInt)
+            // vixie cron: a bare value WITH a step means value-max/step
+            // ("5/15" in the minute field = 5,20,35,50), not just {value}
+            case v if step > 1 => (v.toInt, hi)
             case v => val x = v.toInt; (x, x)
           }
           (a to b by step).map(v => if (sundayAlias && v == 7) 0 else v)

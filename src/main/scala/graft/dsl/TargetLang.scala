@@ -149,6 +149,18 @@ object TargetLang {
       case ("invert", Seq(ExprArg(a))) =>
         withValue(compile(a, store), SeriesOps.invert())
 
+      // point clamps (Graphite removeAbove/Below family: out-of-range
+      // points become None, series shape is preserved)
+      case ("removeAboveValue", Seq(ExprArg(a), NumArg(t))) =>
+        withValue(compile(a, store), when(col("value") > t, lit(null)).otherwise(col("value")))
+      case ("removeBelowValue", Seq(ExprArg(a), NumArg(t))) =>
+        withValue(compile(a, store), when(col("value") < t, lit(null)).otherwise(col("value")))
+      case ("clip", Seq(ExprArg(a), NumArg(lo), NumArg(hi))) =>
+        // least/greatest skip nulls, which would turn a None point into
+        // the clamp bound — propagate None explicitly (§2.4 null rule)
+        withValue(compile(a, store), when(col("value").isNull, lit(null))
+          .otherwise(greatest(least(col("value"), lit(hi)), lit(lo))))
+
       // renames
       case ("alias", Seq(ExprArg(a), StrArg(name))) =>
         SeriesOps.aliasSeries(compile(a, store), name)

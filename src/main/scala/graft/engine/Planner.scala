@@ -34,8 +34,13 @@ object Planner {
     val until = spec.toDate.getOrElse(now)
     val clipped = clipWindow(store, spec, now)
 
-    // L1: each stored target line compiles to a series set; union them.
-    val series = spec.targets.map(t => TargetLang.plan(t, clipped))
+    // L1: each stored target line compiles to a series set. Targets are
+    // INDEPENDENT series lists (a series matched by two targets is two
+    // series, as in the reference's one-target-per-line `metrics`), so
+    // rows carry their target index and reductions group on it — a
+    // name-only group would merge and double-count overlapping targets.
+    val series = spec.targets.zipWithIndex
+      .map { case (t, i) => TargetLang.plan(t, clipped).withColumn("_target", lit(i)) }
       .reduce(_ unionByName _)
 
     // L3: aggregate exactly the reductions the monitor expression uses.
@@ -44,14 +49,18 @@ object Planner {
         s"monitor ${spec.id} '${spec.name}': bad expr: $err"),
       identity)
     val reds = MonitorDsl.reductions(ast).toSeq.sorted
+    require(reds.nonEmpty,
+      s"monitor ${spec.id} '${spec.name}': expression '${spec.monitorExpr}' " +
+        "references no reduction (sum/mean/min/max/count/median/stddev/last/first/pNN)")
     val aggs = reds.map(r =>
       MonitorDsl.reductionAgg(r, col("value"), col("ts")).as(s"red_$r"))
-    val reduced = series.groupBy(col("metric"))
+    val reduced = series.groupBy(col("_target"), col("metric"))
       .agg(aggs.head, aggs.tail: _*)
 
     reduced
       .withColumn("passed", MonitorDsl.compile(ast))
       .withColumn("job_id", lit(spec.id))
       .withColumn("window_end", lit(until))
+      .drop("_target")
   }
 }

@@ -55,9 +55,13 @@ object Runner {
       .groupBy(col("metric"))
       .agg(collect_list(struct(col("ts"), col("value"))).as("points"))
       .agg(to_json(collect_list(struct(col("metric"), col("points")))).as("chart"))
+    // explicit timestamp type: on the empty-verdicts (error) path the
+    // literal is null and an untyped lit(null) would be unwritable VOID
+    val windowEnd = lit(verdicts.headOption.map(_.windowEnd).orNull)
+      .cast(org.apache.spark.sql.types.TimestampType)
     val run = payload.select(
       lit(spec.id).as("job_id"),
-      lit(verdicts.headOption.map(_.windowEnd).orNull).as("window_end"),
+      windowEnd.as("window_end"),
       lit(status).as("status"),
       col("chart").as("data"))
     run.write.mode(SaveMode.Append).partitionBy("job_id").parquet(jobDataPath)

@@ -30,9 +30,13 @@ object Dedup {
     * split turns shingling O(tokens) into O(tokens × shingles) string
     * splits — measured 13 s vs <1 s on 5 000 docs. */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    // docs shorter than one shingle yield the empty set — without the
+    // guard, sequence(0, size-n) would step DOWNWARD for size < n and
+    // element_at would throw on index 0
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
 
   /** doc → exploded distinct shingle rows: (id, shingle: long).
     * Shingles are xxhash64-hashed at the explode so everything
@@ -111,13 +115,18 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     // the shingle explode feeds four consumers (signature, sizes, and
     // both sides of the intersection join) — materialize it once; at
-    // warehouse scale this is the "shingle table" you'd write to storage
+    // warehouse scale this is the "shingle table" you'd write to storage.
+    // The result (small: verified pairs) is eagerly checkpointed so the
+    // cache can be released before returning — no leaked blocks per call.
     val rows = shingleRows(df, idCol, textCol, shingleN).persist()
-    val sig = minhashSignature(rows, numHashes)
-    val cand = candidatePairs(lshBuckets(sig, numHashes, bands))
-    verifyJaccard(cand, rows)
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+    try {
+      val sig = minhashSignature(rows, numHashes)
+      val cand = candidatePairs(lshBuckets(sig, numHashes, bands))
+      verifyJaccard(cand, rows)
+        .filter(col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+        .localCheckpoint(true)
+    } finally rows.unpersist()
   }
 
   /** SimHash: 64-bit signature whose bit i is the sign of

@@ -93,7 +93,7 @@ object Multimodal {
     * frame stubs (the explode shape; a real pipeline decodes each frame
     * lazily downstream). */
   def sampleFrames(media: DataFrame, intervalMs: Long): DataFrame =
-    media.filter(col("kind") === "video")
+    media.filter(col("kind") === "video" && col("duration_ms") > 0) // 0-length → zero frames, not a crash
       .select(col("media_id"), col("duration_ms"),
         posexplode(sequence(lit(0L), col("duration_ms") - 1, lit(intervalMs)))
           .as(Seq("frame_idx", "frame_offset_ms")))

@@ -59,19 +59,21 @@ object AlertThrottle {
 
   /** Driver-side replay with carried state (the StreamingRunner
     * foreachBatch path — input is already collected, bounded by monitor
-    * count × windows per batch). Returns fired alerts + updated
-    * job → last-alerted-ms state. */
-  def replay(events: Seq[RunEvent], init: Map[Long, Long]): (Seq[Alert], Map[Long, Long]) = {
+    * count × windows per batch). State carries BOTH the throttle clock
+    * and the job status — restoring only the clock would mislabel the
+    * first post-recovery alert as 'still-failing'. Returns fired alerts
+    * + updated per-job state. */
+  def replay(events: Seq[RunEvent],
+      init: Map[Long, ThrottleState]): (Seq[Alert], Map[Long, ThrottleState]) = {
     val byJob = events.groupBy(_.jobId)
     val outAlerts = Seq.newBuilder[Alert]
-    val outState = Map.newBuilder[Long, Long]
+    val outState = Map.newBuilder[Long, ThrottleState]
     byJob.foreach { case (jobId, evs) =>
-      val st0 = init.get(jobId).map(ms => ThrottleState(JobStatus.Failed, ms))
-      val (alerts, st) = foldEvents(evs.iterator, st0)
+      val (alerts, st) = foldEvents(evs.iterator, init.get(jobId))
       outAlerts ++= alerts
-      if (st.lastAlertedAtMillis != Long.MinValue) outState += jobId -> st.lastAlertedAtMillis
+      outState += jobId -> st
     }
-    init.foreach { case (j, ms) => if (!byJob.contains(j)) outState += j -> ms }
+    init.foreach { case (j, st) => if (!byJob.contains(j)) outState += j -> st }
     (outAlerts.result().sortBy(_.at.getTime), outState.result())
   }
 

@@ -52,17 +52,22 @@ object StreamingRunner {
         col("passed")) ++ reds.map(r => col(s"red_$r")): _*)
   }
 
-  /** Tiny parquet-backed throttle-state table (job_id → last alert
-    * epoch ms). Bounded by monitor count — metadata scale, not data
-    * scale. */
-  private def loadState(spark: SparkSession, path: String): Map[Long, Long] =
+  /** Tiny parquet-backed throttle-state table (job_id → status +
+    * last-alerted ms — both, so a post-recovery alert is labeled
+    * 'enter-failure' across restarts). Bounded by monitor count —
+    * metadata scale, not data scale. */
+  private def loadState(spark: SparkSession,
+      path: String): Map[Long, AlertThrottle.ThrottleState] =
     try spark.read.parquet(path).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> AlertThrottle.ThrottleState(r.getString(1), r.getLong(2)))
+      .toMap
     catch { case _: Exception => Map.empty }
 
-  private def saveState(spark: SparkSession, path: String, st: Map[Long, Long]): Unit = {
+  private def saveState(spark: SparkSession, path: String,
+      st: Map[Long, AlertThrottle.ThrottleState]): Unit = {
     import spark.implicits._
-    st.toSeq.toDF("job_id", "last_alerted_ms")
+    st.toSeq.map { case (j, s) => (j, s.status, s.lastAlertedAtMillis) }
+      .toDF("job_id", "status", "last_alerted_ms")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 

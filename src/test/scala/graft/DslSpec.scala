@@ -66,6 +66,12 @@ class CronSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Cron.parse("* * * *"))
   }
 
+  test("vixie value/step means value-to-max/step") {
+    // '5/15' in the minute field = 5,20,35,50
+    assert(next("5/15 * * * *", "2024-01-01T00:06:00Z") == "2024-01-01T00:20:00Z")
+    assert(next("5/15 * * * *", "2024-01-01T00:51:00Z") == "2024-01-01T01:05:00Z")
+  }
+
   test("property: nextAfter returns the FIRST matching minute (100 seeded cases)") {
     val rnd = new scala.util.Random(13)
     (1 to 100).foreach { _ =>
@@ -163,6 +169,15 @@ class TargetLangSpec extends SparkTestBase {
     assert(c.map(_.getAs[Double]("value")).toSeq == Seq(2.0, 2.0))
     val r = TargetLang.plan("rangeOfSeries(events.*)", store).orderBy("ts").collect()
     assert(r.map(_.getAs[Double]("value")).toSeq == Seq(5.0, 20.0))
+  }
+
+  test("removeAboveValue nulls outliers but keeps the series shape") {
+    val out = TargetLang.plan("removeAboveValue(events.view, 30)", store).orderBy("ts").collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(2) == 5.0)
+    assert(out(1).isNullAt(2)) // 40.0 clipped to None
+    val clipped = TargetLang.plan("clip(events.view, 10, 30)", store).orderBy("ts").collect()
+    assert(clipped.map(_.getDouble(2)).toSeq == Seq(10.0, 30.0))
   }
 
   test("sortByTotal keeps the top-k series by total") {

@@ -109,6 +109,49 @@ class EngineSpec extends SparkTestBase {
     }
   }
 
+  test("error run (no matching series) is still persisted to job_data") {
+    val tmp = Files.createTempDirectory("graft-err").toString
+    Runner.runOnce(spark, store, spec("mean > 0", targets = Seq("nosuch.metric")),
+      Timestamp.valueOf("2024-01-15 12:00:00"), s"$tmp/job_data", s"$tmp/job_errors")
+    val runs = spark.read.parquet(s"$tmp/job_data").collect()
+    assert(runs.length == 1 && runs(0).getAs[String]("status") == JobStatus.Error)
+    assert(runs(0).isNullAt(runs(0).fieldIndex("window_end")))
+  }
+
+  test("overlapping targets stay independent series lists (no double-count)") {
+    val m = spec("sum > 0", targets = Seq("events.click", "events.{click,view}"))
+    val v = Runner.evaluate(spark, store, m, Timestamp.valueOf("2024-01-15 12:00:00"))
+    // events.click appears once per target = two verdict rows, each with
+    // the UNdoubled per-target sum
+    val clicks = v.filter(_.metric == "events.click")
+    assert(clicks.size == 2)
+    assert(clicks.map(_.observed.get).distinct.size == 1, "same window, same sum per target")
+    val solo = Runner.evaluate(spark, store,
+      spec("sum > 0", targets = Seq("events.click")), Timestamp.valueOf("2024-01-15 12:00:00"))
+    assert(clicks.head.observed == solo.head.observed, "union must not double the sum")
+  }
+
+  test("reduction-free monitor expression is rejected with a named error") {
+    val e = intercept[IllegalArgumentException] {
+      Runner.evaluate(spark, store, spec("1 < 2"), Timestamp.valueOf("2024-01-15 12:00:00"))
+    }
+    assert(e.getMessage.contains("references no reduction"))
+  }
+
+  test("ST5 replay labels a post-recovery alert 'enter-failure' across carried state") {
+    import AlertThrottle.ThrottleState
+    def ev(min: Int, failed: Boolean) =
+      RunEvent(5L, Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00"), failed, 30)
+    // batch 1: fail (alert) then recover
+    val (a1, st1) = AlertThrottle.replay(Seq(ev(0, true), ev(10, false)), Map.empty)
+    assert(a1.map(_.transition) == Seq("enter-failure"))
+    assert(st1(5L).status == graft.model.JobStatus.Success)
+    // batch 2 (restart from persisted state): fresh failure after timeout
+    val (a2, _) = AlertThrottle.replay(Seq(ev(40, true)), st1)
+    assert(a2.map(_.transition) == Seq("enter-failure"),
+      "recovered job failing again is a fresh entry, not 'still-failing'")
+  }
+
   test("ST5 stream == batch on the same events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -123,6 +123,26 @@ class ExtSpec extends SparkTestBase {
     assert(perMedia.forall(_.getLong(1) >= 1))
   }
 
+  test("documents shorter than one shingle dedup cleanly (no negative sequence)") {
+    val docs = Seq((1L, "just two"), (2L, "a"), (3L, ""),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    assert(Dedup.shingleRows(docs.filter(col("doc_id") <= 3), "doc_id", "text", 3).count() == 0)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 96, 32, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((4L, 5L))) // short docs drop out, real dup found
+  }
+
+  test("sampleFrames: zero-duration video yields zero frames, not an error") {
+    val media = Seq((1L, "video", Array[Byte](1), 0, 0, 0L),
+      (2L, "video", Array[Byte](1), 0, 0, 1600L))
+      .toDF("media_id", "kind", "payload", "width", "height", "duration_ms")
+    val frames = Multimodal.sampleFrames(media, 800)
+    assert(frames.filter(col("media_id") === 1L).count() == 0)
+    assert(frames.filter(col("media_id") === 2L).count() == 2)
+  }
+
   test("rolling fingerprint is order-sensitive (unlike set hashes)") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
       .toDF("doc_id", "text")
