@@ -661,12 +661,16 @@ object Queries {
   // T8 — JSON extraction from the event props payload.
   q("t8_json_extract",
     """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
-      |  COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val k = get_json_object(col("props"), "$.k").cast("int")
+    // Parse the payload once into a bound column; referencing the same
+    // get_json_object expr in both the group key and the aggregate would
+    // evaluate it twice per row (same lesson as Dedup.scala shingle binding).
     Tables.events(s, dir)
-      .groupBy((k % 10).as("k_bucket"))
-      .agg(count(lit(1)).as("n"), sum(k).as("sum_k"))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .ordered("k_bucket")
   }
 
@@ -871,7 +875,7 @@ object Queries {
   // rlike, split_part, upper/lower, length).
   q("t6_string_fns",
     """SELECT c_mktsegment, COUNT(*) AS n,
-      |  SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS n_valid,
+      |  CAST(SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
       |  MAX(CAST(split_part(c_name, '#', 2) AS BIGINT)) AS max_suffix,
       |  MIN(length(c_name)) AS min_name_len,
       |  MIN(lower(c_mktsegment)) AS seg_lower
@@ -1218,12 +1222,14 @@ object Queries {
   // X11 — order-sensitive rolling fingerprint (portable variant; the
   // production 64-bit key is TextOps.fingerprint64, used by dedup).
   q("x11_fingerprint",
-    """SELECT doc_id,
-      |  list_sum(list_transform(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1),
-      |    i -> i * ascii(substring(regexp_split_to_array(trim(text), '\s+')[i], 1, 1))
-      |           * length(regexp_split_to_array(trim(text), '\s+')[i])))
-      |  % 2147483647 AS fp
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(1, len(w) + 1),
+      |    i -> i * ascii(substring(w[i], 1, 1)) * length(w[i])))
+      |  % 2147483647 AS BIGINT) AS fp
+      |FROM toks ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"),
         graft.ext.TextOps.rollingFingerprint(col("text")).as("fp"))
