@@ -24,7 +24,7 @@ object SparkEntry {
       cronExpr = "*/5 * * * *",
       monitorExpr = "mean > 30 && count > 0")
     graft.engine.Planner.plan(spark,
-      graft.store.Tables.metricStore(spark, dir), spec,
+      graft.store.MetricSource.events(spark, dir), spec,
       java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))
   }
 

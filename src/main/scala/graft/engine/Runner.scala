@@ -2,29 +2,51 @@ package graft.engine
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{JobStatus, MonitorSpec, Verdict}
+import graft.store.MetricSource
 
 /** Monitor run orchestration — E1 (scheduled run) and E2 (interactive
   * test) from SURVEY §3, minus the Rails host.
   *
   * Pure-plan vs side-effect separation mirrors the reference's
   * `--no-alerts` split (reference Rakefile:4-7): [[evaluate]] is a pure
-  * function of (store, spec, now) usable for backtests and UI tests;
+  * function of (source, spec, now) usable for backtests and UI tests;
   * [[persistRun]] appends the `job_data` / `job_errors` twins.
   * Verdict collect() is bounded by series count — never data volume.
+  *
+  * E1 runs ONE scan of the store per run: [[runOnce]] derives the
+  * verdicts AND the chart payload from a single aggregation
+  * ([[Planner.planWithPoints]]); the payload/error writes read only
+  * driver-local rows. The hot path takes a [[MetricSource]] so the
+  * window bounds reach the storage scan (PushedFilters), not a
+  * post-conversion filter.
   */
 object Runner {
 
+  /** One chart point; `value` boxed because target functions
+    * (transformNull inverses, align joins) can emit nulls. */
+  final case class ChartPoint(ts: Timestamp, value: java.lang.Double)
+  final case class ChartSeries(metric: String, points: Seq[ChartPoint])
+
   /** E2 / pure evaluation: verdict rows only, no side effects. */
-  def evaluate(spark: SparkSession, store: DataFrame, spec: MonitorSpec,
+  def evaluate(spark: SparkSession, source: MetricSource, spec: MonitorSpec,
       now: Timestamp): Seq[Verdict] = {
-    val df = Planner.plan(spark, store, spec, now)
-    val redCols = df.columns.filter(_.startsWith("red_")).sorted
+    val df = Planner.plan(spark, source, spec, now)
+    toVerdicts(spec, df.columns, df.collect().toSeq)
+  }
+
+  def evaluate(spark: SparkSession, store: DataFrame, spec: MonitorSpec,
+      now: Timestamp): Seq[Verdict] =
+    evaluate(spark, MetricSource.ofFrame(store), spec, now)
+
+  private def toVerdicts(spec: MonitorSpec, columns: Seq[String],
+      rows: Seq[Row]): Seq[Verdict] = {
+    val redCols = columns.filter(_.startsWith("red_")).sorted
     val firstRed = redCols.headOption.getOrElse("red_mean")
-    df.collect().toSeq.map { r =>
+    rows.map { r =>
       val passed = !r.isNullAt(r.fieldIndex("passed")) && r.getBoolean(r.fieldIndex("passed"))
       Verdict(
         jobId = spec.id,
@@ -46,15 +68,16 @@ object Runner {
 
   /** E1 persistence: append one `job_data` row (JSON chart payload —
     * reference db/schema.rb:29-36) and, on failure, `job_errors` rows
-    * (db/schema.rb:38-48). Both partitioned by job_id. */
+    * (db/schema.rb:38-48). Both partitioned by job_id. The chart rows
+    * are driver-local (already collected by the run's single scan), so
+    * neither write touches the store. */
   def persistRun(spark: SparkSession, spec: MonitorSpec, verdicts: Seq[Verdict],
-      series: DataFrame, jobDataPath: String, jobErrorsPath: String): Unit = {
+      chart: Seq[ChartSeries], jobDataPath: String, jobErrorsPath: String): Unit = {
     import spark.implicits._
     val status = jobStatus(verdicts)
-    val payload = series
-      .groupBy(col("metric"))
-      .agg(collect_list(struct(col("ts"), col("value"))).as("points"))
-      .agg(to_json(collect_list(struct(col("metric"), col("points")))).as("chart"))
+    val payload =
+      (if (chart.isEmpty) spark.emptyDataset[ChartSeries] else chart.toDS()).toDF()
+        .agg(to_json(collect_list(struct(col("metric"), col("points")))).as("chart"))
     // explicit timestamp type: on the empty-verdicts (error) path the
     // literal is null and an untyped lit(null) would be unwritable VOID
     val windowEnd = lit(verdicts.headOption.map(_.windowEnd).orNull)
@@ -77,15 +100,30 @@ object Runner {
   /** E1: evaluate + persist + (throttled) alert rows. Returns verdicts.
     * Alert dispatch is a side-effecting sink fed by the returned rows —
     * deliberately OUT of the query plan (SURVEY §2.1 S7). */
-  def runOnce(spark: SparkSession, store: DataFrame, spec: MonitorSpec,
+  def runOnce(spark: SparkSession, source: MetricSource, spec: MonitorSpec,
       now: Timestamp, jobDataPath: String, jobErrorsPath: String): Seq[Verdict] = {
-    val verdicts = evaluate(spark, store, spec, now)
-    val clipped = Planner.clipWindow(store, spec, now)
-    val series = spec.targets.map(t => graft.dsl.TargetLang.plan(t, clipped))
-      .reduce(_ unionByName _)
-    persistRun(spark, spec, verdicts, series, jobDataPath, jobErrorsPath)
+    val df = Planner.planWithPoints(spark, source, spec, now)
+    val rows = df.collect().toSeq
+    val verdicts = toVerdicts(spec, df.columns, rows)
+    // Merge chart points per metric across targets (a metric matched by
+    // two targets charts once), sorted by ts for a deterministic payload.
+    val chart = rows
+      .map { r =>
+        val pts = r.getSeq[Row](r.fieldIndex("points")).map { p =>
+          ChartPoint(p.getTimestamp(0), p.get(1).asInstanceOf[java.lang.Double])
+        }
+        (r.getString(r.fieldIndex("metric")), pts)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (m, grps) =>
+        ChartSeries(m, grps.flatMap(_._2).sortBy(_.ts.getTime)) }
+    persistRun(spark, spec, verdicts, chart, jobDataPath, jobErrorsPath)
     verdicts
   }
+
+  def runOnce(spark: SparkSession, store: DataFrame, spec: MonitorSpec,
+      now: Timestamp, jobDataPath: String, jobErrorsPath: String): Seq[Verdict] =
+    runOnce(spark, MetricSource.ofFrame(store), spec, now, jobDataPath, jobErrorsPath)
 
   /** E3 read path: latest persisted run per job (O1). */
   def latestRuns(spark: SparkSession, jobDataPath: String): DataFrame = {

@@ -143,10 +143,11 @@ object Queries {
        |FROM events
        |WHERE ts BETWEEN TIMESTAMP '2024-01-15 11:00:00' AND TIMESTAMP '2024-01-15 12:00:00'
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val until = "2024-01-15 12:00:00"
-    Tables.metricStore(s, dir)
-      .filter(col("ts") >= to_timestamp(lit(until)) - expr("INTERVAL 60 MINUTES") &&
-        col("ts") <= to_timestamp(lit(until)))
+    // The E1 hot path: bounds reach the parquet scan as raw-ns
+    // PushedFilters via metricStoreWindowed (PushdownSpec proves it).
+    Tables.metricStoreWindowed(s, dir,
+        java.sql.Timestamp.valueOf("2024-01-15 11:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))
       .groupBy("metric")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"), dmean(col("value")).as("mean_v"))
       .ordered("metric")
@@ -160,8 +161,9 @@ object Queries {
        |FROM events
        |WHERE ts BETWEEN TIMESTAMP '2024-01-15 11:00:00' AND TIMESTAMP '2024-01-15 12:00:00'
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    Tables.metricStore(s, dir)
-      .filter(col("ts").between(lit("2024-01-15 11:00:00"), lit("2024-01-15 12:00:00")))
+    Tables.metricStoreWindowed(s, dir,
+        java.sql.Timestamp.valueOf("2024-01-15 11:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))
       .groupBy("metric")
       .agg(dmean(col("value")).as("observed"))
       .withColumn("verdict", when(col("observed") < 250, "failed").otherwise("success"))

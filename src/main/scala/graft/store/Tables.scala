@@ -49,6 +49,10 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Epoch micros of a Timestamp (µs precision — the store's own). */
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + t.getNanos / 1000 % 1000
+
   /** Window-clipped events scan with PUSHDOWN: predicates on the
     * converted `ts` cannot reach parquet (the scan column is raw ns
     * long under the conversion expression — see the plan for
@@ -58,14 +62,23 @@ object Tables {
     * groups. At 100 TB the monitor path reads Ingest-materialized
     * rollups whose `ts` is a native timestamp column (pushdown is free
     * there); this matters for pipelines over the raw event log. */
-  def eventsWindowed(spark: SparkSession, dir: String,
-      fromInclusive: java.sql.Timestamp, untilExclusive: java.sql.Timestamp): DataFrame = {
+  private def eventsRawWindowed(spark: SparkSession, dir: String,
+      fromUs: Long, untilUsExclusive: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
-      .where(col("ts") >= lit(fromInclusive.getTime * 1000L + fromInclusive.getNanos / 1000 % 1000) * 1000L
-        && col("ts") < lit(untilExclusive.getTime * 1000L + untilExclusive.getNanos / 1000 % 1000) * 1000L)
+      .where(col("ts") >= lit(fromUs * 1000L) && col("ts") < lit(untilUsExclusive * 1000L))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  def eventsWindowed(spark: SparkSession, dir: String,
+      fromInclusive: java.sql.Timestamp, untilExclusive: java.sql.Timestamp): DataFrame =
+    eventsRawWindowed(spark, dir, usOf(fromInclusive), usOf(untilExclusive))
+
+  /** Inclusive-upper variant (monitor windows are `[from, until]`):
+    * `ts_µs <= U  ⇔  ts_ns < (U+1)·1000` for the truncating div. */
+  def eventsWindowedInclusive(spark: SparkSession, dir: String,
+      fromInclusive: java.sql.Timestamp, untilInclusive: java.sql.Timestamp): DataFrame =
+    eventsRawWindowed(spark, dir, usOf(fromInclusive), usOf(untilInclusive) + 1L)
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
@@ -77,11 +90,23 @@ object Tables {
     * The projection happens before any filter/agg so Catalyst pushes the
     * `event_type`/`ts` predicates into the parquet scan.
     */
-  def metricStore(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
+  private def asMetricStore(events: DataFrame): DataFrame =
+    events.select(
       concat(lit("events."), col("event_type")).as("metric"),
       col("ts"),
       col("value"))
+
+  def metricStore(spark: SparkSession, dir: String): DataFrame =
+    asMetricStore(events(spark, dir))
+
+  /** Window-clipped metric store (both bounds inclusive) whose time
+    * predicate reaches the parquet scan as raw-ns `PushedFilters` — the
+    * E1 monitor hot path MUST read through this (or a rollup table with
+    * a native timestamp), never filter post-conversion: at 100 TB a
+    * post-conversion filter re-reads the entire event log per run. */
+  def metricStoreWindowed(spark: SparkSession, dir: String,
+      fromInclusive: java.sql.Timestamp, untilInclusive: java.sql.Timestamp): DataFrame =
+    asMetricStore(eventsWindowedInclusive(spark, dir, fromInclusive, untilInclusive))
 
   /** Metric store with a deeper path (`events.<type>.u<user bucket>`),
     * used by path-manipulation operators (aliasByNode, deep globs). */

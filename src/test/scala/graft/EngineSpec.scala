@@ -70,6 +70,71 @@ class EngineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$tmp/job_errors").count() > 0)
   }
 
+  test("E1 runOnce scans the store exactly once (verdicts + chart from one plan)") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val scans = new AtomicInteger(0)
+    // AQE hides the real tree: AdaptiveSparkPlanExec / QueryStageExec
+    // expose their subplans via fields, not children — recurse manually.
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val self = p match {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("events.parquet")) => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(scansIn).sum
+    }
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        scans.addAndGet(scansIn(qe.executedPlan))
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val tmp = Files.createTempDirectory("graft-onescan").toString
+      Runner.runOnce(spark, graft.store.MetricSource.events(spark, dir),
+        spec("mean > 0 && count > 0"), Timestamp.valueOf("2024-01-15 12:00:00"),
+        s"$tmp/job_data", s"$tmp/job_errors")
+      // listener delivery is async: poll until the count is stable
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val cur = scans.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      assert(scans.get() == 1,
+        s"expected exactly one events.parquet scan per run, saw ${scans.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("runOnce persists a sorted per-metric chart payload") {
+    val tmp = Files.createTempDirectory("graft-chart").toString
+    Runner.runOnce(spark, graft.store.MetricSource.events(spark, dir),
+      spec("mean > 0", targets = Seq("events.click", "events.{click,view}")),
+      Timestamp.valueOf("2024-01-15 12:00:00"), s"$tmp/job_data", s"$tmp/job_errors")
+    val data = spark.read.parquet(s"$tmp/job_data").head.getAs[String]("data")
+    // overlapping targets chart each metric once
+    assert(data.indexOf("events.click") == data.lastIndexOf("events.click"))
+    assert(data.contains("events.view"))
+
+    // single-metric run: the whole payload is one series → ts ascending
+    val tmp2 = Files.createTempDirectory("graft-chart2").toString
+    Runner.runOnce(spark, graft.store.MetricSource.events(spark, dir),
+      spec("mean > 0", targets = Seq("events.click")),
+      Timestamp.valueOf("2024-01-15 12:00:00"), s"$tmp2/job_data", s"$tmp2/job_errors")
+    val one = spark.read.parquet(s"$tmp2/job_data").head.getAs[String]("data")
+    val ts = """"ts":"([^"]+)"""".r.findAllMatchIn(one).map(_.group(1)).toSeq
+    assert(ts.nonEmpty && ts == ts.sorted)
+  }
+
   test("ST5 throttle: no re-alert within error_timeout; recovery re-arms transition label") {
     def ev(min: Int, failed: Boolean) =
       RunEvent(7L, Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00"), failed, 60)

@@ -36,6 +36,32 @@ class PushdownSpec extends SparkTestBase {
     assert(!scan.contains("GreaterThanOrEqual(ts,17048"), "conversion blocks pushdown by design")
   }
 
+  test("E1 monitor hot path pushes the clip window to the parquet scan") {
+    import graft.model.MonitorSpec
+    val spec = MonitorSpec(1, "hot", Seq("events.*"), minutes = 60,
+      toDate = Some(Timestamp.valueOf("2024-01-15 12:00:00")),
+      cronExpr = "*/5 * * * *", monitorExpr = "mean > 0")
+    val df = graft.engine.Planner.plan(spark,
+      graft.store.MetricSource.events(spark, dir), spec,
+      Timestamp.valueOf("2024-01-15 12:00:00"))
+    val scan = df.queryExecution.executedPlan.toString
+    // [11:00, 12:00] inclusive → raw-ns bounds [T_from*1000, (T_until_µs+1)*1000)
+    assert(scan.contains("GreaterThanOrEqual(ts,1705316400000000000"),
+      s"clip lower bound not pushed:\n$scan")
+    assert(scan.contains("LessThan(ts,1705320000000001000"),
+      s"clip upper bound not pushed:\n$scan")
+  }
+
+  test("metricStoreWindowed is inclusive of the exact upper-bound microsecond") {
+    import org.apache.spark.sql.functions._
+    val hi = Timestamp.valueOf("2024-01-15 12:00:00")
+    val lo = Timestamp.valueOf("2024-01-15 11:00:00")
+    val pushed = Tables.metricStoreWindowed(spark, dir, lo, hi).count()
+    val posthoc = Tables.metricStore(spark, dir)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi)).count()
+    assert(pushed == posthoc && pushed > 0)
+  }
+
   test("metadata joins broadcast the dimension side") {
     import org.apache.spark.sql.functions._
     val df = Tables.orders(spark, dir)
