@@ -39,10 +39,19 @@ object MonitorDsl {
   val reductionNames: Set[String] =
     Set("sum", "mean", "avg", "min", "max", "count", "median", "stddev", "last", "first")
 
+  /** `p0`..`p100`, fractional allowed (`p99.9`). */
+  def isPercentile(n: String): Boolean =
+    n.matches("p\\d{1,3}(?:\\.\\d+)?") && n.drop(1).toDouble <= 100.0
+
+  /** The `red_*` column a reduction lands in. Fractional percentiles
+    * sanitize the dot (`p99.9` → `red_p99_9`) — a dot in a column name
+    * reads as field access under `col(...)`. */
+  def redCol(name: String): String = "red_" + name.replace('.', '_')
+
   private object P extends RegexParsers {
     def num: Parser[Ast] = """-?\d+(?:\.\d+)?""".r ^^ (s => Num(s.toDouble))
-    def red: Parser[Ast] = """[a-z]+\d*""".r.filter(n =>
-      reductionNames(n) || n.matches("p\\d{1,2}")) ^^ Red.apply
+    def red: Parser[Ast] = """[a-z]+\d*(?:\.\d+)?""".r.filter(n =>
+      reductionNames(n) || isPercentile(n)) ^^ Red.apply
     def atom: Parser[Ast] = num | red | "(" ~> cond <~ ")"
     def prod: Parser[Ast] = chainl1(atom, ("*" | "/") ^^ (op => (l: Ast, r: Ast) => Bin(op, l, r)))
     def sum: Parser[Ast] = chainl1(prod, ("+" | "-") ^^ (op => (l: Ast, r: Ast) => Bin(op, l, r)))
@@ -72,7 +81,7 @@ object MonitorDsl {
   /** Compile to a Column over `red_<name>` columns. */
   def compile(a: Ast): Column = a match {
     case Num(v) => lit(v)
-    case Red(n) => col(s"red_$n")
+    case Red(n) => col(redCol(n))
     case Bin(op, l, r) =>
       val (x, y) = (compile(l), compile(r))
       op match {
@@ -103,8 +112,8 @@ object MonitorDsl {
     case "stddev" => stddev_samp(valueCol)
     case "last" => max_by(valueCol, when(valueCol.isNotNull, tsCol))
     case "first" => min_by(valueCol, when(valueCol.isNotNull, tsCol))
-    case p if p.matches("p\\d{1,2}") =>
-      percentile(valueCol, lit(p.drop(1).toInt / 100.0))
+    case p if isPercentile(p) =>
+      percentile(valueCol, lit(p.drop(1).toDouble / 100.0))
     case other => throw new IllegalArgumentException(s"unknown reduction '$other'")
   }
 }

@@ -225,6 +225,9 @@ object TargetLang {
       case ("asPercent", Seq(ExprArg(a), ExprArg(b))) =>
         SeriesOps.asPercent(compile(a, store), compile(b, store), render(e))
 
+      case ("percentileOfSeries", Seq(ExprArg(a), NumArg(p))) =>
+        SeriesOps.percentileOfSeries(compile(a, store), p / 100.0, render(e))
+
       case ("nPercentile", Seq(ExprArg(a), NumArg(p))) =>
         SeriesOps.nPercentile(compile(a, store), p / 100.0)
           .select(col("metric"), lit(null).cast("timestamp").as("ts"), col("value"))

@@ -82,7 +82,7 @@ object Planner {
       s"monitor ${spec.id} '${spec.name}': expression '${spec.monitorExpr}' " +
         "references no reduction (sum/mean/min/max/count/median/stddev/last/first/pNN)")
     val aggs = reds.map(r =>
-      MonitorDsl.reductionAgg(r, col("value"), col("ts")).as(s"red_$r")) ++ extraAggs
+      MonitorDsl.reductionAgg(r, col("value"), col("ts")).as(MonitorDsl.redCol(r))) ++ extraAggs
     val reduced = series.groupBy(col("_target"), col("metric"))
       .agg(aggs.head, aggs.tail: _*)
 

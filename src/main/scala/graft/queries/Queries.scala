@@ -425,6 +425,24 @@ object Queries {
       .ordered("metric", "day")
   }
 
+  // A5b — cross-series percentile (percentileOfSeries), compiled from a
+  // STORED TARGET STRING so the gate proves TargetLang reachability too.
+  q("a5b_percentile_of_series",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |         ${DSUMD("value")} AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT CAST(ts AS TIMESTAMP) AS ts, ROUND(quantile_cont(v, 0.95), 4) AS value
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val clipped = Tables.metricStore(s, dir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+    graft.dsl.TargetLang.plan("""percentileOfSeries(summarize(events.*, "1min"), 95)""", clipped)
+      .select(col("ts"), round(col("value"), 4).as("value"))
+      .ordered("ts")
+  }
+
   // A6 — distinct counts (exact; the HLL variant is a6b, spec-checked).
   q("a6_count_distinct",
     """SELECT event_type, COUNT(DISTINCT user_id) AS nd_users, COUNT(*) AS n

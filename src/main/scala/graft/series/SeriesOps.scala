@@ -158,6 +158,18 @@ object SeriesOps {
     df.groupBy(col("metric"))
       .agg(percentile(col("value"), lit(p)).as("value"))
 
+  /** percentileOfSeries(seriesList, p) — the cross-series A5 variant:
+    * ONE series whose value at each ts is the exact interpolated p-th
+    * percentile of all member series' values at that ts (nulls skipped,
+    * §2.4 null rule). One shuffle on the high-cardinality ts key, so it
+    * parallelizes by time at 100 TB; the per-group state is bounded by
+    * the series count at that ts, not by data volume. */
+  def percentileOfSeries(df: DataFrame, p: Double,
+      name: String = "percentileOfSeries"): DataFrame =
+    df.groupBy(col("ts"))
+      .agg(percentile(col("value"), lit(p)).as("value"))
+      .select(lit(name).as("metric"), col("ts"), col("value"))
+
   // ---------------------------------------------------------------------
   // T1-T4: scalar transforms / renames
   // ---------------------------------------------------------------------

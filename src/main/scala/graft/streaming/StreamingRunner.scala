@@ -41,7 +41,7 @@ object StreamingRunner {
       identity)
     val reds = MonitorDsl.reductions(ast).toSeq.sorted
     val aggs = reds.map(r =>
-      MonitorDsl.reductionAgg(r, col("value"), col("ts")).as(s"red_$r"))
+      MonitorDsl.reductionAgg(r, col("value"), col("ts")).as(MonitorDsl.redCol(r)))
     stream
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), s"${spec.minutes} minutes", slide).as("w"), col("metric"))
@@ -49,7 +49,7 @@ object StreamingRunner {
       .withColumn("passed", MonitorDsl.compile(ast))
       .withColumn("job_id", lit(spec.id))
       .select(Seq(col("job_id"), col("metric"), col("w.end").as("window_end"),
-        col("passed")) ++ reds.map(r => col(s"red_$r")): _*)
+        col("passed")) ++ reds.map(r => col(MonitorDsl.redCol(r))): _*)
   }
 
   /** Tiny parquet-backed throttle-state table (job_id → status +

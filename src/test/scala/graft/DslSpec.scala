@@ -1,10 +1,13 @@
 package graft
 
+import java.sql.Timestamp
 import java.time.Instant
 
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dsl.{Cron, Glob, MonitorDsl, TargetLang}
+import graft.engine.Planner
+import graft.model.MonitorSpec
 
 class GlobSpec extends AnyFunSuite {
   test("star does not cross path segments") {
@@ -212,5 +215,23 @@ class MonitorDslSpec extends SparkTestBase {
     val ast = MonitorDsl.parse("mean == 2 + 3 * 4").toOption.get
     val df = Seq(14.0).toDF("red_mean").withColumn("p", MonitorDsl.compile(ast))
     assert(df.select("p").head.getBoolean(0))
+  }
+
+  test("p100 and fractional p99.9 parse; p101 rejected") {
+    val ast = MonitorDsl.parse("p100 > 0 && p99.9 > 0").toOption.get
+    assert(MonitorDsl.reductions(ast) == Set("p100", "p99.9"))
+    assert(MonitorDsl.parse("p101 > 0").isLeft)
+    assert(MonitorDsl.parse("p999 > 0").isLeft)
+  }
+
+  test("fractional percentile evaluates end-to-end (sanitized column)") {
+    val store = (1 to 1000).map(i => ("m", Timestamp.valueOf("2024-01-15 11:30:00"), i.toDouble))
+      .toDF("metric", "ts", "value")
+    val spec = MonitorSpec(1, "frac", Seq("m"), minutes = 60,
+      toDate = Some(Timestamp.valueOf("2024-01-15 12:00:00")),
+      cronExpr = "* * * * *", monitorExpr = "p99.9 >= 999 && p100 == 1000")
+    val row = Planner.plan(spark, store, spec, Timestamp.valueOf("2024-01-15 12:00:00")).head
+    assert(row.schema.fieldNames.contains("red_p99_9"))
+    assert(row.getBoolean(row.fieldIndex("passed")))
   }
 }
