@@ -225,6 +225,14 @@ object TargetLang {
       case ("asPercent", Seq(ExprArg(a), ExprArg(b))) =>
         SeriesOps.asPercent(compile(a, store), compile(b, store), render(e))
 
+      // anomaly bands (A8): seasonal Holt-Winters over the compiled
+      // series. Optional args: z (band width, default 3), season period
+      // in POINTS (default 1440 = one day of minutely data).
+      case ("holtWintersConfidenceBands", ExprArg(a) +: rest) =>
+        graft.series.HoltWinters.confidenceBands(compile(a, store), hwParams(rest))
+      case ("holtWintersAberration", ExprArg(a) +: rest) =>
+        graft.series.HoltWinters.aberration(compile(a, store), hwParams(rest))
+
       case ("percentileOfSeries", Seq(ExprArg(a), NumArg(p))) =>
         SeriesOps.percentileOfSeries(compile(a, store), p / 100.0, render(e))
 
@@ -242,6 +250,14 @@ object TargetLang {
     parse(target).fold(
       err => throw new IllegalArgumentException(s"bad target '$target': $err"),
       e => compile(e, store))
+
+  private def hwParams(rest: Seq[Arg]): graft.series.HoltWinters.SeasonalParams = {
+    val nums = rest.collect { case NumArg(v) => v }
+    val base = graft.series.HoltWinters.SeasonalParams()
+    base.copy(
+      z = nums.headOption.getOrElse(base.z),
+      period = nums.lift(1).map(_.toInt).getOrElse(base.period))
+  }
 
   private def withValue(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
     df.withColumn("value", c)

@@ -936,6 +936,19 @@ object Queries {
       .ordered("metric", "epoch_s")
   }
 
+  // A8b — SEASONAL Holt-Winters via a stored target string: daily season
+  // (period 24) over the hourly rollup, Graphite's
+  // holtWintersConfidenceBands shape. Rows-only: recurrence has no
+  // portable SQL twin.
+  q("a8b_holtwinters_seasonal") { (s, dir) =>
+    val hourly = Tables.metricStore(s, dir)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("ts"))
+      .agg(dsum(col("value")).cast("double").as("value"))
+    graft.dsl.TargetLang.plan("holtWintersConfidenceBands(events.*, 3, 24)", hourly)
+      .select(col("metric"), col("ts"), round(col("value"), 6).as("value"))
+      .ordered("metric", "ts")
+  }
+
   // S3 — Graphite raw render-format parse (fixture ingestion path).
   // Rows-only: input is a literal fixture, not a table.
   q("s3_raw_parse") { (s, dir) =>
