@@ -38,14 +38,14 @@ object Ivf {
     Index(centroids, assigned)
   }
 
-  /** Approximate top-k: each query probes its `nprobe` nearest cells. */
-  def topK(queries: DataFrame, index: Index, k: Int, nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** query → its `nprobe` nearest cells: (query_id, qv, qn, cell).
+    * Centroid table is metadata-sized — everything here broadcasts. */
+  private def probeCells(queries: DataFrame, index: Index, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    // query → nprobe nearest centroids (centroid table is tiny: broadcast)
     val cents = index.centroids.toSeq.toDF("cell", "centroid")
-    val probes = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         Similarity.norm(col(vecCol)).as("qn")))
       .crossJoin(broadcast(cents))
       .withColumn("cdist", Similarity.dot(col("qv"), col("centroid")) /
@@ -54,10 +54,13 @@ object Ivf {
         Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell"))))
       .filter(col("crk") <= nprobe)
       .select("query_id", "qv", "qn", "cell")
-    // probe only the matching cells (cell equi-join = partition pruning
-    // when the corpus is stored clustered by cell)
+  }
+
+  /** Brute-force inside probed cells: rank candidates per query. */
+  private def rankWithin(probes: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val cand = broadcast(probes).join(
-        index.assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
           Similarity.norm(col(vecCol)).as("cn"), col("cell")),
         Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -66,5 +69,50 @@ object Ivf {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+  }
+
+  /** Approximate top-k: each query probes its `nprobe` nearest cells.
+    * (cell equi-join = partition pruning when the corpus is stored
+    * clustered by cell — see [[write]]/[[topKStored]] for that path.) */
+  def topK(queries: DataFrame, index: Index, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankWithin(probeCells(queries, index, nprobe, idCol, vecCol),
+      index.assigned, k, idCol, vecCol)
+
+  /** Persist the index in the 100-TB layout: corpus PARTITIONED BY cell
+    * (each cell = its own file subtree, so a probe reads nprobe/k of the
+    * data via partition pruning), centroids as a metadata-sized side
+    * table. */
+  def write(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    index.centroids.toSeq.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def read(spark: SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    Index(centroids, spark.read.parquet(s"$path/corpus"))
+  }
+
+  /** Top-k over a STORED index with static partition pruning: the
+    * distinct probed cells (bounded by the cell count k, driver-side
+    * metadata) become an `IN` filter on the partition column, so the
+    * parquet scan lists only the probed cells' directories — the IVF
+    * contract made physical. */
+  def topKStored(queries: DataFrame, spark: SparkSession, path: String,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val index = read(spark, path)
+    val probes = probeCells(queries, index, nprobe, idCol, vecCol)
+    // distinct probed cells ≤ number of cells — driver-safe by design
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val pruned = index.assigned.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    rankWithin(probes, pruned, k, idCol, vecCol)
   }
 }

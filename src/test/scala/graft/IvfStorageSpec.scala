@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Ivf
+import graft.store.Tables
+
+/** IVF stored layout: the corpus is written clustered (partitioned) by
+  * cell, and a stored-index query physically reads ONLY the probed
+  * cells — partition pruning visible in the scan, results identical to
+  * the in-memory index. */
+class IvfStorageSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpusScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val self = p match {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("corpus")) => Seq(f)
+      case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self ++ kids.flatMap(corpusScans)
+  }
+
+  test("stored index: per-cell layout, pruned scan, results == in-memory index") {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = Ivf.build(emb, k = 8)
+    val tmp = Files.createTempDirectory("graft-ivf").toString
+    Ivf.write(idx, tmp)
+
+    // layout: one directory per cell
+    val cellDirs = new java.io.File(s"$tmp/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(cellDirs.length == 8, cellDirs.mkString(","))
+
+    // 2 queries × nprobe 2 ⇒ at most 4 of the 8 cells may be read
+    val q = emb.filter(col("vec_id") < 2)
+    val mem = Ivf.topK(q, idx, 5, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val stored = Ivf.topKStored(q, spark, tmp, 5, nprobe = 2)
+    val got = stored.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == mem, "stored-index results diverge from in-memory index")
+
+    // the scan carries a partition filter on cell and lists only the
+    // probed cells' directories
+    val scans = corpusScans(stored.queryExecution.executedPlan)
+    assert(scans.nonEmpty, stored.queryExecution.executedPlan.toString)
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"no cell partition filter in:\n$s")
+      // drop DPP subquery filters (a bonus prune from the cell join) —
+      // they can't be re-evaluated post-run; the static IN alone must prune
+      val static = s.partitionFilters.filterNot(
+        _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      val partsRead = s.relation.location.listFiles(static, s.dataFilters).size
+      assert(partsRead <= 4, s"probe read $partsRead of 8 cells — pruning lost")
+    }
+  }
+
+  test("round-trip: centroids and assignments survive write/read") {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = Ivf.build(emb, k = 4)
+    val tmp = Files.createTempDirectory("graft-ivf2").toString
+    Ivf.write(idx, tmp)
+    val back = Ivf.read(spark, tmp)
+    assert(back.centroids.length == 4)
+    idx.centroids.zip(back.centroids).foreach { case ((ci, cv), (bi, bv)) =>
+      assert(ci == bi && cv.sameElements(bv))
+    }
+    assert(back.assigned.count() == idx.assigned.count())
+    // per-cell counts identical
+    val a = idx.assigned.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    val b = back.assigned.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(a == b)
+  }
+}
