@@ -107,19 +107,32 @@ object TargetLang {
       case ("hitcount", Seq(ExprArg(a), StrArg(step))) =>
         SeriesOps.hitcount(compile(a, store), sparkInterval(step), durationSeconds(step))
 
-      // per-series windows
+      // per-series windows — n-point form (NumArg) and Graphite's
+      // quoted-time form ("10min": window by TIME, gap-robust)
       case ("movingAverage", Seq(ExprArg(a), NumArg(n))) =>
         withValue(compile(a, store), SeriesOps.movingAverage(n.toInt))
+      case ("movingAverage", Seq(ExprArg(a), StrArg(d))) =>
+        withValue(compile(a, store), SeriesOps.movingAggTime("avg", durationSeconds(d)))
       case ("movingSum", Seq(ExprArg(a), NumArg(n))) =>
         withValue(compile(a, store), SeriesOps.movingSum(n.toInt))
+      case ("movingSum", Seq(ExprArg(a), StrArg(d))) =>
+        withValue(compile(a, store), SeriesOps.movingAggTime("sum", durationSeconds(d)))
       case ("movingMax", Seq(ExprArg(a), NumArg(n))) =>
         withValue(compile(a, store), SeriesOps.movingMax(n.toInt))
+      case ("movingMax", Seq(ExprArg(a), StrArg(d))) =>
+        withValue(compile(a, store), SeriesOps.movingAggTime("max", durationSeconds(d)))
       case ("movingMin", Seq(ExprArg(a), NumArg(n))) =>
         withValue(compile(a, store), SeriesOps.movingMin(n.toInt))
+      case ("movingMin", Seq(ExprArg(a), StrArg(d))) =>
+        withValue(compile(a, store), SeriesOps.movingAggTime("min", durationSeconds(d)))
       case ("movingMedian", Seq(ExprArg(a), NumArg(n))) =>
         withValue(compile(a, store), SeriesOps.movingMedian(n.toInt))
+      case ("movingMedian", Seq(ExprArg(a), StrArg(d))) =>
+        withValue(compile(a, store), SeriesOps.movingAggTime("median", durationSeconds(d)))
       case ("stdev", Seq(ExprArg(a), NumArg(n))) =>
         withValue(compile(a, store), SeriesOps.movingStddev(n.toInt))
+      case ("stdev", Seq(ExprArg(a), StrArg(d))) =>
+        withValue(compile(a, store), SeriesOps.movingAggTime("stddev", durationSeconds(d)))
       case ("derivative", Seq(ExprArg(a))) =>
         withValue(compile(a, store), SeriesOps.derivative())
       case ("nonNegativeDerivative", Seq(ExprArg(a))) =>
@@ -171,6 +184,9 @@ object TargetLang {
       case ("aliasByMetric", Seq(ExprArg(a))) =>
         val df = compile(a, store)
         df.withColumn("metric", element_at(split(col("metric"), "\\."), -1))
+      case ("aliasSub", Seq(ExprArg(a), StrArg(search), StrArg(replace))) =>
+        compile(a, store).withColumn("metric",
+          regexp_replace(col("metric"), search, replace))
 
       // name predicates
       case ("exclude", Seq(ExprArg(a), StrArg(rx))) => SeriesOps.exclude(compile(a, store), rx)
@@ -191,6 +207,16 @@ object TargetLang {
         SeriesOps.selectTopSeries(compile(a, store), k.toInt, "sum", highest = true)
       case ("sortByMaxima", Seq(ExprArg(a), NumArg(k))) =>
         SeriesOps.selectTopSeries(compile(a, store), k.toInt, "max", highest = true)
+      case ("mostDeviant", Seq(ExprArg(a), NumArg(k))) =>
+        SeriesOps.selectTopSeries(compile(a, store), k.toInt, "stddev", highest = true)
+      case ("limit", Seq(ExprArg(a), NumArg(n))) =>
+        SeriesOps.limitSeries(compile(a, store), n.toInt)
+
+      // point clamps by the series' own distribution
+      case ("removeAbovePercentile", Seq(ExprArg(a), NumArg(p))) =>
+        SeriesOps.removeByPercentile(compile(a, store), p / 100.0, above = true)
+      case ("removeBelowPercentile", Seq(ExprArg(a), NumArg(p))) =>
+        SeriesOps.removeByPercentile(compile(a, store), p / 100.0, above = false)
 
       // threshold series filters
       case ("averageAbove", Seq(ExprArg(a), NumArg(t))) =>

@@ -507,6 +507,33 @@ object Queries {
       .ordered("metric", "ts")
   }
 
+  // W1b — moving average/sum by TIME window (Graphite's quoted-duration
+  // form): RANGE frame over the timestamp, so gaps shrink the window
+  // instead of stretching the lookback.
+  q("w1b_moving_time",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |         ${DSUMD("value")} AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT metric, ts,
+       |  CAST(SUM(v) OVER w AS DOUBLE) AS mov_sum_10m,
+       |  CAST(SUM(v) OVER w AS DOUBLE) / COUNT(v) OVER w AS mov_avg_10m
+       |FROM r
+       |WINDOW w AS (PARTITION BY metric ORDER BY ts
+       |  RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+       |ORDER BY metric, ts""".stripMargin) { (s, dir) =>
+    import graft.series.SeriesOps
+    minuteRollup(s, dir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00") && col("ts") < lit("2024-01-11 00:00:00"))
+      .select(col("metric"), col("ts"), col("value_dec").as("value"))
+      .withColumn("mov_sum_10m", SeriesOps.movingAggTime("sum", 600L))
+      .withColumn("mov_avg_10m", SeriesOps.movingAggTime("avg", 600L))
+      .drop("value")
+      .ordered("metric", "ts")
+  }
+
   // W2 — derivative / nonNegativeDerivative / perSecond on hourly series.
   q("w2_derivative",
     s"""WITH r AS (
@@ -1186,6 +1213,20 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
     val idx = graft.ext.Ivf.build(emb, k = math.max(4, math.sqrt(emb.count().toDouble).toInt / 2))
     graft.ext.Ivf.topK(emb.filter(col("vec_id") < 10), idx, k = 5, nprobe = 4)
+      .withColumn("cos", round(col("cos"), 4))
+      .ordered("query_id", "rk")
+  }
+
+  // X7c — IVF over the STORED per-cell layout: write the index
+  // partitioned by cell, probe through the partition-pruned scan
+  // (IvfStorageSpec asserts the pruning; here the gate checks the
+  // results). Deterministic: same seed/kmeans as x7b.
+  q("x7c_sim_topk_ivf_stored") { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val idx = graft.ext.Ivf.build(emb, k = math.max(4, math.sqrt(emb.count().toDouble).toInt / 2))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-gate").toString
+    graft.ext.Ivf.write(idx, path)
+    graft.ext.Ivf.topKStored(emb.filter(col("vec_id") < 10), s, path, k = 5, nprobe = 4)
       .withColumn("cos", round(col("cos"), 4))
       .ordered("query_id", "rk")
   }

@@ -68,6 +68,30 @@ object SeriesOps {
   def movingStddev(n: Int, c: Column = col("value")): Column =
     stddev_samp(c).over(trailing(n))
 
+  /** Time-window trailing frame: RANGE over epoch seconds, [t-sec, t]
+    * inclusive — Graphite's movingAverage(series, "10min") form, which
+    * windows by TIME rather than point count so gappy series don't
+    * stretch the lookback. Mirrors SQL `RANGE BETWEEN INTERVAL
+    * PRECEDING AND CURRENT ROW`. */
+  private def trailingTime(seconds: Long): WindowSpec =
+    Window.partitionBy("metric").orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-seconds, 0)
+
+  /** moving*(series, "10min") — the time-window twin of the n-point
+    * family; same exact-decimal discipline. */
+  def movingAggTime(how: String, seconds: Long, c: Column = col("value")): Column = {
+    val w = trailingTime(seconds)
+    how match {
+      case "avg" => sum(c.cast(DecimalType(18, 6))).over(w).cast("double") / count(c).over(w)
+      case "sum" => sum(c.cast(DecimalType(18, 6))).over(w).cast("double")
+      case "max" => max(c).over(w)
+      case "min" => min(c).over(w)
+      case "median" => percentile_approx(c, lit(0.5), lit(10000)).over(w)
+      case "stddev" => stddev_samp(c).over(w)
+      case other => throw new IllegalArgumentException(s"movingAggTime: $other")
+    }
+  }
+
   /** derivative(series) — point-to-point delta (W2). First point null. */
   def derivative(c: Column = col("value")): Column =
     c - lag(c, 1).over(seriesWindow)
@@ -286,6 +310,7 @@ object SeriesOps {
       case "sum" => dsum(col("value"))
       case "max" => max(col("value"))
       case "min" => min(col("value"))
+      case "stddev" => stddev_samp(col("value")) // mostDeviant
       case other => throw new IllegalArgumentException(s"selectTopSeries: $other")
     }
     val ranked = df.groupBy(col("metric")).agg(score.as("_score"))
@@ -313,6 +338,29 @@ object SeriesOps {
       .filter(if (above) col("_score") > threshold else col("_score") < threshold)
       .select("metric")
     df.join(broadcast(keep), Seq("metric"), "left_semi")
+  }
+
+  /** limit(seriesList, n) — first n series in deterministic name order
+    * (Graphite keeps the selector's order; glob expansion is
+    * lexicographic, so name order is the faithful deterministic pick).
+    * Same semi-join shape as [[selectTopSeries]]. */
+  def limitSeries(df: DataFrame, n: Int): DataFrame = {
+    val keep = df.select("metric").distinct().orderBy("metric").limit(n)
+    df.join(broadcast(keep), Seq("metric"), "left_semi")
+  }
+
+  /** removeAbove/BelowPercentile(series, p) — null out points beyond the
+    * series' own exact p-th percentile; shape preserved (Graphite
+    * semantics). Per-series percentile is one agg broadcast back —
+    * bodies don't reshuffle. */
+  def removeByPercentile(df: DataFrame, p: Double, above: Boolean): DataFrame = {
+    val cut = df.groupBy(col("metric"))
+      .agg(percentile(col("value"), lit(p)).as("_cut"))
+    val out = df.join(broadcast(cut), Seq("metric"), "left")
+      .withColumn("value",
+        if (above) when(col("value") > col("_cut"), lit(null)).otherwise(col("value"))
+        else when(col("value") < col("_cut"), lit(null)).otherwise(col("value")))
+    out.drop("_cut")
   }
 
   /** countSeries — number of series with a point at each ts. */

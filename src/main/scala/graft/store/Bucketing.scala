@@ -25,10 +25,20 @@ object Bucketing {
   }
 
   /** True when the physical plan of `df` contains no shuffle exchange —
-    * the observable proof that a join ran co-located. */
+    * the observable proof that a join ran co-located. Structural check
+    * (node types, not plan-string text), recursing through AQE wrapper
+    * nodes whose subplans hang off fields rather than `children`. */
   def isShuffleFree(df: DataFrame): Boolean = {
-    val plan = df.queryExecution.executedPlan
-    !plan.toString.contains("Exchange hashpartitioning")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case _: ShuffleExchangeLike => true
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case q: QueryStageExec => hasShuffle(q.plan)
+      case other => other.children.exists(hasShuffle)
+    }
+    !hasShuffle(df.queryExecution.executedPlan)
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

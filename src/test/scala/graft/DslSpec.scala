@@ -156,6 +156,51 @@ class TargetLangSpec extends SparkTestBase {
     assert(TargetLang.durationSeconds("90s") == 90L)
   }
 
+  test("movingAverage by TIME windows the gap correctly (vs by points)") {
+    val gappy = Seq(
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 20.0),
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 40.0))
+      .toDF("metric", "ts", "value")
+    val byTime = TargetLang.plan("movingAverage(m, \"10min\")", gappy)
+      .orderBy("ts").collect().map(_.getAs[Double]("value")).toSeq
+    // at 00:20 the [00:10, 00:20] window holds only the 40 — the gap is
+    // respected, unlike the 2-point frame which would reach back to 20
+    assert(byTime == Seq(10.0, 15.0, 40.0))
+    val byPoints = TargetLang.plan("movingAverage(m, 2)", gappy)
+      .orderBy("ts").collect().map(_.getAs[Double]("value")).toSeq
+    assert(byPoints == Seq(10.0, 15.0, 30.0))
+  }
+
+  test("aliasSub rewrites metric names by regex") {
+    val out = TargetLang.plan("aliasSub(events.*, \"^events\\.\", \"ev_\")", store)
+    assert(out.select("metric").distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("ev_click", "ev_view"))
+  }
+
+  test("limit keeps the first n series in name order") {
+    val out = TargetLang.plan("limit(events.*, 1)", store)
+    assert(out.select("metric").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("events.click"))
+    assert(out.count() == 2)
+  }
+
+  test("mostDeviant keeps the highest-stddev series") {
+    // click: (10,20) stddev ~7.1; view: (5,40) stddev ~24.7
+    val out = TargetLang.plan("mostDeviant(events.*, 1)", store)
+    assert(out.select("metric").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("events.view"))
+  }
+
+  test("removeAbovePercentile nulls points above the series' own p50") {
+    val out = TargetLang.plan("removeAbovePercentile(events.*, 50)", store)
+      .orderBy("metric", "ts").collect()
+    // exact p50 of (10,20)=15, of (5,40)=22.5 → second point of each nulled
+    assert(out.map(r => Option(r.get(r.fieldIndex("value")))).toSeq ==
+      Seq(Some(10.0), None, Some(5.0), None))
+    assert(out.length == 4) // shape preserved
+  }
+
   test("threshold series filters keep/drop whole series") {
     // click avg = 15, view avg = 22.5
     assert(TargetLang.plan("averageAbove(events.*, 20)", store)
