@@ -176,4 +176,39 @@ object Scheduler {
         Runner.jobStatus(Runner.runOnce(spark, source, spec, fireAt, jobDataPath, jobErrorsPath)),
       parallelism = parallelism,
       spark = Some(spark))
+
+  /** Full E1 loop (reference stages 1-5): run → persist → throttle →
+    * deliver. The throttle clock lives in the same parquet state table
+    * the streaming runner uses ([[graft.state.AlertThrottle
+    * .loadStateTable]]), so a job alerted by either path stays throttled
+    * on both. State I/O is serialized driver-side (monitor-count rows —
+    * the lock guards a metadata table, never data-scale work). */
+  def forSourceWithAlerts(spark: SparkSession, source: MetricSource,
+      jobDataPath: String, jobErrorsPath: String,
+      alertStatePath: String, deliveryPath: String,
+      sinks: Seq[graft.state.AlertSink],
+      parallelism: Int = 4): Scheduler = {
+    import graft.state.{AlertDispatcher, AlertThrottle}
+    val stateLock = new Object
+    new Scheduler(
+      runJob = (spec, fireAt) => {
+        val verdicts = Runner.runOnce(spark, source, spec, fireAt, jobDataPath, jobErrorsPath)
+        val status = Runner.jobStatus(verdicts)
+        val event = AlertThrottle.RunEvent(spec.id, fireAt,
+          failed = status != JobStatus.Success, spec.errorTimeoutMinutes)
+        stateLock.synchronized {
+          val init = AlertThrottle.loadStateTable(spark, alertStatePath)
+          val (alerts, newState) = AlertThrottle.replay(Seq(event), init)
+          if (alerts.nonEmpty) {
+            val deliveries = AlertDispatcher.dispatch(
+              alerts, id => if (id == spec.id) Some(spec) else None, sinks)
+            AlertDispatcher.persist(spark, deliveries, deliveryPath)
+          }
+          AlertThrottle.saveStateTable(spark, alertStatePath, newState)
+        }
+        status
+      },
+      parallelism = parallelism,
+      spark = Some(spark))
+  }
 }

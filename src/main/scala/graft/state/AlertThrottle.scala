@@ -101,6 +101,26 @@ object AlertThrottle {
       }
   }
 
+  /** Parquet-backed throttle-state table (job_id → status + last-alerted
+    * ms — both, so a post-recovery alert is labeled 'enter-failure'
+    * across restarts). Bounded by monitor count — metadata scale. Shared
+    * by the streaming runner and the scheduler so a job alerted by one
+    * path stays throttled on the other. */
+  def loadStateTable(spark: SparkSession,
+      path: String): Map[Long, ThrottleState] =
+    try spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> ThrottleState(r.getString(1), r.getLong(2)))
+      .toMap
+    catch { case _: Exception => Map.empty }
+
+  def saveStateTable(spark: SparkSession, path: String,
+      st: Map[Long, ThrottleState]): Unit = {
+    import spark.implicits._
+    st.toSeq.map { case (j, s) => (j, s.status, s.lastAlertedAtMillis) }
+      .toDF("job_id", "status", "last_alerted_ms")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   /** Route an alert to its channels — parse `alert_keys`
     * (reference db/schema.rb:59) prefixes. Side-effecting sink, kept
     * out of the plan; the default "log:" channel just returns the

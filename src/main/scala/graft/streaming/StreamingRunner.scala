@@ -52,31 +52,21 @@ object StreamingRunner {
         col("passed")) ++ reds.map(r => col(MonitorDsl.redCol(r))): _*)
   }
 
-  /** Tiny parquet-backed throttle-state table (job_id → status +
-    * last-alerted ms — both, so a post-recovery alert is labeled
-    * 'enter-failure' across restarts). Bounded by monitor count —
-    * metadata scale, not data scale. */
-  private def loadState(spark: SparkSession,
-      path: String): Map[Long, AlertThrottle.ThrottleState] =
-    try spark.read.parquet(path).collect()
-      .map(r => r.getLong(0) -> AlertThrottle.ThrottleState(r.getString(1), r.getLong(2)))
-      .toMap
-    catch { case _: Exception => Map.empty }
-
-  private def saveState(spark: SparkSession, path: String,
-      st: Map[Long, AlertThrottle.ThrottleState]): Unit = {
-    import spark.implicits._
-    st.toSeq.map { case (j, s) => (j, s.status, s.lastAlertedAtMillis) }
-      .toDF("job_id", "status", "last_alerted_ms")
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
+  // throttle-state table lives in AlertThrottle.load/saveStateTable —
+  // shared with the Scheduler so both paths honor one throttle clock
 
   /** Stage 2 wiring: start the full pipeline, appending fired alerts to
-    * `alertsPath` parquet. Returns the running query (AvailableNow for
+    * `alertsPath` parquet. When `sinks` is non-empty, fired alerts are
+    * ALSO delivered through [[graft.state.AlertDispatcher]] (S7: channel
+    * sinks with bounded retries) and the per-channel delivery records
+    * appended to `deliveryPath` — streaming and scheduled monitors share
+    * one delivery path. Returns the running query (AvailableNow for
     * tests, ProcessingTime in deployment). */
   def start(spark: SparkSession, stream: DataFrame, spec: MonitorSpec,
       slide: String, alertsPath: String, statePath: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      sinks: Seq[graft.state.AlertSink] = Nil,
+      deliveryPath: Option[String] = None): StreamingQuery = {
     import spark.implicits._
     verdictStream(stream, spec, slide).writeStream
       .outputMode("append")
@@ -93,11 +83,18 @@ object StreamingRunner {
             spec.errorTimeoutMinutes))
           .toSeq
         if (events.nonEmpty) {
-          val init = loadState(spark, statePath)
+          val init = AlertThrottle.loadStateTable(spark, statePath)
           val (alerts, newState) = AlertThrottle.replay(events, init)
-          if (alerts.nonEmpty)
+          if (alerts.nonEmpty) {
             alerts.toDF().write.mode("append").parquet(alertsPath)
-          saveState(spark, statePath, newState)
+            if (sinks.nonEmpty) {
+              val deliveries = graft.state.AlertDispatcher.dispatch(
+                alerts, id => if (id == spec.id) Some(spec) else None, sinks)
+              deliveryPath.foreach(p =>
+                graft.state.AlertDispatcher.persist(spark, deliveries, p))
+            }
+          }
+          AlertThrottle.saveStateTable(spark, statePath, newState)
         }
       }
       .start()

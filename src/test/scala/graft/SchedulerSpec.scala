@@ -127,6 +127,30 @@ class SchedulerSpec extends SparkTestBase {
     sch2.shutdown()
   }
 
+  test("full E1 loop: failing run alerts once through sinks, re-fire throttled") {
+    val tmp = Files.createTempDirectory("graft-sched-alerts").toString
+    val source = graft.store.MetricSource.events(spark, "/root/testdata/sf0.001")
+    val sent = new ConcurrentLinkedQueue[String]()
+    val sch = Scheduler.forSourceWithAlerts(spark, source,
+      s"$tmp/job_data", s"$tmp/job_errors", s"$tmp/alert_state", s"$tmp/deliveries",
+      sinks = graft.state.AlertSinks.default(sent.add(_)), parallelism = 2)
+    val boot = t("2024-01-15 11:59:00")
+    sch.register(MonitorSpec(id = 8, name = "failing", targets = Seq("events.*"),
+      minutes = 720, toDate = None, cronExpr = "* * * * *",
+      monitorExpr = "mean > 1000000", alertKeys = Seq("mailto:oncall@example.com"),
+      errorTimeoutMinutes = 60), boot)
+    sch.tick(t("2024-01-15 12:00:00")); sch.awaitIdle()
+    // second failing run 1 minute later: inside error_timeout ⇒ throttled
+    sch.tick(t("2024-01-15 12:01:00")); sch.awaitIdle()
+    assert(sch.snapshot.head.fired == 2)
+    assert(sch.snapshot.head.lastStatus == JobStatus.Failed)
+    assert(sent.size == 1, s"expected one throttled delivery, got $sent")
+    val d = spark.read.parquet(s"$tmp/deliveries").collect()
+    assert(d.length == 1)
+    assert(spark.read.parquet(s"$tmp/job_errors").count() > 0)
+    sch.shutdown()
+  }
+
   test("production wiring: due job runs end-to-end through Runner.runOnce") {
     val tmp = Files.createTempDirectory("graft-sched-e2e").toString
     val source = graft.store.MetricSource.events(spark, "/root/testdata/sf0.001")

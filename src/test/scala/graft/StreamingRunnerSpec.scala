@@ -52,4 +52,29 @@ class StreamingRunnerSpec extends SparkTestBase {
     assert(a.size == 2, s"one re-alert after timeout, got $a")
     assert(a(1).getTime - a(0).getTime >= 60 * 60000L)
   }
+
+  test("streaming alerts deliver through channel sinks into the delivery table") {
+    val tmp = Files.createTempDirectory("graft-sr-d").toString
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Timestamp, Double)]
+    val stream = ms.toDF().toDF("metric", "ts", "value")
+    val routed = spec.copy(id = 43,
+      alertKeys = Seq("mailto:oncall@example.com", "pagerduty:KEY"))
+    val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sinks = graft.state.AlertSinks.default(sent.add(_))
+
+    ms.addData((0 to 30).map(m => ("m.a", ts(m), 1.0))) // failing windows
+    val q = StreamingRunner.start(spark, stream, routed, slide = "5 minutes",
+      s"$tmp/alerts", s"$tmp/state", s"$tmp/ckpt",
+      sinks = sinks, deliveryPath = Some(s"$tmp/deliveries"))
+    q.awaitTermination()
+
+    val d = spark.read.parquet(s"$tmp/deliveries")
+    val byChannel = d.groupBy("channel").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one throttled alert × two alert_keys
+    assert(byChannel == Map("mailto" -> 1L, "pagerduty" -> 1L), byChannel.toString)
+    assert(d.filter("delivered").count() == 2)
+    assert(sent.size == 2)
+  }
 }
