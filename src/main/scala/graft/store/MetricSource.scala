@@ -35,4 +35,15 @@ object MetricSource {
     * filter; in-memory test frames just filter. */
   def ofFrame(df: DataFrame): MetricSource =
     (from, until) => df.filter(col("ts") >= lit(from) && col("ts") <= lit(until))
+
+  /** Day-partitioned 1-minute rollup store written by
+    * [[graft.streaming.Ingest.runAvailableNow]]: the window clip becomes
+    * BOTH a partition filter on `date` (directory pruning) and a
+    * row-group filter on the native `ts` — the E1 hot path's 100-TB
+    * layout. `value` is the minutely sum (the store's own grain). */
+  def rollup(spark: SparkSession, dir: String): MetricSource =
+    (from, until) => spark.read.parquet(dir)
+      .filter(col("date") >= to_date(lit(from)) && col("date") <= to_date(lit(until)) &&
+        col("ts") >= lit(from) && col("ts") <= lit(until))
+      .select(col("metric"), col("ts"), col("sum_v").as("value"))
 }

@@ -53,14 +53,23 @@ object Ingest {
   /** Drain everything currently available into the rollup store and
     * stop — `Trigger.AvailableNow` gives the deterministic batch-like
     * semantics tests need while exercising the real streaming path
-    * (incremental state, watermark, checkpoint). */
+    * (incremental state, watermark, checkpoint).
+    *
+    * The store is PARTITIONED BY day (SURVEY §4.4's `(date, ...)`
+    * layout): a monitor window's scan prunes to its day directories
+    * before parquet even opens a footer — at 100 TB that is the
+    * difference between listing two days and listing years. Read it
+    * through [[graft.store.MetricSource.rollup]]. */
   def runAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
       checkpointDir: String): Unit = {
-    val q = rollupStream(spark, srcDir).writeStream
+    val q = rollupStream(spark, srcDir)
+      .withColumn("date", to_date(col("ts")))
+      .writeStream
       .outputMode("append")
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
+      .partitionBy("date")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

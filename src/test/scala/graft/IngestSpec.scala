@@ -43,6 +43,59 @@ class IngestSpec extends SparkTestBase {
     assert(tooOldMissing.count() == 0, "closed window missing from streamed rollup")
   }
 
+  test("rollup store is day-partitioned and the monitor clip prunes to its days") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-ingest3")
+    val out = s"$tmp/rollup"
+    Ingest.runAvailableNow(spark, dir, out, s"$tmp/ckpt")
+
+    // physical layout: one directory per day
+    val dayDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("date=")).sorted
+    assert(dayDirs.length > 1, s"expected day directories, got ${dayDirs.mkString(",")}")
+
+    // a one-day window reads a bounded slice through the partition filter
+    val src = graft.store.MetricSource.rollup(spark, out)
+    val clipped = src.scan(Timestamp.valueOf("2024-01-10 00:00:00"),
+      Timestamp.valueOf("2024-01-10 23:59:00"))
+    clipped.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val self = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+      self ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }).flatMap(scans)
+    }
+    val scan = scans(clipped.queryExecution.executedPlan)
+    assert(scan.nonEmpty)
+    scan.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "date")),
+        s"no date partition filter:\n$s")
+      val parts = s.relation.location.listFiles(s.partitionFilters, s.dataFilters).size
+      assert(parts <= 2, s"one-day clip listed $parts day partitions")
+    }
+
+    // and the monitor path over the rollup agrees with the raw-event path
+    // (same window, same reductions, rollup grain = minutely sums)
+    val spec = graft.model.MonitorSpec(id = 21, name = "rollup-mon",
+      targets = Seq("events.*"), minutes = 120,
+      toDate = Some(Timestamp.valueOf("2024-01-10 12:00:00")),
+      cronExpr = "*/5 * * * *", monitorExpr = "sum > 0 && count > 0")
+    val viaRollup = graft.engine.Runner.evaluate(spark, src, spec,
+      Timestamp.valueOf("2024-01-10 12:00:00"))
+    val viaEvents = graft.engine.Runner.evaluate(spark,
+      graft.store.MetricSource.events(spark, dir), spec,
+      Timestamp.valueOf("2024-01-10 12:00:00"))
+    assert(viaRollup.nonEmpty)
+    assert(viaRollup.map(v => (v.metric, v.passed)).sorted ==
+      viaEvents.map(v => (v.metric, v.passed)).sorted)
+  }
+
   test("ST2/ST3: restart from checkpoint is idempotent (no duplicate windows)") {
     val tmp = Files.createTempDirectory("graft-ingest2")
     val out = s"$tmp/rollup"
