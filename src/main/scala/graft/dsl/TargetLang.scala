@@ -250,6 +250,10 @@ object TargetLang {
         SeriesOps.multiplySeries(compile(a, store), compile(b, store), render(e))
       case ("asPercent", Seq(ExprArg(a), ExprArg(b))) =>
         SeriesOps.asPercent(compile(a, store), compile(b, store), render(e))
+      case ("asPercent", Seq(ExprArg(a))) =>
+        SeriesOps.asPercentOfTotal(compile(a, store))
+      case ("offsetToZero", Seq(ExprArg(a))) =>
+        SeriesOps.offsetToZero(compile(a, store))
 
       // anomaly bands (A8): seasonal Holt-Winters over the compiled
       // series. Optional args: z (band width, default 3), season period

@@ -363,6 +363,28 @@ object SeriesOps {
     out.drop("_cut")
   }
 
+  /** asPercent(seriesList) single-arg form — each point as a percent of
+    * the cross-series total at its ts. Total is one agg joined back on
+    * ts (aligned grids ⇒ the join key is the bucket). */
+  def asPercentOfTotal(df: DataFrame): DataFrame = {
+    val totals = df.groupBy(col("ts")).agg(dsum(col("value")).as("_total"))
+    df.join(totals, Seq("ts"))
+      .withColumn("value",
+        when(col("_total") =!= 0.0, col("value") / col("_total") * 100.0))
+      .drop("_total")
+      .select("metric", "ts", "value")
+  }
+
+  /** offsetToZero(series) — shift each series so its minimum is 0
+    * (Graphite's baseline-normalizer). Per-series min broadcast back. */
+  def offsetToZero(df: DataFrame): DataFrame = {
+    val mins = df.groupBy(col("metric")).agg(min(col("value")).as("_min"))
+    df.join(broadcast(mins), Seq("metric"))
+      .withColumn("value", col("value") - col("_min"))
+      .drop("_min")
+      .select("metric", "ts", "value")
+  }
+
   /** countSeries — number of series with a point at each ts. */
   def countSeries(df: DataFrame, name: String = "countSeries"): DataFrame =
     df.groupBy(col("ts")).agg(count(col("value")).cast("double").as("value"))

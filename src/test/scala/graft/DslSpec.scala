@@ -192,6 +192,17 @@ class TargetLangSpec extends SparkTestBase {
       Seq("events.view"))
   }
 
+  test("asPercent single-arg normalizes per ts; offsetToZero baselines per series") {
+    val pct = TargetLang.plan("asPercent(events.*)", store)
+      .orderBy("metric", "ts").collect().map(_.getAs[Double]("value")).toSeq
+    // t0 total 15, t1 total 60
+    assert(pct.map(v => math.rint(v * 100) / 100) ==
+      Seq(66.67, 33.33, 33.33, 66.67))
+    val zeroed = TargetLang.plan("offsetToZero(events.*)", store)
+      .orderBy("metric", "ts").collect().map(_.getAs[Double]("value")).toSeq
+    assert(zeroed == Seq(0.0, 10.0, 0.0, 35.0))
+  }
+
   test("removeAbovePercentile nulls points above the series' own p50") {
     val out = TargetLang.plan("removeAbovePercentile(events.*, 50)", store)
       .orderBy("metric", "ts").collect()

@@ -51,6 +51,21 @@ class GoldenMonitorSpec extends SparkTestBase {
     assert(math.abs(v.map(_.observed.get).sum - expected) < 1e-6)
   }
 
+  test("golden: time-window movingAverage through the full monitor chain") {
+    val v = Runner.evaluate(spark, store,
+      mon(9, Seq("movingAverage(events.purchase, \"60min\")"), "max > 0"), at)
+    assert(v.size == 1)
+    // independent formulation: SQL-text RANGE frame over epoch seconds
+    val expected = independent(
+      """SELECT max(mv) FROM (
+        |  SELECT avg(value) OVER (
+        |    ORDER BY unix_timestamp(ts)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS mv
+        |  FROM ev WHERE event_type = 'purchase'
+        |  AND ts BETWEEN timestamp'2024-01-19 00:00:00' AND timestamp'2024-01-20 00:00:00')""".stripMargin)
+    assert(math.abs(v.head.observed.get - expected) < 1e-6)
+  }
+
   test("golden 3: sumSeries combine + count reduction") {
     val v = Runner.evaluate(spark, store,
       mon(3, Seq("sumSeries(events.*)"), "count > 0"), at)
