@@ -185,6 +185,35 @@ object Queries {
       .ordered("metric")
   }
 
+  // P6 — one-plan historical backtest sweep (ST8): every 2h grid window
+  // end over half a day, each reduced over its own 720-min lookback —
+  // one shuffle, no driver loop. Oracle: grid join in DuckDB.
+  q("p6_backtest_sweep",
+    s"""WITH g AS (
+       |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10 06:00:00',
+       |    TIMESTAMP '2024-01-10 18:00:00', INTERVAL 120 MINUTE)) AS window_end),
+       |r AS (
+       |  SELECT g.window_end, 'events.' || e.event_type AS metric,
+       |    ${DSUM("e.value")} / COUNT(e.value) AS mean_v,
+       |    COUNT(e.value) AS cnt
+       |  FROM g JOIN events e
+       |    ON e.ts >= g.window_end - INTERVAL 720 MINUTE AND e.ts <= g.window_end
+       |  GROUP BY 1, 2)
+       |SELECT window_end, metric, mean_v, cnt,
+       |  (mean_v > 250 AND cnt > 0) AS passed
+       |FROM r ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.engine.Backtest.sweep(
+        graft.store.MetricSource.events(s, dir),
+        graft.model.MonitorSpec(id = 6, name = "sweep", targets = Seq("events.*"),
+          minutes = 720, toDate = None, cronExpr = "0 * * * *",
+          monitorExpr = "mean > 250 && count > 0"),
+        java.sql.Timestamp.valueOf("2024-01-10 06:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-10 18:00:00"), stepMinutes = 120)
+      .select(col("window_end"), col("metric"),
+        col("red_mean").as("mean_v"), col("red_count").as("cnt"), col("passed"))
+      .ordered("window_end", "metric")
+  }
+
   // P5 — trailing-null trim (Graphite's incomplete newest buckets).
   // Nulls are synthesized deterministically (minute ≡ 0 mod 7) so both
   // engines null the same buckets.
