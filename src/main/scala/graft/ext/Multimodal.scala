@@ -89,6 +89,28 @@ object Multimodal {
     }
   }
 
+  /** Resize-to-fit stage: scale media so the longest side fits `box`,
+    * preserving aspect ratio. The METADATA math is real, integer-exact
+    * (`w·box div max(w,h)` — no FP, so plans and engines agree bit-for-
+    * bit) and runs as plain codegen'd columns, so a `WHERE out_w < …`
+    * prunes before any payload is touched.
+    * ======== STUB ======== the payload "resample" is a byte-slice
+    * proportional to the area ratio — a real deployment swaps it for the
+    * codec call, signature and metadata math unchanged. */
+  def resizeToFit(media: DataFrame, box: Int): DataFrame = {
+    def scaled(side: String) =
+      when(greatest(col("width"), col("height")) <= box, col(side).cast("long"))
+        .otherwise(greatest(lit(1L), expr(s"CAST($side AS BIGINT) * $box DIV greatest(width, height)")))
+    media
+      .withColumn("out_w", scaled("width"))
+      .withColumn("out_h", scaled("height"))
+      .withColumn("out_bytes", expr(
+        """least(CAST(octet_length(payload) AS BIGINT),
+          |  greatest(1L, CAST(octet_length(payload) AS BIGINT) * out_w * out_h
+          |    DIV greatest(CAST(width AS BIGINT) * height, 1L)))""".stripMargin))
+      .withColumn("payload", expr("substring(payload, 1, out_bytes)"))
+  }
+
   /** Frame sampling for video rows: fan one row out to ceil(duration/interval)
     * frame stubs (the explode shape; a real pipeline decodes each frame
     * lazily downstream). */

@@ -1384,6 +1384,36 @@ object Queries {
       .ordered("media_id")
   }
 
+  // X12d — resize-to-fit: aspect-preserving fit into a 224 box. The
+  // metadata math is integer-exact (DIV, no FP) so it hash-matches;
+  // the payload byte-slice is the clearly-marked codec stand-in and is
+  // verified by length only.
+  q("x12d_resize",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(n_chars % 640 AS INTEGER) AS width,
+      |    CAST(n_chars % 480 AS INTEGER) AS height,
+      |    octet_length(encode(text)) AS len
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, width, height, len,
+      |    CASE WHEN greatest(width, height) <= 224 THEN CAST(width AS BIGINT)
+      |         ELSE greatest(1, CAST(width AS BIGINT) * 224 // greatest(width, height)) END AS out_w,
+      |    CASE WHEN greatest(width, height) <= 224 THEN CAST(height AS BIGINT)
+      |         ELSE greatest(1, CAST(height AS BIGINT) * 224 // greatest(width, height)) END AS out_h
+      |  FROM m)
+      |SELECT media_id, width, height, out_w, out_h,
+      |  least(CAST(len AS BIGINT),
+      |    greatest(1, CAST(len AS BIGINT) * out_w * out_h
+      |      // greatest(CAST(width AS BIGINT) * height, 1))) AS out_bytes
+      |FROM s ORDER BY media_id""".stripMargin) { (s, dir) =>
+    graft.ext.Multimodal.resizeToFit(
+        graft.ext.Multimodal.syntheticMediaTable(s, dir), box = 224)
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"), col("out_bytes"))
+      .ordered("media_id")
+  }
+
   // X12b — decode/feature-extract through the per-partition batch path
   // (mapPartitions with the stub codec); rows-only — the codec is a
   // deterministic fake, the Spark plumbing is what's under test.

@@ -123,6 +123,27 @@ class ExtSpec extends SparkTestBase {
     assert(perMedia.forall(_.getLong(1) >= 1))
   }
 
+  test("multimodal resize: aspect fit into the box, payload sliced to out_bytes") {
+    val media = Multimodal.syntheticMediaTable(spark, dir)
+    val out = Multimodal.resizeToFit(media, box = 224).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))
+      assert(ow <= math.max(w, 224) && oh <= math.max(h, 224))
+      if (math.max(w, h) > 224) assert(math.max(ow, oh) <= 224)
+      else assert(ow == w && oh == h) // no upscaling
+      // the stub payload really is the promised size
+      assert(r.getAs[Array[Byte]]("payload").length == r.getAs[Long]("out_bytes"))
+      // aspect preserved within integer rounding (cross-product bound
+      // for ow=⌊w·s⌋, oh=⌊h·s⌋); rows clamped to 1 px are excluded —
+      // the clamp deliberately wins over aspect at extreme ratios
+      if (w > 0 && h > 0 && math.max(w, h) > 224 && ow > 1 && oh > 1)
+        assert(math.abs(ow * h - oh * w) <= (w + h).toLong,
+          s"aspect broken: ($w,$h) -> ($ow,$oh)")
+    }
+  }
+
   test("documents shorter than one shingle dedup cleanly (no negative sequence)") {
     val docs = Seq((1L, "just two"), (2L, "a"), (3L, ""),
       (4L, "the quick brown fox jumps over the lazy dog"),
