@@ -91,6 +91,18 @@ object MonitorApi {
         col("status"), col("data"))
       .toJSON.collect().mkString("[", ",", "]")
 
+  /** Backtest endpoint: the one-plan historical sweep
+    * ([[Backtest.sweep]]) as JSON rows — the reference's "test this
+    * monitor over the past range" UI call, minus the per-window rerun. */
+  def backtestJson(spark: SparkSession, source: MetricSource, specJson: String,
+      from: Timestamp, until: Timestamp, stepMinutes: Int): String = {
+    val spec = parseSpec(spark, specJson)
+    Backtest.sweep(source, spec, from, until, stepMinutes)
+      .orderBy(col("window_end"), col("metric"))
+      .withColumn("window_end", col("window_end").cast("string"))
+      .toJSON.collect().mkString("[", ",", "]")
+  }
+
   /** Render endpoint: compile a target string over a window, return
     * series as JSON (the chart shape the reference stored per run). */
   def renderJson(spark: SparkSession, source: MetricSource, target: String,

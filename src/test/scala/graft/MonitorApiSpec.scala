@@ -72,6 +72,19 @@ class MonitorApiSpec extends SparkTestBase {
     assert(rows(0).getAs[String]("data").contains("\"metric\""))
   }
 
+  test("backtestJson: sweep rows come back ordered with per-window verdicts") {
+    val out = MonitorApi.backtestJson(spark, source,
+      """{"id": 12, "targets": ["events.*"], "minutes": 720,
+         "monitorExpr": "mean > 0 && count > 0"}""",
+      Timestamp.valueOf("2024-01-10 06:00:00"),
+      Timestamp.valueOf("2024-01-10 18:00:00"), stepMinutes = 240)
+    val rows = parseJson(out).collect()
+    assert(rows.length >= 8) // 4 grid ends × several metrics
+    assert(rows.forall(_.getAs[Boolean]("passed")))
+    val ends = rows.map(_.getAs[String]("window_end")).distinct.sorted
+    assert(ends.head.startsWith("2024-01-10 06:00") && ends.last.startsWith("2024-01-10 18:00"))
+  }
+
   test("renderJson: target compiles and series come back as (metric, points)") {
     val out = MonitorApi.renderJson(spark, source, "summarize(events.*, \"1h\", \"sum\")",
       Timestamp.valueOf("2024-01-15 00:00:00"), now)
