@@ -129,6 +129,11 @@ object TargetLang {
         withValue(compile(a, store), SeriesOps.movingMedian(n.toInt))
       case ("movingMedian", Seq(ExprArg(a), StrArg(d))) =>
         withValue(compile(a, store), SeriesOps.movingAggTime("median", durationSeconds(d)))
+      case ("exponentialMovingAverage", Seq(ExprArg(a), NumArg(n))) =>
+        SeriesOps.exponentialMovingAverage(compile(a, store), n)
+      case ("timeSlice", Seq(ExprArg(a), StrArg(from), StrArg(until))) =>
+        SeriesOps.timeSlice(compile(a, store),
+          java.sql.Timestamp.valueOf(from), java.sql.Timestamp.valueOf(until))
       case ("stdev", Seq(ExprArg(a), NumArg(n))) =>
         withValue(compile(a, store), SeriesOps.movingStddev(n.toInt))
       case ("stdev", Seq(ExprArg(a), StrArg(d))) =>

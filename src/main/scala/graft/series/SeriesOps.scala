@@ -92,6 +92,40 @@ object SeriesOps {
     }
   }
 
+  /** exponentialMovingAverage(series, n) — Graphite's EMA with
+    * α = 2/(n+1), seeded at the first value. The recurrence is
+    * order-sensitive so it cannot be a window aggregate; same
+    * per-series fold shape as HoltWinters (one shuffle on metric,
+    * buffer bounded by the clipped window). Null points emit null and
+    * leave the EMA state untouched. */
+  def exponentialMovingAverage(df: DataFrame, n: Double): DataFrame = {
+    val alpha = 2.0 / (n + 1.0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("metric", "ts", "value")
+      .as[(String, java.sql.Timestamp, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (m, it) =>
+        val rows = it.toVector.sortBy(_._2.getTime)
+        var ema = Option.empty[Double]
+        rows.iterator.map { case (_, ts, v) =>
+          val out = v.map { x =>
+            val e = ema.fold(x)(prev => alpha * x + (1 - alpha) * prev)
+            ema = Some(e)
+            e
+          }
+          (m, ts, out)
+        }
+      }
+      .toDF("metric", "ts", "value")
+  }
+
+  /** timeSlice(series, from, until) — keep points inside the range
+    * (inclusive); Graphite's window-within-a-window. */
+  def timeSlice(df: DataFrame, from: java.sql.Timestamp,
+      until: java.sql.Timestamp): DataFrame =
+    df.filter(col("ts") >= lit(from) && col("ts") <= lit(until))
+
   /** derivative(series) — point-to-point delta (W2). First point null. */
   def derivative(c: Column = col("value")): Column =
     c - lag(c, 1).over(seriesWindow)

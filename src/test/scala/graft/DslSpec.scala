@@ -192,6 +192,25 @@ class TargetLangSpec extends SparkTestBase {
       Seq("events.view"))
   }
 
+  test("exponentialMovingAverage folds in ts order; nulls skip state") {
+    val s = Seq(
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Double.box(10.0)),
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), Double.box(20.0)),
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), null.asInstanceOf[java.lang.Double]),
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), Double.box(30.0)))
+      .toDF("metric", "ts", "value")
+    // n=3 ⇒ α=0.5: 10, 15, null, 22.5 (the null neither emits nor decays)
+    val out = TargetLang.plan("exponentialMovingAverage(m, 3)", s)
+      .orderBy("ts").collect().map(r => Option(r.get(r.fieldIndex("value"))))
+    assert(out.toSeq == Seq(Some(10.0), Some(15.0), None, Some(22.5)))
+  }
+
+  test("timeSlice keeps only the inner range") {
+    val out = TargetLang.plan(
+      "timeSlice(events.*, \"2024-01-01 00:01:00\", \"2024-01-01 00:01:00\")", store)
+    assert(out.count() == 2) // one point per series at 00:01
+  }
+
   test("asPercent single-arg normalizes per ts; offsetToZero baselines per series") {
     val pct = TargetLang.plan("asPercent(events.*)", store)
       .orderBy("metric", "ts").collect().map(_.getAs[Double]("value")).toSeq
