@@ -142,6 +142,12 @@ object TargetLang {
         withValue(compile(a, store), SeriesOps.derivative())
       case ("nonNegativeDerivative", Seq(ExprArg(a))) =>
         withValue(compile(a, store), SeriesOps.nonNegativeDerivative())
+      case ("nonNegativeDerivative", Seq(ExprArg(a), NumArg(maxV))) =>
+        withValue(compile(a, store), SeriesOps.nonNegativeDerivativeWrap(maxV))
+      case ("delay", Seq(ExprArg(a), NumArg(steps))) =>
+        withValue(compile(a, store), SeriesOps.delay(steps.toInt))
+      case ("integralByInterval", Seq(ExprArg(a), StrArg(step))) =>
+        SeriesOps.integralByInterval(compile(a, store), sparkInterval(step))
       case ("perSecond", Seq(ExprArg(a))) =>
         withValue(compile(a, store), SeriesOps.perSecond())
       case ("integral", Seq(ExprArg(a))) =>
@@ -238,6 +244,8 @@ object TargetLang {
         SeriesOps.filterSeriesByScore(compile(a, store), "last", above = true, t)
       case ("currentBelow", Seq(ExprArg(a), NumArg(t))) =>
         SeriesOps.filterSeriesByScore(compile(a, store), "last", above = false, t)
+      case ("averageOutsidePercentile", Seq(ExprArg(a), NumArg(p))) =>
+        SeriesOps.averageOutsidePercentile(compile(a, store), p)
 
       // cross-series shape functions
       case ("countSeries", as) => SeriesOps.countSeries(unionArgs(as, store), render(e))

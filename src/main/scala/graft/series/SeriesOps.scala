@@ -144,6 +144,31 @@ object SeriesOps {
     when(dt > 0, dv / dt).otherwise(lit(null))
   }
 
+  /** nonNegativeDerivative(series, maxValue) — counter-wrap recovery:
+    * a negative delta on a counter with known ceiling means the counter
+    * wrapped, so the true delta is `delta + maxValue + 1` (Graphite's
+    * rule). Without maxValue, wraps stay null ([[nonNegativeDerivative]]). */
+  def nonNegativeDerivativeWrap(maxValue: Double, c: Column = col("value")): Column = {
+    val d = derivative(c)
+    when(d >= 0, d).otherwise(
+      when(d.isNotNull, d + lit(maxValue) + lit(1.0)))
+  }
+
+  /** delay(series, steps) — shift values N points later in the series
+    * (Graphite's delay); the first `steps` points become null. */
+  def delay(steps: Int, c: Column = col("value")): Column =
+    lag(c, steps).over(seriesWindow)
+
+  /** integralByInterval(series, interval) — cumulative sum that resets
+    * at each interval boundary (W3 variant): the running-sum window is
+    * partitioned by the bucket as well as the metric. */
+  def integralByInterval(df: DataFrame, step: String): DataFrame =
+    df.withColumn("value",
+      sum(col("value").cast(DecimalType(18, 6)))
+        .over(Window.partitionBy(col("metric"), window(col("ts"), step))
+          .orderBy("ts").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double"))
+
   /** integral(series) — running cumulative sum (W3). */
   def integral(c: Column = col("value")): Column =
     sum(c.cast(DecimalType(18, 6)))
@@ -370,6 +395,23 @@ object SeriesOps {
     }
     val keep = df.groupBy(col("metric")).agg(score.as("_score"))
       .filter(if (above) col("_score") > threshold else col("_score") < threshold)
+      .select("metric")
+    df.join(broadcast(keep), Seq("metric"), "left_semi")
+  }
+
+  /** averageOutsidePercentile(seriesList, p) — keep series whose average
+    * lies OUTSIDE the [p, 100−p] percentile band of all series'
+    * averages (Graphite's outlier selector; p ≤ 50). Scores are one agg;
+    * the band is a second tiny agg over series count rows; bodies
+    * semi-join back. */
+  def averageOutsidePercentile(df: DataFrame, p: Double): DataFrame = {
+    val pLow = math.min(p, 100.0 - p) / 100.0
+    val scores = df.groupBy(col("metric")).agg(dmean(col("value")).as("_avg"))
+    val band = scores.agg(
+      percentile(col("_avg"), lit(pLow)).as("_lo"),
+      percentile(col("_avg"), lit(1.0 - pLow)).as("_hi"))
+    val keep = scores.crossJoin(broadcast(band))
+      .filter(col("_avg") < col("_lo") || col("_avg") > col("_hi"))
       .select("metric")
     df.join(broadcast(keep), Seq("metric"), "left_semi")
   }

@@ -192,6 +192,34 @@ class TargetLangSpec extends SparkTestBase {
       Seq("events.view"))
   }
 
+  test("counter wrap, delay, and per-interval integral") {
+    val s = Seq(
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 250.0),
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 254.0),
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 3.0)) // wrapped at 255
+      .toDF("metric", "ts", "value")
+    val wrapped = TargetLang.plan("nonNegativeDerivative(m, 255)", s)
+      .orderBy("ts").collect().map(r => Option(r.get(r.fieldIndex("value"))))
+    assert(wrapped.toSeq == Seq(None, Some(4.0), Some(5.0))) // 3-254+255+1 = 5
+    val delayed = TargetLang.plan("delay(m, 1)", s)
+      .orderBy("ts").collect().map(r => Option(r.get(r.fieldIndex("value"))))
+    assert(delayed.toSeq == Seq(None, Some(250.0), Some(254.0)))
+    val integ = TargetLang.plan("integralByInterval(m, \"2min\")", s)
+      .orderBy("ts").collect().map(_.getAs[Double]("value"))
+    assert(integ.toSeq == Seq(250.0, 504.0, 3.0)) // resets at 00:02
+  }
+
+  test("averageOutsidePercentile keeps only outlier series") {
+    val many = (1 to 10).flatMap { i =>
+      Seq(("s" + "%02d".format(i), java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        if (i == 10) 1000.0 else i.toDouble))
+    }.toDF("metric", "ts", "value")
+    val out = TargetLang.plan("averageOutsidePercentile(s*, 10)", many)
+      .select("metric").distinct().collect().map(_.getString(0)).sorted.toSeq
+    // band = [p10, p90] of the 10 averages: s01 (below) and s10 (above) fall outside
+    assert(out == Seq("s01", "s10"))
+  }
+
   test("exponentialMovingAverage folds in ts order; nulls skip state") {
     val s = Seq(
       ("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Double.box(10.0)),
