@@ -1142,6 +1142,26 @@ object Queries {
       .ordered("keep_id")
   }
 
+  // X1b — normalized exact dedup (the standard "fuzzy-exact" pipeline
+  // stage): case-fold + collapse non-alphanumerics before hashing, so
+  // whitespace/punctuation variants of a document collapse to one
+  // cluster. The dedup key is md5 of the normalized text — identical
+  // bytes in both engines.
+  q("x1b_dedup_normalized",
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM (SELECT doc_id,
+      |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k
+      |      FROM documents)
+      |GROUP BY k ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(norm).as("k"))
+      .groupBy("k")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+      .ordered("keep_id")
+  }
+
   // X2 — MinHash-LSH near-dup detection (shingle→signature→band→verify).
   // No SQL oracle: the LSH candidate set depends on xxhash64, which
   // DuckDB lacks; recall vs brute force is spec-tested instead.
