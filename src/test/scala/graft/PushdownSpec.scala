@@ -52,6 +52,22 @@ class PushdownSpec extends SparkTestBase {
       s"clip upper bound not pushed:\n$scan")
   }
 
+  test("backtest sweep pushes the whole range (from − window) to the scan") {
+    import graft.model.MonitorSpec
+    val spec = MonitorSpec(2, "sweep", Seq("events.*"), minutes = 720,
+      toDate = None, cronExpr = "0 * * * *", monitorExpr = "mean > 0")
+    val df = graft.engine.Backtest.sweep(
+      graft.store.MetricSource.events(spark, dir), spec,
+      Timestamp.valueOf("2024-01-10 06:00:00"),
+      Timestamp.valueOf("2024-01-10 18:00:00"), stepMinutes = 120)
+    val scan = df.queryExecution.executedPlan.toString
+    // lower bound = from − 720 min = 2024-01-09 18:00 in raw ns
+    assert(scan.contains("GreaterThanOrEqual(ts,1704823200000000000"),
+      s"sweep lower bound not pushed:\n$scan")
+    assert(scan.contains("LessThan(ts,1704909600000001000"),
+      s"sweep upper bound not pushed:\n$scan")
+  }
+
   test("metricStoreWindowed is inclusive of the exact upper-bound microsecond") {
     import org.apache.spark.sql.functions._
     val hi = Timestamp.valueOf("2024-01-15 12:00:00")
