@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composable cleaning pipeline (north-star x13 as a library
+  * surface): language gate → token-length gate → optional quality
+  * gates → blocked near-dup drop → survival stats. Every stage is a
+  * DataFrame→DataFrame transform, so the whole configured pipeline
+  * stays ONE Catalyst plan — filters fuse into the scan, the only
+  * shuffles are the dedup stage's (block-keyed pair join) and the
+  * final stats aggregate.
+  *
+  * At 100 TB the order is the cost model: cheap codegen'd gates
+  * (langId, token count, ratios) run first and shrink the corpus
+  * before the pair-generating dedup ever sees a row.
+  */
+object Cleaning {
+
+  /** One knob per stage; `None`/`NaN`-free defaults mirror the common
+    * web-corpus clean (keep English, 20-200 tokens, drop ≥0.8-Jaccard
+    * near-dups within a source block, keep the lowest doc id). */
+  final case class Config(
+      lang: Option[String] = Some("en"),
+      minTokens: Int = 20,
+      maxTokens: Int = 200,
+      /** e.g. Some(("stopword_ratio", 0.05)) keeps rows with ratio ≥ min. */
+      minQuality: Option[(String, Double)] = None,
+      jaccardThreshold: Double = 0.8,
+      blockCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text")
+
+  /** Stage 1-2: the cheap, fully-codegen'd gates. */
+  def gate(docs: DataFrame, cfg: Config): DataFrame = {
+    val t = col(cfg.textCol)
+    val langed = cfg.lang.fold(docs)(l =>
+      docs.filter(TextOps.langId(t) === l))
+    val sized = langed.filter(
+      TextOps.tokenCount(t).between(cfg.minTokens, cfg.maxTokens))
+    cfg.minQuality.fold(sized) { case (feature, min) =>
+      val f = TextOps.qualityFeatures(t).toMap
+        .getOrElse(feature, throw new IllegalArgumentException(
+          s"unknown quality feature '$feature'"))
+      sized.filter(f >= min)
+    }
+  }
+
+  /** Stage 3: drop the higher-id member of every ≥threshold near-dup
+    * pair inside a block (deterministic keeper = lowest id). */
+  def dropNearDups(docs: DataFrame, cfg: Config): DataFrame = {
+    val drops = Dedup.wordJaccardPairs(docs, cfg.idCol, cfg.textCol,
+        cfg.blockCol, cfg.jaccardThreshold)
+      .select(col("id2").as(cfg.idCol)).distinct()
+    docs.join(drops, Seq(cfg.idCol), "left_anti")
+  }
+
+  /** The full pipeline: surviving documents (all input columns). */
+  def clean(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    dropNearDups(gate(docs, cfg), cfg)
+
+  /** Per-block survival report: (block, n_raw, n_kept). */
+  def survivalStats(raw: DataFrame, cleaned: DataFrame, cfg: Config = Config()): DataFrame = {
+    val r = raw.groupBy(col(cfg.blockCol))
+      .agg(countDistinct(col(cfg.idCol)).as("n_raw"))
+    val k = cleaned.groupBy(col(cfg.blockCol))
+      .agg(countDistinct(col(cfg.idCol)).as("n_kept"))
+    r.join(k, Seq(cfg.blockCol), "left").na.fill(0, Seq("n_kept"))
+  }
+}

@@ -1076,20 +1076,10 @@ object Queries {
       |SELECT r.source, r.n_raw, COALESCE(k.n_kept, 0) AS n_kept
       |FROM raw r LEFT JOIN kept k USING (source)
       |ORDER BY r.source""".stripMargin) { (s, dir) =>
-    import graft.ext.{Dedup, TextOps}
+    import graft.ext.Cleaning
     val docs = Tables.documents(s, dir)
-    val kept1 = docs
-      .withColumn("pred", TextOps.langId(col("text")))
-      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
-      .filter(col("pred") === "en" && col("n_tokens").between(20, 200))
-      .select("doc_id", "source", "text")
-    val drops = Dedup.wordJaccardPairs(kept1, "doc_id", "text", "source", 0.8)
-      .select(col("id2").as("doc_id")).distinct()
-    val kept2 = kept1.join(drops, Seq("doc_id"), "left_anti")
-    val raw = docs.groupBy("source").agg(countDistinct(col("doc_id")).as("n_raw"))
-    val kept = kept2.groupBy("source").agg(countDistinct(col("doc_id")).as("n_kept"))
-    raw.join(kept, Seq("source"), "left")
-      .na.fill(0, Seq("n_kept"))
+    val cfg = Cleaning.Config() // en, 20-200 tokens, 0.8 Jaccard by source
+    Cleaning.survivalStats(docs, Cleaning.clean(docs, cfg), cfg)
       .ordered("source")
   }
 

@@ -144,6 +144,29 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("cleaning pipeline: gates compose, quality knob gates, stats zero-fill") {
+    import graft.ext.Cleaning
+    val docs = graft.store.Tables.documents(spark, dir)
+    val cfg = Cleaning.Config()
+    val cleaned = Cleaning.clean(docs, cfg)
+    // survivors really pass every gate
+    val survivors = cleaned.withColumn("_lang", TextOps.langId(col("text")))
+      .withColumn("_n", TextOps.tokenCount(col("text"))).collect()
+    assert(survivors.nonEmpty)
+    assert(survivors.forall { r =>
+      val n = r.getAs[Number]("_n").longValue
+      r.getAs[String]("_lang") == "en" && n >= 20 && n <= 200
+    })
+    // a quality gate strictly below the stopword floor removes rows
+    val strict = Cleaning.clean(docs, cfg.copy(minQuality = Some(("stopword_ratio", 0.2))))
+    assert(strict.count() < cleaned.count())
+    // stats cover every raw block even when a block loses all docs
+    val stats = Cleaning.survivalStats(docs, strict, cfg).collect()
+    assert(stats.map(_.getAs[String]("source")).toSet ==
+      docs.select("source").distinct().collect().map(_.getString(0)).toSet)
+    assert(stats.forall(r => r.getAs[Long]("n_kept") <= r.getAs[Long]("n_raw")))
+  }
+
   test("documents shorter than one shingle dedup cleanly (no negative sequence)") {
     val docs = Seq((1L, "just two"), (2L, "a"), (3L, ""),
       (4L, "the quick brown fox jumps over the lazy dog"),
