@@ -50,6 +50,20 @@ object Ingest {
         col("n"), col("sum_v"), col("min_v"), col("max_v"))
   }
 
+  /** Streaming exact dedup (the ingest twin of Dedup.exact / x1): drop
+    * repeated keys as they arrive, with state bounded by the watermark
+    * horizon — `dropDuplicatesWithinWatermark` keeps a key's state only
+    * until the watermark passes its event time, so at 100 TB/day the
+    * dedup state is "lateness window × arrival rate", not the corpus.
+    * Exactly-once duplicates (redelivered batches, at-least-once
+    * sources) collapse; true re-occurrences outside the horizon are a
+    * batch-layer concern ([[graft.ext.Dedup.exact]] over the store). */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      lateness: String): DataFrame =
+    stream
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Drain everything currently available into the rollup store and
     * stop — `Trigger.AvailableNow` gives the deterministic batch-like
     * semantics tests need while exercising the real streaming path

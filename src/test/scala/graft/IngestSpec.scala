@@ -96,6 +96,35 @@ class IngestSpec extends SparkTestBase {
       viaEvents.map(v => (v.metric, v.passed)).sorted)
   }
 
+  test("streaming exact dedup: redelivered keys collapse, state bounded by watermark") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dedup-stream")
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val deduped = Ingest.dedupStream(
+      ms.toDF().toDF("event_id", "ts", "payload"),
+      keyCols = Seq("event_id"), tsCol = "ts", lateness = "10 minutes")
+    def drain(): Unit = {
+      val q = deduped.writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // batch 1: id 1 delivered twice (at-least-once source), id 2 once
+    ms.addData(Seq((1L, ts(0), "a"), (1L, ts(0), "a-dup"), (2L, ts(1), "b")))
+    drain()
+    // batch 2: id 1 redelivered inside the watermark horizon + fresh id 3
+    ms.addData(Seq((1L, ts(2), "a-redelivery"), (3L, ts(3), "c")))
+    drain()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 3, "duplicates leaked through the streaming dedup")
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("ST2/ST3: restart from checkpoint is idempotent (no duplicate windows)") {
     val tmp = Files.createTempDirectory("graft-ingest2")
     val out = s"$tmp/rollup"
