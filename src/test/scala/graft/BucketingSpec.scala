@@ -43,4 +43,31 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("per-series window ops are shuffle-free over the metric store bucketed by metric") {
+    val dir = "/root/testdata/sf0.001"
+    // the 100-TB series layout: bucketed by metric, sorted by (metric, ts)
+    // — a scan already satisfies the window's ClusteredDistribution, so
+    // moving*/derivative/integral need only a local sort, no exchange
+    Bucketing.writeBucketed(Tables.metricStore(spark, dir),
+      "b_metric_store", 8, Seq("metric"))
+    val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val t = Bucketing.table(spark, "b_metric_store")
+      val w = t.withColumn("value", graft.series.SeriesOps.movingAverage(5))
+        .withColumn("d", graft.series.SeriesOps.derivative())
+      w.collect()
+      assert(Bucketing.isShuffleFree(w),
+        s"window over bucketed store should not shuffle:\n${w.queryExecution.executedPlan}")
+      // unbucketed twin must shuffle (sanity: the assertion has teeth)
+      val plain = Tables.metricStore(spark, dir)
+        .withColumn("value", graft.series.SeriesOps.movingAverage(5))
+      plain.collect()
+      assert(!Bucketing.isShuffleFree(plain))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved)
+      spark.sql("DROP TABLE IF EXISTS b_metric_store")
+    }
+  }
 }
