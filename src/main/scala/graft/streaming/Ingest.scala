@@ -50,6 +50,39 @@ object Ingest {
         col("n"), col("sum_v"), col("min_v"), col("max_v"))
   }
 
+  /** Rollup-store compaction — the small-files maintenance job. Every
+    * micro-batch appends one file per day partition it touches; after a
+    * week of 1-minute triggers a day directory holds thousands of tiny
+    * files and scan planning dominates query time. This rewrites each
+    * (closed) day to ONE file: compacted days are staged to a sibling
+    * directory and swapped in per-day — a crash mid-swap loses no data
+    * (each day is either the old file set or the new one). Row content
+    * is preserved exactly; run it on days the watermark has closed.
+    * Driver-side file moves are per-DAY (bounded), never per-file-row. */
+  def compactRollups(spark: SparkSession, dir: String,
+      beforeDate: Option[java.sql.Date] = None): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = Paths.get(dir + "_compacting")
+    val df0 = spark.read.parquet(dir)
+    val df = beforeDate.fold(df0)(d => df0.filter(col("date") < lit(d)))
+    // one output partition per day ⇒ one file per day directory
+    df.repartition(col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(staging.toString)
+    val dayDirs = staging.toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+    dayDirs.foreach { day =>
+      val dest = Paths.get(dir, day.getName)
+      if (Files.exists(dest)) {
+        dest.toFile.listFiles().foreach(f => Files.delete(f.toPath))
+        Files.delete(dest)
+      }
+      Files.move(day.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // drop staging remnants (_SUCCESS etc.)
+    staging.toFile.listFiles().foreach(f => Files.delete(f.toPath))
+    Files.delete(staging)
+  }
+
   /** Streaming exact dedup (the ingest twin of Dedup.exact / x1): drop
     * repeated keys as they arrive, with state bounded by the watermark
     * horizon — `dropDuplicatesWithinWatermark` keeps a key's state only

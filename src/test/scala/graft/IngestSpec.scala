@@ -96,6 +96,35 @@ class IngestSpec extends SparkTestBase {
       viaEvents.map(v => (v.metric, v.passed)).sorted)
   }
 
+  test("rollup compaction: one file per day, rows byte-identical, pruning intact") {
+    val tmp = Files.createTempDirectory("graft-compact")
+    val out = s"$tmp/rollup"
+    // two appends ⇒ ≥2 files per day directory (each with its own rows)
+    val rollup = Tables.metricStore(spark, dir)
+      .groupBy(col("metric"), date_trunc("minute", col("ts")).as("ts"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("date", to_date(col("ts")))
+    rollup.write.partitionBy("date").mode("append").parquet(out)
+    rollup.limit(500).write.partitionBy("date").mode("append").parquet(out)
+
+    def rowsSorted() = spark.read.parquet(out)
+      .collect().map(_.toString).sorted.toSeq
+    def filesPerDay() = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+
+    val before = rowsSorted()
+    assert(filesPerDay().values.exists(_ > 1), "fixture should have multi-file days")
+    Ingest.compactRollups(spark, out)
+    assert(filesPerDay().values.forall(_ == 1), s"not compacted: ${filesPerDay()}")
+    // content preserved exactly — compaction must not dedup or drop
+    assert(rowsSorted() == before)
+    // partition pruning still works on the compacted layout
+    val oneDay = spark.read.parquet(out)
+      .filter(col("date") === java.sql.Date.valueOf("2024-01-10"))
+    assert(oneDay.count() > 0 && oneDay.count() < before.size)
+  }
+
   test("streaming exact dedup: redelivered keys collapse, state bounded by watermark") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
