@@ -68,7 +68,7 @@ object Ingest {
     // one output partition per day ⇒ one file per day directory
     df.repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(staging.toString)
-    val dayDirs = staging.toFile.listFiles()
+    val dayDirs = Option(staging.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("date="))
     dayDirs.foreach { day =>
       val dest = Paths.get(dir, day.getName)
@@ -79,7 +79,8 @@ object Ingest {
       Files.move(day.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
     }
     // drop staging remnants (_SUCCESS etc.)
-    staging.toFile.listFiles().foreach(f => Files.delete(f.toPath))
+    Option(staging.toFile.listFiles()).getOrElse(Array.empty)
+      .foreach(f => Files.delete(f.toPath))
     Files.delete(staging)
   }
 
