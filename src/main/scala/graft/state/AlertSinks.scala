@@ -43,7 +43,15 @@ object AlertSinks {
   /** PagerDuty events API payload (service key = the address part). */
   final class PagerDutySink(transport: String => Unit) extends AlertSink {
     val channel = "pagerduty"
-    private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    private def esc(s: String) = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def deliver(address: String, subject: String, body: String): Unit =
       transport(s"""{"service_key":"${esc(address)}","event_type":"trigger",""" +
         s""""description":"${esc(subject)}","details":{"body":"${esc(body)}"}}""")
