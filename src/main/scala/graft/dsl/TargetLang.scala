@@ -172,6 +172,18 @@ object TargetLang {
         withValue(compile(a, store), SeriesOps.logarithm(b))
       case ("invert", Seq(ExprArg(a))) =>
         withValue(compile(a, store), SeriesOps.invert())
+      case ("pow", Seq(ExprArg(a), NumArg(p))) =>
+        withValue(compile(a, store), pow(col("value"), p))
+      case ("squareRoot", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), sqrt(col("value")))
+      // point predicates (Graphite emits 0/1 series)
+      case ("changed", Seq(ExprArg(a))) =>
+        val prev = lag(col("value"), 1).over(SeriesOps.seriesWindow)
+        withValue(compile(a, store),
+          when(col("value").isNull, lit(null))
+            .otherwise(when(prev.isNull || col("value") =!= prev, 1.0).otherwise(0.0)))
+      case ("isNonNull", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), when(col("value").isNotNull, 1.0).otherwise(0.0))
 
       // point clamps (Graphite removeAbove/Below family: out-of-range
       // points become None, series shape is preserved)
@@ -240,6 +252,8 @@ object TargetLang {
         SeriesOps.filterSeriesByScore(compile(a, store), "max", above = false, t)
       case ("minimumAbove", Seq(ExprArg(a), NumArg(t))) =>
         SeriesOps.filterSeriesByScore(compile(a, store), "min", above = true, t)
+      case ("minimumBelow", Seq(ExprArg(a), NumArg(t))) =>
+        SeriesOps.filterSeriesByScore(compile(a, store), "min", above = false, t)
       case ("currentAbove", Seq(ExprArg(a), NumArg(t))) =>
         SeriesOps.filterSeriesByScore(compile(a, store), "last", above = true, t)
       case ("currentBelow", Seq(ExprArg(a), NumArg(t))) =>

@@ -192,6 +192,22 @@ class TargetLangSpec extends SparkTestBase {
       Seq("events.view"))
   }
 
+  test("pow/squareRoot/changed/isNonNull point transforms") {
+    val s = Seq(
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Double.box(4.0)),
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), Double.box(4.0)),
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), null.asInstanceOf[java.lang.Double]),
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), Double.box(9.0)))
+      .toDF("metric", "ts", "value")
+    def vals(t: String) = TargetLang.plan(t, s).orderBy("ts").collect()
+      .map(r => Option(r.get(r.fieldIndex("value"))))
+    assert(vals("pow(m, 2)").toSeq == Seq(Some(16.0), Some(16.0), None, Some(81.0)))
+    assert(vals("squareRoot(m)").toSeq == Seq(Some(2.0), Some(2.0), None, Some(3.0)))
+    // first point counts as changed (no prior), repeat is 0, null stays null
+    assert(vals("changed(m)").toSeq == Seq(Some(1.0), Some(0.0), None, Some(1.0)))
+    assert(vals("isNonNull(m)").toSeq == Seq(Some(1.0), Some(1.0), Some(0.0), Some(1.0)))
+  }
+
   test("counter wrap, delay, and per-interval integral") {
     val s = Seq(
       ("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 250.0),
