@@ -68,9 +68,16 @@ object Runner {
 
   /** E1 persistence: append one `job_data` row (JSON chart payload —
     * reference db/schema.rb:29-36) and, on failure, `job_errors` rows
-    * (db/schema.rb:38-48). Both partitioned by job_id. The chart rows
-    * are driver-local (already collected by the run's single scan), so
-    * neither write touches the store. */
+    * (db/schema.rb:38-48). Both land in the standard partitioned layout
+    * (`…/job_id=N/…`), but each run writes DIRECTLY into its own job's
+    * partition directory rather than `partitionBy` at the table root:
+    * the Hadoop committer stages under `<root>/_temporary/0/`, so two
+    * jobs appending to the same root concurrently delete each other's
+    * staging — writing per-job roots makes concurrent monitor runs
+    * (different jobs; same-job overlap is scheduler-suppressed)
+    * commit-safe with no driver lock. The chart rows are driver-local
+    * (already collected by the run's single scan), so neither write
+    * touches the store. */
   def persistRun(spark: SparkSession, spec: MonitorSpec, verdicts: Seq[Verdict],
       chart: Seq[ChartSeries], jobDataPath: String, jobErrorsPath: String): Unit = {
     import spark.implicits._
@@ -83,17 +90,15 @@ object Runner {
     val windowEnd = lit(verdicts.headOption.map(_.windowEnd).orNull)
       .cast(org.apache.spark.sql.types.TimestampType)
     val run = payload.select(
-      lit(spec.id).as("job_id"),
       windowEnd.as("window_end"),
       lit(status).as("status"),
       col("chart").as("data"))
-    run.write.mode(SaveMode.Append).partitionBy("job_id").parquet(jobDataPath)
+    run.write.mode(SaveMode.Append).parquet(s"$jobDataPath/job_id=${spec.id}")
 
     if (status != JobStatus.Success) {
       verdicts.filterNot(_.passed).toDF()
-        .select(col("jobId").as("job_id"), col("windowEnd").as("at"),
-          col("message"), lit(status).as("status"))
-        .write.mode(SaveMode.Append).partitionBy("job_id").parquet(jobErrorsPath)
+        .select(col("windowEnd").as("at"), col("message"), lit(status).as("status"))
+        .write.mode(SaveMode.Append).parquet(s"$jobErrorsPath/job_id=${spec.id}")
     }
   }
 

@@ -127,6 +127,29 @@ class SchedulerSpec extends SparkTestBase {
     sch2.shutdown()
   }
 
+  test("four monitors run concurrently through one session without interference") {
+    val tmp = Files.createTempDirectory("graft-sched-conc").toString
+    val source = graft.store.MetricSource.events(spark, "/root/testdata/sf0.001")
+    val sch = Scheduler.forSource(spark, source, s"$tmp/job_data", s"$tmp/job_errors",
+      parallelism = 4)
+    val boot = t("2024-01-15 11:59:00")
+    (1L to 4L).foreach { id =>
+      sch.register(MonitorSpec(id = id, name = s"conc$id", targets = Seq("events.*"),
+        minutes = 360, toDate = None, cronExpr = "* * * * *",
+        monitorExpr = if (id % 2 == 0) "mean > 0" else "count > 0"), boot)
+    }
+    val (fired, skipped) = sch.tick(t("2024-01-15 12:00:00"))
+    sch.awaitIdle()
+    assert(fired == Seq(1L, 2L, 3L, 4L) && skipped.isEmpty)
+    assert(sch.snapshot.forall(_.lastStatus == JobStatus.Success))
+    // each job persisted exactly one run under its own partition
+    val runs = spark.read.parquet(s"$tmp/job_data")
+      .groupBy("job_id").count().collect()
+      .map(r => r.getAs[Number]("job_id").longValue -> r.getLong(1)).toMap
+    assert(runs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    sch.shutdown()
+  }
+
   test("full E1 loop: failing run alerts once through sinks, re-fire throttled") {
     val tmp = Files.createTempDirectory("graft-sched-alerts").toString
     val source = graft.store.MetricSource.events(spark, "/root/testdata/sf0.001")
