@@ -125,12 +125,20 @@ object AlertDispatcher {
     }
   }
 
+  private val persistLock = new Object
+
   /** Append delivery records to the parquet alerts table, one file tree
-    * per channel (bounded driver-local rows: alerts × keys). */
+    * per channel (bounded driver-local rows: alerts × keys).
+    * Serialized JVM-wide: concurrent appends through one table root
+    * share the committer's `_temporary/0/` staging and can delete each
+    * other's files mid-commit (same race fixed in Runner.persistRun);
+    * delivery batches are tiny, so a lock is cheaper than per-channel
+    * write fan-out. */
   def persist(spark: SparkSession, deliveries: Seq[Delivery], path: String): Unit = {
     import spark.implicits._
-    if (deliveries.nonEmpty)
+    if (deliveries.nonEmpty) persistLock.synchronized {
       deliveries.toDF().write.mode(SaveMode.Append).partitionBy("channel").parquet(path)
+    }
   }
 
   /** Read-back for the E3 surface / audits. */
