@@ -53,7 +53,14 @@ object Dedup {
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
     * the min over the doc's shingles. One groupBy with H partial-min
-    * aggregates — a single shuffle regardless of H. */
+    * aggregates — a single shuffle regardless of H.
+    *
+    * Measured cost split at sf0.1 (local[4]): shingle+persist 3.3 s,
+    * signature 2.6 s, candidates 1.8 s, verify 1.4 s — no dominant
+    * stage. The 96 seeded xxhash64 evals/row could drop to multiply-add
+    * universal hashing, but Spark 4 runs ANSI mode (long overflow
+    * throws), and xor/rotate families are not min-wise independent —
+    * codegen'd xxhash64 is the right trade. */
   def minhashSignature(rows: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(h =>
       min(xxhash64(lit(h), col("shingle"))).as(s"h$h")) // seeded re-hash of the shingle hash
