@@ -174,6 +174,33 @@ class SchedulerSpec extends SparkTestBase {
     sch.shutdown()
   }
 
+  test("throttle clock is shared: a streaming-path alert suppresses the scheduled path") {
+    val tmp = Files.createTempDirectory("graft-shared-throttle").toString
+    val statePath = s"$tmp/alert_state"
+    // the streaming path already alerted this job 10 minutes ago
+    graft.state.AlertThrottle.saveStateTable(spark, statePath, Map(
+      8L -> graft.state.AlertThrottle.ThrottleState(JobStatus.Failed,
+        Timestamp.valueOf("2024-01-15 11:50:00").getTime)))
+    val sent = new ConcurrentLinkedQueue[String]()
+    val sch = Scheduler.forSourceWithAlerts(spark,
+      graft.store.MetricSource.events(spark, "/root/testdata/sf0.001"),
+      s"$tmp/job_data", s"$tmp/job_errors", statePath, s"$tmp/deliveries",
+      sinks = graft.state.AlertSinks.default(sent.add(_)))
+    sch.register(MonitorSpec(id = 8, name = "shared", targets = Seq("events.*"),
+      minutes = 720, toDate = None, cronExpr = "* * * * *",
+      monitorExpr = "mean > 1000000", alertKeys = Seq("mailto:a@b"),
+      errorTimeoutMinutes = 60), t("2024-01-15 11:59:00"))
+    // scheduled run fails at 12:00 — inside the streaming alert's
+    // error_timeout ⇒ no second alert from this path
+    sch.tick(t("2024-01-15 12:00:00")); sch.awaitIdle()
+    assert(sch.snapshot.head.lastStatus == JobStatus.Failed)
+    assert(sent.isEmpty, s"shared throttle ignored: $sent")
+    // and the state table still carries the streaming path's clock
+    val st = graft.state.AlertThrottle.loadStateTable(spark, statePath)(8L)
+    assert(st.lastAlertedAtMillis == Timestamp.valueOf("2024-01-15 11:50:00").getTime)
+    sch.shutdown()
+  }
+
   test("production wiring: due job runs end-to-end through Runner.runOnce") {
     val tmp = Files.createTempDirectory("graft-sched-e2e").toString
     val source = graft.store.MetricSource.events(spark, "/root/testdata/sf0.001")
