@@ -62,6 +62,16 @@ object Ingest {
   def compactRollups(spark: SparkSession, dir: String,
       beforeDate: Option[java.sql.Date] = None): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // a FileStreamSink directory carries a _spark_metadata log that
+    // batch readers trust over the directory listing; swapping files
+    // under it would leave the log pointing at deleted files (reads
+    // break) and the next micro-batch would re-create a log that hides
+    // the compacted files. In-place compaction is only sound for
+    // directory-listed stores — stream sinks compact into a separate
+    // serving table ([[compactRollupsTo]]).
+    require(!Files.exists(Paths.get(dir, "_spark_metadata")),
+      s"$dir is a live FileStreamSink output (has _spark_metadata); " +
+        "use compactRollupsTo to build a compacted serving table instead")
     val staging = Paths.get(dir + "_compacting")
     val df0 = spark.read.parquet(dir)
     val df = beforeDate.fold(df0)(d => df0.filter(col("date") < lit(d)))
@@ -82,6 +92,26 @@ object Ingest {
     Option(staging.toFile.listFiles()).getOrElse(Array.empty)
       .foreach(f => Files.delete(f.toPath))
     Files.delete(staging)
+  }
+
+  /** Compact a (possibly stream-written) rollup store into a SEPARATE
+    * day-partitioned serving table, one file per day — the safe shape
+    * for FileStreamSink outputs (see [[compactRollups]] scaladoc for
+    * why in-place is unsound there). Dynamic partition overwrite means
+    * re-running for new days never touches already-compacted ones. */
+  def compactRollupsTo(spark: SparkSession, srcDir: String, destDir: String,
+      beforeDate: Option[java.sql.Date] = None): Unit = {
+    val df0 = spark.read.parquet(srcDir)
+    val df = beforeDate.fold(df0)(d => df0.filter(col("date") < lit(d)))
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      df.repartition(col("date"))
+        .write.mode("overwrite").partitionBy("date").parquet(destDir)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** Streaming exact dedup (the ingest twin of Dedup.exact / x1): drop

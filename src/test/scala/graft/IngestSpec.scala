@@ -125,6 +125,25 @@ class IngestSpec extends SparkTestBase {
     assert(oneDay.count() > 0 && oneDay.count() < before.size)
   }
 
+  test("stream-sink stores refuse in-place compaction; compactRollupsTo serves them") {
+    val tmp = Files.createTempDirectory("graft-compact2")
+    val out = s"$tmp/rollup"
+    Ingest.runAvailableNow(spark, dir, out, s"$tmp/ckpt") // writes _spark_metadata
+    intercept[IllegalArgumentException] { Ingest.compactRollups(spark, out) }
+    val serving = s"$tmp/serving"
+    Ingest.compactRollupsTo(spark, out, serving)
+    // content identical, one file per day, plain directory-listed table
+    assert(spark.read.parquet(serving).count() == spark.read.parquet(out).count())
+    val days = new java.io.File(serving).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+    assert(days.nonEmpty)
+    assert(days.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    // the serving table still drives the monitor source with pruning
+    val src = graft.store.MetricSource.rollup(spark, serving)
+    assert(src.scan(java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-10 23:59:00")).count() > 0)
+  }
+
   test("streaming exact dedup: redelivered keys collapse, state bounded by watermark") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
