@@ -98,6 +98,8 @@ object TargetLang {
       case ("minSeries", as) => SeriesOps.combineSeries(unionArgs(as, store), "min", render(e))
       case ("maxSeries", as) => SeriesOps.combineSeries(unionArgs(as, store), "max", render(e))
       case ("group", as) => unionArgs(as, store)
+      case ("groupByNode", Seq(ExprArg(a), NumArg(n), StrArg(how))) =>
+        SeriesOps.groupByNode(compile(a, store), n.toInt, how)
 
       // re-bucketing
       case ("summarize", Seq(ExprArg(a), StrArg(step))) =>

@@ -210,6 +210,22 @@ object SeriesOps {
       .select(lit(name).as("metric"), col("ts"), col("value"))
   }
 
+  /** groupByNode(seriesList, n, func) — combine series that share the
+    * value of path node `n` (0-based, Graphite convention): the node
+    * value becomes the output metric. One aggregate, map-side partials. */
+  def groupByNode(df: DataFrame, n: Int, how: String): DataFrame = {
+    val agg = how match {
+      case "sum" => dsum(col("value"))
+      case "avg" | "average" => dmean(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      case other => throw new IllegalArgumentException(s"groupByNode: $other")
+    }
+    df.withColumn("metric", element_at(split(col("metric"), "\\."), n + 1))
+      .groupBy(col("metric"), col("ts"))
+      .agg(agg.as("value"))
+  }
+
   /** summarize(series, step, func) — re-bucket each series to a coarser
     * step (A2). `step` is any Spark window duration ("1 hour", "5
     * minutes"). Bucket label = window start, matching Graphite. */

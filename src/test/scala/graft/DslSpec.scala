@@ -192,6 +192,23 @@ class TargetLangSpec extends SparkTestBase {
       Seq("events.view"))
   }
 
+  test("groupByNode combines series sharing a path node") {
+    val deep = Seq(
+      ("events.click.us", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("events.click.eu", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.0),
+      ("events.view.us", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      ("events.view.eu", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 20.0))
+      .toDF("metric", "ts", "value")
+    // node 2 = region: collapse event types per region
+    val byRegion = TargetLang.plan("groupByNode(events.*.*, 2, \"sum\")", deep)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("value")).toMap
+    assert(byRegion == Map("us" -> 11.0, "eu" -> 22.0))
+    // node 1 = event type: collapse regions per type, averaged
+    val byType = TargetLang.plan("groupByNode(events.*.*, 1, \"avg\")", deep)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("value")).toMap
+    assert(byType == Map("click" -> 1.5, "view" -> 15.0))
+  }
+
   test("pow/squareRoot/changed/isNonNull point transforms") {
     val s = Seq(
       ("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Double.box(4.0)),
