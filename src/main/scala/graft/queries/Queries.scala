@@ -210,7 +210,11 @@ object Queries {
         java.sql.Timestamp.valueOf("2024-01-10 06:00:00"),
         java.sql.Timestamp.valueOf("2024-01-10 18:00:00"), stepMinutes = 120)
       .select(col("window_end"), col("metric"),
-        col("red_mean").as("mean_v"), col("red_count").as("cnt"), col("passed"))
+        col("red_mean").as("mean_v"),
+        // red_count is DOUBLE inside the monitor DSL (it participates in
+        // float arithmetic); the oracle's COUNT() is BIGINT — align types
+        // or the driver's strict hasher sees 6.0 vs 6.
+        col("red_count").cast("long").as("cnt"), col("passed"))
       .ordered("window_end", "metric")
   }
 
