@@ -46,18 +46,34 @@ object Bench {
 
     // two measured rounds, per-query min: each number is a real
     // end-to-end execution; the min discards one-off host-IO stalls
-    // (shared-infra noise measured at 2× between identical runs)
+    // (shared-infra noise measured at 2× between identical runs).
+    // Failures are RECORDED, not swallowed — a query that starts
+    // throwing must surface as a failure entry, never as a fast time.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def round(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try force(fn(spark, sfDir)) catch {
+        case t: Throwable =>
+          failures(name) =
+            t.getClass.getSimpleName + ": " + Option(t.getMessage).getOrElse("").take(160)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val r1 = round(); val r2 = round()
     val results = r1.map { case (k, v) => k -> math.min(v, r2.getOrElse(k, v)) }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""n_failures":${failures.size},"failures":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -126,14 +126,23 @@ object Dedup {
     // The result (small: verified pairs) is eagerly checkpointed so the
     // cache can be released before returning — no leaked blocks per call.
     val rows = shingleRows(df, idCol, textCol, shingleN).persist()
-    try {
-      val sig = minhashSignature(rows, numHashes)
-      val cand = candidatePairs(lshBuckets(sig, numHashes, bands))
-      verifyJaccard(cand, rows)
-        .filter(col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
-        .localCheckpoint(true)
-    } finally rows.unpersist()
+    try minhashNearDupsFromRows(rows, numHashes, bands, threshold)
+    finally rows.unpersist()
+  }
+
+  /** The same pipeline over a PRE-MATERIALIZED shingle table — the
+    * warehouse-scale shape where (id, shingle) is written/persisted once
+    * and reused across dedup runs (caller owns the rows' lifecycle).
+    * The small verified-pairs result is eagerly checkpointed so no plan
+    * references escape. */
+  def minhashNearDupsFromRows(rows: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val sig = minhashSignature(rows, numHashes)
+    val cand = candidatePairs(lshBuckets(sig, numHashes, bands))
+    verifyJaccard(cand, rows)
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+      .localCheckpoint(true)
   }
 
   /** SimHash: 64-bit signature whose bit i is the sign of

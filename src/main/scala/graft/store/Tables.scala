@@ -27,8 +27,23 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (!cacheEnabled) spark.read.parquet(s"$dir/$name.parquet")
-    else cached.getOrElseUpdate((dir, name),
-      spark.read.parquet(s"$dir/$name.parquet").cache())
+    else cached.getOrElseUpdate((dir, name), {
+      // A small-SF parquet file is a handful of row groups, so the scan
+      // (and the cache built from it) ends up with 1-3 partitions —
+      // a CPU-dense agg then runs near-serial on a 32-core session
+      // (measured 5× on the q1 decimal aggregate). Spread the cache at
+      // population, sized by bytes (~1 MB compressed per partition) and
+      // capped at the session's parallelism: big tables parallelize,
+      // small tables keep few partitions so shuffle-heavy queries don't
+      // pay 32× the map-task/shuffle-block overhead. At production
+      // scale files outnumber cores and this is a no-op. Decimal-exact
+      // sums keep every answer identical under the reshuffle.
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val bytes = new java.io.File(s"$dir/$name.parquet").length()
+      val p = math.min(spark.sparkContext.defaultParallelism.toLong,
+        math.max(1L, bytes >> 20)).toInt
+      (if (raw.rdd.getNumPartitions < p) raw.repartition(p) else raw).cache()
+    })
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

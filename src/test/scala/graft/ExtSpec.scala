@@ -24,6 +24,12 @@ class ExtSpec extends SparkTestBase {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(truth.nonEmpty, "test data should contain planted near-dups")
     assert(found == truth, s"missed=${truth -- found} extra=${found -- truth}")
+    // the x2 gate's trimmed operating point (64 hashes / 16 bands) must
+    // hold the same recall: planted near-dups sit at J ≥ 0.89, where
+    // P(candidate) ≈ 1 even with 4 rows per band
+    val found64 = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(found64 == truth, s"64/16 missed=${truth -- found64} extra=${found64 -- truth}")
   }
 
   test("simhash: identical docs collide, hamming 0; near-dups within 3 bits detected") {
