@@ -100,6 +100,17 @@ object TargetLang {
       case ("group", as) => unionArgs(as, store)
       case ("groupByNode", Seq(ExprArg(a), NumArg(n), StrArg(how))) =>
         SeriesOps.groupByNode(compile(a, store), n.toInt, how)
+      case ("sumSeriesWithWildcards", ExprArg(a) +: nodes) =>
+        SeriesOps.aggregateWithWildcards(compile(a, store), "sum",
+          nodes.collect { case NumArg(n) => n.toInt })
+      case ("averageSeriesWithWildcards", ExprArg(a) +: nodes) =>
+        SeriesOps.aggregateWithWildcards(compile(a, store), "avg",
+          nodes.collect { case NumArg(n) => n.toInt })
+      case ("weightedAverage", ExprArg(a) +: ExprArg(b) +: nodes) =>
+        SeriesOps.weightedAverage(compile(a, store), compile(b, store),
+          nodes.collect { case NumArg(n) => n.toInt }, render(e))
+      case ("linearRegression", Seq(ExprArg(a))) =>
+        SeriesOps.linearRegression(compile(a, store))
 
       // re-bucketing
       case ("summarize", Seq(ExprArg(a), StrArg(step))) =>
@@ -291,6 +302,8 @@ object TargetLang {
         graft.series.HoltWinters.confidenceBands(compile(a, store), hwParams(rest))
       case ("holtWintersAberration", ExprArg(a) +: rest) =>
         graft.series.HoltWinters.aberration(compile(a, store), hwParams(rest))
+      case ("holtWintersForecast", ExprArg(a) +: rest) =>
+        graft.series.HoltWinters.forecast(compile(a, store), hwParams(rest))
 
       case ("percentileOfSeries", Seq(ExprArg(a), NumArg(p))) =>
         SeriesOps.percentileOfSeries(compile(a, store), p / 100.0, render(e))

@@ -1473,6 +1473,93 @@ object Queries {
       .ordered("media_id")
   }
 
+  // T10 — sumSeriesWithWildcards: combine series whose names differ only
+  // at the wildcard node (the u<bucket> segment), through the stored
+  // target-string path. Summing the per-(deep-series, minute) sums
+  // exactly reproduces the per-type minute sums.
+  q("t10_wildcards",
+    s"""SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |  ${DSUM("value")} AS value
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val deep = Tables.metricStoreDeepWindowed(s, dir,
+      java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
+    graft.dsl.TargetLang.plan("""sumSeriesWithWildcards(summarize(events.*.u*, "1min"), 2)""", deep)
+      .ordered("metric", "ts")
+  }
+
+  // T11 — weightedAverage(avgList, weightList, node): per-minute means
+  // weighted by per-minute counts, paired on the type node — the result
+  // is the overall per-minute mean, which the oracle states directly.
+  q("t11_weighted_average",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |    ${DSUM("value")} / COUNT(*) AS va, CAST(COUNT(*) AS DOUBLE) AS vw
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT 'weightedAverage(summarize(events.*,"1min","avg"),summarize(events.*,"1min","count"),1)' AS metric,
+       |  ts,
+       |  CAST(SUM(CAST(va * vw AS DECIMAL(18,6))) AS DOUBLE)
+       |    / CAST(SUM(CAST(vw AS DECIMAL(18,6))) AS DOUBLE) AS value
+       |FROM r GROUP BY ts ORDER BY ts""".stripMargin) { (s, dir) =>
+    val store = Tables.metricStoreWindowed(s, dir,
+      java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-10 23:59:59.999999"))
+    graft.dsl.TargetLang.plan(
+      """weightedAverage(summarize(events.*, "1min", "avg"), summarize(events.*, "1min", "count"), 1)""",
+      store)
+      .ordered("ts")
+  }
+
+  // T12 — linearRegression over the hourly series, via the stored-string
+  // path on the rollup store. Both engines run the identical
+  // sum-formulated OLS (x = seconds since first point, decimal-exact
+  // sums), so fitted doubles hash-match without rounding.
+  q("t12_linreg",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('hour', ts) AS ts,
+       |    ${DSUM("value")} AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+       |  GROUP BY 1, 2),
+       |x AS (
+       |  SELECT metric, ts, v,
+       |    CAST(epoch(ts) AS BIGINT) - MIN(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY metric) AS x
+       |  FROM r),
+       |s AS (
+       |  SELECT metric, ts, x,
+       |    COUNT(v) OVER w AS n,
+       |    SUM(CASE WHEN v IS NOT NULL THEN x END) OVER w AS sx,
+       |    CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+       |    SUM(CASE WHEN v IS NOT NULL THEN x * x END) OVER w AS sxx,
+       |    CAST(SUM(CAST(CAST(x AS DOUBLE) * v AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy
+       |  FROM x WINDOW w AS (PARTITION BY metric))
+       |SELECT 'linearRegression(' || metric || ')' AS metric, ts,
+       |  (sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+       |   + (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(x AS DOUBLE) AS value
+       |FROM s ORDER BY metric, ts""".stripMargin) { (s, dir) =>
+    val hourlyStore = minuteRollupClipped(s, dir, "2024-01-08 00:00:00", "2024-01-15 00:00:00")
+      .select(col("metric"), col("ts"), col("sum_dec").cast("double").as("value"))
+    graft.dsl.TargetLang.plan("""linearRegression(summarize(events.*, "1h"))""", hourlyStore)
+      .ordered("metric", "ts")
+  }
+
+  // A8c — holtWintersForecast via the stored-string path (rows-only:
+  // the recurrence has no portable SQL twin; HoltWintersSpec proves
+  // forecast == band midpoint).
+  q("a8c_holtwinters_forecast") { (s, dir) =>
+    val hourly = hourRollup(s, dir)
+      .select(col("metric"), col("ts"), col("value_dec").cast("double").as("value"))
+    graft.dsl.TargetLang.plan("holtWintersForecast(events.*, 3, 24)", hourly)
+      .select(col("metric"), col("ts"), round(col("value"), 6).as("value"))
+      .ordered("metric", "ts")
+  }
+
   // ST7 — the 1-minute pre-aggregated rollup the streaming ingest
   // materializes (batch twin of graft.streaming.Ingest).
   q("st7_rollup_1min",

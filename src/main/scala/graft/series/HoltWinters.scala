@@ -152,6 +152,14 @@ object HoltWinters {
         (s"holtWintersConfidenceLower($m)", ts, Some(pred - p.z * dev): Option[Double]))
     }
 
+  /** Graphite `holtWintersForecast(series)`: the one-step-ahead
+    * prediction series itself — the bands' midpoint, emitted at every
+    * input point (gaps included: the level+trend walk still predicts). */
+  def forecast(df: DataFrame, p: SeasonalParams): DataFrame =
+    folded(df, p) { (m, ts, _, pred, _) =>
+      Iterator((s"holtWintersForecast($m)", ts, Some(pred): Option[Double]))
+    }
+
   /** Graphite `holtWintersAberration(series)`: signed distance outside
     * the confidence band, 0.0 inside (null points stay null). */
   def aberration(df: DataFrame, p: SeasonalParams): DataFrame =

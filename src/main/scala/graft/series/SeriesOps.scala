@@ -226,6 +226,71 @@ object SeriesOps {
       .agg(agg.as("value"))
   }
 
+  /** sumSeriesWithWildcards / averageSeriesWithWildcards — combine
+    * series whose names are identical AFTER deleting the dot-segments at
+    * `positions` (0-based): the Graphite form for "sum over one varying
+    * path node". The reduced name becomes the output metric; one hash
+    * aggregate with map-side partials (same shape as [[groupByNode]]). */
+  def aggregateWithWildcards(df: DataFrame, how: String, positions: Seq[Int]): DataFrame = {
+    require(positions.nonEmpty, "aggregateWithWildcards: no positions")
+    val agg = how match {
+      case "sum" => dsum(col("value"))
+      case "avg" | "average" => dmean(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      case other => throw new IllegalArgumentException(s"aggregateWithWildcards: $other")
+    }
+    val parts = split(col("metric"), "\\.")
+    // null out the dropped segments; array_join skips nulls
+    val kept = zip_with(parts, sequence(lit(0), size(parts) - 1),
+      (p, i) => when(positions.map(n => i === lit(n)).reduce(_ || _), lit(null)).otherwise(p))
+    df.withColumn("metric", array_join(kept, "."))
+      .groupBy(col("metric"), col("ts"))
+      .agg(agg.as("value"))
+  }
+
+  /** weightedAverage(seriesListAvg, seriesListWeight, *nodes) — pair the
+    * two lists by the path nodes, then ONE output series whose value at
+    * each ts is Σ(avg·weight)/Σ(weight) over the matched pairs (None
+    * points skipped, §2.4). The pair join is on (node key, ts) — both
+    * sides are already reduced series, so this shuffles series points,
+    * not raw data. */
+  def weightedAverage(avgs: DataFrame, weights: DataFrame, nodes: Seq[Int],
+      name: String): DataFrame = {
+    val a = avgs.select(aliasByNode(nodes).as("_k"), col("ts"), col("value").as("_va"))
+    val w = weights.select(aliasByNode(nodes).as("_k"), col("ts"), col("value").as("_vw"))
+    a.join(w, Seq("_k", "ts"))
+      .groupBy(col("ts"))
+      .agg((dsum(col("_va") * col("_vw")) / dsum(col("_vw"))).as("value"))
+      .select(lit(name).as("metric"), col("ts"), col("value"))
+  }
+
+  /** linearRegression(series) — per-series ordinary-least-squares line,
+    * evaluated at each point's ts. Pure window-aggregate arithmetic (no
+    * fold, no collect): x is seconds since the series' first point
+    * (fit values are translation-invariant, and the small x keeps
+    * x·y / x² inside exact decimal/long range), sums are decimal-exact,
+    * so the fitted doubles are partition-order independent — the same
+    * determinism discipline as [[dsum]]. */
+  def linearRegression(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("metric")
+    val withX = df.withColumn("_x",
+      unix_timestamp(col("ts")) - min(unix_timestamp(col("ts"))).over(w))
+    val n = count(col("value")).over(w)
+    val sx = sum(when(col("value").isNotNull, col("_x"))).over(w)
+    val sy = sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double")
+    val sxx = sum(when(col("value").isNotNull, col("_x") * col("_x"))).over(w)
+    val sxy = sum((col("_x").cast("double") * col("value")).cast(DecimalType(18, 6)))
+      .over(w).cast("double")
+    val denom = (n * sxx - sx * sx).cast("double")
+    val slope = (n.cast("double") * sxy - sx.cast("double") * sy) / denom
+    val intercept = (sy - slope * sx.cast("double")) / n.cast("double")
+    withX
+      .withColumn("value", when(denom =!= 0, intercept + slope * col("_x").cast("double")))
+      .withColumn("metric", concat(lit("linearRegression("), col("metric"), lit(")")))
+      .drop("_x")
+  }
+
   /** summarize(series, step, func) — re-bucket each series to a coarser
     * step (A2). `step` is any Spark window duration ("1 hour", "5
     * minutes"). Bucket label = window start, matching Graphite. */

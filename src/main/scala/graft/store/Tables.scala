@@ -125,9 +125,19 @@ object Tables {
 
   /** Metric store with a deeper path (`events.<type>.u<user bucket>`),
     * used by path-manipulation operators (aliasByNode, deep globs). */
-  def metricStoreDeep(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
+  private def asDeepMetricStore(events: DataFrame): DataFrame =
+    events.select(
       concat(lit("events."), col("event_type"), lit(".u"), col("user_id") % 10).as("metric"),
       col("ts"),
       col("value"))
+
+  def metricStoreDeep(spark: SparkSession, dir: String): DataFrame =
+    asDeepMetricStore(events(spark, dir))
+
+  /** Window-clipped deep store, `[from, untilExclusive)` — bounds reach
+    * the scan as raw-ns PushedFilters (same mechanics as
+    * [[metricStoreWindowed]]). */
+  def metricStoreDeepWindowed(spark: SparkSession, dir: String,
+      fromInclusive: java.sql.Timestamp, untilExclusive: java.sql.Timestamp): DataFrame =
+    asDeepMetricStore(eventsWindowed(spark, dir, fromInclusive, untilExclusive))
 }

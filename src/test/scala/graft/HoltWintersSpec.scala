@@ -85,6 +85,20 @@ class HoltWintersSpec extends SparkTestBase {
     assert(settled.max - settled.min > 30.0)
   }
 
+  test("holtWintersForecast is exactly the confidence bands' midpoint") {
+    val df = signal().map { case (i, _, y) =>
+      ("m1", new Timestamp(base + i * 60000L), y) }.toDF("metric", "ts", "value")
+    val fc = TargetLang.plan(s"holtWintersForecast(m1, 3, $period)", df)
+      .collect().map(r => r.getTimestamp(1).getTime -> r.getDouble(2)).toMap
+    val bands = TargetLang.plan(s"holtWintersConfidenceBands(m1, 3, $period)", df)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+    val upper = bands.filter(_._1 == "holtWintersConfidenceUpper(m1)").map(x => x._2 -> x._3).toMap
+    val lower = bands.filter(_._1 == "holtWintersConfidenceLower(m1)").map(x => x._2 -> x._3).toMap
+    assert(fc.keySet == upper.keySet)
+    fc.foreach { case (t, p) =>
+      assert(math.abs(p - (upper(t) + lower(t)) / 2) < 1e-9, s"at $t: $p") }
+  }
+
   test("stored monitor string drives holtWintersAberration end-to-end") {
     val clean = signal().map { case (i, _, y) =>
       ("m1", new Timestamp(base + i * 60000L), y) }.toDF("metric", "ts", "value")

