@@ -90,12 +90,16 @@ object AlertDispatcher {
     if (i < 0) (key, "") else (key.take(i), key.drop(i + 1))
   }
 
-  /** Route + deliver every fired alert with bounded retries. Unknown
-    * channels fall back to the "log" sink (and say so in the record);
-    * a job with no keys defaults to "log:" — same default as
-    * [[AlertThrottle.route]]. */
+  /** Route + deliver every fired alert with bounded retries and
+    * exponential backoff (`backoffMs`, doubling per retry — the right
+    * default for a real HTTP/SMTP sink; 0 keeps injected-transport
+    * tests instant). `sleep` is injectable so specs assert the timing
+    * without waiting. Unknown channels fall back to the "log" sink (and
+    * say so in the record); a job with no keys defaults to "log:" —
+    * same default as [[AlertThrottle.route]]. */
   def dispatch(alerts: Seq[Alert], specOf: Long => Option[MonitorSpec],
-      sinks: Seq[AlertSink], maxAttempts: Int = 3): Seq[Delivery] = {
+      sinks: Seq[AlertSink], maxAttempts: Int = 3, backoffMs: Long = 0,
+      sleep: Long => Unit = Thread.sleep): Seq[Delivery] = {
     val byChannel = sinks.map(s => s.channel -> s).toMap
     alerts.flatMap { a =>
       val spec = specOf(a.jobId)
@@ -117,7 +121,12 @@ object AlertDispatcher {
         while (!done && attempt < maxAttempts) {
           attempt += 1
           try { sink.deliver(addr, note + subject, body); done = true }
-          catch { case scala.util.control.NonFatal(e) => err = String.valueOf(e.getMessage) }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              err = String.valueOf(e.getMessage)
+              if (attempt < maxAttempts && backoffMs > 0)
+                sleep(backoffMs << (attempt - 1))
+          }
         }
         Delivery(a.jobId, a.at, if (note.isEmpty) chan else "log", addr, attempt, done,
           if (done) note + subject else s"delivery failed after $attempt attempts: $err")

@@ -73,6 +73,103 @@ class AlertSinkSpec extends SparkTestBase {
     assert(logged.size == 2)
   }
 
+  test("retry backoff doubles between attempts and is skipped after success") {
+    class Flaky(failures: Int) extends AlertSink {
+      var calls = 0
+      val channel = "mailto"
+      def deliver(a: String, s: String, b: String): Unit = {
+        calls += 1; if (calls <= failures) throw new RuntimeException("down")
+      }
+    }
+    val sleeps = ArrayBuffer[Long]()
+    AlertDispatcher.dispatch(Seq(Alert(1, at, "enter-failure")),
+      id => Some(spec(id, Seq("mailto:a@b"))), Seq(new Flaky(2)),
+      maxAttempts = 4, backoffMs = 10, sleep = sleeps += _)
+    // failed twice -> slept 10, 20; third attempt succeeded -> no more sleeps
+    assert(sleeps.toSeq == Seq(10L, 20L))
+    val exhausted = ArrayBuffer[Long]()
+    AlertDispatcher.dispatch(Seq(Alert(1, at, "enter-failure")),
+      id => Some(spec(id, Seq("mailto:a@b"))), Seq(new Flaky(99)),
+      maxAttempts = 3, backoffMs = 5, sleep = exhausted += _)
+    // no sleep after the final attempt
+    assert(exhausted.toSeq == Seq(5L, 10L))
+  }
+
+  test("real SMTP transport speaks RFC 5321 to a loopback server (no egress)") {
+    import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+    import graft.state.AlertTransports
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val received = ArrayBuffer[String]()
+    val srv = new Thread(() => {
+      val sock = server.accept()
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream))
+      val out = new PrintWriter(sock.getOutputStream, true)
+      out.print("220 fake ESMTP\r\n"); out.flush()
+      var inData = false
+      var line = in.readLine()
+      while (line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; out.print("250 OK\r\n"); out.flush() }
+          else received += line.stripPrefix(".") // un-stuff
+        } else line.takeWhile(_ != ' ') match {
+          case "DATA" => inData = true; out.print("354 go\r\n"); out.flush()
+          case "QUIT" => out.print("221 bye\r\n"); out.flush(); sock.close(); line = null
+          case _ => out.print("250 OK\r\n"); out.flush()
+        }
+        line = if (line == null) null else in.readLine()
+      }
+    })
+    srv.start()
+    val sink = new AlertSinks.MailSink(AlertTransports.smtp(
+      AlertTransports.SmtpConfig("127.0.0.1", server.getLocalPort)))
+    try sink.deliver("oncall@example.com", "[graft] mon1 enter-failure", "mean < 5 failed")
+    finally { srv.join(5000); server.close() }
+    assert(received.contains("To: oncall@example.com"))
+    assert(received.contains("Subject: [graft] mon1 enter-failure"))
+    assert(received.contains("mean < 5 failed"))
+  }
+
+  test("real HTTP transport POSTs to a loopback server; 5xx throws and retries") {
+    import com.sun.net.httpserver.HttpServer
+    import graft.state.AlertTransports
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    val bodies = ArrayBuffer[String]()
+    @volatile var failFirst = true
+    server.createContext("/pd", ex => {
+      val body = new String(ex.getRequestBody.readAllBytes, "UTF-8")
+      if (failFirst) { failFirst = false; ex.sendResponseHeaders(503, -1) }
+      else { bodies += body; ex.sendResponseHeaders(202, -1) }
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/pd"
+      val sink = new AlertSinks.PagerDutySink(
+        AlertTransports.httpPost(AlertTransports.HttpConfig(url)))
+      val sleeps = ArrayBuffer[Long]()
+      val ds = AlertDispatcher.dispatch(Seq(Alert(1, at, "enter-failure")),
+        id => Some(spec(id, Seq("pagerduty:SVCKEY"))), Seq(sink),
+        maxAttempts = 3, backoffMs = 1, sleep = sleeps += _)
+      // first POST got 503 -> retried with backoff -> delivered on attempt 2
+      assert(ds.head.delivered && ds.head.attempts == 2)
+      assert(sleeps.toSeq == Seq(1L))
+      assert(bodies.exists(b => b.contains("\"service_key\":\"SVCKEY\"") &&
+        b.contains("enter-failure")))
+    } finally server.stop(0)
+  }
+
+  test("fromEnv gates real transports: unset env keeps the injected fallback") {
+    import graft.state.AlertTransports
+    val sent = ArrayBuffer[String]()
+    val sinks = AlertTransports.fromEnv(sent += _, env = Map.empty)
+    assert(sinks.map(_.channel) == Seq("mailto", "pagerduty", "campfire", "log"))
+    val ds = AlertDispatcher.dispatch(Seq(Alert(1, at, "enter-failure")),
+      id => Some(spec(id, Seq("mailto:a@b", "pagerduty:K", "campfire:room"))), sinks)
+    assert(ds.forall(_.delivered) && sent.size == 3)
+  }
+
   test("delivery records land in the parquet alerts table, per-channel rows") {
     val tmp = Files.createTempDirectory("graft-alerts").toString + "/alerts"
     val sinks = AlertSinks.default(_ => ())
