@@ -130,6 +130,35 @@ object Runner {
       now: Timestamp, jobDataPath: String, jobErrorsPath: String): Seq[Verdict] =
     runOnce(spark, MetricSource.ofFrame(store), spec, now, jobDataPath, jobErrorsPath)
 
+  /** E1 batched (the thousands-of-monitors cost model): K due jobs that
+    * fire on the same tick share ONE scan of the store. The union of
+    * their windows is scanned once and persisted; each job's plan then
+    * clips its own (narrower) window from the cached slice — a filter
+    * over in-memory columnar batches, not a second storage scan. Results
+    * are identical to K independent [[runOnce]] calls (SchedulerSpec
+    * proves verdict equality and the single source scan).
+    *
+    * The cached slice is window-bounded (the whole point of monitor
+    * windows: KB-to-MB per job even at 100 TB of history), so pinning it
+    * for the batch is safe. */
+  def runBatch(spark: SparkSession, source: MetricSource, specs: Seq[MonitorSpec],
+      now: Timestamp, jobDataPath: String, jobErrorsPath: String): Map[Long, Seq[Verdict]] = {
+    if (specs.isEmpty) return Map.empty
+    val bounds = specs.map { sp =>
+      val until = sp.toDate.getOrElse(now)
+      (until.getTime - sp.minutes * 60000L, until.getTime)
+    }
+    val clipped = source
+      .scan(new Timestamp(bounds.map(_._1).min), new Timestamp(bounds.map(_._2).max))
+      .persist()
+    try
+      specs.map { spec =>
+        spec.id -> runOnce(spark, MetricSource.ofFrame(clipped), spec, now,
+          jobDataPath, jobErrorsPath)
+      }.toMap
+    finally clipped.unpersist()
+  }
+
   /** E3 read path: latest persisted run per job (O1). */
   def latestRuns(spark: SparkSession, jobDataPath: String): DataFrame = {
     val runs = spark.read.parquet(jobDataPath)

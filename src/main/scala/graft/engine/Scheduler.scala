@@ -41,7 +41,12 @@ final class Scheduler(
     runJob: (MonitorSpec, Timestamp) => String,
     parallelism: Int = 4,
     spark: Option[SparkSession] = None,
-    fairPool: String = "monitors") {
+    fairPool: String = "monitors",
+    /** When set, a tick's whole due set is evaluated as ONE batch (one
+      * shared scan of the store — [[Runner.runBatch]]): the cost model
+      * for thousands of same-schedule monitors. Per-job dispatch remains
+      * the default and the fallback for single-job ticks. */
+    runBatch: Option[(Seq[MonitorSpec], Timestamp) => Map[Long, String]] = None) {
 
   /** Mutable per-job slot. `running` guards overlap; `nextRun` is the
     * only schedule state (None = inactive or unschedulable cron). */
@@ -78,6 +83,7 @@ final class Scheduler(
   def tick(now: Instant): (Seq[Long], Seq[Long]) = {
     val fired = Seq.newBuilder[Long]
     val skipped = Seq.newBuilder[Long]
+    val toRun = Seq.newBuilder[Slot]
     slots.asScala.toSeq.sortBy(_._1).foreach { case (id, s) =>
       val due = s.spec.active && s.nextRun.exists(!_.isAfter(now))
       if (due) {
@@ -89,7 +95,35 @@ final class Scheduler(
           s.running = true
           s.fired += 1
           fired += id
-          val fireAt = Timestamp.from(now)
+          toRun += s
+        }
+      }
+    }
+    val due = toRun.result()
+    val fireAt = Timestamp.from(now)
+    runBatch match {
+      case Some(batch) if due.size > 1 =>
+        // same-tick jobs share one scan: a single pool task evaluates
+        // the whole set (intra-batch parallelism lives inside Spark)
+        inFlight.register()
+        pool.execute { () =>
+          try {
+            spark.foreach(_.sparkContext.setLocalProperty("spark.scheduler.pool", fairPool))
+            val statuses =
+              try batch(due.map(_.spec), fireAt)
+              catch { case scala.util.control.NonFatal(_) =>
+                due.map(_.spec.id -> JobStatus.Error).toMap }
+            due.foreach { s =>
+              s.lastStatus = statuses.getOrElse(s.spec.id, JobStatus.Error)
+              s.lastRunAt = Some(now)
+            }
+          } finally {
+            due.foreach(_.running = false)
+            inFlight.arriveAndDeregister()
+          }
+        }
+      case _ =>
+        due.foreach { s =>
           inFlight.register()
           pool.execute { () =>
             try {
@@ -106,7 +140,6 @@ final class Scheduler(
             }
           }
         }
-      }
     }
     (fired.result(), skipped.result())
   }
@@ -175,7 +208,10 @@ object Scheduler {
       runJob = (spec, fireAt) =>
         Runner.jobStatus(Runner.runOnce(spark, source, spec, fireAt, jobDataPath, jobErrorsPath)),
       parallelism = parallelism,
-      spark = Some(spark))
+      spark = Some(spark),
+      runBatch = Some((specs, fireAt) =>
+        Runner.runBatch(spark, source, specs, fireAt, jobDataPath, jobErrorsPath)
+          .map { case (id, vs) => id -> Runner.jobStatus(vs) }))
 
   /** Full E1 loop (reference stages 1-5): run → persist → throttle →
     * deliver. The throttle clock lives in the same parquet state table
@@ -190,25 +226,36 @@ object Scheduler {
       parallelism: Int = 4): Scheduler = {
     import graft.state.{AlertDispatcher, AlertThrottle}
     val stateLock = new Object
+    def throttleAndDeliver(spec: MonitorSpec, fireAt: Timestamp, status: String): Unit = {
+      val event = AlertThrottle.RunEvent(spec.id, fireAt,
+        failed = status != JobStatus.Success, spec.errorTimeoutMinutes)
+      stateLock.synchronized {
+        val init = AlertThrottle.loadStateTable(spark, alertStatePath)
+        val (alerts, newState) = AlertThrottle.replay(Seq(event), init)
+        if (alerts.nonEmpty) {
+          val deliveries = AlertDispatcher.dispatch(
+            alerts, id => if (id == spec.id) Some(spec) else None, sinks)
+          AlertDispatcher.persist(spark, deliveries, deliveryPath)
+        }
+        AlertThrottle.saveStateTable(spark, alertStatePath, newState)
+      }
+    }
     new Scheduler(
       runJob = (spec, fireAt) => {
         val verdicts = Runner.runOnce(spark, source, spec, fireAt, jobDataPath, jobErrorsPath)
         val status = Runner.jobStatus(verdicts)
-        val event = AlertThrottle.RunEvent(spec.id, fireAt,
-          failed = status != JobStatus.Success, spec.errorTimeoutMinutes)
-        stateLock.synchronized {
-          val init = AlertThrottle.loadStateTable(spark, alertStatePath)
-          val (alerts, newState) = AlertThrottle.replay(Seq(event), init)
-          if (alerts.nonEmpty) {
-            val deliveries = AlertDispatcher.dispatch(
-              alerts, id => if (id == spec.id) Some(spec) else None, sinks)
-            AlertDispatcher.persist(spark, deliveries, deliveryPath)
-          }
-          AlertThrottle.saveStateTable(spark, alertStatePath, newState)
-        }
+        throttleAndDeliver(spec, fireAt, status)
         status
       },
       parallelism = parallelism,
-      spark = Some(spark))
+      spark = Some(spark),
+      runBatch = Some((specs, fireAt) => {
+        val results = Runner.runBatch(spark, source, specs, fireAt, jobDataPath, jobErrorsPath)
+        specs.map { spec =>
+          val status = Runner.jobStatus(results.getOrElse(spec.id, Nil))
+          throttleAndDeliver(spec, fireAt, status)
+          spec.id -> status
+        }.toMap
+      }))
   }
 }

@@ -52,6 +52,44 @@ class BacktestSpec extends SparkTestBase {
     assert(out.nonEmpty && out.forall(!_.getAs[Boolean]("passed")))
   }
 
+  test("sweep over the day-partitioned rollup store prunes to the sweep's days") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val rollupDir = java.nio.file.Files.createTempDirectory("backtest-rollup").toString
+    graft.store.Rollups.materializeMinutely(spark, dir, rollupDir)
+    val src = graft.store.Rollups.asMetricSource(spark, rollupDir)
+    val from = Timestamp.valueOf("2024-01-10 06:00:00")
+    val until = Timestamp.valueOf("2024-01-10 18:00:00")
+    val df = Backtest.sweep(src, spec, from, until, stepMinutes = 120)
+    df.collect()
+    // the sweep's union window is [Jan 9 18:00, Jan 10 18:00] → the scan
+    // may list exactly the two touched day directories, no more
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      (p match {
+        case f: FileSourceScanExec => return Seq(f)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }).flatMap(scans)
+    }
+    val ss = scans(df.queryExecution.executedPlan)
+    assert(ss.nonEmpty)
+    ss.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.references.exists(_.name == "date")),
+        s"no date partition filter:\n$sc")
+      val parts = sc.relation.location.listFiles(sc.partitionFilters, sc.dataFilters).size
+      assert(parts <= 2, s"two-day sweep window listed $parts day partitions")
+    }
+    // sweep ≡ evaluate on the rollup source too (same grain, same verdicts)
+    val sweptEnd = Backtest.sweep(src, spec, until, until, stepMinutes = 120)
+      .collect().map(r => (r.getAs[String]("metric"), r.getAs[Boolean]("passed"),
+        r.getAs[Double]("red_mean"))).toSet
+    val solo = graft.engine.Planner.plan(spark, src, spec.copy(toDate = Some(until)), until)
+      .collect().map(r => (r.getAs[String]("metric"), r.getAs[Boolean]("passed"),
+        r.getAs[Double]("red_mean"))).toSet
+    assert(sweptEnd == solo && sweptEnd.nonEmpty)
+  }
+
   test("sweep is one job shape: exactly one scan of the event log") {
     import java.util.concurrent.atomic.AtomicInteger
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -201,6 +201,43 @@ class SchedulerSpec extends SparkTestBase {
     sch.shutdown()
   }
 
+  test("same-tick monitors share ONE store scan; batch verdicts equal the per-job path") {
+    val tmp = Files.createTempDirectory("graft-sched-batch").toString
+    val inner = graft.store.MetricSource.events(spark, "/root/testdata/sf0.001")
+    val scans = new java.util.concurrent.atomic.AtomicInteger
+    val counting: graft.store.MetricSource =
+      (from, until) => { scans.incrementAndGet(); inner.scan(from, until) }
+    val sch = Scheduler.forSource(spark, counting, s"$tmp/job_data", s"$tmp/job_errors",
+      parallelism = 4)
+    val boot = t("2024-01-15 11:59:00")
+    // different window lengths on purpose: the batch scans the union
+    // window once, each job clips its own slice from the cached frame
+    val specs = (1L to 3L).map { id =>
+      MonitorSpec(id = id, name = s"batch$id", targets = Seq("events.*"),
+        minutes = (240 * id).toInt, toDate = None, cronExpr = "* * * * *",
+        monitorExpr = if (id == 2) "mean > 0" else "count > 0")
+    }
+    specs.foreach(sch.register(_, boot))
+    val (fired, skipped) = sch.tick(t("2024-01-15 12:00:00"))
+    sch.awaitIdle()
+    assert(fired == Seq(1L, 2L, 3L) && skipped.isEmpty)
+    assert(scans.get == 1, s"expected one shared scan for the tick, got ${scans.get}")
+    assert(sch.snapshot.forall(_.lastStatus == JobStatus.Success))
+    // every job still persisted its own run
+    val runs = spark.read.parquet(s"$tmp/job_data")
+      .groupBy("job_id").count().collect()
+      .map(r => r.getAs[Number]("job_id").longValue -> r.getLong(1)).toMap
+    assert(runs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // and batch results are exactly the per-job evaluate results
+    val at = Timestamp.valueOf("2024-01-15 12:00:00")
+    val batch = graft.engine.Runner.runBatch(spark, inner, specs, at, s"$tmp/jd2", s"$tmp/je2")
+    specs.foreach { sp =>
+      val solo = graft.engine.Runner.evaluate(spark, inner, sp, at)
+      assert(batch(sp.id).toSet == solo.toSet, s"job ${sp.id} differs")
+    }
+    sch.shutdown()
+  }
+
   test("production wiring: due job runs end-to-end through Runner.runOnce") {
     val tmp = Files.createTempDirectory("graft-sched-e2e").toString
     val source = graft.store.MetricSource.events(spark, "/root/testdata/sf0.001")
