@@ -52,6 +52,42 @@ object StreamingRunner {
         col("passed")) ++ reds.map(r => col(MonitorDsl.redCol(r))): _*)
   }
 
+  /** Stage 1 MULTIPLEXED: ONE stateful query evaluates N monitors that
+    * share a window length (one cohort per distinct `minutes`; hundreds
+    * of monitors cost as many queries as distinct window lengths, not
+    * hundreds). The aggregation state is built ONCE over
+    * (window, metric) with the UNION of all specs' reduction columns;
+    * the per-job fan-out (`explode`) happens AFTER the aggregate, on
+    * closed-window rows — so input rows shuffle once, the state store
+    * holds one copy, and each job's `passed` is its own compiled
+    * expression selected by job_id. Verdict rows are identical to the
+    * single-spec [[verdictStream]] (StreamingRunnerSpec proves it). */
+  def multiplexedVerdictStream(stream: DataFrame, specs: Seq[MonitorSpec],
+      slide: String, lateness: String = "2 minutes"): DataFrame = {
+    require(specs.nonEmpty, "multiplexedVerdictStream: no specs")
+    require(specs.map(_.minutes).distinct.size == 1,
+      s"one cohort = one window length; got minutes=${specs.map(_.minutes).distinct}")
+    val asts = specs.map { sp =>
+      sp.id -> MonitorDsl.parse(sp.monitorExpr).fold(
+        err => throw new IllegalArgumentException(s"monitor ${sp.id}: $err"),
+        identity)
+    }.toMap
+    val allReds = asts.values.flatMap(MonitorDsl.reductions).toSeq.distinct.sorted
+    val aggs = allReds.map(r =>
+      MonitorDsl.reductionAgg(r, col("value"), col("ts")).as(MonitorDsl.redCol(r)))
+    val passedByJob = specs.foldLeft(lit(null).cast("boolean")) { (acc, sp) =>
+      when(col("job_id") === sp.id, MonitorDsl.compile(asts(sp.id))).otherwise(acc)
+    }
+    stream
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), s"${specs.head.minutes} minutes", slide).as("w"), col("metric"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("job_id", explode(array(specs.map(sp => lit(sp.id)): _*)))
+      .withColumn("passed", passedByJob)
+      .select(Seq(col("job_id"), col("metric"), col("w.end").as("window_end"),
+        col("passed")) ++ allReds.map(r => col(MonitorDsl.redCol(r))): _*)
+  }
+
   // throttle-state table lives in AlertThrottle.load/saveStateTable —
   // shared with the Scheduler so both paths honor one throttle clock
 
@@ -66,9 +102,33 @@ object StreamingRunner {
       slide: String, alertsPath: String, statePath: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       sinks: Seq[graft.state.AlertSink] = Nil,
+      deliveryPath: Option[String] = None): StreamingQuery =
+    startStream(spark, verdictStream(stream, spec, slide),
+      id => if (id == spec.id) Some(spec) else None,
+      alertsPath, statePath, checkpoint, trigger, sinks, deliveryPath)
+
+  /** Multiplexed stage-2 wiring: ONE streaming query (one checkpoint,
+    * one state store) monitors every spec in the cohort; the shared
+    * foreachBatch folds all jobs' events through the common throttle
+    * table and routes each alert to its own spec's alert keys. */
+  def startMultiplexed(spark: SparkSession, stream: DataFrame,
+      specs: Seq[MonitorSpec], slide: String,
+      alertsPath: String, statePath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      sinks: Seq[graft.state.AlertSink] = Nil,
       deliveryPath: Option[String] = None): StreamingQuery = {
+    val byId = specs.map(sp => sp.id -> sp).toMap
+    startStream(spark, multiplexedVerdictStream(stream, specs, slide), byId.get,
+      alertsPath, statePath, checkpoint, trigger, sinks, deliveryPath)
+  }
+
+  private def startStream(spark: SparkSession, verdicts: DataFrame,
+      specOf: Long => Option[MonitorSpec],
+      alertsPath: String, statePath: String, checkpoint: String,
+      trigger: Trigger, sinks: Seq[graft.state.AlertSink],
+      deliveryPath: Option[String]): StreamingQuery = {
     import spark.implicits._
-    verdictStream(stream, spec, slide).writeStream
+    verdicts.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -80,7 +140,7 @@ object StreamingRunner {
             (col("all_passed") === 0).as("failed"))
           .collect()
           .map(r => RunEvent(r.getLong(0), r.getTimestamp(1), r.getBoolean(2),
-            spec.errorTimeoutMinutes))
+            specOf(r.getLong(0)).map(_.errorTimeoutMinutes).getOrElse(60)))
           .toSeq
         if (events.nonEmpty) {
           val init = AlertThrottle.loadStateTable(spark, statePath)
@@ -89,7 +149,7 @@ object StreamingRunner {
             alerts.toDF().write.mode("append").parquet(alertsPath)
             if (sinks.nonEmpty) {
               val deliveries = graft.state.AlertDispatcher.dispatch(
-                alerts, id => if (id == spec.id) Some(spec) else None, sinks)
+                alerts, specOf, sinks)
               deliveryPath.foreach(p =>
                 graft.state.AlertDispatcher.persist(spark, deliveries, p))
             }

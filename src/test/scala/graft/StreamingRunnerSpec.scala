@@ -53,6 +53,82 @@ class StreamingRunnerSpec extends SparkTestBase {
     assert(a(1).getTime - a(0).getTime >= 60 * 60000L)
   }
 
+  test("multiplexed: 3 monitors, one query, one checkpoint; verdicts equal the single-spec path") {
+    val tmp = Files.createTempDirectory("graft-sr-mux").toString
+    implicit val sqlCtx = spark.sqlContext
+    // cohort: same window length, different expressions and reductions
+    val cohort = Seq(
+      spec.copy(id = 50, monitorExpr = "mean > 100"),
+      spec.copy(id = 51, monitorExpr = "count > 3"),
+      spec.copy(id = 52, monitorExpr = "max < 0.5 || sum > 10"))
+    val data = (0 to 30).map(m => ("m.a", ts(m), 1.0)) ++
+      (0 to 30 by 2).map(m => ("m.b", ts(m), 3.0))
+
+    // multiplexed: one query over one MemoryStream, one checkpoint dir
+    val msM = MemoryStream[(String, Timestamp, Double)]
+    msM.addData(data)
+    val mux = StreamingRunner.multiplexedVerdictStream(
+      msM.toDF().toDF("metric", "ts", "value"), cohort, slide = "5 minutes")
+    val qM = mux.writeStream.outputMode("append")
+      .format("memory").queryName("mux_out")
+      .option("checkpointLocation", s"$tmp/ckpt_mux")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    qM.awaitTermination()
+    val muxRows = spark.table("mux_out")
+
+    // reference: each spec through the existing single-spec stream
+    cohort.foreach { sp =>
+      val ms1 = MemoryStream[(String, Timestamp, Double)]
+      ms1.addData(data)
+      val one = StreamingRunner.verdictStream(
+        ms1.toDF().toDF("metric", "ts", "value"), sp, slide = "5 minutes")
+      val q1 = one.writeStream.outputMode("append")
+        .format("memory").queryName(s"solo_${sp.id}")
+        .option("checkpointLocation", s"$tmp/ckpt_${sp.id}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q1.awaitTermination()
+      val solo = spark.table(s"solo_${sp.id}")
+      val keyCols = Seq("job_id", "metric", "window_end", "passed") ++
+        solo.columns.filter(_.startsWith("red_"))
+      val muxSet = muxRows.filter($"job_id" === sp.id)
+        .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).toSet
+      val soloSet = solo.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).toSet
+      assert(soloSet.nonEmpty && muxSet == soloSet,
+        s"job ${sp.id}: mux=${muxSet.size} solo=${soloSet.size} " +
+          s"only-mux=${muxSet -- soloSet} only-solo=${soloSet -- muxSet}")
+    }
+    // and the whole cohort ran as ONE streaming query: a single
+    // checkpoint directory carries the only state store
+    assert(new java.io.File(s"$tmp/ckpt_mux/state").exists())
+  }
+
+  test("multiplexed alerts route each job to its own alert keys through one query") {
+    val tmp = Files.createTempDirectory("graft-sr-mux2").toString
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp, Double)]
+    val cohort = Seq(
+      spec.copy(id = 60, monitorExpr = "mean > 100", // fails on the data
+        alertKeys = Seq("mailto:a@x")),
+      spec.copy(id = 61, monitorExpr = "count > 0",  // passes → no alert
+        alertKeys = Seq("pagerduty:K61")))
+    ms.addData((0 to 30).map(m => ("m.a", ts(m), 1.0)))
+    val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = StreamingRunner.startMultiplexed(spark,
+      ms.toDF().toDF("metric", "ts", "value"), cohort, slide = "5 minutes",
+      s"$tmp/alerts", s"$tmp/state", s"$tmp/ckpt",
+      sinks = graft.state.AlertSinks.default(sent.add(_)),
+      deliveryPath = Some(s"$tmp/deliveries"))
+    q.awaitTermination()
+    val d = spark.read.parquet(s"$tmp/deliveries").collect()
+    assert(d.length == 1 && d.head.getAs[String]("channel") == "mailto",
+      s"only the failing job alerts, via its own key: ${d.toSeq}")
+    assert(sent.size == 1 && sent.peek().startsWith("To: a@x"))
+  }
+
   test("streaming alerts deliver through channel sinks into the delivery table") {
     val tmp = Files.createTempDirectory("graft-sr-d").toString
     implicit val sqlCtx = spark.sqlContext
