@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import graft.engine.{MonitorApi, Runner}
+import graft.engine.{MonitorApi, MonitorApiServer, Runner}
 import graft.store.MetricSource
 
 /** E2/E3 JSON edge: spec-from-JSON, verdicts-to-JSON, latest runs,
@@ -92,5 +92,63 @@ class MonitorApiSpec extends SparkTestBase {
     assert(rows.length >= 2) // several event metrics
     val points = parseJson(rows(0).getAs[String]("points")).collect()
     assert(points.length > 0)
+  }
+
+  test("HTTP host: authenticated routes serve the full JSON surface over loopback") {
+    import java.net.{HttpURLConnection, URI}
+    def call(url: String, method: String, token: Option[String],
+        body: Option[String]): (Int, String) = {
+      val c = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      c.setRequestMethod(method)
+      token.foreach(t => c.setRequestProperty("Authorization", s"Bearer $t"))
+      body.foreach { b =>
+        c.setDoOutput(true)
+        val os = c.getOutputStream
+        try os.write(b.getBytes("UTF-8")) finally os.close()
+      }
+      val code = c.getResponseCode
+      val is = if (code < 400) c.getInputStream else c.getErrorStream
+      val text = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+      c.disconnect()
+      (code, text)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-api-http").toString
+    val spec = graft.model.MonitorSpec(id = 21, name = "http", targets = Seq("events.*"),
+      minutes = 720, toDate = None, cronExpr = "* * * * *", monitorExpr = "count > 0")
+    Runner.runOnce(spark, source, spec, now, s"$tmp/job_data", s"$tmp/job_errors")
+    val srv = new MonitorApiServer(spark, source, s"$tmp/job_data",
+      authToken = Some("sekrit")).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.address.getPort}"
+      val specJson = """{"id": 21, "targets": ["events.*"], "minutes": 720,
+        "monitorExpr": "count > 0"}"""
+
+      // auth is enforced on every route
+      assert(call(s"$base/api/evaluate", "POST", None, Some(specJson))._1 == 401)
+      assert(call(s"$base/api/jobs/latest", "GET", Some("wrong"), None)._1 == 401)
+
+      val (c1, eval) = call(s"$base/api/evaluate?now=2024-01-15%2012:00:00",
+        "POST", Some("sekrit"), Some(specJson))
+      assert(c1 == 200 && eval.contains("\"status\":\"success\"") &&
+        eval.contains("\"verdicts\""), eval.take(200))
+
+      val (c2, latest) = call(s"$base/api/jobs/latest", "GET", Some("sekrit"), None)
+      assert(c2 == 200 && latest.contains("\"job_id\":21"), latest.take(200))
+
+      val (c3, render) = call(s"$base/api/render?target=" +
+        java.net.URLEncoder.encode("summarize(events.*, \"1h\", \"sum\")", "UTF-8") +
+        "&from=2024-01-15%2000:00:00&until=2024-01-15%2012:00:00",
+        "GET", Some("sekrit"), None)
+      assert(c3 == 200 && render.contains("\"points\""), render.take(200))
+
+      val (c4, bt) = call(s"$base/api/backtest?from=2024-01-10%2006:00:00" +
+        "&until=2024-01-10%2018:00:00&step=240", "POST", Some("sekrit"), Some(specJson))
+      assert(c4 == 200 && bt.contains("\"window_end\""), bt.take(200))
+
+      // bad input is a 400 with a JSON error, not a hung socket
+      val (c5, err) = call(s"$base/api/render?from=2024-01-15%2000:00:00" +
+        "&until=2024-01-15%2012:00:00", "GET", Some("sekrit"), None)
+      assert(c5 == 400 && err.contains("target"), s"$c5 $err")
+    } finally srv.stop()
   }
 }
