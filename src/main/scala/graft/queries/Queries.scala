@@ -81,7 +81,11 @@ object Queries {
       col("date") >= to_date(lit(from)) && col("date") <= to_date(lit(untilExcl)) &&
         col("ts") >= lit(from) && col("ts") < lit(untilExcl))
   private def hourRollup(s: SparkSession, dir: String): DataFrame =
-    graft.store.Rollups.hourly(s, rollupDir(s, dir))
+    // derive from minuteRollup (not Rollups.hourly) so bench mode reads
+    // the memoized/cached frame instead of re-listing parquet per query
+    minuteRollup(s, dir)
+      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("ts"))
+      .agg(sum(col("sum_dec")).as("value_dec"))
 
   /** IVF index built ONCE per scale dir and reused across x7b/x7c calls
     * (and bench rounds) — build is amortized setup in production (an
