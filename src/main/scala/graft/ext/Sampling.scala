@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / shuffling for training-data
+  * pipelines (BASELINE.json north-star: a 100-TB corpus needs its
+  * train/val/test split, stratified subsamples, and a reproducible
+  * training order — all WITHOUT a random() that differs per run, per
+  * partition, or per engine).
+  *
+  * Reference scope: the reference (rearview, /root/reference/README.md:6)
+  * has no sampling surface — this module is part of the
+  * training-pipeline extension the survey scopes in alongside dedup/ANN.
+  *
+  * Design for 100 TB:
+  *  - Everything keys off `md5(key || seed)` — a pure codegen'd column
+  *    expression. The SPLIT is therefore shuffle-free: a row's bucket is
+  *    a function of its own bytes, so 1000 executors decide locally, and
+  *    the same row lands in the same bucket on every run, every engine,
+  *    every cluster size. (Adding/removing OTHER rows never moves a row
+  *    between buckets — unlike ntile/percent_rank splits.)
+  *  - Fraction thresholds are compared LEXICOGRAPHICALLY on the hex
+  *    digest. md5 hex is uniform over [0, 2^128); the threshold for
+  *    fraction f is the 32-hex-digit integer floor(f·2^128). String
+  *    compare on fixed-width lowercase hex == numeric compare, and it is
+  *    exactly portable SQL (the DuckDB oracle runs the same literals) —
+  *    no conv()/hash() that differ across engines.
+  *  - Stratified exact-N sampling is one window shuffle partitioned by
+  *    stratum (rank over the hash order = a uniform draw without
+  *    replacement, reproducible under the seed).
+  *  - The global shuffle for training order is rank over the hash — a
+  *    range exchange at scale. The scale path `shuffledFiles` avoids the
+  *    global sort: repartition by hash bucket + sortWithinPartitions,
+  *    giving a deterministic total order (bucket, hash) with no range
+  *    sampling pass, which is how you'd lay out 100 TB of shuffled
+  *    training shards.
+  */
+object Sampling {
+
+  /** floor(f · 2^128) as a 32-char lowercase hex literal — the
+    * lexicographic threshold on an md5 hex digest for fraction f. */
+  def hexThreshold(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction $f out of [0,1]")
+    val full = BigInt(1) << 128
+    val t = (BigDecimal(full) * BigDecimal(f)).toBigInt.min(full - 1).max(BigInt(0))
+    f"$t%032x"
+  }
+
+  /** The deterministic per-row draw: md5 of the key column salted with
+    * the seed. Uniform on [0, 2^128) as a hex string; pure codegen. */
+  def drawHex(key: Column, seed: String): Column =
+    md5(concat(key.cast("string"), lit(":"), lit(seed)))
+
+  /** Assign each row a split label from cumulative fraction cuts.
+    * `fractions` maps label -> fraction; labels are assigned in the
+    * given order (use a Seq to control it); fractions must sum to 1.
+    * Shuffle-free: one CASE WHEN over the hash. */
+  def splitColumn(key: Column, seed: String, fractions: Seq[(String, Double)]): Column = {
+    val sum = fractions.map(_._2).sum
+    require(math.abs(sum - 1.0) < 1e-9, s"fractions sum to $sum, want 1.0")
+    val d = drawHex(key, seed)
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail // cumulative
+    // last label is the ELSE arm so float dust in the last cut can't
+    // leave rows unlabeled
+    val whens = fractions.init.zip(cuts.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), cum)) =>
+        val cond = d < lit(hexThreshold(cum))
+        Some(acc.fold(when(cond, lit(label)))(_.when(cond, lit(label))))
+    }
+    whens.fold(lit(fractions.last._1))(_.otherwise(lit(fractions.last._1)))
+  }
+
+  /** Keep a deterministic `fraction` of rows (hash-Bernoulli). */
+  def sampleFraction(key: Column, seed: String, fraction: Double): Column =
+    drawHex(key, seed) < lit(hexThreshold(fraction))
+
+  /** Exactly-N-per-stratum sample: rank rows inside each stratum by the
+    * seeded hash and keep the first n — a reproducible uniform draw
+    * without replacement. One shuffle, partitioned by the strata. */
+  def stratifiedTake(df: DataFrame, strata: Seq[String], key: Column,
+      seed: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(drawHex(key, seed), key)
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= n).drop("__rk")
+  }
+
+  /** Reproducible global shuffle order: rank over (hash, key). The rank
+    * is a global sort (range exchange) — fine for bounded outputs;
+    * use [[shuffledFiles]] to lay out full-corpus training shards. */
+  def shuffledOrder(df: DataFrame, key: Column, seed: String): DataFrame =
+    df.withColumn("shuffle_rank",
+      row_number().over(Window.orderBy(drawHex(key, seed), key)))
+
+  /** Scale path for writing shuffled training shards: assign each row a
+    * deterministic shard = hash-prefix bucket, repartition by shard, sort
+    * within each shard by the hash. Concatenating shards 0..n-1 yields
+    * EXACTLY the [[shuffledOrder]] order (the shard id is the draw's
+    * most-significant bits), but no stage needs a global sort or its
+    * range-sampling job. */
+  def shuffledFiles(df: DataFrame, key: Column, seed: String, shards: Int): DataFrame = {
+    require(shards > 0 && shards <= 0x10000, s"shards $shards out of (0, 65536]")
+    val d = drawHex(key, seed)
+    // bucket by the draw's leading 16 bits so bucket order == draw order
+    val bucket = ((conv(substring(d, 1, 4), 16, 10).cast("int") * shards) / 0x10000).cast("int")
+    df.withColumn("shard", bucket)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), d, key)
+  }
+}

@@ -90,6 +90,115 @@ object TextOps {
   def fingerprint64(c: Column): Column =
     xxhash64(concat_ws(" ", tokens(lower(c))))
 
+  // -- repetition / quality filters (Gopher-style, MassiveText rules) ----
+  // Public provenance: Rae et al. 2021 ("Scaling Language Models",
+  // Gopher appendix A) describe the standard repetition filters used to
+  // clean web corpora: duplicate line/paragraph fractions and the
+  // fraction of characters in the most-frequent / in duplicated word
+  // n-grams. All scalar metrics here are pure column expressions; the
+  // n-gram metrics are DataFrame ops (explode + hash agg) so the heavy
+  // counting runs distributed, never per-row quadratic.
+
+  private def splitLines(c: Column): Column = split(c, "\n")
+  private def splitParagraphs(c: Column): Column = split(c, "\n\n")
+
+  private def dupFraction(parts: Column): Column = {
+    val n = size(parts)
+    when(n > 0, (n - size(array_distinct(parts))).cast("double") / n).otherwise(lit(0.0))
+  }
+
+  private def dupCharFraction(parts: Column): Column = {
+    val charSum = (a: Column) => aggregate(a, lit(0L), (acc, x) => acc + length(x))
+    val total = charSum(parts)
+    when(total > 0,
+      (total - charSum(array_distinct(parts))).cast("double") / total).otherwise(lit(0.0))
+  }
+
+  /** Fraction of lines that are repeats of an earlier line. */
+  def dupLineFraction(c: Column): Column = dupFraction(splitLines(c))
+
+  /** Fraction of line characters inside repeated lines. */
+  def dupLineCharFraction(c: Column): Column = dupCharFraction(splitLines(c))
+
+  /** Fraction of paragraphs (blank-line separated) that are repeats. */
+  def dupParagraphFraction(c: Column): Column = dupFraction(splitParagraphs(c))
+
+  /** Word n-grams of the lowercased token stream, space-joined. Empty
+    * array when the document has fewer than n tokens (`sequence` would
+    * otherwise run DESCENDING for a negative span — never let it). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = tokens(lower(c))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document n-gram repetition stats, distributed (explode + one
+    * hash aggregate — at 100 TB the gram counting is a map-side-combined
+    * shuffle on (doc, gram), never a per-row quadratic fold):
+    *
+    *  - `top_gram` / `top_cnt`: the most frequent word n-gram (ties by
+    *    lexicographically greatest gram — a total, engine-portable rule)
+    *  - `top_frac`: characters covered by all occurrences of the top
+    *    gram / document characters (Gopher's "fraction of characters in
+    *    the most frequent n-gram")
+    *  - `dup_frac`: characters covered by every gram occurring more than
+    *    once / document characters (Gopher's duplicate-n-gram mass;
+    *    overlap-counted, the standard cheap approximation)
+    *
+    * Documents with fewer than n tokens keep a row with zero fractions
+    * (left join back to the corpus) so the metric is total. */
+  def ngramRepetitionStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+    val perDoc = counts.groupBy(col(idCol)).agg(
+      max(struct(col("cnt"), col("g"))).as("top"),
+      sum(when(col("cnt") > 1, col("cnt") * length(col("g")))
+        .otherwise(lit(0L))).as("dup_chars"))
+    df.select(col(idCol), length(col(textCol)).cast("double").as("n_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("top.g"), lit("")).as("top_gram"),
+        coalesce(col("top.cnt"), lit(0L)).as("top_cnt"),
+        coalesce(col("top.cnt") * length(col("top.g")) / col("n_chars"), lit(0.0))
+          .as("top_frac"),
+        coalesce(col("dup_chars") / col("n_chars"), lit(0.0)).as("dup_frac"))
+  }
+
+  /** Thresholds for [[repetitionKeep]] — Gopher appendix A defaults. */
+  final case class RepetitionThresholds(
+      maxDupLineFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxDupParagraphFrac: Double = 0.30,
+      maxTop2GramCharFrac: Double = 0.20,
+      maxDup3GramCharFrac: Double = 0.18)
+
+  /** Composite repetition gate: joins the scalar line/paragraph metrics
+    * (pure codegen) with the distributed 2-/3-gram stats and emits a
+    * boolean `keep`. Scalar gates are computed inline; only the n-gram
+    * stats shuffle. */
+  def repetitionKeep(df: DataFrame, idCol: String, textCol: String,
+      t: RepetitionThresholds = RepetitionThresholds()): DataFrame = {
+    val two = ngramRepetitionStats(df, idCol, textCol, 2)
+      .select(col(idCol), col("top_frac").as("top2_frac"))
+    val three = ngramRepetitionStats(df, idCol, textCol, 3)
+      .select(col(idCol), col("dup_frac").as("dup3_frac"))
+    df.select(col(idCol),
+        dupLineFraction(col(textCol)).as("dup_line_frac"),
+        dupLineCharFraction(col(textCol)).as("dup_line_char_frac"),
+        dupParagraphFraction(col(textCol)).as("dup_para_frac"))
+      .join(two, Seq(idCol), "left").join(three, Seq(idCol), "left")
+      .withColumn("keep",
+        col("dup_line_frac") <= t.maxDupLineFrac &&
+        col("dup_line_char_frac") <= t.maxDupLineCharFrac &&
+        col("dup_para_frac") <= t.maxDupParagraphFrac &&
+        coalesce(col("top2_frac"), lit(0.0)) <= t.maxTop2GramCharFrac &&
+        coalesce(col("dup3_frac"), lit(0.0)) <= t.maxDup3GramCharFrac)
+  }
+
   /** Order-sensitive polynomial rolling fingerprint over tokens,
     * expressible in portable SQL (used by the oracle gate):
     * sum over tokens of (position+1) * first-char-code * token-length,

@@ -1576,4 +1576,107 @@ object Queries {
       .select(col("metric"), col("ts"), col("n"), col("sum_dec").cast("double").as("sum_v"))
       .ordered("metric", "ts")
   }
+
+  // =======================================================================
+  // X14-X16 — deterministic sampling / split / shuffle (ext.Sampling).
+  // The split is a pure column expression over md5 hex compared against
+  // 128-bit fraction thresholds — shuffle-free, engine-portable, and
+  // stable under corpus growth (a row's bucket depends only on its own
+  // key). See Sampling.scala scaladoc for the 100-TB layout rationale.
+  // =======================================================================
+
+  private val SplitSeed = "graft-split-v1"
+  private def splitDrawSql = s"md5(CAST(doc_id AS VARCHAR) || ':' || '$SplitSeed')"
+
+  // X14 — train/val/test split sizes (80/10/10). Oracle runs the same
+  // hex-threshold CASE; counts AND char mass must agree exactly.
+  q("x14_split_sizes",
+    s"""SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+       |FROM (
+       |  SELECT CASE WHEN $splitDrawSql < '${graft.ext.Sampling.hexThreshold(0.8)}' THEN 'train'
+       |              WHEN $splitDrawSql < '${graft.ext.Sampling.hexThreshold(0.9)}' THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         n_chars
+       |  FROM documents)
+       |GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("split", graft.ext.Sampling.splitColumn(col("doc_id"), SplitSeed,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      .ordered("split")
+  }
+
+  // X15 — stratified exactly-N sample: 5 docs per language, drawn by the
+  // seeded hash order (uniform without replacement, reproducible).
+  q("x15_stratified_sample",
+    s"""SELECT lang, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |         row_number() OVER (PARTITION BY lang ORDER BY $splitDrawSql, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    graft.ext.Sampling.stratifiedTake(
+        Tables.documents(s, dir), Seq("lang"), col("doc_id"), SplitSeed, n = 5)
+      .select("lang", "doc_id")
+      .ordered("lang", "doc_id")
+  }
+
+  // X16 — reproducible global shuffle order (training-order head). The
+  // gate takes the first 100 ranks; SamplingSpec proves the scale path
+  // (shuffledFiles: bucket + local sort, no global sort) yields the
+  // identical total order.
+  q("x16_global_shuffle",
+    s"""SELECT shuffle_rank, doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY $splitDrawSql, doc_id) AS shuffle_rank
+       |  FROM documents)
+       |WHERE shuffle_rank <= 100 ORDER BY shuffle_rank""".stripMargin) { (s, dir) =>
+    graft.ext.Sampling.shuffledOrder(Tables.documents(s, dir), col("doc_id"), SplitSeed)
+      .filter(col("shuffle_rank") <= 100)
+      .select("shuffle_rank", "doc_id")
+      .ordered("shuffle_rank")
+  }
+
+  // X19 — Gopher-style n-gram repetition metrics (ext.TextOps): per-doc
+  // most-frequent 2-gram (count + char coverage) and duplicated-3-gram
+  // char mass. Both engines count grams by hash aggregation and break
+  // top-gram ties by lexicographically greatest gram; fractions are
+  // exact-int products divided once, rounded at 6.
+  q("x19_repetition",
+    """WITH toks AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |         string_split_regex(trim(lower(text)), '\s+') AS l
+      |  FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+      |  FROM toks, UNNEST(generate_series(1, len(l)-1)) AS t(i)),
+      |c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+      |m2 AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM c2 GROUP BY 1),
+      |t2 AS (
+      |  SELECT c2.doc_id, m2.top_cnt, MAX(c2.g) AS top_gram
+      |  FROM c2 JOIN m2 ON c2.doc_id = m2.doc_id AND c2.cnt = m2.top_cnt
+      |  GROUP BY 1, 2),
+      |g3 AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+      |  FROM toks, UNNEST(generate_series(1, len(l)-2)) AS t(i)),
+      |c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+      |s3 AS (
+      |  SELECT doc_id,
+      |         SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup_chars
+      |  FROM c3 GROUP BY 1)
+      |SELECT tk.doc_id, t2.top_gram, t2.top_cnt,
+      |  ROUND(t2.top_cnt * length(t2.top_gram) / tk.n_chars, 6) AS top2_frac,
+      |  ROUND(COALESCE(s3.dup_chars, 0) / tk.n_chars, 6) AS dup3_frac
+      |FROM toks tk
+      |JOIN t2 ON t2.doc_id = tk.doc_id
+      |LEFT JOIN s3 ON s3.doc_id = tk.doc_id
+      |ORDER BY tk.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val two = graft.ext.TextOps.ngramRepetitionStats(docs, "doc_id", "text", 2)
+    val three = graft.ext.TextOps.ngramRepetitionStats(docs, "doc_id", "text", 3)
+    two.select(col("doc_id"), col("top_gram"), col("top_cnt"),
+        round(col("top_frac"), 6).as("top2_frac"))
+      .join(three.select(col("doc_id"), round(col("dup_frac"), 6).as("dup3_frac")),
+        Seq("doc_id"))
+      .ordered("doc_id")
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sampling
+import graft.store.Tables
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val seed = "spec-seed"
+
+  test("hexThreshold: boundary values and midpoint") {
+    assert(Sampling.hexThreshold(0.0) == "0" * 32)
+    assert(Sampling.hexThreshold(1.0) == "f" * 32)
+    assert(Sampling.hexThreshold(0.5) == "8" + "0" * 31)
+    // 0.8 * 16 = 12.8 -> 0xcccc... prefix
+    assert(Sampling.hexThreshold(0.8).startsWith("cccccccc"))
+  }
+
+  test("split: total partition, stable under corpus growth, fractions near target") {
+    val docs = Tables.documents(spark, dir)
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = docs.withColumn("split", Sampling.splitColumn(col("doc_id"), seed, fr))
+    val total = docs.count()
+    val byLabel = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.values.sum == total, "split must be a total partition")
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // uniformity: each bucket within 5 sigma of its binomial expectation
+    fr.foreach { case (label, f) =>
+      val exp = total * f
+      val sigma = math.sqrt(total * f * (1 - f))
+      assert(math.abs(byLabel(label) - exp) < 5 * sigma + 1,
+        s"$label: ${byLabel(label)} vs expected $exp")
+    }
+    // growth stability: restricting the corpus must not move any row's
+    // bucket (the property ntile/percent_rank splits DON'T have)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("split", Sampling.splitColumn(col("doc_id"), seed, fr))
+    val fullOnHalf = split.filter(col("doc_id") % 2 === 0)
+    assert(half.select("doc_id", "split").except(
+      fullOnHalf.select("doc_id", "split")).isEmpty)
+  }
+
+  test("split plan is shuffle-free (no Exchange below the aggregate's own)") {
+    val docs = Tables.documents(spark, dir)
+    val labeled = docs.withColumn("split",
+      Sampling.splitColumn(col("doc_id"), seed, Seq("a" -> 0.5, "b" -> 0.5)))
+      .select("doc_id", "split")
+    val plan = labeled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split should not shuffle:\n$plan")
+  }
+
+  test("stratifiedTake: exactly n per stratum, deterministic, a uniform-order draw") {
+    val docs = Tables.documents(spark, dir)
+    val s1 = Sampling.stratifiedTake(docs, Seq("lang"), col("doc_id"), seed, 4)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val langSizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    langSizes.foreach { case (lang, size) =>
+      assert(counts(lang) == math.min(4L, size), s"$lang: ${counts(lang)}")
+    }
+    val s2 = Sampling.stratifiedTake(docs, Seq("lang"), col("doc_id"), seed, 4)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).isEmpty, "must be deterministic")
+    // different seed -> (almost surely) different draw
+    val s3 = Sampling.stratifiedTake(docs, Seq("lang"), col("doc_id"), "other", 4)
+    assert(s3.select("doc_id").except(s1.select("doc_id")).count() > 0)
+  }
+
+  test("shuffledFiles (bucket + local sort) concatenated == shuffledOrder (global sort)") {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val global = Sampling.shuffledOrder(docs, col("doc_id"), seed)
+      .orderBy("shuffle_rank").as[(Long, Int)].map(_._1).collect().toSeq
+    // reconstruct the scale-path order: shards in shard-id order, rows in
+    // their within-shard sorted order
+    val sharded = Sampling.shuffledFiles(docs, col("doc_id"), seed, shards = 8)
+    val byShard = sharded
+      .withColumn("draw", Sampling.drawHex(col("doc_id"), seed))
+      .select("shard", "draw", "doc_id")
+      .as[(Int, String, Long)].collect().toSeq
+      .sortBy { case (shard, draw, id) => (shard, draw, id) }
+      .map(_._3)
+    assert(byShard == global,
+      "bucketed local-sort layout must reproduce the global shuffle order")
+    // and the shard column really is the draw's leading bits: shard
+    // boundaries never interleave in draw order
+    val shardOfDraw = sharded.withColumn("draw", Sampling.drawHex(col("doc_id"), seed))
+      .select("draw", "shard").as[(String, Int)].collect().toSeq.sortBy(_._1).map(_._2)
+    assert(shardOfDraw == shardOfDraw.sorted, "shard ids must be monotone in draw order")
+  }
+
+  test("sampleFraction: deterministic subset of the fraction's size class") {
+    val docs = Tables.documents(spark, dir)
+    val total = docs.count()
+    val kept = docs.filter(Sampling.sampleFraction(col("doc_id"), seed, 0.25)).count()
+    val sigma = math.sqrt(total * 0.25 * 0.75)
+    assert(math.abs(kept - total * 0.25) < 5 * sigma + 1, s"kept $kept of $total")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextOps
+
+class TextQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dupLineFraction / dupLineCharFraction / dupParagraphFraction hand-checked") {
+    val doc = Seq(
+      (1L, "aaa\nbbb\naaa\nccc"),          // 4 lines, 1 repeat
+      (2L, "one\ntwo\nthree"),             // no repeats
+      (3L, "p1 text\n\np2 text\n\np1 text"), // 3 paragraphs, 1 repeat
+      (4L, "x")                            // single line
+    ).toDF("id", "text")
+    val r = doc.select(col("id"),
+        TextOps.dupLineFraction(col("text")).as("dlf"),
+        TextOps.dupLineCharFraction(col("text")).as("dlcf"),
+        TextOps.dupParagraphFraction(col("text")).as("dpf"))
+      .orderBy("id").collect()
+    assert(r(0).getDouble(1) == 0.25)              // 1 of 4 lines repeated
+    assert(math.abs(r(0).getDouble(2) - 3.0 / 12) < 1e-12) // 3 of 12 line chars
+    assert(r(1).getDouble(1) == 0.0)
+    assert(math.abs(r(2).getDouble(3) - 1.0 / 3) < 1e-12)
+    assert(r(3).getDouble(1) == 0.0 && r(3).getDouble(3) == 0.0)
+  }
+
+  test("wordNgrams: n-gram construction and short-doc guard") {
+    val df = Seq((1L, "A b c d"), (2L, "solo")).toDF("id", "text")
+    val g2 = df.select(col("id"), TextOps.wordNgrams(col("text"), 2).as("g"))
+      .orderBy("id").as[(Long, Seq[String])].collect()
+    assert(g2(0)._2 == Seq("a b", "b c", "c d"))
+    assert(g2(1)._2 == Seq.empty, "doc shorter than n must yield NO grams (and never a descending sequence)")
+  }
+
+  test("ngramRepetitionStats: counts, tie-break, coverage fractions") {
+    // "ab ab cd ab" -> bigrams: "ab ab", "ab cd", "cd ab" each once:
+    // tie on cnt=1 -> lexicographically greatest gram "cd ab"
+    val df = Seq(
+      (1L, "ab ab cd ab"),
+      (2L, "x y x y x y")  // "x y" x3, "y x" x2
+    ).toDF("id", "text")
+    val r = TextOps.ngramRepetitionStats(df, "id", "text", 2).orderBy("id").collect()
+    assert(r(0).getAs[String]("top_gram") == "cd ab" && r(0).getAs[Long]("top_cnt") == 1L)
+    assert(r(1).getAs[String]("top_gram") == "x y" && r(1).getAs[Long]("top_cnt") == 3L)
+    // doc2: top covers 3*3=9 chars of 11; duplicated grams: "x y"(3)+"y x"(2) -> 15 chars
+    assert(math.abs(r(1).getAs[Double]("top_frac") - 9.0 / 11) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("dup_frac") - 15.0 / 11) < 1e-12)
+    // doc1: no duplicated bigram
+    assert(r(0).getAs[Double]("dup_frac") == 0.0)
+  }
+
+  test("ngramRepetitionStats keeps sub-n-token docs with zero fractions (total metric)") {
+    val df = Seq((1L, "only"), (2L, "two words here")).toDF("id", "text")
+    val r = TextOps.ngramRepetitionStats(df, "id", "text", 3).orderBy("id").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("top_cnt") == 0L && r(0).getAs[Double]("top_frac") == 0.0)
+    assert(r(1).getAs[Long]("top_cnt") == 1L)
+  }
+
+  test("repetitionKeep: repetitive docs rejected, clean docs kept") {
+    val clean = "the quick brown fox jumps over one lazy dog while seven crows watch from distant maple trees"
+    val loopy = "buy now buy now buy now buy now buy now buy now buy now buy now"
+    val df = Seq((1L, clean), (2L, loopy)).toDF("id", "text")
+    val keep = TextOps.repetitionKeep(df, "id", "text")
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(keep(1L), "clean doc must pass")
+    assert(!keep(2L), "looped doc must fail the top-2-gram char gate")
+  }
+
+  test("n-gram counting is a hash aggregate, not a per-row quadratic fold") {
+    val df = Seq((1L, "a b c a b")).toDF("id", "text")
+    val plan = TextOps.ngramRepetitionStats(df, "id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      s"expected distributed aggregation:\n$plan")
+  }
+}
