@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document chunking and sequence packing — the layout stage of a
+  * training-data pipeline: long documents are split into overlapping
+  * token windows, and the corpus is packed into fixed-token-budget
+  * training sequences.
+  *
+  * Reference scope: outside the reference's monitoring surface; part of
+  * the training-pipeline extension scoped in alongside dedup/ANN
+  * (BASELINE.json north-star).
+  *
+  * Scale design:
+  *  - [[chunk]] is a pure declarative explode: chunk count and bounds
+  *    are arithmetic on the token count, chunks materialize via
+  *    `posexplode(transform(sequence(...)))` inside codegen — no UDF,
+  *    no state, embarrassingly parallel.
+  *  - [[packContiguous]] is the GPT-style pack-and-split layout: lay
+  *    tokens out contiguously in a deterministic order and cut every
+  *    `budget` tokens. Each sequence is EXACTLY full (no padding waste);
+  *    a document may straddle a cut. Per-doc placement is one window
+  *    cumsum — at scale, partition the window by a shard key so no
+  *    global sort exists (mirrors Sampling.shuffledFiles sharding).
+  *  - [[packFirstFitDecreasing]] is the no-split alternative (each doc
+  *    lands whole in one bin): classic FFD, run independently per
+  *    deterministic hash bucket via `flatMapGroups`. State is one open
+  *    bin list per bucket, bounded by bucket size — choose enough
+  *    buckets that a bucket's docs fit an executor, which also bounds
+  *    the sort. FFD within a bucket wastes at most what the bucket
+  *    boundary itself wastes; bucket count trades packing tightness for
+  *    parallelism.
+  */
+object Packing {
+
+  /** Split into token windows of `window` tokens advancing by `stride`
+    * (= window - overlap). The last chunk may be short; documents with
+    * ≤ `window` tokens yield exactly one chunk. Pure codegen explode. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"bad chunk geometry window=$window stride=$stride")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    // chunks start at 0, stride, 2*stride, ...; the last start is the
+    // greatest multiple of stride < n that still adds new tokens:
+    // nChunks = 1 + ceil((n - window)/stride) when n > window, else 1
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(ceil((n - lit(window)).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol), posexplode(transform(sequence(lit(0), col("__nc") - 1),
+        i => struct(
+          array_join(slice(col("__toks"), i * lit(stride) + 1, lit(window)), " ")
+            .as("chunk_text"),
+          least(size(col("__toks")) - i * lit(stride), lit(window)).as("chunk_tokens")))))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        col("col.chunk_text"), col("col.chunk_tokens"))
+  }
+
+  /** GPT-style contiguous packing: tokens of all documents are laid out
+    * end-to-end in `orderBy` order and cut into sequences of exactly
+    * `budget` tokens. Returns per-document placement:
+    * `seq_first`/`seq_last` (0-based sequence ids the doc's tokens land
+    * in), `offset` (token offset inside seq_first), `n_seqs`.
+    *
+    * One cumulative-sum window. `partitionCols` (optional) shards the
+    * layout so each shard packs independently — the 100-TB path where no
+    * global-ordered window exists; sequence ids are then per-shard. */
+  def packContiguous(df: DataFrame, ntokCol: String, budget: Long,
+      orderBy: Seq[Column], partitionCols: Seq[Column] = Nil): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w0 = if (partitionCols.isEmpty) Window.orderBy(orderBy: _*)
+             else Window.partitionBy(partitionCols: _*).orderBy(orderBy: _*)
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val upto = sum(col(ntokCol).cast("long")).over(w)
+    val before = upto - col(ntokCol)
+    df.withColumn("tok_start", before)
+      .withColumn("seq_first", (col("tok_start") / budget).cast("long"))
+      .withColumn("seq_last",
+        when(col(ntokCol) > 0, ((col("tok_start") + col(ntokCol) - 1) / budget).cast("long"))
+          .otherwise((col("tok_start") / budget).cast("long")))
+      .withColumn("offset", (col("tok_start") % budget).cast("long"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+  }
+
+  final case class PackedDoc(bucket: Int, bin: Int, id: Long, n_tokens: Int)
+
+  /** First-fit-decreasing bin packing, whole documents only (no doc
+    * spans two bins). Deterministic: bucket = seeded hash of the id
+    * (Sampling.drawHex leading bits), docs sorted (tokens desc, id) per
+    * bucket, classic FFD fold. Docs exceeding the budget get a bin of
+    * their own (callers truncate or chunk first — see [[chunk]]).
+    * Bin ids are (bucket, bin) pairs; bins never cross buckets. */
+  def packFirstFitDecreasing(df: DataFrame, idCol: String, ntokCol: String,
+      budget: Int, buckets: Int, seed: String = "graft-pack-v1"): Dataset[PackedDoc] = {
+    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucket = (conv(substring(Sampling.drawHex(col(idCol), seed), 1, 4), 16, 10)
+      .cast("int") * buckets / lit(0x10000)).cast("int")
+    df.select(bucket.as("bucket"), col(idCol).cast("long").as("id"),
+        col(ntokCol).cast("int").as("n"))
+      .as[(Int, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (bkt, it) =>
+        val docs = it.toArray.sortBy { case (_, id, n) => (-n, id) }
+        // open-bin fills; FFD scans bins in id order (first fit)
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Int]
+        docs.iterator.map { case (_, id, n) =>
+          var i = 0
+          while (i < fills.length && fills(i) + n > budget) i += 1
+          if (i == fills.length) fills += 0
+          fills(i) += n
+          PackedDoc(bkt, i, id, n)
+        }
+      }
+  }
+}

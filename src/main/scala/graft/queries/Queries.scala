@@ -1636,6 +1636,55 @@ object Queries {
       .ordered("shuffle_rank")
   }
 
+  // X17 — document chunking into overlapping token windows (ext.Packing
+  // .chunk): window 64, stride 48. Chunk geometry is arithmetic on the
+  // token count; both engines slice the same token list.
+  q("x17_chunking",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      |c AS (
+      |  SELECT doc_id, l, len(l) AS n,
+      |    CASE WHEN len(l) <= 64 THEN 1
+      |         ELSE CAST(CEIL((len(l) - 64) / 48.0) AS INT) + 1 END AS nc
+      |  FROM toks)
+      |SELECT doc_id, i AS chunk_id,
+      |  array_to_string(l[i*48+1 : i*48+64], ' ') AS chunk_text,
+      |  LEAST(n - i*48, 64) AS chunk_tokens
+      |FROM c, UNNEST(generate_series(0, nc - 1)) AS t(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    graft.ext.Packing.chunk(Tables.documents(s, dir), "doc_id", "text",
+        window = 64, stride = 48)
+      .ordered("doc_id", "chunk_id")
+  }
+
+  // X18 — GPT-style contiguous sequence packing (ext.Packing
+  // .packContiguous): tokens laid end-to-end in doc_id order, cut every
+  // 256. Placement is one cumulative-sum window, mirrored exactly by the
+  // oracle's running SUM.
+  q("x18_packing",
+    """WITH d AS (
+      |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS ntok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, ntok,
+      |    CAST(SUM(ntok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS BIGINT)
+      |      AS tok_start
+      |  FROM d)
+      |SELECT doc_id, ntok, tok_start,
+      |  tok_start // 256 AS seq_first,
+      |  (tok_start + ntok - 1) // 256 AS seq_last,
+      |  tok_start % 256 AS seq_offset,
+      |  (tok_start + ntok - 1) // 256 - tok_start // 256 + 1 AS n_seqs
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("ntok"))
+    graft.ext.Packing.packContiguous(docs, "ntok", 256L, Seq(col("doc_id")))
+      .select(col("doc_id"), col("ntok"), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("offset").as("seq_offset"), col("n_seqs"))
+      .ordered("doc_id")
+  }
+
   // X19 — Gopher-style n-gram repetition metrics (ext.TextOps): per-doc
   // most-frequent 2-gram (count + char coverage) and duplicated-3-gram
   // char mass. Both engines count grams by hash aggregation and break

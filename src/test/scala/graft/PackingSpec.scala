@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Packing
+import graft.store.Tables
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("chunk: geometry hand-checked (window 4, stride 3)") {
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val r = Packing.chunk(doc, "id", "text", window = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+    assert(r.length == 3)
+    assert(r.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(r.map(_.getAs[Int]("chunk_tokens")).toSeq == Seq(4, 4, 4))
+    // 11 tokens -> a short tail chunk
+    val doc11 = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val r11 = Packing.chunk(doc11, "id", "text", 4, 3).orderBy("chunk_id").collect()
+    assert(r11.length == 4 && r11.last.getAs[Int]("chunk_tokens") == 2)
+    // short doc -> exactly one chunk
+    val short = Seq((1L, "a b")).toDF("id", "text")
+    assert(Packing.chunk(short, "id", "text", 4, 3).count() == 1)
+  }
+
+  test("chunk: every token covered, consecutive chunks overlap by window-stride") {
+    val docs = Tables.documents(spark, dir)
+    val chunks = Packing.chunk(docs, "doc_id", "text", 32, 24)
+    val tokTotals = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n"))
+    // last chunk of each doc must end exactly at the doc's token count
+    val lastEnd = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_id") * 24 + col("chunk_tokens")).as("covered"))
+    val bad = lastEnd.join(tokTotals, "doc_id").filter(col("covered") =!= col("n"))
+    assert(bad.isEmpty, s"uncovered tail in ${bad.count()} docs")
+    // chunk plan is a pure explode — no shuffle
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("packContiguous: adjacency, exact cuts, conservation") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("ntok"))
+    val packed = Packing.packContiguous(docs, "ntok", 128L, Seq(col("doc_id")))
+      .orderBy("doc_id").collect()
+    // adjacency: each doc starts where the previous ended
+    packed.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("tok_start") == a.getAs[Long]("tok_start") + a.getAs[Int]("ntok"))
+      case _ =>
+    }
+    // placement arithmetic
+    packed.foreach { r =>
+      val (start, n) = (r.getAs[Long]("tok_start"), r.getAs[Int]("ntok").toLong)
+      assert(r.getAs[Long]("seq_first") == start / 128)
+      assert(r.getAs[Long]("seq_last") == (start + n - 1) / 128)
+      assert(r.getAs[Long]("offset") == start % 128)
+      assert(r.getAs[Long]("offset") < 128)
+    }
+    // total sequences = ceil(total tokens / budget)
+    val total = packed.map(_.getAs[Int]("ntok").toLong).sum
+    val maxSeq = packed.map(_.getAs[Long]("seq_last")).max
+    assert(maxSeq == (total - 1) / 128)
+  }
+
+  test("packContiguous sharded: per-shard windows, no global sort") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("ntok"),
+        (col("doc_id") % 4).as("shard"))
+    val packed = Packing.packContiguous(docs, "ntok", 128L,
+      Seq(col("doc_id")), partitionCols = Seq(col("shard")))
+    // per-shard the same invariants hold
+    val bad = packed.filter(col("offset") >= 128 || col("seq_first") > col("seq_last"))
+    assert(bad.isEmpty)
+    assert(packed.count() == docs.count())
+  }
+
+  test("packFirstFitDecreasing: conservation, budget respected, FFD quality, deterministic") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("ntok"))
+    val packed = Packing.packFirstFitDecreasing(docs, "doc_id", "ntok",
+      budget = 200, buckets = 4).collect()
+    // every doc exactly once
+    assert(packed.map(_.id).sorted.toSeq ==
+      docs.select("doc_id").as[Long].collect().sorted.toSeq)
+    val byBin = packed.groupBy(p => (p.bucket, p.bin))
+    // no bin over budget unless it is a single oversize doc
+    byBin.foreach { case ((bkt, bin), ds) =>
+      val fill = ds.map(_.n_tokens).sum
+      assert(fill <= 200 || ds.length == 1,
+        s"bin ($bkt,$bin) overfilled: $fill with ${ds.length} docs")
+    }
+    // FFD quality: per bucket at most one open bin is <= half full
+    packed.groupBy(_.bucket).foreach { case (bkt, ds) =>
+      val halfEmpty = ds.groupBy(_.bin).values
+        .map(_.map(_.n_tokens).sum).count(_ <= 100)
+      assert(halfEmpty <= 1, s"bucket $bkt has $halfEmpty half-empty bins")
+    }
+    // deterministic across runs
+    val again = Packing.packFirstFitDecreasing(docs, "doc_id", "ntok", 200, 4).collect()
+    assert(packed.map(p => (p.bucket, p.bin, p.id)).sortBy(_._3).toSeq ==
+      again.map(p => (p.bucket, p.bin, p.id)).sortBy(_._3).toSeq)
+  }
+}
