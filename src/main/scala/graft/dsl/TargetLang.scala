@@ -239,10 +239,23 @@ object TargetLang {
         SeriesOps.selectTopSeries(compile(a, store), k.toInt, "avg", highest = false)
       case ("lowestMax", Seq(ExprArg(a), NumArg(k))) =>
         SeriesOps.selectTopSeries(compile(a, store), k.toInt, "max", highest = false)
+      case ("highestCurrent", Seq(ExprArg(a), NumArg(k))) =>
+        SeriesOps.selectTopSeries(compile(a, store), k.toInt, "last", highest = true)
+      case ("lowestCurrent", Seq(ExprArg(a), NumArg(k))) =>
+        SeriesOps.selectTopSeries(compile(a, store), k.toInt, "last", highest = false)
       case ("sortByTotal", Seq(ExprArg(a), NumArg(k))) =>
         SeriesOps.selectTopSeries(compile(a, store), k.toInt, "sum", highest = true)
       case ("sortByMaxima", Seq(ExprArg(a), NumArg(k))) =>
         SeriesOps.selectTopSeries(compile(a, store), k.toInt, "max", highest = true)
+      // Graphite's one-arg sortBy* forms: reorder, never drop
+      case ("sortByTotal", Seq(ExprArg(a))) =>
+        SeriesOps.sortSeriesBy(compile(a, store), "sum", ascending = false)
+      case ("sortByMaxima", Seq(ExprArg(a))) =>
+        SeriesOps.sortSeriesBy(compile(a, store), "max", ascending = false)
+      case ("sortByMinima", Seq(ExprArg(a))) =>
+        SeriesOps.sortByMinima(compile(a, store))
+      case ("sortByName", Seq(ExprArg(a))) =>
+        SeriesOps.sortSeriesBy(compile(a, store), "name", ascending = true)
       case ("mostDeviant", Seq(ExprArg(a), NumArg(k))) =>
         SeriesOps.selectTopSeries(compile(a, store), k.toInt, "stddev", highest = true)
       case ("limit", Seq(ExprArg(a), NumArg(n))) =>
@@ -311,6 +324,74 @@ object TargetLang {
       case ("nPercentile", Seq(ExprArg(a), NumArg(p))) =>
         SeriesOps.nPercentile(compile(a, store), p / 100.0)
           .select(col("metric"), lit(null).cast("timestamp").as("ts"), col("value"))
+
+      // name surgery + hygiene
+      case ("substr", Seq(ExprArg(a), NumArg(start))) =>
+        SeriesOps.substrMetric(compile(a, store), start.toInt, 0)
+      case ("substr", Seq(ExprArg(a), NumArg(start), NumArg(stop))) =>
+        SeriesOps.substrMetric(compile(a, store), start.toInt, stop.toInt)
+      case ("removeEmptySeries", Seq(ExprArg(a))) =>
+        SeriesOps.removeEmptySeries(compile(a, store))
+      case ("cactiStyle", Seq(ExprArg(a))) =>
+        SeriesOps.cactiStyle(compile(a, store))
+
+      // aggregation variants
+      case ("stddevSeries", as) =>
+        SeriesOps.combineSeries(unionArgs(as, store), "stddev", render(e))
+      case ("groupByNodes", ExprArg(a) +: StrArg(how) +: nodes) =>
+        SeriesOps.groupByNodes(compile(a, store), how,
+          nodes.collect { case NumArg(n) => n.toInt })
+      case ("smartSummarize", Seq(ExprArg(a), StrArg(step))) =>
+        SeriesOps.smartSummarize(compile(a, store), durationSeconds(step), "sum")
+      case ("smartSummarize", Seq(ExprArg(a), StrArg(step), StrArg(how))) =>
+        SeriesOps.smartSummarize(compile(a, store), durationSeconds(step), how)
+
+      // useSeriesAbove(series, value, search, replace): series whose max
+      // clears `value` have search→replace applied to their NAME, and
+      // the RENAMED metrics are fetched from the store (Graphite's
+      // derived-metric switcheroo). The name set is tiny (series count)
+      // and broadcast into a semi-join against the store scan.
+      case ("useSeriesAbove", Seq(ExprArg(a), NumArg(v), StrArg(search), StrArg(replace))) => {
+        val passing = SeriesOps.filterSeriesByScore(compile(a, store), "max",
+            above = true, v)
+          .select(col("metric")).distinct()
+          .select(regexp_replace(col("metric"), search, replace).as("metric"))
+        store.join(org.apache.spark.sql.functions.broadcast(passing),
+          Seq("metric"), "left_semi")
+      }
+
+      // generators: synthesize series on the store's time grid
+      case ("constantLine", Seq(NumArg(v))) =>
+        SeriesOps.constantLine(store, v, render(e))
+      case ("threshold", NumArg(v) +: rest) =>
+        val label = rest.collectFirst { case StrArg(s0) => s0 }.getOrElse(render(e))
+        SeriesOps.constantLine(store, v, label)
+      case ("timeFunction", Seq(StrArg(name))) => SeriesOps.timeFunction(store, name)
+      case ("time", Seq(StrArg(name))) => SeriesOps.timeFunction(store, name)
+      case ("identity", Seq(StrArg(name))) => SeriesOps.timeFunction(store, name)
+      case ("sinFunction", Seq(StrArg(name))) => SeriesOps.sinFunction(store, name, 1.0)
+      case ("sinFunction", Seq(StrArg(name), NumArg(amp))) =>
+        SeriesOps.sinFunction(store, name, amp)
+      case ("randomWalkFunction", Seq(StrArg(name))) => SeriesOps.randomWalk(store, name)
+      case ("randomWalk", Seq(StrArg(name))) => SeriesOps.randomWalk(store, name)
+
+      // aliases of existing functions
+      case ("log", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), SeriesOps.logarithm(10.0))
+      case ("log", Seq(ExprArg(a), NumArg(b))) =>
+        withValue(compile(a, store), SeriesOps.logarithm(b))
+      case ("transformNull", Seq(ExprArg(a))) =>
+        withValue(compile(a, store), SeriesOps.transformNull(0.0))
+      case ("avg", as) => SeriesOps.combineSeries(unionArgs(as, store), "avg", render(e))
+
+      // display-only directives: rendering hints with no data
+      // transformation in a headless engine — pass the series through
+      // (consolidateBy/cumulative affect render-time pixel consolidation,
+      // which has no analog when the consumer gets every point).
+      case ("secondYAxis" | "color" | "alpha" | "dashed" | "drawAsInfinite"
+          | "lineWidth" | "stacked" | "legendValue" | "consolidateBy"
+          | "cumulative", ExprArg(a) +: _) =>
+        compile(a, store)
 
       case (other, _) =>
         throw new IllegalArgumentException(s"unknown target function '$other'")

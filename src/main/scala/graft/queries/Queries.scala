@@ -1577,6 +1577,49 @@ object Queries {
       .ordered("metric", "ts")
   }
 
+  // T13 — smartSummarize: buckets anchored at the window's first point
+  // (00:07 clip makes the from-aligned grid differ from the epoch grid;
+  // a plain summarize would bucket at 00:00/01:30/...). Anchor = min ts
+  // of the clipped frame in BOTH engines.
+  q("t13_smart_summarize",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |    ${DSUMD("value")} AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-10 00:07:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1, 2),
+       |a AS (SELECT MIN(CAST(epoch(ts) AS BIGINT)) AS f FROM r)
+       |SELECT metric,
+       |  make_timestamp((a.f + (CAST(epoch(r.ts) AS BIGINT) - a.f) // 5400 * 5400) * 1000000) AS ts,
+       |  CAST(SUM(v) AS DOUBLE) AS value
+       |FROM r, a
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val series = minuteRollupClipped(s, dir, "2024-01-10 00:07:00", "2024-01-11 00:00:00")
+      .select(col("metric"), col("ts"), col("sum_dec").cast("double").as("value"))
+    graft.dsl.TargetLang.plan("""smartSummarize(events.*, "90min", "sum")""", series)
+      .ordered("metric", "ts")
+  }
+
+  // T14 — highestCurrent: keep the 2 whole series whose LAST point is
+  // greatest (score = arg-max-by-ts, deterministic metric tie-break).
+  q("t14_highest_current",
+    s"""WITH r AS (
+       |  SELECT 'events.' || event_type AS metric, date_trunc('minute', ts) AS ts,
+       |    ${DSUM("value")} AS v
+       |  FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+       |  GROUP BY 1, 2),
+       |s AS (SELECT metric, arg_max(v, ts) AS lastv FROM r GROUP BY 1),
+       |k AS (SELECT metric FROM s ORDER BY lastv DESC, metric LIMIT 2)
+       |SELECT r.metric, r.ts, r.v AS value
+       |FROM r JOIN k USING (metric)
+       |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val series = minuteRollupClipped(s, dir, "2024-01-10 00:00:00", "2024-01-11 00:00:00")
+      .select(col("metric"), col("ts"), col("sum_dec").cast("double").as("value"))
+    graft.dsl.TargetLang.plan("highestCurrent(events.*, 2)", series)
+      .ordered("metric", "ts")
+  }
+
   // =======================================================================
   // X14-X16 — deterministic sampling / split / shuffle (ext.Sampling).
   // The split is a pure column expression over md5 hex compared against

@@ -204,6 +204,8 @@ object SeriesOps {
       case "avg" => dmean(col("value"))
       case "min" => min(col("value"))
       case "max" => max(col("value"))
+      // stddevSeries: Graphite's safeStdDev divides by N (population)
+      case "stddev" => stddev_pop(col("value"))
       case other => throw new IllegalArgumentException(s"combineSeries: $other")
     }
     df.groupBy(col("ts")).agg(agg.as("value"))
@@ -222,6 +224,22 @@ object SeriesOps {
       case other => throw new IllegalArgumentException(s"groupByNode: $other")
     }
     df.withColumn("metric", element_at(split(col("metric"), "\\."), n + 1))
+      .groupBy(col("metric"), col("ts"))
+      .agg(agg.as("value"))
+  }
+
+  /** groupByNodes(seriesList, func, *nodes) — combine series that agree
+    * on ALL the listed path nodes (the multi-node [[groupByNode]]); the
+    * kept nodes joined by '.' become the output metric. */
+  def groupByNodes(df: DataFrame, how: String, nodes: Seq[Int]): DataFrame = {
+    val agg = how match {
+      case "sum" => dsum(col("value"))
+      case "avg" | "average" => dmean(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      case other => throw new IllegalArgumentException(s"groupByNodes: $other")
+    }
+    df.withColumn("metric", aliasByNode(nodes))
       .groupBy(col("metric"), col("ts"))
       .agg(agg.as("value"))
   }
@@ -451,6 +469,7 @@ object SeriesOps {
       case "max" => max(col("value"))
       case "min" => min(col("value"))
       case "stddev" => stddev_samp(col("value")) // mostDeviant
+      case "last" => max_by(col("value"), when(col("value").isNotNull, col("ts"))) // highestCurrent
       case other => throw new IllegalArgumentException(s"selectTopSeries: $other")
     }
     val ranked = df.groupBy(col("metric")).agg(score.as("_score"))
@@ -540,6 +559,114 @@ object SeriesOps {
       .withColumn("value", col("value") - col("_min"))
       .drop("_min")
       .select("metric", "ts", "value")
+  }
+
+  /** sortByName/sortByMinima/sortByMaxima/sortByTotal (no-limit forms) —
+    * reorder whole series by a per-series score. Row order in a
+    * DataFrame is advisory until an action, but the render edge
+    * (MonitorApi) preserves it, so the sort IS the Graphite contract.
+    * Score is one agg broadcast back; bodies don't reshuffle. */
+  def sortSeriesBy(df: DataFrame, how: String, ascending: Boolean): DataFrame = how match {
+    case "name" =>
+      df.orderBy(if (ascending) col("metric").asc else col("metric").desc, col("ts"))
+    case _ =>
+      val score = how match {
+        case "avg" => dmean(col("value"))
+        case "sum" => dsum(col("value"))
+        case "max" => max(col("value"))
+        case "min" => min(col("value"))
+        case other => throw new IllegalArgumentException(s"sortSeriesBy: $other")
+      }
+      val scores = df.groupBy(col("metric")).agg(score.as("_score"))
+      df.join(broadcast(scores), Seq("metric"))
+        .orderBy(if (ascending) col("_score").asc else col("_score").desc,
+          col("metric"), col("ts"))
+        .drop("_score")
+  }
+
+  /** sortByMinima (Graphite 0.9 semantics): drop series that never go
+    * above 0, then ascending by each series' minimum. */
+  def sortByMinima(df: DataFrame): DataFrame =
+    sortSeriesBy(filterSeriesByScore(df, "max", above = true, 0.0), "min", ascending = true)
+
+  /** substr(series, start, stop) — keep dot-path nodes [start, stop)
+    * (0-based, stop 0 = to the end), Graphite's name trimmer. */
+  def substrMetric(df: DataFrame, start: Int, stop: Int): DataFrame = {
+    val parts = split(col("metric"), "\\.")
+    val len = if (stop == 0) size(parts) - lit(start) else lit(stop - start)
+    df.withColumn("metric", array_join(slice(parts, lit(start + 1), len), "."))
+  }
+
+  /** removeEmptySeries — drop series whose every point is null. */
+  def removeEmptySeries(df: DataFrame): DataFrame = {
+    val keep = df.groupBy(col("metric")).agg(count(col("value")).as("_n"))
+      .filter(col("_n") > 0).select("metric")
+    df.join(broadcast(keep), Seq("metric"), "left_semi")
+  }
+
+  /** cactiStyle(series) — decorate each name with Current/Max/Min the
+    * way Cacti legends do. One agg broadcast back; %.2f formatting. */
+  def cactiStyle(df: DataFrame): DataFrame = {
+    val stats = df.groupBy(col("metric")).agg(
+      max_by(col("value"), when(col("value").isNotNull, col("ts"))).as("_cur"),
+      max(col("value")).as("_max"),
+      min(col("value")).as("_min"))
+    df.join(broadcast(stats), Seq("metric"))
+      .withColumn("metric", format_string("%s Current:%.2f Max:%.2f Min:%.2f",
+        col("metric"), col("_cur"), col("_max"), col("_min")))
+      .drop("_cur", "_max", "_min")
+  }
+
+  /** smartSummarize(series, step, func) — like [[summarize]] but buckets
+    * align to the window's first point instead of the epoch grid. The
+    * anchor is the frame's min ts (one scalar agg, broadcast). */
+  def smartSummarize(df: DataFrame, stepSeconds: Long, how: String): DataFrame = {
+    val agg = how match {
+      case "sum" => dsum(col("value"))
+      case "avg" | "average" => dmean(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      case other => throw new IllegalArgumentException(s"smartSummarize: $other")
+    }
+    val anchor = df.agg(min(unix_timestamp(col("ts"))).as("_from"))
+    df.crossJoin(broadcast(anchor))
+      .withColumn("ts", timestamp_seconds(col("_from") +
+        floor((unix_timestamp(col("ts")) - col("_from")) / stepSeconds) * stepSeconds))
+      .groupBy(col("metric"), col("ts"))
+      .agg(agg.as("value"))
+  }
+
+  // -- generator functions (constantLine/threshold/timeFunction/...) ----
+  // Generators synthesize a series over the render window's time grid;
+  // the grid is the store frame's distinct ts (one column, pruned scan).
+
+  /** The time grid a generator draws on. */
+  def timeGrid(store: DataFrame): DataFrame = store.select(col("ts")).distinct()
+
+  /** constantLine(value) / threshold(value, label). */
+  def constantLine(store: DataFrame, value: Double, name: String): DataFrame =
+    timeGrid(store).select(lit(name).as("metric"), col("ts"), lit(value).as("value"))
+
+  /** timeFunction(name) / identity(name) — value = epoch seconds. */
+  def timeFunction(store: DataFrame, name: String): DataFrame =
+    timeGrid(store).select(lit(name).as("metric"), col("ts"),
+      unix_timestamp(col("ts")).cast("double").as("value"))
+
+  /** sinFunction(name, amplitude) — amplitude · sin(epoch seconds). */
+  def sinFunction(store: DataFrame, name: String, amplitude: Double): DataFrame =
+    timeGrid(store).select(lit(name).as("metric"), col("ts"),
+      (lit(amplitude) * sin(unix_timestamp(col("ts")))).as("value"))
+
+  /** randomWalkFunction(name) — a walk whose steps are uniform in
+    * [-0.5, 0.5). DELIBERATE deviation from Graphite: steps come from a
+    * seeded hash of the timestamp (xxhash64), not an RNG, so the walk is
+    * reproducible across runs/engines/partitionings — the same
+    * determinism contract as every other operator here. */
+  def randomWalk(store: DataFrame, name: String, seed: Long = 42L): DataFrame = {
+    val step = pmod(xxhash64(col("ts"), lit(seed)), lit(1000000L)).cast("double") / 1000000.0 - 0.5
+    timeGrid(store)
+      .withColumn("value", sum(step).over(Window.orderBy("ts")))
+      .select(lit(name).as("metric"), col("ts"), col("value"))
   }
 
   /** countSeries — number of series with a point at each ts. */
