@@ -194,6 +194,123 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over duplicate pairs — the cluster-resolution
+    * stage a real dedup pipeline needs between "pairs" and "keep one":
+    * if A~B and B~C then {A,B,C} is one duplicate set even though A~C
+    * was never emitted, so keeping `min(id)` per *pair* both
+    * over-deletes and under-deletes. Returns `(id, component)` where
+    * `component` is the smallest id reachable from `id`.
+    *
+    * Algorithm: min-label propagation with one pointer-jump per round
+    * (label ← label's label), i.e. hash-to-min with path compression —
+    * convergence is logarithmic in component diameter (the bound of the
+    * large-star/small-star family, Kiveris et al. "Connected Components
+    * in MapReduce and Beyond"), and duplicate clusters in practice have
+    * tiny diameter, so 2–4 rounds settle it.
+    *
+    * Scale: per-round state is one `(id, component)` table hash-joined
+    * against the edge list — every shuffle is bounded by |edges|, never
+    * |V|². Each round is `localCheckpoint`ed to truncate lineage
+    * (iterative DataFrame plans otherwise grow exponentially and
+    * re-execute from the source), and convergence is an aggregate
+    * (count of changed labels), not a collect. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("component")).as("nbr_min"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+      // pointer jump: component ← that node's own current component.
+      // Labels are always node ids (min includes self), so the self-join
+      // key always resolves.
+      val next = propagated.as("p")
+        .join(propagated.select(col("id").as("component"), col("component").as("cc")).as("j"),
+          Seq("component"))
+        .select(col("id"), col("cc").as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev"))
+        .count()
+      converged = changed == 0L
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Duplicate-cluster summary: one row per component with member count
+    * and the canonical (minimum) id to keep. */
+  def clusterStats(components: DataFrame): DataFrame =
+    components.groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("id")).as("keep_id"), max(col("id")).as("max_id"))
+
+  /** Keep exactly one document per duplicate cluster (the minimum id),
+    * plus every document that appears in no pair. One broadcast-size
+    * join when the pair set is small relative to the corpus; a shuffle
+    * join otherwise — Catalyst picks via AQE. */
+  def dropDuplicateClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Cross-set n-gram decontamination (benchmark-leakage scan): flag
+    * corpus docs sharing ≥ `minShared` distinct word n-grams with any
+    * doc of a probe/eval set. The canonical pre-training hygiene step:
+    * the probe side (benchmark suites) is tiny, so its gram table
+    * broadcasts; corpus grams are hashed to longs at the explode so the
+    * join moves 8-byte keys. Returns (id, n_shared_grams, n_probes). */
+  def ngramContamination(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, n: Int, minShared: Int = 1): DataFrame = {
+    val cg = shingleRows(corpus, idCol, textCol, n)
+    val pg = shingleRows(probes, idCol, textCol, n)
+      .select(col("id").as("probe_id"), col("shingle")).distinct()
+    cg.join(broadcast(pg), "shingle")
+      .groupBy("id")
+      .agg(countDistinct(col("shingle")).as("n_shared_grams"),
+        countDistinct(col("probe_id")).as("n_probes"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
+  /** Exact n-token window duplication across documents — the relational
+    * approximation of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): doc
+    * pairs sharing ≥ `minShared` exact n-token windows.
+    *
+    * Scale valve: windows occurring in more than `maxDf` docs are
+    * dropped BEFORE pair generation — a boilerplate gram shared by B
+    * docs otherwise yields B² pair rows. Pairs are generated inside the
+    * per-gram doc list (bounded by `maxDf`), so the join never sees an
+    * unbounded bucket. */
+  def windowDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Int = 50, minShared: Int = 1): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, n)
+    val byGram = rows.groupBy("shingle")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+    // all (i < j) pairs within the bounded per-gram id list
+    val pairsPerGram = byGram.select(explode(flatten(
+      transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+    pairsPerGram.groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("n_windows"))
+      .filter(col("n_windows") >= minShared)
+  }
+
   /** Exact word-set Jaccard for all pairs within a blocking column —
     * the SQL-portable dedup variant (oracle-checked).
     *

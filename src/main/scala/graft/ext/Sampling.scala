@@ -92,6 +92,46 @@ object Sampling {
     df.withColumn("shuffle_rank",
       row_number().over(Window.orderBy(drawHex(key, seed), key)))
 
+  /** Temperature-weighted domain mixture: sample ~`totalN` docs with
+    * per-stratum quotas ∝ count^alpha — alpha < 1 flattens the natural
+    * distribution (upsamples tail domains/languages relative to their
+    * share), the standard pre-training mixture move (GPT-3 §2.2,
+    * Gopher/MassiveText table 2 use exactly this shape).
+    *
+    * Exactness discipline (the quota must be bit-identical across
+    * engines): weight_s = floor(count_s^alpha · 10^6) as an INTEGER, so
+    * the only float op is pow on an integer count — IEEE-identical
+    * everywhere — and the quota is integer arithmetic from there:
+    * quota_s = min(count_s, totalN · w_s ÷ Σw) with integer division.
+    * Members are taken per stratum in seeded-hash order (uniform without
+    * replacement, reproducible). Strata counts are a driver-side collect
+    * bounded by the number of domains, never data volume. */
+  def mixtureTake(df: DataFrame, strata: Seq[String], key: Column,
+      seed: String, alpha: Double, totalN: Long): DataFrame = {
+    val scols = strata.map(col)
+    val counts = df.groupBy(scols: _*).agg(count(lit(1)).as("__n")).collect()
+    val weights = counts.map { r =>
+      val n = r.getLong(r.length - 1)
+      // sqrt is IEEE correctly-rounded (pow is not) — use it when it IS
+      // the power so the integer weight is bit-identical across engines
+      val p = if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+      val w = math.floor(p * 1e6).toLong
+      (r.toSeq.init, n, w)
+    }
+    val wSum = weights.map(_._3).sum
+    val quotas = weights.map { case (k, n, w) =>
+      (k, math.min(n, totalN * w / wSum))
+    }.toMap
+    val quota = quotas.foldLeft(lit(0L)) { case (acc, (k, q)) =>
+      when(strata.zip(k).map { case (s, v) => col(s) <=> lit(v) }.reduce(_ && _), lit(q))
+        .otherwise(acc)
+    }
+    val w = Window.partitionBy(scols: _*).orderBy(drawHex(key, seed), key)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
   /** Scale path for writing shuffled training shards: assign each row a
     * deterministic shard = hash-prefix bucket, repartition by shard, sort
     * within each shard by the hash. Concatenating shards 0..n-1 yields

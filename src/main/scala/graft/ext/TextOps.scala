@@ -199,6 +199,74 @@ object TextOps {
         coalesce(col("dup3_frac"), lit(0.0)) <= t.maxDup3GramCharFrac)
   }
 
+  // -- PII detection / redaction -----------------------------------------
+  // Regex scrubbing of well-formed identifiers (emails, IPv4, US phone,
+  // SSN) — the rule-based pass every training-data pipeline runs before
+  // release. Patterns are deliberately RE2-compatible (no backreferences
+  // or lookaround) so the identical pattern runs in Spark (java.util
+  // .regex), DuckDB (RE2), and most other engines. All of it is pure
+  // column expressions — codegen'd, no UDF, scales with the scan.
+
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Rx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRx = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val SsnRx = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Count of matches per PII class, as (name, column) pairs. Counts are
+    * taken on the ORIGINAL text, before any redaction reshapes it. */
+  def piiCounts(c: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(c, lit(EmailRx), lit(0))),
+    "n_ipv4"   -> size(regexp_extract_all(c, lit(Ipv4Rx), lit(0))),
+    "n_phones" -> size(regexp_extract_all(c, lit(PhoneRx), lit(0))),
+    "n_ssns"   -> size(regexp_extract_all(c, lit(SsnRx), lit(0))))
+
+  /** Replace each PII class with a typed placeholder. Order matters and
+    * is fixed: email → SSN → phone → IPv4 (SSN before phone because the
+    * shapes share a prefix; email first because addresses embed dots and
+    * digits the later passes could chew on). */
+  def piiRedact(c: Column): Column = {
+    val e = regexp_replace(c, EmailRx, "<EMAIL>")
+    val s = regexp_replace(e, SsnRx, "<SSN>")
+    val p = regexp_replace(s, PhoneRx, "<PHONE>")
+    regexp_replace(p, Ipv4Rx, "<IP>")
+  }
+
+  // -- C4-style line filtering ---------------------------------------------
+  // The rule set of C4 (Raffel et al. 2020, §2.2) reduced to its
+  // engine-shaped core: keep a line only if it ends in terminal
+  // punctuation, has at least `minWords` words, and contains no
+  // blacklisted fragment; keep a document only if enough lines survive.
+  // Higher-order array functions keep the whole pass inside codegen —
+  // one projection, no explode, no shuffle.
+
+  val C4Blacklist: Seq[String] = Seq("javascript", "lorem ipsum", "cookie policy", "{")
+
+  /** Per-line keep predicate (case-insensitive blacklist). */
+  def c4LineKeep(line: Column, minWords: Int = 5,
+      blacklist: Seq[String] = C4Blacklist): Column = {
+    val lw = lower(line)
+    line.rlike("[.!?\"]$") &&
+      size(split(trim(line), "\\s+")) >= minWords &&
+      !blacklist.map(b => lw.contains(b)).reduce(_ || _)
+  }
+
+  /** Filter an array-of-lines column by [[c4LineKeep]]. */
+  def c4FilterLines(lines: Column, minWords: Int = 5,
+      blacklist: Seq[String] = C4Blacklist): Column =
+    filter(lines, l => c4LineKeep(l, minWords, blacklist))
+
+  /** C4 line-filter stats per document over an array-of-lines column:
+    * total lines, surviving lines, characters surviving (line text only).
+    * Compose with a doc gate (`n_kept >= 3` in C4) downstream. */
+  def c4LineStats(lines: Column, minWords: Int = 5,
+      blacklist: Seq[String] = C4Blacklist): Seq[(String, Column)] = {
+    val kept = c4FilterLines(lines, minWords, blacklist)
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "n_kept" -> size(kept).cast("long"),
+      "kept_chars" -> aggregate(kept, lit(0L), (acc, l) => acc + length(l)))
+  }
+
   /** Order-sensitive polynomial rolling fingerprint over tokens,
     * expressible in portable SQL (used by the oracle gate):
     * sum over tokens of (position+1) * first-char-code * token-length,

@@ -1771,4 +1771,200 @@ object Queries {
         Seq("doc_id"))
       .ordered("doc_id")
   }
+
+  // X20 — duplicate-cluster resolution: connected components over the
+  // x4 near-dup pairs (min-label propagation + pointer jumping in Spark;
+  // the oracle walks the same closure with a recursive CTE). Keeping one
+  // doc per PAIR is wrong the moment A~B~C without A~C — this is the
+  // stage that fixes it.
+  q("x20_dup_clusters",
+    """WITH RECURSIVE toks AS (
+      |  SELECT DISTINCT source AS blk, doc_id AS id,
+      |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT blk, id, COUNT(*) AS sz FROM toks GROUP BY 1, 2),
+      |inter AS (
+      |  SELECT a.blk, a.id AS id1, b.id AS id2, COUNT(*) AS n_inter
+      |  FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+      |  GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT i.id1, i.id2 FROM inter i
+      |  JOIN sizes s1 ON s1.blk = i.blk AND s1.id = i.id1
+      |  JOIN sizes s2 ON s2.blk = i.blk AND s2.id = i.id2
+      |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.sz + s2.sz - i.n_inter) >= 0.8),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+      |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+      |SELECT cluster_id, COUNT(*) AS n_docs, MIN(id) AS keep_id, MAX(id) AS max_id
+      |FROM comp GROUP BY 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val pairs = graft.ext.Dedup.wordJaccardPairs(
+      Tables.documents(s, dir), "doc_id", "text", "source", threshold = 0.8)
+    graft.ext.Dedup.clusterStats(graft.ext.Dedup.connectedComponents(pairs))
+      .ordered("cluster_id")
+  }
+
+  // X21 — benchmark decontamination: corpus docs sharing ≥3 distinct
+  // word 3-grams with the held-out probe set (doc_id % 41 == 0 plays the
+  // benchmark). Spark joins 8-byte gram hashes with the probe side
+  // broadcast; the oracle joins gram strings — counts must agree.
+  q("x21_decontamination",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(l[i : i+2], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(l) - 2)) AS t(i)),
+      |shared AS (
+      |  SELECT c.doc_id AS id, COUNT(DISTINCT c.g) AS n_shared_grams,
+      |         COUNT(DISTINCT p.doc_id) AS n_probes
+      |  FROM grams c JOIN grams p ON c.g = p.g
+      |  WHERE c.doc_id % 41 <> 0 AND p.doc_id % 41 = 0
+      |  GROUP BY 1)
+      |SELECT id, n_shared_grams, n_probes FROM shared
+      |WHERE n_shared_grams >= 3 ORDER BY id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.ext.Dedup.ngramContamination(
+        docs.filter(col("doc_id") % 41 =!= 0),
+        docs.filter(col("doc_id") % 41 === 0),
+        "doc_id", "text", n = 3, minShared = 3)
+      .ordered("id")
+  }
+
+  // X22 — exact-window (substring) duplication: doc pairs sharing an
+  // exact 6-token window, with the document-frequency cap (≤50 docs per
+  // window) that keeps boilerplate grams from exploding the pair join.
+  q("x22_window_dups",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(l[i : i+5], ' ') AS g
+      |  FROM toks, UNNEST(generate_series(1, len(l) - 5)) AS t(i)),
+      |capped AS (
+      |  SELECT g FROM grams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 50)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_windows
+      |FROM grams a JOIN capped USING (g) JOIN grams b USING (g)
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+    graft.ext.Dedup.windowDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 6, maxDf = 50)
+      .ordered("id1", "id2")
+  }
+
+  // X23 — PII detection + redaction. The corpus text is synthetic word
+  // soup, so the gate plants deterministic identifiers derived from real
+  // columns (the x12 derived-binary precedent) and both engines run the
+  // IDENTICAL RE2-compatible patterns: counts on the original, typed
+  // placeholders in the redacted string, compared verbatim.
+  q("x23_pii_redaction",
+    s"""WITH withpii AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || lang || '.com'
+       |         || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+       |         || CASE WHEN doc_id % 3 = 0
+       |                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |                 ELSE '' END
+       |         || CASE WHEN doc_id % 5 = 0
+       |                 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |                 ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '${graft.ext.TextOps.EmailRx}')) AS n_emails,
+       |  len(regexp_extract_all(t, '${graft.ext.TextOps.Ipv4Rx}')) AS n_ipv4,
+       |  len(regexp_extract_all(t, '${graft.ext.TextOps.PhoneRx}')) AS n_phones,
+       |  len(regexp_extract_all(t, '${graft.ext.TextOps.SsnRx}')) AS n_ssns,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(t, '${graft.ext.TextOps.EmailRx}', '<EMAIL>', 'g'),
+       |        '${graft.ext.TextOps.SsnRx}', '<SSN>', 'g'),
+       |      '${graft.ext.TextOps.PhoneRx}', '<PHONE>', 'g'),
+       |    '${graft.ext.TextOps.Ipv4Rx}', '<IP>', 'g') AS redacted
+       |FROM withpii ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@mail-"), col("lang"), lit(".com"),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0."), (col("doc_id") % 100).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(""))
+    val base = Tables.documents(s, dir).select(col("doc_id"), t.as("t"))
+    val counts = graft.ext.TextOps.piiCounts(col("t")).map { case (n, c) => c.cast("long").as(n) }
+    base.select(Seq(col("doc_id")) ++ counts
+        :+ graft.ext.TextOps.piiRedact(col("t")).as("redacted"): _*)
+      .ordered("doc_id")
+  }
+
+  // X24 — C4-style line filtering: lines derived deterministically from
+  // the real token stream (8-token lines, terminal '.' on every third
+  // (doc_id + line) — C4's "ends in terminal punctuation" rule needs
+  // punctuation to exist), rules = ends-in-punct ∧ ≥5 words ∧ no
+  // blacklisted fragment ('slow' — a live vocabulary word, so the rule
+  // actually fires). Whole pass is higher-order array exprs — codegen,
+  // no explode, no shuffle.
+  q("x24_c4_lines",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      |c AS (
+      |  SELECT doc_id, l, CAST(CEIL(len(l) / 8.0) AS INT) AS nl FROM toks),
+      |lines AS (
+      |  SELECT doc_id,
+      |    array_to_string(l[i*8+1 : i*8+8], ' ')
+      |      || CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END AS line
+      |  FROM c, UNNEST(generate_series(0, nl - 1)) AS t(i)),
+      |k AS (
+      |  SELECT doc_id, line,
+      |    (regexp_matches(line, '[.!?"]$')
+      |      AND len(string_split_regex(trim(line), '\s+')) >= 5
+      |      AND NOT contains(lower(line), 'slow')) AS keep
+      |  FROM lines)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN keep THEN length(line) ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("l"))
+      .withColumn("nl", ceil(size(col("l")) / lit(8.0)).cast("int"))
+      .withColumn("lines", transform(sequence(lit(0), col("nl") - 1),
+        i => concat(
+          concat_ws(" ", slice(col("l"), i * 8 + 1, lit(8))),
+          when((col("doc_id") + i) % 3 === 0, ".").otherwise(""))))
+    val stats = graft.ext.TextOps.c4LineStats(col("lines"), minWords = 5,
+      blacklist = Seq("slow"))
+    docs.select(Seq(col("doc_id")) ++ stats.map { case (n, c) => c.as(n) }: _*)
+      .ordered("doc_id")
+  }
+
+  // X25 — temperature-weighted domain mixture (alpha = 0.5): per-lang
+  // quota ∝ √count via integer-exact weights (floor(√n·10⁶) then pure
+  // integer quota arithmetic — bit-identical across engines), members
+  // drawn in seeded-hash order. The flattening move of GPT-3/Gopher
+  // corpus mixing, reproducible.
+  q("x25_mixture_sample",
+    s"""WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+       |w AS (SELECT lang, n,
+       |        CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wi
+       |      FROM cnt),
+       |q AS (SELECT lang, LEAST(n, (120 * wi) // (SELECT SUM(wi) FROM w)) AS quota
+       |      FROM w),
+       |r AS (SELECT lang, doc_id,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY $splitDrawSql, doc_id) AS rk
+       |      FROM documents)
+       |SELECT r.lang, r.doc_id FROM r JOIN q USING (lang)
+       |WHERE rk <= quota ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    graft.ext.Sampling.mixtureTake(Tables.documents(s, dir), Seq("lang"),
+        col("doc_id"), SplitSeed, alpha = 0.5, totalN = 120)
+      .select("lang", "doc_id")
+      .ordered("lang", "doc_id")
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Cluster resolution, decontamination, and exact-window duplication —
+  * the round-5 dedup-pipeline completions. */
+class DedupClusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("connectedComponents: transitive closure, multiple components, long chain") {
+    // component {1,2,3,4} is a CHAIN (1-2, 2-3, 3-4): no pair (1,4) or
+    // (1,3) exists, yet all four must resolve to min-id 1 — keeping
+    // min-per-PAIR would get this wrong. {10,11} is a separate component.
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: converges on a path longer than a couple hops") {
+    // a 33-node path 0-1-2-...-32: diameter 32 — linear propagation
+    // would need 32 rounds; pointer jumping must close it well inside
+    // the default maxIter of 25 (log2(33) ≈ 5 doubling rounds).
+    val pairs = (0L until 32L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(got.length == 33 && got.forall(_._2 == 0L))
+  }
+
+  test("dropDuplicateClusters keeps one doc per cluster plus all unpaired docs") {
+    val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (7L, "solo"), (10L, "b"), (11L, "b2"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val kept = Dedup.dropDuplicateClusters(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 7L, 10L))
+  }
+
+  test("clusterStats: sizes and canonical ids") {
+    val pairs = Seq((5L, 2L), (2L, 9L), (20L, 21L)).toDF("id1", "id2")
+    val stats = Dedup.clusterStats(Dedup.connectedComponents(pairs))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stats.toSeq == Seq((2L, 3L, 2L, 9L), (20L, 2L, 20L, 21L)))
+  }
+
+  test("ngramContamination finds exactly the docs sharing n-grams with probes") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"), // shares "the quick brown", "quick brown fox" with probe
+      (2L, "totally different words here now"),
+      (3L, "the quick brown dog sits")        // shares "the quick brown"
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "the quick brown fox runs")).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(corpus, probes, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 1L), (3L, 1L, 1L)))
+  }
+
+  test("windowDupPairs: shared-window counts and the document-frequency cap") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta other tail"),  // shares the 4-gram "alpha beta gamma delta" with 1
+      (3L, "nothing in common with the rest")
+    ).toDF("doc_id", "text")
+    val got = Dedup.windowDupPairs(docs, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+
+    // cap: the same window in EVERY doc (boilerplate) with maxDf below
+    // the doc count must produce zero pairs
+    val boiler = (1L to 5L).map(i => (i, s"same exact four tokens unique$i")).toDF("doc_id", "text")
+    val capped = Dedup.windowDupPairs(boiler, "doc_id", "text", n = 4, maxDf = 4)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.windowDupPairs(boiler, "doc_id", "text", n = 4, maxDf = 5)
+    assert(uncapped.count() == 10) // C(5,2) pairs sharing "same exact four tokens"
+  }
+}

@@ -96,4 +96,42 @@ class SamplingSpec extends SparkTestBase {
     val sigma = math.sqrt(total * 0.25 * 0.75)
     assert(math.abs(kept - total * 0.25) < 5 * sigma + 1, s"kept $kept of $total")
   }
+
+  test("mixtureTake: √-temperature quotas, caps, reproducibility") {
+    val docs = Tables.documents(spark, dir)
+    val taken = Sampling.mixtureTake(docs, Seq("lang"), col("doc_id"), seed,
+      alpha = 0.5, totalN = 30)
+    val byLang = taken.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val natural = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+
+    // quotas must equal the integer-exact formula
+    val wi = natural.map { case (l, n) => l -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val wSum = wi.values.sum
+    natural.foreach { case (l, n) =>
+      val quota = math.min(n, 30L * wi(l) / wSum)
+      assert(byLang.getOrElse(l, 0L) == quota, s"lang $l: ${byLang.get(l)} vs quota $quota")
+    }
+
+    // alpha < 1 flattens: the minority stratum's sampled share must
+    // exceed its natural share (that's the point of the temperature)
+    val minority = natural.minBy(_._2)._1
+    val sampledShare = byLang(minority).toDouble / byLang.values.sum
+    val naturalShare = natural(minority).toDouble / natural.values.sum
+    assert(sampledShare > naturalShare,
+      s"alpha=0.5 must upsample the tail: $sampledShare vs $naturalShare")
+
+    // reproducible: same seed → identical id set
+    val again = Sampling.mixtureTake(docs, Seq("lang"), col("doc_id"), seed,
+      alpha = 0.5, totalN = 30).select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq == taken.select("doc_id").as[Long].collect().sorted.toSeq)
+
+    // alpha = 1 is proportional sampling (quota ∝ n up to rounding)
+    val prop = Sampling.mixtureTake(docs, Seq("lang"), col("doc_id"), seed,
+      alpha = 1.0, totalN = 30)
+    val propByLang = prop.groupBy("lang").count().as[(String, Long)].collect().toMap
+    natural.foreach { case (l, n) =>
+      val expected = math.min(n, 30L * (n * 1000000L) / natural.values.map(_ * 1000000L).sum)
+      assert(propByLang.getOrElse(l, 0L) == expected, s"alpha=1 lang $l")
+    }
+  }
 }

@@ -76,4 +76,63 @@ class TextQualitySpec extends SparkTestBase {
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
       s"expected distributed aggregation:\n$plan")
   }
+
+  test("piiCounts: each class counted independently, no cross-class bleed") {
+    val s = "mail a.b+c@ex-1.org and x@y.io, ip 192.168.0.1, " +
+      "call 555-867-5309 or 555 867 5309, ssn 123-45-6789"
+    val df = Seq(Tuple1(s)).toDF("t")
+    val row = df.select(TextOps.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(row.getInt(0) == 2, "emails")
+    assert(row.getInt(1) == 1, "ipv4")
+    assert(row.getInt(2) == 2, "phones")
+    assert(row.getInt(3) == 1, "ssn — the 2-digit middle must NOT count as a phone")
+  }
+
+  test("piiRedact replaces every class with its typed placeholder") {
+    val df = Seq(Tuple1(
+      "from bob@corp.example.com at 10.0.0.7 phone 555-123-4567 ssn 078-05-1120 end"
+    )).toDF("t")
+    val got = df.select(TextOps.piiRedact(col("t"))).as[String].collect()(0)
+    assert(got == "from <EMAIL> at <IP> phone <PHONE> ssn <SSN> end", got)
+  }
+
+  test("piiRedact: SSN runs before phone so the shapes don't collide") {
+    // 123-45-6789 is an SSN (3-2-4); 123-456-7890 is a phone (3-3-4) —
+    // both present, each must get its own placeholder
+    val df = Seq(Tuple1("a 123-45-6789 b 123-456-7890 c")).toDF("t")
+    val got = df.select(TextOps.piiRedact(col("t"))).as[String].collect()(0)
+    assert(got == "a <SSN> b <PHONE> c", got)
+  }
+
+  test("c4 line rules: terminal punctuation, min words, blacklist") {
+    val lines = Seq(
+      "A good sentence with enough words here.",   // keep
+      "Too short.",                                 // < 5 words
+      "no terminal punctuation in this line",       // no punct
+      "Enable javascript to view this content.",    // blacklist
+      "Ends with a question does it not?",          // keep (?)
+      "He said \"stop right there.\""               // keep (quote)
+    ).toDF("line")
+    val kept = lines.filter(TextOps.c4LineKeep(col("line"))).as[String].collect()
+    assert(kept.toSeq == Seq(
+      "A good sentence with enough words here.",
+      "Ends with a question does it not?",
+      "He said \"stop right there.\""))
+  }
+
+  test("c4LineStats: counts and surviving char mass, inside codegen (no shuffle)") {
+    val df = Seq(Tuple1(Seq(
+      "Keep this line it is long enough.",
+      "drop",
+      "Another keeper with the right shape."))).toDF("lines")
+    val row = df.select(TextOps.c4LineStats(col("lines")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(row.getLong(0) == 3 && row.getLong(1) == 2)
+    assert(row.getLong(2) ==
+      "Keep this line it is long enough.".length + "Another keeper with the right shape.".length)
+    val plan = df.select(TextOps.c4LineStats(col("lines")).map { case (n, c) => c.as(n) }: _*)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"line filtering must not shuffle:\n$plan")
+  }
 }
