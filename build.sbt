@@ -15,6 +15,11 @@ run / fork := true
 // prefixes every line with "[info] ", which breaks line-level JSON
 // parsing of Bench's one-line result by the harness.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line so the forked
+// main's one-line JSON result is the LAST line on stdout (the harness
+// parses the last line; every prior round recorded parsed:null because
+// sbt appended its success banner after Bench's JSON).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Lexical (keyword) retrieval over the document corpus: an inverted
+  * index as a DataFrame and Okapi BM25 scoring — the text-side
+  * complement to the embedding ANN paths in [[Similarity]]/[[Ivf]]
+  * (hybrid retrieval = union both candidate sets).
+  *
+  * Scale story: the postings "index" is one hash aggregation per
+  * (doc, term) — at 100 TB it is built once and persisted partitioned
+  * by term-hash range, so a query's candidate fetch touches only its
+  * terms' partitions (same pruning contract as the IVF stored layout).
+  * Query-time cost is |terms| postings-list scans + one per-doc sum; the
+  * corpus-wide stats (N, avgdl) are a 1-row frame computed once and
+  * broadcast, never a driver round-trip inside the plan.
+  *
+  * Determinism: per-term BM25 contributions are rounded to 9 decimals
+  * and summed as exact DECIMAL (order-independent — the established
+  * oracle discipline), so ranking ties break identically everywhere.
+  */
+object Retrieval {
+
+  private def toks(textCol: Column): Column = split(trim(textCol), "\\s+")
+
+  /** (doc_id-as-idCol, term) — one row per token occurrence. */
+  def words(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(toks(col(textCol))).as("term"))
+
+  /** The inverted index as data: (term, idCol, tf) postings. Persist
+    * this (repartitioned by `term`) for query-time reuse. */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    words(df, idCol, textCol)
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** Per-document token length (dl). */
+  def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), size(toks(col(textCol))).cast("double").as("dl"))
+
+  /** BM25 scores for a bag of query terms: (idCol, score). Only
+    * documents containing ≥1 query term appear. `k1`/`b` are the
+    * standard Robertson defaults; idf is the +1-floored Lucene form
+    * ln((N-df+0.5)/(df+0.5) + 1) so scores stay non-negative. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = docLengths(df, idCol, textCol)
+    val stats = broadcast(
+      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
+    val tf = postings(df, idCol, textCol)
+      .filter(col("term").isin(queryTerms: _*))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = round(
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 9)
+      .cast(DecimalType(28, 10))
+    tf.join(dfreq, "term")
+      .join(dl, idCol)
+      .crossJoin(stats)
+      .select(col(idCol), contrib.as("c"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("score_dec"))
+  }
+
+  /** Top-k BM25 retrieval: (idCol, score) ordered by score desc, id —
+    * the exact-decimal score column makes the order engine-independent.
+    * Plans as TakeOrderedAndProject (no global sort materialization). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25(df, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("score_dec").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("score_dec").cast("double"), 6).as("score"))
+}

@@ -128,6 +128,39 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication: a coarse k-means quantizer
+    * ([[Ivf.build]] — MLlib KMeans, seeded) learns the blocking, then
+    * near-duplicate pairs are found ONLY within each learned cell
+    * (pairwise cosine ≥ threshold, via [[embeddingNearDups]]), pairs are
+    * resolved to duplicate clusters ([[Dedup.connectedComponents]]), and
+    * one representative per cluster (the minimum id — deterministic) is
+    * kept. This is the published SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster with k-means, compare only inside each
+    * cluster, drop all but one of each semantic-duplicate group.
+    *
+    * Scale story: the all-pairs join never happens — candidates meet on
+    * the learned `cell` key, so pair cost is Σ|cell|², bounded by the
+    * quantizer's balance (k grows with corpus size, cells stay
+    * ~constant). Everything downstream (components, anti-join) is
+    * edges-bounded. Returns the kept corpus rows (original schema). */
+  def semanticDedup(df: DataFrame, k: Int, threshold: Double, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = semanticDupPairs(df, k, threshold, seed, idCol, vecCol)
+    Dedup.dropDuplicateClusters(df, idCol, pairs)
+  }
+
+  /** The pair stage of [[semanticDedup]], exposed for auditing: semantic
+    * near-duplicate pairs (id1, id2, cos) found within learned k-means
+    * cells. Precision is exact (every emitted pair truly has cosine ≥
+    * threshold); recall is bounded by the quantizer — pairs split across
+    * cells are missed, the SemDeDup trade. */
+  def semanticDupPairs(df: DataFrame, k: Int, threshold: Double, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = Ivf.build(df, k, seed, idCol, vecCol).assigned
+    embeddingNearDups(assigned, "cell", threshold, idCol, vecCol)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking column (e.g.
     * cluster label or LSH bucket): pairwise cosine ≥ threshold. Norms
     * are per-vector, computed before the quadratic pair join. */
