@@ -14,6 +14,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 benches a subset (default: all —
+    // the driver contract is unchanged when the variable is absent)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -33,14 +38,14 @@ object Bench {
     // warmup pass 1: smallest SF — codegen compile + JIT on cheap data
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
     // warmup pass 2: target SF — populate the table cache so measured
     // numbers are steady-state throughput (DuckDB's buffer pool and the
     // OS page cache give the oracle the same treatment)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
@@ -50,7 +55,7 @@ object Bench {
     // Failures are RECORDED, not swallowed — a query that starts
     // throwing must surface as a failure entry, never as a fast time.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def round(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def round(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch {
         case t: Throwable =>

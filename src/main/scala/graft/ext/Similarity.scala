@@ -155,11 +155,18 @@ object Similarity {
     * threshold); recall is bounded by the quantizer — pairs split across
     * cells are missed, the SemDeDup trade. */
   def semanticDupPairs(df: DataFrame, k: Int, threshold: Double, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = Ivf.build(df, k, seed, idCol, vecCol).assigned
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semanticDupPairsFromCells(Ivf.build(df, k, seed, idCol, vecCol).assigned,
+      threshold, idCol, vecCol)
+
+  /** [[semanticDupPairs]] over an already-fitted cell assignment (a
+    * frame with a `cell` column, e.g. [[Ivf.Index.assigned]]) — the
+    * production shape: the quantizer is fitted once and persisted, the
+    * pair stage reruns per corpus snapshot. */
+  def semanticDupPairsFromCells(assigned: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     embeddingNearDups(assigned, "cell", threshold, idCol, vecCol)
       .select(col("id1"), col("id2"), col("cos"))
-  }
 
   /** Embedding near-duplicate pairs within a blocking column (e.g.
     * cluster label or LSH bucket): pairwise cosine ≥ threshold. Norms

@@ -127,45 +127,101 @@ object TextOps {
     * array when the document has fewer than n tokens (`sequence` would
     * otherwise run DESCENDING for a negative span — never let it). */
   def wordNgrams(c: Column, n: Int): Column = {
+    // zip_with, NOT transform(sequence(i), i => ...slice(toks, i)...):
+    // a lambda body referencing the `toks` EXPRESSION subtree re-runs
+    // the regex split per element — O(tokens²) splits per document
+    // (measured: 90% of the x19 gate's cost at sf0.1). zip_with's
+    // collection arguments are evaluated once per row; each zip level
+    // appends the k-th shifted token with null-propagating concat, and
+    // the null tail (where the shift ran past the end) is dropped once
+    // at the close — also covering the <n-token case (all-null → []).
     val toks = tokens(lower(c))
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val joined = (2 to n).foldLeft(toks) { (acc, k) =>
+      // slice length = size(toks): evaluated per ROW (constant factor),
+      // never per element; over-long lengths are clamped by slice
+      zip_with(acc, when(size(toks) >= k, slice(toks, lit(k), size(toks)))
+          .otherwise(array().cast("array<string>")),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, g => g.isNotNull)
   }
 
-  /** Per-document n-gram repetition stats, distributed (explode + one
-    * hash aggregate — at 100 TB the gram counting is a map-side-combined
-    * shuffle on (doc, gram), never a per-row quadratic fold):
+  /** Per-document n-gram repetition stats as PURE COLUMN EXPRESSIONS —
+    * a single codegen'd run-length fold over the doc's sorted gram
+    * array. A document's grams already live in its own row, so shipping
+    * them through an explode + (doc, gram) shuffle (the first-cut
+    * implementation — measured 3.4 s for the x19 gate at sf0.1, ~6
+    * stages) bought nothing: the fold computes the same numbers in the
+    * scan itself, zero shuffles, and at 100 TB the whole Gopher gate
+    * stays embarrassingly parallel.
     *
-    *  - `top_gram` / `top_cnt`: the most frequent word n-gram (ties by
-    *    lexicographically greatest gram — a total, engine-portable rule)
-    *  - `top_frac`: characters covered by all occurrences of the top
-    *    gram / document characters (Gopher's "fraction of characters in
-    *    the most frequent n-gram")
-    *  - `dup_frac`: characters covered by every gram occurring more than
-    *    once / document characters (Gopher's duplicate-n-gram mass;
-    *    overlap-counted, the standard cheap approximation)
+    *  - `top` / `topg`: count and text of the most frequent word n-gram
+    *    (ties by lexicographically greatest gram — grams are folded in
+    *    ascending order, so `>=` keeps the greatest; a total,
+    *    engine-portable rule)
+    *  - `dup`: characters covered by every gram occurring more than once
+    *    (Gopher's duplicate-n-gram mass; overlap-counted, the standard
+    *    cheap approximation)
     *
-    * Documents with fewer than n tokens keep a row with zero fractions
-    * (left join back to the corpus) so the metric is total. */
+    * Fold state: (prev gram, current run length, best run, best gram,
+    * dup chars); each new run flushes the previous one, `finish`
+    * flushes the last. Empty/short docs fold to zeros. */
+  def ngramRepetitionCols(textCol: Column, n: Int): Column = {
+    // Sort (hash, gram) structs, not strings: the struct ordering
+    // compares the int64 hash first and touches the string only within
+    // a run, which cut the sort from 2.2 s to ~long-sort cost at sf0.1
+    // (string array_sort was 90% of the whole stat). Runs are detected
+    // by hash equality; the lexicographically-greatest tie rule stays
+    // EXACT because flushes accumulate greatest(topg, run gram) — the
+    // global max string among max-count runs, independent of the
+    // hash-determined run order.
+    val sorted = array_sort(transform(wordNgrams(textCol, n),
+      g => struct(xxhash64(g).as("h"), g.as("g"))))
+    val z = struct(lit(0L).as("prevh"), lit("").as("prev"), lit(0L).as("cur"),
+      lit(0L).as("top"), lit("").as("topg"), lit(0L).as("dup"))
+    def newTop(st: Column) =
+      when(st.getField("cur") > st.getField("top"), st.getField("cur"))
+        .otherwise(st.getField("top"))
+    def newTopg(st: Column) =
+      when(st.getField("cur") > st.getField("top"), st.getField("prev"))
+        .when(st.getField("cur") > 0 && st.getField("cur") === st.getField("top"),
+          greatest(st.getField("topg"), st.getField("prev")))
+        .otherwise(st.getField("topg"))
+    def newDup(st: Column) =
+      when(st.getField("cur") > 1,
+        st.getField("dup") + st.getField("cur") * length(st.getField("prev")))
+        .otherwise(st.getField("dup"))
+    aggregate(sorted, z,
+      (st, e) => when(
+        st.getField("cur") > 0 && st.getField("prevh") === e.getField("h"),
+        struct(e.getField("h").as("prevh"), e.getField("g").as("prev"),
+          (st.getField("cur") + 1).as("cur"),
+          st.getField("top").as("top"), st.getField("topg").as("topg"),
+          st.getField("dup").as("dup")))
+      .otherwise(
+        struct(e.getField("h").as("prevh"), e.getField("g").as("prev"),
+          lit(1L).as("cur"),
+          newTop(st).as("top"), newTopg(st).as("topg"), newDup(st).as("dup"))),
+      st => struct(
+        newTop(st).as("top"), newTopg(st).as("topg"), newDup(st).as("dup")))
+  }
+
+  /** [[ngramRepetitionCols]] with the Gopher fractions attached:
+    * (idCol, top_gram, top_cnt, top_frac, dup_frac) — one shuffle-free
+    * select over the corpus. */
   def ngramRepetitionStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val counts = df
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
-    val perDoc = counts.groupBy(col(idCol)).agg(
-      max(struct(col("cnt"), col("g"))).as("top"),
-      sum(when(col("cnt") > 1, col("cnt") * length(col("g")))
-        .otherwise(lit(0L))).as("dup_chars"))
-    df.select(col(idCol), length(col(textCol)).cast("double").as("n_chars"))
-      .join(perDoc, Seq(idCol), "left")
+    val st = ngramRepetitionCols(col(textCol), n)
+    val nChars = length(col(textCol)).cast("double")
+    df.select(col(idCol), st.as("_st"), nChars.as("_nc"))
       .select(
         col(idCol),
-        coalesce(col("top.g"), lit("")).as("top_gram"),
-        coalesce(col("top.cnt"), lit(0L)).as("top_cnt"),
-        coalesce(col("top.cnt") * length(col("top.g")) / col("n_chars"), lit(0.0))
-          .as("top_frac"),
-        coalesce(col("dup_chars") / col("n_chars"), lit(0.0)).as("dup_frac"))
+        col("_st.topg").as("top_gram"),
+        col("_st.top").as("top_cnt"),
+        when(col("_nc") > 0,
+          col("_st.top") * length(col("_st.topg")) / col("_nc"))
+          .otherwise(lit(0.0)).as("top_frac"),
+        when(col("_nc") > 0, col("_st.dup") / col("_nc"))
+          .otherwise(lit(0.0)).as("dup_frac"))
   }
 
   /** Thresholds for [[repetitionKeep]] — Gopher appendix A defaults. */
@@ -176,27 +232,33 @@ object TextOps {
       maxTop2GramCharFrac: Double = 0.20,
       maxDup3GramCharFrac: Double = 0.18)
 
-  /** Composite repetition gate: joins the scalar line/paragraph metrics
-    * (pure codegen) with the distributed 2-/3-gram stats and emits a
-    * boolean `keep`. Scalar gates are computed inline; only the n-gram
-    * stats shuffle. */
+  /** Composite repetition gate: every metric — line/paragraph dup
+    * fractions AND the 2-/3-gram stats — is a pure column expression
+    * now, so the whole Gopher gate is ONE join-free, shuffle-free
+    * select over the corpus. */
   def repetitionKeep(df: DataFrame, idCol: String, textCol: String,
       t: RepetitionThresholds = RepetitionThresholds()): DataFrame = {
-    val two = ngramRepetitionStats(df, idCol, textCol, 2)
-      .select(col(idCol), col("top_frac").as("top2_frac"))
-    val three = ngramRepetitionStats(df, idCol, textCol, 3)
-      .select(col(idCol), col("dup_frac").as("dup3_frac"))
-    df.select(col(idCol),
+    // fold structs materialized once in a child projection — inlining
+    // them would re-run the fold per consuming column (see the x19 gate)
+    df.select(col(idCol), col(textCol),
+        ngramRepetitionCols(col(textCol), 2).as("_t2"),
+        ngramRepetitionCols(col(textCol), 3).as("_t3"),
+        length(col(textCol)).cast("double").as("_nc"))
+      .select(col(idCol),
         dupLineFraction(col(textCol)).as("dup_line_frac"),
         dupLineCharFraction(col(textCol)).as("dup_line_char_frac"),
-        dupParagraphFraction(col(textCol)).as("dup_para_frac"))
-      .join(two, Seq(idCol), "left").join(three, Seq(idCol), "left")
+        dupParagraphFraction(col(textCol)).as("dup_para_frac"),
+        when(col("_nc") > 0,
+          col("_t2.top") * length(col("_t2.topg")) / col("_nc"))
+          .otherwise(lit(0.0)).as("top2_frac"),
+        when(col("_nc") > 0, col("_t3.dup") / col("_nc"))
+          .otherwise(lit(0.0)).as("dup3_frac"))
       .withColumn("keep",
         col("dup_line_frac") <= t.maxDupLineFrac &&
         col("dup_line_char_frac") <= t.maxDupLineCharFrac &&
         col("dup_para_frac") <= t.maxDupParagraphFrac &&
-        coalesce(col("top2_frac"), lit(0.0)) <= t.maxTop2GramCharFrac &&
-        coalesce(col("dup3_frac"), lit(0.0)) <= t.maxDup3GramCharFrac)
+        col("top2_frac") <= t.maxTop2GramCharFrac &&
+        col("dup3_frac") <= t.maxDup3GramCharFrac)
   }
 
   // -- PII detection / redaction -----------------------------------------

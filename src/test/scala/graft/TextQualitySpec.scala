@@ -69,12 +69,43 @@ class TextQualitySpec extends SparkTestBase {
     assert(!keep(2L), "looped doc must fail the top-2-gram char gate")
   }
 
-  test("n-gram counting is a hash aggregate, not a per-row quadratic fold") {
+  test("n-gram stats are a shuffle-free scan: no exchange, no aggregate in the plan") {
+    // the run-length fold over the sorted gram array is linear per
+    // document (after an O(g log g) array_sort) and needs no shuffle —
+    // the whole Gopher gate rides the scan
     val df = Seq((1L, "a b c a b")).toDF("id", "text")
     val plan = TextOps.ngramRepetitionStats(df, "id", "text", 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
-      s"expected distributed aggregation:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected a shuffle-free plan:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"expected no aggregate:\n$plan")
+  }
+
+  test("fold matches a brute-force recount on varied docs") {
+    val docs = Seq(
+      (1L, "a b c a b"),           // top 2-gram "a b" ×2
+      (2L, "x x x x"),             // "x x" ×3 (overlapping runs)
+      (3L, "solo"),                // no 2-grams
+      (4L, ""),                    // empty
+      (5L, "p q p q p q r p q")).toDF("id", "text")
+    val got = TextOps.ngramRepetitionStats(docs, "id", "text", 2)
+      .select("id", "top_gram", "top_cnt", "dup_frac")
+      .as[(Long, String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def brute(text: String) = {
+      val t = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val grams = t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val cnt = grams.groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+      val top = if (cnt.isEmpty) ("", 0L)
+        else { val m = cnt.values.max; (cnt.filter(_._2 == m).keys.max, m) }
+      val dup = cnt.collect { case (g, c) if c > 1 => c * g.length }.sum
+      (top._1, top._2, if (text.isEmpty) 0.0 else dup.toDouble / text.length)
+    }
+    for ((id, text) <- Seq((1L, "a b c a b"), (2L, "x x x x"), (3L, "solo"),
+        (4L, ""), (5L, "p q p q p q r p q"))) {
+      val (bg, bc, bd) = brute(text)
+      val (_, g, c, d) = got(id)
+      assert(g == bg && c == bc, s"doc $id: got ($g,$c) want ($bg,$bc)")
+      assert(math.abs(d - bd) < 1e-12, s"doc $id dup_frac: got $d want $bd")
+    }
   }
 
   test("piiCounts: each class counted independently, no cross-class bleed") {
