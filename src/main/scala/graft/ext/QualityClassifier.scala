@@ -131,4 +131,27 @@ object QualityClassifier {
       minScore: Double): DataFrame =
     df.join(score(df, model, idCol, textCol).filter(col("score") >= minScore)
       .select(idCol), idCol)
+
+  /** Stateless scoring as a PURE COLUMN EXPRESSION: the weight vector
+    * rides the plan as one MapType literal (≤ dim entries — model
+    * metadata) and the margin is a fold over the token array, so the
+    * score needs no join, no shuffle, and no state — usable in a
+    * Structured Streaming `select` as-is (the streaming ingest path,
+    * where the broadcast-join formulation of [[score]] would force a
+    * stateful aggregation after the feature explode).
+    *
+    * Since features are L1-normalized counts, Σᵢ w[i]·cᵢ/n over buckets
+    * equals (Σ_tokens w[h(t)])/n — one lookup per token. The fold sums
+    * doubles in the array's (deterministic) order; equality with
+    * [[score]]'s decimal-summed path is within float-tail tolerance,
+    * spec-pinned. */
+  def scoreCol(textCol: Column, model: Model): Column = {
+    val w = typedLit(model.weights)
+    val t = toks(textCol)
+    val margin = aggregate(t, lit(0.0),
+      (acc, tok) => acc + coalesce(
+        element_at(w, pmod(xxhash64(tok), lit(model.dim)).cast("int")), lit(0.0)))
+    val m = when(size(t) > 0, margin / size(t)).otherwise(lit(0.0))
+    lit(1.0) / (lit(1.0) + exp(-(m + model.intercept)))
+  }
 }

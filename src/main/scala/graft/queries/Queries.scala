@@ -2062,6 +2062,58 @@ object Queries {
       queryTerms = Seq("data", "dup", "spark"), k = 25)
   }
 
+  // X30 — document-ingest cleaning, batch twin (DocumentIngestSpec pins
+  // stream == batch on the same rows): normalized-content dedup keeping
+  // the first arrival, token-count gates, Gopher top-2-gram/dup-3-gram
+  // gates (UNROUNDED comparisons — both engines compare identical IEEE
+  // doubles), PII redaction (identity on this corpus: no digits/@).
+  q("x30_clean_ingest",
+    """WITH keyed AS (
+      |  SELECT doc_id, text,
+      |         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k
+      |  FROM documents),
+      |first AS (
+      |  SELECT doc_id, text FROM keyed
+      |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY doc_id) = 1),
+      |toks AS (
+      |  SELECT doc_id, text, length(text) AS nc,
+      |         regexp_split_to_array(trim(lower(text)), '\s+') AS l,
+      |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      |  FROM first),
+      |g2 AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i+1] AS g
+      |  FROM toks, UNNEST(generate_series(1, len(l)-1)) AS t(i)),
+      |c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+      |m2 AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM c2 GROUP BY 1),
+      |t2 AS (
+      |  SELECT c2.doc_id, m2.top_cnt, MAX(c2.g) AS top_gram
+      |  FROM c2 JOIN m2 ON c2.doc_id = m2.doc_id AND c2.cnt = m2.top_cnt
+      |  GROUP BY 1, 2),
+      |g3 AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+      |  FROM toks, UNNEST(generate_series(1, len(l)-2)) AS t(i)),
+      |c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+      |s3 AS (
+      |  SELECT doc_id,
+      |         SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup_chars
+      |  FROM c3 GROUP BY 1)
+      |SELECT tk.doc_id, tk.text, tk.n_tokens
+      |FROM toks tk
+      |JOIN t2 ON t2.doc_id = tk.doc_id
+      |LEFT JOIN s3 ON s3.doc_id = tk.doc_id
+      |WHERE tk.n_tokens BETWEEN 5 AND 100000
+      |  AND t2.top_cnt * length(t2.top_gram) / CAST(tk.nc AS DOUBLE) <= 0.20
+      |  AND COALESCE(s3.dup_chars, 0) / CAST(tk.nc AS DOUBLE) <= 0.18
+      |ORDER BY tk.doc_id""".stripMargin) { (s, dir) =>
+    graft.streaming.DocumentIngest.cleanStream(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            to_timestamp(col("doc_id")).as("ts")),
+        "doc_id", "text", "ts", lateness = "10 minutes")
+      .select(col("doc_id"), col("text"), col("n_tokens").cast("long").as("n_tokens"))
+      .ordered("doc_id")
+  }
+
   // X29 — trained quality classifier (rows-only: the GD training loop
   // has no SQL twin; QualityClassifierSpec proves holdout accuracy ≥0.8
   // and partition-order-invariant training). Label = a token-count

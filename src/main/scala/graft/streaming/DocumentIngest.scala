@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{QualityClassifier, TextOps}
+
+/** Streaming document ingest: the training-data cleaning pipeline
+  * applied AT THE EDGE, as documents arrive, instead of as a batch pass
+  * over the landed corpus. Everything here is deliberately built from
+  * the stateless column-expression forms of the ext operators —
+  * repetition gates ([[TextOps.ngramRepetitionCols]]), C4-ish length /
+  * quality heuristics, PII redaction, and classifier scoring
+  * ([[QualityClassifier.scoreCol]], the weight map as a plan literal) —
+  * so the only streaming STATE in the whole pipeline is the
+  * within-watermark content dedup, whose size is bounded by the
+  * lateness horizon, never the corpus.
+  *
+  * Scale story at 100 TB/day: gates drop documents inside the scan of
+  * each micro-batch (no shuffle before the drop — the cheapest place to
+  * kill a document is before it moves), the dedup state holds only the
+  * lateness window × arrival rate, and the landed store receives
+  * already-clean, already-redacted documents partitioned by arrival
+  * date. Cross-document work that genuinely needs the corpus (MinHash
+  * near-dups, SemDeDup, decontamination) stays in the batch layer over
+  * the landed store — same split as [[Ingest.dedupStream]] vs
+  * [[graft.ext.Dedup.exact]].
+  */
+object DocumentIngest {
+
+  /** Gate thresholds; defaults follow the batch pipeline's. */
+  final case class CleanConfig(
+      minTokens: Int = 5,
+      maxTokens: Int = 100000,
+      repetition: TextOps.RepetitionThresholds = TextOps.RepetitionThresholds(),
+      classifier: Option[QualityClassifier.Model] = None,
+      minScore: Double = 0.5,
+      redactPii: Boolean = true)
+
+  /** The normalized content key used for streaming dedup — identical to
+    * the batch x1b normalized-dedup key, so stream-deduped and
+    * batch-deduped corpora agree on what "the same document" means. */
+  def contentKey(textCol: Column): Column =
+    md5(trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " ")))
+
+  /** Quality/gate columns for one document — all pure expressions.
+    * Returns (columns to attach, keep predicate). */
+  def gateColumns(textCol: Column, cfg: CleanConfig): (Seq[(String, Column)], Column) = {
+    val nTok = TextOps.tokenCount(textCol)
+    val rep2 = TextOps.ngramRepetitionCols(textCol, 2)
+    val rep3 = TextOps.ngramRepetitionCols(textCol, 3)
+    val cols = Seq(
+      "n_tokens" -> nTok,
+      "_rep2" -> rep2,
+      "_rep3" -> rep3,
+      "_nc" -> length(textCol).cast("double")) ++
+      cfg.classifier.map(m => "quality_score" -> QualityClassifier.scoreCol(textCol, m))
+    val top2 = when(col("_nc") > 0,
+      col("_rep2.top") * length(col("_rep2.topg")) / col("_nc")).otherwise(lit(0.0))
+    val dup3 = when(col("_nc") > 0, col("_rep3.dup") / col("_nc")).otherwise(lit(0.0))
+    val keep = col("n_tokens") >= cfg.minTokens &&
+      col("n_tokens") <= cfg.maxTokens &&
+      top2 <= cfg.repetition.maxTop2GramCharFrac &&
+      dup3 <= cfg.repetition.maxDup3GramCharFrac &&
+      cfg.classifier.fold(lit(true))(_ => col("quality_score") >= cfg.minScore)
+    (cols, keep)
+  }
+
+  /** Clean a document stream: watermarked content dedup → stateless
+    * gates → PII redaction. Works identically on a batch frame (the
+    * dedup falls back to plain dropDuplicates) — the spec pins
+    * stream == batch on the same data. Output: the input columns with
+    * `text` redacted, plus `n_tokens` (and `quality_score` when a
+    * classifier is configured). */
+  def cleanStream(stream: DataFrame, idCol: String, textCol: String,
+      tsCol: String, lateness: String, cfg: CleanConfig = CleanConfig()): DataFrame = {
+    val keyed = stream.withColumn("_ck", contentKey(col(textCol)))
+    val deduped =
+      if (stream.isStreaming)
+        keyed.withWatermark(tsCol, lateness)
+          .dropDuplicatesWithinWatermark(Seq("_ck"))
+      else {
+        // batch twin of first-arrival: keep the earliest (ts, id) row
+        // per content key — deterministic, unlike dropDuplicates
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("_ck").orderBy(col(tsCol), col(idCol))
+        keyed.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
+    val (cols, keep) = gateColumns(col(textCol), cfg)
+    val withGates = cols.foldLeft(deduped) { case (d, (n, c)) => d.withColumn(n, c) }
+    val kept = withGates.filter(keep)
+      .drop("_ck", "_rep2", "_rep3", "_nc")
+    if (cfg.redactPii)
+      kept.withColumn(textCol, TextOps.piiRedact(col(textCol)))
+    else kept
+  }
+
+  /** Drain a directory of document parquet into a cleaned, day-
+    * partitioned store — the document twin of [[Ingest.runAvailableNow]]
+    * (deterministic AvailableNow semantics over the real streaming
+    * path: incremental state, watermark, checkpoint). */
+  def runAvailableNow(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      outDir: String, checkpointDir: String, idCol: String, textCol: String,
+      tsCol: String, lateness: String = "10 minutes",
+      cfg: CleanConfig = CleanConfig()): Unit = {
+    val src = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val q = cleanStream(src, idCol, textCol, tsCol, lateness, cfg)
+      .withColumn("date", to_date(col(tsCol)))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("date")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

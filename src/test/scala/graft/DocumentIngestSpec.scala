@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{QualityClassifier, TextOps}
+import graft.store.Tables
+import graft.streaming.DocumentIngest
+
+/** Streaming document cleaning: stream == batch on the same corpus,
+  * state limited to the watermark dedup, gates identical to the batch
+  * pipeline's, and the stateless classifier scorer agrees with the
+  * join-based batch scorer. */
+class DocumentIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("scoreCol (plan-literal fold) == score (broadcast join) on the real corpus") {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("y", (col("lang") === "en").cast("int"))
+    val m = QualityClassifier.train(docs.limit(200), "doc_id", "text", "y",
+      dim = 256, iters = 10, lr = 50.0)
+    val joined = QualityClassifier.score(docs, m, "doc_id", "text")
+      .withColumnRenamed("score", "s_join")
+      .join(docs.select(col("doc_id"),
+        QualityClassifier.scoreCol(col("text"), m).as("s_fold")), "doc_id")
+      .select(abs(col("s_join") - col("s_fold")).as("d"))
+      .agg(max(col("d"))).as[Double].collect().head
+    assert(joined < 1e-9, s"max |join - fold| = $joined")
+  }
+
+  test("streaming clean == batch clean on the same documents (AvailableNow, 2 batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-docstream")
+    val cfg = DocumentIngest.CleanConfig(minTokens = 5)
+
+    val base = Tables.documents(spark, dir).limit(60)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    // monotonic event time: wraparound would (correctly) make later
+    // batches late against the watermark and drop them
+    def ts(i: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + i * 60000L)
+    val rows = base.zipWithIndex.map { case ((id, tx), i) => (id, tx, ts(i)) }
+    // plant an exact content dup of a LATE batch-1 row (inside the
+    // watermark horizon when batch 2 runs — the semantics the stream
+    // dedup guarantees; older state is correctly evicted) and a junk doc
+    val planted = rows :+ ((9901L, rows(29)._2, ts(31))) :+ ((9902L, "tiny", ts(62)))
+
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val cleaned = DocumentIngest.cleanStream(
+      ms.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", lateness = "10 minutes", cfg)
+    def drain(): Unit = {
+      val q = cleaned.writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val (b1, b2) = planted.splitAt(30)
+    ms.addData(b1.toSeq); drain()
+    ms.addData(b2.toSeq); drain()
+    val streamed = spark.read.parquet(s"$tmp/out")
+
+    val batch = DocumentIngest.cleanStream(
+      planted.toSeq.toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", lateness = "10 minutes", cfg)
+
+    // the junk doc is gated out, the planted content-dup collapses
+    assert(!streamed.select("doc_id").as[Long].collect().contains(9902L))
+    assert(streamed.filter(col("doc_id") === 9901L).count() == 0)
+    // stream == batch: same kept ids, same redacted text, same n_tokens
+    val sKeys = streamed.select("doc_id", "text", "n_tokens")
+      .as[(Long, String, Int)].collect().toSet
+    val bKeys = batch.select("doc_id", "text", "n_tokens")
+      .as[(Long, String, Int)].collect().toSet
+    assert(sKeys == bKeys, s"stream-only=${sKeys -- bKeys} batch-only=${bKeys -- sKeys}")
+    assert(sKeys.nonEmpty)
+  }
+
+  test("gates drop repetitive and short docs; survivors carry quality_score when configured") {
+    val docs = Seq(
+      (1L, "hash join scan filter window batch sort merge group value spark query fast run", ts0(0)),
+      (2L, "dup dup dup dup dup dup dup dup dup dup", ts0(1)),   // top-2-gram loop
+      (3L, "too short", ts0(2))).toDF("doc_id", "text", "ts")
+    val labeled = Tables.documents(spark, dir)
+      .withColumn("y", (col("lang") === "en").cast("int"))
+    val m = QualityClassifier.train(labeled.limit(100), "doc_id", "text", "y",
+      dim = 128, iters = 5, lr = 10.0)
+    val out = DocumentIngest.cleanStream(docs, "doc_id", "text", "ts",
+      lateness = "10 minutes",
+      DocumentIngest.CleanConfig(minTokens = 5, classifier = Some(m), minScore = 0.0))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"kept $kept")
+    assert(out.columns.contains("quality_score"))
+  }
+
+  private def ts0(i: Int) = Timestamp.valueOf(f"2024-01-01 00:0$i:00")
+}
