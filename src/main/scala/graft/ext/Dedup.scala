@@ -224,6 +224,7 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("component")), "dst")
@@ -239,10 +240,16 @@ object Dedup {
           Seq("component"))
         .select(col("id"), col("cc").as("component"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev"))
-        .count()
-      converged = changed == 0L
+      // convergence via the label-sum invariant: labels only ever
+      // DECREASE (min-propagation), so Σ component is strictly
+      // monotone and "sum unchanged ⇔ no label changed" — one cheap
+      // aggregate over the already-checkpointed frame instead of a
+      // join-and-count pass per round (halves per-iteration work)
+      val sum = next
+        .agg(org.apache.spark.sql.functions.sum(col("component").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+      converged = prevSum.contains(sum)
+      prevSum = Some(sum)
       labels = next
       iter += 1
     }
