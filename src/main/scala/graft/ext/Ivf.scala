@@ -100,6 +100,45 @@ object Ivf {
     Index(centroids, spark.read.parquet(s"$path/corpus"))
   }
 
+  /** Assign vectors to an EXISTING quantizer without refitting —
+    * nearest centroid by squared Euclidean distance (the same rule
+    * MLlib KMeans `predict` uses, so incremental assignments agree with
+    * [[build]]'s cells). Centroids are metadata-sized and broadcast;
+    * ties break to the lowest cell id (deterministic). */
+  def assign(vecs: DataFrame, centroids: Array[(Int, Array[Float])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.toSeq.toDF("cell", "centroid"))
+    // ||v-c||² = v·v − 2 v·c + c·c; v·v is constant per vector so the
+    // argmin needs only c·c − 2 v·c
+    val score = Similarity.dot(col("centroid"), col("centroid")) -
+      lit(2.0) * Similarity.dot(col(vecCol), col("centroid"))
+    val w = Window.partitionBy(idCol).orderBy(col("_d"), col("cell"))
+    vecs.select(col(idCol), col(vecCol))
+      .crossJoin(cents)
+      .withColumn("_d", score)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** Incrementally grow a STORED index: assign the new vectors to the
+    * existing centroids and append them into their cells' partitions —
+    * no refit, no rewrite of existing cells (dynamic append touches
+    * only the cells that received vectors). The quantizer drifts from
+    * optimal as the distribution shifts; refit with [[build]]+[[write]]
+    * on whatever cadence recall monitoring dictates. */
+  def appendStored(spark: SparkSession, path: String, newVecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    assign(newVecs, centroids, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
   /** Top-k over a STORED index with static partition pruning: the
     * distinct probed cells (bounded by the cell count k, driver-side
     * metadata) become an `IN` filter on the partition column, so the

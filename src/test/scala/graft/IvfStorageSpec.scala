@@ -83,4 +83,32 @@ class IvfStorageSpec extends SparkTestBase {
     val b = back.assigned.groupBy("cell").count().as[(Int, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("incremental growth: assign matches KMeans cells; appended vectors are findable") {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = Ivf.build(emb, k = 4)
+    // assign() must reproduce the quantizer's own cell choices exactly
+    // (same nearest-centroid-by-L2 rule, ties to lowest cell)
+    val re = Ivf.assign(emb, idx.centroids)
+      .select(col("vec_id"), col("cell").as("re_cell"))
+    val diff = idx.assigned.join(re, "vec_id")
+      .filter(col("cell") =!= col("re_cell")).count()
+    assert(diff == 0, s"$diff vectors re-assigned to a different cell")
+
+    // grow a stored index: new vectors (copies of existing ones, offset
+    // ids) land in their source's cell and are found by stored top-k
+    val tmp = Files.createTempDirectory("graft-ivf3").toString
+    Ivf.write(idx, tmp)
+    val newVecs = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Ivf.appendStored(spark, tmp, newVecs)
+    val grown = spark.read.parquet(s"$tmp/corpus")
+    assert(grown.count() == emb.count() + 5)
+    // querying with an original vector must now surface its planted
+    // twin (cosine 1.0) among the top neighbors
+    val q = emb.filter(col("vec_id") === 0)
+    val got = Ivf.topKStored(q, spark, tmp, k = 3, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got.contains(100000L), s"planted twin missing from $got")
+  }
 }
