@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer induction (Sennrich et al. 2016,
+  * arXiv:1508.07909) — learning the tokenizer FROM the corpus is a
+  * training-data-pipeline stage like any other, and it distributes
+  * cleanly:
+  *
+  *  - Round 0 is the only corpus-scale pass: one token explode + hash
+  *    aggregate builds the (word, freq) vocabulary table.
+  *  - Every merge round then runs over the VOCABULARY (≤ ~1M rows for
+  *    real corpora, frequency-weighted), not the corpus: count adjacent
+  *    symbol pairs (explode + sum(freq)), take the argmax (one
+  *    driver-side row — model metadata), rewrite the symbol arrays with
+  *    a greedy left-to-right fold. Lineage is truncated per round.
+  *  - Applying the tokenizer is a broadcast join against the segmented
+  *    vocabulary — corpus tokenization never re-runs the merges.
+  *
+  * Determinism: pair counts are exact integer sums; the argmax tie rule
+  * is total (count desc, then left asc, right asc), so the learned
+  * merge list is bit-identical under any partitioning.
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, left: String, right: String)
+
+  /** End-of-word sentinel — makes the word boundary a learnable symbol,
+    * as in the original algorithm. */
+  val Eow = "</w>"
+
+  /** Corpus → frequency-weighted vocabulary: (word, freq). The one
+    * corpus-scale aggregation. */
+  def wordFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** word → initial symbol array: characters + the end-of-word mark.
+    * `word` must be a bound attribute (per-element lambda rule). */
+  private def initialSymbols(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit(Eow)))
+
+  /** Greedy left-to-right single-merge rewrite of a symbol array: every
+    * adjacent (left, right) becomes left+right, non-overlapping (the
+    * just-merged symbol can never match `left` again because `right` is
+    * non-empty, so no flag is needed). */
+  private def applyMerge(symbols: Column, left: String, right: String): Column =
+    aggregate(symbols, array().cast("array<string>"),
+      (out, s) => when(
+        size(out) > 0 && element_at(out, -1) === lit(left) && s === lit(right),
+        concat(slice(out, lit(1), size(out) - 1), array(lit(left + right))))
+        .otherwise(concat(out, array(s))))
+
+  /** Learn `numMerges` merges from the vocabulary table. Returns them in
+    * rank order; stops early if no pair occurs twice. */
+  def learnMergesFromVocab(vocab: DataFrame, numMerges: Int): Seq[Merge] = {
+    var words = vocab
+      .select(col("word"), col("freq"), initialSymbols(col("word")).as("symbols"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var done = false
+    var rank = 0
+    while (rank < numMerges && !done) {
+      val top = words
+        .select(col("freq"), explode(zip_with(col("symbols"),
+          slice(col("symbols"), lit(2), greatest(size(col("symbols")) - 1, lit(0))),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .filter(col("p.r").isNotNull)
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) done = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += Merge(rank, l, r)
+        words = words
+          .select(col("word"), col("freq"), applyMerge(col("symbols"), l, r).as("symbols"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Learn merges straight from a corpus. */
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] =
+    learnMergesFromVocab(wordFreqs(df, textCol), numMerges)
+
+  /** Segment a vocabulary with a learned merge list: (word, subwords).
+    * Merges apply in rank order — the tokenizer's behavior on ANY word,
+    * materialized once over the vocab, vocab-sized. */
+  def segmentTable(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val init = vocab.select(col("word"), initialSymbols(col("word")).as("symbols"))
+    val segmented = merges.foldLeft(init) { (df, m) =>
+      df.select(col("word"), applyMerge(col("symbols"), m.left, m.right).as("symbols"))
+    }
+    segmented.select(col("word"), col("symbols").as("subwords"))
+  }
+
+  /** Tokenize a corpus with the learned tokenizer: explode words, join
+    * the (broadcastable, vocab-sized) segment table, emit subword rows
+    * (idCol, pos, subword). Unknown words fall back to their initial
+    * character symbols. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+      segments: DataFrame): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(trim(lower(col(textCol))), "\\s+")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+      .join(broadcast(segments), Seq("word"), "left")
+      .select(col(idCol), col("pos"),
+        explode(coalesce(col("subwords"), initialSymbols(col("word")))).as("subword"))
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Bpe
+import graft.store.Tables
+
+/** BPE induction: the distributed merges equal a pure-Scala reference
+  * run of the Sennrich algorithm, segmentation round-trips, repeated
+  * words collapse to single tokens, and learning is partition-order
+  * invariant. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference implementation: greedy BPE over a word-frequency map,
+    * ties (count desc, left asc, right asc) — the spec's ground truth. */
+  private def referenceMerges(freqs: Map[String, Long], n: Int): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] =
+      freqs.map { case (w, f) => (w.map(_.toString).toVector :+ Bpe.Eow) -> f }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var continueLoop = true
+    while (out.length < n && continueLoop) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty || counts.values.max < 2) continueLoop = false
+      else {
+        val (l, r) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += ((l, r))
+        words = words.map { case (syms, f) =>
+          val merged = scala.collection.mutable.ArrayBuffer[String]()
+          for (s <- syms) {
+            if (merged.nonEmpty && merged.last == l && s == r)
+              merged(merged.length - 1) = l + r
+            else merged += s
+          }
+          merged.toVector -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed merges == reference algorithm on the classic corpus") {
+    // Sennrich's worked example vocabulary
+    val freqs = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val corpus = freqs.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val got = Bpe.learnMerges(df, "text", 8).map(m => (m.left, m.right))
+    val want = referenceMerges(freqs, 8)
+    assert(got == want, s"got $got want $want")
+    // (e,s) and (s,t) both hit freq 9 (newest 6 + widest 3); the total
+    // tie rule (left asc) picks (e,s), then (es,t) follows at 9
+    assert(got.take(2) == Seq(("e", "s"), ("es", "t")), got.take(2).toString)
+  }
+
+  test("distributed merges == reference on real corpus words (20 merges)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val freqs = Bpe.wordFreqs(docs, "text")
+      .as[(String, Long)].collect().toMap
+    val got = Bpe.learnMerges(docs, "text", 20).map(m => (m.left, m.right))
+    val want = referenceMerges(freqs, 20)
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("segmentation round-trips and frequent words collapse to one token") {
+    val freqs = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val corpus = freqs.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+    val df = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val vocab = Bpe.wordFreqs(df, "text")
+    val merges = Bpe.learnMergesFromVocab(vocab, 30)
+    val seg = Bpe.segmentTable(vocab, merges)
+    val table = seg.as[(String, Seq[String])].collect().toMap
+    // concatenating subwords (minus the EOW mark) reproduces the word
+    for ((w, subs) <- table)
+      assert(subs.mkString.stripSuffix(Bpe.Eow) == w, s"$w -> $subs")
+    // with enough merges the most frequent word fuses completely
+    assert(table("newest").length == 1, table("newest").mkString("|"))
+    // tokenize: subword stream joins back through the segment table,
+    // unknown words fall back to characters
+    val toks = Bpe.tokenize(Seq((1L, "newest zzz")).toDF("id", "text"), "id", "text", seg)
+      .select("subword").as[String].collect().toSeq
+    assert(toks.head == "newest" + Bpe.Eow)
+    assert(toks.tail == Seq("z", "z", "z", Bpe.Eow))
+  }
+
+  test("learning is partition-order invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    val a = Bpe.learnMerges(docs, "text", 10)
+    val b = Bpe.learnMerges(docs.repartition(17), "text", 10)
+    assert(a == b)
+  }
+}
