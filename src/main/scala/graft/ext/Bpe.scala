@@ -105,8 +105,9 @@ object Bpe {
 
   /** Tokenize a corpus with the learned tokenizer: explode words, join
     * the (broadcastable, vocab-sized) segment table, emit subword rows
-    * (idCol, pos, subword). Unknown words fall back to their initial
-    * character symbols. */
+    * (idCol, pos, subpos, subword) — explicit positions, since row
+    * order is not recoverable after a shuffle. Unknown words fall back
+    * to their initial character symbols. */
   def tokenize(df: DataFrame, idCol: String, textCol: String,
       segments: DataFrame): DataFrame =
     df.select(col(idCol),
@@ -114,5 +115,6 @@ object Bpe {
       .filter(col("word") =!= "")
       .join(broadcast(segments), Seq("word"), "left")
       .select(col(idCol), col("pos"),
-        explode(coalesce(col("subwords"), initialSymbols(col("word")))).as("subword"))
+        posexplode(coalesce(col("subwords"), initialSymbols(col("word"))))
+          .as(Seq("subpos", "subword")))
 }
