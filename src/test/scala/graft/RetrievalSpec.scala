@@ -52,6 +52,20 @@ class RetrievalSpec extends SparkTestBase {
     assert(both(3L) > both(1L))
   }
 
+  test("plan: the query-term filter is pushed below the postings aggregate") {
+    // at 100 TB this is the difference between scanning 3 terms'
+    // postings and aggregating the whole corpus: Catalyst's
+    // PushDownPredicates moves `term IN (...)` (a grouping column)
+    // under both the tf and df aggregates, directly above the explode;
+    // the corpus stats side rides a broadcast hint
+    val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Retrieval.bm25(docs, "doc_id", "text", Seq("data", "dup"))
+      .queryExecution.optimizedPlan.toString
+    val pushed = "IN \\(data,dup\\)".r.findAllIn(plan).length
+    assert(pushed >= 2, s"expected the term filter below both aggregates:\n$plan")
+    assert(plan.contains("strategy=broadcast"), "stats row should broadcast")
+  }
+
   test("decimal contributions: repartitioned corpus returns identical scores and order") {
     val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
     val q = Seq("data", "dup", "spark")
