@@ -26,6 +26,14 @@ object Cleaning {
       maxTokens: Int = 200,
       /** e.g. Some(("stopword_ratio", 0.05)) keeps rows with ratio ≥ min. */
       minQuality: Option[(String, Double)] = None,
+      /** Gopher repetition gates (top-2-gram / dup-3-gram char mass) —
+        * shuffle-free folds, still stage-1 cost. */
+      repetition: Option[TextOps.RepetitionThresholds] = None,
+      /** Trained model gates (round-5 scorers). The classifier gate is
+        * a plan-literal fold (codegen, stage-1 cost); the perplexity
+        * gate joins the model counts — run it after the cheap gates. */
+      classifier: Option[(QualityClassifier.Model, Double)] = None,
+      maxPerplexity: Option[(LangModel.BigramModel, Double)] = None,
       jaccardThreshold: Double = 0.8,
       blockCol: String = "source",
       idCol: String = "doc_id",
@@ -38,11 +46,31 @@ object Cleaning {
       docs.filter(TextOps.langId(t) === l))
     val sized = langed.filter(
       TextOps.tokenCount(t).between(cfg.minTokens, cfg.maxTokens))
-    cfg.minQuality.fold(sized) { case (feature, min) =>
+    val qualed = cfg.minQuality.fold(sized) { case (feature, min) =>
       val f = TextOps.qualityFeatures(t).toMap
         .getOrElse(feature, throw new IllegalArgumentException(
           s"unknown quality feature '$feature'"))
       sized.filter(f >= min)
+    }
+    val repd = cfg.repetition.fold(qualed) { th =>
+      // fold structs materialized once (the TextOps.repetitionKeep rule)
+      qualed
+        .withColumn("_r2", TextOps.ngramRepetitionCols(t, 2))
+        .withColumn("_r3", TextOps.ngramRepetitionCols(t, 3))
+        .withColumn("_nc", length(t).cast("double"))
+        .filter(
+          (col("_nc") <= 0 ||
+            col("_r2.top") * length(col("_r2.topg")) / col("_nc") <=
+              th.maxTop2GramCharFrac) &&
+          (col("_nc") <= 0 ||
+            col("_r3.dup") / col("_nc") <= th.maxDup3GramCharFrac))
+        .drop("_r2", "_r3", "_nc")
+    }
+    val classed = cfg.classifier.fold(repd) { case (m, min) =>
+      repd.filter(QualityClassifier.scoreCol(t, m) >= min)
+    }
+    cfg.maxPerplexity.fold(classed) { case (m, maxPpl) =>
+      LangModel.perplexityFilter(classed, m, cfg.idCol, cfg.textCol, maxPpl)
     }
   }
 

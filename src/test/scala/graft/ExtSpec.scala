@@ -173,6 +173,43 @@ class ExtSpec extends SparkTestBase {
     assert(stats.forall(r => r.getAs[Long]("n_kept") <= r.getAs[Long]("n_raw")))
   }
 
+  test("cleaning pipeline: model gates (repetition, classifier, perplexity) compose") {
+    import graft.ext.{Cleaning, LangModel, QualityClassifier}
+    val docs = graft.store.Tables.documents(spark, dir)
+    val labeled = docs.withColumn("y", (col("lang") === "en").cast("int"))
+    val clf = QualityClassifier.train(labeled.limit(150), "doc_id", "text", "y",
+      dim = 256, iters = 5, lr = 20.0)
+    val lm = LangModel.train(docs.limit(150), "doc_id", "text")
+    val cfg = Cleaning.Config(
+      repetition = Some(TextOps.RepetitionThresholds(   // non-binding caps:
+        maxTop2GramCharFrac = 1e9, maxDup3GramCharFrac = 1e9)),
+      classifier = Some((clf, 0.0)),       // threshold 0 — gate wired, no drop
+      maxPerplexity = Some((lm, 1e9)))     // huge cap — gate wired, no drop
+    val base = Cleaning.clean(docs, Cleaning.Config())
+      .select("doc_id").as[Long].collect().toSet
+    val gated = Cleaning.clean(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    // non-binding model gates must not change the result
+    assert(gated == base)
+    // the default Gopher thresholds DO bind on this corpus
+    val repStrict = Cleaning.clean(docs,
+        cfg.copy(repetition = Some(TextOps.RepetitionThresholds())))
+      .select("doc_id").as[Long].collect().toSet
+    assert(repStrict.subsetOf(base) && repStrict.size < base.size)
+    // a binding classifier threshold strictly shrinks the kept set and
+    // every survivor scores above it
+    val scores = QualityClassifier.score(docs, clf, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    val cut = scores.values.toSeq.sorted.apply(scores.size / 2) // median
+    val strictSet = Cleaning.clean(docs, cfg.copy(classifier = Some((clf, cut))))
+      .select("doc_id").as[Long].collect().toSet
+    // NOT a subset of `gated`: dropping a near-dup pair's low-id keeper
+    // upstream lets its higher-id twin survive the dedup — gate order
+    // is part of the pipeline's semantics
+    assert(strictSet.size < gated.size)
+    assert(strictSet.forall(id => scores(id) >= cut - 1e-9)) // fold vs join float tail
+  }
+
   test("documents shorter than one shingle dedup cleanly (no negative sequence)") {
     val docs = Seq((1L, "just two"), (2L, "a"), (3L, ""),
       (4L, "the quick brown fox jumps over the lazy dog"),
