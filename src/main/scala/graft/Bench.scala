@@ -72,13 +72,29 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def sec3(v: Double): String = // Locale.ROOT: '.' decimal point regardless of host locale
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""n_failures":${failures.size},"failures":$fs,"sf":"$sfDir"}""")
+    // The consumer keeps only the tail of stdout (observed: last ~2,000
+    // chars) and parses the LAST line as JSON. With ~90 queries the full
+    // per-query map is ~4k chars, so it must NOT be on the final line:
+    // detail goes to a sidecar file + an earlier stdout line, and the
+    // final line is a compact self-contained summary (≲200 chars).
+    val detail = s"""{"metric":"detail","unit":"sec","queries":$qs,""" +
+      s""""failures":$fs,"sf":${jstr(sfDir)}}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () } // sidecar is best-effort
+    println(detail)
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failures":${failures.size},""" +
+      s""""detail_file":${jstr(detailPath)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
