@@ -101,26 +101,38 @@ object Ivf {
   }
 
   /** Assign vectors to an EXISTING quantizer without refitting —
-    * nearest centroid by squared Euclidean distance (the same rule
-    * MLlib KMeans `predict` uses, so incremental assignments agree with
-    * [[build]]'s cells). Centroids are metadata-sized and broadcast;
-    * ties break to the lowest cell id (deterministic). */
+    * nearest centroid by squared Euclidean distance over the stored
+    * float centroids. Agrees with [[build]]'s cells up to float
+    * rounding: [[write]] stores `toFloat`-truncated centroids and the
+    * c·c − 2 v·c shortcut accumulates in a different order than MLlib's
+    * double-precision `predict`, so a vector near-equidistant between
+    * two centroids can land in the neighbouring cell — harmless for an
+    * ANN index (either cell is a valid coarse bucket; recall is governed
+    * by `nprobe`, not the tie). Ties break to the lowest cell id.
+    *
+    * Shuffle-free: the centroid table rides the plan as ONE array
+    * literal (metadata-sized by the IVF contract) and the argmin is a
+    * fold over that array — no join, no window, no Exchange. The
+    * incremental-ingest path stays a pure map over the new vectors. */
   def assign(vecs: DataFrame, centroids: Array[(Int, Array[Float])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val cents = broadcast(centroids.toSeq.toDF("cell", "centroid"))
+    // c·c precomputed driver-side in index-order double accumulation —
+    // bit-identical to Similarity.dot(centroid, centroid) at runtime
+    val cents = typedLit(centroids.sortBy(_._1).map { case (cell, c) =>
+      (cell, c, c.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+    }.toSeq)
     // ||v-c||² = v·v − 2 v·c + c·c; v·v is constant per vector so the
-    // argmin needs only c·c − 2 v·c
-    val score = Similarity.dot(col("centroid"), col("centroid")) -
-      lit(2.0) * Similarity.dot(col(vecCol), col("centroid"))
-    val w = Window.partitionBy(idCol).orderBy(col("_d"), col("cell"))
-    vecs.select(col(idCol), col(vecCol))
-      .crossJoin(cents)
-      .withColumn("_d", score)
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+    // argmin needs only c·c − 2 v·c. Strict `<` over ascending cell
+    // order keeps the lowest cell on ties.
+    val z = struct(lit(Double.PositiveInfinity).as("d"),
+      lit(Int.MaxValue).as("cell"))
+    val best = aggregate(cents, z, (st, e) => {
+      val d = e.getField("_3") -
+        lit(2.0) * Similarity.dot(col(vecCol), e.getField("_2"))
+      when(d < st.getField("d"),
+        struct(d.as("d"), e.getField("_1").as("cell"))).otherwise(st)
+    })
+    vecs.select(col(idCol), col(vecCol), best.getField("cell").as("cell"))
   }
 
   /** Incrementally grow a STORED index: assign the new vectors to the

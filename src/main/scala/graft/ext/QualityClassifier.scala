@@ -70,7 +70,8 @@ object QualityClassifier {
     val feats = features(df, idCol, textCol, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = df.select(col(idCol), col(labelCol).cast("double").as("y"))
-    val nDocs = labels.count().toDouble
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = labels.count().toDouble // also materializes the label cache
     var weights = Map.empty[Int, Double]
     var intercept = 0.0
     val dec = DecimalType(28, 10)
@@ -88,6 +89,9 @@ object QualityClassifier {
         .join(labels, idCol)
         .select(col(idCol),
           (lit(1.0) / (lit(1.0) + exp(-(col("_m") + intercept))) - col("y")).as("r"))
+        // two consumers below (per-idx gradient + intercept gradient):
+        // cache so the margin join runs once per iteration, not twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // per-idx gradient: Σ r·cnt, decimal-summed (order-independent)
       val grad = feats.join(resid, idCol)
         .groupBy("idx")
@@ -96,6 +100,7 @@ object QualityClassifier {
         .collect() // ≤ dim rows — model-sized, never corpus-sized
       val gInt = resid.agg(sum(round(col("r"), 9).cast(dec)).as("g"))
         .as[java.math.BigDecimal].collect().head
+      resid.unpersist()
       weights = {
         val updated = grad.map { case (i, g) =>
           val prev = weights.getOrElse(i, 0.0)
@@ -108,7 +113,7 @@ object QualityClassifier {
       }
       intercept -= lrB * gInt.doubleValue / nDocs
     }
-    feats.unpersist()
+    feats.unpersist(); labels.unpersist()
     Model(dim, intercept, weights)
   }
 

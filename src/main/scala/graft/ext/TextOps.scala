@@ -193,7 +193,12 @@ object TextOps {
         .otherwise(st.getField("dup"))
     aggregate(sorted, z,
       (st, e) => when(
-        st.getField("cur") > 0 && st.getField("prevh") === e.getField("h"),
+        // hash equality finds the run; the string equality only ever
+        // evaluates on equal hashes, so it costs nothing and closes the
+        // (negligible-probability, but silent) 64-bit-collision case
+        // where two distinct grams would merge into one run
+        st.getField("cur") > 0 && st.getField("prevh") === e.getField("h")
+          && st.getField("prev") === e.getField("g"),
         struct(e.getField("h").as("prevh"), e.getField("g").as("prev"),
           (st.getField("cur") + 1).as("cur"),
           st.getField("top").as("top"), st.getField("topg").as("topg"),

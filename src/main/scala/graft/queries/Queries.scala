@@ -1788,8 +1788,9 @@ object Queries {
       .select(col("doc_id"),
         col("_t2.topg").as("top_gram"),
         col("_t2.top").as("top_cnt"),
-        round(col("_t2.top") * length(col("_t2.topg")) / col("_nc"), 6)
-          .as("top2_frac"),
+        when(col("_nc") > 0,
+          round(col("_t2.top") * length(col("_t2.topg")) / col("_nc"), 6))
+          .otherwise(lit(0.0)).as("top2_frac"),
         round(coalesce(col("_t3.dup") / col("_nc"), lit(0.0)), 6).as("dup3_frac"))
       .ordered("doc_id")
   }

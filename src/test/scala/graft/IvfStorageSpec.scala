@@ -95,6 +95,12 @@ class IvfStorageSpec extends SparkTestBase {
       .filter(col("cell") =!= col("re_cell")).count()
     assert(diff == 0, s"$diff vectors re-assigned to a different cell")
 
+    // shuffle-free: the argmin is a fold over a centroid-array literal,
+    // so the assign plan is a pure map — no join, no window, no Exchange
+    val plan = Ivf.assign(emb, idx.centroids)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign must not shuffle:\n$plan")
+
     // grow a stored index: new vectors (copies of existing ones, offset
     // ids) land in their source's cell and are found by stored top-k
     val tmp = Files.createTempDirectory("graft-ivf3").toString
