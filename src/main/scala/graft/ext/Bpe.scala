@@ -94,11 +94,26 @@ object Bpe {
 
   /** Segment a vocabulary with a learned merge list: (word, subwords).
     * Merges apply in rank order — the tokenizer's behavior on ANY word,
-    * materialized once over the vocab, vocab-sized. */
-  def segmentTable(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
+    * materialized once over the vocab, vocab-sized.
+    *
+    * Expression-depth valve: each merge is one `aggregate` fold, and
+    * Catalyst's CollapseProject inlines the per-merge Projects (the
+    * symbol column is referenced once, so inlining is "cheap") into a
+    * single nested expression — linear in merge count, analyzer-fatal
+    * at a production 32k-merge vocabulary. `localCheckpoint` every
+    * `checkpointEvery` merges truncates plan and expression alike
+    * (same valve the learner loop uses per round), so depth is bounded
+    * by K regardless of vocabulary size; the materializations are
+    * vocab-sized, never corpus-sized. */
+  def segmentTable(vocab: DataFrame, merges: Seq[Merge],
+      checkpointEvery: Int = 32): DataFrame = {
     val init = vocab.select(col("word"), initialSymbols(col("word")).as("symbols"))
-    val segmented = merges.foldLeft(init) { (df, m) =>
-      df.select(col("word"), applyMerge(col("symbols"), m.left, m.right).as("symbols"))
+    val segmented = merges.zipWithIndex.foldLeft(init) { case (df, (m, i)) =>
+      val next = df.select(col("word"),
+        applyMerge(col("symbols"), m.left, m.right).as("symbols"))
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < merges.size)
+        next.localCheckpoint(true)
+      else next
     }
     segmented.select(col("word"), col("symbols").as("subwords"))
   }

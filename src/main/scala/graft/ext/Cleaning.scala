@@ -33,7 +33,7 @@ object Cleaning {
         * a plan-literal fold (codegen, stage-1 cost); the perplexity
         * gate joins the model counts — run it after the cheap gates. */
       classifier: Option[(QualityClassifier.Model, Double)] = None,
-      maxPerplexity: Option[(LangModel.BigramModel, Double)] = None,
+      maxPerplexity: Option[(LangModel.NGramModel, Double)] = None,
       jaccardThreshold: Double = 0.8,
       blockCol: String = "source",
       idCol: String = "doc_id",

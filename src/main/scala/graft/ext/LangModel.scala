@@ -4,100 +4,112 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Count-based word-bigram language model for corpus quality filtering —
+/** Count-based word n-gram language model for corpus quality filtering —
   * the CCNet recipe (Wenzek et al. 2020, arXiv:1911.00359): train a
   * small LM on a trusted reference slice, score every candidate
   * document's perplexity under it, and keep the low-perplexity band.
-  * (CCNet uses a 5-gram KenLM; the distributed formulation is identical
-  * for any fixed n — counts are a groupBy, scoring is a join — so we
-  * implement n=2 with add-α smoothing, which keeps the model a plain
-  * DataFrame instead of an opaque binary.)
+  * (CCNet uses a 5-gram KenLM; here `n` is a parameter — counts are a
+  * groupBy and scoring is a join for ANY fixed n, with add-α smoothing,
+  * which keeps the model a plain pair of DataFrames instead of an
+  * opaque binary. Default n=2.)
   *
   * Scale story: training is two hash aggregations over the exploded
-  * bigram stream (map-side partial combine does the heavy lifting — the
-  * shuffle carries one row per DISTINCT bigram, not per token). Scoring
-  * joins the candidate corpus's bigrams against the model on the bigram
-  * key; Catalyst broadcasts the model when it is small (a trusted slice
-  * of fixed size ⇒ model size is corpus-independent) and falls back to a
-  * shuffle join when it is not. Nothing driver-side scales with data:
-  * the only scalar is the vocabulary size (one count).
+  * n-gram stream (map-side partial combine does the heavy lifting — the
+  * shuffle carries one row per DISTINCT n-gram, not per token). Scoring
+  * joins the candidate corpus's n-grams against the model on the
+  * (context, word) key; Catalyst broadcasts the model when it is small
+  * (a trusted slice of fixed size ⇒ model size is corpus-independent)
+  * and falls back to a shuffle join when it is not. The context key is
+  * the real token ARRAY, not a separator-joined string — no silent
+  * collision when a token contains the separator. Nothing driver-side
+  * scales with data: the only scalar is the vocabulary size (one count).
   *
   * Determinism discipline (same as the t12/x-suite convention): each
-  * per-bigram log-probability is rounded to 9 decimals and summed as an
+  * per-gram log-probability is rounded to 9 decimals and summed as an
   * exact DECIMAL — order-independent, so `local[32]` answers are
   * 1000-executor answers, and the DuckDB oracle running the identical
   * formulation hash-matches.
   */
 object LangModel {
 
-  /** Smoothed bigram model as data: bigram counts, unigram (context)
-    * counts, and the vocabulary size. All three are plain values — the
-    * model can be persisted as two parquet tables and a scalar. */
-  final case class BigramModel(bi: DataFrame, uni: DataFrame, vocabSize: Long)
+  /** Smoothed n-gram model as data: n-gram counts keyed by
+    * (ctx: array of n−1 tokens, w), context counts, and the vocabulary
+    * size. All plain values — the model can be persisted as two parquet
+    * tables and two scalars. */
+  final case class NGramModel(n: Int, grams: DataFrame, ctxs: DataFrame,
+      vocabSize: Long)
 
   private def toks(textCol: Column): Column = split(trim(textCol), "\\s+")
 
-  /** (id, w1, w2) — one row per in-document word bigram. The index
-    * sequence is guarded so 0/1-token documents contribute no rows
+  /** (id, ctx, w) — one row per in-document word n-gram, with
+    * ctx = the n−1 preceding tokens as an array. The index sequence is
+    * guarded so documents shorter than n tokens contribute no rows
     * (`sequence(0, -1)` would throw, not return empty). */
-  def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def grams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
     val t = toks(col(textCol))
     df.select(col(idCol), t.as("t"))
       .select(col(idCol),
-        explode(when(size(col("t")) >= 2, sequence(lit(0), size(col("t")) - 2))
+        explode(when(size(col("t")) >= n, sequence(lit(0), size(col("t")) - n))
           .otherwise(array().cast("array<int>"))).as("i"),
         col("t"))
       .select(col(idCol),
-        element_at(col("t"), col("i") + 1).as("w1"),
-        element_at(col("t"), col("i") + 2).as("w2"))
+        slice(col("t"), col("i") + 1, lit(n - 1)).as("ctx"),
+        element_at(col("t"), col("i") + lit(n)).as("w"))
   }
+
+  /** n=2 view with the classic (id, w1, w2) shape. */
+  def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    grams(df, idCol, textCol, 2)
+      .select(col(idCol), element_at(col("ctx"), 1).as("w1"), col("w").as("w2"))
 
   /** Train on a reference corpus: two aggregations, one vocabulary
     * count (|V| = distinct token types — the add-α event space, so an
     * unseen context backs off to the uniform 1/V, not to certainty).
     * The returned count frames are what a 100-TB run would persist;
     * `vocabSize` is the one driver scalar (model metadata). */
-  def train(reference: DataFrame, idCol: String, textCol: String): BigramModel = {
-    val big = bigrams(reference, idCol, textCol)
-    val bi = big.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c12"))
-    val uni = big.groupBy("w1").agg(count(lit(1)).cast("double").as("c1"))
+  def train(reference: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): NGramModel = {
+    val g = grams(reference, idCol, textCol, n)
+    val gc = g.groupBy("ctx", "w").agg(count(lit(1)).cast("double").as("cN"))
+    val cc = g.groupBy("ctx").agg(count(lit(1)).cast("double").as("cCtx"))
     val vocab = reference
       .select(explode(toks(col(textCol))).as("w")).distinct().count()
-    BigramModel(bi, uni, vocab)
+    NGramModel(n, gc, cc, vocab)
   }
 
-  /** Score candidate docs under the model: per-doc bigram count, average
-    * negative log-likelihood, and perplexity (e^avg_nll). Unseen bigrams
+  /** Score candidate docs under the model: per-doc n-gram count, average
+    * negative log-likelihood, and perplexity (e^avg_nll). Unseen grams
     * and unseen contexts are handled by add-α smoothing:
-    * P(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V). Output columns:
-    * (idCol, n_bigrams, avg_nll, ppl) — filter `avg_nll` / `ppl` against
+    * P(w|ctx) = (c(ctx,w)+α) / (c(ctx)+α·V). Output columns:
+    * (idCol, n_grams, avg_nll, ppl) — filter `avg_nll` / `ppl` against
     * a band to implement the CCNet head/middle/tail split. */
-  def score(docs: DataFrame, model: BigramModel, idCol: String,
+  def score(docs: DataFrame, model: NGramModel, idCol: String,
       textCol: String, alpha: Double = 0.1): DataFrame = {
-    val big = bigrams(docs, idCol, textCol)
+    val g = grams(docs, idCol, textCol, model.n)
     val term = round(
-      log((coalesce(col("c12"), lit(0.0)) + alpha) /
-          (coalesce(col("c1"), lit(0.0)) + alpha * model.vocabSize)), 9)
+      log((coalesce(col("cN"), lit(0.0)) + alpha) /
+          (coalesce(col("cCtx"), lit(0.0)) + alpha * model.vocabSize)), 9)
       .cast(DecimalType(28, 10))
-    big
-      .join(model.bi, Seq("w1", "w2"), "left")
-      .join(model.uni, Seq("w1"), "left")
+    g
+      .join(model.grams, Seq("ctx", "w"), "left")
+      .join(model.ctxs, Seq("ctx"), "left")
       .select(col(idCol), term.as("term"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(count(lit(1)).as("n_grams"),
         (-sum(col("term"))).as("nll_dec"))
       .withColumn("avg_nll",
-        round(col("nll_dec").cast("double") / col("n_bigrams"), 6))
+        round(col("nll_dec").cast("double") / col("n_grams"), 6))
       .withColumn("ppl",
-        round(exp(col("nll_dec").cast("double") / col("n_bigrams")), 6))
+        round(exp(col("nll_dec").cast("double") / col("n_grams")), 6))
       .drop("nll_dec")
   }
 
   /** Keep the low-perplexity band (quality gate): docs whose perplexity
     * under the reference model is ≤ `maxPpl`, plus optionally docs with
-    * too few bigrams to score (kept by default — no evidence against
+    * too few tokens to score (kept by default — no evidence against
     * them). Returns the original rows. */
-  def perplexityFilter(docs: DataFrame, model: BigramModel, idCol: String,
+  def perplexityFilter(docs: DataFrame, model: NGramModel, idCol: String,
       textCol: String, maxPpl: Double, alpha: Double = 0.1,
       keepUnscored: Boolean = true): DataFrame = {
     val scored = score(docs, model, idCol, textCol, alpha)

@@ -2007,11 +2007,12 @@ object Queries {
       .ordered("vec_id")
   }
 
-  // X27 — CCNet-style bigram-LM perplexity scoring: train add-α bigram
-  // counts on the corpus, score every doc's avg negative log-likelihood
-  // and perplexity under them. Per-bigram log-probs are rounded to 9
-  // decimals and decimal-summed (order-independent), so the oracle
-  // running the identical formulation hash-matches.
+  // X27 — CCNet-style n-gram-LM perplexity scoring at the n=2 default:
+  // train add-α bigram counts on the corpus, score every doc's avg
+  // negative log-likelihood and perplexity under them. Per-gram
+  // log-probs are rounded to 9 decimals and decimal-summed
+  // (order-independent), so the oracle running the identical
+  // formulation hash-matches. (LangModelSpec pins n=3 closed-form.)
   q("x27_lm_perplexity",
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
@@ -2029,7 +2030,7 @@ object Queries {
       |  FROM big b JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
       |             JOIN uni ON b.w1 = uni.w1
       |             CROSS JOIN v)
-      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |SELECT doc_id, COUNT(*) AS n_grams,
       |  ROUND(CAST(-SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
       |  ROUND(EXP(CAST(-SUM(term) AS DOUBLE) / COUNT(*)), 6) AS ppl
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>

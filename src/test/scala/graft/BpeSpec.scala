@@ -90,4 +90,23 @@ class BpeSpec extends SparkTestBase {
     val b = Bpe.learnMerges(docs.repartition(17), "text", 10)
     assert(a == b)
   }
+
+  test("segmentTable stays bounded-depth at production merge counts (500 merges)") {
+    // 500 synthetic chain merges over a word of 501 DISTINCT symbols
+    // (each merge fires exactly once, so the chain never self-collides).
+    // The content is irrelevant — the point is PLAN shape: without the
+    // checkpoint valve, CollapseProject folds 500 `aggregate` lambdas
+    // into one nested expression and the analyzer dies long before data
+    // size matters.
+    val word = (0 until 501).map(i => (0x4E00 + i).toChar).mkString
+    val merges = (0 until 500).map { i =>
+      Bpe.Merge(i, word.take(i + 1), word.charAt(i + 1).toString)
+    }
+    val vocab = Seq((word, 3L), ("plain", 1L)).toDF("word", "freq")
+    val table = Bpe.segmentTable(vocab, merges)
+      .as[(String, Seq[String])].collect().toMap
+    // the chain fuses the whole word; unrelated words pass through
+    assert(table(word) == Seq(word, Bpe.Eow), table(word).take(5).mkString("|"))
+    assert(table("plain") == Seq("p", "l", "a", "i", "n", Bpe.Eow))
+  }
 }

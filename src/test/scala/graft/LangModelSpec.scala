@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.LangModel
 
-/** Bigram-LM perplexity scoring: hand-checked probabilities on a tiny
-  * corpus, the CCNet band-filter behavior (in-distribution text scores
-  * lower than out-of-distribution), and edge discipline. */
+/** n-gram-LM perplexity scoring: hand-checked probabilities on a tiny
+  * corpus at n=2 and n=3, the CCNet band-filter behavior
+  * (in-distribution text scores lower than out-of-distribution), and
+  * edge discipline. */
 class LangModelSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -25,7 +26,7 @@ class LangModelSpec extends SparkTestBase {
     assert(m.vocabSize == 3L)
     // P(b|a) = (2+0.1)/(3+0.1*3) = 2.1/3.3 ; doc "a b" has one bigram
     val scored = LangModel.score(Seq((9L, "a b")).toDF("id", "text"), m, "id", "text")
-      .select("n_bigrams", "avg_nll").as[(Long, Double)].collect().head
+      .select("n_grams", "avg_nll").as[(Long, Double)].collect().head
     val expected = BigDecimal(-math.log(2.1 / 3.3))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(scored._1 == 1L)
@@ -67,6 +68,28 @@ class LangModelSpec extends SparkTestBase {
         maxPpl = (scored(1L) + scored(2L)) / 2, keepUnscored = false)
       .select("id").as[Long].collect().toSet
     assert(strict == Set(1L))
+  }
+
+  test("trigram model (n=3) matches closed-form add-α probabilities") {
+    // ref trigrams: (a b → c), (a b → d); ctx (a,b) count 2;
+    // V = {a,b,c,d} = 4
+    val ref = Seq((1L, "a b c"), (2L, "a b d")).toDF("id", "text")
+    val m = LangModel.train(ref, "id", "text", n = 3)
+    assert(m.n == 3 && m.vocabSize == 4L)
+    val docs = Seq(
+      (1L, "a b c"),   // seen trigram: P(c|a b) = (1+0.1)/(2+0.1·4)
+      (2L, "a b z"),   // unseen word, seen context: 0.1/2.4
+      (3L, "q r s"),   // unseen context: uniform 0.1/(0.1·4) = 1/4
+      (4L, "a b")).toDF("id", "text") // shorter than n → unscored
+    val s = LangModel.score(docs, m, "id", "text")
+      .select("id", "avg_nll").as[(Long, Double)].collect().toMap
+    def nll(p: Double) = BigDecimal(-BigDecimal(math.log(p))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(s(1L) - nll(1.1 / 2.4)) < 1e-9, s"seen: ${s(1L)}")
+    assert(math.abs(s(2L) - nll(0.1 / 2.4)) < 1e-9, s"unseen w: ${s(2L)}")
+    assert(math.abs(s(3L) - nll(0.25)) < 1e-9, s"unseen ctx: ${s(3L)}")
+    assert(!s.contains(4L), "sub-n documents must contribute no score row")
   }
 
   test("decimal term sums are order-independent: repartitioned corpus scores identically") {
