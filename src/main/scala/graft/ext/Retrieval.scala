@@ -1,13 +1,15 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Lexical (keyword) retrieval over the document corpus: an inverted
   * index as a DataFrame and Okapi BM25 scoring — the text-side
-  * complement to the embedding ANN paths in [[Similarity]]/[[Ivf]]
-  * (hybrid retrieval = union both candidate sets).
+  * complement to the embedding ANN paths in [[Similarity]]/[[Ivf]].
+  * Hybrid retrieval is first-class: [[rrfFuse]]/[[hybridTopK]] fuse
+  * both candidate sets by reciprocal rank.
   *
   * Scale story: the postings "index" is one hash aggregation per
   * (doc, term) — at 100 TB it is built once and persisted partitioned
@@ -75,4 +77,61 @@ object Retrieval {
       .orderBy(col("score_dec").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("score_dec").cast("double"), 6).as("score"))
+
+  /** Candidate list → (idCol, rank): 1-based position by (score desc,
+    * id asc) — the deterministic tie rule. Apply to CANDIDATE lists
+    * only: they are top-k-sized by construction, so the unpartitioned
+    * window ranks metadata, never the corpus. */
+  def ranks(scored: DataFrame, idCol: String, scoreCol: String): DataFrame =
+    scored.select(col(idCol), row_number().over(
+      Window.orderBy(col(scoreCol).desc, col(idCol))).as("rank"))
+
+  /** Reciprocal-rank fusion (Cormack & Clarke 2009): fuse candidate
+    * lists — each (idCol, rank), 1-based — into one ranking by
+    * Σ_lists 1/(k0 + rank), k0 = 60 the published default. Rank-based,
+    * so BM25's unbounded scores and cosine's [−1,1] fuse without any
+    * calibration — the standard hybrid-retrieval combiner.
+    *
+    * Determinism: per-list contributions are rounded to 9 decimals and
+    * DECIMAL-summed (order-independent); the final order
+    * (rrf desc, id asc) is total. Scale: every input is already a
+    * top-k candidate list, so the union/aggregate is bounded by
+    * Σ|lists| rows — metadata, not corpus. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k: Int,
+      k0: Double = 60.0): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one candidate list")
+    val contribs = lists.map(_.select(col(idCol),
+      round(lit(1.0) / (lit(k0) + col("rank")), 9)
+        .cast(DecimalType(28, 10)).as("c")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("rrf_dec"))
+      .orderBy(col("rrf_dec").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("rrf_dec").cast("double"), 6).as("rrf"))
+  }
+
+  /** Hybrid lexical + semantic retrieval: BM25 candidates for the query
+    * terms ∪ cosine candidates for the query vector, RRF-fused. `ann`
+    * is any (neighbor_id, rk) frame from a [[Similarity]]/[[Ivf]] top-k
+    * — the caller picks the ANN path (brute force, LSH, or IVF), which
+    * is exactly the scale dial: brute for small corpora, partitioned
+    * IVF probes at 100 TB. The lexical side ranks on the exact-decimal
+    * BM25 sum (not the 6-rounded display score), so candidate order is
+    * engine-independent. */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], ann: DataFrame, k: Int,
+      perList: Int = 50, k0: Double = 60.0): DataFrame = {
+    // top-perList first (plans as TakeOrderedAndProject — distributed
+    // partial top-k, no global sort), THEN the unpartitioned ranking
+    // window over the perList surviving rows (metadata-sized)
+    val lex = bm25(docs, idCol, textCol, queryTerms)
+      .orderBy(col("score_dec").desc, col(idCol))
+      .limit(perList)
+      .select(col(idCol), row_number().over(
+        Window.orderBy(col("score_dec").desc, col(idCol))).as("rank"))
+    val sem = ann.select(col("neighbor_id").as(idCol), col("rk").as("rank"))
+      .filter(col("rank") <= perList)
+    rrfFuse(Seq(lex, sem), idCol, k, k0)
+  }
 }

@@ -2162,4 +2162,60 @@ object Queries {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .ordered("doc_id")
   }
+
+  // X32 — hybrid retrieval: BM25 candidates for the query terms fused
+  // with brute-force cosine candidates for the query vector (vec_id 0;
+  // doc_id and vec_id share the corpus id space) by reciprocal rank,
+  // k0 = 60. Rank lists, per-list contributions, and the decimal fusion
+  // sum are all engine-portable, so the oracle runs the identical
+  // formulation end to end — candidate generation included.
+  q("x32_hybrid_rrf",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |words AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+      |dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM words GROUP BY 1),
+      |stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM words
+      |  WHERE term IN ('data', 'dup', 'spark') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    CAST(ROUND(
+      |      LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+      |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+      |    9) AS DECIMAL(28,10)) AS c
+      |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |lex AS (
+      |  SELECT doc_id, rnk FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_id) AS rnk
+      |    FROM contrib GROUP BY doc_id)
+      |  WHERE rnk <= 50),
+      |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |cosd AS (
+      |  SELECT c.vec_id AS doc_id,
+      |    list_sum(list_transform(range(1, len(qv.embedding) + 1),
+      |      i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(qv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos
+      |  FROM embeddings c CROSS JOIN qv WHERE c.vec_id <> 0),
+      |sem AS (
+      |  SELECT doc_id, rnk FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rnk
+      |    FROM cosd)
+      |  WHERE rnk <= 50),
+      |fused AS (
+      |  SELECT doc_id, CAST(ROUND(CAST(1.0 AS DOUBLE) / (60 + rnk), 9)
+      |                      AS DECIMAL(28,10)) AS c
+      |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem))
+      |SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS rrf
+      |FROM fused GROUP BY doc_id
+      |ORDER BY SUM(c) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val ann = graft.ext.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, k = 50)
+    graft.ext.Retrieval.hybridTopK(Tables.documents(s, dir), "doc_id", "text",
+      Seq("data", "dup", "spark"), ann, k = 20, perList = 50)
+  }
 }

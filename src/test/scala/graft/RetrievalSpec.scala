@@ -66,6 +66,47 @@ class RetrievalSpec extends SparkTestBase {
     assert(plan.contains("strategy=broadcast"), "stats row should broadcast")
   }
 
+  test("hybrid RRF: fusion surfaces docs neither modality alone finds, accumulates shared hits") {
+    // planted corpus: doc 1 is LEXICAL-only relevant (query terms,
+    // orthogonal embedding), doc 2 is SEMANTIC-only relevant (no term
+    // overlap, near-parallel embedding), doc 3 is weakly relevant in
+    // BOTH; docs 4-5 are noise. Query: terms {alpha, beta} + vector e1.
+    val docs = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "delta epsilon zeta"),
+      (3L, "alpha filler filler filler"),
+      (4L, "noise words only here"),
+      (5L, "more unrelated noise")).toDF("id", "text")
+    val emb = Seq(
+      (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0.95f, 0.05f, 0f)),
+      (3L, Array(0.6f, 0.4f, 0f)),
+      (4L, Array(0f, 0f, 1f)),
+      (5L, Array(0f, -1f, 0f)),
+      (0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0L)
+    val ann = graft.ext.Similarity.bruteForceTopK(q, emb.filter(col("vec_id") =!= 0L),
+      k = 2, idCol = "vec_id")
+    // each modality ALONE misses one relevant doc
+    val lexOnly = Retrieval.bm25TopK(docs, "id", "text", Seq("alpha", "beta"), k = 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val semOnly = ann.select("neighbor_id").as[Long].collect().toSet
+    assert(!lexOnly.contains(2L), "doc 2 shares no query term")
+    assert(!semOnly.contains(1L), "doc 1's embedding is orthogonal")
+    // fused: docs 1, 2, 3 all surface in the top 3
+    val fused = Retrieval.hybridTopK(docs, "id", "text", Seq("alpha", "beta"),
+      ann, k = 3, perList = 2)
+      .as[(Long, Double)].collect()
+    assert(fused.map(_._1).toSet == Set(1L, 2L, 3L), fused.mkString(", "))
+    // doc 3 sits in BOTH lists at rank 2 → 2/(60+2) beats either rank-1
+    // singleton's 1/61: accumulation, the point of fusion
+    assert(fused.head._1 == 3L, fused.mkString(", "))
+    val expected = BigDecimal(2.0 * BigDecimal(1.0 / 62.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(fused.head._2 - expected) < 1e-9)
+  }
+
   test("decimal contributions: repartitioned corpus returns identical scores and order") {
     val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
     val q = Seq("data", "dup", "spark")
