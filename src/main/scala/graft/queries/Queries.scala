@@ -1215,11 +1215,97 @@ object Queries {
     pairs.ordered("id1", "id2")
   }
 
+  // X2b — ORACLE TWIN of x2's verify stage: x2's candidate pairs are
+  // xxhash64-band-dependent (rows-only forever), but the verification
+  // math — exact shingle-set Jaccard over GIVEN pairs — is portable.
+  // Score a fixed deterministic pair table (id, id+1 for id % 5 = 0)
+  // with the same verifyJaccard the LSH pipeline uses; the oracle
+  // computes Jaccard on shingle STRINGS where the engine moves xxhash64
+  // longs — identical values (collisions ≪ rounding).
+  q("x2b_jaccard_verify",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 5 = 0),
+      |inter AS (
+      |  SELECT p.id1, p.id2, COUNT(*) AS ni
+      |  FROM pairs p
+      |  JOIN sh s1 ON s1.doc_id = p.id1
+      |  JOIN sh s2 ON s2.doc_id = p.id2 AND s2.s = s1.s
+      |  GROUP BY 1, 2)
+      |SELECT p.id1, p.id2,
+      |  ROUND(COALESCE(i.ni, 0)::DOUBLE / (z1.sz + z2.sz - COALESCE(i.ni, 0)), 6)
+      |    AS jaccard
+      |FROM pairs p
+      |LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+      |JOIN sizes z1 ON z1.doc_id = p.id1
+      |JOIN sizes z2 ON z2.doc_id = p.id2
+      |ORDER BY p.id1""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      .join(docs.select(col("doc_id").as("id2")), Seq("id2"))
+      .select("id1", "id2")
+    graft.ext.Dedup.verifyJaccard(pairs,
+        graft.ext.Dedup.shingleRows(docs, "doc_id", "text", 3))
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .ordered("id1")
+  }
+
   // X3 — SimHash near-dup detection (64-bit signature, quarter-block
   // LSH, Hamming ≤ 3). Rows-only for the same hash-portability reason.
   q("x3_simhash_neardups") { (s, dir) =>
     graft.ext.Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
       .ordered("id1", "id2")
+  }
+
+  // X3b — ORACLE TWIN of x3's verify stage: simhash signatures are
+  // xxhash64-dependent, but the verification math — Hamming distance
+  // over 64-bit signatures — is portable. Build a PORTABLE signature
+  // (bit i = presence of the i-th vocabulary token, alphabetic order —
+  // the corpus vocabulary is 31 tokens, data-derived in both engines)
+  // and run the same hamming() kernel over the fixed pair table.
+  q("x3b_hamming_verify",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) - 1 AS bit
+      |  FROM (SELECT DISTINCT unnest(t) AS tok FROM toks)),
+      |pres AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+      |sig AS (
+      |  SELECT p.doc_id, CAST(SUM(1::BIGINT << v.bit) AS BIGINT) AS s
+      |  FROM pres p JOIN vocab v USING (tok) GROUP BY 1)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id % 5 = 0
+      |ORDER BY id1""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val t = split(trim(lower(col("text"))), "\\s+")
+    // vocabulary bit order: unpartitioned window over DISTINCT tokens —
+    // 31 rows, metadata-sized by corpus construction
+    val vocab = docs.select(explode(t).as("tok")).distinct()
+      .select(col("tok"),
+        (row_number().over(Window.orderBy(col("tok"))) - 1).as("bit"))
+    val sig = docs.select(col("doc_id"), explode(array_distinct(t)).as("tok"))
+      .join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(1L, cast(bit as int))")).as("s"))
+    val a = sig.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id1"), col("s").as("s1"))
+    val b = sig.select(col("doc_id").as("id2"), col("s").as("s2"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"),
+        graft.ext.Dedup.hamming(col("s1"), col("s2")).cast("long").as("hamming"))
+      .ordered("id1")
   }
 
   // X4 — exact word-set Jaccard pairs within a blocking key (portable
@@ -1279,6 +1365,33 @@ object Queries {
         Tables.embeddings(s, dir), threshold = 0.4)
       .withColumn("cos", round(col("cos"), 4))
       .ordered("id1", "id2")
+  }
+
+  // X5c — ORACLE TWIN of x5b's verify stage: LSH-band candidates are
+  // hash-dependent (rows-only), but the verification math — exact
+  // cosine over GIVEN pairs — is portable. Score the fixed pair table
+  // with the same dot/norm kernels the LSH verify uses.
+  q("x5c_cosine_verify",
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  ROUND(
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |  6) AS cos
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |WHERE a.vec_id % 5 = 0
+      |ORDER BY id1""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"),
+        round(graft.ext.Similarity.dot(col("e1"), col("e2")) /
+          (graft.ext.Similarity.norm(col("e1")) *
+           graft.ext.Similarity.norm(col("e2"))), 6).as("cos"))
+      .ordered("id1")
   }
 
   // X6 — brute-force cosine top-k similarity search (ANN baseline).
