@@ -36,13 +36,28 @@ object Multimodal {
       checksum: Long,
       feature: Array[Float])
 
+  /** The codec injection seam: a deployment provides the native
+    * decode (libjpeg/ffmpeg/…) behind this interface and the pipeline —
+    * schema, metadata pruning, per-partition batching, frame fan-out —
+    * is untouched. Must be `Serializable`: instances ship inside the
+    * `mapPartitions` closure to executors, so implementations should
+    * hold config, not native handles — acquire those lazily per
+    * partition (the iterator shape exists precisely so init amortizes
+    * across a partition). */
+  trait Codec extends Serializable {
+    def featureDim: Int
+    def decode(payload: Array[Byte]): Array[Float]
+    def checksum(payload: Array[Byte]): Long
+  }
+
   /** ======== STUB ========
-    * Deterministic fake codec standing in for libjpeg/ffmpeg/etc. A
-    * real deployment swaps [[decode]] for the native library call; the
-    * signature (bytes in, fixed-size feature out) and everything around
-    * it stays. */
-  object FakeCodec {
+    * Deterministic fake codec standing in for libjpeg/ffmpeg/etc — the
+    * default [[Codec]] until real media libraries are available. A
+    * real deployment swaps in its own [[Codec]]; the signature (bytes
+    * in, fixed-size feature out) and everything around it stays. */
+  object FakeCodec extends Codec {
     val FeatureDim = 8
+    override def featureDim: Int = FeatureDim
     def decode(payload: Array[Byte]): Array[Float] = {
       // rolling byte statistics as a stand-in for decoded features
       val f = new Array[Float](FeatureDim)
@@ -77,14 +92,16 @@ object Multimodal {
   /** Decode/feature-extract stage: per-partition iterator so codec init
     * happens once per partition, not per row (the mapInPandas batch
     * shape). Metadata-only pruning happens *before* this stage — filter
-    * on width/kind/duration first, decode last. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * on width/kind/duration first, decode last. The codec is injected
+    * ([[Codec]]); [[FakeCodec]] is the container default. */
+  def extractFeatures(media: Dataset[MediaRow],
+      codec: Codec = FakeCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real codecs would initialize here, once per partition
+      // real codecs initialize here, once per partition
       it.map { m =>
         MediaFeatures(m.media_id, m.kind, m.payload.length,
-          FakeCodec.checksum(m.payload), FakeCodec.decode(m.payload))
+          codec.checksum(m.payload), codec.decode(m.payload))
       }
     }
   }

@@ -129,6 +129,26 @@ class ExtSpec extends SparkTestBase {
     assert(perMedia.forall(_.getLong(1) >= 1))
   }
 
+  test("multimodal: injected codec drives the same pipeline (the deployment seam)") {
+    // a test codec with a different dimension and recognizable outputs:
+    // proves extractFeatures runs whatever Codec is handed in — the
+    // seam a deployment uses to swap libjpeg/ffmpeg in for FakeCodec
+    object TestCodec extends Multimodal.Codec {
+      override def featureDim: Int = 3
+      override def decode(payload: Array[Byte]): Array[Float] =
+        Array(payload.length.toFloat, payload.headOption.map(_.toFloat).getOrElse(0f), 42f)
+      override def checksum(payload: Array[Byte]): Long = payload.length.toLong * 7L
+    }
+    val media = Multimodal.syntheticMediaTable(spark, dir)
+      .filter(col("kind") === "image")
+    val rows = Multimodal.extractFeatures(media.as[Multimodal.MediaRow], TestCodec)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.feature.length == 3))
+    assert(rows.forall(r => r.feature(0) == r.n_bytes.toFloat && r.feature(2) == 42f))
+    assert(rows.forall(r => r.checksum == r.n_bytes.toLong * 7L))
+  }
+
   test("multimodal resize: aspect fit into the box, payload sliced to out_bytes") {
     val media = Multimodal.syntheticMediaTable(spark, dir)
     val out = Multimodal.resizeToFit(media, box = 224).collect()
