@@ -21,13 +21,20 @@ object Bench {
     def queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
+    // dev knobs: SPARK_GRAFT_AQE=false measures the no-AQE posture;
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" A/B-tests arbitrary SQL confs
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     graft.store.Tables.cacheEnabled = true // scan each base table once

@@ -53,18 +53,20 @@ object Cleaning {
       sized.filter(f >= min)
     }
     val repd = cfg.repetition.fold(qualed) { th =>
-      // fold structs materialized once (the TextOps.repetitionKeep rule)
+      // single-scalar fold finishes, referenced ONCE each: filter
+      // pushdown substitutes exactly one fold copy per gate (the
+      // struct form cost a second rep-2 fold per row — see
+      // TextOps.topNgramCharMass)
       qualed
-        .withColumn("_r2", TextOps.ngramRepetitionCols(t, 2))
-        .withColumn("_r3", TextOps.ngramRepetitionCols(t, 3))
+        .withColumn("_top2chars", TextOps.topNgramCharMass(t, 2))
+        .withColumn("_dup3chars", TextOps.dupNgramCharMass(t, 3))
         .withColumn("_nc", length(t).cast("double"))
         .filter(
           (col("_nc") <= 0 ||
-            col("_r2.top") * length(col("_r2.topg")) / col("_nc") <=
-              th.maxTop2GramCharFrac) &&
+            col("_top2chars") / col("_nc") <= th.maxTop2GramCharFrac) &&
           (col("_nc") <= 0 ||
-            col("_r3.dup") / col("_nc") <= th.maxDup3GramCharFrac))
-        .drop("_r2", "_r3", "_nc")
+            col("_dup3chars") / col("_nc") <= th.maxDup3GramCharFrac))
+        .drop("_top2chars", "_dup3chars", "_nc")
     }
     val classed = cfg.classifier.fold(repd) { case (m, min) =>
       repd.filter(QualityClassifier.scoreCol(t, m) >= min)

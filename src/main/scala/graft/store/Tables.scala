@@ -25,23 +25,39 @@ object Tables {
   @volatile var cacheEnabled: Boolean = false
   private val cached = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Rows per cache partition for `cpuDense` tables (dev-tunable via
+    * SPARK_GRAFT_DENSE_ROWS). Measured on the 23 document-suite bench
+    * queries at sf0.1, min-of-2 per point: off 15.2 s, 512 13.9 s,
+    * 1024 13.4–13.6 s (twice), 2048 14.0 s — 1024 balances fold
+    * parallelism against map-task/shuffle-block fan. */
+  private val denseRows: Long =
+    sys.env.get("SPARK_GRAFT_DENSE_ROWS").map(_.toLong).getOrElse(1024L)
+
+  def table(spark: SparkSession, dir: String, name: String,
+      cpuDense: Boolean = false): DataFrame =
     if (!cacheEnabled) spark.read.parquet(s"$dir/$name.parquet")
     else cached.getOrElseUpdate((dir, name), {
       // A small-SF parquet file is a handful of row groups, so the scan
       // (and the cache built from it) ends up with 1-3 partitions —
       // a CPU-dense agg then runs near-serial on a 32-core session
       // (measured 5× on the q1 decimal aggregate). Spread the cache at
-      // population, sized by bytes (~1 MB compressed per partition) and
-      // capped at the session's parallelism: big tables parallelize,
-      // small tables keep few partitions so shuffle-heavy queries don't
-      // pay 32× the map-task/shuffle-block overhead. At production
-      // scale files outnumber cores and this is a no-op. Decimal-exact
-      // sums keep every answer identical under the reshuffle.
+      // population, capped at the session's parallelism:
+      //  - scan/shuffle-bound relational tables size by BYTES (~1 MB
+      //    compressed per partition) — finer splits only multiply map
+      //    tasks and shuffle blocks (measured: a rows-based split of
+      //    events/lineitem regressed the tiny shuffle queries 2×);
+      //  - `cpuDense` payload tables (text, vectors) size by ROWS
+      //    (~256/partition): they compress so well that byte-sizing
+      //    left `documents` in ONE partition and every per-row fold
+      //    (Gopher gates, shingling, LM grams) ran serial on 32 cores
+      //    (measured: the x19 fold at sf0.1 dropped 1.16 s → 0.42 s).
+      // At production scale files outnumber cores and this is a no-op.
+      // Decimal-exact sums keep answers identical under the reshuffle.
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       val bytes = new java.io.File(s"$dir/$name.parquet").length()
+      val sized = if (cpuDense) raw.count() / denseRows else bytes >> 20
       val p = math.min(spark.sparkContext.defaultParallelism.toLong,
-        math.max(1L, bytes >> 20)).toInt
+        math.max(1L, sized)).toInt
       (if (raw.rdd.getNumPartitions < p) raw.repartition(p) else raw).cache()
     })
 
@@ -94,8 +110,10 @@ object Tables {
   def eventsWindowedInclusive(spark: SparkSession, dir: String,
       fromInclusive: java.sql.Timestamp, untilInclusive: java.sql.Timestamp): DataFrame =
     eventsRawWindowed(spark, dir, usOf(fromInclusive), usOf(untilInclusive) + 1L)
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents", cpuDense = true)
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings", cpuDense = true)
 
   /** The long-format metric store: `(metric, ts, value)`.
     *

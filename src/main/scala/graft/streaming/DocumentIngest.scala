@@ -47,17 +47,18 @@ object DocumentIngest {
     * Returns (columns to attach, keep predicate). */
   def gateColumns(textCol: Column, cfg: CleanConfig): (Seq[(String, Column)], Column) = {
     val nTok = TextOps.tokenCount(textCol)
-    val rep2 = TextOps.ngramRepetitionCols(textCol, 2)
-    val rep3 = TextOps.ngramRepetitionCols(textCol, 3)
+    // single-scalar fold finishes: the keep predicate references each
+    // fold column exactly ONCE, so filter pushdown substitutes exactly
+    // one copy of each fold into the filter (the struct form cost a
+    // second full rep-2 fold per row — see TextOps.topNgramCharMass)
     val cols = Seq(
       "n_tokens" -> nTok,
-      "_rep2" -> rep2,
-      "_rep3" -> rep3,
+      "_top2chars" -> TextOps.topNgramCharMass(textCol, 2),
+      "_dup3chars" -> TextOps.dupNgramCharMass(textCol, 3),
       "_nc" -> length(textCol).cast("double")) ++
       cfg.classifier.map(m => "quality_score" -> QualityClassifier.scoreCol(textCol, m))
-    val top2 = when(col("_nc") > 0,
-      col("_rep2.top") * length(col("_rep2.topg")) / col("_nc")).otherwise(lit(0.0))
-    val dup3 = when(col("_nc") > 0, col("_rep3.dup") / col("_nc")).otherwise(lit(0.0))
+    val top2 = when(col("_nc") > 0, col("_top2chars") / col("_nc")).otherwise(lit(0.0))
+    val dup3 = when(col("_nc") > 0, col("_dup3chars") / col("_nc")).otherwise(lit(0.0))
     val keep = col("n_tokens") >= cfg.minTokens &&
       col("n_tokens") <= cfg.maxTokens &&
       top2 <= cfg.repetition.maxTop2GramCharFrac &&
@@ -90,7 +91,7 @@ object DocumentIngest {
     val (cols, keep) = gateColumns(col(textCol), cfg)
     val withGates = cols.foldLeft(deduped) { case (d, (n, c)) => d.withColumn(n, c) }
     val kept = withGates.filter(keep)
-      .drop("_ck", "_rep2", "_rep3", "_nc")
+      .drop("_ck", "_top2chars", "_dup3chars", "_nc")
     if (cfg.redactPii)
       kept.withColumn(textCol, TextOps.piiRedact(col(textCol)))
     else kept
