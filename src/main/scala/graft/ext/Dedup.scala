@@ -292,6 +292,54 @@ object Dedup {
       .filter(col("n_shared_grams") >= minShared)
   }
 
+  /** [[ngramContamination]] with a Bloom prefilter — the 100-TB shape.
+    *
+    * The exact path broadcasts the full probe gram table to every task;
+    * fine for one benchmark suite, but a decontamination run against a
+    * large eval battery (millions of grams × 8 bytes × replicated per
+    * executor) makes the broadcast itself the bottleneck. Here the probe
+    * grams aggregate into ONE serialized Bloom filter (`numBits` bits
+    * total, e.g. 2^23 ≈ 1 MB for ~1M grams at 1% fp), the corpus gram
+    * stream drops definite-misses against the broadcast filter — in the
+    * SCAN stage, before any shuffle — and only the surviving sliver
+    * (true hits + the fp rate) pays the exact join that removes false
+    * positives. No false negatives by Bloom contract, so the result is
+    * row-for-row IDENTICAL to [[ngramContamination]] (spec-pinned, and
+    * the x35 gate shares x21's oracle).
+    */
+  /** Build the probe-side Bloom filter once — a persistable artifact
+    * (numBits/8 bytes of model metadata, same discipline as IVF
+    * centroids): one decontamination campaign builds it, every corpus
+    * scan reuses it. The binary is collected to the driver because
+    * `might_contain` requires a CONSTANT filter; as a literal it
+    * reaches every scan task without a join. */
+  def probeGramBloom(probes: DataFrame, idCol: String, textCol: String,
+      n: Int, expectedItems: Long = 1000000L,
+      numBits: Long = 1L << 23): Array[Byte] =
+    shingleRows(probes, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .agg(graft.functions.BloomFunctions
+        .bloomFilterAgg(col("shingle"), expectedItems, numBits).as("__bf"))
+      .head().getAs[Array[Byte]]("__bf")
+
+  def ngramContaminationBloom(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int, minShared: Int = 1,
+      expectedItems: Long = 1000000L, numBits: Long = 1L << 23,
+      bloom: Option[Array[Byte]] = None): DataFrame = {
+    val cg = shingleRows(corpus, idCol, textCol, n)
+    val pg = shingleRows(probes, idCol, textCol, n)
+      .select(col("id").as("probe_id"), col("shingle")).distinct()
+    val bloomBytes = bloom.getOrElse(
+      probeGramBloom(probes, idCol, textCol, n, expectedItems, numBits))
+    val prefiltered = cg.filter(graft.functions.BloomFunctions
+      .mightContain(lit(bloomBytes), col("shingle")))
+    prefiltered.join(broadcast(pg), "shingle")
+      .groupBy("id")
+      .agg(countDistinct(col("shingle")).as("n_shared_grams"),
+        countDistinct(col("probe_id")).as("n_probes"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
   /** Exact n-token window duplication across documents — the relational
     * approximation of suffix-array substring dedup (Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better"): doc

@@ -35,9 +35,13 @@ object LangModel {
   /** Smoothed n-gram model as data: n-gram counts keyed by
     * (ctx: array of n−1 tokens, w), context counts, and the vocabulary
     * size. All plain values — the model can be persisted as two parquet
-    * tables and two scalars. */
+    * tables and two scalars. [[train]] caches both count frames (the
+    * in-session stand-in for that persist); call [[unpersist]] when the
+    * model is retired. */
   final case class NGramModel(n: Int, grams: DataFrame, ctxs: DataFrame,
-      vocabSize: Long)
+      vocabSize: Long) {
+    def unpersist(): Unit = { grams.unpersist(); ctxs.unpersist() }
+  }
 
   private def toks(textCol: Column): Column = split(trim(textCol), "\\s+")
 
@@ -63,16 +67,25 @@ object LangModel {
     grams(df, idCol, textCol, 2)
       .select(col(idCol), element_at(col("ctx"), 1).as("w1"), col("w").as("w2"))
 
-  /** Train on a reference corpus: two aggregations, one vocabulary
-    * count (|V| = distinct token types — the add-α event space, so an
-    * unseen context backs off to the uniform 1/V, not to certainty).
-    * The returned count frames are what a 100-TB run would persist;
-    * `vocabSize` is the one driver scalar (model metadata). */
+  /** Train on a reference corpus: ONE aggregation over the exploded
+    * gram stream plus one vocabulary count (|V| = distinct token types —
+    * the add-α event space, so an unseen context backs off to the
+    * uniform 1/V, not to certainty). Context counts are re-aggregated
+    * from the gram counts (Σ c(ctx,w) ≡ c(ctx)), so the corpus is
+    * scanned twice total (grams + vocab), not once per count frame —
+    * and both count frames are cached, the in-session stand-in for the
+    * parquet persist a 100-TB run would do, so [[score]]'s two model
+    * joins read the materialized model instead of re-deriving it from
+    * the reference corpus. `vocabSize` stays a driver scalar (model
+    * metadata). Vocab counts tokens of ALL reference docs, including
+    * those too short to emit a gram — same event space as before. */
   def train(reference: DataFrame, idCol: String, textCol: String,
       n: Int = 2): NGramModel = {
     val g = grams(reference, idCol, textCol, n)
     val gc = g.groupBy("ctx", "w").agg(count(lit(1)).cast("double").as("cN"))
-    val cc = g.groupBy("ctx").agg(count(lit(1)).cast("double").as("cCtx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cc = gc.groupBy("ctx").agg(sum(col("cN")).as("cCtx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = reference
       .select(explode(toks(col(textCol))).as("w")).distinct().count()
     NGramModel(n, gc, cc, vocab)

@@ -134,4 +134,32 @@ object Retrieval {
       .filter(col("rank") <= perList)
     rrfFuse(Seq(lex, sem), idCol, k, k0)
   }
+
+  /** Per-document top-k TF-IDF keywords: (idCol, term, tfidf, rk) — the
+    * classic corpus summarization / keyword-extraction pass (and the
+    * feature base for cluster labeling over dedup output).
+    * tfidf = (tf/dl) · ln(N/df), rounded to 9 decimals; rank ties break
+    * on term asc, so the ranking is total and engine-independent.
+    *
+    * Scale: tf and df come off the [[postings]] aggregation (shuffle
+    * carries distinct (term, doc) pairs), the corpus size is a 1-row
+    * broadcast, and the ranking window partitions BY DOCUMENT — top-k
+    * per doc never sees a global order. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val post = postings(df, idCol, textCol)
+    // dl and df both re-aggregate the postings (Σ tf per doc ≡ token
+    // count) — one corpus explode total, not one per statistic
+    val dl = post.groupBy(idCol).agg(sum(col("tf")).as("dl"))
+    val nDocs = broadcast(df.agg(count(lit(1)).cast("double").as("n_docs")))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = post.join(dfreq, "term").join(dl, idCol).crossJoin(nDocs)
+      .select(col(idCol), col("term"),
+        round((col("tf") / col("dl")) * log(col("n_docs") / col("df")), 9)
+          .as("tfidf"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
 }

@@ -147,4 +147,60 @@ object Sampling {
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), d, key)
   }
+
+  /** Token-budget corpus selection: keep documents in descending
+    * `scoreCol` order (ties → ascending `idCol`) while the running token
+    * total stays ≤ `budget` — "take the best B tokens", the curation
+    * step between quality scoring and tokenization.
+    *
+    * Scale design: the textbook formulation is one GLOBAL cumulative-sum
+    * window, which Spark executes on a single partition — fine for a
+    * demo, fatal at 100 TB. This implementation finds the score
+    * threshold with bounded shuffles instead:
+    *   1. bucket scores on a fixed grid (`floor(score·grid)` — a pure
+    *      per-row expression);
+    *   2. one hash aggregation → per-bucket token totals (≤ grid+1 rows,
+    *      METADATA-sized, independent of corpus size);
+    *   3. cumulative totals over the tiny bucket frame (driver-scale
+    *      window) find the one CRITICAL bucket where the budget lands:
+    *      higher buckets are kept whole, lower buckets dropped whole —
+    *      decided per-row with a broadcast join, no global order;
+    *   4. only the critical bucket's rows (≈ corpus/grid, and only they)
+    *      pay a cumulative window, partitioned BY BUCKET, offset by the
+    *      tokens already spent above it.
+    * Degenerate case: all scores in one bucket ⇒ step 4 sees the whole
+    * corpus — raise `grid` to match score resolution.
+    *
+    * Result is EXACTLY the global-cumsum answer (the oracle runs that
+    * form): bucket boundaries respect score order, and within the
+    * critical bucket the same (score desc, id asc) order applies. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
+      tokensCol: Column, budget: Long, grid: Double = 1000.0): DataFrame = {
+    val b = floor(scoreCol * grid).cast("long")
+    val withB = df.withColumn("__b", b).withColumn("__tk", tokensCol.cast("long"))
+    val perBucket = withB.groupBy(col("__b")).agg(sum(col("__tk")).as("__bt"))
+    // tokens spent in strictly-higher buckets (tiny frame: ≤ grid rows)
+    val wDesc = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = perBucket.withColumn("__above", coalesce(sum(col("__bt")).over(wDesc), lit(0L)))
+      .select(col("__b"), col("__above"),
+        (col("__above") + col("__bt") <= budget).as("__whole"),
+        (col("__above") <= budget && col("__above") + col("__bt") > budget).as("__critical"))
+    val joined = withB.join(broadcast(cut), "__b")
+    val aux = Seq("__b", "__tk", "__above", "__whole", "__critical")
+    // whole-kept buckets: decided by the broadcast flag alone — no
+    // window touches them (a window partitioned by bucket over ALL rows
+    // would shuffle the whole corpus into one partition per bucket)
+    val wholeKept = joined.filter(col("__whole")).drop(aux: _*)
+    // the critical bucket (≈ corpus/grid rows) pays the only per-row
+    // cumulative sum, offset by the tokens spent in higher buckets
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val critKept = joined.filter(col("__critical"))
+      .withColumn("__cum", col("__above") + sum(col("__tk")).over(wIn))
+      .filter(col("__cum") <= budget)
+      .drop("__cum").drop(aux: _*)
+    wholeKept.union(critKept)
+  }
 }

@@ -76,21 +76,29 @@ object DocumentIngest {
   def cleanStream(stream: DataFrame, idCol: String, textCol: String,
       tsCol: String, lateness: String, cfg: CleanConfig = CleanConfig()): DataFrame = {
     val keyed = stream.withColumn("_ck", contentKey(col(textCol)))
+    // Gate columns are attached BELOW the dedup exchange and the keep
+    // predicate applied above it: the filter semantics are unchanged
+    // (gates still judge only dedup survivors), but the CPU-dense fold
+    // expressions evaluate in the pre-shuffle map stage at full scan
+    // parallelism. Evaluated above the window they land in the post-
+    // shuffle stage, which AQE coalesces to a handful of partitions for
+    // a small-bytes text shuffle — measured on x30 at sf0.1: the two
+    // repetition folds ran near-serial, 1.18 s vs 0.75 s for this shape.
+    val (cols, keep) = gateColumns(col(textCol), cfg)
+    val gated = cols.foldLeft(keyed) { case (d, (n, c)) => d.withColumn(n, c) }
     val deduped =
       if (stream.isStreaming)
-        keyed.withWatermark(tsCol, lateness)
+        gated.withWatermark(tsCol, lateness)
           .dropDuplicatesWithinWatermark(Seq("_ck"))
       else {
         // batch twin of first-arrival: keep the earliest (ts, id) row
         // per content key — deterministic, unlike dropDuplicates
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("_ck").orderBy(col(tsCol), col(idCol))
-        keyed.withColumn("_rn", row_number().over(w))
+        gated.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
       }
-    val (cols, keep) = gateColumns(col(textCol), cfg)
-    val withGates = cols.foldLeft(deduped) { case (d, (n, c)) => d.withColumn(n, c) }
-    val kept = withGates.filter(keep)
+    val kept = deduped.filter(keep)
       .drop("_ck", "_top2chars", "_dup3chars", "_nc")
     if (cfg.redactPii)
       kept.withColumn(textCol, TextOps.piiRedact(col(textCol)))

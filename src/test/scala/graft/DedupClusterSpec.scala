@@ -57,6 +57,25 @@ class DedupClusterSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 1L), (3L, 1L, 1L)))
   }
 
+  test("ngramContaminationBloom == exact ngramContamination (no false negatives, FPs removed)") {
+    // sf0.001 corpus split the same way as the x21/x35 gates — every
+    // contaminated doc and every count must survive the Bloom prefilter
+    // bit-for-bit, including with a DELIBERATELY undersized filter
+    // (high fp rate stresses the exact-join cleanup, not correctness)
+    val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 41 =!= 0)
+    val probes = docs.filter(col("doc_id") % 41 === 0)
+    val exact = Dedup.ngramContamination(corpus, probes, "doc_id", "text",
+      n = 3, minShared = 3).as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(exact.nonEmpty, "gate fixture must flag something")
+    for (bits <- Seq(1L << 23, 256L)) { // well-sized and pathologically small
+      val bloomed = Dedup.ngramContaminationBloom(corpus, probes, "doc_id",
+          "text", n = 3, minShared = 3, expectedItems = 100000L, numBits = bits)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(bloomed == exact, s"numBits=$bits")
+    }
+  }
+
   test("windowDupPairs: shared-window counts and the document-frequency cap") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -117,4 +117,30 @@ class RetrievalSpec extends SparkTestBase {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("tfidfTopK: closed-form scores, per-doc k cap, term-asc tie rule") {
+    // 4 docs; "rare" appears only in doc 1, "common" in all docs (idf =
+    // ln(1) = 0), "pair" in two
+    val docs = Seq(
+      (1L, "rare common pair"),
+      (2L, "common pair common"),
+      (3L, "common"),
+      (4L, "common")).toDF("id", "text")
+    val got = Retrieval.tfidfTopK(docs, "id", "text", k = 2)
+      .select("id", "term", "tfidf", "rk")
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).toSeq).toMap
+    def s(tf: Double, dl: Double, df: Double): Double =
+      BigDecimal(tf / dl * math.log(4.0 / df))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: rare (1/3)·ln(4/1) beats pair (1/3)·ln(4/2); common scores 0
+    assert(got(1L) == Seq((1L, "rare", s(1, 3, 1), 1), (1L, "pair", s(1, 3, 2), 2)))
+    // doc 2: pair (1/3)·ln2 first, then common (2/3)·ln1 = 0
+    assert(got(2L).map(_._2) == Seq("pair", "common"))
+    assert(got(2L).map(_._3) == Seq(s(1, 3, 2), 0.0))
+    // docs 3/4: single term, score 0, still ranked (k cap, not score cut)
+    assert(got(3L) == Seq((3L, "common", 0.0, 1)))
+    // every doc emits <= k rows
+    assert(got.values.forall(_.size <= 2))
+  }
 }

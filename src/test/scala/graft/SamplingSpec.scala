@@ -134,4 +134,47 @@ class SamplingSpec extends SparkTestBase {
       assert(propByLang.getOrElse(l, 0L) == expected, s"alpha=1 lang $l")
     }
   }
+
+  test("tokenBudgetSelect == global-cumsum reference, all budget regimes") {
+    // scores chosen so buckets (grid=10) hold {whole-kept, critical,
+    // dropped} and the critical bucket has in-bucket ties (score equal,
+    // id breaks)
+    val rows = Seq(
+      (1L, 0.95, 10L), (2L, 0.91, 20L),            // bucket 9
+      (3L, 0.55, 30L), (4L, 0.55, 25L), (5L, 0.52, 40L), // bucket 5
+      (6L, 0.10, 100L), (7L, 0.05, 7L))            // buckets 1, 0
+    val df = rows.toDF("id", "score", "tk")
+    def reference(budget: Long): Seq[Long] = {
+      var cum = 0L
+      rows.sortBy { case (id, s, _) => (-s, id) }
+        .flatMap { case (id, _, t) => cum += t; if (cum <= budget) Some(id) else None }
+    }
+    for (budget <- Seq(0L, 9L, 10L, 30L, 55L, 80L, 124L, 125L, 225L, 232L, 1000L)) {
+      val got = Sampling.tokenBudgetSelect(df, "id", col("score"), col("tk"),
+        budget, grid = 10.0).select("id").as[Long].collect().sorted.toSeq
+      assert(got == reference(budget).sorted, s"budget=$budget")
+    }
+  }
+
+  test("tokenBudgetSelect: result invariant to partitioning; only the critical bucket is windowed") {
+    val docs = Tables.documents(spark, dir)
+    val feats = graft.ext.TextOps.qualityFeatures(col("text")).toMap
+    val scored = docs.select(col("doc_id"),
+      feats("n_tokens").cast("long").as("n_tokens"),
+      feats("stopword_ratio").as("score"))
+    val a = Sampling.tokenBudgetSelect(scored, "doc_id", col("score"),
+      col("n_tokens"), 1200L).select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.tokenBudgetSelect(scored.repartition(17), "doc_id",
+      col("score"), col("n_tokens"), 1200L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // exactness vs the textbook single-window form
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = scored.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= 1200L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == ref)
+  }
 }
