@@ -2199,8 +2199,42 @@ object Queries {
       |  ROUND(EXP(CAST(-SUM(term) AS DOUBLE) / COUNT(*)), 6) AS ppl
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val model = lmMemo.getOrElseUpdate(dir,
+    val model = lmMemo.getOrElseUpdate(dir + "#2",
       graft.ext.LangModel.train(docs, "doc_id", "text"))
+    graft.ext.LangModel.score(docs, model, "doc_id", "text", alpha = 0.1)
+      .ordered("doc_id")
+  }
+
+  // X27b — the same CCNet filter at n = 3 (the module is n-generic; the
+  // reference CCNet filter is a 5-gram model — this pins the
+  // generalized gram builder against an independent trigram oracle:
+  // context counts, add-α backoff event space, and the decimal NLL sum
+  // all re-derived in SQL for ctx = 2 tokens).
+  q("x27b_lm_trigram",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |tri AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS g(i)),
+      |ctxc AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c2 FROM tri GROUP BY 1, 2),
+      |tric AS (SELECT w1, w2, w3, COUNT(*)::DOUBLE AS c3 FROM tri GROUP BY 1, 2, 3),
+      |v AS (SELECT COUNT(DISTINCT w)::DOUBLE AS vsz
+      |      FROM (SELECT UNNEST(t) AS w FROM toks)),
+      |terms AS (
+      |  SELECT b.doc_id,
+      |    CAST(ROUND(LN((tric.c3 + 0.1) / (ctxc.c2 + 0.1 * v.vsz)), 9)
+      |         AS DECIMAL(28,10)) AS term
+      |  FROM tri b
+      |  JOIN tric ON b.w1 = tric.w1 AND b.w2 = tric.w2 AND b.w3 = tric.w3
+      |  JOIN ctxc ON b.w1 = ctxc.w1 AND b.w2 = ctxc.w2
+      |  CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  ROUND(CAST(-SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+      |  ROUND(EXP(CAST(-SUM(term) AS DOUBLE) / COUNT(*)), 6) AS ppl
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = lmMemo.getOrElseUpdate(dir + "#3",
+      graft.ext.LangModel.train(docs, "doc_id", "text", n = 3))
     graft.ext.LangModel.score(docs, model, "doc_id", "text", alpha = 0.1)
       .ordered("doc_id")
   }

@@ -21,21 +21,35 @@ import graft.ext.{QualityClassifier, TextOps}
   * kill a document is before it moves), the dedup state holds only the
   * lateness window × arrival rate, and the landed store receives
   * already-clean, already-redacted documents partitioned by arrival
-  * date. Cross-document work that genuinely needs the corpus (MinHash
-  * near-dups, SemDeDup, decontamination) stays in the batch layer over
-  * the landed store — same split as [[Ingest.dedupStream]] vs
-  * [[graft.ext.Dedup.exact]].
+  * date. Benchmark decontamination ALSO runs at the edge when the probe
+  * battery is fixed ([[DecontamGate]]: the probe grams ride along as one
+  * Bloom-filter literal — stateless). Cross-document work that genuinely
+  * needs the corpus (MinHash near-dups, SemDeDup) stays in the batch
+  * layer over the landed store — same split as [[Ingest.dedupStream]]
+  * vs [[graft.ext.Dedup.exact]].
   */
 object DocumentIngest {
 
   /** Gate thresholds; defaults follow the batch pipeline's. */
+  /** Benchmark-decontamination gate for the edge: drop an arriving doc
+    * when ≥ `minShared` of its distinct word n-grams hit the probe-set
+    * Bloom filter ([[graft.ext.Dedup.probeGramBloom]] — a fixed
+    * campaign artifact, so the gate is STATELESS: the filter rides the
+    * plan as a literal, no stream-side state, no join. Bloom false
+    * positives can only over-count by the fp rate — size the filter for
+    * the probe battery; false negatives don't exist, so nothing
+    * contaminated slips through that the exact batch pass would catch
+    * at the same `minShared`. */
+  final case class DecontamGate(bloom: Array[Byte], n: Int, minShared: Int)
+
   final case class CleanConfig(
       minTokens: Int = 5,
       maxTokens: Int = 100000,
       repetition: TextOps.RepetitionThresholds = TextOps.RepetitionThresholds(),
       classifier: Option[QualityClassifier.Model] = None,
       minScore: Double = 0.5,
-      redactPii: Boolean = true)
+      redactPii: Boolean = true,
+      decontam: Option[DecontamGate] = None)
 
   /** The normalized content key used for streaming dedup — identical to
     * the batch x1b normalized-dedup key, so stream-deduped and
@@ -56,14 +70,24 @@ object DocumentIngest {
       "_top2chars" -> TextOps.topNgramCharMass(textCol, 2),
       "_dup3chars" -> TextOps.dupNgramCharMass(textCol, 3),
       "_nc" -> length(textCol).cast("double")) ++
-      cfg.classifier.map(m => "quality_score" -> QualityClassifier.scoreCol(textCol, m))
+      cfg.classifier.map(m => "quality_score" -> QualityClassifier.scoreCol(textCol, m)) ++
+      cfg.decontam.map { d =>
+        // distinct grams hitting the probe Bloom filter — same gram
+        // shape + xxhash64 key as Dedup.shingleRows, so the count
+        // agrees with the batch contamination scan's n_shared_grams
+        // (up to the filter's fp rate, which only raises it)
+        "_contam" -> size(filter(
+          array_distinct(TextOps.wordNgrams(textCol, d.n)),
+          g => graft.functions.BloomFunctions.mightContain(lit(d.bloom), xxhash64(g))))
+      }
     val top2 = when(col("_nc") > 0, col("_top2chars") / col("_nc")).otherwise(lit(0.0))
     val dup3 = when(col("_nc") > 0, col("_dup3chars") / col("_nc")).otherwise(lit(0.0))
     val keep = col("n_tokens") >= cfg.minTokens &&
       col("n_tokens") <= cfg.maxTokens &&
       top2 <= cfg.repetition.maxTop2GramCharFrac &&
       dup3 <= cfg.repetition.maxDup3GramCharFrac &&
-      cfg.classifier.fold(lit(true))(_ => col("quality_score") >= cfg.minScore)
+      cfg.classifier.fold(lit(true))(_ => col("quality_score") >= cfg.minScore) &&
+      cfg.decontam.fold(lit(true))(d => col("_contam") < d.minShared)
     (cols, keep)
   }
 
@@ -99,7 +123,7 @@ object DocumentIngest {
           .filter(col("_rn") === 1).drop("_rn")
       }
     val kept = deduped.filter(keep)
-      .drop("_ck", "_top2chars", "_dup3chars", "_nc")
+      .drop("_ck", "_top2chars", "_dup3chars", "_nc", "_contam")
     if (cfg.redactPii)
       kept.withColumn(textCol, TextOps.piiRedact(col(textCol)))
     else kept

@@ -99,5 +99,43 @@ class DocumentIngestSpec extends SparkTestBase {
     assert(out.columns.contains("quality_score"))
   }
 
+  test("edge decontamination gate == batch contamination verdicts on the real corpus") {
+    val docs = Tables.documents(spark, dir)
+    val probes = docs.filter(col("doc_id") % 41 === 0)
+    val corpus = docs.filter(col("doc_id") % 41 =!= 0)
+    // the exact batch scan's verdicts at the same (n, minShared)
+    val flagged = graft.ext.Dedup.ngramContamination(
+        corpus, probes, "doc_id", "text", n = 3, minShared = 3)
+      .select(col("id")).as[Long].collect().toSet
+    assert(flagged.nonEmpty, "fixture must flag something")
+    val bloom = graft.ext.Dedup.probeGramBloom(probes, "doc_id", "text", n = 3)
+    // repetition thresholds 1e9, not 1.0: overlapping grams make the
+    // char-mass fractions exceed 1 on loop-y docs, so 1.0 still gates
+    val cfg = DocumentIngest.CleanConfig(minTokens = 0,
+      repetition = TextOps.RepetitionThresholds(
+        maxTop2GramCharFrac = 1e9, maxDup3GramCharFrac = 1e9), redactPii = false,
+      decontam = Some(DocumentIngest.DecontamGate(bloom, n = 3, minShared = 3)))
+    val kept = DocumentIngest.cleanStream(
+        corpus.select(col("doc_id"), col("text"),
+          to_timestamp(col("doc_id")).as("ts")),
+        "doc_id", "text", "ts", lateness = "10 minutes", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val dropped = corpus.select("doc_id").as[Long].collect().toSet -- kept
+    // the pipeline's content dedup also drops normalized dups (first
+    // arrival = min id here since ts follows doc_id) — fold those into
+    // the expectation so the assert isolates the decontamination gate
+    val dupLosers = corpus
+      .withColumn("_ck", DocumentIngest.contentKey(col("text")))
+      .withColumn("_first", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("_ck")))
+      .filter(col("doc_id") =!= col("_first"))
+      .select("doc_id").as[Long].collect().toSet
+    // well-sized filter on this gram count: fp ≈ 0, so the edge gate
+    // reproduces the batch verdicts exactly; had there been fp noise it
+    // could only ADD drops (supersetness is the Bloom guarantee)
+    assert(dropped == (flagged ++ dupLosers),
+      s"edge-only=${dropped -- flagged -- dupLosers} missed=${(flagged ++ dupLosers) -- dropped}")
+  }
+
   private def ts0(i: Int) = Timestamp.valueOf(f"2024-01-01 00:0$i:00")
 }
