@@ -39,8 +39,9 @@ object Ivf {
   }
 
   /** query → its `nprobe` nearest cells: (query_id, qv, qn, cell).
-    * Centroid table is metadata-sized — everything here broadcasts. */
-  private def probeCells(queries: DataFrame, index: Index, nprobe: Int,
+    * Centroid table is metadata-sized — everything here broadcasts.
+    * (`private[ext]`: [[Pq.topKStoredIvfPq]] probes the same cells.) */
+  private[ext] def probeCells(queries: DataFrame, index: Index, nprobe: Int,
       idCol: String, vecCol: String): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._

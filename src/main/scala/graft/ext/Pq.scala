@@ -139,4 +139,75 @@ object Pq {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
+
+  // -- IVF-PQ: the composed big-corpus index (FAISS's IVFPQ shape) ------
+
+  /** Persist the composed index: the IVF-assigned corpus, PQ-encoded,
+    * PARTITIONED BY CELL — so a probe reads nprobe/k of the data via
+    * partition pruning AND each row it reads carries the compressed
+    * codes next to the float vector (codes for the ADC shortlist,
+    * vector only for the final rerank's column read). Centroids stay
+    * the metadata side table ([[Ivf.write]] layout). */
+  def writeIvfPq(index: Ivf.Index, model: Model, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    encode(index.assigned, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    index.centroids.toSeq.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Two-stage ANN over the stored composed index: coarse probe picks
+    * `nprobe` cells per query (static IN partition filter → pruned
+    * scan), ADC ranks the probed cells' CODE columns into a per-query
+    * shortlist, and the exact cosine rerank reads float vectors for the
+    * shortlist rows only. At 100 TB the heavy scan is nprobe/k of the
+    * corpus × (M code bytes + norm) per row — partition pruning and PQ
+    * compression multiply. */
+  def topKStoredIvfPq(queries: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      path: String, model: Model, k: Int, nprobe: Int, shortlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val index = Ivf.read(spark, path)
+    val probes = Ivf.probeCells(queries, index, nprobe, idCol, vecCol)
+    // distinct probed cells ≤ number of cells — driver-safe by design
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val pruned = index.assigned
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    // per-query candidate set = union of ITS probed cells only (the
+    // broadcast semi-join keeps a query out of cells it didn't probe)
+    val cellCand = pruned.join(
+      broadcast(probes.select("query_id", "cell")), Seq("cell"))
+    val num = (0 until model.m).map { s =>
+      Similarity.dot(slice(col("qv"), s * model.dsub + 1, model.dsub),
+        element_at(bookLit(model, s), element_at(col("codes"), s + 1) + 1)
+          .getField("_2"))
+    }.reduce(_ + _)
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), Similarity.norm(col(vecCol)).as("qn")))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    // ADC stage: the scan projects ONLY (id, codes, recon_norm) — the
+    // float vectors stay unread (column pruning on the parquet scan)
+    val short = cellCand
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("codes"),
+        col("recon_norm"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(qv, "query_id")
+      .withColumn("adc", num / (col("qn") * col("recon_norm")))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
+    // rerank stage: a SECOND pruned scan fetches float vectors and the
+    // join keeps shortlist rows only (at 100 TB this is the shortlist
+    // key-fetch against the vector store)
+    val vecs = pruned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val wFin = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(vecs, "neighbor_id")
+      .withColumn("cos", Similarity.dot(col("qv"), col("cv")) /
+        (col("qn") * Similarity.norm(col("cv"))))
+      .withColumn("rk", row_number().over(wFin))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+  }
 }

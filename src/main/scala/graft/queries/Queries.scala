@@ -115,6 +115,10 @@ object Queries {
   private val bloomMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
 
+  /** x36b's stored IVF-PQ layout, one per scale dir. */
+  private val ivfPqMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** x31's learned BPE merges + cached vocab, one per scale dir. */
   private val bpeMemo = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[graft.ext.Bpe.Merge], DataFrame)]
@@ -2524,6 +2528,26 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
     graft.ext.Pq.topKReranked(emb.filter(col("vec_id") < 10), enc, emb,
         model, k = 5, shortlist = 50)
+      .withColumn("cos", round(col("cos"), 4))
+      .ordered("query_id", "rk")
+  }
+
+  // X36b — the composed IVF-PQ stored index (FAISS's IVFPQ shape):
+  // coarse probe → partition-pruned ADC over the per-cell CODE table
+  // (the scan projects codes+norm only, never float vectors) → exact
+  // rerank fetch for the shortlist. Rows-only; PqSpec pins all-cells
+  // probe == flat PQ rerank and the pruning.
+  q("x36b_ivfpq_stored") { (s, dir) =>
+    val (model, _) = pqIndex(s, dir)
+    val path = ivfPqMemo.getOrElseUpdate(dir, {
+      val (idx, _) = ivfIndex(s, dir)
+      val p = java.nio.file.Files.createTempDirectory("graft-ivfpq-gate").toString
+      graft.ext.Pq.writeIvfPq(idx, model, p)
+      p
+    })
+    val emb = Tables.embeddings(s, dir)
+    graft.ext.Pq.topKStoredIvfPq(emb.filter(col("vec_id") < 10), s, path,
+        model, k = 5, nprobe = 4, shortlist = 25)
       .withColumn("cos", round(col("cos"), 4))
       .ordered("query_id", "rk")
   }

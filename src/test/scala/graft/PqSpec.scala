@@ -83,4 +83,53 @@ class PqSpec extends SparkTestBase {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"reranked mean recall@10 $mean")
   }
+
+  test("IVF-PQ stored: all-cells probe == flat PQ rerank; nprobe prunes the cell scan") {
+    val emb = Tables.embeddings(spark, dir)
+    val ivf = graft.ext.Ivf.build(emb, k = 8)
+    val model = Pq.fit(emb, m = 8, ksub = 32)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Pq.writeIvfPq(ivf, model, tmp)
+
+    val queries = emb.filter(col("vec_id") < 5)
+    // probing EVERY cell makes the candidate set the whole corpus, so
+    // the composed path must equal the flat shortlist+rerank exactly
+    val composed = Pq.topKStoredIvfPq(queries, spark, tmp, model,
+        k = 10, nprobe = 8, shortlist = 50)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
+      .collect().toSet
+    val flat = Pq.topKReranked(queries, Pq.encode(emb, model), emb, model,
+        k = 10, shortlist = 50)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(composed == flat,
+      s"composed-only=${composed -- flat} flat-only=${flat -- composed}")
+
+    // nprobe=2: 5 queries × 2 cells ⇒ at most 10 (≤ 8 distinct) cells;
+    // the static IN filter must reach both scans (codes + rerank fetch)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val self = p match {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("corpus")) => Seq(f)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val pruned = Pq.topKStoredIvfPq(queries, spark, tmp, model,
+      k = 10, nprobe = 2, shortlist = 50)
+    assert(pruned.select("query_id").distinct().count() == 5)
+    val ss = scans(pruned.queryExecution.executedPlan)
+    assert(ss.nonEmpty)
+    ss.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"no cell partition filter in:\n$s")
+    }
+  }
 }
