@@ -34,6 +34,12 @@ object Cleaning {
         * gate joins the model counts — run it after the cheap gates. */
       classifier: Option[(QualityClassifier.Model, Double)] = None,
       maxPerplexity: Option[(LangModel.NGramModel, Double)] = None,
+      /** Benchmark-decontamination gate: drop docs with ≥ minShared
+        * distinct n-grams hitting the probe-set Bloom filter
+        * ([[graft.streaming.DocumentIngest.DecontamGate]] — the same
+        * stateless artifact the streaming edge uses; stage-1 cost: a
+        * literal probe, no join). */
+      decontam: Option[graft.streaming.DocumentIngest.DecontamGate] = None,
       jaccardThreshold: Double = 0.8,
       blockCol: String = "source",
       idCol: String = "doc_id",
@@ -68,8 +74,14 @@ object Cleaning {
             col("_dup3chars") / col("_nc") <= th.maxDup3GramCharFrac))
         .drop("_top2chars", "_dup3chars", "_nc")
     }
-    val classed = cfg.classifier.fold(repd) { case (m, min) =>
-      repd.filter(QualityClassifier.scoreCol(t, m) >= min)
+    val decond = cfg.decontam.fold(repd) { d =>
+      repd.filter(size(filter(
+        array_distinct(TextOps.wordNgrams(t, d.n)),
+        g => graft.functions.BloomFunctions.mightContain(lit(d.bloom), xxhash64(g))))
+        < d.minShared)
+    }
+    val classed = cfg.classifier.fold(decond) { case (m, min) =>
+      decond.filter(QualityClassifier.scoreCol(t, m) >= min)
     }
     cfg.maxPerplexity.fold(classed) { case (m, maxPpl) =>
       LangModel.perplexityFilter(classed, m, cfg.idCol, cfg.textCol, maxPpl)

@@ -147,13 +147,21 @@ object Retrieval {
     * per doc never sees a global order. */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    // df and dl are WINDOW aggregates over the one postings frame, not
+    // separate groupBy branches: the branch formulation computes the
+    // postings aggregation (and its corpus explode) once per statistic —
+    // per-branch column pruning makes the exchanges non-identical, so
+    // ReuseExchange never fires and the plan ran 3 explodes + 11
+    // exchanges (measured); this shape runs 1 explode + 4. The doc
+    // windows share one (id) exchange; df partitions by term —
+    // both keys are the shuffle keys the join form used anyway.
     val post = postings(df, idCol, textCol)
-    // dl and df both re-aggregate the postings (Σ tf per doc ≡ token
-    // count) — one corpus explode total, not one per statistic
-    val dl = post.groupBy(idCol).agg(sum(col("tf")).as("dl"))
     val nDocs = broadcast(df.agg(count(lit(1)).cast("double").as("n_docs")))
-    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val scored = post.join(dfreq, "term").join(dl, idCol).crossJoin(nDocs)
+    val wTerm = Window.partitionBy(col("term"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val scored = post.crossJoin(nDocs)
+      .withColumn("df", count(lit(1)).over(wTerm).cast("double"))
+      .withColumn("dl", sum(col("tf")).over(wDoc))
       .select(col(idCol), col("term"),
         round((col("tf") / col("dl")) * log(col("n_docs") / col("df")), 9)
           .as("tfidf"))

@@ -228,6 +228,27 @@ class ExtSpec extends SparkTestBase {
     // is part of the pipeline's semantics
     assert(strictSet.size < gated.size)
     assert(strictSet.forall(id => scores(id) >= cut - 1e-9)) // fold vs join float tail
+
+    // decontamination gate in the batch pipeline: non-binding with an
+    // absurd minShared, binding drops exactly the docs whose distinct
+    // 3-gram overlap with the probe slice reaches the threshold
+    val probes = docs.filter(col("doc_id") % 41 === 0)
+    val bloom = graft.ext.Dedup.probeGramBloom(probes, "doc_id", "text", n = 3)
+    val dg = graft.streaming.DocumentIngest.DecontamGate(bloom, n = 3, minShared = 3)
+    val noBind = Cleaning.clean(docs,
+        cfg.copy(decontam = Some(dg.copy(minShared = Int.MaxValue))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(noBind == gated)
+    val flagged = graft.ext.Dedup.ngramContamination(
+        docs, probes, "doc_id", "text", n = 3, minShared = 3)
+      .select("id").as[Long].collect().toSet
+    val decond = Cleaning.clean(docs, cfg.copy(decontam = Some(dg)))
+      .select("doc_id").as[Long].collect().toSet
+    // kept ∩ flagged = ∅ (gate removes every contaminated doc that the
+    // cheap gates hadn't already dropped; probes flag themselves too —
+    // self-overlap — so they also go)
+    assert(decond.intersect(flagged).isEmpty)
+    assert(decond.size < gated.size)
   }
 
   test("documents shorter than one shingle dedup cleanly (no negative sequence)") {

@@ -156,6 +156,27 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBudgetSelect property: random corpora, budgets, and grids match the reference") {
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 12) {
+      val n = 1 + rnd.nextInt(60)
+      // coarse score values force heavy in- and cross-bucket ties
+      val rows = (1L to n).map(id =>
+        (id, rnd.nextInt(8) / 4.0, 1L + rnd.nextInt(30)))
+      val budget = rnd.nextInt(1 + rows.map(_._3).sum.toInt).toLong
+      val grid = Seq(1.0, 4.0, 1000.0)(rnd.nextInt(3))
+      var cum = 0L
+      val expect = rows.sortBy { case (id, s, _) => (-s, id) }
+        .flatMap { case (id, _, t) => cum += t; if (cum <= budget) Some(id) else None }
+        .sorted
+      val got = Sampling.tokenBudgetSelect(
+          rows.toDF("id", "score", "tk").repartition(1 + rnd.nextInt(7)),
+          "id", col("score"), col("tk"), budget, grid)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == expect, s"trial $trial n=$n budget=$budget grid=$grid")
+    }
+  }
+
   test("tokenBudgetSelect: result invariant to partitioning; only the critical bucket is windowed") {
     val docs = Tables.documents(spark, dir)
     val feats = graft.ext.TextOps.qualityFeatures(col("text")).toMap
