@@ -118,6 +118,40 @@ object LangModel {
       .drop("nll_dec")
   }
 
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): bucket
+    * documents by perplexity quantile under the reference model — the
+    * head (lowest-ppl) slice is the highest-quality training cut. The
+    * two thresholds come from ONE percentile aggregation over the
+    * 6-rounded ppl scores (a 1-row broadcast; at 100 TB swap the exact
+    * percentile for approx_percentile — the label column is the same
+    * CASE either way). Unscorable docs (< n tokens) label 'unscored'.
+    * Output: (idCol, ppl, bucket). */
+  def perplexitySplit(docs: DataFrame, model: NGramModel, idCol: String,
+      textCol: String, headFrac: Double = 1.0 / 3, tailFrac: Double = 1.0 / 3,
+      alpha: Double = 0.1): DataFrame =
+    perplexitySplitScored(docs.select(col(idCol)),
+      score(docs, model, idCol, textCol, alpha), idCol, headFrac, tailFrac)
+
+  /** [[perplexitySplit]] over an already-materialized score table — the
+    * production shape (CCNet scores once, then filters and splits read
+    * the score table; without it the split's two consumers — threshold
+    * agg and labeling — would each re-run the whole scoring plan). */
+  def perplexitySplitScored(ids: DataFrame, scoredTable: DataFrame,
+      idCol: String, headFrac: Double = 1.0 / 3,
+      tailFrac: Double = 1.0 / 3): DataFrame = {
+    val scored = ids.join(scoredTable.select(col(idCol), col("ppl")),
+      Seq(idCol), "left")
+    val cuts = broadcast(scored.filter(col("ppl").isNotNull)
+      .agg(percentile(col("ppl"), lit(headFrac)).as("t_head"),
+        percentile(col("ppl"), lit(1.0 - tailFrac)).as("t_tail")))
+    scored.crossJoin(cuts)
+      .select(col(idCol), col("ppl"),
+        when(col("ppl").isNull, "unscored")
+          .when(col("ppl") <= col("t_head"), "head")
+          .when(col("ppl") > col("t_tail"), "tail")
+          .otherwise("middle").as("bucket"))
+  }
+
   /** Keep the low-perplexity band (quality gate): docs whose perplexity
     * under the reference model is ≤ `maxPpl`, plus optionally docs with
     * too few tokens to score (kept by default — no evidence against

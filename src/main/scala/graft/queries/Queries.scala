@@ -115,6 +115,22 @@ object Queries {
   private val bloomMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
 
+  /** The n=2 perplexity score table, cached per dir and shared by
+    * x27/x27c — CCNet materializes the score table once, then both the
+    * band filter and the head/middle/tail split read it. */
+  private val lmScoredCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def lmScored(s: SparkSession, dir: String): DataFrame = {
+    def scored = {
+      val docs = Tables.documents(s, dir)
+      val model = lmMemo.getOrElseUpdate(dir + "#2",
+        graft.ext.LangModel.train(docs, "doc_id", "text"))
+      graft.ext.LangModel.score(docs, model, "doc_id", "text", alpha = 0.1)
+    }
+    if (!Tables.cacheEnabled) scored
+    else lmScoredCache.getOrElseUpdate(dir, scored.cache())
+  }
+
   /** x36b's stored IVF-PQ layout, one per scale dir. */
   private val ivfPqMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -2202,11 +2218,7 @@ object Queries {
       |  ROUND(CAST(-SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
       |  ROUND(EXP(CAST(-SUM(term) AS DOUBLE) / COUNT(*)), 6) AS ppl
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val model = lmMemo.getOrElseUpdate(dir + "#2",
-      graft.ext.LangModel.train(docs, "doc_id", "text"))
-    graft.ext.LangModel.score(docs, model, "doc_id", "text", alpha = 0.1)
-      .ordered("doc_id")
+    lmScored(s, dir).ordered("doc_id")
   }
 
   // X27b — the same CCNet filter at n = 3 (the module is n-generic; the
@@ -2241,6 +2253,56 @@ object Queries {
       graft.ext.LangModel.train(docs, "doc_id", "text", n = 3))
     graft.ext.LangModel.score(docs, model, "doc_id", "text", alpha = 0.1)
       .ordered("doc_id")
+  }
+
+  // X27c — the CCNet head/middle/tail perplexity split (§4.3 of the
+  // recipe): tercile thresholds from ONE percentile agg over the
+  // 6-rounded ppl scores (a5 pins percentile parity), labels by CASE.
+  // Counts per bucket + ppl band edges, hash-exact.
+  q("x27c_ccnet_split",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |big AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM toks, UNNEST(range(1, len(t))) AS g(i)),
+      |uni AS (SELECT w1, COUNT(*)::DOUBLE AS c1 FROM big GROUP BY 1),
+      |bi AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c12 FROM big GROUP BY 1, 2),
+      |v AS (SELECT COUNT(DISTINCT w)::DOUBLE AS vsz
+      |      FROM (SELECT UNNEST(t) AS w FROM toks)),
+      |terms AS (
+      |  SELECT b.doc_id,
+      |    CAST(ROUND(LN((bi.c12 + 0.1) / (uni.c1 + 0.1 * v.vsz)), 9)
+      |         AS DECIMAL(28,10)) AS term
+      |  FROM big b JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+      |             JOIN uni ON b.w1 = uni.w1
+      |             CROSS JOIN v),
+      |scored AS (
+      |  SELECT doc_id,
+      |    ROUND(EXP(CAST(-SUM(term) AS DOUBLE) / COUNT(*)), 6) AS ppl
+      |  FROM terms GROUP BY doc_id),
+      |cuts AS (
+      |  SELECT quantile_cont(ppl, CAST(1 AS DOUBLE)/3) AS t_head,
+      |         quantile_cont(ppl, 1 - CAST(1 AS DOUBLE)/3) AS t_tail
+      |  FROM scored),
+      |labeled AS (
+      |  SELECT d.doc_id, s.ppl,
+      |    CASE WHEN s.ppl IS NULL THEN 'unscored'
+      |         WHEN s.ppl <= c.t_head THEN 'head'
+      |         WHEN s.ppl > c.t_tail THEN 'tail'
+      |         ELSE 'middle' END AS bucket
+      |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      |  CROSS JOIN cuts c)
+      |SELECT bucket, COUNT(*) AS n,
+      |  ROUND(MIN(ppl), 6) AS min_ppl, ROUND(MAX(ppl), 6) AS max_ppl
+      |FROM labeled GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.ext.LangModel.perplexitySplitScored(
+        docs.select(col("doc_id")), lmScored(s, dir), "doc_id")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("ppl")), 6).as("min_ppl"),
+        round(max(col("ppl")), 6).as("max_ppl"))
+      .ordered("bucket")
   }
 
   // X28 — BM25 top-k lexical retrieval over the inverted postings

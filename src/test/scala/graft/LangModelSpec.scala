@@ -70,6 +70,26 @@ class LangModelSpec extends SparkTestBase {
     assert(strict == Set(1L))
   }
 
+  test("perplexitySplit: tercile buckets ordered by ppl, unscored isolated, fractions respected") {
+    val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = LangModel.train(docs, "doc_id", "text")
+    val withShort = docs.select(col("doc_id"), col("text"))
+      .union(Seq((9001L, "solo")).toDF("doc_id", "text")) // unscoreable
+    val split = LangModel.perplexitySplit(withShort, m, "doc_id", "text")
+      .as[(Long, Option[Double], String)].collect()
+    val byBucket = split.groupBy(_._3).view.mapValues(_.toSeq).toMap
+    assert(byBucket("unscored").map(_._1) == Seq(9001L))
+    // every head ppl ≤ every middle ppl ≤ every tail ppl
+    def ppls(b: String) = byBucket(b).flatMap(_._2)
+    assert(ppls("head").max <= ppls("middle").min)
+    assert(ppls("middle").max <= ppls("tail").min)
+    // terciles: head holds ≥ a third of scored docs (ties may spill in),
+    // tail ≤ a third (strict > on the upper threshold)
+    val n = split.count(_._3 != "unscored")
+    assert(ppls("head").size >= n / 3, s"head ${ppls("head").size} of $n")
+    assert(ppls("tail").size <= n / 3 + 1, s"tail ${ppls("tail").size} of $n")
+  }
+
   test("trigram model (n=3) matches closed-form add-α probabilities") {
     // ref trigrams: (a b → c), (a b → d); ctx (a,b) count 2;
     // V = {a,b,c,d} = 4

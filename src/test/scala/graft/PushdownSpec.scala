@@ -95,4 +95,49 @@ class PushdownSpec extends SparkTestBase {
     assert(plan.contains("partial_sum") || plan.split("HashAggregate").length > 2,
       s"expected partial aggregation:\n$plan")
   }
+
+  test("tokenBudgetSelect plans no global-order exchange over the corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("tk"),
+        (col("n_chars") % 97).cast("double").as("score"))
+    val plan = planOf(graft.ext.Sampling.tokenBudgetSelect(
+      docs, "doc_id", col("score"), col("tk"), budget = 10000L))
+    // the textbook cumsum would plan rangepartitioning(score DESC …) over
+    // the corpus; the bucketed form must not
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"global sort leaked into the plan:\n$plan")
+  }
+
+  test("bloom decontamination probes the filter in the corpus scan stage, before any exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val probes = docs.filter(col("doc_id") % 41 === 0)
+    val bloom = graft.ext.Dedup.probeGramBloom(probes, "doc_id", "text",
+      n = 3, expectedItems = 1000L, numBits = 4096L)
+    val df = graft.ext.Dedup.ngramContaminationBloom(
+      docs.filter(col("doc_id") % 41 =!= 0), probes, "doc_id", "text",
+      n = 3, minShared = 3, bloom = Some(bloom))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val firstMight = plan.indexOf("might_contain")
+    assert(firstMight >= 0, s"no bloom probe in plan:\n${plan.take(2000)}")
+    // scan-stage placement: in the printed tree, the filter's child
+    // subtree (corpus explode → table scan) must reach a Scan before any
+    // Exchange appears below the probe line
+    val tail = plan.substring(firstMight)
+    val nextExchange = tail.indexOf("Exchange")
+    val nextScan = tail.indexOf("Scan")
+    assert(nextScan >= 0 && (nextExchange < 0 || nextScan < nextExchange),
+      s"bloom probe not in the scan stage:\n${tail.take(1500)}")
+  }
+
+  test("PQ encode is a map-only plan (no exchange, no join)") {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.ext.Pq.fit(emb, m = 4, ksub = 16)
+    val plan = planOf(graft.ext.Pq.encode(emb, model)
+      .select("vec_id", "codes", "recon_norm"))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"PQ encode must be embarrassingly parallel:\n$plan")
+  }
 }
