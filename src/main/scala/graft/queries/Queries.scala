@@ -2594,6 +2594,39 @@ object Queries {
       .ordered("query_id", "rk")
   }
 
+  // X37 — corpus governance report: the curation dashboard a training
+  // run reads before mixing — docs / whitespace tokens / mean quality
+  // proxy per (source × lang) with CUBE subtotals (a7 pins ROLLUP; CUBE
+  // exercises the full grouping-set lattice). Decimal token sums.
+  q("x37_corpus_report",
+    """SELECT source, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DECIMAL(18,0)))
+      |       AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(ROUND(
+      |      CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> list_contains(['the','a','of','and','to','is'], t))) AS DOUBLE)
+      |      / len(regexp_split_to_array(trim(text), '\s+')), 9) AS DECIMAL(18,10)))
+      |    AS DOUBLE) / COUNT(*), 6) AS mean_stopword_ratio
+      |FROM documents
+      |GROUP BY CUBE(source, lang)
+      |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin) { (s, dir) =>
+    // the mean is a DECIMAL sum of 9-rounded ratios over an exact count —
+    // order-independent (a double AVG would be partial-agg-order-
+    // sensitive at the last ulp), the established oracle discipline
+    val feats = graft.ext.TextOps.qualityFeatures(col("text")).toMap
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        feats("n_tokens").cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("tk"),
+        round(feats("stopword_ratio"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 10)).as("sr"))
+      .cube("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tk")).cast("long").as("n_tokens"),
+        round(sum(col("sr")).cast("double") / count(lit(1)), 6)
+          .as("mean_stopword_ratio"))
+      .ordered(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+  }
+
   // X36b — the composed IVF-PQ stored index (FAISS's IVFPQ shape):
   // coarse probe → partition-pruned ADC over the per-cell CODE table
   // (the scan projects codes+norm only, never float vectors) → exact
