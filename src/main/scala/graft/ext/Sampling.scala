@@ -27,9 +27,15 @@ import org.apache.spark.sql.functions._
   *    compare on fixed-width lowercase hex == numeric compare, and it is
   *    exactly portable SQL (the DuckDB oracle runs the same literals) —
   *    no conv()/hash() that differ across engines.
-  *  - Stratified exact-N sampling is one window shuffle partitioned by
-  *    stratum (rank over the hash order = a uniform draw without
-  *    replacement, reproducible under the seed).
+  *  - Stratified exact-N sampling never ranks a whole stratum in one
+  *    task: the draw's leading 16 bits bucket each row (a prefix, so
+  *    bucket order == draw order), a metadata-sized aggregation finds
+  *    the one critical bucket per stratum where the quota lands, whole
+  *    buckets below it keep with a broadcast flag, and only the
+  *    critical sliver (≈ stratum/65536 rows) pays a ranking window —
+  *    partitioned by (stratum, bucket), never bare strata. With 5–20
+  *    large domains at 100 TB this is the difference between one task
+  *    per domain and full parallelism.
   *  - The global shuffle for training order is rank over the hash — a
   *    range exchange at scale. The scale path `shuffledFiles` avoids the
   *    global sort: repartition by hash bucket + sortWithinPartitions,
@@ -76,13 +82,66 @@ object Sampling {
   def sampleFraction(key: Column, seed: String, fraction: Double): Column =
     drawHex(key, seed) < lit(hexThreshold(fraction))
 
-  /** Exactly-N-per-stratum sample: rank rows inside each stratum by the
-    * seeded hash and keep the first n — a reproducible uniform draw
-    * without replacement. One shuffle, partitioned by the strata. */
+  /** Exactly-N-per-stratum sample: keep each stratum's first n rows in
+    * seeded-hash order — a reproducible uniform draw without
+    * replacement. Scale shape: see [[takeQuotaPerStratum]] (no window
+    * ever partitions the corpus by bare strata). */
   def stratifiedTake(df: DataFrame, strata: Seq[String], key: Column,
-      seed: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(strata.map(col): _*).orderBy(drawHex(key, seed), key)
-    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= n).drop("__rk")
+      seed: String, n: Int): DataFrame =
+    takeQuotaPerStratum(df, strata, key, seed, lit(n.toLong))
+
+  /** Keep each stratum's first `quotaCol` rows in seeded-draw order
+    * (draw asc, key asc) — the shared engine behind [[stratifiedTake]]
+    * and [[mixtureTake]], shaped for 100 TB with a handful of large
+    * domains:
+    *   1. bucket each row by the draw's leading 16 bits (a PREFIX of
+    *      the draw, so bucket asc == draw asc — a pure per-row
+    *      expression, no shuffle);
+    *   2. one hash aggregation (map-side partials) → per-(stratum,
+    *      bucket) counts — ≤ |strata|·65536 rows, METADATA-sized;
+    *   3. a running count over that tiny frame (window partitioned by
+    *      stratum over ≤65536 rows, NOT the corpus) finds the single
+    *      CRITICAL bucket per stratum where the quota lands → one row
+    *      per stratum, broadcast;
+    *   4. rows in buckets below the critical keep on the broadcast
+    *      flag alone (map-only); only the critical sliver
+    *      (≈ stratum/65536 rows) pays a ranking window, partitioned by
+    *      (strata, bucket) — never bare strata over the corpus.
+    * Strata under quota have no critical bucket (null flag ⇒ keep all);
+    * a zero quota makes the FIRST bucket critical with zero headroom
+    * (⇒ keep none). Result is EXACTLY the textbook per-stratum
+    * `row_number() <= quota` answer — the oracle runs that form. */
+  private[ext] def takeQuotaPerStratum(df: DataFrame, strata: Seq[String],
+      key: Column, seed: String, quotaCol: Column): DataFrame = {
+    val scols = strata.map(col)
+    val d = drawHex(key, seed)
+    val withB = df.withColumn("__bkt", conv(substring(d, 1, 4), 16, 10).cast("long"))
+    val counts = withB.groupBy(scols :+ col("__bkt"): _*).agg(count(lit(1)).as("__c"))
+    // running count strictly below each bucket, in draw order — a
+    // window over the metadata frame only
+    val wAsc = Window.partitionBy(scols: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = counts
+      .withColumn("__below", coalesce(sum(col("__c")).over(wAsc), lit(0L)))
+      .withColumn("__q", quotaCol)
+    // the one bucket per stratum where the running count crosses the
+    // quota (monotone ⇒ unique); absent ⇔ the stratum is under quota
+    val crit = cum
+      .filter(col("__below") <= col("__q") && col("__below") + col("__c") > col("__q"))
+      .select(strata.map(s => col(s).as(s"__s_$s")) ++ Seq(
+        col("__bkt").as("__critb"), col("__below").as("__cbelow"),
+        col("__q").as("__cq")): _*)
+    val joinCond = strata.map(s => col(s) <=> col(s"__s_$s")).reduce(_ && _)
+    val joined = withB.join(broadcast(crit), joinCond, "left")
+    // whole-kept buckets: broadcast flag only — no window touches them
+    val wholeKept = joined.filter(col("__critb").isNull || col("__bkt") < col("__critb"))
+    // the critical sliver pays the only per-row ranking window
+    val wCrit = Window.partitionBy(scols :+ col("__bkt"): _*).orderBy(d, key)
+    val critKept = joined.filter(col("__bkt") === col("__critb"))
+      .withColumn("__rk", row_number().over(wCrit))
+      .filter(col("__cbelow") + col("__rk") <= col("__cq"))
+    val orig = df.columns.map(col)
+    wholeKept.select(orig: _*).union(critKept.select(orig: _*))
   }
 
   /** Reproducible global shuffle order: rank over (hash, key). The rank
@@ -104,8 +163,10 @@ object Sampling {
     * everywhere — and the quota is integer arithmetic from there:
     * quota_s = min(count_s, totalN · w_s ÷ Σw) with integer division.
     * Members are taken per stratum in seeded-hash order (uniform without
-    * replacement, reproducible). Strata counts are a driver-side collect
-    * bounded by the number of domains, never data volume. */
+    * replacement, reproducible) via [[takeQuotaPerStratum]] — no window
+    * ever partitions the corpus by bare strata. Strata counts are a
+    * driver-side collect bounded by the number of domains, never data
+    * volume. */
   def mixtureTake(df: DataFrame, strata: Seq[String], key: Column,
       seed: String, alpha: Double, totalN: Long): DataFrame = {
     val scols = strata.map(col)
@@ -126,10 +187,7 @@ object Sampling {
       when(strata.zip(k).map { case (s, v) => col(s) <=> lit(v) }.reduce(_ && _), lit(q))
         .otherwise(acc)
     }
-    val w = Window.partitionBy(scols: _*).orderBy(drawHex(key, seed), key)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= quota)
-      .drop("__rk")
+    takeQuotaPerStratum(df, strata, key, seed, quota)
   }
 
   /** Scale path for writing shuffled training shards: assign each row a

@@ -67,6 +67,32 @@ class SamplingSpec extends SparkTestBase {
     assert(s3.select("doc_id").except(s1.select("doc_id")).count() > 0)
   }
 
+  test("stratifiedTake/mixtureTake: no window partitions the corpus by bare strata") {
+    // the scale guarantee: the per-row RANKING window (row_number — the
+    // one that sees corpus rows) must partition by (strata, __bkt) so
+    // the biggest partition is ≈ stratum/65536; the only bare-strata
+    // window is the running count (sum) over the metadata bucket frame
+    val docs = Tables.documents(spark, dir)
+    val windowRe = """Window \[(.*?)\], \[(.*?)\], \[(.*?)\]""".r
+    for (df <- Seq(
+        Sampling.stratifiedTake(docs, Seq("lang"), col("doc_id"), seed, 4),
+        Sampling.mixtureTake(docs, Seq("lang"), col("doc_id"), seed, 0.5, 30L))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val windows = windowRe.findAllMatchIn(plan).toSeq
+      assert(windows.nonEmpty, s"expected Window nodes in:\n$plan")
+      windows.foreach { m =>
+        val (exprs, part) = (m.group(1), m.group(2))
+        if (exprs.contains("row_number"))
+          assert(part.contains("__bkt"),
+            s"ranking window must partition by the draw bucket, got [$part]:\n$plan")
+      }
+      // and the critical-sliver ranking window really exists
+      assert(windows.exists(m =>
+        m.group(1).contains("row_number") && m.group(2).contains("__bkt")))
+    }
+  }
+
   test("shuffledFiles (bucket + local sort) concatenated == shuffledOrder (global sort)") {
     val docs = Tables.documents(spark, dir).select("doc_id")
     val global = Sampling.shuffledOrder(docs, col("doc_id"), seed)
