@@ -226,39 +226,103 @@ object Sampling {
     *   4. only the critical bucket's rows (≈ corpus/grid, and only they)
     *      pay a cumulative window, partitioned BY BUCKET, offset by the
     *      tokens already spent above it.
-    * Degenerate case: all scores in one bucket ⇒ step 4 sees the whole
-    * corpus — raise `grid` to match score resolution.
+    * Degenerate-bucket valve: when the critical bucket holds more than
+    * `maxCriticalRows` rows (scores constant, or quantized coarser than
+    * `grid`), step 4 would be a single-partition cumsum over ≈ the
+    * corpus — instead the selection RECURSES into the bucket on a
+    * refined score: the fractional score position within the bucket
+    * (resolution ×grid per level) while scores still vary, or the id's
+    * normalized position (numeric ids; (score desc, id asc) order is
+    * pure id asc once scores are constant) — so each level splits the
+    * oversized bucket grid-ways again. Non-numeric ids with a
+    * constant-score oversized bucket fail loudly instead of silently
+    * planning a corpus-sized single-partition window.
     *
     * Result is EXACTLY the global-cumsum answer (the oracle runs that
     * form): bucket boundaries respect score order, and within the
     * critical bucket the same (score desc, id asc) order applies. */
   def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
-      tokensCol: Column, budget: Long, grid: Double = 1000.0): DataFrame = {
-    val b = floor(scoreCol * grid).cast("long")
-    val withB = df.withColumn("__b", b).withColumn("__tk", tokensCol.cast("long"))
-    val perBucket = withB.groupBy(col("__b")).agg(sum(col("__tk")).as("__bt"))
-    // tokens spent in strictly-higher buckets (tiny frame: ≤ grid rows)
+      tokensCol: Column, budget: Long, grid: Double = 1000.0,
+      maxCriticalRows: Long = 4000000L): DataFrame =
+    budgetSelect(df, idCol, scoreCol, tokensCol, budget, grid, maxCriticalRows, 0)
+
+  private def budgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
+      tokensCol: Column, budget: Long, grid: Double, maxCriticalRows: Long,
+      depth: Int): DataFrame = {
+    val withB = df.withColumn("__b", floor(scoreCol * grid).cast("long"))
+      .withColumn("__tk", tokensCol.cast("long"))
+    // id position stats only exist for numeric ids (decided statically —
+    // an ANSI cast of a string id would throw even when the valve never
+    // fires); non-numeric ids fall through to the loud failure below
+    val idPos =
+      if (df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        col(idCol).cast("double")
+      else lit(null).cast("double")
+    // per-bucket totals + the stats the valve needs — ≤ grid+1 rows,
+    // METADATA-sized, collected once (the per-row keep/drop decision
+    // below is then a pure filter against literals: no join at all)
+    val perBucket = withB.groupBy(col("__b")).agg(
+      sum(col("__tk")).as("__bt"), count(lit(1)).as("__n"),
+      min(scoreCol.cast("double")).as("__smin"), max(scoreCol.cast("double")).as("__smax"),
+      min(idPos).as("__imin"), max(idPos).as("__imax"))
     val wDesc = Window.orderBy(col("__b").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cut = perBucket.withColumn("__above", coalesce(sum(col("__bt")).over(wDesc), lit(0L)))
-      .select(col("__b"), col("__above"),
-        (col("__above") + col("__bt") <= budget).as("__whole"),
-        (col("__above") <= budget && col("__above") + col("__bt") > budget).as("__critical"))
-    val joined = withB.join(broadcast(cut), "__b")
-    val aux = Seq("__b", "__tk", "__above", "__whole", "__critical")
-    // whole-kept buckets: decided by the broadcast flag alone — no
-    // window touches them (a window partitioned by bucket over ALL rows
-    // would shuffle the whole corpus into one partition per bucket)
-    val wholeKept = joined.filter(col("__whole")).drop(aux: _*)
-    // the critical bucket (≈ corpus/grid rows) pays the only per-row
-    // cumulative sum, offset by the tokens spent in higher buckets
-    val wIn = Window.partitionBy(col("__b"))
-      .orderBy(scoreCol.desc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val critKept = joined.filter(col("__critical"))
-      .withColumn("__cum", col("__above") + sum(col("__tk")).over(wIn))
-      .filter(col("__cum") <= budget)
-      .drop("__cum").drop(aux: _*)
+    val crit = perBucket
+      .withColumn("__above", coalesce(sum(col("__bt")).over(wDesc), lit(0L)))
+      .filter(col("__above") <= budget && col("__above") + col("__bt") > budget)
+      .collect()
+    if (crit.isEmpty) return df // budget covers every bucket whole
+    val r = crit(0)
+    val (cb, above, n) = (r.getLong(0), r.getLong(r.fieldIndex("__above")),
+      r.getLong(r.fieldIndex("__n")))
+    // buckets strictly above the critical keep whole — a map-only filter
+    val wholeKept = withB.filter(col("__b") > cb).drop("__b", "__tk")
+    val critRows = withB.filter(col("__b") === cb)
+    val critKept =
+      if (n <= maxCriticalRows) {
+        // the critical sliver pays the only per-row cumulative sum,
+        // offset by the tokens already spent in higher buckets
+        val wIn = Window.partitionBy(col("__b"))
+          .orderBy(scoreCol.desc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        critRows.withColumn("__cum", lit(above) + sum(col("__tk")).over(wIn))
+          .filter(col("__cum") <= budget)
+          .drop("__cum", "__b", "__tk")
+      } else {
+        require(depth < 12, s"tokenBudgetSelect: bucket refinement did not " +
+          s"converge after $depth levels ($n rows still share a bucket) — " +
+          "ids are likely non-distinct; raise maxCriticalRows or grid")
+        val (smin, smax) = (r.getDouble(r.fieldIndex("__smin")),
+          r.getDouble(r.fieldIndex("__smax")))
+        val sliver = critRows.drop("__b", "__tk")
+        // recursion levels refine on their own grid of ≥1024 — the
+        // user's (possibly coarse) top-level grid only shapes level 0,
+        // and a refinement factor of 1 would never converge
+        val rgrid = math.max(grid, 1024.0)
+        if (smin != smax) {
+          // scores still vary inside the bucket: refine ×grid (an
+          // increasing affine map, so in-bucket order is unchanged)
+          budgetSelect(sliver, idCol, scoreCol * grid - lit(cb.toDouble),
+            tokensCol, budget - above, rgrid, maxCriticalRows, depth + 1)
+        } else df.schema(idCol).dataType match {
+          case _: org.apache.spark.sql.types.NumericType =>
+            // constant score ⇒ the order is pure id asc; split on the
+            // id's normalized position (monotone ⇒ order-preserving;
+            // double rounding ties are broken by the id tiebreak)
+            val (imin, imax) = (r.getDouble(r.fieldIndex("__imin")),
+              r.getDouble(r.fieldIndex("__imax")))
+            val range = math.max(imax - imin, 1.0)
+            budgetSelect(sliver, idCol,
+              -((col(idCol).cast("double") - lit(imin)) / lit(range)),
+              tokensCol, budget - above, rgrid, maxCriticalRows, depth + 1)
+          case other =>
+            throw new IllegalArgumentException(
+              s"tokenBudgetSelect: constant-score critical bucket of $n rows " +
+              s"(> maxCriticalRows=$maxCriticalRows) and id '$idCol' of " +
+              s"non-numeric type $other cannot be subdivided — raise grid " +
+              "to match score resolution or raise maxCriticalRows")
+        }
+      }
     wholeKept.union(critKept)
   }
 }

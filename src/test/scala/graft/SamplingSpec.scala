@@ -203,6 +203,59 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBudgetSelect valve: all-equal scores recurse on id position, no corpus-sized window") {
+    // every row lands in ONE score bucket; with maxCriticalRows = 8 the
+    // valve must recurse on the id's normalized position instead of
+    // planning a single-partition cumsum over all 64 rows
+    val rows = (1L to 64L).map(id => (id, 0.5, 3L))
+    val df = rows.toDF("id", "score", "tk").repartition(5)
+    for (budget <- Seq(0L, 10L, 57L, 96L, 97L, 191L, 192L, 500L)) {
+      var cum = 0L
+      val expect = rows.sortBy(_._1)
+        .flatMap { case (id, _, t) => cum += t; if (cum <= budget) Some(id) else None }
+      val sel = Sampling.tokenBudgetSelect(df, "id", col("score"), col("tk"),
+        budget, grid = 10.0, maxCriticalRows = 8L)
+      val got = sel.select("id").as[Long].collect().sorted.toSeq
+      assert(got == expect, s"budget=$budget")
+      // plan guard: any cumulative window must see ≤ maxCriticalRows
+      // rows — i.e. every Window node in the final plan partitions by a
+      // bucket column (never empty over the corpus branch). The
+      // metadata windows run on collect()ed sub-plans, not this one.
+      sel.collect()
+      val plan = sel.queryExecution.executedPlan.toString
+      """Window \[(.*?)\], \[(.*?)\], \[(.*?)\]""".r.findAllMatchIn(plan).foreach { m =>
+        assert(m.group(2).contains("__b"),
+          s"budget=$budget: unpartitioned corpus window leaked:\n$plan")
+      }
+    }
+    // non-numeric id + constant-score oversized bucket: loud failure,
+    // not a silent single-partition plan
+    val sdf = (1 to 64).map(i => (f"doc_$i%03d", 0.5, 3L)).toDF("id", "score", "tk")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(sdf, "id", col("score"), col("tk"),
+        budget = 50L, grid = 10.0, maxCriticalRows = 8L)
+    }
+    assert(e.getMessage.contains("cannot be subdivided"))
+  }
+
+  test("tokenBudgetSelect valve: coarsely-quantized scores refine score buckets before id") {
+    // two distinct scores inside one grid-1 bucket: level-1 recursion
+    // must separate them on the fractional score (resolution ×grid),
+    // keeping the higher-score half first
+    val rows = (1L to 40L).map(id => (id, if (id % 2 == 0) 0.58 else 0.51, 2L))
+    val df = rows.toDF("id", "score", "tk").repartition(3)
+    for (budget <- Seq(0L, 13L, 40L, 41L, 60L, 79L, 80L, 200L)) {
+      var cum = 0L
+      val expect = rows.sortBy { case (id, s, _) => (-s, id) }
+        .flatMap { case (id, _, t) => cum += t; if (cum <= budget) Some(id) else None }
+        .sorted
+      val got = Sampling.tokenBudgetSelect(df, "id", col("score"), col("tk"),
+          budget, grid = 1.0, maxCriticalRows = 8L)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got == expect, s"budget=$budget")
+    }
+  }
+
   test("tokenBudgetSelect: result invariant to partitioning; only the critical bucket is windowed") {
     val docs = Tables.documents(spark, dir)
     val feats = graft.ext.TextOps.qualityFeatures(col("text")).toMap
