@@ -2191,6 +2191,41 @@ object Queries {
       .ordered("vec_id")
   }
 
+  // X26b — SemDeDup's VERIFY stage oracle-checked end-to-end: the
+  // within-cell cosine pairs + connected-component closure + keep-min
+  // resolution (exactly x26's machinery — semanticDupPairsFromCells →
+  // connectedComponents → clusterStats) run over a DETERMINISTIC cell
+  // assignment: the stored `label` column plays the fitted quantizer,
+  // the production "assignment persisted as index metadata" shape. Only
+  // the k-means candidate stage itself stays rows-only (x26;
+  // SemDedupSpec pins its precision/recall). The x2b/x3b/x5c + x20
+  // pattern composed: cosine verdicts AND the closure vs the oracle.
+  q("x26b_semantic_verify",
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    >= 0.3),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+      |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+      |SELECT cluster_id, COUNT(*) AS n_docs, MIN(id) AS keep_id, MAX(id) AS max_id
+      |FROM comp GROUP BY 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val cells = Tables.embeddings(s, dir).withColumn("cell", col("label"))
+    val pairs = graft.ext.Similarity.semanticDupPairsFromCells(cells, threshold = 0.3)
+    graft.ext.Dedup.clusterStats(graft.ext.Dedup.connectedComponents(pairs))
+      .ordered("cluster_id")
+  }
+
   // X27 — CCNet-style n-gram-LM perplexity scoring at the n=2 default:
   // train add-α bigram counts on the corpus, score every doc's avg
   // negative log-likelihood and perplexity under them. Per-gram
