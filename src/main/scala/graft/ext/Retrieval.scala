@@ -78,6 +78,63 @@ object Retrieval {
       .limit(k)
       .select(col(idCol), round(col("score_dec").cast("double"), 6).as("score"))
 
+  /** Batched BM25: score MANY queries in ONE plan — the eval-battery
+    * shape (thousands of benchmark queries against the corpus) that the
+    * `Seq[String]` form would drive as a driver loop. `queries` is a
+    * (queryIdCol, termCol) frame; joining it against the postings index
+    * on `term` replaces the per-query literal filter, and every
+    * downstream stage carries the query id. Per query, scores are
+    * IDENTICAL to [[bm25]] (duplicate terms collapse to a set; df/N/
+    * avgdl are corpus-level stats shared by all queries — computed
+    * once, not per query).
+    *
+    * Scale: postings ⋈ query-terms shuffles on `term` (the postings
+    * index's native partitioning, so a persisted index prunes to the
+    * touched term partitions); the per-(query, doc) sum is one hash
+    * aggregation keyed (query, doc). Nothing is per-query work except
+    * rows that query's terms actually hit. */
+  def bm25Batch(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String = "query_id",
+      termCol: String = "term",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = docLengths(df, idCol, textCol)
+    val stats = broadcast(
+      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
+    val post = postings(df, idCol, textCol)
+    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // a query's terms are a SET (the Seq form's isin semantics)
+    val qt = queries.select(col(queryIdCol), col(termCol).as("term")).distinct()
+    val contrib = round(
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 9)
+      .cast(DecimalType(28, 10))
+    post.join(qt, "term")
+      .join(dfreq, "term")
+      .join(dl, idCol)
+      .crossJoin(stats)
+      .select(col(queryIdCol), col(idCol), contrib.as("c"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("c")).as("score_dec"))
+  }
+
+  /** Per-query top-k over [[bm25Batch]]: (queryIdCol, idCol, score, rk).
+    * The ranking window partitions BY QUERY — each partition holds one
+    * query's candidates (docs sharing ≥1 term), so a 10k-query battery
+    * ranks 10k-way parallel, never a global order. */
+  def bm25TopKBatch(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int, queryIdCol: String = "query_id",
+      termCol: String = "term",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score_dec").desc, col(idCol))
+    bm25Batch(df, idCol, textCol, queries, queryIdCol, termCol, k1, b)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(queryIdCol), col(idCol),
+        round(col("score_dec").cast("double"), 6).as("score"), col("rk"))
+  }
+
   /** Candidate list → (idCol, rank): 1-based position by (score desc,
     * id asc) — the deterministic tie rule. Apply to CANDIDATE lists
     * only: they are top-k-sized by construction, so the unpartitioned
@@ -133,6 +190,49 @@ object Retrieval {
     val sem = ann.select(col("neighbor_id").as(idCol), col("rk").as("rank"))
       .filter(col("rank") <= perList)
     rrfFuse(Seq(lex, sem), idCol, k, k0)
+  }
+
+  /** Batched reciprocal-rank fusion: each list is (queryIdCol, idCol,
+    * rank) — fuse PER QUERY in one plan. Same decimal discipline as
+    * [[rrfFuse]]; the ranking window partitions by query, and inputs
+    * are per-query top-k lists, so every partition is metadata-sized. */
+  def rrfFuseBatch(lists: Seq[DataFrame], queryIdCol: String, idCol: String,
+      k: Int, k0: Double = 60.0): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseBatch needs at least one candidate list")
+    val contribs = lists.map(_.select(col(queryIdCol), col(idCol),
+      round(lit(1.0) / (lit(k0) + col("rank")), 9)
+        .cast(DecimalType(28, 10)).as("c")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("rrf_dec").desc, col(idCol))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("c")).as("rrf_dec"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(queryIdCol), col(idCol),
+        round(col("rrf_dec").cast("double"), 6).as("rrf"), col("rk"))
+  }
+
+  /** Batched hybrid retrieval: [[bm25Batch]] lexical candidates ∪ a
+    * batched ANN frame (queryIdCol, neighbor_id, rk — e.g.
+    * [[Similarity.bruteForceTopK]]/[[Ivf]] top-k, which already take
+    * query DataFrames), RRF-fused per query. A full eval battery is ONE
+    * plan — no driver loop. Per query, the result equals
+    * [[hybridTopK]]. */
+  def hybridTopKBatch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, ann: DataFrame, k: Int,
+      queryIdCol: String = "query_id", termCol: String = "term",
+      perList: Int = 50, k0: Double = 60.0): DataFrame = {
+    val wLex = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score_dec").desc, col(idCol))
+    val lex = bm25Batch(docs, idCol, textCol, queries, queryIdCol, termCol)
+      .withColumn("rank", row_number().over(wLex))
+      .filter(col("rank") <= perList)
+      .select(col(queryIdCol), col(idCol), col("rank"))
+    val sem = ann.select(col(queryIdCol), col("neighbor_id").as(idCol),
+        col("rk").as("rank"))
+      .filter(col("rank") <= perList)
+    rrfFuseBatch(Seq(lex, sem), queryIdCol, idCol, k, k0)
   }
 
   /** Per-document top-k TF-IDF keywords: (idCol, term, tfidf, rk) — the

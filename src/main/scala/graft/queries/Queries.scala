@@ -2519,6 +2519,46 @@ object Queries {
       Seq("data", "dup", "spark"), ann, k = 20, perList = 50)
   }
 
+  // X38 — BATCHED multi-query BM25: a 25-query eval battery (every 20th
+  // doc's first 4 tokens play its query) ranked top-5 each in ONE plan —
+  // postings ⋈ (query_id, term), rank partitioned by query — not a
+  // driver loop. RetrievalSpec pins bm25TopKBatch ≡ the per-query
+  // bm25TopK loop; this gate pins the values against DuckDB.
+  q("x38_bm25_batch",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |words AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+      |dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM words GROUP BY 1),
+      |stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM words GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS query_id, UNNEST(t[1:4]) AS term
+      |  FROM toks WHERE doc_id % 20 = 0),
+      |contrib AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    CAST(ROUND(
+      |      LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+      |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+      |    9) AS DECIMAL(28,10)) AS c
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN stats),
+      |scored AS (
+      |  SELECT query_id, doc_id, SUM(c) AS sc FROM contrib GROUP BY 1, 2)
+      |SELECT query_id, doc_id, ROUND(CAST(sc AS DOUBLE), 6) AS score, rk
+      |FROM (SELECT query_id, doc_id, sc,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY sc DESC, doc_id) AS rk
+      |      FROM scored)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val queries = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(trim(col("text")), "\\s+"), 1, 4)).as("term"))
+    graft.ext.Retrieval.bm25TopKBatch(docs, "doc_id", "text", queries, k = 5)
+      .ordered("query_id", "rk")
+  }
+
   // X33 — token-budget corpus selection: keep the best-scoring docs
   // (stopword_ratio as the quality proxy — x9 pins it hash-exact) until
   // a 12k-token budget is spent. The oracle is the textbook GLOBAL

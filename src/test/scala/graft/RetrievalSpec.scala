@@ -107,6 +107,46 @@ class RetrievalSpec extends SparkTestBase {
     assert(math.abs(fused.head._2 - expected) < 1e-9)
   }
 
+  test("bm25TopKBatch / hybridTopKBatch == the per-query driver loop, exactly") {
+    // the eval-battery contract: one plan over a (query_id, term) frame
+    // must reproduce the Seq[String]-form results query for query
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.store.Tables.documents(spark, dir)
+    val emb = graft.store.Tables.embeddings(spark, dir)
+    val queries = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(trim(col("text")), "\\s+"), 1, 4)).as("term"))
+    val qids = queries.select("query_id").distinct().as[Long].collect().sorted
+    assert(qids.length >= 2)
+    val termsOf = queries.as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+    val batch = Retrieval.bm25TopKBatch(docs, "doc_id", "text", queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val looped = qids.flatMap { q =>
+      Retrieval.bm25TopK(docs, "doc_id", "text", termsOf(q), k = 5)
+        .as[(Long, Double)].collect().zipWithIndex
+        .map { case ((id, sc), i) => (q, id, sc, i + 1) }
+    }.toSet
+    assert(batch == looped, "bm25 batch must equal the per-query loop")
+
+    // hybrid: the ANN side is already batched (bruteForceTopK takes a
+    // query frame); fuse per query and compare to the per-query fusion
+    val ann = graft.ext.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id").isin(qids: _*)), emb, k = 20)
+      .withColumnRenamed("query_id", "qid")
+    val hBatch = Retrieval.hybridTopKBatch(docs, "doc_id", "text", queries,
+        ann.withColumnRenamed("qid", "query_id"), k = 5, perList = 20)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val hLooped = qids.flatMap { q =>
+      Retrieval.hybridTopK(docs, "doc_id", "text", termsOf(q),
+          ann.filter(col("qid") === q), k = 5, perList = 20)
+        .as[(Long, Double)].collect().zipWithIndex
+        .map { case ((id, r), i) => (q, id, r, i + 1) }
+    }.toSet
+    assert(hBatch == hLooped, "hybrid batch must equal the per-query loop")
+  }
+
   test("decimal contributions: repartitioned corpus returns identical scores and order") {
     val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
     val q = Seq("data", "dup", "spark")
