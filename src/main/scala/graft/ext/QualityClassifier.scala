@@ -92,14 +92,19 @@ object QualityClassifier {
         // two consumers below (per-idx gradient + intercept gradient):
         // cache so the margin join runs once per iteration, not twice
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // per-idx gradient: Σ r·cnt, decimal-summed (order-independent)
-      val grad = feats.join(resid, idCol)
+      // per-idx gradient Σ r·cnt AND the intercept gradient Σ r·1 in ONE
+      // aggregation/action: the bias rides as sentinel idx = -1 (its
+      // "feature" has cnt 1), halving job-launch overhead per iteration
+      val gradAll = feats.join(resid, idCol)
+        .select(col("idx"), round(col("r") * col("cnt"), 9).cast(dec).as("t"))
+        .unionByName(resid.select(lit(-1).as("idx"), round(col("r"), 9).cast(dec).as("t")))
         .groupBy("idx")
-        .agg(sum(round(col("r") * col("cnt"), 9).cast(dec)).as("g"))
+        .agg(sum(col("t")).as("g"))
         .as[(Int, java.math.BigDecimal)]
-        .collect() // ≤ dim rows — model-sized, never corpus-sized
-      val gInt = resid.agg(sum(round(col("r"), 9).cast(dec)).as("g"))
-        .as[java.math.BigDecimal].collect().head
+        .collect() // ≤ dim+1 rows — model-sized, never corpus-sized
+      val grad = gradAll.filter(_._1 >= 0)
+      val gInt = gradAll.collectFirst { case (-1, g) => g }
+        .getOrElse(java.math.BigDecimal.ZERO)
       resid.unpersist()
       weights = {
         val updated = grad.map { case (i, g) =>
