@@ -31,8 +31,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v)
+        case Array(s) if s.trim.isEmpty     => // empty segment (trailing ';')
+        case _ => sys.error(
+          s"SPARK_GRAFT_EXTRA_CONF segment '$kv' is not key=value")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

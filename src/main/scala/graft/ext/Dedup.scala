@@ -303,7 +303,11 @@ object Dedup {
     * stream drops definite-misses against the broadcast filter — in the
     * SCAN stage, before any shuffle — and only the surviving sliver
     * (true hits + the fp rate) pays the exact join that removes false
-    * positives. No false negatives by Bloom contract, so the result is
+    * positives. That cleanup join carries NO broadcast hint: at the
+    * million-gram scale this path exists for, forcing the full probe
+    * gram table over the wire would resurrect the bottleneck the Bloom
+    * removed — Catalyst/AQE broadcasts it only when it is actually
+    * small. No false negatives by Bloom contract, so the result is
     * row-for-row IDENTICAL to [[ngramContamination]] (spec-pinned, and
     * the x35 gate shares x21's oracle).
     */
@@ -319,8 +323,19 @@ object Dedup {
     shingleRows(probes, idCol, textCol, n)
       .select(col("shingle")).distinct()
       .agg(graft.functions.BloomFunctions
-        .bloomFilterAgg(col("shingle"), expectedItems, numBits).as("__bf"))
-      .head().getAs[Array[Byte]]("__bf")
+        .bloomFilterAgg(col("shingle"), expectedItems, numBits).as("__bf")) match {
+      case agg =>
+        val bf = agg.head().getAs[Array[Byte]]("__bf")
+        // an empty probe set aggregates to null; might_contain(null, …)
+        // is null and would silently drop every corpus row downstream —
+        // reached-by-accident "no contamination" at a query edge, but a
+        // silent everything-or-nothing coin flip at the streaming gate.
+        // Zero probes means the gate is a no-op: say so loudly instead.
+        require(bf != null,
+          "probeGramBloom: the probe set produced no shingles — " +
+          "decontamination against zero probes is a no-op; skip the gate")
+        bf
+    }
 
   def ngramContaminationBloom(corpus: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, n: Int, minShared: Int = 1,
@@ -333,7 +348,10 @@ object Dedup {
       probeGramBloom(probes, idCol, textCol, n, expectedItems, numBits))
     val prefiltered = cg.filter(graft.functions.BloomFunctions
       .mightContain(lit(bloomBytes), col("shingle")))
-    prefiltered.join(broadcast(pg), "shingle")
+    // no broadcast hint: at million-gram probe scale the full pg table
+    // over the wire is the bottleneck this path removes — let AQE
+    // broadcast only when pg is actually small
+    prefiltered.join(pg, "shingle")
       .groupBy("id")
       .agg(countDistinct(col("shingle")).as("n_shared_grams"),
         countDistinct(col("probe_id")).as("n_probes"))

@@ -30,8 +30,8 @@ object Tables {
     * queries at sf0.1, min-of-2 per point: off 15.2 s, 512 13.9 s,
     * 1024 13.4–13.6 s (twice), 2048 14.0 s — 1024 balances fold
     * parallelism against map-task/shuffle-block fan. */
-  private val denseRows: Long =
-    sys.env.get("SPARK_GRAFT_DENSE_ROWS").map(_.toLong).getOrElse(1024L)
+  private val denseRows: Long = math.max(1L,
+    sys.env.get("SPARK_GRAFT_DENSE_ROWS").map(_.toLong).getOrElse(1024L))
 
   def table(spark: SparkSession, dir: String, name: String,
       cpuDense: Boolean = false): DataFrame =
@@ -47,7 +47,7 @@ object Tables {
       //    tasks and shuffle blocks (measured: a rows-based split of
       //    events/lineitem regressed the tiny shuffle queries 2×);
       //  - `cpuDense` payload tables (text, vectors) size by ROWS
-      //    (~256/partition): they compress so well that byte-sizing
+      //    (~1024/partition, `denseRows`): they compress so well that byte-sizing
       //    left `documents` in ONE partition and every per-row fold
       //    (Gopher gates, shingling, LM grams) ran serial on 32 cores
       //    (measured: the x19 fold at sf0.1 dropped 1.16 s → 0.42 s).
