@@ -168,6 +168,33 @@ object Similarity {
     embeddingNearDups(assigned, "cell", threshold, idCol, vecCol)
       .select(col("id1"), col("id2"), col("cos"))
 
+  /** Recall@k monitoring probe: per sampled query, the fraction of the
+    * exact (brute-force) top-k an approximate index recovered — the
+    * measurement that dictates a stored index's refit cadence
+    * ([[Ivf.appendStored]]'s quantizer drifts as the ingested
+    * distribution shifts; "refit when the probe's mean recall sags" is
+    * the operating rule this function makes concrete). Run it over a
+    * SAMPLED query set (hundreds of queries): the brute-force side is
+    * |sample| × corpus — a deliberate, bounded audit cost, paid on a
+    * monitoring cadence rather than per query.
+    *
+    * Inputs are any (query_id, neighbor_id, …, rk) frames — the common
+    * shape of [[bruteForceTopK]], [[lshTopK]], [[Ivf.topKStored]], and
+    * [[Pq.topKReranked]]. Returns (query_id, n_truth, n_hits, recall);
+    * aggregate recall = avg(recall). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    val e = exact.filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking column (e.g.
     * cluster label or LSH bucket): pairwise cosine ≥ threshold. Norms
     * are per-vector, computed before the quadratic pair join. */

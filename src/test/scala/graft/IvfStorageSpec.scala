@@ -117,4 +117,33 @@ class IvfStorageSpec extends SparkTestBase {
       .select("neighbor_id").as[Long].collect().toSet
     assert(got.contains(100000L), s"planted twin missing from $got")
   }
+
+  test("recall probe: healthy stored index clears the floor; scrambled placement is detected") {
+    // the monitoring harness the appendStored docs defer to: sampled
+    // brute-force ground truth vs the stored index, Similarity.recallAtK
+    val emb = Tables.embeddings(spark, dir)
+    val idx = Ivf.build(emb, k = 8)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val exact = graft.ext.Similarity.bruteForceTopK(queries, emb, k = 10)
+
+    def meanRecall(path: String): Double =
+      graft.ext.Similarity.recallAtK(
+          Ivf.topKStored(queries, spark, path, k = 10, nprobe = 3), exact, k = 10)
+        .agg(avg(col("recall"))).as[Double].collect().head
+
+    val healthy = Files.createTempDirectory("graft-ivf-h").toString
+    Ivf.write(idx, healthy)
+    val healthyRecall = meanRecall(healthy)
+    assert(healthyRecall >= 0.6, s"healthy recall@10 $healthyRecall")
+
+    // a deliberately-degraded index: same centroids, but vectors placed
+    // in cells UNCORRELATED with geometry (the failure mode quantizer
+    // drift trends toward) — the probe must see the difference clearly
+    val degraded = Files.createTempDirectory("graft-ivf-d").toString
+    Ivf.write(Ivf.Index(idx.centroids,
+      idx.assigned.withColumn("cell", pmod(col("vec_id"), lit(8)).cast("int"))), degraded)
+    val degradedRecall = meanRecall(degraded)
+    assert(degradedRecall < healthyRecall - 0.2,
+      s"probe failed to detect degradation: healthy $healthyRecall vs degraded $degradedRecall")
+  }
 }

@@ -132,4 +132,34 @@ class PqSpec extends SparkTestBase {
         s"no cell partition filter in:\n$s")
     }
   }
+
+  test("recall probe: reranked PQ clears the floor; corrupted codes are detected") {
+    // Similarity.recallAtK as the PQ-side monitoring harness: shortlist
+    // quality degrades invisibly (rerank is exact on whatever survives),
+    // so the probe is what surfaces a stale/corrupt code table
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val exact = graft.ext.Similarity.bruteForceTopK(queries, emb, k = 10)
+    val model = Pq.fit(emb, m = 8, ksub = 32)
+    val encoded = Pq.encode(emb, model)
+
+    def meanRecall(enc: org.apache.spark.sql.DataFrame): Double =
+      graft.ext.Similarity.recallAtK(
+          Pq.topKReranked(queries, enc, emb, model, k = 10, shortlist = 50),
+          exact, k = 10)
+        .agg(avg(col("recall"))).as[Double].collect().head
+
+    val healthy = meanRecall(encoded)
+    // (0.75 floor on THIS wider query sample — the 0.8 contract above
+    // uses the 20-query set; the probe's job is the detection margin)
+    assert(healthy >= 0.75, s"healthy reranked recall@10 $healthy")
+
+    // corrupt the code table (rotate every code) — the ADC shortlist
+    // dereferences wrong codewords, and the probe must see it
+    val corrupted = encoded.withColumn("codes",
+      transform(col("codes"), c => pmod(c + 7, lit(32)).cast("int")))
+    val corruptedRecall = meanRecall(corrupted)
+    assert(corruptedRecall < healthy - 0.2,
+      s"probe failed to detect corruption: healthy $healthy vs corrupted $corruptedRecall")
+  }
 }
