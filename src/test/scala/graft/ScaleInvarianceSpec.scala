@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Ivf, Pq, Similarity}
+import graft.store.Tables
+
+/** Cross-SF invariance for the engine-specific (rows-only) gate
+  * families: each CORRECTNESS gate pins behavior at one scale factor —
+  * these specs assert the properties that must SURVIVE a scale-up
+  * (exact-verification precision, monotone discovery, ANN recall
+  * floors) at BOTH sf0.01 and sf0.1, so a scale regression surfaces in
+  * `sbt test`, not in a future bench. Scoped to the cheap families
+  * (candidate generators + ANN); BPE induction and classifier training
+  * are pinned by their own closed-form specs and are not re-run per SF
+  * here (minutes, not seconds, at sf0.1).
+  */
+class ScaleInvarianceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  test("minhash near-dups (x2 family): zero false positives at each SF; discovery monotone") {
+    val counts = sfs.map { dir =>
+      val docs = Tables.documents(spark, dir)
+      val found = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      // exact re-verification of every emitted pair — bounded by
+      // |found|, never all-pairs
+      val rows = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      val bad = Dedup.verifyJaccard(found.select("id1", "id2"), rows)
+        .filter(col("jaccard") < 0.5).count()
+      assert(bad == 0, s"$dir: $bad pairs below threshold")
+      found.count()
+    }
+    assert(counts.head > 0, "sf0.01 must find planted near-dups")
+    assert(counts(1) >= counts.head,
+      s"pair discovery must not shrink with the corpus: $counts")
+  }
+
+  test("simhash near-dups (x3 family): hamming verdicts exact at each SF; discovery monotone") {
+    val counts = sfs.map { dir =>
+      val docs = Tables.documents(spark, dir)
+      val found = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      val sig = Dedup.simhash(docs, "doc_id", "text")
+      val s1 = sig.select(col("id").as("id1"), col("simhash").as("s1"))
+      val s2 = sig.select(col("id").as("id2"), col("simhash").as("s2"))
+      val bad = found.join(s1, "id1").join(s2, "id2")
+        .filter(Dedup.hamming(col("s1"), col("s2")) =!= col("hamming") ||
+          col("hamming") > 3)
+        .count()
+      assert(bad == 0, s"$dir: $bad wrong hamming verdicts")
+      found.count()
+    }
+    assert(counts.head > 0 && counts(1) >= counts.head, counts.toString)
+  }
+
+  test("embedding LSH near-dups (x5b family): discovery monotone; verified cosines honest") {
+    val counts = sfs.map { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val found = Similarity.embeddingNearDupsLsh(emb, threshold = 0.4)
+      assert(found.filter(col("cos") < 0.4).count() == 0)
+      found.count()
+    }
+    assert(counts.head > 0 && counts(1) >= counts.head, counts.toString)
+  }
+
+  test("ANN recall floors hold at both SFs (x7 LSH / x7b IVF / x36 PQ families)") {
+    sfs.foreach { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.bruteForceTopK(q, emb, k = 10)
+
+      def mean(approx: org.apache.spark.sql.DataFrame): Double =
+        Similarity.recallAtK(approx, exact, k = 10)
+          .agg(avg(col("recall"))).as[Double].collect().head
+
+      val lsh = mean(Similarity.lshTopK(q, emb, k = 10))
+      assert(lsh >= 0.6, s"$dir: LSH recall@10 $lsh")
+
+      val idx = Ivf.build(emb, k = 8)
+      val ivf = mean(Ivf.topK(q, idx, k = 10, nprobe = 4))
+      assert(ivf >= 0.6, s"$dir: IVF recall@10 $ivf")
+
+      // the PQ scale contract is recall at a fixed probe FRACTION (a
+      // fixed absolute shortlist trivially dilutes 10x per SF step)
+      val shortlist = math.max(50, (emb.count() / 10).toInt)
+      val model = Pq.fit(emb, m = 8, ksub = 32)
+      val pq = mean(Pq.topKReranked(q, Pq.encode(emb, model), emb, model,
+        k = 10, shortlist = shortlist))
+      assert(pq >= 0.7, s"$dir: PQ reranked recall@10 $pq at shortlist $shortlist")
+    }
+  }
+
+  test("SemDeDup (x26 family): within-cell pairs honest at each SF; dedup keeps fewer rows of a bigger corpus") {
+    val kept = sfs.map { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val assigned = Ivf.build(emb, k = 8).assigned
+      val pairs = Similarity.semanticDupPairsFromCells(assigned, threshold = 0.4)
+      assert(pairs.filter(col("cos") < 0.4).count() == 0)
+      val keptN = Dedup.dropDuplicateClusters(emb, "vec_id", pairs).count()
+      val total = emb.count()
+      assert(keptN <= total && keptN > 0)
+      (total, total - keptN)
+    }
+    // a 10x corpus with the same planted-dup rate must DROP at least as
+    // many semantic duplicates
+    assert(kept(1)._2 >= kept.head._2,
+      s"dropped counts must not shrink with the corpus: $kept")
+  }
+}
