@@ -144,12 +144,32 @@ object Sampling {
     wholeKept.select(orig: _*).union(critKept.select(orig: _*))
   }
 
-  /** Reproducible global shuffle order: rank over (hash, key). The rank
-    * is a global sort (range exchange) — fine for bounded outputs;
-    * use [[shuffledFiles]] to lay out full-corpus training shards. */
-  def shuffledOrder(df: DataFrame, key: Column, seed: String): DataFrame =
-    df.withColumn("shuffle_rank",
-      row_number().over(Window.orderBy(drawHex(key, seed), key)))
+  /** Reproducible global shuffle order: the 1-based rank of every row
+    * under (draw asc, key asc) — WITHOUT a global sort or a
+    * single-partition ranking window. The draw's leading 16 bits bucket
+    * each row (prefix ⇒ bucket asc == draw asc); one metadata-sized
+    * aggregation counts rows per bucket; the running count strictly
+    * below each bucket broadcasts (≤65536 rows); global rank = that
+    * offset + the row's rank INSIDE its bucket — a window partitioned
+    * by bucket, so the biggest partition is ≈ corpus/65536 and ranking
+    * runs 65536-way parallel. Identical output to
+    * `row_number() OVER (ORDER BY draw, key)` — the oracle runs that
+    * form. [[shuffledFiles]] remains the write-path twin (no rank
+    * column, just bucket-ordered shards). */
+  def shuffledOrder(df: DataFrame, key: Column, seed: String): DataFrame = {
+    val d = drawHex(key, seed)
+    val withB = df.withColumn("__bkt", conv(substring(d, 1, 4), 16, 10).cast("long"))
+    val counts = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
+    val wAsc = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1) // metadata frame only
+    val below = counts
+      .withColumn("__below", coalesce(sum(col("__c")).over(wAsc), lit(0L)))
+      .select(col("__bkt"), col("__below"))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(d, key)
+    withB.join(broadcast(below), "__bkt")
+      .withColumn("shuffle_rank", col("__below") + row_number().over(wIn))
+      .drop("__bkt", "__below")
+  }
 
   /** Temperature-weighted domain mixture: sample ~`totalN` docs with
     * per-stratum quotas ∝ count^alpha — alpha < 1 flattens the natural

@@ -93,10 +93,29 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("shuffledOrder: bucket-offset ranking == the textbook global window, and no global sort plans") {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val got = Sampling.shuffledOrder(docs, col("doc_id"), seed)
+    val textbook = docs.withColumn("shuffle_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(Sampling.drawHex(col("doc_id"), seed), col("doc_id"))).cast("long"))
+    assert(got.select("doc_id", "shuffle_rank")
+      .except(textbook.select("doc_id", "shuffle_rank")).isEmpty)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"global sort leaked into shuffledOrder:\n$plan")
+    // the per-row ranking window partitions by the draw bucket
+    """Window \[(.*?)\], \[(.*?)\], \[(.*?)\]""".r.findAllMatchIn(plan).foreach { m =>
+      if (m.group(1).contains("row_number"))
+        assert(m.group(2).contains("__bkt"), s"unpartitioned ranking window:\n$plan")
+    }
+  }
+
   test("shuffledFiles (bucket + local sort) concatenated == shuffledOrder (global sort)") {
     val docs = Tables.documents(spark, dir).select("doc_id")
     val global = Sampling.shuffledOrder(docs, col("doc_id"), seed)
-      .orderBy("shuffle_rank").as[(Long, Int)].map(_._1).collect().toSeq
+      .orderBy("shuffle_rank").as[(Long, Long)].map(_._1).collect().toSeq
     // reconstruct the scale-path order: shards in shard-id order, rows in
     // their within-shard sorted order
     val sharded = Sampling.shuffledFiles(docs, col("doc_id"), seed, shards = 8)
