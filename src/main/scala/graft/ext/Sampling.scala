@@ -131,8 +131,11 @@ object Sampling {
       .select(strata.map(s => col(s).as(s"__s_$s")) ++ Seq(
         col("__bkt").as("__critb"), col("__below").as("__cbelow"),
         col("__q").as("__cq")): _*)
+    // no broadcast hint: with few large domains crit is a handful of
+    // rows and AQE broadcasts it; with millions of tiny strata a forced
+    // broadcast would be the bottleneck (the bloom-join precedent)
     val joinCond = strata.map(s => col(s) <=> col(s"__s_$s")).reduce(_ && _)
-    val joined = withB.join(broadcast(crit), joinCond, "left")
+    val joined = withB.join(crit, joinCond, "left")
     // whole-kept buckets: broadcast flag only — no window touches them
     val wholeKept = joined.filter(col("__critb").isNull || col("__bkt") < col("__critb"))
     // the critical sliver pays the only per-row ranking window

@@ -2559,6 +2559,73 @@ object Queries {
       .ordered("query_id", "rk")
   }
 
+  // X38b — BATCHED hybrid retrieval: the same 25-query battery fused
+  // with each query's brute-force cosine candidates (its embedding
+  // twin), RRF per query, top-10 each — one plan for lexical ranking,
+  // semantic ranking, AND fusion across the whole battery.
+  q("x38b_hybrid_batch",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |words AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+      |dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM words GROUP BY 1),
+      |stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM words GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS query_id, UNNEST(t[1:4]) AS term
+      |  FROM toks WHERE doc_id % 20 = 0),
+      |contrib AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    CAST(ROUND(
+      |      LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+      |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+      |    9) AS DECIMAL(28,10)) AS c
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN stats),
+      |scored AS (
+      |  SELECT query_id, doc_id, SUM(c) AS sc FROM contrib GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT query_id, doc_id, rnk FROM (
+      |    SELECT query_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rnk
+      |    FROM scored) WHERE rnk <= 20),
+      |qv AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+      |cosd AS (
+      |  SELECT qv.query_id, c.vec_id AS doc_id,
+      |    list_sum(list_transform(range(1, len(qv.embedding) + 1),
+      |      i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(qv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos
+      |  FROM embeddings c JOIN qv ON c.vec_id <> qv.query_id),
+      |sem AS (
+      |  SELECT query_id, doc_id, rnk FROM (
+      |    SELECT query_id, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rnk
+      |    FROM cosd) WHERE rnk <= 20),
+      |fused AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(ROUND(CAST(1.0 AS DOUBLE) / (60 + rnk), 9) AS DECIMAL(28,10)) AS c
+      |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)),
+      |agg AS (SELECT query_id, doc_id, SUM(c) AS rrfd FROM fused GROUP BY 1, 2)
+      |SELECT query_id, doc_id, ROUND(CAST(rrfd AS DOUBLE), 6) AS rrf, rk
+      |FROM (SELECT query_id, doc_id, rrfd,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY rrfd DESC, doc_id) AS rk
+      |      FROM agg)
+      |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val queries = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(trim(col("text")), "\\s+"), 1, 4)).as("term"))
+    val ann = graft.ext.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") % 20 === 0), emb, k = 20)
+    graft.ext.Retrieval.hybridTopKBatch(docs, "doc_id", "text", queries, ann,
+        k = 10, perList = 20)
+      .ordered("query_id", "rk")
+  }
+
   // X33 — token-budget corpus selection: keep the best-scoring docs
   // (stopword_ratio as the quality proxy — x9 pins it hash-exact) until
   // a 12k-token budget is spent. The oracle is the textbook GLOBAL
