@@ -168,6 +168,32 @@ object Similarity {
     embeddingNearDups(assigned, "cell", threshold, idCol, vecCol)
       .select(col("id1"), col("id2"), col("cos"))
 
+  /** Semantic (embedding-level) decontamination: flag corpus vectors
+    * whose cosine to ANY probe/eval vector ≥ `threshold` — the
+    * embedding-space complement of [[Dedup.ngramContamination]] (exact
+    * grams miss paraphrased leakage; embeddings catch it). Returns
+    * (idCol, n_probes, max_cos) for flagged corpus rows.
+    *
+    * Scale: the probe side is an eval battery (thousands), broadcast
+    * whole with norms precomputed; the corpus pays ONE map-only pass of
+    * |probes| dot products per row — no shuffle until the per-id
+    * aggregate, which carries only flagged pairs. For probe sets too
+    * big to broadcast, block both sides with [[lshSignature]] bands
+    * (the [[embeddingNearDupsLsh]] shape) and verify exactly. */
+  def semanticContamination(corpus: DataFrame, probes: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("pv"), norm(col(vecCol)).as("pn")))
+    c.crossJoin(p)
+      .withColumn("cos", dot(col("cv"), col("pv")) / (col("cn") * col("pn")))
+      .filter(col("cos") >= threshold)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_probes"), max(col("cos")).as("max_cos"))
+  }
+
   /** Recall@k monitoring probe: per sampled query, the fraction of the
     * exact (brute-force) top-k an approximate index recovered — the
     * measurement that dictates a stored index's refit cadence

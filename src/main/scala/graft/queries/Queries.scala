@@ -2626,6 +2626,35 @@ object Queries {
       .ordered("query_id", "rk")
   }
 
+  // X39 — SEMANTIC decontamination: corpus vectors too close (cosine ≥
+  // 0.3) to any held-out probe vector (vec_id % 41 = 0 plays the eval
+  // battery, mirroring x21's probe split). Exact grams (x21/x35) miss
+  // paraphrased leakage; this is the embedding-space gate a real
+  // pipeline layers on top. Probe side broadcast, corpus pass map-only.
+  q("x39_semantic_decontam",
+    """WITH p AS (SELECT vec_id AS probe_id, embedding FROM embeddings
+      |           WHERE vec_id % 41 = 0),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 <> 0),
+      |hits AS (
+      |  SELECT c.vec_id,
+      |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+      |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS cos
+      |  FROM c CROSS JOIN p)
+      |SELECT vec_id, COUNT(*) AS n_probes,
+      |       ROUND(MAX(cos), 6) AS max_cos
+      |FROM hits WHERE cos >= 0.3
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    graft.ext.Similarity.semanticContamination(
+        emb.filter(col("vec_id") % 41 =!= 0),
+        emb.filter(col("vec_id") % 41 === 0), threshold = 0.3)
+      .withColumn("max_cos", round(col("max_cos"), 6))
+      .ordered("vec_id")
+  }
+
   // X33 — token-budget corpus selection: keep the best-scoring docs
   // (stopword_ratio as the quality proxy — x9 pins it hash-exact) until
   // a 12k-token budget is spent. The oracle is the textbook GLOBAL
