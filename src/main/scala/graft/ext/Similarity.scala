@@ -194,6 +194,41 @@ object Similarity {
       .agg(count(lit(1)).as("n_probes"), max(col("cos")).as("max_cos"))
   }
 
+  /** [[semanticContamination]] for probe sets too big to broadcast:
+    * corpus and probes meet on shared random-hyperplane LSH bands (the
+    * [[embeddingNearDupsLsh]] candidate shape — a (band, bucket)
+    * equi-join, never |corpus|×|probes|), then candidates verify by
+    * exact cosine. Flags are a SUBSET of the exact path's (no false
+    * positives — every flag carries a true cosine ≥ threshold); recall
+    * is the standard LSH trade, tuned by `bitsPerBand` (fewer bits =
+    * bigger buckets = higher recall). Decontamination leans
+    * conservative: prefer the exact/broadcast form whenever the probe
+    * battery fits, and fewer bits per band when it doesn't. */
+  def semanticContaminationLsh(corpus: DataFrame, probes: DataFrame,
+      threshold: Double, nPlanes: Int = 64, bitsPerBand: Int = 4,
+      dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    def banded(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
+        norm(col(vecCol)).as(s"${id}_n"),
+        posexplode(lshSignature(col(vecCol), planes, bitsPerBand))
+          .as(Seq("band", "bucket")))
+    val cand = banded(corpus, "cid")
+      .join(banded(probes, "pid").select(col("band"), col("bucket"), col("pid")),
+        Seq("band", "bucket"))
+      .select(col("cid"), col("pid")).distinct()
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val p = probes.select(col(idCol).as("pid"), col(vecCol).as("pv"),
+      norm(col(vecCol)).as("pn"))
+    cand.join(c, "cid").join(p, "pid")
+      .withColumn("cos", dot(col("cv"), col("pv")) / (col("cn") * col("pn")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("cid").as(idCol))
+      .agg(count(lit(1)).as("n_probes"), max(col("cos")).as("max_cos"))
+  }
+
   /** Recall@k monitoring probe: per sampled query, the fraction of the
     * exact (brute-force) top-k an approximate index recovered — the
     * measurement that dictates a stored index's refit cadence

@@ -97,6 +97,35 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("semantic decontamination: planted probe twin flagged at cos 1; LSH path is a no-FP subset with recall") {
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") % 41 === 0)
+    // plant an exact copy of a probe in the corpus: must be flagged
+    // with max_cos ≈ 1 regardless of threshold strictness
+    val probeTwin = probes.limit(1)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.filter(col("vec_id") % 41 =!= 0).unionByName(probeTwin)
+    val exact = Similarity.semanticContamination(corpus, probes, threshold = 0.3)
+    val twin = exact.filter(col("vec_id") >= 900000L)
+      .select("max_cos").as[Double].collect()
+    assert(twin.length == 1 && twin.head > 0.999999, s"planted twin: ${twin.toSeq}")
+
+    // LSH-banded path: no false positives — flags are a subset of the
+    // exact flags, each max_cos a true cosine bounded by the exact one
+    // (LSH may miss the argmax probe while catching another) — and
+    // recall stays useful at the 4-bit operating point
+    val exactSet = exact.select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.semanticContaminationLsh(corpus, probes, threshold = 0.3)
+    val lshRows = lsh.select("vec_id", "max_cos").as[(Long, Double)].collect()
+    assert(lshRows.map(_._1).toSet.subsetOf(exactSet), "LSH flags must be a subset")
+    val exactCos = exact.select("vec_id", "max_cos").as[(Long, Double)].collect().toMap
+    lshRows.foreach { case (id, c) =>
+      assert(c >= 0.3 && c <= exactCos(id) + 1e-9, s"max_cos out of range for $id") }
+    val recall = lshRows.length.toDouble / exactSet.size
+    assert(recall >= 0.6, s"LSH decontam recall $recall over ${exactSet.size} flags")
+    assert(lshRows.map(_._1).toSet.exists(_ >= 900000L), "twin must survive banding")
+  }
+
   test("cosine is exact on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")
