@@ -93,6 +93,30 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("takeQuotaPerStratum property: random corpora == in-memory per-stratum draw reference") {
+    // the bucket-threshold machinery vs the textbook semantics: for
+    // every stratum keep its first min(n, |stratum|) rows under
+    // (drawHex asc, key asc) — including strata smaller than n, empty
+    // quota edge handled by mixtureTake's own oracle gate
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 8) {
+      val nStrata = 1 + rnd.nextInt(6)
+      val rows = (1L to (20 + rnd.nextInt(200))).map { id =>
+        (id, s"s${rnd.nextInt(nStrata)}") }
+      val n = 1 + rnd.nextInt(12)
+      val df = rows.toDF("id", "grp").repartition(1 + rnd.nextInt(5))
+      val got = Sampling.stratifiedTake(df, Seq("grp"), col("id"), seed, n)
+        .select("id").as[Long].collect().sorted.toSeq
+      def hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expect = rows.groupBy(_._2).values.flatMap { grp =>
+        grp.map(_._1).sortBy(id => (hex(id), id)).take(n)
+      }.toSeq.sorted
+      assert(got == expect, s"trial $trial n=$n strata=$nStrata")
+    }
+  }
+
   test("shuffledOrder: bucket-offset ranking == the textbook global window, and no global sort plans") {
     val docs = Tables.documents(spark, dir).select("doc_id")
     val got = Sampling.shuffledOrder(docs, col("doc_id"), seed)
