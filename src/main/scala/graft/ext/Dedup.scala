@@ -384,6 +384,27 @@ object Dedup {
       .filter(col("n_windows") >= minShared)
   }
 
+  /** Corpus snapshot diff — incremental-curation bookkeeping: classify
+    * every key as added / removed / changed / unchanged between two
+    * corpus snapshots, comparing md5 content hashes of `contentCols`
+    * (the x1b normalization discipline applies upstream if wanted).
+    * One full outer join keyed on `idCol`; both inputs reduce to
+    * (key, hash) projections first, so the shuffle carries 2 hashes per
+    * key, never the payloads. The scale shape of "what changed since
+    * the last curation run" — feed `added ∪ changed` to the cleaning
+    * pipeline instead of recleaning 100 TB. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, h: String) = df.select(col(idCol),
+      md5(concat_ws("\u0001", contentCols.map(c => col(c).cast("string")): _*)).as(h))
+    hashed(oldSnap, "__h_old").join(hashed(newSnap, "__h_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Exact word-set Jaccard for all pairs within a blocking column —
     * the SQL-portable dedup variant (oracle-checked).
     *

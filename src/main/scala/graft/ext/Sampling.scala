@@ -213,6 +213,34 @@ object Sampling {
     takeQuotaPerStratum(df, strata, key, seed, quota)
   }
 
+  /** Epoch-weighted upsampling — the data-mixing move where a source is
+    * repeated a FRACTIONAL number of times per training epoch (LLaMA's
+    * "Wikipedia ×2.45"-style table): every row materializes
+    * floor(epochs) copies plus one more with probability
+    * frac(epochs), decided by a seeded per-(row, copy) draw — so the
+    * realized corpus is deterministic, engine-independent, and stable
+    * under corpus growth (each row decides alone).
+    *
+    * Mechanics: copies explode from a sequence (pure codegen, no
+    * shuffle); the fractional copy keeps iff the draw's first 8 hex
+    * chars compare below the threshold `%08x`-formatted from
+    * floor(frac·2^32) — fixed-width lowercase hex, so string compare ==
+    * numeric compare and the identical rule runs in portable SQL (the
+    * x14 hexThreshold discipline at per-row-threshold granularity).
+    * Returns the input columns plus `epoch` (0-based copy index). */
+  def repeatWeighted(df: DataFrame, key: Column, seed: String,
+      epochsCol: Column): DataFrame = {
+    val nFull = floor(epochsCol).cast("int")
+    val frac = epochsCol - floor(epochsCol)
+    val thr = format_string("%08x", floor(frac * lit(4294967296.0)).cast("long"))
+    df.withColumn("epoch",
+        explode(sequence(lit(0), greatest(ceil(epochsCol).cast("int") - 1, lit(0)))))
+      .filter(col("epoch") < nFull ||
+        (col("epoch") === nFull &&
+          substring(drawHex(concat(key.cast("string"), lit("#"), col("epoch")), seed),
+            1, 8) < thr))
+  }
+
   /** Scale path for writing shuffled training shards: assign each row a
     * deterministic shard = hash-prefix bucket, repartition by shard, sort
     * within each shard by the hash. Concatenating shards 0..n-1 yields

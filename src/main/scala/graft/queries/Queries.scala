@@ -2626,6 +2626,73 @@ object Queries {
       .ordered("query_id", "rk")
   }
 
+  // X40 — epoch-weighted upsampling (LLaMA-style fractional repeat
+  // factors): each doc materializes floor(e) copies + one more decided
+  // by a seeded per-(doc, copy) draw against the %08x threshold of
+  // frac(e)·2^32 — fixed-width hex string compare == numeric compare,
+  // so DuckDB replays the identical rule. Epoch values 0.5–3.5 cover
+  // sub-1, integer, and fractional regimes; all are exact binary
+  // doubles, so decimal-vs-double engine arithmetic cannot diverge.
+  q("x40_repeat_weighted",
+    s"""WITH e AS (
+       |  SELECT doc_id, 0.5 + (doc_id % 5) * 0.75 AS ep FROM documents),
+       |x AS (
+       |  SELECT doc_id, ep, CAST(FLOOR(ep) AS INT) AS nf,
+       |         GREATEST(CAST(CEIL(ep) AS INT) - 1, 0) AS emax FROM e),
+       |copies AS (
+       |  SELECT doc_id, ep, nf, i AS epoch
+       |  FROM x, UNNEST(generate_series(0, emax)) AS t(i))
+       |SELECT doc_id, epoch FROM copies
+       |WHERE epoch < nf
+       |   OR (epoch = nf AND
+       |       substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+       |                  CAST(epoch AS VARCHAR) || ':' || '$SplitSeed'), 1, 8)
+       |       < printf('%08x',
+       |           CAST(FLOOR((ep - FLOOR(ep)) * 4294967296) AS BIGINT)))
+       |ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val epochs = lit(0.5) + (col("doc_id") % 5).cast("double") * 0.75
+    graft.ext.Sampling.repeatWeighted(docs, col("doc_id"), SplitSeed, epochs)
+      .select("doc_id", "epoch")
+      .ordered("doc_id", "epoch")
+  }
+
+  // X41 — corpus snapshot diff (incremental curation): classify keys
+  // added / removed / changed / unchanged between two snapshots via
+  // content-hash full outer join. The new snapshot is built
+  // deterministically from the old: every 13th doc removed, every 7th
+  // rewritten, every 11th re-added under a shifted id.
+  q("x41_snapshot_diff",
+    """WITH oldc AS (
+      |  SELECT doc_id, md5(CAST(text AS VARCHAR)) AS h FROM documents),
+      |newbase AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0),
+      |newadd AS (
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 11 = 0),
+      |newc AS (
+      |  SELECT doc_id, md5(CAST(text AS VARCHAR)) AS h
+      |  FROM (SELECT * FROM newbase UNION ALL SELECT * FROM newadd))
+      |SELECT doc_id,
+      |  CASE WHEN o.h IS NULL THEN 'added'
+      |       WHEN n.h IS NULL THEN 'removed'
+      |       WHEN o.h <> n.h THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM oldc o FULL OUTER JOIN newc n USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val newBase = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val newAdd = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    graft.ext.Dedup.snapshotDiff(docs, newBase.unionByName(newAdd),
+        "doc_id", Seq("text"))
+      .ordered("doc_id")
+  }
+
   // X39 — SEMANTIC decontamination: corpus vectors too close (cosine ≥
   // 0.3) to any held-out probe vector (vec_id % 41 = 0 plays the eval
   // battery, mirroring x21's probe split). Exact grams (x21/x35) miss

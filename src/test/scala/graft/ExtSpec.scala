@@ -126,6 +126,19 @@ class ExtSpec extends SparkTestBase {
     assert(lshRows.map(_._1).toSet.exists(_ >= 900000L), "twin must survive banding")
   }
 
+  test("snapshotDiff: planted add/remove/change classified; multi-column separator prevents aliasing") {
+    val oldS = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "ab", "c")).toDF("id", "t1", "t2")
+    val newS = Seq((2L, "b", "z"), (3L, "a", "bc"), (4L, "d", "w")).toDF("id", "t1", "t2")
+    val got = Dedup.snapshotDiff(oldS, newS, "id", Seq("t1", "t2"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "changed", 3L -> "changed", 4L -> "added"))
+    // ("ab","c") vs ("a","bc") MUST differ — the  separator
+    // (row 3 above) — and identical content is unchanged
+    val same = Dedup.snapshotDiff(oldS, oldS, "id", Seq("t1", "t2"))
+      .filter(col("status") =!= "unchanged").count()
+    assert(same == 0)
+  }
+
   test("cosine is exact on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")

@@ -93,6 +93,24 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("repeatWeighted: integer epochs exact, fractional epochs within binomial bounds, deterministic") {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val n = docs.count()
+    // integer epochs: exactly e copies per row, no draw involved
+    val exact2 = Sampling.repeatWeighted(docs, col("doc_id"), seed, lit(2.0))
+    assert(exact2.count() == 2 * n)
+    assert(exact2.groupBy("doc_id").count().filter(col("count") =!= 2).count() == 0)
+    // epochs 0: nothing survives
+    assert(Sampling.repeatWeighted(docs, col("doc_id"), seed, lit(0.0)).count() == 0)
+    // fractional: floor copies guaranteed + Bernoulli(frac) extras
+    val e = 1.6
+    val got = Sampling.repeatWeighted(docs, col("doc_id"), seed, lit(e)).count()
+    val sigma = math.sqrt(n * 0.6 * 0.4)
+    assert(math.abs(got - n * e) < 5 * sigma + 1, s"$got vs ${n * e}")
+    val again = Sampling.repeatWeighted(docs, col("doc_id"), seed, lit(e)).count()
+    assert(got == again, "same seed must realize the same corpus")
+  }
+
   test("takeQuotaPerStratum property: random corpora == in-memory per-stratum draw reference") {
     // the bucket-threshold machinery vs the textbook semantics: for
     // every stratum keep its first min(n, |stratum|) rows under
