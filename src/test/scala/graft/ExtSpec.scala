@@ -132,7 +132,7 @@ class ExtSpec extends SparkTestBase {
     val got = Dedup.snapshotDiff(oldS, newS, "id", Seq("t1", "t2"))
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "removed", 2L -> "changed", 3L -> "changed", 4L -> "added"))
-    // ("ab","c") vs ("a","bc") MUST differ — the  separator
+    // ("ab","c") vs ("a","bc") MUST differ — the control-char separator
     // (row 3 above) — and identical content is unchanged
     val same = Dedup.snapshotDiff(oldS, oldS, "id", Seq("t1", "t2"))
       .filter(col("status") =!= "unchanged").count()
