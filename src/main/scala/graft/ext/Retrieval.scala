@@ -42,27 +42,60 @@ object Retrieval {
   def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), size(toks(col(textCol))).cast("double").as("dl"))
 
+  /** The persisted form of the lexical index: the postings table, the
+    * per-doc lengths, and the 1-row corpus stats — built once per
+    * corpus snapshot ([[buildIndex]]), written to storage (postings
+    * repartitioned by `term`, the layout every query's candidate fetch
+    * prunes on), and reused by every [[bm25FromIndex]]/
+    * [[bm25BatchFromIndex]] call. The inline [[bm25]]/[[bm25Batch]]
+    * forms rebuild all three per call — correct, but a production eval
+    * battery should not re-explode 100 TB of corpus per query batch. */
+  final case class LexIndex(postings: DataFrame, docLengths: DataFrame,
+    stats: DataFrame)
+
+  def buildIndex(df: DataFrame, idCol: String, textCol: String): LexIndex = {
+    val dl = docLengths(df, idCol, textCol)
+    LexIndex(postings(df, idCol, textCol), dl,
+      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
+  }
+
+  /** Persist / reload the index (postings laid out by term — the
+    * partitioning a term-keyed candidate fetch prunes on). */
+  def writeIndex(index: LexIndex, path: String): Unit = {
+    index.postings.repartition(col("term"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    index.docLengths.write.mode("overwrite").parquet(s"$path/doc_lengths")
+    index.stats.write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): LexIndex =
+    LexIndex(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/doc_lengths"),
+      spark.read.parquet(s"$path/stats"))
+
+  private def bm25Contrib(k1: Double, b: Double): Column = round(
+    log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+      (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 9)
+    .cast(DecimalType(28, 10))
+
   /** BM25 scores for a bag of query terms: (idCol, score). Only
     * documents containing ≥1 query term appear. `k1`/`b` are the
     * standard Robertson defaults; idf is the +1-floored Lucene form
     * ln((N-df+0.5)/(df+0.5) + 1) so scores stay non-negative. */
   def bm25(df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dl = docLengths(df, idCol, textCol)
-    val stats = broadcast(
-      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
-    val tf = postings(df, idCol, textCol)
-      .filter(col("term").isin(queryTerms: _*))
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromIndex(buildIndex(df, idCol, textCol), idCol, queryTerms, k1, b)
+
+  /** [[bm25]] over a prebuilt/persisted [[LexIndex]]. */
+  def bm25FromIndex(index: LexIndex, idCol: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = index.postings.filter(col("term").isin(queryTerms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val contrib = round(
-      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-        (col("tf") * (k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 9)
-      .cast(DecimalType(28, 10))
     tf.join(dfreq, "term")
-      .join(dl, idCol)
-      .crossJoin(stats)
-      .select(col(idCol), contrib.as("c"))
+      .join(index.docLengths, idCol)
+      .crossJoin(broadcast(index.stats))
+      .select(col(idCol), bm25Contrib(k1, b).as("c"))
       .groupBy(idCol)
       .agg(sum(col("c")).as("score_dec"))
   }
@@ -96,24 +129,26 @@ object Retrieval {
   def bm25Batch(df: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String = "query_id",
       termCol: String = "term",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25BatchFromIndex(buildIndex(df, idCol, textCol), idCol, queries,
+      queryIdCol, termCol, k1, b)
+
+  /** [[bm25Batch]] over a prebuilt/persisted [[LexIndex]] — the
+    * eval-battery production shape: index built once per corpus
+    * snapshot, batteries scored against it without re-exploding the
+    * corpus. */
+  def bm25BatchFromIndex(index: LexIndex, idCol: String, queries: DataFrame,
+      queryIdCol: String = "query_id", termCol: String = "term",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dl = docLengths(df, idCol, textCol)
-    val stats = broadcast(
-      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
-    val post = postings(df, idCol, textCol)
-    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val dfreq = index.postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
     // a query's terms are a SET (the Seq form's isin semantics)
     val qt = queries.select(col(queryIdCol), col(termCol).as("term")).distinct()
-    val contrib = round(
-      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-        (col("tf") * (k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 9)
-      .cast(DecimalType(28, 10))
-    post.join(qt, "term")
+    index.postings.join(qt, "term")
       .join(dfreq, "term")
-      .join(dl, idCol)
-      .crossJoin(stats)
-      .select(col(queryIdCol), col(idCol), contrib.as("c"))
+      .join(index.docLengths, idCol)
+      .crossJoin(broadcast(index.stats))
+      .select(col(queryIdCol), col(idCol), bm25Contrib(k1, b).as("c"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("c")).as("score_dec"))
   }

@@ -147,6 +147,30 @@ class RetrievalSpec extends SparkTestBase {
     assert(hBatch == hLooped, "hybrid batch must equal the per-query loop")
   }
 
+  test("LexIndex: write/read round-trip; FromIndex scoring == inline, single and batched") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.store.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lex").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs, "doc_id", "text"), tmp)
+    val stored = Retrieval.readIndex(spark, tmp)
+
+    val terms = Seq("data", "dup", "spark")
+    val inline = Retrieval.bm25(docs, "doc_id", "text", terms)
+      .as[(Long, java.math.BigDecimal)].collect().toMap
+    val fromIdx = Retrieval.bm25FromIndex(stored, "doc_id", terms)
+      .as[(Long, java.math.BigDecimal)].collect().toMap
+    assert(inline.nonEmpty && fromIdx == inline)
+
+    val queries = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(trim(col("text")), "\\s+"), 1, 4)).as("term"))
+    val inlineB = Retrieval.bm25Batch(docs, "doc_id", "text", queries)
+      .as[(Long, Long, java.math.BigDecimal)].collect().toSet
+    val fromIdxB = Retrieval.bm25BatchFromIndex(stored, "doc_id", queries)
+      .as[(Long, Long, java.math.BigDecimal)].collect().toSet
+    assert(inlineB.nonEmpty && fromIdxB == inlineB)
+  }
+
   test("decimal contributions: repartitioned corpus returns identical scores and order") {
     val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
     val q = Seq("data", "dup", "spark")
