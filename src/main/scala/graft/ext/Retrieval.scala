@@ -73,6 +73,24 @@ object Retrieval {
       spark.read.parquet(s"$path/doc_lengths"),
       spark.read.parquet(s"$path/stats"))
 
+  /** Incremental index maintenance: fold a batch of NEW documents into
+    * an existing index without touching the already-indexed corpus —
+    * the consumer of [[Dedup.snapshotDiff]]'s `added` set. Only the new
+    * batch is tokenized/exploded; the old postings and lengths pass
+    * through untouched (at 100 TB the merge cost is proportional to the
+    * delta, not the corpus). Stats are recomputed from the merged
+    * per-doc lengths — `dl` is an integer-valued double, so the sum is
+    * exact at any partitioning and the result is bit-identical to a
+    * full [[buildIndex]] over old ∪ added (RetrievalSpec pins this).
+    * `addedDocs` ids must be disjoint from the indexed ids (re-indexed
+    * docs would double-count: diff first, merge the `added` set). */
+  def mergeIndex(index: LexIndex, addedDocs: DataFrame, idCol: String,
+      textCol: String): LexIndex = {
+    val dl = index.docLengths.union(docLengths(addedDocs, idCol, textCol))
+    LexIndex(index.postings.union(postings(addedDocs, idCol, textCol)), dl,
+      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
+  }
+
   private def bm25Contrib(k1: Double, b: Double): Column = round(
     log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
       (col("tf") * (k1 + 1.0)) /

@@ -2884,4 +2884,81 @@ object Queries {
       .withColumn("cos", round(col("cos"), 4))
       .ordered("query_id", "rk")
   }
+
+  // Shared oracle fragment for the DSIR gates: per-doc hashed-ngram
+  // importance weights with src0 as the target domain (the exact
+  // arithmetic Dsir.fit/weights runs — md5-prefix buckets, add-one
+  // smoothing, 9-decimal log-ratios summed as DECIMAL).
+  private val dsirOracleCte =
+    """tok AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_concat(w, list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1]))) AS g
+      |  FROM tok),
+      |bk AS (SELECT doc_id, source, substring(md5(g), 1, 4) AS bkt FROM gr),
+      |tc AS (SELECT bkt, COUNT(*) AS ct FROM bk WHERE source = 'src0' GROUP BY 1),
+      |rc AS (SELECT bkt, COUNT(*) AS cr FROM bk GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE) AS nt,
+      |              CAST(COUNT(*) AS DOUBLE) AS nr FROM bk),
+      |ratios AS (
+      |  SELECT rc.bkt,
+      |    CAST(ROUND(LN(((COALESCE(tc.ct, 0) + 1.0) * (nn.nr + 65536.0)) /
+      |                  ((rc.cr + 1.0) * (nn.nt + 65536.0))), 9) AS DECIMAL(28,10)) AS lr
+      |  FROM rc LEFT JOIN tc USING (bkt) CROSS JOIN nn),
+      |wts AS (
+      |  SELECT doc_id, COUNT(*) AS n_grams, SUM(lr) AS w
+      |  FROM bk JOIN ratios USING (bkt) GROUP BY doc_id)""".stripMargin
+
+  // X42 — DSIR importance weights (Xie et al., arXiv 2302.03169):
+  // hashed unigram+bigram bucket LMs (16-bit md5-prefix space), target
+  // = the src0 domain, raw = the whole corpus; per-doc weight = decimal
+  // sum of 9-rounded per-bucket log importance ratios. The model is two
+  // ≤65536-row frames — fitting never shuffles documents, scoring is a
+  // broadcast join + one per-doc sum.
+  q("x42_dsir_weights",
+    s"""WITH $dsirOracleCte
+       |SELECT doc_id, n_grams,
+       |  ROUND(CAST(w AS DOUBLE), 6) AS dsir_weight
+       |FROM wts ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = graft.ext.Dsir.fit(docs, docs.filter(col("source") === "src0"), "text")
+    graft.ext.Dsir.weights(model, docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_grams"),
+        round(col("weight_dec").cast("double"), 6).as("dsir_weight"))
+      .ordered("doc_id")
+  }
+
+  // X42b — DSIR selection: the per-gram (length-normalized) importance
+  // score feeds the scale-safe token-budget cut — "the 8k tokens that
+  // look most like the target domain", the dedup→score→SELECT step of
+  // the curation chain. Oracle runs the textbook global cumsum;
+  // tokenBudgetSelect reproduces it with bounded shuffles (x33's
+  // machinery, DSIR's score).
+  q("x42b_dsir_select",
+    s"""WITH $dsirOracleCte,
+       |scored AS (
+       |  SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    ROUND(CAST(w AS DOUBLE) / n_grams, 9) AS dsir_score
+       |  FROM wts JOIN documents USING (doc_id)),
+       |sel AS (
+       |  SELECT doc_id, n_tokens, dsir_score,
+       |    SUM(n_tokens) OVER (ORDER BY dsir_score DESC, doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM scored)
+       |SELECT doc_id, n_tokens, dsir_score
+       |FROM sel WHERE cum <= 8000 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = graft.ext.Dsir.fit(docs, docs.filter(col("source") === "src0"), "text")
+    val scored = graft.ext.Dsir.scored(model, docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")), "doc_id")
+    graft.ext.Sampling.tokenBudgetSelect(scored, "doc_id", col("dsir_score"),
+        col("n_tokens"), budget = 8000L)
+      .select(col("doc_id"), col("n_tokens"), col("dsir_score"))
+      .ordered("doc_id")
+  }
 }

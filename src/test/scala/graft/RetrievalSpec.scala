@@ -171,6 +171,31 @@ class RetrievalSpec extends SparkTestBase {
     assert(inlineB.nonEmpty && fromIdxB == inlineB)
   }
 
+  test("mergeIndex: incremental fold of an added batch == full rebuild, exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.store.Tables.documents(spark, dir)
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val added = docs.filter(col("doc_id") % 5 === 0)
+    val merged = Retrieval.mergeIndex(
+      Retrieval.buildIndex(old, "doc_id", "text"), added, "doc_id", "text")
+    val full = Retrieval.buildIndex(docs, "doc_id", "text")
+    // index contents identical
+    assert(merged.postings.as[(String, Long, Double)].collect().toSet ==
+      full.postings.as[(String, Long, Double)].collect().toSet)
+    assert(merged.docLengths.as[(Long, Double)].collect().toSet ==
+      full.docLengths.as[(Long, Double)].collect().toSet)
+    // stats bit-identical (dl is integer-valued, the sum is exact)
+    assert(merged.stats.as[(Double, Double)].collect().toSeq ==
+      full.stats.as[(Double, Double)].collect().toSeq)
+    // and so is every downstream score
+    val terms = Seq("data", "dup", "spark")
+    val a = Retrieval.bm25FromIndex(merged, "doc_id", terms)
+      .as[(Long, java.math.BigDecimal)].collect().toMap
+    val b = Retrieval.bm25FromIndex(full, "doc_id", terms)
+      .as[(Long, java.math.BigDecimal)].collect().toMap
+    assert(a.nonEmpty && a == b)
+  }
+
   test("decimal contributions: repartitioned corpus returns identical scores and order") {
     val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
     val q = Seq("data", "dup", "spark")
