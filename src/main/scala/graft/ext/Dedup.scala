@@ -432,4 +432,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("blk"), col("id1"), col("id2"), col("jaccard"))
   }
+
+  /** Line-level exact dedup ACROSS documents (the RefinedWeb/FineWeb
+    * "remove duplicated lines" pass, the sub-document complement of
+    * whole-doc dedup): a line occurring in ≥ `minDocs` distinct
+    * documents is removed from every document containing it, and each
+    * document is reassembled from its surviving lines in order. Lines
+    * follow the repo's portable convention (x24): consecutive
+    * `lineTokens`-token chunks of the whitespace token stream.
+    *
+    * Returns (idCol, n_lines, n_removed, clean_text) for EVERY input
+    * document — a doc whose lines are all duplicated survives with
+    * empty text (drop on `n_removed === n_lines` downstream if whole
+    * removal is wanted).
+    *
+    * Scale shape: one explode → one hash aggregation keyed by the line
+    * (map-side partials collapse each partition's repeats first) → one
+    * line-keyed join of the duplicate set back to the exploded frame →
+    * one by-doc aggregation for reassembly. Nothing is all-pairs and no
+    * window is involved; the duplicate-set join key is the line string
+    * itself, so the verdict is exact (no hash-collision caveat). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, lineTokens: Int = 8): DataFrame = {
+    val w = split(trim(col(textCol)), "\\s+")
+    val lines = df
+      .select(col(idCol), w.as("__w"),
+        ceil(size(w) / lit(lineTokens.toDouble)).cast("int").as("__nl"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("__nl") - 1),
+        i => concat_ws(" ", slice(col("__w"), i * lineTokens + 1, lit(lineTokens))))))
+      .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__line")
+    val dup = lines.groupBy(col("__line"))
+      .agg(countDistinct(col(idCol)).as("__dc"))
+      .filter(col("__dc") >= minDocs)
+      .select(col("__line"), lit(true).as("__dup"))
+    lines.join(dup, Seq("__line"), "left")
+      .withColumn("__keep", coalesce(col("__dup"), lit(false)) === false)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__i"), col("__line"))))),
+          s => s.getField("__line")), " ").as("clean_text"))
+  }
 }

@@ -2961,4 +2961,30 @@ object Queries {
       .select(col("doc_id"), col("n_tokens"), col("dsir_score"))
       .ordered("doc_id")
   }
+
+  // X43 — line-level exact dedup across documents (the RefinedWeb
+  // "remove duplicated lines" pass): lines (8-token chunks, the x24
+  // convention) occurring in ≥2 distinct docs are cut from every doc,
+  // docs reassembled from surviving lines in order. One explode + one
+  // hash agg + one line-keyed join + one by-doc reassembly agg — no
+  // window, nothing all-pairs.
+  q("x43_line_dedup",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+      |c AS (SELECT doc_id, l, CAST(CEIL(len(l) / 8.0) AS INT) AS nl FROM toks),
+      |lines AS (
+      |  SELECT doc_id, i, array_to_string(l[i*8+1 : i*8+8], ' ') AS line
+      |  FROM c, UNNEST(generate_series(0, nl - 1)) AS t(i)),
+      |dup AS (SELECT line FROM lines GROUP BY line
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |k AS (SELECT doc_id, i, line,
+      |        line IN (SELECT line FROM dup) AS d FROM lines)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  COALESCE(string_agg(CASE WHEN NOT d THEN line END, ' ' ORDER BY i), '')
+      |    AS clean_text
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ext.Dedup.lineDedup(Tables.documents(s, dir), "doc_id", "text")
+      .ordered("doc_id")
+  }
 }

@@ -139,6 +139,26 @@ class ExtSpec extends SparkTestBase {
     assert(same == 0)
   }
 
+  test("lineDedup: cross-doc lines removed, within-doc repeats kept, all-removed doc survives empty") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h z z z z z z z z"),
+      (3L, "q r s"),
+      (4L, "a b c d e f g h"),
+      (5L, "x x x x x x x x x x x x x x x x")).toDF("id", "text")
+    val got = Dedup.lineDedup(docs, "id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // "a b c d e f g h" lives in docs 1, 2, 4 → removed from all three
+    assert(got(1L) == ((2L, 1L, "i j k l m n o p")))
+    assert(got(2L) == ((2L, 1L, "z z z z z z z z")))
+    assert(got(3L) == ((1L, 0L, "q r s")))
+    // every line duplicated ⇒ doc survives with empty text
+    assert(got(4L) == ((1L, 1L, "")))
+    // repeats WITHIN one doc are not cross-doc duplicates — both kept
+    assert(got(5L) == ((2L, 0L, "x x x x x x x x x x x x x x x x")))
+  }
+
   test("cosine is exact on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")
