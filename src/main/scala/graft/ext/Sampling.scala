@@ -257,6 +257,128 @@ object Sampling {
       .sortWithinPartitions(col("shard"), d, key)
   }
 
+  /** Per-stratum top-k by SCORE — "keep each domain's k best documents"
+    * (domain caps / per-source quality cuts), the ranked-selection
+    * sibling of [[stratifiedTake]] (random per-stratum quota) and
+    * [[tokenBudgetSelect]] (global score budget). Result is EXACTLY the
+    * textbook `row_number() OVER (PARTITION BY strata ORDER BY score
+    * DESC, id ASC) <= k` answer — the oracle runs that form — but no
+    * window ever partitions the corpus by bare strata:
+    *   1. bucket scores on a fixed grid (`floor(score·grid)`, monotone:
+    *      a higher bucket strictly outscores a lower one, equal scores
+    *      share a bucket);
+    *   2. one hash aggregation → per-(stratum, bucket) counts —
+    *      metadata-sized;
+    *   3. a running count over that tiny frame, per stratum in bucket-
+    *      DESC order, finds the single CRITICAL bucket where rank k
+    *      lands (absent ⇔ the stratum is under quota: keep all);
+    *   4. buckets above the critical keep whole on the joined flag
+    *      (map-only); only the critical sliver pays a ranking window,
+    *      partitioned by (strata, bucket).
+    * Degenerate-bucket valve (the [[tokenBudgetSelect]] discipline):
+    * a critical bucket holding more than `maxCriticalRows` rows
+    * RECURSES on a refined score — the fractional score position
+    * within the bucket while scores still vary, else the id's
+    * normalized position (numeric ids; (score desc, id asc) is pure
+    * id asc once scores are constant). Non-numeric ids with a
+    * constant-score oversized bucket raise a loud per-row error
+    * instead of silently planning a stratum-sized window. Scores must
+    * be non-null and non-NaN. */
+  def topPerStratum(df: DataFrame, strata: Seq[String], scoreCol: Column,
+      idCol: String, k: Int, grid: Double = 1000.0,
+      maxCriticalRows: Long = 4000000L): DataFrame = {
+    val out = df.columns
+    rankQuotaPerStratum(
+        df.withColumn("__score", scoreCol.cast("double"))
+          .withColumn("__rq", lit(k.toLong)),
+        strata, idCol, grid, maxCriticalRows, 0)
+      .select(out.map(col): _*)
+  }
+
+  /** [[topPerStratum]]'s engine: df carries `__score` (the ranking
+    * score, refined per recursion level) and `__rq` (the remaining
+    * per-stratum quota, constant within a stratum). The per-stratum
+    * critical-bucket frame is COLLECTED once per level — bounded by the
+    * number of strata, never data volume (the [[mixtureTake]]/
+    * [[tokenBudgetSelect]] precedent) — so whether any stratum needs
+    * the refinement recursion is a plan-time decision, and the
+    * corpus-side join is against a broadcast-sized local relation. */
+  private def rankQuotaPerStratum(df: DataFrame, strata: Seq[String],
+      idCol: String, grid: Double, maxCriticalRows: Long,
+      depth: Int): DataFrame = {
+    val scols = strata.map(col)
+    val idIsNumeric =
+      df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val idPos =
+      if (idIsNumeric) col(idCol).cast("double") else lit(null).cast("double")
+    val withB = df.withColumn("__b", floor(col("__score") * grid).cast("long"))
+    // per-(stratum, bucket) counts + the stats the valve needs —
+    // metadata-sized (strata × occupied buckets)
+    val perB = withB.groupBy(scols :+ col("__b"): _*).agg(
+      count(lit(1)).as("__c"), max(col("__rq")).as("__q"),
+      min(col("__score")).as("__smin"), max(col("__score")).as("__smax"),
+      min(idPos).as("__imin"), max(idPos).as("__imax"))
+    // rows in strictly-higher buckets, per stratum — window over the
+    // metadata frame only, then one strata-bounded collect
+    val wDesc = Window.partitionBy(scols: _*).orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val critFrame = perB
+      .withColumn("__above", coalesce(sum(col("__c")).over(wDesc), lit(0L)))
+      .filter(col("__above") <= col("__q") && col("__above") + col("__c") > col("__q"))
+      .select(strata.map(s => col(s).as(s"__s_$s")) ++ Seq(
+        col("__b").as("__critb"), col("__above").as("__cabove"),
+        col("__c").as("__cn"), col("__q").as("__cq"),
+        col("__smin").as("__csmin"), col("__smax").as("__csmax"),
+        col("__imin").as("__cimin"), col("__imax").as("__cimax")): _*)
+    val critLocal = critFrame.collect()
+    if (critLocal.isEmpty) return df // every stratum under quota
+    val oversizedStrata = critLocal.filter(_.getAs[Long]("__cn") > maxCriticalRows)
+    oversizedStrata.find(r =>
+        r.getAs[Double]("__csmin") == r.getAs[Double]("__csmax") && !idIsNumeric)
+      .foreach { _ => throw new IllegalArgumentException(
+        s"topPerStratum: a constant-score critical bucket exceeds " +
+        s"maxCriticalRows=$maxCriticalRows and id '$idCol' is non-numeric " +
+        "— raise grid to match score resolution or raise maxCriticalRows") }
+    require(oversizedStrata.isEmpty || depth < 12,
+      s"topPerStratum: bucket refinement did not converge after $depth " +
+      "levels — ids are likely non-distinct; raise maxCriticalRows or grid")
+    val spark = df.sparkSession
+    val crit = spark.createDataFrame(
+      java.util.Arrays.asList(critLocal: _*), critFrame.schema)
+    val joinCond = strata.map(s => col(s) <=> col(s"__s_$s")).reduce(_ && _)
+    val joined = withB.join(broadcast(crit), joinCond, "left")
+    val outCols = df.columns.map(col)
+    // under-quota strata (no critical bucket) and higher buckets keep
+    // whole — no window touches them
+    val wholeKept = joined.filter(col("__critb").isNull || col("__b") > col("__critb"))
+    val critRows = joined.filter(col("__b") === col("__critb"))
+    // the critical sliver pays the only per-row ranking window
+    val wCrit = Window.partitionBy(scols :+ col("__b"): _*)
+      .orderBy(col("__score").desc, col(idCol).asc)
+    val ranked = critRows.filter(col("__cn") <= maxCriticalRows)
+      .withColumn("__rk", row_number().over(wCrit))
+      .filter(col("__cabove") + col("__rk") <= col("__cq"))
+    val base = wholeKept.select(outCols: _*).union(ranked.select(outCols: _*))
+    if (oversizedStrata.isEmpty) base
+    else {
+      // refined score: fractional in-bucket score position while scores
+      // vary (an increasing affine map — order unchanged); the id's
+      // normalized position once constant ((score desc, id asc) is pure
+      // id asc there; double-rounding ties break on the id tiebreak)
+      val refined = when(col("__csmin") =!= col("__csmax"),
+          col("__score") * grid - col("__critb"))
+        .otherwise(-((idPos - col("__cimin")) /
+          greatest(col("__cimax") - col("__cimin"), lit(1.0))))
+      val recursed = rankQuotaPerStratum(
+        critRows.filter(col("__cn") > maxCriticalRows)
+          .withColumn("__score", refined)
+          .withColumn("__rq", col("__cq") - col("__cabove"))
+          .select(outCols: _*),
+        strata, idCol, math.max(grid, 1024.0), maxCriticalRows, depth + 1)
+      base.union(recursed.select(outCols: _*))
+    }
+  }
+
   /** Token-budget corpus selection: keep documents in descending
     * `scoreCol` order (ties → ascending `idCol`) while the running token
     * total stays ≤ `budget` — "take the best B tokens", the curation

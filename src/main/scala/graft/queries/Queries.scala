@@ -2987,4 +2987,33 @@ object Queries {
     graft.ext.Dedup.lineDedup(Tables.documents(s, dir), "doc_id", "text")
       .ordered("doc_id")
   }
+
+  // X44 — per-domain caps: each source keeps its 5 best documents by
+  // quality score (9-rounded stopword ratio), the ranked-selection
+  // sibling of x15 (random quota) and x33 (global budget). The oracle
+  // runs the textbook per-stratum row_number window; topPerStratum
+  // reproduces it with score-bucket thresholds — no window ever
+  // partitions the corpus by bare source.
+  q("x44_domain_cap",
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    ROUND(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |         t -> list_contains(['the','a','of','and','to','is'], t))) AS DOUBLE)
+      |      / len(regexp_split_to_array(trim(text), '\s+')), 9) AS score
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, score,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored)
+      |SELECT doc_id, source, score FROM r WHERE rk <= 5
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val feats = graft.ext.TextOps.qualityFeatures(col("text")).toMap
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        round(feats("stopword_ratio"), 9).as("score"))
+    graft.ext.Sampling.topPerStratum(scored, Seq("source"), col("score"),
+        "doc_id", k = 5)
+      .ordered("doc_id")
+  }
 }

@@ -135,6 +135,63 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("topPerStratum property: random scored corpora == in-memory ranked reference") {
+    // the score-bucket machinery vs the textbook semantics: per stratum
+    // keep the top-k under (score desc, id asc) — quantized scores
+    // force heavy in-bucket ties, strata smaller than k keep whole
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 8) {
+      val nStrata = 1 + rnd.nextInt(5)
+      val quant = 1 + rnd.nextInt(20) // coarse → many exact ties
+      val rows = (1L to (20 + rnd.nextInt(200))).map { id =>
+        (id, s"s${rnd.nextInt(nStrata)}", rnd.nextInt(quant) / quant.toDouble) }
+      val k = 1 + rnd.nextInt(12)
+      val df = rows.toDF("id", "grp", "score").repartition(1 + rnd.nextInt(5))
+      val got = Sampling.topPerStratum(df, Seq("grp"), col("score"), "id", k)
+        .select("id").as[Long].collect().sorted.toSeq
+      val expect = rows.groupBy(_._2).values.flatMap { grp =>
+        grp.sortBy(r => (-r._3, r._1)).take(k).map(_._1)
+      }.toSeq.sorted
+      assert(got == expect, s"trial $trial k=$k strata=$nStrata quant=$quant")
+    }
+  }
+
+  test("topPerStratum valve: constant scores recurse on id position; windows stay bucket-partitioned") {
+    // every score identical ⇒ level-0 critical bucket IS each stratum;
+    // with maxCriticalRows below the stratum size the valve must refine
+    // on the id's normalized position instead of windowing the stratum
+    val rows = (1L to 400L).map(id => (id, s"s${id % 3}", 0.5))
+    val df = rows.toDF("id", "grp", "score").repartition(5)
+    val got = Sampling.topPerStratum(df, Seq("grp"), col("score"), "id",
+        k = 7, maxCriticalRows = 10L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val expect = rows.groupBy(_._2).values.flatMap { grp =>
+      grp.sortBy(r => (-r._3, r._1)).take(7).map(_._1) }.toSeq.sorted
+    assert(got == expect)
+    // plan guard: every per-row ranking window partitions by the score
+    // bucket, never bare strata
+    val sel = Sampling.topPerStratum(df, Seq("grp"), col("score"), "id",
+      k = 7, maxCriticalRows = 10L)
+    sel.collect()
+    val windowRe = """Window \[(.*?)\], \[(.*?)\], \[(.*?)\]""".r
+    val plan = sel.queryExecution.executedPlan.toString
+    windowRe.findAllMatchIn(plan).foreach { m =>
+      if (m.group(1).contains("row_number"))
+        assert(m.group(2).contains("__b"),
+          s"ranking window must partition by the score bucket, got [${m.group(2)}]:\n$plan")
+    }
+  }
+
+  test("topPerStratum: non-numeric id with a constant-score oversized bucket fails loudly") {
+    val rows = (1L to 100L).map(id => (s"doc$id", "only", 0.5))
+    val df = rows.toDF("id", "grp", "score")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.topPerStratum(df, Seq("grp"), col("score"), "id",
+        k = 3, maxCriticalRows = 10L).collect()
+    }
+    assert(e.getMessage.contains("non-numeric"))
+  }
+
   test("shuffledOrder: bucket-offset ranking == the textbook global window, and no global sort plans") {
     val docs = Tables.documents(spark, dir).select("doc_id")
     val got = Sampling.shuffledOrder(docs, col("doc_id"), seed)
