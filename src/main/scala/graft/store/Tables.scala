@@ -68,16 +68,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is nanosecond-precision parquet, which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw long ns (legacy
-    * conf) and truncate to micros with integer division — the same
-    * truncation DuckDB applies reading ns into its µs TIMESTAMP, so the
-    * two engines see identical timestamps. (Double division would lose
-    * precision: 2024 epoch-ns ≈ 1.7e18 > 2^53.) */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark only reads as raw long
+    * ns under the legacy conf, truncated here to micros with integer
+    * division (the same truncation DuckDB applies reading ns into its µs
+    * TIMESTAMP; double division would lose precision, 2024 epoch-ns ≈
+    * 1.7e18 > 2^53) — and TIMESTAMP(MICROS) without a UTC flag, which
+    * Spark reads as TIMESTAMP_NTZ. Both normalize to the session
+    * TimestampType; under the pinned UTC session zone the NTZ cast is a
+    * wall-clock identity, so either generation yields the timestamps
+    * DuckDB sees. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(spark, dir, "events"))
   }
 
   /** Epoch micros of a Timestamp (µs precision — the store's own). */
@@ -85,20 +97,37 @@ object Tables {
     t.getTime * 1000L + t.getNanos / 1000 % 1000
 
   /** Window-clipped events scan with PUSHDOWN: predicates on the
-    * converted `ts` cannot reach parquet (the scan column is raw ns
-    * long under the conversion expression — see the plan for
-    * s1_window_scan), so this helper filters the *raw* long first —
-    * `ts_ns div 1000 >= T_us  ⇔  ts_ns >= T_us * 1000` for the
-    * truncating div — which lands in PushedFilters and prunes row
-    * groups. At 100 TB the monitor path reads Ingest-materialized
-    * rollups whose `ts` is a native timestamp column (pushdown is free
-    * there); this matters for pipelines over the raw event log. */
+    * *converted* `ts` cannot reach parquet (the scan column sits under a
+    * conversion expression — see the plan for s1_window_scan), so this
+    * helper filters on the NATIVE stored type first — raw long ns
+    * (`ts_ns div 1000 >= T_us  ⇔  ts_ns >= T_us * 1000` for the
+    * truncating div) or an NTZ literal — which lands in PushedFilters
+    * and prunes row groups. At 100 TB the monitor path reads
+    * Ingest-materialized rollups whose `ts` is a native timestamp column
+    * (pushdown is free there); this matters for pipelines over the raw
+    * event log. */
+  private def ntzLit(us: Long): org.apache.spark.sql.Column =
+    lit(java.time.LocalDateTime.ofEpochSecond(
+      java.lang.Math.floorDiv(us, 1000000L),
+      (java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC))
+
   private def eventsRawWindowed(spark: SparkSession, dir: String,
       fromUs: Long, untilUsExclusive: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .where(col("ts") >= lit(fromUs * 1000L) && col("ts") < lit(untilUsExclusive * 1000L))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.where(col("ts") >= lit(fromUs * 1000L) &&
+            col("ts") < lit(untilUsExclusive * 1000L))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.where(col("ts") >= ntzLit(fromUs) && col("ts") < ntzLit(untilUsExclusive))
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        raw.where(col("ts") >= timestamp_micros(lit(fromUs)) &&
+          col("ts") < timestamp_micros(lit(untilUsExclusive)))
+    }
   }
 
   def eventsWindowed(spark: SparkSession, dir: String,

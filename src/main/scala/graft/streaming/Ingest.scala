@@ -17,28 +17,39 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
-  /** Raw events schema — ts read as long nanos (see Tables.events: the
-    * parquet is TIMESTAMP(NANOS), which Spark only reads as int64). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw events schema — `ts` has shipped as TIMESTAMP(NANOS) (readable
+    * only as int64 under the legacy conf) and as TIMESTAMP(MICROS)
+    * without a UTC flag (read as TIMESTAMP_NTZ); a streaming source
+    * needs the schema up front, so probe the stored type with a batch
+    * metadata read and declare what the files actually contain. */
+  def eventsSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** The streaming rollup DataFrame (unstarted). */
   def rollupStream(spark: SparkSession, srcDir: String,
       lateness: String = "2 minutes"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(srcDir).schema("ts").dataType
+    val tsAsTimestamp = tsType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
     spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchema(tsType))
       // the source wants a directory to monitor; testdata ships one file
       .option("pathGlobFilter", "events.parquet")
       .parquet(srcDir)
       .select(
         concat(lit("events."), col("event_type")).as("metric"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        tsAsTimestamp.as("ts"),
         col("value"))
       .withWatermark("ts", lateness)
       .groupBy(col("metric"), window(col("ts"), "1 minute").as("w"))

@@ -17,14 +17,24 @@ class PushdownSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
-  test("eventsWindowed pushes the time range to the parquet scan as raw-ns bounds") {
+  /** The stored `ts` type differs across testdata generations (raw long
+    * ns under the legacy nanos conf; TIMESTAMP_NTZ for µs parquet), so a
+    * pushed bound renders either as epoch-ns or as an ISO local
+    * datetime. Accept both — what matters is that the bound reached
+    * PushedFilters at all. */
+  private def pushedTs(scan: String, op: String, t: java.time.LocalDateTime): Boolean = {
+    val ns = t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + t.getNano
+    scan.contains(s"$op(ts,${t.toString})") || scan.contains(s"$op(ts,$ns")
+  }
+
+  test("eventsWindowed pushes the time range to the parquet scan as native bounds") {
     val df = Tables.eventsWindowed(spark, dir,
       Timestamp.valueOf("2024-01-10 00:00:00"), Timestamp.valueOf("2024-01-11 00:00:00"))
     val scan = df.queryExecution.executedPlan.toString
     assert(scan.contains("PushedFilters"), scan)
-    assert(scan.contains("GreaterThanOrEqual(ts,1704844800000000000"),
+    assert(pushedTs(scan, "GreaterThanOrEqual", java.time.LocalDateTime.parse("2024-01-10T00:00")),
       s"ts lower bound not pushed:\n$scan")
-    assert(scan.contains("LessThan(ts,1704931200000000000"),
+    assert(pushedTs(scan, "LessThan", java.time.LocalDateTime.parse("2024-01-11T00:00")),
       s"ts upper bound not pushed:\n$scan")
   }
 
@@ -45,10 +55,11 @@ class PushdownSpec extends SparkTestBase {
       graft.store.MetricSource.events(spark, dir), spec,
       Timestamp.valueOf("2024-01-15 12:00:00"))
     val scan = df.queryExecution.executedPlan.toString
-    // [11:00, 12:00] inclusive → raw-ns bounds [T_from*1000, (T_until_µs+1)*1000)
-    assert(scan.contains("GreaterThanOrEqual(ts,1705316400000000000"),
+    // [11:00, 12:00] inclusive → native bounds [T_from, T_until + 1µs)
+    assert(pushedTs(scan, "GreaterThanOrEqual", java.time.LocalDateTime.parse("2024-01-15T11:00")),
       s"clip lower bound not pushed:\n$scan")
-    assert(scan.contains("LessThan(ts,1705320000000001000"),
+    assert(pushedTs(scan, "LessThan",
+        java.time.LocalDateTime.parse("2024-01-15T12:00").plusNanos(1000)),
       s"clip upper bound not pushed:\n$scan")
   }
 
@@ -61,10 +72,11 @@ class PushdownSpec extends SparkTestBase {
       Timestamp.valueOf("2024-01-10 06:00:00"),
       Timestamp.valueOf("2024-01-10 18:00:00"), stepMinutes = 120)
     val scan = df.queryExecution.executedPlan.toString
-    // lower bound = from − 720 min = 2024-01-09 18:00 in raw ns
-    assert(scan.contains("GreaterThanOrEqual(ts,1704823200000000000"),
+    // lower bound = from − 720 min = 2024-01-09 18:00
+    assert(pushedTs(scan, "GreaterThanOrEqual", java.time.LocalDateTime.parse("2024-01-09T18:00")),
       s"sweep lower bound not pushed:\n$scan")
-    assert(scan.contains("LessThan(ts,1704909600000001000"),
+    assert(pushedTs(scan, "LessThan",
+        java.time.LocalDateTime.parse("2024-01-10T18:00").plusNanos(1000)),
       s"sweep upper bound not pushed:\n$scan")
   }
 
