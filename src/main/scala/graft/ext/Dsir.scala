@@ -39,17 +39,13 @@ object Dsir {
   private def toks(textCol: Column): Column = split(trim(lower(textCol)), "\\s+")
 
   /** Unigrams ++ bigrams of the lowercased whitespace tokens — the
-    * feature stream both LMs and the scorer share. (Spark's `sequence`
-    * DESCENDS when stop < start, so the bigram branch is guarded for
-    * single-token docs; DuckDB's `range` is empty there.) */
-  def grams(textCol: Column): Column = {
-    val w = toks(textCol)
-    val bi = when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    concat(w, bi)
-  }
+    * feature stream both LMs and the scorer share. One codegen'd pass
+    * ([[graft.functions.TextExpressions.UnigramBigramConcat]]): the
+    * higher-order `transform(sequence(...))` formulation has no codegen
+    * path and evaluated interpreted — a measured ~1.7 s of the x42 gate
+    * at sf0.1. Output is bit-identical (FunctionsSpec pins it). */
+  def grams(textCol: Column): Column =
+    graft.functions.TextExpressions.uniBigrams(toks(textCol))
 
   /** A gram's hashed bucket: the md5 hex PREFIX itself (portable). */
   def bucketOf(gram: Column): Column = substring(md5(gram), 1, 4)
@@ -69,15 +65,29 @@ object Dsir {
     * model costs nothing to ship to 1000 executors. */
   final case class DsirModel(ratios: DataFrame, stats: DataFrame)
 
-  /** Fit the two hashed-ngram LMs: one aggregation pass over `target`,
-    * one over `raw`. */
+  /** Fit the two hashed-ngram LMs in exactly TWO corpus passes: each
+    * [[bucketCounts]] aggregation collapses its corpus to a ≤65536-row
+    * model frame, collected driver-side (the model-bounded-collect
+    * discipline — centroids/codebooks precedent) and recreated as local
+    * frames. Consequences: (a) nt/nr are Σcnt over the already-
+    * aggregated bucket frames — never a re-explode of the gram stream
+    * (total gram count ≡ sum of its bucket counts); (b) `ratios` is
+    * computed over local frames, so every downstream [[weights]] call
+    * broadcasts a materialized model instead of replaying the corpus
+    * aggregation lineage per scoring query. The log-ratio arithmetic is
+    * the same Spark expression as before — results are bit-identical. */
   def fit(raw: DataFrame, target: DataFrame, textCol: String): DsirModel = {
-    val tc = bucketCounts(target, textCol).withColumnRenamed("cnt", "__ct")
-    val rc = bucketCounts(raw, textCol).withColumnRenamed("cnt", "__cr")
-    val stats = target.select(explode(grams(col(textCol))).as("__g"))
-      .agg(count(lit(1)).cast("double").as("nt"))
-      .crossJoin(raw.select(explode(grams(col(textCol))).as("__g"))
-        .agg(count(lit(1)).cast("double").as("nr")))
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val tcRows = bucketCounts(target, textCol).collect()
+    val rcRows = bucketCounts(raw, textCol).collect()
+    val nt = tcRows.iterator.map(_.getLong(1)).sum.toDouble
+    val nr = rcRows.iterator.map(_.getLong(1)).sum.toDouble
+    val tc = tcRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("bkt", "__ct")
+    val rc = rcRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("bkt", "__cr")
+    val stats = Seq((nt, nr)).toDF("nt", "nr")
     val ratios = rc.join(tc, Seq("bkt"), "left")
       .crossJoin(broadcast(stats))
       .select(col("bkt"),
@@ -97,12 +107,25 @@ object Dsir {
       textCol: String): DataFrame = {
     val g = df.select(col(idCol), explode(grams(col(textCol))).as("__g"))
       .select(col(idCol), bucketOf(col("__g")).as("bkt"))
-    val unseen = round(log((col("nr") + B) / (col("nt") + B)), 9).cast(LrType)
-    g.join(model.ratios, Seq("bkt"), "left")
+    // The corpus-scale aggregation sums each 9-decimal ratio as its
+    // exact UNSCALED long (lr·1e9 — integer-valued by construction):
+    // the decimal→long conversion happens on the ≤65536-row model
+    // frame, the per-doc sum is a primitive long aggregation (the
+    // decimal hash-agg was a measured ~40% of scoring cost), and the
+    // exact decimal reappears at group level — |Σ| stays far below
+    // 2^63 for any document (≤ n_grams · ~30·1e9).
+    val ratiosU = model.ratios.select(col("bkt"),
+      (col("lr") * lit(1000000000L)).cast("long").as("lr_u"))
+    val unseenU = (round(log((col("nr") + B) / (col("nt") + B)), 9)
+      .cast(LrType) * lit(1000000000L)).cast("long")
+    g.join(broadcast(ratiosU), Seq("bkt"), "left")
       .crossJoin(broadcast(model.stats))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("lr"), unseen)).as("weight_dec"))
+        sum(coalesce(col("lr_u"), unseenU)).as("w_u"))
+      .select(col(idCol), col("n_grams"),
+        (col("w_u").cast(DecimalType(38, 10)) / lit(1000000000L))
+          .cast(DecimalType(38, 10)).as("weight_dec"))
   }
 
   /** Length-normalized importance score — weight per gram, rounded to

@@ -43,20 +43,26 @@ object Retrieval {
     df.select(col(idCol), size(toks(col(textCol))).cast("double").as("dl"))
 
   /** The persisted form of the lexical index: the postings table, the
-    * per-doc lengths, and the 1-row corpus stats — built once per
-    * corpus snapshot ([[buildIndex]]), written to storage (postings
-    * repartitioned by `term`, the layout every query's candidate fetch
-    * prunes on), and reused by every [[bm25FromIndex]]/
-    * [[bm25BatchFromIndex]] call. The inline [[bm25]]/[[bm25Batch]]
-    * forms rebuild all three per call — correct, but a production eval
-    * battery should not re-explode 100 TB of corpus per query batch. */
+    * per-doc lengths, the 1-row corpus stats, AND the per-term document
+    * frequencies — built once per corpus snapshot ([[buildIndex]]),
+    * written to storage (postings repartitioned by `term`, the layout
+    * every query's candidate fetch prunes on), and reused by every
+    * [[bm25FromIndex]]/[[bm25BatchFromIndex]] call. `dfreq` is a static
+    * property of the snapshot: persisting it means a query battery
+    * never pays a corpus-postings-wide aggregation for it (at 100 TB
+    * that agg per eval battery was the dominant avoidable cost). The
+    * inline [[bm25]]/[[bm25Batch]] forms rebuild everything per call —
+    * correct, but a production eval battery should not re-explode
+    * 100 TB of corpus per query batch. */
   final case class LexIndex(postings: DataFrame, docLengths: DataFrame,
-    stats: DataFrame)
+    stats: DataFrame, dfreq: DataFrame)
 
   def buildIndex(df: DataFrame, idCol: String, textCol: String): LexIndex = {
     val dl = docLengths(df, idCol, textCol)
-    LexIndex(postings(df, idCol, textCol), dl,
-      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
+    val post = postings(df, idCol, textCol)
+    LexIndex(post, dl,
+      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")),
+      post.groupBy("term").agg(count(lit(1)).cast("double").as("df")))
   }
 
   /** Persist / reload the index (postings laid out by term — the
@@ -66,12 +72,14 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/postings")
     index.docLengths.write.mode("overwrite").parquet(s"$path/doc_lengths")
     index.stats.write.mode("overwrite").parquet(s"$path/stats")
+    index.dfreq.write.mode("overwrite").parquet(s"$path/dfreq")
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): LexIndex =
     LexIndex(spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/doc_lengths"),
-      spark.read.parquet(s"$path/stats"))
+      spark.read.parquet(s"$path/stats"),
+      spark.read.parquet(s"$path/dfreq"))
 
   /** Incremental index maintenance: fold a batch of NEW documents into
     * an existing index without touching the already-indexed corpus —
@@ -86,9 +94,21 @@ object Retrieval {
     * docs would double-count: diff first, merge the `added` set). */
   def mergeIndex(index: LexIndex, addedDocs: DataFrame, idCol: String,
       textCol: String): LexIndex = {
+    val addedPost = postings(addedDocs, idCol, textCol)
     val dl = index.docLengths.union(docLengths(addedDocs, idCol, textCol))
-    LexIndex(index.postings.union(postings(addedDocs, idCol, textCol)), dl,
-      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")))
+    // df merges by SUM over the disjoint doc sets: a term's df over
+    // old ∪ added = df_old + df_added, and df values are integer-valued
+    // doubles, so the sum is exact — bit-identical to a full rebuild's
+    // count over the merged postings (RetrievalSpec pins this). Cost is
+    // delta-postings + a join keyed on the dfreq table's own `term`.
+    val dfMerged = index.dfreq.withColumnRenamed("df", "df_old")
+      .join(addedPost.groupBy("term").agg(count(lit(1)).cast("double").as("df_add")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_old"), lit(0.0)) + coalesce(col("df_add"), lit(0.0))).as("df"))
+    LexIndex(index.postings.union(addedPost), dl,
+      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")),
+      dfMerged)
   }
 
   private def bm25Contrib(k1: Double, b: Double): Column = round(
@@ -105,12 +125,14 @@ object Retrieval {
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25FromIndex(buildIndex(df, idCol, textCol), idCol, queryTerms, k1, b)
 
-  /** [[bm25]] over a prebuilt/persisted [[LexIndex]]. */
+  /** [[bm25]] over a prebuilt/persisted [[LexIndex]]. The df lookup is
+    * a |queryTerms|-row filter on the persisted dfreq table — never an
+    * aggregation over the postings. */
   def bm25FromIndex(index: LexIndex, idCol: String, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tf = index.postings.filter(col("term").isin(queryTerms: _*))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    tf.join(dfreq, "term")
+    val dfreq = index.dfreq.filter(col("term").isin(queryTerms: _*))
+    tf.join(broadcast(dfreq), "term")
       .join(index.docLengths, idCol)
       .crossJoin(broadcast(index.stats))
       .select(col(idCol), bm25Contrib(k1, b).as("c"))
@@ -158,17 +180,36 @@ object Retrieval {
   def bm25BatchFromIndex(index: LexIndex, idCol: String, queries: DataFrame,
       queryIdCol: String = "query_id", termCol: String = "term",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dfreq = index.postings.groupBy("term")
-      .agg(count(lit(1)).cast("double").as("df"))
     // a query's terms are a SET (the Seq form's isin semantics)
     val qt = queries.select(col(queryIdCol), col(termCol).as("term")).distinct()
-    index.postings.join(qt, "term")
-      .join(dfreq, "term")
+    val qterms = qt.select("term").distinct()
+    // df comes off the persisted dfreq table restricted to the battery's
+    // terms — |battery terms| rows, never a corpus-postings agg.
+    val dfq = index.dfreq.join(qterms, "term")
+    // A term's BM25 contribution is a function of (term, doc) ALONE —
+    // df, tf, dl, corpus stats — not of the query. So score each
+    // touched (term, doc) pair ONCE, then fan out to queries: with a
+    // battery whose terms are common (the realistic eval shape), the
+    // candidate expansion is |battery| × |postings(term)| rows, an
+    // order of magnitude more than the distinct (term, doc) pairs —
+    // putting the round(log(...))→decimal arithmetic on the pairs
+    // instead of the expansion was a measured 3× on the x38 gate.
+    // The 9-decimal contribution rides the expansion as its exact
+    // UNSCALED long (c·1e9 — integer-valued by construction), so the
+    // per-(query, doc) sum is a primitive long aggregation, converted
+    // back to the exact DECIMAL sum only at group level.
+    val scoredTD = index.postings.join(broadcast(qterms), "term")
+      .join(broadcast(dfq), "term")
       .join(index.docLengths, idCol)
       .crossJoin(broadcast(index.stats))
-      .select(col(queryIdCol), col(idCol), bm25Contrib(k1, b).as("c"))
+      .select(col("term"), col(idCol),
+        (bm25Contrib(k1, b) * lit(1000000000L)).cast("long").as("c_u"))
+    scoredTD.join(broadcast(qt), "term")
       .groupBy(col(queryIdCol), col(idCol))
-      .agg(sum(col("c")).as("score_dec"))
+      .agg(sum(col("c_u")).as("s_u"))
+      .select(col(queryIdCol), col(idCol),
+        (col("s_u").cast(DecimalType(38, 10)) / lit(1000000000L))
+          .cast(DecimalType(28, 10)).as("score_dec"))
   }
 
   /** Per-query top-k over [[bm25Batch]]: (queryIdCol, idCol, score, rk).
@@ -178,10 +219,20 @@ object Retrieval {
   def bm25TopKBatch(df: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k: Int, queryIdCol: String = "query_id",
       termCol: String = "term",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKBatchFromIndex(buildIndex(df, idCol, textCol), idCol, queries, k,
+      queryIdCol, termCol, k1, b)
+
+  /** [[bm25TopKBatch]] over a prebuilt/persisted [[LexIndex]] — the
+    * production eval-battery shape: the measured cost is the battery,
+    * not an index rebuild. */
+  def bm25TopKBatchFromIndex(index: LexIndex, idCol: String,
+      queries: DataFrame, k: Int, queryIdCol: String = "query_id",
+      termCol: String = "term",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score_dec").desc, col(idCol))
-    bm25Batch(df, idCol, textCol, queries, queryIdCol, termCol, k1, b)
+    bm25BatchFromIndex(index, idCol, queries, queryIdCol, termCol, k1, b)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col(queryIdCol), col(idCol),
@@ -275,10 +326,21 @@ object Retrieval {
   def hybridTopKBatch(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, ann: DataFrame, k: Int,
       queryIdCol: String = "query_id", termCol: String = "term",
+      perList: Int = 50, k0: Double = 60.0): DataFrame =
+    hybridTopKBatchFromIndex(buildIndex(docs, idCol, textCol), idCol, queries,
+      ann, k, queryIdCol, termCol, perList, k0)
+
+  /** [[hybridTopKBatch]] over a prebuilt/persisted [[LexIndex]] — pair
+    * with a stored ANN index ([[Ivf]]/[[Pq]] top-k, which already take
+    * query DataFrames) and the whole serving path touches only
+    * persisted index structures, never the corpus text. */
+  def hybridTopKBatchFromIndex(index: LexIndex, idCol: String,
+      queries: DataFrame, ann: DataFrame, k: Int,
+      queryIdCol: String = "query_id", termCol: String = "term",
       perList: Int = 50, k0: Double = 60.0): DataFrame = {
     val wLex = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score_dec").desc, col(idCol))
-    val lex = bm25Batch(docs, idCol, textCol, queries, queryIdCol, termCol)
+    val lex = bm25BatchFromIndex(index, idCol, queries, queryIdCol, termCol)
       .withColumn("rank", row_number().over(wLex))
       .filter(col("rank") <= perList)
       .select(col(queryIdCol), col(idCol), col("rank"))

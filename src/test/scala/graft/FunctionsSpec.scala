@@ -53,6 +53,40 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getDouble(0) == 11.0 && r.getLong(1) == 2L)
   }
 
+  test("graft_uni_bigrams is bit-identical to the transform/element_at form") {
+    import graft.functions.TextExpressions
+    val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = split(trim(lower(col("text"))), "\\s+")
+    val hof = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bad = docs.select(
+        TextExpressions.uniBigrams(w).as("fused"),
+        concat(w, hof).as("ref"))
+      .filter(not(col("fused") <=> col("ref")))
+    assert(bad.count() == 0)
+    // edge cases through both eval paths: empty-ish, single, two tokens
+    val cases = Seq("x", "a b", "a b c", "  lone  ").toDF("text")
+    val edge = cases.select(
+        TextExpressions.uniBigrams(split(trim(lower(col("text"))), "\\s+")).as("fused"),
+        concat(split(trim(lower(col("text"))), "\\s+"),
+          when(size(split(trim(lower(col("text"))), "\\s+")) >= 2,
+            transform(sequence(lit(1), size(split(trim(lower(col("text"))), "\\s+")) - 1),
+              i => concat(element_at(split(trim(lower(col("text"))), "\\s+"), i), lit(" "),
+                element_at(split(trim(lower(col("text"))), "\\s+"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("ref"))
+      .filter(not(col("fused") <=> col("ref")))
+    assert(edge.count() == 0)
+    // interpreted path (direct eval)
+    val e = TextExpressions.UnigramBigramConcat(
+      org.apache.spark.sql.graft.ColumnBridge.expr(lit(Array("a", "b", "c"))))
+    val got = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(got == Seq("a", "b", "c", "a b", "b c"))
+  }
+
   private def Tables_embeddings() =
     graft.store.Tables.embeddings(spark, "/root/testdata/sf0.001")
 }

@@ -187,6 +187,10 @@ class RetrievalSpec extends SparkTestBase {
     // stats bit-identical (dl is integer-valued, the sum is exact)
     assert(merged.stats.as[(Double, Double)].collect().toSeq ==
       full.stats.as[(Double, Double)].collect().toSeq)
+    // df merges by sum over the disjoint doc sets — bit-identical to the
+    // rebuild's count over merged postings (integer-valued doubles)
+    assert(merged.dfreq.as[(String, Double)].collect().toSet ==
+      full.dfreq.as[(String, Double)].collect().toSet)
     // and so is every downstream score
     val terms = Seq("data", "dup", "spark")
     val a = Retrieval.bm25FromIndex(merged, "doc_id", terms)
