@@ -446,12 +446,18 @@ object Dedup {
     * empty text (drop on `n_removed === n_lines` downstream if whole
     * removal is wanted).
     *
-    * Scale shape: one explode → one hash aggregation keyed by the line
-    * (map-side partials collapse each partition's repeats first) → one
-    * line-keyed join of the duplicate set back to the exploded frame →
-    * one by-doc aggregation for reassembly. Nothing is all-pairs and no
-    * window is involved; the duplicate-set join key is the line string
-    * itself, so the verdict is exact (no hash-collision caveat). */
+    * Scale shape: one explode → one hash aggregation → one join of the
+    * duplicate set back to the exploded frame → one by-doc aggregation
+    * for reassembly. Nothing is all-pairs and no window is involved.
+    * Both the dup aggregation's exchange and the dup join KEY on
+    * `xxhash64(line)` — an 8-byte key instead of the line string (the
+    * x21 "grams hashed to longs pre-shuffle" precedent: hashing, sort
+    * and comparison on the exchange work on fixed-width longs) — while
+    * exactness is preserved structurally: the aggregation still GROUPS
+    * by (hash, line) (the hash-only repartition co-locates every equal
+    * line, so no second exchange is planned and colliding lines count
+    * separately), and the join re-checks string equality, so a hash
+    * collision can never merge or mis-flag distinct lines. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2, lineTokens: Int = 8): DataFrame = {
     val w = split(trim(col(textCol)), "\\s+")
@@ -462,11 +468,14 @@ object Dedup {
         sequence(lit(0), col("__nl") - 1),
         i => concat_ws(" ", slice(col("__w"), i * lineTokens + 1, lit(lineTokens))))))
       .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__line")
-    val dup = lines.groupBy(col("__line"))
+      .withColumn("__lh", xxhash64(col("__line")))
+    val dup = lines.repartition(col("__lh"))
+      .groupBy(col("__lh"), col("__line"))
       .agg(countDistinct(col(idCol)).as("__dc"))
       .filter(col("__dc") >= minDocs)
-      .select(col("__line"), lit(true).as("__dup"))
-    lines.join(dup, Seq("__line"), "left")
+      .select(col("__lh"), col("__line").as("__dline"), lit(true).as("__dup"))
+    lines.join(dup,
+        lines("__lh") === dup("__lh") && col("__line") === col("__dline"), "left")
       .withColumn("__keep", coalesce(col("__dup"), lit(false)) === false)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),

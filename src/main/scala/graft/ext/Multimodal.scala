@@ -76,6 +76,144 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec backed by the JDK's `javax.imageio` — no native
+    * library needed in-container: PNG and JPEG (and BMP/GIF) decode to
+    * pixels, features and checksums are computed from the DECODED ARGB
+    * raster (so a corrupted payload fails loudly instead of hashing
+    * garbage bytes), and resize is an integer-exact nearest-neighbor
+    * resample re-encoded as PNG. This closes the gap [[FakeCodec]]
+    * stubbed: a production multimodal column over PNG/JPEG payloads
+    * runs end-to-end on the JDK alone; swap in libjpeg-turbo/ffmpeg
+    * behind the same [[Codec]] seam when throughput demands it.
+    *
+    * Determinism: PNG decode is lossless (pixels are the payload's),
+    * the feature math is fixed-order float arithmetic, and the
+    * nearest-neighbor index map `src = floor(dst · in / out)` is pure
+    * integer math — ExtSpec pins decoded pixels and features to golden
+    * values computed from first principles. */
+  object ImageIoCodec extends Codec {
+    val FeatureDim = 8
+    override def featureDim: Int = FeatureDim
+
+    private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    /** [w, h, aspect, meanR, meanG, meanB, meanLuma, edgeEnergy] over
+      * the decoded pixels (means in [0,1]; luma = BT.601; edgeEnergy =
+      * mean |luma − right-neighbor luma|, a cheap sharpness proxy). */
+    override def decode(payload: Array[Byte]): Array[Float] = {
+      val img = read(payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb, sl, se) = (0.0, 0.0, 0.0, 0.0, 0.0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        var prevL = 0.0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = ((p >> 16) & 0xFF) / 255.0
+          val g = ((p >> 8) & 0xFF) / 255.0
+          val b = (p & 0xFF) / 255.0
+          val l = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += l
+          if (x > 0) se += math.abs(l - prevL)
+          prevL = l
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w * h).toDouble
+      val ne = (math.max(w - 1, 1) * h).toDouble
+      Array(w.toFloat, h.toFloat, (w.toDouble / h).toFloat,
+        (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+        (sl / n).toFloat, (se / ne).toFloat)
+    }
+
+    /** Rolling hash over the decoded ARGB ints in raster order — a
+      * content checksum of the IMAGE, not its container bytes (two
+      * encodings of the same pixels collide, as they should). */
+    override def checksum(payload: Array[Byte]): Long = {
+      val img = read(payload)
+      var h = 1125899906842597L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { h = 31 * h + img.getRGB(x, y); x += 1 }
+        y += 1
+      }
+      h
+    }
+
+    /** Nearest-neighbor resize so the longest side fits `box` (aspect
+      * preserved, same metadata math as [[resizeToFit]]), re-encoded as
+      * PNG. `src = dst · in div out` — integer-exact, engine-portable. */
+    def resizePayload(payload: Array[Byte], box: Int): Array[Byte] = {
+      val img = read(payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val longest = math.max(w, h)
+      if (longest <= box) return encodePng(img)
+      val ow = math.max(1, w * box / longest)
+      val oh = math.max(1, h * box / longest)
+      val out = new java.awt.image.BufferedImage(ow, oh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          out.setRGB(x, y, img.getRGB(x * w / ow, y * h / oh))
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(out)
+    }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic test-pattern PNG: pixel (x, y) of image `seed` is
+      * an RGB gradient keyed by (seed, x, y) — the fixture generator
+      * for gates/specs exercising the REAL decode path. */
+    def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((seed + x * 7 + y * 13) % 256).toInt
+          val g = ((seed * 3 + x * 11 + y * 5) % 256).toInt
+          val b = ((seed * 5 + x * 3 + y * 17) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+  }
+
+  /** A media table of REAL PNG payloads (one per document id, sized by
+    * the id), generated with [[ImageIoCodec.syntheticPng]] — the
+    * fixture for the real-decode path. Payload generation runs
+    * distributed (an executor-side map, like any decode). */
+  def syntheticImageTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.store.Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 16 + 4).cast("int").as("w"),
+        (col("doc_id") % 12 + 4).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        MediaRow(id, "image", ImageIoCodec.syntheticPng(id, w, h), w, h, 0L)
+      }
+  }
+
   /** Build a deterministic media table from `documents` (text bytes as
     * payload): the harness for the plumbing until real media arrives. */
   def syntheticMediaTable(spark: SparkSession, dir: String): DataFrame = {

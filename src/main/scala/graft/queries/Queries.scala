@@ -1721,6 +1721,23 @@ object Queries {
       .ordered("media_id")
   }
 
+  // X12e — REAL image decode end-to-end: PNG payloads generated
+  // executor-side, decoded by the JDK ImageIO codec through the same
+  // per-partition batch path as x12b — the codec seam's FakeCodec gap
+  // closed with zero native dependencies. Rows-only by design (PNG
+  // container bytes are encoder-dependent); the decoded pixel features
+  // and checksums are pinned to first-principles golden values in
+  // ExtSpec.
+  q("x12e_imageio_decode") { (s, dir) =>
+    val media = graft.ext.Multimodal.syntheticImageTable(s, dir)
+    graft.ext.Multimodal.extractFeatures(media,
+        graft.ext.Multimodal.ImageIoCodec).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        round(element_at(col("feature"), 4), 4).as("mean_r"),
+        round(element_at(col("feature"), 7), 4).as("mean_luma"))
+      .ordered("media_id")
+  }
+
   // T10 — sumSeriesWithWildcards: combine series whose names differ only
   // at the wildcard node (the u<bucket> segment), through the stored
   // target-string path. Summing the per-(deep-series, minute) sums
@@ -2674,6 +2691,35 @@ object Queries {
       .ordered("query_id", "rk")
   }
 
+  // X38c — the 100-TB serving shape END-TO-END: the same battery, but
+  // every side reads a persisted index structure — lexical candidates
+  // off the stored LexIndex, semantic candidates off the stored IVF-PQ
+  // layout (coarse probe → partition-pruned ADC over code columns →
+  // exact rerank), RRF-fused per query in one plan. Nothing touches
+  // corpus text or raw float vectors outside the pruned fetches.
+  // Rows-only by design (IVF probe sets are engine-specific);
+  // RetrievalSpec pins recall@10 ≥ 0.8 vs the brute-force hybrid and
+  // partition pruning on the ADC scan.
+  q("x38c_hybrid_stored") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val (model, _) = pqIndex(s, dir)
+    val path = ivfPqMemo.getOrElseUpdate(dir, {
+      val (idx, _) = ivfIndex(s, dir)
+      val p = java.nio.file.Files.createTempDirectory("graft-ivfpq-gate").toString
+      graft.ext.Pq.writeIvfPq(idx, model, p)
+      p
+    })
+    val queries = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(trim(col("text")), "\\s+"), 1, 4)).as("term"))
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") % 20 === 0)
+    val ann = graft.ext.Pq.topKStoredIvfPq(qv, s, path, model,
+      k = 20, nprobe = 4, shortlist = 40)
+    graft.ext.Retrieval.hybridTopKBatchFromIndex(lexIndex(s, dir), "doc_id",
+        queries, ann, k = 10, perList = 20)
+      .ordered("query_id", "rk")
+  }
+
   // X40 — epoch-weighted upsampling (LLaMA-style fractional repeat
   // factors): each doc materializes floor(e) copies + one more decided
   // by a seeded per-(doc, copy) draw against the %08x threshold of
@@ -2930,6 +2976,63 @@ object Queries {
     graft.ext.Pq.topKStoredIvfPq(emb.filter(col("vec_id") < 10), s, path,
         model, k = 5, nprobe = 4, shortlist = 25)
       .withColumn("cos", round(col("cos"), 4))
+      .ordered("query_id", "rk")
+  }
+
+  // X36c — ORACLE twin for the PQ ADC math (the x26b precedent of
+  // oracling the deterministic stage of an engine-specific pipeline):
+  // the learned stages (KMeans codebooks, argmin encode) are pinned to
+  // closed-form constants — codebook[s][c][j] = ((31s+7c+3j) mod 13 − 6)/8
+  // (exact binary fractions: every product/Σ against a float embedding
+  // is exact or IEEE-identical across engines) and codes[s] =
+  // vec_id·(s+1) mod 8 — so the asymmetric-distance computation itself
+  // (per-subspace codeword dots, reconstruction norm, cosine, ranking)
+  // is hash-exact against DuckDB.
+  q("x36c_adc_oracle",
+    """WITH enc AS (
+      |  SELECT vec_id,
+      |    list_transform(range(0, 8), s -> CAST((vec_id * (s + 1)) % 8 AS INT)) AS codes,
+      |    sqrt(list_sum(list_transform(range(0, 8), s ->
+      |      list_sum(list_transform(range(0, 8), j ->
+      |        (CAST((((s*31 + ((vec_id * (s + 1)) % 8)*7 + j*3) % 13) - 6) AS DOUBLE) / 8.0) *
+      |        (CAST((((s*31 + ((vec_id * (s + 1)) % 8)*7 + j*3) % 13) - 6) AS DOUBLE) / 8.0)))))) AS recon_norm
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS query_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+      |  FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(0, 8), s ->
+      |      list_sum(list_transform(range(0, 8), j ->
+      |        CAST(q.embedding[s*8 + j + 1] AS DOUBLE) *
+      |        (CAST((((s*31 + e.codes[s+1]*7 + j*3) % 13) - 6) AS DOUBLE) / 8.0)))))
+      |    / (q.qn * e.recon_norm) AS score
+      |  FROM enc e JOIN q ON e.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, ROUND(score, 6) AS score, rk
+      |FROM (SELECT query_id, neighbor_id, score,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY score DESC, neighbor_id) AS rk
+      |      FROM scored)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+    val (m, dsub, ksub) = (8, 8, 8)
+    val books = Array.tabulate(m, ksub, dsub)((sb, c, j) =>
+      ((((sb * 31 + c * 7 + j * 3) % 13) - 6) / 8.0f))
+    val model = graft.ext.Pq.Model(m, dsub, books)
+    // ‖codeword‖² per (subspace, code): exact multiples of 1/64, so the
+    // Σ order cannot matter — computed once driver-side (model-sized)
+    val normSq: Array[Seq[Double]] = Array.tabulate(m, ksub)((sb, c) =>
+      books(sb)(c).foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      .map(_.toSeq)
+    val emb = Tables.embeddings(s, dir)
+    val codesCol = array((0 until m).map(sb =>
+      ((col("vec_id") * (sb + 1)) % ksub).cast("int")): _*)
+    val reconSq = (0 until m).map(sb =>
+      element_at(typedLit(normSq(sb)), element_at(col("codes"), sb + 1) + 1))
+      .reduce(_ + _)
+    val enc = emb.withColumn("codes", codesCol)
+      .withColumn("recon_norm", sqrt(reconSq))
+    graft.ext.Pq.topK(emb.filter(col("vec_id") < 8), enc, model, k = 5)
       .ordered("query_id", "rk")
   }
 

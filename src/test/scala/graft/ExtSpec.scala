@@ -159,6 +159,19 @@ class ExtSpec extends SparkTestBase {
     assert(got(5L) == ((2L, 0L, "x x x x x x x x x x x x x x x x")))
   }
 
+  test("lineDedup: exchanges key on the 8-byte line hash, never the line string") {
+    val docs = graft.store.Tables.documents(spark, dir)
+    val plan = Dedup.lineDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    // the dup-agg and dup-join exchanges carry __lh; no exchange keys on
+    // the raw __line string (the final by-doc agg keys on doc_id)
+    assert(exchanges.exists(_.contains("__lh")), s"no hash-keyed exchange:\n$plan")
+    assert(!exchanges.exists(e => e.contains("__line#") && !e.contains("__lh")),
+      s"an exchange still keys on the line string:\n$plan")
+  }
+
   test("cosine is exact on known vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")
@@ -209,6 +222,66 @@ class ExtSpec extends SparkTestBase {
     assert(rows.forall(_.feature.length == 3))
     assert(rows.forall(r => r.feature(0) == r.n_bytes.toFloat && r.feature(2) == 42f))
     assert(rows.forall(r => r.checksum == r.n_bytes.toLong * 7L))
+  }
+
+  test("ImageIoCodec: real PNG decode matches first-principles golden pixels") {
+    import Multimodal.ImageIoCodec
+    // the synthetic pattern's pixel (x, y) for seed s is known in closed
+    // form — recompute the expected features independently of the codec
+    val (seed, w, h) = (1L, 2, 2)
+    val png = ImageIoCodec.syntheticPng(seed, w, h)
+    // PNG magic — this is a real container, not a stub byte bag
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    def px(x: Int, y: Int): (Int, Int, Int) = (
+      ((seed + x * 7 + y * 13) % 256).toInt,
+      ((seed * 3 + x * 11 + y * 5) % 256).toInt,
+      ((seed * 5 + x * 3 + y * 17) % 256).toInt)
+    val pxs = for (y <- 0 until h; x <- 0 until w) yield px(x, y)
+    val f = ImageIoCodec.decode(png)
+    assert(f(0) == w.toFloat && f(1) == h.toFloat && f(2) == 1.0f)
+    val meanR = pxs.map(_._1 / 255.0).sum / pxs.size
+    val meanG = pxs.map(_._2 / 255.0).sum / pxs.size
+    val meanB = pxs.map(_._3 / 255.0).sum / pxs.size
+    assert(math.abs(f(3) - meanR) < 1e-6 && math.abs(f(4) - meanG) < 1e-6 &&
+      math.abs(f(5) - meanB) < 1e-6)
+    // checksum is over DECODED ARGB in raster order: recompute it
+    var expect = 1125899906842597L
+    pxs.foreach { case (r, g, b) =>
+      expect = 31 * expect + (0xFF000000 | (r << 16) | (g << 8) | b)
+    }
+    assert(ImageIoCodec.checksum(png) == expect)
+    // re-encoding the same pixels yields the same content checksum
+    val reenc = ImageIoCodec.encodePng(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
+    assert(ImageIoCodec.checksum(reenc) == expect)
+  }
+
+  test("ImageIoCodec: nearest-neighbor resize picks the exact source pixels") {
+    import Multimodal.ImageIoCodec
+    val (seed, w, h) = (7L, 4, 4)
+    val png = ImageIoCodec.syntheticPng(seed, w, h)
+    val resized = ImageIoCodec.resizePayload(png, box = 2)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert(img.getRGB(x, y) == src.getRGB(x * 4 / 2, y * 4 / 2),
+        s"resized pixel ($x,$y) != source pixel (${x * 2},${y * 2})")
+    // already-fits payloads keep their pixels (and content checksum)
+    val small = ImageIoCodec.resizePayload(png, box = 16)
+    assert(ImageIoCodec.checksum(small) == ImageIoCodec.checksum(png))
+  }
+
+  test("ImageIoCodec: distributed decode through the batch path on real PNGs") {
+    val media = Multimodal.syntheticImageTable(spark, dir)
+    val rows = Multimodal.extractFeatures(media, Multimodal.ImageIoCodec).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = (r.media_id % 16 + 4).toInt
+      val h = (r.media_id % 12 + 4).toInt
+      assert(r.feature(0) == w.toFloat && r.feature(1) == h.toFloat,
+        s"media ${r.media_id}: decoded dims ${r.feature(0)}x${r.feature(1)} != ${w}x$h")
+    }
   }
 
   test("multimodal resize: aspect fit into the box, payload sliced to out_bytes") {

@@ -200,6 +200,65 @@ class RetrievalSpec extends SparkTestBase {
     assert(a.nonEmpty && a == b)
   }
 
+  test("stored-index batched hybrid: recall@10 >= 0.8 vs brute-force hybrid; ADC scan prunes") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.store.Tables.documents(spark, dir)
+    val emb = graft.store.Tables.embeddings(spark, dir)
+    // stored structures: LexIndex + IVF-PQ layout
+    val lexTmp = java.nio.file.Files.createTempDirectory("graft-lex-hyb").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs, "doc_id", "text"), lexTmp)
+    val lex = Retrieval.readIndex(spark, lexTmp)
+    val ivf = graft.ext.Ivf.build(emb, k = 8)
+    val model = graft.ext.Pq.fit(emb, m = 8, ksub = 32)
+    val pqTmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-hyb").toString
+    graft.ext.Pq.writeIvfPq(ivf, model, pqTmp)
+
+    val queries = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(trim(col("text")), "\\s+"), 1, 4)).as("term"))
+    val qv = emb.filter(col("vec_id") % 20 === 0)
+
+    val stored = Retrieval.hybridTopKBatchFromIndex(lex, "doc_id", queries,
+      graft.ext.Pq.topKStoredIvfPq(qv, spark, pqTmp, model,
+        k = 20, nprobe = 6, shortlist = 40),
+      k = 10, perList = 20)
+    val brute = Retrieval.hybridTopKBatchFromIndex(lex, "doc_id", queries,
+      graft.ext.Similarity.bruteForceTopK(qv, emb, k = 20),
+      k = 10, perList = 20)
+
+    // recall@10 of the stored-index serving path against the brute
+    // hybrid, via the library's own monitoring probe
+    val rec = graft.ext.Similarity.recallAtK(
+        stored.select(col("query_id"), col("doc_id").as("neighbor_id"), col("rk")),
+        brute.select(col("query_id"), col("doc_id").as("neighbor_id"), col("rk")),
+        k = 10)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    assert(rec >= 0.8, s"stored-index hybrid recall@10 = $rec")
+
+    // the ADC scan under the fused plan still prunes cell partitions
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val self = p match {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("corpus")) => Seq(f)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val ss = scans(stored.queryExecution.executedPlan)
+    assert(ss.nonEmpty, "no ADC corpus scan found in the fused plan")
+    ss.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"no cell partition filter in:\n$sc")
+    }
+  }
+
   test("decimal contributions: repartitioned corpus returns identical scores and order") {
     val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
     val q = Seq("data", "dup", "spark")
