@@ -30,13 +30,11 @@ object Dedup {
     * split turns shingling O(tokens) into O(tokens × shingles) string
     * splits — measured 13 s vs <1 s on 5 000 docs. */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    // docs shorter than one shingle yield the empty set — without the
-    // guard, sequence(0, size-n) would step DOWNWARD for size < n and
-    // element_at would throw on index 0
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+    // one codegen'd pass (graft_word_ngrams — empty for docs shorter
+    // than one shingle); the transform(sequence(...)) form it replaces
+    // was a higher-order function with no codegen path, evaluated
+    // interpreted with per-element boxing
+    array_distinct(graft.functions.TextExpressions.wordNgramsOf(toks, n))
 
   /** doc → exploded distinct shingle rows: (id, shingle: long).
     * Shingles are xxhash64-hashed at the explode so everything

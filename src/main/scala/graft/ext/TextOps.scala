@@ -126,25 +126,16 @@ object TextOps {
   /** Word n-grams of the lowercased token stream, space-joined. Empty
     * array when the document has fewer than n tokens (`sequence` would
     * otherwise run DESCENDING for a negative span — never let it). */
-  def wordNgrams(c: Column, n: Int): Column = {
-    // zip_with, NOT transform(sequence(i), i => ...slice(toks, i)...):
-    // a lambda body referencing the `toks` EXPRESSION subtree re-runs
-    // the regex split per element — O(tokens²) splits per document
-    // (measured: 90% of the x19 gate's cost at sf0.1). zip_with's
-    // collection arguments are evaluated once per row; each zip level
-    // appends the k-th shifted token with null-propagating concat, and
-    // the null tail (where the shift ran past the end) is dropped once
-    // at the close — also covering the <n-token case (all-null → []).
-    val toks = tokens(lower(c))
-    val joined = (2 to n).foldLeft(toks) { (acc, k) =>
-      // slice length = size(toks): evaluated per ROW (constant factor),
-      // never per element; over-long lengths are clamped by slice
-      zip_with(acc, when(size(toks) >= k, slice(toks, lit(k), size(toks)))
-          .otherwise(array().cast("array<string>")),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    filter(joined, g => g.isNotNull)
-  }
+  def wordNgrams(c: Column, n: Int): Column =
+    // one codegen'd pass (graft_word_ngrams). History of this hot spot:
+    // transform(sequence(i), i => ...slice(toks, i)...) re-ran the regex
+    // split per element — O(tokens²) splits per document (90% of the
+    // x19 gate's cost at sf0.1); the zip_with chain that replaced it was
+    // O(tokens) but a higher-order function — no codegen path, n−1
+    // interpreted lambda passes per row (the same gap measured at
+    // ~1.7 s on the x42 gram explode). The custom kernel is one
+    // generated loop; FunctionsSpec pins it bit-identical to both.
+    graft.functions.TextExpressions.wordNgramsOf(tokens(lower(c)), n)
 
   /** Per-document n-gram repetition stats as PURE COLUMN EXPRESSIONS —
     * a single codegen'd run-length fold over the doc's sorted gram

@@ -77,4 +77,66 @@ object TextExpressions {
   /** Column-API entry: unigrams ++ bigrams of a token-array column. */
   def uniBigrams(tokens: Column): Column =
     ColumnBridge.column(UnigramBigramConcat(ColumnBridge.expr(tokens)))
+
+  /** Adjacent word n-grams of a token array, space-joined, in token
+    * order — the shingling kernel behind the dedup/repetition
+    * operators. Bit-identical to the zip_with-chain formulation
+    * (FunctionsSpec pins it) but codegen'd: the higher-order chain
+    * evaluated interpreted, n−1 lambda passes per row. Documents with
+    * fewer than n tokens yield an empty array. */
+  final case class WordNgramConcat(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def prettyName: String = "graft_word_ngrams"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val m = math.max(len - n + 1, 0)
+      val out = new Array[AnyRef](m)
+      val sp = UTF8String.fromString(" ")
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < m) {
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(sp, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val m = ctx.freshName("m")
+        val out = ctx.freshName("out")
+        val parts = ctx.freshName("parts")
+        val sp = ctx.addReferenceObj("space", UTF8String.fromString(" "),
+          classOf[UTF8String].getName)
+        val utf8 = classOf[UTF8String].getName
+        s"""
+           |final int $m = java.lang.Math.max($a.numElements() - $n + 1, 0);
+           |final Object[] $out = new Object[$m];
+           |final $utf8[] $parts = new $utf8[$n];
+           |for (int $i = 0; $i < $m; $i++) {
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    $parts[$j] = $a.getUTF8String($i + $j);
+           |  }
+           |  $out[$i] = $utf8.concatWs($sp, $parts);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column-API entry: space-joined adjacent n-grams of a token array. */
+  def wordNgramsOf(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramConcat(ColumnBridge.expr(tokens), n))
 }

@@ -87,6 +87,41 @@ class FunctionsSpec extends SparkTestBase {
     assert(got == Seq("a", "b", "c", "a b", "b c"))
   }
 
+  test("graft_word_ngrams is bit-identical to the zip_with chain and the transform form") {
+    import graft.functions.TextExpressions
+    val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (n <- Seq(2, 3, 5)) {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      // the zip_with-chain reference (the previous wordNgrams body)
+      val joined = (2 to n).foldLeft(toks) { (acc, k) =>
+        zip_with(acc, when(size(toks) >= k, slice(toks, lit(k), size(toks)))
+            .otherwise(array().cast("array<string>")),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      val ref = filter(joined, g => g.isNotNull)
+      // the transform/element_at reference (the previous shingles body)
+      val ref2 = when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      val bad = docs.select(
+          TextExpressions.wordNgramsOf(toks, n).as("fused"),
+          ref.as("r1"), ref2.as("r2"))
+        .filter(not(col("fused") <=> col("r1")) || not(col("fused") <=> col("r2")))
+      assert(bad.count() == 0, s"n=$n mismatch")
+    }
+    // interpreted path + short-doc edge
+    val e = TextExpressions.WordNgramConcat(
+      org.apache.spark.sql.graft.ColumnBridge.expr(lit(Array("a", "b", "c"))), 2)
+    val got = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(got == Seq("a b", "b c"))
+    val short = TextExpressions.WordNgramConcat(
+      org.apache.spark.sql.graft.ColumnBridge.expr(lit(Array("solo"))), 3)
+    assert(short.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .numElements() == 0)
+  }
+
   private def Tables_embeddings() =
     graft.store.Tables.embeddings(spark, "/root/testdata/sf0.001")
 }
