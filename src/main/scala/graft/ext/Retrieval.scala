@@ -120,10 +120,32 @@ object Retrieval {
   /** BM25 scores for a bag of query terms: (idCol, score). Only
     * documents containing ≥1 query term appear. `k1`/`b` are the
     * standard Robertson defaults; idf is the +1-floored Lucene form
-    * ln((N-df+0.5)/(df+0.5) + 1) so scores stay non-negative. */
+    * ln((N-df+0.5)/(df+0.5) + 1) so scores stay non-negative.
+    *
+    * The inline form pushes the term filter INTO the token explode, so
+    * the tf aggregation (the only corpus-×-token-scale stage) runs over
+    * matching tokens only — a filtered-count df over those rows equals
+    * the full index's df for the query's terms exactly. Doc lengths and
+    * corpus stats still need one full-corpus pass each (they are
+    * properties of the whole corpus); with a persisted index use
+    * [[bm25FromIndex]] and pay neither. */
   def bm25(df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25FromIndex(buildIndex(df, idCol, textCol), idCol, queryTerms, k1, b)
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = words(df, idCol, textCol)
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val dl = docLengths(df, idCol, textCol)
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), bm25Contrib(k1, b).as("c"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("score_dec"))
+  }
 
   /** [[bm25]] over a prebuilt/persisted [[LexIndex]]. The df lookup is
     * a |queryTerms|-row filter on the persisted dfreq table — never an
