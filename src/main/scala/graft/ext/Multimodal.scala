@@ -199,6 +199,112 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec backed by the JDK's `javax.sound.sampled` — WAV
+    * (and AIFF/AU) decode to PCM samples with no native library, the
+    * audio twin of [[ImageIoCodec]]. Features and checksums come from
+    * the DECODED sample stream, so a truncated or mis-headed payload
+    * fails loudly. Video remains the one genuinely-unservable-by-JDK
+    * modality: its [[Codec]] slot still takes a deployment's ffmpeg
+    * binding behind the same seam.
+    *
+    * Determinism: WAV PCM is lossless; feature math is a fixed-order
+    * fold over samples (ExtSpec pins features of a generated tone to
+    * closed-form values). */
+  object WavCodec extends Codec {
+    val FeatureDim = 8
+    override def featureDim: Int = FeatureDim
+
+    /** 16-bit PCM samples of the (first channel of the) payload. */
+    private def samples(payload: Array[Byte]): (Array[Short], Float) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16, s"expect 16-bit PCM, got $fmt")
+        val bytes = in.readAllBytes()
+        val ch = fmt.getChannels
+        val frame = 2 * ch
+        val n = bytes.length / frame
+        val out = new Array[Short](n)
+        val be = fmt.isBigEndian
+        var i = 0
+        while (i < n) {
+          val o = i * frame
+          out(i) = (if (be) ((bytes(o) << 8) | (bytes(o + 1) & 0xFF))
+                    else ((bytes(o + 1) << 8) | (bytes(o) & 0xFF))).toShort
+          i += 1
+        }
+        (out, fmt.getSampleRate)
+      } finally in.close()
+    }
+
+    /** [n_samples, sample_rate, duration_s, rms, peak, zero_cross_rate,
+      * mean, dc_offset_abs] over the decoded first-channel samples. */
+    override def decode(payload: Array[Byte]): Array[Float] = {
+      val (s, rate) = samples(payload)
+      val n = s.length
+      var (sum, sumSq, peak, zc) = (0.0, 0.0, 0.0, 0L)
+      var i = 0
+      while (i < n) {
+        val v = s(i) / 32768.0
+        sum += v; sumSq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+        i += 1
+      }
+      val nn = math.max(n, 1).toDouble
+      Array(n.toFloat, rate, (n / rate.toDouble).toFloat,
+        math.sqrt(sumSq / nn).toFloat, peak.toFloat,
+        (zc / math.max(n - 1, 1).toDouble).toFloat,
+        (sum / nn).toFloat, math.abs(sum / nn).toFloat)
+    }
+
+    /** Rolling hash over decoded samples — a content checksum of the
+      * AUDIO, not its container bytes. */
+    override def checksum(payload: Array[Byte]): Long = {
+      val (s, _) = samples(payload)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < s.length) { h = 31 * h + s(i); i += 1 }
+      h
+    }
+
+    /** Deterministic test-tone WAV: `n` samples of a square-ish wave
+      * keyed by `seed` (integer sample math — no trig, portable). */
+    def syntheticWav(seed: Long, n: Int, sampleRate: Float = 8000f): Array[Byte] = {
+      val period = (8 + seed % 25).toInt
+      val amp = (8192 + (seed % 5) * 4096).toInt
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (if ((i / period) % 2 == 0) amp else -amp).toShort
+        pcm(i * 2) = (v & 0xFF).toByte
+        pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** A media table of REAL WAV payloads (a deterministic tone per
+    * document id) — the fixture for the real audio-decode path. */
+  def syntheticAudioTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.store.Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 400 + 100).cast("int").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        MediaRow(id, "audio", WavCodec.syntheticWav(id, n), 0, 0,
+          (n * 1000L) / 8000L)
+      }
+  }
+
   /** A media table of REAL PNG payloads (one per document id, sized by
     * the id), generated with [[ImageIoCodec.syntheticPng]] — the
     * fixture for the real-decode path. Payload generation runs

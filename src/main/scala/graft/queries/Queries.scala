@@ -1757,6 +1757,21 @@ object Queries {
       .ordered("media_id")
   }
 
+  // X12f — REAL audio decode end-to-end: WAV payloads (deterministic
+  // test tones, generated executor-side) decoded by the JDK
+  // javax.sound codec through the per-partition batch path — the audio
+  // twin of x12e. Rows-only by design; decoded-sample features are
+  // pinned to closed-form golden values in ExtSpec.
+  q("x12f_wav_decode") { (s, dir) =>
+    val media = graft.ext.Multimodal.syntheticAudioTable(s, dir)
+    graft.ext.Multimodal.extractFeatures(media,
+        graft.ext.Multimodal.WavCodec).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        round(element_at(col("feature"), 4), 4).as("rms"),
+        round(element_at(col("feature"), 6), 4).as("zcr"))
+      .ordered("media_id")
+  }
+
   // T10 — sumSeriesWithWildcards: combine series whose names differ only
   // at the wildcard node (the u<bucket> segment), through the stored
   // target-string path. Summing the per-(deep-series, minute) sums

@@ -284,6 +284,43 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("WavCodec: real WAV decode matches closed-form tone features") {
+    import Multimodal.WavCodec
+    // seed 1 → period 9, amp 12288: a square wave with known samples
+    val (seed, n) = (1L, 180)
+    val wav = WavCodec.syntheticWav(seed, n)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val f = WavCodec.decode(wav)
+    assert(f(0) == n.toFloat && f(1) == 8000f)
+    // square wave: every sample is ±amp → rms == peak == amp/32768
+    val amp = (8192 + (seed % 5) * 4096) / 32768.0
+    assert(math.abs(f(3) - amp) < 1e-6 && math.abs(f(4) - amp) < 1e-6)
+    // sign flips exactly at period boundaries: 180 samples / period 9
+    // → flips at 9, 18, ... (19 boundaries in 179 adjacent pairs)
+    val period = (8 + seed % 25).toInt
+    val flips = (1 until n).count(i => (i / period) % 2 != ((i - 1) / period) % 2)
+    assert(math.abs(f(5) - flips / (n - 1).toDouble) < 1e-6)
+    // checksum is over decoded samples — recompute from the formula
+    var expect = 1125899906842597L
+    val ampS = (8192 + (seed % 5) * 4096).toInt
+    (0 until n).foreach { i =>
+      expect = 31 * expect + (if ((i / period) % 2 == 0) ampS else -ampS)
+    }
+    assert(WavCodec.checksum(wav) == expect)
+  }
+
+  test("WavCodec: distributed decode through the batch path on real WAVs") {
+    val media = Multimodal.syntheticAudioTable(spark, dir)
+    val rows = Multimodal.extractFeatures(media, Multimodal.WavCodec).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = (r.media_id % 400 + 100).toInt
+      assert(r.feature(0) == n.toFloat,
+        s"media ${r.media_id}: decoded ${r.feature(0)} samples, expected $n")
+    }
+  }
+
   test("multimodal resize: aspect fit into the box, payload sliced to out_bytes") {
     val media = Multimodal.syntheticMediaTable(spark, dir)
     val out = Multimodal.resizeToFit(media, box = 224).collect()
