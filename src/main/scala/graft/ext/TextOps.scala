@@ -175,47 +175,18 @@ object TextOps {
 
   private def repetitionFold(textCol: Column, n: Int,
       finish: (Column, Column, Column) => Column): Column = {
-    // Sort (hash, gram) structs, not strings: the struct ordering
-    // compares the int64 hash first and touches the string only within
-    // a run, which cut the sort from 2.2 s to ~long-sort cost at sf0.1
-    // (string array_sort was 90% of the whole stat). Runs are detected
-    // by hash equality; the lexicographically-greatest tie rule stays
-    // EXACT because flushes accumulate greatest(topg, run gram) — the
-    // global max string among max-count runs, independent of the
-    // hash-determined run order.
-    val sorted = array_sort(transform(wordNgrams(textCol, n),
-      g => struct(xxhash64(g).as("h"), g.as("g"))))
-    val z = struct(lit(0L).as("prevh"), lit("").as("prev"), lit(0L).as("cur"),
-      lit(0L).as("top"), lit("").as("topg"), lit(0L).as("dup"))
-    def newTop(st: Column) =
-      when(st.getField("cur") > st.getField("top"), st.getField("cur"))
-        .otherwise(st.getField("top"))
-    def newTopg(st: Column) =
-      when(st.getField("cur") > st.getField("top"), st.getField("prev"))
-        .when(st.getField("cur") > 0 && st.getField("cur") === st.getField("top"),
-          greatest(st.getField("topg"), st.getField("prev")))
-        .otherwise(st.getField("topg"))
-    def newDup(st: Column) =
-      when(st.getField("cur") > 1,
-        st.getField("dup") + st.getField("cur") * length(st.getField("prev")))
-        .otherwise(st.getField("dup"))
-    aggregate(sorted, z,
-      (st, e) => when(
-        // hash equality finds the run; the string equality only ever
-        // evaluates on equal hashes, so it costs nothing and closes the
-        // (negligible-probability, but silent) 64-bit-collision case
-        // where two distinct grams would merge into one run
-        st.getField("cur") > 0 && st.getField("prevh") === e.getField("h")
-          && st.getField("prev") === e.getField("g"),
-        struct(e.getField("h").as("prevh"), e.getField("g").as("prev"),
-          (st.getField("cur") + 1).as("cur"),
-          st.getField("top").as("top"), st.getField("topg").as("topg"),
-          st.getField("dup").as("dup")))
-      .otherwise(
-        struct(e.getField("h").as("prevh"), e.getField("g").as("prev"),
-          lit(1L).as("cur"),
-          newTop(st).as("top"), newTopg(st).as("topg"), newDup(st).as("dup"))),
-      st => finish(newTop(st), newTopg(st), newDup(st)))
+    // One codegen'd kernel call (graft_ngram_repetition) sorts the
+    // row's grams and walks the runs inside the JVM. History: a string
+    // array_sort + interpreted aggregate state machine; then a
+    // (hash, gram)-struct sort to cheapen the comparisons — still an
+    // interpreted higher-order fold with per-element lambda boxing (the
+    // x42 gap). All three outputs are order-independent (tie rule:
+    // global max string among max-count runs), so the kernel is
+    // bit-identical (FunctionsSpec pins it against the struct-fold
+    // reference).
+    val st = graft.functions.TextExpressions.ngramRepetitionOf(
+      wordNgrams(textCol, n))
+    finish(st.getField("top"), st.getField("topg"), st.getField("dup"))
   }
 
   /** [[ngramRepetitionCols]] with the Gopher fractions attached:

@@ -139,4 +139,67 @@ object TextExpressions {
   /** Column-API entry: space-joined adjacent n-grams of a token array. */
   def wordNgramsOf(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordNgramConcat(ColumnBridge.expr(tokens), n))
+
+  /** Gopher repetition statistics of a gram array, as one kernel call:
+    * (top, topg, dup) = (longest equal-gram run count, the
+    * lexicographically greatest gram among runs of that count, Σ over
+    * repeated grams of count·numChars). These are exactly the outputs
+    * of the interpreted array_sort + aggregate state machine this
+    * replaces — all three are order-independent (the fold's documented
+    * tie rule is "global max string among max-count runs"), so sorting
+    * and run-walking inside one JVM call per row is bit-identical while
+    * skipping per-element lambda interpretation. String order is
+    * UTF8String binary order — the same ordering Spark's array_sort,
+    * `greatest`, and string comparisons use. */
+  final case class NgramRepetitionFold(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("top",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("topg", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("dup",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    override def prettyName: String = "graft_ngram_repetition"
+
+    def repStats(input: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+      val m = input.numElements()
+      val arr = new Array[AnyRef](m)
+      var i = 0
+      while (i < m) { arr(i) = input.getUTF8String(i); i += 1 }
+      java.util.Arrays.sort(arr, null) // UTF8String natural (binary) order
+      var top = 0L
+      var topg = UTF8String.EMPTY_UTF8
+      var dup = 0L
+      i = 0
+      while (i < m) {
+        val g = arr(i).asInstanceOf[UTF8String]
+        var j = i + 1
+        while (j < m && arr(j).asInstanceOf[UTF8String].equals(g)) j += 1
+        val cnt = (j - i).toLong
+        if (cnt > top) { top = cnt; topg = g }
+        else if (cnt == top && top > 0L && g.compareTo(topg) > 0) topg = g
+        if (cnt > 1L) dup += cnt * g.numChars()
+        i = j
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](top, topg, dup))
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      repStats(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ref = ctx.addReferenceObj("fold", this, classOf[NgramRepetitionFold].getName)
+        s"${ev.value} = $ref.repStats($a);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column-API entry: (top, topg, dup) repetition stats of a gram array. */
+  def ngramRepetitionOf(grams: Column): Column =
+    ColumnBridge.column(NgramRepetitionFold(ColumnBridge.expr(grams)))
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftExtensions, VectorExpressions}
@@ -120,6 +121,53 @@ class FunctionsSpec extends SparkTestBase {
       org.apache.spark.sql.graft.ColumnBridge.expr(lit(Array("solo"))), 3)
     assert(short.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .numElements() == 0)
+  }
+
+  test("graft_ngram_repetition is bit-identical to the sorted struct-fold reference") {
+    import graft.functions.TextExpressions
+    import graft.ext.TextOps
+    val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .union(Seq("", "a", "a a a a", "b a b a b a", "x y x y z z z").toDF("text"))
+    for (n <- Seq(2, 3)) {
+      val grams = TextExpressions.wordNgramsOf(
+        split(trim(lower(col("text"))), "\\s+"), n)
+      // the previous formulation: sort (hash, gram) structs, fold runs
+      val sorted = array_sort(transform(grams,
+        g => struct(xxhash64(g).as("h"), g.as("g"))))
+      val z = struct(lit(0L).as("prevh"), lit("").as("prev"), lit(0L).as("cur"),
+        lit(0L).as("top"), lit("").as("topg"), lit(0L).as("dup"))
+      def newTop(st: Column) =
+        when(st.getField("cur") > st.getField("top"), st.getField("cur"))
+          .otherwise(st.getField("top"))
+      def newTopg(st: Column) =
+        when(st.getField("cur") > st.getField("top"), st.getField("prev"))
+          .when(st.getField("cur") > 0 && st.getField("cur") === st.getField("top"),
+            greatest(st.getField("topg"), st.getField("prev")))
+          .otherwise(st.getField("topg"))
+      def newDup(st: Column) =
+        when(st.getField("cur") > 1,
+          st.getField("dup") + st.getField("cur") * length(st.getField("prev")))
+          .otherwise(st.getField("dup"))
+      val ref = aggregate(sorted, z,
+        (st, e) => when(
+          st.getField("cur") > 0 && st.getField("prevh") === e.getField("h")
+            && st.getField("prev") === e.getField("g"),
+          struct(e.getField("h").as("prevh"), e.getField("g").as("prev"),
+            (st.getField("cur") + 1).as("cur"),
+            st.getField("top").as("top"), st.getField("topg").as("topg"),
+            st.getField("dup").as("dup")))
+        .otherwise(
+          struct(e.getField("h").as("prevh"), e.getField("g").as("prev"),
+            lit(1L).as("cur"),
+            newTop(st).as("top"), newTopg(st).as("topg"), newDup(st).as("dup"))),
+        st => struct(newTop(st).as("top"), newTopg(st).as("topg"),
+          newDup(st).as("dup")))
+      val bad = docs.select(
+          TextExpressions.ngramRepetitionOf(grams).as("fused"), ref.as("ref"))
+        .filter(not(col("fused") <=> col("ref")))
+      assert(bad.count() == 0, s"n=$n mismatch")
+    }
   }
 
   private def Tables_embeddings() =
