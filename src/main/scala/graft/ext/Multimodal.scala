@@ -203,9 +203,8 @@ object Multimodal {
     * (and AIFF/AU) decode to PCM samples with no native library, the
     * audio twin of [[ImageIoCodec]]. Features and checksums come from
     * the DECODED sample stream, so a truncated or mis-headed payload
-    * fails loudly. Video remains the one genuinely-unservable-by-JDK
-    * modality: its [[Codec]] slot still takes a deployment's ffmpeg
-    * binding behind the same seam.
+    * fails loudly. (Video's JDK path is [[AviCodec]]; H.264-class
+    * codecs still take a deployment's ffmpeg binding behind the seam.)
     *
     * Determinism: WAV PCM is lossless; feature math is a fixed-order
     * fold over samples (ExtSpec pins features of a generated tone to
@@ -289,6 +288,330 @@ object Multimodal {
       javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
+    }
+  }
+
+  /** REAL video codec over the AVI container, backed entirely by the
+    * JDK — the RIFF/AVI layout is plain byte parsing and the two
+    * standard frame encodings both decode JDK-natively: uncompressed
+    * DIB frames (`00db`, bottom-up BGR — pure integer unpacking) and
+    * MJPEG frames (`00dc` — each frame is a JFIF payload `javax.imageio`
+    * reads directly). This retires the last "video needs ffmpeg" gap:
+    * a production deployment still swaps in ffmpeg behind the same
+    * [[Codec]] seam for H.264-class codecs, but the container walk,
+    * per-frame fan-out, and feature math below are the real pipeline.
+    *
+    * Determinism: DIB frames are lossless, so decoded pixels equal the
+    * generator's closed-form pattern exactly — the x12g gate emits
+    * per-frame INTEGER channel sums that DuckDB re-derives from first
+    * principles (hash-exact oracle over a real container decode).
+    * MJPEG decode is pinned by self-consistency in ExtSpec (extracted
+    * frame bytes decode identically to the JPEG they wrap). */
+  object AviCodec extends Codec {
+    val FeatureDim = 8
+    override def featureDim: Int = FeatureDim
+
+    // ---- RIFF writing ----------------------------------------------------
+    private def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fcc(id) ++ le32(body.length.toLong) ++ body ++ pad
+    }
+    private def list(typ: String, bodies: Array[Byte]*): Array[Byte] =
+      chunk("LIST", fcc(typ) ++ bodies.flatten)
+
+    /** The closed-form test pattern shared by the generator, the specs,
+      * and the DuckDB oracle: frame `f`, pixel (x, y) of video `seed`. */
+    def patR(seed: Long, f: Int, x: Int, y: Int): Int = ((seed + f * 19 + x * 7 + y * 13) % 256).toInt
+    def patG(seed: Long, f: Int, x: Int, y: Int): Int = ((seed * 3 + f * 23 + x * 11 + y * 5) % 256).toInt
+    def patB(seed: Long, f: Int, x: Int, y: Int): Int = ((seed * 5 + f * 29 + x * 3 + y * 17) % 256).toInt
+
+    private def patternFrame(seed: Long, f: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (patR(seed, f, x, y) << 16) | (patG(seed, f, x, y) << 8) | patB(seed, f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** Bottom-up padded-stride BGR DIB bytes of an image — the `00db`
+      * frame payload (BI_RGB, 24-bit). */
+    private def dibBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val stride = (w * 3 + 3) / 4 * 4
+      val out = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          out(row + x * 3) = (p & 0xFF).toByte // B
+          out(row + x * 3 + 1) = ((p >> 8) & 0xFF).toByte // G
+          out(row + x * 3 + 2) = ((p >> 16) & 0xFF).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic test-pattern AVI: `frames` frames of the closed-form
+      * pattern, written as uncompressed DIB (`mjpeg = false`, lossless —
+      * oracle-able) or MJPEG (`mjpeg = true`, real JFIF frames). */
+    def syntheticAvi(seed: Long, frames: Int, w: Int, h: Int, fps: Int,
+        mjpeg: Boolean = false): Array[Byte] = {
+      val frameBodies = (0 until frames).map { f =>
+        val img = patternFrame(seed, f, w, h)
+        if (mjpeg) encodeJpeg(img) else dibBytes(img)
+      }
+      val frameChunks = frameBodies.map(b =>
+        chunk(if (mjpeg) "00dc" else "00db", b))
+      val usPerFrame = 1000000L / fps
+      val avih = chunk("avih",
+        le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10) ++ // AVIF_HASINDEX
+        le32(frames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val strh = chunk("strh",
+        fcc("vids") ++ (if (mjpeg) fcc("MJPG") else le32(0)) ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+        le32(1) ++ le32(fps.toLong) ++ // scale, rate: fps = rate/scale
+        le32(0) ++ le32(frames.toLong) ++ le32(0) ++ le32(0xFFFFFFFFL) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+      val strf = chunk("strf",
+        le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
+        (if (mjpeg) fcc("MJPG") else le32(0)) ++
+        le32(((w * 3 + 3) / 4 * 4 * h).toLong) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val hdrl = list("hdrl", avih, list("strl", strh, strf))
+      val movi = list("movi", frameChunks: _*)
+      // idx1: one entry per frame (id, AVIIF_KEYFRAME, offset-from-movi-type, size)
+      var off = 4L
+      val idxBody = frameChunks.zip(frameBodies).map { case (c, b) =>
+        val e = fcc(new String(c.take(4), "US-ASCII")) ++ le32(0x10) ++ le32(off) ++
+          le32(b.length.toLong)
+        off += c.length
+        e
+      }
+      val idx1 = chunk("idx1", idxBody.toArray.flatten)
+      val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
+      fcc("RIFF") ++ le32(body.length.toLong) ++ body
+    }
+
+    // ---- RIFF parsing ----------------------------------------------------
+    final case class Avi(width: Int, height: Int, usPerFrame: Long,
+        frames: Array[java.awt.image.BufferedImage])
+
+    /** Walk the RIFF tree: `avih` gives dims/timing, the `movi` LIST's
+      * `##db`/`##dc` chunks are the frames (LIST `rec ` groupings are
+      * descended — interleaved files use them). */
+    def parse(payload: Array[Byte]): Avi = {
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def four(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(four() == "RIFF", "not a RIFF container")
+      bb.getInt // riff size
+      require(four() == "AVI ", "not an AVI")
+      var (w, h, us) = (0, 0, 0L)
+      var bitCount = 24
+      val frames = scala.collection.mutable.ArrayBuffer[java.awt.image.BufferedImage]()
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = four()
+          val sz = bb.getInt
+          val next = bb.position() + sz + (sz & 1)
+          id match {
+            case "LIST" =>
+              val typ = four()
+              if (typ == "hdrl" || typ == "strl" || typ == "movi" || typ == "rec ")
+                walk(bb.position() + sz - 4)
+            case "avih" =>
+              us = bb.getInt.toLong & 0xFFFFFFFFL
+              bb.position(bb.position() + 28) // skip to dwWidth
+              w = bb.getInt; h = bb.getInt
+            case "strf" =>
+              bb.position(bb.position() + 14)
+              bitCount = bb.getShort.toInt
+            case s if s.length == 4 && s.endsWith("db") =>
+              val bytes = new Array[Byte](sz); bb.get(bytes)
+              frames += decodeDib(bytes, w, h, bitCount)
+            case s if s.length == 4 && s.endsWith("dc") =>
+              val bytes = new Array[Byte](sz); bb.get(bytes)
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              require(img != null, "undecodable compressed frame")
+              frames += img
+            case _ => // strh/idx1/JUNK/vedt…: skip
+          }
+          bb.position(math.min(next, end))
+        }
+      }
+      walk(payload.length)
+      require(w > 0 && h > 0, "missing avih header")
+      Avi(w, h, us, frames.toArray)
+    }
+
+    private def decodeDib(bytes: Array[Byte], w: Int, h: Int,
+        bitCount: Int): java.awt.image.BufferedImage = {
+      require(bitCount == 24, s"only 24-bit DIB frames supported, got $bitCount")
+      val stride = (w * 3 + 3) / 4 * 4
+      require(bytes.length >= stride * h, "truncated DIB frame")
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val b = bytes(row + x * 3) & 0xFF
+          val g = bytes(row + x * 3 + 1) & 0xFF
+          val r = bytes(row + x * 3 + 2) & 0xFF
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    private def frameLuma(img: java.awt.image.BufferedImage): Double = {
+      var s = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          s += 0.299 * ((p >> 16) & 0xFF) / 255.0 +
+            0.587 * ((p >> 8) & 0xFF) / 255.0 + 0.114 * (p & 0xFF) / 255.0
+          x += 1
+        }
+        y += 1
+      }
+      s / (img.getWidth * img.getHeight)
+    }
+
+    /** [n_frames, w, h, fps, mean_luma, motion, first_luma, last_luma]
+      * over the decoded frames; motion = mean per-pixel |luma delta|
+      * between consecutive frames (0 for single-frame clips). */
+    override def decode(payload: Array[Byte]): Array[Float] = {
+      val avi = parse(payload)
+      val n = avi.frames.length
+      require(n > 0, "no frames")
+      val lumas = avi.frames.map(frameLuma)
+      var motion = 0.0
+      var f = 1
+      while (f < n) {
+        var d = 0.0
+        val (a, b) = (avi.frames(f - 1), avi.frames(f))
+        var y = 0
+        while (y < avi.height) {
+          var x = 0
+          while (x < avi.width) {
+            val (p, q) = (a.getRGB(x, y), b.getRGB(x, y))
+            def l(v: Int) = 0.299 * ((v >> 16) & 0xFF) / 255.0 +
+              0.587 * ((v >> 8) & 0xFF) / 255.0 + 0.114 * (v & 0xFF) / 255.0
+            d += math.abs(l(q) - l(p))
+            x += 1
+          }
+          y += 1
+        }
+        motion += d / (avi.width * avi.height)
+        f += 1
+      }
+      Array(n.toFloat, avi.width.toFloat, avi.height.toFloat,
+        (1000000.0 / avi.usPerFrame).toFloat, (lumas.sum / n).toFloat,
+        (if (n > 1) motion / (n - 1) else 0.0).toFloat,
+        lumas.head.toFloat, lumas.last.toFloat)
+    }
+
+    /** Rolling hash over decoded frame pixels in (frame, raster) order —
+      * a content checksum of the VIDEO, not its container bytes. */
+    override def checksum(payload: Array[Byte]): Long = {
+      val avi = parse(payload)
+      var h = 1125899906842597L
+      avi.frames.foreach { img =>
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { h = 31 * h + img.getRGB(x, y); x += 1 }
+          y += 1
+        }
+      }
+      h
+    }
+  }
+
+  /** One decoded video frame: exact integer channel sums (the oracle-
+    * bearing columns — order-independent, no FP) plus the FP features
+    * specs pin. */
+  final case class VideoFrame(
+      media_id: Long, frame_idx: Int, frame_ms: Long,
+      width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, luma: Double)
+
+  /** A media table of REAL AVI payloads (deterministic DIB test
+    * patterns, generated executor-side) — the fixture for the real
+    * video-decode path. */
+  def syntheticVideoTable(spark: SparkSession, dir: String,
+      mjpeg: Boolean = false): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.store.Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 6 + 2).cast("int").as("nf"),
+        (col("doc_id") % 8 + 4).cast("int").as("w"),
+        (col("doc_id") % 6 + 4).cast("int").as("h"))
+      .as[(Long, Int, Int, Int)]
+      .map { case (id, nf, w, h) =>
+        MediaRow(id, "video", AviCodec.syntheticAvi(id, nf, w, h, fps = 10, mjpeg),
+          w, h, nf * 100L)
+      }
+  }
+
+  /** Per-frame fan-out with REAL decode: each video row explodes to its
+    * decoded frames (the x12c frame-sampling stub made real). Runs in
+    * the same per-partition batch shape as [[extractFeatures]]. */
+  def videoFrameTable(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val avi = AviCodec.parse(m.payload)
+        avi.frames.iterator.zipWithIndex.map { case (img, f) =>
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var lum = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+              sr += r; sg += g; sb += b
+              lum += 0.299 * r / 255.0 + 0.587 * g / 255.0 + 0.114 * b / 255.0
+              x += 1
+            }
+            y += 1
+          }
+          VideoFrame(m.media_id, f, f * avi.usPerFrame / 1000,
+            avi.width, avi.height, sr, sg, sb,
+            lum / (avi.width * avi.height))
+        }
+      }
     }
   }
 

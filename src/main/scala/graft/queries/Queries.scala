@@ -1772,6 +1772,45 @@ object Queries {
       .ordered("media_id")
   }
 
+  // X12g — REAL video decode end-to-end, ORACLE-ANCHORED: AVI payloads
+  // (deterministic uncompressed-DIB test patterns, generated
+  // executor-side) are parsed and decoded by the JDK-only AviCodec and
+  // fanned out one row per decoded frame. DIB frames are lossless, so
+  // the per-frame INTEGER channel sums equal the generator's
+  // closed-form pattern exactly — DuckDB re-derives them from first
+  // principles with generate_series, making this a hash-exact oracle
+  // over a real video-container decode (the MJPEG path and FP features
+  // are spec-pinned in ExtSpec).
+  q("x12g_avi_frames",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(doc_id % 6 + 2 AS INTEGER) AS nf,
+      |    CAST(doc_id % 8 + 4 AS INTEGER) AS w,
+      |    CAST(doc_id % 6 + 4 AS INTEGER) AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT m.*, CAST(t.fi AS INTEGER) AS frame_idx
+      |  FROM m, UNNEST(generate_series(0, nf - 1)) AS t(fi)),
+      |px AS (
+      |  SELECT f.media_id, f.frame_idx, f.w, f.h,
+      |    CAST(gx.x AS BIGINT) AS x, CAST(gy.y AS BIGINT) AS y
+      |  FROM f, UNNEST(generate_series(0, w - 1)) AS gx(x),
+      |       UNNEST(generate_series(0, h - 1)) AS gy(y))
+      |SELECT media_id, frame_idx,
+      |  CAST(frame_idx AS BIGINT) * 100 AS frame_ms,
+      |  w AS width, h AS height,
+      |  CAST(SUM((media_id + frame_idx * 19 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((media_id * 3 + frame_idx * 23 + x * 11 + y * 5) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((media_id * 5 + frame_idx * 29 + x * 3 + y * 17) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+    graft.ext.Multimodal.videoFrameTable(
+        graft.ext.Multimodal.syntheticVideoTable(s, dir)).toDF()
+      .select(col("media_id"), col("frame_idx"), col("frame_ms"),
+        col("width"), col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
+      .ordered("media_id", "frame_idx")
+  }
+
   // T10 — sumSeriesWithWildcards: combine series whose names differ only
   // at the wildcard node (the u<bucket> segment), through the stored
   // target-string path. Summing the per-(deep-series, minute) sums
