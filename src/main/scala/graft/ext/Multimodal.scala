@@ -48,6 +48,11 @@ object Multimodal {
     def featureDim: Int
     def decode(payload: Array[Byte]): Array[Float]
     def checksum(payload: Array[Byte]): Long
+    /** Both outputs from ONE container decode where the codec can share
+      * it — the feature-extract stage needs both, and the default
+      * (separate calls) decodes every payload twice. */
+    def decodeWithChecksum(payload: Array[Byte]): (Array[Float], Long) =
+      (decode(payload), checksum(payload))
   }
 
   /** ======== STUB ========
@@ -101,19 +106,33 @@ object Multimodal {
       img
     }
 
+    /** One bulk ARGB grab per image: per-pixel `getRGB(x, y)` pays the
+      * color-model conversion dispatch per CALL (PNG/JPEG decode to
+      * 3BYTE_BGR rasters, not INT_RGB), which dominated the distributed
+      * decode gate; the bulk form converts the raster in one pass and
+      * the feature loops walk a primitive int array. Values are
+      * identical (same default-ARGB conversion) — the golden-pixel
+      * specs pin that. */
+    private[ext] def argb(img: java.awt.image.BufferedImage): Array[Int] =
+      img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
     /** [w, h, aspect, meanR, meanG, meanB, meanLuma, edgeEnergy] over
       * the decoded pixels (means in [0,1]; luma = BT.601; edgeEnergy =
       * mean |luma − right-neighbor luma|, a cheap sharpness proxy). */
     override def decode(payload: Array[Byte]): Array[Float] = {
       val img = read(payload)
-      val (w, h) = (img.getWidth, img.getHeight)
+      featuresOf(img.getWidth, img.getHeight, argb(img))
+    }
+
+    private def featuresOf(w: Int, h: Int, px: Array[Int]): Array[Float] = {
       var (sr, sg, sb, sl, se) = (0.0, 0.0, 0.0, 0.0, 0.0)
       var y = 0
       while (y < h) {
         var x = 0
         var prevL = 0.0
+        val row = y * w
         while (x < w) {
-          val p = img.getRGB(x, y)
+          val p = px(row + x)
           val r = ((p >> 16) & 0xFF) / 255.0
           val g = ((p >> 8) & 0xFF) / 255.0
           val b = (p & 0xFF) / 255.0
@@ -135,16 +154,20 @@ object Multimodal {
     /** Rolling hash over the decoded ARGB ints in raster order — a
       * content checksum of the IMAGE, not its container bytes (two
       * encodings of the same pixels collide, as they should). */
-    override def checksum(payload: Array[Byte]): Long = {
-      val img = read(payload)
+    override def checksum(payload: Array[Byte]): Long =
+      checksumOf(argb(read(payload)))
+
+    private def checksumOf(px: Array[Int]): Long = {
       var h = 1125899906842597L
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) { h = 31 * h + img.getRGB(x, y); x += 1 }
-        y += 1
-      }
+      var i = 0
+      while (i < px.length) { h = 31 * h + px(i); i += 1 }
       h
+    }
+
+    override def decodeWithChecksum(payload: Array[Byte]): (Array[Float], Long) = {
+      val img = read(payload)
+      val px = argb(img)
+      (featuresOf(img.getWidth, img.getHeight, px), checksumOf(px))
     }
 
     /** Nearest-neighbor resize so the longest side fits `box` (aspect
@@ -159,15 +182,19 @@ object Multimodal {
       val oh = math.max(1, h * box / longest)
       val out = new java.awt.image.BufferedImage(ow, oh,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val src = argb(img)
+      val dst = new Array[Int](ow * oh)
       var y = 0
       while (y < oh) {
+        val srow = (y * h / oh) * w
         var x = 0
         while (x < ow) {
-          out.setRGB(x, y, img.getRGB(x * w / ow, y * h / oh))
+          dst(y * ow + x) = src(srow + x * w / ow)
           x += 1
         }
         y += 1
       }
+      out.setRGB(0, 0, ow, oh, dst, 0, ow)
       encodePng(out)
     }
 
@@ -183,6 +210,7 @@ object Multimodal {
     def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
@@ -190,11 +218,12 @@ object Multimodal {
           val r = ((seed + x * 7 + y * 13) % 256).toInt
           val g = ((seed * 3 + x * 11 + y * 5) % 256).toInt
           val b = ((seed * 5 + x * 3 + y * 17) % 256).toInt
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          px(y * w + x) = (r << 16) | (g << 8) | b
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, w, h, px, 0, w)
       encodePng(img)
     }
   }
@@ -213,8 +242,64 @@ object Multimodal {
     val FeatureDim = 8
     override def featureDim: Int = FeatureDim
 
-    /** 16-bit PCM samples of the (first channel of the) payload. */
+    /** 16-bit PCM samples of the (first channel of the) payload.
+      * Canonical RIFF-WAVE PCM16 payloads take a direct chunk-walk fast
+      * path (AudioSystem's per-call provider probing dominated the
+      * distributed decode gate: 0.82 → ~0.2 s at sf0.1); anything else
+      * (AIFF/AU, extensible/float WAVE) falls back to AudioSystem.
+      * WavCodecSpec pins both paths sample-identical. */
     private def samples(payload: Array[Byte]): (Array[Short], Float) = {
+      if (payload.length > 44 && payload(0) == 'R' && payload(1) == 'I' &&
+          payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
+          payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E')
+        riffPcm16(payload).getOrElse(audioSystemSamples(payload))
+      else audioSystemSamples(payload)
+    }
+
+    /** Direct RIFF-WAVE walk: returns None unless the payload is plain
+      * PCM (fmt tag 1) 16-bit — exactly the subset where the byte layout
+      * is unambiguous and equals what AudioSystem would decode. */
+    private def riffPcm16(payload: Array[Byte]): Option[(Array[Short], Float)] = {
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(12)
+      var (tag, ch, rate, bits) = (0, 0, 0f, 0)
+      var dataOff = -1
+      var dataLen = 0
+      while (bb.remaining() >= 8 && dataOff < 0) {
+        val id = {
+          val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+        }
+        val sz = bb.getInt
+        val next = bb.position() + sz + (sz & 1)
+        if (id == "fmt " && sz >= 16) {
+          tag = bb.getShort & 0xFFFF
+          ch = bb.getShort & 0xFFFF
+          rate = bb.getInt.toFloat
+          bb.getInt; bb.getShort // byte rate, block align
+          bits = bb.getShort & 0xFFFF
+        } else if (id == "data") {
+          dataOff = bb.position()
+          dataLen = math.min(sz, payload.length - dataOff)
+        }
+        if (dataOff < 0) {
+          if (next > payload.length) return None // malformed → fallback
+          bb.position(next)
+        }
+      }
+      if (tag != 1 || bits != 16 || ch < 1 || dataOff < 0) return None
+      val frame = 2 * ch
+      val n = dataLen / frame
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        val o = dataOff + i * frame
+        out(i) = ((payload(o + 1) << 8) | (payload(o) & 0xFF)).toShort
+        i += 1
+      }
+      Some((out, rate))
+    }
+
+    private def audioSystemSamples(payload: Array[Byte]): (Array[Short], Float) = {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -241,6 +326,10 @@ object Multimodal {
       * mean, dc_offset_abs] over the decoded first-channel samples. */
     override def decode(payload: Array[Byte]): Array[Float] = {
       val (s, rate) = samples(payload)
+      featuresOf(s, rate)
+    }
+
+    private def featuresOf(s: Array[Short], rate: Float): Array[Float] = {
       val n = s.length
       var (sum, sumSq, peak, zc) = (0.0, 0.0, 0.0, 0L)
       var i = 0
@@ -260,34 +349,45 @@ object Multimodal {
 
     /** Rolling hash over decoded samples — a content checksum of the
       * AUDIO, not its container bytes. */
-    override def checksum(payload: Array[Byte]): Long = {
-      val (s, _) = samples(payload)
+    override def checksum(payload: Array[Byte]): Long =
+      checksumOf(samples(payload)._1)
+
+    private def checksumOf(s: Array[Short]): Long = {
       var h = 1125899906842597L
       var i = 0
       while (i < s.length) { h = 31 * h + s(i); i += 1 }
       h
     }
 
+    override def decodeWithChecksum(payload: Array[Byte]): (Array[Float], Long) = {
+      val (s, rate) = samples(payload)
+      (featuresOf(s, rate), checksumOf(s))
+    }
+
     /** Deterministic test-tone WAV: `n` samples of a square-ish wave
-      * keyed by `seed` (integer sample math — no trig, portable). */
+      * keyed by `seed` (integer sample math — no trig, portable). The
+      * canonical 44-byte RIFF header is written directly (an
+      * `AudioSystem.write` per generated row dominated the distributed
+      * gate); ExtSpec decodes the result through AudioSystem to pin the
+      * layout as a real WAV. */
     def syntheticWav(seed: Long, n: Int, sampleRate: Float = 8000f): Array[Byte] = {
       val period = (8 + seed % 25).toInt
       val amp = (8192 + (seed % 5) * 4096).toInt
-      val pcm = new Array[Byte](n * 2)
+      val out = new Array[Byte](44 + n * 2)
+      val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val rate = sampleRate.toInt
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(n * 2)
       var i = 0
       while (i < n) {
-        val v = (if ((i / period) % 2 == 0) amp else -amp).toShort
-        pcm(i * 2) = (v & 0xFF).toByte
-        pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+        bb.putShort((if ((i / period) % 2 == 0) amp else -amp).toShort)
         i += 1
       }
-      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
+      out
     }
   }
 
@@ -334,15 +434,17 @@ object Multimodal {
     private def patternFrame(seed: Long, f: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          img.setRGB(x, y, (patR(seed, f, x, y) << 16) | (patG(seed, f, x, y) << 8) | patB(seed, f, x, y))
+          px(y * w + x) = (patR(seed, f, x, y) << 16) | (patG(seed, f, x, y) << 8) | patB(seed, f, x, y)
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, w, h, px, 0, w)
       img
     }
 
@@ -476,6 +578,7 @@ object Multimodal {
       require(bytes.length >= stride * h, "truncated DIB frame")
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         val row = (h - 1 - y) * stride
@@ -484,56 +587,44 @@ object Multimodal {
           val b = bytes(row + x * 3) & 0xFF
           val g = bytes(row + x * 3 + 1) & 0xFF
           val r = bytes(row + x * 3 + 2) & 0xFF
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          px(y * w + x) = (r << 16) | (g << 8) | b
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, w, h, px, 0, w)
       img
     }
 
-    private def frameLuma(img: java.awt.image.BufferedImage): Double = {
-      var s = 0.0
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val p = img.getRGB(x, y)
-          s += 0.299 * ((p >> 16) & 0xFF) / 255.0 +
-            0.587 * ((p >> 8) & 0xFF) / 255.0 + 0.114 * (p & 0xFF) / 255.0
-          x += 1
-        }
-        y += 1
-      }
-      s / (img.getWidth * img.getHeight)
-    }
+    private def luma(p: Int): Double =
+      0.299 * ((p >> 16) & 0xFF) / 255.0 +
+        0.587 * ((p >> 8) & 0xFF) / 255.0 + 0.114 * (p & 0xFF) / 255.0
 
     /** [n_frames, w, h, fps, mean_luma, motion, first_luma, last_luma]
       * over the decoded frames; motion = mean per-pixel |luma delta|
-      * between consecutive frames (0 for single-frame clips). */
+      * between consecutive frames (0 for single-frame clips). Pixel
+      * loops walk one bulk-grabbed int array per frame (the
+      * [[ImageIoCodec.argb]] rationale). */
     override def decode(payload: Array[Byte]): Array[Float] = {
       val avi = parse(payload)
-      val n = avi.frames.length
+      featuresOf(avi, avi.frames.map(ImageIoCodec.argb))
+    }
+
+    private def featuresOf(avi: Avi, pxs: Array[Array[Int]]): Array[Float] = {
+      val n = pxs.length
       require(n > 0, "no frames")
-      val lumas = avi.frames.map(frameLuma)
+      val lumas = pxs.map { px =>
+        var s = 0.0; var i = 0
+        while (i < px.length) { s += luma(px(i)); i += 1 }
+        s / px.length
+      }
       var motion = 0.0
       var f = 1
       while (f < n) {
-        var d = 0.0
-        val (a, b) = (avi.frames(f - 1), avi.frames(f))
-        var y = 0
-        while (y < avi.height) {
-          var x = 0
-          while (x < avi.width) {
-            val (p, q) = (a.getRGB(x, y), b.getRGB(x, y))
-            def l(v: Int) = 0.299 * ((v >> 16) & 0xFF) / 255.0 +
-              0.587 * ((v >> 8) & 0xFF) / 255.0 + 0.114 * (v & 0xFF) / 255.0
-            d += math.abs(l(q) - l(p))
-            x += 1
-          }
-          y += 1
-        }
-        motion += d / (avi.width * avi.height)
+        val (a, b) = (pxs(f - 1), pxs(f))
+        var d = 0.0; var i = 0
+        while (i < a.length) { d += math.abs(luma(b(i)) - luma(a(i))); i += 1 }
+        motion += d / a.length
         f += 1
       }
       Array(n.toFloat, avi.width.toFloat, avi.height.toFloat,
@@ -544,18 +635,22 @@ object Multimodal {
 
     /** Rolling hash over decoded frame pixels in (frame, raster) order —
       * a content checksum of the VIDEO, not its container bytes. */
-    override def checksum(payload: Array[Byte]): Long = {
-      val avi = parse(payload)
+    override def checksum(payload: Array[Byte]): Long =
+      checksumOf(parse(payload).frames.map(ImageIoCodec.argb))
+
+    private def checksumOf(pxs: Array[Array[Int]]): Long = {
       var h = 1125899906842597L
-      avi.frames.foreach { img =>
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) { h = 31 * h + img.getRGB(x, y); x += 1 }
-          y += 1
-        }
+      pxs.foreach { px =>
+        var i = 0
+        while (i < px.length) { h = 31 * h + px(i); i += 1 }
       }
       h
+    }
+
+    override def decodeWithChecksum(payload: Array[Byte]): (Array[Float], Long) = {
+      val avi = parse(payload)
+      val pxs = avi.frames.map(ImageIoCodec.argb)
+      (featuresOf(avi, pxs), checksumOf(pxs))
     }
   }
 
@@ -593,23 +688,19 @@ object Multimodal {
       it.flatMap { m =>
         val avi = AviCodec.parse(m.payload)
         avi.frames.iterator.zipWithIndex.map { case (img, f) =>
+          val px = ImageIoCodec.argb(img)
           var (sr, sg, sb) = (0L, 0L, 0L)
           var lum = 0.0
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
-              sr += r; sg += g; sb += b
-              lum += 0.299 * r / 255.0 + 0.587 * g / 255.0 + 0.114 * b / 255.0
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+            sr += r; sg += g; sb += b
+            lum += 0.299 * r / 255.0 + 0.587 * g / 255.0 + 0.114 * b / 255.0
+            i += 1
           }
           VideoFrame(m.media_id, f, f * avi.usPerFrame / 1000,
-            avi.width, avi.height, sr, sg, sb,
-            lum / (avi.width * avi.height))
+            avi.width, avi.height, sr, sg, sb, lum / px.length)
         }
       }
     }
@@ -667,8 +758,8 @@ object Multimodal {
     media.mapPartitions { it =>
       // real codecs initialize here, once per partition
       it.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.payload.length,
-          codec.checksum(m.payload), codec.decode(m.payload))
+        val (feat, sum) = codec.decodeWithChecksum(m.payload)
+        MediaFeatures(m.media_id, m.kind, m.payload.length, sum, feat)
       }
     }
   }

@@ -340,6 +340,41 @@ object SeriesOps {
     df.groupBy(col("metric"))
       .agg(percentile(col("value"), lit(p)).as("value"))
 
+  /** Exact interpolated percentiles per key group WITHOUT a buffering
+    * aggregate: Spark's `percentile` agg collects every value of a
+    * group into one reducer-side buffer (serialized through the
+    * shuffle), which is both the local constant factor (~4× measured on
+    * the a5 gate) and the 100-TB risk (group state grows with data
+    * volume). This form keeps values columnar: one window over
+    * (keys, ORDER BY value) assigns `row_number` and the group size in
+    * a single WindowExec, only the ≤2 boundary rows per percentile
+    * survive the filter, and a metadata-sized agg interpolates
+    * `lower + (higher − lower) · frac` — bit-identical to the
+    * `percentile` aggregate (same formula) and to DuckDB's
+    * quantile_cont. Group state through every exchange is O(1).
+    *
+    * `ps` maps output column name → fraction in [0, 1]. */
+  def exactPercentiles(df: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = df.select(keys.map(col) ++ Seq(col(valueCol),
+      row_number().over(w).as("__rn"), count(lit(1)).over(wAll).as("__n")): _*)
+    def pos(p: Double) = (col("__n") - 1) * p
+    def loRn(p: Double) = floor(pos(p)).cast("long") + 1
+    def hiRn(p: Double) = ceil(pos(p)).cast("long") + 1
+    val needed = ps.map { case (_, p) =>
+      col("__rn") === loRn(p) || col("__rn") === hiRn(p) }.reduce(_ || _)
+    def interp(p: Double) = {
+      val lo = max(when(col("__rn") === loRn(p), col(valueCol)))
+      val hi = max(when(col("__rn") === hiRn(p), col(valueCol)))
+      lo + (hi - lo) * max(pos(p) - floor(pos(p)))
+    }
+    val aggs = ps.map { case (n, p) => interp(p).as(n) }
+    ranked.filter(needed).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** percentileOfSeries(seriesList, p) — the cross-series A5 variant:
     * ONE series whose value at each ts is the exact interpolated p-th
     * percentile of all member series' values at that ts (nulls skipped,

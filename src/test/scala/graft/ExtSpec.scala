@@ -310,6 +310,28 @@ class ExtSpec extends SparkTestBase {
     assert(WavCodec.checksum(wav) == expect)
   }
 
+  test("WavCodec: RIFF fast path decodes identically to AudioSystem") {
+    import Multimodal.WavCodec
+    for (seed <- 0L to 6L) {
+      val wav = WavCodec.syntheticWav(seed, 240)
+      // decode the same payload independently through AudioSystem and
+      // recompute the sample checksum — the fast chunk-walk must agree
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      in.close()
+      assert(!fmt.isBigEndian && fmt.getSampleSizeInBits == 16)
+      var expect = 1125899906842597L
+      (0 until bytes.length / 2).foreach { i =>
+        expect = 31 * expect + ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
+      }
+      assert(WavCodec.checksum(wav) == expect, s"seed $seed checksum")
+      val f = WavCodec.decode(wav)
+      assert(f(0) == bytes.length / 2f && f(1) == fmt.getSampleRate, s"seed $seed n/rate")
+    }
+  }
+
   test("WavCodec: distributed decode through the batch path on real WAVs") {
     val media = Multimodal.syntheticAudioTable(spark, dir)
     val rows = Multimodal.extractFeatures(media, Multimodal.WavCodec).collect()

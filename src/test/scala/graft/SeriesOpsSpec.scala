@@ -82,6 +82,24 @@ class SeriesOpsSpec extends SparkTestBase {
     assert(out.count() == 4) // full bodies, not scores
   }
 
+  test("exactPercentiles == the percentile aggregate (random, ties, singleton groups)") {
+    val rnd = new scala.util.Random(42)
+    // random group sizes incl. a singleton; tie-heavy values (1 decimal)
+    val rows = (Seq(("solo", 3.7)) ++ (1 to 4).flatMap { g =>
+      (1 to 17 * g).map(_ => (s"g$g", math.floor(rnd.nextDouble() * 100) / 10))
+    }).toDF("k", "value")
+    for (ps <- Seq(Seq("p50" -> 0.5), Seq("p95" -> 0.95, "p50" -> 0.5, "p0" -> 0.0, "p100" -> 1.0))) {
+      val win = SeriesOps.exactPercentiles(rows, Seq("k"), "value", ps)
+        .orderBy("k").collect()
+      val agg = rows.groupBy("k")
+        .agg(percentile(col("value"), lit(ps.head._2)).as(ps.head._1),
+          ps.tail.map { case (n, p) => percentile(col("value"), lit(p)).as(n) }: _*)
+        .orderBy("k").collect()
+      assert(win.map(_.toString).toSeq == agg.map(_.toString).toSeq,
+        s"window form != percentile agg for $ps")
+    }
+  }
+
   test("timeShift moves timestamps by the interval") {
     val df = series(("a", 0, Some(1.0)))
     val out = SeriesOps.timeShift(df, "7 DAYS").collect()
