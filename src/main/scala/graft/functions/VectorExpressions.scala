@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -114,9 +114,42 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** The IEEE-754 total-order key of a double: a long whose SIGNED
+    * ordering equals the double ordering (−Inf < … < −0.0 < +0.0 < … <
+    * +Inf < NaN, matching Spark's sort order). `b ^ ((b >> 63) &
+    * Long.MaxValue)` flips every bit except the sign for negatives and
+    * is the identity for positives. Equal doubles (same bits) map to
+    * equal keys, so any fixed-width PREFIX of the key is a monotone
+    * bucketing — the grid [[graft.series.SeriesOps.exactPercentilesBucketed]]
+    * refines 16 bits per level with guaranteed convergence. */
+  final case class DoubleOrderBits(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(DoubleType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_double_order_bits"
+
+    override def nullSafeEval(v: Any): Any = {
+      val b = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+      b ^ ((b >> 63) & Long.MaxValue)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val b = ctx.freshName("b")
+        s"""
+           |final long $b = java.lang.Double.doubleToLongBits($v);
+           |${ev.value} = $b ^ (($b >> 63) & Long.MAX_VALUE);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // -- Column-level API ---------------------------------------------------
 
   def dotF(a: Column, b: Column): Column = toColumn(DotProductFloat(toExpr(a), toExpr(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
+  def doubleOrderBits(c: Column): Column = toColumn(DoubleOrderBits(toExpr(c)))
 }

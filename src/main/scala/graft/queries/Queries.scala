@@ -607,6 +607,15 @@ object Queries {
        |  ROUND(quantile_cont(value, 0.5), 4) AS median_v,
        |  ROUND(quantile_cont(value, 0.9), 4) AS p90
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // Percentiles ride the same single hash agg as the other
+    // reductions: in the monitor semantic a reduction runs over the
+    // CLIPPED evaluation window, so per-metric group state is bounded
+    // by the clip, and one stage beats the multi-stage alternative.
+    // For genuinely unbounded groups (all-time percentiles over a
+    // handful of metrics) the library's critical-bucket form —
+    // SeriesOps.exactPercentilesBucketed, O(1) per-reducer state,
+    // spec-pinned equal to this aggregate — is the scale path; it costs
+    // ~6 extra exchanges, the wrong trade for a clip-bounded gate.
     Tables.metricStore(s, dir)
       .groupBy("metric")
       .agg(count(lit(1)).as("n"),

@@ -337,6 +337,8 @@ object SeriesOps {
   /** nPercentile(series, p) — one exact percentile scalar per series
     * (A5). Exact (interpolating) to match DuckDB's quantile_cont. */
   def nPercentile(df: DataFrame, p: Double): DataFrame =
+    // one stage; group state bounded by the monitor clip. For unbounded
+    // groups use [[exactPercentilesBucketed]] (same values, O(1) state).
     df.groupBy(col("metric"))
       .agg(percentile(col("value"), lit(p)).as("value"))
 
@@ -354,9 +356,10 @@ object SeriesOps {
     * quantile_cont. Group state through every exchange is O(1).
     *
     * `ps` maps output column name → fraction in [0, 1]. */
-  def exactPercentiles(df: DataFrame, keys: Seq[String], valueCol: String,
+  def exactPercentiles(dfIn: DataFrame, keys: Seq[String], valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val df = dfIn.filter(col(valueCol).isNotNull) // percentile-agg null rule
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = df.select(keys.map(col) ++ Seq(col(valueCol),
@@ -369,10 +372,190 @@ object SeriesOps {
     def interp(p: Double) = {
       val lo = max(when(col("__rn") === loRn(p), col(valueCol)))
       val hi = max(when(col("__rn") === hiRn(p), col(valueCol)))
-      lo + (hi - lo) * max(pos(p) - floor(pos(p)))
+      val posv = max(pos(p))
+      // Spark's Percentile formula exactly (bit-for-bit): weighted form,
+      // with the integral-position special case (the weighted form would
+      // evaluate to 0 there)
+      when(ceil(posv) === floor(posv), lo)
+        .otherwise((ceil(posv) - posv) * lo + (posv - floor(posv)) * hi)
     }
     val aggs = ps.map { case (n, p) => interp(p).as(n) }
     ranked.filter(needed).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact interpolated percentiles for MEGA-GROUPS — groups too large
+    * for any single-reducer treatment. [[exactPercentiles]] (and the
+    * `percentile` aggregate it replaces) still puts one whole group on
+    * one reducer: the window form sorts the group in one partition, the
+    * agg form buffers it in one hand. Fine when groups are bounded
+    * (metric × day); a scale-killer when a handful of groups span the
+    * corpus (the a4 monitor-reduction shape: one group per metric over
+    * all time). This form applies the repo's critical-bucket discipline
+    * ([[graft.ext.Sampling.topPerStratum]]) to rank selection, bucketing
+    * on the value's IEEE-754 total-order key
+    * ([[graft.functions.VectorExpressions.doubleOrderBits]]):
+    *
+    *  1. ONE corpus pass: per-(group, top-16-key-bits) counts + value
+    *     min/max, checkpointed — a metadata frame (≤ 65536 buckets per
+    *     group) that also yields the group counts, so no min/max or
+    *     count prepass exists;
+    *  2. the bucket holding each target rank falls out of a running sum
+    *     over that frame; the per-target critical frame is COLLECTED
+    *     (bounded by groups × 2·|ps|, never data volume), so refinement
+    *     is a plan-time decision: a single-value bucket IS the answer,
+    *     a small bucket pays the only per-row ranking window
+    *     (partitioned by (group, bucket), never bare group), an
+    *     oversized bucket RECURSES on the next 16 key bits — after at
+    *     most 3 refinements the bucket is the full key, i.e. a single
+    *     value, so convergence is structural, not distributional;
+    *  3. the second and final corpus pass ranks the critical slivers
+    *     and interpolates through metadata-sized joins.
+    *
+    * Values at the lo/hi ranks interpolate exactly as
+    * [[exactPercentiles]] — the two agree bit-for-bit (spec-pinned,
+    * ties/constants/singletons included). Nulls are skipped (the
+    * percentile-aggregate rule). */
+  def exactPercentilesBucketed(dfIn: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)], maxCriticalRows: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.doubleOrderBits
+    val spark = dfIn.sparkSession
+    val kcols = keys.map(col)
+    val df = dfIn.filter(col(valueCol).isNotNull)
+    val rows = df.select(kcols ++ Seq(col(valueCol).cast("double").as("__v"),
+      doubleOrderBits(col(valueCol).cast("double")).as("__k")): _*)
+    val bucketed = rows.withColumn("__b", shiftright(col("__k"), 48))
+    // the ONE metadata pass: per-(group, bucket) counts + value bounds.
+    // Deliberately NOT checkpointed: stats/targets/below all compose
+    // into the single crit.collect() job below, so the whole decision
+    // costs one action; the final plan re-derives stats from the
+    // (cached) source rather than paying a third job.
+    val perB = bucketed.groupBy(kcols :+ col("__b"): _*).agg(
+      count(lit(1)).as("__c"), min(col("__v")).as("__bmn"), max(col("__v")).as("__bmx"))
+    val stats = perB.groupBy(kcols: _*).agg(sum(col("__c")).as("__n"))
+    // distinct target ranks per group: the lo and hi row of each p
+    val rankExprs = ps.flatMap { case (_, p) =>
+      Seq(floor((col("__n") - 1) * p).cast("long") + 1,
+        ceil((col("__n") - 1) * p).cast("long") + 1)
+    }
+    val targets = stats.select(kcols :+
+      explode(array_distinct(array(rankExprs: _*))).as("__r"): _*)
+    val wAsc = Window.partitionBy(kcols: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val belowT = perB.withColumn("__below", coalesce(sum(col("__c")).over(wAsc), lit(0L)))
+    val crit = targets.join(belowT, keys)
+      .filter(col("__below") < col("__r") && col("__r") <= col("__below") + col("__c"))
+      .select(kcols ++ Seq(col("__r"), col("__b"), col("__below"), col("__c"),
+        col("__bmn"), col("__bmx")): _*)
+    val critLocal = crit.collect() // ≤ groups × 2·|ps| — metadata, never corpus
+    val nk = keys.length
+    // single-value buckets resolve locally; oversized buckets recurse
+    // (per collected entry — each is one rank in one bucket of one group)
+    val resolvedLocal = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val smallEntries = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    critLocal.foreach { r =>
+      val (bmn, bmx) = (r.getDouble(nk + 4), r.getDouble(nk + 5))
+      if (bmn == bmx)
+        resolvedLocal += org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.take(nk) ++ Seq[Any](r.getLong(nk), bmn))
+      else if (r.getLong(nk + 3) <= maxCriticalRows) smallEntries += r
+      else {
+        val keyFilter = keys.zipWithIndex.map { case (k, i) => col(k) <=> lit(r.get(i)) }
+          .reduce(_ && _)
+        val sub = rows.filter(keyFilter &&
+          shiftright(col("__k"), 48) === r.getLong(nk + 1))
+        val v = valueAtRank(sub, r.getLong(nk) - r.getLong(nk + 2),
+          shift = 32, maxCriticalRows, depth = 1)
+        resolvedLocal += org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.take(nk) ++ Seq[Any](r.getLong(nk), v))
+      }
+    }
+    val valSchema = org.apache.spark.sql.types.StructType(
+      crit.schema.fields.take(nk) ++ Seq(
+        org.apache.spark.sql.types.StructField("__r", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__value", org.apache.spark.sql.types.DoubleType)))
+    val resolvedDf = spark.createDataFrame(
+      java.util.Arrays.asList(resolvedLocal.toSeq: _*), valSchema)
+    // small critical buckets: rank each bucket once (window partitions
+    // by (group, bucket) — the only per-row window), then match ranks
+    val smallVals = if (smallEntries.isEmpty) resolvedDf.limit(0) else {
+      val sb = spark.createDataFrame(
+        java.util.Arrays.asList(smallEntries.toSeq.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.take(nk) ++
+            Seq(r.getLong(nk + 1), r.getLong(nk + 2), r.getLong(nk)))): _*),
+        org.apache.spark.sql.types.StructType(crit.schema.fields.take(nk) ++ Seq(
+          org.apache.spark.sql.types.StructField("__b", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__below", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__r", org.apache.spark.sql.types.LongType))))
+      // rank each distinct small bucket ONCE, then match target ranks
+      // (two equal-bucket targets reuse the same ranked rows)
+      val wB = Window.partitionBy(kcols :+ col("__b"): _*).orderBy(col("__v"))
+      val ranked = bucketed
+        .join(broadcast(sb.select(kcols ++ Seq(col("__b"), col("__below")): _*).distinct()),
+          keys :+ "__b")
+        .withColumn("__rk", row_number().over(wB) + col("__below"))
+      val tr = sb.select(keys.map(k => col(k).as(s"__t_$k")) :+ col("__r"): _*)
+      ranked.join(broadcast(tr),
+          keys.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _) &&
+            col("__rk") === col("__r"))
+        .select(kcols ++ Seq(col("__r"), col("__v").as("__value")): _*)
+    }
+    val vals = resolvedDf.union(smallVals)
+    // interpolate per percentile from the (group, rank) → value table
+    // (metadata-sized joins; lo and hi of an integral position are the
+    // same rank row, which array_distinct above computed only once)
+    val interpBase = ps.zipWithIndex.foldLeft(stats) { case (acc, ((name, p), i)) =>
+      val pos = (col("__n") - 1) * p
+      val lo = vals.select(keys.map(k => col(k).as(s"__klo${i}_$k")) ++
+        Seq(col("__r").as(s"__rlo_$i"), col("__value").as(s"__vlo_$i")): _*)
+      val hi = vals.select(keys.map(k => col(k).as(s"__khi${i}_$k")) ++
+        Seq(col("__r").as(s"__rhi_$i"), col("__value").as(s"__vhi_$i")): _*)
+      acc.join(broadcast(lo), keys.map(k => col(k) <=> col(s"__klo${i}_$k")).reduce(_ && _) &&
+          floor(pos).cast("long") + 1 === col(s"__rlo_$i"))
+        .join(broadcast(hi), keys.map(k => col(k) <=> col(s"__khi${i}_$k")).reduce(_ && _) &&
+          ceil(pos).cast("long") + 1 === col(s"__rhi_$i"))
+        // Spark's Percentile formula exactly (see exactPercentiles)
+        .withColumn(name, when(ceil(pos) === floor(pos), col(s"__vlo_$i"))
+          .otherwise((ceil(pos) - pos) * col(s"__vlo_$i") +
+            (pos - floor(pos)) * col(s"__vhi_$i")))
+    }
+    interpBase.select(kcols ++ ps.map { case (name, _) => col(name) }: _*)
+  }
+
+  /** [[exactPercentilesBucketed]]'s refinement engine for ONE oversized
+    * critical bucket: find the value at `rank` (1-based, ascending)
+    * among `rows` (already filtered to the parent bucket; carry
+    * `__v`/`__k`), bucketing on the next 16 key bits per level. At
+    * `shift` = 0 the bucket is the full order key, i.e. one exact
+    * value — convergence is structural (≤ 3 levels below the top).
+    * The recursion is plan-time; each level's critical frame is one
+    * collected row. */
+  private def valueAtRank(rows: DataFrame, rank: Long, shift: Int,
+      maxCriticalRows: Long, depth: Int): Double = {
+    import org.apache.spark.sql.expressions.Window
+    require(shift >= 0 && depth <= 4,
+      s"exactPercentilesBucketed: refinement ran past the key width (depth $depth)")
+    val b = rows.withColumn("__b", shiftright(col("__k"), shift))
+    val perB = b.groupBy(col("__b")).agg(count(lit(1)).as("__c"),
+      min(col("__v")).as("__bmn"), max(col("__v")).as("__bmx"))
+    // ≤ 65536 rows: the global window is over a metadata frame
+    val wAsc = Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    val crit = perB.withColumn("__below", coalesce(sum(col("__c")).over(wAsc), lit(0L)))
+      .filter(col("__below") < rank && lit(rank) <= col("__below") + col("__c"))
+      .collect()
+    require(crit.length == 1, s"rank $rank outside bucket population")
+    val c = crit(0)
+    val (bb, cnt, bmn, bmx, below) = (c.getLong(0), c.getLong(1),
+      c.getDouble(2), c.getDouble(3), c.getLong(4))
+    if (bmn == bmx) bmn
+    else if (cnt <= maxCriticalRows) {
+      val wB = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      b.filter(col("__b") === bb)
+        .withColumn("__rk", row_number().over(wB))
+        .filter(col("__rk") === rank - below)
+        .select(col("__v")).collect()(0).getDouble(0)
+    } else valueAtRank(b.filter(col("__b") === bb).select(col("__v"), col("__k")),
+      rank - below, shift - 16, maxCriticalRows, depth + 1)
   }
 
   /** percentileOfSeries(seriesList, p) — the cross-series A5 variant:

@@ -170,6 +170,26 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_double_order_bits: signed key order == double order, both eval paths") {
+    val battery = Seq(Double.NegativeInfinity, -1.7e308, -42.0, -1.0,
+      -java.lang.Double.MIN_VALUE, -0.0, 0.0, java.lang.Double.MIN_VALUE,
+      0.5, 1.0, 42.0, 42.0 + 1e-13, 1.7e308, Double.PositiveInfinity, Double.NaN)
+    // codegen path: keys of the sorted battery must be strictly increasing
+    // except for -0.0/0.0 (distinct bits, adjacent keys — both orderings
+    // of the pair are consistent with double ordering)
+    val keys = battery.toDF("v")
+      .select(VectorExpressions.doubleOrderBits(col("v")).as("k"))
+      .collect().map(_.getLong(0))
+    keys.sliding(2).foreach { case Array(a, b) => assert(a < b, s"$a !< $b") }
+    // interpreted path agrees with the closed form
+    battery.foreach { v =>
+      val e = VectorExpressions.DoubleOrderBits(
+        org.apache.spark.sql.graft.ColumnBridge.expr(lit(v)))
+      val bits = java.lang.Double.doubleToLongBits(v)
+      assert(e.eval(null) == (bits ^ ((bits >> 63) & Long.MaxValue)))
+    }
+  }
+
   private def Tables_embeddings() =
     graft.store.Tables.embeddings(spark, "/root/testdata/sf0.001")
 }

@@ -100,6 +100,43 @@ class SeriesOpsSpec extends SparkTestBase {
     }
   }
 
+  test("exactPercentilesBucketed == percentile agg (random, ties, constants, recursion)") {
+    val rnd = new scala.util.Random(7)
+    // shapes: continuous values, tie-heavy, all-constant, singleton
+    // shapes: continuous, tie-heavy, all-constant, singleton, negative,
+    // and a near-equal cluster (values differing only in low mantissa
+    // bits — they share top-16-bit key buckets, so a tiny
+    // maxCriticalRows forces the 16-bit refinement recursion)
+    val rows = (Seq(("solo", 3.7)) ++
+      (1 to 120).map(_ => ("cont", rnd.nextDouble() * 1000 - 500)) ++
+      (1 to 90).map(_ => ("ties", math.floor(rnd.nextDouble() * 8))) ++
+      (1 to 40).map(_ => ("const", 42.0)) ++
+      (1 to 50).map(i => ("near", 42.0 + i * 1e-13))).toDF("k", "value")
+    val ps = Seq("p95" -> 0.95, "p50" -> 0.5, "p10" -> 0.1)
+    for (maxCrit <- Seq(4000000L, 3L)) {
+      val got = SeriesOps.exactPercentilesBucketed(rows, Seq("k"), "value", ps,
+        maxCriticalRows = maxCrit)
+      val exp = rows.groupBy("k")
+        .agg(percentile(col("value"), lit(0.95)).as("p95"),
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.1)).as("p10"))
+      assert(got.orderBy("k").collect().map(_.toString).toSeq ==
+        exp.orderBy("k").collect().map(_.toString).toSeq,
+        s"maxCriticalRows=$maxCrit")
+    }
+    // plan guard: the only per-row ranking window partitions by the
+    // value bucket, never the bare group key
+    val sel = SeriesOps.exactPercentilesBucketed(rows, Seq("k"), "value", ps)
+    sel.collect()
+    val windowRe = """Window \[(.*?)\], \[(.*?)\], \[(.*?)\]""".r
+    val plan = sel.queryExecution.executedPlan.toString
+    windowRe.findAllMatchIn(plan).foreach { m =>
+      if (m.group(1).contains("row_number"))
+        assert(m.group(2).contains("__b"),
+          s"ranking window must partition by the value bucket, got [${m.group(2)}]:\n$plan")
+    }
+  }
+
   test("timeShift moves timestamps by the interval") {
     val df = series(("a", 0, Some(1.0)))
     val out = SeriesOps.timeShift(df, "7 DAYS").collect()
