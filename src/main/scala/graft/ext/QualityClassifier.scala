@@ -135,6 +135,33 @@ object QualityClassifier {
         (lit(1.0) / (lit(1.0) + exp(-(col("_m") + model.intercept)))).as("score"))
   }
 
+  /** [[score]]'s oracle-anchoring twin (the x36c/x26b precedent: oracle
+    * the deterministic stage of an engine-specific pipeline). The
+    * xxhash64 featurizer has no SQL twin, so this path hashes tokens
+    * into the portable 16-bit md5-prefix space ([[graft.ext.Dsir]]'s
+    * buckets) and takes the weight of a bucket as a caller-supplied
+    * CLOSED-FORM column of the hex prefix — every other stage is
+    * byte-for-byte the [[score]] discipline: per-(doc, bucket) counts,
+    * L1 normalization, 9-decimal rounded margin terms summed as exact
+    * DECIMAL (partition-order independent), σ at the end. A DuckDB
+    * oracle re-derives the whole thing, pinning the inference math the
+    * production scorer runs with trained weights. */
+  def scorePortable(df: DataFrame, idCol: String, textCol: String,
+      weightOfBucket: Column => Column, intercept: Double): DataFrame = {
+    val w = df.select(col(idCol), explode(toks(col(textCol))).as("tok"))
+    val n = w.groupBy(idCol).agg(count(lit(1)).cast("double").as("_n"))
+    w.select(col(idCol), substring(md5(col("tok")), 1, 4).as("bucket"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).cast("double").as("_c"))
+      .join(n, idCol)
+      .select(col(idCol),
+        round(weightOfBucket(col("bucket")) * col("_c") / col("_n"), 9)
+          .cast(DecimalType(28, 10)).as("_t"))
+      .groupBy(idCol)
+      .agg(sum(col("_t")).cast("double").as("_m"))
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-(col("_m") + intercept)))).as("score"))
+  }
+
   /** Keep documents the classifier scores ≥ `minScore` (original rows;
     * docs with no tokens are dropped — nothing to judge them by). */
   def filterByScore(df: DataFrame, model: Model, idCol: String, textCol: String,

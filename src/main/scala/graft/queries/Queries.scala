@@ -1826,6 +1826,35 @@ object Queries {
       .ordered("media_id", "frame_idx")
   }
 
+  // X45 — heavy hitters via the Space-Saving sketch aggregate
+  // (functions.SketchAggregates): top word-bigrams of the corpus
+  // through a bounded mergeable summary instead of a full
+  // groupBy(gram).count() shuffle — at 100 TB only capacity-sized
+  // buffers cross the exchange. Capacity 2048 ≥ the corpus's distinct
+  // bigram count, the sketch's EXACT regime (no eviction anywhere, so
+  // counts equal true counts and err ≡ 0 — the contract FunctionsSpec
+  // pins), which makes the whole distributed sketch path hash-exact
+  // against DuckDB's exact counts; the eviction regime's bounds are
+  // spec-verified.
+  q("x45_heavy_hitters",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |g AS (
+      |  SELECT t[i] || ' ' || t[i+1] AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+      |c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1)
+      |SELECT gram, cnt, CAST(0 AS BIGINT) AS err
+      |FROM c ORDER BY cnt DESC, gram LIMIT 25""".stripMargin) { (s, dir) =>
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(s, dir)
+      .select(explode(graft.functions.TextExpressions.wordNgramsOf(toks, 2)).as("gram"))
+      .agg(graft.functions.SketchAggregates.spaceSavingTopK(col("gram"), 2048).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term").as("gram"), col("e.count").as("cnt"), col("e.err").as("err"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(25)
+  }
+
   // T10 — sumSeriesWithWildcards: combine series whose names differ only
   // at the wildcard node (the u<bucket> segment), through the stored
   // target-string path. Summing the per-(deep-series, minute) sums
@@ -2611,6 +2640,38 @@ object Queries {
         dim = 1024, iters = 60, lr = 200.0, lrIntercept = 1.0))
     graft.ext.QualityClassifier.score(
         docs.filter(col("doc_id") % 5 === 0), m, "doc_id", "text")
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .ordered("doc_id")
+  }
+
+  // X29b — classifier INFERENCE oracle (the x36c/x26b precedent:
+  // oracle the deterministic stage of an engine-specific pipeline).
+  // x29's trained scorer has no SQL twin (GD training + xxhash64
+  // features), but the scoring math does: hash tokens into the
+  // portable md5-prefix bucket space, take weights as a pinned
+  // closed-form function of the hex prefix, and run the EXACT score
+  // discipline (L1-normalized counts, 9-decimal rounded margin terms,
+  // exact decimal sum, sigmoid) — DuckDB re-derives it end to end.
+  q("x29b_score_oracle",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |w AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+      |n AS (SELECT doc_id, COUNT(*)::DOUBLE AS nn FROM w GROUP BY 1),
+      |b AS (SELECT doc_id, substr(md5(tok), 1, 4) AS bucket, COUNT(*)::DOUBLE AS c
+      |      FROM w GROUP BY 1, 2),
+      |t AS (
+      |  SELECT b.doc_id,
+      |    CAST(ROUND(((ascii(substr(bucket, 1, 1)) * 31
+      |                 + ascii(substr(bucket, 2, 1)) * 7) % 13 - 6) / 8.0
+      |               * c / nn, 9) AS DECIMAL(28,10)) AS term
+      |  FROM b JOIN n USING (doc_id))
+      |SELECT doc_id,
+      |  ROUND(1.0 / (1.0 + EXP(-(CAST(SUM(term) AS DOUBLE) + (-0.25)))), 6) AS score
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val wOf = (b: Column) =>
+      ((ascii(substring(b, 1, 1)) * 31 + ascii(substring(b, 2, 1)) * 7) % 13 - 6) / lit(8.0)
+    graft.ext.QualityClassifier.scorePortable(
+        Tables.documents(s, dir), "doc_id", "text", wOf, intercept = -0.25)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .ordered("doc_id")
   }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftExtensions, VectorExpressions}
+import graft.functions.{GraftExtensions, SketchAggregates, VectorExpressions}
 
 class FunctionsSpec extends SparkTestBase {
   import spark.implicits._
@@ -187,6 +187,55 @@ class FunctionsSpec extends SparkTestBase {
         org.apache.spark.sql.graft.ColumnBridge.expr(lit(v)))
       val bits = java.lang.Double.doubleToLongBits(v)
       assert(e.eval(null) == (bits ^ ((bits >> 63) & Long.MaxValue)))
+    }
+  }
+
+  test("spaceSavingTopK exact regime == groupBy count, partition-order invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val keys = (1 to 2000).map(_ => s"k${rnd.nextInt(40)}")
+    val expected = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(3, 7)) {
+      val out = keys.toDF("k").repartition(parts)
+        .agg(SketchAggregates.spaceSavingTopK(col("k"), capacity = 64).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term"), col("e.count"), col("e.err"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(out.length == expected.size, s"parts=$parts")
+      out.foreach { case (t, c, err) =>
+        assert(c == expected(t) && err == 0L, s"parts=$parts term=$t")
+      }
+      // output order is the documented (count desc, term asc)
+      assert(out.sortBy { case (t, c, _) => (-c, t) }.toSeq == out.toSeq)
+    }
+  }
+
+  test("spaceSavingTopK eviction regime: Space-Saving bounds hold, heavy keys survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // zipf-ish: a few heavy keys + a long tail, forcing eviction at cap 8
+    val keys = (1 to 600).map { _ =>
+      val r = rnd.nextInt(100)
+      if (r < 35) "heavy1" else if (r < 60) "heavy2" else if (r < 75) "heavy3"
+      else s"tail${rnd.nextInt(200)}"
+    }
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cap = 8
+    val out = keys.toDF("k").repartition(5)
+      .agg(SketchAggregates.spaceSavingTopK(col("k"), cap).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.count"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == cap)
+    out.foreach { case (t, est, err) =>
+      val tru = truth.getOrElse(t, 0L)
+      assert(est >= tru, s"$t: est $est < true $tru (must overcount)")
+      assert(est - err <= tru, s"$t: est-err ${est - err} > true $tru")
+    }
+    // every key with true count > N/capacity must be in the summary
+    val n = keys.size
+    truth.filter(_._2 > n.toLong / cap).keys.foreach { hk =>
+      assert(out.exists(_._1 == hk), s"heavy key $hk missing from summary")
     }
   }
 
