@@ -34,7 +34,30 @@ object GraftExtensions {
     (FunctionIdentifier("graft_intersect_count"),
       info("graft_intersect_count",
         "graft_intersect_count(a, b) - |A inter B| of two sorted distinct long arrays"),
-      (es: Seq[Expression]) => VectorExpressions.SortedIntersectCount(es(0), es(1))))
+      (es: Seq[Expression]) => VectorExpressions.SortedIntersectCount(es(0), es(1))),
+    (FunctionIdentifier("graft_uni_bigrams"),
+      info("graft_uni_bigrams",
+        "graft_uni_bigrams(tokens) - unigrams ++ space-joined bigrams of a token array"),
+      (es: Seq[Expression]) => TextExpressions.UnigramBigramConcat(es(0))),
+    (FunctionIdentifier("graft_word_ngrams"),
+      info("graft_word_ngrams",
+        "graft_word_ngrams(tokens, n) - space-joined adjacent n-grams (n a literal int)"),
+      (es: Seq[Expression]) => TextExpressions.WordNgramConcat(es(0),
+        es(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_ngram_repetition"),
+      info("graft_ngram_repetition",
+        "graft_ngram_repetition(grams) - (top, topg, dup) Gopher repetition stats"),
+      (es: Seq[Expression]) => TextExpressions.NgramRepetitionFold(es(0))),
+    (FunctionIdentifier("graft_double_order_bits"),
+      info("graft_double_order_bits",
+        "graft_double_order_bits(v) - IEEE-754 total-order long key of a double"),
+      (es: Seq[Expression]) => VectorExpressions.DoubleOrderBits(es(0))),
+    (FunctionIdentifier("graft_space_saving_topk"),
+      info("graft_space_saving_topk",
+        "graft_space_saving_topk(key, capacity) - Space-Saving heavy-hitter summary " +
+          "array<struct<term, count, err>> (capacity a literal int)"),
+      (es: Seq[Expression]) => SketchAggregates.SpaceSavingTopK(es(0),
+        es(1).eval().asInstanceOf[Int]).toAggregateExpression()))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -52,6 +52,19 @@ class FunctionsSpec extends SparkTestBase {
       "graft_intersect_count(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS c")
       .head
     assert(r.getDouble(0) == 11.0 && r.getLong(1) == 2L)
+    val r2 = spark.sql(
+      "SELECT graft_word_ngrams(array('a', 'b', 'c'), 2) AS g, " +
+      "graft_uni_bigrams(array('a', 'b')) AS u, " +
+      "graft_ngram_repetition(array('x', 'x', 'y')).top AS t, " +
+      "graft_double_order_bits(1.0D) AS k").head
+    assert(r2.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r2.getSeq[String](1) == Seq("a", "b", "a b"))
+    assert(r2.getLong(2) == 2L)
+    assert(r2.getLong(3) == java.lang.Double.doubleToLongBits(1.0))
+    val r3 = spark.sql(
+      "SELECT graft_space_saving_topk(k, 8) AS sk FROM VALUES ('a'), ('a'), ('b') t(k)")
+      .selectExpr("inline(sk)").collect()
+    assert(r3.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 2L), ("b", 1L)))
   }
 
   test("graft_uni_bigrams is bit-identical to the transform/element_at form") {
@@ -237,6 +250,35 @@ class FunctionsSpec extends SparkTestBase {
     truth.filter(_._2 > n.toLong / cap).keys.foreach { hk =>
       assert(out.exists(_._1 == hk), s"heavy key $hk missing from summary")
     }
+  }
+
+  test("spaceSavingTopK in a streaming aggregation == the batch sketch") {
+    // the governance summary as a live stream: the TypedImperativeAggregate
+    // rides Structured Streaming's complete-mode aggregation state —
+    // batch ≡ streaming, the house discipline
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val keys = (1 to 500).map(_ => s"k${rnd.nextInt(30)}")
+    val ms = MemoryStream[String]
+    keys.grouped(120).foreach(b => ms.addData(b: _*)) // several micro-batches
+    val q = ms.toDF().toDF("k")
+      .agg(SketchAggregates.spaceSavingTopK(col("k"), capacity = 64).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.count"), col("e.err"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ss_stream").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ss_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = keys.toDF("k")
+      .agg(SketchAggregates.spaceSavingTopK(col("k"), capacity = 64).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.count"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.toSeq == batch.toSeq)
   }
 
   private def Tables_embeddings() =
