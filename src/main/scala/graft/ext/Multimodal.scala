@@ -480,7 +480,7 @@ object Multimodal {
       * pattern, written as uncompressed DIB (`mjpeg = false`, lossless —
       * oracle-able) or MJPEG (`mjpeg = true`, real JFIF frames). */
     def syntheticAvi(seed: Long, frames: Int, w: Int, h: Int, fps: Int,
-        mjpeg: Boolean = false): Array[Byte] = {
+        mjpeg: Boolean = false, withIndex: Boolean = true): Array[Byte] = {
       val frameBodies = (0 until frames).map { f =>
         val img = patternFrame(seed, f, w, h)
         if (mjpeg) encodeJpeg(img) else dibBytes(img)
@@ -513,7 +513,9 @@ object Multimodal {
         off += c.length
         e
       }
-      val idx1 = chunk("idx1", idxBody.toArray.flatten)
+      val idx1 =
+        if (withIndex) chunk("idx1", idxBody.toArray.flatten)
+        else Array.empty[Byte] // unindexed clip: seeks fall back to the chunk walk
       val body = fcc("AVI ") ++ hdrl ++ movi ++ idx1
       fcc("RIFF") ++ le32(body.length.toLong) ++ body
     }
@@ -569,6 +571,105 @@ object Multimodal {
       walk(payload.length)
       require(w > 0 && h > 0, "missing avih header")
       Avi(w, h, us, frames.toArray)
+    }
+
+    /** Container metadata + the frame chunks' absolute positions WITHOUT
+      * decoding any frame: header fields from `avih`/`strf`, positions
+      * from `idx1` when present (one arithmetic jump per frame — the
+      * seek path), else a linear chunk walk that skips frame BYTES
+      * (still no decode). The selective-decode primitive: sampling k
+      * frames of an n-frame clip decodes k. */
+    final case class AviLayout(width: Int, height: Int, usPerFrame: Long,
+        bitCount: Int, framePos: Array[Int]) // position of each frame chunk's fourcc
+
+    def layout(payload: Array[Byte]): AviLayout = {
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def four(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(four() == "RIFF", "not a RIFF container")
+      bb.getInt
+      require(four() == "AVI ", "not an AVI")
+      var (w, h, us) = (0, 0, 0L)
+      var bitCount = 24
+      var moviPos = -1 // position of the "movi" fourcc
+      var moviEnd = -1
+      val idxPos = scala.collection.mutable.ArrayBuffer[Int]()
+      var sawIdx1 = false
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = four()
+          val sz = bb.getInt
+          val next = bb.position() + sz + (sz & 1)
+          id match {
+            case "LIST" =>
+              val typ = four()
+              if (typ == "movi") { moviPos = bb.position() - 4; moviEnd = bb.position() + sz - 4 }
+              else if (typ == "hdrl" || typ == "strl") walk(bb.position() + sz - 4)
+            case "avih" =>
+              us = bb.getInt.toLong & 0xFFFFFFFFL
+              bb.position(bb.position() + 28)
+              w = bb.getInt; h = bb.getInt
+            case "strf" =>
+              bb.position(bb.position() + 14)
+              bitCount = bb.getShort.toInt
+            case "idx1" =>
+              sawIdx1 = true
+              var p = bb.position()
+              while (p + 16 <= bb.position() + sz) {
+                val tag = new String(payload.slice(p, p + 4), "US-ASCII")
+                if (tag.endsWith("db") || tag.endsWith("dc")) {
+                  val off = java.nio.ByteBuffer.wrap(payload, p + 8, 4)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+                  idxPos += moviPos + off // offset is relative to the movi fourcc
+                }
+                p += 16
+              }
+            case _ =>
+          }
+          bb.position(math.min(next, end))
+        }
+      }
+      walk(payload.length)
+      require(w > 0 && h > 0 && moviPos >= 0, "missing avih/movi")
+      val pos =
+        if (sawIdx1 && idxPos.nonEmpty) idxPos.toArray
+        else {
+          // no index: linear walk of movi, skipping frame bytes
+          val out = scala.collection.mutable.ArrayBuffer[Int]()
+          var p = moviPos + 4
+          while (p + 8 <= moviEnd) {
+            val tag = new String(payload.slice(p, p + 4), "US-ASCII")
+            val sz = java.nio.ByteBuffer.wrap(payload, p + 4, 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+            if (tag.endsWith("db") || tag.endsWith("dc")) out += p
+            p += 8 + sz + (sz & 1)
+          }
+          out.toArray
+        }
+      AviLayout(w, h, us, bitCount, pos)
+    }
+
+    /** Decode ONLY the requested frame indices (deduped, in-range),
+      * seeking each chunk through [[layout]] — the per-frame twin of
+      * [[parse]], bit-identical on the frames both decode. */
+    def decodeFramesAt(payload: Array[Byte], idxs: Seq[Int]): Seq[(Int, java.awt.image.BufferedImage)] = {
+      val lay = layout(payload)
+      idxs.distinct.sorted.filter(i => i >= 0 && i < lay.framePos.length).map { i =>
+        val p = lay.framePos(i)
+        val tag = new String(payload.slice(p, p + 4), "US-ASCII")
+        val sz = java.nio.ByteBuffer.wrap(payload, p + 4, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        val bytes = payload.slice(p + 8, p + 8 + sz)
+        val img =
+          if (tag.endsWith("db")) decodeDib(bytes, lay.width, lay.height, lay.bitCount)
+          else {
+            val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            require(im != null, "undecodable compressed frame")
+            im
+          }
+        (i, img)
+      }
     }
 
     private def decodeDib(bytes: Array[Byte], w: Int, h: Int,
@@ -701,6 +802,42 @@ object Multimodal {
           }
           VideoFrame(m.media_id, f, f * avi.usPerFrame / 1000,
             avi.width, avi.height, sr, sg, sb, lum / px.length)
+        }
+      }
+    }
+  }
+
+  /** Time-sampled frame decode with REAL seeks: each video row fans out
+    * to the frames its duration samples at `intervalMs`, and ONLY those
+    * frames are decoded — [[AviCodec.layout]] jumps to the chunk through
+    * the container's idx1 index (or a byte-skipping walk when
+    * unindexed). The 100-TB shape of frame sampling: a 24 fps corpus
+    * sampled at 1 fps decodes 1/24th of its frames, not all of them
+    * behind a filter. Emits the same exact integer channel sums as
+    * [[videoFrameTable]] for the frames it touches. */
+  def sampleFramesDecoded(media: Dataset[MediaRow], intervalMs: Long): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val lay = AviCodec.layout(m.payload)
+        val frameMs = lay.usPerFrame / 1000
+        val n = lay.framePos.length
+        val idxs = (0L until m.duration_ms by intervalMs)
+          .map(off => (off / frameMs).toInt).distinct.filter(_ < n)
+        AviCodec.decodeFramesAt(m.payload, idxs).iterator.map { case (f, img) =>
+          val px = ImageIoCodec.argb(img)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var lum = 0.0
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+            sr += r; sg += g; sb += b
+            lum += 0.299 * r / 255.0 + 0.587 * g / 255.0 + 0.114 * b / 255.0
+            i += 1
+          }
+          VideoFrame(m.media_id, f, f * frameMs, lay.width, lay.height,
+            sr, sg, sb, lum / px.length)
         }
       }
     }

@@ -1855,6 +1855,44 @@ object Queries {
       .limit(25)
   }
 
+  // X12h — SELECTIVE frame decode with real container seeks: sample
+  // each clip at 250 ms, decode ONLY the sampled frames (AviCodec
+  // .layout jumps through idx1 — at 100 TB a 1 fps sample of a 24 fps
+  // corpus decodes 1/24th of its frames). The sampled indices and the
+  // per-frame integer channel sums are both closed-form, so DuckDB
+  // re-derives the whole selective decode — sampling arithmetic
+  // included — hash-exact (the x12g precedent narrowed to a subset).
+  q("x12h_frame_seek",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(doc_id % 6 + 2 AS INTEGER) AS nf,
+      |    CAST(doc_id % 8 + 4 AS INTEGER) AS w,
+      |    CAST(doc_id % 6 + 4 AS INTEGER) AS h
+      |  FROM documents),
+      |f AS (
+      |  SELECT DISTINCT m.media_id, m.w, m.h,
+      |    CAST(t.off // 100 AS INTEGER) AS frame_idx
+      |  FROM m, UNNEST(generate_series(0, nf * 100 - 1, 250)) AS t(off)),
+      |px AS (
+      |  SELECT f.media_id, f.frame_idx, f.w, f.h,
+      |    CAST(gx.x AS BIGINT) AS x, CAST(gy.y AS BIGINT) AS y
+      |  FROM f, UNNEST(generate_series(0, w - 1)) AS gx(x),
+      |       UNNEST(generate_series(0, h - 1)) AS gy(y))
+      |SELECT media_id, frame_idx,
+      |  CAST(frame_idx AS BIGINT) * 100 AS frame_ms,
+      |  w AS width, h AS height,
+      |  CAST(SUM((media_id + frame_idx * 19 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((media_id * 3 + frame_idx * 23 + x * 11 + y * 5) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((media_id * 5 + frame_idx * 29 + x * 3 + y * 17) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+    graft.ext.Multimodal.sampleFramesDecoded(
+        graft.ext.Multimodal.syntheticVideoTable(s, dir), intervalMs = 250).toDF()
+      .select(col("media_id"), col("frame_idx"), col("frame_ms"),
+        col("width"), col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
+      .ordered("media_id", "frame_idx")
+  }
+
   // T10 — sumSeriesWithWildcards: combine series whose names differ only
   // at the wildcard node (the u<bucket> segment), through the stored
   // target-string path. Summing the per-(deep-series, minute) sums

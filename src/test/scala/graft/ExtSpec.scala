@@ -413,6 +413,45 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("AviCodec: indexed seeks decode exactly the frames the full parse does") {
+    import Multimodal.AviCodec
+    val (seed, nf, w, h) = (9L, 6, 5, 4)
+    for (mjpeg <- Seq(false, true); withIndex <- Seq(true, false)) {
+      val avi = AviCodec.syntheticAvi(seed, nf, w, h, fps = 10, mjpeg, withIndex)
+      val full = AviCodec.parse(avi).frames
+      val lay = AviCodec.layout(avi)
+      assert(lay.framePos.length == nf && lay.width == w && lay.height == h,
+        s"mjpeg=$mjpeg idx=$withIndex layout")
+      // out-of-range and duplicate requests are dropped/deduped
+      val got = AviCodec.decodeFramesAt(avi, Seq(4, 1, 1, 4, 99, -1))
+      assert(got.map(_._1) == Seq(1, 4), s"mjpeg=$mjpeg idx=$withIndex")
+      got.foreach { case (i, img) =>
+        for (y <- 0 until h; x <- 0 until w)
+          assert(img.getRGB(x, y) == full(i).getRGB(x, y),
+            s"mjpeg=$mjpeg idx=$withIndex frame $i pixel ($x,$y): seek != full parse")
+      }
+    }
+  }
+
+  test("AviCodec: sampled decode fans out only the sampled frames, sums exact") {
+    import Multimodal.AviCodec
+    val media = Multimodal.syntheticVideoTable(spark, dir)
+    val rows = Multimodal.sampleFramesDecoded(media, intervalMs = 250).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.media_id).foreach { case (id, fs) =>
+      val nf = (id % 6 + 2).toInt
+      val expectIdx = (0L until nf * 100L by 250L).map(off => (off / 100).toInt)
+        .distinct.filter(_ < nf).sorted
+      assert(fs.map(_.frame_idx).sorted.toSeq == expectIdx, s"media $id sampled set")
+      val (w, h) = ((id % 8 + 4).toInt, (id % 6 + 4).toInt)
+      fs.foreach { r =>
+        val sumR = (for (y <- 0 until h; x <- 0 until w)
+          yield AviCodec.patR(id, r.frame_idx, x, y).toLong).sum
+        assert(r.sum_r == sumR, s"media $id frame ${r.frame_idx} sum_r")
+      }
+    }
+  }
+
   test("AviCodec: distributed per-frame fan-out with real decode") {
     import Multimodal.AviCodec
     val media = Multimodal.syntheticVideoTable(spark, dir)
