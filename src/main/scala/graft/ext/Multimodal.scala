@@ -173,11 +173,16 @@ object Multimodal {
     /** Nearest-neighbor resize so the longest side fits `box` (aspect
       * preserved, same metadata math as [[resizeToFit]]), re-encoded as
       * PNG. `src = dst · in div out` — integer-exact, engine-portable. */
-    def resizePayload(payload: Array[Byte], box: Int): Array[Byte] = {
+    def resizePayload(payload: Array[Byte], box: Int): Array[Byte] =
+      resizeWithDims(payload, box)._1
+
+    /** [[resizePayload]] plus the output dimensions (so a pipeline
+      * stage updates its metadata columns without re-decoding). */
+    def resizeWithDims(payload: Array[Byte], box: Int): (Array[Byte], Int, Int) = {
       val img = read(payload)
       val (w, h) = (img.getWidth, img.getHeight)
       val longest = math.max(w, h)
-      if (longest <= box) return encodePng(img)
+      if (longest <= box) return (encodePng(img), w, h)
       val ow = math.max(1, w * box / longest)
       val oh = math.max(1, h * box / longest)
       val out = new java.awt.image.BufferedImage(ow, oh,
@@ -195,7 +200,7 @@ object Multimodal {
         y += 1
       }
       out.setRGB(0, 0, ow, oh, dst, 0, ow)
-      encodePng(out)
+      (encodePng(out), ow, oh)
     }
 
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
@@ -901,14 +906,15 @@ object Multimodal {
     }
   }
 
-  /** Resize-to-fit stage: scale media so the longest side fits `box`,
-    * preserving aspect ratio. The METADATA math is real, integer-exact
+  /** Resize-to-fit METADATA stage: scale media so the longest side fits
+    * `box`, preserving aspect ratio. The metadata math is integer-exact
     * (`w·box div max(w,h)` — no FP, so plans and engines agree bit-for-
     * bit) and runs as plain codegen'd columns, so a `WHERE out_w < …`
-    * prunes before any payload is touched.
-    * ======== STUB ======== the payload "resample" is a byte-slice
-    * proportional to the area ratio — a real deployment swaps it for the
-    * codec call, signature and metadata math unchanged. */
+    * prunes before any payload is touched. The payload column here is a
+    * size-proportional byte-slice STAND-IN kept for the generic-media
+    * (FakeCodec-class) path; the REAL pixel resample is
+    * [[resizeMediaDecoded]] — run this form first to prune, that form
+    * on the survivors to produce pixels. */
   def resizeToFit(media: DataFrame, box: Int): DataFrame = {
     def scaled(side: String) =
       when(greatest(col("width"), col("height")) <= box, col(side).cast("long"))
@@ -921,6 +927,23 @@ object Multimodal {
           |  greatest(1L, CAST(octet_length(payload) AS BIGINT) * out_w * out_h
           |    DIV greatest(CAST(width AS BIGINT) * height, 1L)))""".stripMargin))
       .withColumn("payload", expr("substring(payload, 1, out_bytes)"))
+  }
+
+  /** REAL decoded resize as a distributed stage: image payloads in,
+    * aspect-fit PNG payloads out ([[ImageIoCodec.resizeWithDims]] per
+    * row in the per-partition batch shape), metadata columns updated
+    * from the DECODED dimensions. This is the production body of
+    * [[resizeToFit]] — that form keeps the integer-exact columnar
+    * metadata math the oracle gate checks (and prunes on, BEFORE any
+    * payload is touched); this one produces the actual pixels. */
+  def resizeMediaDecoded(media: Dataset[MediaRow], box: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (payload, ow, oh) = ImageIoCodec.resizeWithDims(m.payload, box)
+        MediaRow(m.media_id, m.kind, payload, ow, oh, m.duration_ms)
+      }
+    }
   }
 
   /** Frame sampling for video rows: fan one row out to ceil(duration/interval)

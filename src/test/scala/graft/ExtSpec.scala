@@ -272,6 +272,34 @@ class ExtSpec extends SparkTestBase {
     assert(ImageIoCodec.checksum(small) == ImageIoCodec.checksum(png))
   }
 
+  test("resizeMediaDecoded: distributed real resize, pixels and metadata agree") {
+    import Multimodal.ImageIoCodec
+    val media = Multimodal.syntheticImageTable(spark, dir)
+    val out = Multimodal.resizeMediaDecoded(media, box = 6).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, h) = ((r.media_id % 16 + 4).toInt, (r.media_id % 12 + 4).toInt)
+      val longest = math.max(w, h)
+      val (ew, eh) =
+        if (longest <= 6) (w, h)
+        else (math.max(1, w * 6 / longest), math.max(1, h * 6 / longest))
+      assert(r.width == ew && r.height == eh,
+        s"media ${r.media_id}: dims ${r.width}x${r.height} != ${ew}x$eh")
+      // payload is a real PNG of those dims whose pixels are the exact
+      // nearest-neighbor picks from the source pattern
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == ew && img.getHeight == eh)
+      for (y <- 0 until eh; x <- 0 until ew) {
+        val (sx, sy) = (x * w / ew, y * h / eh)
+        val expect = ((((r.media_id + sx * 7 + sy * 13) % 256) << 16) |
+          (((r.media_id * 3 + sx * 11 + sy * 5) % 256) << 8) |
+          ((r.media_id * 5 + sx * 3 + sy * 17) % 256)).toInt
+        assert((img.getRGB(x, y) & 0xFFFFFF) == expect,
+          s"media ${r.media_id} pixel ($x,$y)")
+      }
+    }
+  }
+
   test("ImageIoCodec: distributed decode through the batch path on real PNGs") {
     val media = Multimodal.syntheticImageTable(spark, dir)
     val rows = Multimodal.extractFeatures(media, Multimodal.ImageIoCodec).collect()
