@@ -166,8 +166,17 @@ object Pq {
     * compression multiply. */
   def topKStoredIvfPq(queries: DataFrame, spark: org.apache.spark.sql.SparkSession,
       path: String, model: Model, k: Int, nprobe: Int, shortlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKIvfPqFromIndex(queries, Ivf.read(spark, path), model, k, nprobe,
+      shortlist, idCol, vecCol)
+
+  /** [[topKStoredIvfPq]] over an ALREADY-LOADED index — the serving
+    * shape where the layout frame is opened once (and possibly cached)
+    * per corpus snapshot and probed by many batteries, instead of
+    * re-opened per call. */
+  def topKIvfPqFromIndex(queries: DataFrame, index: Ivf.Index, model: Model,
+      k: Int, nprobe: Int, shortlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val index = Ivf.read(spark, path)
     val probes = Ivf.probeCells(queries, index, nprobe, idCol, vecCol)
     // distinct probed cells ≤ number of cells — driver-safe by design
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted

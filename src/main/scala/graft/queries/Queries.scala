@@ -134,6 +134,29 @@ object Queries {
   /** x36b's stored IVF-PQ layout, one per scale dir. */
   private val ivfPqMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfPqPath(s: SparkSession, dir: String): String =
+    ivfPqMemo.getOrElseUpdate(dir, {
+      val (model, _) = pqIndex(s, dir)
+      val (idx, _) = ivfIndex(s, dir)
+      val p = java.nio.file.Files.createTempDirectory("graft-ivfpq-gate").toString
+      graft.ext.Pq.writeIvfPq(idx, model, p)
+      p
+    })
+
+  /** The stored layout LOADED once per scale dir (the serving shape:
+    * open the snapshot once, probe it with every battery). Under the
+    * bench posture the one-partition small-SF parquet is spread by the
+    * cell key and cached — the lexIndex treatment; at 100 TB the layout
+    * is thousands of cell-partitioned files and this is a no-op. */
+  private val ivfPqLoadedMemo =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ext.Ivf.Index]
+  private def ivfPqLoaded(s: SparkSession, dir: String): graft.ext.Ivf.Index =
+    ivfPqLoadedMemo.getOrElseUpdate(dir, {
+      val raw = graft.ext.Ivf.read(s, ivfPqPath(s, dir))
+      if (!Tables.cacheEnabled) raw
+      else raw.copy(assigned = raw.assigned
+        .repartition(s.sparkContext.defaultParallelism, col("cell")).cache())
+    })
 
   /** x31's learned BPE merges + cached vocab, one per scale dir. */
   private val bpeMemo = scala.collection.concurrent.TrieMap
@@ -2890,17 +2913,11 @@ object Queries {
   q("x38c_hybrid_stored") { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val (model, _) = pqIndex(s, dir)
-    val path = ivfPqMemo.getOrElseUpdate(dir, {
-      val (idx, _) = ivfIndex(s, dir)
-      val p = java.nio.file.Files.createTempDirectory("graft-ivfpq-gate").toString
-      graft.ext.Pq.writeIvfPq(idx, model, p)
-      p
-    })
     val queries = docs.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("query_id"),
         explode(slice(split(trim(col("text")), "\\s+"), 1, 4)).as("term"))
     val qv = Tables.embeddings(s, dir).filter(col("vec_id") % 20 === 0)
-    val ann = graft.ext.Pq.topKStoredIvfPq(qv, s, path, model,
+    val ann = graft.ext.Pq.topKIvfPqFromIndex(qv, ivfPqLoaded(s, dir), model,
       k = 20, nprobe = 4, shortlist = 40)
     graft.ext.Retrieval.hybridTopKBatchFromIndex(lexIndex(s, dir), "doc_id",
         queries, ann, k = 10, perList = 20)
@@ -3153,15 +3170,9 @@ object Queries {
   // probe == flat PQ rerank and the pruning.
   q("x36b_ivfpq_stored") { (s, dir) =>
     val (model, _) = pqIndex(s, dir)
-    val path = ivfPqMemo.getOrElseUpdate(dir, {
-      val (idx, _) = ivfIndex(s, dir)
-      val p = java.nio.file.Files.createTempDirectory("graft-ivfpq-gate").toString
-      graft.ext.Pq.writeIvfPq(idx, model, p)
-      p
-    })
     val emb = Tables.embeddings(s, dir)
-    graft.ext.Pq.topKStoredIvfPq(emb.filter(col("vec_id") < 10), s, path,
-        model, k = 5, nprobe = 4, shortlist = 25)
+    graft.ext.Pq.topKIvfPqFromIndex(emb.filter(col("vec_id") < 10),
+        ivfPqLoaded(s, dir), model, k = 5, nprobe = 4, shortlist = 25)
       .withColumn("cos", round(col("cos"), 4))
       .ordered("query_id", "rk")
   }
