@@ -825,7 +825,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { m =>
         val lay = AviCodec.layout(m.payload)
-        val frameMs = lay.usPerFrame / 1000
+        val frameMs = math.max(1L, lay.usPerFrame / 1000) // >1000 fps: sample per-ms
         val n = lay.framePos.length
         val idxs = (0L until m.duration_ms by intervalMs)
           .map(off => (off / frameMs).toInt).distinct.filter(_ < n)

@@ -413,8 +413,10 @@ object SeriesOps {
     *
     * Values at the lo/hi ranks interpolate exactly as
     * [[exactPercentiles]] — the two agree bit-for-bit (spec-pinned,
-    * ties/constants/singletons included). Nulls are skipped (the
-    * percentile-aggregate rule). */
+    * ties/constants/singletons included). Null VALUES are skipped (the
+    * percentile-aggregate rule); a group whose values are ALL null is
+    * absent from the result (the aggregate would emit a null row —
+    * the one divergence, shared with [[exactPercentiles]]). */
   def exactPercentilesBucketed(dfIn: DataFrame, keys: Seq[String], valueCol: String,
       ps: Seq[(String, Double)], maxCriticalRows: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -488,11 +490,16 @@ object SeriesOps {
           org.apache.spark.sql.types.StructField("__below", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("__r", org.apache.spark.sql.types.LongType))))
       // rank each distinct small bucket ONCE, then match target ranks
-      // (two equal-bucket targets reuse the same ranked rows)
+      // (two equal-bucket targets reuse the same ranked rows).
+      // Null-safe key equality: a USING join would silently drop
+      // null-keyed groups.
       val wB = Window.partitionBy(kcols :+ col("__b"): _*).orderBy(col("__v"))
+      val sbB = sb.select(keys.map(k => col(k).as(s"__sb_$k")) ++
+        Seq(col("__b").as("__sb_b"), col("__below")): _*).distinct()
       val ranked = bucketed
-        .join(broadcast(sb.select(kcols ++ Seq(col("__b"), col("__below")): _*).distinct()),
-          keys :+ "__b")
+        .join(broadcast(sbB),
+          keys.map(k => col(k) <=> col(s"__sb_$k")).reduce(_ && _) &&
+            col("__b") === col("__sb_b"))
         .withColumn("__rk", row_number().over(wB) + col("__below"))
       val tr = sb.select(keys.map(k => col(k).as(s"__t_$k")) :+ col("__r"): _*)
       ranked.join(broadcast(tr),
