@@ -107,4 +107,44 @@ class ScaleInvarianceSpec extends SparkTestBase {
     assert(kept(1)._2 >= kept.head._2,
       s"dropped counts must not shrink with the corpus: $kept")
   }
+
+  test("video decode (x12g/x12h families): frame accounting exact at each SF; volume monotone") {
+    val totals = sfs.map { dir =>
+      val media = graft.ext.Multimodal.syntheticVideoTable(spark, dir)
+      // full fan-out: exactly Σ (doc_id % 6 + 2) frames, none dropped
+      val frames = graft.ext.Multimodal.videoFrameTable(media)
+      val perClip = frames.groupBy("media_id").count()
+      val bad = perClip.join(media.toDF().select(col("media_id"),
+          (col("media_id") % 6 + 2).as("nf")), "media_id")
+        .filter(col("count") =!= col("nf")).count()
+      assert(bad == 0, s"$dir: $bad clips with wrong frame counts")
+      // selective decode is a strict subset of the full fan-out
+      val sampled = graft.ext.Multimodal.sampleFramesDecoded(media, 250).toDF()
+      val extra = sampled.select("media_id", "frame_idx")
+        .except(frames.toDF().select("media_id", "frame_idx")).count()
+      assert(extra == 0, s"$dir: sampled frames outside the full set")
+      frames.count()
+    }
+    assert(totals(1) > totals.head,
+      s"decoded frame volume must grow with the corpus: $totals")
+  }
+
+  test("heavy hitters (x45 family): sketch exact regime holds at each SF") {
+    sfs.foreach { dir =>
+      val toks = split(trim(col("text")), "\\s+")
+      val grams = Tables.documents(spark, dir)
+        .select(explode(graft.functions.TextExpressions.wordNgramsOf(toks, 2)).as("gram"))
+      val sk = grams
+        .agg(graft.functions.SketchAggregates.spaceSavingTopK(col("gram"), 2048).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term").as("gram"), col("e.count").as("cnt"), col("e.err").as("err"))
+      val truth = grams.groupBy("gram").count()
+      // the corpus vocabulary stays under capacity at every SF (the
+      // gate's exact-regime contract): counts equal truth, err ≡ 0
+      val bad = sk.join(truth, "gram")
+        .filter(col("cnt") =!= col("count") || col("err") =!= 0).count()
+      val missing = truth.join(sk, Seq("gram"), "left_anti").count()
+      assert(bad == 0 && missing == 0, s"$dir: $bad wrong, $missing missing")
+    }
+  }
 }
