@@ -1916,6 +1916,39 @@ object Queries {
       .ordered("media_id", "frame_idx")
   }
 
+  // X45b — GROUPED heavy hitters: one Space-Saving summary per source
+  // (the sketch as a grouped aggregate — per-domain vocabularies with
+  // one bounded buffer per group crossing the exchange), top-5 bigrams
+  // per source by (count desc, gram). Same exact-regime contract as
+  // x45, so the grouped path is hash-exact against DuckDB's per-source
+  // exact counts.
+  q("x45b_domain_hitters",
+    """WITH toks AS (
+      |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |g AS (
+      |  SELECT source, t[i] || ' ' || t[i+1] AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+      |c AS (SELECT source, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, gram, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, gram) AS rk
+      |  FROM c)
+      |SELECT source, gram, cnt, rk FROM r WHERE rk <= 5
+      |ORDER BY source, rk""".stripMargin) { (s, dir) =>
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(s, dir)
+      .select(col("source"),
+        explode(graft.functions.TextExpressions.wordNgramsOf(toks, 2)).as("gram"))
+      .groupBy("source")
+      .agg(graft.functions.SketchAggregates.spaceSavingTopK(col("gram"), 2048).as("sk"))
+      // the summary arrives (count desc, term asc)-sorted: the top-5
+      // slice needs no re-ranking window, just positional explode
+      .select(col("source"), posexplode(slice(col("sk"), 1, 5)).as(Seq("p", "e")))
+      .select(col("source"), col("e.term").as("gram"), col("e.count").as("cnt"),
+        (col("p") + 1).cast("long").as("rk"))
+      .ordered("source", "rk")
+  }
+
   // T10 — sumSeriesWithWildcards: combine series whose names differ only
   // at the wildcard node (the u<bucket> segment), through the stored
   // target-string path. Summing the per-(deep-series, minute) sums
