@@ -143,6 +143,92 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  // -- incremental near-dup (persisted band store) ------------------------
+
+  /** Write the MinHash band store for a corpus snapshot: `dir/bands` =
+    * (id, band, bucket) partitioned by band, `dir/shingles` = (id,
+    * shingle). This is the artifact that makes daily near-dup INCREMENTAL
+    * at 100 TB: signatures depend only on document content (seeded
+    * xxhash64 over the doc's own shingles — no corpus statistics), so a
+    * batch's bands/shingles never have to be recomputed once stored, and
+    * [[incrementalNearDups]] probes a new batch against the store at
+    * batch-join cost instead of re-banding the corpus. The same
+    * batch-cost contract as [[graft.ext.Retrieval.mergeIndex]] and
+    * [[snapshotDiff]]. */
+  def writeBandStore(df: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32): Unit = {
+    val rows = shingleRows(df, idCol, textCol, shingleN).persist()
+    try {
+      lshBuckets(minhashSignature(rows, numHashes), numHashes, bands)
+        .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+      rows.write.mode("overwrite").parquet(s"$dir/shingles")
+    } finally rows.unpersist()
+  }
+
+  /** Fold a new batch into a stored band store at delta cost: only the
+    * batch shingles/signatures compute; stored rows are untouched.
+    * (Parquet append — the batch becomes new files alongside the old.) */
+  def appendBandStore(batch: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32): Unit = {
+    val rows = shingleRows(batch, idCol, textCol, shingleN).persist()
+    try {
+      lshBuckets(minhashSignature(rows, numHashes), numHashes, bands)
+        .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+      rows.write.mode("append").parquet(s"$dir/shingles")
+    } finally rows.unpersist()
+  }
+
+  /** Near-dups of a NEW batch against a stored corpus + within itself,
+    * without re-banding the corpus: the batch's bands (delta cost) join
+    * the stored bands on (band, bucket) for cross candidates; batch-
+    * internal candidates come from the batch bands alone; exact-Jaccard
+    * verification reads stored shingles ONLY for the touched candidate
+    * ids. Because signatures are content-local, the result is exactly
+    * the full-recompute pairs restricted to pairs touching the batch
+    * (spec-pinned in ExtSpec). Returns (id1, id2, jaccard), id1 < id2.
+    *
+    * 100-TB shape: the expensive side (stored bands/shingles) is
+    * scanned once, moves only 8-byte keys, and nothing re-hashes old
+    * documents; candidate volume is governed by the same rows-per-band
+    * exponent as the batch pipeline. */
+  def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    val newRows = shingleRows(batch, idCol, textCol, shingleN).persist()
+    try {
+      val newBands = lshBuckets(minhashSignature(newRows, numHashes), numHashes, bands)
+        .persist()
+      try {
+        val stored = spark.read.parquet(s"$dir/bands")
+          .select(col("id"), col("band").cast("int").as("band"), col("bucket"))
+        // batch ids may also be in the store (appended earlier): exclude
+        // them from the stored probe side so cross pairs are (old, new)
+        val newIds = batch.select(col(idCol).as("id")).distinct()
+        val oldBands = stored.join(newIds, Seq("id"), "left_anti")
+        val cross = newBands.select(col("band"), col("bucket"), col("id").as("nid"))
+          .join(oldBands.select(col("band"), col("bucket"), col("id").as("oid")),
+            Seq("band", "bucket"))
+          .select(least(col("nid"), col("oid")).as("id1"),
+            greatest(col("nid"), col("oid")).as("id2"))
+          .distinct()
+        val within = candidatePairs(newBands)
+        val cand = cross.unionByName(within).distinct()
+        // verify against the union of stored + batch shingles, but only
+        // rows whose id appears in a candidate pair move
+        val touched = cand.select(col("id1").as("id"))
+          .unionByName(cand.select(col("id2").as("id"))).distinct()
+        val oldRows = spark.read.parquet(s"$dir/shingles")
+          .join(newIds, Seq("id"), "left_anti")
+        val rows = oldRows.unionByName(newRows).join(touched, "id")
+        verifyJaccard(cand, rows)
+          .filter(col("jaccard") >= threshold)
+          .select("id1", "id2", "jaccard")
+          .localCheckpoint(true)
+      } finally newBands.unpersist()
+    } finally newRows.unpersist()
+  }
+
   /** SimHash: 64-bit signature whose bit i is the sign of
     * Σ tokens tf·(±1 per hash bit i). Near-dups = small Hamming
     * distance.

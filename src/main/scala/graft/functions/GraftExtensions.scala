@@ -57,7 +57,25 @@ object GraftExtensions {
         "graft_space_saving_topk(key, capacity) - Space-Saving heavy-hitter summary " +
           "array<struct<term, count, err>> (capacity a literal int)"),
       (es: Seq[Expression]) => SketchAggregates.SpaceSavingTopK(es(0),
-        es(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+        es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+    (FunctionIdentifier("graft_quantile_sketch"),
+      info("graft_quantile_sketch",
+        "graft_quantile_sketch(v, k) - compactor-stack quantile summary " +
+          "struct<items array<struct<value, weight>>, exact> (k a literal int)"),
+      (es: Seq[Expression]) => QuantileSketches.QuantileSketchAgg(es(0),
+        es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+    (FunctionIdentifier("graft_quantile_merge"),
+      info("graft_quantile_merge",
+        "graft_quantile_merge(summary, k) - merge persisted quantile summaries"),
+      (es: Seq[Expression]) => QuantileSketches.QuantileSketchMergeAgg(es(0),
+        es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+    (FunctionIdentifier("graft_sketch_quantiles"),
+      info("graft_sketch_quantiles",
+        "graft_sketch_quantiles(summary, probs) - interpolated quantiles from a " +
+          "summary (probs a literal double array)"),
+      (es: Seq[Expression]) => QuantileSketches.SketchQuantiles(es(0),
+        es(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray().toSeq)))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

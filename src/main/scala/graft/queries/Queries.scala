@@ -67,6 +67,35 @@ object Queries {
       graft.store.Rollups.materializeMinutely(s, dir, p)
       p
     })
+  /** Persisted quantile-sketch partials (the sketch-rollup store shape:
+    * a periodic job writes one summary row per (source, lang); reports
+    * merge partials at summary cost without re-touching the corpus).
+    * Built once per scale dir, like [[rollupDir]]. */
+  private val qsketchMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def qsketchPartialsDir(s: SparkSession, dir: String): String =
+    qsketchMemo.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-qsketch-partials").toString
+      Tables.documents(s, dir)
+        .groupBy("source", "lang")
+        .agg(graft.functions.QuantileSketches
+          .quantileSketch(col("n_chars").cast("double"), 1024).as("sk"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Persisted MinHash band store over the non-batch corpus slice
+    * (doc_id % 5 != 0) — the x2c incremental-dedup artifact, built once
+    * per scale dir at the x2 gate's 64/16 operating point. */
+  private val bandStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bandStoreDir(s: SparkSession, dir: String): String =
+    bandStoreMemo.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-band-store").toString
+      graft.ext.Dedup.writeBandStore(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", p, shingleN = 3, numHashes = 64, bands = 16)
+      p
+    })
+
   private val rollupCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def minuteRollup(s: SparkSession, dir: String): DataFrame =
     if (!Tables.cacheEnabled) graft.store.Rollups.minutely(s, rollupDir(s, dir))
@@ -3391,5 +3420,76 @@ object Queries {
     graft.ext.Sampling.topPerStratum(scored, Seq("source"), col("score"),
         "doc_id", k = 5)
       .ordered("doc_id")
+  }
+
+  // X46 — per-source length quantiles through the compactor-stack
+  // quantile sketch (QuantileSketches): the exact-percentile
+  // WindowExec/buffering forms serialize every group value through the
+  // exchange; the sketch crosses it as a bounded k·log(n/k) summary and
+  // partials merge map-side like sum's. k=1024 ≥ every per-source count
+  // at gate scale, the sketch's EXACT regime (no compaction anywhere,
+  // `exact` = true), so the summary IS the sorted multiset and the
+  // interpolated quantiles are hash-exact against DuckDB's
+  // quantile_cont; the compaction regime's rank-error bound is
+  // spec-verified (FunctionsSpec).
+  q("x46_quantile_sketch",
+    """SELECT source, COUNT(*) AS n,
+      |  ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val qs = graft.functions.QuantileSketches
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        qs.quantileSketch(col("n_chars").cast("double"), 1024).as("sk"))
+      .select(col("source"), col("n"),
+        qs.sketchQuantiles(col("sk"), Seq(0.5, 0.9, 0.99)).as("q"))
+      .select(col("source"), col("n"),
+        round(element_at(col("q"), 1), 4).as("p50"),
+        round(element_at(col("q"), 2), 4).as("p90"),
+        round(element_at(col("q"), 3), 4).as("p99"))
+      .ordered("source")
+  }
+
+  // X46b — the sketch-rollup STORE: per-(source, lang) summary rows
+  // persisted once (qsketchPartialsDir — the daily-partials job), the
+  // report merges summaries per source and extracts quantiles without
+  // re-touching documents — how "p50/p95 over a year of 100-TB days"
+  // stays a summary-cost query. Exact partials over disjoint slices
+  // merge bit-identically to the direct sketch (spec-pinned), so the
+  // persisted path stays hash-exact against DuckDB's full-range
+  // quantile_cont.
+  q("x46b_sketch_rollup",
+    """SELECT source,
+      |  ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(n_chars, 0.95), 4) AS p95
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val qs = graft.functions.QuantileSketches
+    s.read.parquet(qsketchPartialsDir(s, dir))
+      .groupBy("source")
+      .agg(qs.quantileSketchMerge(col("sk"), 1024).as("sk"))
+      .select(col("source"), qs.sketchQuantiles(col("sk"), Seq(0.5, 0.95)).as("q"))
+      .select(col("source"),
+        round(element_at(col("q"), 1), 4).as("p50"),
+        round(element_at(col("q"), 2), 4).as("p95"))
+      .ordered("source")
+  }
+
+  // X2c — INCREMENTAL near-dup: the daily batch (doc_id ≡ 0 mod 5)
+  // probes a persisted MinHash band store of the rest of the corpus
+  // (bandStoreDir — built once, the x2 signatures as a stored artifact).
+  // Nothing re-hashes stored documents; stored shingles are read only
+  // for candidate ids. Signatures are content-local, so the result is
+  // exactly the full-recompute pairs touching the batch (ExtSpec pins
+  // the equality); candidate generation is LSH (engine-specific) →
+  // rows-only, with the jaccard verdict math oracle-anchored by x2b.
+  q("x2c_incremental_neardups") { (s, dir) =>
+    val batch = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+    graft.ext.Dedup.incrementalNearDups(s, batch, "doc_id", "text",
+        bandStoreDir(s, dir), shingleN = 3, numHashes = 64, bands = 16,
+        threshold = 0.5)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("jaccard"))
+      .ordered("id1", "id2")
   }
 }

@@ -32,6 +32,44 @@ class ExtSpec extends SparkTestBase {
     assert(found64 == truth, s"64/16 missed=${truth -- found64} extra=${found64 -- truth}")
   }
 
+  test("incremental near-dups against a stored band store == full recompute restricted to the batch") {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    assert(batch.count() > 0 && old.count() > 0)
+    val store = java.nio.file.Files.createTempDirectory("band-store").toString
+    Dedup.writeBandStore(old, "doc_id", "text", store, 3, 96, 32)
+    val inc = Dedup.incrementalNearDups(spark, batch, "doc_id", "text", store,
+        3, 96, 32, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // truth: the full-corpus pipeline's pairs that touch a batch id —
+    // signatures are content-local, so incremental must reproduce them
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 96, 32, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(full.nonEmpty, "the split must cut across planted near-dup pairs")
+    assert(inc == full, s"missed=${full -- inc} extra=${inc -- full}")
+    // jaccard values agree exactly with the batch pipeline's
+    val incJ = Dedup.incrementalNearDups(spark, batch, "doc_id", "text", store,
+        3, 96, 32, 0.5)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    val fullJ = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 96, 32, 0.5)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    incJ.foreach { case (k, j) => assert(fullJ(k) == j, s"$k jaccard drift") }
+    // append folds the batch in at delta cost; a re-probe of the SAME
+    // batch against the appended store must not pair a doc with its own
+    // stored copy and must reproduce the same pairs
+    Dedup.appendBandStore(batch, "doc_id", "text", store, 3, 96, 32)
+    val reprobe = Dedup.incrementalNearDups(spark, batch, "doc_id", "text", store,
+        3, 96, 32, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(reprobe == full, s"after append: missed=${full -- reprobe} extra=${reprobe -- full}")
+    assert(reprobe.forall { case (a, b) => a != b })
+  }
+
   test("simhash: identical docs collide, hamming 0; near-dups within 3 bits detected") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),

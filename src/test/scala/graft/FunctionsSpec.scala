@@ -281,6 +281,158 @@ class FunctionsSpec extends SparkTestBase {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  // -- quantile sketch ----------------------------------------------------
+
+  private def sketchRows(df: org.apache.spark.sql.DataFrame, skCol: String)
+      : (Seq[(Double, Long)], Boolean) = {
+    val r = df.select(col(s"$skCol.items"), col(s"$skCol.exact")).head
+    val items = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    (items, r.getBoolean(1))
+  }
+
+  test("quantileSketch exact regime == quantile_cont formula, partition-order invariant") {
+    import graft.functions.QuantileSketches
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 800).map(_ => math.rint(rnd.nextDouble() * 1e6) / 1e3)
+    val sorted = data.sorted
+    val probs = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    def refQ(p: Double): Double = {
+      val h = (data.size - 1) * p
+      val lo = math.floor(h).toInt
+      val hi = math.ceil(h).toInt
+      if (lo == hi) sorted(lo) else sorted(lo) + (h - lo) * (sorted(hi) - sorted(lo))
+    }
+    for (parts <- Seq(3, 7)) {
+      val agg = data.toDF("v").repartition(parts)
+        .agg(QuantileSketches.quantileSketch(col("v"), 1024).as("sk"))
+      val (items, exact) = sketchRows(agg, "sk")
+      assert(exact, s"parts=$parts: exact flag must hold below capacity")
+      assert(items.map(_._1) == sorted, s"parts=$parts: summary IS the sorted multiset")
+      assert(items.forall(_._2 == 1L))
+      val got = agg.select(
+          QuantileSketches.sketchQuantiles(col("sk"), probs).as("q"))
+        .head.getSeq[Double](0)
+      probs.zip(got).foreach { case (p, v) =>
+        assert(v == refQ(p), s"parts=$parts p=$p: $v != ${refQ(p)}")
+      }
+    }
+  }
+
+  test("quantileSketch compaction regime: weight preserved, rank-error bound holds") {
+    import graft.functions.QuantileSketches
+    val rnd = new scala.util.Random(13)
+    val n = 5000
+    val data = (1 to n).map(_ => rnd.nextDouble() * 1000.0)
+    val sorted = data.sorted
+    val k = 32
+    val agg = data.toDF("v").repartition(6)
+      .agg(QuantileSketches.quantileSketch(col("v"), k).as("sk"))
+    val (items, exact) = sketchRows(agg, "sk")
+    assert(!exact, "n >> k must force compaction")
+    assert(items.map(_._2).sum == n.toLong, "total weight must equal n")
+    assert(items.size < n / 4, "summary must actually be compact")
+    // documented bound: any rank perturbed by <= levels * n / (2k)
+    val levels = items.map(_._2).max.toDouble
+    val bound = (math.log(levels) / math.log(2) + 1.0) * n / (2.0 * k) + 1.0
+    val probs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val got = agg.select(
+        QuantileSketches.sketchQuantiles(col("sk"), probs).as("q"))
+      .head.getSeq[Double](0)
+    probs.zip(got).foreach { case (p, v) =>
+      val h = (n - 1) * p
+      val rankLo = sorted.count(_ < v)
+      val rankHi = sorted.count(_ <= v)
+      val err = math.max(rankLo - h, h - rankHi).max(0.0)
+      assert(err <= bound, s"p=$p: rank error $err > bound $bound")
+    }
+  }
+
+  test("quantileSketchMerge of exact partials is bit-identical to the direct sketch") {
+    import graft.functions.QuantileSketches
+    val rnd = new scala.util.Random(17)
+    val data = (1 to 600).map(i => (s"g${i % 3}", math.rint(rnd.nextDouble() * 1e5) / 100.0))
+    val df = data.toDF("slice", "v")
+    // partials per slice (each exact at k=1024), persisted and re-read —
+    // the sketch-rollup store round trip
+    val tmp = java.nio.file.Files.createTempDirectory("qsketch-spec").toString
+    df.groupBy("slice")
+      .agg(QuantileSketches.quantileSketch(col("v"), 1024).as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    val merged = spark.read.parquet(tmp)
+      .agg(QuantileSketches.quantileSketchMerge(col("sk"), 1024).as("sk"))
+    val direct = df.agg(QuantileSketches.quantileSketch(col("v"), 1024).as("sk"))
+    val (mItems, mExact) = sketchRows(merged, "sk")
+    val (dItems, dExact) = sketchRows(direct, "sk")
+    assert(mExact && dExact)
+    assert(mItems == dItems, "merged persisted partials != direct sketch")
+    // and in the compaction regime the merged bounds still hold
+    val k = 16
+    df.groupBy("slice")
+      .agg(QuantileSketches.quantileSketch(col("v"), k).as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    val mc = spark.read.parquet(tmp)
+      .agg(QuantileSketches.quantileSketchMerge(col("sk"), k).as("sk"))
+    val (mcItems, mcExact) = sketchRows(mc, "sk")
+    assert(!mcExact)
+    assert(mcItems.map(_._2).sum == data.size.toLong)
+  }
+
+  test("quantileSketch in a streaming aggregation == the batch sketch") {
+    import graft.functions.QuantileSketches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(19)
+    val vals = (1 to 500).map(_ => math.rint(rnd.nextDouble() * 1e4) / 10.0)
+    val ms = MemoryStream[Double]
+    vals.grouped(120).foreach(b => ms.addData(b: _*))
+    val q = ms.toDF().toDF("v")
+      .agg(QuantileSketches.quantileSketch(col("v"), 1024).as("sk"))
+      .select(QuantileSketches.sketchQuantiles(col("sk"), Seq(0.5, 0.9)).as("q"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("qs_stream").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("qs_stream").head.getSeq[Double](0)
+    val batch = vals.toDF("v")
+      .agg(QuantileSketches.quantileSketch(col("v"), 1024).as("sk"))
+      .select(QuantileSketches.sketchQuantiles(col("sk"), Seq(0.5, 0.9)).as("q"))
+      .head.getSeq[Double](0)
+    assert(streamed == batch)
+  }
+
+  test("quantile sketch SQL surface + interpreted extraction path") {
+    import graft.functions.QuantileSketches
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_sketch_quantiles(
+        |  graft_quantile_sketch(CAST(v AS DOUBLE), 64), array(0.0D, 0.5D, 1.0D)) AS q
+        |FROM VALUES (1), (2), (3), (4), (5) t(v)""".stripMargin)
+      .head.getSeq[Double](0)
+    assert(r == Seq(1.0, 3.0, 5.0))
+    val m = spark.sql(
+      """WITH p AS (
+        |  SELECT v % 2 AS g, graft_quantile_sketch(CAST(v AS DOUBLE), 64) AS sk
+        |  FROM VALUES (1), (2), (3), (4) t(v) GROUP BY v % 2)
+        |SELECT graft_sketch_quantiles(graft_quantile_merge(sk, 64), array(0.5D)) AS q
+        |FROM p""".stripMargin).head.getSeq[Double](0)
+    assert(m == Seq(2.5))
+    // interpreted path: the shared static body on a hand-built summary
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(
+        org.apache.spark.sql.catalyst.InternalRow(10.0, 1L),
+        org.apache.spark.sql.catalyst.InternalRow(20.0, 2L),
+        org.apache.spark.sql.catalyst.InternalRow(30.0, 1L))),
+      true)
+    // virtual rows: 10, 20, 20, 30 -> p=0.5 at h=1.5 -> 20.0
+    val got = QuantileSketches.quantilesOf(row, Array(0.0, 0.5, 1.0))
+    assert(got.toDoubleArray().toSeq == Seq(10.0, 20.0, 30.0))
+    assert(QuantileSketches.quantilesOf(
+      org.apache.spark.sql.catalyst.InternalRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]),
+        true), Array(0.5)) == null)
+  }
+
   private def Tables_embeddings() =
     graft.store.Tables.embeddings(spark, "/root/testdata/sf0.001")
 }

@@ -147,4 +147,33 @@ class ScaleInvarianceSpec extends SparkTestBase {
       assert(bad == 0 && missing == 0, s"$dir: $bad wrong, $missing missing")
     }
   }
+
+  test("quantile sketch (x46 family): exact regime at gate capacity; compacted bound at forced k") {
+    import graft.functions.QuantileSketches
+    sfs.foreach { dir =>
+      val docs = Tables.documents(spark, dir)
+      // gate capacity (1024) >= per-source counts at both SFs: exact
+      val flags = docs.groupBy("source")
+        .agg(QuantileSketches.quantileSketch(col("n_chars").cast("double"), 1024).as("sk"))
+        .select(col("sk.exact")).collect()
+      assert(flags.forall(_.getBoolean(0)), s"$dir: gate capacity must stay exact")
+      // forced-compaction regime (k=16): p50 rank error within the
+      // documented levels*n/(2k) bound against the true global ranks
+      val k = 16
+      val n = docs.count().toInt
+      val got = docs
+        .agg(QuantileSketches.quantileSketch(col("n_chars").cast("double"), k).as("sk"))
+        .select(QuantileSketches.sketchQuantiles(col("sk"), Seq(0.5)).as("q"),
+          col("sk.items.weight").as("w"))
+        .head
+      val v = got.getSeq[Double](0).head
+      val levels = got.getSeq[Long](1).max.toDouble
+      val bound = (math.log(levels) / math.log(2) + 1.0) * n / (2.0 * k) + 1.0
+      val below = docs.filter(col("n_chars") < v).count().toDouble
+      val atOrBelow = docs.filter(col("n_chars") <= v).count().toDouble
+      val h = (n - 1) * 0.5
+      val err = math.max(below - h, h - atOrBelow).max(0.0)
+      assert(err <= bound, s"$dir: p50 rank error $err > bound $bound")
+    }
+  }
 }
