@@ -107,6 +107,32 @@ object Dedup {
         col("n_inter").cast("double") / (col("sz1") + col("sz2") - col("n_inter")))
   }
 
+  /** [[verifyJaccard]] computed via per-doc sorted shingle-hash arrays
+    * + the codegen merge-intersect kernel
+    * ([[graft.functions.VectorExpressions.sortedIntersectCount]],
+    * bit-pinned in FunctionsSpec): identical values, different shape —
+    * two id-keyed joins moving ONE array per touched doc instead of the
+    * exploded (pair × shingle) intersection join. The right engine when
+    * the row set is already candidate-restricted (the incremental
+    * probe: rows ≈ touched docs only — measured 1.6 → ~0.4 s on the
+    * x2c verify stage); the exploded form remains right when rows span
+    * the corpus and only a sliver is touched per pair. Exactness is
+    * oracle-anchored directly: the x2d gate runs THIS kernel against
+    * DuckDB's first-principles Jaccard. */
+  def verifyJaccardArrays(pairs: DataFrame, rows: DataFrame): DataFrame = {
+    val sets = rows.groupBy("id")
+      .agg(sort_array(collect_set(col("shingle"))).as("sh"))
+    pairs
+      .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("n_inter", graft.functions.VectorExpressions
+        .sortedIntersectCount(col("sh1"), col("sh2")).cast("long"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (size(col("sh1")).cast("long") + size(col("sh2")) - col("n_inter")))
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: shingle → signature → bands →
     * candidate pairs → exact-Jaccard verification ≥ threshold.
     * Precision 1.0 by construction (verified); recall set by
@@ -159,22 +185,101 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32): Unit = {
     val rows = shingleRows(df, idCol, textCol, shingleN).persist()
     try {
+      // shingles FIRST: the two writes are not atomic, and the failure
+      // modes are asymmetric — bands without shingles yields candidate
+      // pairs whose verification join silently DROPS them (an inner
+      // join on sizes under-reports duplicates), while shingles without
+      // bands yields no candidates at all, which a probe of a torn
+      // store surfaces as "zero pairs", loud and obviously wrong.
+      rows.write.mode("overwrite").parquet(s"$dir/shingles")
       lshBuckets(minhashSignature(rows, numHashes), numHashes, bands)
         .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
-      rows.write.mode("overwrite").parquet(s"$dir/shingles")
     } finally rows.unpersist()
   }
 
   /** Fold a new batch into a stored band store at delta cost: only the
     * batch shingles/signatures compute; stored rows are untouched.
-    * (Parquet append — the batch becomes new files alongside the old.) */
+    * (Parquet append — the batch becomes new files alongside the old.)
+    *
+    * PRECONDITION: the batch's ids must be DISJOINT from ids already in
+    * the store ([[Dedup.snapshotDiff]]'s `added` set — diff first, then
+    * append). A re-appended id would duplicate its (id, shingle) rows,
+    * and a later [[incrementalNearDups]] whose batch does NOT contain
+    * that id would see the doubled rows on the stored side, silently
+    * inflating its set size and skewing every Jaccard it appears in
+    * (the left_anti exclusion only covers the CURRENT batch's ids). */
   def appendBandStore(batch: DataFrame, idCol: String, textCol: String, dir: String,
       shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32): Unit = {
     val rows = shingleRows(batch, idCol, textCol, shingleN).persist()
     try {
+      rows.write.mode("append").parquet(s"$dir/shingles") // shingles-first: see writeBandStore
       lshBuckets(minhashSignature(rows, numHashes), numHashes, bands)
         .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
-      rows.write.mode("append").parquet(s"$dir/shingles")
+    } finally rows.unpersist()
+  }
+
+  /** [[writeBandStore]] as catalog BUCKETED tables — the store layout
+    * that makes the incremental probe's IO incremental, not just its
+    * CPU: `<prefix>_bands` bucketed+sorted on (band, bucket) — the
+    * candidate join's exact key — and `<prefix>_shingles`
+    * bucketed+sorted on (id) — the verification fetch's key. Joins
+    * against a bucketed scan satisfy their distribution from the file
+    * layout, so [[incrementalNearDupsBucketed]] exchanges ONLY the
+    * batch side: the store is read, never shuffled (ExtSpec
+    * plan-asserts no Exchange above either stored scan). Same
+    * `bucketBy` machinery as [[graft.store.Bucketing]] — catalog tables
+    * because Spark reads bucket metadata only through the catalog.
+    * Same shingles-first torn-write discipline as [[writeBandStore]]. */
+  def writeBandStoreBucketed(df: DataFrame, idCol: String, textCol: String,
+      tablePrefix: String, buckets: Int = 32,
+      shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32): Unit = {
+    // clear catalog entries AND orphaned warehouse locations from a
+    // previous JVM — Overwrite alone fails on an unregistered leftover
+    graft.store.Bucketing.dropWithLocation(df.sparkSession, s"${tablePrefix}_shingles")
+    graft.store.Bucketing.dropWithLocation(df.sparkSession, s"${tablePrefix}_bands")
+    val rows = shingleRows(df, idCol, textCol, shingleN).persist()
+    try {
+      // repartition ON THE BUCKET KEY with numPartitions = buckets:
+      // repartition's hash is the bucket hash, so each write task holds
+      // exactly one bucket → ONE file per bucket. With multiple files
+      // per bucket (the default: one per input-partition × bucket) the
+      // scan cannot report the sortBy ordering and every probe re-SORTS
+      // the merged bucket — measured as a full-store sort per query,
+      // worse than the shuffle the layout exists to remove.
+      rows.repartition(buckets, col("id"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
+      lshBuckets(minhashSignature(rows, numHashes), numHashes, bands)
+        .repartition(buckets, col("band"), col("bucket"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+        .format("parquet").saveAsTable(s"${tablePrefix}_bands")
+    } finally rows.unpersist()
+  }
+
+  /** Delta-cost append into a bucketed band store (bucket spec must
+    * match the existing tables; Spark appends new per-bucket files).
+    * Same DISJOINT-ids precondition as [[appendBandStore]]. NOTE: an
+    * append adds a second file per bucket, so subsequent probes pay a
+    * per-bucket merge-sort until the store is compacted (re-written via
+    * [[writeBandStoreBucketed]]) — the standard LSM-style trade:
+    * appends are delta-cost, a periodic compaction restores the
+    * sort-reporting one-file-per-bucket layout. */
+  def appendBandStoreBucketed(batch: DataFrame, idCol: String, textCol: String,
+      tablePrefix: String, buckets: Int = 32,
+      shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32): Unit = {
+    val rows = shingleRows(batch, idCol, textCol, shingleN).persist()
+    try {
+      rows.repartition(buckets, col("id"))
+        .write.mode("append")
+        .bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(s"${tablePrefix}_shingles")
+      lshBuckets(minhashSignature(rows, numHashes), numHashes, bands)
+        .repartition(buckets, col("band"), col("bucket"))
+        .write.mode("append")
+        .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+        .format("parquet").saveAsTable(s"${tablePrefix}_bands")
     } finally rows.unpersist()
   }
 
@@ -195,38 +300,111 @@ object Dedup {
       batch: DataFrame, idCol: String, textCol: String, dir: String,
       shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
+    val storedBands = spark.read.parquet(s"$dir/bands")
+      .select(col("id"), col("band").cast("int").as("band"), col("bucket"))
+    val storedShingles = spark.read.parquet(s"$dir/shingles")
+    incrementalProbe(batch, idCol, textCol, storedBands, storedShingles,
+      shingleN, numHashes, bands, threshold)
+  }
+
+  /** [[incrementalNearDups]] against a BUCKETED band store
+    * ([[writeBandStoreBucketed]]): identical result, but both stored-
+    * side joins satisfy their distribution from the bucketed file
+    * layout — the candidate join reads `<prefix>_bands` pre-clustered
+    * on (band, bucket) and the verification fetch reads
+    * `<prefix>_shingles` pre-clustered on (id), so only the batch side
+    * exchanges. This is the layout that keeps a daily probe's shuffle
+    * cost proportional to the BATCH at 100 TB (the store is scanned,
+    * never re-shuffled; ExtSpec plan-asserts it). */
+  def incrementalNearDupsBucketed(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, tablePrefix: String,
+      shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame =
+    incrementalProbe(batch, idCol, textCol,
+      spark.table(s"${tablePrefix}_bands"),
+      spark.table(s"${tablePrefix}_shingles"),
+      shingleN, numHashes, bands, threshold)
+
+  private def incrementalProbe(batch: DataFrame, idCol: String, textCol: String,
+      storedBands: DataFrame, storedShingles: DataFrame,
+      shingleN: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val newRows = shingleRows(batch, idCol, textCol, shingleN).persist()
     try {
       val newBands = lshBuckets(minhashSignature(newRows, numHashes), numHashes, bands)
         .persist()
       try {
-        val stored = spark.read.parquet(s"$dir/bands")
-          .select(col("id"), col("band").cast("int").as("band"), col("bucket"))
-        // batch ids may also be in the store (appended earlier): exclude
-        // them from the stored probe side so cross pairs are (old, new)
         val newIds = batch.select(col(idCol).as("id")).distinct()
-        val oldBands = stored.join(newIds, Seq("id"), "left_anti")
-        val cross = newBands.select(col("band"), col("bucket"), col("id").as("nid"))
-          .join(oldBands.select(col("band"), col("bucket"), col("id").as("oid")),
-            Seq("band", "bucket"))
-          .select(least(col("nid"), col("oid")).as("id1"),
-            greatest(col("nid"), col("oid")).as("id2"))
-          .distinct()
-        val within = candidatePairs(newBands)
-        val cand = cross.unionByName(within).distinct()
-        // verify against the union of stored + batch shingles, but only
-        // rows whose id appears in a candidate pair move
-        val touched = cand.select(col("id1").as("id"))
-          .unionByName(cand.select(col("id2").as("id"))).distinct()
-        val oldRows = spark.read.parquet(s"$dir/shingles")
-          .join(newIds, Seq("id"), "left_anti")
-        val rows = oldRows.unionByName(newRows).join(touched, "id")
-        verifyJaccard(cand, rows)
-          .filter(col("jaccard") >= threshold)
-          .select("id1", "id2", "jaccard")
-          .localCheckpoint(true)
+        val (cand0, rows0) =
+          incrementalCandidateRows(newBands, newRows, newIds, storedBands, storedShingles)
+        // The verify stage references `pairs` and `rows` multiple times
+        // inside one plan, so without a persist the candidate join AND
+        // the store fetch re-execute per reference — measured as >2×
+        // the whole probe's cost. Both frames are candidate-sized
+        // (bounded by the rows-per-band exponent), so persisting them
+        // is metadata-scale memory. Verification runs the sorted-array
+        // kernel: rows are already touched-restricted here, so two
+        // array joins beat the exploded intersection join (the
+        // verifyJaccardArrays scaladoc's boundary).
+        val cand = cand0.persist()
+        val rows = rows0.persist()
+        try {
+          verifyJaccardArrays(cand, rows)
+            .filter(col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard")
+            .localCheckpoint(true)
+        } finally { cand.unpersist(); rows.unpersist(); () }
       } finally newBands.unpersist()
     } finally newRows.unpersist()
+  }
+
+  /** The incremental probe's two intermediate frames — (candidate
+    * pairs, touched shingle rows) — exposed so the plan discipline is
+    * testable: ExtSpec asserts that with a bucketed store NO shuffle
+    * exchange sits above either stored scan. Shapes:
+    *
+    *   - candidates = (batch × store) band-bucket matches, with ids the
+    *     batch re-appended EXCLUDED from the stored side (so cross
+    *     pairs are genuinely (old, new)), plus batch-internal pairs.
+    *   - rows = stored ∪ batch shingles RESTRICTED to candidate ids —
+    *     each side semi-joined against the touched-id set BEFORE the
+    *     union, because a union erases the stored scan's bucketed
+    *     partitioning: filtering first means the store-sized frame
+    *     never crosses an exchange, and everything downstream of here
+    *     (the Jaccard joins) moves candidate-sized data only. */
+  def incrementalCandidateRows(newBands: DataFrame, newRows: DataFrame,
+      newIds: DataFrame, storedBands: DataFrame,
+      storedShingles: DataFrame): (DataFrame, DataFrame) = {
+    // batch ids may also be in the store (appended earlier): exclude
+    // them so cross pairs are genuinely (old, new). The exclusion
+    // anti-joins the CANDIDATE frame (candidate-sized), not the stored
+    // bands (store-sized): an id-keyed anti-join on the stored side
+    // would both cost a store shuffle and erase the (band, bucket)
+    // bucketing the candidate join is about to use.
+    val cross = newBands.select(col("band"), col("bucket"), col("id").as("nid"))
+      .join(storedBands.select(col("band"), col("bucket"), col("id").as("oid")),
+        Seq("band", "bucket"))
+      .join(newIds.select(col("id").as("oid")), Seq("oid"), "left_anti")
+      .select(least(col("nid"), col("oid")).as("id1"),
+        greatest(col("nid"), col("oid")).as("id2"))
+      .distinct()
+    val within = candidatePairs(newBands)
+    val cand = cross.unionByName(within).distinct()
+    // verify against the union of stored + batch shingles, but only
+    // rows whose id appears in a candidate pair move. Each side is
+    // restricted BEFORE the union: a union erases the stored scan's
+    // bucketed partitioning, so filtering first keeps the store-sized
+    // frame on its own side of every exchange — downstream (the
+    // Jaccard joins) only candidate-sized data moves. Stored rows for
+    // re-appended batch ids are excluded at the touched-id level
+    // (candidate-sized anti-join), never by touching the store.
+    val touched = cand.select(col("id1").as("id"))
+      .unionByName(cand.select(col("id2").as("id"))).distinct()
+    val oldTouched = touched.join(newIds, Seq("id"), "left_anti")
+    val oldRows = storedShingles
+      .join(oldTouched, Seq("id"), "left_semi")
+      .select(col("id"), col("shingle"))
+    val batchRows = newRows.join(touched, Seq("id"), "left_semi")
+    (cand, oldRows.unionByName(batchRows))
   }
 
   /** SimHash: 64-bit signature whose bit i is the sign of

@@ -8,13 +8,22 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample stages a training
   * pipeline runs over them.
   *
-  * The actual codecs are NOT in this container, so the decode kernel is
-  * a clearly-marked deterministic stub ([[FakeCodec]]). Everything
-  * Spark-side is real and tested: the schema, the binary column
-  * handling, the per-partition batching shape (`mapPartitions` over a
-  * typed Dataset — the JVM analogue of `mapInPandas`: one iterator per
-  * partition, so a real decoder would amortize model/codec init across
-  * the partition), and the explode-style frame fan-out.
+  * Three REAL decode paths live in this file, built on JDK standard
+  * libraries alone (no native dependency): [[ImageIoCodec]] (PNG/JPEG
+  * via `javax.imageio`), [[WavCodec]] (WAV/AIFF/AU PCM via
+  * `javax.sound.sampled` + a direct RIFF chunk-walk fast path), and
+  * [[AviCodec]] (AVI containers with DIB or MJPEG frames,
+  * first-principles RIFF parsing with a frame-index `layout` for
+  * selective seek-decode). Each is oracle-anchored (x12/x12c/x12d/
+  * x12g) with golden-pixel/sample specs. [[FakeCodec]] remains ONLY as
+  * the deterministic fixture default of [[mediaFeatures]] — a seeded
+  * stand-in for codecs that genuinely need a native binding
+  * (H.264/VP9: see the deployment recipe at [[Codec]]). The Spark-side
+  * plumbing is codec-agnostic either way: the schema, the binary
+  * column handling, the per-partition batching shape (`mapPartitions`
+  * over a typed Dataset — the JVM analogue of `mapInPandas`: one
+  * iterator per partition, so decoder init amortizes across the
+  * partition), and the explode-style frame fan-out.
   */
 object Multimodal {
 
@@ -45,6 +54,26 @@ object Multimodal {
     * partition (the iterator shape exists precisely so init amortizes
     * across a partition). */
   trait Codec extends Serializable {
+    // H.264/VP9/AAC deployment recipe (this container has no ffmpeg, so
+    // the in-repo proof of the seam is the JDK-pure AviCodec + its
+    // hash-exact x12g oracle; compressed-codec support is an
+    // environment step, not a design change):
+    //  1. Ship `ffmpeg` to every executor (cluster image or
+    //     `--archives ffmpeg.tgz#ffmpeg`) — a static build needs no
+    //     shared libraries.
+    //  2. Implement `Codec` with a lazy per-JVM binary path; in
+    //     `decode`, shell out `ffmpeg -i pipe:0 -f rawvideo -pix_fmt
+    //     rgb24 pipe:1` (payload → stdin, planar RGB → stdout; two
+    //     pumping threads, bounded buffers) and fold the returned pixel
+    //     stream with the SAME feature math the JDK codecs use.
+    //  3. `checksum` = xxhash64 over the DECODED byte stream (not the
+    //     container bytes), matching the in-repo codecs' contract that
+    //     a truncated payload fails loudly rather than hashing quietly.
+    //  4. Determinism caveat to pin in a spec: a fixed ffmpeg build is
+    //     bit-deterministic for a given payload; UPGRADING ffmpeg may
+    //     change lossy-decode output, so store the codec build id next
+    //     to any persisted features (the model-versioning discipline
+    //     the quality classifier already follows).
     def featureDim: Int
     def decode(payload: Array[Byte]): Array[Float]
     def checksum(payload: Array[Byte]): Long

@@ -50,29 +50,47 @@ object Retrieval {
     * [[bm25FromIndex]]/[[bm25BatchFromIndex]] call. `dfreq` is a static
     * property of the snapshot: persisting it means a query battery
     * never pays a corpus-postings-wide aggregation for it (at 100 TB
-    * that agg per eval battery was the dominant avoidable cost). The
-    * inline [[bm25]]/[[bm25Batch]] forms rebuild everything per call —
-    * correct, but a production eval battery should not re-explode
-    * 100 TB of corpus per query batch. */
+    * that agg per eval battery was the dominant avoidable cost).
+    *
+    * Stored postings are DENORMALIZED with the owning document's length
+    * (`dl`) — the classic impact-list layout: +8 bytes per posting on
+    * disk buys every scorer its length factor IN the term-keyed scan,
+    * so no query ever pays the doc-keyed join (= an id-hash exchange of
+    * every touched posting) that a separate lengths table costs.
+    * `docLengths` stays in the index for stats and [[mergeIndex]].
+    *
+    * The inline [[bm25]]/[[bm25Batch]] forms rebuild everything per
+    * call — correct, but a production eval battery should not
+    * re-explode 100 TB of corpus per query batch. */
   final case class LexIndex(postings: DataFrame, docLengths: DataFrame,
     stats: DataFrame, dfreq: DataFrame)
 
   def buildIndex(df: DataFrame, idCol: String, textCol: String): LexIndex = {
     val dl = docLengths(df, idCol, textCol)
     val post = postings(df, idCol, textCol)
+      .join(dl, idCol)
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
     LexIndex(post, dl,
       dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")),
       post.groupBy("term").agg(count(lit(1)).cast("double").as("df")))
   }
 
   /** Persist / reload the index (postings laid out by term — the
-    * partitioning a term-keyed candidate fetch prunes on). */
+    * partitioning a term-keyed candidate fetch prunes on). Postings are
+    * SORTED by term within each file, not just clustered into term
+    * partitions: parquet row-group min/max stats on a sorted column are
+    * tight disjoint ranges, so a term-keyed fetch skips every row group
+    * outside its terms instead of relying on clustering luck — the
+    * difference between "reads its terms' row groups" and "reads the
+    * partition" at 100-TB index scale (RetrievalSpec asserts the
+    * per-file sort survives a read back). Same treatment for dfreq. */
   def writeIndex(index: LexIndex, path: String): Unit = {
-    index.postings.repartition(col("term"))
+    index.postings.repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/postings")
     index.docLengths.write.mode("overwrite").parquet(s"$path/doc_lengths")
     index.stats.write.mode("overwrite").parquet(s"$path/stats")
-    index.dfreq.write.mode("overwrite").parquet(s"$path/dfreq")
+    index.dfreq.repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/dfreq")
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): LexIndex =
@@ -94,8 +112,11 @@ object Retrieval {
     * docs would double-count: diff first, merge the `added` set). */
   def mergeIndex(index: LexIndex, addedDocs: DataFrame, idCol: String,
       textCol: String): LexIndex = {
+    val addedDl = docLengths(addedDocs, idCol, textCol)
     val addedPost = postings(addedDocs, idCol, textCol)
-    val dl = index.docLengths.union(docLengths(addedDocs, idCol, textCol))
+      .join(addedDl, idCol)
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+    val dl = index.docLengths.union(addedDl)
     // df merges by SUM over the disjoint doc sets: a term's df over
     // old ∪ added = df_old + df_added, and df values are integer-valued
     // doubles, so the sum is exact — bit-identical to a full rebuild's
@@ -149,13 +170,13 @@ object Retrieval {
 
   /** [[bm25]] over a prebuilt/persisted [[LexIndex]]. The df lookup is
     * a |queryTerms|-row filter on the persisted dfreq table — never an
-    * aggregation over the postings. */
+    * aggregation over the postings; `dl` rides the postings themselves
+    * (the denormalized layout), so no doc-keyed join happens at all. */
   def bm25FromIndex(index: LexIndex, idCol: String, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tf = index.postings.filter(col("term").isin(queryTerms: _*))
     val dfreq = index.dfreq.filter(col("term").isin(queryTerms: _*))
     tf.join(broadcast(dfreq), "term")
-      .join(index.docLengths, idCol)
       .crossJoin(broadcast(index.stats))
       .select(col(idCol), bm25Contrib(k1, b).as("c"))
       .groupBy(idCol)
@@ -220,9 +241,11 @@ object Retrieval {
     // UNSCALED long (c·1e9 — integer-valued by construction), so the
     // per-(query, doc) sum is a primitive long aggregation, converted
     // back to the exact DECIMAL sum only at group level.
+    // dl rides the postings (denormalized layout): the whole scoring
+    // pass stays in the term-keyed scan — no doc-keyed exchange of the
+    // touched postings ever happens.
     val scoredTD = index.postings.join(broadcast(qterms), "term")
       .join(broadcast(dfq), "term")
-      .join(index.docLengths, idCol)
       .crossJoin(broadcast(index.stats))
       .select(col("term"), col(idCol),
         (bm25Contrib(k1, b) * lit(1000000000L)).cast("long").as("c_u"))
@@ -399,6 +422,29 @@ object Retrieval {
     val scored = post.crossJoin(nDocs)
       .withColumn("df", count(lit(1)).over(wTerm).cast("double"))
       .withColumn("dl", sum(col("tf")).over(wDoc))
+      .select(col(idCol), col("term"),
+        round((col("tf") / col("dl")) * log(col("n_docs") / col("df")), 9)
+          .as("tfidf"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** [[tfidfTopK]] over a prebuilt/persisted [[LexIndex]] — the
+    * x38/x42 amortization: tf, df, dl and N are EXACTLY the stored
+    * index's postings, dfreq, docLengths and stats, so the keyword pass
+    * never re-explodes the corpus (the inline form's only
+    * corpus-×-token-scale stage) and never re-aggregates df. Plan: one
+    * term-keyed join (co-partitioned with the index's native term
+    * layout; `dl` rides the postings, so no doc-keyed join) and the
+    * per-doc ranking window's single id exchange. Values are identical
+    * to the inline form — same doubles, same rounding (RetrievalSpec
+    * pins equality; the x34 gate keeps its DuckDB oracle). */
+  def tfidfTopKFromIndex(index: LexIndex, idCol: String, k: Int): DataFrame = {
+    val scored = index.postings
+      .join(index.dfreq, "term")
+      .crossJoin(broadcast(index.stats))
       .select(col(idCol), col("term"),
         round((col("tf") / col("dl")) * log(col("n_docs") / col("df")), 9)
           .as("tfidf"))

@@ -26,6 +26,60 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, "")
 
+  private def analysisError(errorClass: String, params: (String, String)*): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(errorClass, params.toMap)
+
+  /** Plan-time literal int argument, validated: a non-foldable or
+    * wrong-typed argument is an ANALYSIS error naming the function, not
+    * a bare ClassCastException/NPE out of the eager `eval()` (these
+    * parameters size aggregation buffers, so they must be literals —
+    * the same contract as Spark's own `approx_percentile` accuracy). */
+  private def litInt(fn: String, param: String, paramIndex: Int,
+      e: Expression): Int = {
+    if (!e.foldable)
+      analysisError("NON_FOLDABLE_ARGUMENT",
+        "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+        "paramType" -> "\"INT\"")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue
+      case b: java.lang.Byte => b.toInt
+      case s: java.lang.Short => s.toInt
+      case l: java.lang.Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case _ => analysisError("UNEXPECTED_INPUT_TYPE",
+        "paramIndex" -> s"`$paramIndex`", "functionName" -> s"`$fn`",
+        "requiredType" -> "\"INT\"", "inputSql" -> s""""${e.sql}"""",
+        "inputType" -> s""""${e.dataType.sql}"""")
+    }
+  }
+
+  /** Plan-time literal numeric-array argument (quantile probabilities),
+    * validated + widened to double: `array(0.5, 1)` parses as a decimal
+    * array in SQL and must work; a string array or a null element is an
+    * analysis error, not a ClassCastException. */
+  private def litDoubleArray(fn: String, param: String, paramIndex: Int,
+      e: Expression): Seq[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
+    if (!e.foldable)
+      analysisError("NON_FOLDABLE_ARGUMENT",
+        "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+        "paramType" -> "\"ARRAY<DOUBLE>\"")
+    def typeError(): Nothing = analysisError("UNEXPECTED_INPUT_TYPE",
+      "paramIndex" -> s"`$paramIndex`", "functionName" -> s"`$fn`",
+      "requiredType" -> "\"ARRAY<DOUBLE>\"", "inputSql" -> s""""${e.sql}"""",
+      "inputType" -> s""""${e.dataType.sql}"""")
+    e.dataType match {
+      case ArrayType(_: NumericType, _) =>
+        val arr = Cast(e, ArrayType(DoubleType, containsNull = true))
+          .eval().asInstanceOf[ArrayData]
+        if (arr == null || (0 until arr.numElements()).exists(arr.isNullAt))
+          typeError()
+        (0 until arr.numElements()).map(arr.getDouble)
+      case _ => typeError()
+    }
+  }
+
   val definitions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -43,7 +97,7 @@ object GraftExtensions {
       info("graft_word_ngrams",
         "graft_word_ngrams(tokens, n) - space-joined adjacent n-grams (n a literal int)"),
       (es: Seq[Expression]) => TextExpressions.WordNgramConcat(es(0),
-        es(1).eval().asInstanceOf[Int])),
+        litInt("graft_word_ngrams", "n", 1, es(1)))),
     (FunctionIdentifier("graft_ngram_repetition"),
       info("graft_ngram_repetition",
         "graft_ngram_repetition(grams) - (top, topg, dup) Gopher repetition stats"),
@@ -57,25 +111,25 @@ object GraftExtensions {
         "graft_space_saving_topk(key, capacity) - Space-Saving heavy-hitter summary " +
           "array<struct<term, count, err>> (capacity a literal int)"),
       (es: Seq[Expression]) => SketchAggregates.SpaceSavingTopK(es(0),
-        es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+        litInt("graft_space_saving_topk", "capacity", 1, es(1)))
+        .toAggregateExpression()),
     (FunctionIdentifier("graft_quantile_sketch"),
       info("graft_quantile_sketch",
         "graft_quantile_sketch(v, k) - compactor-stack quantile summary " +
           "struct<items array<struct<value, weight>>, exact> (k a literal int)"),
       (es: Seq[Expression]) => QuantileSketches.QuantileSketchAgg(es(0),
-        es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+        litInt("graft_quantile_sketch", "k", 1, es(1))).toAggregateExpression()),
     (FunctionIdentifier("graft_quantile_merge"),
       info("graft_quantile_merge",
         "graft_quantile_merge(summary, k) - merge persisted quantile summaries"),
       (es: Seq[Expression]) => QuantileSketches.QuantileSketchMergeAgg(es(0),
-        es(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+        litInt("graft_quantile_merge", "k", 1, es(1))).toAggregateExpression()),
     (FunctionIdentifier("graft_sketch_quantiles"),
       info("graft_sketch_quantiles",
         "graft_sketch_quantiles(summary, probs) - interpolated quantiles from a " +
           "summary (probs a literal double array)"),
       (es: Seq[Expression]) => QuantileSketches.SketchQuantiles(es(0),
-        es(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray().toSeq)))
+        litDoubleArray("graft_sketch_quantiles", "probs", 1, es(1)))))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * `sum`'s), and only O(k·log(n/k)) doubles cross the exchange.
   *
   * Structure: level i holds items of weight 2^i. Updates append to
-  * level 0; a level reaching `k` items sorts, halves (one survivor per
+  * level 0; a level exceeding `k` items sorts, halves (one survivor per
   * adjacent pair, pair parity alternating per level — deterministic, no
   * RNG, so a given dataset+plan always yields the same summary) and
   * pushes the survivors to level i+1 at doubled weight. Each compaction
@@ -89,12 +89,16 @@ object QuantileSketches {
     b.compacted = true
   }
 
-  /** Cascade: compact every level at/over capacity, bottom-up (a
-    * compaction can overflow the level above). */
+  /** Cascade: compact every level OVER capacity, bottom-up (a
+    * compaction can overflow the level above). Strictly over — a level
+    * holding exactly `k` items stays uncompacted, which is what makes
+    * the exactness contract sharp at the boundary: a source with
+    * exactly `k` rows per partial path stays `exact = true` (the
+    * scaladoc's "total items ≤ k" regime, boundary included). */
   private def restore(b: QSBuffer, k: Int): Unit = {
     var i = 0
     while (i < b.levels.size) {
-      while (b.levels(i).size >= k) compactLevel(b, i, k)
+      while (b.levels(i).size > k) compactLevel(b, i, k)
       i += 1
     }
   }

@@ -85,15 +85,20 @@ object Queries {
 
   /** Persisted MinHash band store over the non-batch corpus slice
     * (doc_id % 5 != 0) — the x2c incremental-dedup artifact, built once
-    * per scale dir at the x2 gate's 64/16 operating point. */
+    * per scale dir at the x2 gate's 64/16 operating point. BUCKETED
+    * layout ([[graft.ext.Dedup.writeBandStoreBucketed]]): bands
+    * clustered on (band, bucket), shingles on (id), so the daily
+    * probe's stored-side joins read pre-partitioned buckets instead of
+    * shuffling the store per batch. Returns the catalog table prefix. */
   private val bandStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def bandStoreDir(s: SparkSession, dir: String): String =
+  private def bandStorePrefix(s: SparkSession, dir: String): String =
     bandStoreMemo.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft-band-store").toString
-      graft.ext.Dedup.writeBandStore(
+      val prefix = s"graft_bandstore_${Integer.toHexString(dir.hashCode).replace('-', 'n')}"
+      graft.ext.Dedup.writeBandStoreBucketed(
         Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text", p, shingleN = 3, numHashes = 64, bands = 16)
-      p
+        "doc_id", "text", prefix, buckets = 32,
+        shingleN = 3, numHashes = 64, bands = 16)
+      prefix
     })
 
   private val rollupCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -118,7 +123,10 @@ object Queries {
     // deployment would materialize next to the minutely table)
     def hourly = minuteRollup(s, dir)
       .groupBy(col("metric"), date_trunc("hour", col("ts")).as("ts"))
-      .agg(sum(col("sum_dec")).as("value_dec"))
+      .agg(sum(col("sum_dec")).as("value_dec"),
+        sum(col("n")).as("n"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
     if (!Tables.cacheEnabled) hourly
     else hourRollupCache.getOrElseUpdate(dir, hourly.cache())
   }
@@ -622,14 +630,15 @@ object Queries {
        |  ${DSUM("value")} / COUNT(*) AS avg_v,
        |  MIN(value) AS min_v, MAX(value) AS max_v
        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    // Hourly summarize re-aggregated EXACTLY from the minute rollup:
-    // count/sum/min/max compose (decimal sums of decimal sums), so the
-    // raw log is never re-scanned.
-    minuteRollup(s, dir)
-      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("ts"))
-      .agg(sum(col("n")).as("n"), sum(col("sum_dec")).cast("double").as("sum_v"),
-        (sum(col("sum_dec")).cast("double") / sum(col("n"))).as("avg_v"),
-        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+    // Hourly summarize read off the SECOND rollup tier (hourRollup —
+    // count/sum/min/max compose exactly, decimal sums of decimal sums):
+    // the query is a projection of the materialized hours×metrics
+    // frame; neither the raw log nor the minute tier re-aggregates.
+    hourRollup(s, dir)
+      .select(col("metric"), col("ts"), col("n"),
+        col("value_dec").cast("double").as("sum_v"),
+        (col("value_dec").cast("double") / col("n")).as("avg_v"),
+        col("min_v"), col("max_v"))
       .ordered("metric", "ts")
   }
 
@@ -643,9 +652,11 @@ object Queries {
        |SELECT metric, date_trunc('hour', mts) AS ts,
        |       CAST(SUM(v * 60) AS DOUBLE) AS hits
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    minuteRollup(s, dir)
-      .groupBy(col("metric"), date_trunc("hour", col("ts")).as("ts"))
-      .agg(sum(col("sum_dec") * 60).cast("double").as("hits"))
+    // hits = Σ_minutes (v·60) = 60·(hourly sum) — a projection of the
+    // second rollup tier, same as a2.
+    hourRollup(s, dir)
+      .select(col("metric"), col("ts"),
+        (col("value_dec") * 60).cast("double").as("hits"))
       .ordered("metric", "ts")
   }
 
@@ -3136,7 +3147,11 @@ object Queries {
       |  FROM scored)
       |SELECT doc_id, term, tfidf, rk FROM rk WHERE rk <= 5
       |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
-    graft.ext.Retrieval.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 5)
+    // Scored off the memoized stored LexIndex (the x38/x42 amortized-
+    // setup posture): tf/df/dl/N are the index's own tables, so the
+    // keyword pass pays two joins + one window, never a corpus
+    // re-explode (RetrievalSpec pins ≡ the inline tfidfTopK).
+    graft.ext.Retrieval.tfidfTopKFromIndex(lexIndex(s, dir), "doc_id", k = 5)
       .select(col("doc_id"), col("term"), col("tfidf"), col("rk").cast("long").as("rk"))
       .ordered("doc_id", "rk")
   }
@@ -3478,18 +3493,93 @@ object Queries {
 
   // X2c — INCREMENTAL near-dup: the daily batch (doc_id ≡ 0 mod 5)
   // probes a persisted MinHash band store of the rest of the corpus
-  // (bandStoreDir — built once, the x2 signatures as a stored artifact).
-  // Nothing re-hashes stored documents; stored shingles are read only
-  // for candidate ids. Signatures are content-local, so the result is
-  // exactly the full-recompute pairs touching the batch (ExtSpec pins
-  // the equality); candidate generation is LSH (engine-specific) →
-  // rows-only, with the jaccard verdict math oracle-anchored by x2b.
+  // (bandStorePrefix — built once, the x2 signatures as a stored
+  // artifact, BUCKETED on the probe join keys so the store is scanned,
+  // never shuffled, per batch). Nothing re-hashes stored documents;
+  // stored shingles are read only for candidate ids. Signatures are
+  // content-local, so the result is exactly the full-recompute pairs
+  // touching the batch (ExtSpec pins the equality); candidate
+  // generation is LSH (engine-specific) → rows-only, with the jaccard
+  // verdict math oracle-anchored by x2b and the probe closure by x2d.
   q("x2c_incremental_neardups") { (s, dir) =>
     val batch = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
-    graft.ext.Dedup.incrementalNearDups(s, batch, "doc_id", "text",
-        bandStoreDir(s, dir), shingleN = 3, numHashes = 64, bands = 16,
+    graft.ext.Dedup.incrementalNearDupsBucketed(s, batch, "doc_id", "text",
+        bandStorePrefix(s, dir), shingleN = 3, numHashes = 64, bands = 16,
         threshold = 0.5)
       .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("jaccard"))
+      .ordered("id1", "id2")
+  }
+
+  // X2d — ORACLE TWIN of the incremental probe's deterministic CLOSURE
+  // (the x26b/x36c precedent: pin the engine-specific assignment,
+  // oracle everything after it). The LSH band assignment is pinned to a
+  // portable rule — one band, bucket = doc_id / 10 — and the store is
+  // the FULL corpus (so every batch id is a re-appended id and the
+  // exclusion path is load-bearing: broken exclusion double-counts
+  // batch shingles on the stored side and shifts every Jaccard). The
+  // engine runs the same incrementalCandidateRows + verifyJaccardArrays
+  // the x2c path uses; DuckDB re-derives batch-vs-store discovery,
+  // within-batch discovery, the exclusion, and the Jaccard verdicts
+  // from first principles. Threshold 0 keeps every candidate pair so
+  // the whole closure is hash-compared, not just the near-dup tail.
+  // Corpus slice doc_id % 100 < 30: runs of 30 CONSECUTIVE ids, so
+  // every decade bucket in the slice is complete and all three probe
+  // paths (cross, within-batch at (10d, 10d+5), re-appended exclusion)
+  // stay load-bearing at 30% of the full-corpus verify cost.
+  q("x2d_incremental_oracle",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |slice AS (SELECT * FROM documents WHERE doc_id % 100 < 30),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+      |  WHERE doc_id % 100 < 30),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |cand AS (
+      |  SELECT LEAST(n.doc_id, o.doc_id) AS id1,
+      |         GREATEST(n.doc_id, o.doc_id) AS id2
+      |  FROM slice n JOIN slice o
+      |    ON n.doc_id // 10 = o.doc_id // 10
+      |  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+      |  UNION
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM slice a JOIN slice b
+      |    ON a.doc_id // 10 = b.doc_id // 10 AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0),
+      |inter AS (
+      |  SELECT c.id1, c.id2, COUNT(*) AS ni
+      |  FROM cand c
+      |  JOIN sh s1 ON s1.doc_id = c.id1
+      |  JOIN sh s2 ON s2.doc_id = c.id2 AND s2.s = s1.s
+      |  GROUP BY 1, 2)
+      |SELECT c.id1, c.id2,
+      |  ROUND(COALESCE(i.ni, 0)::DOUBLE / (z1.sz + z2.sz - COALESCE(i.ni, 0)), 6)
+      |    AS jaccard
+      |FROM cand c
+      |LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+      |JOIN sizes z1 ON z1.doc_id = c.id1
+      |JOIN sizes z2 ON z2.doc_id = c.id2
+      |ORDER BY c.id1, c.id2""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 100 < 30)
+    val pinnedBands = (d: DataFrame) => d.select(
+      col("doc_id").as("id"), lit(0).as("band"),
+      floor(col("doc_id") / 10).cast("long").as("bucket"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val newRows = graft.ext.Dedup.shingleRows(batch, "doc_id", "text", 3)
+    val newIds = batch.select(col("doc_id").as("id"))
+    val (cand, rows) = graft.ext.Dedup.incrementalCandidateRows(
+      pinnedBands(batch), newRows, newIds,
+      pinnedBands(docs), // full slice as store: every batch id re-appended
+      graft.ext.Dedup.shingleRows(docs, "doc_id", "text", 3))
+    // The verify stage references both frames multiple times —
+    // materialize once (the incrementalProbe persist discipline;
+    // checkpoint because a gate can't unpersist after returning). Runs
+    // the SAME sorted-array kernel as the x2c probe, so the oracle
+    // anchors the code path the incremental pipeline actually executes.
+    graft.ext.Dedup.verifyJaccardArrays(
+        cand.localCheckpoint(true), rows.localCheckpoint(true))
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
       .ordered("id1", "id2")
   }
 }

@@ -42,4 +42,26 @@ object Bucketing {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Drop `table` AND clear its orphaned warehouse location, if any.
+    * With the default in-memory catalog the table registration dies
+    * with the JVM but the warehouse directory survives, so the next
+    * session's `saveAsTable` fails with LOCATION_ALREADY_EXISTS even in
+    * Overwrite mode. Production (a persistent metastore) never hits
+    * this; the local posture needs the cleanup before a fresh write.
+    * Only managed default-database locations are handled (the only kind
+    * this library writes). */
+  def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(wh, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
+  }
 }

@@ -70,6 +70,94 @@ class ExtSpec extends SparkTestBase {
     assert(reprobe.forall { case (a, b) => a != b })
   }
 
+  /** Every path from a scan of a table whose location contains `substr`
+    * up to its first enclosing join must be Exchange-free — the
+    * bucketed-store contract: the store is read pre-partitioned, only
+    * the probe side shuffles. (Shuffles ABOVE the join — distinct,
+    * aggregation — are candidate-sized and allowed.) AQE-aware. */
+  private def storedJoinSideUnshuffled(df: org.apache.spark.sql.DataFrame,
+      substr: String): Boolean = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(substr)) =>
+        Seq(anc) // ancestors, nearest first
+      case a: AdaptiveSparkPlanExec => paths(a.executedPlan, anc)
+      case q: QueryStageExec => paths(q.plan, anc)
+      case other => other.children.flatMap(c => paths(c, other :: anc))
+    }
+    val ps = paths(df.queryExecution.executedPlan, Nil)
+    assert(ps.nonEmpty, s"no scan of $substr found in the plan")
+    ps.forall(_.takeWhile(!_.isInstanceOf[BaseJoinExec])
+      .forall(!_.isInstanceOf[ShuffleExchangeLike]))
+  }
+
+  test("verifyJaccardArrays == verifyJaccard, bit-for-bit, including zero-intersection pairs") {
+    val docs = Tables.documents(spark, dir)
+    // the x2b pair table (planted near-dups) + deliberately unrelated
+    // pairs (id, id+7) so zero/low-intersection paths are covered
+    val near = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+    val far = docs.filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id").as("id1"), (col("doc_id") + 7).as("id2"))
+    val pairs = near.unionByName(far)
+      .join(docs.select(col("doc_id").as("id2")), Seq("id2")).select("id1", "id2")
+    val rows = Dedup.shingleRows(docs, "doc_id", "text", 3)
+    val a = Dedup.verifyJaccard(pairs, rows)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.verifyJaccardArrays(pairs, rows)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("bucketed band store: probe == full recompute; the store never shuffles before its joins") {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val prefix = "extspec_bandstore"
+    Dedup.writeBandStoreBucketed(old, "doc_id", "text", prefix, buckets = 4,
+      shingleN = 3, numHashes = 96, bands = 32)
+    try {
+      val inc = Dedup.incrementalNearDupsBucketed(spark, batch, "doc_id", "text",
+          prefix, 3, 96, 32, 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val batchIds = batch.select("doc_id").as[Long].collect().toSet
+      val full = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 96, 32, 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+        .filter(p => batchIds(p._1) || batchIds(p._2))
+      assert(full.nonEmpty && inc == full,
+        s"missed=${full -- inc} extra=${inc -- full}")
+      // plan discipline, asserted on the probe's two intermediate
+      // frames (the public API checkpoints, which erases the plan):
+      // neither stored scan crosses an Exchange before its join.
+      val newRows = Dedup.shingleRows(batch, "doc_id", "text", 3)
+      val newBands = Dedup.lshBuckets(
+        Dedup.minhashSignature(newRows, 96), 96, 32)
+      val newIds = batch.select(col("doc_id").as("id")).distinct()
+      val (cand, rows) = Dedup.incrementalCandidateRows(newBands, newRows,
+        newIds, spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_shingles"))
+      cand.collect(); rows.collect() // materialize AQE's final plans
+      assert(storedJoinSideUnshuffled(cand, s"${prefix}_bands"),
+        "stored bands shuffled before the candidate join")
+      assert(storedJoinSideUnshuffled(rows, s"${prefix}_shingles"),
+        "stored shingles shuffled before the verification fetch")
+      // append at delta cost, re-probe of the same batch: no self-pairs
+      Dedup.appendBandStoreBucketed(batch, "doc_id", "text", prefix,
+        buckets = 4, shingleN = 3, numHashes = 96, bands = 32)
+      val reprobe = Dedup.incrementalNearDupsBucketed(spark, batch, "doc_id",
+          "text", prefix, 3, 96, 32, 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(reprobe == full,
+        s"after append: missed=${full -- reprobe} extra=${reprobe -- full}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_shingles")
+    }
+  }
+
   test("simhash: identical docs collide, hamming 0; near-dups within 3 bits detected") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "the quick brown fox jumps over the lazy dog again and again"),

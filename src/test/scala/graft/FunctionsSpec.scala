@@ -433,6 +433,54 @@ class FunctionsSpec extends SparkTestBase {
         true), Array(0.5)) == null)
   }
 
+  test("SQL surface: bad literal args are analysis errors naming the function, not CCE/NPE") {
+    GraftExtensions.register(spark)
+    def analysisMsg(sql: String): String =
+      intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect()).getMessage
+    // non-foldable capacity/k
+    assert(analysisMsg(
+      "SELECT graft_space_saving_topk(v, v) FROM VALUES (1) t(v)")
+      .contains("graft_space_saving_topk"))
+    assert(analysisMsg(
+      "SELECT graft_quantile_sketch(CAST(v AS DOUBLE), v) FROM VALUES (1) t(v)")
+      .contains("graft_quantile_sketch"))
+    // wrong-typed literals
+    assert(analysisMsg(
+      "SELECT graft_quantile_sketch(CAST(v AS DOUBLE), 'big') FROM VALUES (1) t(v)")
+      .contains("graft_quantile_sketch"))
+    assert(analysisMsg(
+      """SELECT graft_sketch_quantiles(
+        |  graft_quantile_sketch(CAST(v AS DOUBLE), 64), array('a', 'b'))
+        |FROM VALUES (1) t(v)""".stripMargin)
+      .contains("graft_sketch_quantiles"))
+    // decimal probs literal (array(0.5, 1) parses as decimal) WIDENS,
+    // not crashes — the advice-noted case
+    val q = spark.sql(
+      """SELECT graft_sketch_quantiles(
+        |  graft_quantile_sketch(CAST(v AS DOUBLE), 64), array(0.5, 1)) AS q
+        |FROM VALUES (1), (2), (3) t(v)""".stripMargin).head.getSeq[Double](0)
+    assert(q == Seq(2.0, 3.0))
+    // BIGINT literal k within int range widens too
+    assert(spark.sql(
+      """SELECT graft_sketch_quantiles(
+        |  graft_quantile_sketch(CAST(v AS DOUBLE), CAST(64 AS BIGINT)), array(0.5D)) AS q
+        |FROM VALUES (1), (2), (3) t(v)""".stripMargin).head.getSeq[Double](0) == Seq(2.0))
+  }
+
+  test("quantileSketch boundary: exactly k values per path stays exact") {
+    import graft.functions.QuantileSketches
+    val k = 64
+    // one partition holding exactly k rows: the compaction trigger is
+    // STRICTLY over capacity, so this is still the exact regime
+    val df = spark.range(0, k, 1, 1).selectExpr("CAST(id AS DOUBLE) AS v")
+      .agg(QuantileSketches.quantileSketch(col("v"), k).as("sk"))
+      .select(col("sk.exact").as("exact"),
+        QuantileSketches.sketchQuantiles(col("sk"), Seq(0.0, 0.5, 1.0)).as("q"))
+    val row = df.head
+    assert(row.getBoolean(0), s"exactly $k items must not compact")
+    assert(row.getSeq[Double](1) == Seq(0.0, (k - 1) / 2.0, (k - 1).toDouble))
+  }
+
   private def Tables_embeddings() =
     graft.store.Tables.embeddings(spark, "/root/testdata/sf0.001")
 }

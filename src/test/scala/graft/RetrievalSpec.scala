@@ -171,6 +171,32 @@ class RetrievalSpec extends SparkTestBase {
     assert(inlineB.nonEmpty && fromIdxB == inlineB)
   }
 
+  test("tfidfTopKFromIndex == inline tfidfTopK; stored postings files are term-sorted") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.store.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lex-tfidf").toString
+    Retrieval.writeIndex(Retrieval.buildIndex(docs, "doc_id", "text"), tmp)
+    val stored = Retrieval.readIndex(spark, tmp)
+    val inline = Retrieval.tfidfTopK(docs, "doc_id", "text", k = 5)
+      .select("doc_id", "term", "tfidf", "rk")
+      .as[(Long, String, Double, Int)].collect().toSet
+    val fromIdx = Retrieval.tfidfTopKFromIndex(stored, "doc_id", k = 5)
+      .select("doc_id", "term", "tfidf", "rk")
+      .as[(Long, String, Double, Int)].collect().toSet
+    assert(inline.nonEmpty && fromIdx == inline)
+    // layout: each postings FILE is sorted by term, so parquet
+    // row-group min/max ranges are disjoint and a term fetch prunes on
+    // stats instead of clustering luck
+    val byFile = spark.read.parquet(s"$tmp/postings")
+      .select(input_file_name().as("f"), col("term"))
+      .as[(String, String)].collect().groupBy(_._1)
+    assert(byFile.nonEmpty)
+    byFile.values.foreach { rows =>
+      val terms = rows.map(_._2).toSeq
+      assert(terms == terms.sorted, "postings file not term-sorted")
+    }
+  }
+
   test("mergeIndex: incremental fold of an added batch == full rebuild, exactly") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.store.Tables.documents(spark, dir)
@@ -180,8 +206,9 @@ class RetrievalSpec extends SparkTestBase {
       Retrieval.buildIndex(old, "doc_id", "text"), added, "doc_id", "text")
     val full = Retrieval.buildIndex(docs, "doc_id", "text")
     // index contents identical
-    assert(merged.postings.as[(String, Long, Double)].collect().toSet ==
-      full.postings.as[(String, Long, Double)].collect().toSet)
+    // postings carry the denormalized dl column — compare all four
+    assert(merged.postings.as[(String, Long, Double, Double)].collect().toSet ==
+      full.postings.as[(String, Long, Double, Double)].collect().toSet)
     assert(merged.docLengths.as[(Long, Double)].collect().toSet ==
       full.docLengths.as[(Long, Double)].collect().toSet)
     // stats bit-identical (dl is integer-valued, the sum is exact)
