@@ -386,8 +386,14 @@ object Dedup {
       .join(newIds.select(col("id").as("oid")), Seq("oid"), "left_anti")
       .select(least(col("nid"), col("oid")).as("id1"),
         greatest(col("nid"), col("oid")).as("id2"))
-      .distinct()
-    val within = candidatePairs(newBands)
+    // within-batch candidates, raw (candidatePairs' trailing distinct
+    // would be a wasted exchange here: ONE distinct over the union
+    // dedups across bands AND across the cross/within split)
+    val a = newBands.select(col("band"), col("bucket"), col("id").as("id1"))
+    val b = newBands.select(col("band"), col("bucket"), col("id").as("id2"))
+    val within = a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
     val cand = cross.unionByName(within).distinct()
     // verify against the union of stored + batch shingles, but only
     // rows whose id appears in a candidate pair move. Each side is

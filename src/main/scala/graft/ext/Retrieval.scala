@@ -341,6 +341,24 @@ object Retrieval {
     rrfFuse(Seq(lex, sem), idCol, k, k0)
   }
 
+  /** [[hybridTopK]] over a prebuilt/persisted [[LexIndex]]: the lexical
+    * candidates come off the stored postings/dfreq (inline bm25's
+    * filtered-count df equals the index df for the query's terms — the
+    * documented identity — so values are unchanged), and the corpus
+    * text is never re-exploded per query. */
+  def hybridTopKFromIndex(index: LexIndex, idCol: String,
+      queryTerms: Seq[String], ann: DataFrame, k: Int,
+      perList: Int = 50, k0: Double = 60.0): DataFrame = {
+    val lex = bm25FromIndex(index, idCol, queryTerms)
+      .orderBy(col("score_dec").desc, col(idCol))
+      .limit(perList)
+      .select(col(idCol), row_number().over(
+        Window.orderBy(col("score_dec").desc, col(idCol))).as("rank"))
+    val sem = ann.select(col("neighbor_id").as(idCol), col("rk").as("rank"))
+      .filter(col("rank") <= perList)
+    rrfFuse(Seq(lex, sem), idCol, k, k0)
+  }
+
   /** Batched reciprocal-rank fusion: each list is (queryIdCol, idCol,
     * rank) — fuse PER QUERY in one plan. Same decimal discipline as
     * [[rrfFuse]]; the ranking window partitions by query, and inputs
@@ -448,9 +466,25 @@ object Retrieval {
       .select(col(idCol), col("term"),
         round((col("tf") / col("dl")) * log(col("n_docs") / col("df")), 9)
           .as("tfidf"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // per-doc top-k as ONE hash aggregation + a bounded per-doc array
+    // sort, not a ranking window: the window form pays a full sort of
+    // every (term, doc) posting behind its exchange; the aggregate
+    // carries the same rows exchange-wise but sorts only within each
+    // doc's term list (corpus-invariantly small next to the posting
+    // count). The comparator reproduces the ranking's exact total
+    // order — tfidf desc, term asc — and the 1-based position is the
+    // row_number (RetrievalSpec pins ≡ the inline window form).
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("tfidf") > r.getField("tfidf"), -1)
+        .when(l.getField("tfidf") < r.getField("tfidf"), 1)
+        .when(l.getField("term") < r.getField("term"), -1)
+        .when(l.getField("term") > r.getField("term"), 1)
+        .otherwise(0)
+    scored.groupBy(col(idCol))
+      .agg(slice(array_sort(
+        collect_list(struct(col("tfidf"), col("term"))), cmp), 1, k).as("top"))
+      .select(col(idCol), posexplode(col("top")))
+      .select(col(idCol), col("col.term").as("term"),
+        col("col.tfidf").as("tfidf"), (col("pos") + 1).cast("int").as("rk"))
   }
 }

@@ -2862,7 +2862,10 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
     val ann = graft.ext.Similarity.bruteForceTopK(
       emb.filter(col("vec_id") === 0), emb, k = 50)
-    graft.ext.Retrieval.hybridTopK(Tables.documents(s, dir), "doc_id", "text",
+    // lexical side off the memoized stored index (inline bm25's
+    // filtered df == index df for the query terms, so the oracle is
+    // unchanged; the corpus text is not re-exploded per query)
+    graft.ext.Retrieval.hybridTopKFromIndex(lexIndex(s, dir), "doc_id",
       Seq("data", "dup", "spark"), ann, k = 20, perList = 50)
   }
 
