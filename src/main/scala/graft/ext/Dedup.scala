@@ -283,6 +283,43 @@ object Dedup {
     } finally rows.unpersist()
   }
 
+  /** Compact a bucketed band store back to the one-file-per-bucket
+    * sort-reporting layout after appends — the LSM cycle's third verb
+    * (write once / append daily / compact periodically). Reads the
+    * STORED tables and rewrites them: no document is re-shingled and no
+    * signature recomputes — the cost is one read+write of the store,
+    * amortized across every probe that stops paying the per-bucket
+    * merge-sort appends cause. Staged via temp tables because Spark
+    * cannot overwrite a table from a plan that reads it. */
+  def compactBandStore(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, buckets: Int = 32): Unit = {
+    val stage = s"${tablePrefix}_compact_stage"
+    def rewrite(suffix: String, keys: Seq[String]): Unit = {
+      graft.store.Bucketing.dropWithLocation(spark, s"$stage$suffix")
+      // read the FILES, not the catalog table: a bucketed scan reports
+      // hash partitioning on the keys, the optimizer then removes the
+      // repartition as redundant, and the physical scan may still fall
+      // back to a plain file grouping (auto bucketed scan) — leaving
+      // tasks with mixed buckets and one output file per (task, bucket)
+      // instead of per bucket. A path read keeps the repartition, so
+      // the write aligns tasks with buckets: exactly one file each.
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED `$tablePrefix$suffix`")
+        .filter(col("col_name") === "Location")
+        .head.getString(1)
+      spark.read.parquet(loc)
+        .repartition(buckets, keys.map(col): _*)
+        .write.bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet").saveAsTable(s"$stage$suffix")
+      // swap by catalog rename (moves the managed location too): one
+      // read + one write total, no second rewrite of the data
+      graft.store.Bucketing.dropWithLocation(spark, s"$tablePrefix$suffix")
+      spark.sql(s"ALTER TABLE `$stage$suffix` RENAME TO `$tablePrefix$suffix`")
+    }
+    rewrite("_shingles", Seq("id"))
+    rewrite("_bands", Seq("band", "bucket"))
+  }
+
   /** Near-dups of a NEW batch against a stored corpus + within itself,
     * without re-banding the corpus: the batch's bands (delta cost) join
     * the stored bands on (band, bucket) for cross candidates; batch-

@@ -152,6 +152,17 @@ class ExtSpec extends SparkTestBase {
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       assert(reprobe == full,
         s"after append: missed=${full -- reprobe} extra=${reprobe -- full}")
+      // the append left >1 file in some bucket; compaction (a pure
+      // store rewrite — nothing re-shingles) restores one file per
+      // bucket and changes no results
+      assert(spark.table(s"${prefix}_shingles").inputFiles.length > 4)
+      Dedup.compactBandStore(spark, prefix, buckets = 4)
+      assert(spark.table(s"${prefix}_shingles").inputFiles.length <= 4)
+      assert(spark.table(s"${prefix}_bands").inputFiles.length <= 4)
+      val postCompact = Dedup.incrementalNearDupsBucketed(spark, batch,
+          "doc_id", "text", prefix, 3, 96, 32, 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(postCompact == full)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_shingles")
