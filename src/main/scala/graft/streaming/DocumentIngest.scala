@@ -152,4 +152,69 @@ object DocumentIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming NEAR-dup maintenance — the corpus-history complement of
+    * [[cleanStream]]'s watermark-bounded exact dedup: every micro-batch
+    * is (1) probed against the persisted bucketed MinHash band store
+    * ([[graft.ext.Dedup.incrementalNearDupsBucketed]] — within-batch
+    * pairs AND pairs against everything ever ingested, at batch cost),
+    * then (2) folded into the store
+    * ([[graft.ext.Dedup.appendBandStoreBucketed]] — delta cost, nothing
+    * re-hashes), with discovered pairs appended to `pairsDir` tagged by
+    * micro-batch. The first batch bootstraps the store. This is how a
+    * 100-TB ingest keeps corpus-wide near-dup knowledge current without
+    * unbounded streaming state: the "state" is the band store on disk,
+    * and per-batch cost is governed by the same rows-per-band exponent
+    * as the batch pipeline. Run [[graft.ext.Dedup.compactBandStore]] on
+    * a maintenance cadence to restore the one-file-per-bucket layout.
+    *
+    * PRECONDITION: batch ids must be globally unique across the stream
+    * (route through [[cleanStream]]'s exact dedup or
+    * [[graft.ext.Dedup.snapshotDiff]]'s `added` set first) — the store
+    * append inherits [[graft.ext.Dedup.appendBandStore]]'s disjoint-ids
+    * contract. Replay safety: a marker per micro-batch id makes
+    * re-delivered batches no-ops (store disjointness is preserved
+    * across restarts); only a crash INSIDE the pairs-write→marker
+    * window can duplicate pairs rows — dedup downstream on (id1, id2)
+    * if exact-once pairs matter. */
+  def nearDupMaintenance(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, pairsDir: String, checkpointDir: String,
+      tablePrefix: String, idCol: String, textCol: String,
+      buckets: Int = 32, shingleN: Int = 3, numHashes: Int = 96,
+      bands: Int = 32, threshold: Double = 0.5,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(s"$checkpointDir/graft_band_batches/$batchId")
+        if (!marker.exists() && !batch.isEmpty) {
+          val s = batch.sparkSession
+          val d = graft.ext.Dedup
+          val pairs =
+            if (!s.catalog.tableExists(s"${tablePrefix}_bands")) {
+              d.writeBandStoreBucketed(batch, idCol, textCol, tablePrefix,
+                buckets, shingleN, numHashes, bands)
+              d.minhashNearDups(batch, idCol, textCol, shingleN, numHashes,
+                bands, threshold)
+            } else {
+              val p = d.incrementalNearDupsBucketed(s, batch, idCol, textCol,
+                tablePrefix, shingleN, numHashes, bands, threshold)
+              d.appendBandStoreBucketed(batch, idCol, textCol, tablePrefix,
+                buckets, shingleN, numHashes, bands)
+              p
+            }
+          pairs.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(pairsDir)
+          marker.getParentFile.mkdirs()
+          marker.createNewFile(): Unit
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

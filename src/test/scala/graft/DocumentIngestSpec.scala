@@ -82,6 +82,53 @@ class DocumentIngestSpec extends SparkTestBase {
     assert(sKeys.nonEmpty)
   }
 
+  test("streaming near-dup maintenance: pairs across micro-batches == batch pipeline; replay is a no-op") {
+    val docs = Tables.documents(spark, dir)
+    val srcDir = Files.createTempDirectory("nd-src").toString
+    // two slices as two FILES so maxFilesPerTrigger=1 forces two
+    // micro-batches: batch 1 bootstraps the store, batch 2 probes it
+    def writeOneFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("nd-slice").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(srcDir, name))
+      ()
+    }
+    writeOneFile(docs.filter(col("doc_id") % 2 === 0), "a.parquet")
+    writeOneFile(docs.filter(col("doc_id") % 2 === 1), "b.parquet")
+    val pairsDir = Files.createTempDirectory("nd-pairs").toString + "/out"
+    val ckpt = Files.createTempDirectory("nd-ckpt").toString
+    val prefix = "ndmaint_spec"
+    try {
+      DocumentIngest.nearDupMaintenance(spark, srcDir, pairsDir, ckpt, prefix,
+        "doc_id", "text", buckets = 4, shingleN = 3, numHashes = 96,
+        bands = 32, threshold = 0.5, maxFilesPerTrigger = Some(1))
+      val got = spark.read.parquet(pairsDir)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      // batch-1 within-pairs + batch-2 (within + cross) == ALL pairs of
+      // the full corpus: signatures are content-local
+      val want = graft.ext.Dedup
+        .minhashNearDups(docs, "doc_id", "text", 3, 96, 32, 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        s"missed=${want -- got} extra=${got -- want}")
+      assert(spark.read.parquet(pairsDir).select("batch_id").distinct().count() >= 2,
+        "expected the source to split into >= 2 micro-batches")
+      // replay with the same checkpoint: markers skip every batch — no
+      // duplicate pairs, no duplicate store rows
+      val storeCount = spark.table(s"${prefix}_shingles").count()
+      DocumentIngest.nearDupMaintenance(spark, srcDir, pairsDir, ckpt, prefix,
+        "doc_id", "text", buckets = 4, shingleN = 3, numHashes = 96,
+        bands = 32, threshold = 0.5, maxFilesPerTrigger = Some(1))
+      assert(spark.read.parquet(pairsDir).count() == got.size)
+      assert(spark.table(s"${prefix}_shingles").count() == storeCount)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_shingles")
+    }
+  }
+
   test("gates drop repetitive and short docs; survivors carry quality_score when configured") {
     val docs = Seq(
       (1L, "hash join scan filter window batch sort merge group value spark query fast run", ts0(0)),
