@@ -194,6 +194,18 @@ object Retrieval {
       .limit(k)
       .select(col(idCol), round(col("score_dec").cast("double"), 6).as("score"))
 
+  /** [[bm25TopK]] over a prebuilt/persisted [[LexIndex]] — the
+    * single-query serving form: a |terms|-row dfreq filter + a pruned
+    * postings fetch, never a corpus re-explode. Same plan tail as
+    * [[bm25TopK]] (TakeOrderedAndProject over the exact-decimal sum). */
+  def bm25TopKFromIndex(index: LexIndex, idCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromIndex(index, idCol, queryTerms, k1, b)
+      .orderBy(col("score_dec").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("score_dec").cast("double"), 6).as("score"))
+
   /** Batched BM25: score MANY queries in ONE plan — the eval-battery
     * shape (thousands of benchmark queries against the corpus) that the
     * `Seq[String]` form would drive as a driver loop. `queries` is a

@@ -2679,7 +2679,9 @@ object Queries {
       |SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
       |FROM contrib GROUP BY doc_id
       |ORDER BY SUM(c) DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
-    graft.ext.Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+    // single-query serving off the memoized stored index (filtered-df
+    // == index-df identity keeps the oracle unchanged)
+    graft.ext.Retrieval.bm25TopKFromIndex(lexIndex(s, dir), "doc_id",
       queryTerms = Seq("data", "dup", "spark"), k = 25)
   }
 
@@ -3517,8 +3519,8 @@ object Queries {
   // (the x26b/x36c precedent: pin the engine-specific assignment,
   // oracle everything after it). The LSH band assignment is pinned to a
   // portable rule — one band, bucket = doc_id / 10 — and the store is
-  // the FULL corpus (so every batch id is a re-appended id and the
-  // exclusion path is load-bearing: broken exclusion double-counts
+  // the ENTIRE sliced corpus (so every batch id is a re-appended id and
+  // the exclusion path is load-bearing: broken exclusion double-counts
   // batch shingles on the stored side and shifts every Jaccard). The
   // engine runs the same incrementalCandidateRows + verifyJaccardArrays
   // the x2c path uses; DuckDB re-derives batch-vs-store discovery,

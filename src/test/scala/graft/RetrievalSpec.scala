@@ -169,6 +169,13 @@ class RetrievalSpec extends SparkTestBase {
     val fromIdxB = Retrieval.bm25BatchFromIndex(stored, "doc_id", queries)
       .as[(Long, Long, java.math.BigDecimal)].collect().toSet
     assert(inlineB.nonEmpty && fromIdxB == inlineB)
+
+    // single-query top-k serving form == the inline form, order included
+    val inlineTop = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    val fromIdxTop = Retrieval.bm25TopKFromIndex(stored, "doc_id", terms, k = 25)
+      .as[(Long, Double)].collect().toSeq
+    assert(inlineTop.nonEmpty && fromIdxTop == inlineTop)
   }
 
   test("tfidfTopKFromIndex == inline tfidfTopK; stored postings files are term-sorted") {

@@ -37,6 +37,35 @@ class ScaleInvarianceSpec extends SparkTestBase {
       s"pair discovery must not shrink with the corpus: $counts")
   }
 
+  test("incremental band-store probe (x2c family): probe == full recompute at each SF") {
+    val counts = sfs.map { dir =>
+      val docs = Tables.documents(spark, dir)
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val prefix = s"scaleinv_bs_${Integer.toHexString(dir.hashCode).replace('-', 'n')}"
+      Dedup.writeBandStoreBucketed(old, "doc_id", "text", prefix, buckets = 8,
+        shingleN = 3, numHashes = 64, bands = 16)
+      try {
+        val inc = Dedup.incrementalNearDupsBucketed(spark, batch, "doc_id",
+            "text", prefix, 3, 64, 16, 0.5)
+          .select("id1", "id2").as[(Long, Long)].collect().toSet
+        val batchIds = batch.select("doc_id").as[Long].collect().toSet
+        val full = Dedup.minhashNearDups(docs, "doc_id", "text", 3, 64, 16, 0.5)
+          .select("id1", "id2").as[(Long, Long)].collect().toSet
+          .filter(p => batchIds(p._1) || batchIds(p._2))
+        assert(inc == full,
+          s"$dir: missed=${full -- inc} extra=${inc -- full}")
+        inc.size.toLong
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_shingles")
+      }
+    }
+    assert(counts.head > 0, "sf0.01 must find pairs touching the batch")
+    assert(counts(1) >= counts.head,
+      s"incremental discovery must not shrink with the corpus: $counts")
+  }
+
   test("simhash near-dups (x3 family): hamming verdicts exact at each SF; discovery monotone") {
     val counts = sfs.map { dir =>
       val docs = Tables.documents(spark, dir)
