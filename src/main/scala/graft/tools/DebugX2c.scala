@@ -50,7 +50,9 @@ object DebugX2c {
     t("cand count warm")(candP.count())
     val rowsP = rows.persist()
     t("rows count")(rowsP.count())
-    t("verify")(graft.ext.Dedup.verifyJaccard(candP, rowsP)
+    t("verify (arrays)")(graft.ext.Dedup.verifyJaccardArrays(candP, rowsP)
+      .filter(col("jaccard") >= 0.5).count())
+    t("verify (exploded)")(graft.ext.Dedup.verifyJaccard(candP, rowsP)
       .filter(col("jaccard") >= 0.5).count())
     println("==== cand plan ====")
     println(cand.queryExecution.executedPlan.toString.take(6000))
