@@ -203,11 +203,15 @@ object Dedup {
     *
     * PRECONDITION: the batch's ids must be DISJOINT from ids already in
     * the store ([[Dedup.snapshotDiff]]'s `added` set — diff first, then
-    * append). A re-appended id would duplicate its (id, shingle) rows,
-    * and a later [[incrementalNearDups]] whose batch does NOT contain
-    * that id would see the doubled rows on the stored side, silently
-    * inflating its set size and skewing every Jaccard it appears in
-    * (the left_anti exclusion only covers the CURRENT batch's ids). */
+    * append). A re-appended id duplicates its (id, band, bucket) and
+    * (id, shingle) rows: the store bloats permanently (compaction
+    * preserves duplicates — [[deleteFromBandStore]] then re-append is
+    * the repair), candidate generation emits redundant copies of its
+    * pairs, and any consumer that counts stored shingle rows directly
+    * (the exploded [[verifyJaccard]] over raw store reads) computes
+    * inflated set sizes. The probe paths themselves stay value-correct
+    * — [[verifyJaccardArrays]]'s collect_set collapses doubled rows —
+    * but the contract is the store's, not the probe's. */
   def appendBandStore(batch: DataFrame, idCol: String, textCol: String, dir: String,
       shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32): Unit = {
     val rows = shingleRows(batch, idCol, textCol, shingleN).persist()
@@ -295,6 +299,7 @@ object Dedup {
       tablePrefix: String, buckets: Int = 32): Unit = {
     val stage = s"${tablePrefix}_compact_stage"
     def rewrite(suffix: String, keys: Seq[String]): Unit = {
+      recoverLive(spark, s"$tablePrefix$suffix")
       graft.store.Bucketing.dropWithLocation(spark, s"$stage$suffix")
       // read the FILES, not the catalog table: a bucketed scan reports
       // hash partitioning on the keys, the optimizer then removes the
@@ -311,10 +316,65 @@ object Dedup {
         .write.bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .format("parquet").saveAsTable(s"$stage$suffix")
-      // swap by catalog rename (moves the managed location too): one
-      // read + one write total, no second rewrite of the data
-      graft.store.Bucketing.dropWithLocation(spark, s"$tablePrefix$suffix")
-      spark.sql(s"ALTER TABLE `$stage$suffix` RENAME TO `$tablePrefix$suffix`")
+      swapInto(spark, s"$stage$suffix", s"$tablePrefix$suffix")
+    }
+    rewrite("_shingles", Seq("id"))
+    rewrite("_bands", Seq("band", "bucket"))
+  }
+
+  /** Atomically-enough swap `stage` into `target` by catalog renames
+    * (a managed-table rename moves the location too): target → _old,
+    * stage → target, drop _old. A live table exists under `target` at
+    * every instant except the sub-second gap between the two renames —
+    * never a window where the only copy sits under the stage name (the
+    * drop-then-rename order would strand the store there on a crash).
+    * A leftover `_old` from a previous crash is reclaimed first. */
+  private def swapInto(spark: org.apache.spark.sql.SparkSession,
+      stage: String, target: String): Unit = {
+    val old = s"${target}_old"
+    graft.store.Bucketing.dropWithLocation(spark, old)
+    if (spark.catalog.tableExists(target))
+      spark.sql(s"ALTER TABLE `$target` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$target`")
+    graft.store.Bucketing.dropWithLocation(spark, old)
+  }
+
+  /** Crash recovery for [[swapInto]]'s one unguarded instant: if a
+    * previous run died between its two renames, the live copy sits
+    * under `<target>_old` — restore it before any rewrite DESCRIBEs
+    * the target. Called at the top of every staged rewrite. */
+  private def recoverLive(spark: org.apache.spark.sql.SparkSession,
+      target: String): Unit =
+    if (!spark.catalog.tableExists(target) &&
+        spark.catalog.tableExists(s"${target}_old"))
+      spark.sql(s"ALTER TABLE `${target}_old` RENAME TO `$target`"): Unit
+
+  /** Delete documents from a bucketed band store — the takedown /
+    * GDPR-erasure verb, and the recovery primitive for a torn append
+    * ([[graft.streaming.DocumentIngest.nearDupMaintenance]] scrubs a
+    * possibly-partially-appended batch with it before retrying). A
+    * staged bucketed rewrite of both tables with the ids anti-joined
+    * out, swapped in by [[swapInto]]'s always-live rename cycle; the
+    * layout (bucketing, sort, one file per bucket) is preserved, so
+    * probe plans are unchanged. Cost: one read + one write of the
+    * store — batch deletes, not per-id calls. */
+  def deleteFromBandStore(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, ids: DataFrame, buckets: Int = 32): Unit = {
+    val del = ids.select(col(ids.columns.head).as("id"))
+    val stage = s"${tablePrefix}_delete_stage"
+    def rewrite(suffix: String, keys: Seq[String]): Unit = {
+      recoverLive(spark, s"$tablePrefix$suffix")
+      graft.store.Bucketing.dropWithLocation(spark, s"$stage$suffix")
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED `$tablePrefix$suffix`")
+        .filter(col("col_name") === "Location")
+        .head.getString(1)
+      spark.read.parquet(loc) // path read: see compactBandStore
+        .join(del, Seq("id"), "left_anti")
+        .repartition(buckets, keys.map(col): _*)
+        .write.bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet").saveAsTable(s"$stage$suffix")
+      swapInto(spark, s"$stage$suffix", s"$tablePrefix$suffix")
     }
     rewrite("_shingles", Seq("id"))
     rewrite("_bands", Seq("band", "bucket"))

@@ -93,11 +93,26 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/dfreq")
   }
 
-  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): LexIndex =
-    LexIndex(spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/doc_lengths"),
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): LexIndex = {
+    val post0 = spark.read.parquet(s"$path/postings")
+    val dl = spark.read.parquet(s"$path/doc_lengths")
+    // migration on read: indexes persisted before postings carried the
+    // denormalized `dl` column (the impact-list layout) reconstruct it
+    // from the stored doc_lengths table — otherwise every scorer would
+    // hit UNRESOLVED_COLUMN with no hint the snapshot predates the
+    // layout. The doc-id column is whatever postings carries beyond
+    // (term, tf); rewrite the snapshot with writeIndex to stop paying
+    // this join per load.
+    val post =
+      if (post0.columns.contains("dl")) post0
+      else {
+        val idCol = post0.columns.filterNot(Set("term", "tf")).head
+        post0.join(dl, idCol).select(col("term"), col(idCol), col("tf"), col("dl"))
+      }
+    LexIndex(post, dl,
       spark.read.parquet(s"$path/stats"),
       spark.read.parquet(s"$path/dfreq"))
+  }
 
   /** Incremental index maintenance: fold a batch of NEW documents into
     * an existing index without touching the already-indexed corpus —
@@ -183,16 +198,32 @@ object Retrieval {
       .agg(sum(col("c")).as("score_dec"))
   }
 
+  /** The shared single-query ranking tail: order by the exact-decimal
+    * sum (engine-independent ties), take k (plans as
+    * TakeOrderedAndProject — no global sort materialization), display
+    * the 6-rounded double. One definition so the inline and FromIndex
+    * twins that RetrievalSpec pins equal cannot drift. */
+  private def topKTail(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.orderBy(col("score_dec").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("score_dec").cast("double"), 6).as("score"))
+
+  /** The shared candidate-ranking tail for hybrid fusion: top-perList
+    * by the exact-decimal sum, then the 1-based rank window over the
+    * surviving metadata-sized rows. */
+  private def lexRankTail(scored: DataFrame, idCol: String, perList: Int): DataFrame =
+    scored.orderBy(col("score_dec").desc, col(idCol))
+      .limit(perList)
+      .select(col(idCol), row_number().over(
+        Window.orderBy(col("score_dec").desc, col(idCol))).as("rank"))
+
   /** Top-k BM25 retrieval: (idCol, score) ordered by score desc, id —
     * the exact-decimal score column makes the order engine-independent.
     * Plans as TakeOrderedAndProject (no global sort materialization). */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25(df, idCol, textCol, queryTerms, k1, b)
-      .orderBy(col("score_dec").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol), round(col("score_dec").cast("double"), 6).as("score"))
+    topKTail(bm25(df, idCol, textCol, queryTerms, k1, b), idCol, k)
 
   /** [[bm25TopK]] over a prebuilt/persisted [[LexIndex]] — the
     * single-query serving form: a |terms|-row dfreq filter + a pruned
@@ -201,10 +232,7 @@ object Retrieval {
   def bm25TopKFromIndex(index: LexIndex, idCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25FromIndex(index, idCol, queryTerms, k1, b)
-      .orderBy(col("score_dec").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol), round(col("score_dec").cast("double"), 6).as("score"))
+    topKTail(bm25FromIndex(index, idCol, queryTerms, k1, b), idCol, k)
 
   /** Batched BM25: score MANY queries in ONE plan — the eval-battery
     * shape (thousands of benchmark queries against the corpus) that the
@@ -340,14 +368,7 @@ object Retrieval {
   def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], ann: DataFrame, k: Int,
       perList: Int = 50, k0: Double = 60.0): DataFrame = {
-    // top-perList first (plans as TakeOrderedAndProject — distributed
-    // partial top-k, no global sort), THEN the unpartitioned ranking
-    // window over the perList surviving rows (metadata-sized)
-    val lex = bm25(docs, idCol, textCol, queryTerms)
-      .orderBy(col("score_dec").desc, col(idCol))
-      .limit(perList)
-      .select(col(idCol), row_number().over(
-        Window.orderBy(col("score_dec").desc, col(idCol))).as("rank"))
+    val lex = lexRankTail(bm25(docs, idCol, textCol, queryTerms), idCol, perList)
     val sem = ann.select(col("neighbor_id").as(idCol), col("rk").as("rank"))
       .filter(col("rank") <= perList)
     rrfFuse(Seq(lex, sem), idCol, k, k0)
@@ -361,11 +382,7 @@ object Retrieval {
   def hybridTopKFromIndex(index: LexIndex, idCol: String,
       queryTerms: Seq[String], ann: DataFrame, k: Int,
       perList: Int = 50, k0: Double = 60.0): DataFrame = {
-    val lex = bm25FromIndex(index, idCol, queryTerms)
-      .orderBy(col("score_dec").desc, col(idCol))
-      .limit(perList)
-      .select(col(idCol), row_number().over(
-        Window.orderBy(col("score_dec").desc, col(idCol))).as("rank"))
+    val lex = lexRankTail(bm25FromIndex(index, idCol, queryTerms), idCol, perList)
     val sem = ann.select(col("neighbor_id").as(idCol), col("rk").as("rank"))
       .filter(col("rank") <= perList)
     rrfFuse(Seq(lex, sem), idCol, k, k0)

@@ -172,11 +172,20 @@ object DocumentIngest {
     * (route through [[cleanStream]]'s exact dedup or
     * [[graft.ext.Dedup.snapshotDiff]]'s `added` set first) — the store
     * append inherits [[graft.ext.Dedup.appendBandStore]]'s disjoint-ids
-    * contract. Replay safety: a marker per micro-batch id makes
-    * re-delivered batches no-ops (store disjointness is preserved
-    * across restarts); only a crash INSIDE the pairs-write→marker
-    * window can duplicate pairs rows — dedup downstream on (id1, id2)
-    * if exact-once pairs matter. */
+    * contract.
+    *
+    * Replay safety (exactly-once effects): per-batch started/done
+    * markers live in the CHECKPOINT's filesystem (Hadoop FS API, so a
+    * remote `hdfs://`/`s3a://` checkpoint dir works — a local
+    * `java.io.File` check would silently never fire there). `done`
+    * makes a re-delivered batch a no-op. A crash mid-batch leaves
+    * `started` without `done`; the retry then SCRUBS the batch's ids
+    * from the store ([[graft.ext.Dedup.deleteFromBandStore]] — removes
+    * a possibly-partial append, preserving the disjoint-ids contract)
+    * and re-runs. Pairs are written per-batch with OVERWRITE into
+    * `pairsDir/batch_id=<n>`, so a retry replaces rather than
+    * duplicates; read the output with `spark.read.parquet(pairsDir)`
+    * (partition discovery yields the `batch_id` column). */
   def nearDupMaintenance(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, pairsDir: String, checkpointDir: String,
       tablePrefix: String, idCol: String, textCol: String,
@@ -189,12 +198,25 @@ object DocumentIngest {
     val src = reader.parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new java.io.File(s"$checkpointDir/graft_band_batches/$batchId")
-        if (!marker.exists() && !batch.isEmpty) {
-          val s = batch.sparkSession
+        val s = batch.sparkSession
+        val markers = new org.apache.hadoop.fs.Path(
+          s"$checkpointDir/graft_band_batches")
+        val fs = markers.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val started = new org.apache.hadoop.fs.Path(markers, s"$batchId.started")
+        val done = new org.apache.hadoop.fs.Path(markers, s"$batchId.done")
+        if (!fs.exists(done) && !batch.isEmpty) {
           val d = graft.ext.Dedup
+          val storeExists = s.catalog.tableExists(s"${tablePrefix}_bands")
+          if (storeExists && fs.exists(started)) {
+            // torn previous attempt: the append may have landed
+            // partially — scrub this batch's ids before re-running
+            d.deleteFromBandStore(s, tablePrefix,
+              batch.select(col(idCol)), buckets)
+          }
+          fs.mkdirs(markers)
+          fs.create(started, true).close()
           val pairs =
-            if (!s.catalog.tableExists(s"${tablePrefix}_bands")) {
+            if (!storeExists) {
               d.writeBandStoreBucketed(batch, idCol, textCol, tablePrefix,
                 buckets, shingleN, numHashes, bands)
               d.minhashNearDups(batch, idCol, textCol, shingleN, numHashes,
@@ -206,10 +228,9 @@ object DocumentIngest {
                 buckets, shingleN, numHashes, bands)
               p
             }
-          pairs.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(pairsDir)
-          marker.getParentFile.mkdirs()
-          marker.createNewFile(): Unit
+          pairs.write.mode("overwrite")
+            .parquet(s"$pairsDir/batch_id=$batchId")
+          fs.create(done, true).close()
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -163,6 +163,20 @@ class ExtSpec extends SparkTestBase {
           "doc_id", "text", prefix, 3, 96, 32, 0.5)
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       assert(postCompact == full)
+      // takedown: deleting the appended batch restores the pre-append
+      // store exactly (probe results identical, layout preserved)
+      Dedup.deleteFromBandStore(spark, prefix, batch.select("doc_id"),
+        buckets = 4)
+      assert(spark.table(s"${prefix}_shingles").inputFiles.length <= 4)
+      val postDelete = Dedup.incrementalNearDupsBucketed(spark, batch,
+          "doc_id", "text", prefix, 3, 96, 32, 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(postDelete == full)
+      val storedIds = spark.table(s"${prefix}_shingles")
+        .select("id").distinct().as[Long].collect().toSet
+      val batchIds2 = batch.select("doc_id").as[Long].collect().toSet
+      assert(storedIds.intersect(batchIds2).isEmpty,
+        "deleted ids must be gone from the store")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_shingles")
