@@ -198,44 +198,56 @@ object DocumentIngest {
     val src = reader.parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val markers = new org.apache.hadoop.fs.Path(
-          s"$checkpointDir/graft_band_batches")
-        val fs = markers.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val started = new org.apache.hadoop.fs.Path(markers, s"$batchId.started")
-        val done = new org.apache.hadoop.fs.Path(markers, s"$batchId.done")
-        if (!fs.exists(done) && !batch.isEmpty) {
-          val d = graft.ext.Dedup
-          val storeExists = s.catalog.tableExists(s"${tablePrefix}_bands")
-          if (storeExists && fs.exists(started)) {
-            // torn previous attempt: the append may have landed
-            // partially — scrub this batch's ids before re-running
-            d.deleteFromBandStore(s, tablePrefix,
-              batch.select(col(idCol)), buckets)
-          }
-          fs.mkdirs(markers)
-          fs.create(started, true).close()
-          val pairs =
-            if (!storeExists) {
-              d.writeBandStoreBucketed(batch, idCol, textCol, tablePrefix,
-                buckets, shingleN, numHashes, bands)
-              d.minhashNearDups(batch, idCol, textCol, shingleN, numHashes,
-                bands, threshold)
-            } else {
-              val p = d.incrementalNearDupsBucketed(s, batch, idCol, textCol,
-                tablePrefix, shingleN, numHashes, bands, threshold)
-              d.appendBandStoreBucketed(batch, idCol, textCol, tablePrefix,
-                buckets, shingleN, numHashes, bands)
-              p
-            }
-          pairs.write.mode("overwrite")
-            .parquet(s"$pairsDir/batch_id=$batchId")
-          fs.create(done, true).close()
-        }
+        nearDupProcessBatch(batch, batchId, pairsDir, checkpointDir,
+          tablePrefix, idCol, textCol, buckets, shingleN, numHashes,
+          bands, threshold)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One micro-batch of [[nearDupMaintenance]] — package-visible so the
+    * torn-append recovery path is directly testable (a completed
+    * AvailableNow checkpoint never re-delivers a batch, so the crash
+    * window can't be reached through the streaming entry point). */
+  private[graft] def nearDupProcessBatch(batch: DataFrame, batchId: Long,
+      pairsDir: String, checkpointDir: String, tablePrefix: String,
+      idCol: String, textCol: String, buckets: Int, shingleN: Int,
+      numHashes: Int, bands: Int, threshold: Double): Unit = {
+    val s = batch.sparkSession
+    val markers = new org.apache.hadoop.fs.Path(
+      s"$checkpointDir/graft_band_batches")
+    val fs = markers.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val started = new org.apache.hadoop.fs.Path(markers, s"$batchId.started")
+    val done = new org.apache.hadoop.fs.Path(markers, s"$batchId.done")
+    if (!fs.exists(done) && !batch.isEmpty) {
+      val d = graft.ext.Dedup
+      val storeExists = s.catalog.tableExists(s"${tablePrefix}_bands")
+      if (storeExists && fs.exists(started)) {
+        // torn previous attempt: the append may have landed partially —
+        // scrub this batch's ids before re-running
+        d.deleteFromBandStore(s, tablePrefix, batch.select(col(idCol)), buckets)
+      }
+      fs.mkdirs(markers)
+      fs.create(started, true).close()
+      val pairs =
+        if (!storeExists) {
+          d.writeBandStoreBucketed(batch, idCol, textCol, tablePrefix,
+            buckets, shingleN, numHashes, bands)
+          d.minhashNearDups(batch, idCol, textCol, shingleN, numHashes,
+            bands, threshold)
+        } else {
+          val p = d.incrementalNearDupsBucketed(s, batch, idCol, textCol,
+            tablePrefix, shingleN, numHashes, bands, threshold)
+          d.appendBandStoreBucketed(batch, idCol, textCol, tablePrefix,
+            buckets, shingleN, numHashes, bands)
+          p
+        }
+      pairs.write.mode("overwrite")
+        .parquet(s"$pairsDir/batch_id=$batchId")
+      fs.create(done, true).close(): Unit
+    }
   }
 }

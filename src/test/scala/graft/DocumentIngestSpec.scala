@@ -129,6 +129,46 @@ class DocumentIngestSpec extends SparkTestBase {
     }
   }
 
+  test("near-dup maintenance torn-append recovery: scrub + re-run reaches the identical end state") {
+    val docs = Tables.documents(spark, dir)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val pairsDir = Files.createTempDirectory("nd2-pairs").toString + "/out"
+    val ckpt = Files.createTempDirectory("nd2-ckpt").toString
+    val prefix = "ndmaint_spec2"
+    def run(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      DocumentIngest.nearDupProcessBatch(batch, id, pairsDir, ckpt, prefix,
+        "doc_id", "text", buckets = 4, shingleN = 3, numHashes = 96,
+        bands = 32, threshold = 0.5)
+    try {
+      run(a, 0) // bootstrap
+      run(b, 1) // append against the store
+      val basePairs = spark.read.parquet(pairsDir)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val baseCount = spark.read.parquet(pairsDir).count()
+      val baseStore = spark.table(s"${prefix}_shingles").count()
+      // crash window: batch 1's append landed but its done marker did
+      // not — on re-delivery the retry must scrub batch 1's ids (the
+      // possibly-partial append) and re-run to the identical end state,
+      // REPLACING its pairs partition
+      assert(new java.io.File(s"$ckpt/graft_band_batches/1.done").delete())
+      run(b, 1)
+      val afterPairs = spark.read.parquet(pairsDir)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(afterPairs == basePairs)
+      assert(spark.read.parquet(pairsDir).count() == baseCount,
+        "recovery must replace the batch's pairs, not append to them")
+      assert(spark.table(s"${prefix}_shingles").count() == baseStore,
+        "scrub + re-append must leave the store row count unchanged")
+      // and a further replay with intact markers is a pure no-op
+      run(b, 1)
+      assert(spark.read.parquet(pairsDir).count() == baseCount)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_shingles")
+    }
+  }
+
   test("gates drop repetitive and short docs; survivors carry quality_score when configured") {
     val docs = Seq(
       (1L, "hash join scan filter window batch sort merge group value spark query fast run", ts0(0)),
