@@ -23,11 +23,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, "")
+  private def info(className: String, name: String, usage: String) =
+    new ExpressionInfo(className, null, name, usage, "")
+  private val VEC = "graft.functions.VectorExpressions"
+  private val TXT = "graft.functions.TextExpressions"
+  private val SKA = "graft.functions.SketchAggregates"
+  private val QSK = "graft.functions.QuantileSketches"
 
   private def analysisError(errorClass: String, params: (String, String)*): Nothing =
     throw new org.apache.spark.sql.AnalysisException(errorClass, params.toMap)
+
+  /** Arity gate: a wrong argument count is an analysis error naming the
+    * function (WRONG_NUM_ARGS), not an IndexOutOfBoundsException out of
+    * a bare es(1). */
+  private def arity(fn: String, n: Int, es: Seq[Expression]): Seq[Expression] = {
+    if (es.length != n)
+      analysisError("WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        "functionName" -> s"`$fn`", "expectedNum" -> n.toString,
+        "actualNum" -> es.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest")
+    es
+  }
+
+  /** Constructor `require`s (even k, positive capacity) surface as
+    * IllegalArgumentException during analysis; rethrow them as analysis
+    * errors that name the SQL function. */
+  private def building[A](fn: String)(body: => A): A =
+    try body catch {
+      case e: IllegalArgumentException =>
+        // no stock error class covers "literal violates the function's
+        // value constraint" (even k, positive capacity) — raise a
+        // plain-message AnalysisException that names the function
+        // instead of letting the bare require() escape analysis
+        throw new org.apache.spark.sql.AnalysisException(
+          s"Invalid argument to `$fn`: ${String.valueOf(e.getMessage)}",
+          None, None, None, None, Map.empty[String, String],
+          Array.empty[org.apache.spark.QueryContext])
+    }
 
   /** Plan-time literal int argument, validated: a non-foldable or
     * wrong-typed argument is an ANALYSIS error naming the function, not
@@ -74,7 +106,14 @@ object GraftExtensions {
         val arr = Cast(e, ArrayType(DoubleType, containsNull = true))
           .eval().asInstanceOf[ArrayData]
         if (arr == null || (0 until arr.numElements()).exists(arr.isNullAt))
-          typeError()
+          // a null array / null element is a VALUE problem, not a type
+          // problem — UNEXPECTED_INPUT_TYPE would echo the (correct)
+          // declared type back as the complaint
+          throw new org.apache.spark.sql.AnalysisException(
+            s"Invalid argument to `$fn`: `$param` must be a non-null " +
+              s"array of non-null probabilities, got ${e.sql}",
+            None, None, None, None, Map.empty[String, String],
+            Array.empty[org.apache.spark.QueryContext])
         (0 until arr.numElements()).map(arr.getDouble)
       case _ => typeError()
     }
@@ -83,53 +122,63 @@ object GraftExtensions {
   val definitions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - dot product of two float arrays (double)"),
-      (es: Seq[Expression]) => VectorExpressions.DotProductFloat(es(0), es(1))),
+      info(VEC, "graft_dot", "graft_dot(a, b) - dot product of two float arrays (double)"),
+      (es: Seq[Expression]) => { arity("graft_dot", 2, es)
+        VectorExpressions.DotProductFloat(es(0), es(1)) }),
     (FunctionIdentifier("graft_intersect_count"),
-      info("graft_intersect_count",
+      info(VEC, "graft_intersect_count",
         "graft_intersect_count(a, b) - |A inter B| of two sorted distinct long arrays"),
-      (es: Seq[Expression]) => VectorExpressions.SortedIntersectCount(es(0), es(1))),
+      (es: Seq[Expression]) => { arity("graft_intersect_count", 2, es)
+        VectorExpressions.SortedIntersectCount(es(0), es(1)) }),
     (FunctionIdentifier("graft_uni_bigrams"),
-      info("graft_uni_bigrams",
+      info(TXT, "graft_uni_bigrams",
         "graft_uni_bigrams(tokens) - unigrams ++ space-joined bigrams of a token array"),
-      (es: Seq[Expression]) => TextExpressions.UnigramBigramConcat(es(0))),
+      (es: Seq[Expression]) => { arity("graft_uni_bigrams", 1, es)
+        TextExpressions.UnigramBigramConcat(es(0)) }),
     (FunctionIdentifier("graft_word_ngrams"),
-      info("graft_word_ngrams",
+      info(TXT, "graft_word_ngrams",
         "graft_word_ngrams(tokens, n) - space-joined adjacent n-grams (n a literal int)"),
-      (es: Seq[Expression]) => TextExpressions.WordNgramConcat(es(0),
-        litInt("graft_word_ngrams", "n", 1, es(1)))),
+      (es: Seq[Expression]) => { arity("graft_word_ngrams", 2, es)
+        building("graft_word_ngrams")(TextExpressions.WordNgramConcat(es(0),
+          litInt("graft_word_ngrams", "n", 1, es(1)))) }),
     (FunctionIdentifier("graft_ngram_repetition"),
-      info("graft_ngram_repetition",
+      info(TXT, "graft_ngram_repetition",
         "graft_ngram_repetition(grams) - (top, topg, dup) Gopher repetition stats"),
-      (es: Seq[Expression]) => TextExpressions.NgramRepetitionFold(es(0))),
+      (es: Seq[Expression]) => { arity("graft_ngram_repetition", 1, es)
+        TextExpressions.NgramRepetitionFold(es(0)) }),
     (FunctionIdentifier("graft_double_order_bits"),
-      info("graft_double_order_bits",
+      info(VEC, "graft_double_order_bits",
         "graft_double_order_bits(v) - IEEE-754 total-order long key of a double"),
-      (es: Seq[Expression]) => VectorExpressions.DoubleOrderBits(es(0))),
+      (es: Seq[Expression]) => { arity("graft_double_order_bits", 1, es)
+        VectorExpressions.DoubleOrderBits(es(0)) }),
     (FunctionIdentifier("graft_space_saving_topk"),
-      info("graft_space_saving_topk",
+      info(SKA, "graft_space_saving_topk",
         "graft_space_saving_topk(key, capacity) - Space-Saving heavy-hitter summary " +
           "array<struct<term, count, err>> (capacity a literal int)"),
-      (es: Seq[Expression]) => SketchAggregates.SpaceSavingTopK(es(0),
-        litInt("graft_space_saving_topk", "capacity", 1, es(1)))
-        .toAggregateExpression()),
+      (es: Seq[Expression]) => { arity("graft_space_saving_topk", 2, es)
+        building("graft_space_saving_topk")(SketchAggregates.SpaceSavingTopK(es(0),
+          litInt("graft_space_saving_topk", "capacity", 1, es(1)))
+          .toAggregateExpression()) }),
     (FunctionIdentifier("graft_quantile_sketch"),
-      info("graft_quantile_sketch",
+      info(QSK, "graft_quantile_sketch",
         "graft_quantile_sketch(v, k) - compactor-stack quantile summary " +
           "struct<items array<struct<value, weight>>, exact> (k a literal int)"),
-      (es: Seq[Expression]) => QuantileSketches.QuantileSketchAgg(es(0),
-        litInt("graft_quantile_sketch", "k", 1, es(1))).toAggregateExpression()),
+      (es: Seq[Expression]) => { arity("graft_quantile_sketch", 2, es)
+        building("graft_quantile_sketch")(QuantileSketches.QuantileSketchAgg(es(0),
+          litInt("graft_quantile_sketch", "k", 1, es(1))).toAggregateExpression()) }),
     (FunctionIdentifier("graft_quantile_merge"),
-      info("graft_quantile_merge",
+      info(QSK, "graft_quantile_merge",
         "graft_quantile_merge(summary, k) - merge persisted quantile summaries"),
-      (es: Seq[Expression]) => QuantileSketches.QuantileSketchMergeAgg(es(0),
-        litInt("graft_quantile_merge", "k", 1, es(1))).toAggregateExpression()),
+      (es: Seq[Expression]) => { arity("graft_quantile_merge", 2, es)
+        building("graft_quantile_merge")(QuantileSketches.QuantileSketchMergeAgg(es(0),
+          litInt("graft_quantile_merge", "k", 1, es(1))).toAggregateExpression()) }),
     (FunctionIdentifier("graft_sketch_quantiles"),
-      info("graft_sketch_quantiles",
+      info(QSK, "graft_sketch_quantiles",
         "graft_sketch_quantiles(summary, probs) - interpolated quantiles from a " +
           "summary (probs a literal double array)"),
-      (es: Seq[Expression]) => QuantileSketches.SketchQuantiles(es(0),
-        litDoubleArray("graft_sketch_quantiles", "probs", 1, es(1)))))
+      (es: Seq[Expression]) => { arity("graft_sketch_quantiles", 2, es)
+        building("graft_sketch_quantiles")(QuantileSketches.SketchQuantiles(es(0),
+          litDoubleArray("graft_sketch_quantiles", "probs", 1, es(1)))) }))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

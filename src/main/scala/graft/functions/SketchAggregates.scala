@@ -45,7 +45,15 @@ object SketchAggregates {
     * credit no floor and capacity ≥ distinct ⇒ exact (not capacity >
     * distinct). */
   final class SSBuffer {
-    val map = new java.util.HashMap[String, Array[Long]]() // term -> [count, err]
+    // term -> [count, err]. Keyed on UTF8String, NOT java.lang.String:
+    // (a) toString is lossy — distinct invalid-UTF-8 byte sequences all
+    // decode to U+FFFD and would silently merge; (b) every ordering
+    // decision (eviction tie-breaks, eval sort) must be BINARY
+    // (UTF8String.compareTo) to agree with Spark's own string order and
+    // the DuckDB oracle — Java String comparison is UTF-16 code-unit
+    // order, which disagrees beyond the BMP. Keys are cloned on insert
+    // (eval hands out buffer-backed instances).
+    val map = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
     var evicted: Boolean = false
   }
 
@@ -68,8 +76,8 @@ object SketchAggregates {
 
     override def createAggregationBuffer(): SSBuffer = new SSBuffer()
 
-    private def minEntry(b: SSBuffer): java.util.Map.Entry[String, Array[Long]] = {
-      var best: java.util.Map.Entry[String, Array[Long]] = null
+    private def minEntry(b: SSBuffer): java.util.Map.Entry[UTF8String, Array[Long]] = {
+      var best: java.util.Map.Entry[UTF8String, Array[Long]] = null
       val it = b.map.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -86,15 +94,15 @@ object SketchAggregates {
     override def update(b: SSBuffer, input: InternalRow): SSBuffer = {
       val v = child.eval(input)
       if (v != null) {
-        val k = v.asInstanceOf[UTF8String].toString
+        val k = v.asInstanceOf[UTF8String]
         val cur = b.map.get(k)
         if (cur != null) cur(0) += 1
-        else if (b.map.size() < capacity) b.map.put(k, Array(1L, 0L))
+        else if (b.map.size() < capacity) b.map.put(k.clone(), Array(1L, 0L))
         else {
           val m = minEntry(b)
           val mc = m.getValue()(0)
           b.map.remove(m.getKey())
-          b.map.put(k, Array(mc + 1, mc))
+          b.map.put(k.clone(), Array(mc + 1, mc))
           b.evicted = true
         }
       }
@@ -132,25 +140,37 @@ object SketchAggregates {
           b.map.put(e.getKey, Array(e.getValue()(0) + floorB, e.getValue()(1) + floorB))
       }
       b.evicted ||= other.evicted
-      // trim back to capacity by estimate (ties evict the
-      // lexicographically larger term — deterministic)
-      while (b.map.size() > capacity) {
-        var worst: java.util.Map.Entry[String, Array[Long]] = null
+      // trim back to capacity by estimate (ties evict the binary-
+      // lexicographically larger term — deterministic). ONE sort of the
+      // oversized entry set, not a min-scan per removal: two merged
+      // full sketches hold up to 2·capacity entries, and the scan-per-
+      // removal form is O(capacity²) per merge where this is
+      // O(c·log c).
+      if (b.map.size() > capacity) {
+        val entries = new Array[java.util.Map.Entry[UTF8String, Array[Long]]](b.map.size())
+        var i = 0
         val it = b.map.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (worst == null || e.getValue()(0) < worst.getValue()(0) ||
-            (e.getValue()(0) == worst.getValue()(0) && e.getKey > worst.getKey))
-            worst = e
-        }
-        b.map.remove(worst.getKey)
+        while (it.hasNext) { entries(i) = it.next(); i += 1 }
+        // worst first: estimate asc, then term DESC (larger term worse)
+        java.util.Arrays.sort(entries,
+          new java.util.Comparator[java.util.Map.Entry[UTF8String, Array[Long]]] {
+            override def compare(
+                a: java.util.Map.Entry[UTF8String, Array[Long]],
+                c: java.util.Map.Entry[UTF8String, Array[Long]]): Int = {
+              val byEst = java.lang.Long.compare(a.getValue()(0), c.getValue()(0))
+              if (byEst != 0) byEst else c.getKey.compareTo(a.getKey)
+            }
+          })
+        var j = 0
+        val drop = entries.length - capacity
+        while (j < drop) { b.map.remove(entries(j).getKey); j += 1 }
         b.evicted = true
       }
       b
     }
 
     override def eval(b: SSBuffer): Any = {
-      val entries = new Array[(String, Long, Long)](b.map.size())
+      val entries = new Array[(UTF8String, Long, Long)](b.map.size())
       var i = 0
       val it = b.map.entrySet().iterator()
       while (it.hasNext) {
@@ -158,9 +178,11 @@ object SketchAggregates {
         entries(i) = (e.getKey, e.getValue()(0), e.getValue()(1))
         i += 1
       }
-      val sorted = entries.sortBy { case (t, c, _) => (-c, t) }
+      // count desc, term BINARY asc — the order Spark/DuckDB agree on
+      val sorted = entries.sortWith((a, c) =>
+        a._2 > c._2 || (a._2 == c._2 && a._1.compareTo(c._1) < 0))
       new GenericArrayData(sorted.map { case (t, c, err) =>
-        InternalRow(UTF8String.fromString(t), c, err)
+        InternalRow(t, c, err)
       })
     }
 
@@ -172,7 +194,7 @@ object SketchAggregates {
       val it = b.map.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        val kb = e.getKey.getBytes("UTF-8")
+        val kb = e.getKey.getBytes // raw UTF8String bytes — lossless
         out.writeInt(kb.length); out.write(kb)
         out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
       }
@@ -188,7 +210,7 @@ object SketchAggregates {
       var i = 0
       while (i < n) {
         val kb = new Array[Byte](in.readInt()); in.readFully(kb)
-        b.map.put(new String(kb, "UTF-8"), Array(in.readLong(), in.readLong()))
+        b.map.put(UTF8String.fromBytes(kb), Array(in.readLong(), in.readLong()))
         i += 1
       }
       b

@@ -83,7 +83,11 @@ object TextExpressions {
     * operators. Bit-identical to the zip_with-chain formulation
     * (FunctionsSpec pins it) but codegen'd: the higher-order chain
     * evaluated interpreted, n−1 lambda passes per row. Documents with
-    * fewer than n tokens yield an empty array. */
+    * fewer than n tokens yield an empty array. A gram containing a
+    * null token is DROPPED from the output — the pinned reference's
+    * `filter(_.isNotNull)` over the null-propagating `concat` chain;
+    * concatWs-style null-skipping would instead silently join the
+    * null's neighbors into a gram that never existed. */
   final case class WordNgramConcat(child: Expression, n: Int)
       extends UnaryExpression with ExpectsInputTypes {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
@@ -99,13 +103,20 @@ object TextExpressions {
       val sp = UTF8String.fromString(" ")
       val parts = new Array[UTF8String](n)
       var i = 0
+      var cnt = 0
       while (i < m) {
         var j = 0
-        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-        out(i) = UTF8String.concatWs(sp, parts: _*)
+        var anyNull = false
+        while (j < n) {
+          parts(j) = arr.getUTF8String(i + j)
+          anyNull ||= parts(j) == null
+          j += 1
+        }
+        if (!anyNull) { out(cnt) = UTF8String.concatWs(sp, parts: _*); cnt += 1 }
         i += 1
       }
-      new GenericArrayData(out)
+      new GenericArrayData(
+        if (cnt == m) out else java.util.Arrays.copyOf(out, cnt))
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -122,13 +133,17 @@ object TextExpressions {
            |final int $m = java.lang.Math.max($a.numElements() - $n + 1, 0);
            |final Object[] $out = new Object[$m];
            |final $utf8[] $parts = new $utf8[$n];
+           |int ${i}_cnt = 0;
            |for (int $i = 0; $i < $m; $i++) {
+           |  boolean ${i}_null = false;
            |  for (int $j = 0; $j < $n; $j++) {
            |    $parts[$j] = $a.getUTF8String($i + $j);
+           |    ${i}_null |= ($parts[$j] == null);
            |  }
-           |  $out[$i] = $utf8.concatWs($sp, $parts);
+           |  if (!${i}_null) { $out[${i}_cnt++] = $utf8.concatWs($sp, $parts); }
            |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  ${i}_cnt == $m ? $out : java.util.Arrays.copyOf($out, ${i}_cnt));
          """.stripMargin
       })
 
@@ -163,10 +178,18 @@ object TextExpressions {
     override def prettyName: String = "graft_ngram_repetition"
 
     def repStats(input: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
-      val m = input.numElements()
-      val arr = new Array[AnyRef](m)
+      // null grams (a null token's n-grams) are ignored — they carry no
+      // repeated content; copying them through would NPE the sort
+      val m0 = input.numElements()
+      val tmp = new Array[AnyRef](m0)
+      var m = 0
       var i = 0
-      while (i < m) { arr(i) = input.getUTF8String(i); i += 1 }
+      while (i < m0) {
+        val u = input.getUTF8String(i)
+        if (u != null) { tmp(m) = u; m += 1 }
+        i += 1
+      }
+      val arr = if (m == m0) tmp else java.util.Arrays.copyOf(tmp, m)
       java.util.Arrays.sort(arr, null) // UTF8String natural (binary) order
       var top = 0L
       var topg = UTF8String.EMPTY_UTF8

@@ -467,6 +467,77 @@ class FunctionsSpec extends SparkTestBase {
         |FROM VALUES (1), (2), (3) t(v)""".stripMargin).head.getSeq[Double](0) == Seq(2.0))
   }
 
+  test("null tokens: word-ngram kernel drops null-component grams == the zip_with reference; repetition fold ignores null grams") {
+    import graft.functions.TextExpressions
+    val docs = Seq(
+      (1L, Seq[String]("a", null, "b")),
+      (2L, Seq[String]("a", "b", null, "c", "d")),
+      (3L, Seq[String](null, null)),
+      (4L, Seq[String]("x", "y", "z"))).toDF("id", "toks")
+    for (n <- Seq(2, 3)) {
+      val toks = col("toks")
+      val joined = (2 to n).foldLeft(toks) { (acc, k) =>
+        zip_with(acc, when(size(toks) >= k, slice(toks, lit(k), size(toks)))
+            .otherwise(array().cast("array<string>")),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      val ref = filter(joined, g => g.isNotNull)
+      val bad = docs.select(TextExpressions.wordNgramsOf(toks, n).as("fused"),
+          ref.as("r"))
+        .filter(not(col("fused") <=> col("r")))
+      assert(bad.count() == 0, s"n=$n null-token mismatch vs reference")
+    }
+    // the repetition fold must not NPE on null grams and must count
+    // only the non-null ones
+    val withNulls = Seq(Seq[String]("g", null, "g", null)).toDF("grams")
+      .select(graft.functions.TextExpressions
+        .ngramRepetitionOf(col("grams")).as("st"))
+      .select(col("st.top"), col("st.topg"), col("st.dup")).head
+    assert(withNulls.getLong(0) == 2L && withNulls.getString(1) == "g" &&
+      withNulls.getLong(2) == 2L)
+  }
+
+  test("SQL surface: wrong arity and value-constraint violations are analysis errors naming the function") {
+    GraftExtensions.register(spark)
+    def analysisMsg(sql: String): String =
+      intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect()).getMessage
+    assert(analysisMsg("SELECT graft_dot(array(1.0F))").contains("graft_dot"))
+    assert(analysisMsg(
+      "SELECT graft_word_ngrams(array('a'), 2, 3) FROM VALUES (1) t(v)")
+      .contains("graft_word_ngrams"))
+    // odd k violates the sketch's constructor require
+    assert(analysisMsg(
+      "SELECT graft_quantile_sketch(CAST(v AS DOUBLE), 3) FROM VALUES (1) t(v)")
+      .contains("graft_quantile_sketch"))
+    assert(analysisMsg(
+      "SELECT graft_space_saving_topk(CAST(v AS STRING), 0) FROM VALUES (1) t(v)")
+      .contains("graft_space_saving_topk"))
+    // integer VALUE columns widen implicitly (the approx_percentile
+    // convention) — no manual CAST needed at the SQL surface
+    assert(spark.sql(
+      """SELECT graft_sketch_quantiles(graft_quantile_sketch(v, 64), array(0.5D)) AS q
+        |FROM VALUES (1), (2), (3) t(v)""".stripMargin).head.getSeq[Double](0)
+      == Seq(2.0))
+  }
+
+  test("spaceSavingTopK orders ties in BINARY term order (supplementary chars)") {
+    import graft.functions.SketchAggregates
+    // U+E000 (UTF-8 0xEE..) sorts BEFORE U+10000 (UTF-8 0xF0..) in
+    // binary order, but AFTER it in Java's UTF-16 code-unit order
+    // (U+10000 encodes as the 0xD800 surrogate) — the sketch must agree
+    // with Spark/DuckDB binary order, not java.lang.String
+    val hi = "𐀀" // U+10000
+    val lo = ""
+    val rows = Seq(hi, lo, hi, lo).toDF("t")
+    val out = rows.agg(SketchAggregates.spaceSavingTopK(col("t"), 8).as("s"))
+      .selectExpr("s[0].term AS first", "s[1].term AS second").head
+    assert(out.getString(0) == lo && out.getString(1) == hi,
+      "tie order must be binary (UTF-8) term order")
+    // and Spark's own sort agrees
+    val sparkOrder = rows.distinct().orderBy("t").as[String].collect().toSeq
+    assert(sparkOrder == Seq(lo, hi))
+  }
+
   test("quantileSketch boundary: exactly k values per path stays exact") {
     import graft.functions.QuantileSketches
     val k = 64
