@@ -40,7 +40,18 @@ object Ivf {
 
   /** query → its `nprobe` nearest cells: (query_id, qv, qn, cell).
     * Centroid table is metadata-sized — everything here broadcasts.
-    * (`private[ext]`: [[Pq.topKStoredIvfPq]] probes the same cells.) */
+    * (`private[ext]`: [[Pq.topKStoredIvfPq]] probes the same cells.)
+    *
+    * Metric note: cells are FORMED by L2 k-means over the raw vectors
+    * but PROBED by cosine-to-centroid — consistent only when
+    * embeddings are (approximately) L2-normalized, where L2 order ≡
+    * cosine order (the standard IVF-for-cosine deployment: normalize
+    * at encode time, then both stages agree exactly). For raw
+    * unnormalized corpora a strongly length-skewed cell's centroid can
+    * rank below `nprobe` by cosine even though it holds the query's
+    * true cosine neighbors — recall loss beyond the nprobe trade.
+    * Normalize upstream, or raise nprobe; recall monitoring
+    * ([[Similarity.recallAtK]]) is the detector either way. */
   private[ext] def probeCells(queries: DataFrame, index: Index, nprobe: Int,
       idCol: String, vecCol: String): DataFrame = {
     val spark = queries.sparkSession
@@ -133,7 +144,17 @@ object Ivf {
       when(d < st.getField("d"),
         struct(d.as("d"), e.getField("_1").as("cell"))).otherwise(st)
     })
-    vecs.select(col(idCol), col(vecCol), best.getField("cell").as("cell"))
+    // a vector whose distance fold never beat +Infinity (a NaN
+    // component — NaN comparisons are all false) would otherwise keep
+    // the sentinel cell and be appended into a partition no probe ever
+    // reads: unreachable forever, silently. Fail on the row instead.
+    val cell = best.getField("cell")
+    val guarded = when(cell =!= lit(Int.MaxValue), cell)
+      .otherwise(raise_error(concat(
+        lit("Ivf.assign: no centroid beat +Infinity for id "),
+        col(idCol).cast("string"),
+        lit(" — the vector has a NaN component"))))
+    vecs.select(col(idCol), col(vecCol), guarded.as("cell"))
   }
 
   /** Incrementally grow a STORED index: assign the new vectors to the
@@ -143,14 +164,9 @@ object Ivf {
     * optimal as the distribution shifts; refit with [[build]]+[[write]]
     * on whatever cadence recall monitoring dictates. */
   def appendStored(spark: SparkSession, path: String, newVecs: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    assign(newVecs, centroids, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    assign(newVecs, read(spark, path).centroids, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
-  }
 
   /** Top-k over a STORED index with static partition pruning: the
     * distinct probed cells (bounded by the cell count k, driver-side

@@ -91,6 +91,17 @@ object Pq {
       .withColumn("recon_norm", sqrt(reconSq))
   }
 
+  /** The ADC numerator: Σ_subspaces dot(query slice, looked-up
+    * codeword) — ONE definition shared by [[topK]] and
+    * [[topKIvfPqFromIndex]] so the 1-based slice/element_at offsets
+    * cannot drift between the flat and IVF-composed paths. */
+  private def adcNum(model: Model): org.apache.spark.sql.Column =
+    (0 until model.m).map { s =>
+      Similarity.dot(slice(col("qv"), s * model.dsub + 1, model.dsub),
+        element_at(bookLit(model, s), element_at(col("codes"), s + 1) + 1)
+          .getField("_2"))
+    }.reduce(_ + _)
+
   /** ADC top-k: rank encoded-corpus rows per query by reconstruction
     * cosine. The scan reads (id, codes, recon_norm) only — never the
     * float vectors. Output: (query_id, neighbor_id, score, rk). */
@@ -102,14 +113,9 @@ object Pq {
       .select(col(idCol).as("neighbor_id"), col("codes"), col("recon_norm"))
       .crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
-    val num = (0 until model.m).map { s =>
-      Similarity.dot(slice(col("qv"), s * model.dsub + 1, model.dsub),
-        element_at(bookLit(model, s), element_at(col("codes"), s + 1) + 1)
-          .getField("_2"))
-    }.reduce(_ + _)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
-    cand.withColumn("score", num / (col("qn") * col("recon_norm")))
+    cand.withColumn("score", adcNum(model) / (col("qn") * col("recon_norm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -186,11 +192,6 @@ object Pq {
     // broadcast semi-join keeps a query out of cells it didn't probe)
     val cellCand = pruned.join(
       broadcast(probes.select("query_id", "cell")), Seq("cell"))
-    val num = (0 until model.m).map { s =>
-      Similarity.dot(slice(col("qv"), s * model.dsub + 1, model.dsub),
-        element_at(bookLit(model, s), element_at(col("codes"), s + 1) + 1)
-          .getField("_2"))
-    }.reduce(_ + _)
     val qv = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), Similarity.norm(col(vecCol)).as("qn")))
     val wAdc = Window.partitionBy("query_id")
@@ -202,19 +203,23 @@ object Pq {
         col("recon_norm"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .join(qv, "query_id")
-      .withColumn("adc", num / (col("qn") * col("recon_norm")))
+      .withColumn("adc", adcNum(model) / (col("qn") * col("recon_norm")))
       .withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
     // rerank stage: a SECOND pruned scan fetches float vectors and the
     // join keeps shortlist rows only (at 100 TB this is the shortlist
     // key-fetch against the vector store)
-    val vecs = pruned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norm computed once per VECTOR before the join (the
+    // bruteForceTopK/topKReranked discipline), not re-folded per
+    // (query, neighbor) pair
+    val vecs = pruned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      Similarity.norm(col(vecCol)).as("cn"))
     val wFin = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     short.join(vecs, "neighbor_id")
       .withColumn("cos", Similarity.dot(col("qv"), col("cv")) /
-        (col("qn") * Similarity.norm(col("cv"))))
+        (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(wFin))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * Vectors are `Array[Float]` columns; all arithmetic is done with
   * higher-order column functions (`zip_with`/`aggregate`) in double
   * precision — codegen'd, no UDF, no driver collect.
+  *
+  * INPUT CONTRACT: embeddings must be finite. Spark orders NaN above
+  * every value, so one NaN-component vector would rank first for EVERY
+  * query and pass every `cos >= threshold` gate — silently corrupt
+  * output, not an error. Encoders can emit NaN/Inf on overflow: gate
+  * ingest with [[finiteOnly]] (one codegen pass) before indexing.
+  * ([[Ivf.assign]] fails loudly on such vectors; the pure-expression
+  * paths here cannot, so the gate belongs upstream.)
   */
 object Similarity {
 
@@ -23,6 +31,14 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Ingest gate for the finite-embeddings contract: keep rows whose
+    * vector has no NaN/Inf component (one `forall` pass — codegen'd,
+    * no explode). Run this before indexing; see the object scaladoc
+    * for why a NaN vector silently poisons every ranking. */
+  def finiteOnly(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.filter(forall(col(vecCol),
+      x => !isnan(x) && abs(x) =!= lit(Float.PositiveInfinity)))
 
   /** Exact top-k neighbors for each query vector: broadcast the (small)
     * query side against the corpus, one windowed top-k per query. The
@@ -56,14 +72,29 @@ object Similarity {
   }
 
   /** Sign-bit LSH signature: bit p = sign(v · plane_p), packed into a
-    * long per band of `bitsPerBand` planes. Returns (… , bands array). */
+    * long per band of `bitsPerBand` planes. Returns (… , bands array).
+    *
+    * The planes' dimension must match the embedding column's — the dot
+    * kernel folds over min(length), so a silent mismatch would compute
+    * bucket bits from a PREFIX of every vector. The first mismatched
+    * row raises at execution (`raise_error` guard — no extra job, one
+    * size() per row). */
   def lshSignature(vecCol: Column, planes: Array[Array[Double]],
       bitsPerBand: Int): Column = {
+    require(planes.nonEmpty && planes.length % bitsPerBand == 0,
+      s"nPlanes (${planes.length}) must be a positive multiple of " +
+        s"bitsPerBand ($bitsPerBand) — trailing planes would be paid for " +
+        "and silently discarded")
+    val dim = planes.head.length
+    val guarded = when(size(vecCol) === dim, vecCol)
+      .otherwise(raise_error(concat(
+        lit(s"lshSignature: embedding dimension "), size(vecCol).cast("string"),
+        lit(s" != configured dim $dim"))))
     val bits: Seq[Column] = planes.toIndexedSeq.map { p =>
       // planes ship as float arrays to match the embedding element type
       // (the codegen dot kernel is ARRAY<FLOAT> × ARRAY<FLOAT>)
       val planeLit = array(p.toIndexedSeq.map(v => lit(v.toFloat)): _*)
-      when(dot(vecCol, planeLit) >= 0, lit(1L)).otherwise(lit(0L))
+      when(dot(guarded, planeLit) >= 0, lit(1L)).otherwise(lit(0L))
     }
     val nBands = planes.length / bitsPerBand
     array((0 until nBands).map { b =>
@@ -80,12 +111,13 @@ object Similarity {
       nPlanes: Int = 64, bitsPerBand: Int = 4, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
+    // (id, band, bucket) only — vectors/norms never ride the candidate
+    // join; they attach once to the deduped pairs below
     def withBuckets(df: DataFrame, id: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"),
-          norm(col(vecCol)).as(s"${id}_n"),
+      df.select(col(idCol).as(id),
           posexplode(lshSignature(col(vecCol), planes, bitsPerBand)).as(Seq("band", "bucket")))
-    val qb = broadcast(withBuckets(queries, "query_id").select("query_id", "band", "bucket"))
-    val cb = withBuckets(corpus, "neighbor_id").select("neighbor_id", "band", "bucket")
+    val qb = broadcast(withBuckets(queries, "query_id"))
+    val cb = withBuckets(corpus, "neighbor_id")
     // dedup candidate PAIRS first (ids only — distinct over vector
     // arrays would hash the payloads), then attach vectors+norms once
     val cand = qb.join(cb, Seq("band", "bucket"))
@@ -112,8 +144,7 @@ object Similarity {
       nPlanes: Int = 64, bitsPerBand: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"),
+    val sig = df.select(col(idCol).as("id"),
       posexplode(lshSignature(col(vecCol), planes, bitsPerBand)).as(Seq("band", "bucket")))
     val a = sig.select(col("band"), col("bucket"), col("id").as("id1"))
     val b = sig.select(col("band"), col("bucket"), col("id").as("id2"))

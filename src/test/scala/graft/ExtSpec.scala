@@ -95,6 +95,35 @@ class ExtSpec extends SparkTestBase {
       .forall(!_.isInstanceOf[ShuffleExchangeLike]))
   }
 
+  test("finite-embeddings contract: finiteOnly gates NaN/Inf; dim/plane misconfig and NaN assignment fail loudly") {
+    val vecs = Seq(
+      (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(1f, Float.NaN, 3f, 4f)),
+      (3L, Array(Float.PositiveInfinity, 2f, 3f, 4f)),
+      (4L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    // the ingest gate keeps only finite vectors
+    assert(Similarity.finiteOnly(vecs).select("vec_id")
+      .as[Long].collect().toSet == Set(1L, 4L))
+    // a NaN vector reaching IVF assignment raises instead of landing in
+    // the unreachable sentinel cell
+    val cents = Array((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+    val ok = graft.ext.Ivf.assign(vecs.filter(col("vec_id") === 1), cents)
+    assert(ok.select("cell").as[Int].collect().length == 1)
+    intercept[Exception] {
+      graft.ext.Ivf.assign(vecs.filter(col("vec_id") === 2), cents).collect()
+    }
+    // LSH: plane dimension must match the embeddings (raise at exec),
+    // and non-divisible plane counts are rejected at build
+    val planes8 = Similarity.hyperplanes(8, dim = 8)
+    intercept[Exception] {
+      vecs.filter(col("vec_id") === 1)
+        .select(Similarity.lshSignature(col("embedding"), planes8, 4)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshSignature(col("embedding"), Similarity.hyperplanes(6, 4), 4)
+    }
+  }
+
   test("verifyJaccardArrays == verifyJaccard, bit-for-bit, including zero-intersection pairs") {
     val docs = Tables.documents(spark, dir)
     // the x2b pair table (planted near-dups) + deliberately unrelated
