@@ -95,11 +95,14 @@ object Packing {
     * Bin ids are (bucket, bin) pairs; bins never cross buckets. */
   def packFirstFitDecreasing(df: DataFrame, idCol: String, ntokCol: String,
       budget: Int, buckets: Int, seed: String = "graft-pack-v1"): Dataset[PackedDoc] = {
-    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    require(budget > 0 && buckets > 0 && buckets <= 0x10000,
+      s"budget must be positive and buckets in (0, 65536], got $budget/$buckets")
     val spark = df.sparkSession
     import spark.implicits._
+    // long intermediate: prefix·buckets overflows int at buckets > 2^15
+    // (the shuffledFiles overflow, same expression)
     val bucket = (conv(substring(Sampling.drawHex(col(idCol), seed), 1, 4), 16, 10)
-      .cast("int") * buckets / lit(0x10000)).cast("int")
+      .cast("long") * buckets / lit(0x10000L)).cast("int")
     df.select(bucket.as("bucket"), col(idCol).cast("long").as("id"),
         col(ntokCol).cast("int").as("n"))
       .as[(Int, Long, Int)]

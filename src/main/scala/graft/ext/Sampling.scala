@@ -55,9 +55,22 @@ object Sampling {
   }
 
   /** The deterministic per-row draw: md5 of the key column salted with
-    * the seed. Uniform on [0, 2^128) as a hex string; pure codegen. */
+    * the seed. Uniform on [0, 2^128) as a hex string; pure codegen.
+    *
+    * A NULL key fails loudly: every sampling operator routes through
+    * this draw, and a null draw would otherwise fall out of the
+    * bucket joins and `<` filters SILENTLY — rows vanishing from
+    * splits/samples/shuffles in a way that depends on which arm of
+    * which operator touched them, while the documented row_number
+    * oracle forms would have ranked them. Sampling keys are ids; a
+    * null id is an upstream bug this surfaces, not data to route. */
   def drawHex(key: Column, seed: String): Column =
-    md5(concat(key.cast("string"), lit(":"), lit(seed)))
+    md5(concat(
+      when(key.isNotNull, key.cast("string"))
+        .otherwise(raise_error(lit(
+          "Sampling.drawHex: NULL sampling key — null draws would " +
+            "silently drop rows from samples; fix or filter upstream"))),
+      lit(":"), lit(seed)))
 
   /** Assign each row a split label from cumulative fraction cuts.
     * `fractions` maps label -> fraction; labels are assigned in the
@@ -204,7 +217,12 @@ object Sampling {
     }
     val wSum = weights.map(_._3).sum
     val quotas = weights.map { case (k, n, w) =>
-      (k, math.min(n, totalN * w / wSum))
+      // BigInt intermediate: totalN·w reaches ~1e23 at the 100-TB design
+      // point (w = floor(n^alpha·1e6) ≈ 1e15 for a 1e9-doc stratum) —
+      // Long arithmetic wraps negative and the negative quota would make
+      // takeQuotaPerStratum's keep-all arm fire, silently OVER-sampling
+      // the stratum. Same integer division, exact at every scale.
+      (k, math.min(n, (BigInt(totalN) * w / wSum).toLong))
     }.toMap
     val quota = quotas.foldLeft(lit(0L)) { case (acc, (k, q)) =>
       when(strata.zip(k).map { case (s, v) => col(s) <=> lit(v) }.reduce(_ && _), lit(q))
@@ -250,8 +268,11 @@ object Sampling {
   def shuffledFiles(df: DataFrame, key: Column, seed: String, shards: Int): DataFrame = {
     require(shards > 0 && shards <= 0x10000, s"shards $shards out of (0, 65536]")
     val d = drawHex(key, seed)
-    // bucket by the draw's leading 16 bits so bucket order == draw order
-    val bucket = ((conv(substring(d, 1, 4), 16, 10).cast("int") * shards) / 0x10000).cast("int")
+    // bucket by the draw's leading 16 bits so bucket order == draw order.
+    // LONG intermediate: prefix·shards reaches 2^31 at the allowed
+    // shards = 65536, and an int multiply wraps half the corpus to
+    // negative shard ids (or throws under ANSI).
+    val bucket = ((conv(substring(d, 1, 4), 16, 10).cast("long") * shards) / lit(0x10000L)).cast("int")
     df.withColumn("shard", bucket)
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), d, key)

@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokens. Blank text yields an EMPTY array: Spark's
+    * `split("", "\\s+")` returns `[""]` — a phantom token that would
+    * make an empty document pass `minTokens = 1` gates and count 1 in
+    * every length statistic. (DuckDB's bare `regexp_split_to_array`
+    * shares the quirk; oracle twins over corpora that can contain
+    * blank documents need the matching `CASE WHEN trim(x) = ''`.) */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -207,7 +214,14 @@ object TextOps {
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
-  /** Thresholds for [[repetitionKeep]] — Gopher appendix A defaults. */
+  /** Thresholds for [[repetitionKeep]]. Line/paragraph fractions and
+    * the top-2-gram bound are the Gopher appendix-A values; note the
+    * 3-gram bound applies 0.18 to the DUPLICATE-3-gram character mass
+    * (all repeated 3-grams, overlap-counted) — a deliberately STRICTER
+    * house rule than the paper, whose 0.18 bounds only the single most
+    * frequent 3-gram's mass (its duplicate-mass thresholds start at
+    * 5-grams, 0.15). Tune `maxDup3GramCharFrac` up if you want the
+    * paper's laxer behavior approximated. */
   final case class RepetitionThresholds(
       maxDupLineFrac: Double = 0.30,
       maxDupLineCharFrac: Double = 0.20,
@@ -292,7 +306,9 @@ object TextOps {
     val lw = lower(line)
     line.rlike("[.!?\"]$") &&
       size(split(trim(line), "\\s+")) >= minWords &&
-      !blacklist.map(b => lw.contains(b)).reduce(_ || _)
+      // foldLeft, not reduce: an EMPTY blacklist (disable the term rule,
+      // keep punctuation/min-words) must not throw empty.reduce
+      !blacklist.foldLeft(lit(false))((acc, b) => acc || lw.contains(b))
   }
 
   /** Filter an array-of-lines column by [[c4LineKeep]]. */
