@@ -88,11 +88,16 @@ object Dsir {
     val rc = rcRows.map(r => (r.getString(0), r.getLong(1))).toSeq
       .toDF("bkt", "__cr")
     val stats = Seq((nt, nr)).toDF("nt", "nr")
-    val ratios = rc.join(tc, Seq("bkt"), "left")
+    // FULL outer: a bucket the target produced but the raw corpus never
+    // did (possible whenever the target is not a subset of raw) must
+    // carry ln((ct+1)(Nr+B)/((0+1)(Nt+B))) — a left join from rc would
+    // drop it, and weights() would hand its grams the ct=0 default,
+    // under-weighting exactly the most target-characteristic documents.
+    val ratios = rc.join(tc, Seq("bkt"), "full_outer")
       .crossJoin(broadcast(stats))
       .select(col("bkt"),
         round(log(((coalesce(col("__ct"), lit(0L)) + lit(1.0)) * (col("nr") + B)) /
-                  ((col("__cr") + lit(1.0)) * (col("nt") + B))), 9)
+                  ((coalesce(col("__cr"), lit(0L)) + lit(1.0)) * (col("nt") + B))), 9)
           .cast(LrType).as("lr"))
     DsirModel(ratios, stats)
   }

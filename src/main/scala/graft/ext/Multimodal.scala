@@ -304,6 +304,11 @@ object Multimodal {
           val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
         }
         val sz = bb.getInt
+        // a NEGATIVE declared size would step the cursor backwards and
+        // re-read the same chunk forever (executor hang), and a data
+        // chunk longer than the remaining payload is a truncated file —
+        // the fail-loudly contract says neither may decode quietly
+        if (sz < 0) return None // malformed → fallback
         val next = bb.position() + sz + (sz & 1)
         if (id == "fmt " && sz >= 16) {
           tag = bb.getShort & 0xFFFF
@@ -313,7 +318,8 @@ object Multimodal {
           bits = bb.getShort & 0xFFFF
         } else if (id == "data") {
           dataOff = bb.position()
-          dataLen = math.min(sz, payload.length - dataOff)
+          if (sz > payload.length - dataOff) return None // truncated data
+          dataLen = sz
         }
         if (dataOff < 0) {
           if (next > payload.length) return None // malformed → fallback
@@ -576,6 +582,10 @@ object Multimodal {
         while (bb.position() + 8 <= end) {
           val id = four()
           val sz = bb.getInt
+          // a negative declared size would move the cursor BACKWARDS and
+          // re-read the same chunk forever — one corrupt row must fail
+          // the task loudly, not hang it
+          require(sz >= 0, s"malformed AVI: chunk '$id' declares size $sz")
           val next = bb.position() + sz + (sz & 1)
           id match {
             case "LIST" =>
@@ -634,6 +644,7 @@ object Multimodal {
         while (bb.position() + 8 <= end) {
           val id = four()
           val sz = bb.getInt
+          require(sz >= 0, s"malformed AVI: chunk '$id' declares size $sz") // see parse()
           val next = bb.position() + sz + (sz & 1)
           id match {
             case "LIST" =>
@@ -650,12 +661,25 @@ object Multimodal {
             case "idx1" =>
               sawIdx1 = true
               var p = bb.position()
+              // idx1 offsets are movi-relative per spec, but a known
+              // encoder family writes ABSOLUTE file offsets; players
+              // sniff by probing whether the first entry's bytes name
+              // the entry's own chunk. Same here: resolve per entry,
+              // preferring movi-relative, falling back to absolute.
+              def resolves(at: Int, tag: String): Boolean =
+                at >= 0 && at + 4 <= payload.length &&
+                  new String(payload.slice(at, at + 4), "US-ASCII") == tag
               while (p + 16 <= bb.position() + sz) {
                 val tag = new String(payload.slice(p, p + 4), "US-ASCII")
                 if (tag.endsWith("db") || tag.endsWith("dc")) {
                   val off = java.nio.ByteBuffer.wrap(payload, p + 8, 4)
                     .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-                  idxPos += moviPos + off // offset is relative to the movi fourcc
+                  val rel = moviPos + off
+                  if (resolves(rel, tag)) idxPos += rel
+                  else if (resolves(off, tag)) idxPos += off // absolute variant
+                  else require(false,
+                    s"malformed AVI: idx1 entry for '$tag' resolves neither " +
+                      s"movi-relative ($rel) nor absolute ($off)")
                 }
                 p += 16
               }
@@ -669,15 +693,21 @@ object Multimodal {
       val pos =
         if (sawIdx1 && idxPos.nonEmpty) idxPos.toArray
         else {
-          // no index: linear walk of movi, skipping frame bytes
+          // no index: linear walk of movi, skipping frame bytes. LIST
+          // 'rec ' groupings (standard for interleaved clips — parse()
+          // descends them) are entered, not skipped: only the 12-byte
+          // LIST header is stepped over, so wrapped frame chunks are
+          // still found. Negative sizes fail loudly (see the walks).
           val out = scala.collection.mutable.ArrayBuffer[Int]()
           var p = moviPos + 4
           while (p + 8 <= moviEnd) {
             val tag = new String(payload.slice(p, p + 4), "US-ASCII")
             val sz = java.nio.ByteBuffer.wrap(payload, p + 4, 4)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-            if (tag.endsWith("db") || tag.endsWith("dc")) out += p
-            p += 8 + sz + (sz & 1)
+            require(sz >= 0, s"malformed AVI: chunk '$tag' declares size $sz")
+            if (tag.endsWith("db") || tag.endsWith("dc")) { out += p; p += 8 + sz + (sz & 1) }
+            else if (tag == "LIST") p += 12 // descend into the grouping
+            else p += 8 + sz + (sz & 1)
           }
           out.toArray
         }
@@ -814,6 +844,24 @@ object Multimodal {
       }
   }
 
+  /** Exact integer channel sums + mean luma of one decoded frame — the
+    * single definition both frame tables emit (the x12g/x12h oracles
+    * pin these integers; a drift between the full fan-out and the
+    * sampled path would break their documented agreement). */
+  private def channelSums(px: Array[Int]): (Long, Long, Long, Double) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var lum = 0.0
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+      sr += r; sg += g; sb += b
+      lum += 0.299 * r / 255.0 + 0.587 * g / 255.0 + 0.114 * b / 255.0
+      i += 1
+    }
+    (sr, sg, sb, lum / px.length)
+  }
+
   /** Per-frame fan-out with REAL decode: each video row explodes to its
     * decoded frames (the x12c frame-sampling stub made real). Runs in
     * the same per-partition batch shape as [[extractFeatures]]. */
@@ -823,19 +871,9 @@ object Multimodal {
       it.flatMap { m =>
         val avi = AviCodec.parse(m.payload)
         avi.frames.iterator.zipWithIndex.map { case (img, f) =>
-          val px = ImageIoCodec.argb(img)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var lum = 0.0
-          var i = 0
-          while (i < px.length) {
-            val p = px(i)
-            val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
-            sr += r; sg += g; sb += b
-            lum += 0.299 * r / 255.0 + 0.587 * g / 255.0 + 0.114 * b / 255.0
-            i += 1
-          }
+          val (sr, sg, sb, meanLum) = channelSums(ImageIoCodec.argb(img))
           VideoFrame(m.media_id, f, f * avi.usPerFrame / 1000,
-            avi.width, avi.height, sr, sg, sb, lum / px.length)
+            avi.width, avi.height, sr, sg, sb, meanLum)
         }
       }
     }
@@ -854,24 +892,21 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { m =>
         val lay = AviCodec.layout(m.payload)
-        val frameMs = math.max(1L, lay.usPerFrame / 1000) // >1000 fps: sample per-ms
+        // EXACT frame arithmetic, shared with videoFrameTable: frame f
+        // starts at f·usPerFrame/1000 ms, and time `off` lands in frame
+        // floor(off·1000/usPerFrame). The truncated per-frame-ms form
+        // (off / (usPerFrame/1000)) drifts ~1% at any fps that does not
+        // divide 1000 — e.g. 30 fps truncates 33333 µs to 33 ms and
+        // samples frame 303 where 300 is correct — and disagreed with
+        // videoFrameTable on the same frame's frame_ms.
+        val usPf = math.max(1L, lay.usPerFrame)
         val n = lay.framePos.length
         val idxs = (0L until m.duration_ms by intervalMs)
-          .map(off => (off / frameMs).toInt).distinct.filter(_ < n)
+          .map(off => (off * 1000 / usPf).toInt).distinct.filter(_ < n)
         AviCodec.decodeFramesAt(m.payload, idxs).iterator.map { case (f, img) =>
-          val px = ImageIoCodec.argb(img)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var lum = 0.0
-          var i = 0
-          while (i < px.length) {
-            val p = px(i)
-            val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
-            sr += r; sg += g; sb += b
-            lum += 0.299 * r / 255.0 + 0.587 * g / 255.0 + 0.114 * b / 255.0
-            i += 1
-          }
-          VideoFrame(m.media_id, f, f * frameMs, lay.width, lay.height,
-            sr, sg, sb, lum / px.length)
+          val (sr, sg, sb, meanLum) = channelSums(ImageIoCodec.argb(img))
+          VideoFrame(m.media_id, f, f * usPf / 1000, lay.width, lay.height,
+            sr, sg, sb, meanLum)
         }
       }
     }

@@ -82,13 +82,20 @@ object QualityClassifier {
       // per-doc margin → sigmoid → residual (σ(m) - y). Margin terms are
       // decimal-summed too: a double-sum's partition order would leak
       // into σ's last ULP and the fitted model would depend on layout.
-      val resid = feats.join(wDf, Seq("idx"), "left")
+      // residuals are anchored on LABELS, not the feature frame: a
+      // zero-token document has no feature rows, but it is still a
+      // labeled example whose margin is exactly the intercept — joining
+      // from feats dropped such docs from the intercept gradient while
+      // nDocs still counted them (a silent intercept bias whenever
+      // empty-doc labels are imbalanced).
+      val margins = feats.join(wDf, Seq("idx"), "left")
         .groupBy(idCol)
         .agg(sum(round(coalesce(col("w"), lit(0.0)) * col("cnt"), 9).cast(dec))
           .cast("double").as("_m"))
-        .join(labels, idCol)
+      val resid = labels.join(margins, Seq(idCol), "left")
         .select(col(idCol),
-          (lit(1.0) / (lit(1.0) + exp(-(col("_m") + intercept))) - col("y")).as("r"))
+          (lit(1.0) / (lit(1.0) + exp(-(coalesce(col("_m"), lit(0.0)) + intercept)))
+            - col("y")).as("r"))
         // two consumers below (per-idx gradient + intercept gradient):
         // cache so the margin join runs once per iteration, not twice
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -106,16 +113,14 @@ object QualityClassifier {
       val gInt = gradAll.collectFirst { case (-1, g) => g }
         .getOrElse(java.math.BigDecimal.ZERO)
       resid.unpersist()
-      weights = {
-        val updated = grad.map { case (i, g) =>
-          val prev = weights.getOrElse(i, 0.0)
-          i -> ((1.0 - lr * l2) * prev - lr * g.doubleValue / nDocs)
-        }.toMap
-        // buckets absent from this gradient keep (shrunk) prior weight
-        weights.map { case (i, v) =>
-          i -> (if (updated.contains(i)) updated(i) else (1.0 - lr * l2) * v)
-        } ++ updated
-      }
+      // gradAll covers every feature idx in feats on every iteration
+      // (feats is fixed and every doc now has a residual), so the update
+      // map is complete — weight keys only ever come from gradients and
+      // a separate shrink-only branch would be unreachable
+      weights = grad.map { case (i, g) =>
+        val prev = weights.getOrElse(i, 0.0)
+        i -> ((1.0 - lr * l2) * prev - lr * g.doubleValue / nDocs)
+      }.toMap
       intercept -= lrB * gInt.doubleValue / nDocs
     }
     feats.unpersist(); labels.unpersist()

@@ -3335,10 +3335,10 @@ object Queries {
       |nn AS (SELECT CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE) AS nt,
       |              CAST(COUNT(*) AS DOUBLE) AS nr FROM bk),
       |ratios AS (
-      |  SELECT rc.bkt,
+      |  SELECT bkt,
       |    CAST(ROUND(LN(((COALESCE(tc.ct, 0) + 1.0) * (nn.nr + 65536.0)) /
-      |                  ((rc.cr + 1.0) * (nn.nt + 65536.0))), 9) AS DECIMAL(28,10)) AS lr
-      |  FROM rc LEFT JOIN tc USING (bkt) CROSS JOIN nn),
+      |                  ((COALESCE(rc.cr, 0) + 1.0) * (nn.nt + 65536.0))), 9) AS DECIMAL(28,10)) AS lr
+      |  FROM rc FULL JOIN tc USING (bkt) CROSS JOIN nn),
       |wts AS (
       |  SELECT doc_id, COUNT(*) AS n_grams, SUM(lr) AS w
       |  FROM bk JOIN ratios USING (bkt) GROUP BY doc_id)""".stripMargin
