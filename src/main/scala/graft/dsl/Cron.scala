@@ -75,7 +75,7 @@ object Cron {
         }.toSet
         vals.foreach(v => require(v >= lo && v <= hi || (sundayAlias && v == 0),
           s"cron value $v out of [$lo,$hi] in '$expr'"))
-        (vals, true)
+        (vals, !s.startsWith("*"))
       }
     }
     val (mi, _) = field(fields(0), 0, 59)

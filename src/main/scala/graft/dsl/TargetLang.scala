@@ -36,7 +36,12 @@ object TargetLang {
     // one path segment: idents/wildcards/char-classes/brace alternations
     private val seg = """(?:[A-Za-z0-9_\-*?]|\{[A-Za-z0-9_\-,*?]*\}|\[[^\]]*\])+"""
     def path: Parser[Path] = s"$seg(?:\\.$seg)*".r ^^ Path.apply
-    def num: Parser[NumArg] = """-?\d+(?:\.\d+)?""".r ^^ (s => NumArg(s.toDouble))
+    // negative lookahead: a number must not run into a letter or dot,
+    // so a digit-leading PATH segment ("5xx.count", "500.errors") falls
+    // through to the path alternative instead of committing num and
+    // failing the whole target
+    def num: Parser[NumArg] =
+      """-?\d+(?:\.\d+)?(?![\w.])""".r ^^ (s => NumArg(s.toDouble))
     def str: Parser[StrArg] =
       ("\"" + """[^"]*""" + "\"").r ^^ (s => StrArg(s.substring(1, s.length - 1))) |
       ("'" + """[^']*""" + "'").r ^^ (s => StrArg(s.substring(1, s.length - 1)))
@@ -170,7 +175,16 @@ object TargetLang {
       case ("transformNull", Seq(ExprArg(a), NumArg(v))) =>
         withValue(compile(a, store), SeriesOps.transformNull(v))
       case ("timeShift", Seq(ExprArg(a), StrArg(d))) =>
-        SeriesOps.timeShift(compile(a, store), sparkInterval(d))
+        // Graphite sign convention: minus or NO sign pulls data from the
+        // past (timestamps shift forward onto the current window); an
+        // explicit plus pulls from the future (shift backward)
+        val (sign, mag) = d.trim match {
+          case t if t.startsWith("+") => (-1L, t.substring(1))
+          case t if t.startsWith("-") => (1L, t.substring(1))
+          case t => (1L, t)
+        }
+        SeriesOps.timeShift(compile(a, store),
+          s"${sign * durationSeconds(mag)} seconds")
 
       // scalar transforms
       case ("scale", Seq(ExprArg(a), NumArg(k))) =>

@@ -92,9 +92,14 @@ object SeriesOps {
     }
   }
 
-  /** exponentialMovingAverage(series, n) — Graphite's EMA with
-    * α = 2/(n+1), seeded at the first value. The recurrence is
-    * order-sensitive so it cannot be a window aggregate; same
+  /** exponentialMovingAverage(series, n) — EMA with α = 2/(n+1),
+    * seeded at the FIRST VALUE (the standard streaming seed). Stated
+    * deviation from Graphite: graphite-web seeds with the mean of a
+    * prefetched first window (it fetches n extra points from BEFORE the
+    * visible range); this engine evaluates over the clipped window with
+    * no prefetch, so the first-value seed is used and the difference
+    * against Graphite decays by (1−α)^k into the window. The recurrence
+    * is order-sensitive so it cannot be a window aggregate; same
     * per-series fold shape as HoltWinters (one shuffle on metric,
     * buffer bounded by the clipped window). Null points emit null and
     * leave the EMA state untouched. */
@@ -195,54 +200,52 @@ object SeriesOps {
   // A1-A3, A5: combines and re-bucketing
   // ---------------------------------------------------------------------
 
+  /** Shared how→aggregate menu for the combine/group/summarize family —
+    * ONE definition so accepted names and semantics cannot drift across
+    * call sites (they had: groupByNode accepted "average" where
+    * combineSeries did not; smartSummarize lacked last/count). `last`
+    * is the value at the max non-null ts (deterministic — the bare
+    * `last()` aggregate is partition-order dependent); `stddev` is
+    * population (Graphite's safeStdDev divides by N). */
+  private def aggFor(fn: String, how: String): Column = how match {
+    case "sum" => dsum(col("value"))
+    case "avg" | "average" => dmean(col("value"))
+    case "min" => min(col("value"))
+    case "max" => max(col("value"))
+    case "last" => max_by(col("value"), when(col("value").isNotNull, col("ts")))
+    case "count" => count(col("value")).cast("double")
+    case "stddev" => stddev_pop(col("value"))
+    case other => throw new IllegalArgumentException(s"$fn: unsupported aggregator '$other'")
+  }
+
+  /** 1-based `element_at` index for a 0-based Graphite path node:
+    * negative nodes count from the END (-1 = last segment), exactly as
+    * `element_at`'s own negative indexing — the naive `+ 1` shift made
+    * node -1 throw and node ≤ -2 select the wrong segment. */
+  private def nodeIdx(i: Int): Int = if (i >= 0) i + 1 else i
+
   /** sumSeries / averageSeries / minSeries / maxSeries — combine all
     * series in `df` point-wise into one named series (A1). Steps are
     * assumed aligned (bucket first via [[summarize]] otherwise). */
-  def combineSeries(df: DataFrame, how: String, name: String): DataFrame = {
-    val agg = how match {
-      case "sum" => dsum(col("value"))
-      case "avg" => dmean(col("value"))
-      case "min" => min(col("value"))
-      case "max" => max(col("value"))
-      // stddevSeries: Graphite's safeStdDev divides by N (population)
-      case "stddev" => stddev_pop(col("value"))
-      case other => throw new IllegalArgumentException(s"combineSeries: $other")
-    }
-    df.groupBy(col("ts")).agg(agg.as("value"))
+  def combineSeries(df: DataFrame, how: String, name: String): DataFrame =
+    df.groupBy(col("ts")).agg(aggFor("combineSeries", how).as("value"))
       .select(lit(name).as("metric"), col("ts"), col("value"))
-  }
 
   /** groupByNode(seriesList, n, func) — combine series that share the
     * value of path node `n` (0-based, Graphite convention): the node
     * value becomes the output metric. One aggregate, map-side partials. */
-  def groupByNode(df: DataFrame, n: Int, how: String): DataFrame = {
-    val agg = how match {
-      case "sum" => dsum(col("value"))
-      case "avg" | "average" => dmean(col("value"))
-      case "min" => min(col("value"))
-      case "max" => max(col("value"))
-      case other => throw new IllegalArgumentException(s"groupByNode: $other")
-    }
-    df.withColumn("metric", element_at(split(col("metric"), "\\."), n + 1))
+  def groupByNode(df: DataFrame, n: Int, how: String): DataFrame =
+    df.withColumn("metric", element_at(split(col("metric"), "\\."), nodeIdx(n)))
       .groupBy(col("metric"), col("ts"))
-      .agg(agg.as("value"))
-  }
+      .agg(aggFor("groupByNode", how).as("value"))
 
   /** groupByNodes(seriesList, func, *nodes) — combine series that agree
     * on ALL the listed path nodes (the multi-node [[groupByNode]]); the
     * kept nodes joined by '.' become the output metric. */
-  def groupByNodes(df: DataFrame, how: String, nodes: Seq[Int]): DataFrame = {
-    val agg = how match {
-      case "sum" => dsum(col("value"))
-      case "avg" | "average" => dmean(col("value"))
-      case "min" => min(col("value"))
-      case "max" => max(col("value"))
-      case other => throw new IllegalArgumentException(s"groupByNodes: $other")
-    }
+  def groupByNodes(df: DataFrame, how: String, nodes: Seq[Int]): DataFrame =
     df.withColumn("metric", aliasByNode(nodes))
       .groupBy(col("metric"), col("ts"))
-      .agg(agg.as("value"))
-  }
+      .agg(aggFor("groupByNodes", how).as("value"))
 
   /** sumSeriesWithWildcards / averageSeriesWithWildcards — combine
     * series whose names are identical AFTER deleting the dot-segments at
@@ -251,20 +254,18 @@ object SeriesOps {
     * aggregate with map-side partials (same shape as [[groupByNode]]). */
   def aggregateWithWildcards(df: DataFrame, how: String, positions: Seq[Int]): DataFrame = {
     require(positions.nonEmpty, "aggregateWithWildcards: no positions")
-    val agg = how match {
-      case "sum" => dsum(col("value"))
-      case "avg" | "average" => dmean(col("value"))
-      case "min" => min(col("value"))
-      case "max" => max(col("value"))
-      case other => throw new IllegalArgumentException(s"aggregateWithWildcards: $other")
-    }
     val parts = split(col("metric"), "\\.")
-    // null out the dropped segments; array_join skips nulls
+    // null out the dropped segments; array_join skips nulls. Negative
+    // positions count from the end (normalized against the path length
+    // — the raw sequence index would never match them, silently keeping
+    // the segment).
     val kept = zip_with(parts, sequence(lit(0), size(parts) - 1),
-      (p, i) => when(positions.map(n => i === lit(n)).reduce(_ || _), lit(null)).otherwise(p))
+      (p, i) => when(positions.map(n =>
+          if (n >= 0) i === lit(n) else i === size(parts) + lit(n))
+          .reduce(_ || _), lit(null)).otherwise(p))
     df.withColumn("metric", array_join(kept, "."))
       .groupBy(col("metric"), col("ts"))
-      .agg(agg.as("value"))
+      .agg(aggFor("aggregateWithWildcards", how).as("value"))
   }
 
   /** weightedAverage(seriesListAvg, seriesListWeight, *nodes) — pair the
@@ -295,9 +296,15 @@ object SeriesOps {
     val withX = df.withColumn("_x",
       unix_timestamp(col("ts")) - min(unix_timestamp(col("ts"))).over(w))
     val n = count(col("value")).over(w)
-    val sx = sum(when(col("value").isNotNull, col("_x"))).over(w)
+    // Σx and Σx² as DECIMAL: x is seconds from the series start, so a
+    // year of minutely points puts Σx² near 1.7e20 — past Long range,
+    // where the old long sums wrapped silently into garbage fits (and
+    // sx·sx wrapped even earlier). Decimal keeps the arithmetic exact.
+    val sx = sum(when(col("value").isNotNull,
+      col("_x").cast(DecimalType(38, 0)))).over(w)
     val sy = sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double")
-    val sxx = sum(when(col("value").isNotNull, col("_x") * col("_x"))).over(w)
+    val sxx = sum(when(col("value").isNotNull,
+      (col("_x") * col("_x")).cast(DecimalType(38, 0)))).over(w)
     val sxy = sum((col("_x").cast("double") * col("value")).cast(DecimalType(18, 6)))
       .over(w).cast("double")
     val denom = (n * sxx - sx * sx).cast("double")
@@ -312,20 +319,10 @@ object SeriesOps {
   /** summarize(series, step, func) — re-bucket each series to a coarser
     * step (A2). `step` is any Spark window duration ("1 hour", "5
     * minutes"). Bucket label = window start, matching Graphite. */
-  def summarize(df: DataFrame, step: String, how: String = "sum"): DataFrame = {
-    val agg = how match {
-      case "sum" => dsum(col("value"))
-      case "avg" => dmean(col("value"))
-      case "min" => min(col("value"))
-      case "max" => max(col("value"))
-      case "last" => last(col("value"), ignoreNulls = true)
-      case "count" => count(col("value")).cast("double")
-      case other => throw new IllegalArgumentException(s"summarize: $other")
-    }
+  def summarize(df: DataFrame, step: String, how: String = "sum"): DataFrame =
     df.groupBy(col("metric"), window(col("ts"), step).as("w"))
-      .agg(agg.as("value"))
+      .agg(aggFor("summarize", how).as("value"))
       .select(col("metric"), col("w.start").as("ts"), col("value"))
-  }
 
   /** hitcount(series, step) — integral per bucket: sum(value) × step
     * seconds (A3), converting a rate back to a count. */
@@ -445,7 +442,14 @@ object SeriesOps {
     val wAsc = Window.partitionBy(kcols: _*).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val belowT = perB.withColumn("__below", coalesce(sum(col("__c")).over(wAsc), lit(0L)))
-    val crit = targets.join(belowT, keys)
+    // null-safe key equality (the same hazard the small-bucket join
+    // below documents): a USING join would silently DROP null-keyed
+    // groups, where the window-form twin keeps them
+    val belowTR = belowT.select(
+      keys.map(k => col(k).as(s"__bt_$k")) ++
+        Seq(col("__b"), col("__c"), col("__bmn"), col("__bmx"), col("__below")): _*)
+    val crit = targets.join(belowTR,
+        keys.map(k => col(k) <=> col(s"__bt_$k")).reduce(_ && _))
       .filter(col("__below") < col("__r") && col("__r") <= col("__below") + col("__c"))
       .select(kcols ++ Seq(col("__r"), col("__b"), col("__below"), col("__c"),
         col("__bmn"), col("__bmx")): _*)
@@ -604,7 +608,7 @@ object SeriesOps {
     * the metric path (T4). Graphite nodes are 0-based. */
   def aliasByNode(nodes: Seq[Int], c: Column = col("metric")): Column = {
     val parts = split(c, "\\.")
-    concat_ws(".", nodes.map(i => element_at(parts, i + 1)): _*)
+    concat_ws(".", nodes.map(i => element_at(parts, nodeIdx(i))): _*)
   }
 
   // ---------------------------------------------------------------------
@@ -632,14 +636,30 @@ object SeriesOps {
   // J2-J4: cross-series alignment / selection
   // ---------------------------------------------------------------------
 
-  /** Timestamp-align two series sets and apply a binary op (J2/T3):
+  /** Timestamp-align two SINGLE series and apply a binary op (J2/T3):
     * divideSeries, diffSeries, multiplySeries, asPercent. Full-outer on
     * ts so points present on one side only surface as nulls (Graphite
-    * None). */
+    * None).
+    *
+    * Both operands must be single series: the join is on ts alone, so a
+    * multi-series operand would CROSS-PRODUCT per timestamp and then
+    * collapse under one output name — silently mixed values. The first
+    * duplicate-ts row on either side raises instead (combine a
+    * multi-series operand first — sumSeries/averageSeries — exactly
+    * what Graphite requires of divideSeries' divisor). */
   def alignBinary(a: DataFrame, b: DataFrame, name: String)(
       f: (Column, Column) => Column): DataFrame = {
-    val l = a.select(col("ts"), col("value").as("a"))
-    val r = b.select(col("ts"), col("value").as("b"))
+    val wts = Window.partitionBy(col("ts"))
+    def one(df: DataFrame, as: String, side: String) =
+      df.select(col("ts"), col("value"), count(lit(1)).over(wts).as("_n"))
+        .select(col("ts"),
+          when(col("_n") === 1, col("value"))
+            .otherwise(raise_error(concat(
+              lit(s"$name: $side operand has multiple series at ts "),
+              col("ts").cast("string"),
+              lit(" — combine it first (sumSeries/averageSeries)")))).as(as))
+    val l = one(a, "a", "left")
+    val r = one(b, "b", "right")
     l.join(r, Seq("ts"), "full_outer")
       .select(lit(name).as("metric"), col("ts"), f(col("a"), col("b")).as("value"))
   }
@@ -846,13 +866,7 @@ object SeriesOps {
     * align to the window's first point instead of the epoch grid. The
     * anchor is the frame's min ts (one scalar agg, broadcast). */
   def smartSummarize(df: DataFrame, stepSeconds: Long, how: String): DataFrame = {
-    val agg = how match {
-      case "sum" => dsum(col("value"))
-      case "avg" | "average" => dmean(col("value"))
-      case "min" => min(col("value"))
-      case "max" => max(col("value"))
-      case other => throw new IllegalArgumentException(s"smartSummarize: $other")
-    }
+    val agg = aggFor("smartSummarize", how)
     val anchor = df.agg(min(unix_timestamp(col("ts"))).as("_from"))
     df.crossJoin(broadcast(anchor))
       .withColumn("ts", timestamp_seconds(col("_from") +

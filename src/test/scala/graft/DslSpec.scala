@@ -62,6 +62,14 @@ class CronSpec extends AnyFunSuite {
     assert(next("0 0 15 * 1", "2024-01-02T01:00:00Z") == "2024-01-08T00:00:00Z")
     assert(next("0 0 15 * 1", "2024-01-08T01:00:00Z") == "2024-01-15T00:00:00Z")
   }
+  test("star-with-step dom stays UNrestricted for the vixie OR rule") {
+    // vixie sets the dom star flag for any field starting with '*', so
+    // "*/2 * 1" is dom-unrestricted: AND semantics — Mondays that fall
+    // on odd days only, NOT every odd day plus Mondays.
+    // Jan 8 2024 is a Monday on an even dom (8): skipped; the next
+    // Monday on an odd dom is Jan 15.
+    assert(next("0 0 */2 * 1", "2024-01-02T01:00:00Z") == "2024-01-15T00:00:00Z")
+  }
   test("minute list + range") {
     assert(next("0,30 * * * *", "2024-01-01T00:10:00Z") == "2024-01-01T00:30:00Z")
   }
@@ -264,6 +272,57 @@ class TargetLangSpec extends SparkTestBase {
     val out = TargetLang.plan("exponentialMovingAverage(m, 3)", s)
       .orderBy("ts").collect().map(r => Option(r.get(r.fieldIndex("value"))))
     assert(out.toSeq == Seq(Some(10.0), Some(15.0), None, Some(22.5)))
+  }
+
+  test("negative Graphite nodes count from the end (aliasByNode/groupByNode)") {
+    val s = Seq(
+      ("web.api.us.errors", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("web.api.eu.errors", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.0))
+      .toDF("metric", "ts", "value")
+    // aliasByNode(-1) = last segment; (0, -2) mixes ends
+    val a = TargetLang.plan("aliasByNode(web.*.*.errors, -1)", s)
+      .select("metric").distinct().as[String].collect().toSeq
+    assert(a == Seq("errors"))
+    val b = TargetLang.plan("aliasByNode(web.*.*.errors, 0, -2)", s)
+      .select("metric").distinct().as[String].collect().sorted.toSeq
+    assert(b == Seq("web.eu", "web.us"))
+    // groupByNode(-2) groups on the region segment
+    val g = TargetLang.plan("groupByNode(web.*.*.errors, -2, \"sum\")", s)
+      .select("metric").as[String].collect().sorted.toSeq
+    assert(g == Seq("eu", "us"))
+  }
+
+  test("alignBinary raises on a multi-series operand instead of silently mixing") {
+    val multi = Seq(
+      ("a.x", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("a.y", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.0))
+      .toDF("metric", "ts", "value")
+    val single = multi.filter(col("metric") === "a.x")
+    // single ÷ single works
+    assert(graft.series.SeriesOps.divideSeries(single, single).count() == 1)
+    // multi-series dividend: loud, not a silent per-ts cross product
+    intercept[Exception] {
+      graft.series.SeriesOps.divideSeries(multi, single).collect()
+    }
+  }
+
+  test("timeShift sign convention: bare/minus pulls past data forward, plus pulls back") {
+    val s = Seq(("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("metric", "ts", "value")
+    def tsOf(target: String) = TargetLang.plan(target, s)
+      .select("ts").head.getTimestamp(0).toString
+    assert(tsOf("timeShift(m, \"1h\")") == "2024-01-01 01:00:00.0")
+    assert(tsOf("timeShift(m, \"-1h\")") == "2024-01-01 01:00:00.0")
+    assert(tsOf("timeShift(m, \"+1h\")") == "2023-12-31 23:00:00.0")
+  }
+
+  test("digit-leading path segments parse as paths, not numbers") {
+    val s = Seq(
+      ("5xx.count", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 3.0),
+      ("2xx.count", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7.0))
+      .toDF("metric", "ts", "value")
+    val out = TargetLang.plan("sumSeries(5xx.count)", s).collect()
+    assert(out.length == 1 && out(0).getDouble(out(0).fieldIndex("value")) == 3.0)
   }
 
   test("timeSlice keeps only the inner range") {
