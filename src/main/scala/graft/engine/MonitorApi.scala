@@ -61,7 +61,10 @@ object MonitorApi {
     }
 
   private def verdictJson(v: Verdict): String = {
-    val obs = v.observed.map(_.toString).getOrElse("null")
+    // NaN/Infinity are not JSON tokens — a single non-finite observed
+    // value would make the whole response unparseable on a 200
+    val obs = v.observed.filter(java.lang.Double.isFinite)
+      .map(_.toString).getOrElse("null")
     s"""{"metric":"${esc(v.metric)}","windowEnd":"${v.windowEnd}",""" +
       s""""observed":$obs,"passed":${v.passed},"message":"${esc(v.message)}"}"""
   }

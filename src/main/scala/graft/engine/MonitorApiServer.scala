@@ -38,6 +38,10 @@ final class MonitorApiServer(
     port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(bind, port), 0)
+  // without an executor the JDK HttpServer handles every request on ONE
+  // dispatcher thread: a single long evaluation (a 30-day backtest)
+  // would head-of-line-block every other client for its duration
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
 
   /** Bound address (resolve the ephemeral port after construction). */
   def address: InetSocketAddress = server.getAddress

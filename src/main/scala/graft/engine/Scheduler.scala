@@ -190,7 +190,12 @@ final class Scheduler(
     spark.read.parquet(path).as[(Long, Option[Long])].collect().foreach {
       case (id, next) =>
         val s = slots.get(id)
-        if (s != null && s.spec.active)
+        // apply only a CONCRETE persisted fire time to active jobs: a
+        // persisted None means the job was inactive at save time, and
+        // clobbering a freshly-registered active job's computed nextRun
+        // with it would freeze the job forever (tick only advances
+        // slots that have a nextRun)
+        if (s != null && s.spec.active && next.isDefined)
           s.nextRun = next.map(Instant.ofEpochMilli)
     }
   }
@@ -225,37 +230,49 @@ object Scheduler {
       sinks: Seq[graft.state.AlertSink],
       parallelism: Int = 4): Scheduler = {
     import graft.state.{AlertDispatcher, AlertThrottle}
-    val stateLock = new Object
-    def throttleAndDeliver(spec: MonitorSpec, fireAt: Timestamp, status: String): Unit = {
-      val event = AlertThrottle.RunEvent(spec.id, fireAt,
-        failed = status != JobStatus.Success, spec.errorTimeoutMinutes)
-      stateLock.synchronized {
-        val init = AlertThrottle.loadStateTable(spark, alertStatePath)
-        val (alerts, newState) = AlertThrottle.replay(Seq(event), init)
-        if (alerts.nonEmpty) {
-          val deliveries = AlertDispatcher.dispatch(
-            alerts, id => if (id == spec.id) Some(spec) else None, sinks)
-          AlertDispatcher.persist(spark, deliveries, deliveryPath)
+    // ONE load→replay→save cycle for a whole cohort of events, under
+    // the JVM-GLOBAL state-table lock (AlertThrottle.stateTableLock —
+    // the streaming runner shares the same table, and a per-instance
+    // lock could not stop the two paths interleaving and losing
+    // whichever update saved first). Batching also matters on its own:
+    // the per-spec form did a full parquet read+overwrite of the state
+    // table once PER SPEC per tick — a 500-monitor cohort paid 1000
+    // serialized state-I/O jobs where one replay over all K events has
+    // identical semantics (AlertThrottle.replay already folds per job).
+    def throttleAndDeliverAll(specsWithStatus: Seq[(MonitorSpec, String)],
+        fireAt: Timestamp): Unit = {
+      val events = specsWithStatus.map { case (spec, status) =>
+        AlertThrottle.RunEvent(spec.id, fireAt,
+          failed = status != JobStatus.Success, spec.errorTimeoutMinutes)
+      }
+      if (events.nonEmpty) {
+        val byId = specsWithStatus.map { case (sp, _) => sp.id -> sp }.toMap
+        AlertThrottle.stateTableLock.synchronized {
+          val init = AlertThrottle.loadStateTable(spark, alertStatePath)
+          val (alerts, newState) = AlertThrottle.replay(events, init)
+          if (alerts.nonEmpty) {
+            val deliveries = AlertDispatcher.dispatch(alerts, byId.get, sinks)
+            AlertDispatcher.persist(spark, deliveries, deliveryPath)
+          }
+          AlertThrottle.saveStateTable(spark, alertStatePath, newState)
         }
-        AlertThrottle.saveStateTable(spark, alertStatePath, newState)
       }
     }
     new Scheduler(
       runJob = (spec, fireAt) => {
         val verdicts = Runner.runOnce(spark, source, spec, fireAt, jobDataPath, jobErrorsPath)
         val status = Runner.jobStatus(verdicts)
-        throttleAndDeliver(spec, fireAt, status)
+        throttleAndDeliverAll(Seq(spec -> status), fireAt)
         status
       },
       parallelism = parallelism,
       spark = Some(spark),
       runBatch = Some((specs, fireAt) => {
         val results = Runner.runBatch(spark, source, specs, fireAt, jobDataPath, jobErrorsPath)
-        specs.map { spec =>
-          val status = Runner.jobStatus(results.getOrElse(spec.id, Nil))
-          throttleAndDeliver(spec, fireAt, status)
-          spec.id -> status
-        }.toMap
+        val statuses = specs.map(spec =>
+          spec -> Runner.jobStatus(results.getOrElse(spec.id, Nil)))
+        throttleAndDeliverAll(statuses, fireAt)
+        statuses.map { case (sp, st) => sp.id -> st }.toMap
       }))
   }
 }

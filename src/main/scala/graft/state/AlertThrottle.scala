@@ -36,6 +36,15 @@ object AlertThrottle {
     * accessors when encoding it into the state store). */
   final case class ThrottleState(status: String, lastAlertedAtMillis: Long)
 
+  /** A failure episode whose enter-failure alert was SUPPRESSED by the
+    * throttle (recovery + re-failure inside the window): distinct from
+    * [[JobStatus.Failed]] (= alerted) so the first DELIVERED alert of a
+    * new episode is labeled "enter-failure", not "still-failing" — a
+    * recipient who never saw this episode's start must not get a
+    * continuation message. Legacy persisted "failed" restores as
+    * alerted (the old semantics). */
+  val FailedUnalerted = "failed-unalerted"
+
   private def foldEvents(events: Iterator[RunEvent],
       init: Option[ThrottleState]): (Seq[Alert], ThrottleState) = {
     var st = init.getOrElse(ThrottleState(JobStatus.Success, Long.MinValue))
@@ -46,12 +55,16 @@ object AlertThrottle {
         // sentinel MinValue = "never alerted" (subtraction would overflow)
         val due = st.lastAlertedAtMillis == Long.MinValue ||
           e.at.getTime - st.lastAlertedAtMillis >= throttleMs
+        // "still-failing" ONLY when this episode's enter-failure was
+        // actually delivered (status Failed = alerted); a suppressed
+        // episode start labels its first delivered alert enter-failure
         val transition =
-          if (st.status == JobStatus.Success) "enter-failure" else "still-failing"
+          if (st.status == JobStatus.Failed) "still-failing" else "enter-failure"
         if (due) {
           out += Alert(e.jobId, e.at, transition)
           st = ThrottleState(JobStatus.Failed, e.at.getTime)
-        } else st = st.copy(status = JobStatus.Failed)
+        } else st = st.copy(status =
+          if (st.status == JobStatus.Failed) JobStatus.Failed else FailedUnalerted)
       } else st = st.copy(status = JobStatus.Success)
     }
     (out.result(), st)
@@ -106,12 +119,28 @@ object AlertThrottle {
     * across restarts). Bounded by monitor count — metadata scale. Shared
     * by the streaming runner and the scheduler so a job alerted by one
     * path stays throttled on the other. */
+  /** JVM-global lock for the load→replay→save cycle over the shared
+    * state table: the streaming runner and the scheduler both advertise
+    * the same path, and interleaved cycles would lose throttle updates
+    * (or overwrite mid-read). Callers hold this around the WHOLE cycle.
+    * Scope honesty: a JVM lock serializes the single-driver deployment
+    * this library targets; two separate driver JVMs sharing one path
+    * would need a storage-level lease. */
+  val stateTableLock = new Object
+
   def loadStateTable(spark: SparkSession,
-      path: String): Map[Long, ThrottleState] =
-    try spark.read.parquet(path).collect()
+      path: String): Map[Long, ThrottleState] = {
+    // only a MISSING table reads as empty; an IO/corruption error must
+    // propagate — swallowing it reset every job's throttle clock to
+    // "never alerted" and the next save persisted the wiped state
+    // (alert storm on a transient storage hiccup)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else spark.read.parquet(path).collect()
       .map(r => r.getLong(0) -> ThrottleState(r.getString(1), r.getLong(2)))
       .toMap
-    catch { case _: Exception => Map.empty }
+  }
 
   def saveStateTable(spark: SparkSession, path: String,
       st: Map[Long, ThrottleState]): Unit = {

@@ -20,22 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase salted SUM/COUNT aggregate: phase 1 aggregates
-    * `(keys, salt)` (splitting each hot key across `salt` reducers),
-    * phase 2 merges the partials per key. Only algebraic aggregates
-    * (sum/count/min/max — anything with a partial form) are exposed;
-    * the decimal-sum discipline keeps results identical to the
-    * unsalted plan. */
+  /** Two-phase salted aggregate: phase 1 aggregates `(keys, salt)`
+    * (splitting each hot key across `salt` reducers), phase 2 merges
+    * the partials per key. Partials merge by SUM by default — correct
+    * for sum/count (the decimal-sum discipline keeps results identical
+    * to the unsalted plan); any other algebraic aggregate (min/max/...)
+    * MUST supply its merge in `merge`, e.g. `"m" -> (min(_))` — summing
+    * per-salt minima would be silently wrong data, so the default only
+    * applies to names absent from the map. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], salt: Int,
-      sums: Seq[(String, Column)]): DataFrame = {
+      sums: Seq[(String, Column)],
+      merge: Map[String, Column => Column] = Map.empty): DataFrame = {
     val salted = df.withColumn("_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
     val phase1 = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sums.head._2.as(sums.head._1),
         sums.tail.map { case (n, c) => c.as(n) }: _*)
+    def merged(n: String): Column =
+      merge.getOrElse(n, (c: Column) => sum(c))(col(n)).as(n)
     phase1.groupBy(keys.map(col): _*)
-      .agg(sum(col(sums.head._1)).as(sums.head._1),
-        sums.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
+      .agg(merged(sums.head._1), sums.tail.map { case (n, _) => merged(n) }: _*)
   }
 
   /** Skewed-fact ⋈ small-dim with explicit salting: the dim is

@@ -72,7 +72,17 @@ object Ingest {
     * Driver-side file moves are per-DAY (bounded), never per-file-row. */
   def compactRollups(spark: SparkSession, dir: String,
       beforeDate: Option[java.sql.Date] = None): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.hadoop.fs.Path
+    // Hadoop FS API, not java.nio: with a remote store (hdfs://, s3a://)
+    // the local-path forms silently did nothing — the _spark_metadata
+    // guard never fired (local path never exists) and listFiles()
+    // returned null so no day was ever swapped. Per-day swap via
+    // fs.rename: atomic on HDFS/local; on object stores rename is
+    // copy+delete, so a crash mid-day can leave that ONE day briefly
+    // duplicated — still never a data-losing state, and the next run
+    // re-compacts it.
+    val hdir = new Path(dir)
+    val fs = hdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a FileStreamSink directory carries a _spark_metadata log that
     // batch readers trust over the directory listing; swapping files
     // under it would leave the log pointing at deleted files (reads
@@ -80,29 +90,28 @@ object Ingest {
     // the compacted files. In-place compaction is only sound for
     // directory-listed stores — stream sinks compact into a separate
     // serving table ([[compactRollupsTo]]).
-    require(!Files.exists(Paths.get(dir, "_spark_metadata")),
+    require(!fs.exists(new Path(hdir, "_spark_metadata")),
       s"$dir is a live FileStreamSink output (has _spark_metadata); " +
         "use compactRollupsTo to build a compacted serving table instead")
-    val staging = Paths.get(dir + "_compacting")
+    val staging = new Path(dir + "_compacting")
     val df0 = spark.read.parquet(dir)
     val df = beforeDate.fold(df0)(d => df0.filter(col("date") < lit(d)))
     // one output partition per day ⇒ one file per day directory
     df.repartition(col("date"))
       .write.mode("overwrite").partitionBy("date").parquet(staging.toString)
-    val dayDirs = Option(staging.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+    val dayDirs =
+      if (fs.exists(staging))
+        fs.listStatus(staging)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
     dayDirs.foreach { day =>
-      val dest = Paths.get(dir, day.getName)
-      if (Files.exists(dest)) {
-        dest.toFile.listFiles().foreach(f => Files.delete(f.toPath))
-        Files.delete(dest)
-      }
-      Files.move(day.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
+      val dest = new Path(hdir, day.getPath.getName)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      require(fs.rename(day.getPath, dest),
+        s"compactRollups: rename ${day.getPath} -> $dest failed")
     }
-    // drop staging remnants (_SUCCESS etc.)
-    Option(staging.toFile.listFiles()).getOrElse(Array.empty)
-      .foreach(f => Files.delete(f.toPath))
-    Files.delete(staging)
+    fs.delete(staging, true) // staging remnants (_SUCCESS etc.)
+    ()
   }
 
   /** Compact a (possibly stream-written) rollup store into a SEPARATE

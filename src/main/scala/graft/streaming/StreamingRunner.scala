@@ -132,7 +132,7 @@ object StreamingRunner {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // any failing metric fails the job for that window (Runner.jobStatus)
         val events = batch.groupBy(col("job_id"), col("window_end"))
           .agg(min(when(col("passed"), 1).otherwise(0)).as("all_passed"))
@@ -143,18 +143,33 @@ object StreamingRunner {
             specOf(r.getLong(0)).map(_.errorTimeoutMinutes).getOrElse(60)))
           .toSeq
         if (events.nonEmpty) {
-          val init = AlertThrottle.loadStateTable(spark, statePath)
-          val (alerts, newState) = AlertThrottle.replay(events, init)
-          if (alerts.nonEmpty) {
-            alerts.toDF().write.mode("append").parquet(alertsPath)
-            if (sinks.nonEmpty) {
-              val deliveries = graft.state.AlertDispatcher.dispatch(
-                alerts, specOf, sinks)
-              deliveryPath.foreach(p =>
-                graft.state.AlertDispatcher.persist(spark, deliveries, p))
+          // the whole load→replay→save cycle under the JVM-global lock:
+          // the scheduler shares this state table, and interleaved
+          // cycles lost whichever update saved first
+          AlertThrottle.stateTableLock.synchronized {
+            val init = AlertThrottle.loadStateTable(spark, statePath)
+            val (alerts, newState) = AlertThrottle.replay(events, init)
+            if (alerts.nonEmpty) {
+              // per-batch OVERWRITE keyed by micro-batch id: a crash
+              // after this write but before the checkpoint commits
+              // re-delivers the batch, and the retry REPLACES its rows
+              // instead of appending duplicates (read the table with
+              // spark.read.parquet(alertsPath) — partition discovery
+              // adds the batch_id column). Sink DELIVERY below remains
+              // at-least-once: a retried batch can re-page — the
+              // standard alerting trade; dedup on (jobId, at) at the
+              // receiver if exact-once pages matter.
+              alerts.toDF().write.mode("overwrite")
+                .parquet(s"$alertsPath/batch_id=$batchId")
+              if (sinks.nonEmpty) {
+                val deliveries = graft.state.AlertDispatcher.dispatch(
+                  alerts, specOf, sinks)
+                deliveryPath.foreach(p =>
+                  graft.state.AlertDispatcher.persist(spark, deliveries, p))
+              }
             }
+            AlertThrottle.saveStateTable(spark, statePath, newState)
           }
-          AlertThrottle.saveStateTable(spark, statePath, newState)
         }
       }
       .start()

@@ -150,10 +150,19 @@ class EngineSpec extends SparkTestBase {
     val events2 = Seq(ev(0, true), ev(30, false), ev(45, true), ev(61, true)).toDS()
     val alerts2 = AlertThrottle.throttleBatch(events2).orderBy("at").collect()
     // 00:45 fail is within 60min of the 00:00 alert → suppressed even
-    // after recovery (throttle clock is per-alert, like last_alerted_at);
-    // 01:01 fires and is 'still-failing'
+    // after recovery (throttle clock is per-alert, like last_alerted_at).
+    // 01:01 fires — and it is the FIRST DELIVERED alert of the episode
+    // that began at 00:45 (the recipient never saw an enter-failure for
+    // it), so it must be labeled 'enter-failure', not a continuation.
     assert(alerts2.length == 2)
-    assert(alerts2(1).transition == "still-failing")
+    assert(alerts2(1).transition == "enter-failure")
+
+    // the continuation label still applies within one DELIVERED episode:
+    // no recovery between the alerts → 'still-failing'
+    val events3 = Seq(ev(0, true), ev(45, true), ev(61, true)).toDS()
+    val alerts3 = AlertThrottle.throttleBatch(events3).orderBy("at").collect()
+    assert(alerts3.length == 2)
+    assert(alerts3(1).transition == "still-failing")
   }
 
   test("ST5 property: no two alerts for a job within its error_timeout (200 seeded cases)") {

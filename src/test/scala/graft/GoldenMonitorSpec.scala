@@ -108,6 +108,19 @@ class SkewSpec extends SparkTestBase {
     assert(j.count() == 0)
   }
 
+  test("salted aggregate with explicit merge: min/max partials merge correctly") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("value"))
+    val plain = df.groupBy("event_type")
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val salted = Skew.saltedAggregate(df, Seq("event_type"), salt = 8,
+      Seq("mn" -> min(col("value")), "mx" -> max(col("value"))),
+      merge = Map("mn" -> (min(_)), "mx" -> (max(_))))
+    val j = plain.as("p").join(salted.as("q"), "event_type")
+      .filter(col("p.mn") =!= col("q.mn") || col("p.mx") =!= col("q.mx"))
+    assert(j.count() == 0)
+  }
+
   test("salted broadcast skew join == plain join") {
     val fact = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type"), col("value"))
