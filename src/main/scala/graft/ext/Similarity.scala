@@ -74,33 +74,26 @@ object Similarity {
   /** Sign-bit LSH signature: bit p = sign(v · plane_p), packed into a
     * long per band of `bitsPerBand` planes. Returns (… , bands array).
     *
-    * The planes' dimension must match the embedding column's — the dot
-    * kernel folds over min(length), so a silent mismatch would compute
-    * bucket bits from a PREFIX of every vector. The first mismatched
-    * row raises at execution (`raise_error` guard — no extra job, one
-    * size() per row). */
+    * One fused codegen kernel
+    * ([[graft.functions.VectorExpressions.LshSignatureFloat]]): the
+    * previous 64-dot expression tree generated ~14 KB of straight-line
+    * code in a single method — past HotSpot's 8 KB JIT ceiling, so the
+    * whole signature scan ran interpreted (the r10 x7/x5b regression).
+    * The kernel is a tight nested loop (JIT-compiled), bit-identical to
+    * the tree form: float-truncated planes, index-order double dots,
+    * Spark's NaN-high `>= 0` bit rule, little-endian band packing.
+    *
+    * The planes' dimension must match the embedding column's — a dot
+    * would otherwise silently fold over a PREFIX of every vector. The
+    * first mismatched row raises at execution (kernel-prologue check —
+    * one branch per row). */
   def lshSignature(vecCol: Column, planes: Array[Array[Double]],
       bitsPerBand: Int): Column = {
     require(planes.nonEmpty && planes.length % bitsPerBand == 0,
       s"nPlanes (${planes.length}) must be a positive multiple of " +
         s"bitsPerBand ($bitsPerBand) — trailing planes would be paid for " +
         "and silently discarded")
-    val dim = planes.head.length
-    val guarded = when(size(vecCol) === dim, vecCol)
-      .otherwise(raise_error(concat(
-        lit(s"lshSignature: embedding dimension "), size(vecCol).cast("string"),
-        lit(s" != configured dim $dim"))))
-    val bits: Seq[Column] = planes.toIndexedSeq.map { p =>
-      // planes ship as float arrays to match the embedding element type
-      // (the codegen dot kernel is ARRAY<FLOAT> × ARRAY<FLOAT>)
-      val planeLit = array(p.toIndexedSeq.map(v => lit(v.toFloat)): _*)
-      when(dot(guarded, planeLit) >= 0, lit(1L)).otherwise(lit(0L))
-    }
-    val nBands = planes.length / bitsPerBand
-    array((0 until nBands).map { b =>
-      (0 until bitsPerBand).map(i => bits(b * bitsPerBand + i) * (1L << i))
-        .reduce(_ + _)
-    }: _*)
+    graft.functions.VectorExpressions.lshSignatureF(vecCol, planes, bitsPerBand)
   }
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing

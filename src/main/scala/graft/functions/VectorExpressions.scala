@@ -114,6 +114,82 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Sign-bit LSH signature as ONE fused kernel: for each of `nPlanes`
+    * hyperplanes, bit p = (v · plane_p >= 0), packed little-endian into
+    * `nPlanes / bitsPerBand` longs. Semantically identical to the
+    * 64-dot expression-tree form (same index-order double-precision
+    * dots, same `>= 0` bit rule, same packing), but the tree form
+    * generates ~14 KB of straight-line code inside one
+    * `generate_doConsume` method — past HotSpot's 8 KB JIT limit, so
+    * the whole signature scan ran INTERPRETED. This kernel is a tight
+    * nested loop the JIT compiles and unrolls.
+    *
+    * The dimension guard rides in the kernel prologue (one branch per
+    * row): a vector whose length differs from the planes' dimension
+    * raises — the dot would otherwise silently fold over a prefix.
+    * `planes` is flat row-major (plane-major) `float[nPlanes * dim]`,
+    * matching the float-literal planes of the tree form bit-for-bit.
+    */
+  final case class LshSignatureFloat(child: Expression, planes: Array[Float],
+      nPlanes: Int, dim: Int, bitsPerBand: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(nPlanes > 0 && nPlanes % bitsPerBand == 0,
+      s"nPlanes ($nPlanes) must be a positive multiple of bitsPerBand ($bitsPerBand)")
+    require(planes.length == nPlanes * dim,
+      s"planes length ${planes.length} != nPlanes*dim (${nPlanes * dim})")
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_lsh_signature"
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val bands = LshSignatureFloat.compute(v, planes, nPlanes, dim, bitsPerBand)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(bands)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val p = ctx.addReferenceObj("lshPlanes", planes, "float[]")
+        val bands = ctx.freshName("bands")
+        s"""
+           |final long[] $bands = graft.functions.VectorExpressions.lshCompute(
+           |  $v, $p, $nPlanes, $dim, $bitsPerBand);
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bands);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object LshSignatureFloat {
+    def compute(v: ArrayData, planes: Array[Float], nPlanes: Int, dim: Int,
+        bitsPerBand: Int): Array[Long] = {
+      val n = v.numElements()
+      if (n != dim) throw new RuntimeException(
+        s"lshSignature: embedding dimension $n != configured dim $dim")
+      val nBands = nPlanes / bitsPerBand
+      val bands = new Array[Long](nBands)
+      var p = 0
+      while (p < nPlanes) {
+        var s = 0.0
+        val off = p * dim
+        var i = 0
+        while (i < dim) { s += v.getFloat(i).toDouble * planes(off + i).toDouble; i += 1 }
+        // Spark's `>=` orders NaN above every value (tree form set the
+        // bit for a NaN dot); java's `>=` is false on NaN — match Spark.
+        if (s >= 0 || java.lang.Double.isNaN(s)) bands(p / bitsPerBand) |= 1L << (p % bitsPerBand)
+        p += 1
+      }
+      bands
+    }
+  }
+
+  /** Codegen entry point for [[LshSignatureFloat]] (Java-callable). */
+  def lshCompute(v: ArrayData, planes: Array[Float], nPlanes: Int, dim: Int,
+      bitsPerBand: Int): Array[Long] =
+    LshSignatureFloat.compute(v, planes, nPlanes, dim, bitsPerBand)
+
   /** The IEEE-754 total-order key of a double: a long whose SIGNED
     * ordering equals the double ordering (−Inf < … < −0.0 < +0.0 < … <
     * +Inf < NaN, matching Spark's sort order). `b ^ ((b >> 63) &
@@ -152,4 +228,18 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpr(a), toExpr(b)))
   def doubleOrderBits(c: Column): Column = toColumn(DoubleOrderBits(toExpr(c)))
+  /** `planes(p)(i)` = component i of hyperplane p; flattened plane-major
+    * and truncated to float (matching the tree form's float literals). */
+  def lshSignatureF(vec: Column, planes: Array[Array[Double]], bitsPerBand: Int): Column = {
+    val nPlanes = planes.length
+    val dim = planes.head.length
+    val flat = new Array[Float](nPlanes * dim)
+    var p = 0
+    while (p < nPlanes) {
+      var i = 0
+      while (i < dim) { flat(p * dim + i) = planes(p)(i).toFloat; i += 1 }
+      p += 1
+    }
+    toColumn(LshSignatureFloat(toExpr(vec), flat, nPlanes, dim, bitsPerBand))
+  }
 }

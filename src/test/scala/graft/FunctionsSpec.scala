@@ -20,6 +20,45 @@ class FunctionsSpec extends SparkTestBase {
     assert(j.count() == 0)
   }
 
+  test("graft_lsh_signature is bit-identical to the 64-dot expression-tree form") {
+    val df = Tables_embeddings()
+    val planes = graft.ext.Similarity.hyperplanes(64, 64)
+    val bitsPerBand = 8
+    // the pre-kernel reference: 64 when(dot >= 0) bits packed per band
+    val bits: Seq[Column] = planes.toIndexedSeq.map { p =>
+      val planeLit = array(p.toIndexedSeq.map(v => lit(v.toFloat)): _*)
+      when(VectorExpressions.dotF(col("embedding"), planeLit) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    val treeBands = array((0 until planes.length / bitsPerBand).map { b =>
+      (0 until bitsPerBand).map(i => bits(b * bitsPerBand + i) * (1L << i)).reduce(_ + _)
+    }: _*)
+    val tree = df.select(col("vec_id"), treeBands.as("bands"))
+    val fused = df.select(col("vec_id"),
+      graft.ext.Similarity.lshSignature(col("embedding"), planes, bitsPerBand).as("bands"))
+    val j = tree.as("t").join(fused.as("f"), "vec_id")
+      .filter(col("t.bands") =!= col("f.bands"))
+    assert(j.count() == 0)
+    assert(fused.count() > 0)
+    // interpreted path agrees with codegen on one row
+    val e = VectorExpressions.LshSignatureFloat(
+      org.apache.spark.sql.graft.ColumnBridge.expr(lit(Array.fill(4)(1f))),
+      Array.fill(8 * 4)(1f), nPlanes = 8, dim = 4, bitsPerBand = 4)
+    val viaEval = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(viaEval.toSeq == Seq(15L, 15L)) // all dots positive -> all bits set
+  }
+
+  test("graft_lsh_signature raises on a dimension-mismatched vector") {
+    val planes = graft.ext.Similarity.hyperplanes(8, dim = 8)
+    val err = intercept[Exception] {
+      spark.range(1)
+        .select(graft.ext.Similarity.lshSignature(lit(Array(1f, 2f)), planes, 4))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("embedding dimension 2 != configured dim 8")))
+  }
+
   test("graft_dot computes through both eval paths") {
     // codegen path (DataFrame select)
     val viaDf = spark.range(1)
