@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.HtmlExpressions
+
+/** HTML → main-text extraction policy — the crawl-corpus front door
+  * (trafilatura/jusText's role in a CommonCrawl pipeline; reference
+  * rearview consumes already-structured metrics, so this whole layer is
+  * part of the LLM-pipeline extension surface, like
+  * [[TextOps]]/[[Cleaning]]).
+  *
+  * The parse is ONE codegen kernel per row
+  * ([[graft.functions.HtmlExpressions.HtmlBlocksExpr]]); everything
+  * here is declarative column algebra over its (text, chars,
+  * link_chars, container) block array — `filter`/`transform`/
+  * `concat_ws`, no UDF, no shuffle, no explode — so a 100-TB extraction
+  * pass is a single narrow map stage whose policy Catalyst can see.
+  *
+  * Block classification is the boilerpipe/jusText core signal set:
+  *  - container pruning: blocks inside nav/header/footer/aside are
+  *    chrome, never body copy;
+  *  - link density: `link_chars / chars` above ~1/3 marks link lists
+  *    (menus, share bars, related-article widgets) — the jusText
+  *    `MAX_LINK_DENSITY` default;
+  *  - minimum length: fragments under ~10 chars ("Ad", "More…") carry
+  *    no trainable signal.
+  */
+object Extract {
+
+  /** Visible-text blocks: array<struct<text,chars,link_chars,container>>. */
+  def htmlBlocks(html: Column): Column = HtmlExpressions.htmlBlocks(html)
+
+  /** jusText-style keep predicate for one block struct. */
+  def isMainBlock(b: Column, maxLinkDensity: Double = 1.0 / 3.0,
+      minChars: Int = 10): Column =
+    b.getField("container") === "content" &&
+      b.getField("chars") >= minChars &&
+      b.getField("link_chars") <= b.getField("chars") * lit(maxLinkDensity)
+
+  /** Main body text: content-container blocks passing the link-density
+    * and length gates, joined by single newlines (document order).
+    * When combining with [[title]]/[[blockStats]] in one projection,
+    * compute [[htmlBlocks]] once and use [[mainTextFromBlocks]]. */
+  def mainText(html: Column, maxLinkDensity: Double = 1.0 / 3.0,
+      minChars: Int = 10): Column =
+    mainTextFromBlocks(htmlBlocks(html), maxLinkDensity, minChars)
+
+  def mainTextFromBlocks(blocks: Column, maxLinkDensity: Double = 1.0 / 3.0,
+      minChars: Int = 10): Column = {
+    val kept = filter(blocks, b => isMainBlock(b, maxLinkDensity, minChars))
+    concat_ws("\n", transform(kept, _.getField("text")))
+  }
+
+  /** The `<title>` element's text ('' when absent). */
+  def title(html: Column): Column = titleFromBlocks(htmlBlocks(html))
+
+  def titleFromBlocks(blocks: Column): Column = {
+    val titles = filter(blocks, _.getField("container") === "title")
+    coalesce(element_at(transform(titles, _.getField("text")), 1), lit(""))
+  }
+
+  /** Per-page extraction stats over an already-computed blocks column —
+    * compute blocks ONCE (`withColumn("blocks", htmlBlocks(...))`) and
+    * reuse across these and [[mainText]]-style selections: (name,
+    * column) pairs for n_blocks / n_kept / kept_chars / link_chars /
+    * boilerplate_chars. */
+  def blockStats(blocks: Column, maxLinkDensity: Double = 1.0 / 3.0,
+      minChars: Int = 10): Seq[(String, Column)] = {
+    val kept = filter(blocks, b => isMainBlock(b, maxLinkDensity, minChars))
+    def charSum(arr: Column): Column =
+      coalesce(aggregate(arr, lit(0L), (a, b) => a + b.getField("chars")), lit(0L))
+    Seq(
+      "n_blocks" -> size(blocks).cast("long"),
+      "n_kept" -> size(kept).cast("long"),
+      "kept_chars" -> charSum(kept),
+      "link_chars" -> coalesce(aggregate(blocks, lit(0L),
+        (a, b) => a + b.getField("link_chars")), lit(0L)),
+      "boilerplate_chars" -> (charSum(blocks) - charSum(kept)))
+  }
+
+  /** Stopword-density refinement (the second jusText signal): keep a
+    * content block only if at least `minStopRatio` of its words are in
+    * `stopwords` — drops headline-ese and navigation stubs that pass
+    * the link/length gates. Word split and membership are higher-order
+    * exprs; `stopwords` ships as an array literal (bounded: a stopword
+    * list is dozens of words). */
+  def mainTextStopworded(html: Column, stopwords: Seq[String],
+      maxLinkDensity: Double = 1.0 / 3.0, minChars: Int = 10,
+      minStopRatio: Double = 0.05): Column = {
+    val sw = array(stopwords.map(w => lit(w.toLowerCase)): _*)
+    val kept = filter(htmlBlocks(html), { b =>
+      val words = split(lower(b.getField("text")), " ")
+      val nStop = size(filter(words, w => array_contains(sw, w)))
+      isMainBlock(b, maxLinkDensity, minChars) &&
+        nStop >= size(words) * lit(minStopRatio)
+    })
+    concat_ws("\n", transform(kept, _.getField("text")))
+  }
+}

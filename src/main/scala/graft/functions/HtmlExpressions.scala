@@ -1,0 +1,254 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → text-block extraction — the front door of a crawl-corpus
+  * pipeline (a CommonCrawl-derived corpus is HTML pages; every cleaning
+  * gate in [[graft.ext.Cleaning]] consumes a `text` column that this
+  * step produces). One single-pass, allocation-light kernel per row in
+  * the [[TextExpressions]] style: a native Catalyst expression (house
+  * preference (b) — no UDF, no driver work, JIT-able method size).
+  *
+  * [[HtmlBlocksExpr]] parses one HTML string into visible TEXT BLOCKS:
+  *
+  *  - `<script>`/`<style>` element content and `<!-- comments -->` are
+  *    dropped (scripts until the matching close tag — a `</p>` inside a
+  *    JS string does not terminate the skip);
+  *  - tag attributes are skipped with quote-awareness (a literal `>`
+  *    inside a quoted attribute value does not end the tag);
+  *  - character references are decoded (named amp/lt/gt/quot/apos/nbsp
+  *    + decimal `&#8212;` and hex `&#x41;` forms; an unknown or
+  *    unterminated `&…` stays literal, as browsers render it);
+  *  - whitespace runs collapse to one space (`&nbsp;` decodes to a
+  *    plain space and collapses with its neighbors);
+  *  - BLOCK-level tags (p, div, li, h1–h6, td, br, …) split blocks;
+  *    inline tags (a, b, span, em, …) do not;
+  *  - each block carries `chars` (decoded length), `link_chars` (chars
+  *    contributed inside an `<a>` element — the jusText/boilerpipe
+  *    link-density signal) and `container`: the innermost enclosing
+  *    semantic container (`nav`/`header`/`footer`/`aside`/`title`),
+  *    else `content`.
+  *
+  * Downstream classification (link-density + length pruning, title
+  * pick, stopword densities) is plain higher-order column algebra over
+  * the struct array — see [[graft.ext.Extract]] — so the policy stays
+  * declarative and Catalyst-visible while the parse stays one kernel.
+  * Malformed HTML never throws: stray `<`, unclosed tags and orphan
+  * close tags degrade to text or no-ops exactly as browsers treat them.
+  */
+object HtmlExpressions {
+
+  val BlockSchema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("chars", IntegerType, nullable = false),
+    StructField("link_chars", IntegerType, nullable = false),
+    StructField("container", StringType, nullable = false)))
+
+  /** Tags that terminate the current text block. Everything not listed
+    * here (and not a semantic container) is inline. */
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "br", "hr", "li", "ul", "ol", "dl", "dt", "dd",
+    "h1", "h2", "h3", "h4", "h5", "h6", "table", "thead", "tbody", "tr",
+    "td", "th", "blockquote", "pre", "form", "section", "article",
+    "main", "figure", "figcaption", "body", "html", "head")
+
+  /** Containers whose blocks a boilerplate pruner treats specially. */
+  private val ContainerTags: Set[String] = Set(
+    "nav", "header", "footer", "aside", "title")
+
+  final case class HtmlBlocksExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(BlockSchema, containsNull = false)
+    override def prettyName: String = "graft_html_blocks"
+
+    override def nullSafeEval(input: Any): Any =
+      HtmlExpressions.parseBlocks(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, h =>
+        s"${ev.value} = graft.functions.HtmlExpressions.parseBlocks($h);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Java-callable parse entry (shared by eval and codegen). */
+  def parseBlocks(html: UTF8String): ArrayData = {
+    val s = html.toString
+    val n = s.length
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val text = new java.lang.StringBuilder(256)
+    val containers = scala.collection.mutable.ArrayBuffer.empty[String]
+    var linkDepth = 0
+    var linkChars = 0
+    var pendingSpace = false
+    var i = 0
+
+    def flush(): Unit = {
+      // trailing pending space never materialized; leading skipped below
+      if (text.length() > 0) {
+        val t = text.toString
+        // chars in CODEPOINTS (what DuckDB/Spark length() count)
+        val chars = t.codePointCount(0, t.length)
+        val cont = if (containers.isEmpty) "content" else containers.last
+        blocks += new GenericInternalRow(Array[Any](
+          UTF8String.fromString(t), chars, math.min(linkChars, chars),
+          UTF8String.fromString(cont)))
+      }
+      text.setLength(0); linkChars = 0; pendingSpace = false
+    }
+
+    def appendChar(c: Char): Unit = {
+      if (Character.isWhitespace(c) || c == ' ') { pendingSpace = text.length() > 0 }
+      else {
+        if (pendingSpace) {
+          text.append(' '); if (linkDepth > 0) linkChars += 1
+          pendingSpace = false
+        }
+        // link_chars in codepoints too: a surrogate pair counts once
+        text.append(c)
+        if (linkDepth > 0 && !Character.isLowSurrogate(c)) linkChars += 1
+      }
+    }
+
+    def lowerName(from: Int): (String, Int) = { // (tag name, index after it)
+      var j = from
+      val b = new java.lang.StringBuilder(8)
+      while (j < n && (Character.isLetterOrDigit(s.charAt(j)))) {
+        b.append(Character.toLowerCase(s.charAt(j))); j += 1
+      }
+      (b.toString, j)
+    }
+
+    /** Skip attrs to the tag-closing '>', honoring quoted values. */
+    def skipTag(from: Int): Int = {
+      var j = from
+      var quote: Char = 0
+      while (j < n) {
+        val c = s.charAt(j)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '>') return j + 1
+        j += 1
+      }
+      n
+    }
+
+    /** Case-insensitive search for `</name` at-or-after `from`; returns
+      * the index of its '<' or n. */
+    def findClose(from: Int, name: String): Int = {
+      var j = from
+      val m = name.length
+      while (j + m + 2 <= n) {
+        if (s.charAt(j) == '<' && s.charAt(j + 1) == '/' &&
+            s.regionMatches(true, j + 2, name, 0, m)) return j
+        j += 1
+      }
+      n
+    }
+
+    def decodeEntity(from: Int): (Int, Int) = { // (codePoint or -1, next index)
+      // from points just after '&'
+      if (from < n && s.charAt(from) == '#') {
+        var j = from + 1
+        var cp = 0
+        var any = false
+        if (j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) {
+          j += 1
+          while (j < n && Character.digit(s.charAt(j), 16) >= 0 && cp <= 0x10ffff) {
+            cp = cp * 16 + Character.digit(s.charAt(j), 16); any = true; j += 1
+          }
+        } else {
+          while (j < n && s.charAt(j) >= '0' && s.charAt(j) <= '9' && cp <= 0x10ffff) {
+            cp = cp * 10 + (s.charAt(j) - '0'); any = true; j += 1
+          }
+        }
+        if (any && j < n && s.charAt(j) == ';' && cp > 0 && cp <= 0x10ffff) (cp, j + 1)
+        else (-1, from)
+      } else {
+        val semi = {
+          var j = from
+          while (j < n && j - from <= 8 && s.charAt(j) != ';') j += 1
+          if (j < n && s.charAt(j) == ';') j else -1
+        }
+        if (semi < 0) (-1, from)
+        else s.substring(from, semi).toLowerCase match {
+          case "amp" => ('&'.toInt, semi + 1)
+          case "lt" => ('<'.toInt, semi + 1)
+          case "gt" => ('>'.toInt, semi + 1)
+          case "quot" => ('"'.toInt, semi + 1)
+          case "apos" => ('\''.toInt, semi + 1)
+          case "nbsp" => (' '.toInt, semi + 1)
+          case _ => (-1, from)
+        }
+      }
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = s.charAt(i + 1)
+        if (c1 == '!') {
+          if (s.startsWith("<!--", i)) {
+            val end = s.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else i = skipTag(i + 2) // <!DOCTYPE …>
+        } else if (c1 == '?') {
+          i = skipTag(i + 2) // <?xml …?>
+        } else if (c1 == '/' || Character.isLetter(c1)) {
+          val closing = c1 == '/'
+          val (name, afterName) = lowerName(if (closing) i + 2 else i + 1)
+          if (name.isEmpty) { appendChar(c); i += 1 } // stray '<' / '</'
+          else {
+            val selfClosed = {
+              val end = skipTag(afterName)
+              val prev = if (end - 2 >= afterName) s.charAt(end - 2) else ' '
+              i = end
+              prev == '/'
+            }
+            name match {
+              case "script" | "style" if !closing && !selfClosed =>
+                flush()
+                val close = findClose(i, name)
+                i = if (close >= n) n else skipTag(close + 2 + name.length)
+              case "script" | "style" => flush()
+              case "a" =>
+                if (closing) { if (linkDepth > 0) linkDepth -= 1 }
+                else if (!selfClosed) linkDepth += 1
+              case t if ContainerTags.contains(t) =>
+                flush()
+                if (closing) {
+                  if (containers.nonEmpty && containers.last == t)
+                    containers.remove(containers.length - 1)
+                } else if (!selfClosed) containers += t
+              case t if BlockTags.contains(t) => flush()
+              case _ => () // inline tag: no block split
+            }
+          }
+        } else { appendChar(c); i += 1 } // '<' not starting a tag
+      } else if (c == '&') {
+        val (cp, next) = decodeEntity(i + 1)
+        if (cp >= 0) {
+          Character.toChars(cp).foreach(appendChar)
+          i = next
+        } else { appendChar('&'); i += 1 }
+      } else { appendChar(c); i += 1 }
+    }
+    flush()
+    new GenericArrayData(blocks.toArray[Any])
+  }
+
+  // -- Column-level API ---------------------------------------------------
+
+  /** Array of (text, chars, link_chars, container) visible-text blocks. */
+  def htmlBlocks(html: Column): Column =
+    ColumnBridge.column(HtmlBlocksExpr(ColumnBridge.expr(html)))
+}

@@ -2466,6 +2466,66 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X47 — HTML → main-text extraction, the crawl-corpus front door
+  // (trafilatura/jusText's slot). The x23/x12 derived-input pattern:
+  // both engines build the IDENTICAL page around each document — title,
+  // style/script junk (with a '</p>' inside a JS string and a '>' in a
+  // quoted attribute), nav/header/footer chrome, entity-encoded body
+  // (&amp; &lt; &#8212; &#x41; &nbsp;), a link-dense share bar, and a
+  // too-short ad stub. Spark runs the REAL block parser + jusText-style
+  // pruning (graft_html_blocks kernel + column algebra); the oracle
+  // knows the closed-form answer because the template is known. Any
+  // parser bug — chrome kept, script text leaking, entity misdecoded,
+  // link density miscounted — breaks the hash.
+  q("x47_html_extract",
+    """WITH gen AS (
+      |  SELECT doc_id, lang, source,
+      |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS p1
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, lang, source, p1,
+      |    'Tom & Jerry <3 ' || chr(8212) || ' "' || lang || '" AZ' AS p2,
+      |    'ref ' || CAST(doc_id AS VARCHAR) || ' End of document '
+      |      || CAST(doc_id AS VARCHAR) || '.' AS p3
+      |  FROM gen)
+      |SELECT doc_id,
+      |  'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source AS title,
+      |  (CASE WHEN length(p1) >= 10 THEN p1 || chr(10) ELSE '' END)
+      |    || p2 || chr(10) || p3 AS main_text,
+      |  CAST(8 + CASE WHEN p1 <> '' THEN 1 ELSE 0 END AS BIGINT) AS n_blocks,
+      |  CAST(2 + CASE WHEN length(p1) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+      |  CAST(length(p2) + length(p3)
+      |    + CASE WHEN length(p1) >= 10 THEN length(p1) ELSE 0 END AS BIGINT) AS kept_chars,
+      |  CAST(57 + length(lang) + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS link_chars
+      |FROM parts ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), id, lit(" - "), col("source"),
+      lit("</title><style>body { color: #000; }</style>"),
+      lit("""<script>var x = 1 < 2; var s = "</p>";</script></head>"""),
+      lit("<body><header><h1>Doc "), id, lit("</h1>"),
+      lit("""<nav><a href="/">Home</a> <a href="/archive">Archive """), col("lang"),
+      lit("""</a> <a href="/contact">Contact</a></nav></header>"""),
+      lit("""<!-- chrome ends --><div class="content"><p>"""), esc, lit("</p>"),
+      lit("<p>Tom&nbsp;&amp; Jerry &lt;3 &#8212; &quot;"), col("lang"),
+      lit("""&quot; &#x41;Z</p><p><a href="/ref" title="a > b">ref """), id,
+      lit("</a> End of document "), id, lit(".</p></div>"),
+      lit("""<div class="share"><a>Tweet</a> <a>Share this page</a> <a>Like</a></div>"""),
+      lit("<div>Ad</div>"),
+      lit("""<footer>&copy; 2026 example.org <a href="/t">Terms</a></footer></body></html>"""))
+    val withBlocks = Tables.documents(s, dir)
+      .withColumn("blocks", graft.ext.Extract.htmlBlocks(html))
+    val stats = graft.ext.Extract.blockStats(col("blocks"))
+      .filter { case (n, _) => n != "boilerplate_chars" }
+    withBlocks.select(Seq(col("doc_id"),
+        graft.ext.Extract.titleFromBlocks(col("blocks")).as("title"),
+        graft.ext.Extract.mainTextFromBlocks(col("blocks")).as("main_text"))
+        ++ stats.map { case (n, c) => c.as(n) }: _*)
+      .ordered("doc_id")
+  }
+
   // X25 — temperature-weighted domain mixture (alpha = 0.5): per-lang
   // quota ∝ √count via integer-exact weights (floor(√n·10⁶) then pure
   // integer quota arithmetic — bit-identical across engines), members

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.Extract
+
+/** HTML → text extraction: parser semantics on adversarial fixtures,
+  * boilerplate policy, and the eval/codegen agreement. The oracle gate
+  * (x47) covers the closed-form template path; these pin the messy-HTML
+  * behaviors the template can't exercise. */
+class ExtractSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def blocksOf(html: String): Seq[Row] =
+    Seq(html).toDF("html")
+      .select(explode(Extract.htmlBlocks(col("html"))).as("b"))
+      .select("b.text", "b.chars", "b.link_chars", "b.container")
+      .collect().toSeq
+
+  private def mainOf(html: String): String =
+    Seq(html).toDF("html").select(Extract.mainText(col("html"))).head.getString(0)
+
+  test("tag stripping, block segmentation, whitespace collapse") {
+    val bs = blocksOf(
+      "<html><body><p>  Hello   <b>big</b>\n world </p><div>Second   block</div></body></html>")
+    assert(bs.map(_.getString(0)) == Seq("Hello big world", "Second block"))
+    assert(bs.head.getInt(1) == "Hello big world".length)
+    assert(bs.forall(_.getString(3) == "content"))
+  }
+
+  test("script/style/comment content is dropped; a </p> inside a JS string does not end the skip") {
+    val html = """<head><style>body { color: #fff; }</style>
+      |<script>var s = "</p> fake"; if (1 < 2) alert("x");</script></head>
+      |<body><p>Real text here</p><!-- hidden --></body>""".stripMargin
+    assert(blocksOf(html).map(_.getString(0)) == Seq("Real text here"))
+  }
+
+  test("entities: named, decimal, hex, nbsp; unknown and unterminated stay literal") {
+    val bs = blocksOf("<p>Tom&nbsp;&amp; Jerry &lt;3 &#8212; &#x41;Z &unknown; A&B</p>")
+    assert(bs.map(_.getString(0)) == Seq("Tom & Jerry <3 — AZ &unknown; A&B"))
+  }
+
+  test("quoted attribute values may contain '>' without ending the tag") {
+    val bs = blocksOf("""<p title="a > b" data-x='1>2'>kept text</p>""")
+    assert(bs.map(_.getString(0)) == Seq("kept text"))
+  }
+
+  test("uppercase tags, self-closing tags, stray '<' as text, orphan close tags") {
+    val bs = blocksOf("<P>One<BR/>Two</P><p>3 < 4 and x</unopened></p>")
+    assert(bs.map(_.getString(0)) == Seq("One", "Two", "3 < 4 and x"))
+  }
+
+  test("containers: nav/header/footer/aside/title label their blocks; nesting keeps innermost") {
+    val bs = blocksOf(
+      "<title>T</title><header>H<nav><a href='/'>L1</a></nav></header><p>body</p><footer>F</footer>")
+    assert(bs.map(r => (r.getString(0), r.getString(3))) == Seq(
+      ("T", "title"), ("H", "header"), ("L1", "nav"), ("body", "content"), ("F", "footer")))
+  }
+
+  test("link density: chars inside <a> count; spaces follow the next char's link state") {
+    val bs = blocksOf("<div><a>Tweet</a> <a>Share</a> tail</div>")
+    // 'Tweet Share tail': 'Tweet'(5) + ' '(linked: next char starts <a>)
+    // + 'Share'(5) = 11 linked; ' tail' unlinked
+    assert(bs.head.getString(0) == "Tweet Share tail")
+    assert(bs.head.getInt(2) == 11)
+  }
+
+  test("mainText prunes nav/footer chrome, link lists, and short fragments") {
+    val html =
+      """<body><nav><a>Home</a> <a>About this site</a></nav>
+        |<div class="share"><a>Tweet</a> <a>Share this page now</a> <a>Like</a></div>
+        |<div>Ad</div>
+        |<p>The quick brown fox jumps over the lazy dog repeatedly.</p>
+        |<footer>All rights reserved forever</footer></body>""".stripMargin
+    assert(mainOf(html) == "The quick brown fox jumps over the lazy dog repeatedly.")
+  }
+
+  test("title(), blockStats, and stopword refinement") {
+    val html = "<title>Page One</title><body><p>the cat and the dog sat on a mat here</p>" +
+      "<p>BREAKING EXCLUSIVE MEGA DEALS TODAY</p></body>"
+    val df = Seq(html).toDF("html").withColumn("blocks", Extract.htmlBlocks(col("html")))
+    assert(df.select(Extract.titleFromBlocks(col("blocks"))).head.getString(0) == "Page One")
+    val stats = Extract.blockStats(col("blocks"))
+    val r = df.select(stats.map { case (n, c) => c.as(n) }: _*).head
+    assert(r.getAs[Long]("n_blocks") == 3L && r.getAs[Long]("n_kept") == 2L)
+    assert(r.getAs[Long]("link_chars") == 0L)
+    // stopword gate drops the all-caps headline-ese block
+    val sw = Seq("the", "and", "on", "a", "here")
+    val refined = df.select(Extract.mainTextStopworded(col("html"), sw)).head.getString(0)
+    assert(refined == "the cat and the dog sat on a mat here")
+  }
+
+  test("empty, null, and text-free pages yield empty results, not errors") {
+    val df = Seq[Option[String]](Some(""), None, Some("<p></p><div>   </div>"))
+      .toDF("html")
+    val out = df.select(Extract.mainText(col("html")).as("m"),
+      size(Extract.htmlBlocks(col("html"))).as("nb")).collect()
+    assert(out(0).getString(0) == "" && out(0).getInt(1) == 0)
+    // null html: blocks is null; concat_ws skips null args -> ''
+    assert(out(1).getString(0) == "" && out(1).isNullAt(1))
+    assert(out(2).getString(0) == "" && out(2).getInt(1) == 0)
+  }
+
+  test("interpreted eval path agrees with codegen") {
+    val e = graft.functions.HtmlExpressions.HtmlBlocksExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expr(lit("<p>a b</p><nav>x y z</nav>")))
+    val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr.numElements() == 2)
+    val r0 = arr.getStruct(0, 4)
+    assert(r0.getUTF8String(0).toString == "a b" && r0.getInt(1) == 3)
+    assert(arr.getStruct(1, 4).getUTF8String(3).toString == "nav")
+  }
+}
