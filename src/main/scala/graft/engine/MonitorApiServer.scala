@@ -40,8 +40,13 @@ final class MonitorApiServer(
   private val server = HttpServer.create(new InetSocketAddress(bind, port), 0)
   // without an executor the JDK HttpServer handles every request on ONE
   // dispatcher thread: a single long evaluation (a 30-day backtest)
-  // would head-of-line-block every other client for its duration
-  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+  // would head-of-line-block every other client for its duration.
+  // BOUNDED pool: each request drives Spark jobs on this driver, and an
+  // unbounded (cached) pool under a burst of long evaluations would
+  // spawn unbounded threads all contending for the same scheduler —
+  // beyond a handful of concurrent evaluations, queueing is strictly
+  // better than more threads.
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
 
   /** Bound address (resolve the ephemeral port after construction). */
   def address: InetSocketAddress = server.getAddress

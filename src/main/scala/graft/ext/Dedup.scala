@@ -264,7 +264,18 @@ object Dedup {
 
   /** Delta-cost append into a bucketed band store (bucket spec must
     * match the existing tables; Spark appends new per-bucket files).
-    * Same DISJOINT-ids precondition as [[appendBandStore]]. NOTE: an
+    * Same DISJOINT-ids precondition as [[appendBandStore]] — the
+    * sanctioned update path for a re-appearing id is
+    * [[deleteFromBandStore]] then re-append. `assertDisjoint = true`
+    * ENFORCES the precondition before writing: one batch-id-sized
+    * left-semi count against the stored shingle ids (the store side is
+    * bucketed on `id`, so the check shuffles only the batch's distinct
+    * ids), failing loudly instead of silently skewing every later
+    * probe's Jaccard. Opt-in because the maintenance path
+    * ([[graft.streaming.DocumentIngest]]'s nearDupMaintenance /
+    * snapshotDiff-gated callers) already guarantees disjointness and
+    * the extra count is pure cost there.
+    * NOTE: an
     * append adds a second file per bucket, so subsequent probes pay a
     * per-bucket merge-sort until the store is compacted (re-written via
     * [[writeBandStoreBucketed]]) — the standard LSM-style trade:
@@ -272,7 +283,22 @@ object Dedup {
     * sort-reporting one-file-per-bucket layout. */
   def appendBandStoreBucketed(batch: DataFrame, idCol: String, textCol: String,
       tablePrefix: String, buckets: Int = 32,
-      shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32): Unit = {
+      shingleN: Int = 3, numHashes: Int = 96, bands: Int = 32,
+      assertDisjoint: Boolean = false): Unit = {
+    if (assertDisjoint) {
+      val spark = batch.sparkSession
+      if (spark.catalog.tableExists(s"${tablePrefix}_shingles")) {
+        val dup = batch.select(col(idCol).as("id")).distinct()
+          .join(spark.table(s"${tablePrefix}_shingles").select("id"),
+            Seq("id"), "left_semi")
+        val offenders = dup.limit(5).collect().map(_.get(0)).mkString(", ")
+        require(offenders.isEmpty,
+          s"appendBandStoreBucketed: batch ids already present in " +
+            s"'${tablePrefix}_shingles' (e.g. $offenders) - a re-appended " +
+            "id permanently bloats the store and inflates stored set " +
+            "sizes. Use deleteFromBandStore + re-append to update.")
+      }
+    }
     val rows = shingleRows(batch, idCol, textCol, shingleN).persist()
     try {
       rows.repartition(buckets, col("id"))

@@ -128,6 +128,12 @@ object Ivf {
     * incremental-ingest path stays a pure map over the new vectors. */
   def assign(vecs: DataFrame, centroids: Array[(Int, Array[Float])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // an empty centroid table would also never beat +Infinity — but
+    // that is a misconfiguration (empty/corrupt index), not a bad row;
+    // fail here with the real cause, keeping the per-row raise below
+    // for genuine NaN vectors
+    require(centroids.nonEmpty,
+      "Ivf.assign: empty centroid table - the index is empty or corrupt")
     // c·c precomputed driver-side in index-order double accumulation —
     // bit-identical to Similarity.dot(centroid, centroid) at runtime
     val cents = typedLit(centroids.sortBy(_._1).map { case (cell, c) =>

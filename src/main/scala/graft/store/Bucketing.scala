@@ -50,18 +50,15 @@ object Bucketing {
     * Overwrite mode. Production (a persistent metastore) never hits
     * this; the local posture needs the cleanup before a fresh write.
     * Only managed default-database locations are handled (the only kind
-    * this library writes). */
+    * this library writes). Hadoop-FS, not java.io: the warehouse dir
+    * may be a remote URI (hdfs://, s3a://) — a File-based cleanup would
+    * silently no-op there and the failure this exists to prevent would
+    * still occur (the Ingest/DocumentIngest precedent). */
   def dropWithLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = new java.io.File(wh, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(loc)
-    }
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
   }
 }

@@ -26,11 +26,20 @@ object Skew {
     * for sum/count (the decimal-sum discipline keeps results identical
     * to the unsalted plan); any other algebraic aggregate (min/max/...)
     * MUST supply its merge in `merge`, e.g. `"m" -> (min(_))` — summing
-    * per-salt minima would be silently wrong data, so the default only
-    * applies to names absent from the map. */
+    * per-salt minima would be silently wrong data. ENFORCED: a name
+    * absent from `merge` whose aggregate is not sum/count (checked on
+    * the Catalyst tree, so aliases and cast-wrapped sums still pass)
+    * raises at plan time instead of defaulting to a wrong sum. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], salt: Int,
       sums: Seq[(String, Column)],
       merge: Map[String, Column => Column] = Map.empty): DataFrame = {
+    sums.foreach { case (n, c) =>
+      require(merge.contains(n) || sumMergeable(c),
+        s"saltedAggregate: '$n' is not a sum/count aggregate - per-salt " +
+          "partials cannot be merged by the default SUM (e.g. summed " +
+          s"minima are silently wrong). Pass merge = Map(\"$n\" -> ...) " +
+          "with its true merge function.")
+    }
     val salted = df.withColumn("_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
     val phase1 = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
@@ -40,6 +49,21 @@ object Skew {
       merge.getOrElse(n, (c: Column) => sum(c))(col(n)).as(n)
     phase1.groupBy(keys.map(col): _*)
       .agg(merged(sums.head._1), sums.tail.map { case (n, _) => merged(n) }: _*)
+  }
+
+  /** A phase-1 column whose per-salt partials merge correctly by SUM:
+    * every aggregate in its tree is a Sum or Count (both are
+    * sum-of-partials algebraic; anything else — min, max, avg,
+    * stddev, collect_* — is not). */
+  private def sumMergeable(c: Column): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+    val aggs = org.apache.spark.sql.graft.ColumnBridge.expr(c).collect {
+      case a: AggregateExpression => a.aggregateFunction
+    }
+    aggs.nonEmpty && aggs.forall {
+      case _: Sum | _: Count => true
+      case _ => false
+    }
   }
 
   /** Skewed-fact ⋈ small-dim with explicit salting: the dim is

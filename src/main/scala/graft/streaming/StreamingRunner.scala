@@ -92,7 +92,18 @@ object StreamingRunner {
   // shared with the Scheduler so both paths honor one throttle clock
 
   /** Stage 2 wiring: start the full pipeline, appending fired alerts to
-    * `alertsPath` parquet. When `sinks` is non-empty, fired alerts are
+    * `alertsPath` parquet.
+    *
+    * LAYOUT (since r10): one `batch_id=<n>` partition directory per
+    * micro-batch (replay-safe overwrite; read with
+    * `spark.read.parquet(alertsPath)` — partition discovery adds the
+    * `batch_id` column). MIGRATION from the pre-r10 flat layout: Spark
+    * refuses to mix flat files and partition dirs under one root
+    * (conflicting directory structures), so either move the legacy
+    * parquet files into `alertsPath/batch_id=-1/` (they rejoin the
+    * table with batch_id -1) or point new runs at a fresh alertsPath.
+    *
+    * When `sinks` is non-empty, fired alerts are
     * ALSO delivered through [[graft.state.AlertDispatcher]] (S7: channel
     * sinks with bounded retries) and the per-channel delivery records
     * appended to `deliveryPath` — streaming and scheduled monitors share

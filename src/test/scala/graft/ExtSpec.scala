@@ -181,6 +181,15 @@ class ExtSpec extends SparkTestBase {
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       assert(reprobe == full,
         s"after append: missed=${full -- reprobe} extra=${reprobe -- full}")
+      // assertDisjoint enforces the disjoint-ids precondition: the
+      // batch is now IN the store, so a re-append with the flag raises
+      // (naming offenders) instead of silently bloating the store
+      val dupErr = intercept[IllegalArgumentException] {
+        Dedup.appendBandStoreBucketed(batch, "doc_id", "text", prefix,
+          buckets = 4, shingleN = 3, numHashes = 96, bands = 32,
+          assertDisjoint = true)
+      }
+      assert(dupErr.getMessage.contains("already present"))
       // the append left >1 file in some bucket; compaction (a pure
       // store rewrite — nothing re-shingles) restores one file per
       // bucket and changes no results

@@ -121,6 +121,19 @@ class SkewSpec extends SparkTestBase {
     assert(j.count() == 0)
   }
 
+  test("salted aggregate REFUSES a non-sum/count aggregate with no merge entry") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("value"))
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(df, Seq("event_type"), salt = 8,
+        Seq("mn" -> min(col("value")))) // summed per-salt minima = wrong data
+    }
+    assert(e.getMessage.contains("mn"))
+    // cast-wrapped / aliased sums still pass the tree check
+    Skew.saltedAggregate(df, Seq("event_type"), salt = 8,
+      Seq("s" -> sum(col("value").cast("decimal(18,6)")).as("s"))).collect()
+  }
+
   test("salted broadcast skew join == plain join") {
     val fact = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_type"), col("value"))
