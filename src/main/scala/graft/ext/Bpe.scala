@@ -55,8 +55,23 @@ object Bpe {
         concat(slice(out, lit(1), size(out) - 1), array(lit(left + right))))
         .otherwise(concat(out, array(s))))
 
+  /** Adjacent-pair counts of the working vocabulary, sorted by the
+    * total argmax order (count desc, left asc, right asc). */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), explode(zip_with(col("symbols"),
+        slice(col("symbols"), lit(2), greatest(size(col("symbols")) - 1, lit(0))),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .filter(col("p.r").isNotNull)
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("c"))
+      .orderBy(col("c").desc, col("l"), col("r"))
+
   /** Learn `numMerges` merges from the vocabulary table. Returns them in
-    * rank order; stops early if no pair occurs twice. */
+    * rank order; stops early if no pair occurs twice. One driver round
+    * (count + argmax + rewrite) PER MERGE — the reference formulation;
+    * [[learnMergesFromVocabBatched]] learns the same list in far fewer
+    * rounds and is what production-size vocabularies should use. */
   def learnMergesFromVocab(vocab: DataFrame, numMerges: Int): Seq[Merge] = {
     var words = vocab
       .select(col("word"), col("freq"), initialSymbols(col("word")).as("symbols"))
@@ -65,16 +80,7 @@ object Bpe {
     var done = false
     var rank = 0
     while (rank < numMerges && !done) {
-      val top = words
-        .select(col("freq"), explode(zip_with(col("symbols"),
-          slice(col("symbols"), lit(2), greatest(size(col("symbols")) - 1, lit(0))),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .filter(col("p.r").isNotNull)
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
+      val top = pairCounts(words).limit(1).collect()
       if (top.isEmpty || top(0).getLong(2) < 2) done = true
       else {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
@@ -86,6 +92,100 @@ object Bpe {
       }
     }
     merges.toSeq
+  }
+
+  final case class BatchedLearn(merges: Seq[Merge], rounds: Int)
+
+  /** [[learnMergesFromVocab]] in BATCHED rounds: one pair-count job
+    * collects the top `sliceSize` pairs, and a driver-side greedy
+    * filter accepts a prefix of merges PROVABLY equal to what the
+    * one-merge-per-round reference would pick, cutting driver rounds
+    * for a production 32k-merge vocabulary from 32k to hundreds.
+    *
+    * Soundness of accepting m₂ after m₁ without recounting, from two
+    * invariants of a single merge (a,b)→ab:
+    *
+    *  1. a pair whose symbols avoid {a, b, ab} keeps its exact count
+    *     (only runs …x a b y… rewrite, touching pairs that contain a
+    *     or b);
+    *  2. every pair CREATED by the merge, (x,ab) or (ab,y), has count
+    *     bounded by a pre-merge pair containing a or b
+    *     (each occurrence of x·ab was an occurrence of x·a).
+    *
+    * So scanning the sorted slice: accept a candidate iff it shares no
+    * symbol (nor the concatenated string) with any accepted merge AND
+    * its count strictly exceeds every interacting count seen — then no
+    * created pair and no stale interacting pair can beat (or tie) it in
+    * the sequential recount, and its own count is still exact. Stop at
+    * the first candidate that fails (or at the slice cutoff — an
+    * uncollected pair can tie anything at-or-below the cutoff). The
+    * round's head pick is always accepted (it IS the argmax before any
+    * merge), so every round makes progress and the learned list is
+    * bit-identical to the sequential one.
+    *
+    * The accepted merges apply in rank order as one rewrite pass
+    * (nested folds, checkpoint every 32 like [[segmentTable]]) — one
+    * lineage truncation per ROUND instead of per merge. */
+  def learnMergesFromVocabBatched(vocab: DataFrame, numMerges: Int,
+      sliceSize: Int = 256): BatchedLearn = {
+    require(sliceSize >= 1, "sliceSize must be positive")
+    var words = vocab
+      .select(col("word"), col("freq"), initialSymbols(col("word")).as("symbols"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var rounds = 0
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val slice = pairCounts(words).limit(sliceSize).collect()
+      rounds += 1
+      if (slice.isEmpty || slice(0).getLong(2) < 2) done = true
+      else {
+        // counts below the slice are < the cutoff only if the slice is
+        // full; a short slice is the complete table (cutoff 0)
+        val cutoff = if (slice.length < sliceSize) 0L else slice.last.getLong(2)
+        val used = scala.collection.mutable.Set.empty[String]
+        val acceptedIdx = scala.collection.mutable.Set.empty[Int]
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        def interacts(l: String, r: String): Boolean =
+          used(l) || used(r) || used.contains(l + r)
+        // max stale count over pairs interacting with the accepted set,
+        // ANYWHERE in the table (accepted pairs themselves are gone
+        // after the rewrite and don't count). Created-pair counts are
+        // bounded by these, so a candidate strictly above it cannot be
+        // beaten or tied in the sequential recount.
+        def maxInteract: Long = {
+          var m = cutoff
+          var i = 0
+          while (i < slice.length) {
+            if (!acceptedIdx(i) &&
+                interacts(slice(i).getString(0), slice(i).getString(1)))
+              m = math.max(m, slice(i).getLong(2))
+            i += 1
+          }
+          m
+        }
+        var stop = false
+        var j = 0
+        while (j < slice.length && !stop && accepted.size + merges.size < numMerges) {
+          val (l, r, c) = (slice(j).getString(0), slice(j).getString(1), slice(j).getLong(2))
+          if (c < 2) stop = true
+          else if (interacts(l, r)) () // skip: a recount would change it
+          else if (accepted.isEmpty || c > maxInteract) {
+            accepted += ((l, r)); acceptedIdx += j
+            used += l; used += r; used += (l + r)
+          } else stop = true // a recount could reorder from here on
+          j += 1
+        }
+        accepted.foreach { case (l, r) => merges += Merge(merges.size, l, r) }
+        words = accepted.zipWithIndex.foldLeft(words) { case (df, ((l, r), i)) =>
+          val next = df.select(col("word"), col("freq"),
+            applyMerge(col("symbols"), l, r).as("symbols"))
+          if ((i + 1) % 32 == 0 && i + 1 < accepted.size) next.localCheckpoint(true)
+          else next
+        }.localCheckpoint(true)
+      }
+    }
+    BatchedLearn(merges.toSeq, rounds)
   }
 
   /** Learn merges straight from a corpus. */
