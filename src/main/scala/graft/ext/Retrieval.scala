@@ -495,25 +495,20 @@ object Retrieval {
       .select(col(idCol), col("term"),
         round((col("tf") / col("dl")) * log(col("n_docs") / col("df")), 9)
           .as("tfidf"))
-    // per-doc top-k as ONE hash aggregation + a bounded per-doc array
-    // sort, not a ranking window: the window form pays a full sort of
-    // every (term, doc) posting behind its exchange; the aggregate
-    // carries the same rows exchange-wise but sorts only within each
-    // doc's term list (corpus-invariantly small next to the posting
-    // count). The comparator reproduces the ranking's exact total
-    // order — tfidf desc, term asc — and the 1-based position is the
-    // row_number (RetrievalSpec pins ≡ the inline window form).
-    val cmp = (l: Column, r: Column) =>
-      when(l.getField("tfidf") > r.getField("tfidf"), -1)
-        .when(l.getField("tfidf") < r.getField("tfidf"), 1)
-        .when(l.getField("term") < r.getField("term"), -1)
-        .when(l.getField("term") > r.getField("term"), 1)
-        .otherwise(0)
+    // per-doc top-k FUSED into the hash aggregation
+    // ([[graft.functions.TopKAggregate.BoundedTopK]]): map-side
+    // partials carry ≤ k entries per (doc × partition) across the
+    // exchange — not the doc's whole term list, as the previous
+    // collect_list + array_sort form did — and no per-doc sort remains
+    // (the k-entry buffer stays ordered by insertion). The buffer's
+    // comparator is the ranking's exact total order — tfidf desc, term
+    // binary asc — and the 1-based position is the row_number
+    // (RetrievalSpec pins ≡ the inline window form).
     scored.groupBy(col(idCol))
-      .agg(slice(array_sort(
-        collect_list(struct(col("tfidf"), col("term"))), cmp), 1, k).as("top"))
+      .agg(graft.functions.TopKAggregate.boundedTopK(
+        col("tfidf"), col("term"), k).as("top"))
       .select(col(idCol), posexplode(col("top")))
       .select(col(idCol), col("col.term").as("term"),
-        col("col.tfidf").as("tfidf"), (col("pos") + 1).cast("int").as("rk"))
+        col("col.score").as("tfidf"), (col("pos") + 1).cast("int").as("rk"))
   }
 }

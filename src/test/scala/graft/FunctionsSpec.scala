@@ -47,6 +47,30 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaEval.toSeq == Seq(15L, 15L)) // all dots positive -> all bits set
   }
 
+  test("graft_bounded_topk == sorted-collect_list top-k, partition-order invariant") {
+    val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(col("source"), col("term"), length(col("term")).cast("double").as("score"))
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .when(l.getField("term") < r.getField("term"), -1)
+        .when(l.getField("term") > r.getField("term"), 1)
+        .otherwise(0)
+    val ref = docs.groupBy("source")
+      .agg(slice(array_sort(collect_list(struct(col("score"), col("term"))), cmp), 1, 5).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), col("pos"), col("col.term"), col("col.score"))
+    for (parts <- Seq(1, 13)) {
+      val got = docs.repartition(parts).groupBy("source")
+        .agg(graft.functions.TopKAggregate.boundedTopK(col("score"), col("term"), 5).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), col("pos"), col("col.term"), col("col.score"))
+      assert(got.count() > 0)
+      assert(got.except(ref).isEmpty && ref.except(got).isEmpty, s"parts=$parts")
+    }
+  }
+
   test("graft_lsh_signature raises on a dimension-mismatched vector") {
     val planes = graft.ext.Similarity.hyperplanes(8, dim = 8)
     val err = intercept[Exception] {
