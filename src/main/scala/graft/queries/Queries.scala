@@ -198,6 +198,8 @@ object Queries {
   /** x31's learned BPE merges + cached vocab, one per scale dir. */
   private val bpeMemo = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[graft.ext.Bpe.Merge], DataFrame)]
+  private val unigramMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.ext.UnigramLm.Model, DataFrame)]
 
   /** IVF index built ONCE per scale dir and reused across x7b/x7c calls
     * (and bench rounds) — build is amortized setup in production (an
@@ -2807,10 +2809,33 @@ object Queries {
     val docs = Tables.documents(s, dir)
     val (merges, vocab) = bpeMemo.getOrElseUpdate(dir, {
       val v = graft.ext.Bpe.wordFreqs(docs, "text").cache()
-      (graft.ext.Bpe.learnMergesFromVocab(v, 20), v)
+      // batched learner: bit-identical list (BpeSpec pins it), a
+      // fraction of the driver rounds
+      (graft.ext.Bpe.learnMergesFromVocabBatched(v, 20).merges, v)
     })
     val seg = graft.ext.Bpe.segmentTable(vocab, merges)
     graft.ext.Bpe.tokenize(docs, "doc_id", "text", seg)
+      .groupBy("subword").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("subword"))
+      .limit(50)
+  }
+
+  // X48 — unigram-LM (SentencePiece-style) tokenizer induction +
+  // application, the second tokenizer family next to BPE (rows-only:
+  // the EM fit has no SQL twin; UnigramLmSpec pins the whole fit
+  // bit-exact against an independent pure-Scala reference and proves
+  // partition-order invariance). Output: the 50 most frequent pieces
+  // of the tokenized corpus under a 300-piece model — deterministic
+  // because the fit is (exact integer counts, total tie rules).
+  q("x48_unigram_tokenize") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val (model, vocab) = unigramMemo.getOrElseUpdate(dir, {
+      val v = graft.ext.Bpe.wordFreqs(docs, "text").cache()
+      (graft.ext.UnigramLm.fit(v, targetSize = 300, seedSize = 1000,
+        maxPieceLen = 6), v)
+    })
+    val seg = graft.ext.UnigramLm.segmentTable(vocab, model)
+    graft.ext.UnigramLm.tokenize(docs, "doc_id", "text", seg, model)
       .groupBy("subword").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("subword"))
       .limit(50)
