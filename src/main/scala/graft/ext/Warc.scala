@@ -1,0 +1,242 @@
+package graft.ext
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, DataInputStream, EOFException, InputStream}
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC (Web ARChive, ISO 28500) container parsing — with
+  * [[Extract]], the complete crawl front door: a CommonCrawl-style
+  * corpus arrives as WARC files of HTTP response records, and this
+  * layer turns them into the (uri, date, html) rows the HTML extractor
+  * and every downstream cleaning gate consume.
+  *
+  * First-principles JDK-pure parser (the RIFF/[[Multimodal]]
+  * precedent), one streaming core shared by both entry points:
+  *
+  *  - [[records]] — a column expression over a BINARY record-blob
+  *    column (derived-input oracles, small captures);
+  *  - [[read]] — the production file reader: Hadoop-FS listing →
+  *    parallelized paths → ONE pass per file over an InputStream
+  *    (constant memory per record, never whole-file buffering), with
+  *    transparent multi-member gzip (the standard `.warc.gz` layout
+  *    compresses each record as its own member; JDK GZIPInputStream
+  *    reads concatenated members natively).
+  *
+  * Format essentials handled: `WARC/1.0`/`1.1` version line, header
+  * block terminated by an empty line, `Content-Length`-delimited
+  * payload, the two CRLFs closing each record; tolerant of bare-LF
+  * line endings and a truncated final record (parsed prefix returned,
+  * tail dropped — crawl files are routinely cut mid-record). HTTP
+  * response payloads split with plain column algebra
+  * ([[httpStatus]]/[[httpBody]]) — no second kernel.
+  *
+  * 100-TB shape: one narrow map stage per file list; records never
+  * shuffle until the caller aggregates. Parallelism = file count (the
+  * CommonCrawl layout: ~1 GB per .warc.gz, tens of thousands of files
+  * per crawl), which is the same unit every production WARC pipeline
+  * parallelizes on — gzip members make byte-range splits of one file
+  * impossible anyway. */
+object Warc {
+
+  final case class WarcRecord(
+      version: String,
+      headers: Map[String, String],
+      payload: Array[Byte]) {
+    def header(name: String): Option[String] =
+      headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+  }
+
+  final case class WarcRow(
+      path: String,
+      idx: Long,
+      warc_type: String,
+      target_uri: String,
+      warc_date: String,
+      content_type: String,
+      content_length: Long,
+      payload: Array[Byte])
+
+  // -- streaming parser core ----------------------------------------------
+
+  /** Read one CRLF- (or LF-) terminated header line; None at EOF. */
+  private def readLine(in: InputStream): Option[String] = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = in.read()
+    if (c < 0) return None
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    Some(sb.toString)
+  }
+
+  private def readFully(in: InputStream, n: Long): Option[Array[Byte]] = {
+    if (n > Int.MaxValue) return None // malformed length; treat as truncation
+    val buf = new Array[Byte](n.toInt)
+    try { new DataInputStream(in).readFully(buf); Some(buf) }
+    catch { case _: EOFException => None }
+  }
+
+  /** Parse the next record off the stream; None on EOF or a truncated/
+    * malformed tail (parsing stops — the iterator contract). */
+  def nextRecord(in: InputStream): Option[WarcRecord] = {
+    // skip inter-record blank lines, find the version line
+    var line: Option[String] = readLine(in)
+    while (line.exists(_.isEmpty)) line = readLine(in)
+    line match {
+      case Some(v) if v.startsWith("WARC/") =>
+        val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        var h = readLine(in)
+        while (h.exists(_.nonEmpty)) {
+          val s = h.get
+          val colon = s.indexOf(':')
+          if (colon > 0)
+            headers(s.substring(0, colon).trim) = s.substring(colon + 1).trim
+          h = readLine(in)
+        }
+        if (h.isEmpty) None // EOF inside headers: truncated
+        else {
+          val len = headers.collectFirst {
+            case (k, value) if k.equalsIgnoreCase("Content-Length") => value
+          }.flatMap(v => scala.util.Try(v.toLong).toOption)
+          len match {
+            case Some(n) if n >= 0 =>
+              readFully(in, n).map(WarcRecord(v.stripPrefix("WARC/"), headers.toMap, _))
+            case _ => None // Content-Length is mandatory; stop on violation
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** All records of one (possibly multi-member-gzipped) WARC byte
+    * stream. */
+  def parseStream(raw: InputStream): Iterator[WarcRecord] = {
+    val buf = new BufferedInputStream(raw, 1 << 16)
+    buf.mark(2)
+    val b0 = buf.read(); val b1 = buf.read()
+    buf.reset()
+    val in: InputStream =
+      if (b0 == 0x1f && b1 == 0x8b)
+        new java.util.zip.GZIPInputStream(buf, 1 << 16)
+      else buf
+    new Iterator[WarcRecord] {
+      private var nextRec: Option[WarcRecord] = nextRecord(in)
+      override def hasNext: Boolean = nextRec.isDefined
+      override def next(): WarcRecord = {
+        val r = nextRec.get
+        nextRec = nextRecord(in)
+        r
+      }
+    }
+  }
+
+  def parseBytes(bytes: Array[Byte]): Iterator[WarcRecord] =
+    parseStream(new ByteArrayInputStream(bytes))
+
+  // -- production file reader ---------------------------------------------
+
+  /** Parse every WARC file matching `glob` into records. One streaming
+    * pass per file (constant memory), file-count parallelism. */
+  def read(spark: SparkSession, glob: String,
+      parallelism: Int = 0): Dataset[WarcRow] = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val pat = new org.apache.hadoop.fs.Path(glob)
+    val fs = pat.getFileSystem(conf.value)
+    val paths = Option(fs.globStatus(pat)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+    val slices = if (parallelism > 0) parallelism else math.max(paths.size, 1)
+    spark.createDataset(paths).repartition(slices).mapPartitions { it =>
+      it.flatMap { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val in = path.getFileSystem(conf.value).open(path)
+        parseStream(in).zipWithIndex.map { case (r, i) =>
+          WarcRow(p, i.toLong,
+            r.header("WARC-Type").getOrElse(""),
+            r.header("WARC-Target-URI").getOrElse(""),
+            r.header("WARC-Date").getOrElse(""),
+            r.header("Content-Type").getOrElse(""),
+            r.payload.length.toLong, r.payload)
+        } // stream closes with the JVM task; records drain it fully
+      }
+    }
+  }
+
+  // -- column-level record parsing (derived-input oracles, captures) ------
+
+  val RecordSchema: StructType = StructType(Seq(
+    StructField("version", StringType, nullable = false),
+    StructField("headers", MapType(StringType, StringType), nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  final case class WarcRecordsExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(RecordSchema, containsNull = false)
+    override def prettyName: String = "graft_warc_records"
+
+    def parseRow(bytes: Array[Byte]): ArrayData =
+      new GenericArrayData(parseBytes(bytes).map { r =>
+        val ks = r.headers.keys.toArray[Any].map(k => UTF8String.fromString(k.toString): Any)
+        val vs = r.headers.values.toArray[Any].map(v => UTF8String.fromString(v.toString): Any)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(r.version),
+          new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(vs)),
+          r.payload)): Any
+      }.toArray)
+
+    override def nullSafeEval(input: Any): Any =
+      parseRow(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val ref = ctx.addReferenceObj("warc", this, classOf[WarcRecordsExpr].getName)
+        s"${ev.value} = $ref.parseRow($b);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** array<struct<version, headers, payload>> of the blob's records. */
+  def records(blob: Column): Column =
+    ColumnBridge.column(WarcRecordsExpr(ColumnBridge.expr(blob)))
+
+  // -- HTTP payload splitting (column algebra, no kernel) -----------------
+
+  /** Status code of an HTTP response payload (0 when not HTTP). */
+  def httpStatus(payload: Column): Column =
+    coalesce(nullif(regexp_extract(
+      substring(payload.cast("string"), 1, 64),
+      "^HTTP/[0-9.]+ ([0-9]{3})", 1), lit("")).cast("int"), lit(0))
+
+  /** Body of an HTTP response payload: everything after the first blank
+    * line (CRLF or LF framing). The whole payload when no header
+    * separator exists. */
+  def httpBody(payload: Column): Column = {
+    val s = payload.cast("string")
+    val parts = split(s, "\\r?\\n\\r?\\n", 2)
+    coalesce(element_at(parts, 2), s)
+  }
+
+  /** (path, idx, target_uri, warc_date, html) for the HTML response
+    * records of [[read]]'s output — the rows [[Extract.mainText]]
+    * consumes. */
+  def htmlResponses(records: Dataset[WarcRow]): DataFrame =
+    records.toDF()
+      .filter(col("warc_type") === "response" &&
+        httpStatus(col("payload")) === 200 &&
+        col("content_type").startsWith("application/http"))
+      .withColumn("html", httpBody(col("payload")))
+      .select("path", "idx", "target_uri", "warc_date", "html")
+}

@@ -2528,6 +2528,60 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X49 — WARC container parsing, the crawl corpus's physical front
+  // door (x47's sibling: WARC framing → HTTP split → HTML extract).
+  // Derived-input oracle: both engines assemble an identical
+  // single-record WARC capture per document (version line, typed
+  // headers, a Content-Length computed in BYTES over the entity-
+  // escaped HTML payload, CRLF framing); Spark runs the REAL streaming
+  // record parser (graft_warc_records) + HTTP splitter + extractor,
+  // DuckDB knows the closed-form answer. A framing bug — header
+  // mis-split, byte/char length confusion, payload misalignment —
+  // breaks the hash.
+  q("x49_warc_extract",
+    """WITH gen AS (
+      |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS p1,
+      |    'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |      || 'Content-Type: text/html' || chr(13) || chr(10)
+      |      || chr(13) || chr(10)
+      |      || '<p>' || replace(replace(replace(text,
+      |           '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p>' AS payload
+      |  FROM documents)
+      |SELECT doc_id,
+      |  '1.0' AS warc_version,
+      |  'response' AS warc_type,
+      |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  CAST(strlen(payload) AS BIGINT) AS content_length,
+      |  200 AS status,
+      |  CASE WHEN length(p1) >= 10 THEN p1 ELSE '' END AS main_text
+      |FROM gen ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val payload = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>"), esc, lit("</p>"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/doc/"),
+      id,
+      lit("\r\nWARC-Date: 2026-08-14T00:00:00Z" +
+        "\r\nContent-Type: application/http; msgtype=response" +
+        "\r\nContent-Length: "),
+      octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.ext.Warc.records(rec.cast("binary"))).as("r"))
+      .select(col("doc_id"),
+        col("r.version").as("warc_version"),
+        element_at(col("r.headers"), "WARC-Type").as("warc_type"),
+        element_at(col("r.headers"), "WARC-Target-URI").as("target_uri"),
+        element_at(col("r.headers"), "Content-Length").cast("long").as("content_length"),
+        graft.ext.Warc.httpStatus(col("r.payload")).as("status"),
+        graft.ext.Extract.mainText(graft.ext.Warc.httpBody(col("r.payload")))
+          .as("main_text"))
+      .ordered("doc_id")
+  }
+
   // X25 — temperature-weighted domain mixture (alpha = 0.5): per-lang
   // quota ∝ √count via integer-exact weights (floor(√n·10⁶) then pure
   // integer quota arithmetic — bit-identical across engines), members

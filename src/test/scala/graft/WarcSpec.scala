@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Extract, Warc}
+
+/** WARC container parsing: record framing, gzip members, truncation
+  * tolerance, HTTP splitting, the file reader, and the crawl-front-door
+  * composition into the HTML extractor. */
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def record(typ: String, uri: String, payload: String,
+      version: String = "1.0", extra: Seq[(String, String)] = Nil): Array[Byte] = {
+    val pb = payload.getBytes(UTF_8)
+    val headers = Seq(
+      "WARC-Type" -> typ, "WARC-Target-URI" -> uri,
+      "WARC-Date" -> "2026-08-14T00:00:00Z",
+      "Content-Type" -> "application/http; msgtype=response") ++ extra ++
+      Seq("Content-Length" -> pb.length.toString)
+    val head = (s"WARC/$version" +: headers.map { case (k, v) => s"$k: $v" })
+      .mkString("", "\r\n", "\r\n\r\n")
+    head.getBytes(UTF_8) ++ pb ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def http(body: String, status: Int = 200): String =
+    s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n\r\n$body"
+
+  private def gzipMembers(parts: Array[Byte]*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    parts.foreach { p =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(p); gz.finish()
+    }
+    bos.toByteArray
+  }
+
+  test("record framing round-trips; LF-only endings tolerated; truncated tail dropped") {
+    val r1 = record("response", "https://a.example/1", http("<p>one</p>"))
+    val r2 = record("request", "https://a.example/1", "GET / HTTP/1.1\r\n\r\n", version = "1.1")
+    val lfOnly = new String(record("metadata", "https://a.example/2", "x"), UTF_8)
+      .replace("\r\n", "\n").getBytes(UTF_8)
+    val truncated = record("response", "https://a.example/3", http("<p>cut</p>"))
+      .dropRight(12) // cut inside the payload
+    val all = Warc.parseBytes(r1 ++ r2 ++ lfOnly ++ truncated).toSeq
+    assert(all.map(_.header("WARC-Type").get) == Seq("response", "request", "metadata"))
+    assert(all.map(_.version) == Seq("1.0", "1.1", "1.0"))
+    assert(new String(all(2).payload, UTF_8) == "x")
+    assert(new String(all.head.payload, UTF_8) == http("<p>one</p>"))
+  }
+
+  test("multi-member gzip (the .warc.gz layout) parses transparently") {
+    val r1 = record("response", "https://b.example/1", http("<p>alpha</p>"))
+    val r2 = record("response", "https://b.example/2", http("<p>beta</p>"))
+    val got = Warc.parseBytes(gzipMembers(r1, r2)).toSeq
+    assert(got.map(_.header("WARC-Target-URI").get) ==
+      Seq("https://b.example/1", "https://b.example/2"))
+    assert(got.map(r => new String(r.payload, UTF_8)) ==
+      Seq(http("<p>alpha</p>"), http("<p>beta</p>")))
+  }
+
+  test("file reader: plain + gzipped files, record order, payload fidelity") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
+    try {
+      val plain = record("response", "https://c.example/p", http("<p>plain file</p>"))
+      val gz = gzipMembers(
+        record("response", "https://c.example/g1", http("<p>gz one</p>")),
+        record("warcinfo", "", "software: graft\r\n"))
+      java.nio.file.Files.write(new java.io.File(dir, "a.warc").toPath, plain)
+      java.nio.file.Files.write(new java.io.File(dir, "b.warc.gz").toPath, gz)
+      val rows = Warc.read(spark, dir.getAbsolutePath + "/*").collect()
+        .sortBy(r => (r.path, r.idx))
+      assert(rows.length == 3)
+      assert(rows.map(_.warc_type).toSeq == Seq("response", "response", "warcinfo"))
+      assert(new String(rows(0).payload, UTF_8).contains("plain file"))
+      assert(rows(1).target_uri == "https://c.example/g1")
+      assert(rows(2).content_length == "software: graft\r\n".getBytes(UTF_8).length)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+
+  test("column expression + HTTP splitting + HTML extractor compose (the crawl front door)") {
+    val blob = record("response", "https://d.example/x",
+      http("<html><body><nav><a>Home</a> <a>All about us</a></nav>" +
+        "<p>Actual article text, long enough to keep.</p></body></html>"))
+    val df = Seq((1L, blob)).toDF("id", "warc")
+      .select(col("id"), explode(Warc.records(col("warc"))).as("r"))
+      .select(col("id"),
+        element_at(col("r.headers"), "WARC-Target-URI").as("uri"),
+        Warc.httpStatus(col("r.payload")).as("status"),
+        Extract.mainText(Warc.httpBody(col("r.payload"))).as("text"))
+    val row = df.head
+    assert(row.getString(1) == "https://d.example/x")
+    assert(row.getInt(2) == 200)
+    assert(row.getString(3) == "Actual article text, long enough to keep.")
+  }
+
+  test("htmlResponses filters to 200 HTML responses") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec2").toFile
+    try {
+      val f = record("response", "https://e.example/ok", http("<p>good page body</p>")) ++
+        record("response", "https://e.example/404", http("<p>gone</p>", status = 404)) ++
+        record("request", "https://e.example/ok", "GET / HTTP/1.1\r\n\r\n")
+      java.nio.file.Files.write(new java.io.File(dir, "c.warc").toPath, f)
+      val got = Warc.htmlResponses(Warc.read(spark, dir.getAbsolutePath + "/*"))
+      val rows = got.collect()
+      assert(rows.length == 1 && rows(0).getAs[String]("target_uri") == "https://e.example/ok")
+      assert(rows(0).getAs[String]("html") == "<p>good page body</p>")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+}
