@@ -52,16 +52,28 @@ object Skew {
   }
 
   /** A phase-1 column whose per-salt partials merge correctly by SUM:
-    * every aggregate in its tree is a Sum or Count (both are
-    * sum-of-partials algebraic; anything else — min, max, avg,
-    * stddev, collect_* — is not). */
+    * its top-level aggregate (below any aliases) is a sum or count
+    * (both sum-of-partials algebraic; anything else — min, max, avg,
+    * stddev, collect_* — is not). Checked on BOTH expression forms a
+    * Column can carry: the pre-analysis `UnresolvedFunction` (what
+    * `functions.sum(...)` builds) and the resolved
+    * `AggregateExpression`. */
   private def sumMergeable(c: Column): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-    val aggs = org.apache.spark.sql.graft.ColumnBridge.expr(c).collect {
-      case a: AggregateExpression => a.aggregateFunction
+    def strip(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+      case a: Alias => strip(a.child)
+      case other => other
     }
-    aggs.nonEmpty && aggs.forall {
-      case _: Sum | _: Count => true
+    strip(org.apache.spark.sql.graft.ColumnBridge.expr(c)) match {
+      case a: AggregateExpression => a.aggregateFunction match {
+        case _: Sum | _: Count => true
+        case _ => false
+      }
+      case f: UnresolvedFunction =>
+        Set("sum", "count").contains(f.nameParts.last.toLowerCase)
       case _ => false
     }
   }
