@@ -178,7 +178,29 @@ object GraftExtensions {
           "summary (probs a literal double array)"),
       (es: Seq[Expression]) => { arity("graft_sketch_quantiles", 2, es)
         building("graft_sketch_quantiles")(QuantileSketches.SketchQuantiles(es(0),
-          litDoubleArray("graft_sketch_quantiles", "probs", 1, es(1)))) }))
+          litDoubleArray("graft_sketch_quantiles", "probs", 1, es(1)))) }),
+    (FunctionIdentifier("graft_html_blocks"),
+      info("graft.functions.HtmlExpressions", "graft_html_blocks",
+        "graft_html_blocks(html) - visible-text blocks " +
+          "array<struct<text, chars, link_chars, container>>"),
+      (es: Seq[Expression]) => { arity("graft_html_blocks", 1, es)
+        HtmlExpressions.HtmlBlocksExpr(es(0)) }),
+    (FunctionIdentifier("graft_warc_records"),
+      info("graft.ext.Warc", "graft_warc_records",
+        "graft_warc_records(blob) - WARC records of a capture blob " +
+          "array<struct<version, headers, payload>>"),
+      (es: Seq[Expression]) => { arity("graft_warc_records", 1, es)
+        graft.ext.Warc.WarcRecordsExpr(es(0)) }),
+    (FunctionIdentifier("graft_bounded_topk"),
+      info("graft.functions.TopKAggregate", "graft_bounded_topk",
+        "graft_bounded_topk(score, term, k) - per-group top-k by (score desc, " +
+          "term asc) as array<struct<term, score>> (k a literal int)"),
+      (es: Seq[Expression]) => { arity("graft_bounded_topk", 3, es)
+        building("graft_bounded_topk")(TopKAggregate.BoundedTopK(es(0), es(1),
+          litInt("graft_bounded_topk", "k", 2, es(2))).toAggregateExpression()) }))
+  // (graft_lsh_signature / graft_unigram_viterbi stay Column-API-only:
+  // their models — the hyperplane matrix, the piece table — are driver
+  // artifacts that have no SQL literal form.)
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftExtensions, SketchAggregates, VectorExpressions}
@@ -128,6 +128,23 @@ class FunctionsSpec extends SparkTestBase {
       "SELECT graft_space_saving_topk(k, 8) AS sk FROM VALUES ('a'), ('a'), ('b') t(k)")
       .selectExpr("inline(sk)").collect()
     assert(r3.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 2L), ("b", 1L)))
+    // round-11 additions: extraction kernels + the bounded top-k agg
+    val r4 = spark.sql(
+      "SELECT graft_html_blocks('<nav>x</nav><p>Body text</p>') AS b").head
+    assert(r4.getSeq[Row](0).map(x => (x.getString(0), x.getString(3))) ==
+      Seq(("x", "nav"), ("Body text", "content")))
+    val warcSql = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    val r5 = spark.sql("SELECT graft_warc_records(cast('" +
+      warcSql.replace("\r\n", "' || chr(13) || chr(10) || '") +
+      "' AS BINARY)) AS r").selectExpr("inline(r)").head
+    assert(r5.getString(0) == "1.0" &&
+      new String(r5.getAs[Array[Byte]]("payload"), "UTF-8") == "hi")
+    val r6 = spark.sql(
+      "SELECT graft_bounded_topk(s, t, 2) AS top FROM VALUES " +
+        "(3.0D, 'a'), (1.0D, 'b'), (2.0D, 'c') t(s, t)")
+      .selectExpr("inline(top)").collect()
+    assert(r6.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 3.0), ("c", 2.0)))
   }
 
   test("graft_uni_bigrams is bit-identical to the transform/element_at form") {
@@ -575,6 +592,12 @@ class FunctionsSpec extends SparkTestBase {
     assert(analysisMsg(
       "SELECT graft_space_saving_topk(CAST(v AS STRING), 0) FROM VALUES (1) t(v)")
       .contains("graft_space_saving_topk"))
+    // round-11 functions: arity + non-positive k
+    assert(analysisMsg("SELECT graft_html_blocks('a', 'b')")
+      .contains("graft_html_blocks"))
+    assert(analysisMsg(
+      "SELECT graft_bounded_topk(CAST(v AS DOUBLE), 't', 0) FROM VALUES (1) t(v)")
+      .contains("graft_bounded_topk"))
     // integer VALUE columns widen implicitly (the approx_percentile
     // convention) — no manual CAST needed at the SQL surface
     assert(spark.sql(
