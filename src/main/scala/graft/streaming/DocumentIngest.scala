@@ -129,6 +129,42 @@ object DocumentIngest {
     else kept
   }
 
+  /** Crawl-edge front door, HTML form: derive the `textCol` that
+    * [[cleanStream]] consumes from raw page HTML — one stateless
+    * projection ([[graft.ext.Extract.mainText]] is a single kernel +
+    * column algebra), so it composes with the streaming pipeline
+    * without adding state, and pages whose extraction is empty (pure
+    * chrome) die before the dedup exchange. Batch frames take the same
+    * entry point; the spec pins stream ≡ batch through the composed
+    * extract→clean pipeline. */
+  def extractHtml(df: DataFrame, htmlCol: String, textCol: String,
+      maxLinkDensity: Double = 1.0 / 3.0, minChars: Int = 10): DataFrame =
+    df.withColumn(textCol,
+        graft.ext.Extract.mainText(col(htmlCol), maxLinkDensity, minChars))
+      .filter(col(textCol) =!= "")
+
+  /** Crawl-edge front door, WARC form: explode capture blobs into
+    * records (stateless generator — [[graft.ext.Warc.records]]), keep
+    * 200 HTML responses, extract. Output: the input columns plus
+    * `record_idx`, `target_uri`, and the extracted `textCol`. The
+    * production file path ([[graft.ext.Warc.read]]) lands records as
+    * parquet that streams through here via the normal file source. */
+  def extractWarc(df: DataFrame, blobCol: String, textCol: String,
+      maxLinkDensity: Double = 1.0 / 3.0, minChars: Int = 10): DataFrame = {
+    import graft.ext.Warc
+    val rec = df.select(col("*"),
+        posexplode(Warc.records(col(blobCol))).as(Seq("record_idx", "_r")))
+      .filter(element_at(col("_r.headers"), "WARC-Type") === "response" &&
+        Warc.httpStatus(col("_r.payload")) === 200)
+      .withColumn("target_uri",
+        coalesce(element_at(col("_r.headers"), "WARC-Target-URI"), lit("")))
+    rec.withColumn(textCol,
+        graft.ext.Extract.mainText(Warc.httpBody(col("_r.payload")),
+          maxLinkDensity, minChars))
+      .filter(col(textCol) =!= "")
+      .drop("_r").drop(blobCol)
+  }
+
   /** Drain a directory of document parquet into a cleaned, day-
     * partitioned store — the document twin of [[Ingest.runAvailableNow]]
     * (deterministic AvailableNow semantics over the real streaming

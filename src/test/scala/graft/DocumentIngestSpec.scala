@@ -82,6 +82,75 @@ class DocumentIngestSpec extends SparkTestBase {
     assert(sKeys.nonEmpty)
   }
 
+  test("crawl front door: extract(html) -> clean streams == batch, chrome-only pages die early") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-crawlstream")
+    val cfg = DocumentIngest.CleanConfig(minTokens = 5, redactPii = false)
+
+    def page(body: String): String =
+      s"<html><head><title>t</title></head><body><nav><a>Home</a> <a>About</a></nav>" +
+        s"<p>$body</p><footer>chrome</footer></body></html>"
+    val base = Tables.documents(spark, dir).limit(40)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def ts(i: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + i * 60000L)
+    val rows = base.zipWithIndex.map { case ((id, tx), i) => (id, page(tx), ts(i)) }
+    // a chrome-only page: extraction is empty -> must die before dedup
+    val planted = rows :+ ((9901L, "<body><nav><a>Only</a> <a>Chrome</a></nav></body>", ts(41)))
+
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val cleaned = DocumentIngest.cleanStream(
+      DocumentIngest.extractHtml(
+        ms.toDF().toDF("doc_id", "html", "ts"), "html", "text"),
+      "doc_id", "text", "ts", lateness = "10 minutes", cfg)
+    def drain(): Unit = {
+      val q = cleaned.writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val (b1, b2) = planted.splitAt(20)
+    ms.addData(b1.toSeq); drain()
+    ms.addData(b2.toSeq); drain()
+    val streamed = spark.read.parquet(s"$tmp/out")
+
+    val batch = DocumentIngest.cleanStream(
+      DocumentIngest.extractHtml(
+        planted.toSeq.toDF("doc_id", "html", "ts"), "html", "text"),
+      "doc_id", "text", "ts", lateness = "10 minutes", cfg)
+    val sKeys = streamed.select("doc_id", "text", "n_tokens")
+      .as[(Long, String, Int)].collect().toSet
+    val bKeys = batch.select("doc_id", "text", "n_tokens")
+      .as[(Long, String, Int)].collect().toSet
+    assert(sKeys == bKeys, s"stream-only=${sKeys -- bKeys} batch-only=${bKeys -- sKeys}")
+    assert(sKeys.nonEmpty && !sKeys.exists(_._1 == 9901L))
+    // extraction really stripped the chrome: no nav/footer text leaked
+    assert(sKeys.forall { case (_, t, _) => !t.contains("Home") && !t.contains("chrome") })
+  }
+
+  test("crawl front door, WARC form: record explode -> extract keeps 200 HTML responses only") {
+    val mk = (uri: String, body: String, status: Int) => {
+      val payload = s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n\r\n$body"
+      val pb = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${pb.length}\r\n\r\n").getBytes("UTF-8") ++ pb ++
+        "\r\n\r\n".getBytes("UTF-8")
+    }
+    val blobs = Seq(
+      (1L, mk("https://x.example/a", "<p>kept article body text here</p>", 200) ++
+        mk("https://x.example/b", "<p>second record in same capture</p>", 200)),
+      (2L, mk("https://x.example/gone", "<p>not found page text</p>", 404)))
+      .toDF("capture_id", "blob")
+    val out = DocumentIngest.extractWarc(blobs, "blob", "text")
+      .select("capture_id", "record_idx", "target_uri", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(out == Set(
+      (1L, 0, "https://x.example/a", "kept article body text here"),
+      (1L, 1, "https://x.example/b", "second record in same capture")))
+  }
+
   test("streaming near-dup maintenance: pairs across micro-batches == batch pipeline; replay is a no-op") {
     val docs = Tables.documents(spark, dir)
     val srcDir = Files.createTempDirectory("nd-src").toString
