@@ -2582,6 +2582,54 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X50 — URL hygiene (the curation step C4/RefinedWeb run on every
+  // crawl URI before URL dedup and domain governance): normalization
+  // (case, default ports, fragment, sorted query with tracking params
+  // stripped) + registered-domain extraction + blocklist gate. The
+  // derived-input pattern once more: four URL shapes generated from
+  // real columns — uppercase scheme/host with :443 and utm/fbclid junk
+  // and a fragment, :80 with an empty path, a kept non-default port
+  // with percent-encodings, and a malformed row — Spark runs the real
+  // normalizer, DuckDB states the closed-form expected output.
+  q("x50_url_normalize",
+    """WITH gen AS (
+      |  SELECT doc_id, doc_id % 7 AS d7, doc_id % 4 AS shape FROM documents)
+      |SELECT doc_id,
+      |  CASE shape
+      |    WHEN 0 THEN 'https://www.example' || CAST(d7 AS VARCHAR)
+      |      || '.co.uk/Path/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+      |    WHEN 1 THEN 'http://sub.host' || CAST(d7 AS VARCHAR) || '.org/'
+      |    WHEN 2 THEN 'https://cdn.example' || CAST(d7 AS VARCHAR)
+      |      || '.com:8080/a%20b?y=8&z=9'
+      |    ELSE NULL END AS norm_url,
+      |  CASE shape
+      |    WHEN 0 THEN 'example' || CAST(d7 AS VARCHAR) || '.co.uk'
+      |    WHEN 1 THEN 'host' || CAST(d7 AS VARCHAR) || '.org'
+      |    WHEN 2 THEN 'example' || CAST(d7 AS VARCHAR) || '.com'
+      |    ELSE NULL END AS domain,
+      |  ((shape = 0 AND d7 = 0) OR (shape = 2 AND d7 = 3)) AS blocked
+      |FROM gen ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    val d7 = (col("doc_id") % 7).cast("string")
+    val url = when(col("doc_id") % 4 === 0, concat(
+        lit("HTTPS://WWW.Example"), d7, lit(".CO.UK:443/Path/"), id,
+        lit("?utm_source=feed&b=2&a=1&fbclid=xyz#top")))
+      .when(col("doc_id") % 4 === 1, concat(
+        lit("http://Sub.Host"), d7, lit(".ORG:80")))
+      .when(col("doc_id") % 4 === 2, concat(
+        lit("https://cdn.example"), d7, lit(".com:8080/a%20b?z=9&y=8")))
+      .otherwise(concat(lit("not a url "), id))
+    val blocklist = Seq("example0.co.uk", "example3.com")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), url.as("u"))
+      .select(col("doc_id"),
+        graft.ext.UrlOps.normalizeUrl(col("u")).as("norm_url"),
+        graft.ext.UrlOps.urlDomain(col("u")).as("domain"),
+        coalesce(graft.ext.UrlOps.domainBlocked(col("u"), blocklist), lit(false))
+          .as("blocked"))
+      .ordered("doc_id")
+  }
+
   // X25 — temperature-weighted domain mixture (alpha = 0.5): per-lang
   // quota ∝ √count via integer-exact weights (floor(√n·10⁶) then pure
   // integer quota arithmetic — bit-identical across engines), members

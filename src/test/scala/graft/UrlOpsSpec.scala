@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.UrlOps
+
+class UrlOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def norm(u: String): Option[String] =
+    Seq(u).toDF("u").select(UrlOps.normalizeUrl(col("u"))).head match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getString(0))
+    }
+  private def dom(u: String): Option[String] =
+    Seq(u).toDF("u").select(UrlOps.urlDomain(col("u"))).head match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getString(0))
+    }
+
+  test("scheme/host case, default ports, fragments, empty path") {
+    assert(norm("HTTPS://WWW.Example.COM:443/A/B#frag") ==
+      Some("https://www.example.com/A/B")) // path case preserved
+    assert(norm("http://Host.ORG:80") == Some("http://host.org/"))
+    assert(norm("https://h.io:8080/x") == Some("https://h.io:8080/x"))
+    assert(norm("ftp://files.example.net/pub") == Some("ftp://files.example.net/pub"))
+  }
+
+  test("query params: sorted, tracking stripped, bare keys kept, encodings untouched") {
+    assert(norm("https://e.com/p?utm_source=a&b=2&a=1&fbclid=x&gclid=y&msclkid=z&ref=r") ==
+      Some("https://e.com/p?a=1&b=2"))
+    assert(norm("https://e.com/p?only=1&utm_campaign=c") == Some("https://e.com/p?only=1"))
+    assert(norm("https://e.com/p?utm_x=1") == Some("https://e.com/p"))
+    assert(norm("https://e.com/p?flag&z=9&a%20b=c%26d") ==
+      Some("https://e.com/p?a%20b=c%26d&flag&z=9"))
+    // duplicate params survive, sorted (dedup is a policy, not hygiene)
+    assert(norm("https://e.com/p?a=2&a=1") == Some("https://e.com/p?a=1&a=2"))
+  }
+
+  test("malformed URLs yield null, never a wrong row") {
+    assert(norm("not a url") == None)
+    assert(norm("//missing.scheme/x") == None)
+    assert(dom("mailto:a@b.com") == None) // no ://host
+  }
+
+  test("registered domain: deep subdomains, two-level TLDs, IPs, single labels") {
+    assert(dom("https://a.b.news.example.co.uk/x") == Some("example.co.uk"))
+    assert(dom("https://www.example.org/") == Some("example.org"))
+    assert(dom("https://example.org/") == Some("example.org"))
+    assert(dom("http://10.0.0.1:8080/") == Some("10.0.0.1"))
+    assert(dom("http://localhost/x") == Some("localhost"))
+    assert(dom("https://cdn.static.site.com.au/a") == Some("site.com.au"))
+  }
+
+  test("domain blocklist gate") {
+    val df = Seq(
+      "https://spam.example.com/x", "https://www.good.org/y", "nope")
+      .toDF("u")
+      .select(col("u"), coalesce(
+        UrlOps.domainBlocked(col("u"), Seq("example.com")), lit(false)).as("b"))
+    assert(df.orderBy("u").as[(String, Boolean)].collect().toSeq ==
+      Seq(("https://spam.example.com/x", true), ("https://www.good.org/y", false),
+        ("nope", false)).sortBy(_._1))
+  }
+}
