@@ -80,6 +80,56 @@ object Extract {
       "boilerplate_chars" -> (charSum(blocks) - charSum(kept)))
   }
 
+  /** jusText's TWO-PASS contextual classification (Pomikálek 2011),
+    * simplified to the deterministic core: pass 1 classifies each block
+    * as good / bad / short / near-good from length and link density
+    * (chrome containers force bad); pass 2 resolves the undecided
+    * classes from their nearest DECIDED neighbors — a near-good block
+    * joins the body when either neighbor is good, a short block only
+    * when both are (a missing neighbor counts bad). This is what keeps
+    * a short heading sandwiched between two paragraphs and drops the
+    * same-length fragment sitting in a widget cluster — the context
+    * signal the single-pass [[mainText]] cannot express.
+    *
+    * Whole pass is array algebra over ONE parse: two `aggregate` scans
+    * (forward / backward over the reversed array) materialize the
+    * nearest-decided-class arrays, a final indexed `transform` decides
+    * — no explode, no window, no shuffle; at 100 TB this stays inside
+    * the same narrow map stage as the parse. */
+  def contextualMainText(html: Column, lengthLow: Int = 10,
+      lengthHigh: Int = 60, maxLinkDensity: Double = 1.0 / 3.0): Column = {
+    val blocks = htmlBlocks(html)
+    val core = transform(blocks, { b =>
+      val chars = b.getField("chars")
+      when(b.getField("container") =!= "content", "bad")
+        .when(b.getField("link_chars") > chars * lit(maxLinkDensity), "bad")
+        .when(chars >= lengthHigh, "good")
+        .when(chars < lengthLow, "short")
+        .otherwise("near")
+    })
+    // nearest decided (good|bad) class before/after each index; 'bad'
+    // when none exists (document edges resolve conservatively)
+    val z = struct(array().cast("array<string>").as("arr"), lit("bad").as("last"))
+    def scan(cs: Column): Column = aggregate(cs, z, (st, c) =>
+      struct(
+        concat(st.getField("arr"), array(st.getField("last"))).as("arr"),
+        when(c === "good" || c === "bad", c)
+          .otherwise(st.getField("last")).as("last"))).getField("arr")
+    val prevD = scan(core)
+    val nextD = reverse(scan(reverse(core)))
+    val kept = transform(blocks, (b, i) => {
+      val c = element_at(core, i + 1)
+      val p = element_at(prevD, i + 1)
+      val nx = element_at(nextD, i + 1)
+      val good = when(c === "good", true)
+        .when(c === "near", p === "good" || nx === "good")
+        .when(c === "short", p === "good" && nx === "good")
+        .otherwise(false)
+      when(good, b.getField("text"))
+    })
+    concat_ws("\n", kept) // concat_ws drops the null (non-kept) slots
+  }
+
   /** Stopword-density refinement (the second jusText signal): keep a
     * content block only if at least `minStopRatio` of its words are in
     * `stopwords` — drops headline-ese and navigation stubs that pass

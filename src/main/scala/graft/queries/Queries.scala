@@ -2630,6 +2630,52 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X51 — jusText contextual boilerplate removal (the two-pass rule
+  // x47's single-pass gate can't express). The generated page plants
+  // one block per context rule: a short heading BETWEEN two good
+  // paragraphs (kept: both neighbors good), a near-good line after a
+  // good paragraph (kept: one good neighbor suffices), a short and a
+  // near-good block stranded between a link-dense widget and footer
+  // chrome (both dropped: no good neighbor). The oracle states the
+  // closed-form survivor list; a wrong neighbor scan, a mis-sided
+  // edge default, or an off-by-one in the decided-class arrays all
+  // break the hash.
+  q("x51_justext_context",
+    """WITH gen AS (
+      |  SELECT doc_id, doc_id % 7 AS d7,
+      |    'This opening paragraph about document ' || CAST(doc_id AS VARCHAR)
+      |      || ' is comfortably long enough to classify as good by itself.' AS p1,
+      |    'A second long paragraph for document ' || CAST(doc_id AS VARCHAR)
+      |      || ' that the classifier also marks good without any context.' AS p2,
+      |    'Fact ' || CAST(doc_id % 7 AS VARCHAR) AS hd,
+      |    'Moderate line about doc ' || CAST(doc_id AS VARCHAR) AS nr
+      |  FROM documents)
+      |SELECT doc_id,
+      |  p1 || chr(10) || hd || chr(10) || p2 || chr(10) || nr AS main_text,
+      |  CAST(length(p1) + length(hd) + length(p2) + length(nr) + 3 AS BIGINT)
+      |    AS kept_chars
+      |FROM gen ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    val d7 = (col("doc_id") % 7).cast("string")
+    val html = concat(
+      lit("<body><nav><a>Home</a> <a>About</a> <a>Contact</a></nav><p>"),
+      lit("This opening paragraph about document "), id,
+      lit(" is comfortably long enough to classify as good by itself.</p>"),
+      lit("<div>Fact "), d7, lit("</div><p>"),
+      lit("A second long paragraph for document "), id,
+      lit(" that the classifier also marks good without any context.</p>"),
+      lit("<div>Moderate line about doc "), id, lit("</div>"),
+      lit("""<div class="w"><a>Tweet</a> <a>Share this page</a></div>"""),
+      lit("<div>Tail "), d7, lit("</div>"),
+      lit("<div>Related items listed here</div>"),
+      lit("<footer>chrome text <a>Terms</a></footer></body>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ext.Extract.contextualMainText(html).as("main_text"))
+      .withColumn("kept_chars", length(col("main_text")).cast("long"))
+      .ordered("doc_id")
+  }
+
   // X25 — temperature-weighted domain mixture (alpha = 0.5): per-lang
   // quota ∝ √count via integer-exact weights (floor(√n·10⁶) then pure
   // integer quota arithmetic — bit-identical across engines), members

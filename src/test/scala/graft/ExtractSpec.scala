@@ -91,6 +91,32 @@ class ExtractSpec extends SparkTestBase {
     assert(refined == "the cat and the dog sat on a mat here")
   }
 
+  test("contextual classification: short blocks live or die by their neighbors") {
+    val long1 = "This first paragraph is comfortably long enough to be classified good on its own."
+    val long2 = "A second paragraph, also long enough that the classifier marks it good directly."
+    val html =
+      s"""<body><nav><a>Home</a> <a>About</a></nav>
+         |<p>$long1</p>
+         |<div>Headline</div>
+         |<p>$long2</p>
+         |<div>A moderate trailing line of text</div>
+         |<div class="w"><a>Tweet</a> <a>Share this page</a></div>
+         |<div>Orphan</div>
+         |<div>Another moderate line near widgets</div>
+         |<footer>chrome here</footer></body>""".stripMargin
+    val got = Seq(html).toDF("html")
+      .select(Extract.contextualMainText(col("html"))).head.getString(0)
+    // 'Headline' (short, good on both sides) survives; the trailing
+    // near-good rides its good neighbor; 'Orphan' (short, bad/bad) and
+    // the widget-adjacent near line die; single-pass mainText would
+    // have dropped 'Headline' too
+    assert(got == Seq(long1, "Headline", long2,
+      "A moderate trailing line of text").mkString("\n"))
+    val single = Seq(html).toDF("html")
+      .select(Extract.mainText(col("html"))).head.getString(0)
+    assert(!single.contains("Headline"))
+  }
+
   test("empty, null, and text-free pages yield empty results, not errors") {
     val df = Seq[Option[String]](Some(""), None, Some("<p></p><div>   </div>"))
       .toDF("html")
