@@ -20,6 +20,39 @@ class ScaleInvarianceSpec extends SparkTestBase {
 
   private val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
+  test("crawl front door (x47/x49/x51 families): structural invariants hold at each SF") {
+    for (dir <- sfs) {
+      val docs = Tables.documents(spark, dir)
+      // the x47 template yields 8 blocks + 1 iff the collapsed text is
+      // nonempty, at ANY corpus size; kept main text never contains
+      // chrome; the WARC record round-trips its computed Content-Length
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<html><head><title>T</title></head><body><nav><a>Home</a></nav><p>"),
+        esc, lit("</p><footer>chrome</footer></body></html>"))
+      val checked = docs.select(
+        col("doc_id"),
+        size(graft.ext.Extract.htmlBlocks(html)).as("nb"),
+        (length(trim(regexp_replace(col("text"), "\\s+", " "))) > 0).as("hasText"),
+        graft.ext.Extract.mainText(html).contains("Home").as("leakNav"),
+        graft.ext.Extract.mainText(html).contains("chrome").as("leakFooter"))
+      assert(checked.filter(
+        col("nb") =!= when(col("hasText"), 4).otherwise(3) ||
+          col("leakNav") || col("leakFooter")).count() == 0, dir)
+      // WARC framing: payload length reported == payload bytes, every doc
+      val payload = concat(lit("HTTP/1.1 200 OK\r\n\r\n"), col("text"))
+      val rec = concat(lit("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: "),
+        octet_length(payload).cast("string"), lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      val parsed = docs.select(
+        explode(graft.ext.Warc.records(rec.cast("binary"))).as("r"))
+      assert(parsed.filter(
+        octet_length(col("r.payload")) =!=
+          element_at(col("r.headers"), "Content-Length").cast("int")).count() == 0, dir)
+      assert(parsed.count() == docs.count(), dir)
+    }
+  }
+
   test("minhash near-dups (x2 family): zero false positives at each SF; discovery monotone") {
     val counts = sfs.map { dir =>
       val docs = Tables.documents(spark, dir)
