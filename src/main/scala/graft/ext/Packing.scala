@@ -59,6 +59,55 @@ object Packing {
         col("col.chunk_text"), col("col.chunk_tokens"))
   }
 
+  /** Sentence split for natural-boundary chunking: break after
+    * terminal punctuation runs followed by whitespace. Array column;
+    * empty/whitespace-only sentences never emitted. */
+  def sentences(textCol: Column): Column =
+    filter(split(trim(textCol), "(?<=[.!?])\\s+"), s => trim(s) =!= "")
+
+  /** Natural-boundary chunking: greedily group CONSECUTIVE sentences
+    * into chunks whose whitespace-token sum stays ≤ `maxTokens`; a
+    * sentence that would overflow starts the next chunk, and a single
+    * over-budget sentence becomes its own chunk (never split
+    * mid-sentence — that is [[chunk]]'s job). The standard layout for
+    * embedding/RAG corpora where windows must not cut sentences.
+    *
+    * The greedy scan is one `aggregate` fold over the sentence array —
+    * inherently sequential PER DOCUMENT, embarrassingly parallel
+    * across documents; no explode, no window, no shuffle (the
+    * jusText-context scan pattern). `sentCol` is any array<string>
+    * column — [[sentences]] for punctuated text, or a caller-derived
+    * split. Output: (idCol, chunk_id, chunk_text, chunk_tokens,
+    * n_sentences). */
+  def chunkBySentences(df: DataFrame, idCol: String, sentCol: Column,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val z = struct(
+      array().cast("array<array<string>>").as("chunks"),
+      array().cast("array<string>").as("cur"),
+      lit(0).as("curTok"))
+    val folded = aggregate(sentCol, z, (st, s) => {
+      val t = size(split(s, "\\s+"))
+      val cur = st.getField("cur")
+      val curTok = st.getField("curTok")
+      when(curTok > 0 && curTok + t > maxTokens,
+        struct(
+          concat(st.getField("chunks"), array(cur)).as("chunks"),
+          array(s).as("cur"), t.as("curTok")))
+        .otherwise(struct(
+          st.getField("chunks").as("chunks"),
+          concat(cur, array(s)).as("cur"), (curTok + t).as("curTok")))
+    }, st => when(size(st.getField("cur")) > 0,
+      concat(st.getField("chunks"), array(st.getField("cur"))))
+      .otherwise(st.getField("chunks")))
+    df.select(col(idCol), posexplode(folded).as(Seq("chunk_id", "sents")))
+      .select(col(idCol), col("chunk_id"),
+        array_join(col("sents"), " ").as("chunk_text"),
+        aggregate(col("sents"), lit(0),
+          (a, s) => a + size(split(s, "\\s+"))).as("chunk_tokens"),
+        size(col("sents")).as("n_sentences"))
+  }
+
   /** GPT-style contiguous packing: tokens of all documents are laid out
     * end-to-end in `orderBy` order and cut into sequences of exactly
     * `budget` tokens. Returns per-document placement:

@@ -2676,6 +2676,67 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X52 — sentence-boundary chunking (the embedding/RAG layout where
+  // windows must not cut sentences). Sentences derive from the token
+  // stream with VARIABLE lengths (5 + (doc_id+i) % 7 tokens — uniform
+  // lengths would make the greedy grouping a constant and prove
+  // nothing); Spark runs the real aggregate-fold greedy scan, DuckDB
+  // replays the same greedy semantics as a recursive CTE over the
+  // sentence sequence. An off-by-one in the overflow test, a mis-reset
+  // accumulator, or a dropped truncated tail sentence all break the
+  // hash.
+  q("x52_sentence_chunks",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, len(t) AS n,
+      |    CAST(CEIL(len(t) / 5.0) AS INT) AS mi FROM toks),
+      |lens AS (
+      |  SELECT doc_id, t, n, i, 5 + (doc_id + i) % 7 AS l
+      |  FROM idx, UNNEST(generate_series(0, mi)) AS g(i)),
+      |st AS (
+      |  SELECT doc_id, t, n, i, l,
+      |    COALESCE(SUM(l) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0
+      |  FROM lens),
+      |sent AS (
+      |  SELECT doc_id, i, array_to_string(t[s0+1 : s0+l], ' ') AS sentence,
+      |    CAST(LEAST(l, n - s0) AS INT) AS ntok
+      |  FROM st WHERE s0 < n),
+      |steps AS (
+      |  SELECT doc_id, i, sentence, ntok, ntok AS acc, 0 AS chunk_id
+      |  FROM sent WHERE i = 0
+      |  UNION ALL
+      |  SELECT s.doc_id, s.i, s.sentence, s.ntok,
+      |    CASE WHEN p.acc + s.ntok > 30 THEN s.ntok ELSE p.acc + s.ntok END,
+      |    CASE WHEN p.acc + s.ntok > 30 THEN p.chunk_id + 1 ELSE p.chunk_id END
+      |  FROM steps p JOIN sent s ON s.doc_id = p.doc_id AND s.i = p.i + 1)
+      |SELECT doc_id, chunk_id,
+      |  string_agg(sentence, ' ' ORDER BY i) AS chunk_text,
+      |  CAST(SUM(ntok) AS INT) AS chunk_tokens,
+      |  CAST(COUNT(*) AS INT) AS n_sentences
+      |FROM steps GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    val toks = split(trim(col("text")), "\\s+")
+    val n = size(toks)
+    val maxI = ceil(n / lit(5.0)).cast("int")
+    val lens = transform(sequence(lit(0), maxI),
+      i => (lit(5) + pmod(col("doc_id") + i, lit(7))).cast("int"))
+    // exclusive-prefix-sum starts via one aggregate scan (the jusText
+    // context-pass pattern), then slice each sentence out of the tokens
+    val z = struct(array().cast("array<int>").as("arr"), lit(0).as("acc"))
+    val starts = aggregate(lens, z, (st, l) => struct(
+      concat(st.getField("arr"), array(st.getField("acc"))).as("arr"),
+      (st.getField("acc") + l).as("acc"))).getField("arr")
+    val sents = filter(
+      zip_with(starts, lens, (s0, l) =>
+        when(s0 < n, array_join(slice(toks, s0 + 1, l), " "))),
+      s => s.isNotNull)
+    graft.ext.Packing.chunkBySentences(
+        Tables.documents(s, dir).select(col("doc_id"), sents.as("__sents")),
+        "doc_id", col("__sents"), maxTokens = 30)
+      .ordered("doc_id", "chunk_id")
+  }
+
   // X25 — temperature-weighted domain mixture (alpha = 0.5): per-lang
   // quota ∝ √count via integer-exact weights (floor(√n·10⁶) then pure
   // integer quota arithmetic — bit-identical across engines), members

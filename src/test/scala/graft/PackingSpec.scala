@@ -42,6 +42,43 @@ class PackingSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("chunkBySentences: greedy grouping hand-checked, oversized sentence isolated, conservation") {
+    val df = Seq(
+      (1L, "One two three. Four five six seven! Eight nine? Ten."),
+      (2L, "A run of exactly eleven words that cannot fit one chunk alone here. Tail."),
+      (3L, "   "),
+      (4L, "Short.")).toDF("id", "text")
+    val out = Packing.chunkBySentences(df, "id", Packing.sentences(col("text")),
+        maxTokens = 7)
+      .orderBy("id", "chunk_id")
+      .select("id", "chunk_id", "chunk_text", "chunk_tokens", "n_sentences")
+      .as[(Long, Int, String, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      // 3 + 4 = 7 fits; "Eight nine?"(2) + "Ten."(1) = 3
+      (1L, 0, "One two three. Four five six seven!", 7, 2),
+      (1L, 1, "Eight nine? Ten.", 3, 2),
+      // 13-token sentence alone in its own chunk, then the tail
+      (2L, 0, "A run of exactly eleven words that cannot fit one chunk alone here.", 13, 1),
+      (2L, 1, "Tail.", 1, 1),
+      (4L, 0, "Short.", 1, 1)))
+    // conservation on the real corpus: chunk tokens sum == doc tokens
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+    // word-soup has no punctuation: derive 8-token sentences like x24
+    val sents = filter(transform(
+      sequence(lit(0), ceil(col("n") / lit(8.0)).cast("int") - 1),
+      i => array_join(slice(split(trim(col("text")), "\\s+"), i * 8 + 1, lit(8)), " ")),
+      s => s =!= "")
+    val chunks = Packing.chunkBySentences(docs, "doc_id", sents, maxTokens = 30)
+    val bad = chunks.groupBy("doc_id").agg(sum("chunk_tokens").as("ct"))
+      .join(docs.select(col("doc_id"), col("n")), "doc_id")
+      .filter(col("ct") =!= col("n")).count()
+    assert(bad == 0)
+    // budget respected except single-oversize chunks (8 ≤ 30 so never)
+    assert(chunks.filter(col("chunk_tokens") > 30).count() == 0)
+  }
+
   test("packContiguous: adjacency, exact cuts, conservation") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("ntok"))
