@@ -46,7 +46,8 @@ final class MonitorApiServer(
   // spawn unbounded threads all contending for the same scheduler —
   // beyond a handful of concurrent evaluations, queueing is strictly
   // better than more threads.
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
 
   /** Bound address (resolve the ephemeral port after construction). */
   def address: InetSocketAddress = server.getAddress
@@ -119,7 +120,13 @@ final class MonitorApiServer(
   })
 
   def start(): this.type = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // fixed-pool core threads never time out (unlike the cached pool's)
+    // and HttpServer.stop does not shut down a user-supplied executor -
+    // without this the non-daemon workers pin the JVM open forever
+    pool.shutdown(): Unit
+  }
 }
 
 object MonitorApiServer {

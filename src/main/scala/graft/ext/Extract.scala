@@ -117,15 +117,22 @@ object Extract {
           .otherwise(st.getField("last")).as("last"))).getField("arr")
     val prevD = scan(core)
     val nextD = reverse(scan(reverse(core)))
-    val kept = transform(blocks, (b, i) => {
-      val c = element_at(core, i + 1)
-      val p = element_at(prevD, i + 1)
-      val nx = element_at(nextD, i + 1)
-      val good = when(c === "good", true)
-        .when(c === "near", p === "good" || nx === "good")
-        .when(c === "short", p === "good" && nx === "good")
+    // zip the four arrays FIRST: higher-order lambdas get no
+    // subexpression elimination, so an element_at(core, i+1) inside the
+    // transform would re-evaluate the whole parse+scan tree once per
+    // BLOCK — zipped, each array is evaluated once per row and the
+    // lambda touches only its element's struct fields
+    val zipped = arrays_zip(
+      transform(blocks, _.getField("text")).as("text"),
+      core.as("c"), prevD.as("p"), nextD.as("n"))
+    val kept = transform(zipped, e => {
+      val good = when(e.getField("c") === "good", true)
+        .when(e.getField("c") === "near",
+          e.getField("p") === "good" || e.getField("n") === "good")
+        .when(e.getField("c") === "short",
+          e.getField("p") === "good" && e.getField("n") === "good")
         .otherwise(false)
-      when(good, b.getField("text"))
+      when(good, e.getField("text"))
     })
     concat_ws("\n", kept) // concat_ws drops the null (non-kept) slots
   }

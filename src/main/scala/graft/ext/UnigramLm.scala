@@ -200,13 +200,16 @@ object UnigramLm {
       .filter { case (p, c) => c > 0 || p.length == 1 }
   }
 
-  /** Shrink to `max(target, ceil(size·shrink))` total pieces: chars
+  /** Shrink to `max(target, ceil(size·shrink))` total pieces — but
+    * always at least one FEWER than now (ceil(n·shrink) == n for tiny
+    * n, which would loop the fit forever on a small targetSize): chars
     * always survive, multi-char pieces keep the best by the total
     * (count desc, piece asc) rule. */
   private def prune(counts: Array[(String, Long)], target: Int,
       shrink: Double): Array[(String, Long)] = {
     val (chars, multi) = counts.partition(_._1.length == 1)
-    val newTotal = math.max(target, math.ceil(counts.length * shrink).toInt)
+    val newTotal = math.max(target,
+      math.min(counts.length - 1, math.ceil(counts.length * shrink).toInt))
     val keepMulti = math.max(newTotal - chars.length, 0)
     chars ++ multi.sortBy { case (p, c) => (-c, p) }.take(keepMulti)
   }

@@ -30,9 +30,12 @@ object UrlOps {
 
   /** (scheme, host, port, path, query, fragment) of an absolute URL —
     * nulls for absent parts. One anchored regexp; malformed rows yield
-    * null host (callers filter). */
+    * null host (callers filter). Userinfo (`user:pass@`) is parsed and
+    * DISCARDED: it is deprecated in http URLs, and treating it as the
+    * host would both mis-derive the registered domain and let
+    * `https://junk@blocked.example/` evade a domain blocklist. */
   def urlParts(url: Column): Seq[(String, Column)] = {
-    val rx = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(?::([0-9]+))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$"
+    val rx = "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/@?#]*@)?([^/:?#@]+)(?::([0-9]+))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$"
     Seq(
       "scheme" -> lower(nullif(regexp_extract(url, rx, 1), lit(""))),
       "host" -> lower(nullif(regexp_extract(url, rx, 2), lit(""))),

@@ -66,16 +66,18 @@ object Warc {
 
   // -- streaming parser core ----------------------------------------------
 
-  /** Read one CRLF- (or LF-) terminated header line; None at EOF. */
+  /** Read one CRLF- (or LF-) terminated header line; None at EOF.
+    * Bytes decode as UTF-8 (ISO 28500 allows UTF-8 header values —
+    * byte-to-char would mojibake a non-ASCII WARC-Target-URI). */
   private def readLine(in: InputStream): Option[String] = {
-    val sb = new java.lang.StringBuilder(64)
+    val buf = new java.io.ByteArrayOutputStream(64)
     var c = in.read()
     if (c < 0) return None
     while (c >= 0 && c != '\n') {
-      if (c != '\r') sb.append(c.toChar)
+      if (c != '\r') buf.write(c)
       c = in.read()
     }
-    Some(sb.toString)
+    Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private def readFully(in: InputStream, n: Long): Option[Array[Byte]] = {
@@ -160,14 +162,27 @@ object Warc {
       it.flatMap { p =>
         val path = new org.apache.hadoop.fs.Path(p)
         val in = path.getFileSystem(conf.value).open(path)
-        parseStream(in).zipWithIndex.map { case (r, i) =>
+        // close on exhaustion AND on task end (a downstream limit() can
+        // abandon the iterator mid-file; on HDFS/S3A a leaked stream
+        // pins a pooled connection until finalization)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        val base = parseStream(in).zipWithIndex.map { case (r, i) =>
           WarcRow(p, i.toLong,
             r.header("WARC-Type").getOrElse(""),
             r.header("WARC-Target-URI").getOrElse(""),
             r.header("WARC-Date").getOrElse(""),
             r.header("Content-Type").getOrElse(""),
             r.payload.length.toLong, r.payload)
-        } // stream closes with the JVM task; records drain it fully
+        }
+        new Iterator[WarcRow] {
+          override def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h) in.close() // eager close per exhausted file
+            h
+          }
+          override def next(): WarcRow = base.next()
+        }
       }
     }
   }
@@ -229,14 +244,33 @@ object Warc {
     coalesce(element_at(parts, 2), s)
   }
 
-  /** (path, idx, target_uri, warc_date, html) for the HTML response
+  /** Value of one HTTP response header (case-insensitive name; null
+    * when absent). Scans only the header section. */
+  def httpHeader(payload: Column, name: String): Column = {
+    val head = element_at(split(payload.cast("string"), "\\r?\\n\\r?\\n", 2), 1)
+    nullif(regexp_extract(head,
+      "(?im)^" + java.util.regex.Pattern.quote(name) + "\\s*:\\s*(.*?)\\s*$", 1),
+      lit(""))
+  }
+
+  /** TRUE when the HTTP response declares an HTML body. The WARC-level
+    * `content_type` is `application/http` for EVERY captured response —
+    * the media type that matters lives in the HTTP headers, and a 200
+    * image/JSON/CSS response must NOT flow into the text extractor. */
+  def isHtmlResponse(payload: Column): Column = {
+    val ct = lower(coalesce(httpHeader(payload, "Content-Type"), lit("")))
+    ct.startsWith("text/html") || ct.startsWith("application/xhtml+xml")
+  }
+
+  /** (path, idx, target_uri, warc_date, html) for the 200 HTML response
     * records of [[read]]'s output — the rows [[Extract.mainText]]
     * consumes. */
   def htmlResponses(records: Dataset[WarcRow]): DataFrame =
     records.toDF()
       .filter(col("warc_type") === "response" &&
         httpStatus(col("payload")) === 200 &&
-        col("content_type").startsWith("application/http"))
+        col("content_type").startsWith("application/http") &&
+        isHtmlResponse(col("payload")))
       .withColumn("html", httpBody(col("payload")))
       .select("path", "idx", "target_uri", "warc_date", "html")
 }

@@ -226,8 +226,13 @@ object HtmlExpressions {
               case t if ContainerTags.contains(t) =>
                 flush()
                 if (closing) {
-                  if (containers.nonEmpty && containers.last == t)
-                    containers.remove(containers.length - 1)
+                  // pop up to the MATCHING open container (implied end
+                  // tags, as browsers close them): </header> around an
+                  // unclosed <nav> must not wedge "nav" on the stack
+                  // and label the rest of the page as chrome. A close
+                  // with no matching open is a no-op.
+                  val at = containers.lastIndexOf(t)
+                  if (at >= 0) containers.remove(at, containers.length - at)
                 } else if (!selfClosed) containers += t
               case t if BlockTags.contains(t) => flush()
               case _ => () // inline tag: no block split

@@ -68,10 +68,15 @@ object Skew {
       case other => other
     }
     strip(org.apache.spark.sql.graft.ColumnBridge.expr(c)) match {
+      // DISTINCT aggregates are NOT sum-mergeable even when the base
+      // function is: the same value lands in several salt groups of one
+      // key and is counted once per salt, so summed partials inflate
+      case a: AggregateExpression if a.isDistinct => false
       case a: AggregateExpression => a.aggregateFunction match {
         case _: Sum | _: Count => true
         case _ => false
       }
+      case f: UnresolvedFunction if f.isDistinct => false
       case f: UnresolvedFunction =>
         Set("sum", "count").contains(f.nameParts.last.toLowerCase)
       case _ => false

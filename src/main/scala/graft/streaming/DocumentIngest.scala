@@ -155,7 +155,10 @@ object DocumentIngest {
     val rec = df.select(col("*"),
         posexplode(Warc.records(col(blobCol))).as(Seq("record_idx", "_r")))
       .filter(element_at(col("_r.headers"), "WARC-Type") === "response" &&
-        Warc.httpStatus(col("_r.payload")) === 200)
+        Warc.httpStatus(col("_r.payload")) === 200 &&
+        // the HTTP Content-Type, not the WARC one: a 200 image/JSON
+        // response must not flow into the text extractor as mojibake
+        Warc.isHtmlResponse(col("_r.payload")))
       .withColumn("target_uri",
         coalesce(element_at(col("_r.headers"), "WARC-Target-URI"), lit("")))
     rec.withColumn(textCol,

@@ -138,10 +138,16 @@ class DocumentIngestSpec extends SparkTestBase {
         s"Content-Length: ${pb.length}\r\n\r\n").getBytes("UTF-8") ++ pb ++
         "\r\n\r\n".getBytes("UTF-8")
     }
+    val json = "HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n" +
+      "{\"looks\": \"like text but is not html and must not pollute the corpus\"}"
+    val jb = json.getBytes("UTF-8")
+    val jsonRec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x.example/api\r\n" +
+      s"Content-Length: ${jb.length}\r\n\r\n").getBytes("UTF-8") ++ jb ++
+      "\r\n\r\n".getBytes("UTF-8")
     val blobs = Seq(
       (1L, mk("https://x.example/a", "<p>kept article body text here</p>", 200) ++
         mk("https://x.example/b", "<p>second record in same capture</p>", 200)),
-      (2L, mk("https://x.example/gone", "<p>not found page text</p>", 404)))
+      (2L, mk("https://x.example/gone", "<p>not found page text</p>", 404) ++ jsonRec))
       .toDF("capture_id", "blob")
     val out = DocumentIngest.extractWarc(blobs, "blob", "text")
       .select("capture_id", "record_idx", "target_uri", "text")

@@ -58,6 +58,19 @@ class ExtractSpec extends SparkTestBase {
       ("T", "title"), ("H", "header"), ("L1", "nav"), ("body", "content"), ("F", "footer")))
   }
 
+  test("mismatched container close implies inner end tags instead of wedging the stack") {
+    // </header> closes the unclosed <nav> too (browser behavior): the
+    // article after it must be 'content', not chrome
+    val bs = blocksOf(
+      "<body><header><nav><a href='/'>Home</a></header><p>Article text here</p></body>")
+    assert(bs.map(r => (r.getString(0), r.getString(3))) ==
+      Seq(("Home", "nav"), ("Article text here", "content")))
+    // an orphan close with no matching open is a no-op
+    val bs2 = blocksOf("<p>one</p></nav><p>two</p>")
+    assert(bs2.map(r => (r.getString(0), r.getString(3))) ==
+      Seq(("one", "content"), ("two", "content")))
+  }
+
   test("link density: chars inside <a> count; spaces follow the next char's link state") {
     val bs = blocksOf("<div><a>Tweet</a> <a>Share</a> tail</div>")
     // 'Tweet Share tail': 'Tweet'(5) + ' '(linked: next char starts <a>)

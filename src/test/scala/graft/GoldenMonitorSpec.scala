@@ -129,6 +129,12 @@ class SkewSpec extends SparkTestBase {
         Seq("mn" -> min(col("value")))) // summed per-salt minima = wrong data
     }
     assert(e.getMessage.contains("mn"))
+    // DISTINCT aggregates are refused too: the same value lands in
+    // several salt groups, so summed per-salt distinct counts inflate
+    intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(df, Seq("event_type"), salt = 8,
+        Seq("nd" -> countDistinct(col("value"))))
+    }
     // cast-wrapped / aliased sums still pass the tree check
     Skew.saltedAggregate(df, Seq("event_type"), salt = 8,
       Seq("s" -> sum(col("value").cast("decimal(18,6)")).as("s"))).collect()

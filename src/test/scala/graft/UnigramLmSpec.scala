@@ -67,7 +67,8 @@ class UnigramLmSpec extends SparkTestBase {
   private def refPrune(counts: Array[(String, Long)], target: Int,
       shrink: Double): Array[(String, Long)] = {
     val (chars, multi) = counts.partition(_._1.length == 1)
-    val newTotal = math.max(target, math.ceil(counts.length * shrink).toInt)
+    val newTotal = math.max(target,
+      math.min(counts.length - 1, math.ceil(counts.length * shrink).toInt))
     chars ++ multi.sortBy { case (p, c) => (-c, p) }
       .take(math.max(newTotal - chars.length, 0))
   }
@@ -135,6 +136,16 @@ class UnigramLmSpec extends SparkTestBase {
     // budget on this small vocab
     val asOne = seg.filter(size(col("subwords")) === 1).count()
     assert(asOne > 0)
+  }
+
+  test("fit terminates on a tiny targetSize (the ceil(n*shrink)==n stall)") {
+    val vocab = Bpe.wordFreqs(Seq((1L, "ab ab ab cd")).toDF("id", "text"), "text")
+      .localCheckpoint(true)
+    // alphabet {a,b,c,d} alone exceeds target 2: the prune must still
+    // make strict progress each round and stop at chars-only
+    val m = UnigramLm.fit(vocab, targetSize = 2, seedSize = 10, maxPieceLen = 3)
+    assert(m.pieces.nonEmpty)
+    assert(m.pieces.count(_.piece.length > 1) == 0 || m.pieces.size <= 2)
   }
 
   test("tokenize handles unknown words via on-the-fly Viterbi with UNK chars") {

@@ -98,11 +98,19 @@ class WarcSpec extends SparkTestBase {
     assert(row.getString(3) == "Actual article text, long enough to keep.")
   }
 
-  test("htmlResponses filters to 200 HTML responses") {
+  test("UTF-8 header values decode (non-ASCII WARC-Target-URI)") {
+    val r = record("response", "https://e.example/café", http("<p>x</p>"))
+    val got = Warc.parseBytes(r).toSeq.head
+    assert(got.header("WARC-Target-URI").get == "https://e.example/café")
+  }
+
+  test("htmlResponses filters to 200 HTML responses; non-HTML 200s excluded") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec2").toFile
     try {
       val f = record("response", "https://e.example/ok", http("<p>good page body</p>")) ++
         record("response", "https://e.example/404", http("<p>gone</p>", status = 404)) ++
+        record("response", "https://e.example/data",
+          "HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n{\"not\": \"html\"}") ++
         record("request", "https://e.example/ok", "GET / HTTP/1.1\r\n\r\n")
       java.nio.file.Files.write(new java.io.File(dir, "c.warc").toPath, f)
       val got = Warc.htmlResponses(Warc.read(spark, dir.getAbsolutePath + "/*"))
