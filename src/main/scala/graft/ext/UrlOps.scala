@@ -29,20 +29,21 @@ object UrlOps {
   private val TrackingParams = Seq("fbclid", "gclid", "msclkid", "ref")
 
   /** (scheme, host, port, path, query, fragment) of an absolute URL —
-    * nulls for absent parts. One anchored regexp; malformed rows yield
-    * null host (callers filter). Userinfo (`user:pass@`) is parsed and
-    * DISCARDED: it is deprecated in http URLs, and treating it as the
-    * host would both mis-derive the registered domain and let
+    * nulls for absent parts; every field null for a URL the parser
+    * rejects (no `scheme://host`). One pass of the
+    * [[graft.functions.UrlExpressions.UrlPartsExpr]] kernel (the regex
+    * form re-ran its six-group pattern once per extracted group — ~18
+    * regex executions per row across normalize + domain + blocklist).
+    * Userinfo (`user:pass@`) is parsed past and DISCARDED: it is
+    * deprecated in http URLs, and treating it as the host would both
+    * mis-derive the registered domain and let
     * `https://junk@blocked.example/` evade a domain blocklist. */
   def urlParts(url: Column): Seq[(String, Column)] = {
-    val rx = "^([A-Za-z][A-Za-z0-9+.-]*)://(?:[^/@?#]*@)?([^/:?#@]+)(?::([0-9]+))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$"
-    Seq(
-      "scheme" -> lower(nullif(regexp_extract(url, rx, 1), lit(""))),
-      "host" -> lower(nullif(regexp_extract(url, rx, 2), lit(""))),
-      "port" -> nullif(regexp_extract(url, rx, 3), lit("")),
-      "path" -> regexp_extract(url, rx, 4),
-      "query" -> nullif(regexp_extract(url, rx, 5), lit("")),
-      "fragment" -> nullif(regexp_extract(url, rx, 6), lit("")))
+    val p = graft.functions.UrlExpressions.urlParts(url)
+    // identical kernel subtrees collapse via per-row subexpression
+    // elimination (top-level projection fields, not lambda bodies)
+    Seq("scheme", "host", "port", "path", "query", "fragment")
+      .map(f => f -> p.getField(f))
   }
 
   /** The canonical form per the contract above; null for a URL the

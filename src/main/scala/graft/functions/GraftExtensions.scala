@@ -191,6 +191,12 @@ object GraftExtensions {
           "array<struct<version, headers, payload>>"),
       (es: Seq[Expression]) => { arity("graft_warc_records", 1, es)
         graft.ext.Warc.WarcRecordsExpr(es(0)) }),
+    (FunctionIdentifier("graft_url_parts"),
+      info("graft.functions.UrlExpressions", "graft_url_parts",
+        "graft_url_parts(url) - struct<scheme,host,port,path,query,fragment> " +
+          "(null when not scheme://host)"),
+      (es: Seq[Expression]) => { arity("graft_url_parts", 1, es)
+        UrlExpressions.UrlPartsExpr(es(0)) }),
     (FunctionIdentifier("graft_bounded_topk"),
       info("graft.functions.TopKAggregate", "graft_bounded_topk",
         "graft_bounded_topk(score, term, k) - per-group top-k by (score desc, " +

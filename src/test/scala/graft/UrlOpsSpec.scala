@@ -60,6 +60,20 @@ class UrlOpsSpec extends SparkTestBase {
     assert(dom("https://cdn.static.site.com.au/a") == Some("site.com.au"))
   }
 
+  test("url-parts kernel: interpreted eval agrees with codegen; SQL surface") {
+    val e = graft.functions.UrlExpressions.UrlPartsExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expr(
+        lit("HTTP://u@Host.COM:8080/p?q=1#f")))
+    val r = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(r.getUTF8String(0).toString == "http" && r.getUTF8String(1).toString == "host.com")
+    assert(r.getUTF8String(2).toString == "8080" && r.getUTF8String(3).toString == "/p")
+    assert(r.getUTF8String(4).toString == "q=1" && r.getUTF8String(5).toString == "f")
+    assert(graft.functions.UrlExpressions.parse("nope") == null)
+    graft.functions.GraftExtensions.register(spark)
+    val sqlR = spark.sql("SELECT graft_url_parts('https://a.io/x').host").head
+    assert(sqlR.getString(0) == "a.io")
+  }
+
   test("domain blocklist gate") {
     val df = Seq(
       "https://spam.example.com/x", "https://www.good.org/y", "nope")
