@@ -1,0 +1,217 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt parsing + URL matching (REP, RFC 9309 with the Google
+  * wildcard extensions) — crawl-compliance refiltering: a curation
+  * pass over an already-landed crawl re-checks each URL against its
+  * domain's robots rules (policies change between crawl and training;
+  * RefinedWeb/C4-class pipelines re-gate).
+  *
+  * Two kernels, shaped for the domain↔URL cardinality split:
+  *
+  *  - [[rulesFor]] parses a robots.txt ONCE PER DOMAIN into the rule
+  *    array applicable to one user-agent (the matching group per RFC
+  *    9309 §2.2.1: the longest case-insensitive product-token match,
+  *    `*` group as fallback; multiple matching groups merge);
+  *  - [[allowed]] decides one PATH against that rule array (evaluated
+  *    per URL after a domain join — rules ride the row as a small
+  *    array, robots files are KB-sized): longest-pattern-match wins,
+  *    allow wins ties, no match ⇒ allowed (RFC 9309 §2.2.2).
+  *
+  * Pattern semantics: literal prefix match with `*` (any chars) and a
+  * terminal `$` end anchor — the Google/RFC 9309 extension set. The
+  * 100-TB shape: rules per registered domain are index metadata
+  * (thousands of rows); URLs join them by [[UrlOps.urlDomain]] and the
+  * decision is one fold per row, no shuffle beyond the domain join. */
+object Robots {
+
+  val RuleSchema: StructType = StructType(Seq(
+    StructField("allow", BooleanType, nullable = false),
+    StructField("pattern", StringType, nullable = false)))
+
+  // -- parsing ------------------------------------------------------------
+
+  /** The (allow, pattern) rules of `txt` that apply to `agent`. */
+  def parseRules(txt: String, agent: String): Array[(Boolean, String)] = {
+    final case class Group(agents: List[String], rules: List[(Boolean, String)])
+    // one pass: group lines into (agents, rules) blocks; a User-agent
+    // line after rules starts a NEW group (RFC 9309 line grouping)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var agents = List.empty[String]
+    var rules = List.empty[(Boolean, String)]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents.reverse, rules.reverse)
+      agents = Nil; rules = Nil; inRules = false
+    }
+    txt.split("\r?\n").foreach { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw.trim
+        case h => raw.substring(0, h).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush()
+            agents = value :: agents
+          case "allow" if agents.nonEmpty =>
+            inRules = true
+            if (value.nonEmpty) rules = (true, value) :: rules
+          case "disallow" if agents.nonEmpty =>
+            inRules = true
+            // empty Disallow means "allow all" — contributes no rule
+            if (value.nonEmpty) rules = (false, value) :: rules
+          case _ => if (agents.nonEmpty) inRules = true // crawl-delay etc.
+        }
+      }
+    }
+    flush()
+    // group selection: longest product-token prefix match (case-insens)
+    // beats '*'; ALL groups at the winning specificity merge
+    val a = agent.toLowerCase
+    def spec(g: Group): Int = g.agents.map { ga =>
+      val gl = ga.toLowerCase
+      if (gl == "*") 0
+      else if (a == gl || a.startsWith(gl)) gl.length
+      else -1
+    }.max
+    val best = groups.map(spec).foldLeft(-1)(math.max)
+    if (best < 0) Array.empty
+    else groups.filter(g => spec(g) == best).flatMap(_.rules).toArray
+  }
+
+  /** Google/RFC-9309 pattern match: literal chars, `*` = any run,
+    * terminal `$` = end anchor; patterns match from the path START. */
+  def matches(path: String, pattern: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val segs = p.split("\\*", -1)
+    if (!path.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    if (!anchored || segs.length == 1) {
+      // greedy earliest-match of the remaining segments in order
+      var i = 1
+      while (i < segs.length) {
+        val at = path.indexOf(segs(i), pos)
+        if (at < 0) return false
+        pos = at + segs(i).length
+        i += 1
+      }
+      // '$' with no '*': the literal must BE the whole path
+      !anchored || pos == path.length
+    } else {
+      // anchored with wildcards: the LAST segment must sit at the path
+      // END (earliest-match would reject '*.php$' on '/a.php.php'),
+      // middle segments match greedily before it
+      var i = 1
+      while (i < segs.length - 1) {
+        val at = path.indexOf(segs(i), pos)
+        if (at < 0) return false
+        pos = at + segs(i).length
+        i += 1
+      }
+      val last = segs(segs.length - 1)
+      path.length - last.length >= pos && path.endsWith(last)
+    }
+  }
+
+  /** Decision per RFC 9309 §2.2.2: among matching rules the LONGEST
+    * pattern wins; at equal length, allow wins; no match ⇒ allowed. */
+  def decide(path: String, rules: Iterator[(Boolean, String)]): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { case (allow, pattern) =>
+      if (matches(path, pattern)) {
+        val l = pattern.length
+        if (l > bestLen || (l == bestLen && allow && !bestAllow)) {
+          bestLen = l; bestAllow = allow
+        }
+      }
+    }
+    bestAllow
+  }
+
+  // -- expressions --------------------------------------------------------
+
+  final case class RobotsRulesExpr(txt: Expression, agentExpr: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def left: Expression = txt
+    override def right: Expression = agentExpr
+    override def inputTypes = Seq(StringType, StringType)
+    override def dataType: DataType = ArrayType(RuleSchema, containsNull = false)
+    override def prettyName: String = "graft_robots_rules"
+
+    def parseRow(t: UTF8String, a: UTF8String): ArrayData =
+      new GenericArrayData(Robots.parseRules(t.toString, a.toString).map {
+        case (allow, p) =>
+          new GenericInternalRow(Array[Any](allow, UTF8String.fromString(p))): Any
+      })
+
+    override def nullSafeEval(t: Any, a: Any): Any =
+      parseRow(t.asInstanceOf[UTF8String], a.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, a) => {
+        val ref = ctx.addReferenceObj("robots", this, classOf[RobotsRulesExpr].getName)
+        s"${ev.value} = $ref.parseRow($t, $a);"
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(txt = newLeft, agentExpr = newRight)
+  }
+
+  final case class RobotsAllowedExpr(path: Expression, rules: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def left: Expression = path
+    override def right: Expression = rules
+    override def inputTypes = Seq(StringType, ArrayType(RuleSchema))
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_robots_allowed"
+
+    def decideRow(p: UTF8String, rs: ArrayData): Boolean = {
+      val n = rs.numElements()
+      Robots.decide(p.toString, (0 until n).iterator.map { i =>
+        val r = rs.getStruct(i, 2)
+        (r.getBoolean(0), r.getUTF8String(1).toString)
+      })
+    }
+
+    override def nullSafeEval(p: Any, rs: Any): Any =
+      decideRow(p.asInstanceOf[UTF8String], rs.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (p, rs) => {
+        val ref = ctx.addReferenceObj("robots", this, classOf[RobotsAllowedExpr].getName)
+        s"${ev.value} = $ref.decideRow($p, $rs);"
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(path = newLeft, rules = newRight)
+  }
+
+  // -- Column API ---------------------------------------------------------
+
+  /** array<struct<allow, pattern>> applicable to `agent` — run once per
+    * DOMAIN row, never per URL. */
+  def rulesFor(robotsTxt: Column, agent: Column): Column =
+    ColumnBridge.column(RobotsRulesExpr(
+      ColumnBridge.expr(robotsTxt), ColumnBridge.expr(agent)))
+
+  /** TRUE when `path` is fetchable under `rules`. */
+  def allowed(path: Column, rules: Column): Column =
+    ColumnBridge.column(RobotsAllowedExpr(
+      ColumnBridge.expr(path), ColumnBridge.expr(rules)))
+}

@@ -2737,6 +2737,49 @@ object Queries {
       .ordered("doc_id", "chunk_id")
   }
 
+  // X53 — robots.txt compliance refiltering (RFC 9309 + Google
+  // wildcards): six URL shapes against a fixed policy, decided for two
+  // user-agents (the '*' group and a specific-group agent — group
+  // selection is load-bearing: graftbot's group REPLACES the global
+  // rules rather than inheriting them). Spark runs the real parse +
+  // longest-match kernels; the oracle states the closed-form verdicts.
+  // A wrong tie rule, a prefix/anchored-wildcard bug, or group
+  // inheritance all break the hash.
+  q("x53_robots_refilter",
+    """SELECT doc_id,
+      |  'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS domain,
+      |  CASE doc_id % 6
+      |    WHEN 0 THEN '/articles/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 3 THEN '/data/' || CAST(doc_id AS VARCHAR) || '.json'
+      |    WHEN 4 THEN '/data/' || CAST(doc_id AS VARCHAR) || '.jsonl'
+      |    ELSE '/graft/' || CAST(doc_id AS VARCHAR) END AS path,
+      |  doc_id % 6 NOT IN (1, 3) AS allowed_any,
+      |  doc_id % 6 <> 5 AS allowed_graftbot
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val robots = lit(
+      "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n" +
+        "Disallow: /*.json$\n\nUser-agent: graftbot\nDisallow: /graft/\n")
+    val id = col("doc_id").cast("string")
+    val path = when(col("doc_id") % 6 === 0, concat(lit("/articles/"), id))
+      .when(col("doc_id") % 6 === 1, concat(lit("/private/"), id))
+      .when(col("doc_id") % 6 === 2, concat(lit("/private/ok/"), id))
+      .when(col("doc_id") % 6 === 3, concat(lit("/data/"), id, lit(".json")))
+      .when(col("doc_id") % 6 === 4, concat(lit("/data/"), id, lit(".jsonl")))
+      .otherwise(concat(lit("/graft/"), id))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("site"), (col("doc_id") % 5).cast("string"), lit(".example"))
+          .as("domain"),
+        path.as("path"),
+        graft.ext.Robots.allowed(path,
+          graft.ext.Robots.rulesFor(robots, lit("anybot"))).as("allowed_any"),
+        graft.ext.Robots.allowed(path,
+          graft.ext.Robots.rulesFor(robots, lit("graftbot"))).as("allowed_graftbot"))
+      .ordered("doc_id")
+  }
+
   // X25 — temperature-weighted domain mixture (alpha = 0.5): per-lang
   // quota ∝ √count via integer-exact weights (floor(√n·10⁶) then pure
   // integer quota arithmetic — bit-identical across engines), members

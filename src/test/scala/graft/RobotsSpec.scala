@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Robots
+
+/** robots.txt: RFC 9309 parsing (group selection, line grouping,
+  * comments), the Google wildcard/anchor pattern semantics, and the
+  * longest-match/allow-ties decision — against hand-derived verdicts
+  * including the published RFC examples. */
+class RobotsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val txt =
+    """# global rules
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/public/
+      |Disallow: /*.json$
+      |Disallow: /tmp
+      |
+      |User-agent: graftbot
+      |User-agent: otherbot
+      |Disallow: /graft-only/
+      |Allow: /
+      |
+      |User-agent: graftbot-images
+      |Disallow: /
+      |""".stripMargin
+
+  private def rules(agent: String): Seq[(Boolean, String)] =
+    Robots.parseRules(txt, agent).toSeq
+
+  test("group selection: specific agent beats *, longest product-token match, multi-agent groups") {
+    assert(rules("UnknownBot") == Seq(
+      (false, "/private/"), (true, "/private/public/"),
+      (false, "/*.json$"), (false, "/tmp")))
+    // graftbot matches its own group, not '*' and not graftbot-images
+    assert(rules("graftbot") == Seq((false, "/graft-only/"), (true, "/")))
+    assert(rules("otherbot") == rules("graftbot"))
+    // longer product token wins
+    assert(rules("graftbot-images") == Seq((false, "/")))
+    // empty file / no matching group at all
+    assert(Robots.parseRules("", "x").isEmpty)
+  }
+
+  test("pattern semantics: prefix, *, $ anchor") {
+    assert(Robots.matches("/private/a", "/private/"))
+    assert(!Robots.matches("/privateer", "/private/"))
+    assert(Robots.matches("/a/b.json", "/*.json$"))
+    assert(!Robots.matches("/a/b.jsonl", "/*.json$"))
+    // anchored with wildcard must match at the END, not earliest
+    assert(Robots.matches("/a.php.php", "*.php$"))
+    assert(Robots.matches("/x/tmp/y", "/*tmp"))
+    assert(Robots.matches("/fish", "/fish*"))
+    assert(!Robots.matches("/Fish", "/fish")) // case-sensitive paths
+    assert(Robots.matches("/anything", "/"))
+    assert(Robots.matches("/exact", "/exact$"))
+    assert(!Robots.matches("/exactly", "/exact$"))
+  }
+
+  test("decision: longest match wins, allow wins ties, no match allows") {
+    val rs = rules("UnknownBot")
+    def ok(p: String) = Robots.decide(p, rs.iterator)
+    assert(!ok("/private/x"))
+    assert(ok("/private/public/x")) // longer allow overrides
+    assert(!ok("/data/feed.json"))
+    assert(ok("/data/feed.jsonl"))
+    assert(!ok("/tmp/scratch"))
+    assert(ok("/index.html"))
+    // allow wins an exact-length tie (RFC 9309 §2.2.2)
+    assert(Robots.decide("/page", Iterator((false, "/page"), (true, "/page"))))
+  }
+
+  test("distributed shape: rules per domain join URLs; kernels run in codegen") {
+    val domains = Seq(("a.example", txt), ("b.example", "User-agent: *\nDisallow:\n"))
+      .toDF("domain", "robots")
+      .select(col("domain"), Robots.rulesFor(col("robots"), lit("graftbot")).as("rules"))
+    val urls = Seq(
+      ("a.example", "/graft-only/secret"), ("a.example", "/private/x"),
+      ("b.example", "/anything")).toDF("domain", "path")
+    val got = urls.join(broadcast(domains), "domain")
+      .select(col("domain"), col("path"), Robots.allowed(col("path"), col("rules")).as("ok"))
+      .orderBy("domain", "path")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a.example", "/graft-only/secret", false),
+      ("a.example", "/private/x", true), // graftbot's group allows /
+      ("b.example", "/anything", true))) // empty Disallow = allow all
+  }
+}
