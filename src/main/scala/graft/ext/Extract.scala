@@ -137,6 +137,51 @@ object Extract {
     concat_ws("\n", kept) // concat_ws drops the null (non-kept) slots
   }
 
+  /** `<meta name="…" content="…">` value (null when absent) — the head
+    * signals curation gates read: `metaValue(html, "robots")` for
+    * noindex, `metaValue(html, "charset")` is NOT this (use
+    * [[metaCharset]]). Attribute order varies in the wild, so both
+    * orders are tried; case-insensitive; first occurrence wins. Regexp
+    * over the raw HTML, deliberately NOT the block parser: meta tags
+    * carry no text content, so blocks never see them. */
+  def metaValue(html: Column, name: String): Column = {
+    val q = java.util.regex.Pattern.quote(name)
+    val nameFirst = "(?is)<meta\\s[^>]*?name\\s*=\\s*[\"']?" + q +
+      "[\"']?[^>]*?content\\s*=\\s*[\"']([^\"'>]*)"
+    val contentFirst = "(?is)<meta\\s[^>]*?content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
+      "[^>]*?name\\s*=\\s*[\"']?" + q + "[\"']?"
+    coalesce(
+      nullif(regexp_extract(html, nameFirst, 1), lit("")),
+      nullif(regexp_extract(html, contentFirst, 1), lit("")))
+  }
+
+  /** TRUE when the page opts out of indexing (`<meta name=robots>`
+    * containing `noindex` / `none`) — the politeness gate curation
+    * pipelines honor alongside robots.txt. Null-safe: absent ⇒ false. */
+  def isNoindex(html: Column): Column = {
+    val v = lower(coalesce(metaValue(html, "robots"), lit("")))
+    v.contains("noindex") || v.rlike("(^|[,\\s])none([,\\s]|$)")
+  }
+
+  /** The canonical URL (`<link rel=canonical href=…>`; null when
+    * absent) — the dedup key real pipelines prefer over the fetch URL
+    * when present. Both attribute orders, case-insensitive. */
+  def canonicalUrl(html: Column): Column =
+    coalesce(
+      nullif(regexp_extract(html,
+        "(?is)<link\\s[^>]*?rel\\s*=\\s*[\"']?canonical[\"']?[^>]*?href\\s*=\\s*[\"']([^\"'>]*)", 1),
+        lit("")),
+      nullif(regexp_extract(html,
+        "(?is)<link\\s[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*?rel\\s*=\\s*[\"']?canonical", 1),
+        lit("")))
+
+  /** Declared charset, lowercased (null when absent): `<meta
+    * charset=…>` or the http-equiv Content-Type form — one pattern
+    * covers both, since `charset=` appears inside the tag either way. */
+  def metaCharset(html: Column): Column =
+    lower(nullif(regexp_extract(html,
+      "(?is)<meta\\s[^>]*?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1), lit("")))
+
   /** Stopword-density refinement (the second jusText signal): keep a
     * content block only if at least `minStopRatio` of its words are in
     * `stopwords` — drops headline-ese and navigation stubs that pass

@@ -2780,6 +2780,82 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X54 — the complete crawl front door, ONE plan: WARC record parse →
+  // HTTP status gate → HTML-Content-Type gate → meta-noindex gate →
+  // URL normalization + registered domain + canonical → robots.txt
+  // refilter → jusText extraction. Each doc_id%6 shape plants exactly
+  // one gate's failure (404 / noindex / robots-disallowed path /
+  // non-HTML 200 / chrome-only page), so the oracle's survivor set
+  // (d6=0 with ≥10 extracted chars) proves every gate fired — and the
+  // surviving rows' normalized URL, domain, canonical and main text
+  // prove the full derivation chain end-to-end. This is the x49 + x50
+  // + x51/x47 + x53 machinery COMPOSED, the way a production ingest
+  // would actually run it.
+  q("x54_crawl_pipeline",
+    """WITH gen AS (
+      |  SELECT doc_id, doc_id % 5 AS d5, doc_id % 6 AS d6,
+      |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS p1
+      |  FROM documents)
+      |SELECT doc_id,
+      |  'https://www.site' || CAST(d5 AS VARCHAR) || '.example/p/'
+      |    || CAST(doc_id AS VARCHAR) || '?b=1' AS norm_url,
+      |  'site' || CAST(d5 AS VARCHAR) || '.example' AS domain,
+      |  'https://site' || CAST(d5 AS VARCHAR) || '.example/canon/'
+      |    || CAST(doc_id AS VARCHAR) AS canonical,
+      |  p1 AS main_text
+      |FROM gen
+      |WHERE d6 = 0 AND length(p1) >= 10
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.ext.{Extract, Robots, UrlOps, Warc}
+    val id = col("doc_id").cast("string")
+    val d5 = (col("doc_id") % 5).cast("string")
+    val d6 = col("doc_id") % 6
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val path = when(d6 === 3, concat(lit("/private/"), id))
+      .otherwise(concat(lit("/p/"), id))
+    val uri = concat(lit("HTTPS://WWW.Site"), d5, lit(".example"), path,
+      lit("?utm_source=x&b=1"))
+    val page = concat(
+      lit("<html><head><title>T</title>"),
+      when(d6 === 2, lit("""<meta name="robots" content="noindex">""")).otherwise(""),
+      lit("""<link rel="canonical" href="https://site"""), d5,
+      lit(".example/canon/"), id, lit("\">"),
+      lit("""</head><body><nav><a href="/">Home</a></nav><p>"""), esc,
+      lit("</p><footer>c</footer></body></html>"))
+    val body = when(d6 === 5,
+        lit("""<html><body><nav><a href="/">Home</a> <a href="/a">About</a></nav></body></html>"""))
+      .when(d6 === 4, concat(lit("""{"json":""""), id, lit("\"}")))
+      .otherwise(page)
+    val status = when(d6 === 1, "404 Not Found").otherwise("200 OK")
+    val ctype = when(d6 === 4, "application/json").otherwise("text/html")
+    val payload = concat(lit("HTTP/1.1 "), status, lit("\r\nContent-Type: "),
+      ctype, lit("\r\n\r\n"), body)
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+      octet_length(payload).cast("string"), lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    val robots = lit("User-agent: *\nDisallow: /private/\n")
+    val parts = UrlOps.urlParts(col("uri")).toMap
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Warc.records(rec.cast("binary"))).as("r"))
+      .filter(Warc.httpStatus(col("r.payload")) === 200 &&
+        Warc.isHtmlResponse(col("r.payload")))
+      .select(col("doc_id"),
+        element_at(col("r.headers"), "WARC-Target-URI").as("uri"),
+        Warc.httpBody(col("r.payload")).as("html"))
+      .filter(!Extract.isNoindex(col("html")))
+      .filter(Robots.allowed(parts("path"),
+        Robots.rulesFor(robots, lit("curationbot"))))
+      .select(col("doc_id"),
+        UrlOps.normalizeUrl(col("uri")).as("norm_url"),
+        UrlOps.urlDomain(col("uri")).as("domain"),
+        Extract.canonicalUrl(col("html")).as("canonical"),
+        Extract.mainText(col("html")).as("main_text"))
+      .filter(col("main_text") =!= "")
+      .ordered("doc_id")
+  }
+
   // X25 — temperature-weighted domain mixture (alpha = 0.5): per-lang
   // quota ∝ √count via integer-exact weights (floor(√n·10⁶) then pure
   // integer quota arithmetic — bit-identical across engines), members

@@ -130,6 +130,28 @@ class ExtractSpec extends SparkTestBase {
     assert(!single.contains("Headline"))
   }
 
+  test("head signals: meta robots/noindex, canonical link, charset — both attribute orders") {
+    val df = Seq(
+      """<head><META NAME="ROBOTS" Content="noindex, follow">
+        |<link rel="canonical" href="https://e.com/a" />
+        |<meta charset="UTF-8"></head>""".stripMargin,
+      """<head><meta content="index,none" name=robots>
+        |<link href="https://e.com/b" rel=canonical>
+        |<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1"></head>""".stripMargin,
+      "<head><meta name=viewport content=x><p>no signals</p></head>")
+      .toDF("html")
+      .select(
+        Extract.isNoindex(col("html")).as("noidx"),
+        Extract.canonicalUrl(col("html")).as("canon"),
+        Extract.metaCharset(col("html")).as("cs"))
+      .collect()
+    assert(df(0).getBoolean(0) && df(0).getString(1) == "https://e.com/a" &&
+      df(0).getString(2) == "utf-8")
+    assert(df(1).getBoolean(0) && df(1).getString(1) == "https://e.com/b" &&
+      df(1).getString(2) == "iso-8859-1")
+    assert(!df(2).getBoolean(0) && df(2).isNullAt(1) && df(2).isNullAt(2))
+  }
+
   test("empty, null, and text-free pages yield empty results, not errors") {
     val df = Seq[Option[String]](Some(""), None, Some("<p></p><div>   </div>"))
       .toDF("html")
