@@ -146,13 +146,21 @@ object Extract {
     * carry no text content, so blocks never see them. */
   def metaValue(html: Column, name: String): Column = {
     val q = java.util.regex.Pattern.quote(name)
-    val nameFirst = "(?is)<meta\\s[^>]*?name\\s*=\\s*[\"']?" + q +
-      "[\"']?[^>]*?content\\s*=\\s*[\"']([^\"'>]*)"
-    val contentFirst = "(?is)<meta\\s[^>]*?content\\s*=\\s*[\"']([^\"'>]*)[\"']" +
-      "[^>]*?name\\s*=\\s*[\"']?" + q + "[\"']?"
+    // the name must END at a delimiter (name="robots-news" is NOT
+    // robots), and values may be unquoted (content=noindex is valid
+    // HTML — requiring a quote failed the politeness gate open)
+    val nameAttr = "name\\s*=\\s*[\"']?" + q + "[\"']?(?=[\\s/>])"
+    val quotedVal = "content\\s*=\\s*[\"']([^\"'>]*)"
+    val bareVal = "content\\s*=\\s*([^\\s\"'>]+)"
     coalesce(
-      nullif(regexp_extract(html, nameFirst, 1), lit("")),
-      nullif(regexp_extract(html, contentFirst, 1), lit("")))
+      nullif(regexp_extract(html,
+        s"(?is)<meta\\s[^>]*?$nameAttr[^>]*?$quotedVal", 1), lit("")),
+      nullif(regexp_extract(html,
+        s"(?is)<meta\\s[^>]*?$nameAttr[^>]*?$bareVal", 1), lit("")),
+      nullif(regexp_extract(html,
+        s"(?is)<meta\\s[^>]*?$quotedVal[\"'][^>]*?$nameAttr", 1), lit("")),
+      nullif(regexp_extract(html,
+        s"(?is)<meta\\s[^>]*?$bareVal[^>]*?$nameAttr", 1), lit("")))
   }
 
   /** TRUE when the page opts out of indexing (`<meta name=robots>`
@@ -166,21 +174,32 @@ object Extract {
   /** The canonical URL (`<link rel=canonical href=…>`; null when
     * absent) — the dedup key real pipelines prefer over the fetch URL
     * when present. Both attribute orders, case-insensitive. */
-  def canonicalUrl(html: Column): Column =
+  def canonicalUrl(html: Column): Column = {
+    // rel value delimiter-anchored (rel="canonical-alt" is NOT
+    // canonical); href quoted or bare
+    val relAttr = "rel\\s*=\\s*[\"']?canonical[\"']?(?=[\\s/>])"
+    val quotedHref = "href\\s*=\\s*[\"']([^\"'>]*)"
+    val bareHref = "href\\s*=\\s*([^\\s\"'>]+)"
     coalesce(
       nullif(regexp_extract(html,
-        "(?is)<link\\s[^>]*?rel\\s*=\\s*[\"']?canonical[\"']?[^>]*?href\\s*=\\s*[\"']([^\"'>]*)", 1),
-        lit("")),
+        s"(?is)<link\\s[^>]*?$relAttr[^>]*?$quotedHref", 1), lit("")),
       nullif(regexp_extract(html,
-        "(?is)<link\\s[^>]*?href\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*?rel\\s*=\\s*[\"']?canonical", 1),
-        lit("")))
+        s"(?is)<link\\s[^>]*?$relAttr[^>]*?$bareHref", 1), lit("")),
+      nullif(regexp_extract(html,
+        s"(?is)<link\\s[^>]*?$quotedHref[\"'][^>]*?$relAttr", 1), lit("")),
+      nullif(regexp_extract(html,
+        s"(?is)<link\\s[^>]*?$bareHref[^>]*?$relAttr", 1), lit("")))
+  }
 
   /** Declared charset, lowercased (null when absent): `<meta
     * charset=…>` or the http-equiv Content-Type form — one pattern
-    * covers both, since `charset=` appears inside the tag either way. */
+    * covers both, since `charset=` appears inside the tag either way.
+    * `charset` must FOLLOW a delimiter (space/quote/semicolon) so a
+    * form's `accept-charset=` attribute never matches. */
   def metaCharset(html: Column): Column =
     lower(nullif(regexp_extract(html,
-      "(?is)<meta\\s[^>]*?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1), lit("")))
+      "(?is)<meta(?=[\\s/>])[^>]*?[\\s\"';]charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1),
+      lit("")))
 
   /** Stopword-density refinement (the second jusText signal): keep a
     * content block only if at least `minStopRatio` of its words are in

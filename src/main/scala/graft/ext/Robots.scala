@@ -150,6 +150,10 @@ object Robots {
     override def right: Expression = agentExpr
     override def inputTypes = Seq(StringType, StringType)
     override def dataType: DataType = ArrayType(RuleSchema, containsNull = false)
+    // deterministic pure function: literal robots+agent (the x53/x54
+    // shape) constant-folds to a rule-array literal at PLAN time
+    // instead of re-parsing the file per row
+    override def foldable: Boolean = txt.foldable && agentExpr.foldable
     override def prettyName: String = "graft_robots_rules"
 
     def parseRow(t: UTF8String, a: UTF8String): ArrayData =
@@ -178,11 +182,16 @@ object Robots {
     override def right: Expression = rules
     override def inputTypes = Seq(StringType, ArrayType(RuleSchema))
     override def dataType: DataType = BooleanType
+    override def foldable: Boolean = path.foldable && rules.foldable
     override def prettyName: String = "graft_robots_allowed"
 
     def decideRow(p: UTF8String, rs: ArrayData): Boolean = {
       val n = rs.numElements()
-      Robots.decide(p.toString, (0 until n).iterator.map { i =>
+      // RFC 9309: an empty path is matched as "/" — without this,
+      // "https://blocked.example" (no trailing slash) slips a
+      // full-site "Disallow: /"
+      val target = { val s = p.toString; if (s.isEmpty) "/" else s }
+      Robots.decide(target, (0 until n).iterator.map { i =>
         val r = rs.getStruct(i, 2)
         (r.getBoolean(0), r.getUTF8String(1).toString)
       })
@@ -205,13 +214,26 @@ object Robots {
   // -- Column API ---------------------------------------------------------
 
   /** array<struct<allow, pattern>> applicable to `agent` — run once per
-    * DOMAIN row, never per URL. */
+    * DOMAIN row, never per URL (literal inputs constant-fold at plan
+    * time; see the expression's `foldable`). */
   def rulesFor(robotsTxt: Column, agent: Column): Column =
     ColumnBridge.column(RobotsRulesExpr(
       ColumnBridge.expr(robotsTxt), ColumnBridge.expr(agent)))
 
-  /** TRUE when `path` is fetchable under `rules`. */
-  def allowed(path: Column, rules: Column): Column =
+  /** TRUE when the match target is fetchable under `rules`. Pass
+    * [[matchTarget]] (path + query) when rules may target query
+    * strings — Google semantics match `path?query`, and a bare-path
+    * caller can never fire a wildcard `?sessionid=` disallow rule. An
+    * empty target matches as "/". */
+  def allowed(target: Column, rules: Column): Column =
     ColumnBridge.column(RobotsAllowedExpr(
-      ColumnBridge.expr(path), ColumnBridge.expr(rules)))
+      ColumnBridge.expr(target), ColumnBridge.expr(rules)))
+
+  /** The RFC-9309 match target of a parsed URL: `path?query` when a
+    * query exists, else the path; empty path becomes "/". Feed
+    * [[graft.ext.UrlOps.urlParts]]'s `path`/`query` fields in. */
+  def matchTarget(path: Column, query: Column): Column = {
+    val p = when(path.isNull || path === "", "/").otherwise(path)
+    when(query.isNull, p).otherwise(concat(p, lit("?"), query))
+  }
 }

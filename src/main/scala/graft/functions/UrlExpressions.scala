@@ -11,10 +11,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * the six-group pattern once PER EXTRACTED GROUP per call site (a
   * `RegExpExtract` re-matches for every group), ~18 regex executions
   * per row across normalize + domain + blocklist — this kernel walks
-  * the string once and hands back the whole struct. Same parse
-  * contract as the regex it replaces: absolute URLs only
-  * (`scheme://`), userinfo parsed past and DISCARDED (blocklist-bypass
-  * hazard), null struct for anything malformed.
+  * the string once and hands back the whole struct. Parse contract:
+  * absolute URLs only (`scheme://`, ASCII scheme and digits), userinfo
+  * parsed past and DISCARDED (blocklist-bypass hazard), null struct
+  * for anything malformed. Two deliberate divergences from the regex
+  * it replaced, both stricter-or-safer: `host:nondigits` is malformed
+  * (the regex demoted ":abc..." into the path), and a multi-`@`
+  * authority strips through the LAST `@` (the regex rejected it —
+  * nothing before an `@` may ever be mistaken for the host).
   */
 object UrlExpressions {
 
@@ -55,10 +59,14 @@ object UrlExpressions {
     * count as absent, mirroring the regex form's `nullif`). */
   def parse(s: String): GenericInternalRow = {
     val n = s.length
-    // scheme: [A-Za-z][A-Za-z0-9+.-]* then "://"
-    if (n == 0 || !Character.isLetter(s.charAt(0))) return null
+    // scheme: ASCII [A-Za-z][A-Za-z0-9+.-]* then "://" (NOT the
+    // Unicode Character.isLetter classes - a non-ASCII "scheme" must
+    // stay malformed, matching RFC 3986 and the oracle's semantics)
+    def asciiLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def asciiDigit(c: Char) = c >= '0' && c <= '9'
+    if (n == 0 || !asciiLetter(s.charAt(0))) return null
     var i = 1
-    while (i < n && (Character.isLetterOrDigit(s.charAt(i)) ||
+    while (i < n && (asciiLetter(s.charAt(i)) || asciiDigit(s.charAt(i)) ||
       s.charAt(i) == '+' || s.charAt(i) == '.' || s.charAt(i) == '-')) i += 1
     if (i + 2 >= n || s.charAt(i) != ':' || s.charAt(i + 1) != '/' || s.charAt(i + 2) != '/')
       return null
@@ -76,11 +84,11 @@ object UrlExpressions {
     val (host, port) =
       if (colon >= 0 && colon == auth.indexOf(':')) {
         val p = auth.substring(colon + 1)
-        if (p.nonEmpty && p.forall(Character.isDigit)) (auth.substring(0, colon), p)
+        if (p.nonEmpty && p.forall(asciiDigit)) (auth.substring(0, colon), p)
         else return null // 'host:abc' — not a port, malformed
       } else if (colon >= 0) return null // multiple ':' (no IPv6 support)
       else (auth, null)
-    if (host.isEmpty || host.contains('@')) return null
+    if (host.isEmpty) return null
     // path / query / fragment
     var q = a
     while (q < n && s.charAt(q) != '?' && s.charAt(q) != '#') q += 1

@@ -152,6 +152,24 @@ class ExtractSpec extends SparkTestBase {
     assert(!df(2).getBoolean(0) && df(2).isNullAt(1) && df(2).isNullAt(2))
   }
 
+  test("head signals: unquoted values honored; prefixed names/rels rejected; accept-charset ignored") {
+    val df = Seq(
+      // unquoted content / href — valid HTML, gates must fire
+      "<head><meta name=robots content=noindex><link rel=canonical href=https://e.com/u></head>",
+      // prefixed name / rel must NOT match; accept-charset is not charset
+      """<head><meta name="robots-news" content="noindex">
+        |<link rel="canonical-alt" href="http://wrong">
+        |<form accept-charset=utf-16></form><meta name=x content=y></head>""".stripMargin)
+      .toDF("html")
+      .select(
+        Extract.isNoindex(col("html")).as("noidx"),
+        Extract.canonicalUrl(col("html")).as("canon"),
+        Extract.metaCharset(col("html")).as("cs"))
+      .collect()
+    assert(df(0).getBoolean(0) && df(0).getString(1) == "https://e.com/u")
+    assert(!df(1).getBoolean(0) && df(1).isNullAt(1) && df(1).isNullAt(2))
+  }
+
   test("empty, null, and text-free pages yield empty results, not errors") {
     val df = Seq[Option[String]](Some(""), None, Some("<p></p><div>   </div>"))
       .toDF("html")

@@ -72,6 +72,34 @@ class RobotsSpec extends SparkTestBase {
     assert(Robots.decide("/page", Iterator((false, "/page"), (true, "/page"))))
   }
 
+  test("empty path matches as '/'; matchTarget includes the query; literal rules fold at plan time") {
+    // a full-site disallow must block "https://x.example" (empty path)
+    val full = Robots.parseRules("User-agent: *\nDisallow: /\n", "any")
+    val df = Seq("").toDF("path")
+      .select(Robots.allowed(col("path"),
+        Robots.rulesFor(lit("User-agent: *\nDisallow: /\n"), lit("any"))).as("ok"))
+    assert(!df.head.getBoolean(0))
+    assert(full.nonEmpty)
+    // query-targeting rules fire only through matchTarget
+    val qRules = Robots.rulesFor(
+      lit("User-agent: *\nDisallow: /*?sessionid=\n"), lit("any"))
+    val t = Seq(("/page", "sessionid=abc"), ("/page", null))
+      .toDF("path", "query")
+      .select(Robots.allowed(
+        Robots.matchTarget(col("path"), col("query")), qRules).as("ok"))
+      .as[Boolean].collect().toSeq
+    assert(t == Seq(false, true))
+    // literal robots + agent constant-fold: over a non-foldable path
+    // the optimized plan carries the folded rule-array literal, not a
+    // per-row graft_robots_rules parse
+    val plan = spark.range(1)
+      .select(Robots.allowed(
+        concat(lit("/p/"), col("id").cast("string")), qRules).as("ok"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_robots_rules"), plan)
+    assert(plan.contains("graft_robots_allowed"), plan)
+  }
+
   test("distributed shape: rules per domain join URLs; kernels run in codegen") {
     val domains = Seq(("a.example", txt), ("b.example", "User-agent: *\nDisallow:\n"))
       .toDF("domain", "robots")

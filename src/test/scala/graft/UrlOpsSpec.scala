@@ -69,6 +69,11 @@ class UrlOpsSpec extends SparkTestBase {
     assert(r.getUTF8String(2).toString == "8080" && r.getUTF8String(3).toString == "/p")
     assert(r.getUTF8String(4).toString == "q=1" && r.getUTF8String(5).toString == "f")
     assert(graft.functions.UrlExpressions.parse("nope") == null)
+    // ASCII-only scheme/port (Unicode letter/digit classes must not
+    // widen the contract): Arabic-Indic digits are not a port
+    assert(graft.functions.UrlExpressions.parse("héllo://host/") == null)
+    assert(graft.functions.UrlExpressions.parse("http://host:٨٠/x") == null)
+    assert(graft.functions.UrlExpressions.parse("http://host:abc/x") == null)
     graft.functions.GraftExtensions.register(spark)
     val sqlR = spark.sql("SELECT graft_url_parts('https://a.io/x').host").head
     assert(sqlR.getString(0) == "a.io")
