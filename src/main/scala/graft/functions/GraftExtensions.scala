@@ -197,6 +197,18 @@ object GraftExtensions {
           "(null when not scheme://host)"),
       (es: Seq[Expression]) => { arity("graft_url_parts", 1, es)
         UrlExpressions.UrlPartsExpr(es(0)) }),
+    (FunctionIdentifier("graft_robots_rules"),
+      info("graft.ext.Robots", "graft_robots_rules",
+        "graft_robots_rules(txt, agent) - the robots.txt rules applying to agent, " +
+          "array<struct<allow, pattern>> (RFC 9309 group selection)"),
+      (es: Seq[Expression]) => { arity("graft_robots_rules", 2, es)
+        graft.ext.Robots.RobotsRulesExpr(es(0), es(1)) }),
+    (FunctionIdentifier("graft_robots_allowed"),
+      info("graft.ext.Robots", "graft_robots_allowed",
+        "graft_robots_allowed(target, rules) - RFC 9309 longest-match decision " +
+          "(allow wins ties; no match allows)"),
+      (es: Seq[Expression]) => { arity("graft_robots_allowed", 2, es)
+        graft.ext.Robots.RobotsAllowedExpr(es(0), es(1)) }),
     (FunctionIdentifier("graft_bounded_topk"),
       info("graft.functions.TopKAggregate", "graft_bounded_topk",
         "graft_bounded_topk(score, term, k) - per-group top-k by (score desc, " +

@@ -100,6 +100,15 @@ class RobotsSpec extends SparkTestBase {
     assert(plan.contains("graft_robots_allowed"), plan)
   }
 
+  test("SQL surface: robots functions usable from spark.sql") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_robots_allowed('/private/x',
+        |  graft_robots_rules('User-agent: *
+        |Disallow: /private/', '*')) AS ok""".stripMargin).head
+    assert(!r.getBoolean(0))
+  }
+
   test("distributed shape: rules per domain join URLs; kernels run in codegen") {
     val domains = Seq(("a.example", txt), ("b.example", "User-agent: *\nDisallow:\n"))
       .toDF("domain", "robots")
