@@ -262,15 +262,114 @@ object Warc {
     ct.startsWith("text/html") || ct.startsWith("application/xhtml+xml")
   }
 
+  /** Charset declared by the HTTP response headers (null when absent):
+    * the `charset=` parameter of Content-Type, lowercased. Prefer this
+    * over the meta tag when both exist (HTTP wins per the HTML spec). */
+  def httpCharset(payload: Column): Column =
+    lower(nullif(regexp_extract(
+      coalesce(httpHeader(payload, "Content-Type"), lit("")),
+      "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1), lit("")))
+
   /** (path, idx, target_uri, warc_date, html) for the 200 HTML response
     * records of [[read]]'s output — the rows [[Extract.mainText]]
-    * consumes. */
-  def htmlResponses(records: Dataset[WarcRow]): DataFrame =
-    records.toDF()
+    * consumes. The body decodes under its DECLARED charset (HTTP
+    * header, then `<meta charset>` sniffed from a UTF-8 provisional
+    * decode, then UTF-8): a Latin-1/Windows-1252 page — still a large
+    * crawl fraction — cast blindly as UTF-8 turns every non-ASCII char
+    * into U+FFFD before the extractor ever runs. */
+  def htmlResponses(records: Dataset[WarcRow]): DataFrame = {
+    val resp = records.toDF()
       .filter(col("warc_type") === "response" &&
         httpStatus(col("payload")) === 200 &&
         col("content_type").startsWith("application/http") &&
         isHtmlResponse(col("payload")))
-      .withColumn("html", httpBody(col("payload")))
+      .withColumn("_body", httpBodyBytes(col("payload")))
+    val provisional = col("_body").cast("string") // UTF-8 view for meta sniff
+    val cs = coalesce(httpCharset(col("payload")),
+      Extract.metaCharset(provisional), lit("utf-8"))
+    resp.withColumn("html", decodeCharset(col("_body"), cs))
       .select("path", "idx", "target_uri", "warc_date", "html")
+  }
+
+  /** HTTP body as BYTES (everything after the first blank line): the
+    * charset-correct twin of [[httpBody]] — splitting after a string
+    * cast would already have corrupted non-UTF-8 bytes. */
+  def httpBodyBytes(payload: Column): Column =
+    ColumnBridge.column(HttpBodyBytesExpr(ColumnBridge.expr(payload)))
+
+  final case class HttpBodyBytesExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_http_body_bytes"
+
+    def bodyOf(bytes: Array[Byte]): Array[Byte] = {
+      // first CRLFCRLF or LFLF — scanning bytes, charset-agnostic for
+      // the ASCII-compatible encodings HTTP headers are written in
+      var i = 0
+      val n = bytes.length
+      while (i < n) {
+        if (bytes(i) == '\n') {
+          var j = i + 1
+          if (j < n && bytes(j) == '\r') j += 1
+          if (j < n && bytes(j) == '\n')
+            return java.util.Arrays.copyOfRange(bytes, j + 1, n)
+        }
+        i += 1
+      }
+      bytes
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      bodyOf(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val ref = ctx.addReferenceObj("httpbody", this, classOf[HttpBodyBytesExpr].getName)
+        s"${ev.value} = $ref.bodyOf($b);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Decode bytes under a PER-ROW charset name (JDK charsets;
+    * malformed input replaced, unknown charset falls back to UTF-8 —
+    * a decode must never kill a 100-TB pass). */
+  def decodeCharset(bytes: Column, charsetName: Column): Column =
+    ColumnBridge.column(DecodeCharsetExpr(
+      ColumnBridge.expr(bytes), ColumnBridge.expr(charsetName)))
+
+  final case class DecodeCharsetExpr(bytesExpr: Expression, csExpr: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes {
+    override def left: Expression = bytesExpr
+    override def right: Expression = csExpr
+    override def inputTypes = Seq(BinaryType, StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_decode_charset"
+
+    def decode(b: Array[Byte], cs: UTF8String): UTF8String = {
+      val charset =
+        try java.nio.charset.Charset.forName(cs.toString)
+        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+      val dec = charset.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+    }
+
+    override def nullSafeEval(b: Any, cs: Any): Any =
+      decode(b.asInstanceOf[Array[Byte]], cs.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, cs) => {
+        val ref = ctx.addReferenceObj("csdec", this, classOf[DecodeCharsetExpr].getName)
+        s"${ev.value} = $ref.decode($b, $cs);"
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(bytesExpr = newLeft, csExpr = newRight)
+  }
 }

@@ -104,6 +104,43 @@ class WarcSpec extends SparkTestBase {
     assert(got.header("WARC-Target-URI").get == "https://e.example/café")
   }
 
+  test("charset-aware body decoding: HTTP header wins, meta sniff falls back, unknown -> UTF-8") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec3").toFile
+    try {
+      def rawRecord(uri: String, payload: Array[Byte]): Array[Byte] = {
+        (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8) ++
+          payload ++ "\r\n\r\n".getBytes(UTF_8)
+      }
+      // ISO-8859-1 body: 'café' with é as single byte 0xE9, declared in
+      // the HTTP header
+      val latinBody = "<p>caf".getBytes(UTF_8) ++ Array(0xE9.toByte) ++ "</p>".getBytes(UTF_8)
+      val r1 = rawRecord("https://cs.example/h",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n"
+          .getBytes(UTF_8) ++ latinBody)
+      // same bytes, charset only in a meta tag (UTF-8 provisional sniff)
+      val metaBody = "<html><head><meta charset=\"windows-1252\"></head><body><p>caf"
+        .getBytes(UTF_8) ++ Array(0xE9.toByte) ++ "</p></body></html>".getBytes(UTF_8)
+      val r2 = rawRecord("https://cs.example/m",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".getBytes(UTF_8) ++ metaBody)
+      // unknown charset name: falls back to UTF-8, never throws
+      val r3 = rawRecord("https://cs.example/u",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=no-such-cs\r\n\r\n<p>plain ascii</p>"
+          .getBytes(UTF_8))
+      java.nio.file.Files.write(new java.io.File(dir, "cs.warc").toPath, r1 ++ r2 ++ r3)
+      val got = Warc.htmlResponses(Warc.read(spark, dir.getAbsolutePath + "/*"))
+        .orderBy("target_uri")
+        .select("target_uri", "html").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(got("https://cs.example/h") == "<p>café</p>")
+      assert(got("https://cs.example/m").contains("<p>café</p>"))
+      assert(got("https://cs.example/u") == "<p>plain ascii</p>")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+
   test("htmlResponses filters to 200 HTML responses; non-HTML 200s excluded") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec2").toFile
     try {
