@@ -129,6 +129,135 @@ object UnigramLm {
     ColumnBridge.column(
       UnigramViterbi(ColumnBridge.expr(word), model.table, model.maxPieceLen))
 
+  // -- forward–backward expected counts (the FULL EM E-step) --------------
+
+  /** Per-word expected piece counts under the current model — Kudo's
+    * actual E-step (marginal piece posteriors over ALL segmentations
+    * via forward–backward in log space), where [[segment]] is the
+    * hard-EM approximation. Also returns the word's total
+    * log-likelihood (the forward value at the end), which [[fitEm]]
+    * uses for the monotonicity contract. Deterministic: fixed
+    * iteration order, log-sum-exp with the max factored out. */
+  def expectedCounts(w: String,
+      table: java.util.HashMap[String, java.lang.Double],
+      maxPieceLen: Int): (Array[(String, Double)], Double) = {
+    val n = w.length
+    if (n == 0) return (Array.empty, 0.0)
+    def lse(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    def lpOf(j: Int, i: Int): Double = {
+      val lp = table.get(w.substring(j, i))
+      if (lp != null) lp.doubleValue()
+      else if (i - j == 1) UnkLogp
+      else Double.NegativeInfinity
+    }
+    val alpha = new Array[Double](n + 1)
+    val beta = new Array[Double](n + 1)
+    java.util.Arrays.fill(alpha, Double.NegativeInfinity)
+    java.util.Arrays.fill(beta, Double.NegativeInfinity)
+    alpha(0) = 0.0; beta(n) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) { alpha(i) = lse(alpha(i), alpha(j) + lpOf(j, i)); j += 1 }
+      i += 1
+    }
+    var j2 = n - 1
+    while (j2 >= 0) {
+      var i2 = j2 + 1
+      val hi = math.min(n, j2 + maxPieceLen)
+      while (i2 <= hi) { beta(j2) = lse(beta(j2), lpOf(j2, i2) + beta(i2)); i2 += 1 }
+      j2 -= 1
+    }
+    val total = alpha(n)
+    if (total == Double.NegativeInfinity) return (Array.empty, total)
+    val acc = new java.util.LinkedHashMap[String, java.lang.Double]()
+    var jj = 0
+    while (jj < n) {
+      var ii = jj + 1
+      val hi = math.min(n, jj + maxPieceLen)
+      while (ii <= hi) {
+        val lp = lpOf(jj, ii)
+        if (lp > Double.NegativeInfinity) {
+          val post = math.exp(alpha(jj) + lp + beta(ii) - total)
+          if (post > 0.0) {
+            val piece = w.substring(jj, ii)
+            val cur = acc.get(piece)
+            acc.put(piece, if (cur == null) post else cur.doubleValue() + post)
+          }
+        }
+        ii += 1
+      }
+      jj += 1
+    }
+    val out = new Array[(String, Double)](acc.size())
+    val it = acc.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next(); out(k) = (e.getKey, e.getValue.doubleValue()); k += 1
+    }
+    (out, total)
+  }
+
+  /** [[expectedCounts]] as a native expression: per word, an array of
+    * (piece, weight) posteriors plus the word log-likelihood — one
+    * kernel call per vocab row, model as a plan literal (the
+    * [[UnigramViterbi]] pattern). Weights are 9-decimal-rounded HERE
+    * so the distributed M-step can sum them as exact decimals
+    * (partition-order invariance — the house determinism discipline;
+    * fractional doubles summed raw would be order-dependent). */
+  final case class UnigramEmCounts(child: Expression,
+      pieces: Array[(String, Double)], maxPieceLen: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("counts",
+          ArrayType(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("piece", StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("w",
+              org.apache.spark.sql.types.DoubleType, nullable = false))),
+            containsNull = false), nullable = false),
+        org.apache.spark.sql.types.StructField("ll",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    override def prettyName: String = "graft_unigram_em_counts"
+
+    @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+      pieces.foreach { case (p, lp) => m.put(p, lp) }
+      m
+    }
+
+    def emRow(w: UTF8String): Any = {
+      val (counts, ll) = UnigramLm.expectedCounts(w.toString, table, maxPieceLen)
+      val arr = new GenericArrayData(counts.map { case (p, wt) =>
+        val rounded = math.rint(wt * 1e9) / 1e9
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(p), rounded)): Any
+      })
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](arr, ll))
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      emRow(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, w => {
+        val ref = ctx.addReferenceObj("em", this, classOf[UnigramEmCounts].getName)
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.emRow($w);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def emCountsCol(word: Column, model: Model): Column =
+    ColumnBridge.column(
+      UnigramEmCounts(ColumnBridge.expr(word), model.table, model.maxPieceLen))
+
   // -- Induction ----------------------------------------------------------
 
   /** Seed inventory: the `seedSize` most frequent substrings (length
@@ -223,6 +352,91 @@ object UnigramLm {
     Model(sorted.toIndexedSeq.map { case (p, c) =>
       Piece(p, math.log((c + 1).toDouble / total))
     }, maxPieceLen)
+  }
+
+  final case class EmFit(model: Model, logLikelihoods: Seq[Double])
+
+  /** FULL soft-EM fit (Kudo's published recipe; [[fit]] is the hard-EM
+    * variant): each round computes forward–backward expected counts
+    * over every segmentation of every word — one distributed kernel
+    * job + a model-sized collect — and the M-step renormalizes from
+    * those posteriors. Pruning uses expected usage (chars never
+    * pruned), then `finalRounds` pure-EM refits whose corpus
+    * log-likelihoods are returned: EM's defining contract is that they
+    * never decrease (UnigramLmSpec asserts it), which the
+    * hard-EM/Viterbi approximation cannot promise.
+    *
+    * Determinism discipline: per-word posteriors are IEEE-deterministic
+    * (fixed fold order), 9-decimal-rounded IN the kernel, and the
+    * cross-word sums run as exact DECIMAL aggregations — the fitted
+    * model is partition-order invariant like the hard-EM one. */
+  def fitEm(vocab: DataFrame, targetSize: Int, seedSize: Int = 8192,
+      maxPieceLen: Int = 8, shrink: Double = 0.75,
+      finalRounds: Int = 2): EmFit = {
+    require(shrink > 0 && shrink < 1, "shrink must be in (0, 1)")
+    val words = vocab.select(col("word"), col("freq")).localCheckpoint(true)
+    val seed = seedPieces(words, seedSize, maxPieceLen).collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble))
+    var model = toModelD(seed, maxPieceLen)
+    while (model.pieces.size > targetSize &&
+        model.pieces.exists(_.piece.length > 1)) {
+      val (counts, _) = emExpected(words, model)
+      model = toModelD(pruneD(counts, targetSize, shrink), maxPieceLen)
+    }
+    val lls = scala.collection.mutable.ArrayBuffer[Double]()
+    var i = 0
+    while (i < finalRounds) {
+      val (counts, ll) = emExpected(words, model)
+      lls += ll
+      model = toModelD(counts, maxPieceLen)
+      i += 1
+    }
+    EmFit(model, lls.toSeq)
+  }
+
+  /** One distributed E-step: freq-weighted expected counts per piece
+    * (exact decimal sums of the kernel's 9-rounded posteriors) and the
+    * corpus log-likelihood. Zero-count multi-char pieces drop; chars
+    * are retained at zero (closure). Model-sized collect. */
+  def emExpected(words: DataFrame, model: Model): (Array[(String, Double)], Double) = {
+    import org.apache.spark.sql.types.DecimalType
+    val st = words
+      .select(col("freq"), emCountsCol(col("word"), model).as("em"))
+      .localCheckpoint(true) // referenced twice; the kernel must run once
+    val counted = st
+      .select(col("freq"), explode(col("em.counts")).as("c"))
+      .groupBy(col("c.piece").as("piece"))
+      .agg(sum(col("c.w").cast(DecimalType(28, 9)) * col("freq")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toMap
+    val ll = st
+      .select(sum(round(col("em.ll") * col("freq"), 9).cast(DecimalType(38, 9))))
+      .head.getDecimal(0).doubleValue()
+    val kept = model.pieces.toArray.map(p =>
+        (p.piece, counted.getOrElse(p.piece, 0.0)))
+      .filter { case (p, c) => c > 0 || p.length == 1 }
+    (kept, ll)
+  }
+
+  /** UNSMOOTHED M-step: p = c / Σc — the exact complete-data maximizer,
+    * which is what makes EM's log-likelihood monotone (the hard-EM
+    * [[toModel]]'s +1 smoothing would break the guarantee). Retained
+    * zero-count chars take the UNK floor instead of a smoothed share:
+    * they stay segmentable without distorting the distribution. */
+  private def toModelD(counts: Array[(String, Double)], maxPieceLen: Int): Model = {
+    val sorted = counts.sortBy(_._1)
+    val total = sorted.foldLeft(0.0) { case (s, (_, c)) => s + c }
+    Model(sorted.toIndexedSeq.map { case (p, c) =>
+      Piece(p, if (c > 0 && total > 0) math.log(c / total) else UnkLogp)
+    }, maxPieceLen)
+  }
+
+  private def pruneD(counts: Array[(String, Double)], target: Int,
+      shrink: Double): Array[(String, Double)] = {
+    val (chars, multi) = counts.partition(_._1.length == 1)
+    val newTotal = math.max(target,
+      math.min(counts.length - 1, math.ceil(counts.length * shrink).toInt))
+    val keepMulti = math.max(newTotal - chars.length, 0)
+    chars ++ multi.sortBy { case (p, c) => (-c, p) }.take(keepMulti)
   }
 
   // -- Application --------------------------------------------------------

@@ -138,6 +138,57 @@ class UnigramLmSpec extends SparkTestBase {
     assert(asOne > 0)
   }
 
+  test("soft-EM: expected counts == brute-force enumeration; corpus log-likelihood never decreases") {
+    // brute-force: enumerate ALL segmentations of a short word, weight
+    // each by its probability, count pieces — must equal the
+    // forward-backward posteriors to float precision
+    val vocab = Bpe.wordFreqs(corpusDf, "text").localCheckpoint(true)
+    val m = UnigramLm.fit(vocab, 20, 40, 6)
+    val table = new java.util.HashMap[String, java.lang.Double]()
+    m.pieces.foreach(p => table.put(p.piece, p.logp))
+    def lpOf(s: String): Double = Option(table.get(s)).map(_.doubleValue())
+      .getOrElse(if (s.length == 1) UnigramLm.UnkLogp else Double.NegativeInfinity)
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(m.maxPieceLen, w.length)).flatMap { l =>
+        val (h, t) = w.splitAt(l)
+        if (lpOf(h) > Double.NegativeInfinity) allSegs(t).map(h +: _) else Seq.empty
+      }
+    for (w <- Seq("lowest", "newer", "wider")) {
+      val segs = allSegs(w)
+      val probs = segs.map(s => math.exp(s.map(lpOf).sum))
+      val z = probs.sum
+      val brute = segs.zip(probs).flatMap { case (s, p) => s.map(_ -> p / z) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val (got, ll) = UnigramLm.expectedCounts(w, table, m.maxPieceLen)
+      assert(math.abs(math.exp(ll) - z) <= z * 1e-9, s"$w: Z ${math.exp(ll)} vs $z")
+      val gotMap = got.toMap
+      assert(gotMap.keySet == brute.keySet, s"$w: ${gotMap.keySet} vs ${brute.keySet}")
+      brute.foreach { case (p, c) =>
+        assert(math.abs(gotMap(p) - c) <= 1e-9, s"$w/$p: ${gotMap(p)} vs $c")
+      }
+    }
+    // EM's defining contract on the refit rounds
+    val fitted = UnigramLm.fitEm(vocab, targetSize = 20, seedSize = 40,
+      maxPieceLen = 6, finalRounds = 4)
+    val lls = fitted.logLikelihoods
+    assert(lls.size == 4)
+    lls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-6, s"log-likelihood decreased: $lls")
+    }
+    // and the fitted model still segments every vocab word losslessly
+    val seg = UnigramLm.segmentTable(vocab, fitted.model)
+    assert(seg.select(col("word"), concat_ws("", col("subwords")).as("j"))
+      .filter(col("word") =!= col("j")).count() == 0)
+  }
+
+  test("soft-EM fit is partition-order invariant") {
+    val vocab = Bpe.wordFreqs(corpusDf, "text").localCheckpoint(true)
+    val a = UnigramLm.fitEm(vocab, 20, 40, 6)
+    val b = UnigramLm.fitEm(vocab.repartition(13), 20, 40, 6)
+    assert(a.model == b.model && a.logLikelihoods == b.logLikelihoods)
+  }
+
   test("fit terminates on a tiny targetSize (the ceil(n*shrink)==n stall)") {
     val vocab = Bpe.wordFreqs(Seq((1L, "ab ab ab cd")).toDF("id", "text"), "text")
       .localCheckpoint(true)
