@@ -48,6 +48,13 @@ object UnigramLm {
       pieces.map(p => (p.piece, p.logp)).toArray
   }
 
+  private[ext] def buildTable(
+      pieces: Array[(String, Double)]): java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+    pieces.foreach { case (p, lp) => m.put(p, lp) }
+    m
+  }
+
   /** Log-prob assigned to an out-of-model single character so unknown
     * input stays segmentable (standard UNK floor; any in-model
     * segmentation beats any segmentation using it). */
@@ -101,11 +108,7 @@ object UnigramLm {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_unigram_viterbi"
 
-    @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
-      val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
-      pieces.foreach { case (p, lp) => m.put(p, lp) }
-      m
-    }
+    @transient private lazy val table = UnigramLm.buildTable(pieces)
 
     def segmentRow(w: UTF8String): GenericArrayData =
       new GenericArrayData(
@@ -224,11 +227,7 @@ object UnigramLm {
           org.apache.spark.sql.types.DoubleType, nullable = false)))
     override def prettyName: String = "graft_unigram_em_counts"
 
-    @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
-      val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
-      pieces.foreach { case (p, lp) => m.put(p, lp) }
-      m
-    }
+    @transient private lazy val table = UnigramLm.buildTable(pieces)
 
     def emRow(w: UTF8String): Any = {
       val (counts, ll) = UnigramLm.expectedCounts(w.toString, table, maxPieceLen)
@@ -295,6 +294,7 @@ object UnigramLm {
       finalRounds: Int = 2): Model = {
     require(shrink > 0 && shrink < 1, "shrink must be in (0, 1)")
     val words = vocab.select(col("word"), col("freq")).localCheckpoint(true)
+    try {
     // model-sized collect: ≤ seedSize + |alphabet| rows by construction
     val seed = seedPieces(words, seedSize, maxPieceLen).collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -313,6 +313,7 @@ object UnigramLm {
       i += 1
     }
     model
+    } finally words.unpersist(): Unit
   }
 
   /** One E+M round: Viterbi-segment the vocab under `model`, count
@@ -329,19 +330,13 @@ object UnigramLm {
       .filter { case (p, c) => c > 0 || p.length == 1 }
   }
 
-  /** Shrink to `max(target, ceil(size·shrink))` total pieces — but
-    * always at least one FEWER than now (ceil(n·shrink) == n for tiny
-    * n, which would loop the fit forever on a small targetSize): chars
-    * always survive, multi-char pieces keep the best by the total
-    * (count desc, piece asc) rule. */
+  /** Long-count prune: one exact Double round-trip into [[pruneD]] so
+    * the shrink/stall-guard logic lives once (counts are far below
+    * 2^53; the ordering is identical). */
   private def prune(counts: Array[(String, Long)], target: Int,
-      shrink: Double): Array[(String, Long)] = {
-    val (chars, multi) = counts.partition(_._1.length == 1)
-    val newTotal = math.max(target,
-      math.min(counts.length - 1, math.ceil(counts.length * shrink).toInt))
-    val keepMulti = math.max(newTotal - chars.length, 0)
-    chars ++ multi.sortBy { case (p, c) => (-c, p) }.take(keepMulti)
-  }
+      shrink: Double): Array[(String, Long)] =
+    pruneD(counts.map { case (p, c) => (p, c.toDouble) }, target, shrink)
+      .map { case (p, c) => (p, c.toLong) }
 
   /** Counts → log-probs: logp = ln(count / total) over smoothed counts
     * (+1 so zero-count retained chars stay finite). Deterministic: the
@@ -375,6 +370,7 @@ object UnigramLm {
       finalRounds: Int = 2): EmFit = {
     require(shrink > 0 && shrink < 1, "shrink must be in (0, 1)")
     val words = vocab.select(col("word"), col("freq")).localCheckpoint(true)
+    try {
     val seed = seedPieces(words, seedSize, maxPieceLen).collect()
       .map(r => (r.getString(0), r.getLong(1).toDouble))
     var model = toModelD(seed, maxPieceLen)
@@ -392,6 +388,7 @@ object UnigramLm {
       i += 1
     }
     EmFit(model, lls.toSeq)
+    } finally words.unpersist(): Unit
   }
 
   /** One distributed E-step: freq-weighted expected counts per piece
@@ -403,18 +400,27 @@ object UnigramLm {
     val st = words
       .select(col("freq"), emCountsCol(col("word"), model).as("em"))
       .localCheckpoint(true) // referenced twice; the kernel must run once
-    val counted = st
-      .select(col("freq"), explode(col("em.counts")).as("c"))
-      .groupBy(col("c.piece").as("piece"))
-      .agg(sum(col("c.w").cast(DecimalType(28, 9)) * col("freq")).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toMap
-    val ll = st
-      .select(sum(round(col("em.ll") * col("freq"), 9).cast(DecimalType(38, 9))))
-      .head.getDecimal(0).doubleValue()
-    val kept = model.pieces.toArray.map(p =>
-        (p.piece, counted.getOrElse(p.piece, 0.0)))
-      .filter { case (p, c) => c > 0 || p.length == 1 }
-    (kept, ll)
+    try {
+      // round the DOUBLE product to 9 decimals BEFORE the decimal cast:
+      // Decimal(28,9) * long promotes to Decimal(38,6) under Spark's
+      // precision adjustment, silently truncating every per-row
+      // posterior at 1e-6 and eating the monotonicity margin
+      val counted = st
+        .select(col("freq"), explode(col("em.counts")).as("c"))
+        .groupBy(col("c.piece").as("piece"))
+        .agg(sum(round(col("c.w") * col("freq"), 9)
+          .cast(DecimalType(38, 9))).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue())).toMap
+      // global sum over ZERO rows is a NULL decimal — empty vocab must
+      // yield an empty fit, not an NPE
+      val ll = Option(st
+        .select(sum(round(col("em.ll") * col("freq"), 9).cast(DecimalType(38, 9))))
+        .head.getDecimal(0)).map(_.doubleValue()).getOrElse(0.0)
+      val kept = model.pieces.toArray.map(p =>
+          (p.piece, counted.getOrElse(p.piece, 0.0)))
+        .filter { case (p, c) => c > 0 || p.length == 1 }
+      (kept, ll)
+    } finally st.unpersist(): Unit // don't pin one copy per EM round
   }
 
   /** UNSMOOTHED M-step: p = c / Σc — the exact complete-data maximizer,

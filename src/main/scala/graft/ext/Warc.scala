@@ -350,13 +350,30 @@ object Warc {
     override def prettyName: String = "graft_decode_charset"
 
     def decode(b: Array[Byte], cs: UTF8String): UTF8String = {
+      // WHATWG Encoding: a BOM OVERRIDES any declared charset — a
+      // UTF-8 page behind a stale `charset=iso-8859-1` header (a
+      // common real-crawl misconfiguration) must not mojibake. The
+      // BOM itself is stripped.
+      val (bytes, bomCharset) =
+        if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+            b(2) == 0xBF.toByte)
+          (java.util.Arrays.copyOfRange(b, 3, b.length),
+            java.nio.charset.StandardCharsets.UTF_8)
+        else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
+          (java.util.Arrays.copyOfRange(b, 2, b.length),
+            java.nio.charset.StandardCharsets.UTF_16LE)
+        else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+          (java.util.Arrays.copyOfRange(b, 2, b.length),
+            java.nio.charset.StandardCharsets.UTF_16BE)
+        else (b, null)
       val charset =
-        try java.nio.charset.Charset.forName(cs.toString)
+        if (bomCharset != null) bomCharset
+        else try java.nio.charset.Charset.forName(cs.toString)
         catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
       val dec = charset.newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
         .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-      UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+      UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
     }
 
     override def nullSafeEval(b: Any, cs: Any): Any =

@@ -128,7 +128,15 @@ class WarcSpec extends SparkTestBase {
       val r3 = rawRecord("https://cs.example/u",
         "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=no-such-cs\r\n\r\n<p>plain ascii</p>"
           .getBytes(UTF_8))
-      java.nio.file.Files.write(new java.io.File(dir, "cs.warc").toPath, r1 ++ r2 ++ r3)
+      // UTF-8 BOM overrides a stale iso-8859-1 header (WHATWG rule),
+      // and the BOM is stripped from the decoded text
+      val bomBody = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        "<p>café</p>".getBytes(UTF_8)
+      val r4 = rawRecord("https://cs.example/b",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1\r\n\r\n"
+          .getBytes(UTF_8) ++ bomBody)
+      java.nio.file.Files.write(new java.io.File(dir, "cs.warc").toPath,
+        r1 ++ r2 ++ r3 ++ r4)
       val got = Warc.htmlResponses(Warc.read(spark, dir.getAbsolutePath + "/*"))
         .orderBy("target_uri")
         .select("target_uri", "html").collect()
@@ -136,6 +144,7 @@ class WarcSpec extends SparkTestBase {
       assert(got("https://cs.example/h") == "<p>café</p>")
       assert(got("https://cs.example/m").contains("<p>café</p>"))
       assert(got("https://cs.example/u") == "<p>plain ascii</p>")
+      assert(got("https://cs.example/b") == "<p>café</p>")
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete(): Unit
     }
