@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-shard export — the pipeline's last mile: the curated,
+  * tokenized corpus leaves as size-bounded shards plus a MANIFEST the
+  * training side trusts (WebDataset/streaming-loader convention: the
+  * loader reads the manifest, not the directory listing).
+  *
+  * Shard assignment is [[Packing.packContiguous]]'s cumulative-sum
+  * machinery specialized to whole documents: docs are laid out in a
+  * deterministic order (seeded-hash shuffle — the [[Sampling]] global
+  * shuffle — or a caller-given sort) and cut every `tokensPerShard`
+  * tokens, so shard contents are a pure function of (corpus, seed,
+  * budget): re-running the export reproduces byte-identical shards.
+  *
+  * Scale shape: ONE window cumsum over (ntok) — shardable via
+  * `partitionCols` exactly like packContiguous when no global order is
+  * wanted — then a partitioned parquet write (`shard=NNN` directories,
+  * one task per shard via repartition on the shard id) and a
+  * manifest aggregation (shard-count rows: docs, tokens, and an
+  * order-invariant content checksum = sum of per-doc xxhash64, exact
+  * DECIMAL so the manifest is engine/partition-independent). */
+object Export {
+
+  /** Assign each doc a shard id by deterministic contiguous layout:
+    * (idCol, ntokCol, shard). A doc lands WHOLE in the shard where its
+    * first token falls (no document straddles a shard boundary in the
+    * manifest's accounting; a shard may therefore exceed the budget by
+    * less than one document). */
+  def assignShards(df: DataFrame, idCol: String, ntokCol: String,
+      tokensPerShard: Long, seed: Long = 42L): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val w = Window.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    val cum = sum(col(ntokCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("shard",
+      (coalesce(cum, lit(0L)) / tokensPerShard).cast("long"))
+  }
+
+  /** Write `shard=NNN`-partitioned parquet + `_manifest` (one row per
+    * shard: n_docs, n_tokens, checksum). Returns the manifest. */
+  def writeShards(df: DataFrame, idCol: String, ntokCol: String,
+      outDir: String, tokensPerShard: Long, seed: Long = 42L): DataFrame = {
+    val assigned = assignShards(df, idCol, ntokCol, tokensPerShard, seed)
+      .localCheckpoint(true) // one layout pass feeds both writes
+    try {
+      // one output file per shard: repartition ON the shard id so the
+      // write task holds exactly its shard (the bucketed-store "one
+      // file per bucket" discipline)
+      val nShards = assigned.agg(max(col("shard"))).head.getLong(0).toInt + 1
+      assigned.repartition(nShards, col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      val manifest = assigned.groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col(ntokCol)).as("n_tokens"),
+          // order-invariant exact checksum: per-doc xxhash64 summed as
+          // DECIMAL — any dropped/duplicated/altered doc changes it
+          sum(xxhash64(col(idCol), col(ntokCol)).cast(DecimalType(38, 0)))
+            .as("checksum"))
+        .orderBy("shard")
+      manifest.repartition(1).write.mode("overwrite")
+        .parquet(s"$outDir/_manifest")
+      manifest
+    } finally assigned.unpersist(): Unit
+  }
+
+  /** Re-derive the manifest from landed shards and compare — the
+    * integrity check a loader (or a post-copy audit) runs: returns
+    * rows that DISAGREE (empty = intact). */
+  def auditShards(spark: SparkSession, outDir: String, idCol: String,
+      ntokCol: String): DataFrame = {
+    val landed = spark.read.parquet(outDir).groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(ntokCol)).as("n_tokens"),
+      sum(xxhash64(col(idCol), col(ntokCol)).cast(DecimalType(38, 0)))
+        .as("checksum"))
+    val manifest = spark.read.parquet(s"$outDir/_manifest")
+    landed.as("l").join(manifest.as("m"), "shard", "full_outer")
+      .filter(col("l.n_docs").isNull || col("m.n_docs").isNull ||
+        col("l.n_docs") =!= col("m.n_docs") ||
+        col("l.n_tokens") =!= col("m.n_tokens") ||
+        col("l.checksum") =!= col("m.checksum"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Export
+import graft.store.Tables
+
+/** Shard export: deterministic layout, budget bounds, manifest
+  * integrity, and the audit's tamper detection. */
+class ExportSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docsWithTok = Tables.documents(spark, dir)
+    .select(col("doc_id"), col("text"),
+      size(split(trim(col("text")), "\\s+")).as("ntok"))
+
+  test("shards: conservation, budget bound, contiguity, determinism") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val manifest = Export.writeShards(docsWithTok, "doc_id", "ntok", out,
+      tokensPerShard = 2000)
+    val m = manifest.collect()
+    // conservation: every doc accounted once, token totals preserved
+    val totalDocs = m.map(_.getAs[Long]("n_docs")).sum
+    val totalToks = m.map(_.getAs[Long]("n_tokens")).sum
+    assert(totalDocs == docsWithTok.count())
+    assert(totalToks == docsWithTok.agg(sum("ntok")).head.getLong(0))
+    // budget: a shard exceeds 2000 by at most one doc's tokens (the
+    // whole-doc placement rule); shard ids contiguous from 0
+    val maxDoc = docsWithTok.agg(max("ntok")).head.getInt(0)
+    assert(m.forall(_.getAs[Long]("n_tokens") <= 2000 + maxDoc))
+    assert(m.map(_.getAs[Long]("shard")).toSeq == (0L until m.length).toSeq)
+    assert(m.length >= 2, "test corpus should span multiple shards")
+    // landed files: exactly one parquet file per shard directory
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == m.length)
+    assert(shardDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    // audit: intact store has zero disagreements
+    assert(Export.auditShards(spark, out, "doc_id", "ntok").isEmpty)
+    // determinism: a second export yields an identical manifest
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    val m2 = Export.writeShards(docsWithTok.repartition(13), "doc_id", "ntok",
+      out2, tokensPerShard = 2000).collect()
+    assert(m.map(_.toString).toSeq == m2.map(_.toString).toSeq)
+  }
+
+  test("audit detects a tampered shard") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards3").toString
+    Export.writeShards(docsWithTok, "doc_id", "ntok", out, tokensPerShard = 4000)
+    // tamper: drop one shard's file (simulates a lost/partial copy)
+    val victim = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).head
+    victim.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val bad = Export.auditShards(spark, out, "doc_id", "ntok")
+    assert(bad.count() >= 1)
+  }
+}
