@@ -17,9 +17,9 @@ import org.apache.spark.sql.types.DecimalType
   * tokens, so shard contents are a pure function of (corpus, seed,
   * budget): re-running the export reproduces byte-identical shards.
   *
-  * Scale shape: ONE window cumsum over (ntok) — shardable via
-  * `partitionCols` exactly like packContiguous when no global order is
-  * wanted — then a partitioned parquet write (`shard=NNN` directories,
+  * Scale shape: ONE window cumsum over (ntok) — per deterministic
+  * hash GROUP when `groups > 1` (the 100-TB posture: no global-ordered
+  * window exists at corpus scale) — then a partitioned parquet write (`shard=NNN` directories,
   * one task per shard via repartition on the shard id) and a
   * manifest aggregation (shard-count rows: docs, tokens, and an
   * order-invariant content checksum = sum of per-doc xxhash64, exact
@@ -30,22 +30,49 @@ object Export {
     * (idCol, ntokCol, shard). A doc lands WHOLE in the shard where its
     * first token falls (no document straddles a shard boundary in the
     * manifest's accounting; a shard may therefore exceed the budget by
-    * less than one document). */
+    * less than one document).
+    *
+    * `groups` is the 100-TB path: with `groups > 1` the layout runs
+    * INDEPENDENTLY inside `groups` deterministic hash groups (the
+    * packContiguous `partitionCols` move — no global-ordered window
+    * exists at corpus scale); global shard ids stay contiguous and
+    * collision-free via per-group offsets (shard = groupOffset +
+    * localShard, offsets from one groups-sized aggregation).
+    * `groups = 1` (default) keeps the exact single-sequence layout. */
   def assignShards(df: DataFrame, idCol: String, ntokCol: String,
-      tokensPerShard: Long, seed: Long = 42L): DataFrame = {
+      tokensPerShard: Long, seed: Long = 42L, groups: Int = 1): DataFrame = {
     require(tokensPerShard > 0, "tokensPerShard must be positive")
-    val w = Window.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    require(groups >= 1, "groups must be positive")
+    val grp =
+      if (groups == 1) lit(0L)
+      else pmod(xxhash64(col(idCol), lit(seed + 1)), lit(groups.toLong))
+    val w = Window.partitionBy(grp)
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
     val cum = sum(col(ntokCol)).over(
       w.rowsBetween(Window.unboundedPreceding, -1))
-    df.withColumn("shard",
-      (coalesce(cum, lit(0L)) / tokensPerShard).cast("long"))
+    val local = df.withColumn("_grp", grp)
+      .withColumn("_lshard", (coalesce(cum, lit(0L)) / tokensPerShard).cast("long"))
+    if (groups == 1) local.withColumn("shard", col("_lshard")).drop("_grp", "_lshard")
+    else {
+      // groups-sized frame: contiguous global offsets in group order
+      val wg = Window.orderBy("_grp")
+      val offsets = local.groupBy("_grp")
+        .agg((max(col("_lshard")) + 1).as("_n"))
+        .select(col("_grp"),
+          coalesce(sum(col("_n")).over(
+            wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"))
+      local.join(broadcast(offsets), "_grp")
+        .withColumn("shard", col("_off") + col("_lshard"))
+        .drop("_grp", "_lshard", "_off")
+    }
   }
 
   /** Write `shard=NNN`-partitioned parquet + `_manifest` (one row per
     * shard: n_docs, n_tokens, checksum). Returns the manifest. */
   def writeShards(df: DataFrame, idCol: String, ntokCol: String,
-      outDir: String, tokensPerShard: Long, seed: Long = 42L): DataFrame = {
-    val assigned = assignShards(df, idCol, ntokCol, tokensPerShard, seed)
+      outDir: String, tokensPerShard: Long, seed: Long = 42L,
+      groups: Int = 1): DataFrame = {
+    val assigned = assignShards(df, idCol, ntokCol, tokensPerShard, seed, groups)
       .localCheckpoint(true) // one layout pass feeds both writes
     try {
       // one output file per shard: repartition ON the shard id so the

@@ -47,6 +47,26 @@ class ExportSpec extends SparkTestBase {
     assert(m.map(_.toString).toSeq == m2.map(_.toString).toSeq)
   }
 
+  test("grouped layout (the 100-TB path): contiguous collision-free shards, conservation, audit-clean") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards-g").toString
+    val manifest = Export.writeShards(docsWithTok, "doc_id", "ntok", out,
+      tokensPerShard = 1500, groups = 4)
+    val m = manifest.collect()
+    assert(m.map(_.getAs[Long]("shard")).toSeq == (0L until m.length).toSeq,
+      "global shard ids must stay contiguous across groups")
+    assert(m.map(_.getAs[Long]("n_docs")).sum == docsWithTok.count())
+    assert(m.map(_.getAs[Long]("n_tokens")).sum ==
+      docsWithTok.agg(sum("ntok")).head.getLong(0))
+    assert(Export.auditShards(spark, out, "doc_id", "ntok").isEmpty)
+    // grouped assignment itself is deterministic across partitionings
+    val a = Export.assignShards(docsWithTok, "doc_id", "ntok", 1500, groups = 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toSet
+    val b = Export.assignShards(docsWithTok.repartition(11), "doc_id", "ntok",
+        1500, groups = 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("audit detects a tampered shard") {
     val out = java.nio.file.Files.createTempDirectory("graft-shards3").toString
     Export.writeShards(docsWithTok, "doc_id", "ntok", out, tokensPerShard = 4000)
