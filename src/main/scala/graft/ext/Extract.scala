@@ -201,6 +201,32 @@ object Extract {
       "(?is)<meta(?=[\\s/>])[^>]*?[\\s\"';]charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1),
       lit("")))
 
+  /** Corpus-driven stopword induction — jusText's per-language
+    * stopword lists, learned instead of shipped: a stopword is a term
+    * that is both UBIQUITOUS (document frequency ≥ `minDocRatio` of
+    * the corpus) and FREQUENT (high total count); the top `k` by
+    * (count desc, term asc) are the list. Language-agnostic — run per
+    * language partition for a multilingual corpus. One explode + two
+    * hash aggregations; the result is list-sized (broadcast it into
+    * [[mainTextStopworded]]). The classic frequency definition (Luhn's
+    * upper cut) — deterministic, so the induced list is an oracle-able
+    * corpus artifact. */
+  def induceStopwords(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int,
+      minDocRatio: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(k > 0 && minDocRatio > 0 && minDocRatio <= 1, "bad stopword params")
+    val nDocs = df.count()
+    val terms = df.select(col(idCol).as("_doc"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    terms.groupBy("term")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("_doc")).as("df"))
+      .filter(col("df") >= lit(math.ceil(nDocs * minDocRatio).toLong))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("cnt"), col("df"))
+  }
+
   /** Stopword-density refinement (the second jusText signal): keep a
     * content block only if at least `minStopRatio` of its words are in
     * `stopwords` — drops headline-ese and navigation stubs that pass

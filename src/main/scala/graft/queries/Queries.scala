@@ -2856,6 +2856,28 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X55 — corpus-driven stopword induction (Luhn's upper frequency
+  // cut, jusText's per-language stopword lists learned from the
+  // corpus itself): terms in ≥ half the documents, top-40 by total
+  // count. Directly SQL-expressible, so the oracle recomputes it from
+  // first principles — document frequency must be DISTINCT-per-doc
+  // (a term repeated in one doc counts once), the standard bug this
+  // hash would catch. Feeds Extract.mainTextStopworded.
+  q("x55_stopword_induction",
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+      |agg AS (
+      |  SELECT term, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+      |  FROM t GROUP BY 1)
+      |SELECT term, cnt, df FROM agg
+      |WHERE df >= CEIL((SELECT COUNT(*) FROM documents) * 0.5)
+      |ORDER BY cnt DESC, term LIMIT 40""".stripMargin) { (s, dir) =>
+    graft.ext.Extract.induceStopwords(
+      Tables.documents(s, dir), "doc_id", "text", k = 40, minDocRatio = 0.5)
+  }
+
   // X25 — temperature-weighted domain mixture (alpha = 0.5): per-lang
   // quota ∝ √count via integer-exact weights (floor(√n·10⁶) then pure
   // integer quota arithmetic — bit-identical across engines), members

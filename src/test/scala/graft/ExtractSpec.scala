@@ -170,6 +170,28 @@ class ExtractSpec extends SparkTestBase {
     assert(!df(1).getBoolean(0) && df(1).isNullAt(1) && df(1).isNullAt(2))
   }
 
+  test("induced stopwords feed the stopword-density refinement end-to-end") {
+    val docs = graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sw = Extract.induceStopwords(docs, "doc_id", "text", k = 20)
+      .select("term").as[String].collect().toSeq
+    assert(sw.nonEmpty && sw.size <= 20)
+    // ubiquity contract: every induced stopword really is in >= half
+    // the documents
+    val n = docs.count()
+    sw.foreach { w =>
+      val df = docs.filter(array_contains(
+        split(trim(lower(col("text"))), "\\s+"), w)).count()
+      assert(df * 2 >= n, s"$w df=$df of $n")
+    }
+    // the induced list drives the jusText refinement: a block made of
+    // corpus-typical words survives, headline-ese dies
+    val html = s"<body><p>${sw.take(8).mkString(" ")} ${sw.take(4).mkString(" ")}</p>" +
+      "<p>BREAKING MEGA EXCLUSIVE DEALS TONIGHT ONLY</p></body>"
+    val kept = Seq(html).toDF("html")
+      .select(Extract.mainTextStopworded(col("html"), sw)).head.getString(0)
+    assert(kept.contains(sw.head) && !kept.contains("BREAKING"))
+  }
+
   test("empty, null, and text-free pages yield empty results, not errors") {
     val df = Seq[Option[String]](Some(""), None, Some("<p></p><div>   </div>"))
       .toDF("html")
