@@ -67,27 +67,46 @@ object Export {
     }
   }
 
+  /** The per-doc checksum term: xxhash64 over `checksumCols` (empty ⇒
+    * EVERY column of `columns` except the shard id, in sorted-name
+    * order so the term is schema-order-independent). Covering all
+    * columns by default means a shard whose TEXT was corrupted in
+    * transit — same ids, same token counts — still fails the audit. */
+  private def checksumTerm(columns: Seq[String], checksumCols: Seq[String]) = {
+    val cs =
+      if (checksumCols.nonEmpty) checksumCols
+      else columns.filterNot(_ == "shard").sorted
+    require(cs.nonEmpty, "no checksum columns")
+    sum(xxhash64(cs.map(col): _*).cast(DecimalType(38, 0)))
+  }
+
   /** Write `shard=NNN`-partitioned parquet + `_manifest` (one row per
-    * shard: n_docs, n_tokens, checksum). Returns the manifest. */
+    * shard: n_docs, n_tokens, checksum). Returns the manifest.
+    * `checksumCols` picks the columns the manifest checksum covers —
+    * default: ALL of them (audit with the same choice). */
   def writeShards(df: DataFrame, idCol: String, ntokCol: String,
       outDir: String, tokensPerShard: Long, seed: Long = 42L,
-      groups: Int = 1): DataFrame = {
+      groups: Int = 1, checksumCols: Seq[String] = Nil): DataFrame = {
     val assigned = assignShards(df, idCol, ntokCol, tokensPerShard, seed, groups)
       .localCheckpoint(true) // one layout pass feeds both writes
     try {
       // one output file per shard: repartition ON the shard id so the
       // write task holds exactly its shard (the bucketed-store "one
-      // file per bucket" discipline)
-      val nShards = assigned.agg(max(col("shard"))).head.getLong(0).toInt + 1
-      assigned.repartition(nShards, col("shard"))
-        .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      // file per bucket" discipline). Empty input ⇒ empty shard dir +
+      // empty (schema-complete) manifest, not an NPE on max(shard).
+      val maxShard = assigned.agg(max(col("shard"))).head
+      val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
+      if (nShards > 0)
+        assigned.repartition(nShards, col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      else assigned.write.mode("overwrite").partitionBy("shard").parquet(outDir)
       val manifest = assigned.groupBy("shard").agg(
           count(lit(1)).as("n_docs"),
           sum(col(ntokCol)).as("n_tokens"),
           // order-invariant exact checksum: per-doc xxhash64 summed as
-          // DECIMAL — any dropped/duplicated/altered doc changes it
-          sum(xxhash64(col(idCol), col(ntokCol)).cast(DecimalType(38, 0)))
-            .as("checksum"))
+          // DECIMAL — any dropped/duplicated/altered doc (CONTENT
+          // included, not just id/ntok) changes it
+          checksumTerm(assigned.columns.toSeq, checksumCols).as("checksum"))
         .orderBy("shard")
       manifest.repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/_manifest")
@@ -97,14 +116,15 @@ object Export {
 
   /** Re-derive the manifest from landed shards and compare — the
     * integrity check a loader (or a post-copy audit) runs: returns
-    * rows that DISAGREE (empty = intact). */
+    * rows that DISAGREE (empty = intact). `checksumCols` must match
+    * the write's choice (default: all columns). */
   def auditShards(spark: SparkSession, outDir: String, idCol: String,
-      ntokCol: String): DataFrame = {
-    val landed = spark.read.parquet(outDir).groupBy("shard").agg(
+      ntokCol: String, checksumCols: Seq[String] = Nil): DataFrame = {
+    val shards = spark.read.parquet(outDir)
+    val landed = shards.groupBy("shard").agg(
       count(lit(1)).as("n_docs"),
       sum(col(ntokCol)).as("n_tokens"),
-      sum(xxhash64(col(idCol), col(ntokCol)).cast(DecimalType(38, 0)))
-        .as("checksum"))
+      checksumTerm(shards.columns.toSeq, checksumCols).as("checksum"))
     val manifest = spark.read.parquet(s"$outDir/_manifest")
     landed.as("l").join(manifest.as("m"), "shard", "full_outer")
       .filter(col("l.n_docs").isNull || col("m.n_docs").isNull ||

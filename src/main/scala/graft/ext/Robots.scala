@@ -72,7 +72,11 @@ object Robots {
             inRules = true
             // empty Disallow means "allow all" — contributes no rule
             if (value.nonEmpty) rules = (false, value) :: rules
-          case _ => if (agents.nonEmpty) inRules = true // crawl-delay etc.
+          case "crawl-delay" => if (agents.nonEmpty) inRules = true
+          case _ => () // Sitemap: & unknown directives are NOT group
+          // members (RFC 9309 §2.2.4 "other records") — they must not
+          // split `User-agent: a` ⟨Sitemap⟩ `User-agent: b` into two
+          // groups, which would silently drop b's rules for agent a
         }
       }
     }

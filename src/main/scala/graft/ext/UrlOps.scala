@@ -62,7 +62,9 @@ object UrlOps {
     val params = filter(
       array_sort(split(coalesce(parts("query"), lit("")), "&")),
       p => {
-        val k = split(p, "=").getItem(0)
+        // key compares case-insensitively ('UTM_Source', 'Fbclid' are
+        // the same trackers) while the token itself survives verbatim
+        val k = lower(split(p, "=").getItem(0))
         p =!= "" && !k.startsWith("utm_") &&
           !TrackingParams.map(t => k === lit(t)).reduce(_ || _)
       })

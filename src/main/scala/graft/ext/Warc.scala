@@ -282,8 +282,9 @@ object Warc {
       .filter(col("warc_type") === "response" &&
         httpStatus(col("payload")) === 200 &&
         col("content_type").startsWith("application/http") &&
-        isHtmlResponse(col("payload")))
-      .withColumn("_body", httpBodyBytes(col("payload")))
+        isHtmlResponse(col("payload")) &&
+        isDecodableEncoding(col("payload")))
+      .withColumn("_body", httpDecodedBodyBytes(col("payload")))
     val provisional = col("_body").cast("string") // UTF-8 view for meta sniff
     val cs = coalesce(httpCharset(col("payload")),
       Extract.metaCharset(provisional), lit("utf-8"))
@@ -291,17 +292,48 @@ object Warc {
       .select("path", "idx", "target_uri", "warc_date", "html")
   }
 
+  /** TRUE when the response's Content-Encoding (if any) is one this
+    * layer can decode — identity, gzip/x-gzip, deflate. A brotli/zstd
+    * body would flow downstream as compressed bytes and mojibake the
+    * extractor, so [[htmlResponses]] filters such records OUT rather
+    * than silently polluting the corpus. */
+  def isDecodableEncoding(payload: Column): Column =
+    trim(lower(coalesce(httpHeader(payload, "Content-Encoding"), lit("identity"))))
+      .isin("identity", "none", "gzip", "x-gzip", "deflate")
+
   /** HTTP body as BYTES (everything after the first blank line): the
     * charset-correct twin of [[httpBody]] — splitting after a string
     * cast would already have corrupted non-UTF-8 bytes. */
   def httpBodyBytes(payload: Column): Column =
     ColumnBridge.column(HttpBodyBytesExpr(ColumnBridge.expr(payload)))
 
-  final case class HttpBodyBytesExpr(child: Expression)
+  /** HTTP body bytes with TRANSFER and CONTENT decoding applied —
+    * what a real CommonCrawl capture needs before charset decode:
+    * response records preserve on-the-wire bytes, and a meaningful
+    * fraction of captures is `Transfer-Encoding: chunked` (hex
+    * chunk-size framing lines interleave the entity) and/or
+    * `Content-Encoding: gzip|deflate` (the entity is a compressed
+    * stream). Order per RFC 9112: de-chunk first (transfer framing
+    * wraps the content-coded entity), then inflate. JDK-pure
+    * (`GZIPInputStream`/`Inflater` — the multi-member gzip plumbing of
+    * [[parseStream]] is the precedent); zlib-wrapped AND raw deflate
+    * both accepted (real servers ship both under the same label).
+    *
+    * Tolerance contract (a decode must never kill a 100-TB pass): a
+    * body whose first chunk-size line does not parse is returned
+    * UNDECODED (the header lied — the body was never chunked); a
+    * truncated chunk or compressed stream yields the decoded PREFIX;
+    * an encoding this layer cannot decode (br, zstd) passes through
+    * as-is — gate those records out with [[isDecodableEncoding]]. */
+  def httpDecodedBodyBytes(payload: Column): Column =
+    ColumnBridge.column(HttpBodyBytesExpr(ColumnBridge.expr(payload), decode = true))
+
+  final case class HttpBodyBytesExpr(child: Expression, decode: Boolean = false)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(BinaryType)
     override def dataType: DataType = BinaryType
-    override def prettyName: String = "graft_http_body_bytes"
+    override def prettyName: String =
+      if (decode) "graft_http_decoded_body_bytes" else "graft_http_body_bytes"
 
     def bodyOf(bytes: Array[Byte]): Array[Byte] = {
       // first CRLFCRLF or LFLF — scanning bytes, charset-agnostic for
@@ -312,8 +344,10 @@ object Warc {
         if (bytes(i) == '\n') {
           var j = i + 1
           if (j < n && bytes(j) == '\r') j += 1
-          if (j < n && bytes(j) == '\n')
-            return java.util.Arrays.copyOfRange(bytes, j + 1, n)
+          if (j < n && bytes(j) == '\n') {
+            val body = java.util.Arrays.copyOfRange(bytes, j + 1, n)
+            return if (decode) HttpDecode.decodeBody(bytes, i, body) else body
+          }
         }
         i += 1
       }
@@ -327,6 +361,154 @@ object Warc {
       nullSafeCodeGen(ctx, ev, b => {
         val ref = ctx.addReferenceObj("httpbody", this, classOf[HttpBodyBytesExpr].getName)
         s"${ev.value} = $ref.bodyOf($b);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Byte-level HTTP transfer/content decoding (shared by the column
+    * kernel and any direct caller). Header names scan as ISO-8859-1 —
+    * HTTP headers are ASCII-compatible by spec. */
+  private[ext] object HttpDecode {
+
+    /** `body` is the raw bytes after the header separator whose final
+      * LF sits at `sepLf` (inside `payload`). Applies Transfer-Encoding
+      * de-chunking then Content-Encoding inflation per the tolerance
+      * contract of [[httpDecodedBodyBytes]]. */
+    def decodeBody(payload: Array[Byte], sepLf: Int, body: Array[Byte]): Array[Byte] = {
+      val head = new String(payload, 0, math.max(sepLf, 0),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val te = headerValue(head, "Transfer-Encoding").toLowerCase
+      var b = body
+      if (te.contains("chunked")) b = dechunk(b)
+      // a rare-but-legal `Transfer-Encoding: gzip, chunked` compresses
+      // at the transfer layer too — same codecs, applied after de-chunk
+      if (te.contains("gzip")) b = gunzip(b)
+      else if (te.contains("deflate")) b = inflate(b)
+      headerValue(head, "Content-Encoding").trim.toLowerCase match {
+        case "gzip" | "x-gzip" => gunzip(b)
+        case "deflate" => inflate(b)
+        case _ => b // identity / absent / undecodable: pass through
+      }
+    }
+
+    private def headerValue(head: String, name: String): String = {
+      val m = java.util.regex.Pattern
+        .compile("(?im)^" + java.util.regex.Pattern.quote(name) + "\\s*:\\s*(.*?)\\s*$")
+        .matcher(head)
+      if (m.find()) m.group(1) else ""
+    }
+
+    /** RFC 9112 §7.1 chunked framing: `hex-size[;ext]CRLF data CRLF`
+      * repeated, terminated by a zero-size chunk (trailers ignored).
+      * Malformed first size line ⇒ the body was never chunked — return
+      * it untouched; truncation mid-chunk ⇒ decoded prefix. */
+    def dechunk(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(b.length)
+      var i = 0
+      var any = false
+      var done = false
+      while (!done && i < b.length) {
+        // read the size line (up to LF; tolerate bare-LF framing)
+        val lineStart = i
+        while (i < b.length && b(i) != '\n') i += 1
+        val lineEnd = if (i > lineStart && b(i - 1) == '\r') i - 1 else i
+        val line = new String(b, lineStart, lineEnd - lineStart,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        i += 1 // past the LF (or EOF)
+        val semi = line.indexOf(';')
+        val hexStr = (if (semi >= 0) line.substring(0, semi) else line).trim
+        val size =
+          try java.lang.Long.parseLong(hexStr, 16)
+          catch { case _: NumberFormatException => -1L }
+        if (size < 0 || size > Int.MaxValue) {
+          done = true
+          if (!any) return b // header lied: body was never chunked
+        } else if (size == 0L) done = true
+        else {
+          val end = math.min(i + size.toInt, b.length)
+          out.write(b, i, end - i)
+          any = true
+          if (end < i + size.toInt) done = true // truncated final chunk
+          i = end
+          // the CRLF closing the chunk data
+          if (i < b.length && b(i) == '\r') i += 1
+          if (i < b.length && b(i) == '\n') i += 1
+        }
+      }
+      out.toByteArray
+    }
+
+    /** Multi-member gzip (JDK GZIPInputStream reads concatenated
+      * members natively — the [[parseStream]] precedent). Corrupt
+      * stream ⇒ decoded prefix; nothing decodable ⇒ original bytes. */
+    def gunzip(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 64))
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new ByteArrayInputStream(b), 1 << 16)
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } catch { case _: java.io.IOException => () }
+      if (out.size() == 0 && b.length > 0) b else out.toByteArray
+    }
+
+    /** `deflate` bodies ship BOTH zlib-wrapped (RFC-correct) and raw
+      * (common server bug) — try zlib first, fall back to raw. */
+    def inflate(b: Array[Byte]): Array[Byte] = {
+      def run(raw: Boolean): Option[Array[Byte]] = {
+        val inf = new java.util.zip.Inflater(raw)
+        inf.setInput(b)
+        val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 64))
+        val buf = new Array[Byte](1 << 16)
+        try {
+          var stalled = false
+          while (!inf.finished() && !stalled) {
+            val n = inf.inflate(buf)
+            if (n > 0) out.write(buf, 0, n)
+            else stalled = true // truncated input: keep the prefix
+          }
+          Some(out.toByteArray)
+        } catch {
+          case _: java.util.zip.DataFormatException =>
+            if (out.size() > 0) Some(out.toByteArray) else None
+        } finally inf.end()
+      }
+      run(raw = false).filter(_.nonEmpty)
+        .orElse(run(raw = true).filter(_.nonEmpty))
+        .getOrElse(b)
+    }
+  }
+
+  /** Deterministic gzip bytes of a BINARY column (the JDK writes a
+    * fixed header — zero MTIME/XFL/OS — so output is a pure function of
+    * input) — derived-input support for oracles that need a compressed
+    * payload both engines agree on, and a sink-side compressor. */
+  def gzipBytes(data: Column): Column =
+    ColumnBridge.column(GzipBytesExpr(ColumnBridge.expr(data)))
+
+  final case class GzipBytesExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_gzip"
+
+    def compress(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(math.max(b.length / 2, 32))
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(b); gz.close()
+      bos.toByteArray
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compress(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val ref = ctx.addReferenceObj("gz", this, classOf[GzipBytesExpr].getName)
+        s"${ev.value} = $ref.compress($b);"
       })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -18,9 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * [[HtmlBlocksExpr]] parses one HTML string into visible TEXT BLOCKS:
   *
-  *  - `<script>`/`<style>` element content and `<!-- comments -->` are
-  *    dropped (scripts until the matching close tag — a `</p>` inside a
-  *    JS string does not terminate the skip);
+  *  - non-rendered element content (`<script>`, `<style>`,
+  *    `<noscript>`, `<template>`, `<svg>`, `<textarea>`, `<iframe>`)
+  *    and `<!-- comments -->` are dropped (until the matching close
+  *    tag — a `</p>` inside a JS string does not terminate the skip);
   *  - tag attributes are skipped with quote-awareness (a literal `>`
   *    inside a quoted attribute value does not end the tag);
   *  - character references are decoded (named amp/lt/gt/quot/apos/nbsp
@@ -62,6 +63,15 @@ object HtmlExpressions {
   /** Containers whose blocks a boilerplate pruner treats specially. */
   private val ContainerTags: Set[String] = Set(
     "nav", "header", "footer", "aside", "title")
+
+  /** Elements whose CONTENT never renders as page text — skipped raw to
+    * the matching close tag. Beyond script/style: `<noscript>` ("enable
+    * JavaScript" boilerplate), `<template>` (inert DOM), `<svg>` (vector
+    * markup), `<textarea>` (form input, not prose), `<iframe>` (fallback
+    * content) — all surface as bogus `content` blocks on real pages
+    * when treated as text. */
+  private val RawSkipTags: Set[String] = Set(
+    "script", "style", "noscript", "template", "svg", "textarea", "iframe")
 
   final case class HtmlBlocksExpr(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
@@ -215,11 +225,11 @@ object HtmlExpressions {
               prev == '/'
             }
             name match {
-              case "script" | "style" if !closing && !selfClosed =>
+              case t if RawSkipTags.contains(t) && !closing && !selfClosed =>
                 flush()
                 val close = findClose(i, name)
                 i = if (close >= n) n else skipTag(close + 2 + name.length)
-              case "script" | "style" => flush()
+              case t if RawSkipTags.contains(t) => flush()
               case "a" =>
                 if (closing) { if (linkDepth > 0) linkDepth -= 1 }
                 else if (!selfClosed) linkDepth += 1

@@ -28,7 +28,11 @@ object Skew {
     * MUST supply its merge in `merge`, e.g. `"m" -> (min(_))` — summing
     * per-salt minima would be silently wrong data. ENFORCED: a name
     * absent from `merge` whose aggregate is not sum/count (checked on
-    * the Catalyst tree, so aliases and cast-wrapped sums still pass)
+    * the Catalyst tree, so aliases still pass; casts INSIDE the
+    * aggregate — `sum(x.cast(...))` — are fine, but an OUTER cast
+    * `sum(x).cast(...)` is rejected BY DESIGN: a narrowing/rounding
+    * cast applied per salt partial does not commute with the merge —
+    * supply it via `merge` = `c => sum(c).cast(...)` instead)
     * raises at plan time instead of defaulting to a wrong sum. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], salt: Int,
       sums: Seq[(String, Column)],

@@ -158,14 +158,22 @@ object DocumentIngest {
         Warc.httpStatus(col("_r.payload")) === 200 &&
         // the HTTP Content-Type, not the WARC one: a 200 image/JSON
         // response must not flow into the text extractor as mojibake
-        Warc.isHtmlResponse(col("_r.payload")))
+        Warc.isHtmlResponse(col("_r.payload")) &&
+        // a brotli/zstd body this layer can't inflate must die here,
+        // not pollute the corpus as compressed bytes
+        Warc.isDecodableEncoding(col("_r.payload")))
       .withColumn("target_uri",
         coalesce(element_at(col("_r.headers"), "WARC-Target-URI"), lit("")))
+      // de-chunk + inflate (real captures preserve on-the-wire bytes),
+      // THEN decode under the declared charset — the htmlResponses path
+      .withColumn("_body", Warc.httpDecodedBodyBytes(col("_r.payload")))
+    val cs = coalesce(Warc.httpCharset(col("_r.payload")),
+      graft.ext.Extract.metaCharset(col("_body").cast("string")), lit("utf-8"))
     rec.withColumn(textCol,
-        graft.ext.Extract.mainText(Warc.httpBody(col("_r.payload")),
+        graft.ext.Extract.mainText(Warc.decodeCharset(col("_body"), cs),
           maxLinkDensity, minChars))
       .filter(col(textCol) =!= "")
-      .drop("_r").drop(blobCol)
+      .drop("_r", "_body").drop(blobCol)
   }
 
   /** Drain a directory of document parquet into a cleaned, day-

@@ -77,4 +77,29 @@ class ExportSpec extends SparkTestBase {
     val bad = Export.auditShards(spark, out, "doc_id", "ntok")
     assert(bad.count() >= 1)
   }
+
+  test("audit detects CONTENT corruption: altered text under identical (id, ntok)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards4").toString
+    Export.writeShards(docsWithTok, "doc_id", "ntok", out, tokensPerShard = 4000)
+    // tamper one shard's text in place: same ids, same token counts —
+    // only the content-covering checksum can see this
+    val victim = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).minBy(_.getName)
+    val rewritten = spark.read.parquet(victim.getAbsolutePath)
+      .withColumn("text", concat(col("text"), lit("!")))
+      .localCheckpoint(true) // sever lineage from the files being replaced
+    victim.listFiles().foreach(_.delete())
+    rewritten.repartition(1).write.mode("overwrite")
+      .parquet(victim.getAbsolutePath)
+    val bad = Export.auditShards(spark, out, "doc_id", "ntok")
+    assert(bad.count() == 1, "exactly the corrupted shard must disagree")
+  }
+
+  test("empty input: no NPE — empty manifest written, zero shards") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards5").toString
+    val m = Export.writeShards(docsWithTok.filter(lit(false)), "doc_id", "ntok",
+      out, tokensPerShard = 4000)
+    assert(m.count() == 0)
+    assert(spark.read.parquet(s"$out/_manifest").count() == 0)
+  }
 }

@@ -36,6 +36,19 @@ class ExtractSpec extends SparkTestBase {
     assert(blocksOf(html).map(_.getString(0)) == Seq("Real text here"))
   }
 
+  test("noscript/template/svg/textarea/iframe content never surfaces as page text") {
+    val html =
+      """<body><noscript>Please enable JavaScript to view this site.</noscript>
+        |<template><p>inert row template</p></template>
+        |<svg viewBox="0 0 10 10"><text x="1">vector label</text></svg>
+        |<p>Real article text survives.</p>
+        |<textarea rows="4">draft form contents</textarea>
+        |<iframe src="/ad"><p>iframe fallback junk</p></iframe>
+        |<svg/> <p>after self-closed svg</p></body>""".stripMargin
+    val texts = blocksOf(html).map(_.getString(0))
+    assert(texts == Seq("Real article text survives.", "after self-closed svg"))
+  }
+
   test("entities: named, decimal, hex, nbsp; unknown and unterminated stay literal") {
     val bs = blocksOf("<p>Tom&nbsp;&amp; Jerry &lt;3 &#8212; &#x41;Z &unknown; A&B</p>")
     assert(bs.map(_.getString(0)) == Seq("Tom & Jerry <3 — AZ &unknown; A&B"))

@@ -44,6 +44,29 @@ class RobotsSpec extends SparkTestBase {
     assert(Robots.parseRules("", "x").isEmpty)
   }
 
+  test("non-group directives (Sitemap:) do not split stacked User-agent groups") {
+    val stacked =
+      """User-agent: a
+        |Sitemap: https://example.org/sitemap.xml
+        |User-agent: b
+        |Disallow: /x/
+        |""".stripMargin
+    // Google's parser treats this as ONE group {a, b}: the Sitemap line
+    // is not a group member and must not flush agent 'a' rule-less
+    assert(Robots.parseRules(stacked, "a").toSeq == Seq((false, "/x/")))
+    assert(Robots.parseRules(stacked, "b").toSeq == Seq((false, "/x/")))
+    // but a group-member directive (Crawl-delay) still closes the
+    // agent list: a User-agent AFTER it starts a NEW group
+    val delayed =
+      """User-agent: a
+        |Crawl-delay: 10
+        |User-agent: b
+        |Disallow: /y/
+        |""".stripMargin
+    assert(Robots.parseRules(delayed, "a").toSeq.isEmpty)
+    assert(Robots.parseRules(delayed, "b").toSeq == Seq((false, "/y/")))
+  }
+
   test("pattern semantics: prefix, *, $ anchor") {
     assert(Robots.matches("/private/a", "/private/"))
     assert(!Robots.matches("/privateer", "/private/"))

@@ -35,6 +35,13 @@ class UrlOpsSpec extends SparkTestBase {
       Some("https://e.com/p?a%20b=c%26d&flag&z=9"))
     // duplicate params survive, sorted (dedup is a policy, not hygiene)
     assert(norm("https://e.com/p?a=2&a=1") == Some("https://e.com/p?a=1&a=2"))
+    // tracking keys strip CASE-INSENSITIVELY (the same page under
+    // 'UTM_Source'/'Fbclid' must canonicalize identically) while
+    // surviving keys keep their case
+    assert(norm("https://e.com/p?UTM_Source=a&Fbclid=x&GCLID=y&Ref=r&Keep=1") ==
+      Some("https://e.com/p?Keep=1"))
+    assert(norm("https://e.com/p?UTM_Source=a&b=2") ==
+      norm("https://e.com/p?utm_source=a&b=2"))
   }
 
   test("userinfo is parsed past and discarded - no blocklist bypass") {

@@ -150,6 +150,106 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  private def chunked(body: Array[Byte], sizes: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var off = 0
+    sizes.foreach { s =>
+      val n = math.min(s, body.length - off)
+      bos.write(s"${n.toHexString}\r\n".getBytes(UTF_8))
+      bos.write(body, off, n); off += n
+      bos.write("\r\n".getBytes(UTF_8))
+    }
+    bos.write("0\r\n\r\n".getBytes(UTF_8))
+    bos.toByteArray
+  }
+
+  private def rawResponse(uri: String, headers: String, body: Array[Byte]): Array[Byte] = {
+    val payload = s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n".getBytes(UTF_8) ++ body
+    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8) ++
+      payload ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  test("chunked / gzip / deflate / chunked+gzip HTTP bodies decode; malformed chunk tolerated") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec4").toFile
+    try {
+      val html = "<p>The real body text, behind transfer and content codings.</p>"
+      val hb = html.getBytes(UTF_8)
+      // Transfer-Encoding: chunked — hex framing lines must NOT leak
+      val r1 = rawResponse("https://te.example/chunked",
+        "Content-Type: text/html\r\nTransfer-Encoding: chunked",
+        chunked(hb, Seq(7, 16, hb.length)))
+      // Content-Encoding: gzip
+      val r2 = rawResponse("https://te.example/gzip",
+        "Content-Type: text/html\r\nContent-Encoding: gzip", gzipMembers(hb))
+      // zlib-wrapped deflate AND raw deflate under the same label
+      val zlib = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(hb); d.finish()
+        val out = new Array[Byte](hb.length * 2 + 64)
+        val n = d.deflate(out); d.end()
+        java.util.Arrays.copyOf(out, n)
+      }
+      val raw = {
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(hb); d.finish()
+        val out = new Array[Byte](hb.length * 2 + 64)
+        val n = d.deflate(out); d.end()
+        java.util.Arrays.copyOf(out, n)
+      }
+      val r3 = rawResponse("https://te.example/deflate",
+        "Content-Type: text/html\r\nContent-Encoding: deflate", zlib)
+      val r3b = rawResponse("https://te.example/deflate-raw",
+        "Content-Type: text/html\r\nContent-Encoding: deflate", raw)
+      // the CommonCrawl norm: chunked AND gzipped (de-chunk first)
+      val r4 = rawResponse("https://te.example/both",
+        "Content-Type: text/html\r\nTransfer-Encoding: chunked\r\nContent-Encoding: gzip",
+        chunked(gzipMembers(hb), Seq(11, 1 << 20)))
+      // header lies (claims chunked, body is plain): body passes through
+      val r5 = rawResponse("https://te.example/lied",
+        "Content-Type: text/html\r\nTransfer-Encoding: chunked", hb)
+      // truncated mid-chunk: decoded prefix survives, no throw
+      val r6 = rawResponse("https://te.example/truncated",
+        "Content-Type: text/html\r\nTransfer-Encoding: chunked",
+        chunked(hb, Seq(hb.length)).dropRight(20))
+      // brotli: undecodable here — filtered OUT, not passed as mojibake
+      val r7 = rawResponse("https://te.example/brotli",
+        "Content-Type: text/html\r\nContent-Encoding: br", Array[Byte](1, 2, 3))
+      java.nio.file.Files.write(new java.io.File(dir, "te.warc").toPath,
+        r1 ++ r2 ++ r3 ++ r3b ++ r4 ++ r5 ++ r6 ++ r7)
+      val got = Warc.htmlResponses(Warc.read(spark, dir.getAbsolutePath + "/*"))
+        .select("target_uri", "html").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(!got.contains("https://te.example/brotli"))
+      assert(got("https://te.example/chunked") == html)
+      assert(got("https://te.example/gzip") == html)
+      assert(got("https://te.example/deflate") == html)
+      assert(got("https://te.example/deflate-raw") == html)
+      assert(got("https://te.example/both") == html)
+      assert(got("https://te.example/lied") == html)
+      // 20 raw bytes cut = 5 (0-chunk terminator) + 2 (chunk CRLF) + 13
+      // body bytes — the decoded prefix is the body minus those 13
+      assert(got("https://te.example/truncated") == html.dropRight(13) &&
+        got("https://te.example/truncated").nonEmpty)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+
+  test("extractWarc (streaming front door) decodes chunked+gzipped bodies too") {
+    val html = "<html><body><p>Chunked gzipped article body, long enough to keep.</p>" +
+      "</body></html>"
+    val blob = rawResponse("https://te.example/fd",
+      "Content-Type: text/html\r\nTransfer-Encoding: chunked\r\nContent-Encoding: gzip",
+      chunked(gzipMembers(html.getBytes(UTF_8)), Seq(1 << 20)))
+    val out = graft.streaming.DocumentIngest.extractWarc(
+      Seq((1L, blob)).toDF("id", "warc"), "warc", "text")
+    val rows = out.select("target_uri", "text").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "https://te.example/fd")
+    assert(rows(0).getString(1) == "Chunked gzipped article body, long enough to keep.")
+  }
+
   test("htmlResponses filters to 200 HTML responses; non-HTML 200s excluded") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec2").toFile
     try {
