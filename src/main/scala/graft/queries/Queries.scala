@@ -2582,6 +2582,76 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X49B — transfer/content-coded WARC bodies, the round-11 weak mark's
+  // oracle gate: real CommonCrawl captures preserve on-the-wire bytes,
+  // so 200 text/html responses routinely arrive chunked and/or gzipped.
+  // Both engines know the DECODED closed form (it is x49's p1); only
+  // Spark runs the real pipeline — chunk framing assembled per row (hex
+  // size lines, split mid-body), gzip members compressed by the
+  // deterministic JDK kernel, then records → streaming front door
+  // (extractWarc: de-chunk → inflate → charset decode → extract). A
+  // decode bug leaks hex framing lines or gzip bytes into main_text and
+  // breaks the hash; a brotli-labeled record must be EXCLUDED, so a
+  // pass also pins the undecodable-encoding gate.
+  q("x49b_warc_encoded",
+    """WITH gen AS (
+      |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS p1
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'chunked' WHEN 1 THEN 'gzip'
+      |    ELSE 'chunked+gzip' END AS mode,
+      |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  p1 AS main_text
+      |FROM gen
+      |WHERE doc_id % 4 <> 3 AND length(p1) >= 10
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val bodyPlain = concat(lit("<p>"), esc, lit("</p>")).cast("binary")
+    val bodyGz = graft.ext.Warc.gzipBytes(bodyPlain)
+    // RFC 9112 chunk framing, split mid-entity: first 11 bytes, then
+    // the rest (a body ≤ 11 bytes degrades to one chunk), 0-terminator
+    def chunked(bin: Column): Column = concat(
+      lower(hex(least(octet_length(bin), lit(11)))).cast("binary"),
+      lit("\r\n").cast("binary"),
+      substring(bin, 1, 11), lit("\r\n").cast("binary"),
+      when(octet_length(bin) > 11, concat(
+          lower(hex(octet_length(bin) - 11)).cast("binary"),
+          lit("\r\n").cast("binary"),
+          substring(bin, 12, 1 << 28), lit("\r\n").cast("binary")))
+        .otherwise(lit("").cast("binary")),
+      lit("0\r\n\r\n").cast("binary"))
+    val mode = col("doc_id") % 4
+    val codingHeaders = when(mode === 0, "Transfer-Encoding: chunked")
+      .when(mode === 1, "Content-Encoding: gzip")
+      .when(mode === 2, "Transfer-Encoding: chunked\r\nContent-Encoding: gzip")
+      .otherwise("Content-Encoding: br") // undecodable: must be filtered out
+    val bodyWire = when(mode === 0, chunked(bodyPlain))
+      .when(mode === 1, bodyGz)
+      .when(mode === 2, chunked(bodyGz))
+      .otherwise(bodyPlain)
+    val payload = concat(
+      concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+        codingHeaders, lit("\r\n\r\n")).cast("binary"),
+      bodyWire)
+    val rec = concat(
+      concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/doc/"),
+        id,
+        lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+        octet_length(payload).cast("string"), lit("\r\n\r\n")).cast("binary"),
+      payload, lit("\r\n\r\n").cast("binary"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), rec.as("warc"))
+    graft.streaming.DocumentIngest.extractWarc(src, "warc", "text")
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, "chunked")
+          .when(col("doc_id") % 4 === 1, "gzip")
+          .otherwise("chunked+gzip").as("mode"),
+        col("target_uri"), col("text").as("main_text"))
+      .ordered("doc_id")
+  }
+
   // X50 — URL hygiene (the curation step C4/RefinedWeb run on every
   // crawl URI before URL dedup and domain governance): normalization
   // (case, default ports, fragment, sorted query with tracking params
