@@ -1,0 +1,292 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Trained character-n-gram language identification: a fastText-style
+  * linear softmax classifier (Joulin et al. 2016, "Bag of Tricks for
+  * Efficient Text Classification" — the model class behind fastText's
+  * lid.176 language identifier) over hashed char 1–3-gram features,
+  * trained by distributed batch gradient descent. Replaces nothing:
+  * [[TextOps.langId]]'s 5-language marker heuristic stays as the
+  * portable/oracle-able first pass and the `und` fallback; this model is
+  * the multilingual-scale second pass a 100 TB pass actually needs.
+  *
+  * Spark-first design, no UDFs (the [[QualityClassifier]] machinery
+  * generalized from sigmoid to softmax):
+  *  - features: char n-grams (whitespace-collapsed, lowercased) →
+  *    `pmod(xxhash64(gram), dim)` buckets, counts L1-normalized per doc;
+  *  - training: each GD iteration is a broadcast weights join, a
+  *    windowed softmax, and one gradient aggregation. Margin terms,
+  *    softmax normalizers, and gradient terms are rounded to fixed
+  *    decimals and DECIMAL-summed, so the fitted model is bit-identical
+  *    under any partitioning (`local[32]` model == 1000-executor model);
+  *  - batch scoring: one broadcast join + one argmax aggregation;
+  *  - streaming scoring: [[langIdCol]] — the whole model rides the plan
+  *    as one MapType literal and scoring is a per-row fold, no join, no
+  *    shuffle, no state (usable in a Structured Streaming `select`).
+  *
+  * Scale contract (the [[QualityClassifier]] one): TRAIN on a bounded
+  * labeled sample — labels are the scarce resource — SCORE the full
+  * corpus. Driver-side state is the weight table only (≤ dim × |langs|
+  * doubles — model metadata, independent of corpus size).
+  */
+object LangId {
+
+  /** `langs` is sorted; `intercepts` aligns with it; `weights` maps a
+    * feature bucket to its per-language weight row (aligned with
+    * `langs`). */
+  final case class Model(dim: Int, minN: Int, maxN: Int, langs: Seq[String],
+      intercepts: Seq[Double], weights: Map[Int, Seq[Double]]) {
+    def weightRows(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      weights.toSeq.flatMap { case (i, vs) =>
+        langs.zip(vs).map { case (l, w) => (i, l, w) }
+      }.toDF("idx", "lang", "w")
+    }
+    def interceptOf: Map[String, Double] = langs.zip(intercepts).toMap
+  }
+
+  /** Whitespace-collapsed, lowercased, trimmed — the standard langid
+    * normalization (punctuation and diacritics are signal, keep them). */
+  def normText(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** All char n-grams of the normalized text for n ∈ [minN, maxN], as
+    * one array. The normalized string binds as a lambda variable (the
+    * single-element `transform(array(...))` trick) because HOF lambdas
+    * get no common-subexpression elimination — referencing the
+    * regexp_replace chain directly inside the position lambda would
+    * re-normalize the document once per character. */
+  def charNgrams(text: Column, minN: Int = 1, maxN: Int = 3): Column =
+    flatten(transform(array(normText(text)), s =>
+      flatten(transform(sequence(lit(minN), lit(maxN)), n =>
+        when(length(s) >= n,
+          transform(sequence(lit(1), length(s) - n + 1), i => s.substr(i, n)))
+          .otherwise(array().cast("array<string>"))))))
+
+  /** Sparse hashed features: (idCol, idx, cnt), cnt = bucket count /
+    * total gram count (L1-normalized, so margins are length-invariant). */
+  def features(df: DataFrame, idCol: String, textCol: String, dim: Int,
+      minN: Int, maxN: Int): DataFrame = {
+    val g = df.select(col(idCol), explode(charNgrams(col(textCol), minN, maxN)).as("g"))
+    val n = g.groupBy(idCol).agg(count(lit(1)).cast("double").as("_n"))
+    g.select(col(idCol), pmod(xxhash64(col("g")), lit(dim)).cast("int").as("idx"))
+      .groupBy(idCol, "idx").agg(count(lit(1)).cast("double").as("_c"))
+      .join(n, idCol)
+      .select(col(idCol), col("idx"), (col("_c") / col("_n")).as("cnt"))
+  }
+
+  /** Batch-GD multinomial logistic regression on (idCol, langCol) rows.
+    * Deterministic: fixed iterations, zero init, every cross-row sum
+    * (margins, softmax normalizer, gradients) decimal-summed after
+    * fixed-decimal rounding — partition layout cannot leak into the
+    * model. `lrIntercept` defaults to lr/10 for the same scale reason as
+    * [[QualityClassifier.train]] (bias "feature" has scale 1, normalized
+    * gram features have scale ~1/len). */
+  def train(df: DataFrame, idCol: String, textCol: String, langCol: String,
+      dim: Int = 1024, minN: Int = 1, maxN: Int = 3, iters: Int = 20,
+      lr: Double = 150.0, l2: Double = 0.0, lrIntercept: Double = -1.0): Model = {
+    val lrB = if (lrIntercept > 0) lrIntercept else lr / 10.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(28, 10)
+    val langs = df.select(col(langCol).cast("string")).distinct()
+      .as[String].collect().sorted.toSeq
+    require(langs.size >= 2, s"need >= 2 languages, got $langs")
+    val feats = features(df, idCol, textCol, dim, minN, maxN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = df.select(col(idCol), col(langCol).cast("string").as("_y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = labels.count().toDouble
+    // the (doc × lang) softmax grid: every labeled doc gets a row per
+    // class (a doc with zero grams still trains the intercepts)
+    val grid = labels.crossJoin(broadcast(langs.toDF("lang")))
+      .select(col(idCol), col("lang"), (col("lang") === col("_y")).cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grid.count()
+    var weights = Map.empty[Int, Seq[Double]]
+    var intercepts = langs.map(_ => 0.0)
+    val byId = Window.partitionBy(idCol)
+    for (_ <- 1 to iters) {
+      val wDf = broadcast(
+        if (weights.isEmpty) Seq.empty[(Int, String, Double)].toDF("idx", "lang", "w")
+        else weights.toSeq.flatMap { case (i, vs) =>
+          langs.zip(vs).map { case (l, w) => (i, l, w) }
+        }.toDF("idx", "lang", "w"))
+      val bOf = typedLit(langs.zip(intercepts).toMap)
+      val margins = feats.join(wDf, Seq("idx"))
+        .groupBy(idCol, "lang")
+        .agg(sum(round(col("w") * col("cnt"), 9).cast(dec)).cast("double").as("_m"))
+      // softmax per doc: shift by the per-doc max (stability), round the
+      // exponentials to 12 decimals, DECIMAL-sum the normalizer — the
+      // only cross-row sums, both partition-order exact
+      val m0 = grid.join(margins, Seq(idCol, "lang"), "left")
+        .select(col(idCol), col("lang"), col("y"),
+          (coalesce(col("_m"), lit(0.0)) + element_at(bOf, col("lang"))).as("m"))
+      val ex = round(exp(col("m") - max(col("m")).over(byId)), 12)
+      val resid = m0
+        .select(col(idCol), col("lang"), col("y"), ex.as("_e"),
+          sum(ex.cast(dec)).over(byId).cast("double").as("_z"))
+        .select(col(idCol), col("lang"), (col("_e") / col("_z") - col("y")).as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-(idx, lang) gradient Σ r·cnt and the per-lang intercept
+      // gradient Σ r in ONE aggregation/action (sentinel idx −1)
+      val gradAll = feats.join(resid, idCol)
+        .select(col("idx"), col("lang"), round(col("r") * col("cnt"), 9).cast(dec).as("t"))
+        .unionByName(resid.select(lit(-1).as("idx"), col("lang"),
+          round(col("r"), 9).cast(dec).as("t")))
+        .groupBy("idx", "lang").agg(sum(col("t")).as("g"))
+        .as[(Int, String, java.math.BigDecimal)]
+        .collect() // ≤ (dim+1)·|langs| rows — model-sized, never corpus-sized
+      resid.unpersist()
+      val byIdx = gradAll.filter(_._1 >= 0).groupBy(_._1)
+        .map { case (i, rows) => i -> rows.map(r => r._2 -> r._3.doubleValue).toMap }
+      weights = byIdx.map { case (i, g) =>
+        val prev = weights.getOrElse(i, langs.map(_ => 0.0))
+        i -> langs.zip(prev).map { case (l, p) =>
+          (1.0 - lr * l2) * p - lr * g.getOrElse(l, 0.0) / nDocs
+        }
+      }.toMap ++ (weights -- byIdx.keys) // shrink-only branch unreachable once feats is dense, kept for l2 symmetry
+      val gInt = gradAll.filter(_._1 == -1).map(r => r._2 -> r._3.doubleValue).toMap
+      intercepts = langs.zip(intercepts).map { case (l, b) =>
+        b - lrB * gInt.getOrElse(l, 0.0) / nDocs
+      }
+    }
+    feats.unpersist(); labels.unpersist(); grid.unpersist()
+    Model(dim, minN, maxN, langs, intercepts, weights)
+  }
+
+  /** Batch prediction: (idCol, lang). One broadcast join + one argmax
+    * aggregation; ties break to the lexicographically larger code (the
+    * [[TextOps.langId]] rule). Docs whose every gram is out-of-model
+    * (or that have no grams at all) take `fallback` — pass
+    * `TextOps.langId(col("text"))` to chain the marker heuristic, or
+    * leave the default `"und"`. */
+  def predict(df: DataFrame, model: Model, idCol: String, textCol: String,
+      fallback: Column = lit("und")): DataFrame = {
+    val dec = DecimalType(28, 10)
+    val wDf = broadcast(model.weightRows(df.sparkSession))
+    val bOf = typedLit(model.interceptOf)
+    val best = features(df, idCol, textCol, model.dim, model.minN, model.maxN)
+      .join(wDf, Seq("idx"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(round(col("w") * col("cnt"), 9).cast(dec)).cast("double").as("_m"))
+      .select(col(idCol), col("lang"), (col("_m") + element_at(bOf, col("lang"))).as("m"))
+      .groupBy(idCol)
+      .agg(max(struct(col("m"), col("lang"))).as("_b"))
+      .select(col(idCol), col("_b.lang").as("_lang"))
+    df.select(col(idCol), fallback.as("_fb"))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_lang"), col("_fb")).as("lang"))
+  }
+
+  /** Stateless scoring as a PURE COLUMN EXPRESSION (the
+    * [[QualityClassifier.scoreCol]] analog): the weight table rides the
+    * plan as one MapType literal, the margin vector is a fold over the
+    * gram array — no join, no shuffle, no state, so it drops into a
+    * Structured Streaming `select` as-is. This is the 100 TB scoring
+    * path: one map-side pass, whole corpus, zero exchanges.
+    *
+    * Margins here are plain double folds in the array's (deterministic)
+    * order; agreement with [[predict]]'s decimal-summed path is exact on
+    * the argmax for any non-knife-edge model (spec-pinned). */
+  def langIdCol(textCol: Column, model: Model, fallback: Column = lit("und")): Column = {
+    val k = model.langs.size
+    val wMap = typedLit(model.weights)
+    val zeros = typedLit(Seq.fill(k)(0.0))
+    val bArr = typedLit(model.intercepts)
+    val langsArr = typedLit(model.langs)
+    val grams = charNgrams(textCol, model.minN, model.maxN)
+    val folded = aggregate(grams, zeros, (acc, g) =>
+      zip_with(acc,
+        coalesce(element_at(wMap, pmod(xxhash64(g), lit(model.dim)).cast("int")), zeros),
+        (a, b) => a + b))
+    val withB = zip_with(folded, bArr, (m, b) => m / size(grams) + b)
+    val best = array_max(zip_with(withB, langsArr,
+      (m, l) => struct(m.as("m"), l.as("lang"))))
+    when(size(grams) > 0, best.getField("lang")).otherwise(fallback)
+  }
+
+  /** [[predict]]'s oracle-anchoring twin (the
+    * [[QualityClassifier.scorePortable]] / x29b precedent: oracle the
+    * deterministic inference stage of an engine-specific pipeline). The
+    * xxhash64 featurizer has no SQL twin, so grams hash into the
+    * portable 16-bit md5-prefix bucket space and the per-(bucket, class)
+    * weight is a caller-supplied CLOSED-FORM column pair; every other
+    * stage is byte-for-byte the [[predict]] discipline — per-(doc,
+    * bucket) counts, L1 normalization, 9-decimal rounded margin terms
+    * summed as exact DECIMAL, argmax with ties to the larger code. The
+    * |langs| margins are computed as ONE wide aggregation (no row
+    * blowup: |langs| sum columns over the (doc, bucket) frame, then an
+    * in-row argmax over the assembled struct array). */
+  def predictPortable(df: DataFrame, idCol: String, textCol: String,
+      langs: Seq[String], minN: Int, maxN: Int,
+      weightOfBucket: (Column, Int) => Column,
+      interceptOf: Int => Double): DataFrame = {
+    val dec = DecimalType(28, 10)
+    val g = df.select(col(idCol), explode(charNgrams(col(textCol), minN, maxN)).as("g"))
+    val n = g.groupBy(idCol).agg(count(lit(1)).cast("double").as("_n"))
+    val b = g.select(col(idCol), substring(md5(col("g")), 1, 4).as("bucket"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).cast("double").as("_c"))
+    val aggs = langs.indices.map { ki =>
+      sum(round(weightOfBucket(col("bucket"), ki) * col("_c") / col("_n"), 9).cast(dec))
+        .cast("double").as(s"_m$ki")
+    }
+    val wide = b.join(n, idCol).groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val entries = langs.indices.map { ki =>
+      struct((col(s"_m$ki") + lit(interceptOf(ki))).as("m"), lit(langs(ki)).as("lang"))
+    }
+    wide.select(col(idCol), array_max(array(entries: _*)).as("_b"))
+      .select(col(idCol), col("_b.lang").as("lang"), round(col("_b.m"), 6).as("margin"))
+  }
+
+  /** Deterministic zero-resource bootstrap corpus: short documents
+    * sampled (by closed-form index arithmetic — no RNG) from small
+    * per-language function-word vocabularies. This is the labeled seed
+    * for environments with no labeled multilingual data at hand; swap in
+    * real labeled text (e.g. Wikipedia dumps by language edition, the
+    * standard lid training set) when available. `salt` selects disjoint
+    * deterministic samples — train and holdout splits that never share a
+    * document. */
+  object Seed {
+    val Vocab: Seq[(String, Seq[String])] = Seq(
+      "cs" -> Seq("a", "je", "se", "na", "to", "že", "v", "do", "ale", "jako", "za", "po", "tak", "už", "při", "nebo", "jsem", "když"),
+      "da" -> Seq("og", "at", "det", "som", "en", "på", "er", "af", "for", "med", "den", "til", "ikke", "har", "jeg", "om", "et", "hvad"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "ich", "nicht", "sie", "mit", "ein", "auf", "für", "den", "von", "zu", "sich", "auch", "wir"),
+      "el" -> Seq("και", "το", "να", "του", "η", "της", "που", "με", "ο", "για", "από", "τα", "στο", "είναι", "δεν", "μια", "την", "οι"),
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "he", "was", "for", "on", "are", "with", "his", "they", "at"),
+      "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "que", "por", "para", "con", "no", "su", "al", "lo", "como", "más"),
+      "fi" -> Seq("ja", "on", "ei", "että", "hän", "se", "oli", "mutta", "kun", "mitä", "tämä", "niin", "kuin", "myös", "jos", "vain", "sen", "joka"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour", "pas", "vous", "sur", "avec", "nous", "mais", "ce", "il"),
+      "hu" -> Seq("az", "és", "nem", "hogy", "is", "egy", "van", "de", "el", "ez", "meg", "már", "csak", "mint", "még", "ki", "volt", "ha"),
+      "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam", "akan", "pada", "juga", "saya", "ke", "bisa", "ada", "oleh"),
+      "it" -> Seq("il", "lo", "gli", "e", "è", "un", "una", "in", "che", "per", "con", "non", "suo", "del", "della", "come", "più", "anche"),
+      "nl" -> Seq("de", "het", "een", "en", "is", "van", "ik", "niet", "op", "dat", "met", "voor", "zijn", "aan", "ook", "maar", "bij", "naar"),
+      "pl" -> Seq("i", "w", "nie", "na", "się", "jest", "że", "do", "z", "to", "co", "jak", "ale", "po", "tak", "za", "od", "czy"),
+      "pt" -> Seq("o", "os", "as", "e", "é", "um", "uma", "em", "que", "por", "para", "com", "não", "seu", "do", "da", "dos", "mais"),
+      "ro" -> Seq("și", "de", "la", "cu", "un", "o", "este", "că", "pe", "nu", "se", "din", "mai", "dar", "sau", "când", "după", "fără"),
+      "ru" -> Seq("и", "в", "не", "на", "я", "что", "он", "с", "как", "это", "по", "но", "они", "мы", "из", "у", "за", "то"),
+      "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av", "för", "med", "den", "till", "inte", "har", "de", "om", "ett", "men"),
+      "sw" -> Seq("na", "ya", "wa", "kwa", "ni", "za", "katika", "la", "kuwa", "hii", "kama", "lakini", "pia", "sana", "sasa", "watu", "yake", "kila"),
+      "tr" -> Seq("bir", "ve", "bu", "için", "de", "da", "ne", "gibi", "daha", "çok", "ama", "ben", "sen", "var", "yok", "ile", "en", "her"),
+      "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这", "中", "大", "为", "上", "个", "国", "我们", "他"))
+
+    def corpus(spark: SparkSession, docsPerLang: Int = 40, wordsPerDoc: Int = 14,
+        salt: Int = 0): DataFrame = {
+      import spark.implicits._
+      val rows = for {
+        (lang, words) <- Vocab
+        d <- 0 until docsPerLang
+      } yield {
+        val text = (0 until wordsPerDoc).map { j =>
+          words(math.abs((d + salt) * 7 + j * 5 + j * j * (salt + 3)) % words.size)
+        }.mkString(" ")
+        (lang, d.toLong, text)
+      }
+      rows.toDF("lang", "d", "text")
+        .select(concat_ws("_", col("lang"), col("d")).as("sid"), col("lang"), col("text"))
+    }
+  }
+}

@@ -140,6 +140,17 @@ object Queries {
   private val semCellMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** x57's trained language-ID model. Keyed by a constant: the seed
+    * corpus is scale-independent, so one fit serves every dir. */
+  private val langIdMemo =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ext.LangId.Model]
+
+  /** x56's (k, lang) VALUES list — the seed languages in sorted order,
+    * numbered the way [[graft.ext.LangId.predictPortable]] numbers them. */
+  private def portableLangValues: String =
+    graft.ext.LangId.Seed.Vocab.map(_._1).sorted.zipWithIndex
+      .map { case (l, k) => s"($k, '$l')" }.mkString(", ")
+
   /** x27's trained n-gram LM, one per scale dir (the model is a
     * persisted artifact in production — training cost is amortized
     * setup, the measured query is corpus scoring; classifierMemo
@@ -2946,6 +2957,83 @@ object Queries {
       |ORDER BY cnt DESC, term LIMIT 40""".stripMargin) { (s, dir) =>
     graft.ext.Extract.induceStopwords(
       Tables.documents(s, dir), "doc_id", "text", k = 40, minDocRatio = 0.5)
+  }
+
+  // X56 — trained-langid INFERENCE oracle (the x29b precedent: oracle
+  // the deterministic scoring stage of an engine-specific pipeline).
+  // x57's fitted softmax has no SQL twin (GD + xxhash64 features), but
+  // the inference math does: char 1–3-grams of the normalized 160-char
+  // prefix hash into the portable md5-prefix bucket space, per-(bucket,
+  // class) weights are a pinned closed form, and both engines run the
+  // EXACT predict discipline — L1-normalized counts, 9-decimal rounded
+  // margin terms, exact DECIMAL sums per class, argmax with ties to the
+  // larger code. Spark computes the 20 class margins as ONE wide
+  // aggregation (no row blowup); DuckDB re-derives them end to end.
+  q("x56_langid_portable",
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(trim(substr(text, 1, 160))), '\\s+', ' ', 'g') AS s
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, UNNEST(list_concat(list_concat(
+       |    list_transform(range(1, len(s) + 1), i -> substr(s, i, 1)),
+       |    list_transform(range(1, len(s)), i -> substr(s, i, 2))),
+       |    list_transform(range(1, len(s) - 1), i -> substr(s, i, 3)))) AS g
+       |  FROM norm),
+       |n AS (SELECT doc_id, COUNT(*)::DOUBLE AS nn FROM grams GROUP BY 1),
+       |b AS (SELECT doc_id, substr(md5(g), 1, 4) AS bucket, COUNT(*)::DOUBLE AS c
+       |      FROM grams GROUP BY 1, 2),
+       |t AS (
+       |  SELECT b.doc_id, ks.k,
+       |    CAST(ROUND(((ascii(substr(bucket, 1, 1)) * 31
+       |                 + ascii(substr(bucket, 2, 1)) * 7
+       |                 + ascii(substr(bucket, 3, 1)) * 3 + ks.k * 17) % 23 - 11) / 16.0
+       |               * c / nn, 9) AS DECIMAL(28,10)) AS term
+       |  FROM b JOIN n USING (doc_id)
+       |  CROSS JOIN (SELECT UNNEST(range(0, 20)) AS k) ks),
+       |m AS (
+       |  SELECT doc_id, k, CAST(SUM(term) AS DOUBLE) + (k % 5 - 2) / 10.0 AS m
+       |  FROM t GROUP BY 1, 2),
+       |langs(k, lang) AS (VALUES $portableLangValues),
+       |r AS (
+       |  SELECT doc_id, lang, m,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY m DESC, lang DESC) AS rk
+       |  FROM m JOIN langs USING (k))
+       |SELECT doc_id, lang, ROUND(m, 6) AS margin
+       |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val langs = graft.ext.LangId.Seed.Vocab.map(_._1).sorted
+    val wOf = (b: Column, k: Int) =>
+      ((ascii(substring(b, 1, 1)) * 31 + ascii(substring(b, 2, 1)) * 7
+        + ascii(substring(b, 3, 1)) * 3 + lit(k * 17)) % 23 - 11) / lit(16.0)
+    graft.ext.LangId.predictPortable(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 160).as("t")),
+        "doc_id", "t", langs, minN = 1, maxN = 3,
+        weightOfBucket = wOf, interceptOf = k => (k % 5 - 2) / 10.0)
+      .ordered("doc_id")
+  }
+
+  // X57 — TRAINED char-n-gram language ID over the corpus (rows-only:
+  // the GD softmax fit has no SQL twin; LangIdSpec proves ≥0.9 holdout
+  // accuracy across 20 languages, partition-order-invariant training,
+  // and join-path ≡ fold-path scoring; x56 oracle-pins the inference
+  // math). The model trains ONCE on the deterministic seed corpus (the
+  // classifierMemo amortized-setup rationale — in production the fitted
+  // weights are a persisted artifact) and scores every document via
+  // [[LangId.langIdCol]] — the join-free, shuffle-free fold that is the
+  // 100 TB path — on the standard 160-char prefix, with the x8 marker
+  // heuristic as the no-signal fallback.
+  q("x57_langid_trained") { (s, dir) =>
+    val m = langIdMemo.getOrElseUpdate("seed",
+      graft.ext.LangId.train(
+        graft.ext.LangId.Seed.corpus(s), "sid", "text", "lang"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ext.LangId.langIdCol(
+          substring(col("text"), 1, 160), m,
+          fallback = graft.ext.TextOps.langId(col("text"))).as("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .ordered("lang")
   }
 
   // X25 — temperature-weighted domain mixture (alpha = 0.5): per-lang
