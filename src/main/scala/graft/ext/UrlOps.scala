@@ -77,33 +77,96 @@ object UrlOps {
   }
 
   /** Two-level public suffixes common enough to matter without the full
-    * PSL (offline posture; swap in the real list as index metadata in
-    * deployment — the seam is this array literal). */
+    * PSL — the no-data fallback behind [[PublicSuffixes.Builtin]]. */
   private val TwoLevelTlds = Seq(
     "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
     "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
     "co.in", "co.kr", "co.za", "com.tr", "com.ar", "com.sg")
 
-  /** Registered domain of a host: label + public suffix ("example.co.uk"
-    * for "a.b.example.co.uk", "example.org" for "www.example.org").
-    * Bare/single-label and IP-literal hosts pass through unchanged. */
-  def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val isTwoLevel = TwoLevelTlds.map(t => last2 === lit(t)).reduce(_ || _)
-    val isIp = host.rlike("^[0-9.]+$")
-    when(isIp || n <= 2, host)
-      .when(isTwoLevel, concat_ws(".",
-        element_at(labels, -3), element_at(labels, -2), element_at(labels, -1)))
-      .otherwise(last2)
+  /** A parsed Public Suffix List (publicsuffix.org semantics): `normal`
+    * maps each rule — wildcard rules stored as written, e.g. `*.ck` —
+    * to its label count; `exceptions` maps `!`-rules (stored without
+    * the `!`) to theirs. The whole list is model-sized metadata
+    * (~10k rules), so lookups ride the plan as MAP LITERALS — join-free
+    * and shuffle-free, which beats the broadcast-join formulation the
+    * same way [[LangId.langIdCol]] beats its join path: the derivation
+    * stays a pure per-row expression usable in a streaming `select`,
+    * and domain governance (x44-style caps) keys on it with zero extra
+    * exchanges. */
+  final case class PublicSuffixes(normal: Map[String, Int], exceptions: Map[String, Int]) {
+    /** Longest rule length — bounds the per-row suffix probes. */
+    val maxK: Int = (normal.values ++ exceptions.values ++ Seq(1)).max
   }
 
-  /** Registered domain straight from a URL (null when unparseable). */
-  def urlDomain(url: Column): Column = {
-    val host = urlParts(url).toMap.apply("host")
-    when(host.isNull, lit(null).cast("string")).otherwise(registeredDomain(host))
+  object PublicSuffixes {
+    /** Parse PSL-format lines: comments (`//`) and blanks skipped,
+      * `!rule` → exception, `*.x` kept verbatim. Sections (ICANN /
+      * PRIVATE) are not distinguished — both govern registrability. */
+    def parse(lines: Seq[String]): PublicSuffixes = {
+      val rules = lines.map(_.trim.toLowerCase)
+        .filter(l => l.nonEmpty && !l.startsWith("//"))
+      val (exc, norm) = rules.partition(_.startsWith("!"))
+      PublicSuffixes(
+        norm.map(r => r -> (r.count(_ == '.') + 1)).toMap,
+        exc.map(_.drop(1)).map(r => r -> (r.count(_ == '.') + 1)).toMap)
+    }
+
+    /** The offline fallback: the two-level shortlist (plus the implicit
+      * `*` default rule every PSL evaluation carries). */
+    val Builtin: PublicSuffixes = parse(TwoLevelTlds)
   }
+
+  /** Public-suffix label count of a host under PSL matching rules:
+    * exception rule wins (suffix = rule minus its leftmost label), else
+    * the longest matching normal rule (`*` in a rule matches exactly one
+    * label), else the implicit default rule `*` (suffix = rightmost
+    * label). */
+  private def suffixLen(labels: Column, n: Column, psl: PublicSuffixes): Column = {
+    val norm = typedLit(psl.normal)
+    def sfx(k: Int) = array_join(slice(labels, -k, k), ".")
+    def hits(m: Column, k: Int) = {
+      val literal = element_at(m, sfx(k)).isNotNull
+      val wild = if (k >= 2)
+        element_at(m, concat(lit("*."), sfx(k - 1))).isNotNull else lit(false)
+      n >= k && (literal || wild)
+    }
+    val normalK = (1 to psl.maxK).map(k => when(hits(norm, k), k).otherwise(0))
+    val best = greatest((normalK :+ lit(1)).map(c => c: Column): _*)
+    if (psl.exceptions.isEmpty) best
+    else {
+      val exc = typedLit(psl.exceptions)
+      val excK = (2 to psl.maxK + 1).map(k => when(hits(exc, k), k - 1).otherwise(0))
+      val bestExc = greatest(excK.map(c => c: Column): _*)
+      when(bestExc > 0, bestExc).otherwise(best)
+    }
+  }
+
+  /** Registered domain of a host under a Public Suffix List: one label
+    * + the public suffix ("example.co.uk" for "a.b.example.co.uk",
+    * "a.test.ck" for "b.a.test.ck" under `*.ck`, "www.ck" under
+    * `!www.ck`). Hosts that ARE a public suffix, bare/single-label
+    * hosts, and IP literals pass through unchanged. */
+  def registeredDomain(host: Column, psl: PublicSuffixes): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val ps = suffixLen(labels, n, psl)
+    val isIp = host.rlike("^[0-9.]+$")
+    when(isIp || n <= ps, host)
+      .otherwise(array_join(slice(labels, -(ps + 1), ps + 1), "."))
+  }
+
+  /** [[registeredDomain]] under the built-in shortlist. */
+  def registeredDomain(host: Column): Column =
+    registeredDomain(host, PublicSuffixes.Builtin)
+
+  /** Registered domain straight from a URL (null when unparseable). */
+  def urlDomain(url: Column, psl: PublicSuffixes): Column = {
+    val host = urlParts(url).toMap.apply("host")
+    when(host.isNull, lit(null).cast("string")).otherwise(registeredDomain(host, psl))
+  }
+
+  /** [[urlDomain]] under the built-in shortlist. */
+  def urlDomain(url: Column): Column = urlDomain(url, PublicSuffixes.Builtin)
 
   /** Blocklist gate: TRUE when the URL's registered domain is in
     * `blockedDomains` (ships as an array literal — a curation blocklist

@@ -67,6 +67,34 @@ class UrlOpsSpec extends SparkTestBase {
     assert(dom("https://cdn.static.site.com.au/a") == Some("site.com.au"))
   }
 
+  test("PSL rules: longest match, wildcard, exception, suffix-only hosts") {
+    // the canonical publicsuffix.org test vectors for these rule kinds
+    val psl = UrlOps.PublicSuffixes.parse(Seq(
+      "// comment line", "", "com", "uk", "co.uk",
+      "jp", "kyoto.jp", "*.kobe.jp", "!city.kobe.jp",
+      "ck", "*.ck", "!www.ck"))
+    assert(psl.normal("*.ck") == 2 && psl.exceptions("www.ck") == 2 && psl.maxK == 3)
+    def rd(h: String): String =
+      Seq(h).toDF("h").select(UrlOps.registeredDomain(col("h"), psl)).head.getString(0)
+    assert(rd("foo.com") == "foo.com")
+    assert(rd("a.b.example.co.uk") == "example.co.uk") // longest rule wins over 'uk'
+    assert(rd("example.kyoto.jp") == "example.kyoto.jp")
+    assert(rd("b.a.test.ck") == "a.test.ck") // '*.ck': test.ck is a public suffix
+    assert(rd("test.ck") == "test.ck") // IS a public suffix: passes through
+    assert(rd("www.ck") == "www.ck") // exception: registrable despite '*.ck'
+    assert(rd("a.www.ck") == "www.ck")
+    assert(rd("b.city.kobe.jp") == "city.kobe.jp") // exception under '*.kobe.jp'
+    assert(rd("a.b.kobe.jp") == "a.b.kobe.jp") // wildcard: b.kobe.jp is the suffix
+    assert(rd("x.a.b.kobe.jp") == "a.b.kobe.jp")
+    assert(rd("other.example") == "other.example") // implicit '*' default rule
+    assert(rd("deep.other.example") == "other.example")
+    // the Builtin fallback is itself a PSL instance with the same engine
+    def rdB(h: String): String =
+      Seq(h).toDF("h").select(UrlOps.registeredDomain(col("h"))).head.getString(0)
+    assert(rdB("a.b.news.example.co.uk") == "example.co.uk")
+    assert(rdB("www.example.org") == "example.org")
+  }
+
   test("url-parts kernel: interpreted eval agrees with codegen; SQL surface") {
     val e = graft.functions.UrlExpressions.UrlPartsExpr(
       org.apache.spark.sql.graft.ColumnBridge.expr(
