@@ -227,6 +227,38 @@ object Extract {
       .select(col("term"), col("cnt"), col("df"))
   }
 
+  /** Extraction policy — the crawl front door's configuration seam
+    * ([[graft.streaming.DocumentIngest.extractHtml]] /
+    * `extractWarc`), so the streaming and batch pipelines run the SAME
+    * declared policy instead of drifting:
+    *  - [[ExtractPolicy.Simple]] — the single-pass link-density/length
+    *    gate ([[mainText]]);
+    *  - [[ExtractPolicy.Contextual]] — the two-pass jusText
+    *    neighborhood rule ([[contextualMainText]]);
+    *  - [[ExtractPolicy.Stopworded]] — density gate plus a stopword
+    *    floor ([[mainTextStopworded]]); feed it [[induceStopwords]]'s
+    *    induced list for corpus-adaptive behavior (the list is
+    *    list-sized — it ships in the policy, and therefore in the plan,
+    *    as a literal). */
+  sealed trait ExtractPolicy
+  object ExtractPolicy {
+    final case class Simple(maxLinkDensity: Double = 1.0 / 3.0,
+        minChars: Int = 10) extends ExtractPolicy
+    final case class Contextual(lengthLow: Int = 10, lengthHigh: Int = 60,
+        maxLinkDensity: Double = 1.0 / 3.0) extends ExtractPolicy
+    final case class Stopworded(stopwords: Seq[String],
+        maxLinkDensity: Double = 1.0 / 3.0, minChars: Int = 10,
+        minStopRatio: Double = 0.05) extends ExtractPolicy
+  }
+
+  /** [[mainText]] / [[contextualMainText]] / [[mainTextStopworded]]
+    * selected by policy — one stateless projection either way. */
+  def extract(html: Column, policy: ExtractPolicy): Column = policy match {
+    case ExtractPolicy.Simple(ld, mc) => mainText(html, ld, mc)
+    case ExtractPolicy.Contextual(lo, hi, ld) => contextualMainText(html, lo, hi, ld)
+    case ExtractPolicy.Stopworded(sw, ld, mc, r) => mainTextStopworded(html, sw, ld, mc, r)
+  }
+
   /** Stopword-density refinement (the second jusText signal): keep a
     * content block only if at least `minStopRatio` of its words are in
     * `stopwords` — drops headline-ese and navigation stubs that pass

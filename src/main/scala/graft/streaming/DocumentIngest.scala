@@ -139,8 +139,16 @@ object DocumentIngest {
     * extract→clean pipeline. */
   def extractHtml(df: DataFrame, htmlCol: String, textCol: String,
       maxLinkDensity: Double = 1.0 / 3.0, minChars: Int = 10): DataFrame =
-    df.withColumn(textCol,
-        graft.ext.Extract.mainText(col(htmlCol), maxLinkDensity, minChars))
+    extractHtml(df, htmlCol, textCol,
+      graft.ext.Extract.ExtractPolicy.Simple(maxLinkDensity, minChars))
+
+  /** [[extractHtml]] under a declared [[graft.ext.Extract.ExtractPolicy]]
+    * — the configuration seam that keeps the streaming front door and
+    * the batch pipeline running the SAME extractor (contextual jusText
+    * or induced-stopword refinement included) instead of drifting. */
+  def extractHtml(df: DataFrame, htmlCol: String, textCol: String,
+      policy: graft.ext.Extract.ExtractPolicy): DataFrame =
+    df.withColumn(textCol, graft.ext.Extract.extract(col(htmlCol), policy))
       .filter(col(textCol) =!= "")
 
   /** Crawl-edge front door, WARC form: explode capture blobs into
@@ -150,7 +158,13 @@ object DocumentIngest {
     * production file path ([[graft.ext.Warc.read]]) lands records as
     * parquet that streams through here via the normal file source. */
   def extractWarc(df: DataFrame, blobCol: String, textCol: String,
-      maxLinkDensity: Double = 1.0 / 3.0, minChars: Int = 10): DataFrame = {
+      maxLinkDensity: Double = 1.0 / 3.0, minChars: Int = 10): DataFrame =
+    extractWarc(df, blobCol, textCol,
+      graft.ext.Extract.ExtractPolicy.Simple(maxLinkDensity, minChars))
+
+  /** [[extractWarc]] under a declared policy (see [[extractHtml]]). */
+  def extractWarc(df: DataFrame, blobCol: String, textCol: String,
+      policy: graft.ext.Extract.ExtractPolicy): DataFrame = {
     import graft.ext.Warc
     val rec = df.select(col("*"),
         posexplode(Warc.records(col(blobCol))).as(Seq("record_idx", "_r")))
@@ -170,8 +184,7 @@ object DocumentIngest {
     val cs = coalesce(Warc.httpCharset(col("_r.payload")),
       graft.ext.Extract.metaCharset(col("_body").cast("string")), lit("utf-8"))
     rec.withColumn(textCol,
-        graft.ext.Extract.mainText(Warc.decodeCharset(col("_body"), cs),
-          maxLinkDensity, minChars))
+        graft.ext.Extract.extract(Warc.decodeCharset(col("_body"), cs), policy))
       .filter(col(textCol) =!= "")
       .drop("_r", "_body").drop(blobCol)
   }

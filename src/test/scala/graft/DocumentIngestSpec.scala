@@ -130,6 +130,86 @@ class DocumentIngestSpec extends SparkTestBase {
     assert(sKeys.forall { case (_, t, _) => !t.contains("Home") && !t.contains("chrome") })
   }
 
+  test("front door under the CONTEXTUAL policy: stream == batch, policy == direct call") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ext.Extract
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-ctxstream")
+    val cfg = DocumentIngest.CleanConfig(minTokens = 3, redactPii = false)
+    val policy = Extract.ExtractPolicy.Contextual(lengthLow = 10, lengthHigh = 40)
+
+    // a page shape only the contextual pass gets right: the short
+    // heading between two long paragraphs survives; the same-length
+    // stub inside the widget cluster dies
+    def page(body: String): String =
+      "<html><body><nav><a>Home</a> <a>About</a></nav>" +
+        "<p>A first paragraph long enough to be decided good on length alone.</p>" +
+        "<h2>Kept heading</h2>" +
+        s"<p>$body endless prose that also clears the length bar comfortably.</p>" +
+        "<div><a>w1</a></div><p>Lost stub</p><div><a>w2</a></div>" +
+        "</body></html>"
+    val base = Tables.documents(spark, dir).limit(30)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def ts(i: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + i * 60000L)
+    val rows = base.zipWithIndex.map { case ((id, tx), i) =>
+      (id, page(tx.replaceAll("\\s+", " ").take(80)), ts(i))
+    }
+
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val cleaned = DocumentIngest.cleanStream(
+      DocumentIngest.extractHtml(
+        ms.toDF().toDF("doc_id", "html", "ts"), "html", "text", policy),
+      "doc_id", "text", "ts", lateness = "10 minutes", cfg)
+    val q = cleaned.writeStream.format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    ms.addData(rows.toSeq); q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+
+    val batchDf = rows.toSeq.toDF("doc_id", "html", "ts")
+    val batch = DocumentIngest.cleanStream(
+      DocumentIngest.extractHtml(batchDf, "html", "text", policy),
+      "doc_id", "text", "ts", lateness = "10 minutes", cfg)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the contextual signal actually drove the output
+    assert(streamed.forall { case (_, t) =>
+      t.contains("Kept heading") && !t.contains("Lost stub") && !t.contains("Home")
+    })
+    // the policy front door is the direct extractor, verbatim
+    val direct = batchDf.select(col("doc_id"),
+        Extract.contextualMainText(col("html"), 10, 40).as("text"))
+      .filter(col("text") =!= "").as[(Long, String)].collect().toSet
+    val viaPolicy = DocumentIngest.extractHtml(batchDf, "html", "text", policy)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(viaPolicy == direct)
+  }
+
+  test("front door under the STOPWORDED policy wires the induced list through") {
+    import graft.ext.Extract
+    val docs = Tables.documents(spark, dir).limit(50)
+    val induced = Extract.induceStopwords(docs, "doc_id", "text", k = 20)
+      .select("term").as[String].collect().toSeq
+    assert(induced.nonEmpty)
+    val policy = Extract.ExtractPolicy.Stopworded(induced, minStopRatio = 0.05)
+    val pages = docs.select(col("doc_id"),
+      concat(lit("<html><body><nav><a>x</a></nav><p>"), col("text"),
+        lit("</p><p>zzqq-gibberish-only</p></body></html>")).as("html"))
+    val out = DocumentIngest.extractHtml(pages, "html", "text", policy)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(out.nonEmpty)
+    // the stopword floor dropped the gibberish block the density gate keeps
+    assert(out.forall { case (_, t) => !t.contains("zzqq-gibberish-only") })
+    val direct = pages.select(col("doc_id"),
+        Extract.mainTextStopworded(col("html"), induced, minStopRatio = 0.05).as("text"))
+      .filter(col("text") =!= "").as[(Long, String)].collect()
+    assert(out.toSet == direct.toSet)
+  }
+
   test("crawl front door, WARC form: record explode -> extract keeps 200 HTML responses only") {
     val mk = (uri: String, body: String, status: Int) => {
       val payload = s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n\r\n$body"
