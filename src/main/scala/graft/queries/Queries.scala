@@ -2963,12 +2963,12 @@ object Queries {
   // the deterministic scoring stage of an engine-specific pipeline).
   // x57's fitted softmax has no SQL twin (GD + xxhash64 features), but
   // the inference math does: char 1–3-grams of the normalized 160-char
-  // prefix hash into the portable md5-prefix bucket space, per-(bucket,
-  // class) weights are a pinned closed form, and both engines run the
-  // EXACT predict discipline — L1-normalized counts, 9-decimal rounded
-  // margin terms, exact DECIMAL sums per class, argmax with ties to the
-  // larger code. Spark computes the 20 class margins as ONE wide
-  // aggregation (no row blowup); DuckDB re-derives them end to end.
+  // prefix hash into the portable md5-prefix bucket space, the pinned
+  // per-(bucket, class) weight table has rank-1 closed form (base(b) +
+  // k·delta(b) — two decimal sums per doc instead of 20, both engines),
+  // and both run the EXACT predict discipline — L1-normalized counts,
+  // 9-decimal rounded terms, exact DECIMAL sums, per-class margins
+  // A + k·B + intercept_k, argmax with ties to the larger code.
   q("x56_langid_portable",
     s"""WITH norm AS (
        |  SELECT doc_id,
@@ -2984,32 +2984,39 @@ object Queries {
        |b AS (SELECT doc_id, substr(md5(g), 1, 4) AS bucket, COUNT(*)::DOUBLE AS c
        |      FROM grams GROUP BY 1, 2),
        |t AS (
-       |  SELECT b.doc_id, ks.k,
-       |    CAST(ROUND(((ascii(substr(bucket, 1, 1)) * 31
-       |                 + ascii(substr(bucket, 2, 1)) * 7
-       |                 + ascii(substr(bucket, 3, 1)) * 3 + ks.k * 17) % 23 - 11) / 16.0
-       |               * c / nn, 9) AS DECIMAL(28,10)) AS term
-       |  FROM b JOIN n USING (doc_id)
-       |  CROSS JOIN (SELECT UNNEST(range(0, 20)) AS k) ks),
-       |m AS (
-       |  SELECT doc_id, k, CAST(SUM(term) AS DOUBLE) + (k % 5 - 2) / 10.0 AS m
-       |  FROM t GROUP BY 1, 2),
+       |  SELECT b.doc_id,
+       |    CAST(SUM(CAST(ROUND(((ascii(substr(bucket, 1, 1)) * 31
+       |                          + ascii(substr(bucket, 2, 1)) * 7
+       |                          + ascii(substr(bucket, 3, 1)) * 3) % 23 - 11) / 16.0
+       |                        * c / nn, 9) AS DECIMAL(28,10))) AS DOUBLE) AS a,
+       |    CAST(SUM(CAST(ROUND(((ascii(substr(bucket, 1, 1)) * 13
+       |                          + ascii(substr(bucket, 2, 1)) * 5
+       |                          + ascii(substr(bucket, 3, 1)) * 11) % 19 - 9) / 12.0
+       |                        * c / nn, 9) AS DECIMAL(28,10))) AS DOUBLE) AS d
+       |  FROM b JOIN n USING (doc_id) GROUP BY 1),
        |langs(k, lang) AS (VALUES $portableLangValues),
+       |m AS (
+       |  SELECT doc_id, lang, a + k * d + (k % 5 - 2) / 10.0 AS m
+       |  FROM t CROSS JOIN langs),
        |r AS (
        |  SELECT doc_id, lang, m,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY m DESC, lang DESC) AS rk
-       |  FROM m JOIN langs USING (k))
+       |  FROM m)
        |SELECT doc_id, lang, ROUND(m, 6) AS margin
        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val langs = graft.ext.LangId.Seed.Vocab.map(_._1).sorted
-    val wOf = (b: Column, k: Int) =>
+    val baseOf = (b: Column) =>
       ((ascii(substring(b, 1, 1)) * 31 + ascii(substring(b, 2, 1)) * 7
-        + ascii(substring(b, 3, 1)) * 3 + lit(k * 17)) % 23 - 11) / lit(16.0)
+        + ascii(substring(b, 3, 1)) * 3) % 23 - 11) / lit(16.0)
+    val deltaOf = (b: Column) =>
+      ((ascii(substring(b, 1, 1)) * 13 + ascii(substring(b, 2, 1)) * 5
+        + ascii(substring(b, 3, 1)) * 11) % 19 - 9) / lit(12.0)
     graft.ext.LangId.predictPortable(
         Tables.documents(s, dir)
           .select(col("doc_id"), substring(col("text"), 1, 160).as("t")),
         "doc_id", "t", langs, minN = 1, maxN = 3,
-        weightOfBucket = wOf, interceptOf = k => (k % 5 - 2) / 10.0)
+        baseOfBucket = baseOf, deltaOfBucket = deltaOf,
+        interceptOf = k => (k % 5 - 2) / 10.0)
       .ordered("doc_id")
   }
 

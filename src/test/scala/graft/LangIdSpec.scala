@@ -56,6 +56,18 @@ class LangIdSpec extends SparkTestBase {
       .select((col("lang") === col("lang2")).cast("int").as("ok"))
       .as[Int].collect()
     assert(joined.sum == joined.length, s"paths disagree on ${joined.length - joined.sum} docs")
+    // the fused kernel IS the fold reference, on seed text AND real
+    // corpus text (unicode, punctuation, long docs — the shapes that
+    // would expose a normalization/code-point/hash mismatch)
+    val texts = hold.select(col("text"))
+      .union(graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+        .limit(200).select(substring(col("text"), 1, 300).as("text")))
+      .union(Seq("", "  ", "a", "éü 中文 x", "ÄŐ\tmixed\n\nWS").toDF("text"))
+    val disagree = texts.select(
+        LangId.langIdCol(col("text"), m).as("a"),
+        LangId.langIdColFold(col("text"), m).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(disagree == 0)
   }
 
   test("no-gram docs fall back: default und, or the chained marker heuristic") {
