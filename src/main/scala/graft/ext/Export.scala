@@ -67,18 +67,35 @@ object Export {
     }
   }
 
-  /** The per-doc checksum term: xxhash64 over `checksumCols` (empty ⇒
-    * EVERY column of `columns` except the shard id, in sorted-name
-    * order so the term is schema-order-independent). Covering all
-    * columns by default means a shard whose TEXT was corrupted in
+  /** Can xxhash64 hash this type? (Hash expressions reject MapType —
+    * map iteration order is undefined — at any nesting depth.) */
+  private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+    case _ => true
+  }
+
+  /** The columns the manifest checksum covers: the caller's choice, or
+    * every HASHABLE column except the shard id in sorted-name order (so
+    * the term is schema-order-independent, and a frame carrying a map
+    * column still exports instead of failing analysis). Covering
+    * content by default means a shard whose TEXT was corrupted in
     * transit — same ids, same token counts — still fails the audit. */
-  private def checksumTerm(columns: Seq[String], checksumCols: Seq[String]) = {
+  private def checksumColumns(df: DataFrame, checksumCols: Seq[String]): Seq[String] = {
     val cs =
       if (checksumCols.nonEmpty) checksumCols
-      else columns.filterNot(_ == "shard").sorted
+      else df.schema.fields
+        .filter(f => f.name != "shard" && hashable(f.dataType))
+        .map(_.name).toSeq.sorted
     require(cs.nonEmpty, "no checksum columns")
-    sum(xxhash64(cs.map(col): _*).cast(DecimalType(38, 0)))
+    cs
   }
+
+  /** Order-invariant exact checksum over the given columns: per-doc
+    * xxhash64 summed as exact DECIMAL. */
+  private def checksumTerm(cs: Seq[String]) =
+    sum(xxhash64(cs.map(col): _*).cast(DecimalType(38, 0)))
 
   /** Write `shard=NNN`-partitioned parquet + `_manifest` (one row per
     * shard: n_docs, n_tokens, checksum). Returns the manifest.
@@ -100,13 +117,18 @@ object Export {
         assigned.repartition(nShards, col("shard"))
           .write.mode("overwrite").partitionBy("shard").parquet(outDir)
       else assigned.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      // the manifest RECORDS its checksum-column choice, so the audit
+      // side re-derives with the same columns instead of trusting the
+      // caller to repeat them (a mismatched choice reads as corruption)
+      val cs = checksumColumns(assigned, checksumCols)
       val manifest = assigned.groupBy("shard").agg(
           count(lit(1)).as("n_docs"),
           sum(col(ntokCol)).as("n_tokens"),
           // order-invariant exact checksum: per-doc xxhash64 summed as
           // DECIMAL — any dropped/duplicated/altered doc (CONTENT
           // included, not just id/ntok) changes it
-          checksumTerm(assigned.columns.toSeq, checksumCols).as("checksum"))
+          checksumTerm(cs).as("checksum"))
+        .withColumn("checksum_cols", lit(cs.mkString(",")))
         .orderBy("shard")
       manifest.repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/_manifest")
@@ -116,17 +138,40 @@ object Export {
 
   /** Re-derive the manifest from landed shards and compare — the
     * integrity check a loader (or a post-copy audit) runs: returns
-    * rows that DISAGREE (empty = intact). `checksumCols` must match
-    * the write's choice (default: all columns). */
+    * rows that DISAGREE (empty = intact). The checksum columns come
+    * from the manifest's own `checksum_cols` record (manifests written
+    * before that field existed: pass the write's `checksumCols`
+    * explicitly). An empty export (no data files) audits clean against
+    * an empty manifest — and flags every manifest row as lost when the
+    * manifest says shards should exist. */
   def auditShards(spark: SparkSession, outDir: String, idCol: String,
       ntokCol: String, checksumCols: Seq[String] = Nil): DataFrame = {
-    val shards = spark.read.parquet(outDir)
-    val landed = shards.groupBy("shard").agg(
-      count(lit(1)).as("n_docs"),
-      sum(col(ntokCol)).as("n_tokens"),
-      checksumTerm(shards.columns.toSeq, checksumCols).as("checksum"))
     val manifest = spark.read.parquet(s"$outDir/_manifest")
-    landed.as("l").join(manifest.as("m"), "shard", "full_outer")
+    val cs: Seq[String] =
+      if (checksumCols.nonEmpty) checksumCols
+      else if (manifest.columns.contains("checksum_cols"))
+        manifest.select("checksum_cols").limit(1).collect()
+          .headOption.map(_.getString(0).split(",").toSeq).getOrElse(Nil)
+      else Nil
+    val manifestCmp =
+      if (manifest.columns.contains("checksum_cols")) manifest.drop("checksum_cols")
+      else manifest
+    // a zero-row export writes no parquet data files — detect via the
+    // listing (only _manifest/_SUCCESS present) instead of letting the
+    // schema-less read throw
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(s => !s.getPath.getName.startsWith("_"))
+    val landed =
+      if (hasData) {
+        val shards = spark.read.parquet(outDir)
+        shards.groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col(ntokCol)).as("n_tokens"),
+          checksumTerm(checksumColumns(shards, cs)).as("checksum"))
+      } else manifestCmp.limit(0)
+    landed.as("l").join(manifestCmp.as("m"), "shard", "full_outer")
       .filter(col("l.n_docs").isNull || col("m.n_docs").isNull ||
         col("l.n_docs") =!= col("m.n_docs") ||
         col("l.n_tokens") =!= col("m.n_tokens") ||

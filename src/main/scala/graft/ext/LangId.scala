@@ -40,13 +40,19 @@ object LangId {
     * `langs`). */
   final case class Model(dim: Int, minN: Int, maxN: Int, langs: Seq[String],
       intercepts: Seq[Double], weights: Map[Int, Seq[Double]]) {
-    def weightRows(spark: SparkSession): DataFrame = {
-      import spark.implicits._
-      weights.toSeq.flatMap { case (i, vs) =>
-        langs.zip(vs).map { case (l, w) => (i, l, w) }
-      }.toDF("idx", "lang", "w")
-    }
+    def weightRows(spark: SparkSession): DataFrame =
+      weightRowsDf(spark, langs, weights)
     def interceptOf: Map[String, Double] = langs.zip(intercepts).toMap
+  }
+
+  /** The (idx, lang, w) row layout — ONE definition shared by training
+    * and inference so the two can't diverge. */
+  private def weightRowsDf(spark: SparkSession, langs: Seq[String],
+      weights: Map[Int, Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    weights.toSeq.flatMap { case (i, vs) =>
+      langs.zip(vs).map { case (l, w) => (i, l, w) }
+    }.toDF("idx", "lang", "w")
   }
 
   /** Whitespace-collapsed, lowercased, trimmed — the standard langid
@@ -110,11 +116,7 @@ object LangId {
     var intercepts = langs.map(_ => 0.0)
     val byId = Window.partitionBy(idCol)
     for (_ <- 1 to iters) {
-      val wDf = broadcast(
-        if (weights.isEmpty) Seq.empty[(Int, String, Double)].toDF("idx", "lang", "w")
-        else weights.toSeq.flatMap { case (i, vs) =>
-          langs.zip(vs).map { case (l, w) => (i, l, w) }
-        }.toDF("idx", "lang", "w"))
+      val wDf = broadcast(weightRowsDf(spark, langs, weights))
       val bOf = typedLit(langs.zip(intercepts).toMap)
       val margins = feats.join(wDf, Seq("idx"))
         .groupBy(idCol, "lang")

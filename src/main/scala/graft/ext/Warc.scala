@@ -427,10 +427,13 @@ object Warc {
           if (!any) return b // header lied: body was never chunked
         } else if (size == 0L) done = true
         else {
-          val end = math.min(i + size.toInt, b.length)
+          // bound arithmetic in Long: a lying size near Int.MaxValue
+          // must clamp to the buffer, not wrap i+size negative and
+          // blow up the write (a decode must never kill the pass)
+          val end = math.min(i.toLong + size, b.length.toLong).toInt
           out.write(b, i, end - i)
           any = true
-          if (end < i + size.toInt) done = true // truncated final chunk
+          if (end.toLong < i.toLong + size) done = true // truncated final chunk
           i = end
           // the CRLF closing the chunk data
           if (i < b.length && b(i) == '\r') i += 1
@@ -441,18 +444,22 @@ object Warc {
     }
 
     /** Multi-member gzip (JDK GZIPInputStream reads concatenated
-      * members natively — the [[parseStream]] precedent). Corrupt
-      * stream ⇒ decoded prefix; nothing decodable ⇒ original bytes. */
+      * members natively — the [[parseStream]] precedent). Not gzip at
+      * all (header rejected) ⇒ original bytes; corrupt past the header
+      * ⇒ decoded prefix; a VALID gzip of an empty body ⇒ empty body
+      * (success and nothing-decodable are distinct — conflating them
+      * returned the ~20 compressed framing bytes as the "body"). */
     def gunzip(b: Array[Byte]): Array[Byte] = {
+      val in =
+        try new java.util.zip.GZIPInputStream(new ByteArrayInputStream(b), 1 << 16)
+        catch { case _: java.io.IOException => return b } // header invalid: not gzip
       val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 64))
       try {
-        val in = new java.util.zip.GZIPInputStream(
-          new ByteArrayInputStream(b), 1 << 16)
         val buf = new Array[Byte](1 << 16)
         var n = in.read(buf)
         while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
       } catch { case _: java.io.IOException => () }
-      if (out.size() == 0 && b.length > 0) b else out.toByteArray
+      out.toByteArray
     }
 
     /** `deflate` bodies ship BOTH zlib-wrapped (RFC-correct) and raw
@@ -470,15 +477,17 @@ object Warc {
             if (n > 0) out.write(buf, 0, n)
             else stalled = true // truncated input: keep the prefix
           }
-          Some(out.toByteArray)
+          // success = a COMPLETE stream (even an empty one) or real
+          // output; an immediately-stalled empty decode is a miss, not
+          // "decoded to empty" — the distinction keeps a valid deflate
+          // of a zero-byte body from falling through to raw bytes
+          if (inf.finished() || out.size() > 0) Some(out.toByteArray) else None
         } catch {
           case _: java.util.zip.DataFormatException =>
             if (out.size() > 0) Some(out.toByteArray) else None
         } finally inf.end()
       }
-      run(raw = false).filter(_.nonEmpty)
-        .orElse(run(raw = true).filter(_.nonEmpty))
-        .getOrElse(b)
+      run(raw = false).orElse(run(raw = true)).getOrElse(b)
     }
   }
 

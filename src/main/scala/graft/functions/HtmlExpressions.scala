@@ -73,6 +73,15 @@ object HtmlExpressions {
   private val RawSkipTags: Set[String] = Set(
     "script", "style", "noscript", "template", "svg", "textarea", "iframe")
 
+  /** Raw-skip tags that legally NEST (unlike script/style/textarea,
+    * whose content ends at the first matching close per the HTML5
+    * raw-text rules): `<svg>` is foreign content with XML nesting
+    * (icon sprites routinely wrap `<svg><svg>…</svg>…</svg>`), and
+    * template/noscript hold parsed markup that may repeat the tag. For
+    * these the close scan is depth-aware — stopping at the first inner
+    * `</svg>` leaked the rest of the vector markup as content blocks. */
+  private val NestingRawSkipTags: Set[String] = Set("svg", "template", "noscript")
+
   final case class HtmlBlocksExpr(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(StringType)
@@ -165,6 +174,36 @@ object HtmlExpressions {
       n
     }
 
+    /** True when `idx` does not continue a tag name ("</svg>"'s close
+      * must not be claimed by "</svgfoo>"). */
+    def nameEnds(idx: Int): Boolean =
+      idx >= n || !Character.isLetterOrDigit(s.charAt(idx))
+
+    /** Depth-aware [[findClose]] for [[NestingRawSkipTags]]: inner
+      * same-tag opens (non-self-closed) push depth, closes pop; returns
+      * the '<' of the close matching the CURRENT element, or n. */
+    def findCloseNested(from: Int, name: String): Int = {
+      var j = from
+      val m = name.length
+      var depth = 0
+      while (j + m + 2 <= n) {
+        if (s.charAt(j) == '<') {
+          if (s.charAt(j + 1) == '/' &&
+              s.regionMatches(true, j + 2, name, 0, m) && nameEnds(j + 2 + m)) {
+            if (depth == 0) return j
+            depth -= 1
+            j += 2 + m
+          } else if (s.regionMatches(true, j + 1, name, 0, m) && nameEnds(j + 1 + m)) {
+            val end = skipTag(j + 1 + m)
+            val prev = if (end - 2 >= j + 1 + m) s.charAt(end - 2) else ' '
+            if (prev != '/') depth += 1 // <svg/> never opened a level
+            j = end
+          } else j += 1
+        } else j += 1
+      }
+      n
+    }
+
     def decodeEntity(from: Int): (Int, Int) = { // (codePoint or -1, next index)
       // from points just after '&'
       if (from < n && s.charAt(from) == '#') {
@@ -227,7 +266,9 @@ object HtmlExpressions {
             name match {
               case t if RawSkipTags.contains(t) && !closing && !selfClosed =>
                 flush()
-                val close = findClose(i, name)
+                val close =
+                  if (NestingRawSkipTags.contains(t)) findCloseNested(i, name)
+                  else findClose(i, name)
                 i = if (close >= n) n else skipTag(close + 2 + name.length)
               case t if RawSkipTags.contains(t) => flush()
               case "a" =>

@@ -95,11 +95,35 @@ class ExportSpec extends SparkTestBase {
     assert(bad.count() == 1, "exactly the corrupted shard must disagree")
   }
 
-  test("empty input: no NPE — empty manifest written, zero shards") {
+  test("empty input: no NPE — empty manifest written, zero shards, audit clean") {
     val out = java.nio.file.Files.createTempDirectory("graft-shards5").toString
     val m = Export.writeShards(docsWithTok.filter(lit(false)), "doc_id", "ntok",
       out, tokensPerShard = 4000)
     assert(m.count() == 0)
     assert(spark.read.parquet(s"$out/_manifest").count() == 0)
+    // the paired audit must read the zero-data-file directory as an
+    // intact empty export, not throw on schema inference
+    assert(Export.auditShards(spark, out, "doc_id", "ntok").count() == 0)
+  }
+
+  test("a map-typed column exports (checksum skips unhashable types) and audits clean") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards6").toString
+    val withMap = docsWithTok.withColumn("meta",
+      map(lit("source"), col("doc_id").cast("string")))
+    val m = Export.writeShards(withMap, "doc_id", "ntok", out, tokensPerShard = 4000)
+    // the recorded checksum choice covers the hashable columns only
+    val cols = m.select("checksum_cols").as[String].head.split(",").toSet
+    assert(cols == Set("doc_id", "ntok", "text"))
+    assert(Export.auditShards(spark, out, "doc_id", "ntok").count() == 0)
+  }
+
+  test("audit re-derives with the MANIFEST's recorded checksum columns") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards7").toString
+    // write covering ONLY (doc_id, ntok); the audit passes no choice and
+    // must follow the manifest record — re-deriving with the all-columns
+    // default instead would read every intact shard as corrupt
+    Export.writeShards(docsWithTok, "doc_id", "ntok", out,
+      tokensPerShard = 4000, checksumCols = Seq("doc_id", "ntok"))
+    assert(Export.auditShards(spark, out, "doc_id", "ntok").count() == 0)
   }
 }

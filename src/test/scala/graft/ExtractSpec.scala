@@ -49,6 +49,21 @@ class ExtractSpec extends SparkTestBase {
     assert(texts == Seq("Real article text survives.", "after self-closed svg"))
   }
 
+  test("NESTED svg/template skip to the matching close (icon-sprite shape)") {
+    // svg is foreign content with XML nesting: the inner </svg> must not
+    // end the skip and leak '42 shares' as a content block
+    val html =
+      """<body><svg><svg x="1"><path d="M0 0"/></svg><text>42 shares</text></svg>
+        |<p>Article text after the sprite.</p>
+        |<template><template><p>inner</p></template><p>outer junk</p></template>
+        |<svg><svgfoo></svgfoo></svg><p>tag-name boundary respected</p>
+        |<svg><svg/><text>after self-closed inner</text></svg><p>end</p></body>"""
+        .stripMargin
+    val texts = blocksOf(html).map(_.getString(0))
+    assert(texts == Seq("Article text after the sprite.",
+      "tag-name boundary respected", "end"))
+  }
+
   test("entities: named, decimal, hex, nbsp; unknown and unterminated stay literal") {
     val bs = blocksOf("<p>Tom&nbsp;&amp; Jerry &lt;3 &#8212; &#x41;Z &unknown; A&B</p>")
     assert(bs.map(_.getString(0)) == Seq("Tom & Jerry <3 — AZ &unknown; A&B"))

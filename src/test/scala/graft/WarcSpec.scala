@@ -250,6 +250,40 @@ class WarcSpec extends SparkTestBase {
     assert(rows(0).getString(1) == "Chunked gzipped article body, long enough to keep.")
   }
 
+  test("decode robustness: lying near-MaxInt chunk size clamps; empty gzip/deflate bodies decode to empty") {
+    def payload(coding: String, body: Array[Byte]): Array[Byte] =
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$coding\r\n\r\n"
+        .getBytes(UTF_8) ++ body
+    def decoded(p: Array[Byte]): String =
+      Seq(Tuple1(p)).toDF("p")
+        .select(Warc.httpDecodedBodyBytes(col("p")).cast("string"))
+        .as[String].head
+    // a real first chunk, then a size line claiming 0x7fffffff bytes:
+    // i + size must clamp in Long (an Int wrap sent a negative length
+    // into the write and killed the task)
+    val html = "<p>Prefix body text long enough to be a real paragraph.</p>"
+    val hb = html.getBytes(UTF_8)
+    val lying = (hb.length.toHexString + "\r\n").getBytes(UTF_8) ++ hb ++
+      "\r\n7fffffff\r\nX\r\n0\r\n\r\n".getBytes(UTF_8)
+    val out = decoded(payload("Transfer-Encoding: chunked", lying))
+    assert(out.startsWith(html)) // prefix survives, no throw
+    // a VALID gzip member of a zero-byte body is an empty body — not
+    // the ~20 compressed framing bytes ("nothing decodable" conflation)
+    assert(decoded(payload("Content-Encoding: gzip",
+      gzipMembers(Array.empty[Byte]))) == "")
+    val emptyZlib = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(Array.empty[Byte]); d.finish()
+      val buf = new Array[Byte](64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    assert(decoded(payload("Content-Encoding: deflate", emptyZlib)) == "")
+    // garbage under a gzip label still falls through as raw bytes
+    assert(decoded(payload("Content-Encoding: gzip",
+      "plainly not gzip".getBytes(UTF_8))) == "plainly not gzip")
+  }
+
   test("htmlResponses filters to 200 HTML responses; non-HTML 200s excluded") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec2").toFile
     try {
