@@ -114,6 +114,13 @@ object UrlOps {
     /** The offline fallback: the two-level shortlist (plus the implicit
       * `*` default rule every PSL evaluation carries). */
     val Builtin: PublicSuffixes = parse(TwoLevelTlds)
+
+    /** Load a PSL-format file (the published `public_suffix_list.dat`)
+      * from any Hadoop-visible path. The list is rule-count-sized —
+      * one driver-side read, parsed once, then every derivation is the
+      * plan-literal expression above. */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): PublicSuffixes =
+      parse(spark.read.textFile(path).collect().toSeq)
   }
 
   /** Public-suffix label count of a host under PSL matching rules:

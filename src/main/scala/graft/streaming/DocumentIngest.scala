@@ -42,6 +42,14 @@ object DocumentIngest {
     * at the same `minShared`. */
   final case class DecontamGate(bloom: Array[Byte], n: Int, minShared: Int)
 
+  /** Language gate for the edge: keep documents whose trained-langid
+    * prediction (over the standard `prefixChars` prefix, the marker
+    * heuristic as no-signal fallback) is in `allow`. Stateless like
+    * every other gate — the model rides the plan inside one
+    * [[graft.ext.LangId.langIdCol]] kernel, no join, no shuffle. */
+  final case class LangGate(model: graft.ext.LangId.Model,
+      allow: Set[String], prefixChars: Int = 160)
+
   final case class CleanConfig(
       minTokens: Int = 5,
       maxTokens: Int = 100000,
@@ -49,7 +57,8 @@ object DocumentIngest {
       classifier: Option[QualityClassifier.Model] = None,
       minScore: Double = 0.5,
       redactPii: Boolean = true,
-      decontam: Option[DecontamGate] = None)
+      decontam: Option[DecontamGate] = None,
+      langGate: Option[LangGate] = None)
 
   /** The normalized content key used for streaming dedup — identical to
     * the batch x1b normalized-dedup key, so stream-deduped and
@@ -71,6 +80,11 @@ object DocumentIngest {
       "_dup3chars" -> TextOps.dupNgramCharMass(textCol, 3),
       "_nc" -> length(textCol).cast("double")) ++
       cfg.classifier.map(m => "quality_score" -> QualityClassifier.scoreCol(textCol, m)) ++
+      cfg.langGate.map { g =>
+        "lang_pred" -> graft.ext.LangId.langIdCol(
+          substring(textCol, 1, g.prefixChars), g.model,
+          fallback = TextOps.langId(textCol))
+      } ++
       cfg.decontam.map { d =>
         // distinct grams hitting the probe Bloom filter — same gram
         // shape + xxhash64 key as Dedup.shingleRows, so the count
@@ -87,6 +101,8 @@ object DocumentIngest {
       top2 <= cfg.repetition.maxTop2GramCharFrac &&
       dup3 <= cfg.repetition.maxDup3GramCharFrac &&
       cfg.classifier.fold(lit(true))(_ => col("quality_score") >= cfg.minScore) &&
+      cfg.langGate.fold(lit(true))(g =>
+        col("lang_pred").isInCollection(g.allow.toSeq.sorted)) &&
       cfg.decontam.fold(lit(true))(d => col("_contam") < d.minShared)
     (cols, keep)
   }
@@ -95,8 +111,8 @@ object DocumentIngest {
     * gates → PII redaction. Works identically on a batch frame (the
     * dedup falls back to plain dropDuplicates) — the spec pins
     * stream == batch on the same data. Output: the input columns with
-    * `text` redacted, plus `n_tokens` (and `quality_score` when a
-    * classifier is configured). */
+    * `text` redacted, plus `n_tokens` (and `quality_score` /
+    * `lang_pred` when a classifier / language gate is configured). */
   def cleanStream(stream: DataFrame, idCol: String, textCol: String,
       tsCol: String, lateness: String, cfg: CleanConfig = CleanConfig()): DataFrame = {
     val keyed = stream.withColumn("_ck", contentKey(col(textCol)))
