@@ -101,14 +101,23 @@ object UrlOps {
   object PublicSuffixes {
     /** Parse PSL-format lines: comments (`//`) and blanks skipped,
       * `!rule` → exception, `*.x` kept verbatim. Sections (ICANN /
-      * PRIVATE) are not distinguished — both govern registrability. */
+      * PRIVATE) are not distinguished — both govern registrability.
+      * IDN rules are published as Unicode U-labels but crawled hosts
+      * carry punycode A-labels (RFC 3490), so every non-ASCII label is
+      * IDN-encoded at parse time — matching happens in A-label space
+      * (a U-label rule would otherwise silently never match). */
     def parse(lines: Seq[String]): PublicSuffixes = {
+      def alabel(rule: String): String = rule.split('.').map { l =>
+        if (l == "*" || l.forall(_ < 0x80)) l
+        else try java.net.IDN.toASCII(l, java.net.IDN.ALLOW_UNASSIGNED).toLowerCase
+        catch { case _: IllegalArgumentException => l }
+      }.mkString(".")
       val rules = lines.map(_.trim.toLowerCase)
         .filter(l => l.nonEmpty && !l.startsWith("//"))
       val (exc, norm) = rules.partition(_.startsWith("!"))
       PublicSuffixes(
-        norm.map(r => r -> (r.count(_ == '.') + 1)).toMap,
-        exc.map(_.drop(1)).map(r => r -> (r.count(_ == '.') + 1)).toMap)
+        norm.map(alabel).map(r => r -> (r.count(_ == '.') + 1)).toMap,
+        exc.map(_.drop(1)).map(alabel).map(r => r -> (r.count(_ == '.') + 1)).toMap)
     }
 
     /** The offline fallback: the two-level shortlist (plus the implicit

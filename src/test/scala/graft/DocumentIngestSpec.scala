@@ -162,10 +162,11 @@ class DocumentIngestSpec extends SparkTestBase {
       DocumentIngest.extractHtml(
         ms.toDF().toDF("doc_id", "html", "ts"), "html", "text", policy),
       "doc_id", "text", "ts", lateness = "10 minutes", cfg)
+    ms.addData(rows.toSeq) // before start: AvailableNow snapshots offsets at init
     val q = cleaned.writeStream.format("parquet")
       .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    ms.addData(rows.toSeq); q.awaitTermination()
+    q.awaitTermination()
     val streamed = spark.read.parquet(s"$tmp/out")
       .select("doc_id", "text").as[(Long, String)].collect().toSet
 
@@ -235,10 +236,11 @@ class DocumentIngestSpec extends SparkTestBase {
     val cleaned = DocumentIngest.cleanStream(
       ms.toDF().toDF("sid", "truth", "text", "ts"),
       "sid", "text", "ts", lateness = "10 minutes", cfg)
+    ms.addData(arrivals.toSeq) // before start: AvailableNow snapshots offsets at init
     val q = cleaned.writeStream.format("parquet")
       .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    ms.addData(arrivals.toSeq); q.awaitTermination()
+    q.awaitTermination()
     val streamed = spark.read.parquet(s"$tmp/out")
       .select("sid", "truth", "lang_pred").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))

@@ -95,6 +95,20 @@ class UrlOpsSpec extends SparkTestBase {
     assert(rdB("www.example.org") == "example.org")
   }
 
+  test("IDN PSL rules match punycode hosts (rules A-label-encoded at parse)") {
+    // the published dat lists U-labels; crawled hosts are A-labels
+    val uLabel = "個人.hk"
+    val aLabel = uLabel.split('.').map(l =>
+      if (l.forall(_ < 0x80)) l else java.net.IDN.toASCII(l).toLowerCase).mkString(".")
+    assert(aLabel.startsWith("xn--")) // sanity: the rule really is IDN
+    val psl = UrlOps.PublicSuffixes.parse(Seq("hk", uLabel))
+    assert(psl.normal.contains(aLabel) && !psl.normal.contains(uLabel))
+    def rd(h: String): String =
+      Seq(h).toDF("h").select(UrlOps.registeredDomain(col("h"), psl)).head.getString(0)
+    assert(rd(s"b.site.$aLabel") == s"site.$aLabel") // 2-label IDN suffix honored
+    assert(rd("b.site.hk") == "site.hk")
+  }
+
   test("url-parts kernel: interpreted eval agrees with codegen; SQL surface") {
     val e = graft.functions.UrlExpressions.UrlPartsExpr(
       org.apache.spark.sql.graft.ColumnBridge.expr(
