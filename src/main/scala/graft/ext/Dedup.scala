@@ -876,4 +876,64 @@ object Dedup {
             struct(col("__i"), col("__line"))))),
           s => s.getField("__line")), " ").as("clean_text"))
   }
+
+  /** Exact substring-span dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * pass, re-shaped from their suffix array to Spark aggregations):
+    * every duplicated window of `windowTokens` consecutive tokens
+    * keeps its corpus-wide FIRST occurrence (min (id, start)) and is
+    * removed everywhere else; a token is dropped when any removed
+    * window covers it. Unlike [[lineDedup]]'s block-aligned
+    * all-occurrence removal, windows SLIDE — a shared span is caught
+    * at any token offset (the property the suffix array buys) — and
+    * exactly ONE copy of every duplicated span survives, so repeated
+    * boilerplate keeps one canonical occurrence instead of vanishing
+    * from the corpus entirely. Output: (idCol, n_tokens, n_removed,
+    * clean_text) — every input doc, untouched docs included.
+    *
+    * Scale shape: windows explode to ONE row per token (not per pair);
+    * the duplicate aggregation keys its exchange on
+    * `xxhash64(window)` and still groups by (hash, window), and the
+    * join back re-checks window equality ([[lineDedup]]'s fixed-width
+    * exchange discipline — a collision can never merge distinct
+    * spans); keeper choice is an in-aggregation `min(struct)`, never a
+    * corpus-ordered window function; covered-position explode is
+    * bounded by duplicated windows × `windowTokens`; reassembly is one
+    * by-doc aggregation. No all-pairs anywhere. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be positive")
+    val L = windowTokens
+    val base = df
+      .select(col(idCol), TextOps.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .withColumn("__n", size(col("__t")))
+    val wins = base.filter(col("__n") >= L)
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0), col("__n") - L)).as("__s"))
+      .select(col(idCol), col("__s"),
+        concat_ws(" ", slice(col("__t"), col("__s") + 1, lit(L))).as("__w"))
+      .withColumn("__wh", xxhash64(col("__w")))
+    val dup = wins.repartition(col("__wh"))
+      .groupBy(col("__wh"), col("__w"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol), col("__s"))).as("__keep"))
+      .filter(col("__c") >= 2)
+      .select(col("__wh"), col("__w").as("__dw"), col("__keep"))
+    val marks = wins.join(dup,
+        wins("__wh") === dup("__wh") && col("__w") === col("__dw"))
+      .filter(!(col(idCol) === col("__keep").getField(idCol) &&
+        col("__s") === col("__keep").getField("__s")))
+      .select(col(idCol), explode(sequence(col("__s"), col("__s") + L - 1)).as("__p"))
+      .distinct()
+    val mp = marks.groupBy(idCol).agg(collect_set(col("__p")).as("__mp"))
+    val mpc = coalesce(col("__mp"), array().cast("array<int>"))
+    val kept = when(col("__n") === 0, array().cast("array<int>"))
+      .otherwise(array_except(sequence(lit(0), col("__n") - 1), mpc))
+    base.join(mp, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__n").cast("long").as("n_tokens"),
+        size(mpc).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(kept, p => element_at(col("__t"), p + 1))).as("clean_text"))
+  }
 }

@@ -3043,6 +3043,54 @@ object Queries {
       .ordered("lang")
   }
 
+  // X58 — exact substring-span dedup (Lee et al. 2022 ExactSubstr,
+  // suffix array re-shaped to hash aggregations): sliding 10-token
+  // windows, duplicated windows keep their corpus-wide first occurrence
+  // (min (doc, start)) and are removed everywhere else, a token dies
+  // when any removed window covers it. Every stage is engine-portable —
+  // window enumeration, first-occurrence choice, covered-position
+  // union, reassembly — so the oracle re-derives the WHOLE pass
+  // (keeper discipline included, the part a wrong tie-break corrupts).
+  q("x58_span_dedup",
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |starts AS (
+       |  SELECT doc_id, t, UNNEST(range(0, n - 10 + 1)) AS s
+       |  FROM base WHERE n >= 10),
+       |wins AS (
+       |  SELECT doc_id, s,
+       |    array_to_string(list_slice(t, s + 1, s + 10), ' ') AS w
+       |  FROM starts),
+       |ranked AS (
+       |  SELECT doc_id, s,
+       |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, s) AS rn,
+       |    COUNT(*) OVER (PARTITION BY w) AS cnt
+       |  FROM wins),
+       |mexp AS (
+       |  SELECT doc_id, s, UNNEST(range(0, 10)) AS o
+       |  FROM ranked WHERE cnt >= 2 AND rn > 1),
+       |mpos AS (SELECT DISTINCT doc_id, s + o AS p FROM mexp),
+       |agg AS (SELECT doc_id, list(p) AS mp FROM mpos GROUP BY 1),
+       |out AS (
+       |  SELECT b.doc_id,
+       |    CAST(b.n AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(len(mp), 0) AS BIGINT) AS n_removed,
+       |    COALESCE(array_to_string(list_transform(
+       |      list_filter(range(0, b.n),
+       |        i -> NOT list_contains(COALESCE(mp, CAST([] AS BIGINT[])), i)),
+       |      i -> b.t[i + 1]), ' '), '') AS clean_text
+       |  FROM base b LEFT JOIN agg USING (doc_id))
+       |SELECT doc_id, n_tokens, n_removed, clean_text
+       |FROM out ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ext.Dedup.removeDuplicateSpans(
+        Tables.documents(s, dir), "doc_id", "text", windowTokens = 10)
+      .ordered("doc_id")
+  }
+
   // X25 — temperature-weighted domain mixture (alpha = 0.5): per-lang
   // quota ∝ √count via integer-exact weights (floor(√n·10⁶) then pure
   // integer quota arithmetic — bit-identical across engines), members
