@@ -899,7 +899,11 @@ object Dedup {
     * spans); keeper choice is an in-aggregation `min(struct)`, never a
     * corpus-ordered window function; covered-position explode is
     * bounded by duplicated windows × `windowTokens`; reassembly is one
-    * by-doc aggregation. No all-pairs anywhere. */
+    * by-doc aggregation. No all-pairs anywhere. The window frame is
+    * DERIVED TWICE (once under the duplicate aggregation, once for the
+    * join back) on purpose: persisting it would materialize the
+    * L-token window strings — ~`windowTokens`× the corpus bytes —
+    * while re-tokenizing is two cheap columnar scans at any scale. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 50): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be positive")
