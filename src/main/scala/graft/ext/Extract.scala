@@ -53,6 +53,25 @@ object Extract {
     concat_ws("\n", transform(kept, _.getField("text")))
   }
 
+  /** Out-links of a page in document order:
+    * array<struct<href, anchor>> — href entity-decoded verbatim (no
+    * resolution), anchor whitespace-collapsed visible text. One
+    * [[graft.functions.HtmlExpressions.HtmlLinksExpr]] kernel pass per
+    * row; resolve each href against the page URL with [[resolvedLinks]]
+    * or [[UrlOps.resolveUrl]] before normalization/frontier use. */
+  def outLinks(html: Column): Column = HtmlExpressions.htmlLinks(html)
+
+  /** [[outLinks]] with each href resolved against `pageUrl` (RFC 3986
+    * §5.2): array<struct<url, anchor>>, hrefs whose resolution fails
+    * (malformed base) dropped. Ready for [[UrlOps.normalizeUrl]] and
+    * the host-graph build in [[Graph]]. */
+  def resolvedLinks(html: Column, pageUrl: Column): Column = {
+    val withUrl = transform(outLinks(html), l => struct(
+      UrlOps.resolveUrl(pageUrl, l.getField("href")).as("url"),
+      l.getField("anchor").as("anchor")))
+    filter(withUrl, _.getField("url").isNotNull)
+  }
+
   /** The `<title>` element's text ('' when absent). */
   def title(html: Column): Column = titleFromBlocks(htmlBlocks(html))
 

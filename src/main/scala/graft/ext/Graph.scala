@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host-graph analytics for crawl curation — the link-structure signals
+  * a large-scale corpus pipeline derives once per crawl and joins onto
+  * every page: PageRank-style centrality for domain quality weighting
+  * (the reference crawl curation literature — and CommonCrawl's own
+  * published host ranking — weight domains by centrality before
+  * sampling), plus the degree statistics the frontier scheduler and
+  * spam gates key on.
+  *
+  * The graph arrives as an EDGE LIST DataFrame (`src`, `dst` string or
+  * integral columns) — typically `Extract.resolvedLinks` →
+  * `UrlOps.urlDomain` → [[hostEdges]] — and every operator here is
+  * declarative DataFrame algebra:
+  *
+  *  - [[pageRank]] runs the power iteration as k joined-aggregate
+  *    rounds, each `localCheckpoint`ed (the [[Dedup.connectedComponents]]
+  *    plan-growth discipline). Per round the only shuffles are the
+  *    rank join on `src` and the contribution aggregation on `dst` —
+  *    both keyed exchanges, never all-pairs, and the edge side is
+  *    hash-repartitioned ONCE up front and reused by every round's
+  *    join (AQE cannot re-plan away a reuse the layout already
+  *    provides). Dangling mass (nodes with no out-edges) joins back as
+  *    a broadcast one-row aggregate, not a driver collect.
+  *
+  * Determinism contract (the suite's oracle discipline): every
+  * cross-partition reduction — per-node contribution sums and the
+  * dangling-mass total — goes through `DECIMAL(30,12)` so it is exact
+  * and partition-order independent, and each round's rank is itself
+  * quantized through `DECIMAL(30,12)` so both engines iterate on
+  * IDENTICAL values (12 fractional digits keeps every term at ≤ 15
+  * significant digits for rank-scale values — inside the region where
+  * a shortest-repr and a binary double→decimal rounding agree — while
+  * the quantization error, 1e-12/round, is orders below PageRank's own
+  * power-iteration convergence error).
+  *
+  * At 100 TB the host graph is million-node/billion-edge scale: edges
+  * and ranks are both hash-partitioned frames, per-round state is one
+  * (id, rank) row per node, and no step materializes anything
+  * node-count-squared. Reference behavior: livingsocial/rearview
+  * delegates graph-shaped analytics entirely (README.md:6,20 — metric
+  * math lives in Graphite); this module is extension surface for the
+  * training-data pipeline mandate, not a reference port.
+  */
+object Graph {
+
+  private val Dec = "decimal(30,12)"
+
+  /** Exact, order-invariant sum of a double column (see contract). */
+  private def dsum(c: Column): Column =
+    sum(c.cast(Dec)).cast("double")
+
+  /** Quantize a double through DECIMAL(30,12) — the cross-engine
+    * consensus value both sides of the oracle iterate on. */
+  private def quant(c: Column): Column = c.cast(Dec).cast("double")
+
+  /** Distinct (src, dst) host edges from resolved link rows, self-loops
+    * dropped — the standard host-graph reduction (a page linking its
+    * own host is navigation, not endorsement). */
+  def hostEdges(links: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    links.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+
+  /** Per-node degree stats: (id, out_deg, in_deg) over the node set
+    * src ∪ dst (a dangling host has out_deg 0, a source-only host
+    * in_deg 0). Two partial-aggregated exchanges, one join. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Fixed-iteration PageRank (Page et al. 1999) over a simple directed
+    * graph: duplicate edge rows collapse, ranks start uniform at 1/N,
+    * and each round computes
+    * `rank' = (1-d)/N + d * (Σ_in rank/outdeg + dangling/N)`
+    * with dangling mass redistributed uniformly, so Σ rank = 1 is
+    * invariant (up to the documented 1e-12 quantization). Returns
+    * (id, rank) — one row per node in src ∪ dst.
+    *
+    * Iteration count is FIXED rather than converged-to-epsilon: the
+    * oracle twin must run the identical rounds, and at curation scale
+    * a bounded, predictable job count beats a data-dependent one (10
+    * rounds ranks hosts to well under typical sampling granularity).
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be positive")
+    require(damping > 0 && damping < 1, "damping must be in (0,1)")
+    val spark = edges.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    // edge layout built once, reused by every round's src-keyed join
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(parts, col("src"))
+      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+      .join(outDeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .repartition(parts, col("id"))
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = (1.0 - damping) / n
+
+    var ranks = nodes.select(col("id"), col("out_deg"),
+      quant(lit(1.0 / n)).as("rank"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < iterations) {
+      val contribs = e
+        .join(ranks.filter(col("out_deg") > 0)
+          .select(col("id").as("src"), (col("rank") / col("out_deg")).as("c")), "src")
+        .groupBy(col("dst").as("id")).agg(dsum(col("c")).as("in_sum"))
+      // dangling mass: one-row aggregate, broadcast onto every node
+      val dangling = ranks.filter(col("out_deg") === 0)
+        .agg(coalesce(dsum(col("rank")), lit(0.0)).as("_dm"))
+      ranks = ranks
+        .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("out_deg"),
+          quant(lit(base) + lit(damping) *
+            (coalesce(col("in_sum"), lit(0.0)) + col("_dm") / lit(n.toDouble)))
+            .as("rank"))
+        .localCheckpoint(true)
+      round += 1
+    }
+    ranks.select(col("id"), col("rank"))
+  }
+}

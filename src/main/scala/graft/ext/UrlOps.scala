@@ -46,6 +46,16 @@ object UrlOps {
       .map(f => f -> p.getField(f))
   }
 
+  /** RFC 3986 §5.2 reference resolution of an `href` against its page
+    * URL — the step between [[Extract.outLinks]] and [[normalizeUrl]]
+    * in a crawl frontier. One
+    * [[graft.functions.UrlExpressions.UrlResolveExpr]] kernel call;
+    * null when `base` is not an absolute `scheme://host` URL; a ref
+    * with its own scheme is returned as-is (cleaned), so the scheme
+    * filter downstream still owns `mailto:`/`javascript:` rejection. */
+  def resolveUrl(base: Column, ref: Column): Column =
+    graft.functions.UrlExpressions.urlResolve(base, ref)
+
   /** The canonical form per the contract above; null for a URL the
     * parser rejects (no scheme://host). */
   def normalizeUrl(url: Column): Column = {

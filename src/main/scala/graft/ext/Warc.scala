@@ -292,6 +292,23 @@ object Warc {
       .select("path", "idx", "target_uri", "warc_date", "html")
   }
 
+  /** The WET (extracted-text) sibling of [[htmlResponses]]: CommonCrawl
+    * ships each crawl three ways, and the `*.warc.wet.gz` files carry
+    * `WARC-Type: conversion` records whose payload is the ALREADY
+    * extracted plain text, UTF-8 by the WET convention (ISO 28500
+    * conversion records; no HTTP envelope, so there is no transfer/
+    * content coding or charset negotiation layer here). A pipeline that
+    * starts from WET skips [[Extract]] entirely — this is the cheap
+    * on-ramp when fidelity to the original markup does not matter.
+    * Returns (path, idx, target_uri, warc_date, text); warcinfo and
+    * metadata records are filtered out. */
+  def wetTexts(records: Dataset[WarcRow]): DataFrame =
+    records.toDF()
+      .filter(col("warc_type") === "conversion" &&
+        col("content_type").startsWith("text/plain"))
+      .select(col("path"), col("idx"), col("target_uri"), col("warc_date"),
+        decodeCharset(col("payload"), lit("utf-8")).as("text"))
+
   /** TRUE when the response's Content-Encoding (if any) is one this
     * layer can decode — identity, gzip/x-gzip, deflate. A brotli/zstd
     * body would flow downstream as compressed bytes and mojibake the

@@ -197,6 +197,18 @@ object GraftExtensions {
           "(null when not scheme://host)"),
       (es: Seq[Expression]) => { arity("graft_url_parts", 1, es)
         UrlExpressions.UrlPartsExpr(es(0)) }),
+    (FunctionIdentifier("graft_url_resolve"),
+      info("graft.functions.UrlExpressions", "graft_url_resolve",
+        "graft_url_resolve(base, ref) - RFC 3986 reference resolution of an " +
+          "href against its page URL (null when base is not scheme://host)"),
+      (es: Seq[Expression]) => { arity("graft_url_resolve", 2, es)
+        UrlExpressions.UrlResolveExpr(es(0), es(1)) }),
+    (FunctionIdentifier("graft_html_links"),
+      info("graft.functions.HtmlExpressions", "graft_html_links",
+        "graft_html_links(html) - out-links of a page " +
+          "array<struct<href, anchor>> (href entity-decoded, anchor collapsed)"),
+      (es: Seq[Expression]) => { arity("graft_html_links", 1, es)
+        HtmlExpressions.HtmlLinksExpr(es(0)) }),
     (FunctionIdentifier("graft_robots_rules"),
       info("graft.ext.Robots", "graft_robots_rules",
         "graft_robots_rules(txt, agent) - the robots.txt rules applying to agent, " +

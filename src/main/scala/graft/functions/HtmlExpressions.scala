@@ -204,42 +204,7 @@ object HtmlExpressions {
       n
     }
 
-    def decodeEntity(from: Int): (Int, Int) = { // (codePoint or -1, next index)
-      // from points just after '&'
-      if (from < n && s.charAt(from) == '#') {
-        var j = from + 1
-        var cp = 0
-        var any = false
-        if (j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) {
-          j += 1
-          while (j < n && Character.digit(s.charAt(j), 16) >= 0 && cp <= 0x10ffff) {
-            cp = cp * 16 + Character.digit(s.charAt(j), 16); any = true; j += 1
-          }
-        } else {
-          while (j < n && s.charAt(j) >= '0' && s.charAt(j) <= '9' && cp <= 0x10ffff) {
-            cp = cp * 10 + (s.charAt(j) - '0'); any = true; j += 1
-          }
-        }
-        if (any && j < n && s.charAt(j) == ';' && cp > 0 && cp <= 0x10ffff) (cp, j + 1)
-        else (-1, from)
-      } else {
-        val semi = {
-          var j = from
-          while (j < n && j - from <= 8 && s.charAt(j) != ';') j += 1
-          if (j < n && s.charAt(j) == ';') j else -1
-        }
-        if (semi < 0) (-1, from)
-        else s.substring(from, semi).toLowerCase match {
-          case "amp" => ('&'.toInt, semi + 1)
-          case "lt" => ('<'.toInt, semi + 1)
-          case "gt" => ('>'.toInt, semi + 1)
-          case "quot" => ('"'.toInt, semi + 1)
-          case "apos" => ('\''.toInt, semi + 1)
-          case "nbsp" => (' '.toInt, semi + 1)
-          case _ => (-1, from)
-        }
-      }
-    }
+    def decodeEntity(from: Int): (Int, Int) = entityAt(s, from)
 
     while (i < n) {
       val c = s.charAt(i)
@@ -302,9 +267,279 @@ object HtmlExpressions {
     new GenericArrayData(blocks.toArray[Any])
   }
 
+  /** Character-reference decode at `from` (just past an '&') in `s`:
+    * (codePoint, next index), or (-1, from) when not a valid reference
+    * (the '&' then renders literally, as browsers do). Named
+    * amp/lt/gt/quot/apos/nbsp + decimal and hex numeric forms. */
+  private def entityAt(s: String, from: Int): (Int, Int) = {
+    val n = s.length
+    if (from < n && s.charAt(from) == '#') {
+      var j = from + 1
+      var cp = 0
+      var any = false
+      if (j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) {
+        j += 1
+        while (j < n && Character.digit(s.charAt(j), 16) >= 0 && cp <= 0x10ffff) {
+          cp = cp * 16 + Character.digit(s.charAt(j), 16); any = true; j += 1
+        }
+      } else {
+        while (j < n && s.charAt(j) >= '0' && s.charAt(j) <= '9' && cp <= 0x10ffff) {
+          cp = cp * 10 + (s.charAt(j) - '0'); any = true; j += 1
+        }
+      }
+      if (any && j < n && s.charAt(j) == ';' && cp > 0 && cp <= 0x10ffff) (cp, j + 1)
+      else (-1, from)
+    } else {
+      val semi = {
+        var j = from
+        while (j < n && j - from <= 8 && s.charAt(j) != ';') j += 1
+        if (j < n && s.charAt(j) == ';') j else -1
+      }
+      if (semi < 0) (-1, from)
+      else s.substring(from, semi).toLowerCase match {
+        case "amp" => ('&'.toInt, semi + 1)
+        case "lt" => ('<'.toInt, semi + 1)
+        case "gt" => ('>'.toInt, semi + 1)
+        case "quot" => ('"'.toInt, semi + 1)
+        case "apos" => ('\''.toInt, semi + 1)
+        case "nbsp" => (' '.toInt, semi + 1)
+        case _ => (-1, from)
+      }
+    }
+  }
+
+  /** Full entity decode of an attribute value (`&amp;` in an `href` is
+    * the serialized form of a literal `&` — a URL string must get the
+    * decoded character before resolution or dedup). */
+  private def decodeEntities(raw: String): String = {
+    var amp = raw.indexOf('&')
+    if (amp < 0) return raw
+    val b = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '&') {
+        val (cp, next) = entityAt(raw, i + 1)
+        if (cp >= 0) { b.appendCodePoint(cp); i = next }
+        else { b.append('&'); i += 1 }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  // -- out-link extraction ------------------------------------------------
+
+  val LinkSchema: StructType = StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("anchor", StringType, nullable = false)))
+
+  /** [[parseLinks]] as a native expression: `<a href>` out-links in
+    * document order, `array<struct<href, anchor>>`. Same parse discipline
+    * as [[HtmlBlocksExpr]] (one pass, quote-aware attributes, comment and
+    * raw-content skips — an `<a>` inside `<script>` is string data, not
+    * a link), so link extraction shares the blocks kernel's robustness
+    * contract instead of a regex's. `href` is entity-decoded verbatim
+    * (no resolution — that is [[UrlExpressions.UrlResolveExpr]]'s job);
+    * `anchor` is the element's visible text, entity-decoded and
+    * whitespace-collapsed, with interior tags acting as separators.
+    * Browser-shaped edge rules: a nested `<a>` implicitly closes the
+    * open one; an unclosed trailing `<a>` still emits; an anchor with
+    * no `href` attribute emits nothing. */
+  final case class HtmlLinksExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(LinkSchema, containsNull = false)
+    override def prettyName: String = "graft_html_links"
+
+    override def nullSafeEval(input: Any): Any =
+      HtmlExpressions.parseLinks(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, h =>
+        s"${ev.value} = graft.functions.HtmlExpressions.parseLinks($h);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Java-callable parse entry (shared by eval and codegen). */
+  def parseLinks(html: UTF8String): ArrayData = {
+    val s = html.toString
+    val n = s.length
+    val links = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val anchor = new java.lang.StringBuilder(64)
+    var href: String = null // null = no open link
+    var pendingSpace = false
+    var i = 0
+
+    def emit(): Unit = {
+      if (href != null)
+        links += new GenericInternalRow(Array[Any](
+          UTF8String.fromString(href), UTF8String.fromString(anchor.toString)))
+      href = null; anchor.setLength(0); pendingSpace = false
+    }
+
+    def appendChar(c: Char): Unit = {
+      if (href == null) () // anchor text only accumulates inside a link
+      else if (Character.isWhitespace(c)) { pendingSpace = anchor.length() > 0 }
+      else {
+        if (pendingSpace) { anchor.append(' '); pendingSpace = false }
+        anchor.append(c)
+      }
+    }
+
+    def lowerName(from: Int): (String, Int) = {
+      var j = from
+      val b = new java.lang.StringBuilder(8)
+      while (j < n && Character.isLetterOrDigit(s.charAt(j))) {
+        b.append(Character.toLowerCase(s.charAt(j))); j += 1
+      }
+      (b.toString, j)
+    }
+
+    /** Walk attributes to the tag's '>': (index after '>', selfClosed,
+      * href value or null). First `href` wins (browser duplicate-attr
+      * rule); a valueless `href` reads as the empty string (a
+      * self-reference once resolved). */
+    def tagAttrs(from: Int): (Int, Boolean, String) = {
+      var j = from
+      var hrefVal: String = null
+      var lastNonWs: Char = ' '
+      while (j < n) {
+        var c = s.charAt(j)
+        if (c == '>') return (j + 1, lastNonWs == '/', hrefVal)
+        if (Character.isWhitespace(c) || c == '/') { if (!Character.isWhitespace(c)) lastNonWs = c; j += 1 }
+        else {
+          // attribute name
+          val nameStart = j
+          while (j < n && !Character.isWhitespace(s.charAt(j)) &&
+            s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
+          val name = s.substring(nameStart, j).toLowerCase
+          // optional whitespace, '=', value
+          var k = j
+          while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
+          var value: String = null
+          if (k < n && s.charAt(k) == '=') {
+            k += 1
+            while (k < n && Character.isWhitespace(s.charAt(k))) k += 1
+            if (k < n && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
+              val quote = s.charAt(k)
+              val end = s.indexOf(quote, k + 1)
+              if (end < 0) { value = s.substring(k + 1); k = n }
+              else { value = s.substring(k + 1, end); k = end + 1 }
+            } else {
+              val valStart = k
+              while (k < n && !Character.isWhitespace(s.charAt(k)) && s.charAt(k) != '>') k += 1
+              value = s.substring(valStart, k)
+            }
+            j = k
+          }
+          if (name == "href" && hrefVal == null)
+            hrefVal = decodeEntities(if (value == null) "" else value)
+          // neutral after an attribute: HTML5 reads `href=foo/` as the
+          // VALUE "foo/", never as a self-closing slash
+          lastNonWs = ' '
+          c = if (j < n) s.charAt(j) else ' '
+          if (c == '>') return (j + 1, false, hrefVal)
+        }
+      }
+      (n, false, hrefVal)
+    }
+
+    def skipTag(from: Int): Int = {
+      var j = from
+      var quote: Char = 0
+      while (j < n) {
+        val c = s.charAt(j)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '>') return j + 1
+        j += 1
+      }
+      n
+    }
+
+    def nameEnds(idx: Int): Boolean =
+      idx >= n || !Character.isLetterOrDigit(s.charAt(idx))
+
+    def findClose(from: Int, name: String, nested: Boolean): Int = {
+      var j = from
+      val m = name.length
+      var depth = 0
+      while (j + m + 2 <= n) {
+        if (s.charAt(j) == '<') {
+          if (s.charAt(j + 1) == '/' &&
+              s.regionMatches(true, j + 2, name, 0, m) && nameEnds(j + 2 + m)) {
+            if (depth == 0) return j
+            depth -= 1
+            j += 2 + m
+          } else if (nested && s.regionMatches(true, j + 1, name, 0, m) &&
+              nameEnds(j + 1 + m)) {
+            val end = skipTag(j + 1 + m)
+            val prev = if (end - 2 >= j + 1 + m) s.charAt(end - 2) else ' '
+            if (prev != '/') depth += 1
+            j = end
+          } else j += 1
+        } else j += 1
+      }
+      n
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = s.charAt(i + 1)
+        if (c1 == '!') {
+          if (s.startsWith("<!--", i)) {
+            val end = s.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else i = skipTag(i + 2)
+        } else if (c1 == '?') {
+          i = skipTag(i + 2)
+        } else if (c1 == '/' || Character.isLetter(c1)) {
+          val closing = c1 == '/'
+          val (name, afterName) = lowerName(if (closing) i + 2 else i + 1)
+          if (name.isEmpty) { appendChar(c); i += 1 }
+          else if (name == "a" && !closing) {
+            val (end, selfClosed, h) = tagAttrs(afterName)
+            i = end
+            emit() // nested <a> implicitly closes the open one
+            if (!selfClosed) href = h
+            else if (h != null) { href = h; emit() } // <a href=… /> empty anchor
+          } else {
+            val selfClosed = {
+              val end = skipTag(afterName)
+              val prev = if (end - 2 >= afterName) s.charAt(end - 2) else ' '
+              i = end
+              prev == '/'
+            }
+            if (name == "a") emit() // </a>
+            else if (RawSkipTags.contains(name) && !closing && !selfClosed) {
+              val close = findClose(i, name, NestingRawSkipTags.contains(name))
+              i = if (close >= n) n else skipTag(close + 2 + name.length)
+              pendingSpace = anchor.length() > 0
+            } else pendingSpace = anchor.length() > 0 // tags separate words
+          }
+        } else { appendChar(c); i += 1 }
+      } else if (c == '&') {
+        val (cp, next) = entityAt(s, i + 1)
+        if (cp >= 0) {
+          Character.toChars(cp).foreach(appendChar)
+          i = next
+        } else { appendChar('&'); i += 1 }
+      } else { appendChar(c); i += 1 }
+    }
+    emit() // unclosed trailing <a>
+    new GenericArrayData(links.toArray[Any])
+  }
+
   // -- Column-level API ---------------------------------------------------
 
   /** Array of (text, chars, link_chars, container) visible-text blocks. */
   def htmlBlocks(html: Column): Column =
     ColumnBridge.column(HtmlBlocksExpr(ColumnBridge.expr(html)))
+
+  /** Array of (href, anchor) out-links in document order. */
+  def htmlLinks(html: Column): Column =
+    ColumnBridge.column(HtmlLinksExpr(ColumnBridge.expr(html)))
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
@@ -108,4 +108,147 @@ object UrlExpressions {
   /** struct<scheme,host,port,path,query,fragment> (null = malformed). */
   def urlParts(url: Column): Column =
     ColumnBridge.column(UrlPartsExpr(ColumnBridge.expr(url)))
+
+  // -- RFC 3986 §5 reference resolution -----------------------------------
+
+  /** `graft_url_resolve(base, ref)` — resolve an `href` against its
+    * page URL (RFC 3986 §5.2: merge + remove_dot_segments), the step
+    * between link extraction and URL normalization in a crawl frontier.
+    * Ref pre-cleaning follows the WHATWG URL parser: strip leading and
+    * trailing C0-control/space, delete interior tab/CR/LF (real hrefs
+    * wrap across source lines). Output reuses [[parse]]'s contract, so
+    * the resolved string is already partially normalized (lowercase
+    * scheme/host, userinfo discarded) and null when the BASE itself is
+    * not an absolute `scheme://host` URL. A ref that carries its own
+    * scheme wins outright (§5.2.2 first branch) and is returned
+    * cleaned-but-unparsed: `mailto:`/`javascript:` refs are not this
+    * parser's to reject — the downstream scheme filter owns that gate.
+    */
+  final case class UrlResolveExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType, StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_url_resolve"
+
+    override def nullSafeEval(base: Any, ref: Any): Any =
+      UrlExpressions.resolve(
+        base.asInstanceOf[UTF8String].toString,
+        ref.asInstanceOf[UTF8String].toString)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, r) =>
+        s"""
+           |${ev.value} = graft.functions.UrlExpressions.resolve(
+           |  $b.toString(), $r.toString());
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+         """.stripMargin)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  private[functions] def removeDotSegments(path: String): String = {
+    val out = new java.lang.StringBuilder(path.length)
+    var in = path
+    def popSegment(): Unit = {
+      val slash = out.lastIndexOf("/")
+      out.setLength(if (slash < 0) 0 else slash)
+    }
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); popSegment() }
+      else if (in == "/..") { in = "/"; popSegment() }
+      else if (in == "." || in == "..") in = ""
+      else {
+        // move the first segment (including its leading '/', if any)
+        val from = if (in.charAt(0) == '/') 1 else 0
+        val slash = in.indexOf('/', from)
+        val end = if (slash < 0) in.length else slash
+        out.append(in, 0, end)
+        in = in.substring(end)
+      }
+    }
+    out.toString
+  }
+
+  private def asciiAlpha(c: Char) =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** True when `s` begins with `scheme:` (RFC 3986 §3.1). */
+  private def hasScheme(s: String): Boolean = {
+    if (s.isEmpty || !asciiAlpha(s.charAt(0))) return false
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return true
+      if (!(asciiAlpha(c) || (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'))
+        return false
+      i += 1
+    }
+    false
+  }
+
+  /** Null when base is malformed (see [[UrlResolveExpr]] contract). */
+  def resolve(baseRaw: String, refRaw: String): UTF8String = {
+    // WHATWG pre-clean: trim C0/space at both ends, strip \t \r \n inside
+    var lo = 0
+    var hi = refRaw.length
+    while (lo < hi && refRaw.charAt(lo) <= ' ') lo += 1
+    while (hi > lo && refRaw.charAt(hi - 1) <= ' ') hi -= 1
+    val sb = new java.lang.StringBuilder(hi - lo)
+    var k = lo
+    while (k < hi) {
+      val c = refRaw.charAt(k)
+      if (c != '\t' && c != '\r' && c != '\n') sb.append(c)
+      k += 1
+    }
+    val ref = sb.toString
+
+    if (hasScheme(ref)) return u8(ref) // §5.2.2: ref's scheme wins
+    val base = parse(baseRaw)
+    if (base == null) return null
+    val scheme = base.getUTF8String(0).toString
+    if (ref.startsWith("//")) return u8(scheme + ":" + ref)
+
+    val host = base.getUTF8String(1).toString
+    val port = if (base.isNullAt(2)) null else base.getUTF8String(2).toString
+    val basePath = base.getUTF8String(3).toString
+    val baseQuery = if (base.isNullAt(4)) null else base.getUTF8String(4).toString
+    val root = new java.lang.StringBuilder(64)
+    root.append(scheme).append("://").append(host)
+    if (port != null) root.append(':').append(port)
+
+    def baseNoFragment(): String = {
+      root.append(basePath)
+      if (baseQuery != null) root.append('?').append(baseQuery)
+      root.toString
+    }
+
+    if (ref.isEmpty) return u8(baseNoFragment())
+    ref.charAt(0) match {
+      case '#' => u8(baseNoFragment() + ref)
+      case '?' => u8(root.append(basePath).append(ref).toString)
+      case _ =>
+        // path reference: split off ?query#fragment tail
+        var cut = 0
+        while (cut < ref.length && ref.charAt(cut) != '?' && ref.charAt(cut) != '#') cut += 1
+        val refPath = ref.substring(0, cut)
+        val tail = ref.substring(cut)
+        val merged =
+          if (refPath.startsWith("/")) refPath
+          else if (basePath.isEmpty) "/" + refPath // §5.3 merge, authority present
+          else basePath.substring(0, basePath.lastIndexOf('/') + 1) + refPath
+        u8(root.append(removeDotSegments(merged)).append(tail).toString)
+    }
+  }
+
+  /** Resolved absolute URL of `ref` against `base` (null = bad base). */
+  def urlResolve(base: Column, ref: Column): Column =
+    ColumnBridge.column(UrlResolveExpr(ColumnBridge.expr(base), ColumnBridge.expr(ref)))
 }

@@ -49,6 +49,53 @@ object Queries {
 
   /** Exact order-independent SUM for the oracle side. */
   private def DSUM(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** DuckDB twin of [[graft.ext.Graph.pageRank]] over the x60 derived
+    * host graph, the power iteration UNROLLED (one CTE triple per
+    * round — the engine has no iteration, so the oracle pays the
+    * closed form the same way x20's recursive CTE does). Mirrors the
+    * Graph determinism contract exactly: contribution sums, dangling
+    * mass, and each round's rank all quantize through DECIMAL(30,12);
+    * the arithmetic between quantizations is plain IEEE double in the
+    * same operation order. */
+  private def pageRankOracle(iters: Int): String = {
+    val N = "CAST((SELECT n FROM nn) AS DOUBLE)"
+    def quant(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,12)) AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) AS src,
+      |         'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) AS dst
+      |  FROM documents, UNNEST([1, 2, 3]) AS t(j)
+      |  WHERE doc_id % 50 < 40 AND (doc_id % 50) <> ((doc_id * 7 + j) % 50)),
+      |outdeg AS (SELECT src AS id, COUNT(*) AS od FROM e0 GROUP BY 1),
+      |indeg AS (SELECT dst AS id, COUNT(*) AS ideg FROM e0 GROUP BY 1),
+      |nodes AS (
+      |  SELECT n.id, COALESCE(o.od, 0) AS od
+      |  FROM (SELECT src AS id FROM e0 UNION SELECT dst FROM e0) n
+      |  LEFT JOIN outdeg o USING (id)),
+      |nn AS (SELECT COUNT(*) AS n FROM nodes),
+      |it0 AS MATERIALIZED (SELECT id, od, ${quant(s"1.0 / $N")} AS rank FROM nodes),
+      |""".stripMargin
+    for (k <- 1 to iters) {
+      val p = s"it${k - 1}"
+      sb ++= s"""d$k AS (SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(30,12))) AS DOUBLE), 0.0) AS dm
+        |  FROM $p WHERE od = 0),
+        |c$k AS (SELECT e.dst AS id, CAST(SUM(CAST(r.rank / r.od AS DECIMAL(30,12))) AS DOUBLE) AS s
+        |  FROM e0 e JOIN $p r ON r.id = e.src AND r.od > 0 GROUP BY 1),
+        |it$k AS MATERIALIZED (SELECT v.id, v.od, ${quant(
+        s"(1.0 - 0.85) / $N + 0.85 * (COALESCE(c.s, 0.0) + (SELECT dm FROM d$k) / $N)")} AS rank
+        |  FROM $p v LEFT JOIN c$k c USING (id)),
+        |""".stripMargin
+    }
+    sb ++= s"""fin AS (SELECT id, rank FROM it$iters)
+      |SELECT f.id AS host,
+      |  CAST(COALESCE(o.od, 0) AS BIGINT) AS out_deg,
+      |  CAST(COALESCE(i.ideg, 0) AS BIGINT) AS in_deg,
+      |  f.rank
+      |FROM fin f LEFT JOIN outdeg o USING (id) LEFT JOIN indeg i ON i.id = f.id
+      |ORDER BY host""".stripMargin
+    sb.toString
+  }
   /** Exact decimal SUM kept as decimal (for further exact aggregation). */
   private def DSUMD(c: String) = s"SUM(CAST($c AS DECIMAL(18,6)))"
 
@@ -3088,6 +3135,125 @@ object Queries {
        |FROM out ORDER BY doc_id""".stripMargin) { (s, dir) =>
     graft.ext.Dedup.removeDuplicateSpans(
         Tables.documents(s, dir), "doc_id", "text", windowTokens = 10)
+      .ordered("doc_id")
+  }
+
+  // X59 — out-link extraction + RFC 3986 resolution (the step between
+  // the crawl front door and the URL frontier / host graph): pages
+  // synthesized from real columns carry one link per resolution class —
+  // absolute (entity-encoded query), root-relative, path-relative,
+  // dot-segment, query-only — plus a script-embedded decoy and an
+  // href-less anchor that must NOT surface. Spark runs the real kernel
+  // chain (HtmlLinksExpr → UrlResolveExpr); DuckDB states the
+  // closed-form expected frontier (the x50 derived-input pattern).
+  q("x59_out_links",
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
+      |    CAST(doc_id % 20 AS VARCHAR) AS p, CAST(doc_id % 5 AS VARCHAR) AS m,
+      |    CAST(doc_id % 3 AS VARCHAR) AS r, CAST(doc_id % 7 AS VARCHAR) AS sq,
+      |    CAST(doc_id % 11 AS VARCHAR) AS b
+      |  FROM documents)
+      |SELECT doc_id, ord, url, anchor FROM (
+      |  SELECT doc_id, 0 AS ord,
+      |    'https://peer' || p || '.example.net/d/' || ids || '?b=2&a=1' AS url,
+      |    'Peer & friend' AS anchor FROM g
+      |  UNION ALL SELECT doc_id, 1,
+      |    'https://base' || b || '.example.org/abs/' || m, 'abs' FROM g
+      |  UNION ALL SELECT doc_id, 2,
+      |    'https://base' || b || '.example.org/dir/rel/' || r || '.html', 'rel' FROM g
+      |  UNION ALL SELECT doc_id, 3,
+      |    'https://base' || b || '.example.org/up.html', 'up' FROM g
+      |  UNION ALL SELECT doc_id, 4,
+      |    'https://base' || b || '.example.org/dir/page' || ids || '.html?q=' || sq,
+      |    'q' FROM g)
+      |ORDER BY doc_id, ord""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = concat(
+      lit("<html><body><p>"), esc, lit("</p>"),
+      lit("<a href=\"https://peer"), (col("doc_id") % 20).cast("string"),
+      lit(".example.net/d/"), id, lit("?b=2&amp;a=1\">Peer &amp; friend</a>"),
+      lit("<a href=\"/abs/"), (col("doc_id") % 5).cast("string"), lit("\">abs</a>"),
+      lit("<a href=\"rel/"), (col("doc_id") % 3).cast("string"), lit(".html\">rel</a>"),
+      lit("<a href=\"../up.html\">up</a>"),
+      lit("<a href=\"?q="), (col("doc_id") % 7).cast("string"), lit("\">q</a>"),
+      lit("<script>var a = '<a href=\"https://evil.example/x\">no</a>';</script>"),
+      lit("<a name=\"x\">anchor only</a></body></html>"))
+    val base = concat(lit("https://base"), (col("doc_id") % 11).cast("string"),
+      lit(".example.org/dir/page"), id, lit(".html"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.ext.Extract.resolvedLinks(html, base)).as(Seq("ord", "l")))
+      .select(col("doc_id"), col("ord"),
+        col("l.url").as("url"), col("l.anchor").as("anchor"))
+      .ordered("doc_id", "ord")
+  }
+
+  // X60 — host-graph PageRank (Page et al. 1999), the domain-quality
+  // centrality a crawl curation joins onto every page before sampling.
+  // The graph derives deterministically from real ids (hosts h0–h49;
+  // h40–h49 never link out → genuine dangling mass), Spark runs
+  // [[graft.ext.Graph.pageRank]]'s 10 power-iteration rounds, and the
+  // oracle re-derives the SAME rounds as an unrolled CTE chain (the
+  // x20 recursive-closure precedent) under the shared determinism
+  // contract: every cross-partition sum AND each round's rank pass
+  // through DECIMAL(30,12), so both engines iterate on identical
+  // values and the final doubles hash-match exactly.
+  q("x60_host_pagerank", pageRankOracle(10)) { (s, dir) =>
+    val raw = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 50).as("sk"),
+        explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .filter(col("sk") < 40)
+      .select(concat(lit("h"), col("sk").cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7 + col("j")) % 50).cast("string")).as("dst"))
+    val edges = graft.ext.Graph.hostEdges(raw, "src", "dst")
+    val pr = graft.ext.Graph.pageRank(edges, iterations = 10, damping = 0.85)
+    graft.ext.Graph.degrees(edges)
+      .join(pr, Seq("id"))
+      .select(col("id").as("host"), col("out_deg"), col("in_deg"), col("rank"))
+      .ordered("host")
+  }
+
+  // X61 — WET (extracted-text) conversion records: the cheap on-ramp
+  // of the crawl family (CommonCrawl's *.warc.wet.gz sidecar). Wire
+  // bytes carry a warcinfo record THEN the conversion record per doc —
+  // a pass pins both the record-type filter (warcinfo must not surface
+  // as a document) and the length-framed UTF-8 payload round-trip
+  // through the real [[graft.ext.Warc.wetTexts]] reader.
+  q("x61_wet_conversion",
+    """SELECT doc_id,
+      |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  COALESCE(text, '') AS text
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val id = col("doc_id").cast("string")
+    val txt = coalesce(col("text"), lit(""))
+    val info = lit("WARC/1.0\r\nWARC-Type: warcinfo" +
+      "\r\nContent-Type: application/warc-fields" +
+      "\r\nContent-Length: 16\r\n\r\nsoftware: graft\n\r\n\r\n")
+    val conv = concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://example.org/doc/"),
+      id,
+      lit("\r\nWARC-Date: 2026-08-14T00:00:00Z" +
+        "\r\nContent-Type: text/plain\r\nContent-Length: "),
+      octet_length(txt).cast("string"), lit("\r\n\r\n"), txt, lit("\r\n\r\n"))
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.ext.Warc.records(concat(info, conv).cast("binary"))).as("r"))
+      .select(
+        col("doc_id").cast("string").as("path"),
+        lit(0L).as("idx"),
+        coalesce(element_at(col("r.headers"), "WARC-Type"), lit("")).as("warc_type"),
+        coalesce(element_at(col("r.headers"), "WARC-Target-URI"), lit("")).as("target_uri"),
+        coalesce(element_at(col("r.headers"), "WARC-Date"), lit("")).as("warc_date"),
+        coalesce(element_at(col("r.headers"), "Content-Type"), lit("")).as("content_type"),
+        coalesce(element_at(col("r.headers"), "Content-Length"), lit("0"))
+          .cast("long").as("content_length"),
+        col("r.payload").as("payload"))
+      .as[graft.ext.Warc.WarcRow]
+    graft.ext.Warc.wetTexts(rows)
+      .select(col("path").cast("long").as("doc_id"), col("target_uri"), col("text"))
       .ordered("doc_id")
   }
 

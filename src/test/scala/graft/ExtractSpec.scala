@@ -240,4 +240,66 @@ class ExtractSpec extends SparkTestBase {
     assert(r0.getUTF8String(0).toString == "a b" && r0.getInt(1) == 3)
     assert(arr.getStruct(1, 4).getUTF8String(3).toString == "nav")
   }
+
+  // -- out-link extraction (graft_html_links) ------------------------------
+
+  private def linksOf(html: String): Seq[(String, String)] =
+    Seq(html).toDF("html")
+      .select(explode(Extract.outLinks(col("html"))).as("l"))
+      .select("l.href", "l.anchor")
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+
+  test("links: quoted/bare/valueless href, anchors collapsed, document order") {
+    assert(linksOf(
+      """<p>intro</p><a href="/a/b">First  link</a> mid
+        |<a href=bare?x=1>second</a><a href>self</a><a name=skip>no href</a>""".stripMargin) ==
+      Seq(("/a/b", "First link"), ("bare?x=1", "second"), ("", "self")))
+  }
+
+  test("links: hrefs entity-decode; anchor entities and inner tags handled") {
+    assert(linksOf("""<a href="/p?a=1&amp;b=2">x &amp; y</a>""") ==
+      Seq(("/p?a=1&b=2", "x & y")))
+    // inner tags act as separators; nested markup doesn't leak
+    assert(linksOf("""<a href="/q"><b>bold</b><i>ital</i></a>""") ==
+      Seq(("/q", "bold ital")))
+  }
+
+  test("links inside script/style/comments/noscript are data, not links") {
+    assert(linksOf(
+      """<script>var s = '<a href="/evil">x</a>';</script>
+        |<!-- <a href="/commented">y</a> -->
+        |<noscript><a href="/noscript">z</a></noscript>
+        |<a href="/real">ok</a>""".stripMargin) == Seq(("/real", "ok")))
+  }
+
+  test("links: nested <a> implicitly closes; unclosed trailing <a> still emits") {
+    assert(linksOf("""<a href="/one">first <a href="/two">second""") ==
+      Seq(("/one", "first"), ("/two", "second")))
+  }
+
+  test("links: duplicate href attributes - first wins; quoted '>' stays in value") {
+    assert(linksOf("""<a href="/keep" href="/drop" title="a>b">t</a>""") ==
+      Seq(("/keep", "t")))
+  }
+
+  test("resolvedLinks resolves against the page URL and drops on bad base") {
+    val df = Seq(
+      ("https://site.example/dir/page.html", """<a href="sub/x">r</a><a href="/abs">a</a>"""),
+      ("not a url", """<a href="/x">gone</a>""")).toDF("url", "html")
+    val out = df.select(explode(Extract.resolvedLinks(col("html"), col("url"))).as("l"))
+      .select("l.url").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("https://site.example/dir/sub/x", "https://site.example/abs"))
+  }
+
+  test("links kernel: interpreted eval agrees with codegen; SQL surface") {
+    val e = graft.functions.HtmlExpressions.HtmlLinksExpr(
+      org.apache.spark.sql.graft.ColumnBridge.expr(lit("""<a href="/h">t</a>""")))
+    val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr.numElements() == 1)
+    assert(arr.getStruct(0, 2).getUTF8String(0).toString == "/h")
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT graft_html_links('<a href="/h">t</a>')[0].href AS h""").head.getString(0)
+    assert(viaSql == "/h")
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Graph
+
+/** Host-graph analytics: PageRank semantics against an in-spec power
+  * iteration, the Σrank=1 invariant, dangling-mass redistribution,
+  * partition-order invariance (bitwise, via the decimal quantization
+  * contract), and the degree/edge reductions. The oracle gate (x60)
+  * pins the full derived-fixture pipeline against DuckDB's unrolled
+  * iteration; these pin the algebra on graphs small enough to check by
+  * hand. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // a → b, a → c, b → c, c → a, d → c, c → e; e is dangling
+  private val edges = Seq(
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("c", "e"))
+
+  private def ranksOf(iters: Int): Map[String, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** The same fixed-iteration power iteration in plain Scala doubles
+    * (no quantization) — the implementation must track it to well
+    * inside the 1e-12/round quantization budget. */
+  private def reference(iters: Int): Map[String, Double] = {
+    val nodes = Seq("a", "b", "c", "d", "e")
+    val out = Map("a" -> 2, "b" -> 1, "c" -> 2, "d" -> 1, "e" -> 0)
+    val d = 0.85
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filter(out(_) == 0).map(r).sum
+      def in(v: String): Double =
+        edges.filter(_._2 == v).map { case (s, _) => r(s) / out(s) }.sum
+      r = nodes.map(v => v -> ((1 - d) / n + d * (in(v) + dangling / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches an independent power iteration; sums to 1") {
+    for (iters <- Seq(1, 3, 10)) {
+      val got = ranksOf(iters)
+      val want = reference(iters)
+      assert(got.keySet == want.keySet)
+      for ((k, w) <- want)
+        assert(math.abs(got(k) - w) < 1e-9, s"iters=$iters node=$k got=${got(k)} want=$w")
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"iters=$iters mass leaked")
+    }
+    // the hub (c: three in-edges) outranks everything; the dangling
+    // sink (e) still collects c's share and beats the leaf sources
+    val r = ranksOf(10)
+    assert(r("c") > r("a") && r("c") > r("e"))
+    assert(r("e") > r("b") && r("b") > r("d"))
+  }
+
+  test("pageRank is partition-order invariant (bitwise)") {
+    val a = Graph.pageRank(edges.toDF("src", "dst").repartition(1), 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(edges.toDF("src", "dst").repartition(7), 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b) // exact double equality — the decimal consensus contract
+  }
+
+  test("duplicate edges collapse; arg validation") {
+    val dup = (edges ++ edges).toDF("src", "dst")
+    val once = ranksOf(5)
+    val twice = Graph.pageRank(dup, 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(once == twice)
+    intercept[IllegalArgumentException](Graph.pageRank(edges.toDF("src", "dst"), 0))
+    intercept[IllegalArgumentException](Graph.pageRank(edges.toDF("src", "dst"), 5, 1.0))
+  }
+
+  test("degrees over src ∪ dst; hostEdges drops self-loops/nulls and dedups") {
+    val d = Graph.degrees(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d == Set(("a", 2L, 1L), ("b", 1L, 1L), ("c", 2L, 3L),
+      ("d", 1L, 0L), ("e", 0L, 1L)))
+    val raw = Seq(("x", "y"), ("x", "y"), ("x", "x"), (null, "y"), ("y", null))
+      .toDF("s", "d")
+    val he = Graph.hostEdges(raw, "s", "d")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(he == Seq(("x", "y")))
+  }
+}

@@ -138,4 +138,75 @@ class UrlOpsSpec extends SparkTestBase {
       Seq(("https://spam.example.com/x", true), ("https://www.good.org/y", false),
         ("nope", false)).sortBy(_._1))
   }
+
+  // -- RFC 3986 §5 reference resolution ------------------------------------
+
+  private def res(base: String, ref: String): Option[String] =
+    Seq((base, ref)).toDF("b", "r")
+      .select(UrlOps.resolveUrl(col("b"), col("r"))).head match {
+      case row if row.isNullAt(0) => None
+      case row => Some(row.getString(0))
+    }
+
+  test("resolve: RFC 3986 §5.4.1 normal examples") {
+    val base = "http://a/b/c/d;p?q"
+    val vecs = Seq(
+      "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g",
+      "//g" -> "http://g", "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y", "#s" -> "http://a/b/c/d;p?q#s",
+      "g#s" -> "http://a/b/c/g#s", "g?y#s" -> "http://a/b/c/g?y#s",
+      ";x" -> "http://a/b/c/;x", "g;x" -> "http://a/b/c/g;x",
+      "" -> "http://a/b/c/d;p?q", "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/", ".." -> "http://a/b/",
+      "../" -> "http://a/b/", "../g" -> "http://a/b/g",
+      "../.." -> "http://a/", "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    for ((r, want) <- vecs) assert(res(base, r) == Some(want), s"ref=$r")
+  }
+
+  test("resolve: RFC 3986 §5.4.2 abnormal examples (strict-parser options)") {
+    val base = "http://a/b/c/d;p?q"
+    val vecs = Seq(
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y", "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x", "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x" -> "http://a/b/c/g#s/./x", "g#s/../x" -> "http://a/b/c/g#s/../x",
+      // strict parser: ref's own scheme always wins (returned unparsed)
+      "http:g" -> "http:g")
+    for ((r, want) <- vecs) assert(res(base, r) == Some(want), s"ref=$r")
+  }
+
+  test("resolve: WHATWG pre-clean, empty base path, scheme-carrying refs, bad base") {
+    // hrefs wrap across source lines: interior tab/CR/LF deleted
+    // outright (WHATWG — no space survives), ends trimmed
+    assert(res("https://h.example/d/p", "  /x\n\ty  ") == Some("https://h.example/xy"))
+    // base with empty path: merge hangs the ref off "/"
+    assert(res("https://h.example", "a/b") == Some("https://h.example/a/b"))
+    assert(res("https://h.example", "") == Some("https://h.example"))
+    // mailto/javascript pass through for the downstream scheme filter
+    assert(res("https://h.example/", "mailto:x@y.example") == Some("mailto:x@y.example"))
+    assert(res("https://h.example/", "javascript:void(0)") == Some("javascript:void(0)"))
+    // absolute ref wins even with a bad base; bad base otherwise → null
+    assert(res("nope", "https://ok.example/p") == Some("https://ok.example/p"))
+    assert(res("nope", "/rel") == None)
+    // resolution output is parse-normalized: lowercase scheme/host,
+    // userinfo discarded — ready for normalizeUrl
+    assert(res("HTTPS://User:p@Host.Example/A/b", "c") == Some("https://host.example/A/c"))
+  }
+
+  test("resolve kernel: interpreted eval agrees with codegen; SQL surface") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val e = graft.functions.UrlExpressions.UrlResolveExpr(
+      ColumnBridge.expr(lit("http://a/b/c/d")), ColumnBridge.expr(lit("../g")))
+    assert(e.eval(null).toString == "http://a/b/g")
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_url_resolve('http://a/b/c/d', '../g') AS u")
+      .head.getString(0) == "http://a/b/g")
+  }
 }
