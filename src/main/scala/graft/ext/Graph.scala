@@ -77,6 +77,29 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Per-target anchor-text profile — the classic off-page signal
+    * (anchor text describes the TARGET better than the target's own
+    * words; retrieval and quality systems join it per host): top-k
+    * anchor terms per link target by (count desc, term binary asc).
+    * One counting exchange, then the top-k FUSED into the second hash
+    * aggregation ([[graft.functions.TopKAggregate.BoundedTopK]] — ≤ k
+    * entries per (target × partition) cross the exchange, never a
+    * target's whole vocabulary). Returns (target, term, n, rk). */
+  def anchorTerms(links: DataFrame, targetCol: String, anchorCol: String,
+      k: Int = 8): DataFrame =
+    links
+      .select(col(targetCol).as("target"),
+        explode(split(lower(trim(col(anchorCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("target"), col("term")).agg(count(lit(1)).as("n"))
+      .groupBy(col("target"))
+      .agg(graft.functions.TopKAggregate.boundedTopK(
+        col("n").cast("double"), col("term"), k).as("top"))
+      .select(col("target"), posexplode(col("top")))
+      .select(col("target"), col("col.term").as("term"),
+        col("col.score").cast("long").as("n"),
+        (col("pos") + 1).cast("int").as("rk"))
+
   /** Fixed-iteration PageRank (Page et al. 1999) over a simple directed
     * graph: duplicate edge rows collapse, ranks start uniform at 1/N,
     * and each round computes
@@ -131,9 +154,70 @@ object Graph {
           quant(lit(base) + lit(damping) *
             (coalesce(col("in_sum"), lit(0.0)) + col("_dm") / lit(n.toDouble)))
             .as("rank"))
-        .localCheckpoint(true)
+      // per-round eager checkpoint: each round references the previous
+      // ranks THREE times (contribs / dangling / main) — without
+      // materialization the subtree re-expands per reference and the
+      // lineage grows multiplicatively (the connectedComponents
+      // discipline; measured: relying on ReuseExchange across unchecked
+      // rounds is NOT faster, and the per-round job dispatch is the
+      // irreducible small-graph floor — see the x60 note)
+      ranks = ranks.localCheckpoint(true)
       round += 1
     }
     ranks.select(col("id"), col("rank"))
+  }
+
+  /** Fixed-iteration HITS (Kleinberg 1999): authority = Σ hub over
+    * in-edges, hub = Σ authority over out-edges (the mutual
+    * reinforcement that separates good HUBS — link directories,
+    * aggregators — from good AUTHORITIES, which PageRank alone
+    * conflates; a crawl curation uses the hub side to find seed lists
+    * and the authority side as a quality prior). Each half-round
+    * L1-normalizes (scores sum to 1 — keeps the iteration stable and
+    * the scales comparable) and quantizes through the same
+    * DECIMAL(30,12) consensus as [[pageRank]], so the oracle twin
+    * iterates on identical values. Same shuffle shape per round:
+    * keyed join + aggregation, normalizer as a broadcast one-row
+    * aggregate, `localCheckpoint` once per round. Returns
+    * (id, hub, auth). */
+  def hits(edges: DataFrame, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, "iterations must be positive")
+    val spark = edges.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(parts, col("src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+      .repartition(parts, col("id"))
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+
+    var scores = nodes.select(col("id"),
+      quant(lit(1.0 / n)).as("hub"), quant(lit(1.0 / n)).as("auth"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < iterations) {
+      // authority update from current hubs, L1-normalized
+      val aRaw = e.join(scores.select(col("id").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("id")).agg(dsum(col("hub")).as("raw"))
+      val aAll = nodes.join(aRaw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val auth = aAll.crossJoin(broadcast(aAll.agg(dsum(col("raw")).as("_s"))))
+        .select(col("id"), quant(col("raw") / col("_s")).as("auth"))
+      // hub update from the NEW authorities (classic HITS ordering)
+      val hRaw = e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("id")).agg(dsum(col("auth")).as("raw"))
+      val hAll = nodes.join(hRaw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val hub = hAll.crossJoin(broadcast(hAll.agg(dsum(col("raw")).as("_s"))))
+        .select(col("id"), quant(col("raw") / col("_s")).as("hub"))
+      scores = hub.join(auth, Seq("id"))
+        .select(col("id"), col("hub"), col("auth"))
+        .localCheckpoint(true)
+      round += 1
+    }
+    scores
   }
 }

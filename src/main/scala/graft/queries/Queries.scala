@@ -99,6 +99,50 @@ object Queries {
   /** Exact decimal SUM kept as decimal (for further exact aggregation). */
   private def DSUMD(c: String) = s"SUM(CAST($c AS DECIMAL(18,6)))"
 
+  /** DuckDB twin of [[graft.ext.Graph.hits]] over the same derived
+    * host graph — unrolled like [[pageRankOracle]], two normalized
+    * half-rounds per iteration, the identical DECIMAL(30,12)
+    * quantization points. */
+  private def hitsOracle(iters: Int): String = {
+    val N = "CAST((SELECT n FROM nn) AS DOUBLE)"
+    def quant(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,12)) AS DOUBLE)"
+    def dsum30(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(30,12))) AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) AS src,
+      |         'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) AS dst
+      |  FROM documents, UNNEST([1, 2, 3]) AS t(j)
+      |  WHERE doc_id % 50 < 40 AND (doc_id % 50) <> ((doc_id * 7 + j) % 50)),
+      |nodes AS MATERIALIZED (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+      |nn AS (SELECT COUNT(*) AS n FROM nodes),
+      |s0 AS MATERIALIZED (
+      |  SELECT id, ${quant(s"1.0 / $N")} AS hub, ${quant(s"1.0 / $N")} AS auth
+      |  FROM nodes),
+      |""".stripMargin
+    for (k <- 1 to iters) {
+      val p = s"s${k - 1}"
+      sb ++= s"""ar$k AS (SELECT e.dst AS id, ${dsum30("s.hub")} AS raw
+        |  FROM e0 e JOIN $p s ON s.id = e.src GROUP BY 1),
+        |aa$k AS MATERIALIZED (SELECT n.id, COALESCE(a.raw, 0.0) AS raw
+        |  FROM nodes n LEFT JOIN ar$k a USING (id)),
+        |an$k AS (SELECT ${dsum30("raw")} AS s FROM aa$k),
+        |au$k AS MATERIALIZED (
+        |  SELECT id, ${quant(s"raw / (SELECT s FROM an$k)")} AS auth FROM aa$k),
+        |hr$k AS (SELECT e.src AS id, ${dsum30("a.auth")} AS raw
+        |  FROM e0 e JOIN au$k a ON a.id = e.dst GROUP BY 1),
+        |ha$k AS MATERIALIZED (SELECT n.id, COALESCE(h.raw, 0.0) AS raw
+        |  FROM nodes n LEFT JOIN hr$k h USING (id)),
+        |hn$k AS (SELECT ${dsum30("raw")} AS s FROM ha$k),
+        |s$k AS MATERIALIZED (
+        |  SELECT h.id, ${quant(s"h.raw / (SELECT s FROM hn$k)")} AS hub, a.auth
+        |  FROM ha$k h JOIN au$k a USING (id)),
+        |""".stripMargin
+    }
+    sb ++= s"""fin AS (SELECT id, hub, auth FROM s$iters)
+      |SELECT id AS host, hub, auth FROM fin ORDER BY host""".stripMargin
+    sb.toString
+  }
+
   /** MATERIALIZED 1-minute rollup ([[graft.store.Rollups]]) built ONCE
     * per scale dir and read by every window/series gate query — the
     * SURVEY §4.4 store layout (at 100 TB queries touch this
@@ -3138,6 +3182,44 @@ object Queries {
       .ordered("doc_id")
   }
 
+  /** The x60/x63 derived host graph: hosts h0–h49, three out-links per
+    * doc by modular arithmetic, sources restricted to h0–h39 so
+    * h40–h49 carry genuine dangling mass. Deduped via
+    * [[graft.ext.Graph.hostEdges]] (self-loops dropped). */
+  private def hostGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 50).as("sk"),
+        explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .filter(col("sk") < 40)
+      .select(concat(lit("h"), col("sk").cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7 + col("j")) % 50).cast("string")).as("dst"))
+    graft.ext.Graph.hostEdges(raw, "src", "dst")
+  }
+
+  /** The synthesized crawl page shared by x59/x62: (html, base-URL)
+    * column pair over `doc_id`/`text`. One link per resolution class —
+    * absolute with an entity-encoded query, root-relative,
+    * path-relative, dot-segment, query-only — plus a script-embedded
+    * decoy and an href-less anchor that must never surface. */
+  private def crawlLinkPage: (Column, Column) = {
+    val id = col("doc_id").cast("string")
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = concat(
+      lit("<html><body><p>"), esc, lit("</p>"),
+      lit("<a href=\"https://peer"), (col("doc_id") % 20).cast("string"),
+      lit(".example.net/d/"), id, lit("?b=2&amp;a=1\">Peer &amp; friend</a>"),
+      lit("<a href=\"/abs/"), (col("doc_id") % 5).cast("string"), lit("\">abs</a>"),
+      lit("<a href=\"rel/"), (col("doc_id") % 3).cast("string"), lit(".html\">rel</a>"),
+      lit("<a href=\"../up.html\">up</a>"),
+      lit("<a href=\"?q="), (col("doc_id") % 7).cast("string"), lit("\">q</a>"),
+      lit("<script>var a = '<a href=\"https://evil.example/x\">no</a>';</script>"),
+      lit("<a name=\"x\">anchor only</a></body></html>"))
+    val base = concat(lit("https://base"), (col("doc_id") % 11).cast("string"),
+      lit(".example.org/dir/page"), id, lit(".html"))
+    (html, base)
+  }
+
   // X59 — out-link extraction + RFC 3986 resolution (the step between
   // the crawl front door and the URL frontier / host graph): pages
   // synthesized from real columns carry one link per resolution class —
@@ -3167,27 +3249,44 @@ object Queries {
       |    'https://base' || b || '.example.org/dir/page' || ids || '.html?q=' || sq,
       |    'q' FROM g)
       |ORDER BY doc_id, ord""".stripMargin) { (s, dir) =>
-    val id = col("doc_id").cast("string")
-    val esc = regexp_replace(regexp_replace(regexp_replace(
-      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-    val html = concat(
-      lit("<html><body><p>"), esc, lit("</p>"),
-      lit("<a href=\"https://peer"), (col("doc_id") % 20).cast("string"),
-      lit(".example.net/d/"), id, lit("?b=2&amp;a=1\">Peer &amp; friend</a>"),
-      lit("<a href=\"/abs/"), (col("doc_id") % 5).cast("string"), lit("\">abs</a>"),
-      lit("<a href=\"rel/"), (col("doc_id") % 3).cast("string"), lit(".html\">rel</a>"),
-      lit("<a href=\"../up.html\">up</a>"),
-      lit("<a href=\"?q="), (col("doc_id") % 7).cast("string"), lit("\">q</a>"),
-      lit("<script>var a = '<a href=\"https://evil.example/x\">no</a>';</script>"),
-      lit("<a name=\"x\">anchor only</a></body></html>"))
-    val base = concat(lit("https://base"), (col("doc_id") % 11).cast("string"),
-      lit(".example.org/dir/page"), id, lit(".html"))
+    val (html, base) = crawlLinkPage
     Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(graft.ext.Extract.resolvedLinks(html, base)).as(Seq("ord", "l")))
       .select(col("doc_id"), col("ord"),
         col("l.url").as("url"), col("l.anchor").as("anchor"))
       .ordered("doc_id", "ord")
+  }
+
+  // X62 — anchor-text profiles (the off-page signal: anchor words
+  // describe the TARGET; retrieval/quality joins them per host): the
+  // x59 pages → resolved links → per-target-host top-3 anchor terms,
+  // counts fused through the BoundedTopK map-side k-buffer. Every term
+  // in the fixture ties on count within its host, so a pass also pins
+  // the aggregate's exact tie order (count desc, term BINARY asc — '&'
+  // sorts before letters).
+  q("x62_anchor_text",
+    """WITH g AS (SELECT doc_id % 20 AS p, doc_id % 11 AS b FROM documents),
+      |pc AS (SELECT p, COUNT(*) AS c FROM g GROUP BY 1),
+      |bc AS (SELECT b, COUNT(*) AS c FROM g GROUP BY 1)
+      |SELECT host, term, n, rk FROM (
+      |  SELECT 'peer' || CAST(p AS VARCHAR) || '.example.net' AS host,
+      |         t.term, c AS n, t.rk
+      |  FROM pc, (VALUES ('&', 1), ('friend', 2), ('peer', 3)) t(term, rk)
+      |  UNION ALL
+      |  SELECT 'base' || CAST(b AS VARCHAR) || '.example.org',
+      |         t.term, c, t.rk
+      |  FROM bc, (VALUES ('abs', 1), ('q', 2), ('rel', 3)) t(term, rk))
+      |ORDER BY host, rk""".stripMargin) { (s, dir) =>
+    val (html, base) = crawlLinkPage
+    val links = Tables.documents(s, dir)
+      .select(explode(graft.ext.Extract.resolvedLinks(html, base)).as("l"))
+      .select(graft.functions.UrlExpressions.urlParts(col("l.url"))
+          .getField("host").as("host"),
+        col("l.anchor").as("anchor"))
+    graft.ext.Graph.anchorTerms(links, "host", "anchor", k = 3)
+      .withColumnRenamed("target", "host")
+      .ordered("host", "rk")
   }
 
   // X60 — host-graph PageRank (Page et al. 1999), the domain-quality
@@ -3201,17 +3300,25 @@ object Queries {
   // through DECIMAL(30,12), so both engines iterate on identical
   // values and the final doubles hash-match exactly.
   q("x60_host_pagerank", pageRankOracle(10)) { (s, dir) =>
-    val raw = Tables.documents(s, dir)
-      .select(col("doc_id"), (col("doc_id") % 50).as("sk"),
-        explode(array(lit(1), lit(2), lit(3))).as("j"))
-      .filter(col("sk") < 40)
-      .select(concat(lit("h"), col("sk").cast("string")).as("src"),
-        concat(lit("h"), ((col("doc_id") * 7 + col("j")) % 50).cast("string")).as("dst"))
-    val edges = graft.ext.Graph.hostEdges(raw, "src", "dst")
+    val edges = hostGraphEdges(s, dir)
     val pr = graft.ext.Graph.pageRank(edges, iterations = 10, damping = 0.85)
     graft.ext.Graph.degrees(edges)
       .join(pr, Seq("id"))
       .select(col("id").as("host"), col("out_deg"), col("in_deg"), col("rank"))
+      .ordered("host")
+  }
+
+  // X63 — HITS hubs/authorities (Kleinberg 1999) on the x60 host
+  // graph: the mutual-reinforcement pair PageRank conflates (hub =
+  // seed-list/aggregator quality, authority = endorsement quality).
+  // Five rounds, not ten: each round costs a fixed job-dispatch floor
+  // (the x60 note) and round 2 already exercises every algebraic path
+  // (both normalizations, zero-in-degree and zero-out-degree nodes) —
+  // more rounds add convergence, not coverage. The oracle unrolls the
+  // identical rounds with the shared DECIMAL(30,12) consensus.
+  q("x63_host_hits", hitsOracle(5)) { (s, dir) =>
+    graft.ext.Graph.hits(hostGraphEdges(s, dir), iterations = 5)
+      .select(col("id").as("host"), col("hub"), col("auth"))
       .ordered("host")
   }
 

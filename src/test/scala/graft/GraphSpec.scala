@@ -74,6 +74,67 @@ class GraphSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Graph.pageRank(edges.toDF("src", "dst"), 5, 1.0))
   }
 
+  /** HITS power iteration in plain Scala doubles (L1-normalized each
+    * half-round, like the implementation but unquantized). */
+  private def hitsReference(iters: Int): Map[String, (Double, Double)] = {
+    val nodes = Seq("a", "b", "c", "d", "e")
+    val n = nodes.size
+    var hub = nodes.map(_ -> 1.0 / n).toMap
+    var auth = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val ar = nodes.map(v => v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val as = ar.values.sum
+      auth = ar.map { case (k, v) => k -> v / as }
+      val hr = nodes.map(u => u -> edges.filter(_._1 == u).map(e => auth(e._2)).sum).toMap
+      val hs = hr.values.sum
+      hub = hr.map { case (k, v) => k -> v / hs }
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  test("hits matches an independent power iteration; both sides sum to 1") {
+    for (iters <- Seq(1, 2, 5)) {
+      val got = Graph.hits(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val want = hitsReference(iters)
+      assert(got.keySet == want.keySet)
+      for ((k, (wh, wa)) <- want) {
+        assert(math.abs(got(k)._1 - wh) < 1e-9, s"iters=$iters hub($k)")
+        assert(math.abs(got(k)._2 - wa) < 1e-9, s"iters=$iters auth($k)")
+      }
+      assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+      assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+    }
+    val r = Graph.hits(edges.toDF("src", "dst"), 5)
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    // c (3 in-edges) is the authority; the dangling sink e has hub 0;
+    // d (out-link only) has auth 0
+    assert(r.forall { case (k, (_, a)) => k == "c" || a <= r("c")._2 })
+    assert(r("e")._1 == 0.0 && r("d")._2 == 0.0)
+  }
+
+  test("hits is partition-order invariant (bitwise)") {
+    val a = Graph.hits(edges.toDF("src", "dst").repartition(1), 3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val b = Graph.hits(edges.toDF("src", "dst").repartition(7), 3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(a == b)
+  }
+
+  test("anchorTerms: counts, binary tie order, k cap") {
+    val links = Seq(
+      ("t1", "Download  Page"), ("t1", "download now"), ("t1", "now now"),
+      ("t2", "Zed & Co"), ("t2", "")).toDF("target", "anchor")
+    val out = Graph.anchorTerms(links, "target", "anchor", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+      .sortBy(t => (t._1, t._4))
+    // t1 counts: now=3, download=2, page=1 → top2 (now, download);
+    // t2: tie at 1 → binary asc: '&' before letters
+    assert(out == Seq(
+      ("t1", "now", 3L, 1), ("t1", "download", 2L, 2),
+      ("t2", "&", 1L, 1), ("t2", "co", 1L, 2)))
+  }
+
   test("degrees over src ∪ dst; hostEdges drops self-loops/nulls and dedups") {
     val d = Graph.degrees(edges.toDF("src", "dst"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
