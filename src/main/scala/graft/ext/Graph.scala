@@ -48,14 +48,28 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   private val Dec = "decimal(30,12)"
+  private val Grid = 1e12
 
-  /** Exact, order-invariant sum of a double column (see contract). */
+  /** Quantize a non-negative double to the 1e-12 grid with PURE IEEE
+    * arithmetic — `floor(x·1e12 + 0.5) / 1e12` — the cross-engine
+    * consensus value both sides of the oracle iterate on. The earlier
+    * decimal-cast form (`CAST(x AS DECIMAL(30,12))`) was NOT a
+    * consensus: Spark rounds the double's shortest decimal repr
+    * (HALF_UP on `BigDecimal.decimal`), DuckDB rounds the binary
+    * value — a double within an ulp of a grid half-point quantizes
+    * differently (observed: 30/1500 cells at 5 rounds). Here every
+    * operation (multiply, add, floor, divide) is IEEE-defined on the
+    * binary value, so equal input doubles give equal outputs in any
+    * conforming engine; values are ≤ 1, so x·1e12 stays far inside
+    * 2^53 and the floor is exact. */
+  private def quant(c: Column): Column = floor(c * Grid + lit(0.5)) / Grid
+
+  /** Exact, order-invariant sum: each term grid-quantized (after which
+    * the DECIMAL(30,12) cast is itself consensus — a grid-centered
+    * double is ≥ 400× an ulp away from any half-point), then summed as
+    * decimal. */
   private def dsum(c: Column): Column =
-    sum(c.cast(Dec)).cast("double")
-
-  /** Quantize a double through DECIMAL(30,12) — the cross-engine
-    * consensus value both sides of the oracle iterate on. */
-  private def quant(c: Column): Column = c.cast(Dec).cast("double")
+    sum(quant(c).cast(Dec)).cast("double")
 
   /** Distinct (src, dst) host edges from resolved link rows, self-loops
     * dropped — the standard host-graph reduction (a page linking its

@@ -58,17 +58,16 @@ object Queries {
     * mass, and each round's rank all quantize through DECIMAL(30,12);
     * the arithmetic between quantizations is plain IEEE double in the
     * same operation order. */
-  private def pageRankOracle(iters: Int): String = {
+  /** The unrolled PageRank rounds as CTE fragments over an edge list
+    * CTE named `e0` the caller has already opened (so the same rounds
+    * serve both the x60 arithmetic graph and x64's page-derived one);
+    * defines `outdeg`, `nodes`, `nn`, `it0..itN` and leaves `fin` =
+    * (id, rank). Trailing comma included. */
+  private def pageRankRoundsCte(iters: Int): String = {
     val N = "CAST((SELECT n FROM nn) AS DOUBLE)"
     def quant(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,12)) AS DOUBLE)"
     val sb = new StringBuilder
-    sb ++= s"""WITH e0 AS MATERIALIZED (
-      |  SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) AS src,
-      |         'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) AS dst
-      |  FROM documents, UNNEST([1, 2, 3]) AS t(j)
-      |  WHERE doc_id % 50 < 40 AND (doc_id % 50) <> ((doc_id * 7 + j) % 50)),
-      |outdeg AS (SELECT src AS id, COUNT(*) AS od FROM e0 GROUP BY 1),
-      |indeg AS (SELECT dst AS id, COUNT(*) AS ideg FROM e0 GROUP BY 1),
+    sb ++= s"""outdeg AS (SELECT src AS id, COUNT(*) AS od FROM e0 GROUP BY 1),
       |nodes AS (
       |  SELECT n.id, COALESCE(o.od, 0) AS od
       |  FROM (SELECT src AS id FROM e0 UNION SELECT dst FROM e0) n
@@ -87,15 +86,23 @@ object Queries {
         |  FROM $p v LEFT JOIN c$k c USING (id)),
         |""".stripMargin
     }
-    sb ++= s"""fin AS (SELECT id, rank FROM it$iters)
+    sb ++= s"fin AS (SELECT id, rank FROM it$iters),\n"
+    sb.toString
+  }
+
+  private def pageRankOracle(iters: Int): String =
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) AS src,
+      |         'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) AS dst
+      |  FROM documents, UNNEST([1, 2, 3]) AS t(j)
+      |  WHERE doc_id % 50 < 40 AND (doc_id % 50) <> ((doc_id * 7 + j) % 50)),
+      |${pageRankRoundsCte(iters)}indeg AS (SELECT dst AS id, COUNT(*) AS ideg FROM e0 GROUP BY 1)
       |SELECT f.id AS host,
       |  CAST(COALESCE(o.od, 0) AS BIGINT) AS out_deg,
       |  CAST(COALESCE(i.ideg, 0) AS BIGINT) AS in_deg,
       |  f.rank
       |FROM fin f LEFT JOIN outdeg o USING (id) LEFT JOIN indeg i ON i.id = f.id
       |ORDER BY host""".stripMargin
-    sb.toString
-  }
   /** Exact decimal SUM kept as decimal (for further exact aggregation). */
   private def DSUMD(c: String) = s"SUM(CAST($c AS DECIMAL(18,6)))"
 
@@ -3320,6 +3327,71 @@ object Queries {
     graft.ext.Graph.hits(hostGraphEdges(s, dir), iterations = 5)
       .select(col("id").as("host"), col("hub"), col("auth"))
       .ordered("host")
+  }
+
+  // X64 — crawl-frontier construction end to end
+  // ([[graft.ext.Frontier.fromPages]]): pages → links → resolve →
+  // normalize → scheme gate → blocklist → host PageRank → seen-URL
+  // anti-join → per-host politeness cap. Every gate is proven to FIRE
+  // (the x54 discipline): each page carries a `javascript:` href
+  // (dies at normalize), a blocked-domain link (dies at the domain
+  // gate), a tracking-param twin (merges into its clean URL at
+  // normalize+dedup), and a relative self-link (resolves to the page's
+  // own URL and dies at the seen anti-join) — the oracle simply omits
+  // them all, so any gate failing to fire breaks rows or hash. The
+  // link structure reproduces the x60 graph, so the PageRank rounds
+  // reuse the same unrolled-CTE core (five rounds — x60 already pins
+  // ten; this gate pins the COMPOSITION, and each round is a fixed
+  // job-dispatch cost); the cap's oracle is the textbook
+  // per-host `row_number() <= k` twin of stratifiedTake's
+  // critical-bucket engine.
+  q("x64_crawl_frontier",
+    s"""WITH pages AS (
+      |  SELECT doc_id, doc_id % 50 AS sk FROM documents WHERE doc_id % 50 < 40),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT 'h' || CAST(sk AS VARCHAR) || '.example' AS src,
+      |         'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example' AS dst
+      |  FROM pages, UNNEST([1, 2, 3]) AS t(j)
+      |  WHERE sk <> (doc_id * 7 + j) % 50),
+      |${pageRankRoundsCte(5)}cand AS (
+      |  SELECT DISTINCT
+      |    'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example' AS host,
+      |    'https://h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example/item'
+      |      || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS url
+      |  FROM pages, UNNEST([1, 2, 3]) AS t(j)),
+      |ranked AS (
+      |  SELECT c.host, c.url, COALESCE(f.rank, 0.0) AS rank
+      |  FROM cand c LEFT JOIN fin f ON f.id = c.host),
+      |capped AS (
+      |  SELECT host, url, rank,
+      |    row_number() OVER (PARTITION BY host
+      |      ORDER BY md5(url || ':' || 'graft-frontier-v1'), url) AS rk
+      |  FROM ranked)
+      |SELECT host, url, rank FROM capped WHERE rk <= 10
+      |ORDER BY host, url""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    val sk = (col("doc_id") % 50).cast("string")
+    def item(j: Int) = Seq(
+      lit("<a href=\"https://h"), ((col("doc_id") * 7 + j) % 50).cast("string"),
+      lit(s".example/item"), id, lit(s"-$j\">i$j</a>"))
+    val html = concat(Seq(lit("<html><body>")) ++
+      item(1) ++ item(2) ++ item(3) ++
+      Seq(
+        // tracking-param twin of item 1 — merges at normalize
+        lit("<a href=\"https://h"), ((col("doc_id") * 7 + 1) % 50).cast("string"),
+        lit(".example/item"), id, lit("-1?utm_source=track\">dup</a>"),
+        lit("<a href=\"javascript:void(0)\">js</a>"),
+        lit("<a href=\"https://spam.blocked.example/x"), id, lit("\">spam</a>"),
+        lit("<a href=\"/page"), id, lit("\">self</a>"),
+        lit("</body></html>")): _*)
+    val pageUrl = concat(lit("https://h"), sk, lit(".example/page"), id)
+    val pages = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 < 40)
+      .select(pageUrl.as("url"), html.as("html"))
+    graft.ext.Frontier.fromPages(pages, "url", "html",
+        blockedDomains = Seq("blocked.example"), perHostCap = 10,
+        seed = "graft-frontier-v1", prIterations = 5)
+      .ordered("host", "url")
   }
 
   // X61 — WET (extracted-text) conversion records: the cheap on-ramp
