@@ -54,10 +54,15 @@ object Queries {
     * host graph, the power iteration UNROLLED (one CTE triple per
     * round — the engine has no iteration, so the oracle pays the
     * closed form the same way x20's recursive CTE does). Mirrors the
-    * Graph determinism contract exactly: contribution sums, dangling
-    * mass, and each round's rank all quantize through DECIMAL(30,12);
-    * the arithmetic between quantizations is plain IEEE double in the
-    * same operation order. */
+    * Graph determinism contract exactly: contribution terms and each
+    * round's rank quantize through the LITERAL same pure-IEEE formula
+    * as the Spark side, `FLOOR(x*1e9+0.5)/1e9` (a decimal-cast twin at
+    * the 1e-12 grid was NOT consensus — rank/outdeg terms land on grid
+    * half-points and the two engines' rounding rules split within an
+    * ulp); cross-partition sums go through DECIMAL(30,12), consensus
+    * because every summand is centered on the 1e-9 grid; the
+    * arithmetic between quantizations is plain IEEE double in the same
+    * operation order. */
   /** The unrolled PageRank rounds as CTE fragments over an edge list
     * CTE named `e0` the caller has already opened (so the same rounds
     * serve both the x60 arithmetic graph and x64's page-derived one);
@@ -65,7 +70,7 @@ object Queries {
     * (id, rank). Trailing comma included. */
   private def pageRankRoundsCte(iters: Int): String = {
     val N = "CAST((SELECT n FROM nn) AS DOUBLE)"
-    def quant(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,12)) AS DOUBLE)"
+    def quant(x: String) = s"FLOOR(($x) * 1e9 + 0.5) / 1e9"
     val sb = new StringBuilder
     sb ++= s"""outdeg AS (SELECT src AS id, COUNT(*) AS od FROM e0 GROUP BY 1),
       |nodes AS (
@@ -79,7 +84,7 @@ object Queries {
       val p = s"it${k - 1}"
       sb ++= s"""d$k AS (SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(30,12))) AS DOUBLE), 0.0) AS dm
         |  FROM $p WHERE od = 0),
-        |c$k AS (SELECT e.dst AS id, CAST(SUM(CAST(r.rank / r.od AS DECIMAL(30,12))) AS DOUBLE) AS s
+        |c$k AS (SELECT e.dst AS id, CAST(SUM(CAST(${quant("r.rank / r.od")} AS DECIMAL(30,12))) AS DOUBLE) AS s
         |  FROM e0 e JOIN $p r ON r.id = e.src AND r.od > 0 GROUP BY 1),
         |it$k AS MATERIALIZED (SELECT v.id, v.od, ${quant(
         s"(1.0 - 0.85) / $N + 0.85 * (COALESCE(c.s, 0.0) + (SELECT dm FROM d$k) / $N)")} AS rank
@@ -108,11 +113,12 @@ object Queries {
 
   /** DuckDB twin of [[graft.ext.Graph.hits]] over the same derived
     * host graph — unrolled like [[pageRankOracle]], two normalized
-    * half-rounds per iteration, the identical DECIMAL(30,12)
-    * quantization points. */
+    * half-rounds per iteration, the identical pure-IEEE
+    * `FLOOR(x*1e9+0.5)/1e9` quantization points and DECIMAL(30,12)
+    * sums. */
   private def hitsOracle(iters: Int): String = {
     val N = "CAST((SELECT n FROM nn) AS DOUBLE)"
-    def quant(x: String) = s"CAST(CAST(($x) AS DECIMAL(30,12)) AS DOUBLE)"
+    def quant(x: String) = s"FLOOR(($x) * 1e9 + 0.5) / 1e9"
     def dsum30(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(30,12))) AS DOUBLE)"
     val sb = new StringBuilder
     sb ++= s"""WITH e0 AS MATERIALIZED (
@@ -3303,9 +3309,11 @@ object Queries {
   // [[graft.ext.Graph.pageRank]]'s 10 power-iteration rounds, and the
   // oracle re-derives the SAME rounds as an unrolled CTE chain (the
   // x20 recursive-closure precedent) under the shared determinism
-  // contract: every cross-partition sum AND each round's rank pass
-  // through DECIMAL(30,12), so both engines iterate on identical
-  // values and the final doubles hash-match exactly.
+  // contract: each round's rank and every contribution term quantize
+  // through the literal same IEEE `FLOOR(x*1e9+0.5)/1e9`, every
+  // cross-partition sum through DECIMAL(30,12), so both engines
+  // iterate on identical values and the final doubles hash-match
+  // exactly.
   q("x60_host_pagerank", pageRankOracle(10)) { (s, dir) =>
     val edges = hostGraphEdges(s, dir)
     val pr = graft.ext.Graph.pageRank(edges, iterations = 10, damping = 0.85)
@@ -3322,7 +3330,7 @@ object Queries {
   // (the x60 note) and round 2 already exercises every algebraic path
   // (both normalizations, zero-in-degree and zero-out-degree nodes) —
   // more rounds add convergence, not coverage. The oracle unrolls the
-  // identical rounds with the shared DECIMAL(30,12) consensus.
+  // identical rounds with the shared floor-quantization consensus.
   q("x63_host_hits", hitsOracle(5)) { (s, dir) =>
     graft.ext.Graph.hits(hostGraphEdges(s, dir), iterations = 5)
       .select(col("id").as("host"), col("hub"), col("auth"))

@@ -24,7 +24,8 @@ class GraphSpec extends SparkTestBase {
 
   /** The same fixed-iteration power iteration in plain Scala doubles
     * (no quantization) — the implementation must track it to well
-    * inside the 1e-12/round quantization budget. */
+    * inside the 5e-10/round quantization budget (1e-9 consensus
+    * grid). */
   private def reference(iters: Int): Map[String, Double] = {
     val nodes = Seq("a", "b", "c", "d", "e")
     val out = Map("a" -> 2, "b" -> 1, "c" -> 2, "d" -> 1, "e" -> 0)
@@ -46,8 +47,8 @@ class GraphSpec extends SparkTestBase {
       val want = reference(iters)
       assert(got.keySet == want.keySet)
       for ((k, w) <- want)
-        assert(math.abs(got(k) - w) < 1e-9, s"iters=$iters node=$k got=${got(k)} want=$w")
-      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"iters=$iters mass leaked")
+        assert(math.abs(got(k) - w) < 1e-7, s"iters=$iters node=$k got=${got(k)} want=$w")
+      assert(math.abs(got.values.sum - 1.0) < 1e-7, s"iters=$iters mass leaked")
     }
     // the hub (c: three in-edges) outranks everything; the dangling
     // sink (e) still collects c's share and beats the leaf sources
@@ -99,11 +100,11 @@ class GraphSpec extends SparkTestBase {
       val want = hitsReference(iters)
       assert(got.keySet == want.keySet)
       for ((k, (wh, wa)) <- want) {
-        assert(math.abs(got(k)._1 - wh) < 1e-9, s"iters=$iters hub($k)")
-        assert(math.abs(got(k)._2 - wa) < 1e-9, s"iters=$iters auth($k)")
+        assert(math.abs(got(k)._1 - wh) < 1e-7, s"iters=$iters hub($k)")
+        assert(math.abs(got(k)._2 - wa) < 1e-7, s"iters=$iters auth($k)")
       }
-      assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
-      assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+      assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-7)
+      assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-7)
     }
     val r = Graph.hits(edges.toDF("src", "dst"), 5)
       .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
