@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   *      semantics);
   *   5. host-graph PageRank over the SAME batch's link structure
   *      ([[Graph.pageRank]]) as the per-host priority;
-  *   6. URL dedup + already-crawled anti-join (the batch's own page
-  *      URLs, normalized, are the seen set — in production this is the
-  *      cumulative URL store);
+  *   6. URL dedup + already-crawled anti-join — the batch's own page
+  *      URLs always, plus the CUMULATIVE seen-URL store when one is
+  *      given ([[writeSeenStore]]/[[appendSeenStore]]: a bucketed
+  *      catalog table keyed on the normalized url, so the anti-join
+  *      reads the store pre-partitioned and exchanges only the
+  *      candidate side);
   *   7. per-host politeness cap ([[Sampling.stratifiedTake]] in
   *      seeded-draw order — intra-host priority is deliberately a
   *      reproducible draw, the standard choice when no per-URL signal
@@ -38,10 +41,18 @@ object Frontier {
 
   /** The prioritized frontier: (host, url, rank) — `rank` the host's
     * PageRank in this batch's link graph (0.0 for a host the graph
-    * never ranked), at most `perHostCap` URLs per host. */
+    * never ranked), at most `perHostCap` URLs per host.
+    *
+    * `seenTable`, when given, names a cumulative seen-URL store
+    * ([[writeSeenStore]]) and candidates already in it are
+    * anti-joined away IN ADDITION to the batch's own page URLs — the
+    * production crawl loop: each batch's frontier excludes everything
+    * any earlier batch fetched, at candidate cost (the store is never
+    * re-scanned into memory or re-shuffled; see [[freshAgainstStore]]). */
   def fromPages(pages: DataFrame, urlCol: String, htmlCol: String,
       blockedDomains: Seq[String] = Nil, perHostCap: Int = 100,
-      seed: String = "graft-frontier-v1", prIterations: Int = 10): DataFrame = {
+      seed: String = "graft-frontier-v1", prIterations: Int = 10,
+      seenTable: Option[String] = None): DataFrame = {
     def host(u: Column): Column =
       graft.functions.UrlExpressions.urlParts(u).getField("host")
     def scheme(u: Column): Column =
@@ -80,12 +91,16 @@ object Frontier {
           .select(lit("").as("id"), lit(0.0).as("rank")).limit(0)
       else Graph.pageRank(edges, prIterations)
 
-    // 6: fresh URLs only
+    // 6: fresh URLs only — this batch's own pages, then the cumulative
+    // store (both anti-joins key on the already-hash-partitioned url,
+    // and the store side's bucket layout matches, so no new exchange
+    // enters the plan here beyond the candidate distinct's own)
     val crawled = pages
       .select(UrlOps.normalizeUrl(col(urlCol)).as("url"))
       .filter(col("url").isNotNull).distinct()
-    val fresh = allowed.select(col("url")).distinct()
+    val freshBatch = allowed.select(col("url")).distinct()
       .join(crawled, Seq("url"), "left_anti")
+    val fresh = seenTable.fold(freshBatch)(t => freshAgainstStore(freshBatch, t))
 
     // 7: rank join + politeness cap (ranked is checkpointed for the
     // same reason as `allowed`: the cap engine references it four ways)
@@ -96,4 +111,80 @@ object Frontier {
       .localCheckpoint(true)
     Sampling.stratifiedTake(ranked, Seq("host"), col("url"), seed, perHostCap)
   }
+
+  // -- cumulative crawl-state (seen-URL) store ----------------------------
+
+  /** Normalize + dedup a URL column into the store's (url) shape. */
+  private def normalizedUrls(urls: DataFrame, urlCol: String): DataFrame =
+    urls.select(UrlOps.normalizeUrl(col(urlCol)).as("url"))
+      .filter(col("url").isNotNull).distinct()
+
+  /** Create (or recreate) the cumulative seen-URL store: a catalog
+    * table `table` with a single `url` column, bucketed AND sorted on
+    * `url` with one file per bucket — the layout that lets every later
+    * frontier anti-join read the store pre-partitioned on exactly its
+    * join key ([[graft.ext.Dedup.writeBandStoreBucketed]] discipline;
+    * `repartition(buckets, url)` before the write keeps it one file
+    * per bucket so the scan reports the sort order). URLs are
+    * normalized with the same [[UrlOps.normalizeUrl]] the frontier
+    * applies to candidates, so the join compares like with like. */
+  def writeSeenStore(urls: DataFrame, urlCol: String, table: String,
+      buckets: Int = 32): Unit = {
+    graft.store.Bucketing.dropWithLocation(urls.sparkSession, table)
+    normalizedUrls(urls, urlCol)
+      .repartition(buckets, col("url"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "url").sortBy("url")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Fold a crawled batch into the store at batch cost: normalize,
+    * anti-join against the store (only genuinely NEW urls are
+    * written — re-appending an already-seen URL is a no-op, which
+    * makes the whole maintenance loop IDEMPOTENT under streaming
+    * retries: no disjointness precondition, no scrub-on-crash), then
+    * parquet-append per-bucket files. Creates the store when absent.
+    * Appends accumulate small per-bucket files; fold them back to one
+    * file per bucket with [[compactSeenStore]] on a maintenance
+    * cadence. */
+  def appendSeenStore(urls: DataFrame, urlCol: String, table: String,
+      buckets: Int = 32): Unit = {
+    val spark = urls.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      writeSeenStore(urls, urlCol, table, buckets)
+    } else {
+      freshAgainstStore(normalizedUrls(urls, urlCol), table)
+        .repartition(buckets, col("url"))
+        .write.mode("append")
+        .bucketBy(buckets, "url").sortBy("url")
+        .format("parquet").saveAsTable(table)
+    }
+  }
+
+  /** Rewrite the store to one file per bucket (appends leave one file
+    * per batch per bucket; scan cost and open-file overhead grow with
+    * batch count until compacted). Writes a bucketed twin table, then
+    * atomically swaps it in via catalog rename — the store is never
+    * read and overwritten in the same job. */
+  def compactSeenStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int = 32): Unit = {
+    val tmp = s"${table}_compacting"
+    graft.store.Bucketing.dropWithLocation(spark, tmp)
+    spark.table(table).distinct()
+      .repartition(buckets, col("url"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "url").sortBy("url")
+      .format("parquet").saveAsTable(tmp)
+    graft.store.Bucketing.dropWithLocation(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table"): Unit
+  }
+
+  /** The store-side anti-join, package-visible so the plan contract is
+    * directly assertable: the stored scan must reach its join with NO
+    * Exchange above it (the bucket layout IS the join distribution);
+    * only `candidates` — batch-sized — shuffles. */
+  private[graft] def freshAgainstStore(candidates: DataFrame,
+      seenTable: String): DataFrame =
+    candidates.join(candidates.sparkSession.table(seenTable),
+      Seq("url"), "left_anti")
 }

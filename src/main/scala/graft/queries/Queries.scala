@@ -3353,6 +3353,55 @@ object Queries {
   // job-dispatch cost); the cap's oracle is the textbook
   // per-host `row_number() <= k` twin of stratifiedTake's
   // critical-bucket engine.
+  /** The x64 crawled-pages fixture: one page per documents row with
+    * doc_id % 50 < 40, each carrying three item links (the x60 graph
+    * reproduced page-side), a tracking-param twin, a `javascript:`
+    * href, a blocked-domain link, and a relative self-link — every
+    * frontier gate proven to fire. Shared by x64 and x64b. */
+  private def frontierFixturePages(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val sk = (col("doc_id") % 50).cast("string")
+    def item(j: Int) = Seq(
+      lit("<a href=\"https://h"), ((col("doc_id") * 7 + j) % 50).cast("string"),
+      lit(s".example/item"), id, lit(s"-$j\">i$j</a>"))
+    val html = concat(Seq(lit("<html><body>")) ++
+      item(1) ++ item(2) ++ item(3) ++
+      Seq(
+        // tracking-param twin of item 1 — merges at normalize
+        lit("<a href=\"https://h"), ((col("doc_id") * 7 + 1) % 50).cast("string"),
+        lit(".example/item"), id, lit("-1?utm_source=track\">dup</a>"),
+        lit("<a href=\"javascript:void(0)\">js</a>"),
+        lit("<a href=\"https://spam.blocked.example/x"), id, lit("\">spam</a>"),
+        lit("<a href=\"/page"), id, lit("\">self</a>"),
+        lit("</body></html>")): _*)
+    val pageUrl = concat(lit("https://h"), sk, lit(".example/page"), id)
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 < 40)
+      .select(pageUrl.as("url"), html.as("html"))
+  }
+
+  /** The x64b cumulative seen store, built once per scale dir (the
+    * rollupMemo discipline): a prior crawl batch already fetched the
+    * item-1 URL of every EVEN doc page — written through the real
+    * [[graft.ext.Frontier.writeSeenStore]] (normalize → bucket on url)
+    * plus an [[graft.ext.Frontier.appendSeenStore]] replay of the same
+    * urls, which must be a no-op (append idempotency exercised on the
+    * oracle path, not just in FrontierSpec). */
+  private val seenStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def seenStoreFor(s: SparkSession, dir: String): String =
+    seenStoreMemo.getOrElseUpdate(dir, {
+      val t = "graft_seen_" + Integer.toHexString(dir.hashCode)
+      val urls = Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 < 40 && col("doc_id") % 2 === 0)
+        .select(concat(lit("https://h"),
+          ((col("doc_id") * 7 + 1) % 50).cast("string"),
+          lit(".example/item"), col("doc_id").cast("string"), lit("-1"))
+          .as("url"))
+      graft.ext.Frontier.writeSeenStore(urls, "url", t, buckets = 8)
+      graft.ext.Frontier.appendSeenStore(urls, "url", t, buckets = 8)
+      t
+    })
+
   q("x64_crawl_frontier",
     s"""WITH pages AS (
       |  SELECT doc_id, doc_id % 50 AS sk FROM documents WHERE doc_id % 50 < 40),
@@ -3377,28 +3426,55 @@ object Queries {
       |  FROM ranked)
       |SELECT host, url, rank FROM capped WHERE rk <= 10
       |ORDER BY host, url""".stripMargin) { (s, dir) =>
-    val id = col("doc_id").cast("string")
-    val sk = (col("doc_id") % 50).cast("string")
-    def item(j: Int) = Seq(
-      lit("<a href=\"https://h"), ((col("doc_id") * 7 + j) % 50).cast("string"),
-      lit(s".example/item"), id, lit(s"-$j\">i$j</a>"))
-    val html = concat(Seq(lit("<html><body>")) ++
-      item(1) ++ item(2) ++ item(3) ++
-      Seq(
-        // tracking-param twin of item 1 — merges at normalize
-        lit("<a href=\"https://h"), ((col("doc_id") * 7 + 1) % 50).cast("string"),
-        lit(".example/item"), id, lit("-1?utm_source=track\">dup</a>"),
-        lit("<a href=\"javascript:void(0)\">js</a>"),
-        lit("<a href=\"https://spam.blocked.example/x"), id, lit("\">spam</a>"),
-        lit("<a href=\"/page"), id, lit("\">self</a>"),
-        lit("</body></html>")): _*)
-    val pageUrl = concat(lit("https://h"), sk, lit(".example/page"), id)
-    val pages = Tables.documents(s, dir)
-      .filter(col("doc_id") % 50 < 40)
-      .select(pageUrl.as("url"), html.as("html"))
-    graft.ext.Frontier.fromPages(pages, "url", "html",
+    graft.ext.Frontier.fromPages(frontierFixturePages(s, dir), "url", "html",
         blockedDomains = Seq("blocked.example"), perHostCap = 10,
         seed = "graft-frontier-v1", prIterations = 5)
+      .ordered("host", "url")
+  }
+
+  // X64B — the frontier against the CUMULATIVE seen-URL store
+  // ([[graft.ext.Frontier.writeSeenStore]] / `fromPages(seenTable)`):
+  // same fixture and gates as x64, but a PRIOR crawl batch already
+  // fetched the item-1 URL of every even doc page — those candidates
+  // must now die at the store anti-join (the store is bucketed on url
+  // and read without an exchange; FrontierSpec plan-asserts), and the
+  // politeness cap re-draws over the survivors, so both rows AND
+  // ranks-per-rk shift vs x64 if the store path fails in any way. The
+  // oracle carries x64's CTE chain plus the seen set as an exclusion
+  // before capping.
+  q("x64b_frontier_seen_store",
+    s"""WITH pages AS (
+      |  SELECT doc_id, doc_id % 50 AS sk FROM documents WHERE doc_id % 50 < 40),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT 'h' || CAST(sk AS VARCHAR) || '.example' AS src,
+      |         'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example' AS dst
+      |  FROM pages, UNNEST([1, 2, 3]) AS t(j)
+      |  WHERE sk <> (doc_id * 7 + j) % 50),
+      |${pageRankRoundsCte(5)}seen AS (
+      |  SELECT 'https://h' || CAST((doc_id * 7 + 1) % 50 AS VARCHAR)
+      |    || '.example/item' || CAST(doc_id AS VARCHAR) || '-1' AS url
+      |  FROM pages WHERE doc_id % 2 = 0),
+      |cand AS (
+      |  SELECT DISTINCT
+      |    'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example' AS host,
+      |    'https://h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example/item'
+      |      || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS url
+      |  FROM pages, UNNEST([1, 2, 3]) AS t(j)),
+      |ranked AS (
+      |  SELECT c.host, c.url, COALESCE(f.rank, 0.0) AS rank
+      |  FROM cand c LEFT JOIN fin f ON f.id = c.host
+      |  WHERE c.url NOT IN (SELECT url FROM seen)),
+      |capped AS (
+      |  SELECT host, url, rank,
+      |    row_number() OVER (PARTITION BY host
+      |      ORDER BY md5(url || ':' || 'graft-frontier-v1'), url) AS rk
+      |  FROM ranked)
+      |SELECT host, url, rank FROM capped WHERE rk <= 10
+      |ORDER BY host, url""".stripMargin) { (s, dir) =>
+    graft.ext.Frontier.fromPages(frontierFixturePages(s, dir), "url", "html",
+        blockedDomains = Seq("blocked.example"), perHostCap = 10,
+        seed = "graft-frontier-v1", prIterations = 5,
+        seenTable = Some(seenStoreFor(s, dir)))
       .ordered("host", "url")
   }
 

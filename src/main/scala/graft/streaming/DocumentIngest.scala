@@ -326,4 +326,64 @@ object DocumentIngest {
       fs.create(done, true).close(): Unit
     }
   }
+
+  /** Streaming crawl-frontier maintenance — the crawl loop's state
+    * keeper, shaped like [[nearDupMaintenance]] but with SIMPLER replay
+    * bookkeeping because every effect is already idempotent: each
+    * micro-batch of crawled pages (1) produces its prioritized frontier
+    * via [[graft.ext.Frontier.fromPages]] anti-joined against the
+    * CUMULATIVE seen-URL store (so batch N's frontier excludes
+    * everything batches 1..N-1 fetched, at candidate cost — the store
+    * is bucketed on url and never re-shuffled), written with OVERWRITE
+    * into `frontierDir/batch_id=<n>`; then (2) folds its own page URLs
+    * into the store ([[graft.ext.Frontier.appendSeenStore]] — an
+    * anti-join inside the append writes only genuinely new urls, so a
+    * re-delivered or torn batch re-appends nothing). No started/done
+    * markers are needed: a retry overwrites its own frontier output,
+    * and a store append that already landed changes nothing — and if
+    * the crash fell between frontier write and store append, the
+    * re-run's frontier is identical because [[graft.ext.Frontier
+    * .fromPages]] anti-joins the batch's own pages regardless. The
+    * first batch bootstraps the store. Run
+    * [[graft.ext.Frontier.compactSeenStore]] on a maintenance cadence.
+    */
+  def frontierMaintenance(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, frontierDir: String, checkpointDir: String,
+      seenTable: String, urlCol: String = "url", htmlCol: String = "html",
+      blockedDomains: Seq[String] = Nil, perHostCap: Int = 100,
+      seed: String = "graft-frontier-v1", prIterations: Int = 10,
+      buckets: Int = 32, maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        frontierProcessBatch(batch, batchId, frontierDir, seenTable,
+          urlCol, htmlCol, blockedDomains, perHostCap, seed, prIterations,
+          buckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of [[frontierMaintenance]] — package-visible so
+    * the replay/idempotency contract is directly testable. */
+  private[graft] def frontierProcessBatch(batch: DataFrame, batchId: Long,
+      frontierDir: String, seenTable: String, urlCol: String,
+      htmlCol: String, blockedDomains: Seq[String], perHostCap: Int,
+      seed: String, prIterations: Int, buckets: Int): Unit = {
+    if (!batch.isEmpty) {
+      val s = batch.sparkSession
+      val store =
+        if (s.catalog.tableExists(seenTable)) Some(seenTable) else None
+      graft.ext.Frontier.fromPages(batch, urlCol, htmlCol, blockedDomains,
+          perHostCap, seed, prIterations, seenTable = store)
+        .write.mode("overwrite").parquet(s"$frontierDir/batch_id=$batchId")
+      graft.ext.Frontier.appendSeenStore(batch.select(col(urlCol)), urlCol,
+        seenTable, buckets)
+    }
+  }
 }

@@ -374,6 +374,66 @@ class DocumentIngestSpec extends SparkTestBase {
     }
   }
 
+  test("streaming frontier maintenance: later batches exclude earlier crawls via the seen store; replay is a no-op") {
+    val srcDir = Files.createTempDirectory("fr-src").toString
+    def writeOneFile(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("fr-slice").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime)) // deterministic batch order
+      ()
+    }
+    // batch 1 crawls P (links to X); batch 2 crawls X (links BACK to P
+    // — must die at the store anti-join — and on to new Y)
+    val t0 = System.currentTimeMillis() - 120000
+    writeOneFile(Seq(("https://p.example/one",
+      """<a href="https://x.example/two">x</a>""")).toDF("url", "html"),
+      "a.parquet", t0)
+    writeOneFile(Seq(("https://x.example/two",
+      """<a href="https://p.example/one">back</a><a href="https://y.example/three">y</a>"""))
+      .toDF("url", "html"), "b.parquet", t0 + 60000)
+    val frontierDir = Files.createTempDirectory("fr-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("fr-ckpt").toString
+    val table = "frontier_maint_spec"
+    try {
+      DocumentIngest.frontierMaintenance(spark, srcDir, frontierDir, ckpt,
+        table, buckets = 4, maxFilesPerTrigger = Some(1))
+      val got = spark.read.parquet(frontierDir)
+        .select(col("batch_id").cast("long"), col("url"))
+        .as[(Long, String)].collect().toSet
+      // batch 0's frontier is X; batch 1's is ONLY Y — P was crawled in
+      // batch 0, and the cumulative store (not batch 1's own pages)
+      // excludes it
+      assert(got == Set((0L, "https://x.example/two"),
+        (1L, "https://y.example/three")), s"got $got")
+      val storeUrls = spark.table(table).as[String].collect().toSet
+      assert(storeUrls == Set("https://p.example/one", "https://x.example/two"))
+      // replay with the same checkpoint: AvailableNow re-delivers
+      // nothing; and a manual re-run of a batch is idempotent
+      DocumentIngest.frontierMaintenance(spark, srcDir, frontierDir, ckpt,
+        table, buckets = 4, maxFilesPerTrigger = Some(1))
+      assert(spark.read.parquet(frontierDir).count() == 2)
+      assert(spark.table(table).count() == 2)
+      graft.streaming.DocumentIngest.frontierProcessBatch(
+        Seq(("https://x.example/two",
+          """<a href="https://p.example/one">back</a><a href="https://y.example/three">y</a>"""))
+          .toDF("url", "html"),
+        1L, frontierDir, table, "url", "html", Nil, 100,
+        "graft-frontier-v1", 10, 4)
+      assert(spark.read.parquet(frontierDir)
+        .select(col("batch_id").cast("long"), col("url"))
+        .as[(Long, String)].collect().toSet == got)
+      assert(spark.table(table).count() == 2)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      ()
+    }
+  }
+
   test("gates drop repetitive and short docs; survivors carry quality_score when configured") {
     val docs = Seq(
       (1L, "hash join scan filter window batch sort merge group value spark query fast run", ts0(0)),

@@ -52,4 +52,75 @@ class FrontierSpec extends SparkTestBase {
     assert(out.map(_._2).sorted == Seq(
       "https://site.example/dir/sub/x.html", "https://site.example/up.html"))
   }
+
+  /** Every path from a scan of a table whose location contains `substr`
+    * up to its first enclosing join must be Exchange-free — the
+    * bucketed-store contract (ExtSpec's incremental-dedup discipline
+    * applied to the seen store). AQE-aware. */
+  private def storedJoinSideUnshuffled(df: org.apache.spark.sql.DataFrame,
+      substr: String): Boolean = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(substr)) =>
+        Seq(anc)
+      case a: AdaptiveSparkPlanExec => paths(a.executedPlan, anc)
+      case q: QueryStageExec => paths(q.plan, anc)
+      case other => other.children.flatMap(c => paths(c, other :: anc))
+    }
+    val ps = paths(df.queryExecution.executedPlan, Nil)
+    assert(ps.nonEmpty, s"no scan of $substr found in the plan")
+    ps.forall(_.takeWhile(!_.isInstanceOf[BaseJoinExec])
+      .forall(!_.isInstanceOf[ShuffleExchangeLike]))
+  }
+
+  test("cumulative seen store: batch-2 frontier excludes batch-1's crawl; append idempotent; store side unshuffled") {
+    val table = "frontier_seen_spec"
+    try {
+      // batch 1 crawled two urls — they seed the cumulative store
+      val batch1 = Seq("https://a.example/seen1", "https://b.example/seen2")
+        .toDF("url")
+      Frontier.writeSeenStore(batch1, "url", table, buckets = 4)
+      // batch 2 links to one already-crawled url and one new one
+      val out = Frontier.fromPages(
+        Seq(("https://c.example/page",
+          """<a href="https://a.example/seen1">old</a>
+            |<a href="https://d.example/new1">new</a>""".stripMargin))
+          .toDF("url", "html"),
+        "url", "html", seenTable = Some(table))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(out == Seq(("d.example", "https://d.example/new1")))
+      // idempotent append: already-seen urls (even as tracking-param
+      // twins — the store normalizes at its edge) write nothing
+      val n0 = spark.table(table).count()
+      Frontier.appendSeenStore(batch1, "url", table, buckets = 4)
+      assert(spark.table(table).count() == n0)
+      Frontier.appendSeenStore(
+        Seq("https://a.example/seen1?utm_source=x").toDF("url"),
+        "url", table, buckets = 4)
+      assert(spark.table(table).count() == n0)
+      Frontier.appendSeenStore(
+        Seq("https://d.example/new1").toDF("url"), "url", table, buckets = 4)
+      assert(spark.table(table).count() == n0 + 1)
+      // compaction rewrites to one file per bucket, contents unchanged
+      Frontier.compactSeenStore(spark, table, buckets = 4)
+      assert(spark.table(table).count() == n0 + 1)
+      assert(spark.table(table).inputFiles.length <= 4) // ≤ 1 file/bucket
+      // plan contract: the stored side reaches its anti-join with no
+      // Exchange above the scan — only the candidate side shuffles
+      val probe = Frontier.freshAgainstStore(
+        Seq("https://x.example/q").toDF("url")
+          .repartition(4, org.apache.spark.sql.functions.col("url")), table)
+      probe.collect()
+      assert(storedJoinSideUnshuffled(probe, table),
+        "seen store shuffled before the frontier anti-join")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
+      ()
+    }
+  }
 }
