@@ -891,19 +891,28 @@ object Dedup {
     * from the corpus entirely. Output: (idCol, n_tokens, n_removed,
     * clean_text) — every input doc, untouched docs included.
     *
-    * Scale shape: windows explode to ONE row per token (not per pair);
-    * the duplicate aggregation keys its exchange on
-    * `xxhash64(window)` and still groups by (hash, window), and the
-    * join back re-checks window equality ([[lineDedup]]'s fixed-width
-    * exchange discipline — a collision can never merge distinct
-    * spans); keeper choice is an in-aggregation `min(struct)`, never a
-    * corpus-ordered window function; covered-position explode is
-    * bounded by duplicated windows × `windowTokens`; reassembly is one
-    * by-doc aggregation. No all-pairs anywhere. The window frame is
-    * DERIVED TWICE (once under the duplicate aggregation, once for the
-    * join back) on purpose: persisting it would materialize the
-    * L-token window strings — ~`windowTokens`× the corpus bytes —
-    * while re-tokenizing is two cheap columnar scans at any scale. */
+    * Scale shape — TWO-PHASE, so the corpus-wide exchange never
+    * carries window strings: windows explode to ONE row per token
+    * (not per pair), and phase 1 aggregates duplicate DISCOVERY on the
+    * 8-byte `xxhash64(window)` alone — (id, start, hash) rows, ~16
+    * bytes/token over the wire, where shuffling the L-token strings
+    * would be ~`windowTokens`× the corpus bytes. Phase 2 re-derives
+    * window strings ONLY at candidate positions (hash seen ≥ 2): the
+    * candidate (id, start) set folds per doc and joins back to the
+    * token arrays, and the exact aggregation — still grouped by
+    * (hash, window) with keeper = in-aggregation `min(struct)` — plus
+    * the equality-rechecked mark join run over candidates only.
+    * Exactness is structural, not probabilistic: a hash collision can
+    * only ADD a unique window to the candidate set, where the
+    * string-grouped recount (`__c >= 2`) discards it; it can never
+    * merge distinct spans or drop a true duplicate (every row of a
+    * true duplicate group carries a ≥2-count hash, so all of them
+    * reach phase 2). Covered-position explode is bounded by duplicated
+    * windows × `windowTokens`; reassembly is one by-doc aggregation.
+    * No all-pairs anywhere. The candidate window frame is DERIVED
+    * TWICE (once under the exact aggregation, once for the mark join)
+    * on purpose: persisting it would materialize the candidate window
+    * strings, while re-slicing is two cheap scans of candidate docs. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 50): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be positive")
@@ -911,20 +920,38 @@ object Dedup {
     val base = df
       .select(col(idCol), TextOps.tokens(coalesce(col(textCol), lit(""))).as("__t"))
       .withColumn("__n", size(col("__t")))
-    val wins = base.filter(col("__n") >= L)
-      .select(col(idCol), col("__t"),
-        explode(sequence(lit(0), col("__n") - L)).as("__s"))
+    // phase 1: hash-only rows; the ONLY full-corpus exchanges in the
+    // pipeline move (id, start, hash), never window strings
+    val winsH = base.filter(col("__n") >= L)
+      .select(col(idCol), explode(sequence(lit(0), col("__n") - L)).as("__s"),
+        col("__t"))
+      .select(col(idCol), col("__s"),
+        xxhash64(concat_ws(" ", slice(col("__t"), col("__s") + 1, lit(L))))
+          .as("__wh"))
+    val dupH = winsH.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__hc")).filter(col("__hc") >= 2)
+      .select(col("__wh"))
+    val candPos = winsH.join(dupH, Seq("__wh"), "left_semi")
+    // phase 2: candidate docs re-slice their candidate windows WITH
+    // strings (per-doc position fold, then one keyed join onto the
+    // token arrays — candidate-doc-sized, and AQE broadcasts the fold
+    // when it is small)
+    val candByDoc = candPos.groupBy(col(idCol))
+      .agg(collect_list(col("__s")).as("__ss"))
+    def candWins = base.join(candByDoc, Seq(idCol))
+      .select(col(idCol), col("__t"), explode(col("__ss")).as("__s"))
       .select(col(idCol), col("__s"),
         concat_ws(" ", slice(col("__t"), col("__s") + 1, lit(L))).as("__w"))
       .withColumn("__wh", xxhash64(col("__w")))
-    val dup = wins.repartition(col("__wh"))
+    val dup = candWins.repartition(col("__wh"))
       .groupBy(col("__wh"), col("__w"))
       .agg(count(lit(1)).as("__c"),
         min(struct(col(idCol), col("__s"))).as("__keep"))
       .filter(col("__c") >= 2)
       .select(col("__wh"), col("__w").as("__dw"), col("__keep"))
-    val marks = wins.join(dup,
-        wins("__wh") === dup("__wh") && col("__w") === col("__dw"))
+    val cw = candWins
+    val marks = cw.join(dup,
+        cw("__wh") === dup("__wh") && col("__w") === col("__dw"))
       .filter(!(col(idCol) === col("__keep").getField(idCol) &&
         col("__s") === col("__keep").getField("__s")))
       .select(col(idCol), explode(sequence(col("__s"), col("__s") + L - 1)).as("__p"))

@@ -59,4 +59,34 @@ class SpanDedupSpec extends SparkTestBase {
     assert(removed == 8L)
     assert(!out(2L)._3.contains("q") && !out(3L)._3.contains("q"))
   }
+
+  test("two-phase plan contract: no corpus-wide exchange carries window strings") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "shared span one two three four five six"
+          else s"unique u$i v$i w$i x$i y$i z$i q$i"))
+    val out = Dedup.removeDuplicateSpans(docs.toDF("id", "text"), "id", "text", 6)
+    out.collect() // materialize AQE's final plan
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => flat(q.plan)
+      case other => other +: other.children.flatMap(flat)
+    }
+    def subtreeHasJoin(p: SparkPlan): Boolean =
+      flat(p).exists(_.isInstanceOf[BaseJoinExec])
+    val shuffles = flat(out.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty)
+    // an exchange whose rows include the L-token window string must be
+    // candidate-sized: its subtree contains the dup-hash (semi) join
+    // that gates phase 2 — a string-bearing exchange fed straight from
+    // the corpus scan is the r12 ~L×-bytes shuffle this test forbids
+    shuffles.filter(_.output.exists(_.name == "__w")).foreach { s =>
+      assert(subtreeHasJoin(s),
+        s"corpus-wide exchange carries window strings:\n$s")
+    }
+  }
 }
