@@ -51,8 +51,9 @@ object UrlOps {
     * in a crawl frontier. One
     * [[graft.functions.UrlExpressions.UrlResolveExpr]] kernel call;
     * null when `base` is not an absolute `scheme://host` URL; a ref
-    * with its own scheme is returned as-is (cleaned), so the scheme
-    * filter downstream still owns `mailto:`/`javascript:` rejection. */
+    * with its own scheme keeps that scheme (whitespace-cleaned,
+    * dot-segments removed when hierarchical), so the scheme filter
+    * downstream still owns `mailto:`/`javascript:` rejection. */
   def resolveUrl(base: Column, ref: Column): Column =
     graft.functions.UrlExpressions.urlResolve(base, ref)
 

@@ -287,7 +287,10 @@ object HtmlExpressions {
           cp = cp * 10 + (s.charAt(j) - '0'); any = true; j += 1
         }
       }
-      if (any && j < n && s.charAt(j) == ';' && cp > 0 && cp <= 0x10ffff) (cp, j + 1)
+      if (any && j < n && s.charAt(j) == ';' && cp > 0 && cp <= 0x10ffff)
+        // HTML5 maps surrogate references to U+FFFD — toChars on a lone
+        // surrogate would emit ill-formed UTF-16 into hrefs/anchors
+        ((if (cp >= 0xd800 && cp <= 0xdfff) 0xfffd else cp), j + 1)
       else (-1, from)
     } else {
       val semi = {
@@ -408,7 +411,11 @@ object HtmlExpressions {
       while (j < n) {
         var c = s.charAt(j)
         if (c == '>') return (j + 1, lastNonWs == '/', hrefVal)
-        if (Character.isWhitespace(c) || c == '/') { if (!Character.isWhitespace(c)) lastNonWs = c; j += 1 }
+        // whitespace RESETS lastNonWs: HTML5 honors a stray '/' only
+        // when it directly precedes '>' — `<a href=x / >` stays open
+        if (Character.isWhitespace(c) || c == '/') {
+          lastNonWs = if (c == '/') '/' else ' '; j += 1
+        }
         else {
           // attribute name
           val nameStart = j

@@ -194,6 +194,22 @@ object UrlExpressions {
     false
   }
 
+  /** [[removeDotSegments]] over the path of a `…//authority[/path]…`
+    * form, query/fragment tail preserved; `authStart` indexes the
+    * first authority char (just past the `//`). Returns the input
+    * unchanged when there is no path. */
+  private def dotCleanAfterAuthority(s: String, authStart: Int): String = {
+    var i = authStart
+    while (i < s.length && s.charAt(i) != '/' && s.charAt(i) != '?' && s.charAt(i) != '#')
+      i += 1
+    if (i >= s.length || s.charAt(i) != '/') return s
+    var j = i
+    while (j < s.length && s.charAt(j) != '?' && s.charAt(j) != '#') j += 1
+    val path = s.substring(i, j)
+    val cleaned = removeDotSegments(path)
+    if (cleaned == path) s else s.substring(0, i) + cleaned + s.substring(j)
+  }
+
   /** Null when base is malformed (see [[UrlResolveExpr]] contract). */
   def resolve(baseRaw: String, refRaw: String): UTF8String = {
     // WHATWG pre-clean: trim C0/space at both ends, strip \t \r \n inside
@@ -210,11 +226,23 @@ object UrlExpressions {
     }
     val ref = sb.toString
 
-    if (hasScheme(ref)) return u8(ref) // §5.2.2: ref's scheme wins
+    // §5.2.2: ref's scheme wins — but remove_dot_segments still applies
+    // to its path (the transformation runs it on EVERY branch; skipping
+    // it here, or on the network-path branch below, let `https://h/a/./b`
+    // and `//h/a/../b` enter the frontier un-canonicalized and survive
+    // URL dedup as distinct spellings of one resource)
+    if (hasScheme(ref)) {
+      val colon = ref.indexOf(':')
+      return u8(
+        if (ref.regionMatches(colon + 1, "//", 0, 2))
+          dotCleanAfterAuthority(ref, colon + 3)
+        else ref) // opaque (mailto:, javascript:) — no hierarchical path
+    }
     val base = parse(baseRaw)
     if (base == null) return null
     val scheme = base.getUTF8String(0).toString
-    if (ref.startsWith("//")) return u8(scheme + ":" + ref)
+    if (ref.startsWith("//"))
+      return u8(scheme + ":" + dotCleanAfterAuthority(ref, 2))
 
     val host = base.getUTF8String(1).toString
     val port = if (base.isNullAt(2)) null else base.getUTF8String(2).toString

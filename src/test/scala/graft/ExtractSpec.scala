@@ -282,6 +282,19 @@ class ExtractSpec extends SparkTestBase {
       Seq(("/keep", "t")))
   }
 
+  test("stray '/' + space does not self-close; surrogate refs decode to U+FFFD") {
+    // HTML5 honors a stray '/' only DIRECTLY before '>' — with spaces
+    // after it the element stays open and the visible text is anchor
+    assert(linksOf("""<a href=/x / >anchor text</a>""") ==
+      Seq(("/x", "anchor text")))
+    // numeric refs in the surrogate range must not emit lone
+    // surrogates (ill-formed UTF-16) into anchors or hrefs
+    assert(linksOf("<a href=\"/s\">a &#xD800; b</a>") ==
+      Seq(("/s", "a � b")))
+    assert(linksOf("<a href=\"/p?x=&#55296;\">t</a>") ==
+      Seq(("/p?x=�", "t")))
+  }
+
   test("resolvedLinks resolves against the page URL and drops on bad base") {
     val df = Seq(
       ("https://site.example/dir/page.html", """<a href="sub/x">r</a><a href="/abs">a</a>"""),

@@ -182,6 +182,22 @@ class UrlOpsSpec extends SparkTestBase {
     for ((r, want) <- vecs) assert(res(base, r) == Some(want), s"ref=$r")
   }
 
+  test("resolve: dot-segments removed on network-path and scheme-carrying refs (§5.2.2 every branch)") {
+    // network-path refs keep the base scheme AND canonicalize the path
+    assert(res("https://h.example/", "//h2.example/a/../b") == Some("https://h2.example/b"))
+    assert(res("https://h.example/", "//h2.example/a/./b") == Some("https://h2.example/a/b"))
+    // query/fragment tails survive untouched; authority-only refs too
+    assert(res("https://h.example/", "//h5.example?q=/../x") == Some("https://h5.example?q=/../x"))
+    // scheme-carrying hierarchical refs canonicalize the same way —
+    // otherwise https://h/a/./b survives URL dedup as a distinct
+    // spelling of https://h/a/b
+    assert(res("https://h.example/", "https://h3.example/x/../y?q/../z#s/../g") ==
+      Some("https://h3.example/y?q/../z#s/../g"))
+    assert(res("https://h.example/", "http://h4.example") == Some("http://h4.example"))
+    // opaque schemes have no hierarchical path — byte-preserved
+    assert(res("https://h.example/", "mailto:a/../b@x.example") == Some("mailto:a/../b@x.example"))
+  }
+
   test("resolve: WHATWG pre-clean, empty base path, scheme-carrying refs, bad base") {
     // hrefs wrap across source lines: interior tab/CR/LF deleted
     // outright (WHATWG — no space survives), ends trimmed
