@@ -17,15 +17,28 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Telemetry {
 
-  final case class Timing(funcName: String, durationNs: Long, failed: Boolean)
+  /** `metrics`: the action's named `observe()` rows (e.g. the WARC
+    * reader's excluded-record governance counters,
+    * [[graft.ext.Warc.htmlResponses]]) flattened to metricName →
+    * (column → value) — pipelines surface data-loss counts here
+    * instead of losing them silently. */
+  final case class Timing(funcName: String, durationNs: Long, failed: Boolean,
+      metrics: Map[String, Map[String, Any]] = Map.empty)
 
   private val buf = new ConcurrentLinkedQueue[Timing]()
 
+  private def observed(qe: QueryExecution): Map[String, Map[String, Any]] =
+    try qe.observedMetrics.map { case (name, row) =>
+      name -> row.schema.fieldNames.zipWithIndex
+        .map { case (f, i) => f -> row.get(i) }.toMap
+    }.toMap
+    catch { case _: Throwable => Map.empty }
+
   private lazy val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-      buf.add(Timing(funcName, durationNs, failed = false))
+      buf.add(Timing(funcName, durationNs, failed = false, observed(qe)))
     override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
-      buf.add(Timing(funcName, 0L, failed = true))
+      buf.add(Timing(funcName, 0L, failed = true, observed(qe)))
   }
 
   @volatile private var installed = false

@@ -277,18 +277,78 @@ object Warc {
     * decode, then UTF-8): a Latin-1/Windows-1252 page — still a large
     * crawl fraction — cast blindly as UTF-8 turns every non-ASCII char
     * into U+FFFD before the extractor ever runs. */
-  def htmlResponses(records: Dataset[WarcRow]): DataFrame = {
-    val resp = records.toDF()
+  def htmlResponses(records: Dataset[WarcRow]): DataFrame =
+    htmlResponses(records, Nil)
+
+  /** Optional-dependency seam for content codings beyond the JDK-pure
+    * set (gzip/deflate): a deployment ships a brotli or zstd library
+    * to the executors and wraps it in one of these — the reader
+    * plumbing (record gating, de-chunking, charset decode, the
+    * exclusion telemetry) is untouched. Must be `Serializable`
+    * (instances ride the plan to executors; hold config, not native
+    * handles — the [[Multimodal.Codec]] discipline). Deployment recipe
+    * (this container has no brotli jar, so the in-repo proof is
+    * WarcSpec's stub decoder + exact exclusion counts):
+    *  1. ship e.g. the `org.brotli:dec` jar via `--jars`;
+    *  2. `object BrotliDecoder extends ContentDecoder {
+    *       def encodings = Set("br")
+    *       def decode(b) = readAll(new BrotliInputStream(stream(b))) }`;
+    *  3. pass it to [[htmlResponses]] — records whose
+    *     `Content-Encoding` it claims now decode instead of being
+    *     excluded, and the `graft_warc_html` counter shift is the
+    *     yield gain, measured not guessed. */
+  trait ContentDecoder extends Serializable {
+    /** Lowercase content-coding tokens handled, e.g. `Set("br")`. */
+    def encodings: Set[String]
+    /** Content-decode the (already transfer-decoded) entity bytes. */
+    def decode(body: Array[Byte]): Array[Byte]
+  }
+
+  /** [[htmlResponses]] with pluggable extra content decoders, and the
+    * corpus-governance observation `graft_warc_html` attached: any
+    * action over the result also reports `n_html200` (HTML 200
+    * responses seen) and `n_excluded_encoding` (of those, records
+    * DROPPED because no decoder — built-in or supplied — handles
+    * their `Content-Encoding`). Surfaced through
+    * [[graft.engine.Telemetry]]'s listener, so a 100-TB pass sees
+    * "br/zstd cost us N documents" as a number, not a silent corpus
+    * loss. Extra-decoder rows pay one closure call on the RARE branch
+    * only; the built-in encodings keep the codegen kernel path. */
+  def htmlResponses(records: Dataset[WarcRow],
+      decoders: Seq[ContentDecoder]): DataFrame = {
+    val decMap: Map[String, ContentDecoder] =
+      decoders.flatMap(d => d.encodings.map(_.toLowerCase -> d)).toMap
+    val enc = trim(lower(coalesce(
+      httpHeader(col("payload"), "Content-Encoding"), lit("identity"))))
+    val extraHandled =
+      if (decMap.isEmpty) lit(false)
+      else enc.isin(decMap.keys.toSeq: _*)
+    val handled = isDecodableEncoding(col("payload")) || extraHandled
+    val html200 = records.toDF()
       .filter(col("warc_type") === "response" &&
         httpStatus(col("payload")) === 200 &&
         col("content_type").startsWith("application/http") &&
-        isHtmlResponse(col("payload")) &&
-        isDecodableEncoding(col("payload")))
+        isHtmlResponse(col("payload")))
+      .observe("graft_warc_html",
+        count(lit(1)).as("n_html200"),
+        sum(when(handled, 0L).otherwise(1L)).as("n_excluded_encoding"))
+    val resp = html200
+      .filter(handled)
       .withColumn("_body", httpDecodedBodyBytes(col("payload")))
+    val withExtra =
+      if (decMap.isEmpty) resp
+      else {
+        // the kernel passes unknown codings through de-chunked but
+        // still content-coded; the supplied decoder finishes the job
+        val dec = udf((body: Array[Byte], e: String) =>
+          decMap.get(e).fold(body)(_.decode(body)))
+        resp.withColumn("_body",
+          when(extraHandled, dec(col("_body"), enc)).otherwise(col("_body")))
+      }
     val provisional = col("_body").cast("string") // UTF-8 view for meta sniff
     val cs = coalesce(httpCharset(col("payload")),
       Extract.metaCharset(provisional), lit("utf-8"))
-    resp.withColumn("html", decodeCharset(col("_body"), cs))
+    withExtra.withColumn("html", decodeCharset(col("_body"), cs))
       .select("path", "idx", "target_uri", "warc_date", "html")
   }
 

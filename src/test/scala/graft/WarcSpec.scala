@@ -301,4 +301,53 @@ class WarcSpec extends SparkTestBase {
       dir.listFiles().foreach(_.delete()); dir.delete(): Unit
     }
   }
+
+  test("content-decoder seam: undecodable encodings excluded with exact telemetry; a supplied decoder reclaims them") {
+    // stand-in "br" codec: byte-reversal (the container has no brotli
+    // jar — the seam contract is what's pinned: exclusion without a
+    // decoder, exact counts, reclaim with one)
+    object ReverseBr extends Warc.ContentDecoder {
+      def encodings = Set("br")
+      def decode(body: Array[Byte]): Array[Byte] = body.reverse
+    }
+    val html = "<p>brotli page body</p>"
+    val dir = java.nio.file.Files.createTempDirectory("warcspec5").toFile
+    try {
+      val f = rawResponse("https://e.example/br",
+          "Content-Type: text/html\r\nContent-Encoding: br",
+          html.getBytes(UTF_8).reverse) ++
+        record("response", "https://e.example/plain", http("<p>plain</p>"))
+      java.nio.file.Files.write(new java.io.File(dir, "d.warc").toPath, f)
+      graft.engine.Telemetry.install(spark)
+      graft.engine.Telemetry.drain()
+      def metric(): Map[String, Any] = {
+        var m = Map.empty[String, Any]
+        var tries = 0
+        while (m.isEmpty && tries < 50) {
+          m = graft.engine.Telemetry.drain()
+            .flatMap(_.metrics.get("graft_warc_html")).headOption
+            .getOrElse(Map.empty)
+          if (m.isEmpty) { Thread.sleep(100); tries += 1 }
+        }
+        m
+      }
+      // no decoder: the br record is EXCLUDED, and the observation
+      // reports it — governance, not silent corpus loss
+      val without = Warc.htmlResponses(Warc.read(spark, dir.getAbsolutePath + "/*"))
+        .collect().map(_.getAs[String]("target_uri")).toSet
+      assert(without == Set("https://e.example/plain"))
+      val m1 = metric()
+      assert(m1("n_html200") == 2L && m1("n_excluded_encoding") == 1L, s"$m1")
+      // with the decoder: same plumbing, record reclaimed, zero excluded
+      val withDec = Warc.htmlResponses(
+        Warc.read(spark, dir.getAbsolutePath + "/*"), Seq(ReverseBr))
+        .collect().map(r => r.getAs[String]("target_uri") -> r.getAs[String]("html")).toMap
+      assert(withDec == Map("https://e.example/br" -> html,
+        "https://e.example/plain" -> "<p>plain</p>"))
+      val m2 = metric()
+      assert(m2("n_html200") == 2L && m2("n_excluded_encoding") == 0L, s"$m2")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
 }
