@@ -112,6 +112,38 @@ object Frontier {
     Sampling.stratifiedTake(ranked, Seq("host"), col("url"), seed, perHostCap)
   }
 
+  /** Sitemap-driven frontier seeding: (host, url) fetch targets from
+    * the `Sitemap:` lines of per-domain robots.txt rows
+    * ([[Robots.sitemaps]]) — the crawl bootstrap path that needs no
+    * prior link graph (a new host enters the crawl through its robots
+    * file before any page of it was fetched). Same gate chain as
+    * [[fromPages]] candidates: resolve against the robots URL
+    * (sitemaps.org requires absolute URLs, but relative survives a
+    * lenient lexer), normalize, http(s) only, blocklist, dedup, and
+    * the cumulative seen store when given. One explode + keyed
+    * distinct — per-DOMAIN input, so corpus-scale cost is robots-file
+    * count, not page count. */
+  def seedsFromRobots(robots: DataFrame, robotsUrlCol: String,
+      txtCol: String, blockedDomains: Seq[String] = Nil,
+      seenTable: Option[String] = None): DataFrame = {
+    def host(u: Column): Column =
+      graft.functions.UrlExpressions.urlParts(u).getField("host")
+    def scheme(u: Column): Column =
+      graft.functions.UrlExpressions.urlParts(u).getField("scheme")
+    val sm = robots
+      .select(col(robotsUrlCol).as("_base"),
+        explode(Robots.sitemaps(col(txtCol))).as("_s"))
+      .select(UrlOps.normalizeUrl(
+        UrlOps.resolveUrl(col("_base"), col("_s"))).as("url"))
+      .filter(col("url").isNotNull)
+      .filter(scheme(col("url")).isin("http", "https"))
+      .filter(if (blockedDomains.isEmpty) lit(true)
+        else !coalesce(UrlOps.domainBlocked(col("url"), blockedDomains), lit(false)))
+      .distinct()
+    seenTable.fold(sm)(t => freshAgainstStore(sm, t))
+      .select(host(col("url")).as("host"), col("url"))
+  }
+
   // -- cumulative crawl-state (seen-URL) store ----------------------------
 
   /** Normalize + dedup a URL column into the store's (url) shape. */

@@ -95,6 +95,30 @@ object Robots {
     else groups.filter(g => spec(g) == best).flatMap(_.rules).toArray
   }
 
+  /** The `Sitemap:` directive values of `txt`, in file order. Per RFC
+    * 9309 §2.2.4 sitemaps are NON-group records (they apply regardless
+    * of user-agent and regardless of position relative to any group —
+    * [[parseRules]] already lexes past them without splitting groups),
+    * so extraction is agent-free. Values are absolute URLs by the
+    * sitemaps.org cross-submission rule; returned verbatim (trimmed,
+    * comments stripped) — resolution/normalization is the frontier's
+    * job ([[Frontier.seedsFromRobots]]). */
+  def parseSitemaps(txt: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    txt.split("\r?\n").foreach { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw.trim
+        case h => raw.substring(0, h).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim.toLowerCase == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.toArray
+  }
+
   /** Google/RFC-9309 pattern match: literal chars, `*` = any run,
     * terminal `$` = end anchor; patterns match from the path START. */
   def matches(path: String, pattern: String): Boolean = {
@@ -180,6 +204,32 @@ object Robots {
       copy(txt = newLeft, agentExpr = newRight)
   }
 
+  final case class RobotsSitemapsExpr(txt: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    override def child: Expression = txt
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def foldable: Boolean = txt.foldable
+    override def prettyName: String = "graft_robots_sitemaps"
+
+    def parseRow(t: UTF8String): ArrayData =
+      new GenericArrayData(
+        Robots.parseSitemaps(t.toString).map(UTF8String.fromString(_): Any))
+
+    override def nullSafeEval(t: Any): Any =
+      parseRow(t.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        val ref = ctx.addReferenceObj("robots", this, classOf[RobotsSitemapsExpr].getName)
+        s"${ev.value} = $ref.parseRow($t);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(txt = newChild)
+  }
+
   final case class RobotsAllowedExpr(path: Expression, rules: Expression)
       extends BinaryExpression with ExpectsInputTypes {
     override def left: Expression = path
@@ -232,6 +282,12 @@ object Robots {
   def allowed(target: Column, rules: Column): Column =
     ColumnBridge.column(RobotsAllowedExpr(
       ColumnBridge.expr(target), ColumnBridge.expr(rules)))
+
+  /** array<string> of the robots file's `Sitemap:` URLs (agent-free —
+    * non-group records per RFC 9309 §2.2.4). One kernel call per
+    * DOMAIN row; feed [[Frontier.seedsFromRobots]]. */
+  def sitemaps(robotsTxt: Column): Column =
+    ColumnBridge.column(RobotsSitemapsExpr(ColumnBridge.expr(robotsTxt)))
 
   /** The RFC-9309 match target of a parsed URL: `path?query` when a
     * query exists, else the path; empty path becomes "/". Feed

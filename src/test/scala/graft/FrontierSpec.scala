@@ -53,6 +53,42 @@ class FrontierSpec extends SparkTestBase {
       "https://site.example/dir/sub/x.html", "https://site.example/up.html"))
   }
 
+  test("sitemap seeding: robots Sitemap lines become gated (host, url) seeds; seen store excludes fetched ones") {
+    val robots = Seq(
+      ("https://a.example/robots.txt",
+        """User-agent: *
+          |Disallow: /private/
+          |Sitemap: https://a.example/sitemap.xml
+          |Sitemap: /relative-map.xml
+          |Sitemap: https://spam.bad.example/sm.xml
+          |Sitemap: ftp://a.example/ftp-map.xml
+          |""".stripMargin),
+      ("https://b.example/robots.txt",
+        "User-agent: *\nSitemap: https://a.example/sitemap.xml?utm_source=x\n"))
+      .toDF("url", "txt")
+    // no store: blocklist + scheme gates fire, the tracking-param twin
+    // from b's robots merges with a's own submission at normalize
+    val seeds = Frontier.seedsFromRobots(robots, "url", "txt",
+        blockedDomains = Seq("bad.example"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(seeds == Seq(
+      ("a.example", "https://a.example/relative-map.xml"),
+      ("a.example", "https://a.example/sitemap.xml")))
+    // with the cumulative store: an already-fetched sitemap drops out
+    val table = "frontier_seed_spec"
+    try {
+      Frontier.writeSeenStore(
+        Seq("https://a.example/sitemap.xml").toDF("url"), "url", table, 4)
+      val fresh = Frontier.seedsFromRobots(robots, "url", "txt",
+          blockedDomains = Seq("bad.example"), seenTable = Some(table))
+        .collect().map(_.getString(1)).toSeq
+      assert(fresh == Seq("https://a.example/relative-map.xml"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      ()
+    }
+  }
+
   /** Every path from a scan of a table whose location contains `substr`
     * up to its first enclosing join must be Exchange-free — the
     * bucketed-store contract (ExtSpec's incremental-dedup discipline

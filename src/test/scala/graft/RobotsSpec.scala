@@ -67,6 +67,30 @@ class RobotsSpec extends SparkTestBase {
     assert(Robots.parseRules(delayed, "b").toSeq == Seq((false, "/y/")))
   }
 
+  test("sitemaps: lexed agent-free in file order; comments stripped; case-insensitive key; kernel + SQL agree") {
+    val t =
+      """User-agent: *
+        |Disallow: /private/
+        |Sitemap: https://a.example/sitemap.xml   # index
+        |User-agent: b
+        |sitemap: https://a.example/news.xml
+        |SITEMAP: https://cdn.example/other.xml
+        |Sitemap:
+        |Crawl-delay: 5
+        |""".stripMargin
+    val want = Seq("https://a.example/sitemap.xml",
+      "https://a.example/news.xml", "https://cdn.example/other.xml")
+    assert(Robots.parseSitemaps(t).toSeq == want)
+    assert(Robots.parseSitemaps("").isEmpty)
+    // the directive is non-group: extraction ignores agent entirely,
+    // and the group lexer still keeps b's rules intact around it
+    assert(Robots.parseRules(t, "b").toSeq == Nil)
+    val viaCol = Seq(t).toDF("txt")
+      .select(Robots.sitemaps(col("txt")).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(viaCol == want)
+  }
+
   test("pattern semantics: prefix, *, $ anchor") {
     assert(Robots.matches("/private/a", "/private/"))
     assert(!Robots.matches("/privateer", "/private/"))
