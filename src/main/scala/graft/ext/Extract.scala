@@ -156,14 +156,29 @@ object Extract {
     concat_ws("\n", kept) // concat_ws drops the null (non-kept) slots
   }
 
+  /** Head-signal scan bound: meta/link/charset declarations live in
+    * `<head>`, so their regexes run over the first 64 KiB of markup
+    * only — on a multi-MB page the alternative is several full-column
+    * regex passes per signal for tags that can't legally be that deep
+    * (browsers prescan charset in the first 1024 bytes; 64 KiB is the
+    * generous crawler convention). A signal first declared beyond the
+    * bound reads as absent — the fail-open direction every caller
+    * already handles (noindex gate, canonical fallback to fetch URL,
+    * charset fallback chain). */
+  private val HeadScanChars = 65536
+  private def headPrefix(html: Column): Column =
+    substring(html, 1, HeadScanChars)
+
   /** `<meta name="…" content="…">` value (null when absent) — the head
     * signals curation gates read: `metaValue(html, "robots")` for
     * noindex, `metaValue(html, "charset")` is NOT this (use
     * [[metaCharset]]). Attribute order varies in the wild, so both
     * orders are tried; case-insensitive; first occurrence wins. Regexp
-    * over the raw HTML, deliberately NOT the block parser: meta tags
-    * carry no text content, so blocks never see them. */
-  def metaValue(html: Column, name: String): Column = {
+    * over the raw HTML's [[headPrefix]], deliberately NOT the block
+    * parser: meta tags carry no text content, so blocks never see
+    * them. */
+  def metaValue(htmlRaw: Column, name: String): Column = {
+    val html = headPrefix(htmlRaw)
     val q = java.util.regex.Pattern.quote(name)
     // the name must END at a delimiter (name="robots-news" is NOT
     // robots), and values may be unquoted (content=noindex is valid
@@ -192,8 +207,10 @@ object Extract {
 
   /** The canonical URL (`<link rel=canonical href=…>`; null when
     * absent) — the dedup key real pipelines prefer over the fetch URL
-    * when present. Both attribute orders, case-insensitive. */
-  def canonicalUrl(html: Column): Column = {
+    * when present. Both attribute orders, case-insensitive; scans
+    * [[headPrefix]]. */
+  def canonicalUrl(htmlRaw: Column): Column = {
+    val html = headPrefix(htmlRaw)
     // rel value delimiter-anchored (rel="canonical-alt" is NOT
     // canonical); href quoted or bare
     val relAttr = "rel\\s*=\\s*[\"']?canonical[\"']?(?=[\\s/>])"
@@ -214,9 +231,10 @@ object Extract {
     * charset=…>` or the http-equiv Content-Type form — one pattern
     * covers both, since `charset=` appears inside the tag either way.
     * `charset` must FOLLOW a delimiter (space/quote/semicolon) so a
-    * form's `accept-charset=` attribute never matches. */
+    * form's `accept-charset=` attribute never matches. Scans
+    * [[headPrefix]] (HTML5 prescan bound, ×64). */
   def metaCharset(html: Column): Column =
-    lower(nullif(regexp_extract(html,
+    lower(nullif(regexp_extract(headPrefix(html),
       "(?is)<meta(?=[\\s/>])[^>]*?[\\s\"';]charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1),
       lit("")))
 

@@ -180,6 +180,24 @@ class ExtractSpec extends SparkTestBase {
     assert(!df(2).getBoolean(0) && df(2).isNullAt(1) && df(2).isNullAt(2))
   }
 
+  test("head signals scan a bounded 64 KiB prefix: in-bound found, out-of-bound reads absent (fail-open)") {
+    val filler = "x" * 70000
+    val rows = Seq(
+      // signals inside the bound, page body far larger — still found
+      s"""<head><meta name=robots content=noindex><link rel=canonical href="https://e.com/in"><meta charset=utf-8></head><body>$filler</body>""",
+      // signals (illegally) declared past 64 KiB of markup — absent
+      s"""<body>$filler<meta name=robots content=noindex><link rel=canonical href="https://e.com/out"><meta charset=utf-8></body>""")
+      .toDF("html")
+      .select(
+        Extract.isNoindex(col("html")).as("noidx"),
+        Extract.canonicalUrl(col("html")).as("canon"),
+        Extract.metaCharset(col("html")).as("cs"))
+      .collect()
+    assert(rows(0).getBoolean(0) && rows(0).getString(1) == "https://e.com/in" &&
+      rows(0).getString(2) == "utf-8")
+    assert(!rows(1).getBoolean(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
   test("head signals: unquoted values honored; prefixed names/rels rejected; accept-charset ignored") {
     val df = Seq(
       // unquoted content / href — valid HTML, gates must fire
