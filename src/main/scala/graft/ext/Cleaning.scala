@@ -40,10 +40,29 @@ object Cleaning {
         * stateless artifact the streaming edge uses; stage-1 cost: a
         * literal probe, no join). */
       decontam: Option[graft.streaming.DocumentIngest.DecontamGate] = None,
+      /** Link-graph host prior ([[HostPrior]]): keep documents whose
+        * host scores ≥ the floor in a (id, rank) host frame —
+        * [[Graph.pageRank]], the [[Graph.hits]] authority side, or any
+        * anchor-derived score. The signal the graph family computes
+        * finally GATES the corpus instead of sitting unconsumed. */
+      hostPrior: Option[HostPrior] = None,
       jaccardThreshold: Double = 0.8,
       blockCol: String = "source",
       idCol: String = "doc_id",
       textCol: String = "text")
+
+  /** Host-prior gate config: `ranks` is host-dimension-sized (one row
+    * per host — broadcast onto the corpus, never shuffling it);
+    * `hostCol` names the docs column carrying the host; a host ABSENT
+    * from `ranks` keeps its documents when `keepUnranked` (a new host
+    * has no endorsement signal yet — fail-open matches the robots/
+    * canonical discipline) and drops them otherwise (closed-world
+    * curation against a finished crawl's graph). */
+  final case class HostPrior(
+      ranks: DataFrame,
+      hostCol: String,
+      minRank: Double,
+      keepUnranked: Boolean = true)
 
   /** Stage 1-2: the cheap, fully-codegen'd gates. */
   def gate(docs: DataFrame, cfg: Config): DataFrame = {
@@ -83,8 +102,20 @@ object Cleaning {
     val classed = cfg.classifier.fold(decond) { case (m, min) =>
       decond.filter(QualityClassifier.scoreCol(t, m) >= min)
     }
-    cfg.maxPerplexity.fold(classed) { case (m, maxPpl) =>
-      LangModel.perplexityFilter(classed, m, cfg.idCol, cfg.textCol, maxPpl)
+    // host prior AFTER the row-local gates (they shrink the corpus
+    // first) — a broadcast join against the host-dimension rank frame,
+    // so the corpus side never shuffles for this stage
+    val hosted = cfg.hostPrior.fold(classed) { hp =>
+      val r = hp.ranks.select(col("id").as(hp.hostCol),
+        col("rank").as("_hp_rank"))
+      classed.join(broadcast(r), Seq(hp.hostCol), "left")
+        .filter(
+          if (hp.keepUnranked) col("_hp_rank").isNull || col("_hp_rank") >= hp.minRank
+          else coalesce(col("_hp_rank"), lit(Double.NegativeInfinity)) >= hp.minRank)
+        .drop("_hp_rank")
+    }
+    cfg.maxPerplexity.fold(hosted) { case (m, maxPpl) =>
+      LangModel.perplexityFilter(hosted, m, cfg.idCol, cfg.textCol, maxPpl)
     }
   }
 

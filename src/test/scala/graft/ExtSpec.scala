@@ -735,6 +735,42 @@ class ExtSpec extends SparkTestBase {
     assert(stats.forall(r => r.getAs[Long]("n_kept") <= r.getAs[Long]("n_raw")))
   }
 
+  test("cleaning pipeline: host-prior gate — non-binding == identity, binding drops low-rank hosts, unranked knob") {
+    import graft.ext.{Cleaning, Graph}
+    val docs = graft.store.Tables.documents(spark, dir)
+    val base = Cleaning.clean(docs, Cleaning.Config())
+    val baseIds = base.select("doc_id").as[Long].collect().toSet
+    // host graph over the corpus's own source labels: every source
+    // links to the next (ring) — all ranked, comparable ranks
+    val sources = docs.select("source").distinct()
+      .as[String].collect().sorted
+    val ring = sources.indices.map(i =>
+      (sources(i), sources((i + 1) % sources.length))).toDF("src", "dst")
+    val ranks = Graph.pageRank(ring, iterations = 3)
+    def prior(minRank: Double, keepUnranked: Boolean = true) =
+      Cleaning.clean(docs, Cleaning.Config(hostPrior = Some(
+        Cleaning.HostPrior(ranks, "source", minRank, keepUnranked))))
+    // non-binding floor: identical survivor set
+    assert(prior(0.0).select("doc_id").as[Long].collect().toSet == baseIds)
+    // binding floor: every source clears it or dies WITH its docs
+    val floor = 1.0 / sources.length // ring PageRank is uniform ⇒ all pass
+    assert(prior(floor - 1e-6).count() == base.count())
+    assert(prior(floor + 1e-6).count() == 0L)
+    // partial graph: only half the sources ranked — keepUnranked keeps
+    // the absent hosts' docs, strict mode drops them
+    val half = Graph.pageRank(
+      ring.filter(col("src").isin(sources.take(2): _*) &&
+        col("dst").isin(sources.take(2): _*)), 3)
+    val rankedSet = half.select("id").as[String].collect().toSet
+    val keepU = Cleaning.clean(docs, Cleaning.Config(hostPrior = Some(
+      Cleaning.HostPrior(half, "source", 0.0))))
+    assert(keepU.select("doc_id").as[Long].collect().toSet == baseIds)
+    val strict = Cleaning.clean(docs, Cleaning.Config(hostPrior = Some(
+      Cleaning.HostPrior(half, "source", 0.0, keepUnranked = false))))
+    assert(strict.select("source").as[String].collect().toSet.subsetOf(rankedSet))
+    assert(strict.count() < base.count() && strict.count() > 0)
+  }
+
   test("cleaning pipeline: model gates (repetition, classifier, perplexity) compose") {
     import graft.ext.{Cleaning, LangModel, QualityClassifier}
     val docs = graft.store.Tables.documents(spark, dir)
