@@ -3478,6 +3478,46 @@ object Queries {
       .ordered("host", "url")
   }
 
+  // X65 — sitemap-driven frontier seeding end to end
+  // ([[graft.ext.Frontier.seedsFromRobots]] over [[graft.ext.Robots
+  // .sitemaps]]): one robots.txt per derived host, each carrying five
+  // Sitemap lines of which three must DIE (blocked domain, ftp scheme,
+  // tracking-param twin of the absolute submission) and one must
+  // RESOLVE (relative against the robots URL — lenient-lexer path) —
+  // the x54/x64 every-gate-fires discipline. The oracle emits the two
+  // surviving urls per host arithmetically; any gate failing to fire
+  // (or the Sitemap lexer splitting user-agent groups — RobotsSpec
+  // pins that separately) breaks rows or hash.
+  q("x65_sitemap_seeds",
+    """WITH hosts AS (
+      |  SELECT DISTINCT doc_id % 50 AS k FROM documents WHERE doc_id % 50 < 40),
+      |u AS (
+      |  SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+      |         'https://h' || CAST(k AS VARCHAR) || '.example/sitemap.xml' AS url
+      |  FROM hosts
+      |  UNION ALL
+      |  SELECT 'h' || CAST(k AS VARCHAR) || '.example',
+      |         'https://h' || CAST(k AS VARCHAR) || '.example/maps/news.xml'
+      |  FROM hosts)
+      |SELECT host, url FROM u ORDER BY host, url""".stripMargin) { (s, dir) =>
+    val k = (col("doc_id") % 50).cast("string")
+    val hostUrl = concat(lit("https://h"), k, lit(".example"))
+    val robots = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 < 40)
+      .select(k.as("k"), hostUrl.as("hu")).distinct()
+      .select(concat(col("hu"), lit("/robots.txt")).as("url"),
+        concat(
+          lit("User-agent: *\nDisallow: /private/\nSitemap: "),
+          col("hu"), lit("/sitemap.xml   # index\nSitemap: /maps/news.xml\n"),
+          lit("Sitemap: https://spam.blocked.example/sm"), col("k"),
+          lit(".xml\nsitemap: ftp://h"), col("k"),
+          lit(".example/x.xml\nSitemap: "), col("hu"),
+          lit("/sitemap.xml?utm_source=t\n")).as("txt"))
+    graft.ext.Frontier.seedsFromRobots(robots, "url", "txt",
+        blockedDomains = Seq("blocked.example"))
+      .ordered("host", "url")
+  }
+
   // X61 — WET (extracted-text) conversion records: the cheap on-ramp
   // of the crawl family (CommonCrawl's *.warc.wet.gz sidecar). Wire
   // bytes carry a warcinfo record THEN the conversion record per doc —
