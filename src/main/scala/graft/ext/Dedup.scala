@@ -606,9 +606,17 @@ object Dedup {
     * re-execute from the source), and convergence is an aggregate
     * (count of changed labels), not a collect. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val parts = scala.util.Try(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    // edge layout keyed on dst ONCE — the per-round neighbor join's key
+    // (the distinct's (src,dst) partitioning forced a full edge
+    // re-shuffle every round; the Graph.hits r12 lesson)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
+      .repartition(parts, col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
@@ -626,19 +634,21 @@ object Dedup {
       // pointer jump: component ← that node's own current component.
       // Labels are always node ids (min includes self), so the self-join
       // key always resolves.
+      // Convergence via the label-sum invariant: labels only ever
+      // DECREASE (min-propagation), so Σ component is strictly monotone
+      // and "sum unchanged ⇔ no label changed". The sum rides the
+      // round's checkpoint job as an observe() metric (exact decimal,
+      // order-independent — the Graph.pageRank dangling-mass pattern),
+      // so a round is ONE job, not checkpoint + aggregate.
+      val obs = org.apache.spark.sql.Observation()
       val next = propagated.as("p")
         .join(propagated.select(col("id").as("component"), col("component").as("cc")).as("j"),
           Seq("component"))
         .select(col("id"), col("cc").as("component"))
+        .observe(obs, org.apache.spark.sql.functions
+          .sum(col("component").cast("decimal(38,0)")).as("s"))
         .localCheckpoint(true)
-      // convergence via the label-sum invariant: labels only ever
-      // DECREASE (min-propagation), so Σ component is strictly
-      // monotone and "sum unchanged ⇔ no label changed" — one cheap
-      // aggregate over the already-checkpointed frame instead of a
-      // join-and-count pass per round (halves per-iteration work)
-      val sum = next
-        .agg(org.apache.spark.sql.functions.sum(col("component").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0)
+      val sum = obs.get.get("s").orNull.asInstanceOf[java.math.BigDecimal]
       converged = prevSum.contains(sum)
       prevSum = Some(sum)
       labels = next
