@@ -606,17 +606,14 @@ object Dedup {
     * re-execute from the source), and convergence is an aggregate
     * (count of changed labels), not a collect. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
-    val parts = scala.util.Try(
-        spark.conf.get("spark.sql.shuffle.partitions").toInt)
-      .getOrElse(spark.sparkContext.defaultParallelism)
     // edge layout keyed on dst ONCE — the per-round neighbor join's key
     // (the distinct's (src,dst) partitioning forced a full edge
-    // re-shuffle every round; the Graph.hits r12 lesson)
+    // re-shuffle every round; the Graph.hits r12 lesson); no pinned
+    // partition count — AQE sizes the layout to the data
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
-      .repartition(parts, col("dst"))
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))

@@ -137,19 +137,21 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be positive")
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
-    val spark = edges.sparkSession
-    val parts = shufflePartitions(spark)
 
     // edge layout built once, reused by every round's src-keyed join
+    // (keyed repartition with NO pinned count: AQE right-sizes the
+    // shuffle to the data — one partition for a 50-host fixture,
+    // byte-targeted fan-out for a billion-edge crawl graph — and the
+    // checkpointed layout carries its HashPartitioning to every round)
     val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(parts, col("src"))
+      .repartition(col("src"))
       .localCheckpoint(true)
     val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
       .join(outDeg, Seq("id"), "left")
       .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
-      .repartition(parts, col("id"))
+      .repartition(col("id"))
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
@@ -194,13 +196,6 @@ object Graph {
     ranks.select(col("id"), col("rank"))
   }
 
-  /** `spark.sql.shuffle.partitions` as an Int, falling back to the
-    * context default parallelism when the conf is non-numeric (e.g.
-    * "auto" on managed deployments). */
-  private def shufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
-    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
-      .getOrElse(spark.sparkContext.defaultParallelism)
-
   /** Fixed-iteration HITS (Kleinberg 1999): authority = Σ hub over
     * in-edges, hub = Σ authority over out-edges (the mutual
     * reinforcement that separates good HUBS — link directories,
@@ -218,19 +213,17 @@ object Graph {
     * job. Returns (id, hub, auth). */
   def hits(edges: DataFrame, iterations: Int = 10): DataFrame = {
     require(iterations >= 1, "iterations must be positive")
-    val spark = edges.sparkSession
-    val parts = shufflePartitions(spark)
     val eDedup = edges.select(col("src"), col("dst")).distinct()
     // TWO edge layouts, each built once: the authority update joins on
     // src, the hub update on dst — a single src-keyed copy forced a
     // per-round re-shuffle of the whole edge table for the dst join
     // (the r12 weak mark). Per round both joins are now exchange-free
     // on the edge side.
-    val e = eDedup.repartition(parts, col("src")).localCheckpoint(true)
-    val eByDst = eDedup.repartition(parts, col("dst")).localCheckpoint(true)
+    val e = eDedup.repartition(col("src")).localCheckpoint(true)
+    val eByDst = eDedup.repartition(col("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
-      .repartition(parts, col("id"))
+      .repartition(col("id"))
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
