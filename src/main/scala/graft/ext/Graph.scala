@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Host-graph analytics for crawl curation — the link-structure signals
@@ -146,6 +146,14 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .localCheckpoint(true)
+    pageRankLoop(e, iterations, damping)
+  }
+
+  /** The power-iteration rounds over an ALREADY deduplicated,
+    * src-layout edge frame (the in-memory checkpoint from [[pageRank]]
+    * or a bucketed [[writeEdgeStore]] scan). */
+  private def pageRankLoop(e: DataFrame, iterations: Int,
+      damping: Double): DataFrame = {
     val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
@@ -221,6 +229,13 @@ object Graph {
     // on the edge side.
     val e = eDedup.repartition(col("src")).localCheckpoint(true)
     val eByDst = eDedup.repartition(col("dst")).localCheckpoint(true)
+    hitsLoop(e, eByDst, iterations)
+  }
+
+  /** The HITS half-rounds over already deduplicated src-/dst-layout
+    * edge frames (in-memory checkpoints or bucketed store scans). */
+  private def hitsLoop(e: DataFrame, eByDst: DataFrame,
+      iterations: Int): DataFrame = {
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
       .repartition(col("id"))
@@ -264,5 +279,67 @@ object Graph {
     }
     hubDf.join(authDf, Seq("id"))
       .select(col("id"), col("hub"), col("auth"))
+  }
+
+  // -- persisted host-graph edge store ------------------------------------
+
+  /** Persist a crawl's host graph as TWO bucketed catalog tables —
+    * `<prefix>_edges_src` (bucketed+sorted on `src`) and
+    * `<prefix>_edges_dst` (on `dst`): BOTH layouts the iterative
+    * algorithms join on, deduplicated and materialized ONCE per crawl
+    * on disk instead of per-job in executor memory (the
+    * [[Dedup.writeBandStoreBucketed]] / Frontier-seen-store
+    * discipline; `repartition(buckets, key)` before each write keeps
+    * one file per bucket so the scan reports the sort). Every
+    * downstream [[pageRankFromStore]] / [[hitsFromStore]] /
+    * [[degrees]]-over-the-store run then reads its layout
+    * pre-partitioned — at billion-edge scale the edge table never
+    * crosses an exchange again, and a rank recompute (new damping,
+    * more rounds, HITS after PageRank) re-pays only bucket scans,
+    * never the links-table reduction. */
+  def writeEdgeStore(edges: DataFrame, tablePrefix: String,
+      buckets: Int = 32): Unit = {
+    val spark = edges.sparkSession
+    graft.store.Bucketing.dropWithLocation(spark, s"${tablePrefix}_edges_src")
+    graft.store.Bucketing.dropWithLocation(spark, s"${tablePrefix}_edges_dst")
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    try {
+      e.repartition(buckets, col("src"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "src").sortBy("src")
+        .format("parquet").saveAsTable(s"${tablePrefix}_edges_src")
+      e.repartition(buckets, col("dst"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "dst").sortBy("dst")
+        .format("parquet").saveAsTable(s"${tablePrefix}_edges_dst")
+    } finally {
+      e.unpersist()
+      ()
+    }
+  }
+
+  /** [[pageRank]] against a [[writeEdgeStore]] prefix: the rounds join
+    * the bucketed `_edges_src` scan directly — the bucket layout IS
+    * the join distribution, so no exchange ever sits above the edge
+    * scan (GraphSpec plan-asserts), and nothing edge-sized is pinned
+    * in executor memory (each round re-reads its buckets; the rank
+    * state, one row per node, is the only resident frame). Results
+    * are bitwise-identical to [[pageRank]] on the same edges — the
+    * decimal/floor consensus is layout-independent. */
+  def pageRankFromStore(spark: SparkSession, tablePrefix: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be positive")
+    require(damping > 0 && damping < 1, "damping must be in (0,1)")
+    pageRankLoop(spark.table(s"${tablePrefix}_edges_src"), iterations, damping)
+  }
+
+  /** [[hits]] against a [[writeEdgeStore]] prefix — the authority
+    * rounds read `_edges_src`, the hub rounds `_edges_dst`, both
+    * exchange-free on the edge side. */
+  def hitsFromStore(spark: SparkSession, tablePrefix: String,
+      iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, "iterations must be positive")
+    hitsLoop(spark.table(s"${tablePrefix}_edges_src"),
+      spark.table(s"${tablePrefix}_edges_dst"), iterations)
   }
 }

@@ -3323,6 +3323,25 @@ object Queries {
       .ordered("host")
   }
 
+  // X60B — PageRank against the PERSISTED edge store
+  // ([[graft.ext.Graph.writeEdgeStore]] → [[pageRankFromStore]]): the
+  // same rounds as x60 but the edges come from the bucketed
+  // `_edges_src`/`_edges_dst` catalog tables (built once per scale
+  // dir, the seen-store memo discipline), read with no exchange above
+  // the scan (GraphSpec plan-asserts) and nothing edge-sized resident
+  // in memory. Oracle = x60's identical unrolled twin — the store
+  // changes the physical layout, never a value; rows/hash break if
+  // the store dedup, either layout, or the loop's store path drifts.
+  q("x60b_pagerank_stored", pageRankOracle(10)) { (s, dir) =>
+    val prefix = edgeStoreFor(s, dir)
+    val pr = graft.ext.Graph.pageRankFromStore(s, prefix, iterations = 10,
+      damping = 0.85)
+    graft.ext.Graph.degrees(s.table(s"${prefix}_edges_src"))
+      .join(pr, Seq("id"))
+      .select(col("id").as("host"), col("out_deg"), col("in_deg"), col("rank"))
+      .ordered("host")
+  }
+
   // X63 — HITS hubs/authorities (Kleinberg 1999) on the x60 host
   // graph: the mutual-reinforcement pair PageRank conflates (hub =
   // seed-list/aggregator quality, authority = endorsement quality).
@@ -3387,6 +3406,16 @@ object Queries {
     * plus an [[graft.ext.Frontier.appendSeenStore]] replay of the same
     * urls, which must be a no-op (append idempotency exercised on the
     * oracle path, not just in FrontierSpec). */
+  /** The x60b persisted host-graph edge store, built once per scale
+    * dir through the real [[graft.ext.Graph.writeEdgeStore]]. */
+  private val edgeStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def edgeStoreFor(s: SparkSession, dir: String): String =
+    edgeStoreMemo.getOrElseUpdate(dir, {
+      val t = "graft_hostgraph_" + Integer.toHexString(dir.hashCode)
+      graft.ext.Graph.writeEdgeStore(hostGraphEdges(s, dir), t, buckets = 8)
+      t
+    })
+
   private val seenStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   private def seenStoreFor(s: SparkSession, dir: String): String =
     seenStoreMemo.getOrElseUpdate(dir, {

@@ -122,6 +122,58 @@ class GraphSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("edge store: pageRank/hits from the bucketed store are bitwise-identical; edge scan crosses no exchange") {
+    val prefix = "graphspec_store"
+    try {
+      Graph.writeEdgeStore(edges.toDF("src", "dst"), prefix, buckets = 4)
+      // bitwise equality with the in-memory path — the consensus
+      // contract is layout-independent
+      val prDirect = Graph.pageRank(edges.toDF("src", "dst"), 5)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val prStored = Graph.pageRankFromStore(spark, prefix, 5)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(prDirect == prStored)
+      val hDirect = Graph.hits(edges.toDF("src", "dst"), 3)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val hStored = Graph.hitsFromStore(spark, prefix, 3)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(hDirect == hStored)
+      // duplicate edges collapse at WRITE time
+      Graph.writeEdgeStore((edges ++ edges).toDF("src", "dst"), prefix, buckets = 4)
+      assert(spark.table(s"${prefix}_edges_src").count() == edges.size)
+      // plan contract: a contribs-shaped join against the stored src
+      // layout reads the edge scan with NO exchange above it — the
+      // bucket layout is the join distribution
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      val ranksLike = Seq(("a", 0.2), ("b", 0.2), ("c", 0.2), ("d", 0.2))
+        .toDF("src", "c")
+      val j = spark.table(s"${prefix}_edges_src")
+        .join(ranksLike, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      j.collect()
+      def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(s"${prefix}_edges_src")) =>
+          Seq(anc)
+        case a: AdaptiveSparkPlanExec => paths(a.executedPlan, anc)
+        case q: QueryStageExec => paths(q.plan, anc)
+        case other => other.children.flatMap(ch => paths(ch, other :: anc))
+      }
+      val ps = paths(j.queryExecution.executedPlan, Nil)
+      assert(ps.nonEmpty, "no stored edge scan in the plan")
+      assert(ps.forall(_.takeWhile(!_.isInstanceOf[BaseJoinExec])
+        .forall(!_.isInstanceOf[ShuffleExchangeLike])),
+        "stored edges shuffled before the rank join")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_edges_src")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_edges_dst")
+      ()
+    }
+  }
+
   test("anchorTerms: counts, binary tie order, k cap") {
     val links = Seq(
       ("t1", "Download  Page"), ("t1", "download now"), ("t1", "now now"),
