@@ -48,16 +48,72 @@ object Frontier {
     * anti-joined away IN ADDITION to the batch's own page URLs — the
     * production crawl loop: each batch's frontier excludes everything
     * any earlier batch fetched, at candidate cost (the store is never
-    * re-scanned into memory or re-shuffled; see [[freshAgainstStore]]). */
+    * re-scanned into memory or re-shuffled; see [[freshAgainstStore]]).
+    *
+    * `hostRanks`, when given, is an external (id, rank) host-score
+    * frame used INSTEAD of the batch-graph PageRank — the cumulative
+    * crawl loop ranks against the WHOLE crawl's endorsement structure
+    * ([[Graph.pageRankFromStore]] over an [[Graph.appendEdgeStore]]-fed
+    * store; see [[graft.streaming.DocumentIngest.frontierMaintenance]])
+    * rather than one batch's, so a host's priority reflects every
+    * batch that ever linked to it. */
   def fromPages(pages: DataFrame, urlCol: String, htmlCol: String,
       blockedDomains: Seq[String] = Nil, perHostCap: Int = 100,
       seed: String = "graft-frontier-v1", prIterations: Int = 10,
-      seenTable: Option[String] = None): DataFrame = {
-    def host(u: Column): Column =
-      graft.functions.UrlExpressions.urlParts(u).getField("host")
-    def scheme(u: Column): Column =
-      graft.functions.UrlExpressions.urlParts(u).getField("scheme")
+      seenTable: Option[String] = None,
+      hostRanks: Option[DataFrame] = None): DataFrame =
+    frontierCore(pages, urlCol, htmlCol, blockedDomains, perHostCap, seed,
+      seenTable, allowed => hostRanks.getOrElse {
+        // the batch's own endorsement structure ranks the hosts. A
+        // batch whose links never cross hosts has NO endorsement graph
+        // (hostEdges drops self-loops) — every host then ranks 0.0 via
+        // the left join in the core rather than tripping pageRank's
+        // empty-graph guard
+        val edges = Graph.hostEdges(
+          allowed.select(host(col("_page")).as("src"), host(col("url")).as("dst")),
+          "src", "dst")
+        if (edges.isEmpty)
+          edges.sparkSession.emptyDataFrame
+            .select(lit("").as("id"), lit(0.0).as("rank")).limit(0)
+        else Graph.pageRank(edges, prIterations)
+      })
 
+  /** The CUMULATIVE crawl step: one pass of the batch's link kernels
+    * feeds BOTH the persistent host-graph store
+    * ([[Graph.appendEdgeStore]] — idempotent fold of this batch's
+    * edges) and the frontier, whose host priority is
+    * [[Graph.pageRankFromStore]] over the WHOLE crawl's accumulated
+    * endorsement structure — batch N's frontier ranks a host by every
+    * batch that ever linked to it, not just this one. Fully idempotent
+    * under replay: the edge fold is a no-op on re-delivery, so the
+    * store-derived ranks — and therefore the frontier — reproduce. */
+  def fromPagesCumulative(pages: DataFrame, urlCol: String, htmlCol: String,
+      graphStorePrefix: String, blockedDomains: Seq[String] = Nil,
+      perHostCap: Int = 100, seed: String = "graft-frontier-v1",
+      prIterations: Int = 10, seenTable: Option[String] = None,
+      buckets: Int = 32): DataFrame =
+    frontierCore(pages, urlCol, htmlCol, blockedDomains, perHostCap, seed,
+      seenTable, allowed => {
+        Graph.appendEdgeStore(
+          Graph.hostEdges(
+            allowed.select(host(col("_page")).as("src"),
+              host(col("url")).as("dst")), "src", "dst"),
+          graphStorePrefix, buckets)
+        Graph.pageRankFromStore(pages.sparkSession, graphStorePrefix,
+          prIterations)
+      })
+
+  private def host(u: Column): Column =
+    graft.functions.UrlExpressions.urlParts(u).getField("host")
+  private def scheme(u: Column): Column =
+    graft.functions.UrlExpressions.urlParts(u).getField("scheme")
+
+  /** Gates 1–4 + 6–7 of the frontier; `rankOf` supplies gate 5's host
+    * priority from the materialized link set. */
+  private def frontierCore(pages: DataFrame, urlCol: String, htmlCol: String,
+      blockedDomains: Seq[String], perHostCap: Int, seed: String,
+      seenTable: Option[String],
+      rankOf: DataFrame => DataFrame): DataFrame = {
     // 1+2: resolve every href against its page, normalize, drop the
     // unparseable (relative-only bases, javascript:, mailto:, …)
     val links = pages
@@ -78,18 +134,8 @@ object Frontier {
         else !coalesce(UrlOps.domainBlocked(col("url"), blockedDomains), lit(false)))
       .localCheckpoint(true)
 
-    // 5: the batch's own endorsement structure ranks the hosts. A
-    // batch whose links never cross hosts has NO endorsement graph
-    // (hostEdges drops self-loops) — every host then ranks 0.0 via the
-    // left join below rather than tripping pageRank's empty-graph guard
-    val edges = Graph.hostEdges(
-      allowed.select(host(col("_page")).as("src"), host(col("url")).as("dst")),
-      "src", "dst")
-    val ranks =
-      if (edges.isEmpty)
-        edges.sparkSession.emptyDataFrame
-          .select(lit("").as("id"), lit(0.0).as("rank")).limit(0)
-      else Graph.pageRank(edges, prIterations)
+    // 5: host priority
+    val ranks = rankOf(allowed)
 
     // 6: fresh URLs only — this batch's own pages, then the cumulative
     // store (both anti-joins key on the already-hash-partitioned url,
@@ -126,10 +172,6 @@ object Frontier {
   def seedsFromRobots(robots: DataFrame, robotsUrlCol: String,
       txtCol: String, blockedDomains: Seq[String] = Nil,
       seenTable: Option[String] = None): DataFrame = {
-    def host(u: Column): Column =
-      graft.functions.UrlExpressions.urlParts(u).getField("host")
-    def scheme(u: Column): Column =
-      graft.functions.UrlExpressions.urlParts(u).getField("scheme")
     val sm = robots
       .select(col(robotsUrlCol).as("_base"),
         explode(Robots.sitemaps(col(txtCol))).as("_s"))

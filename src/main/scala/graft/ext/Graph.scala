@@ -318,6 +318,59 @@ object Graph {
     }
   }
 
+  /** Fold a batch's edges into the store at batch cost — each layout
+    * gets its OWN anti-join against its own table, so only genuinely
+    * new edges land and each table is INDEPENDENTLY idempotent: a
+    * crash between the two appends leaves the layouts briefly unequal,
+    * and the retry repairs exactly the missing side (a single shared
+    * anti-join would see the src append as "done" and never repair
+    * dst — a permanent divergence). Both anti-joins read their stored
+    * table pre-partitioned (a single-key HashPartitioning satisfies
+    * the (src, dst) clustering), so only the batch side shuffles.
+    * Creates the store when absent. Compact with [[compactEdgeStore]]
+    * on a maintenance cadence. */
+  def appendEdgeStore(edges: DataFrame, tablePrefix: String,
+      buckets: Int = 32): Unit = {
+    val spark = edges.sparkSession
+    if (!spark.catalog.tableExists(s"${tablePrefix}_edges_src")) {
+      writeEdgeStore(edges, tablePrefix, buckets)
+    } else {
+      val batch = edges.select(col("src"), col("dst")).distinct().persist()
+      try {
+        Seq(s"${tablePrefix}_edges_src" -> "src",
+            s"${tablePrefix}_edges_dst" -> "dst").foreach { case (table, key) =>
+          batch.join(spark.table(table), Seq("src", "dst"), "left_anti")
+            .repartition(buckets, col(key))
+            .write.mode("append")
+            .bucketBy(buckets, key).sortBy(key)
+            .format("parquet").saveAsTable(table)
+        }
+      } finally {
+        batch.unpersist()
+        ()
+      }
+    }
+  }
+
+  /** Rewrite both layouts to one file per bucket (appends leave one
+    * file per batch per bucket). Bucketed twin + catalog rename per
+    * table — the store is never read and overwritten in one job. */
+  def compactEdgeStore(spark: SparkSession, tablePrefix: String,
+      buckets: Int = 32): Unit = {
+    Seq(s"${tablePrefix}_edges_src" -> "src",
+        s"${tablePrefix}_edges_dst" -> "dst").foreach { case (table, key) =>
+      val tmp = s"${table}_compacting"
+      graft.store.Bucketing.dropWithLocation(spark, tmp)
+      spark.table(table).distinct()
+        .repartition(buckets, col(key))
+        .write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(tmp)
+      graft.store.Bucketing.dropWithLocation(spark, table)
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table"): Unit
+    }
+  }
+
   /** [[pageRank]] against a [[writeEdgeStore]] prefix: the rounds join
     * the bucketed `_edges_src` scan directly — the bucket layout IS
     * the join distribution, so no exchange ever sits above the edge

@@ -352,7 +352,8 @@ object DocumentIngest {
       seenTable: String, urlCol: String = "url", htmlCol: String = "html",
       blockedDomains: Seq[String] = Nil, perHostCap: Int = 100,
       seed: String = "graft-frontier-v1", prIterations: Int = 10,
-      buckets: Int = 32, maxFilesPerTrigger: Option[Int] = None): Unit = {
+      buckets: Int = 32, maxFilesPerTrigger: Option[Int] = None,
+      graphStorePrefix: Option[String] = None): Unit = {
     val reader = spark.readStream
       .schema(spark.read.parquet(srcDir).schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -361,7 +362,7 @@ object DocumentIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         frontierProcessBatch(batch, batchId, frontierDir, seenTable,
           urlCol, htmlCol, blockedDomains, perHostCap, seed, prIterations,
-          buckets)
+          buckets, graphStorePrefix)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -370,18 +371,30 @@ object DocumentIngest {
   }
 
   /** One micro-batch of [[frontierMaintenance]] — package-visible so
-    * the replay/idempotency contract is directly testable. */
+    * the replay/idempotency contract is directly testable. With
+    * `graphStorePrefix` the batch's host edges ALSO fold into the
+    * persistent edge store and the frontier ranks against the whole
+    * crawl's graph ([[graft.ext.Frontier.fromPagesCumulative]]);
+    * replay stays a no-op because the edge fold is anti-joined. */
   private[graft] def frontierProcessBatch(batch: DataFrame, batchId: Long,
       frontierDir: String, seenTable: String, urlCol: String,
       htmlCol: String, blockedDomains: Seq[String], perHostCap: Int,
-      seed: String, prIterations: Int, buckets: Int): Unit = {
+      seed: String, prIterations: Int, buckets: Int,
+      graphStorePrefix: Option[String] = None): Unit = {
     if (!batch.isEmpty) {
       val s = batch.sparkSession
       val store =
         if (s.catalog.tableExists(seenTable)) Some(seenTable) else None
-      graft.ext.Frontier.fromPages(batch, urlCol, htmlCol, blockedDomains,
-          perHostCap, seed, prIterations, seenTable = store)
-        .write.mode("overwrite").parquet(s"$frontierDir/batch_id=$batchId")
+      val frontier = graphStorePrefix match {
+        case Some(g) =>
+          graft.ext.Frontier.fromPagesCumulative(batch, urlCol, htmlCol, g,
+            blockedDomains, perHostCap, seed, prIterations,
+            seenTable = store, buckets = buckets)
+        case None =>
+          graft.ext.Frontier.fromPages(batch, urlCol, htmlCol, blockedDomains,
+            perHostCap, seed, prIterations, seenTable = store)
+      }
+      frontier.write.mode("overwrite").parquet(s"$frontierDir/batch_id=$batchId")
       graft.ext.Frontier.appendSeenStore(batch.select(col(urlCol)), urlCol,
         seenTable, buckets)
     }

@@ -434,6 +434,70 @@ class DocumentIngestSpec extends SparkTestBase {
     }
   }
 
+  test("cumulative frontier maintenance: batch-2 priorities rank against the WHOLE crawl's graph; replay no-op") {
+    val srcDir = Files.createTempDirectory("frg-src").toString
+    def writeOneFile(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("frg-slice").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+      ()
+    }
+    val t0 = System.currentTimeMillis() - 120000
+    // batch 1: P links to X; batch 2: X links to Y. Under the
+    // cumulative store, batch 2's rank for y.example must come from
+    // PageRank over BOTH batches' edges {p→x, x→y} — batch 2's own
+    // graph ({x→y} alone) ranks y differently.
+    writeOneFile(Seq(("https://p.example/one",
+      """<a href="https://x.example/two">x</a>""")).toDF("url", "html"),
+      "a.parquet", t0)
+    writeOneFile(Seq(("https://x.example/two",
+      """<a href="https://y.example/three">y</a>""")).toDF("url", "html"),
+      "b.parquet", t0 + 60000)
+    val frontierDir = Files.createTempDirectory("frg-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("frg-ckpt").toString
+    val table = "frontier_cumul_seen"
+    val gprefix = "frontier_cumul_graph"
+    try {
+      DocumentIngest.frontierMaintenance(spark, srcDir, frontierDir, ckpt,
+        table, buckets = 4, maxFilesPerTrigger = Some(1),
+        graphStorePrefix = Some(gprefix), prIterations = 5)
+      val got = spark.read.parquet(frontierDir)
+        .select(col("batch_id").cast("long"), col("url"), col("rank"))
+        .as[(Long, String, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got.keySet == Set((0L, "https://x.example/two"),
+        (1L, "https://y.example/three")))
+      // the store accumulated both batches' edges
+      val stored = spark.table(s"${gprefix}_edges_src")
+        .as[(String, String)].collect().toSet
+      assert(stored == Set(("p.example", "x.example"),
+        ("x.example", "y.example")))
+      // batch 2's rank for y.example == PageRank over the UNION graph,
+      // bitwise (the store-backed loop is the same consensus math)
+      val want = graft.ext.Graph.pageRank(
+          Seq(("p.example", "x.example"), ("x.example", "y.example"))
+            .toDF("src", "dst"), 5)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got((1L, "https://y.example/three")) == want("y.example"))
+      // replay: no new frontier rows, no new edges
+      DocumentIngest.frontierMaintenance(spark, srcDir, frontierDir, ckpt,
+        table, buckets = 4, maxFilesPerTrigger = Some(1),
+        graphStorePrefix = Some(gprefix), prIterations = 5)
+      assert(spark.read.parquet(frontierDir).count() == 2)
+      assert(spark.table(s"${gprefix}_edges_src").count() == 2)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${gprefix}_edges_src")
+      spark.sql(s"DROP TABLE IF EXISTS ${gprefix}_edges_dst")
+      ()
+    }
+  }
+
   test("gates drop repetitive and short docs; survivors carry quality_score when configured") {
     val docs = Seq(
       (1L, "hash join scan filter window batch sort merge group value spark query fast run", ts0(0)),

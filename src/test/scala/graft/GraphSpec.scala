@@ -174,6 +174,42 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("edge store append/compact: idempotent fold, incremental == full write, per-table torn repair") {
+    val prefix = "graphspec_store2"
+    try {
+      val (e1, e2) = edges.splitAt(3)
+      Graph.appendEdgeStore(e1.toDF("src", "dst"), prefix, buckets = 4) // bootstrap
+      Graph.appendEdgeStore(e2.toDF("src", "dst"), prefix, buckets = 4)
+      Graph.appendEdgeStore(e2.toDF("src", "dst"), prefix, buckets = 4) // replay: no-op
+      assert(spark.table(s"${prefix}_edges_src").count() == edges.size)
+      assert(spark.table(s"${prefix}_edges_dst").count() == edges.size)
+      val full = Graph.pageRank(edges.toDF("src", "dst"), 5)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val inc = Graph.pageRankFromStore(spark, prefix, 5)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(inc == full) // incrementally-built store == from-scratch, bitwise
+      // torn write: an edge landed in the src layout only — the
+      // per-table anti-join repairs exactly the missing side
+      Seq(("z1", "z2")).toDF("src", "dst")
+        .repartition(4, col("src")).write.mode("append")
+        .bucketBy(4, "src").sortBy("src")
+        .format("parquet").saveAsTable(s"${prefix}_edges_src")
+      Graph.appendEdgeStore(Seq(("z1", "z2")).toDF("src", "dst"), prefix, 4)
+      assert(spark.table(s"${prefix}_edges_src").count() == edges.size + 1)
+      assert(spark.table(s"${prefix}_edges_dst").count() == edges.size + 1)
+      // compaction: ≤ one file per bucket per table, values unchanged
+      Graph.compactEdgeStore(spark, prefix, buckets = 4)
+      assert(spark.table(s"${prefix}_edges_src").inputFiles.length <= 4)
+      assert(spark.table(s"${prefix}_edges_dst").inputFiles.length <= 4)
+      assert(spark.table(s"${prefix}_edges_src").count() == edges.size + 1)
+    } finally {
+      Seq("_edges_src", "_edges_dst", "_edges_src_compacting",
+        "_edges_dst_compacting").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $prefix$s"))
+      ()
+    }
+  }
+
   test("anchorTerms: counts, binary tie order, k cap") {
     val links = Seq(
       ("t1", "Download  Page"), ("t1", "download now"), ("t1", "now now"),
