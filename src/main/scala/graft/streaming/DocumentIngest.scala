@@ -353,7 +353,8 @@ object DocumentIngest {
       blockedDomains: Seq[String] = Nil, perHostCap: Int = 100,
       seed: String = "graft-frontier-v1", prIterations: Int = 10,
       buckets: Int = 32, maxFilesPerTrigger: Option[Int] = None,
-      graphStorePrefix: Option[String] = None): Unit = {
+      graphStorePrefix: Option[String] = None,
+      compactEvery: Option[Int] = None): Unit = {
     val reader = spark.readStream
       .schema(spark.read.parquet(srcDir).schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -362,7 +363,7 @@ object DocumentIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         frontierProcessBatch(batch, batchId, frontierDir, seenTable,
           urlCol, htmlCol, blockedDomains, perHostCap, seed, prIterations,
-          buckets, graphStorePrefix)
+          buckets, graphStorePrefix, compactEvery)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -380,7 +381,8 @@ object DocumentIngest {
       frontierDir: String, seenTable: String, urlCol: String,
       htmlCol: String, blockedDomains: Seq[String], perHostCap: Int,
       seed: String, prIterations: Int, buckets: Int,
-      graphStorePrefix: Option[String] = None): Unit = {
+      graphStorePrefix: Option[String] = None,
+      compactEvery: Option[Int] = None): Unit = {
     if (!batch.isEmpty) {
       val s = batch.sparkSession
       val store =
@@ -397,6 +399,14 @@ object DocumentIngest {
       frontier.write.mode("overwrite").parquet(s"$frontierDir/batch_id=$batchId")
       graft.ext.Frontier.appendSeenStore(batch.select(col(urlCol)), urlCol,
         seenTable, buckets)
+      // maintenance cadence: every N batches fold the per-batch append
+      // files back to one per bucket. Compaction is itself idempotent
+      // (distinct + rewrite), so a crash/replay around it is safe.
+      compactEvery.filter(n => n > 0 && (batchId + 1) % n == 0).foreach { _ =>
+        graft.ext.Frontier.compactSeenStore(s, seenTable, buckets)
+        graphStorePrefix.foreach(g =>
+          graft.ext.Graph.compactEdgeStore(s, g, buckets))
+      }
     }
   }
 }

@@ -465,7 +465,12 @@ class DocumentIngestSpec extends SparkTestBase {
     try {
       DocumentIngest.frontierMaintenance(spark, srcDir, frontierDir, ckpt,
         table, buckets = 4, maxFilesPerTrigger = Some(1),
-        graphStorePrefix = Some(gprefix), prIterations = 5)
+        graphStorePrefix = Some(gprefix), prIterations = 5,
+        compactEvery = Some(1))
+      // the per-batch compaction cadence held both stores at ≤ one
+      // file per bucket
+      assert(spark.table(table).inputFiles.length <= 4)
+      assert(spark.table(s"${gprefix}_edges_src").inputFiles.length <= 4)
       val got = spark.read.parquet(frontierDir)
         .select(col("batch_id").cast("long"), col("url"), col("rank"))
         .as[(Long, String, Double)].collect()
