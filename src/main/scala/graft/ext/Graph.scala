@@ -120,6 +120,29 @@ object Graph {
         col("col.score").cast("long").as("n"),
         (col("pos") + 1).cast("int").as("rk"))
 
+  /** Anchor-text host score in the (id, rank) shape every rank
+    * consumer takes ([[graft.ext.Cleaning.HostPrior]],
+    * [[Frontier.fromPages]]'s `hostRanks`): for each link target, the
+    * weighted fraction of its anchor-term mass under `weights` —
+    * positive lexicon terms ("official", "documentation") push a host
+    * up, negative ones ("casino", "download-crack") push it down;
+    * terms absent from the map weigh 0. Score =
+    * Σ weight(term)·count / Σ count over the target's TOP-k anchor
+    * profile ([[anchorTerms]] — bounded per target, so a mega-host's
+    * vocabulary never rides the exchange), in [-1, 1] for weights in
+    * [-1, 1]. This is the off-page quality signal consumed as a gate:
+    * anchor text describes the TARGET better than its own words. */
+  def anchorScore(links: DataFrame, targetCol: String, anchorCol: String,
+      weights: Map[String, Double], k: Int = 8): DataFrame = {
+    require(weights.nonEmpty, "empty anchor-weight lexicon")
+    val wMap = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (t, w) => Seq(lit(t), lit(w)) }: _*)
+    anchorTerms(links, targetCol, anchorCol, k)
+      .groupBy(col("target").as("id"))
+      .agg((sum(coalesce(element_at(wMap, col("term")), lit(0.0)) * col("n")) /
+        sum(col("n"))).as("rank"))
+  }
+
   /** Fixed-iteration PageRank (Page et al. 1999) over a simple directed
     * graph: duplicate edge rows collapse, ranks start uniform at 1/N,
     * and each round computes

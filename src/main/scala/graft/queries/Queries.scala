@@ -3302,6 +3302,38 @@ object Queries {
       .ordered("host", "rk")
   }
 
+  // X62B — the anchor profile CONSUMED as a host score
+  // ([[graft.ext.Graph.anchorScore]]): weighted anchor-mass fraction
+  // over each target's top-k profile (k=3, x62's pinned tie order —
+  // the base hosts carry a 4th term that must be CUT for the closed
+  // form to hold, so the pass pins the k cap inside the score path
+  // too), in the (id, rank) shape HostPrior / the frontier take.
+  // Lexicon weights are binary-exact (1.0 / 0.25 / −0.5) and per-host
+  // term counts equal, so the double sum is exact in any partition
+  // order and the oracle's closed form hash-matches; unknown terms
+  // ('&', 'abs', 'rel') weigh 0 — the coalesce path fires as well.
+  q("x62b_anchor_score",
+    """WITH g AS (SELECT doc_id % 20 AS p, doc_id % 11 AS b FROM documents),
+      |pc AS (SELECT p, COUNT(*) AS c FROM g GROUP BY 1),
+      |bc AS (SELECT b, COUNT(*) AS c FROM g GROUP BY 1)
+      |SELECT id, rank FROM (
+      |  SELECT 'peer' || CAST(p AS VARCHAR) || '.example.net' AS id,
+      |         (1.0 * c + 0.25 * c) / (3 * c) AS rank FROM pc
+      |  UNION ALL
+      |  SELECT 'base' || CAST(b AS VARCHAR) || '.example.org',
+      |         (-0.5 * c) / (3 * c) FROM bc)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val (html, base) = crawlLinkPage
+    val links = Tables.documents(s, dir)
+      .select(explode(graft.ext.Extract.resolvedLinks(html, base)).as("l"))
+      .select(graft.functions.UrlExpressions.urlParts(col("l.url"))
+          .getField("host").as("host"),
+        col("l.anchor").as("anchor"))
+    graft.ext.Graph.anchorScore(links, "host", "anchor",
+        Map("friend" -> 1.0, "peer" -> 0.25, "q" -> -0.5), k = 3)
+      .ordered("id")
+  }
+
   // X60 — host-graph PageRank (Page et al. 1999), the domain-quality
   // centrality a crawl curation joins onto every page before sampling.
   // The graph derives deterministically from real ids (hosts h0–h49;

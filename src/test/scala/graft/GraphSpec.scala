@@ -224,6 +224,37 @@ class GraphSpec extends SparkTestBase {
       ("t2", "&", 1L, 1), ("t2", "co", 1L, 2)))
   }
 
+  test("anchorScore: weighted anchor-mass fraction in (id, rank) shape; gates through HostPrior") {
+    val links = Seq(
+      ("good.example", "official documentation here"),
+      ("good.example", "official site"),
+      ("spam.example", "casino casino bonus"),
+      ("plain.example", "some words")).toDF("target", "anchor")
+    val w = Map("official" -> 1.0, "documentation" -> 0.5, "casino" -> -1.0)
+    val s = Graph.anchorScore(links, "target", "anchor", w)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // good: terms official×2 (w 1.0), documentation×1 (0.5), here/site×1 (0)
+    //   → (2·1 + 0.5) / 5 = 0.5
+    assert(math.abs(s("good.example") - 0.5) < 1e-12)
+    // spam: casino×2 (−1), bonus×1 (0) → −2/3
+    assert(math.abs(s("spam.example") + 2.0 / 3) < 1e-12)
+    assert(s("plain.example") == 0.0)
+    // consumed exactly like any rank frame: a HostPrior floor at 0
+    // (strict mode) keeps good+plain hosts' docs, kills the spam host
+    import spark.implicits._
+    val docs = Seq((1L, "good.example"), (2L, "spam.example"),
+      (3L, "plain.example")).toDF("doc_id", "host")
+    val ranks = Graph.anchorScore(links, "target", "anchor", w)
+    val kept = docs.join(
+        org.apache.spark.sql.functions.broadcast(
+          ranks.select(col("id").as("host"), col("rank"))), Seq("host"), "left")
+      .filter(coalesce(col("rank"), lit(Double.NegativeInfinity)) >= 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    intercept[IllegalArgumentException](
+      Graph.anchorScore(links, "target", "anchor", Map.empty))
+  }
+
   test("degrees over src ∪ dst; hostEdges drops self-loops/nulls and dedups") {
     val d = Graph.degrees(edges.toDF("src", "dst"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
