@@ -39,18 +39,23 @@ object Robots {
 
   // -- parsing ------------------------------------------------------------
 
-  /** The (allow, pattern) rules of `txt` that apply to `agent`. */
-  def parseRules(txt: String, agent: String): Array[(Boolean, String)] = {
-    final case class Group(agents: List[String], rules: List[(Boolean, String)])
+  private final case class Group(agents: List[String],
+      rules: List[(Boolean, String)], delay: Option[Double])
+
+  /** The groups of `txt` that apply to `agent` — group selection per
+    * RFC 9309 §2.2.1: longest case-insensitive product-token prefix
+    * match beats `*`; ALL groups at the winning specificity merge. */
+  private def selectGroups(txt: String, agent: String): Seq[Group] = {
     // one pass: group lines into (agents, rules) blocks; a User-agent
     // line after rules starts a NEW group (RFC 9309 line grouping)
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = List.empty[String]
     var rules = List.empty[(Boolean, String)]
+    var delay = Option.empty[Double]
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents.reverse, rules.reverse)
-      agents = Nil; rules = Nil; inRules = false
+      if (agents.nonEmpty) groups += Group(agents.reverse, rules.reverse, delay)
+      agents = Nil; rules = Nil; delay = None; inRules = false
     }
     txt.split("\r?\n").foreach { raw =>
       val line = raw.indexOf('#') match {
@@ -72,7 +77,13 @@ object Robots {
             inRules = true
             // empty Disallow means "allow all" — contributes no rule
             if (value.nonEmpty) rules = (false, value) :: rules
-          case "crawl-delay" => if (agents.nonEmpty) inRules = true
+          case "crawl-delay" if agents.nonEmpty =>
+            inRules = true
+            // non-standard but ubiquitous; seconds, fractional allowed.
+            // A later line overrides; unparsable/negative is ignored
+            scala.util.Try(value.toDouble).toOption
+              .filter(d => d >= 0 && !d.isNaN && !d.isInfinite)
+              .foreach(d => delay = Some(d))
           case _ => () // Sitemap: & unknown directives are NOT group
           // members (RFC 9309 §2.2.4 "other records") — they must not
           // split `User-agent: a` ⟨Sitemap⟩ `User-agent: b` into two
@@ -81,8 +92,6 @@ object Robots {
       }
     }
     flush()
-    // group selection: longest product-token prefix match (case-insens)
-    // beats '*'; ALL groups at the winning specificity merge
     val a = agent.toLowerCase
     def spec(g: Group): Int = g.agents.map { ga =>
       val gl = ga.toLowerCase
@@ -91,8 +100,22 @@ object Robots {
       else -1
     }.max
     val best = groups.map(spec).foldLeft(-1)(math.max)
-    if (best < 0) Array.empty
-    else groups.filter(g => spec(g) == best).flatMap(_.rules).toArray
+    if (best < 0) Seq.empty
+    else groups.filter(g => spec(g) == best).toSeq
+  }
+
+  /** The (allow, pattern) rules of `txt` that apply to `agent`. */
+  def parseRules(txt: String, agent: String): Array[(Boolean, String)] =
+    selectGroups(txt, agent).flatMap(_.rules).toArray
+
+  /** The `Crawl-delay` (seconds) applying to `agent`, if any — GROUP
+    * scoped like allow/disallow (unlike `Sitemap:`), non-standard but
+    * honored by most crawlers as the per-host politeness floor. When
+    * several groups merge at the winning specificity, the MAXIMUM of
+    * their delays wins — the conservative (politest) read. */
+  def parseCrawlDelay(txt: String, agent: String): Option[Double] = {
+    val ds = selectGroups(txt, agent).flatMap(_.delay)
+    if (ds.isEmpty) None else Some(ds.max)
   }
 
   /** The `Sitemap:` directive values of `txt`, in file order. Per RFC
@@ -204,6 +227,35 @@ object Robots {
       copy(txt = newLeft, agentExpr = newRight)
   }
 
+  final case class RobotsCrawlDelayExpr(txt: Expression, agentExpr: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def left: Expression = txt
+    override def right: Expression = agentExpr
+    override def inputTypes = Seq(StringType, StringType)
+    override def dataType: DataType =
+      org.apache.spark.sql.types.DoubleType
+    override def foldable: Boolean = txt.foldable && agentExpr.foldable
+    override def prettyName: String = "graft_robots_crawl_delay"
+
+    // -1.0 = no applicable delay; the Column wrapper maps it to null
+    // (a primitive sentinel keeps the kernel codegen-simple)
+    def delayRow(t: UTF8String, a: UTF8String): Double =
+      Robots.parseCrawlDelay(t.toString, a.toString).getOrElse(-1.0)
+
+    override def nullSafeEval(t: Any, a: Any): Any =
+      delayRow(t.asInstanceOf[UTF8String], a.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, a) => {
+        val ref = ctx.addReferenceObj("robots", this, classOf[RobotsCrawlDelayExpr].getName)
+        s"${ev.value} = $ref.delayRow($t, $a);"
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(txt = newLeft, agentExpr = newRight)
+  }
+
   final case class RobotsSitemapsExpr(txt: Expression)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
       with ExpectsInputTypes {
@@ -282,6 +334,16 @@ object Robots {
   def allowed(target: Column, rules: Column): Column =
     ColumnBridge.column(RobotsAllowedExpr(
       ColumnBridge.expr(target), ColumnBridge.expr(rules)))
+
+  /** `Crawl-delay` seconds applying to `agent` (null when the file
+    * sets none for the matching group) — the per-host politeness floor
+    * a fetch scheduler multiplies into its rate plan. Run once per
+    * DOMAIN row, like [[rulesFor]]. */
+  def crawlDelay(robotsTxt: Column, agent: Column): Column = {
+    val raw = ColumnBridge.column(RobotsCrawlDelayExpr(
+      ColumnBridge.expr(robotsTxt), ColumnBridge.expr(agent)))
+    when(raw >= 0, raw)
+  }
 
   /** array<string> of the robots file's `Sitemap:` URLs (agent-free —
     * non-group records per RFC 9309 §2.2.4). One kernel call per

@@ -2965,6 +2965,48 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X53B — Crawl-delay extraction ([[graft.ext.Robots.crawlDelay]]):
+  // per-host robots with a derived delay, a no-delay shape (null
+  // path), a junk-value shape (ignored → null), and an agent-specific
+  // group whose delay OVERRIDES '*' for graftbot while anybot keeps
+  // the global one — group selection is load-bearing exactly as in
+  // x53. The oracle states the closed-form seconds per shape.
+  q("x53b_crawl_delay",
+    """SELECT doc_id,
+      |  'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS domain,
+      |  CASE WHEN doc_id % 4 IN (1, 2) THEN NULL
+      |       ELSE CAST(doc_id % 5 AS DOUBLE) END AS delay_any,
+      |  CASE WHEN doc_id % 4 = 1 THEN NULL
+      |       WHEN doc_id % 4 = 2 THEN CAST(9 AS DOUBLE)
+      |       WHEN doc_id % 4 = 3 THEN CAST(1 AS DOUBLE)
+      |       ELSE CAST(doc_id % 5 AS DOUBLE) END AS delay_graftbot
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val k = (col("doc_id") % 5).cast("string")
+    // m4=0: '*' carries "k.5" then "k" — the LATER line overrides, so
+    // k is the verdict (the override path is oracle-pinned); m4=1: no
+    // delay anywhere (null path); m4=2: junk '*' value (ignored →
+    // anybot null) + a graftbot group delay 9; m4=3: '*' delay k with
+    // a graftbot group override of 1 (group selection load-bearing,
+    // the x53 discipline)
+    val txt = when(col("doc_id") % 4 === 0,
+        concat(lit("User-agent: *\nCrawl-delay: "), k,
+          lit(".5\nCrawl-delay: "), k, lit("\nDisallow: /x\n")))
+      .when(col("doc_id") % 4 === 1,
+        lit("User-agent: *\nDisallow: /x\n"))
+      .when(col("doc_id") % 4 === 2,
+        lit("User-agent: *\nCrawl-delay: fast\n" +
+          "User-agent: graftbot\nCrawl-delay: 9\n"))
+      .otherwise(
+        concat(lit("User-agent: *\nCrawl-delay: "), k,
+          lit("\nUser-agent: graftbot\nCrawl-delay: 1\n")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("site"), k, lit(".example")).as("domain"),
+        graft.ext.Robots.crawlDelay(txt, lit("anybot")).as("delay_any"),
+        graft.ext.Robots.crawlDelay(txt, lit("graftbot")).as("delay_graftbot"))
+      .ordered("doc_id")
+  }
+
   // X54 — the complete crawl front door, ONE plan: WARC record parse →
   // HTTP status gate → HTML-Content-Type gate → meta-noindex gate →
   // URL normalization + registered domain + canonical → robots.txt

@@ -91,6 +91,39 @@ class RobotsSpec extends SparkTestBase {
     assert(viaCol == want)
   }
 
+  test("crawl-delay: group-scoped, specificity-selected, max-of-merged, junk ignored, override by later line") {
+    val t =
+      """User-agent: *
+        |Crawl-delay: 10
+        |Disallow: /x
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Crawl-delay: nonsense
+        |Crawl-delay: -3
+        |Crawl-delay: 1
+        |Crawl-delay: 2.5
+        |
+        |User-agent: otherbot
+        |Crawl-delay: 4
+        |""".stripMargin
+    // unknown agent → * group
+    assert(Robots.parseCrawlDelay(t, "SomeBot") == Some(10.0))
+    // graftbot: its own group; junk/negative ignored, later line wins
+    assert(Robots.parseCrawlDelay(t, "graftbot") == Some(2.5))
+    // otherbot matches TWO groups at equal specificity → max (politest)
+    assert(Robots.parseCrawlDelay(t, "otherbot") == Some(4.0))
+    // no delay anywhere → None / null column
+    assert(Robots.parseCrawlDelay("User-agent: *\nDisallow: /x", "b").isEmpty)
+    // existing rule semantics untouched by the delay lines
+    assert(Robots.parseRules(t, "SomeBot").toSeq == Seq((false, "/x")))
+    // column kernel: value and null both round-trip
+    val rows = Seq(t, "User-agent: *\nDisallow: /y").toDF("txt")
+      .select(Robots.crawlDelay(col("txt"), lit("SomeBot")).as("d"))
+      .collect()
+    assert(rows(0).getDouble(0) == 10.0 && rows(1).isNullAt(0))
+  }
+
   test("pattern semantics: prefix, *, $ anchor") {
     assert(Robots.matches("/private/a", "/private/"))
     assert(!Robots.matches("/privateer", "/private/"))
