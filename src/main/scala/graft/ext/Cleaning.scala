@@ -72,7 +72,8 @@ object Cleaning {
     val sized = langed.filter(
       TextOps.tokenCount(t).between(cfg.minTokens, cfg.maxTokens))
     val qualed = cfg.minQuality.fold(sized) { case (feature, min) =>
-      val f = TextOps.qualityFeatures(t).toMap
+      val f = (TextOps.qualityFeatures(t).toMap +
+          ("compression_ratio" -> TextOps.compressionRatio(t)))
         .getOrElse(feature, throw new IllegalArgumentException(
           s"unknown quality feature '$feature'"))
       sized.filter(f >= min)

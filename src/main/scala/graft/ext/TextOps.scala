@@ -92,6 +92,23 @@ object TextOps {
       "mean_word_len" -> (length(regexp_replace(c, "\\s+", "")).cast("double") / nTok))
   }
 
+  /** Deflate compression ratio of the UTF-8 text: compressed bytes /
+    * raw bytes (null for empty/null text). The cheap whole-document
+    * repetition proxy the published web-corpus quality batteries carry
+    * alongside the Gopher n-gram rules (RedPajama-v2 / Dolma class
+    * signals): boilerplate and template spam compress far below
+    * natural prose, gibberish/encrypted blobs compress above it —
+    * gate on a LOW floor to kill repetition, a HIGH ceiling to kill
+    * noise. Not in [[qualityFeatures]] (that Seq's shape is
+    * oracle-pinned by x9); [[Cleaning]]'s `minQuality` knob resolves
+    * `"compression_ratio"` to this column. Determinism rides the JDK's
+    * zlib — see [[graft.functions.TextExpressions.DeflateSizeExpr]]. */
+  def compressionRatio(c: Column): Column = {
+    val raw = octet_length(c)
+    when(raw > 0,
+      graft.functions.TextExpressions.deflateSize(c).cast("double") / raw)
+  }
+
   /** 64-bit content fingerprint of the token stream (xxhash64 of the
     * normalized text) — exact-dedup key at scale. */
   def fingerprint64(c: Column): Column =

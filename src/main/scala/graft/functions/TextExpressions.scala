@@ -225,4 +225,50 @@ object TextExpressions {
   /** Column-API entry: (top, topg, dup) repetition stats of a gram array. */
   def ngramRepetitionOf(grams: Column): Column =
     ColumnBridge.column(NgramRepetitionFold(ColumnBridge.expr(grams)))
+
+  /** DEFLATE-compressed size (bytes) of the text's UTF-8 bytes — the
+    * kernel under [[graft.ext.TextOps.compressionRatio]]. Raw deflate
+    * stream (nowrap — no zlib header/checksum bytes distorting short
+    * texts), fixed DEFAULT_COMPRESSION level, so the value is
+    * deterministic for a given JDK zlib (the [[graft.ext.Multimodal
+    * .Codec]] versioning caveat applies: pin the JDK build next to
+    * persisted scores; specs compute expectations with the same
+    * Deflater rather than hardcoding). One Deflater per call — cheap
+    * (~µs init) and thread-safe by construction. */
+  final case class DeflateSizeExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "graft_deflate_size"
+
+    def sizeOf(t: UTF8String): Int = {
+      val bytes = t.getBytes
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0
+        while (!d.finished()) total += d.deflate(buf)
+        total
+      } finally d.end()
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      sizeOf(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        val ref = ctx.addReferenceObj("deflate", this, classOf[DeflateSizeExpr].getName)
+        s"${ev.value} = $ref.sizeOf($t);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column-API entry: deflate-compressed byte count of a string. */
+  def deflateSize(text: Column): Column =
+    ColumnBridge.column(DeflateSizeExpr(ColumnBridge.expr(text)))
 }

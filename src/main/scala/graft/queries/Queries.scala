@@ -1830,6 +1830,17 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X9B — deflate compression ratio (rows-only by nature: the value
+  // IS the JDK zlib's output and DuckDB carries no deflate scalar —
+  // TextQualitySpec pins it byte-exact against a local Deflater, the
+  // repetitive≪natural separation, and the Cleaning-knob wiring).
+  q("x9b_compression_ratio") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ext.TextOps.compressionRatio(col("text")).as("compression_ratio"))
+      .ordered("doc_id")
+  }
+
   // X10 — token counting: whitespace + BPE-ish lexical tokens.
   q("x10_token_count",
     s"""SELECT doc_id,

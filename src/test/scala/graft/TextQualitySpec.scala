@@ -7,6 +7,45 @@ import graft.ext.TextOps
 class TextQualitySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("compressionRatio: exact vs a local Deflater; repetitive << natural; gates through Cleaning") {
+    def expected(s: String): Double = {
+      val bytes = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      try {
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0
+        while (!d.finished()) total += d.deflate(buf)
+        total.toDouble / bytes.length
+      } finally d.end()
+    }
+    val rep = ("spam spam spam spam " * 50).trim
+    val nat = "The quick brown fox jumps over a lazy dog while seven " +
+      "wizards briskly mix foamy quartz globes under vexing July skies."
+    val rows = Seq((1L, rep), (2L, nat), (3L, ""), (4L, null))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.compressionRatio(col("text")).as("cr"))
+      .orderBy("id").collect()
+    // byte-exact against the same JDK Deflater (never hardcoded — the
+    // zlib build owns the constant)
+    assert(rows(0).getDouble(1) == expected(rep))
+    assert(rows(1).getDouble(1) == expected(nat))
+    assert(rows(0).getDouble(1) < 0.2 && rows(1).getDouble(1) > 0.5,
+      s"separation lost: rep=${rows(0).getDouble(1)} nat=${rows(1).getDouble(1)}")
+    assert(rows(2).isNullAt(1) && rows(3).isNullAt(1))
+    // the Cleaning knob resolves the feature name; a floor between the
+    // two ratios keeps natural prose and kills the template spam
+    import graft.ext.Cleaning
+    val docs = Seq((1L, rep + " extra tail words here", "s"),
+      (2L, nat + " and more natural words follow on", "s")).toDF("doc_id", "text", "source")
+    val kept = Cleaning.gate(docs, Cleaning.Config(lang = None,
+        minTokens = 1, maxTokens = 100000,
+        minQuality = Some(("compression_ratio", 0.35))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   test("dupLineFraction / dupLineCharFraction / dupParagraphFraction hand-checked") {
     val doc = Seq(
       (1L, "aaa\nbbb\naaa\nccc"),          // 4 lines, 1 repeat
