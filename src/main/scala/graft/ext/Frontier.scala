@@ -186,6 +186,25 @@ object Frontier {
       .select(host(col("url")).as("host"), col("url"))
   }
 
+  /** Attach each frontier host's `Crawl-delay` (seconds) from its
+    * robots row — (host, url, rank) → (host, url, rank, crawl_delay),
+    * the fetch scheduler's rate input next to the priority. Robots
+    * rows are domain-dimension-sized, so the join broadcasts; a host
+    * with no robots row (or none setting a delay) carries null and
+    * the scheduler applies its own default. Duplicate robots rows for
+    * one host merge to the MAXIMUM delay ([[Robots.parseCrawlDelay]]'s
+    * politest-read convention). */
+  def withCrawlDelay(frontier: DataFrame, robots: DataFrame,
+      robotsUrlCol: String, txtCol: String,
+      agent: String = "*"): DataFrame = {
+    val delays = robots
+      .select(host(col(robotsUrlCol)).as("host"),
+        Robots.crawlDelay(col(txtCol), lit(agent)).as("crawl_delay"))
+      .filter(col("host").isNotNull)
+      .groupBy("host").agg(max(col("crawl_delay")).as("crawl_delay"))
+    frontier.join(broadcast(delays), Seq("host"), "left")
+  }
+
   // -- cumulative crawl-state (seen-URL) store ----------------------------
 
   /** Normalize + dedup a URL column into the store's (url) shape. */

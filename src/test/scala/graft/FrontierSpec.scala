@@ -89,6 +89,30 @@ class FrontierSpec extends SparkTestBase {
     }
   }
 
+  test("withCrawlDelay: per-host politeness attached; agent groups honored; absent robots -> null") {
+    val fr = Seq(
+      ("a.example", "https://a.example/1", 0.3),
+      ("b.example", "https://b.example/2", 0.2),
+      ("c.example", "https://c.example/3", 0.1)).toDF("host", "url", "rank")
+    val robots = Seq(
+      ("https://a.example/robots.txt",
+        "User-agent: *\nCrawl-delay: 2\nUser-agent: graftbot\nCrawl-delay: 7\n"),
+      ("https://b.example/robots.txt", "User-agent: *\nDisallow: /x\n"))
+      .toDF("url", "txt")
+    def delays(agent: String): Map[String, Option[Double]] =
+      Frontier.withCrawlDelay(fr, robots, "url", "txt", agent)
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val star = delays("*")
+    assert(star == Map("a.example" -> Some(2.0), "b.example" -> None,
+      "c.example" -> None))
+    assert(delays("graftbot")("a.example") == Some(7.0))
+    // rank column untouched by the join
+    val ranks = Frontier.withCrawlDelay(fr, robots, "url", "txt")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ranks == Map("a.example" -> 0.3, "b.example" -> 0.2, "c.example" -> 0.1))
+  }
+
   /** Every path from a scan of a table whose location contains `substr`
     * up to its first enclosing join must be Exchange-free — the
     * bucketed-store contract (ExtSpec's incremental-dedup discipline
