@@ -86,7 +86,13 @@ object Frontier {
     * endorsement structure — batch N's frontier ranks a host by every
     * batch that ever linked to it, not just this one. Fully idempotent
     * under replay: the edge fold is a no-op on re-delivery, so the
-    * store-derived ranks — and therefore the frontier — reproduce. */
+    * store-derived ranks — and therefore the frontier — reproduce.
+    *
+    * Cost shape: the rank recompute is per batch; at very high batch
+    * rates run it on a cadence instead — persist a rank snapshot every
+    * N batches and pass it through [[fromPages]]'s `hostRanks` between
+    * recomputes (staleness bounded by the cadence; crawl priorities
+    * are heuristic, so bounded staleness is the standard trade). */
   def fromPagesCumulative(pages: DataFrame, urlCol: String, htmlCol: String,
       graphStorePrefix: String, blockedDomains: Seq[String] = Nil,
       perHostCap: Int = 100, seed: String = "graft-frontier-v1",
