@@ -409,6 +409,22 @@ object Graph {
     pageRankLoop(spark.table(s"${tablePrefix}_edges_src"), iterations, damping)
   }
 
+  /** [[degrees]] against a [[writeEdgeStore]] prefix: the out-degree
+    * aggregation reads `_edges_src`, the in-degree `_edges_dst` —
+    * each keyed on its own bucket layout, so NEITHER side exchanges
+    * (plain [[degrees]] over one layout re-shuffles the whole edge
+    * table for the other direction). */
+  def degreesFromStore(spark: SparkSession, tablePrefix: String): DataFrame = {
+    val out = spark.table(s"${tablePrefix}_edges_src")
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = spark.table(s"${tablePrefix}_edges_dst")
+      .groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
   /** [[hits]] against a [[writeEdgeStore]] prefix — the authority
     * rounds read `_edges_src`, the hub rounds `_edges_dst`, both
     * exchange-free on the edge side. */

@@ -3421,7 +3421,7 @@ object Queries {
     val prefix = edgeStoreFor(s, dir)
     val pr = graft.ext.Graph.pageRankFromStore(s, prefix, iterations = 10,
       damping = 0.85)
-    graft.ext.Graph.degrees(s.table(s"${prefix}_edges_src"))
+    graft.ext.Graph.degreesFromStore(s, prefix)
       .join(pr, Seq("id"))
       .select(col("id").as("host"), col("out_deg"), col("in_deg"), col("rank"))
       .ordered("host")

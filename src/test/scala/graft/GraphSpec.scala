@@ -138,6 +138,12 @@ class GraphSpec extends SparkTestBase {
       val hStored = Graph.hitsFromStore(spark, prefix, 3)
         .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
       assert(hDirect == hStored)
+      // degreesFromStore (each direction on its own layout) == degrees
+      val dStored = Graph.degreesFromStore(spark, prefix)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val dDirect = Graph.degrees(edges.toDF("src", "dst"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(dStored == dDirect)
       // duplicate edges collapse at WRITE time
       Graph.writeEdgeStore((edges ++ edges).toDF("src", "dst"), prefix, buckets = 4)
       assert(spark.table(s"${prefix}_edges_src").count() == edges.size)
