@@ -3461,8 +3461,10 @@ object Queries {
     * doc_id % 50 < 40, each carrying three item links (the x60 graph
     * reproduced page-side), a tracking-param twin, a `javascript:`
     * href, a blocked-domain link, and a relative self-link — every
-    * frontier gate proven to fire. Shared by x64 and x64b. */
-  private def frontierFixturePages(s: SparkSession, dir: String): DataFrame = {
+    * frontier gate proven to fire. Shared by x64/x64b/x64c (`where`
+    * narrows to a crawl batch). */
+  private def frontierFixturePages(s: SparkSession, dir: String,
+      where: Column = lit(true)): DataFrame = {
     val id = col("doc_id").cast("string")
     val sk = (col("doc_id") % 50).cast("string")
     def item(j: Int) = Seq(
@@ -3480,9 +3482,64 @@ object Queries {
         lit("</body></html>")): _*)
     val pageUrl = concat(lit("https://h"), sk, lit(".example/page"), id)
     Tables.documents(s, dir)
-      .filter(col("doc_id") % 50 < 40)
+      .filter(col("doc_id") % 50 < 40 && where)
       .select(pageUrl.as("url"), html.as("html"))
   }
+
+  /** x64c's SECOND crawl batch (odd doc pages): the x64 fixture shape
+    * PLUS a link to the previous (even) doc's page URL — a URL the
+    * first batch CRAWLED, so it survives every local gate and must die
+    * at the cumulative seen store (for odd doc_id%50 ∈ 1..39 the
+    * previous doc is always in batch 1). */
+  private def frontierBatch2Pages(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val sk = (col("doc_id") % 50).cast("string")
+    val prevId = (col("doc_id") - 1).cast("string")
+    val prevSk = ((col("doc_id") - 1) % 50).cast("string")
+    def item(j: Int) = Seq(
+      lit("<a href=\"https://h"), ((col("doc_id") * 7 + j) % 50).cast("string"),
+      lit(s".example/item"), id, lit(s"-$j\">i$j</a>"))
+    val html = concat(Seq(lit("<html><body>")) ++
+      item(1) ++ item(2) ++ item(3) ++
+      Seq(
+        lit("<a href=\"https://h"), prevSk, lit(".example/page"), prevId,
+        lit("\">prev</a>"),
+        lit("<a href=\"javascript:void(0)\">js</a>"),
+        lit("<a href=\"https://spam.blocked.example/x"), id, lit("\">spam</a>"),
+        lit("<a href=\"/page"), id, lit("\">self</a>"),
+        lit("</body></html>")): _*)
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 < 40 && col("doc_id") % 2 === 1)
+      .select(concat(lit("https://h"), sk, lit(".example/page"), id).as("url"),
+        html.as("html"))
+  }
+
+  /** The x64c two-batch cumulative crawl state (memoized per scale
+    * dir): batch 1 (even doc pages) processed through the REAL
+    * production step — [[graft.ext.Frontier.fromPagesCumulative]]
+    * folds its host edges into the graph store (its frontier output is
+    * discarded; the fold and rank run eagerly at build), then
+    * [[graft.ext.Frontier.appendSeenStore]] records its page URLs —
+    * exactly [[graft.streaming.DocumentIngest.frontierProcessBatch]]'s
+    * sequence. Returns (seenTable, graphStorePrefix). */
+  private val cumulMemo = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def cumulStateFor(s: SparkSession, dir: String): (String, String) =
+    cumulMemo.getOrElseUpdate(dir, {
+      val h = Integer.toHexString(dir.hashCode)
+      val seen = s"graft_cumseen_$h"
+      val graph = s"graft_cumgraph_$h"
+      // fresh JVM may inherit tables from an earlier run — rebuild
+      graft.store.Bucketing.dropWithLocation(s, s"${graph}_edges_src")
+      graft.store.Bucketing.dropWithLocation(s, s"${graph}_edges_dst")
+      s.sql(s"DROP TABLE IF EXISTS $seen")
+      val batch1 = frontierFixturePages(s, dir, col("doc_id") % 2 === 0)
+      val _ = graft.ext.Frontier.fromPagesCumulative(batch1, "url", "html",
+        graph, blockedDomains = Seq("blocked.example"), perHostCap = 10,
+        seed = "graft-frontier-v1", prIterations = 5, buckets = 8)
+      graft.ext.Frontier.writeSeenStore(batch1.select(col("url")), "url",
+        seen, buckets = 8)
+      (seen, graph)
+    })
 
   /** The x64b cumulative seen store, built once per scale dir (the
     * rollupMemo discipline): a prior crawl batch already fetched the
@@ -3589,6 +3646,57 @@ object Queries {
         blockedDomains = Seq("blocked.example"), perHostCap = 10,
         seed = "graft-frontier-v1", prIterations = 5,
         seenTable = Some(seenStoreFor(s, dir)))
+      .ordered("host", "url")
+  }
+
+  // X64C — the CUMULATIVE crawl cycle end to end, two batches: batch 1
+  // (even doc pages) already processed through the production step
+  // (edge fold + seen append — [[cumulStateFor]]), and the gate runs
+  // batch 2 (odd pages) through [[graft.ext.Frontier
+  // .fromPagesCumulative]]: its edges fold into the SAME store, its
+  // host priorities come from PageRank over the UNION graph (batch-2's
+  // own graph alone would rank differently — wrong rank column breaks
+  // the hash), and each odd page plants a link to the PREVIOUS even
+  // page's URL, which survives every local gate and must die at the
+  // cumulative seen store (rows break if it leaks through). The oracle
+  // re-derives the union edge set (item edges from BOTH batches +
+  // batch-2's prev-page edges), runs the shared unrolled PageRank, and
+  // caps batch-2's item candidates.
+  q("x64c_cumulative_crawl",
+    s"""WITH pages AS (
+      |  SELECT doc_id, doc_id % 50 AS sk FROM documents WHERE doc_id % 50 < 40),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'h' || CAST(sk AS VARCHAR) || '.example' AS src,
+      |           'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example' AS dst
+      |    FROM pages, UNNEST([1, 2, 3]) AS t(j)
+      |    WHERE sk <> (doc_id * 7 + j) % 50
+      |    UNION ALL
+      |    SELECT 'h' || CAST(sk AS VARCHAR) || '.example',
+      |           'h' || CAST((doc_id - 1) % 50 AS VARCHAR) || '.example'
+      |    FROM pages WHERE doc_id % 2 = 1) u
+      |  WHERE src <> dst),
+      |${pageRankRoundsCte(5)}cand AS (
+      |  SELECT DISTINCT
+      |    'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example' AS host,
+      |    'https://h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example/item'
+      |      || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS url
+      |  FROM pages, UNNEST([1, 2, 3]) AS t(j) WHERE doc_id % 2 = 1),
+      |ranked AS (
+      |  SELECT c.host, c.url, COALESCE(f.rank, 0.0) AS rank
+      |  FROM cand c LEFT JOIN fin f ON f.id = c.host),
+      |capped AS (
+      |  SELECT host, url, rank,
+      |    row_number() OVER (PARTITION BY host
+      |      ORDER BY md5(url || ':' || 'graft-frontier-v1'), url) AS rk
+      |  FROM ranked)
+      |SELECT host, url, rank FROM capped WHERE rk <= 10
+      |ORDER BY host, url""".stripMargin) { (s, dir) =>
+    val (seen, graph) = cumulStateFor(s, dir)
+    graft.ext.Frontier.fromPagesCumulative(frontierBatch2Pages(s, dir),
+        "url", "html", graph, blockedDomains = Seq("blocked.example"),
+        perHostCap = 10, seed = "graft-frontier-v1", prIterations = 5,
+        seenTable = Some(seen), buckets = 8)
       .ordered("host", "url")
   }
 
