@@ -375,6 +375,19 @@ object Dedup {
         spark.catalog.tableExists(s"${target}_old"))
       spark.sql(s"ALTER TABLE `${target}_old` RENAME TO `$target`"): Unit
 
+  /** Recovery-aware existence check for a band store — what every
+    * bootstrap guard must use instead of bare `tableExists`: after a
+    * [[swapInto]] crash the live name is absent while the store's data
+    * sits under `_old`, and a bare check would re-bootstrap from the
+    * current batch, silently discarding all cumulative near-dup state
+    * (the [[graft.store.Bucketing.recoverCompacted]] discipline). */
+  def recoverBandStore(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Boolean = {
+    recoverLive(spark, s"${tablePrefix}_shingles")
+    recoverLive(spark, s"${tablePrefix}_bands")
+    spark.catalog.tableExists(s"${tablePrefix}_bands")
+  }
+
   /** Delete documents from a bucketed band store — the takedown /
     * GDPR-erasure verb, and the recovery primitive for a torn append
     * ([[graft.streaming.DocumentIngest.nearDupMaintenance]] scrubs a

@@ -157,14 +157,18 @@ object Extract {
   }
 
   /** Head-signal scan bound: meta/link/charset declarations live in
-    * `<head>`, so their regexes run over the first 64 KiB of markup
-    * only — on a multi-MB page the alternative is several full-column
-    * regex passes per signal for tags that can't legally be that deep
-    * (browsers prescan charset in the first 1024 bytes; 64 KiB is the
-    * generous crawler convention). A signal first declared beyond the
-    * bound reads as absent — the fail-open direction every caller
-    * already handles (noindex gate, canonical fallback to fetch URL,
-    * charset fallback chain). */
+    * `<head>`, so their regexes run over the first 65536 CHARS of
+    * markup only (≈64 Ki chars — the decoded-string sibling of the
+    * 64 KiB byte convention crawlers use; browsers prescan charset in
+    * the first 1024 bytes). On a multi-MB page the alternative is
+    * several full-column regex passes per signal for tags that can't
+    * legally be that deep. A signal first declared beyond the bound
+    * reads as ABSENT — acceptable only where absent is the safe
+    * direction (canonical falls back to the fetch URL, charset to the
+    * fallback chain). The robots meta is the exception: absent ⇒ KEEP,
+    * so [[isNoindex]] scans the FULL column — an explicit exclusion
+    * directive buried past 64K of inlined head CSS/JS must still fire
+    * (compliance beats the scan bound there). */
   private val HeadScanChars = 65536
   private def headPrefix(html: Column): Column =
     substring(html, 1, HeadScanChars)
@@ -177,8 +181,14 @@ object Extract {
     * over the raw HTML's [[headPrefix]], deliberately NOT the block
     * parser: meta tags carry no text content, so blocks never see
     * them. */
-  def metaValue(htmlRaw: Column, name: String): Column = {
-    val html = headPrefix(htmlRaw)
+  def metaValue(htmlRaw: Column, name: String): Column =
+    metaValue(htmlRaw, name, bounded = true)
+
+  /** [[metaValue]] with the head-scan bound optional: `bounded = false`
+    * scans the whole column — required where a MISSED declaration is
+    * compliance-wrong rather than merely degraded ([[isNoindex]]). */
+  def metaValue(htmlRaw: Column, name: String, bounded: Boolean): Column = {
+    val html = if (bounded) headPrefix(htmlRaw) else htmlRaw
     val q = java.util.regex.Pattern.quote(name)
     // the name must END at a delimiter (name="robots-news" is NOT
     // robots), and values may be unquoted (content=noindex is valid
@@ -199,9 +209,14 @@ object Extract {
 
   /** TRUE when the page opts out of indexing (`<meta name=robots>`
     * containing `noindex` / `none`) — the politeness gate curation
-    * pipelines honor alongside robots.txt. Null-safe: absent ⇒ false. */
+    * pipelines honor alongside robots.txt. Null-safe: absent ⇒ false.
+    * Scans the FULL column, not the head-prefix bound: absent means
+    * KEEP here, so a directive pushed past the bound by inlined head
+    * CSS/JS would silently fail open — the compliance-wrong direction
+    * (the other head signals keep the bound because their miss
+    * direction is safe). */
   def isNoindex(html: Column): Column = {
-    val v = lower(coalesce(metaValue(html, "robots"), lit("")))
+    val v = lower(coalesce(metaValue(html, "robots", bounded = false), lit("")))
     v.contains("noindex") || v.rlike("(^|[,\\s])none([,\\s]|$)")
   }
 

@@ -249,7 +249,11 @@ object Frontier {
   def appendSeenStore(urls: DataFrame, urlCol: String, table: String,
       buckets: Int = 32): Unit = {
     val spark = urls.sparkSession
-    if (!spark.catalog.tableExists(table)) {
+    // recovery-aware existence check: after a compaction crash the live
+    // name can be absent while the complete copy sits at `_compacting` —
+    // a bare tableExists would re-bootstrap from this batch alone and
+    // silently discard all cumulative seen-URL state
+    if (!graft.store.Bucketing.recoverCompacted(spark, table)) {
       writeSeenStore(urls, urlCol, table, buckets)
     } else {
       freshAgainstStore(normalizedUrls(urls, urlCol), table)
@@ -262,21 +266,22 @@ object Frontier {
 
   /** Rewrite the store to one file per bucket (appends leave one file
     * per batch per bucket; scan cost and open-file overhead grow with
-    * batch count until compacted). Writes a bucketed twin table, then
-    * atomically swaps it in via catalog rename — the store is never
-    * read and overwritten in the same job. */
+    * batch count until compacted). The swap is the crash-safe
+    * rename-aside protocol ([[graft.store.Bucketing.compactSwap]]): a
+    * crash at any point either leaves the live table intact or leaves a
+    * complete copy that [[graft.store.Bucketing.recoverCompacted]] —
+    * which [[appendSeenStore]] and every guarded read run — renames
+    * back in, so cumulative seen-URL state is never silently rebuilt
+    * from one batch. */
   def compactSeenStore(spark: org.apache.spark.sql.SparkSession,
-      table: String, buckets: Int = 32): Unit = {
-    val tmp = s"${table}_compacting"
-    graft.store.Bucketing.dropWithLocation(spark, tmp)
-    spark.table(table).distinct()
-      .repartition(buckets, col("url"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "url").sortBy("url")
-      .format("parquet").saveAsTable(tmp)
-    graft.store.Bucketing.dropWithLocation(spark, table)
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table"): Unit
-  }
+      table: String, buckets: Int = 32): Unit =
+    graft.store.Bucketing.compactSwap(spark, table) { tmp =>
+      spark.table(table).distinct()
+        .repartition(buckets, col("url"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "url").sortBy("url")
+        .format("parquet").saveAsTable(tmp)
+    }
 
   /** The store-side anti-join, package-visible so the plan contract is
     * directly assertable: the stored scan must reach its join with NO

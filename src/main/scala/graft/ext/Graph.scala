@@ -51,6 +51,20 @@ object Graph {
   private val Dec = "decimal(30,12)"
   private val Grid = 1e9
 
+  /** Scale ceiling implied by the 1e-9 quantization grid: ranks live at
+    * the 1/n scale, so once n approaches the grid (n ≳ 2e9) every rank
+    * would quantize to 0 — PageRank degenerates to all-zeros and HITS'
+    * L1 normalizer divides by zero. 1e8 keeps 1/n ≥ 10 grid steps, an
+    * order of magnitude of headroom, and comfortably covers the
+    * documented million-host crawl-graph scale (CommonCrawl's full host
+    * graph is ~9e7 nodes). A larger graph needs a finer grid AND a new
+    * oracle consensus — fail loudly here rather than return zeros. */
+  private val MaxNodes = 100000000L
+  private def requireGridScale(n: Long): Unit =
+    require(n <= MaxNodes,
+      s"graph has $n nodes; the 1e-9 rank-quantization grid supports at " +
+        s"most $MaxNodes (rank scale 1/n must stay well above the grid)")
+
   /** Quantize a non-negative double to the 1e-9 grid with PURE IEEE
     * arithmetic — `floor(x·1e9 + 0.5) / 1e9` — the cross-engine
     * consensus value both sides of the oracle iterate on; the oracle
@@ -186,6 +200,7 @@ object Graph {
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
+    requireGridScale(n)
     val base = (1.0 - damping) / n
 
     // Each round materializes ONCE (per-round eager checkpoint — each
@@ -196,6 +211,14 @@ object Graph {
     // an exact decimal sum (order-independent), decimal→double cast
     // identical on both oracle engines — so no per-round
     // broadcast-build pass or extra aggregation job remains.
+    //
+    // FOOTGUN (hit in r13, Spark 4.1): referencing one checkpointed
+    // frame THREE OR MORE times in a single downstream plan that also
+    // carries an observe() spins the driver at 100% single-core inside
+    // Catalyst (analysis never returns). Two references — the shape
+    // here and in hitsLoop's `half` — are fine. If a future round needs
+    // a third consumer of `ranks`, give it its own checkpoint or split
+    // the plan; do NOT chain another join over the same checkpoint.
     def materialize(df: DataFrame): (DataFrame, Double) = {
       val obs = org.apache.spark.sql.Observation()
       val ck = df.observe(obs,
@@ -265,6 +288,7 @@ object Graph {
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
+    requireGridScale(n)
 
     // Each half-round materializes its raw-score frame ONCE, with the
     // L1 normalizer as an observe() metric on that same checkpoint job
@@ -272,7 +296,9 @@ object Graph {
     // TWICE — once inside the normalizer's broadcast-build pass, once
     // in the main pass — plus a third job for the scores checkpoint;
     // now a round is exactly two materializations and the hub/auth
-    // frames are cheap projections over them.
+    // frames are cheap projections over them. Keep downstream
+    // references to each checkpointed frame at TWO or fewer — see the
+    // 3+-references/observe() driver-spin footgun note in pageRankLoop.
     def half(raw: DataFrame): (DataFrame, Double) = {
       val obs = org.apache.spark.sql.Observation()
       val ck = raw.observe(obs, sum(quant(col("raw")).cast(Dec)).as("s"))
@@ -355,9 +381,32 @@ object Graph {
   def appendEdgeStore(edges: DataFrame, tablePrefix: String,
       buckets: Int = 32): Unit = {
     val spark = edges.sparkSession
-    if (!spark.catalog.tableExists(s"${tablePrefix}_edges_src")) {
+    // recovery-aware existence checks (BOTH layouts — compaction runs
+    // per table, so a crash can leave exactly one mid-swap): a bare
+    // tableExists after a compaction crash would re-bootstrap the store
+    // from this batch alone, discarding all cumulative edge state
+    val srcOk = graft.store.Bucketing.recoverCompacted(
+      spark, s"${tablePrefix}_edges_src")
+    val dstOk = graft.store.Bucketing.recoverCompacted(
+      spark, s"${tablePrefix}_edges_dst")
+    if (!srcOk && !dstOk) {
       writeEdgeStore(edges, tablePrefix, buckets)
     } else {
+      // exactly one layout missing = a torn BOOTSTRAP (writeEdgeStore
+      // crashed between its two writes): rebuild the missing twin from
+      // the surviving one — the layouts carry identical rows, so this
+      // loses nothing, where rebuilding from the batch would
+      if (srcOk != dstOk) {
+        val (have, miss, missKey) =
+          if (srcOk) (s"${tablePrefix}_edges_src", s"${tablePrefix}_edges_dst", "dst")
+          else (s"${tablePrefix}_edges_dst", s"${tablePrefix}_edges_src", "src")
+        graft.store.Bucketing.dropWithLocation(spark, miss) // partial files
+        spark.table(have)
+          .repartition(buckets, col(missKey))
+          .write.mode("overwrite")
+          .bucketBy(buckets, missKey).sortBy(missKey)
+          .format("parquet").saveAsTable(miss)
+      }
       val batch = edges.select(col("src"), col("dst")).distinct().persist()
       try {
         Seq(s"${tablePrefix}_edges_src" -> "src",
@@ -376,21 +425,23 @@ object Graph {
   }
 
   /** Rewrite both layouts to one file per bucket (appends leave one
-    * file per batch per bucket). Bucketed twin + catalog rename per
-    * table — the store is never read and overwritten in one job. */
+    * file per batch per bucket). Each table swaps through the
+    * crash-safe rename-aside protocol
+    * ([[graft.store.Bucketing.compactSwap]]); a crash mid-swap is
+    * repaired by [[graft.store.Bucketing.recoverCompacted]], which
+    * [[appendEdgeStore]] runs on both layouts before any append — so
+    * cumulative edge state is never silently rebuilt from one batch. */
   def compactEdgeStore(spark: SparkSession, tablePrefix: String,
       buckets: Int = 32): Unit = {
     Seq(s"${tablePrefix}_edges_src" -> "src",
         s"${tablePrefix}_edges_dst" -> "dst").foreach { case (table, key) =>
-      val tmp = s"${table}_compacting"
-      graft.store.Bucketing.dropWithLocation(spark, tmp)
-      spark.table(table).distinct()
-        .repartition(buckets, col(key))
-        .write.mode("overwrite")
-        .bucketBy(buckets, key).sortBy(key)
-        .format("parquet").saveAsTable(tmp)
-      graft.store.Bucketing.dropWithLocation(spark, table)
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table"): Unit
+      graft.store.Bucketing.compactSwap(spark, table) { tmp =>
+        spark.table(table).distinct()
+          .repartition(buckets, col(key))
+          .write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key)
+          .format("parquet").saveAsTable(tmp)
+      }
     }
   }
 

@@ -304,16 +304,23 @@ object Warc {
     def decode(body: Array[Byte]): Array[Byte]
   }
 
-  /** [[htmlResponses]] with pluggable extra content decoders, and the
-    * corpus-governance observation `graft_warc_html` attached: any
-    * action over the result also reports `n_html200` (HTML 200
-    * responses seen) and `n_excluded_encoding` (of those, records
-    * DROPPED because no decoder — built-in or supplied — handles
-    * their `Content-Encoding`). Surfaced through
+  /** [[htmlResponses]] with pluggable extra content decoders, and a
+    * corpus-governance observation named `graft_warc_html_<n>`
+    * attached (UNIQUE per call — Spark rejects duplicate observed-
+    * metric names at analysis time, so a fixed name broke any plan
+    * composing two reads, e.g. a union over two WARC sources; consumers
+    * match on the stable `graft_warc_html` prefix): any action over
+    * the result also reports `n_html200` (HTML 200 responses seen) and
+    * `n_excluded_encoding` (of those, records DROPPED because no
+    * decoder — built-in or supplied — handles their
+    * `Content-Encoding`). Surfaced through
     * [[graft.engine.Telemetry]]'s listener, so a 100-TB pass sees
     * "br/zstd cost us N documents" as a number, not a silent corpus
     * loss. Extra-decoder rows pay one closure call on the RARE branch
     * only; the built-in encodings keep the codegen kernel path. */
+  val HtmlObservationPrefix = "graft_warc_html"
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def htmlResponses(records: Dataset[WarcRow],
       decoders: Seq[ContentDecoder]): DataFrame = {
     val decMap: Map[String, ContentDecoder] =
@@ -329,7 +336,7 @@ object Warc {
         httpStatus(col("payload")) === 200 &&
         col("content_type").startsWith("application/http") &&
         isHtmlResponse(col("payload")))
-      .observe("graft_warc_html",
+      .observe(s"${HtmlObservationPrefix}_${obsCounter.incrementAndGet()}",
         count(lit(1)).as("n_html200"),
         sum(when(handled, 0L).otherwise(1L)).as("n_excluded_encoding"))
     val resp = html200

@@ -43,6 +43,59 @@ object Bucketing {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Crash-safe compaction swap protocol, shared by every bucketed
+    * catalog store (Frontier seen store, Graph edge store, Dedup band
+    * store when compacted): `writeTmp` builds the complete replacement
+    * under `<table>_compacting`, then the swap is rename-aside →
+    * rename-in → drop-aside, so at NO point is the live name absent
+    * while the only complete copy sits under a name nobody reads — the
+    * failure the old drop-then-rename protocol had (a crash between
+    * drop and rename left the live name missing; a later
+    * `tableExists`-guarded append then silently re-bootstrapped the
+    * store from one batch, discarding all cumulative state). Crash
+    * windows and their recovery ([[recoverCompacted]]):
+    *  - during `writeTmp`: live intact, `_compacting` partial — the
+    *    next compaction drops and rewrites it; appends are unaffected.
+    *  - between rename-aside and rename-in: live absent, `_retired` =
+    *    old data, `_compacting` = COMPLETE new data → recovery renames
+    *    `_compacting` in and drops `_retired`.
+    *  - between rename-in and drop-aside: live intact, `_retired`
+    *    orphan → recovery (or the next compaction) drops it. */
+  def compactSwap(spark: SparkSession, table: String)
+      (writeTmp: String => Unit): Unit = {
+    val tmp = s"${table}_compacting"
+    val retired = s"${table}_retired"
+    require(recoverCompacted(spark, table), s"no such store: $table")
+    dropWithLocation(spark, tmp)
+    writeTmp(tmp)
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$retired`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    dropWithLocation(spark, retired)
+  }
+
+  /** Recover from a compaction crash, then report whether `table`
+    * exists. EVERY store read/append path that guards on existence must
+    * come through here (not bare `tableExists`): after a crash inside
+    * [[compactSwap]]'s rename window the live name is absent but the
+    * complete compacted copy sits at `<table>_compacting` — a bare
+    * existence check would re-bootstrap the store from the current
+    * batch and silently discard all cumulative state. */
+  def recoverCompacted(spark: SparkSession, table: String): Boolean = {
+    val tmp = s"${table}_compacting"
+    val retired = s"${table}_retired"
+    if (spark.catalog.tableExists(table)) {
+      // swap completed (or never ran); a leftover aside is an orphan
+      if (spark.catalog.tableExists(retired)) dropWithLocation(spark, retired)
+      true
+    } else if (spark.catalog.tableExists(tmp)) {
+      // live can only be ABSENT after rename-aside, which only runs
+      // after writeTmp completed — `_compacting` is a complete copy
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      if (spark.catalog.tableExists(retired)) dropWithLocation(spark, retired)
+      true
+    } else false
+  }
+
   /** Drop `table` AND clear its orphaned warehouse location, if any.
     * With the default in-memory catalog the table registration dies
     * with the JVM but the warehouse directory survives, so the next

@@ -300,7 +300,11 @@ object DocumentIngest {
     val done = new org.apache.hadoop.fs.Path(markers, s"$batchId.done")
     if (!fs.exists(done) && !batch.isEmpty) {
       val d = graft.ext.Dedup
-      val storeExists = s.catalog.tableExists(s"${tablePrefix}_bands")
+      // recovery-aware: a compaction/delete crash leaves the live name
+      // absent with the data under _old — restore it rather than
+      // re-bootstrapping from this batch (which would silently discard
+      // all cumulative near-dup state)
+      val storeExists = graft.ext.Dedup.recoverBandStore(s, tablePrefix)
       if (storeExists && fs.exists(started)) {
         // torn previous attempt: the append may have landed partially —
         // scrub this batch's ids before re-running
@@ -385,8 +389,14 @@ object DocumentIngest {
       compactEvery: Option[Int] = None): Unit = {
     if (!batch.isEmpty) {
       val s = batch.sparkSession
+      // recovery-aware existence check (Bucketing.recoverCompacted):
+      // after a compactSeenStore crash the live name can be absent with
+      // the complete copy under _compacting — a bare tableExists here
+      // would run this batch storeless AND appendSeenStore would then
+      // re-bootstrap, discarding the cumulative seen-URL state
       val store =
-        if (s.catalog.tableExists(seenTable)) Some(seenTable) else None
+        if (graft.store.Bucketing.recoverCompacted(s, seenTable)) Some(seenTable)
+        else None
       val frontier = graphStorePrefix match {
         case Some(g) =>
           graft.ext.Frontier.fromPagesCumulative(batch, urlCol, htmlCol, g,
@@ -400,8 +410,10 @@ object DocumentIngest {
       graft.ext.Frontier.appendSeenStore(batch.select(col(urlCol)), urlCol,
         seenTable, buckets)
       // maintenance cadence: every N batches fold the per-batch append
-      // files back to one per bucket. Compaction is itself idempotent
-      // (distinct + rewrite), so a crash/replay around it is safe.
+      // files back to one per bucket. Compaction swaps through the
+      // crash-safe rename-aside protocol (Bucketing.compactSwap), and
+      // the recovery-aware existence checks above repair a mid-swap
+      // crash on replay — state is never rebuilt from one batch.
       compactEvery.filter(n => n > 0 && (batchId + 1) % n == 0).foreach { _ =>
         graft.ext.Frontier.compactSeenStore(s, seenTable, buckets)
         graphStorePrefix.foreach(g =>

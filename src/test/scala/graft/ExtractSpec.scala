@@ -180,12 +180,15 @@ class ExtractSpec extends SparkTestBase {
     assert(!df(2).getBoolean(0) && df(2).isNullAt(1) && df(2).isNullAt(2))
   }
 
-  test("head signals scan a bounded 64 KiB prefix: in-bound found, out-of-bound reads absent (fail-open)") {
+  test("head-scan bound: fail-open signals bounded; the robots exclusion directive scans the full column") {
     val filler = "x" * 70000
     val rows = Seq(
       // signals inside the bound, page body far larger — still found
       s"""<head><meta name=robots content=noindex><link rel=canonical href="https://e.com/in"><meta charset=utf-8></head><body>$filler</body>""",
-      // signals (illegally) declared past 64 KiB of markup — absent
+      // signals declared past 64K chars of markup: canonical/charset
+      // read absent (their miss direction is safe — fallback chain),
+      // but the robots NOINDEX still fires — absent means KEEP there,
+      // so a bounded scan was the compliance-wrong direction
       s"""<body>$filler<meta name=robots content=noindex><link rel=canonical href="https://e.com/out"><meta charset=utf-8></body>""")
       .toDF("html")
       .select(
@@ -195,7 +198,8 @@ class ExtractSpec extends SparkTestBase {
       .collect()
     assert(rows(0).getBoolean(0) && rows(0).getString(1) == "https://e.com/in" &&
       rows(0).getString(2) == "utf-8")
-    assert(!rows(1).getBoolean(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(1).getBoolean(0), "noindex past the head bound must still fire")
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
   }
 
   test("head signals: unquoted values honored; prefixed names/rels rejected; accept-charset ignored") {

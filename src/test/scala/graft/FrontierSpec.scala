@@ -183,4 +183,42 @@ class FrontierSpec extends SparkTestBase {
       ()
     }
   }
+
+  test("compaction crash recovery: a mid-swap crash never loses cumulative seen state") {
+    val table = "frontier_seen_crash"
+    val all = Seq("https://a.example/1", "https://b.example/2",
+      "https://c.example/3")
+    try {
+      Frontier.writeSeenStore(all.toDF("url"), "url", table, buckets = 4)
+      // crash window 1: between rename-aside and rename-in — live name
+      // absent, _retired = old copy, _compacting = complete new copy
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `${table}_retired`")
+      all.toDF("url")
+        .repartition(4, org.apache.spark.sql.functions.col("url"))
+        .write.bucketBy(4, "url").sortBy("url")
+        .format("parquet").saveAsTable(s"${table}_compacting")
+      // the old tableExists-guarded append would re-bootstrap from this
+      // one-url batch, silently discarding the 3 cumulative urls
+      Frontier.appendSeenStore(Seq("https://d.example/4").toDF("url"),
+        "url", table, buckets = 4)
+      assert(spark.table(table).collect().map(_.getString(0)).sorted.toSeq ==
+        (all :+ "https://d.example/4").sorted)
+      assert(!spark.catalog.tableExists(s"${table}_retired"))
+      assert(!spark.catalog.tableExists(s"${table}_compacting"))
+      // crash window 2: between rename-in and drop-aside — live intact,
+      // _retired orphan; recovery just reclaims the orphan
+      spark.table(table).limit(1).write.saveAsTable(s"${table}_retired")
+      Frontier.appendSeenStore(Seq("https://e.example/5").toDF("url"),
+        "url", table, buckets = 4)
+      assert(spark.table(table).count() == 5)
+      assert(!spark.catalog.tableExists(s"${table}_retired"))
+      // and a normal compaction still works end to end after recovery
+      Frontier.compactSeenStore(spark, table, buckets = 4)
+      assert(spark.table(table).count() == 5)
+    } finally {
+      Seq("", "_compacting", "_retired").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $table$s"))
+      ()
+    }
+  }
 }

@@ -216,6 +216,46 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("edge store crash recovery: mid-swap compaction crash and torn bootstrap never lose cumulative edges") {
+    val prefix = "graphspec_crash"
+    try {
+      Graph.writeEdgeStore(edges.toDF("src", "dst"), prefix, buckets = 4)
+      // crash window: compaction of the src layout died between
+      // rename-aside and rename-in — live absent, _retired = old,
+      // _compacting = complete new copy. A bare tableExists append
+      // would rebuild BOTH layouts from the one-edge batch.
+      spark.sql(s"ALTER TABLE `${prefix}_edges_src` RENAME TO `${prefix}_edges_src_retired`")
+      spark.table(s"${prefix}_edges_src_retired")
+        .repartition(4, col("src"))
+        .write.bucketBy(4, "src").sortBy("src")
+        .format("parquet").saveAsTable(s"${prefix}_edges_src_compacting")
+      Graph.appendEdgeStore(Seq(("n1", "n2")).toDF("src", "dst"), prefix, 4)
+      assert(spark.table(s"${prefix}_edges_src").count() == edges.size + 1)
+      assert(spark.table(s"${prefix}_edges_dst").count() == edges.size + 1)
+      assert(!spark.catalog.tableExists(s"${prefix}_edges_src_retired"))
+      assert(!spark.catalog.tableExists(s"${prefix}_edges_src_compacting"))
+      // torn BOOTSTRAP: one layout missing entirely (writeEdgeStore
+      // crashed between its two writes) — the append rebuilds the
+      // missing twin from the surviving one, not from the batch
+      graft.store.Bucketing.dropWithLocation(spark, s"${prefix}_edges_dst")
+      Graph.appendEdgeStore(Seq(("n3", "n4")).toDF("src", "dst"), prefix, 4)
+      assert(spark.table(s"${prefix}_edges_dst").count() == edges.size + 2)
+      assert(spark.table(s"${prefix}_edges_src").count() == edges.size + 2)
+      // contents identical across layouts after all repairs
+      val a = spark.table(s"${prefix}_edges_src").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val b = spark.table(s"${prefix}_edges_dst").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(a == b)
+    } finally {
+      Seq("_edges_src", "_edges_dst", "_edges_src_compacting",
+        "_edges_dst_compacting", "_edges_src_retired",
+        "_edges_dst_retired").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $prefix$s"))
+      ()
+    }
+  }
+
   test("anchorTerms: counts, binary tie order, k cap") {
     val links = Seq(
       ("t1", "Download  Page"), ("t1", "download now"), ("t1", "now now"),

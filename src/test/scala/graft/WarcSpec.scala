@@ -325,7 +325,9 @@ class WarcSpec extends SparkTestBase {
         var tries = 0
         while (m.isEmpty && tries < 50) {
           m = graft.engine.Telemetry.drain()
-            .flatMap(_.metrics.get("graft_warc_html")).headOption
+            .flatMap(_.metrics.collect {
+              case (k, v) if k.startsWith(Warc.HtmlObservationPrefix) => v
+            }).headOption
             .getOrElse(Map.empty)
           if (m.isEmpty) { Thread.sleep(100); tries += 1 }
         }
