@@ -192,6 +192,60 @@ object Frontier {
       .select(host(col("url")).as("host"), col("url"))
   }
 
+  /** Sitemap-CONTENT frontier seeding — the step after
+    * [[seedsFromRobots]] in the bootstrap loop: robots surfaced the
+    * sitemap URLs, the fetcher brought their payloads back, and this
+    * turns the payloads into fetch targets. `fetched` carries one row
+    * per fetched sitemap: its URL (`sitemapUrlCol`) and raw payload
+    * bytes (`payloadCol` — gzip/XML/plain-text handled by
+    * [[Sitemap.parseEntries]]). Output: (host, url, kind, lastmod) —
+    * kind `"url"` rows are PAGE fetch targets, kind `"sitemap"` rows
+    * are `<sitemapindex>` children, i.e. MORE sitemaps to fetch (feed
+    * them back through the fetcher and this function — the protocol's
+    * one level of recursion, driven by the caller's loop so a cyclic
+    * index cannot hang the pipeline).
+    *
+    * Same gate chain as every frontier candidate: resolve against the
+    * sitemap's own URL (the protocol requires absolute `<loc>`s, but
+    * relative survives a lenient lexer), normalize, http(s) only,
+    * blocklist; URL twins that normalization merges keep their MAX
+    * `lastmod` (the freshest claim wins — recrawl scheduling reads
+    * this); the cumulative seen store, when given, anti-joins PAGE
+    * candidates only (index children are sitemap fetches, not page
+    * crawls) via one left join so the parse runs once, with the store
+    * side read on its bucket layout. Per-SITEMAP input: corpus cost
+    * scales with sitemap count (50k-URL protocol cap per file), never
+    * page count. */
+  def seedsFromSitemaps(fetched: DataFrame, sitemapUrlCol: String,
+      payloadCol: String, blockedDomains: Seq[String] = Nil,
+      seenTable: Option[String] = None): DataFrame = {
+    val entries = fetched
+      .select(col(sitemapUrlCol).as("_base"),
+        explode(Sitemap.entries(col(payloadCol))).as("_e"))
+      .select(col("_e.kind").as("kind"),
+        UrlOps.normalizeUrl(
+          UrlOps.resolveUrl(col("_base"), col("_e.loc"))).as("url"),
+        col("_e.lastmod").as("lastmod"))
+      .filter(col("url").isNotNull)
+      .filter(scheme(col("url")).isin("http", "https"))
+      .filter(if (blockedDomains.isEmpty) lit(true)
+        else !coalesce(UrlOps.domainBlocked(col("url"), blockedDomains), lit(false)))
+      .groupBy(col("kind"), col("url"))
+      .agg(max(col("lastmod")).as("lastmod"))
+    val gated = seenTable.fold(entries) { t =>
+      // left join + kind-aware filter instead of an anti-join branch
+      // per kind: ONE pass over the parsed entries, store side still
+      // on its bucket layout
+      entries.join(
+          entries.sparkSession.table(t).withColumn("_seen", lit(true)),
+          Seq("url"), "left")
+        .filter(col("kind") === "sitemap" || col("_seen").isNull)
+        .drop("_seen")
+    }
+    gated.select(host(col("url")).as("host"), col("url"), col("kind"),
+      col("lastmod"))
+  }
+
   /** Attach each frontier host's `Crawl-delay` (seconds) from its
     * robots row — (host, url, rank) → (host, url, rank, crawl_delay),
     * the fetch scheduler's rate input next to the priority. Robots

@@ -3740,6 +3740,76 @@ object Queries {
       .ordered("host", "url")
   }
 
+  // X66 — sitemap CONTENT parsing closing the robots → sitemap →
+  // page-URL seed loop ([[graft.ext.Sitemap.parseEntries]] →
+  // [[graft.ext.Frontier.seedsFromSitemaps]]): per derived host THREE
+  // fetched payloads — a <urlset> (GZIPPED for even hosts — pins the
+  // magic-byte sniff + inflate path; identical output either way), a
+  // <sitemapindex> (children surface as kind='sitemap' recursion
+  // markers), and a plain-TEXT sitemap (the protocol's third form).
+  // Every gate planted to fire (the x65 discipline): a blocked-domain
+  // loc and an ftp loc die per file; a tracking-param twin AND the
+  // text file's repeat of /p1 merge into one row keeping the MAX
+  // lastmod; a relative loc resolves against the sitemap's own URL
+  // (CDATA-wrapped in the urlset, bare in the index); &amp; in a loc
+  // entity-decodes before normalization. The oracle states the
+  // closed-form survivors.
+  q("x66_sitemap_entries",
+    """WITH hosts AS (
+      |  SELECT DISTINCT doc_id % 50 AS k FROM documents WHERE doc_id % 50 < 40),
+      |hu AS (
+      |  SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+      |         'https://h' || CAST(k AS VARCHAR) || '.example' AS base
+      |  FROM hosts),
+      |u AS (
+      |  SELECT host, base || '/p1' AS url, 'url' AS kind,
+      |         '2026-02-01' AS lastmod FROM hu
+      |  UNION ALL SELECT host, base || '/p2', 'url', CAST(NULL AS VARCHAR) FROM hu
+      |  UNION ALL SELECT host, base || '/q?a=1&b=2', 'url', NULL FROM hu
+      |  UNION ALL SELECT host, base || '/t1', 'url', NULL FROM hu
+      |  UNION ALL SELECT host, base || '/maps/a.xml', 'sitemap', '2026-03-01' FROM hu
+      |  UNION ALL SELECT host, base || '/maps/b.xml', 'sitemap', NULL FROM hu)
+      |SELECT host, url, kind, lastmod FROM u
+      |ORDER BY host, kind, url""".stripMargin) { (s, dir) =>
+    val hosts = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 < 40)
+      .select((col("doc_id") % 50).as("ki")).distinct()
+    val k = col("ki").cast("string")
+    val hu = concat(lit("https://h"), k, lit(".example"))
+    val urlsetXml = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      lit("  <url><loc> "), hu, lit("/p1 </loc><lastmod>2026-01-05</lastmod></url>\n"),
+      lit("  <url><loc><![CDATA[/p2]]></loc></url>\n"),
+      lit("  <url><loc>"), hu, lit("/p1?utm_source=x</loc><lastmod>2026-02-01</lastmod></url>\n"),
+      lit("  <url><loc>https://spam.blocked.example/s"), k, lit("</loc></url>\n"),
+      lit("  <url><loc>ftp://h"), k, lit(".example/f</loc></url>\n"),
+      lit("  <url><loc>"), hu, lit("/q?a=1&amp;b=2</loc></url>\n"),
+      lit("</urlset>\n"))
+    val idxXml = concat(
+      lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      lit("<sitemap><loc>"), hu, lit("/maps/a.xml</loc>" +
+        "<lastmod>2026-03-01</lastmod></sitemap>"),
+      lit("<sitemap><loc>maps/b.xml</loc></sitemap>"),
+      lit("<sitemap><loc>https://spam.blocked.example/sm"), k, lit(".xml</loc></sitemap>"),
+      lit("</sitemapindex>"))
+    val txt = concat(hu, lit("/t1\n"), hu, lit("/p1\n"))
+    val fetched = hosts.select(
+        concat(hu, lit("/sitemap.xml")).as("url"),
+        when(col("ki") % 2 === 0,
+            graft.ext.Warc.gzipBytes(urlsetXml.cast("binary")))
+          .otherwise(urlsetXml.cast("binary")).as("payload"))
+      .unionByName(hosts.select(
+        concat(hu, lit("/sitemap_index.xml")).as("url"),
+        idxXml.cast("binary").as("payload")))
+      .unionByName(hosts.select(
+        concat(hu, lit("/urls.txt")).as("url"),
+        txt.cast("binary").as("payload")))
+    graft.ext.Frontier.seedsFromSitemaps(fetched, "url", "payload",
+        blockedDomains = Seq("blocked.example"))
+      .ordered("host", "kind", "url")
+  }
+
   // X61 — WET (extracted-text) conversion records: the cheap on-ramp
   // of the crawl family (CommonCrawl's *.warc.wet.gz sidecar). Wire
   // bytes carry a warcinfo record THEN the conversion record per doc —
