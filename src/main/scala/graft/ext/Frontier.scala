@@ -39,6 +39,14 @@ import org.apache.spark.sql.functions._
   */
 object Frontier {
 
+  /** The frontier's robots-compliance input: per-domain robots.txt
+    * rows (`robotsUrlCol` = the robots file's own URL — its host keys
+    * the join; `txtCol` = the file body) plus the user-agent the rules
+    * are selected for. Domain-dimension-sized, so the gate join
+    * broadcasts (the [[withCrawlDelay]] shape). */
+  final case class RobotsGate(robots: DataFrame, robotsUrlCol: String,
+      txtCol: String, agent: String = "*")
+
   /** The prioritized frontier: (host, url, rank) — `rank` the host's
     * PageRank in this batch's link graph (0.0 for a host the graph
     * never ranked), at most `perHostCap` URLs per host.
@@ -61,9 +69,10 @@ object Frontier {
       blockedDomains: Seq[String] = Nil, perHostCap: Int = 100,
       seed: String = "graft-frontier-v1", prIterations: Int = 10,
       seenTable: Option[String] = None,
-      hostRanks: Option[DataFrame] = None): DataFrame =
+      hostRanks: Option[DataFrame] = None,
+      robotsGate: Option[RobotsGate] = None): DataFrame =
     frontierCore(pages, urlCol, htmlCol, blockedDomains, perHostCap, seed,
-      seenTable, allowed => hostRanks.getOrElse {
+      seenTable, robotsGate, allowed => hostRanks.getOrElse {
         // the batch's own endorsement structure ranks the hosts. A
         // batch whose links never cross hosts has NO endorsement graph
         // (hostEdges drops self-loops) — every host then ranks 0.0 via
@@ -97,9 +106,10 @@ object Frontier {
       graphStorePrefix: String, blockedDomains: Seq[String] = Nil,
       perHostCap: Int = 100, seed: String = "graft-frontier-v1",
       prIterations: Int = 10, seenTable: Option[String] = None,
-      buckets: Int = 32): DataFrame =
+      buckets: Int = 32,
+      robotsGate: Option[RobotsGate] = None): DataFrame =
     frontierCore(pages, urlCol, htmlCol, blockedDomains, perHostCap, seed,
-      seenTable, allowed => {
+      seenTable, robotsGate, allowed => {
         Graph.appendEdgeStore(
           Graph.hostEdges(
             allowed.select(host(col("_page")).as("src"),
@@ -115,10 +125,19 @@ object Frontier {
     graft.functions.UrlExpressions.urlParts(u).getField("scheme")
 
   /** Gates 1–4 + 6–7 of the frontier; `rankOf` supplies gate 5's host
-    * priority from the materialized link set. */
+    * priority from the materialized link set; `robotsGate`, when
+    * given, adds gate 6.5 — robots.txt COMPLIANCE: a compliant crawler
+    * must not SCHEDULE a disallowed URL, so the filter sits on the
+    * fresh candidates before the politeness cap (a disallowed URL must
+    * not consume a cap slot either). Per-host rules parse ONCE on the
+    * domain-dimension robots frame and broadcast; candidates evaluate
+    * one [[Robots.allowed]] kernel call against their host's merged
+    * rule array (rule merge is order-independent — RFC 9309 decides by
+    * longest-match, not file order). A host with no robots row is
+    * allowed (the RFC's no-file default). */
   private def frontierCore(pages: DataFrame, urlCol: String, htmlCol: String,
       blockedDomains: Seq[String], perHostCap: Int, seed: String,
-      seenTable: Option[String],
+      seenTable: Option[String], robotsGate: Option[RobotsGate],
       rankOf: DataFrame => DataFrame): DataFrame = {
     // 1+2: resolve every href against its page, normalize, drop the
     // unparseable (relative-only bases, javascript:, mailto:, …)
@@ -152,7 +171,29 @@ object Frontier {
       .filter(col("url").isNotNull).distinct()
     val freshBatch = allowed.select(col("url")).distinct()
       .join(crawled, Seq("url"), "left_anti")
-    val fresh = seenTable.fold(freshBatch)(t => freshAgainstStore(freshBatch, t))
+    val fresh0 = seenTable.fold(freshBatch)(t => freshAgainstStore(freshBatch, t))
+
+    // 6.5: robots compliance — disallowed URLs must neither be
+    // scheduled nor consume politeness-cap slots
+    val fresh = robotsGate.fold(fresh0) { rg =>
+      val rules = rg.robots
+        .select(host(col(rg.robotsUrlCol)).as("_rh"),
+          Robots.rulesFor(col(rg.txtCol), lit(rg.agent)).as("_rules"))
+        .filter(col("_rh").isNotNull)
+        // one merged rule array per host (duplicate robots rows are a
+        // data defect but must not duplicate candidates through the
+        // join; decide() is longest-match, so concat order is moot)
+        .groupBy("_rh").agg(flatten(collect_list(col("_rules"))).as("_rules"))
+      val parts = graft.functions.UrlExpressions.urlParts(col("url"))
+      fresh0
+        .withColumn("_rh", host(col("url")))
+        .join(broadcast(rules), Seq("_rh"), "left")
+        .filter(col("_rules").isNull ||
+          Robots.allowed(
+            Robots.matchTarget(parts.getField("path"), parts.getField("query")),
+            col("_rules")))
+        .drop("_rh", "_rules")
+    }
 
     // 7: rank join + politeness cap (ranked is checkpointed for the
     // same reason as `allowed`: the cap engine references it four ways)

@@ -3649,6 +3649,57 @@ object Queries {
       .ordered("host", "url")
   }
 
+  // X64D — robots COMPLIANCE inside the frontier
+  // ([[graft.ext.Frontier.RobotsGate]] → gate 6.5 of frontierCore):
+  // the x64 fixture plus per-host robots files for the EVEN hosts —
+  // `Disallow: /item*-2` kills every j=2 candidate targeting an even
+  // host (wildcard match, scheduled-URL compliance), EXCEPT doc 4's
+  // (`Allow: /item4-2$` is longer, pinning RFC 9309 longest-match +
+  // the $ anchor inside the composed pipeline); odd hosts have NO
+  // robots row and must keep all candidates (the no-file default).
+  // Disallowed URLs die BEFORE the politeness cap, so survivor draws
+  // re-rank — rows AND hashes shift if the gate misfires in either
+  // direction. PageRank is unchanged (robots governs fetch
+  // scheduling, not the endorsement graph).
+  q("x64d_frontier_robots",
+    s"""WITH pages AS (
+      |  SELECT doc_id, doc_id % 50 AS sk FROM documents WHERE doc_id % 50 < 40),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT 'h' || CAST(sk AS VARCHAR) || '.example' AS src,
+      |         'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example' AS dst
+      |  FROM pages, UNNEST([1, 2, 3]) AS t(j)
+      |  WHERE sk <> (doc_id * 7 + j) % 50),
+      |${pageRankRoundsCte(5)}cand AS (
+      |  SELECT DISTINCT
+      |    'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example' AS host,
+      |    'https://h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR) || '.example/item'
+      |      || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS url
+      |  FROM pages, UNNEST([1, 2, 3]) AS t(j)
+      |  WHERE NOT ((doc_id * 7 + j) % 2 = 0 AND j = 2 AND doc_id <> 4)),
+      |ranked AS (
+      |  SELECT c.host, c.url, COALESCE(f.rank, 0.0) AS rank
+      |  FROM cand c LEFT JOIN fin f ON f.id = c.host),
+      |capped AS (
+      |  SELECT host, url, rank,
+      |    row_number() OVER (PARTITION BY host
+      |      ORDER BY md5(url || ':' || 'graft-frontier-v1'), url) AS rk
+      |  FROM ranked)
+      |SELECT host, url, rank FROM capped WHERE rk <= 10
+      |ORDER BY host, url""".stripMargin) { (s, dir) =>
+    val robots = Tables.documents(s, dir)
+      .select((col("doc_id") % 50).as("m")).distinct()
+      .filter(col("m") % 2 === 0)
+      .select(
+        concat(lit("https://h"), col("m").cast("string"),
+          lit(".example/robots.txt")).as("rurl"),
+        lit("User-agent: *\nDisallow: /item*-2\nAllow: /item4-2$\n").as("rtxt"))
+    graft.ext.Frontier.fromPages(frontierFixturePages(s, dir), "url", "html",
+        blockedDomains = Seq("blocked.example"), perHostCap = 10,
+        seed = "graft-frontier-v1", prIterations = 5,
+        robotsGate = Some(graft.ext.Frontier.RobotsGate(robots, "rurl", "rtxt")))
+      .ordered("host", "url")
+  }
+
   // X64C — the CUMULATIVE crawl cycle end to end, two batches: batch 1
   // (even doc pages) already processed through the production step
   // (edge fold + seen append — [[cumulStateFor]]), and the gate runs

@@ -184,6 +184,25 @@ class FrontierSpec extends SparkTestBase {
     }
   }
 
+  test("robots gate: disallowed candidates die before the cap; longest-match allow wins; no robots row = allowed") {
+    val pages = Seq(("https://src.example/page",
+      """<a href="https://a.example/private/x">p</a>
+        |<a href="https://a.example/public/y">q</a>
+        |<a href="https://a.example/private/ok">r</a>
+        |<a href="https://b.example/private/z">s</a>""".stripMargin))
+      .toDF("url", "html")
+    // robots only for a.example: /private/* disallowed except the
+    // longer, $-anchored allow for /private/ok
+    val robots = Seq(("https://a.example/robots.txt",
+      "User-agent: *\nDisallow: /private/\nAllow: /private/ok$\n"))
+      .toDF("rurl", "rtxt")
+    val out = Frontier.fromPages(pages, "url", "html",
+        robotsGate = Some(Frontier.RobotsGate(robots, "rurl", "rtxt")))
+      .collect().map(_.getString(1)).toSeq.sorted
+    assert(out == Seq("https://a.example/private/ok",
+      "https://a.example/public/y", "https://b.example/private/z"))
+  }
+
   test("compaction crash recovery: a mid-swap crash never loses cumulative seen state") {
     val table = "frontier_seen_crash"
     val all = Seq("https://a.example/1", "https://b.example/2",
