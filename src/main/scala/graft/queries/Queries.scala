@@ -2778,6 +2778,69 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X49C — zstd content decoding reclaimed through the decoder seam:
+  // x49b pinned that an encoding with NO decoder is EXCLUDED; this
+  // gate pins the flip — `Content-Encoding: zstd` rows (compressed by
+  // the deterministic zstd kernel) now DECODE by default, because
+  // zstd-jni ships with Spark itself (Warc.ZstdDecoder in
+  // Warc.defaultDecoders). Modes: plain zstd, chunked+zstd (transfer
+  // de-chunk by the codegen kernel THEN content decode by the seam
+  // closure — the RFC 9112 layer order pinned across the seam
+  // boundary), and a br row that must STILL be excluded (the seam
+  // reclaims exactly what it claims, nothing else).
+  q("x49c_warc_zstd",
+    """WITH gen AS (
+      |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS p1
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'zstd' ELSE 'chunked+zstd' END AS mode,
+      |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  p1 AS main_text
+      |FROM gen
+      |WHERE doc_id % 3 <> 2 AND length(p1) >= 10
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val bodyPlain = concat(lit("<p>"), esc, lit("</p>")).cast("binary")
+    val bodyZst = graft.ext.Warc.zstdBytes(bodyPlain)
+    def chunked(bin: Column): Column = concat(
+      lower(hex(least(octet_length(bin), lit(11)))).cast("binary"),
+      lit("\r\n").cast("binary"),
+      substring(bin, 1, 11), lit("\r\n").cast("binary"),
+      when(octet_length(bin) > 11, concat(
+          lower(hex(octet_length(bin) - 11)).cast("binary"),
+          lit("\r\n").cast("binary"),
+          substring(bin, 12, 1 << 28), lit("\r\n").cast("binary")))
+        .otherwise(lit("").cast("binary")),
+      lit("0\r\n\r\n").cast("binary"))
+    val mode = col("doc_id") % 3
+    val codingHeaders = when(mode === 0, "Content-Encoding: zstd")
+      .when(mode === 1, "Transfer-Encoding: chunked\r\nContent-Encoding: zstd")
+      .otherwise("Content-Encoding: br") // still undecodable: must die
+    val bodyWire = when(mode === 0, bodyZst)
+      .when(mode === 1, chunked(bodyZst))
+      .otherwise(bodyPlain)
+    val payload = concat(
+      concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+        codingHeaders, lit("\r\n\r\n")).cast("binary"),
+      bodyWire)
+    val rec = concat(
+      concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/doc/"),
+        id,
+        lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+        octet_length(payload).cast("string"), lit("\r\n\r\n")).cast("binary"),
+      payload, lit("\r\n\r\n").cast("binary"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), rec.as("warc"))
+    graft.streaming.DocumentIngest.extractWarc(src, "warc", "text")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "zstd")
+          .otherwise("chunked+zstd").as("mode"),
+        col("target_uri"), col("text").as("main_text"))
+      .ordered("doc_id")
+  }
+
   // X50 — URL hygiene (the curation step C4/RefinedWeb run on every
   // crawl URI before URL dedup and domain governance): normalization
   // (case, default ports, fragment, sorted query with tracking params

@@ -178,10 +178,26 @@ object DocumentIngest {
     extractWarc(df, blobCol, textCol,
       graft.ext.Extract.ExtractPolicy.Simple(maxLinkDensity, minChars))
 
-  /** [[extractWarc]] under a declared policy (see [[extractHtml]]). */
+  /** [[extractWarc]] under a declared policy (see [[extractHtml]]),
+    * with pluggable content decoders — [[graft.ext.Warc.defaultDecoders]]
+    * (zstd, whose library ships with Spark itself) unless told
+    * otherwise; records whose `Content-Encoding` neither the built-in
+    * kernel (gzip/deflate) nor a supplied decoder handles are excluded
+    * rather than polluting the corpus as compressed bytes. */
   def extractWarc(df: DataFrame, blobCol: String, textCol: String,
-      policy: graft.ext.Extract.ExtractPolicy): DataFrame = {
+      policy: graft.ext.Extract.ExtractPolicy): DataFrame =
+    extractWarc(df, blobCol, textCol, policy, graft.ext.Warc.defaultDecoders)
+
+  def extractWarc(df: DataFrame, blobCol: String, textCol: String,
+      policy: graft.ext.Extract.ExtractPolicy,
+      decoders: Seq[graft.ext.Warc.ContentDecoder]): DataFrame = {
     import graft.ext.Warc
+    val decMap: Map[String, Warc.ContentDecoder] =
+      decoders.flatMap(d => d.encodings.map(_.toLowerCase -> d)).toMap
+    val enc = trim(lower(coalesce(
+      Warc.httpHeader(col("_r.payload"), "Content-Encoding"), lit("identity"))))
+    val extraHandled =
+      if (decMap.isEmpty) lit(false) else enc.isin(decMap.keys.toSeq: _*)
     val rec = df.select(col("*"),
         posexplode(Warc.records(col(blobCol))).as(Seq("record_idx", "_r")))
       .filter(element_at(col("_r.headers"), "WARC-Type") === "response" &&
@@ -189,17 +205,28 @@ object DocumentIngest {
         // the HTTP Content-Type, not the WARC one: a 200 image/JSON
         // response must not flow into the text extractor as mojibake
         Warc.isHtmlResponse(col("_r.payload")) &&
-        // a brotli/zstd body this layer can't inflate must die here,
-        // not pollute the corpus as compressed bytes
-        Warc.isDecodableEncoding(col("_r.payload")))
+        // a body NO decoder (kernel or supplied) can inflate must die
+        // here, not pollute the corpus as compressed bytes
+        (Warc.isDecodableEncoding(col("_r.payload")) || extraHandled))
       .withColumn("target_uri",
         coalesce(element_at(col("_r.headers"), "WARC-Target-URI"), lit("")))
       // de-chunk + inflate (real captures preserve on-the-wire bytes),
-      // THEN decode under the declared charset — the htmlResponses path
+      // THEN decode under the declared charset — the htmlResponses path.
+      // The kernel passes unknown content codings through de-chunked
+      // but still coded; a supplied decoder finishes the job on the
+      // rare branch only (built-ins keep the codegen path).
       .withColumn("_body", Warc.httpDecodedBodyBytes(col("_r.payload")))
+    val withExtra =
+      if (decMap.isEmpty) rec
+      else {
+        val dec = udf((body: Array[Byte], e: String) =>
+          decMap.get(e).fold(body)(_.decode(body)))
+        rec.withColumn("_body",
+          when(extraHandled, dec(col("_body"), enc)).otherwise(col("_body")))
+      }
     val cs = coalesce(Warc.httpCharset(col("_r.payload")),
       graft.ext.Extract.metaCharset(col("_body").cast("string")), lit("utf-8"))
-    rec.withColumn(textCol,
+    withExtra.withColumn(textCol,
         graft.ext.Extract.extract(Warc.decodeCharset(col("_body"), cs), policy))
       .filter(col(textCol) =!= "")
       .drop("_r", "_body").drop(blobCol)

@@ -352,4 +352,48 @@ class WarcSpec extends SparkTestBase {
       dir.listFiles().foreach(_.delete()); dir.delete(): Unit
     }
   }
+
+  test("zstd decodes BY DEFAULT (library ships with Spark); br still excluded; truncated zstd keeps prefix") {
+    val html = "<p>zstd page body with enough text to survive.</p>"
+    val zst = com.github.luben.zstd.Zstd.compress(html.getBytes(UTF_8), 3)
+    val dir = java.nio.file.Files.createTempDirectory("warcspec6").toFile
+    try {
+      val f = rawResponse("https://e.example/zstd",
+          "Content-Type: text/html\r\nContent-Encoding: zstd", zst) ++
+        rawResponse("https://e.example/br",
+          "Content-Type: text/html\r\nContent-Encoding: br",
+          html.getBytes(UTF_8).reverse) ++
+        record("response", "https://e.example/plain", http("<p>plain</p>"))
+      java.nio.file.Files.write(new java.io.File(dir, "d.warc").toPath, f)
+      graft.engine.Telemetry.install(spark)
+      graft.engine.Telemetry.drain()
+      // single-arg htmlResponses — the DEFAULT decoder set must reclaim
+      // zstd while br (genuinely undecodable here) stays excluded
+      val out = Warc.htmlResponses(Warc.read(spark, dir.getAbsolutePath + "/*"))
+        .collect().map(r => r.getAs[String]("target_uri") -> r.getAs[String]("html"))
+        .toMap
+      assert(out == Map("https://e.example/zstd" -> html,
+        "https://e.example/plain" -> "<p>plain</p>"))
+      var m = Map.empty[String, Any]
+      var tries = 0
+      while (m.isEmpty && tries < 50) {
+        m = graft.engine.Telemetry.drain()
+          .flatMap(_.metrics.collect {
+            case (k, v) if k.startsWith(Warc.HtmlObservationPrefix) => v
+          }).headOption.getOrElse(Map.empty)
+        if (m.isEmpty) { Thread.sleep(100); tries += 1 }
+      }
+      assert(m("n_html200") == 3L && m("n_excluded_encoding") == 1L, s"$m")
+      // tolerance: a truncated zstd stream yields the decoded prefix,
+      // and non-zstd bytes pass through untouched
+      val truncated = java.util.Arrays.copyOfRange(zst, 0, zst.length - 4)
+      val prefix = Warc.ZstdDecoder.decode(truncated)
+      assert(prefix.length < html.length &&
+        html.startsWith(new String(prefix, UTF_8)))
+      val notZstd = "just plain bytes".getBytes(UTF_8)
+      assert(Warc.ZstdDecoder.decode(notZstd).sameElements(notZstd))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
 }
