@@ -97,26 +97,47 @@ object Frontier {
     * under replay: the edge fold is a no-op on re-delivery, so the
     * store-derived ranks — and therefore the frontier — reproduce.
     *
-    * Cost shape: the rank recompute is per batch; at very high batch
-    * rates run it on a cadence instead — persist a rank snapshot every
-    * N batches and pass it through [[fromPages]]'s `hostRanks` between
-    * recomputes (staleness bounded by the cadence; crawl priorities
-    * are heuristic, so bounded staleness is the standard trade). */
+    * Cost shape: the rank recompute is per batch BY DEFAULT; at very
+    * high batch rates run it on a CADENCE instead — `rankSnapshotTable`
+    * names a persisted [[Graph.writeRankSnapshot]] store, and
+    * `recomputeRanks = false` serves host priorities from it (edges
+    * STILL fold every batch — the graph store never goes stale, only
+    * the derived ranks do, with staleness bounded by the caller's
+    * cadence; crawl priorities are heuristic, so bounded staleness is
+    * the standard trade). A recompute batch writes the snapshot and
+    * ranks against the freshly-written table, so recompute and
+    * between-batches read ranks from the IDENTICAL source (bitwise —
+    * the spec's contract). A missing/torn snapshot forces a recompute
+    * regardless of the flag — the safe default. */
   def fromPagesCumulative(pages: DataFrame, urlCol: String, htmlCol: String,
       graphStorePrefix: String, blockedDomains: Seq[String] = Nil,
       perHostCap: Int = 100, seed: String = "graft-frontier-v1",
       prIterations: Int = 10, seenTable: Option[String] = None,
       buckets: Int = 32,
-      robotsGate: Option[RobotsGate] = None): DataFrame =
+      robotsGate: Option[RobotsGate] = None,
+      rankSnapshotTable: Option[String] = None,
+      recomputeRanks: Boolean = true): DataFrame =
     frontierCore(pages, urlCol, htmlCol, blockedDomains, perHostCap, seed,
       seenTable, robotsGate, allowed => {
+        val spark = pages.sparkSession
         Graph.appendEdgeStore(
           Graph.hostEdges(
             allowed.select(host(col("_page")).as("src"),
               host(col("url")).as("dst")), "src", "dst"),
           graphStorePrefix, buckets)
-        Graph.pageRankFromStore(pages.sparkSession, graphStorePrefix,
-          prIterations)
+        val served = if (!recomputeRanks)
+          rankSnapshotTable.flatMap(Graph.readRankSnapshot(spark, _))
+        else None
+        served.getOrElse {
+          val ranks = Graph.pageRankFromStore(spark, graphStorePrefix,
+            prIterations)
+          rankSnapshotTable match {
+            case Some(t) =>
+              Graph.writeRankSnapshot(ranks, t, buckets)
+              Graph.readRankSnapshot(spark, t).get
+            case None => ranks
+          }
+        }
       })
 
   private def host(u: Column): Column =

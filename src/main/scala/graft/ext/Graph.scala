@@ -445,6 +445,34 @@ object Graph {
     }
   }
 
+  /** Persist an (id, rank) frame as a bucketed catalog table — the
+    * RANK-CADENCE snapshot the high-rate crawl loop serves host
+    * priorities from between PageRank recomputes
+    * ([[graft.streaming.DocumentIngest.frontierMaintenance]]'s
+    * `rankEvery` knob): a rank recompute per batch is the dominant
+    * fixed cost at high batch rates, and crawl priorities are
+    * heuristic, so staleness bounded by the cadence is the standard
+    * trade. Crash-safe replace ([[graft.store.Bucketing.replaceTable]]
+    * — the live snapshot is never absent with data only in an orphan);
+    * a torn FIRST write simply reads as "no snapshot" and the next
+    * batch recomputes. */
+  def writeRankSnapshot(ranks: DataFrame, table: String,
+      buckets: Int = 32): Unit =
+    graft.store.Bucketing.replaceTable(ranks.sparkSession, table) { tmp =>
+      ranks.select(col("id"), col("rank"))
+        .repartition(buckets, col("id"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(tmp)
+    }
+
+  /** The snapshot back, recovery-aware; None when no snapshot exists
+    * (callers then recompute — the safe default). */
+  def readRankSnapshot(spark: SparkSession, table: String): Option[DataFrame] =
+    if (graft.store.Bucketing.recoverCompacted(spark, table))
+      Some(spark.table(table).select(col("id"), col("rank")))
+    else None
+
   /** [[pageRank]] against a [[writeEdgeStore]] prefix: the rounds join
     * the bucketed `_edges_src` scan directly — the bucket layout IS
     * the join distribution, so no exchange ever sits above the edge

@@ -63,12 +63,23 @@ object Bucketing {
     *    orphan → recovery (or the next compaction) drops it. */
   def compactSwap(spark: SparkSession, table: String)
       (writeTmp: String => Unit): Unit = {
+    require(recoverCompacted(spark, table), s"no such store: $table")
+    replaceTable(spark, table)(writeTmp)
+  }
+
+  /** The swap core of [[compactSwap]], usable when the live table may
+    * not exist yet (snapshot writers): build under `_compacting`,
+    * rename any live copy aside, rename the new one in, drop the
+    * aside. Same crash windows and [[recoverCompacted]] repair. */
+  def replaceTable(spark: SparkSession, table: String)
+      (writeTmp: String => Unit): Unit = {
     val tmp = s"${table}_compacting"
     val retired = s"${table}_retired"
-    require(recoverCompacted(spark, table), s"no such store: $table")
+    recoverCompacted(spark, table): Unit // repair any prior crash first
     dropWithLocation(spark, tmp)
     writeTmp(tmp)
-    spark.sql(s"ALTER TABLE `$table` RENAME TO `$retired`")
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `$retired`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
     dropWithLocation(spark, retired)
   }

@@ -385,7 +385,8 @@ object DocumentIngest {
       seed: String = "graft-frontier-v1", prIterations: Int = 10,
       buckets: Int = 32, maxFilesPerTrigger: Option[Int] = None,
       graphStorePrefix: Option[String] = None,
-      compactEvery: Option[Int] = None): Unit = {
+      compactEvery: Option[Int] = None,
+      rankEvery: Int = 1): Unit = {
     val reader = spark.readStream
       .schema(spark.read.parquet(srcDir).schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -394,7 +395,7 @@ object DocumentIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         frontierProcessBatch(batch, batchId, frontierDir, seenTable,
           urlCol, htmlCol, blockedDomains, perHostCap, seed, prIterations,
-          buckets, graphStorePrefix, compactEvery)
+          buckets, graphStorePrefix, compactEvery, rankEvery)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -413,7 +414,8 @@ object DocumentIngest {
       htmlCol: String, blockedDomains: Seq[String], perHostCap: Int,
       seed: String, prIterations: Int, buckets: Int,
       graphStorePrefix: Option[String] = None,
-      compactEvery: Option[Int] = None): Unit = {
+      compactEvery: Option[Int] = None,
+      rankEvery: Int = 1): Unit = {
     if (!batch.isEmpty) {
       val s = batch.sparkSession
       // recovery-aware existence check (Bucketing.recoverCompacted):
@@ -426,9 +428,15 @@ object DocumentIngest {
         else None
       val frontier = graphStorePrefix match {
         case Some(g) =>
+          // rank cadence: recompute PageRank (and refresh the persisted
+          // snapshot) every `rankEvery` batches; between recomputes the
+          // frontier ranks from the snapshot — edges still fold every
+          // batch, and a missing/torn snapshot forces a recompute
           graft.ext.Frontier.fromPagesCumulative(batch, urlCol, htmlCol, g,
             blockedDomains, perHostCap, seed, prIterations,
-            seenTable = store, buckets = buckets)
+            seenTable = store, buckets = buckets,
+            rankSnapshotTable = if (rankEvery > 1) Some(s"${g}_ranks") else None,
+            recomputeRanks = rankEvery <= 1 || batchId % rankEvery == 0)
         case None =>
           graft.ext.Frontier.fromPages(batch, urlCol, htmlCol, blockedDomains,
             perHostCap, seed, prIterations, seenTable = store)

@@ -503,6 +503,79 @@ class DocumentIngestSpec extends SparkTestBase {
     }
   }
 
+  test("rank cadence: between-recompute batches rank from the snapshot; recompute batches match the per-batch loop bitwise") {
+    def mkSrc(tag: String): String = {
+      val srcDir = Files.createTempDirectory(s"$tag-src").toString
+      def writeOneFile(df: org.apache.spark.sql.DataFrame, name: String,
+          mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory(s"$tag-slice").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(srcDir, name)
+        Files.copy(part.toPath, dst)
+        assert(dst.toFile.setLastModified(mtime))
+        ()
+      }
+      val t0 = System.currentTimeMillis() - 120000
+      writeOneFile(Seq(("https://p.example/one",
+        """<a href="https://x.example/two">x</a>""")).toDF("url", "html"),
+        "a.parquet", t0)
+      writeOneFile(Seq(("https://x.example/two",
+        """<a href="https://y.example/three">y</a>""")).toDF("url", "html"),
+        "b.parquet", t0 + 60000)
+      srcDir
+    }
+    def run(tag: String, table: String, gprefix: String,
+        rankEvery: Int): Map[(Long, String), Double] = {
+      val frontierDir = Files.createTempDirectory(s"$tag-out").toString + "/out"
+      val ckpt = Files.createTempDirectory(s"$tag-ckpt").toString
+      DocumentIngest.frontierMaintenance(spark, mkSrc(tag), frontierDir, ckpt,
+        table, buckets = 4, maxFilesPerTrigger = Some(1),
+        graphStorePrefix = Some(gprefix), prIterations = 5,
+        rankEvery = rankEvery)
+      spark.read.parquet(frontierDir)
+        .select(col("batch_id").cast("long"), col("url"), col("rank"))
+        .as[(Long, String, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    }
+    val tables = Seq("fr_rc_seen_a", "fr_rc_seen_b",
+      "fr_rc_ga_edges_src", "fr_rc_ga_edges_dst", "fr_rc_ga_ranks",
+      "fr_rc_gb_edges_src", "fr_rc_gb_edges_dst")
+    try {
+      val cadenced = run("frrc-a", "fr_rc_seen_a", "fr_rc_ga", rankEvery = 2)
+      val perBatch = run("frrc-b", "fr_rc_seen_b", "fr_rc_gb", rankEvery = 1)
+      // batch 0 recomputes under BOTH cadences — bitwise identical
+      assert(cadenced((0L, "https://x.example/two")) ==
+        perBatch((0L, "https://x.example/two")))
+      // batch 1 between recomputes: ranked from the batch-0 snapshot,
+      // which predates y.example entirely → rank 0.0; the per-batch
+      // loop recomputes over the cumulative graph and ranks y > 0
+      assert(cadenced((1L, "https://y.example/three")) == 0.0)
+      assert(perBatch((1L, "https://y.example/three")) > 0.0)
+      // the snapshot holds the batch-0 graph's hosts only...
+      val snap0 = graft.ext.Graph.readRankSnapshot(spark, "fr_rc_ga_ranks")
+        .get.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(snap0.keySet == Set("p.example", "x.example"))
+      // ...and the edge store still folded BOTH batches (only the
+      // derived ranks go stale, never the graph)
+      assert(spark.table("fr_rc_ga_edges_src").count() == 2)
+      // a recompute batch (id % rankEvery == 0) refreshes the snapshot
+      DocumentIngest.frontierProcessBatch(
+        Seq(("https://y.example/three",
+          """<a href="https://z.example/four">z</a>""")).toDF("url", "html"),
+        2L, Files.createTempDirectory("frrc-c").toString + "/out",
+        "fr_rc_seen_a", "url", "html", Nil, 100, "graft-frontier-v1", 5, 4,
+        graphStorePrefix = Some("fr_rc_ga"), rankEvery = 2)
+      val snap2 = graft.ext.Graph.readRankSnapshot(spark, "fr_rc_ga_ranks")
+        .get.collect().map(r => r.getString(0)).toSet
+      assert(snap2 == Set("p.example", "x.example", "y.example", "z.example"))
+    } finally {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      ()
+    }
+  }
+
   test("gates drop repetitive and short docs; survivors carry quality_score when configured") {
     val docs = Seq(
       (1L, "hash join scan filter window batch sort merge group value spark query fast run", ts0(0)),
