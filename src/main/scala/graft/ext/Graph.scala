@@ -192,13 +192,24 @@ object Graph {
   private def pageRankLoop(e: DataFrame, iterations: Int,
       damping: Double): DataFrame = {
     val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    // node count AND dangling count ride the nodes checkpoint as
+    // observe() metrics — the loop needs three facts before round 1
+    // (n, the dangling count, the node frame) and gets all three from
+    // ONE job; the old shape paid three (checkpoint, count(), and a
+    // round-0 materialization whose only purpose was the initial
+    // dangling-mass sum)
+    val nodesObs = org.apache.spark.sql.Observation()
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
       .join(outDeg, Seq("id"), "left")
       .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
       .repartition(col("id"))
+      .observe(nodesObs, count(lit(1)).as("n"),
+        sum(when(col("out_deg") === 0, 1L).otherwise(0L)).as("nd"))
       .localCheckpoint(true)
-    val n = nodes.count()
+    val n = nodesObs.get.get("n").fold(0L)(_.asInstanceOf[Long])
+    val nDangling = nodesObs.get.get("nd").flatMap(Option(_))
+      .fold(0L)(_.asInstanceOf[Long])
     require(n > 0, "empty graph")
     requireGridScale(n)
     val base = (1.0 - damping) / n
@@ -228,8 +239,25 @@ object Graph {
         .fold(0.0)(_.asInstanceOf[java.math.BigDecimal].doubleValue)
       (ck, dm)
     }
-    var (ranks, dm) = materialize(
-      nodes.select(col("id"), col("out_deg"), quant(lit(1.0 / n)).as("rank")))
+    // round-0 state needs NO materialization job: the rank column is a
+    // literal over the checkpointed nodes (each round-1 reference
+    // re-reads the checkpoint plus a constant projection — trivial),
+    // and the initial dangling mass is computable driver-side from the
+    // observed dangling COUNT with arithmetic replicating the engine
+    // path bit-for-bit: every dangling row contributes the identical
+    // decimal cast(q0), so the order-free decimal sum is exactly
+    // q0dec × nDangling. The cast twin: Spark's double→DECIMAL(30,12)
+    // goes through Double.toString (shortest repr) then HALF_UP to
+    // scale 12 — replicated literally below. q0 itself folds from the
+    // same IEEE ops both here and in the plan (floor(x·1e9+0.5)/1e9 on
+    // the same doubles).
+    val q0 = math.floor(1.0 / n * Grid + 0.5) / Grid
+    var ranks = nodes.select(col("id"), col("out_deg"), quant(lit(1.0 / n)).as("rank"))
+    var dm =
+      if (nDangling == 0L) 0.0
+      else new java.math.BigDecimal(java.lang.Double.toString(q0))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .multiply(java.math.BigDecimal.valueOf(nDangling)).doubleValue
     var round = 0
     while (round < iterations) {
       val contribs = e
@@ -282,11 +310,14 @@ object Graph {
     * edge frames (in-memory checkpoints or bucketed store scans). */
   private def hitsLoop(e: DataFrame, eByDst: DataFrame,
       iterations: Int): DataFrame = {
+    // node count rides the checkpoint job (the pageRankLoop fusion)
+    val nodesObs = org.apache.spark.sql.Observation()
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
       .repartition(col("id"))
+      .observe(nodesObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val n = nodes.count()
+    val n = nodesObs.get.get("n").fold(0L)(_.asInstanceOf[Long])
     require(n > 0, "empty graph")
     requireGridScale(n)
 

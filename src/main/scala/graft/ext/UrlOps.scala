@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  private val TrackingParams = Seq("fbclid", "gclid", "msclkid", "ref")
+  // tracking-param stripping lives in the normalize kernel:
+  // graft.functions.UrlExpressions.TrackingParamKeys (+ every utm_*)
 
   /** (scheme, host, port, path, query, fragment) of an absolute URL —
     * nulls for absent parts; every field null for a URL the parser
@@ -58,34 +59,14 @@ object UrlOps {
     graft.functions.UrlExpressions.urlResolve(base, ref)
 
   /** The canonical form per the contract above; null for a URL the
-    * parser rejects (no scheme://host). */
-  def normalizeUrl(url: Column): Column = {
-    val parts = urlParts(url).toMap
-    val scheme = parts("scheme")
-    val host = parts("host")
-    val port = parts("port")
-    val keepPort = port.isNotNull &&
-      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
-    val path = when(parts("path") === "", "/").otherwise(parts("path"))
-    // sort query params byte-wise, drop tracking params (utm_* and the
-    // named set); param identity is the full "k=v" token, matching the
-    // curation convention (a bare "k" token sorts and survives as-is)
-    val params = filter(
-      array_sort(split(coalesce(parts("query"), lit("")), "&")),
-      p => {
-        // key compares case-insensitively ('UTM_Source', 'Fbclid' are
-        // the same trackers) while the token itself survives verbatim
-        val k = lower(split(p, "=").getItem(0))
-        p =!= "" && !k.startsWith("utm_") &&
-          !TrackingParams.map(t => k === lit(t)).reduce(_ || _)
-      })
-    val query = array_join(params, "&")
-    when(scheme.isNull || host.isNull, lit(null).cast("string")).otherwise(concat(
-      scheme, lit("://"), host,
-      when(keepPort, concat(lit(":"), port)).otherwise(""),
-      path,
-      when(length(query) > 0, concat(lit("?"), query)).otherwise("")))
-  }
+    * parser rejects (no scheme://host). ONE kernel pass
+    * ([[graft.functions.UrlExpressions.NormalizeUrlExpr]]); the column-
+    * algebra form this replaced composed ~10 parse subtrees, and every
+    * filter placed over the result re-expanded the whole tree (no
+    * cross-operator subexpression elimination) — the frontier/sitemap
+    * gate chains paid ~70 parses per row per downstream reference. */
+  def normalizeUrl(url: Column): Column =
+    graft.functions.UrlExpressions.normalizeUrl(url)
 
   /** Two-level public suffixes common enough to matter without the full
     * PSL — the no-data fallback behind [[PublicSuffixes.Builtin]]. */

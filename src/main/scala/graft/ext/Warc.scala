@@ -376,23 +376,10 @@ object Warc {
       .observe(s"${HtmlObservationPrefix}_${obsCounter.incrementAndGet()}",
         count(lit(1)).as("n_html200"),
         sum(when(handled, 0L).otherwise(1L)).as("n_excluded_encoding"))
-    val resp = html200
-      .filter(handled)
-      .withColumn("_body", httpDecodedBodyBytes(col("payload")))
-    val withExtra =
-      if (decMap.isEmpty) resp
-      else {
-        // the kernel passes unknown codings through de-chunked but
-        // still content-coded; the supplied decoder finishes the job
-        val dec = udf((body: Array[Byte], e: String) =>
-          decMap.get(e).fold(body)(_.decode(body)))
-        resp.withColumn("_body",
-          when(extraHandled, dec(col("_body"), enc)).otherwise(col("_body")))
-      }
-    val provisional = col("_body").cast("string") // UTF-8 view for meta sniff
-    val cs = coalesce(httpCharset(col("payload")),
-      Extract.metaCharset(provisional), lit("utf-8"))
-    withExtra.withColumn("html", decodeCharset(col("_body"), cs))
+    // ONE fused decode kernel per row — de-chunk, inflate, supplied
+    // decoders, charset pick, decode ([[httpBodyText]])
+    html200.filter(handled)
+      .withColumn("html", httpBodyText(col("payload"), decoders))
       .select("path", "idx", "target_uri", "warc_date", "html")
   }
 
@@ -612,6 +599,111 @@ object Warc {
     }
   }
 
+  /** HTTP body as decoded TEXT, one fused kernel: header/body split →
+    * transfer de-chunk → content inflate ([[HttpDecode]]) → charset
+    * pick (HTTP `Content-Type` charset param wins, then a `<meta
+    * charset>` sniff over a UTF-8 provisional view of the first 64K
+    * chars, then UTF-8) → charset decode with BOM override. Semantics
+    * identical to composing [[httpDecodedBodyBytes]] + [[httpCharset]]
+    * + [[graft.ext.Extract.metaCharset]] + [[decodeCharset]] — but ONE
+    * evaluation per row: the composed column form re-expands the
+    * de-chunk+inflate subtree at every `_body` reference (charset
+    * sniff, decode, extract — Catalyst collapses projections and
+    * codegen's subexpression elimination does not cross operators), so
+    * the production WARC reader paid ~3 inflates per record. At 100 TB
+    * that triple decompress IS the scan's CPU bill. */
+  def httpBodyText(payload: Column): Column =
+    ColumnBridge.column(HttpBodyTextExpr(ColumnBridge.expr(payload)))
+
+  /** [[httpBodyText]] with extra [[ContentDecoder]]s applied INSIDE the
+    * kernel (after the built-in transfer/content decode, before the
+    * charset decode) — one evaluation per row even on decoder rows; a
+    * udf-branch formulation re-ran the decoder per reference. */
+  def httpBodyText(payload: Column, decoders: Seq[ContentDecoder]): Column =
+    ColumnBridge.column(HttpBodyTextExpr(ColumnBridge.expr(payload), decoders))
+
+  private val MetaCharsetPattern = java.util.regex.Pattern.compile(
+    "(?is)<meta(?=[\\s/>])[^>]*?[\\s\"';]charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)")
+  private val HttpCharsetPattern = java.util.regex.Pattern.compile(
+    "(?i)charset=\"?([A-Za-z0-9_.:-]+)")
+
+  final case class HttpBodyTextExpr(child: Expression,
+      decoders: Seq[ContentDecoder] = Nil)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_http_body_text"
+
+    @transient private lazy val decMap: Map[String, ContentDecoder] =
+      decoders.flatMap(d => d.encodings.map(_.toLowerCase -> d)).toMap
+
+    def textOf(payload: Array[Byte]): UTF8String = {
+      // header/body split (the HttpBodyBytesExpr scan, charset-agnostic)
+      var i = 0
+      val n = payload.length
+      var sepLf = -1
+      var bodyStart = n
+      while (i < n && sepLf < 0) {
+        if (payload(i) == '\n') {
+          var j = i + 1
+          if (j < n && payload(j) == '\r') j += 1
+          if (j < n && payload(j) == '\n') { sepLf = i; bodyStart = j + 1 }
+        }
+        i += 1
+      }
+      val raw =
+        if (sepLf < 0) payload
+        else java.util.Arrays.copyOfRange(payload, bodyStart, n)
+      var body =
+        if (sepLf < 0) raw else HttpDecode.decodeBody(payload, sepLf, raw)
+      val head = new String(payload, 0, math.max(sepLf, 0),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      // extra content decoders (zstd by default at the call sites):
+      // the built-in decode passed unknown codings through de-chunked
+      // but still content-coded — a supplied decoder finishes the job
+      if (decMap.nonEmpty) {
+        val em = java.util.regex.Pattern
+          .compile("(?im)^Content-Encoding\\s*:\\s*(.*?)\\s*$").matcher(head)
+        if (em.find()) {
+          decMap.get(em.group(1).trim.toLowerCase)
+            .foreach(d => body = d.decode(body))
+        }
+      }
+      // charset pick: HTTP header wins, meta sniff over a UTF-8
+      // provisional view (first 65536 chars) falls back, then UTF-8
+      val ctm = java.util.regex.Pattern
+        .compile("(?im)^Content-Type\\s*:\\s*(.*?)\\s*$").matcher(head)
+      var cs: String = null
+      if (ctm.find()) {
+        val m = HttpCharsetPattern.matcher(ctm.group(1))
+        if (m.find()) cs = m.group(1).toLowerCase
+      }
+      if (cs == null) {
+        val provisional = new String(body,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val bounded =
+          if (provisional.length > 65536) provisional.substring(0, 65536)
+          else provisional
+        val m = MetaCharsetPattern.matcher(bounded)
+        if (m.find()) cs = m.group(1).toLowerCase
+      }
+      if (cs == null) cs = "utf-8"
+      Warc.charsetDecode(body, cs)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      textOf(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val ref = ctx.addReferenceObj("httptext", this, classOf[HttpBodyTextExpr].getName)
+        s"${ev.value} = $ref.textOf($b);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Deterministic gzip bytes of a BINARY column (the JDK writes a
     * fixed header — zero MTIME/XFL/OS — so output is a pure function of
     * input) — derived-input support for oracles that need a compressed
@@ -675,6 +767,34 @@ object Warc {
       copy(child = newChild)
   }
 
+  /** The shared charset-decode core (BOM override per WHATWG Encoding
+    * — a UTF-8 page behind a stale `charset=iso-8859-1` header must
+    * not mojibake; the BOM itself is stripped; malformed input
+    * replaced; unknown charset falls back to UTF-8 — a decode must
+    * never kill a 100-TB pass). */
+  private[ext] def charsetDecode(b: Array[Byte], cs: String): UTF8String = {
+    val (bytes, bomCharset) =
+      if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+          b(2) == 0xBF.toByte)
+        (java.util.Arrays.copyOfRange(b, 3, b.length),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
+        (java.util.Arrays.copyOfRange(b, 2, b.length),
+          java.nio.charset.StandardCharsets.UTF_16LE)
+      else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+        (java.util.Arrays.copyOfRange(b, 2, b.length),
+          java.nio.charset.StandardCharsets.UTF_16BE)
+      else (b, null)
+    val charset =
+      if (bomCharset != null) bomCharset
+      else try java.nio.charset.Charset.forName(cs)
+      catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+    val dec = charset.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+  }
+
   /** Decode bytes under a PER-ROW charset name (JDK charsets;
     * malformed input replaced, unknown charset falls back to UTF-8 —
     * a decode must never kill a 100-TB pass). */
@@ -691,32 +811,8 @@ object Warc {
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_decode_charset"
 
-    def decode(b: Array[Byte], cs: UTF8String): UTF8String = {
-      // WHATWG Encoding: a BOM OVERRIDES any declared charset — a
-      // UTF-8 page behind a stale `charset=iso-8859-1` header (a
-      // common real-crawl misconfiguration) must not mojibake. The
-      // BOM itself is stripped.
-      val (bytes, bomCharset) =
-        if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
-            b(2) == 0xBF.toByte)
-          (java.util.Arrays.copyOfRange(b, 3, b.length),
-            java.nio.charset.StandardCharsets.UTF_8)
-        else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
-          (java.util.Arrays.copyOfRange(b, 2, b.length),
-            java.nio.charset.StandardCharsets.UTF_16LE)
-        else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
-          (java.util.Arrays.copyOfRange(b, 2, b.length),
-            java.nio.charset.StandardCharsets.UTF_16BE)
-        else (b, null)
-      val charset =
-        if (bomCharset != null) bomCharset
-        else try java.nio.charset.Charset.forName(cs.toString)
-        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
-      val dec = charset.newDecoder()
-        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-      UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
-    }
+    def decode(b: Array[Byte], cs: UTF8String): UTF8String =
+      Warc.charsetDecode(b, cs.toString)
 
     override def nullSafeEval(b: Any, cs: Any): Any =
       decode(b.asInstanceOf[Array[Byte]], cs.asInstanceOf[UTF8String])

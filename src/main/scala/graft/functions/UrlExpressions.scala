@@ -109,6 +109,96 @@ object UrlExpressions {
   def urlParts(url: Column): Column =
     ColumnBridge.column(UrlPartsExpr(ColumnBridge.expr(url)))
 
+  // -- one-kernel URL normalization ----------------------------------------
+
+  /** The tracking params [[normalize]] strips (lowercase; plus every
+    * `utm_*` key) — mirrors `graft.ext.UrlOps.TrackingParams`. */
+  private val TrackingParamKeys = Set("fbclid", "gclid", "msclkid", "ref")
+
+  /** One-pass normalization with semantics IDENTICAL to the column
+    * algebra it replaced (`UrlOps.normalizeUrl` delegates here):
+    * lowercase scheme/host (the parse does it), default ports dropped
+    * (http:80 / https:443, string-exact), empty path → "/", fragment
+    * dropped, query tokens byte-wise sorted (UTF8String binary order —
+    * what `array_sort` uses) with empty tokens, `utm_*` keys, and the
+    * tracking shortlist removed (key = token before the first '=',
+    * compared lowercase); null for a URL the parser rejects.
+    *
+    * Why a kernel and not algebra: the algebra form composed ~10
+    * [[parse]]-subtree references, and every FILTER placed over it
+    * re-expands the whole tree (Catalyst collapses projections into
+    * predicates, and codegen's subexpression elimination does not
+    * reach across operators) — measured on the x65 gate chain,
+    * scheme+blocklist filters over algebra-normalized URLs cost ~0.2 s
+    * per 200 rows of pure re-evaluation. As one kernel, every
+    * downstream reference re-runs ONE parse, not seventy. */
+  def normalize(s: String): UTF8String = {
+    val row = parse(s)
+    if (row == null) return null
+    val scheme = row.getUTF8String(0).toString
+    val host = row.getUTF8String(1).toString
+    val port = if (row.isNullAt(2)) null else row.getUTF8String(2).toString
+    val path0 = row.getUTF8String(3).toString
+    val query0 = if (row.isNullAt(4)) null else row.getUTF8String(4).toString
+    val keepPort = port != null &&
+      !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
+    val sb = new java.lang.StringBuilder(s.length)
+    sb.append(scheme).append("://").append(host)
+    if (keepPort) sb.append(':').append(port)
+    sb.append(if (path0.isEmpty) "/" else path0)
+    if (query0 != null) {
+      // java's split(_, -1) keeps trailing empties, like Spark's split;
+      // empties then die in the filter, exactly as the algebra did
+      val kept = query0.split("&", -1).filter { p =>
+        if (p.isEmpty) false
+        else {
+          val eq = p.indexOf('=')
+          val k = UTF8String.fromString(
+            if (eq >= 0) p.substring(0, eq) else p).toLowerCase.toString
+          !(k.startsWith("utm_") || TrackingParamKeys.contains(k))
+        }
+      }.map(UTF8String.fromString)
+      java.util.Arrays.sort(kept,
+        (a: UTF8String, b: UTF8String) => a.compareTo(b))
+      if (kept.nonEmpty) {
+        sb.append('?')
+        var i = 0
+        while (i < kept.length) {
+          if (i > 0) sb.append('&')
+          sb.append(kept(i).toString)
+          i += 1
+        }
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  final case class NormalizeUrlExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_normalize_url"
+
+    override def nullSafeEval(input: Any): Any =
+      UrlExpressions.normalize(input.asInstanceOf[UTF8String].toString)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, u => {
+        s"""
+           |${ev.value} = graft.functions.UrlExpressions.normalize($u.toString());
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Canonical URL string (null = malformed) — one kernel pass. */
+  def normalizeUrl(url: Column): Column =
+    ColumnBridge.column(NormalizeUrlExpr(ColumnBridge.expr(url)))
+
   // -- RFC 3986 §5 reference resolution -----------------------------------
 
   /** `graft_url_resolve(base, ref)` — resolve an `href` against its

@@ -210,26 +210,14 @@ object DocumentIngest {
         (Warc.isDecodableEncoding(col("_r.payload")) || extraHandled))
       .withColumn("target_uri",
         coalesce(element_at(col("_r.headers"), "WARC-Target-URI"), lit("")))
-      // de-chunk + inflate (real captures preserve on-the-wire bytes),
-      // THEN decode under the declared charset — the htmlResponses path.
-      // The kernel passes unknown content codings through de-chunked
-      // but still coded; a supplied decoder finishes the job on the
-      // rare branch only (built-ins keep the codegen path).
-      .withColumn("_body", Warc.httpDecodedBodyBytes(col("_r.payload")))
-    val withExtra =
-      if (decMap.isEmpty) rec
-      else {
-        val dec = udf((body: Array[Byte], e: String) =>
-          decMap.get(e).fold(body)(_.decode(body)))
-        rec.withColumn("_body",
-          when(extraHandled, dec(col("_body"), enc)).otherwise(col("_body")))
-      }
-    val cs = coalesce(Warc.httpCharset(col("_r.payload")),
-      graft.ext.Extract.metaCharset(col("_body").cast("string")), lit("utf-8"))
-    withExtra.withColumn(textCol,
-        graft.ext.Extract.extract(Warc.decodeCharset(col("_body"), cs), policy))
+    // de-chunk + inflate + supplied decoders + charset decode as ONE
+    // fused kernel per row (Warc.httpBodyText — the composed column
+    // form re-ran the inflate at every _body reference, ~3 decompresses
+    // per record on the production reader path)
+    rec.withColumn(textCol, graft.ext.Extract.extract(
+        Warc.httpBodyText(col("_r.payload"), decoders), policy))
       .filter(col(textCol) =!= "")
-      .drop("_r", "_body").drop(blobCol)
+      .drop("_r").drop(blobCol)
   }
 
   /** Drain a directory of document parquet into a cleaned, day-
