@@ -216,8 +216,11 @@ object Frontier {
         .drop("_rh", "_rules")
     }
 
-    // 7: rank join + politeness cap (ranked is checkpointed for the
-    // same reason as `allowed`: the cap engine references it four ways)
+    // 7: rank join + politeness cap (ranked is checkpointed because the
+    // cap engine references it four ways and the rank join broadcasts —
+    // a broadcast join is not an exchange, so ReuseExchange does NOT
+    // dedupe it: measured r14, dropping this checkpoint re-ran the
+    // whole ranks subtree per reference and cost +0.5-1 s per gate)
     val ranked = fresh
       .withColumn("host", host(col("url")))
       .join(ranks.select(col("id").as("host"), col("rank")), Seq("host"), "left")
@@ -372,11 +375,19 @@ object Frontier {
     if (!graft.store.Bucketing.recoverCompacted(spark, table)) {
       writeSeenStore(urls, urlCol, table, buckets)
     } else {
-      freshAgainstStore(normalizedUrls(urls, urlCol), table)
-        .repartition(buckets, col("url"))
-        .write.mode("append")
-        .bucketBy(buckets, "url").sortBy("url")
-        .format("parquet").saveAsTable(table)
+      val delta = freshAgainstStore(normalizedUrls(urls, urlCol), table).persist()
+      try {
+        // steady-state fast path: a replayed batch appends nothing, and
+        // the isEmpty probe beats an empty bucketed write's commit
+        if (!delta.isEmpty)
+          delta.repartition(buckets, col("url"))
+            .write.mode("append")
+            .bucketBy(buckets, "url").sortBy("url")
+            .format("parquet").saveAsTable(table)
+      } finally {
+        delta.unpersist()
+        ()
+      }
     }
   }
 

@@ -270,10 +270,21 @@ object Graph {
           quant(lit(base) + lit(damping) *
             (coalesce(col("in_sum"), lit(0.0)) + lit(dm / n.toDouble)))
             .as("rank"))
-      val (ck, d2) = materialize(next)
-      ranks = ck
-      dm = d2
       round += 1
+      if (round < iterations) {
+        // materialize inter-round state (dm scalar + lineage cut)
+        val (ck, d2) = materialize(next)
+        ranks = ck
+        dm = d2
+      } else {
+        // the FINAL round stays lazy: no later round needs its dangling
+        // mass, its two `ranks` references read the previous round's
+        // checkpoint, and callers consume the result once (a rank join,
+        // a snapshot write, an oracle dump) — so the last
+        // materialization job was pure overhead. A caller that fans the
+        // result out 3+ ways should checkpoint it itself.
+        ranks = next
+      }
     }
     ranks.select(col("id"), col("rank"))
   }
@@ -440,13 +451,27 @@ object Graph {
       }
       val batch = edges.select(col("src"), col("dst")).distinct().persist()
       try {
-        Seq(s"${tablePrefix}_edges_src" -> "src",
-            s"${tablePrefix}_edges_dst" -> "dst").foreach { case (table, key) =>
+        val layouts = Seq(s"${tablePrefix}_edges_src" -> "src",
+          s"${tablePrefix}_edges_dst" -> "dst")
+        // steady-state fast path: a replayed/already-folded batch has
+        // EMPTY deltas, and ONE probe job counting both layouts' deltas
+        // (union of the two anti-joins) is far cheaper than two empty
+        // bucketed writes' commit protocols. Deltas stay PER TABLE, so
+        // the torn-append repair property is untouched — a layout whose
+        // count is non-zero gets exactly its own missing rows.
+        val counts = layouts.map { case (table, key) =>
           batch.join(spark.table(table), Seq("src", "dst"), "left_anti")
-            .repartition(buckets, col(key))
-            .write.mode("append")
-            .bucketBy(buckets, key).sortBy(key)
-            .format("parquet").saveAsTable(table)
+            .select(lit(key).as("k"))
+        }.reduce(_ unionAll _)
+          .groupBy("k").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        layouts.foreach { case (table, key) =>
+          if (counts.getOrElse(key, 0L) > 0L)
+            batch.join(spark.table(table), Seq("src", "dst"), "left_anti")
+              .repartition(buckets, col(key))
+              .write.mode("append")
+              .bucketBy(buckets, key).sortBy(key)
+              .format("parquet").saveAsTable(table)
         }
       } finally {
         batch.unpersist()

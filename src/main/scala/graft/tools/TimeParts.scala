@@ -98,6 +98,32 @@ object TimeParts {
           Seq("blocked.example")), lit(false))))
     time("variant: single filter")(
       exploded.filter(scheme(col("url")).isin("http", "https")))
+
+    // -- x64c phase decomposition --------------------------------------
+    def timeAct(name: String)(f: => Unit): Unit = {
+      f // warm
+      var best = Double.MaxValue
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime()
+        f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"$name%-28s $best%.3f s")
+    }
+    // build the same cumulative state x64c uses (batch-1 processed)
+    val qx = graft.SparkEntry.queries
+    timeAct("x64c full")(
+      qx("x64c_cumulative_crawl")(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+    // isolate PageRank-from-store on the same graph store
+    val h = Integer.toHexString(dir.hashCode)
+    timeAct("pageRankFromStore 5it")(
+      graft.ext.Graph.pageRankFromStore(spark, s"graft_cumgraph_$h", 5)
+        .write.format("noop").mode("overwrite").save())
+    timeAct("pagerank batch-graph 5it")(
+      graft.ext.Graph.pageRank(
+        spark.table(s"graft_cumgraph_${h}_edges_src"), 5)
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
