@@ -2866,6 +2866,41 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X67 — document-extraction seam ([[graft.ext.DocExtract.texts]]):
+  // the media-type dispatcher over (content-type, bytes) rows — plain
+  // text round-trips the charset decode verbatim, HTML runs the real
+  // extraction policy, and application/pdf rows (no extractor
+  // supplied) are EXCLUDED — the oracle omits them, so a dispatch or
+  // exclusion bug breaks rows; DocExtractSpec pins the stub-extractor
+  // reclaim + telemetry sides.
+  q("x67_doc_extract",
+    """WITH gen AS (
+      |  SELECT doc_id, text, trim(regexp_replace(text, '\s+', ' ', 'g')) AS p1
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'text/plain' ELSE 'text/html' END AS mt,
+      |  CASE WHEN doc_id % 3 = 0 THEN text ELSE p1 END AS text
+      |FROM gen
+      |WHERE (doc_id % 3 = 0 AND text IS NOT NULL AND text <> '')
+      |   OR (doc_id % 3 = 1 AND length(p1) >= 10)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val m3 = col("doc_id") % 3
+    val ct = when(m3 === 0, "text/plain; charset=utf-8")
+      .when(m3 === 1, "text/html")
+      .otherwise("application/pdf")
+    val bytes = when(m3 === 0, coalesce(col("text"), lit("")).cast("binary"))
+      .when(m3 === 1, concat(lit("<p>"), esc, lit("</p>")).cast("binary"))
+      .otherwise(lit("%PDF-1.7 fake").cast("binary"))
+    graft.ext.DocExtract.texts(
+        Tables.documents(s, dir).select(col("doc_id"), ct.as("ct"), bytes.as("b")),
+        "ct", "b", "text")
+      .select(col("doc_id"), graft.ext.DocExtract.mediaType(col("ct")).as("mt"),
+        col("text"))
+      .ordered("doc_id")
+  }
+
   // X50 — URL hygiene (the curation step C4/RefinedWeb run on every
   // crawl URI before URL dedup and domain governance): normalization
   // (case, default ports, fragment, sorted query with tracking params
