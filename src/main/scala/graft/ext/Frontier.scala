@@ -173,12 +173,18 @@ object Frontier {
     // multi-reference critical-bucket engine) — without this and the
     // `ranked` checkpoint every consumer re-parses every page
     // (measured: the x64 gate dropped 8.0 s → 3.4 s at sf0.1, the
-    // remainder being the PageRank rounds themselves)
+    // remainder being the PageRank rounds themselves). Lazy persist
+    // rather than an eager checkpoint: the two consumers run in
+    // SEQUENTIAL jobs (the graph build first, the fresh/rank job
+    // later), so the first fills the cache and the standalone
+    // materialization job disappears — safe here, unlike `ranked`
+    // below, whose four references share ONE job and must find the
+    // frame already materialized.
     val allowed = links
       .filter(scheme(col("url")).isin("http", "https"))
       .filter(if (blockedDomains.isEmpty) lit(true)
         else !coalesce(UrlOps.domainBlocked(col("url"), blockedDomains), lit(false)))
-      .localCheckpoint(true)
+      .persist()
 
     // 5: host priority
     val ranks = rankOf(allowed)

@@ -179,7 +179,11 @@ object Graph {
     // (keyed repartition with NO pinned count: AQE right-sizes the
     // shuffle to the data — one partition for a 50-host fixture,
     // byte-targeted fan-out for a billion-edge crawl graph — and the
-    // checkpointed layout carries its HashPartitioning to every round)
+    // checkpointed layout carries its HashPartitioning to every round.
+    // Eager checkpoint, NOT a lazy persist: measured r14, a cached
+    // InMemoryRelation here cost ~60 ms of per-round cache-lookup/
+    // canonicalization across the loop — more than the one layout job
+    // it saved (x60 1.6 s → 2.1 s; reverted).
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src"))
       .localCheckpoint(true)
@@ -310,8 +314,10 @@ object Graph {
     // TWO edge layouts, each built once: the authority update joins on
     // src, the hub update on dst — a single src-keyed copy forced a
     // per-round re-shuffle of the whole edge table for the dst join
-    // (the r12 weak mark). Per round both joins are now exchange-free
-    // on the edge side.
+    // (the r12 weak mark). Per round both joins are exchange-free on
+    // the edge side. Eager checkpoints (see the pageRank note: a lazy
+    // persist cost more in per-round cache lookups than the layout
+    // jobs it saved).
     val e = eDedup.repartition(col("src")).localCheckpoint(true)
     val eByDst = eDedup.repartition(col("dst")).localCheckpoint(true)
     hitsLoop(e, eByDst, iterations)
