@@ -391,6 +391,115 @@ object DocumentIngest {
     q.awaitTermination()
   }
 
+  /** Streaming SEED maintenance — the crawl-bootstrap complement of
+    * [[frontierMaintenance]]: micro-batches of FETCHED governance
+    * resources (robots.txt bodies and sitemap payloads, tagged by a
+    * kind column: `"robots"` | `"sitemap"`) become (1) SITEMAP FETCH
+    * TARGETS — robots `Sitemap:` lines ([[graft.ext.Frontier
+    * .seedsFromRobots]]) plus `<sitemapindex>` children — written to
+    * `sitemapTargetsDir/batch_id=<n>` for the fetcher's next pass (the
+    * protocol's recursion, driven by this loop, so a cyclic index
+    * cannot hang anything), and (2) PAGE SEEDS — `<urlset>`/plain-text
+    * entries ([[graft.ext.Frontier.seedsFromSitemaps]]) — written to
+    * `seedsDir/batch_id=<n>`. A cumulative SEEDED-URL store (the
+    * seen-store machinery, bucketed on url) makes the loop idempotent
+    * and non-repeating: every emitted URL folds into the store and
+    * candidates anti-join against it, so a re-fetched robots file or a
+    * sitemap served twice emits nothing new, and replay is a no-op
+    * (outputs overwrite their own batch directory; the store append is
+    * anti-joined). NOTE the seeded store is DISTINCT from the crawl's
+    * seen store — "already scheduled" and "already fetched" are
+    * different facts; the frontier loop applies the latter. */
+  def seedMaintenance(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, seedsDir: String, sitemapTargetsDir: String,
+      checkpointDir: String, seededTable: String,
+      urlCol: String = "url", payloadCol: String = "payload",
+      kindCol: String = "kind", blockedDomains: Seq[String] = Nil,
+      buckets: Int = 32, maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        seedProcessBatch(batch, batchId, seedsDir, sitemapTargetsDir,
+          checkpointDir, seededTable, urlCol, payloadCol, kindCol,
+          blockedDomains, buckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of [[seedMaintenance]] — package-visible so the
+    * replay contract is directly testable. Replay protocol (the
+    * nearDupProcessBatch marker discipline, with the fold derived from
+    * the PERSISTED outputs): compute + write outputs gated against the
+    * store, mark `done`, then fold the batch's OWN OUTPUT FILES into
+    * the seeded store (anti-joined = idempotent). A replay of a `done`
+    * batch skips the compute — it must NOT re-gate against a store
+    * that now contains its own emissions (that would overwrite the
+    * outputs with empties) — and just re-applies the fold from disk,
+    * which also heals a crash that fell between `done` and the fold. */
+  private[graft] def seedProcessBatch(batch: DataFrame, batchId: Long,
+      seedsDir: String, sitemapTargetsDir: String, checkpointDir: String,
+      seededTable: String, urlCol: String, payloadCol: String,
+      kindCol: String, blockedDomains: Seq[String], buckets: Int): Unit = {
+    if (!batch.isEmpty) {
+      val s = batch.sparkSession
+      val markers = new org.apache.hadoop.fs.Path(
+        s"$checkpointDir/graft_seed_batches")
+      val fs = markers.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val done = new org.apache.hadoop.fs.Path(markers, s"$batchId.done")
+      val targetsOut = s"$sitemapTargetsDir/batch_id=$batchId"
+      val seedsOut = s"$seedsDir/batch_id=$batchId"
+      if (!fs.exists(done)) {
+        val store =
+          if (graft.store.Bucketing.recoverCompacted(s, seededTable))
+            Some(seededTable)
+          else None
+        // robots rows → sitemap fetch targets (gated + store-deduped)
+        val robots = batch.filter(col(kindCol) === "robots")
+          .select(col(urlCol).as("_rurl"),
+            col(payloadCol).cast("string").as("_rtxt"))
+        val fromRobots = graft.ext.Frontier.seedsFromRobots(robots,
+          "_rurl", "_rtxt", blockedDomains, seenTable = store)
+        // sitemap rows → page seeds + child-sitemap targets. The page
+        // side anti-joins the store inside seedsFromSitemaps; children
+        // are deduped against the store HERE (its kind-aware gate keeps
+        // them by design — the CRAWL seen store must not kill sitemap
+        // fetches, but the SEEDED store must not re-schedule them)
+        val entries = graft.ext.Frontier.seedsFromSitemaps(
+          batch.filter(col(kindCol) === "sitemap"),
+          urlCol, payloadCol, blockedDomains, seenTable = store)
+        val pages = entries.filter(col("kind") === "url")
+          .select(col("host"), col("url"), col("lastmod"))
+        val children = entries.filter(col("kind") === "sitemap")
+          .select(col("host"), col("url"))
+        val childrenFresh = store.fold(children)(t =>
+          graft.ext.Frontier.freshAgainstStore(children, t))
+        fromRobots.unionByName(childrenFresh).distinct()
+          .write.mode("overwrite").parquet(targetsOut)
+        pages.write.mode("overwrite").parquet(seedsOut)
+        fs.mkdirs(markers)
+        fs.create(done, true).close(): Unit
+      }
+      // fold the batch's PERSISTED outputs into the seeded store —
+      // idempotent (anti-joined), and running it unconditionally heals
+      // a crash between the done marker and the fold. An all-empty
+      // output can land as a schema-less directory (AQE writes zero
+      // part files for an empty frame) — read as empty, not as error.
+      def urlsOf(path: String): DataFrame =
+        try s.read.parquet(path).select(col("url"))
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          s.range(0).select(lit("").as("url")) }
+      graft.ext.Frontier.appendSeenStore(
+        urlsOf(targetsOut).unionByName(urlsOf(seedsOut)),
+        "url", seededTable, buckets)
+    }
+  }
+
   /** One micro-batch of [[frontierMaintenance]] — package-visible so
     * the replay/idempotency contract is directly testable. With
     * `graphStorePrefix` the batch's host edges ALSO fold into the

@@ -576,6 +576,81 @@ class DocumentIngestSpec extends SparkTestBase {
     }
   }
 
+  test("seed maintenance: robots -> sitemap targets -> page seeds; seeded store dedups re-fetches; replay no-op") {
+    val srcDir = Files.createTempDirectory("seed-src").toString
+    def writeOneFile(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("seed-slice").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+      ()
+    }
+    val t0 = System.currentTimeMillis() - 120000
+    val robotsTxt =
+      "User-agent: *\nDisallow: /private/\nSitemap: https://a.example/sm.xml\n"
+    // batch 0: the fetched robots file — emits one sitemap target
+    writeOneFile(Seq(("https://a.example/robots.txt",
+        robotsTxt.getBytes("UTF-8"), "robots"))
+      .toDF("url", "payload", "kind"), "a.parquet", t0)
+    // batch 1: the fetched sitemap (an index + a urlset would be two
+    // fetches; here one urlset) PLUS a RE-fetched robots file — the
+    // seeded store must swallow the repeat
+    val urlset =
+      """<urlset><url><loc>https://a.example/p1</loc>
+        |<lastmod>2026-05-01</lastmod></url>
+        |<url><loc>https://a.example/p2</loc></url></urlset>""".stripMargin
+    writeOneFile(Seq(
+        ("https://a.example/sm.xml", urlset.getBytes("UTF-8"), "sitemap"),
+        ("https://a.example/robots.txt", robotsTxt.getBytes("UTF-8"), "robots"))
+      .toDF("url", "payload", "kind"), "b.parquet", t0 + 60000)
+    val seedsDir = Files.createTempDirectory("seed-out").toString + "/seeds"
+    val targetsDir = Files.createTempDirectory("seed-tgt").toString + "/targets"
+    val ckpt = Files.createTempDirectory("seed-ckpt").toString
+    val table = "seed_maint_store"
+    try {
+      DocumentIngest.seedMaintenance(spark, srcDir, seedsDir, targetsDir,
+        ckpt, table, buckets = 4, maxFilesPerTrigger = Some(1))
+      val targets = spark.read.parquet(targetsDir)
+        .select(col("batch_id").cast("long"), col("url"))
+        .as[(Long, String)].collect().toSet
+      // batch 0 scheduled the sitemap fetch; batch 1's robots repeat
+      // emitted nothing (seeded store)
+      assert(targets == Set((0L, "https://a.example/sm.xml")), s"$targets")
+      val seeds = spark.read.parquet(seedsDir)
+        .select(col("batch_id").cast("long"), col("url"),
+          col("lastmod")).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toSet
+      assert(seeds == Set(
+        (1L, "https://a.example/p1", "2026-05-01"),
+        (1L, "https://a.example/p2", null)), s"$seeds")
+      // the seeded store accumulated every emission
+      assert(spark.table(table).as[String].collect().toSet == Set(
+        "https://a.example/sm.xml", "https://a.example/p1",
+        "https://a.example/p2"))
+      // replay through the streaming entry point: AvailableNow
+      // re-delivers nothing; a manual batch re-run (done marker) keeps
+      // outputs and store byte-identical
+      DocumentIngest.seedMaintenance(spark, srcDir, seedsDir, targetsDir,
+        ckpt, table, buckets = 4, maxFilesPerTrigger = Some(1))
+      DocumentIngest.seedProcessBatch(
+        Seq(("https://a.example/sm.xml", urlset.getBytes("UTF-8"), "sitemap"))
+          .toDF("url", "payload", "kind"),
+        1L, seedsDir, targetsDir, ckpt, table, "url", "payload", "kind",
+        Nil, 4)
+      assert(spark.read.parquet(seedsDir).count() == 2)
+      assert(spark.read.parquet(targetsDir).count() == 1)
+      assert(spark.table(table).count() == 3)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      ()
+    }
+  }
+
   test("gates drop repetitive and short docs; survivors carry quality_score when configured") {
     val docs = Seq(
       (1L, "hash join scan filter window batch sort merge group value spark query fast run", ts0(0)),
