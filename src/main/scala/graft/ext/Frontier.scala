@@ -317,6 +317,63 @@ object Frontier {
       col("lastmod"))
   }
 
+  /** Conditional-recrawl gate — what a crawl does with sitemap
+    * `lastmod` claims after the bootstrap: pages ALREADY fetched whose
+    * sitemap entry now claims a modification NEWER than the recorded
+    * fetch time get re-enqueued (the new-page side is
+    * [[seedsFromSitemaps]]' seen-store anti-join; this is its
+    * complement over the intersection). `entries` carries sitemap
+    * output (`urlCol`, `lastmodCol` — W3C datetime, date-only or full
+    * timestamp, parsed null-safe: an unparseable or absent lastmod is
+    * NO claim, so no recrawl); `crawlLog` carries (url, fetched_at
+    * TIMESTAMP). URLs normalize on both sides so the join compares
+    * like with like. One keyed equi-join; output (host, url,
+    * lastmod_ts, fetched_at) — per-sitemap-entry cost. */
+  def recrawlCandidates(entries: DataFrame, urlCol: String,
+      lastmodCol: String, crawlLog: DataFrame, logUrlCol: String,
+      fetchedAtCol: String): DataFrame = {
+    val e = entries.select(
+      UrlOps.normalizeUrl(col(urlCol)).as("url"),
+      // try_: an unparseable lastmod is NO claim, not a pass-killer
+      // (ANSI to_timestamp throws on real-crawl junk dates)
+      try_to_timestamp(col(lastmodCol)).as("lastmod_ts"))
+      .filter(col("url").isNotNull && col("lastmod_ts").isNotNull)
+    val log = crawlLog.select(
+      UrlOps.normalizeUrl(col(logUrlCol)).as("url"),
+      col(fetchedAtCol).cast("timestamp").as("fetched_at"))
+      .filter(col("url").isNotNull)
+      .groupBy("url").agg(max(col("fetched_at")).as("fetched_at"))
+    e.join(log, Seq("url"))
+      .filter(col("lastmod_ts") > col("fetched_at"))
+      .select(host(col("url")).as("host"), col("url"),
+        col("lastmod_ts"), col("fetched_at"))
+  }
+
+  /** Executable per-host fetch schedule over a CAPPED frontier:
+    * within each host, fetches run in the same seeded-draw order the
+    * politeness cap used (md5(url:seed) asc, url asc — reproducible),
+    * and successive fetches offset by the host's crawl delay:
+    * `fetch_offset_s = (slot - 1) × coalesce(crawl_delay,
+    * defaultDelaySeconds)`. Input is the (host, url, rank[,
+    * crawl_delay]) frontier — ALREADY capped at `perHostCap` rows per
+    * host, so the per-host ranking window is cap-bounded, never
+    * corpus-sized (the one place this library uses a bare per-host
+    * window, and only because the cap bounds it). Output adds `slot`
+    * and `fetch_offset_s` — the scheduler's dispatch plan. */
+  def fetchSchedule(frontier: DataFrame, seed: String,
+      defaultDelaySeconds: Double = 1.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(md5(concat(col("url"), lit(":"), lit(seed))), col("url"))
+    val delay =
+      if (frontier.columns.contains("crawl_delay"))
+        coalesce(col("crawl_delay").cast("double"), lit(defaultDelaySeconds))
+      else lit(defaultDelaySeconds)
+    frontier
+      .withColumn("slot", row_number().over(w))
+      .withColumn("fetch_offset_s", (col("slot") - 1) * delay)
+  }
+
   /** Attach each frontier host's `Crawl-delay` (seconds) from its
     * robots row — (host, url, rank) → (host, url, rank, crawl_delay),
     * the fetch scheduler's rate input next to the priority. Robots

@@ -3984,6 +3984,80 @@ object Queries {
       .ordered("host", "kind", "url")
   }
 
+  // X68 — conditional recrawl from sitemap lastmod claims
+  // ([[graft.ext.Frontier.recrawlCandidates]]): entries whose lastmod
+  // post-dates the crawl log's recorded fetch get re-enqueued. Gates
+  // planted per class: older-date-only lastmod (parses, no recrawl),
+  // newer timestamp (recrawls — only where the page IS in the log),
+  // NULL lastmod (no claim), a tracking-param twin in the LOG (must
+  // normalize-merge onto the entry url), and a duplicate log row with
+  // an earlier fetched_at (max() must win or rows duplicate/flip).
+  q("x68_recrawl",
+    """WITH gen AS (
+      |  SELECT doc_id, doc_id % 50 AS k FROM documents WHERE doc_id % 50 < 40)
+      |SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+      |  'https://h' || CAST(k AS VARCHAR) || '.example/p'
+      |    || CAST(doc_id AS VARCHAR) AS url,
+      |  TIMESTAMP '2026-06-15 12:00:00' AS lastmod_ts,
+      |  TIMESTAMP '2026-05-01 00:00:00' AS fetched_at
+      |FROM gen
+      |WHERE doc_id % 3 = 1 AND doc_id % 2 = 0
+      |ORDER BY url""".stripMargin) { (s, dir) =>
+    val k = (col("doc_id") % 50).cast("string")
+    val url = concat(lit("https://h"), k, lit(".example/p"),
+      col("doc_id").cast("string"))
+    val m3 = col("doc_id") % 3
+    val entries = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 < 40)
+      .select(url.as("u"),
+        when(m3 === 0, "2026-04-01")
+          .when(m3 === 1, "2026-06-15 12:00:00")
+          .otherwise(lit(null).cast("string")).as("lastmod"))
+    val log = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 < 40 && col("doc_id") % 2 === 0)
+      .select(concat(url, lit("?utm_source=t")).as("lu"),
+        lit("2026-05-01 00:00:00").cast("timestamp").as("fa"))
+      .unionByName(Tables.documents(s, dir)
+        .filter(col("doc_id") % 50 < 40 && col("doc_id") % 2 === 0)
+        .select(url.as("lu"),
+          lit("2026-01-01 00:00:00").cast("timestamp").as("fa")))
+    graft.ext.Frontier.recrawlCandidates(entries, "u", "lastmod",
+        log, "lu", "fa")
+      .ordered("url")
+  }
+
+  // X69 — executable per-host fetch schedule
+  // ([[graft.ext.Frontier.fetchSchedule]]) over a capped frontier:
+  // slots follow the politeness cap's seeded-draw order and offsets
+  // multiply the host's crawl delay (default where absent) — the
+  // textbook row_number × delay twin, with mixed present/null delays
+  // planted so both branches fire.
+  q("x69_fetch_schedule",
+    """WITH f AS (
+      |  SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
+      |    'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/p'
+      |      || CAST(doc_id AS VARCHAR) AS url,
+      |    CASE WHEN doc_id % 50 % 2 = 0 THEN 2.5 END AS crawl_delay
+      |  FROM documents WHERE doc_id % 50 < 40),
+      |r AS (
+      |  SELECT host, url, crawl_delay,
+      |    row_number() OVER (PARTITION BY host
+      |      ORDER BY md5(url || ':' || 'graft-sched-v1'), url) AS slot
+      |  FROM f)
+      |SELECT host, url, crawl_delay, slot,
+      |  (slot - 1) * COALESCE(crawl_delay, 1.0) AS fetch_offset_s
+      |FROM r ORDER BY host, slot""".stripMargin) { (s, dir) =>
+    val k = (col("doc_id") % 50).cast("string")
+    val frontier = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 < 40)
+      .select(concat(lit("h"), k, lit(".example")).as("host"),
+        concat(lit("https://h"), k, lit(".example/p"),
+          col("doc_id").cast("string")).as("url"),
+        when(col("doc_id") % 50 % 2 === 0, 2.5).as("crawl_delay"))
+    graft.ext.Frontier.fetchSchedule(frontier, "graft-sched-v1")
+      .ordered("host", "slot")
+  }
+
   // X61 — WET (extracted-text) conversion records: the cheap on-ramp
   // of the crawl family (CommonCrawl's *.warc.wet.gz sidecar). Wire
   // bytes carry a warcinfo record THEN the conversion record per doc —

@@ -203,6 +203,32 @@ class FrontierSpec extends SparkTestBase {
       "https://a.example/public/y", "https://b.example/private/z"))
   }
 
+  test("fetchSchedule without a crawl_delay column uses the default for every host") {
+    val f = Seq(("a.example", "https://a.example/1", 0.1),
+      ("a.example", "https://a.example/2", 0.1),
+      ("b.example", "https://b.example/1", 0.2))
+      .toDF("host", "url", "rank")
+    val out = Frontier.fetchSchedule(f, "s1", defaultDelaySeconds = 3.0)
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Int]("slot"),
+        r.getAs[Double]("fetch_offset_s"))).toSeq.sorted
+    assert(out == Seq(("a.example", 1, 0.0), ("a.example", 2, 3.0),
+      ("b.example", 1, 0.0)))
+  }
+
+  test("recrawlCandidates: unparseable lastmod is no claim; never-fetched urls are not recrawl candidates") {
+    val entries = Seq(
+      ("https://a.example/p1", "2026-06-01"),        // newer than fetch
+      ("https://a.example/p2", "not a date"),        // no claim
+      ("https://a.example/p3", "2026-06-01"))        // never fetched
+      .toDF("u", "lm")
+    val log = Seq(("https://a.example/p1", "2026-05-01 00:00:00"),
+      ("https://a.example/p2", "2026-05-01 00:00:00"))
+      .toDF("lu", "fa")
+    val out = Frontier.recrawlCandidates(entries, "u", "lm", log, "lu", "fa")
+      .collect().map(_.getString(1)).toSeq
+    assert(out == Seq("https://a.example/p1"))
+  }
+
   test("compaction crash recovery: a mid-swap crash never loses cumulative seen state") {
     val table = "frontier_seen_crash"
     val all = Seq("https://a.example/1", "https://b.example/2",
