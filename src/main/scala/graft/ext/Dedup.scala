@@ -685,6 +685,32 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-AWARE dedup decision — the keep-best refinement of
+    * [[dropDuplicateClusters]] real pipelines run once a quality signal
+    * exists (RefinedWeb/FineWeb keep the best-scoring member of each
+    * near-dup cluster, not an arbitrary one): per duplicate cluster
+    * keep the HIGHEST-`scoreCol` document (ties: smallest id — fully
+    * deterministic), docs in no pair survive untouched. Implementation
+    * is windows-free for cluster-size safety (a boilerplate cluster at
+    * 100 TB can be corpus-sized, so `row_number() over (partition by
+    * component)` is banned here): two hash aggregations — max score
+    * per component, then min id among the max-score members — and one
+    * anti-join of the losers. Returns `df`'s rows minus the losers. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val scored = df.select(col(idCol).as("id"), col(scoreCol).as("_s"))
+      .join(comp, Seq("id"))
+    val best = scored.groupBy(col("component")).agg(max(col("_s")).as("_ms"))
+    val keep = scored.join(best, Seq("component"))
+      .filter(col("_s") === col("_ms"))
+      .groupBy(col("component")).agg(min(col("id")).as("_keep"))
+    val losers = scored.join(keep, Seq("component"))
+      .filter(col("id") =!= col("_keep"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Cross-set n-gram decontamination (benchmark-leakage scan): flag
     * corpus docs sharing ≥ `minShared` distinct word n-grams with any
     * doc of a probe/eval set. The canonical pre-training hygiene step:

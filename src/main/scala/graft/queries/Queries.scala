@@ -2476,6 +2476,55 @@ object Queries {
       .ordered("cluster_id")
   }
 
+  // X70 — quality-aware dedup decision
+  // ([[graft.ext.Dedup.keepBestPerCluster]]): per near-dup cluster keep
+  // the highest-n_chars member (ties: smallest doc_id), unpaired docs
+  // untouched — the RefinedWeb/FineWeb keep-best step after x20's
+  // clustering. Window-free (two hash aggs + anti-join — a boilerplate
+  // cluster at corpus scale can be corpus-sized). The oracle re-derives
+  // x20's clusters and applies the textbook argmax.
+  q("x70_keep_best",
+    """WITH RECURSIVE toks AS (
+      |  SELECT DISTINCT source AS blk, doc_id AS id,
+      |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT blk, id, COUNT(*) AS sz FROM toks GROUP BY 1, 2),
+      |inter AS (
+      |  SELECT a.blk, a.id AS id1, b.id AS id2, COUNT(*) AS n_inter
+      |  FROM toks a JOIN toks b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+      |  GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT i.id1, i.id2 FROM inter i
+      |  JOIN sizes s1 ON s1.blk = i.blk AND s1.id = i.id1
+      |  JOIN sizes s2 ON s2.blk = i.blk AND s2.id = i.id2
+      |  WHERE CAST(i.n_inter AS DOUBLE) / (s1.sz + s2.sz - i.n_inter) >= 0.8),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+      |comp AS (SELECT id, MIN(lbl) AS c FROM reach GROUP BY id),
+      |sc AS (SELECT comp.c, comp.id, d.n_chars
+      |       FROM comp JOIN documents d ON d.doc_id = comp.id),
+      |best AS (SELECT c, MAX(n_chars) AS ms FROM sc GROUP BY c),
+      |keep AS (SELECT s.c, MIN(s.id) AS keep_id
+      |         FROM sc s JOIN best b ON b.c = s.c AND s.n_chars = b.ms
+      |         GROUP BY s.c),
+      |losers AS (SELECT s.id FROM sc s JOIN keep k ON k.c = s.c
+      |           WHERE s.id <> k.keep_id)
+      |SELECT doc_id, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM losers)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pairs = graft.ext.Dedup.wordJaccardPairs(
+      Tables.documents(s, dir), "doc_id", "text", "source", threshold = 0.8)
+    graft.ext.Dedup.keepBestPerCluster(
+        Tables.documents(s, dir), "doc_id", "n_chars", pairs)
+      .select(col("doc_id"), col("n_chars"))
+      .ordered("doc_id")
+  }
+
   // X21 — benchmark decontamination: corpus docs sharing ≥3 distinct
   // word 3-grams with the held-out probe set (doc_id % 41 == 0 plays the
   // benchmark). Spark joins 8-byte gram hashes with the probe side

@@ -94,4 +94,20 @@ class DedupClusterSpec extends SparkTestBase {
     val uncapped = Dedup.windowDupPairs(boiler, "doc_id", "text", n = 4, maxDf = 5)
     assert(uncapped.count() == 10) // C(5,2) pairs sharing "same exact four tokens"
   }
+
+  test("keepBestPerCluster: highest score wins, ties break to min id, unpaired docs survive") {
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 30.0), // cluster {1,2,3}: tie at 30 → keep 2
+      (4L, 5.0), (5L, 50.0),              // cluster {4,5}: keep 5
+      (6L, 1.0)                            // unpaired: survives
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", "score", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L, 6L))
+    // degenerate: no pairs — identity
+    val none = Dedup.keepBestPerCluster(docs, "doc_id", "score",
+      Seq.empty[(Long, Long)].toDF("id1", "id2"))
+    assert(none.count() == 6)
+  }
 }
