@@ -23,6 +23,26 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Unicode normalization (UAX #15, JDK tables; NFC default) — run it
+    * BEFORE dedup/shingling/tokenization so composed and decomposed
+    * spellings of the same text hash identically, and use NFKC when
+    * compatibility folding (ligatures, fullwidth forms, super/
+    * subscripts) should also collapse. Codegen kernel with an
+    * isNormalized fast path — most real text is already NFC, so the
+    * allocating normalize runs only on rows that need it
+    * ([[graft.functions.TextExpressions.UnicodeNormalizeExpr]]). */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    graft.functions.TextExpressions.unicodeNormalize(c, form)
+
+  /** Mojibake repair (the ftfy core case): UTF-8 text mis-decoded as
+    * Latin-1/Windows-1252 ("cafÃ©", "â€™") re-encodes per Windows-1252
+    * and strictly re-decodes as UTF-8; applies only when the full
+    * round-trip succeeds AND shrinks, so genuine Latin-1 text passes
+    * through untouched ([[graft.functions.TextExpressions
+    * .FixMojibakeExpr]]). */
+  def fixMojibake(c: Column): Column =
+    graft.functions.TextExpressions.fixMojibake(c)
+
   /** BPE-ish lexical token count: letter runs, digit runs, and single
     * punctuation marks each count as one token — the standard cheap
     * proxy for subword token counts when no tokenizer model is loaded.

@@ -271,4 +271,125 @@ object TextExpressions {
   /** Column-API entry: deflate-compressed byte count of a string. */
   def deflateSize(text: Column): Column =
     ColumnBridge.column(DeflateSizeExpr(ColumnBridge.expr(text)))
+
+  // -- Unicode normalization + mojibake repair ------------------------------
+
+  /** Unicode normalization (java.text.Normalizer — the JDK implements
+    * UAX #15; NFC/NFKC are STABLE for assigned code points across
+    * Unicode versions, which is what makes the NFC form oracle-able
+    * cross-engine). Every serious curation pipeline normalizes before
+    * dedup and tokenization: "café" composed and decomposed must hash,
+    * shingle, and count as the SAME text, and compatibility forms
+    * (ﬁ ligature, fullwidth Ａ, ² superscript) fold under NFKC. The
+    * fast path short-circuits: `isNormalized` is a cheap scan and the
+    * overwhelming majority of real text already IS normalized, so the
+    * allocating normalize call runs only on the rows that need it. */
+  final case class UnicodeNormalizeExpr(child: Expression, form: String)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+      s"unknown normalization form: $form")
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_unicode_normalize"
+
+    @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+    def normRow(s: UTF8String): UTF8String = {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, f)) s
+      else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      normRow(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        val ref = ctx.addReferenceObj("unorm", this, classOf[UnicodeNormalizeExpr].getName)
+        s"${ev.value} = $ref.normRow($t);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(UnicodeNormalizeExpr(ColumnBridge.expr(text), form))
+
+  /** Mojibake repair (the ftfy core case, first-principles): text that
+    * was UTF-8 on the wire but DECODED as Latin-1/Windows-1252 — the
+    * single most common crawl corruption ("cafÃ©", "â€™") — re-encodes
+    * per Windows-1252 and strictly re-decodes as UTF-8. Repair applies
+    * ONLY when (a) every char maps back to a byte (true by construction
+    * for a mis-decode), (b) the strict UTF-8 decode succeeds, and (c)
+    * the result is SHORTER (a genuine multi-byte mis-decode always
+    * shrinks; innocent Latin-1 text fails (b) and passes through
+    * untouched). One repair pass — double-mojibake (rare) would need a
+    * second application; deterministic either way. */
+  final case class FixMojibakeExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_fix_mojibake"
+
+    def fixRow(s: UTF8String): UTF8String = {
+      val str = s.toString
+      val n = str.length
+      // cheap gate: mojibake requires a char in [0x80, 0xFF] (the
+      // UTF-8 lead/continuation range mis-decoded); pure-ASCII skips
+      var hasHigh = false
+      var i = 0
+      while (i < n && !hasHigh) {
+        if (str.charAt(i) >= 0x80) hasHigh = true
+        i += 1
+      }
+      if (!hasHigh) return s
+      val bytes = new Array[Byte](n)
+      i = 0
+      while (i < n) {
+        val c = str.charAt(i)
+        val b =
+          if (c < 0x100) c.toInt
+          else Windows1252Inverse.getOrElse(c, -1)
+        if (b < 0) return s // not a mis-decode: some char maps to no byte
+        bytes(i) = b.toByte
+        i += 1
+      }
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try {
+        val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        if (out.length < n) UTF8String.fromString(out) else s
+      } catch { case _: java.nio.charset.CharacterCodingException => s }
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      fixRow(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        val ref = ctx.addReferenceObj("moji", this, classOf[FixMojibakeExpr].getName)
+        s"${ev.value} = $ref.fixRow($t);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Windows-1252's 0x80–0x9F block (where it diverges from Latin-1):
+    * char → byte, for re-encoding a mis-decode. A browser "Latin-1"
+    * decode is Windows-1252 per the WHATWG Encoding standard, so the
+    * smart quotes/dashes of a mis-decoded UTF-8 page land on these. */
+  private val Windows1252Inverse: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+
+  def fixMojibake(text: Column): Column =
+    ColumnBridge.column(FixMojibakeExpr(ColumnBridge.expr(text)))
 }

@@ -2525,6 +2525,33 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X71 — Unicode normalization + mojibake repair
+  // ([[graft.ext.TextOps.normalizeUnicode]] / `fixMojibake`): the
+  // normalize-before-dedup hygiene step. Planted per doc: a combining
+  // acute (e + U+0301 → é) and the Angstrom sign (U+212B → Å) that NFC
+  // must compose (DuckDB's nfc_normalize is the cross-engine oracle —
+  // NFC is stable for assigned code points); a classic UTF-8-as-
+  // Latin-1 mis-decode ("cafÃ©") the repair must fix to the closed
+  // form; and an INNOCENT accented string that must pass through
+  // untouched (strict re-decode fails ⇒ no repair).
+  q("x71_unicode_fix",
+    """SELECT doc_id,
+      |  nfc_normalize('p' || CAST(doc_id AS VARCHAR) || 'e' || chr(769)
+      |    || 'x' || chr(8491)) AS nfc_text,
+      |  'caf' || chr(233) || ' doc ' || CAST(doc_id AS VARCHAR) AS fixed,
+      |  'touch' || chr(233) || '!' AS untouched
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.ext.TextOps.normalizeUnicode(
+          concat(lit("p"), id, lit("e\u0301x\u212B"))).as("nfc_text"),
+        graft.ext.TextOps.fixMojibake(
+          concat(lit("caf\u00C3\u00A9 doc "), id)).as("fixed"),
+        graft.ext.TextOps.fixMojibake(lit("touch\u00E9!")).as("untouched"))
+      .ordered("doc_id")
+  }
+
   // X21 — benchmark decontamination: corpus docs sharing ≥3 distinct
   // word 3-grams with the held-out probe set (doc_id % 41 == 0 plays the
   // benchmark). Spark joins 8-byte gram hashes with the probe side

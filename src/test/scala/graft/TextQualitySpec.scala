@@ -205,4 +205,39 @@ class TextQualitySpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"line filtering must not shuffle:\n$plan")
   }
+
+  test("unicode normalization: NFC composes, NFKC also folds compatibility forms, idempotent") {
+    import spark.implicits._
+    val df = Seq(
+      "cafe\u0301",        // decomposed acute
+      "\u212Bngstr\u00F6m", // Angstrom sign composes to oA under NFC
+      "\uFB01le \uFF21",    // fi ligature + fullwidth A: NFC keeps, NFKC folds
+      "plain ascii").toDF("t")
+    val out = df.select(
+        TextOps.normalizeUnicode(col("t")).as("nfc"),
+        TextOps.normalizeUnicode(col("t"), "NFKC").as("nfkc"))
+      .as[(String, String)].collect()
+    assert(out(0) == ("caf\u00E9", "caf\u00E9"))
+    assert(out(1) == ("\u00C5ngstr\u00F6m", "\u00C5ngstr\u00F6m"))
+    assert(out(2)._1 == "\uFB01le \uFF21" && out(2)._2 == "file A")
+    assert(out(3) == ("plain ascii", "plain ascii"))
+    // idempotence: NFC(NFC(x)) == NFC(x)
+    val once = df.select(TextOps.normalizeUnicode(col("t")).as("t"))
+    val twice = once.select(TextOps.normalizeUnicode(col("t")))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
+
+  test("mojibake repair: mis-decoded UTF-8 fixed (Windows-1252 block incl.), real Latin-1 untouched") {
+    import spark.implicits._
+    val df = Seq(
+      "caf\u00C3\u00A9",          // 'e-acute' mis-decoded as Latin-1
+      "it\u00E2\u20AC\u2122s",    // right single quote mis-decoded (1252 0x80-0x9F block)
+      "touch\u00E9!",             // genuine accented text: must pass through
+      "100% ascii").toDF("t")
+    val out = df.select(TextOps.fixMojibake(col("t"))).as[String].collect()
+    assert(out(0) == "caf\u00E9")
+    assert(out(1) == "it\u2019s")
+    assert(out(2) == "touch\u00E9!")
+    assert(out(3) == "100% ascii")
+  }
 }
