@@ -58,7 +58,12 @@ object DocumentIngest {
       minScore: Double = 0.5,
       redactPii: Boolean = true,
       decontam: Option[DecontamGate] = None,
-      langGate: Option[LangGate] = None)
+      langGate: Option[LangGate] = None,
+      /** Unicode normalization form applied to the text BEFORE the
+        * dedup key and every gate ("NFC"/"NFKC"/…; None = off) — so
+        * composed and decomposed spellings of one document dedup to
+        * one ([[TextOps.normalizeUnicode]]). */
+      normalizeForm: Option[String] = None)
 
   /** The normalized content key used for streaming dedup — identical to
     * the batch x1b normalized-dedup key, so stream-deduped and
@@ -115,7 +120,11 @@ object DocumentIngest {
     * `lang_pred` when a classifier / language gate is configured). */
   def cleanStream(stream: DataFrame, idCol: String, textCol: String,
       tsCol: String, lateness: String, cfg: CleanConfig = CleanConfig()): DataFrame = {
-    val keyed = stream.withColumn("_ck", contentKey(col(textCol)))
+    // unicode normalization FIRST (when configured): the dedup key,
+    // every gate, and the landed text all see the normalized form
+    val src = cfg.normalizeForm.fold(stream)(f =>
+      stream.withColumn(textCol, TextOps.normalizeUnicode(col(textCol), f)))
+    val keyed = src.withColumn("_ck", contentKey(col(textCol)))
     // Gate columns are attached BELOW the dedup exchange and the keep
     // predicate applied above it: the filter semantics are unchanged
     // (gates still judge only dedup survivors), but the CPU-dense fold

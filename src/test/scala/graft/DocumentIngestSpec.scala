@@ -651,6 +651,22 @@ class DocumentIngestSpec extends SparkTestBase {
     }
   }
 
+  test("normalizeForm: composed and decomposed spellings dedup to one; off by default they do not") {
+    val composed = "caf\u00E9 hash join scan filter window batch sort merge group value spark query fast run"
+    val decomposed = "cafe\u0301 hash join scan filter window batch sort merge group value spark query fast run"
+    val docs = Seq((1L, composed, ts0(0)), (2L, decomposed, ts0(1)))
+      .toDF("doc_id", "text", "ts")
+    val off = DocumentIngest.cleanStream(docs, "doc_id", "text", "ts",
+      "10 minutes", DocumentIngest.CleanConfig(minTokens = 3))
+    assert(off.count() == 2, "without normalization the spellings differ")
+    val on = DocumentIngest.cleanStream(docs, "doc_id", "text", "ts",
+      "10 minutes", DocumentIngest.CleanConfig(minTokens = 3,
+        normalizeForm = Some("NFC")))
+    val rows = on.select("doc_id", "text").as[(Long, String)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L), s"got ${rows.toSeq}")
+    assert(rows.head._2 == composed, "landed text carries the normalized form")
+  }
+
   test("gates drop repetitive and short docs; survivors carry quality_score when configured") {
     val docs = Seq(
       (1L, "hash join scan filter window batch sort merge group value spark query fast run", ts0(0)),
