@@ -358,4 +358,80 @@ object Robots {
     val p = when(path.isNull || path === "", "/").otherwise(path)
     when(query.isNull, p).otherwise(concat(p, lit("?"), query))
   }
+
+  // -- persisted robots store ----------------------------------------------
+
+  private def hostOf(u: Column): Column =
+    graft.functions.UrlExpressions.urlParts(u).getField("host")
+
+  private def storeRows(robots: org.apache.spark.sql.DataFrame,
+      urlCol: String, txtCol: String, fetchedAtCol: String) =
+    robots.select(hostOf(col(urlCol)).as("host"),
+        col(txtCol).cast("string").as("txt"),
+        col(fetchedAtCol).cast("timestamp").as("fetched_at"))
+      .filter(col("host").isNotNull)
+
+  /** Create (or recreate) the cumulative ROBOTS store: a catalog table
+    * of (host, txt, fetched_at) rows bucketed+sorted on host — the
+    * per-host governance dimension a long-running crawl accumulates so
+    * that robots fetched in batch 1 govern pages scheduled in batch
+    * 50 ([[graft.streaming.DocumentIngest.frontierMaintenance]]'s
+    * `robotsTable`). Unlike the seen/edge stores this one is
+    * VERSIONED, not append-only-set-like: robots files CHANGE, so
+    * appends just add rows and every reader takes the LATEST per host
+    * ([[latestRobots]] — max (fetched_at, txt), deterministic under
+    * exact-duplicate replays); [[compactRobotsStore]] folds history
+    * back to one row per host. */
+  def writeRobotsStore(robots: org.apache.spark.sql.DataFrame,
+      urlCol: String, txtCol: String, fetchedAtCol: String,
+      table: String, buckets: Int = 32): Unit = {
+    graft.store.Bucketing.dropWithLocation(robots.sparkSession, table)
+    storeRows(robots, urlCol, txtCol, fetchedAtCol)
+      .repartition(buckets, col("host"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "host").sortBy("host")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Fold a batch of fetched robots files in (append rows; latest per
+    * host wins at read). Replay-safe: re-appending identical rows
+    * cannot change [[latestRobots]]' max. Creates the store when
+    * absent; recovery-aware like every store bootstrap. */
+  def appendRobotsStore(robots: org.apache.spark.sql.DataFrame,
+      urlCol: String, txtCol: String, fetchedAtCol: String,
+      table: String, buckets: Int = 32): Unit = {
+    val spark = robots.sparkSession
+    if (!graft.store.Bucketing.recoverCompacted(spark, table))
+      writeRobotsStore(robots, urlCol, txtCol, fetchedAtCol, table, buckets)
+    else
+      storeRows(robots, urlCol, txtCol, fetchedAtCol)
+        .repartition(buckets, col("host"))
+        .write.mode("append")
+        .bucketBy(buckets, "host").sortBy("host")
+        .format("parquet").saveAsTable(table)
+  }
+
+  /** The store's CURRENT view: one (host, txt, fetched_at) row per
+    * host — the newest fetch, ties broken on txt (deterministic when a
+    * replay appended exact duplicates). The aggregation runs on the
+    * store's own bucket layout, so no exchange precedes it. */
+  def latestRobots(spark: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.spark.sql.DataFrame =
+    spark.table(table)
+      .groupBy(col("host"))
+      .agg(max(struct(col("fetched_at"), col("txt"))).as("_m"))
+      .select(col("host"), col("_m.txt").as("txt"),
+        col("_m.fetched_at").as("fetched_at"))
+
+  /** Fold version history to one row per host (the crash-safe
+    * [[graft.store.Bucketing.compactSwap]] protocol). */
+  def compactRobotsStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int = 32): Unit =
+    graft.store.Bucketing.compactSwap(spark, table) { tmp =>
+      latestRobots(spark, table)
+        .repartition(buckets, col("host"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "host").sortBy("host")
+        .format("parquet").saveAsTable(tmp)
+    }
 }

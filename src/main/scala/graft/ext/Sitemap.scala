@@ -126,9 +126,9 @@ object Sitemap {
     val trimmed = text.trim
     if (trimmed.isEmpty) return Array.empty
     if (!trimmed.startsWith("<")) {
-      // plain-text sitemap: one URL per line
+      // plain-text sitemap: one URL per line (same 50k protocol cap)
       return trimmed.split("\r?\n").iterator
-        .map(_.trim).filter(_.nonEmpty)
+        .map(_.trim).filter(_.nonEmpty).take(50000)
         .map(u => (u, null: String, "url")).toArray
     }
     val isIndex = java.util.regex.Pattern.compile(
@@ -138,7 +138,10 @@ object Sitemap {
       "(?is)<(?:[A-Za-z0-9_.-]+:)?" + blockTag + "(?:\\s[^>]*)?>(.*?)</(?:[A-Za-z0-9_.-]+:)?" + blockTag + "\\s*>")
       .matcher(trimmed)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
-    while (bm.find()) {
+    // sitemaps.org caps a file at 50,000 entries — honor it as a
+    // memory bound too (a broken/hostile multi-GB sitemap must not
+    // materialize an unbounded per-row array)
+    while (bm.find() && out.length < 50000) {
       val block = bm.group(1)
       val loc = childText(block, "loc")
       if (loc != null) out += ((loc, childText(block, "lastmod"), kind))

@@ -383,7 +383,9 @@ object DocumentIngest {
       buckets: Int = 32, maxFilesPerTrigger: Option[Int] = None,
       graphStorePrefix: Option[String] = None,
       compactEvery: Option[Int] = None,
-      rankEvery: Int = 1): Unit = {
+      rankEvery: Int = 1,
+      robotsTable: Option[String] = None,
+      robotsAgent: String = "*"): Unit = {
     val reader = spark.readStream
       .schema(spark.read.parquet(srcDir).schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -392,7 +394,8 @@ object DocumentIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         frontierProcessBatch(batch, batchId, frontierDir, seenTable,
           urlCol, htmlCol, blockedDomains, perHostCap, seed, prIterations,
-          buckets, graphStorePrefix, compactEvery, rankEvery)
+          buckets, graphStorePrefix, compactEvery, rankEvery,
+          robotsTable, robotsAgent)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -521,7 +524,9 @@ object DocumentIngest {
       seed: String, prIterations: Int, buckets: Int,
       graphStorePrefix: Option[String] = None,
       compactEvery: Option[Int] = None,
-      rankEvery: Int = 1): Unit = {
+      rankEvery: Int = 1,
+      robotsTable: Option[String] = None,
+      robotsAgent: String = "*"): Unit = {
     if (!batch.isEmpty) {
       val s = batch.sparkSession
       // recovery-aware existence check (Bucketing.recoverCompacted):
@@ -532,6 +537,17 @@ object DocumentIngest {
       val store =
         if (graft.store.Bucketing.recoverCompacted(s, seenTable)) Some(seenTable)
         else None
+      // robots COMPLIANCE from the cumulative robots store (when one is
+      // named and exists): robots fetched by ANY earlier batch govern
+      // this batch's scheduling — the latest fetch per host wins
+      val gate = robotsTable
+        .filter(t => graft.store.Bucketing.recoverCompacted(s, t))
+        .map { t =>
+          val rules = graft.ext.Robots.latestRobots(s, t)
+            .select(concat(lit("https://"), col("host"),
+              lit("/robots.txt")).as("rurl"), col("txt"))
+          graft.ext.Frontier.RobotsGate(rules, "rurl", "txt", robotsAgent)
+        }
       val frontier = graphStorePrefix match {
         case Some(g) =>
           // rank cadence: recompute PageRank (and refresh the persisted
@@ -541,11 +557,13 @@ object DocumentIngest {
           graft.ext.Frontier.fromPagesCumulative(batch, urlCol, htmlCol, g,
             blockedDomains, perHostCap, seed, prIterations,
             seenTable = store, buckets = buckets,
+            robotsGate = gate,
             rankSnapshotTable = if (rankEvery > 1) Some(s"${g}_ranks") else None,
             recomputeRanks = rankEvery <= 1 || batchId % rankEvery == 0)
         case None =>
           graft.ext.Frontier.fromPages(batch, urlCol, htmlCol, blockedDomains,
-            perHostCap, seed, prIterations, seenTable = store)
+            perHostCap, seed, prIterations, seenTable = store,
+            robotsGate = gate)
       }
       frontier.write.mode("overwrite").parquet(s"$frontierDir/batch_id=$batchId")
       graft.ext.Frontier.appendSeenStore(batch.select(col(urlCol)), urlCol,

@@ -651,6 +651,52 @@ class DocumentIngestSpec extends SparkTestBase {
     }
   }
 
+  test("robots store governs the streaming frontier: latest fetch per host wins; replay + compaction stable") {
+    import graft.ext.Robots
+    val rtable = "robots_store_spec"
+    val stable = "robots_seen_spec"
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    def page = Seq(("https://src.example/p",
+      """<a href="https://a.example/x">x</a><a href="https://a.example/y">y</a>"""))
+      .toDF("url", "html")
+    def run(outTag: String): Set[String] = {
+      val out = Files.createTempDirectory(s"rs-$outTag").toString + "/f"
+      spark.sql(s"DROP TABLE IF EXISTS $stable") // fresh seen store per run
+      DocumentIngest.frontierProcessBatch(page, 0L, out, stable,
+        "url", "html", Nil, 100, "graft-frontier-v1", 5, 4,
+        robotsTable = Some(rtable))
+      spark.read.parquet(out).select("url").as[String].collect().toSet
+    }
+    try {
+      // epoch 1: /x disallowed
+      Robots.appendRobotsStore(
+        Seq(("https://a.example/robots.txt", "User-agent: *\nDisallow: /x\n", t1))
+          .toDF("rurl", "rtxt", "fa"), "rurl", "rtxt", "fa", rtable, buckets = 4)
+      assert(run("e1") == Set("https://a.example/y"))
+      // epoch 2: policy relaxed — the NEWER fetch must govern
+      Robots.appendRobotsStore(
+        Seq(("https://a.example/robots.txt", "User-agent: *\nDisallow:\n", t2))
+          .toDF("rurl", "rtxt", "fa"), "rurl", "rtxt", "fa", rtable, buckets = 4)
+      assert(run("e2") == Set("https://a.example/x", "https://a.example/y"))
+      // replayed append of identical rows cannot change the view
+      Robots.appendRobotsStore(
+        Seq(("https://a.example/robots.txt", "User-agent: *\nDisallow:\n", t2))
+          .toDF("rurl", "rtxt", "fa"), "rurl", "rtxt", "fa", rtable, buckets = 4)
+      val latest = Robots.latestRobots(spark, rtable).collect()
+      assert(latest.length == 1 && latest.head.getAs[String]("txt")
+        .contains("Disallow:\n"))
+      // compaction: history folds to one row per host, view unchanged
+      Robots.compactRobotsStore(spark, rtable, buckets = 4)
+      assert(spark.table(rtable).count() == 1)
+      assert(run("e3") == Set("https://a.example/x", "https://a.example/y"))
+    } finally {
+      Seq(rtable, s"${rtable}_compacting", s"${rtable}_retired", stable)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      ()
+    }
+  }
+
   test("normalizeForm: composed and decomposed spellings dedup to one; off by default they do not") {
     val composed = "caf\u00E9 hash join scan filter window batch sort merge group value spark query fast run"
     val decomposed = "cafe\u0301 hash join scan filter window batch sort merge group value spark query fast run"
