@@ -136,6 +136,46 @@ object Export {
     } finally assigned.unpersist(): Unit
   }
 
+  /** JSONL twin of [[writeShards]] — the interchange format most
+    * training stacks consume directly (one JSON object per line,
+    * gzip-compressed shard files): same deterministic shard layout
+    * ([[assignShards]]), same manifest contract, and the CHECKSUMS are
+    * computed over the COLUMN VALUES (not the serialized lines), so a
+    * parquet export and a jsonl export of the same frame carry
+    * identical manifests — a loader can audit either against the
+    * other. Field order inside each JSON object is the frame's column
+    * order (deterministic); shard files land as
+    * `shard=NNN/part-*.txt.gz`, which `spark.read.json(outDir)` (or
+    * any gzip-aware JSONL reader) consumes transparently. */
+  def writeShardsJsonl(df: DataFrame, idCol: String, ntokCol: String,
+      outDir: String, tokensPerShard: Long, seed: Long = 42L,
+      groups: Int = 1, checksumCols: Seq[String] = Nil,
+      compression: String = "gzip"): DataFrame = {
+    val assigned = assignShards(df, idCol, ntokCol, tokensPerShard, seed, groups)
+      .localCheckpoint(true)
+    try {
+      val maxShard = assigned.agg(max(col("shard"))).head
+      val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
+      val dataCols = assigned.columns.filter(_ != "shard").toSeq
+      val lines = assigned.select(col("shard"),
+        to_json(struct(dataCols.map(col): _*)).as("value"))
+      val laid =
+        if (nShards > 0) lines.repartition(nShards, col("shard")) else lines
+      laid.write.mode("overwrite").partitionBy("shard")
+        .option("compression", compression).text(outDir)
+      val cs = checksumColumns(assigned, checksumCols)
+      val manifest = assigned.groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col(ntokCol)).as("n_tokens"),
+          checksumTerm(cs).as("checksum"))
+        .withColumn("checksum_cols", lit(cs.mkString(",")))
+        .orderBy("shard")
+      manifest.repartition(1).write.mode("overwrite")
+        .parquet(s"$outDir/_manifest")
+      manifest
+    } finally assigned.unpersist(): Unit
+  }
+
   /** Re-derive the manifest from landed shards and compare — the
     * integrity check a loader (or a post-copy audit) runs: returns
     * rows that DISAGREE (empty = intact). The checksum columns come
@@ -166,6 +206,40 @@ object Export {
     val landed =
       if (hasData) {
         val shards = spark.read.parquet(outDir)
+        shards.groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col(ntokCol)).as("n_tokens"),
+          checksumTerm(checksumColumns(shards, cs)).as("checksum"))
+      } else manifestCmp.limit(0)
+    landed.as("l").join(manifestCmp.as("m"), "shard", "full_outer")
+      .filter(col("l.n_docs").isNull || col("m.n_docs").isNull ||
+        col("l.n_docs") =!= col("m.n_docs") ||
+        col("l.n_tokens") =!= col("m.n_tokens") ||
+        col("l.checksum") =!= col("m.checksum"))
+  }
+
+  /** [[auditShards]] for a [[writeShardsJsonl]] export: the landed
+    * side reads back through the JSON lines under the WRITER'S data
+    * schema (`dataSchema` — pass `df.schema`; JSON inference would
+    * widen/re-type columns and the checksum over re-typed values would
+    * read as corruption). Shortest-repr JSON round-trips doubles and
+    * longs exactly, so value checksums match the parquet export's. */
+  def auditShardsJsonl(spark: SparkSession, outDir: String, idCol: String,
+      ntokCol: String, dataSchema: org.apache.spark.sql.types.StructType,
+      checksumCols: Seq[String] = Nil): DataFrame = {
+    val manifest = spark.read.parquet(s"$outDir/_manifest")
+    val cs: Seq[String] =
+      if (checksumCols.nonEmpty) checksumCols
+      else manifest.select("checksum_cols").limit(1).collect()
+        .headOption.map(_.getString(0).split(",").toSeq).getOrElse(Nil)
+    val manifestCmp = manifest.drop("checksum_cols")
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(s => !s.getPath.getName.startsWith("_"))
+    val landed =
+      if (hasData) {
+        val shards = spark.read.schema(dataSchema).json(outDir)
         shards.groupBy("shard").agg(
           count(lit(1)).as("n_docs"),
           sum(col(ntokCol)).as("n_tokens"),

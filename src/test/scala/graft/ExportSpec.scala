@@ -126,4 +126,36 @@ class ExportSpec extends SparkTestBase {
       tokensPerShard = 4000, checksumCols = Seq("doc_id", "ntok"))
     assert(Export.auditShards(spark, out, "doc_id", "ntok").count() == 0)
   }
+
+  test("jsonl export: manifest identical to parquet's, gzip round-trip exact, audit clean, lost shard flagged") {
+    val pq = java.nio.file.Files.createTempDirectory("graft-shards-pq").toString
+    val jl = java.nio.file.Files.createTempDirectory("graft-shards-jl").toString
+    val df = docsWithTok
+    val mPq = Export.writeShards(df, "doc_id", "ntok", pq, tokensPerShard = 4000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3))).toSeq
+    val mJl = Export.writeShardsJsonl(df, "doc_id", "ntok", jl, tokensPerShard = 4000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3))).toSeq
+    // value checksums are format-independent: same frame, same manifest
+    assert(mPq == mJl && mPq.nonEmpty)
+    // gzip files, readable back as JSON with the writer's schema —
+    // content round-trips exactly
+    val files = new java.io.File(jl).listFiles()
+      .filter(_.getName.startsWith("shard=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("part-"))
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".txt.gz")))
+    val back = spark.read.schema(df.schema).json(jl)
+      .select("doc_id", "text", "ntok")
+      .as[(Long, String, Int)].collect().toSet
+    assert(back == df.as[(Long, String, Int)].collect().toSet)
+    assert(Export.auditShardsJsonl(spark, jl, "doc_id", "ntok", df.schema)
+      .count() == 0)
+    // a lost shard directory is flagged
+    val victim = new java.io.File(jl).listFiles()
+      .filter(_.getName.startsWith("shard=")).head
+    victim.listFiles().foreach(_.delete()); victim.delete()
+    assert(Export.auditShardsJsonl(spark, jl, "doc_id", "ntok", df.schema)
+      .count() >= 1)
+  }
 }
