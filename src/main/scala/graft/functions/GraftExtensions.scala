@@ -84,6 +84,23 @@ object GraftExtensions {
     }
   }
 
+  /** String twin of [[litInt]] — for literal mode/form parameters. */
+  private def litString(fn: String, param: String, paramIndex: Int,
+      e: Expression): String = {
+    if (!e.foldable)
+      analysisError("NON_FOLDABLE_ARGUMENT",
+        "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+        "paramType" -> "\"STRING\"")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case _ => analysisError("UNEXPECTED_INPUT_TYPE",
+        "paramIndex" -> s"`$paramIndex`", "functionName" -> s"`$fn`",
+        "requiredType" -> "\"STRING\"", "inputSql" -> s""""${e.sql}"""",
+        "inputType" -> s""""${e.dataType.sql}"""")
+    }
+  }
+
   /** Plan-time literal numeric-array argument (quantile probabilities),
     * validated + widened to double: `array(0.5, 1)` parses as a decimal
     * array in SQL and must work; a string array or a null element is an
@@ -227,7 +244,40 @@ object GraftExtensions {
           "term asc) as array<struct<term, score>> (k a literal int)"),
       (es: Seq[Expression]) => { arity("graft_bounded_topk", 3, es)
         building("graft_bounded_topk")(TopKAggregate.BoundedTopK(es(0), es(1),
-          litInt("graft_bounded_topk", "k", 2, es(2))).toAggregateExpression()) }))
+          litInt("graft_bounded_topk", "k", 2, es(2))).toAggregateExpression()) }),
+    (FunctionIdentifier("graft_normalize_url"),
+      info("graft.functions.UrlExpressions", "graft_normalize_url",
+        "graft_normalize_url(url) - canonical URL (lowercase scheme/host, " +
+          "default ports dropped, sorted query minus tracking params, no " +
+          "fragment; null when not scheme://host)"),
+      (es: Seq[Expression]) => { arity("graft_normalize_url", 1, es)
+        UrlExpressions.NormalizeUrlExpr(es(0)) }),
+    (FunctionIdentifier("graft_sitemap_entries"),
+      info("graft.ext.Sitemap", "graft_sitemap_entries",
+        "graft_sitemap_entries(payload) - entries of a fetched sitemap " +
+          "(urlset/sitemapindex/plain-text, gzip sniffed) as " +
+          "array<struct<loc, lastmod, kind>>"),
+      (es: Seq[Expression]) => { arity("graft_sitemap_entries", 1, es)
+        graft.ext.Sitemap.SitemapEntriesExpr(es(0)) }),
+    (FunctionIdentifier("graft_http_body_text"),
+      info("graft.ext.Warc", "graft_http_body_text",
+        "graft_http_body_text(payload) - HTTP response body as decoded text " +
+          "(de-chunk, inflate, charset pick, decode — one kernel)"),
+      (es: Seq[Expression]) => { arity("graft_http_body_text", 1, es)
+        graft.ext.Warc.HttpBodyTextExpr(es(0)) }),
+    (FunctionIdentifier("graft_unicode_normalize"),
+      info("graft.functions.TextExpressions", "graft_unicode_normalize",
+        "graft_unicode_normalize(text, form) - UAX #15 normalization " +
+          "(form a literal: 'NFC'|'NFD'|'NFKC'|'NFKD')"),
+      (es: Seq[Expression]) => { arity("graft_unicode_normalize", 2, es)
+        building("graft_unicode_normalize")(TextExpressions.UnicodeNormalizeExpr(
+          es(0), litString("graft_unicode_normalize", "form", 1, es(1)))) }),
+    (FunctionIdentifier("graft_fix_mojibake"),
+      info("graft.functions.TextExpressions", "graft_fix_mojibake",
+        "graft_fix_mojibake(text) - repair UTF-8 mis-decoded as " +
+          "Latin-1/Windows-1252; untouched when the round-trip fails"),
+      (es: Seq[Expression]) => { arity("graft_fix_mojibake", 1, es)
+        TextExpressions.FixMojibakeExpr(es(0)) }))
   // (graft_lsh_signature / graft_unigram_viterbi stay Column-API-only:
   // their models — the hyperplane matrix, the piece table — are driver
   // artifacts that have no SQL literal form.)

@@ -145,6 +145,23 @@ class FunctionsSpec extends SparkTestBase {
       .selectExpr("inline(top)").collect()
     assert(r6.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       Seq(("a", 3.0), ("c", 2.0)))
+    // round-14 additions: URL normalize, sitemap parse, fused HTTP body
+    // text, unicode normalize, mojibake repair
+    val r7 = spark.sql(
+      "SELECT graft_normalize_url('HTTPS://A.Example:443/p?b=2&utm_x=1&a=1') AS u, " +
+      "graft_unicode_normalize('cafe\u0301', 'NFC') AS n, " +
+      "graft_fix_mojibake('caf\u00C3\u00A9') AS m").head
+    assert(r7.getString(0) == "https://a.example/p?a=1&b=2")
+    assert(r7.getString(1) == "caf\u00E9" && r7.getString(2) == "caf\u00E9")
+    val r8 = spark.sql(
+      "SELECT graft_sitemap_entries(cast('<urlset><url><loc>https://e.x/p</loc>" +
+        "</url></urlset>' AS BINARY)) AS e").selectExpr("inline(e)").head
+    assert(r8.getString(0) == "https://e.x/p" && r8.getString(2) == "url")
+    val httpSql = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hi</p>"
+    val r9 = spark.sql("SELECT graft_http_body_text(cast('" +
+      httpSql.replace("\r\n", "' || chr(13) || chr(10) || '") +
+      "' AS BINARY)) AS t").head
+    assert(r9.getString(0) == "<p>hi</p>")
   }
 
   test("graft_uni_bigrams is bit-identical to the transform/element_at form") {
