@@ -289,7 +289,8 @@ object Frontier {
     * page count. */
   def seedsFromSitemaps(fetched: DataFrame, sitemapUrlCol: String,
       payloadCol: String, blockedDomains: Seq[String] = Nil,
-      seenTable: Option[String] = None): DataFrame = {
+      seenTable: Option[String] = None,
+      robotsGate: Option[RobotsGate] = None): DataFrame = {
     val entries = fetched
       .select(col(sitemapUrlCol).as("_base"),
         explode(Sitemap.entries(col(payloadCol))).as("_e"))
@@ -303,12 +304,35 @@ object Frontier {
         else !coalesce(UrlOps.domainBlocked(col("url"), blockedDomains), lit(false)))
       .groupBy(col("kind"), col("url"))
       .agg(max(col("lastmod")).as("lastmod"))
-    val gated = seenTable.fold(entries) { t =>
+    // robots compliance on PAGE candidates (kind-aware like the seen
+    // gate: index children are sitemap fetches, which robots rules on
+    // page paths do not govern — a sitemap URL itself was already
+    // vetted by whoever scheduled its fetch). Same broadcast shape as
+    // frontierCore's gate 6.5; a sitemap listing a disallowed URL is
+    // routine (sitemaps and robots drift independently), and a
+    // compliant crawler must not schedule it.
+    val robotsGated = robotsGate.fold(entries) { rg =>
+      val rules = rg.robots
+        .select(host(col(rg.robotsUrlCol)).as("_rh"),
+          Robots.rulesFor(col(rg.txtCol), lit(rg.agent)).as("_rules"))
+        .filter(col("_rh").isNotNull)
+        .groupBy("_rh").agg(flatten(collect_list(col("_rules"))).as("_rules"))
+      val parts = graft.functions.UrlExpressions.urlParts(col("url"))
+      entries
+        .withColumn("_rh", host(col("url")))
+        .join(broadcast(rules), Seq("_rh"), "left")
+        .filter(col("kind") === "sitemap" || col("_rules").isNull ||
+          Robots.allowed(
+            Robots.matchTarget(parts.getField("path"), parts.getField("query")),
+            col("_rules")))
+        .drop("_rh", "_rules")
+    }
+    val gated = seenTable.fold(robotsGated) { t =>
       // left join + kind-aware filter instead of an anti-join branch
       // per kind: ONE pass over the parsed entries, store side still
       // on its bucket layout
-      entries.join(
-          entries.sparkSession.table(t).withColumn("_seen", lit(true)),
+      robotsGated.join(
+          robotsGated.sparkSession.table(t).withColumn("_seen", lit(true)),
           Seq("url"), "left")
         .filter(col("kind") === "sitemap" || col("_seen").isNull)
         .drop("_seen")

@@ -427,7 +427,9 @@ object DocumentIngest {
       checkpointDir: String, seededTable: String,
       urlCol: String = "url", payloadCol: String = "payload",
       kindCol: String = "kind", blockedDomains: Seq[String] = Nil,
-      buckets: Int = 32, maxFilesPerTrigger: Option[Int] = None): Unit = {
+      buckets: Int = 32, maxFilesPerTrigger: Option[Int] = None,
+      robotsTable: Option[String] = None,
+      robotsAgent: String = "*"): Unit = {
     val reader = spark.readStream
       .schema(spark.read.parquet(srcDir).schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -436,7 +438,7 @@ object DocumentIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         seedProcessBatch(batch, batchId, seedsDir, sitemapTargetsDir,
           checkpointDir, seededTable, urlCol, payloadCol, kindCol,
-          blockedDomains, buckets)
+          blockedDomains, buckets, robotsTable, robotsAgent)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -457,7 +459,9 @@ object DocumentIngest {
   private[graft] def seedProcessBatch(batch: DataFrame, batchId: Long,
       seedsDir: String, sitemapTargetsDir: String, checkpointDir: String,
       seededTable: String, urlCol: String, payloadCol: String,
-      kindCol: String, blockedDomains: Seq[String], buckets: Int): Unit = {
+      kindCol: String, blockedDomains: Seq[String], buckets: Int,
+      robotsTable: Option[String] = None,
+      robotsAgent: String = "*"): Unit = {
     if (!batch.isEmpty) {
       val s = batch.sparkSession
       val markers = new org.apache.hadoop.fs.Path(
@@ -482,9 +486,22 @@ object DocumentIngest {
         // are deduped against the store HERE (its kind-aware gate keeps
         // them by design — the CRAWL seen store must not kill sitemap
         // fetches, but the SEEDED store must not re-schedule them)
+        // robots compliance on page seeds from the cumulative robots
+        // store, when one is named — robots fetched by ANY batch (incl.
+        // THIS one, folded below in batch order by the caller's robots
+        // maintenance) govern page scheduling
+        val gate = robotsTable
+          .filter(t => graft.store.Bucketing.recoverCompacted(s, t))
+          .map { t =>
+            val rules = graft.ext.Robots.latestRobots(s, t)
+              .select(concat(lit("https://"), col("host"),
+                lit("/robots.txt")).as("rurl"), col("txt"))
+            graft.ext.Frontier.RobotsGate(rules, "rurl", "txt", robotsAgent)
+          }
         val entries = graft.ext.Frontier.seedsFromSitemaps(
           batch.filter(col(kindCol) === "sitemap"),
-          urlCol, payloadCol, blockedDomains, seenTable = store)
+          urlCol, payloadCol, blockedDomains, seenTable = store,
+          robotsGate = gate)
         val pages = entries.filter(col("kind") === "url")
           .select(col("host"), col("url"), col("lastmod"))
         val children = entries.filter(col("kind") === "sitemap")

@@ -64,6 +64,31 @@ class SitemapSpec extends SparkTestBase {
     assert(Sitemap.parseEntries("<html><body>404</body></html>".getBytes(UTF_8)).isEmpty)
   }
 
+  test("seedsFromSitemaps robots gate: disallowed page seeds die; index children and no-robots hosts unaffected") {
+    val xml =
+      """<urlset>
+        |  <url><loc>https://a.example/private/p</loc></url>
+        |  <url><loc>https://a.example/public/q</loc></url>
+        |  <url><loc>https://b.example/private/r</loc></url>
+        |</urlset>""".stripMargin
+    val idx = "<sitemapindex><sitemap><loc>https://a.example/private/sm.xml</loc></sitemap></sitemapindex>"
+    val fetched = Seq(
+      ("https://a.example/sitemap.xml", xml.getBytes(UTF_8)),
+      ("https://a.example/idx.xml", idx.getBytes(UTF_8))).toDF("url", "payload")
+    val robots = Seq(("https://a.example/robots.txt",
+      "User-agent: *\nDisallow: /private/\n")).toDF("rurl", "rtxt")
+    val out = Frontier.seedsFromSitemaps(fetched, "url", "payload",
+        robotsGate = Some(Frontier.RobotsGate(robots, "rurl", "rtxt")))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq.sorted
+    // a.example/private page dies; b.example (no robots row) keeps its
+    // private page; the index CHILD under /private/ survives — robots
+    // page rules do not govern sitemap fetches here
+    assert(out == Seq(
+      ("https://a.example/private/sm.xml", "sitemap"),
+      ("https://a.example/public/q", "url"),
+      ("https://b.example/private/r", "url")))
+  }
+
   test("seedsFromSitemaps: seen store kills page candidates only; twins keep max lastmod") {
     val table = "sitemapspec_seen"
     try {
