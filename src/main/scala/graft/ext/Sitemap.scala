@@ -52,7 +52,7 @@ object Sitemap {
 
   /** Decode the five XML named entities + numeric (dec/hex) character
     * references. Unknown entities pass through verbatim (lenient). */
-  private[ext] def decodeXmlEntities(s: String): String = {
+  private[graft] def decodeXmlEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val out = new java.lang.StringBuilder(s.length)
     var i = 0

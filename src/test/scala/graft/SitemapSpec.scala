@@ -56,6 +56,28 @@ class SitemapSpec extends SparkTestBase {
         ("https://t.example/b", null, "url")))
   }
 
+  test("entity-decode property: escape -> decode round-trips any text; bare '&' and bad refs survive") {
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "ab<>&\"' ;#xA9é中".toCharArray
+    def escape(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case '\'' => "&apos;"
+      case c => c.toString
+    }
+    (1 to 300).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      assert(Sitemap.decodeXmlEntities(escape(s)) == s, s"round-trip broke on: $s")
+    }
+    // lenient leftovers: bare '&', unknown entities, malformed refs
+    assert(Sitemap.decodeXmlEntities("a & b &unknown; &#xZZ; &#1114112; c") ==
+      "a & b &unknown; &#xZZ; &#1114112; c")
+    assert(Sitemap.decodeXmlEntities("&#65;&#x42;") == "AB")
+  }
+
   test("tolerance: truncated tail yields parsed prefix; garbage/empty yield nothing") {
     val xml = "<urlset><url><loc>https://a.example/ok</loc></url><url><loc>https://a.exam"
     assert(Sitemap.parseEntries(xml.getBytes(UTF_8)).toSeq ==

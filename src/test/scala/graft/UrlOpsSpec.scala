@@ -225,4 +225,41 @@ class UrlOpsSpec extends SparkTestBase {
     assert(spark.sql("SELECT graft_url_resolve('http://a/b/c/d', '../g') AS u")
       .head.getString(0) == "http://a/b/g")
   }
+
+  test("normalize kernel properties over a seeded URL corpus: idempotent; codegen == direct call") {
+    // seeded generator covering the normalizer's whole decision tree:
+    // scheme case/junk, host case, default/kept/garbage ports, empty
+    // and non-empty paths, queries with tracking/dup/empty/unsorted
+    // params and bare tokens, fragments, malformed shapes
+    val rnd = new scala.util.Random(20260815L)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val urls = (1 to 500).map { i =>
+      val scheme = pick(Seq("http", "HTTPS", "Ftp", "ht tp", "", "a+b-c"))
+      val host = pick(Seq("Example.COM", "sub.ex.co.uk", "127.0.0.1", "X"))
+      val port = pick(Seq("", ":80", ":443", ":8080", ":x", ":"))
+      val path = pick(Seq("", "/", s"/p$i", "/A/B%20c", "/a//b/"))
+      val query = pick(Seq("", "?", "?b=2&a=1", "?utm_source=t&z=9",
+        "?REF=x&k", "?a=1&&a=1", s"?id=$i&fbclid=f"))
+      val frag = pick(Seq("", "#f", "#a b"))
+      s"$scheme://$host$port$path$query$frag"
+    } ++ Seq("nohost://", "http//missing.colon", "http://", "http://:80/x")
+    val df = urls.toDF("u")
+    val once = df.select(UrlOps.normalizeUrl(col("u")).as("n"))
+    val twice = once.select(col("n"), UrlOps.normalizeUrl(col("n")).as("n2"))
+      .collect()
+    twice.foreach { r =>
+      val n = if (r.isNullAt(0)) null else r.getString(0)
+      val n2 = if (r.isNullAt(1)) null else r.getString(1)
+      assert(n == n2, s"not idempotent: $n -> $n2")
+    }
+    // codegen column output == the kernel's direct Scala entry
+    val viaCol = df.select(col("u"), UrlOps.normalizeUrl(col("u")).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1)))
+    viaCol.foreach { case (u, n) =>
+      val direct = graft.functions.UrlExpressions.normalize(u)
+      assert((if (direct == null) null else direct.toString) == n,
+        s"codegen vs direct mismatch on $u")
+    }
+  }
 }
