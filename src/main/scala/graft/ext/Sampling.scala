@@ -75,7 +75,17 @@ object Sampling {
   /** Assign each row a split label from cumulative fraction cuts.
     * `fractions` maps label -> fraction; labels are assigned in the
     * given order (use a Seq to control it); fractions must sum to 1.
-    * Shuffle-free: one CASE WHEN over the hash. */
+    * Shuffle-free: one CASE WHEN over the hash.
+    *
+    * LEAKAGE-SAFE GROUP SPLITS: the key chooses the atomicity unit.
+    * Keyed on a row id, near-duplicate documents can straddle
+    * train/test; keyed on the GROUP that carries the duplication —
+    * the registered domain ([[graft.ext.UrlOps.urlDomain]]) for web
+    * corpora, a cluster id after dedup — every member lands in the
+    * SAME split by construction (the split is a pure function of the
+    * key), which is the standard contamination-safe protocol. Fraction
+    * targets then hold over GROUPS, not rows; x72 pins the domain
+    * form. */
   def splitColumn(key: Column, seed: String, fractions: Seq[(String, Double)]): Column = {
     val sum = fractions.map(_._2).sum
     require(math.abs(sum - 1.0) < 1e-9, s"fractions sum to $sum, want 1.0")

@@ -2289,6 +2289,39 @@ object Queries {
   private val SplitSeed = "graft-split-v1"
   private def splitDrawSql = s"md5(CAST(doc_id AS VARCHAR) || ':' || '$SplitSeed')"
 
+  // X72 — LEAKAGE-SAFE domain-level split: the split key is the
+  // domain, not the doc id, so every document of a domain lands in the
+  // same split by construction (near-dups concentrate within domains;
+  // a row-keyed split would let them straddle train/test — the
+  // classic contamination bug). The output groups by (domain, split):
+  // a domain appearing under TWO splits would add rows and break the
+  // gate, so the atomicity invariant is pinned structurally, and the
+  // hash pins the exact assignment.
+  q("x72_domain_split",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS domain
+       |  FROM documents),
+       |a AS (
+       |  SELECT domain,
+       |    CASE WHEN md5(domain || ':' || '$SplitSeed')
+       |           < '${graft.ext.Sampling.hexThreshold(0.8)}' THEN 'train'
+       |         WHEN md5(domain || ':' || '$SplitSeed')
+       |           < '${graft.ext.Sampling.hexThreshold(0.9)}' THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    COUNT(*) AS n_docs
+       |  FROM d GROUP BY 1, 2)
+       |SELECT domain, split, n_docs FROM a ORDER BY domain""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 50).cast("string"),
+          lit(".example")).as("domain"))
+    d.withColumn("split", graft.ext.Sampling.splitColumn(col("domain"),
+        SplitSeed, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("domain", "split").agg(count(lit(1)).as("n_docs"))
+      .ordered("domain")
+  }
+
   // X14 — train/val/test split sizes (80/10/10). Oracle runs the same
   // hex-threshold CASE; counts AND char mass must agree exactly.
   q("x14_split_sizes",
