@@ -238,4 +238,55 @@ class ScaleInvarianceSpec extends SparkTestBase {
       assert(err <= bound, s"$dir: p50 rank error $err > bound $bound")
     }
   }
+
+  test("frontier + sitemap seeds (x64/x66 families): structural invariants hold at each SF") {
+    import graft.ext.{Frontier, UrlOps, Warc}
+    for (dir <- sfs) {
+      // the x64-shaped fixture: pages with item links + planted gates
+      val id = col("doc_id").cast("string")
+      val sk = (col("doc_id") % 50).cast("string")
+      val html = concat(
+        lit("<a href=\"https://h"), ((col("doc_id") * 7 + 1) % 50).cast("string"),
+        lit(".example/item"), id, lit("-1\">i</a>"),
+        lit("<a href=\"javascript:void(0)\">j</a>"),
+        lit("<a href=\"https://spam.blocked.example/x"), id, lit("\">s</a>"))
+      val pages = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 50 < 40)
+        .select(concat(lit("https://h"), sk, lit(".example/page"), id).as("url"),
+          html.as("html"))
+      val cap = 7
+      val f = Frontier.fromPages(pages, "url", "html",
+          blockedDomains = Seq("blocked.example"), perHostCap = cap,
+          prIterations = 3)
+        .select(col("host"), col("url"), col("rank"),
+          UrlOps.normalizeUrl(col("url")).as("renorm"))
+        .localCheckpoint(true)
+      // cap respected per host; no blocked domain leaks; outputs are
+      // normalize-idempotent; ranks finite and non-negative
+      assert(f.groupBy("host").count().filter(col("count") > cap).count() == 0,
+        s"$dir: politeness cap exceeded")
+      assert(f.filter(col("url").contains("blocked.example")).count() == 0)
+      assert(f.filter(col("url") =!= col("renorm")).count() == 0,
+        s"$dir: frontier emitted non-canonical urls")
+      assert(f.filter(col("rank") < 0.0 || isnan(col("rank"))).count() == 0)
+      assert(f.count() > 0)
+      // sitemap seeds: gzip and plain forms agree at each SF, outputs
+      // canonical and http(s)-only
+      val xml = concat(lit("<urlset><url><loc>https://h"), sk,
+        lit(".example/sm"), id, lit("</loc></url>" +
+          "<url><loc>ftp://nope.example/x</loc></url></urlset>"))
+      val fetched = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 50 < 40)
+        .select(concat(lit("https://h"), sk, lit(".example/s.xml")).as("url"),
+          when(col("doc_id") % 2 === 0, Warc.gzipBytes(xml.cast("binary")))
+            .otherwise(xml.cast("binary")).as("payload"))
+      val seeds = Frontier.seedsFromSitemaps(fetched, "url", "payload")
+        .localCheckpoint(true)
+      val n = Tables.documents(spark, dir).filter(col("doc_id") % 50 < 40).count()
+      assert(seeds.count() == n, s"$dir: expected one seed per page")
+      assert(seeds.filter(!col("url").startsWith("https://")).count() == 0)
+      assert(seeds.filter(
+        UrlOps.normalizeUrl(col("url")) =!= col("url")).count() == 0)
+    }
+  }
 }
