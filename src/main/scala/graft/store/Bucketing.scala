@@ -98,13 +98,24 @@ object Bucketing {
       // swap completed (or never ran); a leftover aside is an orphan
       if (spark.catalog.tableExists(retired)) dropWithLocation(spark, retired)
       true
-    } else if (spark.catalog.tableExists(tmp)) {
-      // live can only be ABSENT after rename-aside, which only runs
-      // after writeTmp completed — `_compacting` is a complete copy
+    } else if (spark.catalog.tableExists(tmp) &&
+        spark.catalog.tableExists(retired)) {
+      // `_retired` is the PROOF the copy is complete: rename-aside only
+      // runs after writeTmp finished, so live-absent + retired-present
+      // pins the crash between the two renames — rename the complete
+      // copy in. Without the proof (live absent, tmp present, NO
+      // retired) the tmp may be a PARTIAL first write
+      // ([[replaceTable]] with no prior live never renames aside) —
+      // trusting it would serve a truncated store as live. Drop it and
+      // report absent; the caller recomputes/bootstraps, the safe
+      // direction.
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
-      if (spark.catalog.tableExists(retired)) dropWithLocation(spark, retired)
+      dropWithLocation(spark, retired)
       true
-    } else false
+    } else {
+      if (spark.catalog.tableExists(tmp)) dropWithLocation(spark, tmp)
+      false
+    }
   }
 
   /** Drop `table` AND clear its orphaned warehouse location, if any.

@@ -260,6 +260,20 @@ class FrontierSpec extends SparkTestBase {
       // and a normal compaction still works end to end after recovery
       Frontier.compactSeenStore(spark, table, buckets = 4)
       assert(spark.table(table).count() == 5)
+      // crash window 3: a FIRST write died mid-writeTmp — live absent,
+      // tmp present, NO retired (the rename-aside never ran, so there
+      // is no proof the tmp is complete). Recovery must NOT trust the
+      // possibly-partial tmp: report absent, drop the orphan, and let
+      // the caller bootstrap
+      val t2 = "frontier_seen_crash2"
+      Seq("https://p.example/partial").toDF("url")
+        .write.saveAsTable(s"${t2}_compacting")
+      assert(!graft.store.Bucketing.recoverCompacted(spark, t2))
+      assert(!spark.catalog.tableExists(s"${t2}_compacting"))
+      Frontier.appendSeenStore(Seq("https://q.example/1").toDF("url"),
+        "url", t2, buckets = 4) // bootstraps cleanly over the dropped orphan
+      assert(spark.table(t2).count() == 1)
+      spark.sql(s"DROP TABLE IF EXISTS $t2")
     } finally {
       Seq("", "_compacting", "_retired").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS $table$s"))
