@@ -52,6 +52,13 @@ object Warc {
       payload: Array[Byte]) {
     def header(name: String): Option[String] =
       headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    /** The DECLARED payload length — correct even when the payload was
+      * skipped (payload-pruned scans); equals `payload.length` when
+      * kept (the parser reads exactly Content-Length bytes). */
+    def contentLength: Long =
+      header("Content-Length")
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .getOrElse(payload.length.toLong)
   }
 
   final case class WarcRow(
@@ -87,9 +94,30 @@ object Warc {
     catch { case _: EOFException => None }
   }
 
+  /** Consume exactly `n` payload bytes WITHOUT allocating them — the
+    * payload-pruned scan path ([[graft.sources.WarcDataSource]]): a
+    * metadata query over ~1 GB files must not materialize gigabytes of
+    * bodies it never reads. False = truncated (the readFully twin). */
+  private def skipFully(in: InputStream, n: Long): Boolean = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() >= 0) left -= 1 // skip() can stall; read advances
+      else return false // EOF mid-payload: truncated
+    }
+    true
+  }
+
   /** Parse the next record off the stream; None on EOF or a truncated/
     * malformed tail (parsing stops — the iterator contract). */
-  def nextRecord(in: InputStream): Option[WarcRecord] = {
+  def nextRecord(in: InputStream): Option[WarcRecord] =
+    nextRecord(in, keepPayload = true)
+
+  /** [[nextRecord]] with the payload optionally SKIPPED instead of
+    * read (empty array in the record; [[WarcRecord.contentLength]]
+    * still reports the declared length). */
+  def nextRecord(in: InputStream, keepPayload: Boolean): Option[WarcRecord] = {
     // skip inter-record blank lines, find the version line
     var line: Option[String] = readLine(in)
     while (line.exists(_.isEmpty)) line = readLine(in)
@@ -110,8 +138,13 @@ object Warc {
             case (k, value) if k.equalsIgnoreCase("Content-Length") => value
           }.flatMap(v => scala.util.Try(v.toLong).toOption)
           len match {
-            case Some(n) if n >= 0 =>
+            case Some(n) if n >= 0 && keepPayload =>
               readFully(in, n).map(WarcRecord(v.stripPrefix("WARC/"), headers.toMap, _))
+            case Some(n) if n >= 0 =>
+              if (skipFully(in, n))
+                Some(WarcRecord(v.stripPrefix("WARC/"), headers.toMap,
+                  Array.emptyByteArray))
+              else None // truncated mid-payload
             case _ => None // Content-Length is mandatory; stop on violation
           }
         }
@@ -120,8 +153,10 @@ object Warc {
   }
 
   /** All records of one (possibly multi-member-gzipped) WARC byte
-    * stream. */
-  def parseStream(raw: InputStream): Iterator[WarcRecord] = {
+    * stream. `keepPayload = false` consumes payloads without
+    * allocating them (payload-pruned scans). */
+  def parseStream(raw: InputStream,
+      keepPayload: Boolean = true): Iterator[WarcRecord] = {
     val buf = new BufferedInputStream(raw, 1 << 16)
     buf.mark(2)
     val b0 = buf.read(); val b1 = buf.read()
@@ -131,11 +166,11 @@ object Warc {
         new java.util.zip.GZIPInputStream(buf, 1 << 16)
       else buf
     new Iterator[WarcRecord] {
-      private var nextRec: Option[WarcRecord] = nextRecord(in)
+      private var nextRec: Option[WarcRecord] = nextRecord(in, keepPayload)
       override def hasNext: Boolean = nextRec.isDefined
       override def next(): WarcRecord = {
         val r = nextRec.get
-        nextRec = nextRecord(in)
+        nextRec = nextRecord(in, keepPayload)
         r
       }
     }

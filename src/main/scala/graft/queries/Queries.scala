@@ -223,6 +223,43 @@ object Queries {
       p
     })
 
+  /** Real `.warc.gz` FILES for the x73 source gate, one gzip member
+    * per record (the CommonCrawl layout), written once per scale dir
+    * by an executor-side sink (no driver collect; one file per
+    * partition). */
+  private val warcFilesMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcFilesFor(s: SparkSession, dir: String): String =
+    warcFilesMemo.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-warcfiles").toString
+      val id = col("doc_id").cast("string")
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val payload = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>"), esc, lit("</p>"))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.org/doc/"),
+        id,
+        lit("\r\nWARC-Date: 2026-08-14T00:00:00Z" +
+          "\r\nContent-Type: application/http; msgtype=response" +
+          "\r\nContent-Length: "),
+        octet_length(payload).cast("string"),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      Tables.documents(s, dir).select(rec.cast("binary").as("r"))
+        .repartition(4)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
+            try it.foreach { row =>
+              val gz = new java.util.zip.GZIPOutputStream(f)
+              gz.write(row.getAs[Array[Byte]](0))
+              gz.finish()
+            } finally f.close()
+          }
+        }
+      out
+    })
+
   private val rollupCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def minuteRollup(s: SparkSession, dir: String): DataFrame =
     if (!Tables.cacheEnabled) graft.store.Rollups.minutely(s, rollupDir(s, dir))
@@ -3007,6 +3044,36 @@ object Queries {
         "ct", "b", "text")
       .select(col("doc_id"), graft.ext.DocExtract.mediaType(col("ct")).as("mt"),
         col("text"))
+      .ordered("doc_id")
+  }
+
+  // X73 — the DataSource V2 `warc` FORMAT end to end: real `.warc.gz`
+  // FILES on disk (one gzip member per record — the CommonCrawl
+  // layout; written once per scale dir by an executor-side sink, the
+  // warcWireDir discipline), read back through
+  // `spark.read.format("warc")` and the extraction pipeline. The
+  // oracle is x49's closed form keyed by the URI-recovered doc id —
+  // a file-framing, gzip-member, partition-planning, or
+  // pruning-pushdown bug breaks rows or hash.
+  q("x73_warc_source",
+    """WITH gen AS (
+      |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS p1
+      |  FROM documents)
+      |SELECT doc_id,
+      |  'response' AS warc_type,
+      |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  200 AS status,
+      |  CASE WHEN length(p1) >= 10 THEN p1 ELSE '' END AS main_text
+      |FROM gen ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val files = warcFilesFor(s, dir)
+    s.read.format("warc").load(files + "/*.warc.gz")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("warc_type"), col("target_uri"),
+        graft.ext.Warc.httpStatus(col("payload")).as("status"),
+        graft.ext.Extract.mainText(
+          graft.ext.Warc.httpBodyText(col("payload"))).as("main_text"))
       .ordered("doc_id")
   }
 

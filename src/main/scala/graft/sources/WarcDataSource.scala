@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.ext.Warc
+
+/** WARC as a FIRST-CLASS Spark data source (DataSource V2):
+  * `spark.read.format("warc").load("s3a://…/segments/∗/∗.warc.gz")`
+  * lands the same rows as [[graft.ext.Warc.read]] — but through the
+  * connector API, so the source composes like any built-in format:
+  * short-name registration (META-INF/services), catalog-visible
+  * schema, and COLUMN PRUNING pushed into the reader
+  * ([[SupportsPushDownRequiredColumns]]). Pruning matters at crawl
+  * scale: a metadata pass (`select(target_uri, content_length)`) still
+  * streams every gzip byte (members are not seekable) but never
+  * MATERIALIZES payloads — the reader skips the Content-Length bytes
+  * instead of allocating them, which at ~1 GB/file keeps a
+  * listing-shaped query allocation-free.
+  *
+  * Split model: one partition per FILE, the unit every production WARC
+  * pipeline parallelizes on (per-record gzip members defeat byte-range
+  * splits; CommonCrawl ships tens of thousands of ~1 GB files per
+  * crawl, far above any cluster's core count). Batch source —
+  * streaming ingestion goes through the landed-parquet path
+  * ([[graft.streaming.DocumentIngest]]), same as every store.
+  *
+  * Reference: livingsocial/rearview reads Graphite JSON over HTTP
+  * (README.md:6); a connector for a crawl container is extension
+  * surface for the corpus mandate, expressed the Spark-native way. */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WarcTable(WarcDataSource.pathsOf(properties.asScala.toMap))
+}
+
+object WarcDataSource {
+  /** The [[graft.ext.Warc.WarcRow]] shape, connector-side. */
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("idx", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("warc_date", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** `load(p)` lands as `path`; `load(p1, p2, …)` as a JSON `paths`
+    * array (the DSv2 convention built-in file sources follow). */
+  private[sources] def pathsOf(props: Map[String, String]): Seq[String] = {
+    val multi = props.get("paths").toSeq.flatMap { js =>
+      // the value is a JSON string array; parse without a JSON lib
+      // dependency: strip brackets, split on "," between quotes
+      js.trim.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    }
+    val single = props.get("path").toSeq
+    val all = multi ++ single
+    require(all.nonEmpty, "warc source needs a path: .load(\"…/*.warc.gz\")")
+    all
+  }
+}
+
+final class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"warc(${paths.mkString(",")})"
+  override def schema(): StructType = WarcDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(paths)
+}
+
+final class WarcScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcDataSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new WarcScan(paths, required)
+}
+
+final class WarcScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WarcScan(${paths.mkString(",")}, columns=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side glob expansion (the Warc.read listing), one
+    // partition per file — file COUNT is the parallelism unit
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    paths.flatMap { g =>
+      val pat = new org.apache.hadoop.fs.Path(g)
+      val fs = pat.getFileSystem(conf)
+      Option(fs.globStatus(pat)).getOrElse(Array.empty)
+        .filter(_.isFile).map(_.getPath.toString)
+    }.distinct.sorted
+      .map(p => WarcInputPartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    WarcReaderFactory(conf, required)
+  }
+}
+
+final case class WarcInputPartition(path: String) extends InputPartition
+
+final case class WarcReaderFactory(conf: SerializableConfiguration,
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(
+      partition.asInstanceOf[WarcInputPartition].path, conf, required)
+}
+
+/** One streaming pass over one (possibly multi-member-gzip) WARC file,
+  * constant memory per record; only the REQUIRED columns materialize —
+  * in particular, when `payload` is pruned the Content-Length bytes
+  * are consumed but never allocated. */
+final class WarcPartitionReader(path: String, conf: SerializableConfiguration,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val needPayload = required.fieldNames.contains("payload")
+  private val hPath = new org.apache.hadoop.fs.Path(path)
+  private val in = hPath.getFileSystem(conf.value).open(hPath)
+  private val records = Warc.parseStream(in, keepPayload = needPayload)
+  private val pathU8 = UTF8String.fromString(path)
+  private var idx = -1L
+  private var rec: Warc.WarcRecord = _
+
+  override def next(): Boolean =
+    if (records.hasNext) { rec = records.next(); idx += 1; true } else false
+
+  override def get(): InternalRow = {
+    def h(name: String): UTF8String =
+      UTF8String.fromString(rec.header(name).getOrElse(""))
+    val values: Array[Any] = required.fieldNames.map {
+      case "path" => pathU8
+      case "idx" => idx
+      case "warc_type" => h("WARC-Type")
+      case "target_uri" => h("WARC-Target-URI")
+      case "warc_date" => h("WARC-Date")
+      case "content_type" => h("Content-Type")
+      case "content_length" => rec.contentLength
+      case "payload" => rec.payload
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+  }
+
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Warc
+
+/** The DataSource V2 `warc` format: short-name registration, parity
+  * with Warc.read, per-file partitions, and column pruning that skips
+  * payload ALLOCATION (the metadata-pass contract). */
+class WarcSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def record(typ: String, uri: String, payload: String): Array[Byte] = {
+    val pb = payload.getBytes(UTF_8)
+    (s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+      "WARC-Date: 2026-08-15T00:00:00Z\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${pb.length}\r\n\r\n").getBytes(UTF_8) ++
+      pb ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("format(\"warc\"): parity with Warc.read on plain + gzip files; per-file partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("warcsource").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "a.warc").toPath,
+        record("response", "https://a.example/1", "HTTP/1.1 200 OK\r\n\r\nbody one") ++
+          record("response", "https://a.example/2", "HTTP/1.1 200 OK\r\n\r\nbody two"))
+      java.nio.file.Files.write(new java.io.File(dir, "b.warc.gz").toPath,
+        gz(record("warcinfo", "", "software: test\n")))
+      val glob = dir.getAbsolutePath + "/*"
+      val viaSource = spark.read.format("warc").load(glob)
+      val viaReader = Warc.read(spark, glob).toDF()
+      val key = (df: org.apache.spark.sql.DataFrame) => df
+        .select(col("path"), col("idx"), col("warc_type"), col("target_uri"),
+          col("content_length"), col("payload").cast("string"))
+        .as[(String, Long, String, String, Long, String)].collect().toSet
+      assert(key(viaSource) == key(viaReader) && key(viaSource).size == 3)
+      // one partition per file
+      assert(viaSource.rdd.getNumPartitions == 2)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+
+  test("column pruning reaches the reader: payload-free scans report declared lengths; pruned schema in the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("warcsource2").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "a.warc").toPath,
+        record("response", "https://p.example/x", "0123456789"))
+      val pruned = spark.read.format("warc").load(dir.getAbsolutePath + "/*")
+        .select("target_uri", "content_length")
+      val rows = pruned.collect()
+      assert(rows.length == 1 && rows.head.getString(0) == "https://p.example/x" &&
+        rows.head.getLong(1) == 10L) // declared length, payload never allocated
+      // the scan itself carries only the required columns
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+        case b: BatchScanExec => Seq(b)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+      val s = scans(pruned.queryExecution.executedPlan)
+      assert(s.nonEmpty, "no BatchScanExec found")
+      assert(s.head.output.map(_.name).toSet == Set("target_uri", "content_length"),
+        s"scan not pruned: ${s.head.output.map(_.name)}")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+
+  test("multiple load paths and the full pipeline compose: source -> htmlResponses-style filtering") {
+    val d1 = java.nio.file.Files.createTempDirectory("warcsource3a").toFile
+    val d2 = java.nio.file.Files.createTempDirectory("warcsource3b").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(d1, "a.warc").toPath,
+        record("response", "https://m.example/1",
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>Hello body</p>"))
+      java.nio.file.Files.write(new java.io.File(d2, "b.warc").toPath,
+        record("response", "https://m.example/2",
+          "HTTP/1.1 404 NF\r\nContent-Type: text/html\r\n\r\n<p>gone</p>"))
+      val df = spark.read.format("warc")
+        .load(d1.getAbsolutePath + "/*", d2.getAbsolutePath + "/*")
+      assert(df.count() == 2)
+      val kept = df
+        .filter(Warc.httpStatus(col("payload")) === 200 &&
+          Warc.isHtmlResponse(col("payload")))
+        .select(col("target_uri"), Warc.httpBodyText(col("payload")).as("html"))
+        .as[(String, String)].collect().toSeq
+      assert(kept == Seq(("https://m.example/1", "<p>Hello body</p>")))
+    } finally {
+      Seq(d1, d2).foreach { d => d.listFiles().foreach(_.delete()); d.delete() }
+      ()
+    }
+  }
+}
