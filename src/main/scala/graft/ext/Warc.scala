@@ -222,6 +222,51 @@ object Warc {
     }
   }
 
+  // -- archiving sink -------------------------------------------------------
+
+  /** Archive (uri, date, payload) rows as `.warc.gz` RESPONSE records —
+    * the interchange sink (a fetcher that archives through this writes
+    * captures any WARC consumer, this library's own
+    * [[graft.sources.WarcDataSource]] included, can split and read):
+    * one file per partition, each record its OWN gzip member (the
+    * CommonCrawl layout — members are the split unit), framing the
+    * writer-twin of [[nextRecord]]: version line, typed headers,
+    * Content-Length in BYTES, double-CRLF close. Record bytes build in
+    * codegen column expressions; only the file IO runs in the
+    * executor-side sink (no driver collect; 100-TB shape = one narrow
+    * write pass, file count = partition count). `warcDate` rows should
+    * carry ISO-8601 (the spec's format) — written verbatim. */
+  def writeRecords(df: org.apache.spark.sql.DataFrame, uriCol: String,
+      dateCol: String, payloadCol: String, outDir: String,
+      warcType: String = "response",
+      httpContentType: String = "application/http; msgtype=response"): Unit = {
+    val payload = col(payloadCol).cast("binary")
+    val rec = concat(
+      concat(lit(s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: "),
+        col(uriCol).cast("string"),
+        lit("\r\nWARC-Date: "), col(dateCol).cast("string"),
+        lit(s"\r\nContent-Type: $httpContentType\r\nContent-Length: "),
+        octet_length(payload).cast("string"),
+        lit("\r\n\r\n")).cast("binary"),
+      payload, lit("\r\n\r\n").cast("binary"))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(rec.as("r")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = new org.apache.hadoop.fs.Path(outDir,
+            f"part-$pid%05d.warc.gz")
+          val out = path.getFileSystem(conf.value).create(path, true)
+          try it.foreach { row =>
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            gz.write(row.getAs[Array[Byte]](0))
+            gz.finish() // one member per record — the splittable layout
+          } finally out.close()
+        }
+    }
+  }
+
   // -- column-level record parsing (derived-input oracles, captures) ------
 
   val RecordSchema: StructType = StructType(Seq(

@@ -260,6 +260,24 @@ object Queries {
       out
     })
 
+  /** The x74 archive: documents written as WARC captures through the
+    * REAL [[graft.ext.Warc.writeRecords]] sink, once per scale dir. */
+  private val warcSinkMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcSinkFilesFor(s: SparkSession, dir: String): String =
+    warcSinkMemo.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-warcsink").toString
+      val payload = concat(lit("HTTP/1.1 200 OK\r\n\r\n"),
+        coalesce(col("text"), lit("")))
+      graft.ext.Warc.writeRecords(
+        Tables.documents(s, dir).select(
+          concat(lit("https://archive.example/doc/"),
+            col("doc_id").cast("string")).as("uri"),
+          lit("2026-08-15T00:00:00Z").as("ts"),
+          payload.as("payload")).repartition(4),
+        "uri", "ts", "payload", out)
+      out
+    })
+
   private val rollupCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def minuteRollup(s: SparkSession, dir: String): DataFrame =
     if (!Tables.cacheEnabled) graft.store.Rollups.minutely(s, rollupDir(s, dir))
@@ -3074,6 +3092,31 @@ object Queries {
         graft.ext.Warc.httpStatus(col("payload")).as("status"),
         graft.ext.Extract.mainText(
           graft.ext.Warc.httpBodyText(col("payload"))).as("main_text"))
+      .ordered("doc_id")
+  }
+
+  // X74 — the WARC ARCHIVING SINK round-trip ([[graft.ext.Warc
+  // .writeRecords]] → the DSv2 `warc` reader): captures written by the
+  // REAL sink (one gzip member per record, executor-side, memoized per
+  // scale dir) must read back byte-faithful — uri, date, declared
+  // length, payload text. A framing bug on the WRITE side (byte/char
+  // length confusion, CRLF mis-close, member boundaries) breaks the
+  // reader's parse and the hash.
+  q("x74_warc_roundtrip",
+    """SELECT doc_id,
+      |  'https://archive.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  '2026-08-15T00:00:00Z' AS warc_date,
+      |  CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) || chr(13) || chr(10)
+      |    || COALESCE(text, '')) AS BIGINT) AS content_length,
+      |  COALESCE(text, '') AS body
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val files = warcSinkFilesFor(s, dir)
+    s.read.format("warc").load(files + "/*.warc.gz")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri"), col("warc_date"), col("content_length"),
+        graft.ext.Warc.httpBody(col("payload")).as("body"))
       .ordered("doc_id")
   }
 
