@@ -152,19 +152,28 @@ object Warc {
     }
   }
 
-  /** All records of one (possibly multi-member-gzipped) WARC byte
-    * stream. `keepPayload = false` consumes payloads without
-    * allocating them (payload-pruned scans). */
+  /** All records of one WARC byte stream — plain, multi-member gzip
+    * (`.warc.gz`), or multi-frame zstd (`.warc.zst` — CommonCrawl's
+    * newer transport; zstd-jni ships with Spark, and continuous mode
+    * reads concatenated frames the way GZIPInputStream reads members;
+    * skippable frames — the dictionary convention — are skipped by the
+    * decoder per RFC 8878). `keepPayload = false` consumes payloads
+    * without allocating them (payload-pruned scans). */
   def parseStream(raw: InputStream,
       keepPayload: Boolean = true): Iterator[WarcRecord] = {
     val buf = new BufferedInputStream(raw, 1 << 16)
-    buf.mark(2)
+    buf.mark(4)
     val b0 = buf.read(); val b1 = buf.read()
+    val b2 = buf.read(); val b3 = buf.read()
     buf.reset()
     val in: InputStream =
       if (b0 == 0x1f && b1 == 0x8b)
         new java.util.zip.GZIPInputStream(buf, 1 << 16)
-      else buf
+      else if (b0 == 0x28 && b1 == 0xB5 && b2 == 0x2F && b3 == 0xFD) {
+        val z = new com.github.luben.zstd.ZstdInputStream(buf)
+        z.setContinuous(true) // read across frame boundaries
+        z
+      } else buf
     new Iterator[WarcRecord] {
       private var nextRec: Option[WarcRecord] = nextRecord(in, keepPayload)
       override def hasNext: Boolean = nextRec.isDefined

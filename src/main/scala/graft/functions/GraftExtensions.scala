@@ -17,8 +17,42 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql(...)` alongside the typed Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => GraftOptimizations)
+  }
+}
+
+/** Optimizer rule for the custom kernels — the simplifications
+  * Catalyst cannot know about because the semantics live in this
+  * library: IDEMPOTENT kernels collapse when nested. Real plans stack
+  * them: [[graft.ext.Frontier.seedsFromSitemaps]] emits canonical
+  * URLs, and a defensive caller (or [[graft.ext.Frontier
+  * .recrawlCandidates]] over already-canonical store urls) normalizes
+  * again — without this rule every such row pays a second full parse.
+  * Injected at session build by [[GraftExtensions]]
+  * (`spark.sql.extensions`) or appended to
+  * `spark.experimental.extraOptimizations` by
+  * [[GraftExtensions.register]] (the notebook/test path). */
+object GraftOptimizations
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      // normalizeUrl is idempotent by construction (output is the
+      // canonical form; UrlOpsSpec pins it property-style)
+      case UrlExpressions.NormalizeUrlExpr(
+          inner: UrlExpressions.NormalizeUrlExpr) => inner
+      // unicode normalization is idempotent per form (UAX #15)
+      case TextExpressions.UnicodeNormalizeExpr(
+          inner @ TextExpressions.UnicodeNormalizeExpr(_, f2), f1)
+          if f1 == f2 => inner
+      // mojibake repair is a fixed point after one application for the
+      // single-mis-decode case it targets; double application is NOT
+      // collapsed (deliberately: double-mojibake needs both passes)
+    }
 }
 
 object GraftExtensions {
@@ -282,10 +316,16 @@ object GraftExtensions {
   // their models — the hyperplane matrix, the piece table — are driver
   // artifacts that have no SQL literal form.)
 
-  /** Register into an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an already-built session (functions AND the
+    * optimizer rule, via the experimental-methods hook — the only
+    * post-build rule injection Spark exposes). */
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (ident, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         ident.funcName, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(GraftOptimizations))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftOptimizations
+  }
 }

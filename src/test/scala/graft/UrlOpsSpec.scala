@@ -226,6 +226,43 @@ class UrlOpsSpec extends SparkTestBase {
       .head.getString(0) == "http://a/b/g")
   }
 
+  test("optimizer rule: nested idempotent kernels collapse in the plan; values unchanged") {
+    graft.functions.GraftExtensions.register(spark)
+    // range leaf, not a local Seq: ConvertToLocalRelation would fold
+    // the whole projection away and leave nothing to count
+    val df = spark.range(3).select(
+      concat(lit("HTTPS://A.Example:443/p"), col("id"),
+        lit("?b=2&utm_x=1&a=1")).as("u"))
+    val nested = df.select(
+      UrlOps.normalizeUrl(UrlOps.normalizeUrl(col("u"))).as("n"),
+      graft.ext.TextOps.normalizeUnicode(
+        graft.ext.TextOps.normalizeUnicode(col("u"))).as("t"))
+    def kernels(name: String): Int = {
+      var n = 0
+      nested.queryExecution.optimizedPlan.transformAllExpressions {
+        case e if e.prettyName == name => n += 1; e
+      }
+      n
+    }
+    assert(kernels("graft_normalize_url") == 1,
+      "nested normalizeUrl must collapse to one kernel")
+    assert(kernels("graft_unicode_normalize") == 1,
+      "nested same-form unicode normalize must collapse")
+    // semantics unchanged vs the single-application form
+    val single = df.select(UrlOps.normalizeUrl(col("u")).as("n"),
+      graft.ext.TextOps.normalizeUnicode(col("u")).as("t"))
+    assert(nested.collect().map(_.toString).toSeq ==
+      single.collect().map(_.toString).toSeq)
+    // different FORMS do not collapse (NFC of NFKC is not NFKC)
+    val mixed = df.select(graft.ext.TextOps.normalizeUnicode(
+      graft.ext.TextOps.normalizeUnicode(col("u"), "NFKC"), "NFC").as("t"))
+    var m = 0
+    mixed.queryExecution.optimizedPlan.transformAllExpressions {
+      case e if e.prettyName == "graft_unicode_normalize" => m += 1; e
+    }
+    assert(m == 2, "mixed forms must NOT collapse")
+  }
+
   test("normalize kernel properties over a seeded URL corpus: idempotent; codegen == direct call") {
     // seeded generator covering the normalizer's whole decision tree:
     // scheme case/junk, host case, default/kept/garbage ports, empty

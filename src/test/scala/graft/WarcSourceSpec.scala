@@ -80,6 +80,30 @@ class WarcSourceSpec extends SparkTestBase {
     }
   }
 
+  test(".warc.zst transport: multi-frame zstd parses like multi-member gzip, through the source too") {
+    val dir = java.nio.file.Files.createTempDirectory("warcsource-zst").toFile
+    try {
+      // one zstd FRAME per record, concatenated — the splittable layout
+      val r1 = com.github.luben.zstd.Zstd.compress(
+        record("response", "https://z.example/1", "HTTP/1.1 200 OK\r\n\r\nzst one"), 3)
+      val r2 = com.github.luben.zstd.Zstd.compress(
+        record("response", "https://z.example/2", "HTTP/1.1 200 OK\r\n\r\nzst two"), 3)
+      java.nio.file.Files.write(new java.io.File(dir, "a.warc.zst").toPath, r1 ++ r2)
+      val direct = Warc.parseBytes(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "a.warc.zst").toPath)).toSeq
+      assert(direct.map(_.header("WARC-Target-URI").get) ==
+        Seq("https://z.example/1", "https://z.example/2"))
+      val viaSource = spark.read.format("warc").load(dir.getAbsolutePath + "/*")
+        .select(col("target_uri"), col("payload").cast("string"))
+        .as[(String, String)].collect().toMap
+      assert(viaSource == Map(
+        "https://z.example/1" -> "HTTP/1.1 200 OK\r\n\r\nzst one",
+        "https://z.example/2" -> "HTTP/1.1 200 OK\r\n\r\nzst two"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+
   test("multiple load paths and the full pipeline compose: source -> htmlResponses-style filtering") {
     val d1 = java.nio.file.Files.createTempDirectory("warcsource3a").toFile
     val d2 = java.nio.file.Files.createTempDirectory("warcsource3b").toFile
