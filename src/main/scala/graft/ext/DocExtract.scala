@@ -53,6 +53,15 @@ object DocExtract {
   def mediaType(contentType: Column): Column =
     trim(lower(element_at(split(coalesce(contentType, lit("")), ";"), 1)))
 
+  /** The `charset=` parameter of a Content-Type value, lowercased;
+    * null when absent — the value [[mediaType]] strips. The text/plain
+    * branch of [[texts]] decodes under it (`text/plain;
+    * charset=windows-1252` must not mojibake), mirroring the HTML
+    * branch's charset chain. */
+  def charsetParam(contentType: Column): Column =
+    lower(nullif(regexp_extract(coalesce(contentType, lit("")),
+      "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1), lit("")))
+
   private val HtmlTypes = Seq("text/html", "application/xhtml+xml")
   val ObservationPrefix = "graft_doc_extract"
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -89,7 +98,12 @@ object DocExtract {
       Warc.decodeCharset(bytes,
         coalesce(Extract.metaCharset(bytes.cast("string")), lit("utf-8"))),
       policy)
-    val plainText = Warc.decodeCharset(bytes, lit("utf-8"))
+    // text/plain decodes under the Content-Type's own charset
+    // parameter (fallback utf-8; BOM still overrides inside
+    // decodeCharset) — the same declared-charset-wins chain the HTML
+    // branch runs, minus the meta sniff plain text cannot carry
+    val plainText = Warc.decodeCharset(bytes,
+      coalesce(charsetParam(col(contentTypeCol)), lit("utf-8")))
     val base = when(mt === "text/plain", plainText)
       .when(mt.isin(HtmlTypes: _*), htmlText)
     val text =

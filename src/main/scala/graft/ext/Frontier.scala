@@ -232,6 +232,13 @@ object Frontier {
       .join(ranks.select(col("id").as("host"), col("rank")), Seq("host"), "left")
       .select(col("host"), col("url"), coalesce(col("rank"), lit(0.0)).as("rank"))
       .localCheckpoint(true)
+    // the eager checkpoint above is the LAST reader of `allowed`:
+    // release the cached relation now — Dataset.persist registers in
+    // the session CacheManager, which no GC ever cleans, and
+    // frontierCore runs once per streaming micro-batch (a long-running
+    // frontierMaintenance stream would otherwise accumulate one cached
+    // relation per batch, unbounded)
+    allowed.unpersist(blocking = false)
     Sampling.stratifiedTake(ranked, Seq("host"), col("url"), seed, perHostCap)
   }
 

@@ -233,27 +233,93 @@ object Warc {
 
   // -- archiving sink -------------------------------------------------------
 
+  /** Per-partition gzip MEMBER writer with ONE reusable native
+    * [[java.util.zip.Deflater]]: each `writeMember` emits a complete
+    * gzip member (10-byte header with zero mtime — deterministic
+    * output — raw-deflate body, CRC32 + ISIZE trailer), `reset()`
+    * between members. The naive per-member `new GZIPOutputStream`
+    * allocates a fresh Deflater (~hundreds of KB of NATIVE zlib
+    * buffers) per record and `finish()` without `close()` leaves it
+    * un-`end()`ed until GC finalization — a task archiving millions of
+    * records exhausts executor native memory. Here the native buffers
+    * are allocated once per partition and released by `end()` in the
+    * task's finally block. */
+  final class MemberGzipWriter(out: java.io.OutputStream) {
+    private val deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    private val crc = new java.util.zip.CRC32
+    private val buf = new Array[Byte](64 * 1024)
+    private var ended = false
+    /** Members emitted so far — the reuse witness WarcSpec asserts. */
+    var membersWritten: Long = 0L
+    private def intLE(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def writeMember(bytes: Array[Byte]): Unit = {
+      require(!ended, "writer already ended")
+      out.write(MemberGzipWriter.Header)
+      deflater.reset(); crc.reset()
+      deflater.setInput(bytes); deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+      }
+      crc.update(bytes)
+      intLE(crc.getValue.toInt); intLE(bytes.length)
+      membersWritten += 1
+    }
+    /** Release the one native Deflater. Idempotent; does NOT close
+      * `out` (the caller owns the file stream). */
+    def end(): Unit = if (!ended) { ended = true; deflater.end() }
+  }
+  object MemberGzipWriter {
+    /** RFC 1952 member header: magic, CM=deflate, no flags, MTIME=0
+      * (determinism — archive bytes hash stably), XFL=0, OS=255. */
+    private[ext] val Header: Array[Byte] = Array(
+      0x1f, 0x8b, 0x08, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff)
+      .map(_.toByte)
+  }
+
   /** Archive (uri, date, payload) rows as `.warc.gz` RESPONSE records —
     * the interchange sink (a fetcher that archives through this writes
     * captures any WARC consumer, this library's own
     * [[graft.sources.WarcDataSource]] included, can split and read):
     * one file per partition, each record its OWN gzip member (the
     * CommonCrawl layout — members are the split unit), framing the
-    * writer-twin of [[nextRecord]]: version line, typed headers,
-    * Content-Length in BYTES, double-CRLF close. Record bytes build in
-    * codegen column expressions; only the file IO runs in the
-    * executor-side sink (no driver collect; 100-TB shape = one narrow
-    * write pass, file count = partition count). `warcDate` rows should
-    * carry ISO-8601 (the spec's format) — written verbatim. */
+    * writer-twin of [[nextRecord]]: version line, typed headers
+    * including the ISO-28500-mandatory `WARC-Record-ID` (a
+    * deterministic `urn:uuid` derived from md5(uri, date) —
+    * reproducible archives hash stably), Content-Length in BYTES,
+    * double-CRLF close. CR/LF are stripped from the uri and date
+    * values before they enter the header block — a stray newline in a
+    * crawled URI must not corrupt record framing. Record bytes build
+    * in codegen column expressions; only the file IO runs in the
+    * executor-side sink (Hadoop FS — remote outDirs work; no driver
+    * collect; 100-TB shape = one narrow write pass, file count =
+    * partition count), through ONE [[MemberGzipWriter]] Deflater per
+    * partition. `warcDate` rows should carry ISO-8601 (the spec's
+    * format) — written verbatim. */
   def writeRecords(df: org.apache.spark.sql.DataFrame, uriCol: String,
       dateCol: String, payloadCol: String, outDir: String,
       warcType: String = "response",
       httpContentType: String = "application/http; msgtype=response"): Unit = {
     val payload = col(payloadCol).cast("binary")
+    def headerSafe(c: Column): Column =
+      regexp_replace(c.cast("string"), "[\\r\\n]", "")
+    val uri = headerSafe(col(uriCol))
+    val date = headerSafe(col(dateCol))
+    // deterministic urn:uuid from md5(uri \n date): 32 hex chars
+    // formatted 8-4-4-4-12 (reproducible re-archives keep their ids)
+    val h = md5(concat(uri, lit("\n"), date).cast("binary"))
+    val recordId = concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
     val rec = concat(
-      concat(lit(s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: "),
-        col(uriCol).cast("string"),
-        lit("\r\nWARC-Date: "), col(dateCol).cast("string"),
+      concat(lit(s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Record-ID: <urn:uuid:"),
+        recordId,
+        lit(">\r\nWARC-Target-URI: "), uri,
+        lit("\r\nWARC-Date: "), date,
         lit(s"\r\nContent-Type: $httpContentType\r\nContent-Length: "),
         octet_length(payload).cast("string"),
         lit("\r\n\r\n")).cast("binary"),
@@ -267,11 +333,9 @@ object Warc {
           val path = new org.apache.hadoop.fs.Path(outDir,
             f"part-$pid%05d.warc.gz")
           val out = path.getFileSystem(conf.value).create(path, true)
-          try it.foreach { row =>
-            val gz = new java.util.zip.GZIPOutputStream(out)
-            gz.write(row.getAs[Array[Byte]](0))
-            gz.finish() // one member per record — the splittable layout
-          } finally out.close()
+          val w = new MemberGzipWriter(out)
+          try it.foreach { row => w.writeMember(row.getAs[Array[Byte]](0)) }
+          finally { w.end(); out.close() }
         }
     }
   }

@@ -250,11 +250,9 @@ object Queries {
           if (it.hasNext) {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
-            try it.foreach { row =>
-              val gz = new java.util.zip.GZIPOutputStream(f)
-              gz.write(row.getAs[Array[Byte]](0))
-              gz.finish()
-            } finally f.close()
+            val w = new graft.ext.Warc.MemberGzipWriter(f)
+            try it.foreach(row => w.writeMember(row.getAs[Array[Byte]](0)))
+            finally { w.end(); f.close() }
           }
         }
       out

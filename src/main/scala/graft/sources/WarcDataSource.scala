@@ -63,12 +63,14 @@ object WarcDataSource {
 
   /** `load(p)` lands as `path`; `load(p1, p2, …)` as a JSON `paths`
     * array (the DSv2 convention built-in file sources follow). */
-  private[sources] def pathsOf(props: Map[String, String]): Seq[String] = {
+  private[graft] def pathsOf(props: Map[String, String]): Seq[String] = {
     val multi = props.get("paths").toSeq.flatMap { js =>
-      // the value is a JSON string array; parse without a JSON lib
-      // dependency: strip brackets, split on "," between quotes
-      js.trim.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      // the value is a JSON string array — parse it as one (Jackson
+      // ships on Spark's classpath; built-in file sources do the
+      // same): a hand-split on ',' would shred paths containing
+      // commas (legal in URIs and in glob alternation like {a,b})
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq.filter(_.nonEmpty)
     }
     val single = props.get("path").toSeq
     val all = multi ++ single

@@ -85,4 +85,27 @@ class DocExtractSpec extends SparkTestBase {
     val b = DocExtract.texts(rows.toDF("ct", "bytes"), "ct", "bytes", "text")
     assert(a.unionByName(b).count() == 4)
   }
+
+  test("text/plain decodes under its Content-Type charset parameter; BOM still overrides; absent -> utf-8") {
+    // 'café' in windows-1252: é = 0xE9 — decoded as UTF-8 this
+    // mojibakes to U+FFFD; the charset param must reach the decoder
+    val cp1252 = "caf".getBytes(UTF_8) ++ Array(0xE9.toByte)
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "café".getBytes(UTF_8)
+    val df = Seq(
+      ("text/plain; charset=windows-1252", cp1252),
+      ("text/plain; charset=WINDOWS-1252", cp1252), // case-insensitive
+      // stale latin-1 declaration, UTF-8 BOM: BOM wins (WHATWG rule)
+      ("text/plain; charset=iso-8859-1", bom),
+      ("text/plain", "plain utf-8 café".getBytes(UTF_8)),
+      ("text/plain; charset=no-such-cs", "ascii safe".getBytes(UTF_8)))
+      .toDF("ct", "bytes")
+    val out = DocExtract.texts(df, "ct", "bytes", "text")
+      .select("ct", "text").as[(String, String)].collect().toMap
+    assert(out("text/plain; charset=windows-1252") == "café")
+    assert(out("text/plain; charset=WINDOWS-1252") == "café")
+    assert(out("text/plain; charset=iso-8859-1") == "café")
+    assert(out("text/plain") == "plain utf-8 café")
+    assert(out("text/plain; charset=no-such-cs") == "ascii safe")
+  }
 }

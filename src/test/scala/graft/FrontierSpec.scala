@@ -15,6 +15,18 @@ class FrontierSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
       .sortBy(t => (t._1, t._2))
 
+  test("frontierCore leaves no cached relation behind (per-micro-batch hygiene)") {
+    // frontierCore persists its link-extract frame for the batch and
+    // must unpersist it before returning: the CacheManager is never
+    // GC-cleaned, so a leak here grows by one relation per streaming
+    // micro-batch of frontierMaintenance, without bound
+    spark.sharedState.cacheManager.clearCache()
+    frontier(Seq(("https://a.example/p",
+      """<a href="https://b.example/x">b</a>""")))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "frontier run leaked a cached relation")
+  }
+
   test("gates: javascript/mailto die, blocklist fires, tracking twin merges, self-link anti-joined") {
     val out = frontier(Seq(
       ("https://a.example/page1",

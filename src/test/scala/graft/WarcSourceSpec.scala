@@ -128,4 +128,16 @@ class WarcSourceSpec extends SparkTestBase {
       ()
     }
   }
+
+  test("paths option parses as real JSON: commas inside a path (glob alternation) survive") {
+    // the DSv2 multi-load convention serializes paths as a JSON array;
+    // a hand-split on ',' would shred '/x/{a,b}/*.warc.gz'
+    val got = graft.sources.WarcDataSource.pathsOf(Map(
+      "paths" -> """["/x/{a,b}/*.warc.gz","/y/plain, with space.warc"]"""))
+    assert(got == Seq("/x/{a,b}/*.warc.gz", "/y/plain, with space.warc"))
+    val single = graft.sources.WarcDataSource.pathsOf(Map("path" -> "/z/*.warc"))
+    assert(single == Seq("/z/*.warc"))
+    intercept[IllegalArgumentException](
+      graft.sources.WarcDataSource.pathsOf(Map.empty))
+  }
 }

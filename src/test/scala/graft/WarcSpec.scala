@@ -396,4 +396,74 @@ class WarcSpec extends SparkTestBase {
       dir.listFiles().foreach(_.delete()); dir.delete(): Unit
     }
   }
+
+  test("MemberGzipWriter: ONE deflater writes many members, parse-back exact; end() idempotent, out stays open") {
+    // the member-close protocol of the archiving sink: a partition
+    // writing N records must not allocate N native Deflaters — one
+    // writer instance (one Deflater by construction) emits every
+    // member, reset between them, end()ed once in the finally
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new Warc.MemberGzipWriter(bos)
+    val n = 10000
+    val recs = (0 until n).map(i =>
+      record("response", s"https://m.example/$i", http(s"<p>$i</p>")))
+    recs.foreach(r => w.writeMember(r))
+    assert(w.membersWritten == n)
+    w.end(); w.end() // idempotent; does NOT close the caller's stream
+    bos.write('!') // stream still writable after end()
+    val bytes = java.util.Arrays.copyOf(bos.toByteArray, bos.size() - 1)
+    // multi-member gzip parses back through the reader's own gunzip path
+    val got = Warc.parseBytes(bytes).toSeq
+    assert(got.size == n)
+    assert(got.head.header("WARC-Target-URI").get == "https://m.example/0")
+    assert(new String(got(n - 1).payload, UTF_8) == http(s"<p>${n - 1}</p>"))
+    // a member boundary sits between every record: JDK GZIPInputStream
+    // also reads the concatenation (interchange check)
+    val gis = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val total = Iterator.continually(gis.read(new Array[Byte](65536)))
+      .takeWhile(_ >= 0).sum
+    assert(total == recs.map(_.length).sum)
+    // deterministic bytes: same input, same archive (MTIME pinned to 0)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val w2 = new Warc.MemberGzipWriter(bos2)
+    recs.foreach(w2.writeMember); w2.end()
+    assert(java.util.Arrays.equals(bytes, bos2.toByteArray))
+    // after end(), further writes are refused (no zombie deflater use)
+    intercept[IllegalArgumentException](w.writeMember(Array[Byte](1)))
+  }
+
+  test("writeRecords: mandatory WARC-Record-ID (deterministic urn:uuid), CRLF stripped from header values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sinkspec").toString
+    val df = Seq(
+      ("https://s.example/a", "2026-08-15T00:00:00Z", "body-a"),
+      // hostile values: CR/LF embedded in uri and date must not
+      // corrupt record framing
+      ("https://s.example/b\r\nWARC-Type: injected", "2026-08-15T00:00:01Z\n", "body-b"))
+      .toDF("uri", "ts", "payload")
+    Warc.writeRecords(df.repartition(1), "uri", "ts", "payload", dir)
+    val rows = Warc.read(spark, dir + "/*.warc.gz").collect()
+      .sortBy(_.target_uri)
+    assert(rows.length == 2) // the injected CRLF did NOT split a record
+    assert(rows.map(_.target_uri).toSeq ==
+      Seq("https://s.example/a", "https://s.example/bWARC-Type: injected"))
+    val back = Warc.parseStream(new java.io.FileInputStream(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz")).head))
+      .toSeq
+    // ISO 28500 mandatory fields present on every record
+    back.foreach { r =>
+      val id = r.header("WARC-Record-ID").get
+      assert(id.matches("<urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}>"), id)
+      assert(r.header("Content-Length").isDefined && r.header("WARC-Date").isDefined)
+    }
+    // deterministic: the id derives from (uri, date) — re-archiving
+    // the same capture keeps its identity
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sinkspec2").toString
+    Warc.writeRecords(df.repartition(1), "uri", "ts", "payload", dir2)
+    val back2 = Warc.parseStream(new java.io.FileInputStream(
+      new java.io.File(dir2).listFiles().filter(_.getName.endsWith(".warc.gz")).head))
+      .toSeq
+    assert(back.map(_.header("WARC-Record-ID").get).sorted ==
+      back2.map(_.header("WARC-Record-ID").get).sorted)
+  }
 }
