@@ -66,23 +66,36 @@ object Bench {
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
-    // two measured rounds, per-query min: each number is a real
-    // end-to-end execution; the min discards one-off host-IO stalls
-    // (shared-infra noise measured at 2× between identical runs).
-    // Failures are RECORDED, not swallowed — a query that starts
-    // throwing must surface as a failure entry, never as a fast time.
+    // two measured rounds, per-query min; queries whose two runs
+    // DISAGREE by >2× get a third tie-break run (min-of-3). Each
+    // number is a real end-to-end execution; the min discards one-off
+    // host-IO stalls (shared-infra noise measured at 2× between
+    // identical runs), and the outlier re-run protects the ARTIFACT:
+    // r14 shipped two phantom 3-4× "regressions" (x38, x41) that were
+    // pure host noise both min-of-2 runs happened to eat — a third run
+    // on just the noisy queries is cheap and makes cross-round
+    // artifact diffs trustworthy. Failures are RECORDED, not
+    // swallowed — a query that starts throwing must surface as a
+    // failure entry, never as a fast time.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def round(): Map[String, Double] = queries.map { case (name, fn) =>
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch {
         case t: Throwable =>
           failures(name) =
             t.getClass.getSimpleName + ": " + Option(t.getMessage).getOrElse("").take(160)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    def round(): Map[String, Double] =
+      queries.map { case (name, fn) => name -> timeOne(name, fn) }
     val r1 = round(); val r2 = round()
-    val results = r1.map { case (k, v) => k -> math.min(v, r2.getOrElse(k, v)) }
+    val results = queries.map { case (name, fn) =>
+      val (a, b) = (r1(name), r2(name))
+      val best = math.min(a, b)
+      name -> (if (math.max(a, b) > 2 * best) math.min(best, timeOne(name, fn))
+               else best)
+    }.toMap
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

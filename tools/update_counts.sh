@@ -17,10 +17,13 @@ echo "registry: $q queries, $o oracle-bearing, $r rows-only"
 sed -i -E "s/registry: [0-9]+ queries, [0-9]+ with DuckDB/registry: $q queries, $o with DuckDB/" README.md
 sed -i -E "s/Registry at HEAD: [0-9]+ queries \([0-9]+ oracle-bearing, [0-9]+ rows-only\)/Registry at HEAD: $q queries ($o oracle-bearing, $r rows-only)/" SURVEY.md
 
-if [[ "${1:-}" == "-t" ]]; then
-  t=$(sbt -batch test 2>/dev/null \
-    | grep -oE 'Total number of tests run: [0-9]+' | tail -1 | grep -oE '[0-9]+')
-  echo "tests: $t"
-  sed -i -E "s/# [0-9]+ tests/# $t tests/" README.md
-  sed -i -E "s/\`sbt test\`: [0-9]+ tests/\`sbt test\`: $t tests/" SURVEY.md
-fi
+# Test count from a source scan: every suite registers tests as
+# literal `test("…")` lines (DocCountsSpec asserts the same scan, so
+# stated-count drift fails the build). The scan equals the sbt
+# summary total — cross-check with `sbt test` if dynamic registration
+# is ever introduced. -t kept for compatibility; the scan is cheap,
+# so it always runs.
+t=$(grep -rhoE '^\s+test\("' src/test/scala | wc -l)
+echo "tests: $t"
+sed -i -E "s/# [0-9]+ tests/# $t tests/" README.md
+sed -i -E "s/\`sbt test\`: [0-9]+ tests/\`sbt test\`: $t tests/" SURVEY.md
