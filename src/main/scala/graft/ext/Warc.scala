@@ -87,9 +87,18 @@ object Warc {
     Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Payload bytes ALLOCATED by the parser since JVM start — the
+    * observable WarcSourceSpec pins the pruned/pushed-filter scan
+    * contract on ("a response-only read allocates zero non-response
+    * payloads" is a measurement, not a claim). One atomic add per
+    * record; negligible next to the payload IO itself. Meaningful in
+    * local mode (executors share the JVM). */
+  private[graft] val payloadBytesAllocated = new java.util.concurrent.atomic.AtomicLong
+
   private def readFully(in: InputStream, n: Long): Option[Array[Byte]] = {
     if (n > Int.MaxValue) return None // malformed length; treat as truncation
     val buf = new Array[Byte](n.toInt)
+    payloadBytesAllocated.addAndGet(n)
     try { new DataInputStream(in).readFully(buf); Some(buf) }
     catch { case _: EOFException => None }
   }
@@ -117,7 +126,19 @@ object Warc {
   /** [[nextRecord]] with the payload optionally SKIPPED instead of
     * read (empty array in the record; [[WarcRecord.contentLength]]
     * still reports the declared length). */
-  def nextRecord(in: InputStream, keepPayload: Boolean): Option[WarcRecord] = {
+  def nextRecord(in: InputStream, keepPayload: Boolean): Option[WarcRecord] =
+    nextRecord(in, (_, _) => keepPayload)
+
+  /** [[nextRecord]] with a PER-RECORD payload decision, taken on
+    * (version, headers) BEFORE the payload is touched — the pushed-
+    * filter scan path: a `warc_type = 'response'` read of a mixed
+    * request/response/metadata file consumes the non-matching records'
+    * declared Content-Length bytes via [[skipFully]] without ever
+    * allocating them, even when the query needs `payload`. Every
+    * record is still EMITTED (payload-less when declined) so callers
+    * keep global record indexes; dropping rows is the caller's job. */
+  def nextRecord(in: InputStream,
+      keepPayloadFor: (String, scala.collection.Map[String, String]) => Boolean): Option[WarcRecord] = {
     // skip inter-record blank lines, find the version line
     var line: Option[String] = readLine(in)
     while (line.exists(_.isEmpty)) line = readLine(in)
@@ -137,13 +158,13 @@ object Warc {
           val len = headers.collectFirst {
             case (k, value) if k.equalsIgnoreCase("Content-Length") => value
           }.flatMap(v => scala.util.Try(v.toLong).toOption)
+          val version = v.stripPrefix("WARC/")
           len match {
-            case Some(n) if n >= 0 && keepPayload =>
-              readFully(in, n).map(WarcRecord(v.stripPrefix("WARC/"), headers.toMap, _))
+            case Some(n) if n >= 0 && keepPayloadFor(version, headers) =>
+              readFully(in, n).map(WarcRecord(version, headers.toMap, _))
             case Some(n) if n >= 0 =>
               if (skipFully(in, n))
-                Some(WarcRecord(v.stripPrefix("WARC/"), headers.toMap,
-                  Array.emptyByteArray))
+                Some(WarcRecord(version, headers.toMap, Array.emptyByteArray))
               else None // truncated mid-payload
             case _ => None // Content-Length is mandatory; stop on violation
           }
@@ -160,7 +181,15 @@ object Warc {
     * decoder per RFC 8878). `keepPayload = false` consumes payloads
     * without allocating them (payload-pruned scans). */
   def parseStream(raw: InputStream,
-      keepPayload: Boolean = true): Iterator[WarcRecord] = {
+      keepPayload: Boolean = true): Iterator[WarcRecord] =
+    parseStream(raw, (_: String, _: scala.collection.Map[String, String]) => keepPayload)
+
+  /** [[parseStream]] with a PER-RECORD payload decision on (version,
+    * headers) — see [[nextRecord]]'s function overload: declined
+    * payloads are consumed, never allocated; every record is still
+    * emitted so record indexes stay global. */
+  def parseStream(raw: InputStream,
+      keepPayloadFor: (String, scala.collection.Map[String, String]) => Boolean): Iterator[WarcRecord] = {
     val buf = new BufferedInputStream(raw, 1 << 16)
     buf.mark(4)
     val b0 = buf.read(); val b1 = buf.read()
@@ -175,11 +204,11 @@ object Warc {
         z
       } else buf
     new Iterator[WarcRecord] {
-      private var nextRec: Option[WarcRecord] = nextRecord(in, keepPayload)
+      private var nextRec: Option[WarcRecord] = nextRecord(in, keepPayloadFor)
       override def hasNext: Boolean = nextRec.isDefined
       override def next(): WarcRecord = {
         val r = nextRec.get
-        nextRec = nextRecord(in, keepPayload)
+        nextRec = nextRecord(in, keepPayloadFor)
         r
       }
     }

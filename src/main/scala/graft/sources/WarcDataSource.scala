@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -88,20 +88,105 @@ final class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
     new WarcScanBuilder(paths)
 }
 
-final class WarcScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = WarcDataSource.Schema
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-  override def build(): Scan = new WarcScan(paths, required)
+/** Exact, reader-side evaluation of pushed V1 filters over the
+  * metadata columns (everything but `payload` and `idx`) — the
+  * record-level decision runs on the PARSED HEADERS, before the
+  * payload is touched, so a `warc_type = 'response'` read of a mixed
+  * request/response/metadata file skips the non-matching records'
+  * Content-Length bytes without allocating them even when the query
+  * projects `payload`. Filters accepted here are claimed FULLY
+  * handled (not returned as residual): every accepted shape below
+  * evaluates with exactly Spark's semantics on these never-null
+  * string/long columns, so Spark need not re-check. */
+private[sources] object WarcFilters {
+  import org.apache.spark.sql.sources._
+
+  /** Columns known BEFORE payload materialization. `idx` is excluded:
+    * it exists only after enumeration and a pushed filter on it could
+    * not change what the reader must parse anyway. */
+  private val MetaCols = Set(
+    "path", "warc_type", "target_uri", "warc_date", "content_type",
+    "content_length")
+
+  def supported(f: Filter): Boolean = f.references.forall(MetaCols) && (f match {
+    case EqualTo(_, v) => scalarOk(v)
+    case EqualNullSafe(_, v) => scalarOk(v)
+    case In(_, vs) => vs.forall(scalarOk)
+    case StringStartsWith(_, _) | StringContains(_, _) | StringEndsWith(_, _) => true
+    case IsNotNull(_) | IsNull(_) => true
+    case GreaterThan(_, v) => numOk(v)
+    case GreaterThanOrEqual(_, v) => numOk(v)
+    case LessThan(_, v) => numOk(v)
+    case LessThanOrEqual(_, v) => numOk(v)
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _ => false
+  })
+  private def scalarOk(v: Any): Boolean =
+    v.isInstanceOf[String] || numOk(v)
+  private def numOk(v: Any): Boolean =
+    v.isInstanceOf[Long] || v.isInstanceOf[Int] || v.isInstanceOf[Short] ||
+      v.isInstanceOf[Byte]
+  private def toLong(v: Any): Long = v match {
+    case l: Long => l; case i: Int => i.toLong
+    case s: Short => s.toLong; case b: Byte => b.toLong
+  }
+
+  /** Evaluate one accepted filter against a field lookup. The columns
+    * are never null (absent headers land as ""), so IsNotNull is
+    * constant-true and IsNull constant-false. */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v: String) => get(a) == v
+    case EqualTo(a, v) => get(a).asInstanceOf[Long] == toLong(v)
+    case EqualNullSafe(a, v: String) => get(a) == v
+    case EqualNullSafe(a, v) => get(a).asInstanceOf[Long] == toLong(v)
+    case In(a, vs) =>
+      val x = get(a)
+      x match {
+        case l: Long => vs.exists(v => numOk(v) && toLong(v) == l)
+        case s => vs.contains(s)
+      }
+    case StringStartsWith(a, p) => get(a).asInstanceOf[String].startsWith(p)
+    case StringContains(a, p) => get(a).asInstanceOf[String].contains(p)
+    case StringEndsWith(a, p) => get(a).asInstanceOf[String].endsWith(p)
+    case IsNotNull(_) => true
+    case IsNull(_) => false
+    case GreaterThan(a, v) => get(a).asInstanceOf[Long] > toLong(v)
+    case GreaterThanOrEqual(a, v) => get(a).asInstanceOf[Long] >= toLong(v)
+    case LessThan(a, v) => get(a).asInstanceOf[Long] < toLong(v)
+    case LessThanOrEqual(a, v) => get(a).asInstanceOf[Long] <= toLong(v)
+    case And(l, r) => eval(l, get) && eval(r, get)
+    case Or(l, r) => eval(l, get) || eval(r, get)
+    case Not(c) => !eval(c, get)
+    case other => throw new IllegalStateException(s"unaccepted filter $other")
+  }
 }
 
-final class WarcScan(paths: Seq[String], required: StructType)
-    extends Scan with Batch {
+final class WarcScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = WarcDataSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(WarcFilters.supported)
+    pushed = ok
+    residual // accepted filters are exact — Spark need not re-evaluate
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new WarcScan(paths, required, pushed)
+}
+
+final class WarcScan(paths: Seq[String], required: StructType,
+    filters: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"WarcScan(${paths.mkString(",")}, columns=${required.fieldNames.mkString(",")})"
+    s"WarcScan(${paths.mkString(",")}, columns=${required.fieldNames.mkString(",")}" +
+      (if (filters.isEmpty) ")"
+       else s", PushedFilters: [${filters.mkString(", ")}])")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // driver-side glob expansion (the Warc.read listing), one
@@ -120,36 +205,69 @@ final class WarcScan(paths: Seq[String], required: StructType)
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    WarcReaderFactory(conf, required)
+    WarcReaderFactory(conf, required, filters)
   }
 }
 
 final case class WarcInputPartition(path: String) extends InputPartition
 
 final case class WarcReaderFactory(conf: SerializableConfiguration,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, filters: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      partition.asInstanceOf[WarcInputPartition].path, conf, required)
+      partition.asInstanceOf[WarcInputPartition].path, conf, required, filters)
 }
 
 /** One streaming pass over one (possibly multi-member-gzip) WARC file,
   * constant memory per record; only the REQUIRED columns materialize —
-  * in particular, when `payload` is pruned the Content-Length bytes
-  * are consumed but never allocated. */
+  * when `payload` is pruned, OR a record fails the pushed filters, its
+  * Content-Length bytes are consumed but never allocated. `idx` stays
+  * the GLOBAL record index of the file: the enumeration counts every
+  * record and filtering drops rows after the count, so a pushed filter
+  * returns the same rows a post-scan filter would. */
 final class WarcPartitionReader(path: String, conf: SerializableConfiguration,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, filters: Array[Filter]) extends PartitionReader[InternalRow] {
 
   private val needPayload = required.fieldNames.contains("payload")
   private val hPath = new org.apache.hadoop.fs.Path(path)
   private val in = hPath.getFileSystem(conf.value).open(hPath)
-  private val records = Warc.parseStream(in, keepPayload = needPayload)
+
+  private def headerGet(headers: scala.collection.Map[String, String])(field: String): Any = {
+    def h(name: String): String = headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(name) => v
+    }.getOrElse("")
+    field match {
+      case "path" => path
+      case "warc_type" => h("WARC-Type")
+      case "target_uri" => h("WARC-Target-URI")
+      case "warc_date" => h("WARC-Date")
+      case "content_type" => h("Content-Type")
+      case "content_length" =>
+        scala.util.Try(h("Content-Length").toLong).getOrElse(0L)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+  }
+  private def matches(headers: scala.collection.Map[String, String]): Boolean = {
+    val get = headerGet(headers) _
+    filters.forall(WarcFilters.eval(_, get))
+  }
+  // payload materializes only when the query needs it AND the pushed
+  // filters keep the record — the header-level decision runs before
+  // the payload bytes are touched
+  private val records = Warc.parseStream(in,
+    (_: String, hs: scala.collection.Map[String, String]) =>
+      needPayload && matches(hs))
   private val pathU8 = UTF8String.fromString(path)
   private var idx = -1L
   private var rec: Warc.WarcRecord = _
 
-  override def next(): Boolean =
-    if (records.hasNext) { rec = records.next(); idx += 1; true } else false
+  override def next(): Boolean = {
+    while (records.hasNext) {
+      rec = records.next(); idx += 1
+      if (filters.isEmpty || matches(rec.headers)) return true
+    }
+    false
+  }
 
   override def get(): InternalRow = {
     def h(name: String): UTF8String =

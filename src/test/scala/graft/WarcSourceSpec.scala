@@ -129,6 +129,62 @@ class WarcSourceSpec extends SparkTestBase {
     }
   }
 
+  test("filter pushdown reaches the reader: non-matching payloads never allocate; idx stays global; plan shows PushedFilters") {
+    val dir = java.nio.file.Files.createTempDirectory("warcsource4").toFile
+    try {
+      // a mixed file, the CommonCrawl layout: request + response +
+      // metadata per capture — a response-only metadata pass over it
+      // is the dominant-CPU case pushdown exists for
+      val reqBody = "GET /x HTTP/1.1\r\nHost: f.example\r\n\r\n"
+      val metaBody = "fetchTimeMs: 120\r\n"
+      val resp1 = "HTTP/1.1 200 OK\r\n\r\n" + ("A" * 1000)
+      val resp2 = "HTTP/1.1 200 OK\r\n\r\n" + ("B" * 1000)
+      java.nio.file.Files.write(new java.io.File(dir, "mixed.warc").toPath,
+        record("request", "https://f.example/1", reqBody) ++
+          record("response", "https://f.example/1", resp1) ++
+          record("metadata", "https://f.example/1", metaBody) ++
+          record("request", "https://f.example/2", reqBody) ++
+          record("response", "https://f.example/2", resp2) ++
+          record("metadata", "https://f.example/2", metaBody))
+      val q = spark.read.format("warc").load(dir.getAbsolutePath + "/*")
+        .filter(col("warc_type") === "response")
+        .select("idx", "target_uri", "payload")
+      // the pushed filter is visible in the scan's plan description
+      assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"),
+        q.queryExecution.executedPlan.toString)
+      val before = graft.ext.Warc.payloadBytesAllocated.get()
+      val rows = q.collect().sortBy(_.getLong(0))
+      val allocated = graft.ext.Warc.payloadBytesAllocated.get() - before
+      // idx is the GLOBAL record index (1, 4) — pushdown must return
+      // exactly what a post-scan filter would
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+      assert(rows.map(r => new String(r.getAs[Array[Byte]]("payload"), UTF_8)).toSeq ==
+        Seq(resp1, resp2))
+      // ONLY the two matching response payloads were ever allocated —
+      // requests and metadata took the skip path despite `payload`
+      // being projected
+      assert(allocated == resp1.getBytes(UTF_8).length + resp2.getBytes(UTF_8).length,
+        s"allocated $allocated")
+      // parity with the unpushed path on every column
+      val unpushed = spark.read.format("warc").load(dir.getAbsolutePath + "/*")
+        .collect().filter(_.getAs[String]("warc_type") == "response")
+        .sortBy(_.getAs[Long]("idx"))
+      assert(unpushed.map(_.getAs[Long]("idx")).toSeq == Seq(1L, 4L))
+      // composite shapes: prefix + length range + disjunction
+      val n = spark.read.format("warc").load(dir.getAbsolutePath + "/*")
+        .filter(col("target_uri").startsWith("https://f.example/2") &&
+          col("content_length") > 100L)
+        .count()
+      assert(n == 1L) // only /2's response clears 100 bytes
+      val disj = spark.read.format("warc").load(dir.getAbsolutePath + "/*")
+        .filter(col("warc_type") === "metadata" || col("warc_type") === "request")
+      assert(disj.queryExecution.executedPlan.toString.contains("PushedFilters"))
+      assert(disj.count() == 4L)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+
   test("paths option parses as real JSON: commas inside a path (glob alternation) survive") {
     // the DSv2 multi-load convention serializes paths as a JSON array;
     // a hand-split on ',' would shred '/x/{a,b}/*.warc.gz'
