@@ -229,6 +229,40 @@ object DocumentIngest {
       .drop("_r").drop(blobCol)
   }
 
+  /** [[extractWarc]] over ALREADY-SPLIT record rows — the shape the
+    * streaming `warc` source emits (`readStream.format("warc")`:
+    * [[graft.sources.WarcMicroBatchStream]]), one row per WARC record
+    * with `warc_type`/`payload` as flat columns. Same gate chain and
+    * the same fused extract kernel as the blob path, so streaming
+    * ingestion straight off `.warc.gz` drops ≡ the landed-parquet
+    * batch pipeline (DocumentIngestSpec pins the equivalence across
+    * AvailableNow triggers) — one full copy of the corpus removed from
+    * the ingest path. The `warc_type === "response"` gate is a pushed
+    * filter here: non-response records never allocate payloads inside
+    * the reader. Output: input columns minus `payloadCol`, plus
+    * `textCol`; empty extractions drop (the [[extractHtml]]
+    * convention). */
+  def extractWarcRecords(df: DataFrame, textCol: String,
+      payloadCol: String = "payload", typeCol: String = "warc_type",
+      policy: graft.ext.Extract.ExtractPolicy = graft.ext.Extract.ExtractPolicy.Simple(),
+      decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders): DataFrame = {
+    import graft.ext.Warc
+    val decMap: Map[String, Warc.ContentDecoder] =
+      decoders.flatMap(d => d.encodings.map(_.toLowerCase -> d)).toMap
+    val enc = trim(lower(coalesce(
+      Warc.httpHeader(col(payloadCol), "Content-Encoding"), lit("identity"))))
+    val extraHandled =
+      if (decMap.isEmpty) lit(false) else enc.isin(decMap.keys.toSeq: _*)
+    df.filter(col(typeCol) === "response" &&
+        Warc.httpStatus(col(payloadCol)) === 200 &&
+        Warc.isHtmlResponse(col(payloadCol)) &&
+        (Warc.isDecodableEncoding(col(payloadCol)) || extraHandled))
+      .withColumn(textCol, graft.ext.Extract.extract(
+        Warc.httpBodyText(col(payloadCol), decoders), policy))
+      .filter(col(textCol) =!= "")
+      .drop(payloadCol)
+  }
+
   /** Drain a directory of document parquet into a cleaned, day-
     * partitioned store — the document twin of [[Ingest.runAvailableNow]]
     * (deterministic AvailableNow semantics over the real streaming

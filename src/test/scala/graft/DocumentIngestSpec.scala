@@ -287,6 +287,62 @@ class DocumentIngestSpec extends SparkTestBase {
       (1L, 1, "https://x.example/b", "second record in same capture")))
   }
 
+  test("streaming warc source: extractWarcRecords over readStream == batch pipeline across 2 AvailableNow triggers") {
+    import org.apache.spark.sql.streaming.Trigger
+    val mkRec = (uri: String, body: String, status: Int, typ: String) => {
+      val payload = s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n\r\n$body"
+      val pb = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-08-15T00:00:00Z\r\n" +
+        s"Content-Length: ${pb.length}\r\n\r\n").getBytes("UTF-8") ++ pb ++
+        "\r\n\r\n".getBytes("UTF-8")
+    }
+    val warcDir = Files.createTempDirectory("graft-streamwarc").toString
+    val outDir = Files.createTempDirectory("graft-streamwarc-out").toString
+    val ckDir = Files.createTempDirectory("graft-streamwarc-ck").toString
+    def gz(path: String, recs: Array[Byte]*): Unit = {
+      val f = new java.io.FileOutputStream(path)
+      val w = new graft.ext.Warc.MemberGzipWriter(f)
+      try recs.foreach(w.writeMember) finally { w.end(); f.close() }
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.format("warc").load(warcDir + "/*.warc.gz")
+      val q = DocumentIngest.extractWarcRecords(src, "text")
+        .select("path", "idx", "target_uri", "text")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // drop 1: one file — two kept responses, one request (pushed-filter
+    // skip path), one 404
+    gz(s"$warcDir/drop1.warc.gz",
+      mkRec("https://sw.example/a", "<p>first drop article text body</p>", 200, "response"),
+      mkRec("https://sw.example/a", "GET /a HTTP/1.1", 200, "request"),
+      mkRec("https://sw.example/gone", "<p>not found text</p>", 404, "response"),
+      mkRec("https://sw.example/b", "<p>second kept body in drop one</p>", 200, "response"))
+    runOnce()
+    // drop 2: a NEW file arrives; the checkpointed offset must replay
+    // nothing from drop 1 and consume exactly the new file
+    gz(s"$warcDir/drop2.warc.gz",
+      mkRec("https://sw.example/c", "<p>third article, second trigger</p>", 200, "response"))
+    runOnce()
+    val streamed = spark.read.parquet(outDir)
+      .select("target_uri", "text").as[(String, String)].collect().toSeq.sorted
+    // batch twin: the DSv2 batch scan over the same files through the
+    // same flat-row extractor
+    val batch = DocumentIngest.extractWarcRecords(
+        spark.read.format("warc").load(warcDir + "/*.warc.gz"), "text")
+      .select("target_uri", "text").as[(String, String)].collect().toSeq.sorted
+    assert(streamed == batch && streamed.map(_._1) ==
+      Seq("https://sw.example/a", "https://sw.example/b", "https://sw.example/c"))
+    // no duplicates: each file consumed by exactly one micro-batch
+    assert(streamed.size == 3)
+    // replay with the same checkpoint and no new files: a no-op
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 3)
+  }
+
   test("streaming near-dup maintenance: pairs across micro-batches == batch pipeline; replay is a no-op") {
     val docs = Tables.documents(spark, dir)
     val srcDir = Files.createTempDirectory("nd-src").toString
