@@ -147,11 +147,31 @@ object Retrieval {
       dfMerged)
   }
 
-  private def bm25Contrib(k1: Double, b: Double): Column = round(
-    log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+  private def bm25Contrib(k1: Double, b: Double,
+      weight: Double = 1.0): Column = {
+    val raw = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
       (col("tf") * (k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 9)
-    .cast(DecimalType(28, 10))
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    // field weight multiplies in the DOUBLE domain before the round-9
+    // decimal consensus cast (a decimal×decimal product would round at
+    // engine-specific result scales); weight 1.0 keeps the expression
+    // tree byte-identical to the unweighted form
+    round(if (weight == 1.0) raw else lit(weight) * raw, 9)
+      .cast(DecimalType(28, 10))
+  }
+
+  /** Per-(doc, term) BM25 contribution rows off a persisted index —
+    * the shared core of [[bm25FromIndex]] and the fielded
+    * [[bm25fFromIndex]] combination. */
+  private def indexContribs(index: LexIndex, idCol: String,
+      queryTerms: Seq[String], k1: Double, b: Double,
+      weight: Double): DataFrame = {
+    val tf = index.postings.filter(col("term").isin(queryTerms: _*))
+    val dfreq = index.dfreq.filter(col("term").isin(queryTerms: _*))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(index.stats))
+      .select(col(idCol), bm25Contrib(k1, b, weight).as("c"))
+  }
 
   /** BM25 scores for a bag of query terms: (idCol, score). Only
     * documents containing ≥1 query term appear. `k1`/`b` are the
@@ -188,15 +208,65 @@ object Retrieval {
     * aggregation over the postings; `dl` rides the postings themselves
     * (the denormalized layout), so no doc-keyed join happens at all. */
   def bm25FromIndex(index: LexIndex, idCol: String, queryTerms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = index.postings.filter(col("term").isin(queryTerms: _*))
-    val dfreq = index.dfreq.filter(col("term").isin(queryTerms: _*))
-    tf.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(index.stats))
-      .select(col(idCol), bm25Contrib(k1, b).as("c"))
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    indexContribs(index, idCol, queryTerms, k1, b, weight = 1.0)
       .groupBy(idCol)
       .agg(sum(col("c")).as("score_dec"))
+
+  // -- fielded retrieval: body + anchor (BM25F-lite) -----------------------
+
+  /** An index over PRE-TOKENIZED (id, term) occurrence rows — one row
+    * per token occurrence, same shape [[words]] emits. This is how the
+    * ANCHOR field indexes at scale: anchor text arrives as link rows
+    * (target, anchor term) — [[Graph.anchorTerms]]' input shape — and
+    * building from them directly avoids materializing a concatenated
+    * anchor-text blob per popular target (a hub's incoming anchors can
+    * be arbitrarily many). Identical output to [[buildIndex]] over the
+    * space-joined text (RetrievalSpec pins the equivalence): dl = the
+    * doc's total occurrence count, stats over docs with ≥1 occurrence. */
+  def buildIndexFromTerms(terms: DataFrame, idCol: String,
+      termCol: String = "term"): LexIndex = {
+    val occ = terms.select(col(idCol), col(termCol).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+    val dl = occ.groupBy(col(idCol)).agg(count(lit(1)).cast("double").as("dl"))
+    val post = occ.groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .join(dl, idCol)
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+    LexIndex(post, dl,
+      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")),
+      post.groupBy("term").agg(count(lit(1)).cast("double").as("df")))
   }
+
+  /** Field-weighted BM25F-lite over TWO persisted indexes — the
+    * classic web-search signal (Robertson/Zaragoza/Taylor, CIKM 2004:
+    * anchor text describes the target better than the target's own
+    * words; this is the per-field linear combination, the "lite" form
+    * that keeps each field's own length normalization): score(d) =
+    * BM25_body(d) + anchorWeight · BM25_anchor(d), each field scored
+    * against its OWN df/dl/avgdl/n_docs, combined as one exact-decimal
+    * sum over the unioned contribution rows (the weight multiplies in
+    * the double domain inside the round-9 consensus — see
+    * [[bm25Contrib]]). A document matching in EITHER field is scored:
+    * anchor-only matches — pages the crawl has seen links to but whose
+    * body lacks the terms — surface exactly as intended. Cost shape:
+    * two term-keyed index probes (each pruned to the query's terms on
+    * the stored sort order) and one id-keyed aggregation; the anchor
+    * index is usually orders of magnitude smaller than the body index. */
+  def bm25fFromIndex(body: LexIndex, anchor: LexIndex, idCol: String,
+      queryTerms: Seq[String], anchorWeight: Double = 1.0,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    indexContribs(body, idCol, queryTerms, k1, b, weight = 1.0)
+      .union(indexContribs(anchor, idCol, queryTerms, k1, b, anchorWeight))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("score_dec"))
+
+  /** [[bm25fFromIndex]] with the shared exact-decimal top-k tail. */
+  def bm25fTopKFromIndex(body: LexIndex, anchor: LexIndex, idCol: String,
+      queryTerms: Seq[String], k: Int, anchorWeight: Double = 1.0,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKTail(bm25fFromIndex(body, anchor, idCol, queryTerms, anchorWeight,
+      k1, b), idCol, k)
 
   /** The shared single-query ranking tail: order by the exact-decimal
     * sum (engine-independent ties), take k (plans as

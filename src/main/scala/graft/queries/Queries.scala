@@ -3118,6 +3118,81 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X75 — anchor-text retrieval ([[graft.ext.Retrieval
+  // .bm25fTopKFromIndex]], BM25F-lite): body BM25 off the memoized
+  // STORED index + anchor-field BM25 off an index built straight from
+  // (target, term) link rows, combined as body + 0.4·anchor in one
+  // exact-decimal sum. The derived-input fixture plants anchors on
+  // 3/10 of docs — 'zqxdocs' appears ONLY in anchors, so every doc it
+  // surfaces is an anchor-only match the body index cannot see; %20
+  // docs receive their anchor from TWO source pages (UNION ALL twin),
+  // doubling anchor tf AND dl; the 'plain navigation link' class
+  // carries no query term but must still shape the anchor field's
+  // n_docs/avgdl. Each field scores against its OWN stats (the
+  // per-field linear BM25F form); the weight multiplies in the double
+  // domain inside the shared round-9 consensus.
+  q("x75_anchor_bm25f",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |words AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+      |dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM words GROUP BY 1),
+      |stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM words
+      |  WHERE term IN ('data', 'zqxdocs', 'spark') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+      |bodyc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(ROUND(
+      |      LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+      |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+      |    9) AS DECIMAL(28,10)) AS c
+      |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      |anc AS (
+      |  SELECT doc_id, CASE doc_id % 10
+      |    WHEN 0 THEN 'zqxdocs official spark guide'
+      |    WHEN 3 THEN 'zqxdocs zqxdocs data'
+      |    WHEN 7 THEN 'plain navigation link' END AS anchor
+      |  FROM documents WHERE doc_id % 10 IN (0, 3, 7)),
+      |lnk AS (
+      |  SELECT doc_id, anchor FROM anc
+      |  UNION ALL SELECT doc_id, anchor FROM anc WHERE doc_id % 20 = 0),
+      |awords AS (
+      |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(anchor), '\s+')) AS term
+      |  FROM lnk),
+      |adl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM awords GROUP BY 1),
+      |astats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM adl),
+      |atf AS (
+      |  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM awords
+      |  WHERE term IN ('data', 'zqxdocs', 'spark') GROUP BY 1, 2),
+      |adf AS (SELECT term, COUNT(*)::DOUBLE AS df FROM atf GROUP BY 1),
+      |ancc AS (
+      |  SELECT atf.doc_id,
+      |    CAST(ROUND(CAST(0.4 AS DOUBLE) * (
+      |      LN((astats.n_docs - adf.df + 0.5) / (adf.df + 0.5) + 1.0) *
+      |      (atf.tf * 2.2) / (atf.tf + 1.2 * (0.25 + 0.75 * adl.dl / astats.avgdl))),
+      |    9) AS DECIMAL(28,10)) AS c
+      |  FROM atf JOIN adf USING (term) JOIN adl USING (doc_id) CROSS JOIN astats),
+      |allc AS (SELECT * FROM bodyc UNION ALL SELECT * FROM ancc)
+      |SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+      |FROM allc GROUP BY doc_id
+      |ORDER BY SUM(c) DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+    val anc = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, "zqxdocs official spark guide")
+          .when(col("doc_id") % 10 === 3, "zqxdocs zqxdocs data")
+          .when(col("doc_id") % 10 === 7, "plain navigation link")
+          .as("anchor"))
+      .filter(col("anchor").isNotNull)
+    val lnk = anc.union(anc.filter(col("doc_id") % 20 === 0))
+    val terms = lnk.select(col("doc_id"),
+      explode(split(trim(col("anchor")), "\\s+")).as("term"))
+    val anchorIdx = graft.ext.Retrieval.buildIndexFromTerms(terms, "doc_id")
+    graft.ext.Retrieval.bm25fTopKFromIndex(lexIndex(s, dir), anchorIdx,
+      "doc_id", queryTerms = Seq("data", "zqxdocs", "spark"), k = 25,
+      anchorWeight = 0.4)
+  }
+
   // X50 — URL hygiene (the curation step C4/RefinedWeb run on every
   // crawl URI before URL dedup and domain governance): normalization
   // (case, default ports, fragment, sorted query with tracking params

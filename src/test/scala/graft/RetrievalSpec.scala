@@ -329,4 +329,60 @@ class RetrievalSpec extends SparkTestBase {
     // every doc emits <= k rows
     assert(got.values.forall(_.size <= 2))
   }
+
+  test("buildIndexFromTerms == buildIndex over the space-joined text") {
+    val fromText = Retrieval.buildIndex(corpus, "id", "text")
+    val terms = corpus.select(col("id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val fromTerms = Retrieval.buildIndexFromTerms(terms, "id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(fromTerms.postings) == rows(fromText.postings))
+    assert(rows(fromTerms.docLengths) == rows(fromText.docLengths))
+    assert(rows(fromTerms.stats) == rows(fromText.stats))
+    assert(rows(fromTerms.dfreq) == rows(fromText.dfreq))
+  }
+
+  test("bm25f: anchor-only matches surface; weight 0 == body-only; weight scales the anchor term") {
+    val body = Retrieval.buildIndex(corpus, "id", "text")
+    // doc 3's body has no query term, but two links point at it with
+    // 'spark' anchors; doc 1 gets one 'optimizer' anchor
+    val anchorTerms = Seq(
+      (3L, "spark"), (3L, "spark"), (3L, "engine"), (1L, "optimizer"))
+      .toDF("id", "term")
+    val anchor = Retrieval.buildIndexFromTerms(anchorTerms, "id")
+    def scores(w: Double): Map[Long, Double] =
+      Retrieval.bm25fTopKFromIndex(body, anchor, "id",
+          Seq("spark", "optimizer"), k = 10, anchorWeight = w)
+        .as[(Long, Double)].collect().toMap
+    val bodyOnly = Retrieval.bm25TopKFromIndex(body, "id",
+        Seq("spark", "optimizer"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    // weight 0: every anchor contribution rounds to 0 — scores equal
+    // body-only on the shared docs; doc 3 appears with score 0 (it
+    // matched the anchor field, so it is scored, at zero weight)
+    val w0 = scores(0.0)
+    bodyOnly.foreach { case (id, s) => assert(w0(id) == s) }
+    assert(w0(3L) == 0.0)
+    // doc 3 has NO body match: absent from body-only, present with a
+    // positive score once the anchor field weighs in
+    assert(!bodyOnly.contains(3L))
+    val w1 = scores(1.0)
+    assert(w1(3L) > 0.0)
+    // the weight knob scales anchor-only docs (round-9 granularity)
+    // and leaves body-only docs untouched
+    val wHalf = scores(0.5)
+    assert(wHalf(3L) > 0.0 && wHalf(3L) < w1(3L))
+    assert(wHalf(2L) == bodyOnly(2L)) // doc 2: body 'spark' only, no anchors
+    // per-field stats: anchor idf/dl derive from the anchor field
+    // itself (3 anchor tokens for doc 3, 1 for doc 1), not the body's
+    val a3 = w1(3L)
+    // closed form: anchor field N=2 docs, df(spark)=1, avgdl=(3+1)/2=2,
+    // dl(3)=3, tf=2 → idf=ln((2-1+0.5)/(1+0.5)+1)=ln(2),
+    // tfpart=2·2.2/(2+1.2·(0.25+0.75·3/2))=4.4/(2+1.65)
+    val expected = BigDecimal(math.log(2.0) * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a3 == expected, s"a3=$a3 expected=$expected")
+  }
 }
