@@ -70,9 +70,29 @@ object Frontier {
       seed: String = "graft-frontier-v1", prIterations: Int = 10,
       seenTable: Option[String] = None,
       hostRanks: Option[DataFrame] = None,
-      robotsGate: Option[RobotsGate] = None): DataFrame =
+      robotsGate: Option[RobotsGate] = None,
+      pageLevelOrdering: Boolean = false): DataFrame =
     frontierCore(pages, urlCol, htmlCol, blockedDomains, perHostCap, seed,
-      seenTable, robotsGate, allowed => hostRanks.getOrElse {
+      seenTable, robotsGate,
+      // gate 5b (opt-in): page-level PageRank over the batch's page
+      // graph — candidates are dangling receivers of link mass, so
+      // never-crawled URLs get real priorities from who links to them.
+      // Orders WITHIN hosts only (the cap's host quotas are rank-
+      // independent); subject to the same MaxNodes grid guard, which
+      // is why host level stays the default (a full-crawl page graph
+      // can exceed it; per-batch page graphs do not). Output gains a
+      // `prank` column.
+      pageScoreOf = if (!pageLevelOrdering) None else Some { allowed =>
+        val edges = Graph.hostEdges(
+          allowed.select(UrlOps.normalizeUrl(col("_page")).as("src"),
+            col("url").as("dst")),
+          "src", "dst")
+        if (edges.isEmpty)
+          edges.sparkSession.emptyDataFrame
+            .select(lit("").as("id"), lit(0.0).as("rank")).limit(0)
+        else Graph.pageRank(edges, prIterations)
+      },
+      rankOf = allowed => hostRanks.getOrElse {
         // the batch's own endorsement structure ranks the hosts. A
         // batch whose links never cross hosts has NO endorsement graph
         // (hostEdges drops self-loops) — every host then ranks 0.0 via
@@ -159,7 +179,8 @@ object Frontier {
   private def frontierCore(pages: DataFrame, urlCol: String, htmlCol: String,
       blockedDomains: Seq[String], perHostCap: Int, seed: String,
       seenTable: Option[String], robotsGate: Option[RobotsGate],
-      rankOf: DataFrame => DataFrame): DataFrame = {
+      rankOf: DataFrame => DataFrame,
+      pageScoreOf: Option[DataFrame => DataFrame] = None): DataFrame = {
     // 1+2: resolve every href against its page, normalize, drop the
     // unparseable (relative-only bases, javascript:, mailto:, …)
     val links = pages
@@ -226,12 +247,21 @@ object Frontier {
     // cap engine references it four ways and the rank join broadcasts —
     // a broadcast join is not an exchange, so ReuseExchange does NOT
     // dedupe it: measured r14, dropping this checkpoint re-ran the
-    // whole ranks subtree per reference and cost +0.5-1 s per gate)
-    val ranked = fresh
+    // whole ranks subtree per reference and cost +0.5-1 s per gate).
+    // The optional page-level priority (`pageScoreOf` — gate 5b) joins
+    // BEFORE the checkpoint for the same reason: the cap engine's four
+    // references must not re-run the page-rank subtree.
+    val hostRanked = fresh
       .withColumn("host", host(col("url")))
       .join(ranks.select(col("id").as("host"), col("rank")), Seq("host"), "left")
       .select(col("host"), col("url"), coalesce(col("rank"), lit(0.0)).as("rank"))
-      .localCheckpoint(true)
+    val ranked = pageScoreOf.fold(hostRanked) { ps =>
+      hostRanked.join(
+          ps(allowed).select(col("id").as("url"), col("rank").as("prank")),
+          Seq("url"), "left")
+        .select(col("host"), col("url"), col("rank"),
+          coalesce(col("prank"), lit(0.0)).as("prank"))
+    }.localCheckpoint(true)
     // the eager checkpoint above is the LAST reader of `allowed`:
     // release the cached relation now — Dataset.persist registers in
     // the session CacheManager, which no GC ever cleans, and
@@ -239,7 +269,16 @@ object Frontier {
     // frontierMaintenance stream would otherwise accumulate one cached
     // relation per batch, unbounded)
     allowed.unpersist(blocking = false)
-    Sampling.stratifiedTake(ranked, Seq("host"), col("url"), seed, perHostCap)
+    if (pageScoreOf.isEmpty)
+      Sampling.stratifiedTake(ranked, Seq("host"), col("url"), seed, perHostCap)
+    else
+      // within-host ordering by PAGE priority: hosts and per-host cap
+      // counts are untouched (the stratum engine is unchanged); which
+      // URLs win a host's slots changes, best page rank first, seeded
+      // draw on ties — the within-host scheduling signal a host-level
+      // rank cannot provide
+      Sampling.prioritizedTake(ranked, Seq("host"), col("prank"),
+        col("url"), seed, perHostCap)
   }
 
   /** Sitemap-driven frontier seeding: (host, url) fetch targets from

@@ -93,11 +93,31 @@ object Graph {
 
   /** Distinct (src, dst) host edges from resolved link rows, self-loops
     * dropped — the standard host-graph reduction (a page linking its
-    * own host is navigation, not endorsement). */
+    * own host is navigation, not endorsement). Granularity-agnostic:
+    * feed page URLs instead of hosts and this is the PAGE-graph
+    * reduction (self-links dropped), the input for a page-level
+    * [[pageRank]] — same [[MaxNodes]] grid guard applies, which is why
+    * the host level is the curation default (CommonCrawl's page graph
+    * exceeds the guard; its host graph does not). */
   def hostEdges(links: DataFrame, srcCol: String, dstCol: String): DataFrame =
     links.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
+
+  /** Aggregate page-level ranks to a coarser unit (host, domain,
+    * path prefix): rank MASS IS ADDITIVE — PageRank is the stationary
+    * distribution of the surfer chain, and the probability of a
+    * lumped state set is the sum over its members — so the group's
+    * rank is the exact-decimal sum of its pages' (grid-quantized)
+    * ranks. On a graph with one page per host this equals the
+    * host-level [[pageRank]] bitwise (GraphSpec pins it); on multi-
+    * page hosts it is the principled host mass under page-level
+    * structure, which host-level rank (one vote per host pair)
+    * deliberately coarsens away. Output (id, rank), `groupOf`'s value
+    * as id. */
+  def aggregateRanks(ranks: DataFrame, groupOf: Column): DataFrame =
+    ranks.groupBy(groupOf.as("id"))
+      .agg(sum(col("rank").cast(Dec)).cast("double").as("rank"))
 
   /** Per-node degree stats: (id, out_deg, in_deg) over the node set
     * src ∪ dst (a dangling host has out_deg 0, a source-only host

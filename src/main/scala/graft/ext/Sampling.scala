@@ -135,9 +135,32 @@ object Sampling {
     * (⇒ keep none). Result is EXACTLY the textbook per-stratum
     * `row_number() <= quota` answer — the oracle runs that form. */
   private[ext] def takeQuotaPerStratum(df: DataFrame, strata: Seq[String],
-      key: Column, seed: String, quotaCol: Column): DataFrame = {
+      key: Column, seed: String, quotaCol: Column): DataFrame =
+    takeQuotaByDraw(df, strata, drawHex(key, seed), key, quotaCol)
+
+  /** [[stratifiedTake]] under a caller-supplied PRIORITY: each stratum
+    * keeps its `n` best rows by (priority DESC, seeded draw, key) —
+    * the frontier's page-rank-ordered politeness cap. `priority` must
+    * be a [0,1] double on the 1e-9 grid (the [[graft.ext.Graph]] rank
+    * contract): it folds into the draw as a fixed-width 8-hex prefix
+    * of (1e9 − priority·1e9), so draw asc == priority desc and the
+    * critical-bucket engine applies unchanged — corpus-safe, no
+    * per-stratum window over the data. Equal priorities fall back to
+    * the seeded uniform draw (exactly [[stratifiedTake]]'s order). */
+  def prioritizedTake(df: DataFrame, strata: Seq[String], priority: Column,
+      key: Column, seed: String, n: Int): DataFrame = {
+    val pHex = lpad(hex(
+      lit(1000000000L) - round(priority * 1e9).cast("long")), 8, "0")
+    takeQuotaByDraw(df, strata, concat(pHex, drawHex(key, seed)), key,
+      lit(n.toLong))
+  }
+
+  /** The critical-bucket quota engine over an arbitrary fixed-width
+    * hex draw (bucket = the draw's leading 16 bits, so any draw whose
+    * PREFIX is monotone in the desired order works). */
+  private[ext] def takeQuotaByDraw(df: DataFrame, strata: Seq[String],
+      d: Column, key: Column, quotaCol: Column): DataFrame = {
     val scols = strata.map(col)
-    val d = drawHex(key, seed)
     val withB = df.withColumn("__bkt", conv(substring(d, 1, 4), 16, 10).cast("long"))
     val counts = withB.groupBy(scols :+ col("__bkt"): _*).agg(count(lit(1)).as("__c"))
     // running count strictly below each bucket, in draw order — a

@@ -41,6 +41,50 @@ class FrontierSpec extends SparkTestBase {
     assert(out.head._1 == "b.example")
   }
 
+  test("pageLevelOrdering: host set and per-host counts unchanged; within-host slots go to the best-linked pages") {
+    // hub.example has 8 candidates against a cap of 3; p1 is linked
+    // from three pages, p2 from two, the rest from one — page-level
+    // PageRank must hand the hub's slots to p1 and p2 first. Host
+    // selection and quota are rank-independent: both modes return the
+    // same hosts with the same counts ("ordering changes only within
+    // hosts").
+    val hubLinks = (1 to 8).map(i =>
+      s"""<a href="https://hub.example/p$i">l</a>""").mkString
+    val pages = Seq(
+      ("https://a.example/idx", hubLinks),
+      ("https://b.example/idx",
+        """<a href="https://hub.example/p1">1</a>
+          |<a href="https://hub.example/p2">2</a>""".stripMargin),
+      ("https://c.example/idx",
+        """<a href="https://hub.example/p1">1</a>
+          |<a href="https://x.example/solo">s</a>""".stripMargin))
+      .toDF("url", "html")
+    val base = Frontier.fromPages(pages, "url", "html", perHostCap = 3)
+      .select("host", "url").as[(String, String)].collect().toSeq
+    val paged = Frontier.fromPages(pages, "url", "html", perHostCap = 3,
+        pageLevelOrdering = true)
+    assert(paged.columns.contains("prank"))
+    val pagedRows = paged
+      .select("host", "url", "prank").as[(String, String, Double)]
+      .collect().toSeq
+    // same hosts, same per-host counts
+    def quota(rows: Seq[(String, String)]) =
+      rows.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(quota(base) == quota(pagedRows.map(t => (t._1, t._2))))
+    // the hub's 3 slots include the two best-linked pages
+    val hubPicked = pagedRows.filter(_._1 == "hub.example").map(_._2).toSet
+    assert(hubPicked.contains("https://hub.example/p1") &&
+      hubPicked.contains("https://hub.example/p2"), s"$hubPicked")
+    // and their page priorities order p1 > p2 > the draw-filled third
+    val prank = pagedRows.filter(_._1 == "hub.example")
+      .map(t => t._2 -> t._3).toMap
+    assert(prank("https://hub.example/p1") > prank("https://hub.example/p2"))
+    assert(prank.values.min < prank("https://hub.example/p2"))
+    // under-cap host: identical in both modes
+    assert(base.filter(_._1 == "x.example").map(_._2) ==
+      pagedRows.filter(_._1 == "x.example").map(_._2))
+  }
+
   test("politeness cap binds per host; rank joins from the batch link graph") {
     val links = (1 to 8).map(i => s"""<a href="https://hub.example/p$i">l</a>""").mkString
     val out = frontier(Seq(

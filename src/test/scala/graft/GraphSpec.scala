@@ -312,4 +312,44 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(he == Seq(("x", "y")))
   }
+
+  test("page-level rank: host-aggregated page rank == host rank bitwise on a host-complete graph; mass additive on multi-page hosts") {
+    def hostOf(c: org.apache.spark.sql.Column) =
+      graft.functions.UrlExpressions.urlParts(c).getField("host")
+    // host-complete fixture: exactly ONE page per host, page links
+    // mirror host links — the page graph is the host graph up to id
+    // renaming, so host-aggregated page rank must equal host-level
+    // rank BITWISE (same n, same edges, same arithmetic)
+    val pageLinks = Seq(
+      ("https://a.example/only", "https://b.example/only"),
+      ("https://b.example/only", "https://c.example/only"),
+      ("https://c.example/only", "https://a.example/only"),
+      ("https://a.example/only", "https://c.example/only"))
+      .toDF("src", "dst")
+    val pageRanks = Graph.pageRank(Graph.hostEdges(pageLinks, "src", "dst"),
+      iterations = 6)
+    val aggregated = Graph.aggregateRanks(pageRanks, hostOf(col("id")))
+      .as[(String, Double)].collect().toMap
+    val hostRanks = Graph.pageRank(
+        Graph.hostEdges(pageLinks.select(
+          hostOf(col("src")).as("src"), hostOf(col("dst")).as("dst")),
+          "src", "dst"), iterations = 6)
+      .as[(String, Double)].collect().toMap
+    assert(aggregated == hostRanks, s"$aggregated vs $hostRanks")
+    // multi-page host: mass is additive — the host's aggregate is the
+    // exact sum of its pages' ranks, and total mass stays ~1
+    val multi = Seq(
+      ("https://a.example/p1", "https://b.example/x"),
+      ("https://a.example/p2", "https://b.example/x"),
+      ("https://b.example/x", "https://a.example/p1"))
+      .toDF("src", "dst")
+    val pr = Graph.pageRank(Graph.hostEdges(multi, "src", "dst"), iterations = 6)
+    val agg = Graph.aggregateRanks(pr, hostOf(col("id")))
+      .as[(String, Double)].collect().toMap
+    val perPage = pr.as[(String, Double)].collect()
+    val aSum = BigDecimal(perPage.filter(_._1.contains("a.example"))
+      .map(p => BigDecimal(p._2)).sum.toString).toDouble
+    assert(math.abs(agg("a.example") - aSum) < 1e-12)
+    assert(math.abs(agg.values.sum - 1.0) < 1e-6, s"mass ${agg.values.sum}")
+  }
 }

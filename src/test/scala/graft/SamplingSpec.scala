@@ -395,4 +395,32 @@ class SamplingSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(a == ref)
   }
+
+  test("prioritizedTake == textbook per-stratum row_number over (priority desc, draw, key); equal priorities == stratifiedTake") {
+    val rows = (0 until 400).map { i =>
+      val stratum = s"s${i % 5}"
+      // grid-quantized priorities in [0,1] with planted ties
+      val p = math.floor((i % 9) / 8.0 * 1e9 + 0.5) / 1e9
+      (stratum, s"k$i", p)
+    }.toDF("stratum", "key", "p")
+    val got = Sampling.prioritizedTake(rows.repartition(13), Seq("stratum"),
+        col("p"), col("key"), "seed-x", 10)
+      .select("stratum", "key").as[(String, String)].collect().toSet
+    // the textbook form this engine must equal exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("p").desc, Sampling.drawHex(col("key"), "seed-x"), col("key"))
+    val ref = rows.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("stratum", "key").as[(String, String)].collect().toSet
+    assert(got == ref && got.size == 50)
+    // constant priority degenerates to the seeded uniform draw
+    val flat = Sampling.prioritizedTake(rows, Seq("stratum"),
+        lit(0.25), col("key"), "seed-x", 10)
+      .select("stratum", "key").as[(String, String)].collect().toSet
+    val uni = Sampling.stratifiedTake(rows, Seq("stratum"),
+        col("key"), "seed-x", 10)
+      .select("stratum", "key").as[(String, String)].collect().toSet
+    assert(flat == uni)
+  }
 }
