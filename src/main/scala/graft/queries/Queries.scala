@@ -68,30 +68,33 @@ object Queries {
     * serve both the x60 arithmetic graph and x64's page-derived one);
     * defines `outdeg`, `nodes`, `nn`, `it0..itN` and leaves `fin` =
     * (id, rank). Trailing comma included. */
-  private def pageRankRoundsCte(iters: Int): String = {
-    val N = "CAST((SELECT n FROM nn) AS DOUBLE)"
+  private def pageRankRoundsCte(iters: Int, pfx: String = ""): String = {
+    // `pfx` prefixes every CTE name (and the expected edge CTE
+    // `${pfx}e0`), so TWO independent rank unrolls — x76's host-level
+    // and page-level graphs — coexist in one WITH clause
+    val N = s"CAST((SELECT n FROM ${pfx}nn) AS DOUBLE)"
     def quant(x: String) = s"FLOOR(($x) * 1e9 + 0.5) / 1e9"
     val sb = new StringBuilder
-    sb ++= s"""outdeg AS (SELECT src AS id, COUNT(*) AS od FROM e0 GROUP BY 1),
-      |nodes AS (
+    sb ++= s"""${pfx}outdeg AS (SELECT src AS id, COUNT(*) AS od FROM ${pfx}e0 GROUP BY 1),
+      |${pfx}nodes AS (
       |  SELECT n.id, COALESCE(o.od, 0) AS od
-      |  FROM (SELECT src AS id FROM e0 UNION SELECT dst FROM e0) n
-      |  LEFT JOIN outdeg o USING (id)),
-      |nn AS (SELECT COUNT(*) AS n FROM nodes),
-      |it0 AS MATERIALIZED (SELECT id, od, ${quant(s"1.0 / $N")} AS rank FROM nodes),
+      |  FROM (SELECT src AS id FROM ${pfx}e0 UNION SELECT dst FROM ${pfx}e0) n
+      |  LEFT JOIN ${pfx}outdeg o USING (id)),
+      |${pfx}nn AS (SELECT COUNT(*) AS n FROM ${pfx}nodes),
+      |${pfx}it0 AS MATERIALIZED (SELECT id, od, ${quant(s"1.0 / $N")} AS rank FROM ${pfx}nodes),
       |""".stripMargin
     for (k <- 1 to iters) {
-      val p = s"it${k - 1}"
-      sb ++= s"""d$k AS (SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(30,12))) AS DOUBLE), 0.0) AS dm
+      val p = s"${pfx}it${k - 1}"
+      sb ++= s"""${pfx}d$k AS (SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(30,12))) AS DOUBLE), 0.0) AS dm
         |  FROM $p WHERE od = 0),
-        |c$k AS (SELECT e.dst AS id, CAST(SUM(CAST(${quant("r.rank / r.od")} AS DECIMAL(30,12))) AS DOUBLE) AS s
-        |  FROM e0 e JOIN $p r ON r.id = e.src AND r.od > 0 GROUP BY 1),
-        |it$k AS MATERIALIZED (SELECT v.id, v.od, ${quant(
-        s"(1.0 - 0.85) / $N + 0.85 * (COALESCE(c.s, 0.0) + (SELECT dm FROM d$k) / $N)")} AS rank
-        |  FROM $p v LEFT JOIN c$k c USING (id)),
+        |${pfx}c$k AS (SELECT e.dst AS id, CAST(SUM(CAST(${quant("r.rank / r.od")} AS DECIMAL(30,12))) AS DOUBLE) AS s
+        |  FROM ${pfx}e0 e JOIN $p r ON r.id = e.src AND r.od > 0 GROUP BY 1),
+        |${pfx}it$k AS MATERIALIZED (SELECT v.id, v.od, ${quant(
+        s"(1.0 - 0.85) / $N + 0.85 * (COALESCE(c.s, 0.0) + (SELECT dm FROM ${pfx}d$k) / $N)")} AS rank
+        |  FROM $p v LEFT JOIN ${pfx}c$k c USING (id)),
         |""".stripMargin
     }
-    sb ++= s"fin AS (SELECT id, rank FROM it$iters),\n"
+    sb ++= s"${pfx}fin AS (SELECT id, rank FROM ${pfx}it$iters),\n"
     sb.toString
   }
 
@@ -3191,6 +3194,68 @@ object Queries {
     graft.ext.Retrieval.bm25fTopKFromIndex(lexIndex(s, dir), anchorIdx,
       "doc_id", queryTerms = Seq("data", "zqxdocs", "spark"), k = 25,
       anchorWeight = 0.4)
+  }
+
+  // X76 — PAGE-LEVEL frontier ordering ([[graft.ext.Frontier.fromPages]]
+  // `pageLevelOrdering=true` → [[graft.ext.Sampling.prioritizedTake]]):
+  // the cap's within-host slots go to the candidates with the highest
+  // page-level PageRank (candidates are dangling receivers of link
+  // mass), host selection and quotas untouched. The oracle runs TWO
+  // independent 5-round rank unrolls in one WITH clause — host-level
+  // (rank column) and page-level (prank + the take order) — plus the
+  // literal take form: row_number over (prank DESC, seeded md5, url)
+  // per host. Fixture: 40 page hosts × 2 links each into 5 candidate
+  // hosts × 3 candidate URLs — in-degree differences give distinct
+  // pranks, cap 2 of 3 forces a rank decision on every candidate host.
+  q("x76_frontier_page_ranked",
+    s"""WITH pages AS (SELECT doc_id FROM documents WHERE doc_id % 50 < 40),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS src,
+      |         'cand' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS dst
+      |  FROM pages),
+      |${pageRankRoundsCte(5)}p_e0 AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/page'
+      |      || CAST(doc_id AS VARCHAR) AS src,
+      |    'https://cand' || CAST(doc_id % 5 AS VARCHAR) || '.example/c'
+      |      || CAST((doc_id + q) % 3 AS VARCHAR) AS dst
+      |  FROM pages, UNNEST([0, 1]) AS t(q)),
+      |${pageRankRoundsCte(5, "p_")}cand AS (
+      |  SELECT DISTINCT
+      |    'cand' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+      |    'https://cand' || CAST(doc_id % 5 AS VARCHAR) || '.example/c'
+      |      || CAST((doc_id + q) % 3 AS VARCHAR) AS url
+      |  FROM pages, UNNEST([0, 1]) AS t(q)),
+      |ranked AS (
+      |  SELECT c.host, c.url,
+      |    COALESCE(hf.rank, 0.0) AS rank, COALESCE(pf.rank, 0.0) AS prank
+      |  FROM cand c
+      |  LEFT JOIN fin hf ON hf.id = c.host
+      |  LEFT JOIN p_fin pf ON pf.id = c.url),
+      |capped AS (
+      |  SELECT host, url, rank, prank,
+      |    row_number() OVER (PARTITION BY host
+      |      ORDER BY prank DESC, md5(url || ':' || 'graft-frontier-v1'), url) AS rk
+      |  FROM ranked)
+      |SELECT host, url, rank, prank FROM capped WHERE rk <= 2
+      |ORDER BY host, url""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    val k5 = (col("doc_id") % 5).cast("string")
+    val c1 = (col("doc_id") % 3).cast("string")
+    val c2 = ((col("doc_id") + 1) % 3).cast("string")
+    val html = concat(
+      lit("<html><body><a href=\"https://cand"), k5, lit(".example/c"), c1,
+      lit("\">x</a><a href=\"https://cand"), k5, lit(".example/c"), c2,
+      lit("\">y</a></body></html>"))
+    val pageUrl = concat(lit("https://h"), (col("doc_id") % 50).cast("string"),
+      lit(".example/page"), id)
+    val pages = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 < 40)
+      .select(pageUrl.as("url"), html.as("html"))
+    graft.ext.Frontier.fromPages(pages, "url", "html", perHostCap = 2,
+        seed = "graft-frontier-v1", prIterations = 5,
+        pageLevelOrdering = true)
+      .ordered("host", "url")
   }
 
   // X50 — URL hygiene (the curation step C4/RefinedWeb run on every
