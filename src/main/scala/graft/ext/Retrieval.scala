@@ -238,6 +238,30 @@ object Retrieval {
       post.groupBy("term").agg(count(lit(1)).cast("double").as("df")))
   }
 
+  /** [[buildIndexFromTerms]] over PRE-COUNTED (id, term, count) rows —
+    * the shape [[Graph.anchorTerms]] persists (top-k anchor profile
+    * per link target): tf = the summed count per (id, term), dl = the
+    * id's total count. Counts are integer-valued doubles, so the sums
+    * are exact at any partitioning; equal to [[buildIndexFromTerms]]
+    * over the explosion of each row count times (RetrievalSpec pins
+    * it). A profile-derived anchor index trades the tail of a hub's
+    * anchor vocabulary (the profile's k cap) for never re-scanning the
+    * link set — the standard serving artifact. */
+  def buildIndexFromTermCounts(counts: DataFrame, idCol: String,
+      termCol: String = "term", countCol: String = "n"): LexIndex = {
+    val occ = counts
+      .select(col(idCol), col(termCol).as("term"),
+        col(countCol).cast("double").as("__n"))
+      .filter(col("term").isNotNull && col("term") =!= "" && col("__n") > 0)
+    val post0 = occ.groupBy(col("term"), col(idCol)).agg(sum(col("__n")).as("tf"))
+    val dl = post0.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val post = post0.join(dl, idCol)
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+    LexIndex(post, dl,
+      dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")),
+      post.groupBy("term").agg(count(lit(1)).cast("double").as("df")))
+  }
+
   /** Field-weighted BM25F-lite over TWO persisted indexes — the
     * classic web-search signal (Robertson/Zaragoza/Taylor, CIKM 2004:
     * anchor text describes the target better than the target's own
@@ -337,8 +361,8 @@ object Retrieval {
     val qt = queries.select(col(queryIdCol), col(termCol).as("term")).distinct()
     val qterms = qt.select("term").distinct()
     // df comes off the persisted dfreq table restricted to the battery's
-    // terms — |battery terms| rows, never a corpus-postings agg.
-    val dfq = index.dfreq.join(qterms, "term")
+    // terms — |battery terms| rows, never a corpus-postings agg
+    // (inside scoredPairsU).
     // A term's BM25 contribution is a function of (term, doc) ALONE —
     // df, tf, dl, corpus stats — not of the query. So score each
     // touched (term, doc) pair ONCE, then fan out to queries: with a
@@ -354,17 +378,65 @@ object Retrieval {
     // dl rides the postings (denormalized layout): the whole scoring
     // pass stays in the term-keyed scan — no doc-keyed exchange of the
     // touched postings ever happens.
-    val scoredTD = index.postings.join(broadcast(qterms), "term")
-      .join(broadcast(dfq), "term")
+    val scoredTD = scoredPairsU(index, idCol, qterms, k1, b, weight = 1.0)
+    batchSumTail(scoredTD, qt, idCol, queryIdCol)
+  }
+
+  /** (term, doc, unscaled-long contribution) pairs off one index —
+    * the shared once-per-pair scoring core of the batch forms. */
+  private def scoredPairsU(index: LexIndex, idCol: String,
+      qterms: DataFrame, k1: Double, b: Double, weight: Double): DataFrame =
+    index.postings.join(broadcast(qterms), "term")
+      .join(broadcast(index.dfreq.join(qterms, "term")), "term")
       .crossJoin(broadcast(index.stats))
       .select(col("term"), col(idCol),
-        (bm25Contrib(k1, b) * lit(1000000000L)).cast("long").as("c_u"))
+        (bm25Contrib(k1, b, weight) * lit(1000000000L)).cast("long").as("c_u"))
+
+  /** Fan scored pairs out to the battery and sum per (query, doc) as
+    * primitive longs, back to the exact decimal at group level. */
+  private def batchSumTail(scoredTD: DataFrame, qt: DataFrame,
+      idCol: String, queryIdCol: String): DataFrame =
     scoredTD.join(broadcast(qt), "term")
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("c_u")).as("s_u"))
       .select(col(queryIdCol), col(idCol),
         (col("s_u").cast(DecimalType(38, 10)) / lit(1000000000L))
           .cast(DecimalType(28, 10)).as("score_dec"))
+
+  /** BATCH [[bm25fFromIndex]] — the eval-battery shape of the fielded
+    * scorer: body pairs and anchor pairs each score ONCE per touched
+    * (term, doc) against their own field's stats (the anchor weight
+    * folded into the contribution exactly as the single-query form),
+    * union, one fan-out to the battery, one primitive-long sum per
+    * (query, doc). Same cost discipline as [[bm25BatchFromIndex]];
+    * the anchor side adds one (usually much smaller) term-keyed probe. */
+  def bm25fBatchFromIndex(body: LexIndex, anchor: LexIndex, idCol: String,
+      queries: DataFrame, queryIdCol: String = "query_id",
+      termCol: String = "term", anchorWeight: Double = 1.0,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries.select(col(queryIdCol), col(termCol).as("term")).distinct()
+    val qterms = qt.select("term").distinct()
+    val pairs = scoredPairsU(body, idCol, qterms, k1, b, weight = 1.0)
+      .union(scoredPairsU(anchor, idCol, qterms, k1, b, anchorWeight))
+    batchSumTail(pairs, qt, idCol, queryIdCol)
+  }
+
+  /** Per-query top-k over [[bm25fBatchFromIndex]] — window partitioned
+    * BY QUERY (each partition is one query's candidates, never a
+    * global order). */
+  def bm25fTopKBatchFromIndex(body: LexIndex, anchor: LexIndex,
+      idCol: String, queries: DataFrame, k: Int,
+      queryIdCol: String = "query_id", termCol: String = "term",
+      anchorWeight: Double = 1.0,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score_dec").desc, col(idCol))
+    bm25fBatchFromIndex(body, anchor, idCol, queries, queryIdCol, termCol,
+        anchorWeight, k1, b)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(queryIdCol), col(idCol),
+        round(col("score_dec").cast("double"), 6).as("score"), col("rk"))
   }
 
   /** Per-query top-k over [[bm25Batch]]: (queryIdCol, idCol, score, rk).

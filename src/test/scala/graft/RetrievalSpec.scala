@@ -385,4 +385,54 @@ class RetrievalSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(a3 == expected, s"a3=$a3 expected=$expected")
   }
+
+  test("buildIndexFromTermCounts == buildIndexFromTerms over the exploded occurrences; anchorTerms output plugs in") {
+    val counted = Seq((1L, "spark", 3L), (1L, "engine", 1L),
+      (2L, "spark", 1L), (2L, "spark", 1L), // same pair twice: tf sums to 2
+      (3L, "docs", 2L)).toDF("id", "term", "n")
+    val fromCounts = Retrieval.buildIndexFromTermCounts(counted, "id")
+    val exploded = counted.select(col("id"),
+        explode(flatten(array_repeat(array(col("term")), col("n").cast("int"))))
+          .as("term"))
+    val fromTerms = Retrieval.buildIndexFromTerms(exploded, "id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(fromCounts.postings) == rows(fromTerms.postings))
+    assert(rows(fromCounts.docLengths) == rows(fromTerms.docLengths))
+    assert(rows(fromCounts.stats) == rows(fromTerms.stats))
+    assert(rows(fromCounts.dfreq) == rows(fromTerms.dfreq))
+    // the anchorTerms profile shape (target, term, n, rk) feeds directly
+    val profile = graft.ext.Graph.anchorTerms(
+      Seq(("t1", "spark engine"), ("t1", "spark"), ("t2", "docs"))
+        .toDF("target", "anchor"), "target", "anchor", k = 8)
+    val idx = Retrieval.buildIndexFromTermCounts(profile, "target")
+    val tf = idx.postings.select("term", "target", "tf")
+      .as[(String, String, Double)].collect().toSet
+    assert(tf == Set(("spark", "t1", 2.0), ("engine", "t1", 1.0),
+      ("docs", "t2", 1.0)))
+  }
+
+  test("bm25f batch == the per-query bm25fTopKFromIndex loop, exactly") {
+    val body = Retrieval.buildIndex(corpus, "id", "text")
+    val anchor = Retrieval.buildIndexFromTerms(
+      Seq((3L, "spark"), (3L, "spark"), (1L, "optimizer"), (4L, "engine"))
+        .toDF("id", "term"), "id")
+    val queries = Seq(
+      ("q1", "spark"), ("q1", "optimizer"),
+      ("q2", "engine"), ("q2", "execution"),
+      ("q3", "nomatch")).toDF("query_id", "term")
+    val batch = Retrieval.bm25fTopKBatchFromIndex(body, anchor, "id",
+        queries, k = 3, anchorWeight = 0.7)
+      .as[(String, Long, Double, Int)].collect().toSet
+    val loop = Seq(
+      "q1" -> Seq("spark", "optimizer"),
+      "q2" -> Seq("engine", "execution"),
+      "q3" -> Seq("nomatch")).flatMap { case (qid, terms) =>
+      Retrieval.bm25fTopKFromIndex(body, anchor, "id", terms, k = 3,
+          anchorWeight = 0.7)
+        .as[(Long, Double)].collect().zipWithIndex
+        .map { case ((id, s), i) => (qid, id, s, i + 1) }
+    }.toSet
+    assert(batch == loop && batch.nonEmpty)
+    assert(!batch.exists(_._1 == "q3")) // no-match query yields nothing
+  }
 }
