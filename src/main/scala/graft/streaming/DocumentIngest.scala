@@ -242,9 +242,18 @@ object DocumentIngest {
     * the reader. Output: input columns minus `payloadCol`, plus
     * `textCol`; empty extractions drop (the [[extractHtml]]
     * convention). */
-  def extractWarcRecords(df: DataFrame, textCol: String,
+  /** The 200-HTML-response gate chain + decoded RAW HTML over
+    * ALREADY-SPLIT record rows (the streaming/batch `warc` source's
+    * flat shape) — the record-rows twin of [[graft.ext.Warc
+    * .htmlResponses]]: keeps rows whose HTTP layer is a decodable 200
+    * HTML response and adds `htmlCol` (the de-chunked, inflated,
+    * charset-decoded body — ONE fused kernel). The `warc_type`
+    * equality is a PUSHED filter against the `warc` source: excluded
+    * records never allocate payloads in the reader. Use this when the
+    * consumer needs the HTML ITSELF (the frontier's link extraction);
+    * [[extractWarcRecords]] layers the text-extraction policy on top. */
+  def warcPages(df: DataFrame, htmlCol: String = "html",
       payloadCol: String = "payload", typeCol: String = "warc_type",
-      policy: graft.ext.Extract.ExtractPolicy = graft.ext.Extract.ExtractPolicy.Simple(),
       decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders): DataFrame = {
     import graft.ext.Warc
     val decMap: Map[String, Warc.ContentDecoder] =
@@ -257,11 +266,21 @@ object DocumentIngest {
         Warc.httpStatus(col(payloadCol)) === 200 &&
         Warc.isHtmlResponse(col(payloadCol)) &&
         (Warc.isDecodableEncoding(col(payloadCol)) || extraHandled))
-      .withColumn(textCol, graft.ext.Extract.extract(
-        Warc.httpBodyText(col(payloadCol), decoders), policy))
-      .filter(col(textCol) =!= "")
+      .withColumn(htmlCol, Warc.httpBodyText(col(payloadCol), decoders))
       .drop(payloadCol)
   }
+
+  def extractWarcRecords(df: DataFrame, textCol: String,
+      payloadCol: String = "payload", typeCol: String = "warc_type",
+      policy: graft.ext.Extract.ExtractPolicy = graft.ext.Extract.ExtractPolicy.Simple(),
+      decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders): DataFrame =
+    // projection collapse fuses extract(httpBodyText(payload)) back
+    // into one kernel chain — the intermediate column costs nothing
+    warcPages(df, "__graft_html", payloadCol, typeCol, decoders)
+      .withColumn(textCol,
+        graft.ext.Extract.extract(col("__graft_html"), policy))
+      .filter(col(textCol) =!= "")
+      .drop("__graft_html")
 
   /** Drain a directory of document parquet into a cleaned, day-
     * partitioned store — the document twin of [[Ingest.runAvailableNow]]
@@ -428,6 +447,44 @@ object DocumentIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         frontierProcessBatch(batch, batchId, frontierDir, seenTable,
           urlCol, htmlCol, blockedDomains, perHostCap, seed, prIterations,
+          buckets, graphStorePrefix, compactEvery, rankEvery,
+          robotsTable, robotsAgent)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** [[frontierMaintenance]] fed STRAIGHT from `.warc.gz` drops — the
+    * fully composed crawl loop with no landed-parquet copy: the
+    * streaming `warc` source consumes each trigger's new archive
+    * files ([[graft.sources.WarcMicroBatchStream]] — file-position
+    * checkpointing, `warc_type` filter pushed so non-response records
+    * never allocate payloads), [[warcPages]] turns 200-HTML responses
+    * into (target_uri, html) page rows, and every micro-batch runs the
+    * same [[frontierProcessBatch]] protocol (seen-store fold, edge
+    * fold, rank cadence, robots gate, replay markers). A fetcher that
+    * archives through [[graft.ext.Warc.writeRecords]] and drops the
+    * files here closes the crawl cycle end-to-end in WARC. */
+  def frontierMaintenanceWarc(spark: org.apache.spark.sql.SparkSession,
+      warcGlob: String, frontierDir: String, checkpointDir: String,
+      seenTable: String, blockedDomains: Seq[String] = Nil,
+      perHostCap: Int = 100, seed: String = "graft-frontier-v1",
+      prIterations: Int = 10, buckets: Int = 32,
+      graphStorePrefix: Option[String] = None,
+      compactEvery: Option[Int] = None,
+      rankEvery: Int = 1,
+      robotsTable: Option[String] = None,
+      robotsAgent: String = "*",
+      decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders): Unit = {
+    val src = spark.readStream.format("warc").load(warcGlob)
+    val pages = warcPages(src, decoders = decoders)
+      .select(col("target_uri").as("url"), col("html"))
+    val q = pages.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        frontierProcessBatch(batch, batchId, frontierDir, seenTable,
+          "url", "html", blockedDomains, perHostCap, seed, prIterations,
           buckets, graphStorePrefix, compactEvery, rankEvery,
           robotsTable, robotsAgent)
       }

@@ -490,6 +490,59 @@ class DocumentIngestSpec extends SparkTestBase {
     }
   }
 
+  test("frontierMaintenanceWarc: the crawl loop straight from .warc.gz drops == the parquet-fed loop; replay no-op") {
+    val warcDir = Files.createTempDirectory("frw-src").toString
+    val frontierDir = Files.createTempDirectory("frw-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("frw-ckpt").toString
+    val table = "frontier_warc_spec"
+    def capture(uri: String, html: String): Array[Byte] = {
+      val payload =
+        s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+      val pb = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-08-15T00:00:00Z\r\nContent-Length: ${pb.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ pb ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    def drop(name: String, recs: Array[Byte]*): Unit = {
+      val f = new java.io.FileOutputStream(s"$warcDir/$name")
+      val w = new graft.ext.Warc.MemberGzipWriter(f)
+      try recs.foreach(w.writeMember) finally { w.end(); f.close() }
+    }
+    try {
+      // drop 1: the fetcher archived P (links to X) + a request record
+      // that must die at the pushed warc_type filter
+      drop("drop1.warc.gz",
+        capture("https://p.example/one",
+          """<a href="https://x.example/two">x</a>"""),
+        ("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://p.example/one\r\n" +
+          "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes("UTF-8"))
+      DocumentIngest.frontierMaintenanceWarc(spark, warcDir + "/*.warc.gz",
+        frontierDir, ckpt, table, buckets = 4)
+      // drop 2: X crawled — links BACK to P (must die at the seen
+      // store) and on to new Y
+      drop("drop2.warc.gz",
+        capture("https://x.example/two",
+          """<a href="https://p.example/one">back</a><a href="https://y.example/three">y</a>"""))
+      DocumentIngest.frontierMaintenanceWarc(spark, warcDir + "/*.warc.gz",
+        frontierDir, ckpt, table, buckets = 4)
+      val got = spark.read.parquet(frontierDir)
+        .select(col("batch_id").cast("long"), col("url"))
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((0L, "https://x.example/two"),
+        (1L, "https://y.example/three")), s"got $got")
+      assert(spark.table(table).as[String].collect().toSet ==
+        Set("https://p.example/one", "https://x.example/two"))
+      // replay: same checkpoint, no new archives — nothing re-delivers
+      DocumentIngest.frontierMaintenanceWarc(spark, warcDir + "/*.warc.gz",
+        frontierDir, ckpt, table, buckets = 4)
+      assert(spark.read.parquet(frontierDir).count() == 2)
+      assert(spark.table(table).count() == 2)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      ()
+    }
+  }
+
   test("cumulative frontier maintenance: batch-2 priorities rank against the WHOLE crawl's graph; replay no-op") {
     val srcDir = Files.createTempDirectory("frg-src").toString
     def writeOneFile(df: org.apache.spark.sql.DataFrame, name: String,
