@@ -281,22 +281,32 @@ object Warc {
     private var ended = false
     /** Members emitted so far — the reuse witness WarcSpec asserts. */
     var membersWritten: Long = 0L
+    /** Compressed bytes emitted so far == the NEXT member's byte
+      * offset in the stream — the CDX-index hook ([[writeRecordsIndexed]]). */
+    var bytesWritten: Long = 0L
     private def intLE(v: Int): Unit = {
       out.write(v & 0xff); out.write((v >>> 8) & 0xff)
       out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+      bytesWritten += 4
     }
-    def writeMember(bytes: Array[Byte]): Unit = {
+    /** Write one complete gzip member; returns its COMPRESSED length
+      * in bytes (offset = [[bytesWritten]] before the call — together
+      * the byte range a seeking reader fetches). */
+    def writeMember(bytes: Array[Byte]): Long = {
       require(!ended, "writer already ended")
+      val start = bytesWritten
       out.write(MemberGzipWriter.Header)
+      bytesWritten += MemberGzipWriter.Header.length
       deflater.reset(); crc.reset()
       deflater.setInput(bytes); deflater.finish()
       while (!deflater.finished()) {
         val n = deflater.deflate(buf)
-        if (n > 0) out.write(buf, 0, n)
+        if (n > 0) { out.write(buf, 0, n); bytesWritten += n }
       }
       crc.update(bytes)
       intLE(crc.getValue.toInt); intLE(bytes.length)
       membersWritten += 1
+      bytesWritten - start
     }
     /** Release the one native Deflater. Idempotent; does NOT close
       * `out` (the caller owns the file stream). */
@@ -329,10 +339,11 @@ object Warc {
     * partition count), through ONE [[MemberGzipWriter]] Deflater per
     * partition. `warcDate` rows should carry ISO-8601 (the spec's
     * format) — written verbatim. */
-  def writeRecords(df: org.apache.spark.sql.DataFrame, uriCol: String,
-      dateCol: String, payloadCol: String, outDir: String,
-      warcType: String = "response",
-      httpContentType: String = "application/http; msgtype=response"): Unit = {
+  /** The sanitized header values + full record bytes as codegen
+    * columns — shared by [[writeRecords]] and [[writeRecordsIndexed]]. */
+  private def recordColumns(uriCol: String, dateCol: String,
+      payloadCol: String, warcType: String,
+      httpContentType: String): (Column, Column, Column) = {
     val payload = col(payloadCol).cast("binary")
     def headerSafe(c: Column): Column =
       regexp_replace(c.cast("string"), "[\\r\\n]", "")
@@ -353,6 +364,15 @@ object Warc {
         octet_length(payload).cast("string"),
         lit("\r\n\r\n")).cast("binary"),
       payload, lit("\r\n\r\n").cast("binary"))
+    (rec, uri, date)
+  }
+
+  def writeRecords(df: org.apache.spark.sql.DataFrame, uriCol: String,
+      dateCol: String, payloadCol: String, outDir: String,
+      warcType: String = "response",
+      httpContentType: String = "application/http; msgtype=response"): Unit = {
+    val (rec, _, _) =
+      recordColumns(uriCol, dateCol, payloadCol, warcType, httpContentType)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(rec.as("r")).foreachPartition {
@@ -367,6 +387,101 @@ object Warc {
           finally { w.end(); out.close() }
         }
     }
+  }
+
+  /** One row per archived record: where its gzip member lives. The
+    * CDX-index shape (CommonCrawl publishes exactly this next to every
+    * crawl): (path, offset, length) is a byte range any filesystem can
+    * serve positioned reads for, so a consumer fetches ONE record from
+    * a ~1 GB archive without streaming the file ([[readIndexed]]). */
+  final case class WarcIndexRow(path: String, offset: Long, length: Long,
+      target_uri: String, warc_date: String)
+
+  /** [[writeRecords]] that ALSO returns the record-level index — the
+    * archive and its CDX sidecar from one pass. LAZY like every
+    * distributed transform: the `.warc.gz` files are written as the
+    * returned index materializes, so persist it immediately
+    * (`writeRecordsIndexed(...).write.parquet(idxDir)`); re-evaluation
+    * overwrites the same per-partition files deterministically. Member
+    * offsets/lengths come from the writer's own byte counter — no
+    * second pass over the archive. */
+  def writeRecordsIndexed(df: org.apache.spark.sql.DataFrame, uriCol: String,
+      dateCol: String, payloadCol: String, outDir: String,
+      warcType: String = "response",
+      httpContentType: String = "application/http; msgtype=response")
+      : Dataset[WarcIndexRow] = {
+    val (rec, uri, date) =
+      recordColumns(uriCol, dateCol, payloadCol, warcType, httpContentType)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(rec.as("r"), uri.as("u"), date.as("d"))
+      .as[(Array[Byte], String, String)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val ctx = org.apache.spark.TaskContext.get()
+          val pathStr = new org.apache.hadoop.fs.Path(outDir,
+            f"part-${ctx.partitionId()}%05d.warc.gz").toString
+          val path = new org.apache.hadoop.fs.Path(pathStr)
+          val out = path.getFileSystem(conf.value).create(path, true)
+          val w = new MemberGzipWriter(out)
+          ctx.addTaskCompletionListener[Unit] { _ => w.end(); out.close() }
+          it.map { case (bytes, u, d) =>
+            val off = w.bytesWritten
+            val len = w.writeMember(bytes)
+            WarcIndexRow(pathStr, off, len, u, d)
+          }
+        }
+      }
+  }
+
+  /** Fetch EXACTLY the records an index frame names — positioned reads
+    * of each (path, offset, length) byte range, one gzip member each
+    * (the CommonCrawl CDX access pattern; works on any Hadoop FS that
+    * serves `seek`, which local/HDFS/S3A all do). Rows co-locate per
+    * file and sort by offset first, so a partition's reads walk each
+    * file forward (sequential-friendly seeks, one open stream per
+    * file). Returns the [[WarcRow]] shape with `idx` carrying the BYTE
+    * OFFSET (the global record ordinal is a property of a full scan;
+    * the offset is the stable identity a random-access consumer has).
+    * Cost: ∝ requested records, never archive size — the point. */
+  def readIndexed(index: DataFrame): Dataset[WarcRow] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    index.select(col("path"), col("offset").cast("long"),
+        col("length").cast("long"))
+      .repartition(col("path"))
+      .sortWithinPartitions("path", "offset")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curPath: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        val ctx = org.apache.spark.TaskContext.get()
+        ctx.addTaskCompletionListener[Unit] { _ =>
+          if (in != null) in.close()
+        }
+        it.flatMap { case (p, off, len) =>
+          if (p != curPath) {
+            if (in != null) in.close()
+            val hp = new org.apache.hadoop.fs.Path(p)
+            in = hp.getFileSystem(conf.value).open(hp)
+            curPath = p
+          }
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(off, buf) // positioned read — no state to restore
+          parseBytes(buf).map { r =>
+            WarcRow(p, off, r.header("WARC-Type").getOrElse(""),
+              r.header("WARC-Target-URI").getOrElse(""),
+              r.header("WARC-Date").getOrElse(""),
+              r.header("Content-Type").getOrElse(""),
+              r.contentLength, r.payload)
+          }
+        }
+      }
   }
 
   // -- column-level record parsing (derived-input oracles, captures) ------

@@ -279,6 +279,28 @@ object Queries {
       out
     })
 
+  /** The x77 archive + its CDX sidecar: the same capture shape written
+    * through [[graft.ext.Warc.writeRecordsIndexed]] (index parquet
+    * persisted — which is what materializes the archive files), once
+    * per scale dir. Returns the index parquet path. */
+  private val warcIdxMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcIndexFor(s: SparkSession, dir: String): String =
+    warcIdxMemo.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-warccdx").toString
+      val idx = java.nio.file.Files.createTempDirectory("graft-warccdx-idx").toString
+      val payload = concat(lit("HTTP/1.1 200 OK\r\n\r\n"),
+        coalesce(col("text"), lit("")))
+      graft.ext.Warc.writeRecordsIndexed(
+          Tables.documents(s, dir).select(
+            concat(lit("https://archive.example/doc/"),
+              col("doc_id").cast("string")).as("uri"),
+            lit("2026-08-15T00:00:00Z").as("ts"),
+            payload.as("payload")).repartition(4),
+          "uri", "ts", "payload", out)
+        .write.mode("overwrite").parquet(idx)
+      idx
+    })
+
   private val rollupCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def minuteRollup(s: SparkSession, dir: String): DataFrame =
     if (!Tables.cacheEnabled) graft.store.Rollups.minutely(s, rollupDir(s, dir))
@@ -3117,6 +3139,34 @@ object Queries {
         regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
           .cast("long").as("doc_id"),
         col("target_uri"), col("warc_date"), col("content_length"),
+        graft.ext.Warc.httpBody(col("payload")).as("body"))
+      .ordered("doc_id")
+  }
+
+  // X77 — CDX-indexed RANDOM ACCESS into the archive ([[graft.ext.Warc
+  // .writeRecordsIndexed]] sidecar → [[graft.ext.Warc.readIndexed]]):
+  // a 1-in-17 subset of records fetched by POSITIONED READS of their
+  // (path, offset, length) byte ranges — cost ∝ requested records,
+  // never archive size (the CommonCrawl CDX pattern). The oracle
+  // states the closed form of exactly those captures; a wrong offset
+  // or length lands mid-member and the gunzip/parse (and the hash)
+  // break.
+  q("x77_warc_random_access",
+    """SELECT doc_id,
+      |  'https://archive.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) || chr(13) || chr(10)
+      |    || COALESCE(text, '')) AS BIGINT) AS content_length,
+      |  COALESCE(text, '') AS body
+      |FROM documents WHERE doc_id % 17 = 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val idx = s.read.parquet(warcIndexFor(s, dir))
+      .withColumn("doc_id",
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long"))
+      .filter(col("doc_id") % 17 === 0)
+    graft.ext.Warc.readIndexed(idx)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri"), col("content_length"),
         graft.ext.Warc.httpBody(col("payload")).as("body"))
       .ordered("doc_id")
   }

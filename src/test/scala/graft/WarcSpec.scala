@@ -433,6 +433,50 @@ class WarcSpec extends SparkTestBase {
     intercept[IllegalArgumentException](w.writeMember(Array[Byte](1)))
   }
 
+  test("writeRecordsIndexed + readIndexed: CDX sidecar covers every byte; random access fetches exactly the named records") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdx").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-cdx-idx").toString
+    val df = (0 until 40).map(i =>
+      (s"https://cdx.example/doc/$i", "2026-08-15T00:00:00Z",
+        s"HTTP/1.1 200 OK\r\n\r\nbody text $i " + ("z" * (i * 7))))
+      .toDF("uri", "ts", "payload")
+    // the archive writes AS the index materializes
+    Warc.writeRecordsIndexed(df.repartition(3), "uri", "ts", "payload", dir)
+      .write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    assert(idx.count() == 40)
+    // the index tiles each archive file exactly: per-path sum(length)
+    // == file size, offsets contiguous from 0
+    val byPath = idx.groupBy("path")
+      .agg(sum(col("length")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(byPath.length == 3)
+    byPath.foreach { case (p, s, _) =>
+      assert(new java.io.File(new java.net.URI(p).getPath).length == s ||
+        new java.io.File(p.stripPrefix("file:")).length == s, p)
+    }
+    // full indexed read == the streaming file reader, record for record
+    val viaIndex = Warc.readIndexed(idx).collect()
+      .map(r => (r.target_uri, new String(r.payload, UTF_8))).sorted.toSeq
+    val viaScan = Warc.read(spark, dir + "/*.warc.gz").collect()
+      .map(r => (r.target_uri, new String(r.payload, UTF_8))).sorted.toSeq
+    assert(viaIndex == viaScan && viaIndex.size == 40)
+    // random access: a 3-record subset fetches exactly those, idx
+    // carries the byte offset
+    val want = Set("https://cdx.example/doc/3", "https://cdx.example/doc/17",
+      "https://cdx.example/doc/39")
+    val sub = Warc.readIndexed(idx.filter(col("target_uri").isin(want.toSeq: _*)))
+      .collect()
+    assert(sub.map(_.target_uri).toSet == want)
+    sub.foreach { r =>
+      val row = idx.filter(col("target_uri") === r.target_uri).head
+      assert(r.idx == row.getAs[Long]("offset"))
+      assert(new String(r.payload, UTF_8).contains(
+        "body text " + r.target_uri.split('/').last))
+    }
+  }
+
   test("writeRecords: mandatory WARC-Record-ID (deterministic urn:uuid), CRLF stripped from header values") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sinkspec").toString
     val df = Seq(
