@@ -437,6 +437,30 @@ object Warc {
       }
   }
 
+  /** URL-level dedup over a CDX index: ONE capture per (normalized)
+    * target URI — the NEWEST by WARC-Date (ISO-8601 sorts
+    * chronologically as a string), ties broken by (path, offset) so
+    * exact-duplicate replays pick deterministically. Metadata-only:
+    * the decision runs on the index (one hash aggregation over index
+    * rows), and only the winners' byte ranges are ever fetched
+    * ([[readIndexed]]) — re-crawled pages cost index rows, not archive
+    * IO. `normalize=true` merges tracking-param/case twins through
+    * [[UrlOps.normalizeUrl]] (unparseable URIs keep their raw form). */
+  def latestCaptures(index: DataFrame, normalize: Boolean = true): DataFrame = {
+    val key =
+      if (normalize)
+        coalesce(UrlOps.normalizeUrl(col("target_uri")), col("target_uri"))
+      else col("target_uri")
+    index
+      .groupBy(key.as("url"))
+      .agg(max(struct(col("warc_date"), col("path"), col("offset"),
+        col("length"), col("target_uri"))).as("m"))
+      .select(col("url"), col("m.path").as("path"),
+        col("m.offset").as("offset"), col("m.length").as("length"),
+        col("m.target_uri").as("target_uri"),
+        col("m.warc_date").as("warc_date"))
+  }
+
   /** Fetch EXACTLY the records an index frame names — positioned reads
     * of each (path, offset, length) byte range, one gzip member each
     * (the CommonCrawl CDX access pattern; works on any Hadoop FS that
@@ -696,6 +720,21 @@ object Warc {
         col("content_type").startsWith("text/plain"))
       .select(col("path"), col("idx"), col("target_uri"), col("warc_date"),
         decodeCharset(col("payload"), lit("utf-8")).as("text"))
+
+  /** Archive (uri, date, text) rows as `.warc.gz` CONVERSION records —
+    * the WET writer, [[wetTexts]]' sink twin (CommonCrawl distributes
+    * extracted text exactly so: WARC-Type `conversion`, `text/plain`
+    * payload, one gzip member per record). UTF-8 payload bytes; same
+    * framing, Record-ID, and one-Deflater-per-partition discipline as
+    * [[writeRecords]]. A pipeline that extracts text at crawl time and
+    * ships WET relieves every downstream consumer of the HTML parse. */
+  def writeWet(df: org.apache.spark.sql.DataFrame, uriCol: String,
+      dateCol: String, textCol: String, outDir: String): Unit =
+    writeRecords(
+      df.withColumn("__wet_payload",
+        coalesce(col(textCol), lit("")).cast("string").cast("binary")),
+      uriCol, dateCol, "__wet_payload", outDir,
+      warcType = "conversion", httpContentType = "text/plain")
 
   /** TRUE when the response's Content-Encoding (if any) is one this
     * layer can decode — identity, gzip/x-gzip, deflate. A brotli/zstd

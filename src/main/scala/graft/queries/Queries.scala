@@ -3143,6 +3143,57 @@ object Queries {
       .ordered("doc_id")
   }
 
+  /** The x78 TWO-EPOCH archive: every doc captured on day 1 (v1
+    * bodies); even docs RE-captured on day 2 (v2 bodies). One merged
+    * CDX index parquet, memoized per scale dir. */
+  private val warcEpochIdxMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def warcEpochIndexFor(s: SparkSession, dir: String): String =
+    warcEpochIdxMemo.getOrElseUpdate(dir, {
+      val idx = java.nio.file.Files.createTempDirectory("graft-epoch-idx").toString
+      def epoch(tag: String, day: String, filt: Column): org.apache.spark.sql.DataFrame =
+        graft.ext.Warc.writeRecordsIndexed(
+          Tables.documents(s, dir).filter(filt).select(
+            concat(lit("https://archive.example/doc/"),
+              col("doc_id").cast("string")).as("uri"),
+            lit(day).as("ts"),
+            concat(lit(s"HTTP/1.1 200 OK\r\n\r\n$tag "),
+              coalesce(col("text"), lit(""))).as("payload")).repartition(4),
+          "uri", "ts", "payload",
+          java.nio.file.Files.createTempDirectory(s"graft-epoch-$tag").toString)
+          .toDF()
+      epoch("v1", "2026-08-14T00:00:00Z", lit(true))
+        .union(epoch("v2", "2026-08-15T00:00:00Z", col("doc_id") % 2 === 0))
+        .write.mode("overwrite").parquet(idx)
+      idx
+    })
+
+  // X78 — URL-dedup over the CDX index + random access ([[graft.ext
+  // .Warc.latestCaptures]] → [[readIndexed]]): every doc captured in
+  // epoch 1, even docs re-captured in epoch 2 — the newest capture
+  // wins per URL ON THE INDEX ALONE (one metadata aggregation; only
+  // winners' byte ranges are fetched). The oracle states the per-doc
+  // winning body; a wrong max-struct ordering or a fetch of the losing
+  // epoch's range breaks the hash.
+  q("x78_warc_latest_capture",
+    """SELECT doc_id,
+      |  'https://archive.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |  CASE WHEN doc_id % 2 = 0 THEN '2026-08-15T00:00:00Z'
+      |       ELSE '2026-08-14T00:00:00Z' END AS warc_date,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'v2 ' ELSE 'v1 ' END)
+      |    || COALESCE(text, '') AS body
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val latest = graft.ext.Warc.latestCaptures(
+      s.read.parquet(warcEpochIndexFor(s, dir)))
+    graft.ext.Warc.readIndexed(latest)
+      .join(latest.select(col("target_uri"), col("url")), Seq("target_uri"))
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("url"), col("warc_date"),
+        graft.ext.Warc.httpBody(col("payload")).as("body"))
+      .ordered("doc_id")
+  }
+
   // X77 — CDX-indexed RANDOM ACCESS into the archive ([[graft.ext.Warc
   // .writeRecordsIndexed]] sidecar → [[graft.ext.Warc.readIndexed]]):
   // a 1-in-17 subset of records fetched by POSITIONED READS of their

@@ -477,6 +477,48 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("writeWet round-trips through wetTexts; latestCaptures merges normalization twins, newest date wins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet").toString
+    val docs = Seq(
+      ("https://w.example/a", "2026-08-15T00:00:00Z", "extracted text alpha"),
+      ("https://w.example/b", "2026-08-15T00:00:00Z", "café — UTF-8 survives"),
+      ("https://w.example/c", "2026-08-15T00:00:00Z", null: String))
+      .toDF("uri", "ts", "text")
+    Warc.writeWet(docs.repartition(1), "uri", "ts", "text", dir)
+    val back = Warc.wetTexts(Warc.read(spark, dir + "/*.warc.gz"))
+      .select("target_uri", "text").as[(String, String)].collect().toMap
+    assert(back == Map("https://w.example/a" -> "extracted text alpha",
+      "https://w.example/b" -> "café — UTF-8 survives",
+      "https://w.example/c" -> ""))
+    // conversion records carry no HTTP layer and declare text/plain
+    val recs = Warc.read(spark, dir + "/*.warc.gz").collect()
+    assert(recs.forall(_.warc_type == "conversion"))
+    assert(recs.forall(_.content_type == "text/plain"))
+
+    // latestCaptures: a tracking-param twin of the SAME page captured
+    // later must win under normalization and lose without it
+    val idx = Seq(
+      ("f1", 0L, 10L, "https://t.example/p?a=1", "2026-08-14T00:00:00Z"),
+      ("f2", 0L, 10L, "https://T.EXAMPLE/p?utm_source=x&a=1", "2026-08-15T00:00:00Z"),
+      ("f3", 0L, 10L, "https://t.example/other", "2026-08-13T00:00:00Z"))
+      .toDF("path", "offset", "length", "target_uri", "warc_date")
+    val merged = Warc.latestCaptures(idx)
+      .select("url", "path", "warc_date")
+      .as[(String, String, String)].collect().toSet
+    assert(merged == Set(
+      ("https://t.example/p?a=1", "f2", "2026-08-15T00:00:00Z"),
+      ("https://t.example/other", "f3", "2026-08-13T00:00:00Z")), s"$merged")
+    val raw = Warc.latestCaptures(idx, normalize = false)
+    assert(raw.count() == 3) // no merge without normalization
+    // exact-duplicate rows: deterministic winner by (path, offset)
+    val dup = idx.union(idx.limit(1).withColumn("path", lit("f0")))
+    val winner = Warc.latestCaptures(dup)
+      .filter(col("url") === "https://t.example/p?a=1")
+      .select("path").as[String].collect().toSeq
+    assert(winner == Seq("f2"))
+  }
+
   test("writeRecords: mandatory WARC-Record-ID (deterministic urn:uuid), CRLF stripped from header values") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sinkspec").toString
     val df = Seq(
