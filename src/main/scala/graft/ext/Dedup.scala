@@ -583,15 +583,29 @@ object Dedup {
     * (a pair within Hamming ≤ 3 must agree exactly on ≥1 quarter —
     * pigeonhole), then verify full Hamming ≤ maxHamming. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    signatureNearDups(simhash(df, idCol, textCol), "id", "simhash", maxHamming)
+
+  /** Hamming near-dups over ANY 64-bit signature column — the
+    * quarter-blocking engine of [[simhashNearDups]], signature-
+    * agnostic: text SimHash, an image perceptual hash
+    * ([[Multimodal.imageDHash]]), any 64-bit sketch. Pigeonhole bound:
+    * the 16-bit-quarter blocks are exhaustive for maxHamming ≤ 3; a
+    * larger radius would need 8-bit blocks — fail loudly rather than
+    * silently miss pairs. Same 100-TB shape as every banded dedup:
+    * pairs meet only inside a (quarter, value) bucket, never all-pairs. */
+  def signatureNearDups(sig: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(df, idCol, textCol)
-    val blocks = sig.select(col("id"), col("simhash"),
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"quarter blocking is exhaustive only for maxHamming <= 3 (got $maxHamming)")
+    val s = sig.select(col(idCol).as("id"), col(sigCol).as("__sig"))
+    val blocks = s.select(col("id"), col("__sig"),
         explode(array((0 until 4).map(qi =>
           struct(lit(qi).as("q"),
-            shiftright(col("simhash"), qi * 16).bitwiseAND(0xFFFFL).as("qv"))): _*)).as("blk"))
-      .select(col("id"), col("simhash"), col("blk.q").as("q"), col("blk.qv").as("qv"))
-    val a = blocks.select(col("q"), col("qv"), col("id").as("id1"), col("simhash").as("s1"))
-    val b = blocks.select(col("q"), col("qv"), col("id").as("id2"), col("simhash").as("s2"))
+            shiftright(col("__sig"), qi * 16).bitwiseAND(0xFFFFL).as("qv"))): _*)).as("blk"))
+      .select(col("id"), col("__sig"), col("blk.q").as("q"), col("blk.qv").as("qv"))
+    val a = blocks.select(col("q"), col("qv"), col("id").as("id1"), col("__sig").as("s1"))
+    val b = blocks.select(col("q"), col("qv"), col("id").as("id2"), col("__sig").as("s2"))
     a.join(b, Seq("q", "qv")).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), hamming(col("s1"), col("s2")).as("hamming"))
       .distinct()

@@ -3143,6 +3143,29 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X12I — image near-dup pairs ([[graft.ext.Multimodal.imageNearDups]]:
+  // perceptual dHash + the signature-agnostic Hamming banding engine).
+  // Rows-only gate (no SQL engine decodes PNG): the synthetic image
+  // table unioned with re-tagged byte-identical twins of every 3rd
+  // image; the decode+hash stage runs over the WHOLE table, and the
+  // output keeps the PLANTED twin pairs (id2 = id1 + 1e6) so the row
+  // count stays linear — the synthetic fixture's low-entropy patterns
+  // collide across seeds (a real image corpus' dHash diversity keeps
+  // collision classes small), and without the planted filter the
+  // accidental-collision pairs would grow quadratically with SF.
+  // ExtSpec pins the hash semantics (brightness invariance, resize
+  // proximity, undecodable drop) on golden fixtures.
+  q("x12i_image_neardups") { (s, dir) =>
+    import s.implicits._
+    val media = graft.ext.Multimodal.syntheticImageTable(s, dir)
+    val twins = media.filter(col("media_id") % 3 === 0)
+      .withColumn("media_id", col("media_id") + lit(1000000L))
+      .as[graft.ext.Multimodal.MediaRow]
+    graft.ext.Multimodal.imageNearDups(media.unionByName(twins), maxHamming = 0)
+      .filter(col("id2") === col("id1") + lit(1000000L))
+      .orderBy("id1", "id2")
+  }
+
   /** The x78 TWO-EPOCH archive: every doc captured on day 1 (v1
     * bodies); even docs RE-captured on day 2 (v2 bodies). One merged
     * CDX index parquet, memoized per scale dir. */

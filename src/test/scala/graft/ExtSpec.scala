@@ -445,6 +445,53 @@ class ExtSpec extends SparkTestBase {
     assert(ImageIoCodec.checksum(reenc) == expect)
   }
 
+  test("dHash: brightness-shift invariant, resize-proximate, orientation-distinct; imageNearDups finds planted twins only") {
+    import Multimodal.ImageIoCodec
+    def img(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y)
+        b.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      ImageIoCodec.encodePng(b)
+    }
+    // a horizontal gradient capped at 180 so +40 never clamps
+    val grad = img(36, 32)((x, _) => x * 5)
+    val brighter = img(36, 32)((x, _) => x * 5 + 40)
+    val vertical = img(36, 32)((_, y) => y * 5)
+    val checker = img(36, 32)((x, y) => if ((x / 4 + y / 4) % 2 == 0) 30 else 150)
+    val hGrad = ImageIoCodec.dHash(grad).get
+    // uniform brightness shift: every horizontal comparison unchanged
+    assert(ImageIoCodec.dHash(brighter).get == hGrad)
+    // horizontal gradient: every adjacent-cell comparison increases
+    assert(hGrad == -1L) // all 64 bits set
+    // vertical gradient: rows are constant, no bit set
+    assert(ImageIoCodec.dHash(vertical).get == 0L)
+    // a box resize of the smooth gradient stays within the near-dup radius
+    val resized = ImageIoCodec.dHash(
+      ImageIoCodec.resizePayload(grad, 18)).get
+    assert(java.lang.Long.bitCount(hGrad ^ resized) <= 3)
+    // undecodable bytes and degenerate widths: None, never a throw
+    assert(ImageIoCodec.dHash("not a png".getBytes("UTF-8")).isEmpty)
+    assert(ImageIoCodec.dHash(img(1, 4)((_, _) => 9)).isEmpty)
+
+    // the distributed pair stage: identical + brightness twins cluster,
+    // orientations don't, the broken payload drops silently
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", grad, 36, 32, 0L),
+      Multimodal.MediaRow(2L, "image", brighter, 36, 32, 0L),
+      Multimodal.MediaRow(3L, "image", vertical, 36, 32, 0L),
+      Multimodal.MediaRow(4L, "image", checker, 36, 32, 0L),
+      Multimodal.MediaRow(5L, "image", "broken".getBytes("UTF-8"), 0, 0, 0L),
+      Multimodal.MediaRow(6L, "image", grad, 36, 32, 0L))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val pairs = Multimodal.imageNearDups(ds, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 6L), (2L, 6L)), s"$pairs")
+  }
+
   test("ImageIoCodec: nearest-neighbor resize picks the exact source pixels") {
     import Multimodal.ImageIoCodec
     val (seed, w, h) = (7L, 4, 4)
