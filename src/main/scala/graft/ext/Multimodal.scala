@@ -344,6 +344,40 @@ object Multimodal {
       else audioSystemSamples(payload)
     }
 
+    /** 64-bit ENERGY-CONTOUR hash — the audio member of the perceptual
+      * dedup family ([[ImageIoCodec.dHash]]'s time-domain analogue,
+      * the Haitsma-Kalker sign-of-delta idea on frame energies):
+      * decoded PCM16 split into 65 equal frames (floor boundaries
+      * `i·n div 65`), each frame's EXACT Long sum of squares, bit r =
+      * energy(r+1) > energy(r). Pure integer arithmetic — bit-stable
+      * across JVMs. GAIN-invariant by construction when scaling is
+      * exact (×k multiplies every sum by k²; comparisons unchanged —
+      * the spec pins a doubled copy hash-identical); loudness-
+      * normalized twins land at distance ≤ a few bits. None for
+      * undecodable payloads or clips shorter than 65 samples. */
+    def energyHash(payload: Array[Byte]): Option[Long] =
+      try {
+        val (s, _) = samples(payload)
+        if (s.length < 65) None
+        else {
+          val e = new Array[Long](65)
+          var i = 0
+          while (i < s.length) {
+            val f = math.min((i.toLong * 65 / s.length).toInt, 64)
+            val v = s(i).toLong
+            e(f) += v * v
+            i += 1
+          }
+          var bits = 0L
+          var r = 0
+          while (r < 64) {
+            if (e(r + 1) > e(r)) bits |= 1L << r
+            r += 1
+          }
+          Some(bits)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Direct RIFF-WAVE walk: returns None unless the payload is plain
       * PCM (fmt tag 1) 16-bit — exactly the subset where the byte layout
       * is unambiguous and equals what AudioSystem would decode. */
@@ -1097,4 +1131,22 @@ object Multimodal {
     * small distance. Returns (id1, id2, hamming). */
   def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     Dedup.signatureNearDups(imageDHash(media), "media_id", "dhash", maxHamming)
+
+  /** Audio fingerprints: (media_id, ehash) for every decodable audio
+    * row ([[WavCodec.energyHash]]); undecodable/too-short payloads
+    * DROP (the [[imageDHash]] discipline). */
+  def audioEnergyHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap(m => WavCodec.energyHash(m.payload).map(h => (m.media_id, h)))
+      }
+      .toDF("media_id", "ehash")
+  }
+
+  /** Audio NEAR-DUP pairs: energy-contour hash + the same Hamming
+    * banding engine — gain-scaled re-encodes of a clip land at
+    * distance 0 (exact scaling) or a few bits (normalized). */
+  def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    Dedup.signatureNearDups(audioEnergyHash(media), "media_id", "ehash", maxHamming)
 }

@@ -3166,6 +3166,22 @@ object Queries {
       .orderBy("id1", "id2")
   }
 
+  // X12J — audio near-dup pairs ([[graft.ext.Multimodal.audioNearDups]]:
+  // energy-contour hash + the shared Hamming banding engine). Same
+  // planted-twin design as x12i: the hash stage runs over the whole
+  // synthetic audio table, the output keeps the byte-identical twins
+  // so rows stay linear in SF.
+  q("x12j_audio_neardups") { (s, dir) =>
+    import s.implicits._
+    val media = graft.ext.Multimodal.syntheticAudioTable(s, dir)
+    val twins = media.filter(col("media_id") % 3 === 0)
+      .withColumn("media_id", col("media_id") + lit(1000000L))
+      .as[graft.ext.Multimodal.MediaRow]
+    graft.ext.Multimodal.audioNearDups(media.unionByName(twins), maxHamming = 0)
+      .filter(col("id2") === col("id1") + lit(1000000L))
+      .orderBy("id1", "id2")
+  }
+
   /** The x78 TWO-EPOCH archive: every doc captured on day 1 (v1
     * bodies); even docs RE-captured on day 2 (v2 bodies). One merged
     * CDX index parquet, memoized per scale dir. */

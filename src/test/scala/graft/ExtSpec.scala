@@ -492,6 +492,49 @@ class ExtSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L), (1L, 6L), (2L, 6L)), s"$pairs")
   }
 
+  test("energyHash: gain-doubling invariant, waveform-distinct; audioNearDups finds the planted twin") {
+    import Multimodal.WavCodec
+    def wav(samples: Array[Short], rate: Int = 8000): Array[Byte] = {
+      val n = samples.length * 2
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(bos)
+      def le32(v: Int): Unit = { d.write(v); d.write(v >> 8); d.write(v >> 16); d.write(v >> 24) }
+      def le16(v: Int): Unit = { d.write(v); d.write(v >> 8) }
+      d.writeBytes("RIFF"); le32(36 + n); d.writeBytes("WAVE")
+      d.writeBytes("fmt "); le32(16); le16(1); le16(1); le32(rate)
+      le32(rate * 2); le16(2); le16(16)
+      d.writeBytes("data"); le32(n)
+      samples.foreach(s => le16(s & 0xffff))
+      bos.toByteArray
+    }
+    // frame energies vary irregularly; magnitudes < 16000 so x2 fits
+    val base = Array.tabulate(650)(i =>
+      ((((i * 31) % 17) - 8) * (((i / 50) * 7) % 13 + 1) * 90).toShort)
+    val hBase = WavCodec.energyHash(wav(base)).get
+    // exact gain doubling scales every frame energy by 4: hash identical
+    val doubled = base.map(v => (v * 2).toShort)
+    assert(WavCodec.energyHash(wav(doubled)).get == hBase)
+    // a different waveform lands far away
+    val other = Array.tabulate(650)(i =>
+      ((((i * 13) % 23) - 11) * (((i / 50) * 5) % 7 + 1) * 90).toShort)
+    val hOther = WavCodec.energyHash(wav(other)).get
+    assert(java.lang.Long.bitCount(hBase ^ hOther) > 3)
+    // too short / undecodable: None, never a throw
+    assert(WavCodec.energyHash(wav(Array.tabulate(30)(_.toShort))).isEmpty)
+    assert(WavCodec.energyHash("not audio".getBytes("UTF-8")).isEmpty)
+
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(base), 0, 0, 650L),
+      Multimodal.MediaRow(2L, "audio", wav(doubled), 0, 0, 650L),
+      Multimodal.MediaRow(3L, "audio", wav(other), 0, 0, 650L),
+      Multimodal.MediaRow(4L, "audio", "junk".getBytes("UTF-8"), 0, 0, 0L))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val pairs = Multimodal.audioNearDups(ds, maxHamming = 0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"$pairs")
+  }
+
   test("ImageIoCodec: nearest-neighbor resize picks the exact source pixels") {
     import Multimodal.ImageIoCodec
     val (seed, w, h) = (7L, 4, 4)
