@@ -168,10 +168,16 @@ object Multimodal {
     def dHash(payload: Array[Byte]): Option[Long] =
       try {
         val img = read(payload)
-        val (w, h) = (img.getWidth, img.getHeight)
+        dHashPixels(img.getWidth, img.getHeight, argb(img))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** [[dHash]]'s pixel-level core — shared with the video frame
+      * fingerprints ([[Multimodal.videoFrameDHash]]), which hash
+      * already-decoded frames. */
+    private[ext] def dHashPixels(w: Int, h: Int, px: Array[Int]): Option[Long] =
+      try {
         if (w < 2 || h < 1) None
         else {
-          val px = argb(img)
           val sums = new Array[Long](9 * 8)
           val counts = new Array[Long](9 * 8)
           var y = 0
@@ -1149,4 +1155,51 @@ object Multimodal {
     * distance 0 (exact scaling) or a few bits (normalized). */
   def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     Dedup.signatureNearDups(audioEnergyHash(media), "media_id", "ehash", maxHamming)
+
+  /** Per-sampled-frame perceptual fingerprints for video rows:
+    * (media_id, frame_idx, dhash) — the [[sampleFramesDecoded]] frame
+    * selection (exact µs-per-frame arithmetic) hashed through
+    * [[ImageIoCodec.dHashPixels]]. Selective decode: only the sampled
+    * frames' bytes are touched (idx1-index seeks), 12 bytes per
+    * sampled frame downstream. */
+  def videoFrameDHash(media: Dataset[MediaRow], intervalMs: Long): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          val lay = AviCodec.layout(m.payload)
+          val usPf = math.max(1L, lay.usPerFrame)
+          val n = lay.framePos.length
+          val idxs = (0L until m.duration_ms by intervalMs)
+            .map(off => (off * 1000 / usPf).toInt).distinct.filter(_ < n)
+          AviCodec.decodeFramesAt(m.payload, idxs).iterator.flatMap {
+            case (f, img) =>
+              ImageIoCodec.dHashPixels(img.getWidth, img.getHeight,
+                ImageIoCodec.argb(img)).map(h => (m.media_id, f, h))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** Video NEAR-DUP pairs by SHARED FRAME FINGERPRINTS — the standard
+    * content-based video dedup baseline: two videos pair when ≥
+    * `minShared` of their sampled frames hash identically. Degenerate
+    * frame hashes (all-zero / all-one — flat or monotone frames, the
+    * black-frame problem) are dropped as non-discriminative BEFORE the
+    * join, and per-video hashes dedup first, so the equi-join on the
+    * 8-byte hash meets only inside a fingerprint bucket — never
+    * all-pairs, and a ubiquitous intro card cannot fan out as a skew
+    * key after the degenerate drop. Returns (id1, id2, shared). */
+  def videoNearDups(media: Dataset[MediaRow], intervalMs: Long,
+      minShared: Int = 2): DataFrame = {
+    val fh = videoFrameDHash(media, intervalMs)
+      .filter(col("dhash") =!= 0L && col("dhash") =!= -1L)
+      .select(col("media_id"), col("dhash")).distinct()
+    val a = fh.select(col("dhash"), col("media_id").as("id1"))
+    val b = fh.select(col("dhash"), col("media_id").as("id2"))
+    a.join(b, "dhash").filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

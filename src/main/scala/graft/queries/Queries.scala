@@ -3182,6 +3182,24 @@ object Queries {
       .orderBy("id1", "id2")
   }
 
+  // X12K — video near-dup pairs ([[graft.ext.Multimodal.videoNearDups]]:
+  // sampled-frame dHash fingerprints, shared-frame-count threshold).
+  // Planted-twin design (x12i/x12j): fingerprints over the whole
+  // synthetic video table, output kept to the byte-identical twins.
+  // minShared=1 because the smallest synthetic videos sample few
+  // frames and some frames hash degenerate (dropped by design).
+  q("x12k_video_neardups") { (s, dir) =>
+    import s.implicits._
+    val media = graft.ext.Multimodal.syntheticVideoTable(s, dir)
+    val twins = media.filter(col("media_id") % 3 === 0)
+      .withColumn("media_id", col("media_id") + lit(1000000L))
+      .as[graft.ext.Multimodal.MediaRow]
+    graft.ext.Multimodal.videoNearDups(media.unionByName(twins),
+        intervalMs = 100, minShared = 1)
+      .filter(col("id2") === col("id1") + lit(1000000L))
+      .orderBy("id1", "id2")
+  }
+
   /** The x78 TWO-EPOCH archive: every doc captured on day 1 (v1
     * bodies); even docs RE-captured on day 2 (v2 bodies). One merged
     * CDX index parquet, memoized per scale dir. */

@@ -492,6 +492,37 @@ class ExtSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L), (1L, 6L), (2L, 6L)), s"$pairs")
   }
 
+  test("videoNearDups: byte-identical twin shares every sampled frame; pairs == the closed form over collected hashes") {
+    import Multimodal.AviCodec
+    val vidA = AviCodec.syntheticAvi(5L, 6, 36, 32, fps = 10)
+    val vidB = AviCodec.syntheticAvi(99L, 6, 36, 32, fps = 10)
+    val vidC = AviCodec.syntheticAvi(7L, 4, 20, 16, fps = 10)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", vidA, 36, 32, 600L),
+      Multimodal.MediaRow(2L, "video", vidA, 36, 32, 600L), // twin
+      Multimodal.MediaRow(3L, "video", vidB, 36, 32, 600L),
+      Multimodal.MediaRow(4L, "video", vidC, 20, 16, 400L))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val fh = Multimodal.videoFrameDHash(ds, intervalMs = 100)
+      .as[(Long, Int, Long)].collect()
+    // the fixture is only meaningful if its frames are discriminative
+    val perVid = fh.filter(t => t._3 != 0L && t._3 != -1L)
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(perVid(1L).nonEmpty)
+    assert(perVid(1L) == perVid(2L)) // byte-identical twin
+    // pairs must equal the closed form over the SAME hashes — presence
+    // and absence both derived from data, not from assumed diversity
+    val expected = (for {
+      (i, hi) <- perVid.toSeq; (j, hj) <- perVid.toSeq if i < j
+      shared = (hi intersect hj).size if shared >= 2
+    } yield (i, j, shared.toLong)).toSet
+    val got = Multimodal.videoNearDups(ds, intervalMs = 100, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L)) // the twin pair
+  }
+
   test("energyHash: gain-doubling invariant, waveform-distinct; audioNearDups finds the planted twin") {
     import Multimodal.WavCodec
     def wav(samples: Array[Short], rate: Int = 8000): Array[Byte] = {
