@@ -3182,6 +3182,38 @@ object Queries {
       .orderBy("id1", "id2")
   }
 
+  // X79 — WebDataset TAR shard round-trip ([[graft.ext.WebDataset
+  // .writeShards]] → [[readEntries]] → [[samples]]): documents packed
+  // as two-field samples (txt + meta) into real ustar shards, read
+  // back and re-keyed — the multimodal training-data packaging path.
+  // The oracle states the closed form; a framing bug (octal size,
+  // checksum, 512 padding, entry grouping) breaks the parse and the
+  // hash. Shards are memoized per scale dir (the warcSink discipline).
+  q("x79_webdataset_roundtrip",
+    """SELECT doc_id, COALESCE(text, '') AS text,
+      |  CAST(doc_id * 7 AS VARCHAR) AS meta
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val shards = wdsShardsFor(s, dir)
+    val sm = graft.ext.WebDataset.samples(
+      graft.ext.WebDataset.readEntries(s, shards + "/*.tar"))
+    sm.select(col("key").cast("long").as("doc_id"),
+        expr("CAST(fields['txt'] AS STRING)").as("text"),
+        expr("CAST(fields['meta'] AS STRING)").as("meta"))
+      .ordered("doc_id")
+  }
+
+  private val wdsMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def wdsShardsFor(s: SparkSession, dir: String): String =
+    wdsMemo.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-wds-gate").toString
+      graft.ext.WebDataset.writeShards(
+        Tables.documents(s, dir).select(col("doc_id").as("key"),
+          coalesce(col("text"), lit("")).as("txt"),
+          (col("doc_id") * 7).cast("string").as("meta")).repartition(4),
+        "key", Seq("txt" -> col("txt"), "meta" -> col("meta")), out)
+      out
+    })
+
   // X12K — video near-dup pairs ([[graft.ext.Multimodal.videoNearDups]]:
   // sampled-frame dHash fingerprints, shared-frame-count threshold).
   // Planted-twin design (x12i/x12j): fingerprints over the whole
