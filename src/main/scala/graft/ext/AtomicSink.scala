@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Temp-file + rename-on-commit for the RAW-FILE sinks
+  * ([[Warc.writeRecords]]/[[Warc.writeRecordsIndexed]]/[[Warc.writeWet]],
+  * [[WebDataset.writeShards]]) — the FileCommitProtocol shape, sized to
+  * one file per task. Without it a retried or SPECULATIVE duplicate
+  * attempt opens the same final path a still-running winner holds and
+  * the two streams interleave on filesystems without single-writer
+  * leases (local FS, most object stores). With it every attempt writes
+  * its own `.inprogress-<attemptId>` file and the final name only ever
+  * receives COMPLETE bytes via rename:
+  *
+  *   - rename is atomic per the HDFS/POSIX contract, so readers never
+  *     observe a partial final file;
+  *   - a duplicate attempt re-produces byte-identical content (every
+  *     sink here is deterministic per partition), so whichever attempt
+  *     commits last leaves the same complete file — double-commit is
+  *     benign, interleaving is impossible;
+  *   - a failed attempt deletes its temp file (abort), leaving no
+  *     `.inprogress` litter for downstream globs (which skip dotfiles
+  *     anyway, the Hadoop hidden-file convention).
+  *
+  * Reference: rearview delegates all persistence to Rails/Graphite
+  * (`app/models/job.rb`); this is the Spark-side durability the
+  * extension sinks need at cluster scale. */
+object AtomicSink {
+
+  /** Hidden, attempt-unique sibling of `dest` — two attempts of the
+    * same task can never collide on it. */
+  def tempFor(dest: Path, attemptId: Long): Path =
+    new Path(dest.getParent, s".${dest.getName}.inprogress-$attemptId")
+
+  /** Publish `tmp` as `dest`. A pre-existing `dest` (a stale file from
+    * a prior job over the same outDir, or an already-committed
+    * duplicate attempt) is replaced — both carry complete bytes, and
+    * per-partition determinism makes the replacement byte-identical in
+    * the duplicate-attempt case. Never leaves `tmp` behind. */
+  def commit(fs: FileSystem, tmp: Path, dest: Path): Unit = {
+    if (!fs.rename(tmp, dest)) { // HDFS rename refuses an existing dest
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, false) // racer committed first
+    }
+  }
+
+  /** Drop a failed attempt's temp file. */
+  def abort(fs: FileSystem, tmp: Path): Unit = {
+    try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+  }
+
+  /** Run `write(tmpPath)` then commit tmp → dest; abort on failure.
+    * The write function receives the TEMP path to create. */
+  def writeCommitted(fs: FileSystem, dest: Path, attemptId: Long)
+      (write: Path => Unit): Unit = {
+    val tmp = tempFor(dest, attemptId)
+    try { write(tmp); commit(fs, tmp, dest) }
+    catch { case t: Throwable => abort(fs, tmp); throw t }
+  }
+}

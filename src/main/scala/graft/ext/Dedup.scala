@@ -587,29 +587,56 @@ object Dedup {
     signatureNearDups(simhash(df, idCol, textCol), "id", "simhash", maxHamming)
 
   /** Hamming near-dups over ANY 64-bit signature column — the
-    * quarter-blocking engine of [[simhashNearDups]], signature-
-    * agnostic: text SimHash, an image perceptual hash
-    * ([[Multimodal.imageDHash]]), any 64-bit sketch. Pigeonhole bound:
-    * the 16-bit-quarter blocks are exhaustive for maxHamming ≤ 3; a
-    * larger radius would need 8-bit blocks — fail loudly rather than
-    * silently miss pairs. Same 100-TB shape as every banded dedup:
-    * pairs meet only inside a (quarter, value) bucket, never all-pairs. */
+    * block-banding engine of [[simhashNearDups]], signature-agnostic:
+    * text SimHash, an image perceptual hash ([[Multimodal.imageDHash]]),
+    * any 64-bit sketch. Pigeonhole bound picks the block width by the
+    * requested radius: 4 blocks of 16 bits are exhaustive for
+    * maxHamming ≤ 3 (fewer exploded rows); 8 blocks of 8 bits extend
+    * the bound to maxHamming ≤ 7 — the radius real dHash/pHash image
+    * dedup runs at. Beyond 7 fail loudly rather than silently miss
+    * pairs.
+    *
+    * EXACT-SIGNATURE PRE-COLLAPSE: the band join runs over DISTINCT
+    * signatures only — a signature carried by N byte-identical images
+    * costs the bucket join ONE row instead of fanning N copies into
+    * every block bucket; equal-signature id pairs (hamming 0) are
+    * emitted by a separate bounded equi-join, and cross-signature
+    * pairs expand back to ids only after the distinct-signature
+    * verify. Same 100-TB shape as every banded dedup: pairs meet only
+    * inside a (block, value) bucket, never all-pairs. */
   def signatureNearDups(sig: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"quarter blocking is exhaustive only for maxHamming <= 3 (got $maxHamming)")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8-bit-block banding is exhaustive only for maxHamming <= 7 (got $maxHamming)")
     val s = sig.select(col(idCol).as("id"), col(sigCol).as("__sig"))
-    val blocks = s.select(col("id"), col("__sig"),
-        explode(array((0 until 4).map(qi =>
+    // equal-signature pairs: hamming 0 by construction, found by an
+    // equi-join on the signature itself (no banding needed)
+    val within = s.select(col("__sig"), col("id").as("id1"))
+      .join(s.select(col("__sig"), col("id").as("id2")), "__sig")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0).cast("int").as("hamming"))
+    if (maxHamming == 0) return within // distinct sigs can't pair at radius 0
+    val dsig = s.select("__sig").distinct()
+    val (nBlocks, width) = if (maxHamming <= 3) (4, 16) else (8, 8)
+    val mask = (1L << width) - 1
+    val blocks = dsig.select(col("__sig"),
+        explode(array((0 until nBlocks).map(qi =>
           struct(lit(qi).as("q"),
-            shiftright(col("__sig"), qi * 16).bitwiseAND(0xFFFFL).as("qv"))): _*)).as("blk"))
-      .select(col("id"), col("__sig"), col("blk.q").as("q"), col("blk.qv").as("qv"))
-    val a = blocks.select(col("q"), col("qv"), col("id").as("id1"), col("__sig").as("s1"))
-    val b = blocks.select(col("q"), col("qv"), col("id").as("id2"), col("__sig").as("s2"))
-    a.join(b, Seq("q", "qv")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), hamming(col("s1"), col("s2")).as("hamming"))
+            shiftright(col("__sig"), qi * width).bitwiseAND(mask).as("qv"))): _*)).as("blk"))
+      .select(col("__sig"), col("blk.q").as("q"), col("blk.qv").as("qv"))
+    val a = blocks.select(col("q"), col("qv"), col("__sig").as("s1"))
+    val b = blocks.select(col("q"), col("qv"), col("__sig").as("s2"))
+    val sigPairs = a.join(b, Seq("q", "qv")).filter(col("s1") < col("s2"))
+      .select(col("s1"), col("s2"),
+        hamming(col("s1"), col("s2")).cast("int").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") > 0 && col("hamming") <= maxHamming)
+    val cross = sigPairs
+      .join(s.select(col("__sig").as("s1"), col("id").as("ida")), "s1")
+      .join(s.select(col("__sig").as("s2"), col("id").as("idb")), "s2")
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("hamming"))
+    cross.unionByName(within)
   }
 
   /** Connected components over duplicate pairs — the cluster-resolution

@@ -1187,17 +1187,27 @@ object Multimodal {
     * `minShared` of their sampled frames hash identically. Degenerate
     * frame hashes (all-zero / all-one — flat or monotone frames, the
     * black-frame problem) are dropped as non-discriminative BEFORE the
-    * join, and per-video hashes dedup first, so the equi-join on the
-    * 8-byte hash meets only inside a fingerprint bucket — never
-    * all-pairs, and a ubiquitous intro card cannot fan out as a skew
-    * key after the degenerate drop. Returns (id1, id2, shared). */
+    * join, per-video hashes dedup first, and — the
+    * [[Dedup.windowDupPairs]] df-cap discipline — fingerprints carried
+    * by more than `maxFreq` videos are dropped too: a real (non-flat)
+    * intro/outro card shared by N videos would otherwise fan out N²
+    * pairs inside its bucket, and a frame that common is as
+    * non-discriminative as a black frame. The equi-join on the 8-byte
+    * hash therefore meets only inside a BOUNDED fingerprint bucket —
+    * never all-pairs, never a skew key. Returns (id1, id2, shared)
+    * where `shared` counts only the discriminative (≤ maxFreq) frames. */
   def videoNearDups(media: Dataset[MediaRow], intervalMs: Long,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2, maxFreq: Int = 1000): DataFrame = {
     val fh = videoFrameDHash(media, intervalMs)
       .filter(col("dhash") =!= 0L && col("dhash") =!= -1L)
       .select(col("media_id"), col("dhash")).distinct()
-    val a = fh.select(col("dhash"), col("media_id").as("id1"))
-    val b = fh.select(col("dhash"), col("media_id").as("id2"))
+    // df cap BEFORE the pair join: one hash agg sized by distinct
+    // (video, hash) rows bounds every bucket the self-join can see
+    val rare = fh.groupBy("dhash").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxFreq).select("dhash")
+    val kept = fh.join(rare, Seq("dhash"), "left_semi")
+    val a = kept.select(col("dhash"), col("media_id").as("id1"))
+    val b = kept.select(col("dhash"), col("media_id").as("id2"))
     a.join(b, "dhash").filter(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -140,17 +140,28 @@ object Sampling {
 
   /** [[stratifiedTake]] under a caller-supplied PRIORITY: each stratum
     * keeps its `n` best rows by (priority DESC, seeded draw, key) —
-    * the frontier's page-rank-ordered politeness cap. `priority` must
-    * be a [0,1] double on the 1e-9 grid (the [[graft.ext.Graph]] rank
-    * contract): it folds into the draw as a fixed-width 8-hex prefix
+    * the frontier's page-rank-ordered politeness cap. `priority` is a
+    * [0,1] double on the 1e-9 grid (the [[graft.ext.Graph]] rank
+    * contract) — ENFORCED: null raises, out-of-range clamps to the
+    * nearest bound. It folds into the draw as a fixed-width 8-hex prefix
     * of (1e9 − priority·1e9), so draw asc == priority desc and the
     * critical-bucket engine applies unchanged — corpus-safe, no
     * per-stratum window over the data. Equal priorities fall back to
     * the seeded uniform draw (exactly [[stratifiedTake]]'s order). */
   def prioritizedTake(df: DataFrame, strata: Seq[String], priority: Column,
       key: Column, seed: String, n: Int): DataFrame = {
+    // enforce the [0,1] contract rather than document it: a NULL
+    // priority would hash to a null bucket that sorts FIRST (best),
+    // and p > 1 would go negative — hex() then emits 16
+    // two's-complement chars whose 8-char lpad TRUNCATION sorts the
+    // best rows LAST. Fail loudly on null (the drawHex discipline),
+    // clamp float dust into the grid.
+    val p = when(priority.isNull, raise_error(lit(
+        "Sampling.prioritizedTake: NULL priority — null buckets would " +
+          "silently sort first; fix or filter upstream")).cast("double"))
+      .otherwise(least(greatest(priority.cast("double"), lit(0.0)), lit(1.0)))
     val pHex = lpad(hex(
-      lit(1000000000L) - round(priority * 1e9).cast("long")), 8, "0")
+      lit(1000000000L) - round(p * 1e9).cast("long")), 8, "0")
     takeQuotaByDraw(df, strata, concat(pHex, drawHex(key, seed)), key,
       lit(n.toLong))
   }

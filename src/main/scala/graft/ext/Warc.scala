@@ -328,8 +328,10 @@ object Warc {
     * CommonCrawl layout — members are the split unit), framing the
     * writer-twin of [[nextRecord]]: version line, typed headers
     * including the ISO-28500-mandatory `WARC-Record-ID` (a
-    * deterministic `urn:uuid` derived from md5(uri, date) —
-    * reproducible archives hash stably), Content-Length in BYTES,
+    * deterministic RFC 4122 version-3-shaped `urn:uuid` derived from
+    * md5(uri, date, record ordinal) — globally unique even across
+    * duplicate captures, and reproducible re-archives hash stably),
+    * Content-Length in BYTES,
     * double-CRLF close. CR/LF are stripped from the uri and date
     * values before they enter the header block — a stray newline in a
     * crawled URI must not corrupt record framing. Record bytes build
@@ -349,12 +351,23 @@ object Warc {
       regexp_replace(c.cast("string"), "[\\r\\n]", "")
     val uri = headerSafe(col(uriCol))
     val date = headerSafe(col(dateCol))
-    // deterministic urn:uuid from md5(uri \n date): 32 hex chars
-    // formatted 8-4-4-4-12 (reproducible re-archives keep their ids)
-    val h = md5(concat(uri, lit("\n"), date).cast("binary"))
+    // deterministic urn:uuid from md5(uri \n date \n ordinal): the
+    // per-record discriminator (partition id << 33 | row ordinal —
+    // deterministic under a fixed partitioning, so reproducible
+    // re-archives keep their ids) makes duplicate (uri, date) rows
+    // emit DISTINCT Record-IDs, the ISO 28500 global-uniqueness
+    // requirement; the version nibble is pinned to 3 (name-based MD5)
+    // and the variant to RFC 4122 (10xx) so external consumers see a
+    // well-formed UUID, formatted 8-4-4-4-12
+    val h = md5(concat(uri, lit("\n"), date, lit("\n"),
+      monotonically_increasing_id().cast("string")).cast("binary"))
+    val variantNibble = lower(hex(conv(substring(h, 17, 1), 16, 10)
+      .cast("int").bitwiseAND(3).bitwiseOR(8)))
     val recordId = concat_ws("-",
-      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
-      substring(h, 17, 4), substring(h, 21, 12))
+      substring(h, 1, 8), substring(h, 9, 4),
+      concat(lit("3"), substring(h, 14, 3)),
+      concat(variantNibble, substring(h, 18, 3)),
+      substring(h, 21, 12))
     val rec = concat(
       concat(lit(s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Record-ID: <urn:uuid:"),
         recordId,
@@ -378,13 +391,18 @@ object Warc {
     df.select(rec.as("r")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val path = new org.apache.hadoop.fs.Path(outDir,
-            f"part-$pid%05d.warc.gz")
-          val out = path.getFileSystem(conf.value).create(path, true)
-          val w = new MemberGzipWriter(out)
-          try it.foreach { row => w.writeMember(row.getAs[Array[Byte]](0)) }
-          finally { w.end(); out.close() }
+          val ctx = org.apache.spark.TaskContext.get()
+          val dest = new org.apache.hadoop.fs.Path(outDir,
+            f"part-${ctx.partitionId()}%05d.warc.gz")
+          val fs = dest.getFileSystem(conf.value)
+          // temp + rename-on-commit: a speculative duplicate attempt
+          // can never interleave with a winner ([[AtomicSink]])
+          AtomicSink.writeCommitted(fs, dest, ctx.taskAttemptId()) { tmp =>
+            val out = fs.create(tmp, true)
+            val w = new MemberGzipWriter(out)
+            try it.foreach { row => w.writeMember(row.getAs[Array[Byte]](0)) }
+            finally { w.end(); out.close() }
+          }
         }
     }
   }
@@ -425,9 +443,21 @@ object Warc {
           val pathStr = new org.apache.hadoop.fs.Path(outDir,
             f"part-${ctx.partitionId()}%05d.warc.gz").toString
           val path = new org.apache.hadoop.fs.Path(pathStr)
-          val out = path.getFileSystem(conf.value).create(path, true)
+          val fs = path.getFileSystem(conf.value)
+          // temp + rename: the index names the FINAL path, but bytes
+          // land there only via the success-path rename — a failed or
+          // speculative-loser attempt never touches it ([[AtomicSink]];
+          // failure listeners run before completion listeners)
+          val tmp = AtomicSink.tempFor(path, ctx.taskAttemptId())
+          val out = fs.create(tmp, true)
           val w = new MemberGzipWriter(out)
-          ctx.addTaskCompletionListener[Unit] { _ => w.end(); out.close() }
+          @volatile var failed = false
+          ctx.addTaskFailureListener((_, _) => { failed = true })
+          ctx.addTaskCompletionListener[Unit] { _ =>
+            w.end(); out.close()
+            if (failed) AtomicSink.abort(fs, tmp)
+            else AtomicSink.commit(fs, tmp, path)
+          }
           it.map { case (bytes, u, d) =>
             val off = w.bytesWritten
             val len = w.writeMember(bytes)
@@ -471,14 +501,26 @@ object Warc {
     * OFFSET (the global record ordinal is a property of a full scan;
     * the offset is the stable identity a random-access consumer has).
     * Cost: ∝ requested records, never archive size — the point. */
-  def readIndexed(index: DataFrame): Dataset[WarcRow] = {
+  def readIndexed(index: DataFrame): Dataset[WarcRow] =
+    readIndexed(index, coLocate = true)
+
+  /** [[readIndexed]] with the path co-location exchange OPTIONAL:
+    * `coLocate = false` fetches inside the INPUT's own distribution —
+    * only a sort-within-partitions, NO shuffle — for callers whose
+    * index frame already sits on a post-aggregation exchange (e.g.
+    * [[latestCaptures]]' groupBy output). Each partition still walks
+    * every file it touches forward in offset order with one open
+    * stream per path-run; the trade is that a file touched from k
+    * partitions opens k streams (exactly what split reads do) instead
+    * of paying a full extra shuffle of the index rows. */
+  def readIndexed(index: DataFrame, coLocate: Boolean): Dataset[WarcRow] = {
     val spark = index.sparkSession
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    index.select(col("path"), col("offset").cast("long"),
-        col("length").cast("long"))
-      .repartition(col("path"))
+    val sel = index.select(col("path"), col("offset").cast("long"),
+      col("length").cast("long"))
+    (if (coLocate) sel.repartition(col("path")) else sel)
       .sortWithinPartitions("path", "offset")
       .as[(String, Long, Long)]
       .mapPartitions { it =>
@@ -506,6 +548,26 @@ object Warc {
           }
         }
       }
+  }
+
+  /** [[latestCaptures]] + FUSED fetch: decide winners on the index
+    * (one metadata aggregation), then fetch their byte ranges INSIDE
+    * the decision's own exchange — `readIndexed(coLocate = false)`
+    * adds only a sort-within-partitions on top of the groupBy output,
+    * one exchange and one job fewer than decide → re-shuffle-by-path →
+    * fetch. The dedup key (`url`) is re-derived from each fetched
+    * record's own Target-URI through the SAME normalization the
+    * decision used (a pure function — no join back to the index).
+    * Returns the [[WarcRow]] columns plus `url`. */
+  def readLatestCaptures(index: DataFrame, normalize: Boolean = true)
+      : DataFrame = {
+    val winners = latestCaptures(index, normalize)
+    val url =
+      if (normalize)
+        coalesce(UrlOps.normalizeUrl(col("target_uri")), col("target_uri"))
+      else col("target_uri")
+    readIndexed(winners, coLocate = false).toDF()
+      .withColumn("url", url)
   }
 
   // -- column-level record parsing (derived-input oracles, captures) ------

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** WebDataset-style TAR shards — the packaging multimodal training
@@ -92,6 +93,10 @@ object WebDataset {
               .takeWhile(c => c >= '0' && c <= '7')
             val size = if (sizeStr.isEmpty) 0L else
               java.lang.Long.parseLong(sizeStr, 8)
+            // a corrupt (or >2 GiB — legal ustar, unsupported here)
+            // size field must stop the iterator (the documented
+            // truncation tolerance), not overflow toInt and throw
+            if (size < 0L || size > Int.MaxValue - Block) return None
             val data = new Array[Byte](size.toInt)
             try din.readFully(data)
             catch { case _: java.io.EOFException => return None }
@@ -131,26 +136,138 @@ object WebDataset {
     df.select(cols: _*).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$pid%05d.tar")
-          val out = path.getFileSystem(conf.value).create(path, true)
-          try {
-            it.foreach { row =>
-              val key = row.getString(0)
-              exts.zipWithIndex.foreach { case (ext, i) =>
-                val bytes = row.getAs[Array[Byte]](i + 1)
-                if (bytes != null) {
-                  out.write(header(s"$key.$ext", bytes.length.toLong))
-                  out.write(bytes)
-                  val pad = (Block - (bytes.length % Block)) % Block
-                  if (pad > 0) out.write(new Array[Byte](pad))
+          val ctx = org.apache.spark.TaskContext.get()
+          val dest = new org.apache.hadoop.fs.Path(outDir,
+            f"shard-${ctx.partitionId()}%05d.tar")
+          val fs = dest.getFileSystem(conf.value)
+          // temp + rename-on-commit ([[AtomicSink]]): a speculative
+          // duplicate attempt can never interleave with a winner
+          AtomicSink.writeCommitted(fs, dest, ctx.taskAttemptId()) { tmp =>
+            val out = fs.create(tmp, true)
+            try {
+              it.foreach { row =>
+                val key = row.getString(0)
+                exts.zipWithIndex.foreach { case (ext, i) =>
+                  val bytes = row.getAs[Array[Byte]](i + 1)
+                  if (bytes != null) {
+                    out.write(header(s"$key.$ext", bytes.length.toLong))
+                    out.write(bytes)
+                    val pad = (Block - (bytes.length % Block)) % Block
+                    if (pad > 0) out.write(new Array[Byte](pad))
+                  }
                 }
               }
-            }
-            out.write(new Array[Byte](2 * Block)) // end-of-archive
-          } finally out.close()
+              out.write(new Array[Byte](2 * Block)) // end-of-archive
+            } finally out.close()
+          }
         }
     }
+  }
+
+  /** BYTE-TARGETED shards: assign each sample to a shard so every
+    * shard's tar size lands ≈ `targetBytes` (the ~1 GB-shard
+    * convention training loaders want), WITHOUT a global sort — the
+    * [[Sampling]] critical-bucket discipline applied to a prefix sum:
+    *
+    *   1. each sample gets a seeded draw; its leading 16 bits bucket
+    *      the row (prefix ⇒ bucket asc == draw asc) — pure per-row
+    *      expression;
+    *   2. ONE hash aggregation → per-bucket byte totals (≤ 65536 rows,
+    *      metadata-sized); a running sum over that tiny frame gives
+    *      each bucket's global STARTING byte offset;
+    *   3. the per-row prefix completes inside each bucket — a window
+    *      partitioned by bucket (65536-way parallel, each partition
+    *      ~corpus/65536 — a bounded distributed prefix-sum, never a
+    *      single-partition sort);
+    *   4. shard id = floor(global prefix / targetBytes); rows
+    *      hash-partition by shard id (a shard never splits across
+    *      tasks) and a roll-on-shard-change writer emits one `.tar`
+    *      per shard under the [[AtomicSink]] commit protocol.
+    *
+    * Sample sizes are TAR-EXACT (512-byte header + payload padded to
+    * the block, per non-null field), so shard sizes sit within one
+    * max-sample of the target (the final shard may undershoot). A
+    * sample is one row — it can never split across shards. */
+  def writeShardsBySize(df: DataFrame, keyCol: String,
+      fields: Seq[(String, Column)], outDir: String, targetBytes: Long,
+      seed: String = "wds-shards"): Unit = {
+    require(fields.nonEmpty, "writeShardsBySize needs at least one field")
+    require(targetBytes >= 2L * Block,
+      s"targetBytes must be at least one header+block (got $targetBytes)")
+    // tar-exact bytes per sample: Σ non-null fields (512 header +
+    // payload rounded up to 512); 512 = 2^9, so the round-up is shifts
+    val sampleBytes = fields.map { case (_, c) =>
+      val b = c.cast("binary")
+      when(b.isNotNull, lit(Block.toLong) +
+        shiftleft(shiftright(octet_length(b).cast("long") + (Block - 1), 9), 9))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val d = Sampling.drawHex(col(keyCol), seed)
+    val rows = df.select(Seq(col(keyCol).cast("string").as("__k"),
+        sampleBytes.as("__bytes"), d.as("__d")) ++
+        fields.map { case (ext, c) => c.cast("binary").as(s"__f_$ext") }: _*)
+      .withColumn("__bkt", conv(substring(col("__d"), 1, 4), 16, 10).cast("long"))
+    val perBucket = rows.groupBy("__bkt").agg(sum(col("__bytes")).as("__bb"))
+    val wB = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = perBucket
+      .withColumn("__bstart", coalesce(sum(col("__bb")).over(wB), lit(0L)))
+      .select(col("__bkt"), col("__bstart"))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("__d"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = rows.join(starts, Seq("__bkt"))
+      .withColumn("__prefix",
+        col("__bstart") + coalesce(sum(col("__bytes")).over(wIn), lit(0L)))
+      .withColumn("__shard", floor(col("__prefix") / targetBytes))
+    val exts = fields.map(_._1)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    assigned
+      .select(col("__shard") +: col("__d") +: col("__k") +:
+        exts.map(e => col(s"__f_$e")): _*)
+      .repartition(col("__shard"))
+      .sortWithinPartitions("__shard", "__d", "__k")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val ctx = org.apache.spark.TaskContext.get()
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        var out: java.io.OutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        var dest: org.apache.hadoop.fs.Path = null
+        var curShard = Long.MinValue
+        def finish(): Unit = if (out != null) {
+          out.write(new Array[Byte](2 * Block)) // end-of-archive
+          out.close(); out = null
+          AtomicSink.commit(fs, tmp, dest)
+        }
+        try {
+          it.foreach { row =>
+            val shard = row.getLong(0)
+            if (shard != curShard) {
+              finish()
+              dest = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tar")
+              if (fs == null) fs = dest.getFileSystem(conf.value)
+              tmp = AtomicSink.tempFor(dest, ctx.taskAttemptId())
+              out = fs.create(tmp, true)
+              curShard = shard
+            }
+            val key = row.getString(2)
+            exts.zipWithIndex.foreach { case (ext, i) =>
+              val bytes = row.getAs[Array[Byte]](i + 3)
+              if (bytes != null) {
+                out.write(header(s"$key.$ext", bytes.length.toLong))
+                out.write(bytes)
+                val pad = (Block - (bytes.length % Block)) % Block
+                if (pad > 0) out.write(new Array[Byte](pad))
+              }
+            }
+          }
+          finish()
+        } catch {
+          case t: Throwable =>
+            if (out != null) { out.close(); AtomicSink.abort(fs, tmp) }
+            throw t
+        }
+      }
   }
 
   /** Read tar shards back as ENTRY rows: (shard, key, ext, payload) —
@@ -173,28 +290,45 @@ object WebDataset {
       .repartition(math.max(1, math.min(files.size,
         spark.sparkContext.defaultParallelism)))
       .mapPartitions { paths =>
+        // close the CURRENT shard stream on task end, not on iterator
+        // exhaustion — a downstream limit/take abandons the iterator
+        // mid-shard and the by-name `++ close` form would leak the
+        // Hadoop stream until GC (the Warc.readIndexed listener shape)
+        var open: org.apache.hadoop.fs.FSDataInputStream = null
+        val ctx = org.apache.spark.TaskContext.get()
+        if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+          if (open != null) { open.close(); open = null }
+        }
         paths.flatMap { p =>
+          if (open != null) { open.close(); open = null }
           val hp = new org.apache.hadoop.fs.Path(p)
-          val in = hp.getFileSystem(conf.value).open(hp)
-          parseStream(in).map { case (name, data) =>
+          open = hp.getFileSystem(conf.value).open(hp)
+          parseStream(open).map { case (name, data) =>
             val base = name.lastIndexOf('/') + 1
             val dot = name.indexOf('.', base)
             val (key, ext) =
               if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1))
             TarEntry(p, key, ext, data)
-          } ++ { in.close(); Iterator.empty }
+          }
         }
       }
   }
 
   /** Entry rows → one row per SAMPLE with a field map: (key,
     * fields: Map[ext, bytes]) — the shape a training-prep join
-    * consumes. One hash aggregation keyed by (shard, key)… keyed by
-    * key alone: WebDataset keys are globally unique by construction
-    * (shard membership is an artifact of the split). */
+    * consumes. Keys written by [[writeShards]] are globally unique,
+    * but [[readEntries]] accepts ARBITRARY ustar input (overlapping
+    * re-runs, foreign tars), and Spark's default
+    * mapKeyDedupPolicy=EXCEPTION would turn a duplicate (key, ext)
+    * into a runtime throw at map build — so entries dedup on
+    * (key, ext) first, keeping the payload from the lexicographically
+    * FIRST (shard, payload) pair (deterministic, order-independent).
+    * Two hash aggregations, both keyed ≤ one row per tar entry. */
   def samples(entries: Dataset[TarEntry]): DataFrame =
     entries.toDF()
+      .groupBy(col("key"), col("ext"))
+      .agg(min(struct(col("shard"), col("payload"))).as("m"))
       .groupBy(col("key"))
-      .agg(map_from_entries(collect_list(struct(col("ext"), col("payload"))))
+      .agg(map_from_entries(collect_list(struct(col("ext"), col("m.payload"))))
         .as("fields"))
 }

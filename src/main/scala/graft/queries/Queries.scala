@@ -3166,6 +3166,33 @@ object Queries {
       .orderBy("id1", "id2")
   }
 
+  // X12L — image near-dups at REAL perceptual radius ([[graft.ext
+  // .Dedup.signatureNearDups]] 8-bit-block path, exhaustive to Hamming
+  // 7): every 3rd image gets a NEAR-identical (not byte-identical)
+  // twin — pixel (0,0) forced to white, which moves exactly ONE dHash
+  // cell mean and so at most ONE signature bit — and the pair stage
+  // runs at maxHamming = 6, the radius real dHash image dedup uses
+  // (quarter blocking refused anything above 3). Planted-pair filter
+  // keeps rows linear in SF (the x12i rationale); the hamming column
+  // (0 or 1 per twin, deterministic integer pixel math) rides the
+  // hash.
+  q("x12l_image_neardups_r6") { (s, dir) =>
+    import s.implicits._
+    val media = graft.ext.Multimodal.syntheticImageTable(s, dir)
+    val twins = media.filter(col("media_id") % 3 === 0)
+      .as[graft.ext.Multimodal.MediaRow]
+      .map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        img.setRGB(0, 0, 0xFFFFFF)
+        m.copy(media_id = m.media_id + 1000000L,
+          payload = graft.ext.Multimodal.ImageIoCodec.encodePng(img))
+      }
+    graft.ext.Multimodal.imageNearDups(media.unionByName(twins), maxHamming = 6)
+      .filter(col("id2") === col("id1") + lit(1000000L))
+      .orderBy("id1", "id2")
+  }
+
   // X12J — audio near-dup pairs ([[graft.ext.Multimodal.audioNearDups]]:
   // energy-contour hash + the shared Hamming banding engine). Same
   // planted-twin design as x12i: the hash stage runs over the whole
@@ -3214,6 +3241,55 @@ object Queries {
       out
     })
 
+  // X80 — CROSS-MODAL sample assembly, the multimodal loop closed
+  // end-to-end: documents (captions) join their [[graft.ext.Multimodal
+  // .syntheticImageTable]] media by id, pack as (txt + png) WebDataset
+  // samples ([[graft.ext.WebDataset.writeShards]] — BYTE-TARGETED at
+  // 256 KiB via [[writeShardsBySize]], exercising the prefix-sum
+  // assignment on a real mixed text+binary corpus), read back, and
+  // BOTH fields verify: the caption hash-exact against the documents
+  // closed form, the image by decoding the round-tripped PNG and
+  // comparing its decoded-pixel checksum against a freshly generated
+  // twin (`img_ok` — any corruption of the binary field in tar framing
+  // or field mapping flips it and breaks the hash).
+  q("x80_crossmodal_pack",
+    """SELECT doc_id, COALESCE(text, '') AS caption,
+      |  CAST(1 AS BOOLEAN) AS img_ok
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val sm = graft.ext.WebDataset.samples(
+      graft.ext.WebDataset.readEntries(s, x80ShardsFor(s, dir) + "/*.tar"))
+    sm.select(col("key").cast("long").as("doc_id"),
+        expr("CAST(fields['txt'] AS STRING)").as("caption"),
+        col("fields")("png").as("img"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, cap, img) =>
+        val w = (id % 16 + 4).toInt
+        val h = (id % 12 + 4).toInt
+        val expect = graft.ext.Multimodal.ImageIoCodec.checksum(
+          graft.ext.Multimodal.ImageIoCodec.syntheticPng(id, w, h))
+        (id, cap,
+          img != null && graft.ext.Multimodal.ImageIoCodec.checksum(img) == expect)
+      }
+      .toDF("doc_id", "caption", "img_ok")
+      .ordered("doc_id")
+  }
+
+  private val x80Memo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def x80ShardsFor(s: SparkSession, dir: String): String =
+    x80Memo.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-x80-gate").toString
+      val captions = Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("caption"))
+      val media = graft.ext.Multimodal.syntheticImageTable(s, dir).toDF()
+        .select(col("media_id").as("doc_id"), col("payload"))
+      graft.ext.WebDataset.writeShardsBySize(
+        captions.join(media, Seq("doc_id")),
+        "doc_id", Seq("txt" -> col("caption"), "png" -> col("payload")),
+        out, targetBytes = 256 * 1024)
+      out
+    })
+
   // X12K — video near-dup pairs ([[graft.ext.Multimodal.videoNearDups]]:
   // sampled-frame dHash fingerprints, shared-frame-count threshold).
   // Planted-twin design (x12i/x12j): fingerprints over the whole
@@ -3257,10 +3333,12 @@ object Queries {
     })
 
   // X78 — URL-dedup over the CDX index + random access ([[graft.ext
-  // .Warc.latestCaptures]] → [[readIndexed]]): every doc captured in
-  // epoch 1, even docs re-captured in epoch 2 — the newest capture
-  // wins per URL ON THE INDEX ALONE (one metadata aggregation; only
-  // winners' byte ranges are fetched). The oracle states the per-doc
+  // .Warc.readLatestCaptures]]): every doc captured in epoch 1, even
+  // docs re-captured in epoch 2 — the newest capture wins per URL ON
+  // THE INDEX ALONE (one metadata aggregation; only winners' byte
+  // ranges are fetched, INSIDE the decision's own exchange — the
+  // fused form shuffles the index once, not twice, and needs no join
+  // back to the index for the url key). The oracle states the per-doc
   // winning body; a wrong max-struct ordering or a fetch of the losing
   // epoch's range breaks the hash.
   q("x78_warc_latest_capture",
@@ -3271,10 +3349,8 @@ object Queries {
       |  (CASE WHEN doc_id % 2 = 0 THEN 'v2 ' ELSE 'v1 ' END)
       |    || COALESCE(text, '') AS body
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val latest = graft.ext.Warc.latestCaptures(
-      s.read.parquet(warcEpochIndexFor(s, dir)))
-    graft.ext.Warc.readIndexed(latest)
-      .join(latest.select(col("target_uri"), col("url")), Seq("target_uri"))
+    graft.ext.Warc.readLatestCaptures(
+        s.read.parquet(warcEpochIndexFor(s, dir)))
       .select(
         regexp_extract(col("url"), "/doc/([0-9]+)$", 1)
           .cast("long").as("doc_id"),

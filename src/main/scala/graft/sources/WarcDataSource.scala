@@ -200,7 +200,7 @@ final class WarcScan(paths: Seq[String], required: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(paths, required, filters)
+    new WarcMicroBatchStream(paths, required, filters, checkpointLocation)
   override def description(): String =
     s"WarcScan(${paths.mkString(",")}, columns=${required.fieldNames.mkString(",")}" +
       (if (filters.isEmpty) ")"
@@ -297,25 +297,69 @@ final class WarcPartitionReader(path: String, conf: SerializableConfiguration,
   override def close(): Unit = in.close()
 }
 
-/** Offset of the streaming `warc` source: the SORTED LIST of files
-  * consumed so far (JSON string array). File-position checkpointing —
-  * a restart resumes from the checkpointed offset alone, with no
-  * side-state to rebuild or tear: batch N+1 is exactly
-  * `listing \ offset`. At extreme file counts (tens of thousands of
-  * ~1 GB files per crawl) the offset JSON grows with the corpus; the
-  * production evolution is a compacted metadata log keyed by batch id
-  * (what Spark's own FileStreamSource keeps), which trades offset size
-  * for recovery machinery — not needed before ~10^5 files per query. */
-final case class WarcOffset(files: Seq[String])
+/** Offset of the streaming `warc` source: a BATCH ID into the
+  * source's own compacted metadata log (the FileStreamSource shape).
+  * The offset JSON Spark rewrites into the checkpoint every trigger is
+  * O(1) — `{"batch":N}` — regardless of corpus size; the per-batch
+  * FILE LISTS live in the source's log directory under the
+  * checkpoint (`<checkpointLocation>/warc-file-log/<batchId>`, one
+  * JSON array per batch, written atomically via [[graft.ext
+  * .AtomicSink]]), so a long-running crawl at 10^5+ files per query
+  * no longer grows its offset with the corpus. A restart replays
+  * batch (start, end] from the persisted log files alone; a log
+  * written but never committed to Spark's WAL (crash between the two)
+  * is simply included in the next planned range — nothing is lost or
+  * double-read. `batch = -1` is the empty initial offset. */
+final case class WarcOffset(batch: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsString(files.toArray)
+  override def json(): String = s"""{"batch":$batch}"""
 }
 object WarcOffset {
-  def fromJson(json: String): WarcOffset =
-    WarcOffset(new com.fasterxml.jackson.databind.ObjectMapper()
-      .readValue(json, classOf[Array[String]]).toSeq)
+  def fromJson(json: String): WarcOffset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(node.has("batch"), s"not a warc offset: $json")
+    WarcOffset(node.get("batch").asLong())
+  }
+}
+
+/** The per-batch file log behind [[WarcOffset]]: directory of
+  * `<batchId>` → JSON string array of the files NEW in that batch. */
+private[sources] final class WarcFileLog(logDir: org.apache.hadoop.fs.Path,
+    conf: org.apache.hadoop.conf.Configuration) {
+  private val fs = logDir.getFileSystem(conf)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** All persisted batch ids, sorted. */
+  def batchIds(): Seq[Long] =
+    if (!fs.exists(logDir)) Nil
+    else fs.listStatus(logDir).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .sorted
+
+  def read(batch: Long): Seq[String] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(logDir, batch.toString))
+    try mapper.readValue(in: java.io.InputStream, classOf[Array[String]]).toSeq
+    finally in.close()
+  }
+
+  def write(batch: Long, files: Seq[String]): Unit = {
+    fs.mkdirs(logDir)
+    val dest = new org.apache.hadoop.fs.Path(logDir, batch.toString)
+    graft.ext.AtomicSink.writeCommitted(fs, dest, attemptId = batch) { tmp =>
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writeValueAsBytes(files.toArray))
+      finally out.close()
+    }
+  }
+
+  /** Recovery: (max batch id, union of all logged files). One listing
+    * + one read per batch, paid once per query start. */
+  def recover(): (Long, scala.collection.mutable.Set[String]) = {
+    val ids = batchIds()
+    val seen = scala.collection.mutable.Set.empty[String]
+    ids.foreach(b => seen ++= read(b))
+    (if (ids.isEmpty) -1L else ids.max, seen)
+  }
 }
 
 /** Streaming front door for `.warc.gz` drops: new files matching the
@@ -332,30 +376,51 @@ object WarcOffset {
   * deterministic-batch contract every store-maintenance loop in this
   * repo runs on. */
 final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
-    filters: Array[Filter])
+    filters: Array[Filter], checkpointLocation: String)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+  private val log = new WarcFileLog(
+    new org.apache.hadoop.fs.Path(checkpointLocation, "warc-file-log"),
+    conf.value)
+  // recovered once per query start: the compacted log replaces the
+  // file list the offset itself used to carry
+  private lazy val state: (Long, scala.collection.mutable.Set[String]) = log.recover()
+  private def seen = state._2
+  @volatile private var maxBatch: Long = Long.MinValue
   // AvailableNow: the listing captured at query start; every
-  // latestOffset until stop() returns exactly this snapshot
+  // latestOffset until stop() drains exactly this snapshot
   @volatile private var captured: Option[Seq[String]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
     captured = Some(WarcDataSource.expandGlobs(paths))
 
-  override def initialOffset(): Offset = WarcOffset(Nil)
-  override def latestOffset(): Offset =
-    WarcOffset(captured.getOrElse(WarcDataSource.expandGlobs(paths)))
+  override def initialOffset(): Offset = WarcOffset(-1L)
+  override def latestOffset(): Offset = synchronized {
+    if (maxBatch == Long.MinValue) maxBatch = state._1
+    val listing = captured.getOrElse(WarcDataSource.expandGlobs(paths))
+    val fresh = listing.filterNot(seen)
+    if (fresh.nonEmpty) {
+      val next = maxBatch + 1
+      log.write(next, fresh) // persisted BEFORE the id is ever returned
+      seen ++= fresh
+      maxBatch = next
+    }
+    WarcOffset(maxBatch max -1L)
+  }
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     latestOffset()
   override def deserializeOffset(json: String): Offset = WarcOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[WarcOffset].files.toSet
-    end.asInstanceOf[WarcOffset].files.filterNot(seen)
+    val s = start.asInstanceOf[WarcOffset].batch
+    val e = end.asInstanceOf[WarcOffset].batch
+    // re-read from the persisted log (not memory): a restart replans
+    // an uncommitted batch from the files its log recorded
+    ((s + 1) to e).flatMap(log.read)
       .map(p => WarcInputPartition(p): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

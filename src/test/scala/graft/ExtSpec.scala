@@ -523,6 +523,82 @@ class ExtSpec extends SparkTestBase {
     assert(got.exists(p => p._1 == 1L && p._2 == 2L)) // the twin pair
   }
 
+  test("signatureNearDups: 8-bit-block banding finds radius-6 pairs that quarter blocking provably misses") {
+    // s2 differs from s1=0 in 6 bits placed so EVERY 16-bit quarter
+    // differs (quarter blocking has no agreeing block -> would miss),
+    // while 8-bit blocks 5 and 7 agree (pigeonhole <= 7 holds)
+    val s1 = 0L
+    val s2 = (1L << 0) | (1L << 8) | (1L << 16) | (1L << 24) |
+      (1L << 32) | (1L << 48)
+    assert((0 until 4).forall(q => ((s1 ^ s2) >>> (q * 16) & 0xFFFFL) != 0L),
+      "fixture must defeat quarter blocking")
+    assert(java.lang.Long.bitCount(s1 ^ s2) == 6)
+    val sig = Seq((1L, s1), (2L, s2), (3L, 0x5555555555555555L))
+      .toDF("id", "sig")
+    val at6 = Dedup.signatureNearDups(sig, "id", "sig", maxHamming = 6)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(at6 == Set((1L, 2L, 6)), s"$at6")
+    // radius 3 (the quarter path) correctly excludes the distance-6 pair
+    assert(Dedup.signatureNearDups(sig, "id", "sig", maxHamming = 3).isEmpty)
+    // beyond the pigeonhole bound: loud failure, never silent misses
+    intercept[IllegalArgumentException] {
+      Dedup.signatureNearDups(sig, "id", "sig", maxHamming = 8)
+    }
+  }
+
+  test("signatureNearDups: exact-signature pre-collapse keeps all equal-sig pairs and expands cross pairs") {
+    // 4 ids share one signature (the massively-duplicated-image case:
+    // the band join sees the signature ONCE), one near signature 2 bits
+    // away, one far signature
+    val shared = 0x0123456789ABCDEFL
+    val near = shared ^ ((1L << 3) | (1L << 40))
+    val sig = Seq((10L, shared), (11L, shared), (12L, shared), (13L, shared),
+      (20L, near), (30L, ~shared)).toDF("id", "sig")
+    val got = Dedup.signatureNearDups(sig, "id", "sig", maxHamming = 3)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    val withinPairs = (for (a <- Seq(10L, 11L, 12L, 13L); b <- Seq(10L, 11L, 12L, 13L)
+      if a < b) yield (a, b, 0)).toSet
+    val crossPairs = Seq(10L, 11L, 12L, 13L).map(a => (a, 20L, 2)).toSet
+    assert(got == withinPairs ++ crossPairs, s"$got")
+    // radius 0: equal signatures only, no banding
+    val at0 = Dedup.signatureNearDups(sig, "id", "sig", maxHamming = 0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(at0 == withinPairs.map(p => (p._1, p._2)))
+  }
+
+  test("videoNearDups: frequency cap drops ubiquitous fingerprints — pair count bounded, not N^2") {
+    import Multimodal.AviCodec
+    // 6 clones of one video (every frame a shared "intro card" at df=6)
+    // plus a twin pair of a different video (df=2)
+    val vidA = AviCodec.syntheticAvi(5L, 6, 36, 32, fps = 10)
+    val vidB = AviCodec.syntheticAvi(99L, 6, 36, 32, fps = 10)
+    val rows = (1L to 6L).map(i => Multimodal.MediaRow(i, "video", vidA, 36, 32, 600L)) ++
+      Seq(Multimodal.MediaRow(7L, "video", vidB, 36, 32, 600L),
+        Multimodal.MediaRow(8L, "video", vidB, 36, 32, 600L))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    // fixture sanity: A and B carry disjoint non-degenerate hash sets
+    // (otherwise the closed forms below wouldn't be exact)
+    val fh = Multimodal.videoFrameDHash(ds, intervalMs = 100)
+      .filter(col("dhash") =!= 0L && col("dhash") =!= -1L)
+      .select("media_id", "dhash").as[(Long, Long)].collect()
+    val hA = fh.filter(_._1 == 1L).map(_._2).toSet
+    val hB = fh.filter(_._1 == 7L).map(_._2).toSet
+    assert(hA.nonEmpty && hB.nonEmpty && (hA & hB).isEmpty,
+      "fixture requires disjoint A/B fingerprints")
+    // capped at 3: the df=6 fingerprints drop BEFORE the self-join —
+    // zero pairs among the 6 clones (not 15), the df=2 twin survives
+    val capped = Multimodal.videoNearDups(ds, intervalMs = 100,
+        minShared = 1, maxFreq = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((7L, 8L)), s"$capped")
+    // the default cap (1000) leaves the fixture uncapped: all 15 clone
+    // pairs plus the twin
+    val uncapped = Multimodal.videoNearDups(ds, intervalMs = 100, minShared = 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 15 + 1, s"${uncapped.size}")
+  }
+
   test("energyHash: gain-doubling invariant, waveform-distinct; audioNearDups finds the planted twin") {
     import Multimodal.WavCodec
     def wav(samples: Array[Short], rate: Int = 8000): Array[Byte] = {

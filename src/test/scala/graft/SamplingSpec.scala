@@ -423,4 +423,34 @@ class SamplingSpec extends SparkTestBase {
       .select("stratum", "key").as[(String, String)].collect().toSet
     assert(flat == uni)
   }
+
+  test("prioritizedTake enforces the [0,1] contract: out-of-range clamps to the bound, NULL raises") {
+    // priority 1.5 would encode NEGATIVE without the clamp — hex()'s
+    // 16 two's-complement chars lpad-TRUNCATE to 'ffffffff…' and the
+    // BEST row silently sorts last; clamped, it ties with priority 1.0
+    // and must beat 0.2
+    val rows = Seq(("s", "a", 1.5), ("s", "b", 0.2), ("s", "c", 1.0))
+      .toDF("stratum", "key", "p")
+    val kept = Sampling.prioritizedTake(rows, Seq("stratum"), col("p"),
+        col("key"), "seed-y", 2)
+      .select("key").as[String].collect().toSet
+    assert(kept == Set("a", "c"), s"$kept")
+    // negative priorities clamp to 0 (tie broken by the seeded draw),
+    // never wrap around above the honest scores
+    val neg = Seq(("s", "lo", -3.0), ("s", "hi", 0.9))
+      .toDF("stratum", "key", "p")
+    val keptNeg = Sampling.prioritizedTake(neg, Seq("stratum"), col("p"),
+        col("key"), "seed-y", 1)
+      .select("key").as[String].collect().toSeq
+    assert(keptNeg == Seq("hi"))
+    // NULL priority: loud failure (the drawHex discipline), not a
+    // null bucket that sorts first
+    val withNull = Seq(("s", "a", Some(0.5)), ("s", "b", None))
+      .toDF("stratum", "key", "p")
+    val ex = intercept[Exception] {
+      Sampling.prioritizedTake(withNull, Seq("stratum"), col("p"),
+        col("key"), "seed-y", 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -196,4 +196,61 @@ class WarcSourceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       graft.sources.WarcDataSource.pathsOf(Map.empty))
   }
+
+  test("streaming offset is COMPACT: O(1) batch-id JSON per trigger, file lists in the source log; restart-resume across 3 triggers") {
+    import org.apache.spark.sql.streaming.Trigger
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-ckoff").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ckoff-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ckoff-ck").toString
+    def drop(name: String, uris: String*): Unit = {
+      val f = new java.io.FileOutputStream(s"$warcDir/$name")
+      val w = new Warc.MemberGzipWriter(f)
+      try uris.foreach(u => w.writeMember(record("response", u, "HTTP/1.1 200 OK\r\n\r\nbody")))
+      finally { w.end(); f.close() }
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("warc").load(warcDir + "/*.warc.gz")
+        .select("path", "target_uri")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // three restarts, each with one new file — each must resume from
+    // the checkpointed batch id alone and consume exactly the new file
+    drop("d1.warc.gz", "https://o.example/1", "https://o.example/2")
+    runOnce()
+    drop("d2.warc.gz", "https://o.example/3")
+    runOnce()
+    drop("d3.warc.gz", "https://o.example/4")
+    runOnce()
+    val got = spark.read.parquet(outDir).select("target_uri")
+      .as[String].collect().sorted.toSeq
+    assert(got == (1 to 4).map(i => s"https://o.example/$i"))
+    // the WAL offsets Spark rewrites per trigger are O(1) — a batch id,
+    // NOT the file list (the pre-compaction format grew with the corpus)
+    val offsetsDir = new java.io.File(ckDir, "offsets")
+    val offsetFiles = offsetsDir.listFiles().filter(_.getName.matches("\\d+"))
+    assert(offsetFiles.length >= 3)
+    offsetFiles.foreach { f =>
+      val body = new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
+      val line = body.split("\n").last.trim
+      assert(line.matches("""\{"batch":-?\d+\}"""), s"${f.getName}: $line")
+      assert(line.length <= 24)
+    }
+    // the compacted log: one file per non-empty batch, each a JSON array
+    val logDir = new java.io.File(s"$ckDir/sources/0/warc-file-log")
+    val logs = logDir.listFiles().filter(_.getName.matches("\\d+")).sortBy(_.getName.toLong)
+    assert(logs.map(_.getName).toSeq == Seq("0", "1", "2"), logs.mkString(","))
+    val logged = logs.flatMap { f =>
+      new com.fasterxml.jackson.databind.ObjectMapper().readValue(
+        java.nio.file.Files.readAllBytes(f.toPath), classOf[Array[String]]).toSeq
+    }
+    assert(logged.map(p => p.substring(p.lastIndexOf('/') + 1)).sorted.toSeq ==
+      Seq("d1.warc.gz", "d2.warc.gz", "d3.warc.gz"))
+    // replay with no new files: a no-op (offset does not advance)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 4)
+    assert(logDir.listFiles().count(_.getName.matches("\\d+")) == 3)
+  }
 }

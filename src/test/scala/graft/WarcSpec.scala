@@ -519,6 +519,86 @@ class WarcSpec extends SparkTestBase {
     assert(winner == Seq("f2"))
   }
 
+  test("Record-IDs: duplicate (uri, date) captures get DISTINCT ids; RFC 4122 version/variant bits set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-recid").toString
+    // three byte-identical captures of the same page at the same second
+    // — the replay case: ISO 28500 still requires globally unique ids
+    val df = Seq.fill(3)(("https://r.example/p", "2026-08-15T00:00:00Z", "same"))
+      .toDF("uri", "ts", "payload")
+    Warc.writeRecords(df.repartition(1), "uri", "ts", "payload", dir)
+    val ids = Warc.parseStream(new java.io.FileInputStream(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz")).head))
+      .map(_.header("WARC-Record-ID").get).toSeq
+    assert(ids.size == 3 && ids.distinct.size == 3, s"$ids")
+    // well-formed UUID: version nibble 3 (name-based MD5), variant 10xx
+    ids.foreach { id =>
+      val u = id.stripPrefix("<urn:uuid:").stripSuffix(">")
+      assert(u.matches("[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"), u)
+    }
+  }
+
+  test("sink commit protocol: only final files land (no .inprogress litter), archives complete and parseable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-commit").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-commit-idx").toString
+    val df = (0 until 20).map(i =>
+      (s"https://c.example/$i", "2026-08-15T00:00:00Z", s"payload $i"))
+      .toDF("uri", "ts", "payload")
+    Warc.writeRecords(df.repartition(2), "uri", "ts", "payload", dir)
+    Warc.writeRecordsIndexed(df.repartition(2), "uri", "ts", "payload", dir + "-idx")
+      .write.mode("overwrite").parquet(idxDir)
+    Seq(dir, dir + "-idx").foreach { d =>
+      // (.crc files are the Hadoop local FS's own checksum siblings)
+      val names = new java.io.File(d).listFiles().map(_.getName)
+        .filterNot(_.endsWith(".crc")).sorted.toSeq
+      assert(names == Seq("part-00000.warc.gz", "part-00001.warc.gz"), s"$d: $names")
+    }
+    assert(Warc.read(spark, dir + "/*.warc.gz").count() == 20)
+    assert(Warc.readIndexed(spark.read.parquet(idxDir)).count() == 20)
+  }
+
+  test("readLatestCaptures: fused fetch == decide+join form, with strictly fewer exchanges in the executed plan") {
+    import spark.implicits._
+    val arcDir = java.nio.file.Files.createTempDirectory("graft-fuse").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-fuse-idx").toString
+    def epoch(tag: String, day: String, n: Int) =
+      Warc.writeRecordsIndexed(
+        (0 until n).map(i => (s"https://f.example/doc/$i", day,
+          s"HTTP/1.1 200 OK\r\n\r\n$tag body $i")).toDF("uri", "ts", "payload")
+          .repartition(2),
+        "uri", "ts", "payload",
+        java.nio.file.Files.createTempDirectory(s"graft-fuse-$tag").toString).toDF()
+    epoch("v1", "2026-08-14T00:00:00Z", 30)
+      .union(epoch("v2", "2026-08-15T00:00:00Z", 15)) // docs 0..14 re-captured
+      .write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val fused = Warc.readLatestCaptures(idx)
+      .select(col("url"), col("warc_date"),
+        Warc.httpBody(col("payload")).as("body"))
+    val fusedRows = fused.as[(String, String, String)].collect().toSet
+    // the unfused decide -> re-shuffle-by-path -> fetch -> join form
+    val latest = Warc.latestCaptures(idx)
+    val unfused = Warc.readIndexed(latest).toDF()
+      .join(latest.select(col("target_uri"), col("url")), Seq("target_uri"))
+      .select(col("url"), col("warc_date"),
+        Warc.httpBody(col("payload")).as("body"))
+    assert(fusedRows == unfused.as[(String, String, String)].collect().toSet)
+    assert(fusedRows.size == 30)
+    // winners: v2 body for 0..14, v1 otherwise
+    assert(fusedRows.forall { case (url, _, body) =>
+      val id = url.split('/').last.toInt
+      body == (if (id < 15) s"v2 body $id" else s"v1 body $id")
+    })
+    // the fusion's point: at least one exchange (the path re-shuffle)
+    // and one join gone from the executed plan
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    unfused.collect()
+    assert(exchanges(fused) < exchanges(unfused),
+      s"fused=${exchanges(fused)} unfused=${exchanges(unfused)}")
+  }
+
   test("writeRecords: mandatory WARC-Record-ID (deterministic urn:uuid), CRLF stripped from header values") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sinkspec").toString
     val df = Seq(
