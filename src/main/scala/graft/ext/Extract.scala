@@ -77,7 +77,9 @@ object Extract {
 
   def titleFromBlocks(blocks: Column): Column = {
     val titles = filter(blocks, _.getField("container") === "title")
-    coalesce(element_at(transform(titles, _.getField("text")), 1), lit(""))
+    // get (0-based, null-safe) not element_at: ANSI mode makes
+    // element_at THROW on a title-less page's empty array
+    coalesce(get(transform(titles, _.getField("text")), lit(0)), lit(""))
   }
 
   /** Per-page extraction stats over an already-computed blocks column —

@@ -836,6 +836,112 @@ object Warc {
       uriCol, dateCol, "__wet_payload", outDir,
       warcType = "conversion", httpContentType = "text/plain")
 
+  // -- WAT metadata sidecar (the CommonCrawl trio's third artifact) --------
+
+  /** WAT envelope rows derived from RESPONSE records: one row per
+    * response carrying (target_uri, warc_date, status, mime, title,
+    * links) — HTTP status and Content-Type from the header section,
+    * and for decodable HTML bodies the `<title>` plus the
+    * RFC-3986-resolved out-link urls in document order (non-HTML and
+    * undecodable-encoding rows keep an empty title/links — every
+    * response still gets its envelope, the WAT contract). All column
+    * algebra over the SHARED kernels — the fused body-decode
+    * ([[httpBodyText]]) runs once per HTML row, the link kernel
+    * ([[Extract.resolvedLinks]]) once, no UDFs. */
+  def watMetadata(records: Dataset[WarcRow],
+      decoders: Seq[ContentDecoder] = defaultDecoders): DataFrame = {
+    val decMap = decoders.flatMap(d => d.encodings.map(_.toLowerCase)).distinct
+    val enc = trim(lower(coalesce(
+      httpHeader(col("payload"), "Content-Encoding"), lit("identity"))))
+    val handled = isDecodableEncoding(col("payload")) ||
+      (if (decMap.isEmpty) lit(false) else enc.isin(decMap: _*))
+    records.toDF()
+      .filter(col("warc_type") === "response" &&
+        col("content_type").startsWith("application/http"))
+      .withColumn("__html",
+        when(isHtmlResponse(col("payload")) && handled,
+          httpBodyText(col("payload"), decoders)))
+      .select(col("target_uri"), col("warc_date"),
+        httpStatus(col("payload")).as("status"),
+        coalesce(httpHeader(col("payload"), "Content-Type"), lit(""))
+          .as("mime"),
+        coalesce(when(col("__html").isNotNull, Extract.title(col("__html"))),
+          lit("")).as("title"),
+        coalesce(
+          when(col("__html").isNotNull, transform(
+            Extract.resolvedLinks(col("__html"), col("target_uri")),
+            _.getField("url"))),
+          array().cast("array<string>")).as("links"))
+  }
+
+  /** Archive [[watMetadata]] envelopes as `.warc.gz` METADATA records —
+    * the WAT writer (CommonCrawl publishes exactly this next to every
+    * crawl: WARC-Type `metadata`, JSON payload, ~1/5 the bytes of the
+    * response archive — what link-graph builds and seed mining read
+    * instead of the full capture). The envelope JSON follows the
+    * public WAT convention (Envelope → WARC-Header-Metadata +
+    * Payload-Metadata → HTTP-Response-Metadata → HTML-Metadata →
+    * Links), trimmed to the consumed fields, built by ONE codegen
+    * `to_json`; framing/Record-ID/commit discipline is
+    * [[writeRecords]]'. */
+  def writeWatRecords(records: Dataset[WarcRow], outDir: String,
+      decoders: Seq[ContentDecoder] = defaultDecoders): Unit = {
+    val payload = to_json(struct(struct(
+      struct(col("target_uri").as("WARC-Target-URI"),
+        col("warc_date").as("WARC-Date")).as("WARC-Header-Metadata"),
+      struct(struct(
+        struct(col("status").as("Status")).as("Response-Message"),
+        struct(col("mime").as("Content-Type")).as("Headers"),
+        struct(struct(col("title").as("Title")).as("Head"),
+          transform(col("links"), u => struct(u.as("url"))).as("Links"))
+          .as("HTML-Metadata")).as("HTTP-Response-Metadata"))
+        .as("Payload-Metadata")).as("Envelope")))
+    writeRecords(
+      watMetadata(records, decoders).withColumn("__wat", payload.cast("binary")),
+      "target_uri", "warc_date", "__wat", outDir,
+      warcType = "metadata", httpContentType = "application/json")
+  }
+
+  /** The trimmed WAT envelope schema [[watEnvelopes]] parses. */
+  val WatSchema: StructType = {
+    def st(fs: (String, DataType)*): StructType =
+      StructType(fs.map { case (n, t) => StructField(n, t) })
+    st("Envelope" -> st(
+      "WARC-Header-Metadata" -> st(
+        "WARC-Target-URI" -> StringType, "WARC-Date" -> StringType),
+      "Payload-Metadata" -> st(
+        "HTTP-Response-Metadata" -> st(
+          "Response-Message" -> st("Status" -> org.apache.spark.sql.types.IntegerType),
+          "Headers" -> st("Content-Type" -> StringType),
+          "HTML-Metadata" -> st(
+            "Head" -> st("Title" -> StringType),
+            "Links" -> ArrayType(st("url" -> StringType)))))))
+  }
+
+  /** Read WAT archives back to envelope rows — the inverse of
+    * [[writeWatRecords]]: (path, idx, target_uri, warc_date, status,
+    * mime, title, links). One `from_json` over the metadata records;
+    * foreign WAT files parse too (missing envelope fields land null). */
+  def watEnvelopes(records: Dataset[WarcRow]): DataFrame = {
+    val w = from_json(col("payload").cast("string"), WatSchema)
+      .getField("Envelope")
+    val hm = w.getField("WARC-Header-Metadata")
+    val rm = w.getField("Payload-Metadata").getField("HTTP-Response-Metadata")
+    records.toDF()
+      .filter(col("warc_type") === "metadata" &&
+        col("content_type").startsWith("application/json"))
+      .select(col("path"), col("idx"),
+        hm.getField("WARC-Target-URI").as("target_uri"),
+        hm.getField("WARC-Date").as("warc_date"),
+        rm.getField("Response-Message").getField("Status").as("status"),
+        rm.getField("Headers").getField("Content-Type").as("mime"),
+        rm.getField("HTML-Metadata").getField("Head").getField("Title")
+          .as("title"),
+        coalesce(transform(rm.getField("HTML-Metadata").getField("Links"),
+            _.getField("url")),
+          array().cast("array<string>")).as("links"))
+  }
+
   /** TRUE when the response's Content-Encoding (if any) is one this
     * layer can decode — identity, gzip/x-gzip, deflate. A brotli/zstd
     * body would flow downstream as compressed bytes and mojibake the

@@ -3308,6 +3308,63 @@ object Queries {
       .orderBy("id1", "id2")
   }
 
+  // X81 — WAT metadata sidecar round-trip ([[graft.ext.Warc
+  // .writeWatRecords]] → [[watEnvelopes]]): the frontier fixture's
+  // HTML pages archived as responses, their WAT derived (ONE codegen
+  // to_json over the shared body-decode + link kernels), written as
+  // `metadata` records, read back, and compared against the closed
+  // form of every page's 7 out-links IN DOCUMENT ORDER (3 items, the
+  // tracking-param twin, the opaque javascript: ref, the spam link,
+  // the resolved relative self-link) plus status/mime/title. A wrong
+  // link resolution, JSON envelope field, or record framing breaks
+  // the hash. Completes the CommonCrawl artifact trio: WARC (x74),
+  // WET (x61), CDX (x77) — and now WAT.
+  q("x81_wat_sidecar",
+    """SELECT doc_id,
+      |  'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/page'
+      |    || CAST(doc_id AS VARCHAR) AS url,
+      |  200 AS status, 'text/html' AS mime, '' AS title, 7 AS n_links,
+      |  'https://h' || CAST((doc_id * 7 + 1) % 50 AS VARCHAR) || '.example/item'
+      |    || CAST(doc_id AS VARCHAR) || '-1 '
+      |  || 'https://h' || CAST((doc_id * 7 + 2) % 50 AS VARCHAR) || '.example/item'
+      |    || CAST(doc_id AS VARCHAR) || '-2 '
+      |  || 'https://h' || CAST((doc_id * 7 + 3) % 50 AS VARCHAR) || '.example/item'
+      |    || CAST(doc_id AS VARCHAR) || '-3 '
+      |  || 'https://h' || CAST((doc_id * 7 + 1) % 50 AS VARCHAR) || '.example/item'
+      |    || CAST(doc_id AS VARCHAR) || '-1?utm_source=track '
+      |  || 'javascript:void(0) '
+      |  || 'https://spam.blocked.example/x' || CAST(doc_id AS VARCHAR) || ' '
+      |  || 'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/page'
+      |    || CAST(doc_id AS VARCHAR) AS links_str
+      |FROM documents WHERE doc_id % 50 < 40 ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+      val env = graft.ext.Warc.watEnvelopes(
+        graft.ext.Warc.read(s, watArchiveFor(s, dir) + "/*.warc.gz"))
+      env.select(
+          regexp_extract(col("target_uri"), "/page([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri").as("url"), col("status"), col("mime"),
+          col("title"), size(col("links")).as("n_links"),
+          array_join(col("links"), " ").as("links_str"))
+        .ordered("doc_id")
+  }
+
+  private val watMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def watArchiveFor(s: SparkSession, dir: String): String =
+    watMemo.getOrElseUpdate(dir, {
+      val arc = java.nio.file.Files.createTempDirectory("graft-wat-arc").toString
+      val wat = java.nio.file.Files.createTempDirectory("graft-wat-gate").toString
+      graft.ext.Warc.writeRecords(
+        frontierFixturePages(s, dir).select(col("url").as("uri"),
+          lit("2026-08-15T00:00:00Z").as("ts"),
+          concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+            col("html")).as("payload")).repartition(4),
+        "uri", "ts", "payload", arc)
+      graft.ext.Warc.writeWatRecords(
+        graft.ext.Warc.read(s, arc + "/*.warc.gz"), wat)
+      wat
+    })
+
   /** The x78 TWO-EPOCH archive: every doc captured on day 1 (v1
     * bodies); even docs RE-captured on day 2 (v2 bodies). One merged
     * CDX index parquet, memoized per scale dir. */

@@ -519,6 +519,53 @@ class WarcSpec extends SparkTestBase {
     assert(winner == Seq("f2"))
   }
 
+  test("WAT sidecar: envelopes for every response; links/title only on decodable HTML; JSON round-trips; tolerant reader") {
+    import spark.implicits._
+    val arc = java.nio.file.Files.createTempDirectory("graft-wat-a").toString
+    val wat = java.nio.file.Files.createTempDirectory("graft-wat-w").toString
+    def http(status: String, headers: String, body: String) =
+      s"HTTP/1.1 $status\r\n$headers\r\n\r\n$body"
+    val rows = Seq(
+      ("https://wat.example/a", http("200 OK", "Content-Type: text/html",
+        "<html><head><title>Alpha Page</title></head><body>" +
+          "<a href=\"/rel\">r</a><a href=\"https://x.example/abs\">x</a></body></html>")),
+      // non-HTML 200: envelope present, no links, no title
+      ("https://wat.example/b", http("200 OK", "Content-Type: application/json",
+        "{\"k\":1}")),
+      // 404 HTML: envelope carries the status; links still extracted
+      ("https://wat.example/c", http("404 Not Found", "Content-Type: text/html",
+        "<a href=\"https://y.example/gone\">g</a>")),
+      // undecodable encoding: envelope present, empty links (the
+      // htmlResponses exclusion discipline)
+      ("https://wat.example/d", http("200 OK",
+        "Content-Type: text/html\r\nContent-Encoding: br", "xxxx")))
+      .toDF("uri", "payload")
+      .withColumn("ts", lit("2026-08-15T00:00:00Z"))
+    Warc.writeRecords(rows.repartition(1), "uri", "ts", "payload", arc)
+    Warc.writeWatRecords(Warc.read(spark, arc + "/*.warc.gz"), wat)
+    val back = Warc.read(spark, wat + "/*.warc.gz")
+    // metadata records, json payloads, one per response
+    assert(back.collect().forall(r =>
+      r.warc_type == "metadata" && r.content_type.startsWith("application/json")))
+    val env = Warc.watEnvelopes(back)
+      .select("target_uri", "status", "mime", "title", "links")
+      .as[(String, Int, String, String, Seq[String])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(env.size == 4)
+    assert(env("https://wat.example/a")._2 == 200)
+    assert(env("https://wat.example/a")._4 == "Alpha Page")
+    assert(env("https://wat.example/a")._5 ==
+      Seq("https://wat.example/rel", "https://x.example/abs"))
+    assert(env("https://wat.example/b")._3 == "application/json" &&
+      env("https://wat.example/b")._5.isEmpty &&
+      env("https://wat.example/b")._4 == "")
+    assert(env("https://wat.example/c")._2 == 404 &&
+      env("https://wat.example/c")._5 == Seq("https://y.example/gone"))
+    assert(env("https://wat.example/d")._5.isEmpty)
+    // a WET/response record in the same scan is ignored by the reader
+    assert(Warc.watEnvelopes(Warc.read(spark, arc + "/*.warc.gz")).count() == 0)
+  }
+
   test("Record-IDs: duplicate (uri, date) captures get DISTINCT ids; RFC 4122 version/variant bits set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-recid").toString
