@@ -183,4 +183,34 @@ object UrlOps {
   def domainBlocked(url: Column, blockedDomains: Seq[String]): Column =
     array_contains(
       array(blockedDomains.map(d => lit(d.toLowerCase)): _*), urlDomain(url))
+
+  /** SURT url-key (Sort-friendly URI Reordering Transform — the
+    * `urlkey` CommonCrawl's CDX indexes sort by and pywb/OpenWayback
+    * query on): host labels reversed and comma-joined with the leading
+    * `www.` dropped, `)` separator, then the lowercased path and the
+    * query with its `&`-separated params SORTED —
+    * `https://WWW.Example.com/A/b?z=1&a=2` →
+    * `com,example)/a/b?a=2&z=1`. The point at archive scale: every
+    * capture of one site becomes one CONTIGUOUS key range, so a
+    * domain-scoped scan over a urlkey-sorted CDX store is a RANGE
+    * predicate (`urlkey >= 'com,example)' AND urlkey < 'com,example*'`)
+    * that parquet min/max zone maps prune to the site's own row
+    * groups — no full-index scan per site query. Null for unparseable
+    * URLs. Pure column algebra over the one-pass parts kernel. */
+  def surtKey(url: Column): Column = {
+    val parts = graft.functions.UrlExpressions.urlParts(url)
+    val host = regexp_replace(lower(parts.getField("host")), "^www\\.", "")
+    val rev0 = array_join(reverse(split(host, "\\.")), ",")
+    // non-default ports keep their SURT spelling `host-labels:port`;
+    // default-port URLs carry no port after the parse
+    val rev = when(parts.getField("port").isNotNull,
+      concat(rev0, lit(":"), parts.getField("port"))).otherwise(rev0)
+    val rawPath = coalesce(parts.getField("path"), lit(""))
+    val path = lower(when(rawPath === "", lit("/")).otherwise(rawPath))
+    val q = lower(coalesce(parts.getField("query"), lit("")))
+    val sortedQ = when(q === "", lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(split(q, "&")), "&")))
+    when(host.isNull, lit(null).cast("string"))
+      .otherwise(concat(rev, lit(")"), path, sortedQ))
+  }
 }

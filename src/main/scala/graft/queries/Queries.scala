@@ -3349,6 +3349,27 @@ object Queries {
         .ordered("doc_id")
   }
 
+  // X82 — SURT url-keys ([[graft.ext.UrlOps.surtKey]], the CommonCrawl
+  // CDX `urlkey`): mixed-case www/params URLs canonicalize to the
+  // sort-friendly reversed-host form whose point is RANGE-scannable
+  // site locality in a sorted CDX store (one site = one contiguous
+  // key range = parquet zone-map pruning). The oracle states the
+  // closed form — host reversal, www strip, case fold, and the
+  // param SORT are each load-bearing in the hash.
+  q("x82_surt_urlkey",
+    """SELECT doc_id,
+      |  'com,example,h' || CAST(doc_id % 50 AS VARCHAR) || ')/item/'
+      |    || CAST(doc_id AS VARCHAR) || '?a=1&m=2&z='
+      |    || CAST(doc_id AS VARCHAR) AS urlkey
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val id = col("doc_id").cast("string")
+    val url = concat(lit("https://WWW.H"), (col("doc_id") % 50).cast("string"),
+      lit(".Example.com/Item/"), id, lit("?Z="), id, lit("&a=1&M=2"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.ext.UrlOps.surtKey(url).as("urlkey"))
+      .ordered("doc_id")
+  }
+
   private val watMemo = scala.collection.concurrent.TrieMap.empty[String, String]
   private def watArchiveFor(s: SparkSession, dir: String): String =
     watMemo.getOrElseUpdate(dir, {

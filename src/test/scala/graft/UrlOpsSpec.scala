@@ -299,4 +299,29 @@ class UrlOpsSpec extends SparkTestBase {
         s"codegen vs direct mismatch on $u")
     }
   }
+
+  test("surtKey: host reversal + www strip + case fold + param sort; port kept; unparseable null; site-range locality") {
+    val cases = Seq(
+      "https://WWW.Example.com/A/b?z=1&a=2" -> "com,example)/a/b?a=2&z=1",
+      "https://sub.Example.co.uk/Path" -> "uk,co,example,sub)/path",
+      "https://example.com" -> "com,example)/",
+      "https://example.com:8080/x" -> "com,example:8080)/x",
+      "http://www.w.example.com/?b=2&B=1" -> "com,example,w)/?b=1&b=2",
+      "not a url" -> null)
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlOps.surtKey(col("u"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.toString)
+    // the locality property the key exists for: every URL of one site
+    // sorts contiguously — an interleaved-by-host input, keyed and
+    // sorted, groups each host into one run
+    val urls = (0 until 30).map(i => s"https://h${i % 3}.example/p$i")
+    val keys = urls.toDF("u").select(UrlOps.surtKey(col("u")))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val hosts = keys.map(_.takeWhile(_ != ')'))
+    assert(hosts == hosts.sorted)
+    assert(hosts.distinct.size == 3 &&
+      hosts.sliding(2).count(p => p(0) != p(1)) == 2,
+      "each site must be ONE contiguous run in key order")
+  }
 }
