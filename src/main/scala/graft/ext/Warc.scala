@@ -345,7 +345,19 @@ object Warc {
     * columns — shared by [[writeRecords]] and [[writeRecordsIndexed]]. */
   private def recordColumns(uriCol: String, dateCol: String,
       payloadCol: String, warcType: String,
-      httpContentType: String): (Column, Column, Column) = {
+      httpContentType: String): (Column, Column, Column) =
+    recordColumns(uriCol, dateCol, payloadCol, lit(warcType),
+      lit(httpContentType), lit(""))
+
+  /** Per-ROW record framing — `warcType`/`httpContentType` columns and
+    * a pre-formatted `extraHeaders` block ("Name: value\r\n" lines,
+    * caller-sanitized) inserted after WARC-Date: one archive can mix
+    * response and revisit records ([[writeRecordsDeduped]]). With
+    * empty extras the byte layout is exactly the fixed-header form. */
+  private def recordColumns(uriCol: String, dateCol: String,
+      payloadCol: String, warcType: Column,
+      httpContentType: Column, extraHeaders: Column)
+      : (Column, Column, Column) = {
     val payload = col(payloadCol).cast("binary")
     def headerSafe(c: Column): Column =
       regexp_replace(c.cast("string"), "[\\r\\n]", "")
@@ -369,11 +381,12 @@ object Warc {
       concat(variantNibble, substring(h, 18, 3)),
       substring(h, 21, 12))
     val rec = concat(
-      concat(lit(s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Record-ID: <urn:uuid:"),
-        recordId,
+      concat(lit("WARC/1.0\r\nWARC-Type: "), warcType,
+        lit("\r\nWARC-Record-ID: <urn:uuid:"), recordId,
         lit(">\r\nWARC-Target-URI: "), uri,
-        lit("\r\nWARC-Date: "), date,
-        lit(s"\r\nContent-Type: $httpContentType\r\nContent-Length: "),
+        lit("\r\nWARC-Date: "), date, lit("\r\n"), extraHeaders,
+        lit("Content-Type: "), httpContentType,
+        lit("\r\nContent-Length: "),
         octet_length(payload).cast("string"),
         lit("\r\n\r\n")).cast("binary"),
       payload, lit("\r\n\r\n").cast("binary"))
@@ -383,9 +396,17 @@ object Warc {
   def writeRecords(df: org.apache.spark.sql.DataFrame, uriCol: String,
       dateCol: String, payloadCol: String, outDir: String,
       warcType: String = "response",
-      httpContentType: String = "application/http; msgtype=response"): Unit = {
-    val (rec, _, _) =
-      recordColumns(uriCol, dateCol, payloadCol, warcType, httpContentType)
+      httpContentType: String = "application/http; msgtype=response"): Unit =
+    writeRecordsWith(df, uriCol, dateCol, payloadCol, outDir,
+      lit(warcType), lit(httpContentType), lit(""))
+
+  /** [[writeRecords]] with PER-ROW type/content-type/extra headers —
+    * the mixed-record writer behind [[writeRecordsDeduped]]. */
+  private def writeRecordsWith(df: org.apache.spark.sql.DataFrame,
+      uriCol: String, dateCol: String, payloadCol: String, outDir: String,
+      warcType: Column, httpContentType: Column, extraHeaders: Column): Unit = {
+    val (rec, _, _) = recordColumns(uriCol, dateCol, payloadCol, warcType,
+      httpContentType, extraHeaders)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(rec.as("r")).foreachPartition {
@@ -835,6 +856,120 @@ object Warc {
         coalesce(col(textCol), lit("")).cast("string").cast("binary")),
       uriCol, dateCol, "__wet_payload", outDir,
       warcType = "conversion", httpContentType = "text/plain")
+
+  // -- revisit records (ISO 28500 identical-payload-digest dedup) ----------
+
+  /** [[writeRecords]] with PAYLOAD-DIGEST DEDUP — the ISO 28500
+    * `revisit` mechanism every production crawler (Heritrix,
+    * Browsertrix) uses to keep recrawls of unchanged content from
+    * multiplying archive bytes: one capture per distinct payload
+    * digest stores the full `response` record (winner = smallest
+    * (date, uri) — the earliest capture); every other capture stores a
+    * payload-FREE `revisit` record carrying `WARC-Profile:
+    * …/revisit/identical-payload-digest`, the `WARC-Payload-Digest`
+    * (sha1 hex), and `WARC-Refers-To-Target-URI`/`-Date` naming its
+    * original. At a weekly-recrawl cadence where most of the web does
+    * not change, the archive grows with the CHANGE RATE instead of the
+    * crawl rate. Scale shape: ONE hash aggregation keyed by digest
+    * (map-side partials over 20-byte digests) + one digest-keyed join
+    * to mark winners — the same exchange bill as exact dedup (x1);
+    * record bytes still build in codegen and land through the
+    * committed sink. Read back with [[readDeduped]] +
+    * [[resolveRevisits]]. */
+  def writeRecordsDeduped(df: org.apache.spark.sql.DataFrame, uriCol: String,
+      dateCol: String, payloadCol: String, outDir: String,
+      httpContentType: String = "application/http; msgtype=response"): Unit = {
+    def hs(c: Column): Column = regexp_replace(c, "[\\r\\n]", "")
+    val w = df.select(col(uriCol).cast("string").as("__u"),
+        col(dateCol).cast("string").as("__d"),
+        col(payloadCol).cast("binary").as("__p"))
+      .withColumn("__digest", concat(lit("sha1:"), sha1(col("__p"))))
+    val winners = w.groupBy("__digest")
+      .agg(min(struct(col("__d"), col("__u"))).as("__w"))
+      .select(col("__digest"), col("__w.__d").as("__wd"),
+        col("__w.__u").as("__wu"))
+    val marked = w.join(winners, Seq("__digest"))
+      .withColumn("__isw",
+        col("__d") === col("__wd") && col("__u") === col("__wu"))
+      .withColumn("__pay", when(col("__isw"), col("__p"))
+        .otherwise(lit(Array.empty[Byte])))
+    val extras = when(col("__isw"),
+        concat(lit("WARC-Payload-Digest: "), col("__digest"), lit("\r\n")))
+      .otherwise(concat(
+        lit("WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
+          "WARC-Payload-Digest: "), col("__digest"),
+        lit("\r\nWARC-Refers-To-Target-URI: "), hs(col("__wu")),
+        lit("\r\nWARC-Refers-To-Date: "), hs(col("__wd")), lit("\r\n")))
+    writeRecordsWith(marked, "__u", "__d", "__pay", outDir,
+      when(col("__isw"), lit("response")).otherwise(lit("revisit")),
+      when(col("__isw"), lit(httpContentType)).otherwise(lit("warc/revisit")),
+      extras)
+  }
+
+  /** A deduped archive's rows WITH the revisit linkage headers:
+    * [[WarcRow]]'s columns plus (payload_digest, refers_to_uri,
+    * refers_to_date) — what [[resolveRevisits]] joins on. Same
+    * per-file streaming pass as [[read]]. */
+  final case class WarcDedupRow(path: String, idx: Long, warc_type: String,
+      target_uri: String, warc_date: String, content_type: String,
+      payload: Array[Byte], payload_digest: String,
+      refers_to_uri: String, refers_to_date: String)
+
+  def readDeduped(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val pat = new org.apache.hadoop.fs.Path(glob)
+    val fs = pat.getFileSystem(conf.value)
+    val paths = Option(fs.globStatus(pat)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+    spark.createDataset(paths).repartition(math.max(paths.size, 1))
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          val in = path.getFileSystem(conf.value).open(path)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => in.close()))
+          parseStream(in).zipWithIndex.map { case (r, i) =>
+            WarcDedupRow(p, i.toLong,
+              r.header("WARC-Type").getOrElse(""),
+              r.header("WARC-Target-URI").getOrElse(""),
+              r.header("WARC-Date").getOrElse(""),
+              r.header("Content-Type").getOrElse(""),
+              r.payload,
+              r.header("WARC-Payload-Digest").getOrElse(""),
+              r.header("WARC-Refers-To-Target-URI").getOrElse(""),
+              r.header("WARC-Refers-To-Date").getOrElse(""))
+          }
+        }
+      }.toDF()
+  }
+
+  /** The LOGICAL capture view of a deduped archive: every response as
+    * itself, every revisit with its payload FILLED from the original
+    * it names — gated by a digest check (a revisit whose referenced
+    * record's sha1 does not match its claimed digest is torn data and
+    * DROPS rather than serving wrong bytes). Returns (target_uri,
+    * warc_date, payload, was_revisit). One join keyed by the
+    * (refers-to-uri, refers-to-date) identity — cost ∝ revisit count,
+    * the point of the format. */
+  def resolveRevisits(rows: DataFrame): DataFrame = {
+    val resp = rows.filter(col("warc_type") === "response")
+    // duplicate (uri, date) originals are a data defect but must not
+    // duplicate revisits through the join: deterministic max(payload)
+    val originals = resp.groupBy(
+        col("target_uri").as("refers_to_uri"),
+        col("warc_date").as("refers_to_date"))
+      .agg(max(col("payload")).as("__orig"))
+    val revisits = rows.filter(col("warc_type") === "revisit")
+      .join(originals, Seq("refers_to_uri", "refers_to_date"))
+      .filter(concat(lit("sha1:"), sha1(col("__orig"))) === col("payload_digest"))
+      .select(col("target_uri"), col("warc_date"),
+        col("__orig").as("payload"), lit(true).as("was_revisit"))
+    resp.select(col("target_uri"), col("warc_date"), col("payload"),
+        lit(false).as("was_revisit"))
+      .unionByName(revisits)
+  }
 
   // -- WAT metadata sidecar (the CommonCrawl trio's third artifact) --------
 

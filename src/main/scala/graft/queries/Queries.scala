@@ -3349,6 +3349,56 @@ object Queries {
         .ordered("doc_id")
   }
 
+  // X83 — WARC revisit records ([[graft.ext.Warc.writeRecordsDeduped]]
+  // → [[readDeduped]] → [[resolveRevisits]]): every doc captured on
+  // day 1; even docs re-captured UNCHANGED on day 2 — the recrawl
+  // case the ISO 28500 revisit profile exists for. The day-2 captures
+  // store as payload-free revisit records (the spec asserts the byte
+  // shrink); the gate checks the LOGICAL view: resolution fills every
+  // revisit from the original it names, digest-gated, so the full
+  // capture history comes back body-exact. A wrong winner pick,
+  // refers-to linkage, digest, or fill join breaks the hash.
+  q("x83_warc_revisit",
+    """SELECT doc_id, url, warc_date, body FROM (
+      |  SELECT doc_id,
+      |    'https://rv.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |    '2026-08-14T00:00:00Z' AS warc_date,
+      |    'rv ' || COALESCE(text, '') AS body FROM documents
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'https://rv.example/doc/' || CAST(doc_id AS VARCHAR),
+      |    '2026-08-15T00:00:00Z', 'rv ' || COALESCE(text, '')
+      |  FROM documents WHERE doc_id % 2 = 0)
+      |ORDER BY doc_id, warc_date""".stripMargin) { (s, dir) =>
+    graft.ext.Warc.resolveRevisits(
+        graft.ext.Warc.readDeduped(s, revisitArchiveFor(s, dir) + "/*.warc.gz"))
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("url"), col("warc_date"),
+        graft.ext.Warc.httpBody(col("payload")).as("body"))
+      .ordered("doc_id", "warc_date")
+  }
+
+  private val revisitMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def revisitArchiveFor(s: SparkSession, dir: String): String =
+    revisitMemo.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-rv-gate").toString
+      def epoch(day: String, filt: Column) =
+        Tables.documents(s, dir).filter(filt).select(
+          concat(lit("https://rv.example/doc/"),
+            col("doc_id").cast("string")).as("uri"),
+          lit(day).as("ts"),
+          concat(lit("HTTP/1.1 200 OK\r\n\r\nrv "),
+            coalesce(col("text"), lit(""))).as("payload"))
+      graft.ext.Warc.writeRecordsDeduped(
+        epoch("2026-08-14T00:00:00Z", lit(true))
+          .unionByName(epoch("2026-08-15T00:00:00Z", col("doc_id") % 2 === 0))
+          .repartition(4),
+        "uri", "ts", "payload", out)
+      out
+    })
+
   // X82 — SURT url-keys ([[graft.ext.UrlOps.surtKey]], the CommonCrawl
   // CDX `urlkey`): mixed-case www/params URLs canonicalize to the
   // sort-friendly reversed-host form whose point is RANGE-scannable

@@ -519,6 +519,70 @@ class WarcSpec extends SparkTestBase {
     assert(winner == Seq("f2"))
   }
 
+  test("revisit records: unchanged recaptures store payload-free, archive shrinks, resolution fills digest-exact bytes") {
+    import spark.implicits._
+    val dd = java.nio.file.Files.createTempDirectory("graft-rv-d").toString
+    val plain = java.nio.file.Files.createTempDirectory("graft-rv-p").toString
+    // INCOMPRESSIBLE filler (seeded) — a compressible one would let the
+    // per-member gzip erase the duplicate bytes and mask the dedup win
+    val rnd = new scala.util.Random(42)
+    val big = Array.fill(4000)((33 + rnd.nextInt(94)).toChar).mkString
+    val rows = Seq(
+      ("https://rv.example/a", "2026-08-14T00:00:00Z", s"body-a $big"),
+      ("https://rv.example/a", "2026-08-15T00:00:00Z", s"body-a $big"), // unchanged recrawl
+      ("https://rv.example/a", "2026-08-16T00:00:00Z", "body-a CHANGED"), // real change
+      ("https://rv.example/b", "2026-08-14T00:00:00Z", s"body-b $big"),
+      // cross-URI duplicate (a mirror): also a legal revisit target
+      ("https://rv.example/b-mirror", "2026-08-15T00:00:00Z", s"body-b $big"))
+      .toDF("uri", "ts", "payload")
+    Warc.writeRecordsDeduped(rows.repartition(1), "uri", "ts", "payload", dd)
+    Warc.writeRecords(rows.repartition(1), "uri", "ts", "payload", plain)
+    def bytes(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum
+    assert(bytes(dd) < bytes(plain) * 3 / 4,
+      s"dedup ${bytes(dd)} vs plain ${bytes(plain)}: recaptures must not re-store payloads")
+    val all = Warc.readDeduped(spark, dd + "/*.warc.gz")
+    val byKey = all.collect().map(r =>
+      (r.getAs[String]("target_uri"), r.getAs[String]("warc_date")) -> r).toMap
+    // winners (earliest (date, uri) per digest) are responses; their
+    // digest header is present
+    assert(byKey(("https://rv.example/a", "2026-08-14T00:00:00Z"))
+      .getAs[String]("warc_type") == "response")
+    val rev = byKey(("https://rv.example/a", "2026-08-15T00:00:00Z"))
+    assert(rev.getAs[String]("warc_type") == "revisit")
+    assert(rev.getAs[Array[Byte]]("payload").isEmpty)
+    assert(rev.getAs[String]("payload_digest").startsWith("sha1:"))
+    assert(rev.getAs[String]("refers_to_uri") == "https://rv.example/a")
+    assert(rev.getAs[String]("refers_to_date") == "2026-08-14T00:00:00Z")
+    // the changed capture is a full response again
+    assert(byKey(("https://rv.example/a", "2026-08-16T00:00:00Z"))
+      .getAs[String]("warc_type") == "response")
+    // the cross-URI mirror revisits b's capture
+    assert(byKey(("https://rv.example/b-mirror", "2026-08-15T00:00:00Z"))
+      .getAs[String]("refers_to_uri") == "https://rv.example/b")
+    // resolution: the logical view equals the input, revisits flagged
+    val resolved = Warc.resolveRevisits(all)
+      .select(col("target_uri"), col("warc_date"),
+        col("payload").cast("string"), col("was_revisit"))
+      .as[(String, String, String, Boolean)].collect().toSet
+    val expected = rows.as[(String, String, String)].collect().toSet.map {
+      t: (String, String, String) =>
+        (t._1, t._2, t._3,
+          t._2 != "2026-08-14T00:00:00Z" && t._3 != "body-a CHANGED")
+    }
+    assert(resolved == expected, s"$resolved")
+    // digest gate: a revisit naming a record whose bytes do not match
+    // its claimed digest must DROP, not serve wrong bytes
+    val torn = all.withColumn("payload",
+      when(col("warc_type") === "response" &&
+        col("target_uri") === "https://rv.example/b",
+        lit("corrupted".getBytes(UTF_8))).otherwise(col("payload")))
+    val tornResolved = Warc.resolveRevisits(torn)
+      .filter(col("was_revisit")).select("target_uri")
+      .as[String].collect().toSeq
+    assert(!tornResolved.contains("https://rv.example/b-mirror"))
+  }
+
   test("WAT sidecar: envelopes for every response; links/title only on decodable HTML; JSON round-trips; tolerant reader") {
     import spark.implicits._
     val arc = java.nio.file.Files.createTempDirectory("graft-wat-a").toString
