@@ -301,9 +301,7 @@ object Multimodal {
     /** Deterministic test-pattern PNG: pixel (x, y) of image `seed` is
       * an RGB gradient keyed by (seed, x, y) — the fixture generator
       * for gates/specs exercising the REAL decode path. */
-    def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
+    private def syntheticPixels(seed: Long, w: Int, h: Int): Array[Int] = {
       val px = new Array[Int](w * h)
       var y = 0
       while (y < h) {
@@ -317,8 +315,27 @@ object Multimodal {
         }
         y += 1
       }
-      img.setRGB(0, 0, w, h, px, 0, w)
+      px
+    }
+
+    def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, syntheticPixels(seed, w, h), 0, w)
       encodePng(img)
+    }
+
+    /** The content checksum a decoded [[syntheticPng]] yields, computed
+      * straight from the closed-form pixels — the EXPECTATION side of a
+      * round-trip verify without generating, encoding, and re-decoding
+      * a throwaway PNG (the x80 gate's per-row cost, measured ~2× the
+      * whole verify). `getRGB` reports TYPE_INT_RGB pixels with an
+      * opaque alpha byte, so the formula pixels OR in 0xFF000000. */
+    def syntheticChecksum(seed: Long, w: Int, h: Int): Long = {
+      val px = syntheticPixels(seed, w, h)
+      var i = 0
+      while (i < px.length) { px(i) |= 0xFF000000; i += 1 }
+      checksumOf(px)
     }
   }
 

@@ -3266,8 +3266,10 @@ object Queries {
       .map { case (id, cap, img) =>
         val w = (id % 16 + 4).toInt
         val h = (id % 12 + 4).toInt
-        val expect = graft.ext.Multimodal.ImageIoCodec.checksum(
-          graft.ext.Multimodal.ImageIoCodec.syntheticPng(id, w, h))
+        // expectation from the closed-form pixels (no throwaway PNG
+        // encode+decode per row — measured 2x the whole verify)
+        val expect =
+          graft.ext.Multimodal.ImageIoCodec.syntheticChecksum(id, w, h)
         (id, cap,
           img != null && graft.ext.Multimodal.ImageIoCodec.checksum(img) == expect)
       }

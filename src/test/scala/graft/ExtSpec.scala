@@ -443,6 +443,8 @@ class ExtSpec extends SparkTestBase {
     val reenc = ImageIoCodec.encodePng(
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
     assert(ImageIoCodec.checksum(reenc) == expect)
+    // the closed-form expectation path (no encode/decode) agrees
+    assert(ImageIoCodec.syntheticChecksum(seed, w, h) == expect)
   }
 
   test("dHash: brightness-shift invariant, resize-proximate, orientation-distinct; imageNearDups finds planted twins only") {
