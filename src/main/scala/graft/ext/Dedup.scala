@@ -608,7 +608,14 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"8-bit-block banding is exhaustive only for maxHamming <= 7 (got $maxHamming)")
+    // materialize the signatures ONCE: the self-join + banding + id
+    // expansion reference this frame up to 4 ways, and signature
+    // DERIVATION is usually the expensive part (an image dHash decode,
+    // a text shingle pass) while the frame itself is 16 bytes/row —
+    // without the checkpoint every reference re-runs the derivation
+    // (measured 5x the image decode on the x12l gate)
     val s = sig.select(col(idCol).as("id"), col(sigCol).as("__sig"))
+      .localCheckpoint(true)
     // equal-signature pairs: hamming 0 by construction, found by an
     // equi-join on the signature itself (no banding needed)
     val within = s.select(col("__sig"), col("id").as("id1"))
