@@ -466,6 +466,41 @@ object Retrieval {
         round(col("score_dec").cast("double"), 6).as("score"), col("rk"))
   }
 
+  /** HARD-NEGATIVE MINING for retrieval/embedding training sets — the
+    * standard recipe (in-batch negatives are too easy; BM25-mined ones
+    * are what DPR-style training actually uses): for each query, the
+    * corpus' top-ranked BM25 candidates that are NOT known positives
+    * are the hard negatives — lexically confusable, labeled
+    * non-relevant. `positives` is (query_id, pos_id) — a qrel, a click
+    * log, or (the contamination-safe default for query-by-document
+    * mining) the query doc's own dup CLUSTER, so a disguised copy of
+    * the positive can never be mislabeled negative. Candidates fetch
+    * `fetchDepth` (> k) deep so exclusions don't starve the take; the
+    * query doc itself is never a negative even when `positives` omits
+    * it. Returns (query_id, idCol, score, neg_rank) with neg_rank
+    * re-numbered 1..k AFTER exclusion. Scale shape: one batched
+    * index-side scoring pass ([[bm25TopKBatchFromIndex]] — postings
+    * meet query terms term-partitioned), one anti-join sized by
+    * |candidates|, windows only over fetchDepth-bounded lists. */
+  def hardNegatives(index: LexIndex, idCol: String, queries: DataFrame,
+      positives: DataFrame, k: Int, fetchDepth: Int,
+      queryIdCol: String = "query_id", posIdCol: String = "pos_id",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fetchDepth >= k, s"fetchDepth $fetchDepth must be >= k $k")
+    val cands = bm25TopKBatchFromIndex(index, idCol, queries, fetchDepth,
+      queryIdCol, k1 = k1, b = b)
+    val pos = positives.select(col(queryIdCol).as("__pq"),
+      col(posIdCol).as("__pp"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("rk"))
+    cands
+      .filter(col(idCol) =!= col(queryIdCol))
+      .join(pos, col(queryIdCol) === col("__pq") && col(idCol) === col("__pp"),
+        "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("neg_rank"))
+  }
+
   /** Candidate list → (idCol, rank): 1-based position by (score desc,
     * id asc) — the deterministic tie rule. Apply to CANDIDATE lists
     * only: they are top-k-sized by construction, so the unpartitioned

@@ -5322,6 +5322,73 @@ object Queries {
       .ordered("query_id", "rk")
   }
 
+  // X84 — HARD-NEGATIVE MINING ([[graft.ext.Retrieval.hardNegatives]]):
+  // the x38 query-by-document battery's BM25 candidates, fetched 8
+  // deep, minus each query's normalized-dup CLUSTER (the x1b/x30 key
+  // — a disguised copy of the positive can never be mislabeled
+  // negative) and minus the query doc itself, re-ranked 1..5 — the
+  // DPR-style training-pair recipe as one distributed plan. The oracle
+  // composes the x38 scoring consensus with the cluster anti-join;
+  // a candidate leaking from the positive set, a wrong fetch depth, or
+  // a re-rank off-by-one breaks the hash.
+  q("x84_hard_negatives",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |words AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+      |dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM words GROUP BY 1),
+      |stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM words GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS query_id, UNNEST(t[1:4]) AS term
+      |  FROM toks WHERE doc_id % 20 = 0),
+      |contrib AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    CAST(ROUND(
+      |      LN((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+      |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+      |    9) AS DECIMAL(28,10)) AS c
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN stats),
+      |scored AS (
+      |  SELECT query_id, doc_id, SUM(c) AS sc FROM contrib GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT query_id, doc_id, sc,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY sc DESC, doc_id) AS rk
+      |  FROM scored QUALIFY rk <= 8),
+      |keyed AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS ck
+      |  FROM documents),
+      |pos AS (
+      |  SELECT q.doc_id AS query_id, d.doc_id AS pos_id
+      |  FROM keyed q JOIN keyed d USING (ck) WHERE q.doc_id % 20 = 0),
+      |neg AS (
+      |  SELECT query_id, doc_id, sc, rk FROM cand
+      |  WHERE doc_id <> query_id AND NOT EXISTS (
+      |    SELECT 1 FROM pos
+      |    WHERE pos.query_id = cand.query_id AND pos.pos_id = cand.doc_id))
+      |SELECT query_id, doc_id, ROUND(CAST(sc AS DOUBLE), 6) AS score, neg_rank
+      |FROM (SELECT query_id, doc_id, sc,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY rk) AS neg_rank FROM neg)
+      |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val queries = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(trim(col("text")), "\\s+"), 1, 4)).as("term"))
+    val ck = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+    val keyed = docs.select(col("doc_id"), ck.as("ck"))
+    val positives = keyed.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("query_id"), col("ck"))
+      .join(keyed, "ck")
+      .select(col("query_id"), col("doc_id").as("pos_id"))
+    graft.ext.Retrieval.hardNegatives(lexIndex(s, dir), "doc_id",
+        queries, positives, k = 5, fetchDepth = 8)
+      .ordered("query_id", "neg_rank")
+  }
+
   // X38b — BATCHED hybrid retrieval: the same 25-query battery fused
   // with each query's brute-force cosine candidates (its embedding
   // twin), RRF per query, top-10 each — one plan for lexical ranking,

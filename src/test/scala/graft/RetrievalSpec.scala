@@ -435,4 +435,47 @@ class RetrievalSpec extends SparkTestBase {
     assert(batch == loop && batch.nonEmpty)
     assert(!batch.exists(_._1 == "q3")) // no-match query yields nothing
   }
+
+  test("hardNegatives: positives and self excluded, re-ranked 1..k, fetchDepth guards starvation") {
+    // corpus: doc 1 is the query; docs 2,3 are its dup cluster
+    // (positives); 4..9 share the query terms at varying tf
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // exact dup of the query doc
+      (3L, "alpha beta gamma delta"), // another positive
+      (4L, "alpha alpha beta unrelated"),
+      (5L, "alpha beta filler filler"),
+      (6L, "alpha filler filler filler"),
+      (7L, "beta filler filler filler"),
+      (8L, "gamma filler filler filler"),
+      (9L, "totally different content")).toDF("doc_id", "text")
+    val index = Retrieval.buildIndex(docs, "doc_id", "text")
+    val queries = Seq((1L, "alpha"), (1L, "beta"), (1L, "gamma"))
+      .toDF("query_id", "term")
+    val positives = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("query_id", "pos_id")
+    val got = Retrieval.hardNegatives(index, "doc_id", queries, positives,
+        k = 3, fetchDepth = 8)
+      .select("query_id", "doc_id", "neg_rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+    // positives 2,3 and self 1 are excluded even though they out-score
+    // everything; the take still fills k=3 because fetchDepth > k
+    assert(got.map(_._2).toSet.intersect(Set(1L, 2L, 3L)).isEmpty)
+    assert(got.map(_._3) == Seq(1, 2, 3))
+    // the textbook reference: BM25-rank the corpus for the query,
+    // drop {1,2,3}, take 3 in order
+    val ref = Retrieval.bm25TopKBatchFromIndex(index, "doc_id", queries, 9)
+      .orderBy("rk").select("doc_id").as[Long].collect()
+      .filterNot(Set(1L, 2L, 3L)).take(3).toSeq
+    assert(got.map(_._2) == ref, s"got ${got.map(_._2)} ref $ref")
+    // self is excluded even when positives omit it
+    val noSelf = Retrieval.hardNegatives(index, "doc_id", queries,
+        Seq((1L, 2L)).toDF("query_id", "pos_id"), k = 8, fetchDepth = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!noSelf.contains(1L) && !noSelf.contains(2L) && noSelf.contains(3L))
+    // fetchDepth must cover the exclusions
+    intercept[IllegalArgumentException] {
+      Retrieval.hardNegatives(index, "doc_id", queries, positives,
+        k = 5, fetchDepth = 3)
+    }
+  }
 }
