@@ -494,6 +494,64 @@ object DocumentIngest {
     q.awaitTermination()
   }
 
+  /** Streaming ARCHIVE-SIDECAR maintenance — the crawl loop's artifact
+    * completion (CommonCrawl publishes exactly this set next to every
+    * crawl): each micro-batch of `.warc.gz` drops derives its sidecars
+    * exactly once, batch-addressed so replay is a no-op:
+    *
+    *   - WET (`wet/batch_id=<n>`): `conversion` records carrying the
+    *     200-HTML responses' extracted main text ([[graft.ext.Extract
+    *     .mainText]] over the fused body decode) — downstream text
+    *     consumers never re-pay the HTML parse;
+    *   - WAT (`wat/batch_id=<n>`): [[graft.ext.Warc.writeWatRecords]]
+    *     metadata envelopes — link-graph/seed consumers read these,
+    *     ~1/5 the response bytes;
+    *   - capture index (`cdx/batch_id=<n>`, parquet): one row per
+    *     record keyed by its [[graft.ext.UrlOps.surtKey]] urlkey and
+    *     SORTED by it, so a site-scoped query over the accumulated
+    *     index range-prunes to its own row groups.
+    *
+    * The responses themselves stay where they landed — sidecars never
+    * copy payload bytes. The batch persists for its three derivations
+    * (one source scan, not three) and unpersists before the commit. */
+  def sidecarMaintenance(spark: org.apache.spark.sql.SparkSession,
+      warcGlob: String, outDir: String, checkpointDir: String,
+      decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders)
+      : Unit = {
+    val src = spark.readStream.format("warc").load(warcGlob)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sidecarProcessBatch(batch, batchId, outDir, decoders)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private[graft] def sidecarProcessBatch(batch: DataFrame, batchId: Long,
+      outDir: String, decoders: Seq[graft.ext.Warc.ContentDecoder]): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.persist()
+    try {
+      val recs = batch.as[graft.ext.Warc.WarcRow]
+      val texts = graft.ext.Warc.htmlResponses(recs, decoders)
+        .withColumn("text", graft.ext.Extract.mainText(col("html")))
+      graft.ext.Warc.writeWet(texts, "target_uri", "warc_date", "text",
+        s"$outDir/wet/batch_id=$batchId")
+      graft.ext.Warc.writeWatRecords(recs, s"$outDir/wat/batch_id=$batchId",
+        decoders)
+      batch.select(
+          graft.ext.UrlOps.surtKey(col("target_uri")).as("urlkey"),
+          col("target_uri"), col("warc_date"), col("warc_type"),
+          col("content_type"), col("content_length"),
+          col("path"), col("idx"))
+        .sort("urlkey") // batch-sized; zone maps then prune site ranges
+        .write.mode("overwrite").parquet(s"$outDir/cdx/batch_id=$batchId")
+    } finally batch.unpersist(blocking = false)
+  }
+
   /** Streaming SEED maintenance — the crawl-bootstrap complement of
     * [[frontierMaintenance]]: micro-batches of FETCHED governance
     * resources (robots.txt bodies and sitemap payloads, tagged by a

@@ -878,4 +878,67 @@ class DocumentIngestSpec extends SparkTestBase {
   }
 
   private def ts0(i: Int) = Timestamp.valueOf(f"2024-01-01 00:0$i:00")
+
+  test("sidecar maintenance: WET/WAT/CDX per batch over 2 triggers; stream == batch twins; replay no-op") {
+    val mk = (uri: String, body: String) => {
+      val payload = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+      val pb = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-08-15T00:00:00Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${pb.length}\r\n\r\n").getBytes("UTF-8") ++ pb ++
+        "\r\n\r\n".getBytes("UTF-8")
+    }
+    val warcDir = Files.createTempDirectory("graft-sc").toString
+    val outDir = Files.createTempDirectory("graft-sc-out").toString
+    val ckDir = Files.createTempDirectory("graft-sc-ck").toString
+    def gz(path: String, recs: Array[Byte]*): Unit = {
+      val f = new java.io.FileOutputStream(path)
+      val w = new graft.ext.Warc.MemberGzipWriter(f)
+      try recs.foreach(w.writeMember) finally { w.end(); f.close() }
+    }
+    def runOnce(): Unit = DocumentIngest.sidecarMaintenance(
+      spark, warcDir + "/*.warc.gz", outDir, ckDir)
+    gz(s"$warcDir/d1.warc.gz",
+      mk("https://sc.example/a", "<html><head><title>A</title></head>" +
+        "<body><p>alpha body text long enough to keep</p>" +
+        "<a href=\"/next\">n</a></body></html>"),
+      mk("https://sc.example/b", "<p>beta body text long enough to keep</p>"))
+    runOnce()
+    gz(s"$warcDir/d2.warc.gz",
+      mk("https://sc.example/c", "<p>gamma body text long enough to keep</p>"))
+    runOnce()
+    // one sidecar set per non-empty batch
+    def batches(kind: String) = new java.io.File(s"$outDir/$kind").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    assert(batches("wet") == batches("wat") && batches("wet").size == 2,
+      s"${batches("wet")}")
+    // WET: conversion records whose text == the batch extractor's
+    val wet = graft.ext.Warc.wetTexts(
+        graft.ext.Warc.read(spark, outDir + "/wet/*/*.warc.gz"))
+      .select("target_uri", "text").as[(String, String)].collect().toMap
+    val batchTexts = graft.ext.Warc.htmlResponses(
+        graft.ext.Warc.read(spark, warcDir + "/*.warc.gz"))
+      .select(col("target_uri"),
+        graft.ext.Extract.mainText(col("html")).as("text"))
+      .as[(String, String)].collect().toMap
+    assert(wet == batchTexts && wet.keySet ==
+      Set("https://sc.example/a", "https://sc.example/b", "https://sc.example/c"))
+    // WAT: envelopes match the batch derivation, links included
+    val wat = graft.ext.Warc.watEnvelopes(
+        graft.ext.Warc.read(spark, outDir + "/wat/*/*.warc.gz"))
+      .select("target_uri", "title", "links")
+      .as[(String, String, Seq[String])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(wat("https://sc.example/a")._1 == "A")
+    assert(wat("https://sc.example/a")._2 == Seq("https://sc.example/next"))
+    // CDX: urlkey-keyed rows for every record, accumulated
+    val cdx = spark.read.parquet(outDir + "/cdx")
+    assert(cdx.count() == 3)
+    assert(cdx.select("urlkey").as[String].collect().forall(
+      _.startsWith("example,sc)")))
+    // replay with no new files: a no-op everywhere
+    runOnce()
+    assert(batches("wet").size == 2 && cdx.count() == 3)
+  }
 }
