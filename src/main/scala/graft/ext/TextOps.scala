@@ -365,6 +365,53 @@ object TextOps {
       "kept_chars" -> aggregate(kept, lit(0L), (acc, l) => acc + length(l)))
   }
 
+  /** Token-distribution DIVERGENCE between two corpora — the drift
+    * monitor a training-data pipeline runs between corpus versions
+    * ("did the new filter shift the data?"): KL(P‖Q), KL(Q‖P), and the
+    * symmetric bounded Jensen-Shannon divergence over the UNION vocab
+    * with add-α smoothing (α > 0 keeps disjoint-vocab terms finite —
+    * plain KL is +∞ the moment Q misses a P term). Returns ONE row:
+    * (n_terms, n_tokens_a, n_tokens_b, kl_ab, kl_ba, js).
+    *
+    * Shape: one token-count aggregation per corpus (map-side partials
+    * over tokens), one full-outer join of the two vocab frames, totals
+    * as a broadcast 1-row stats frame (the BM25 pattern), and the
+    * divergence as a per-term fold. Cross-engine determinism follows
+    * the round-9 consensus: probabilities are IEEE-double expressions
+    * of exact integer counts, each term's contribution rounds to 12
+    * decimals and sums as DECIMAL — the oracle twin runs the identical
+    * forms. Natural-log units. */
+  def vocabDivergence(a: DataFrame, b: DataFrame, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive for finite KL (got $alpha)")
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(tokens(lower(col(textCol)))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as(as))
+    val merged = counts(a, "ca").join(counts(b, "cb"), Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val stats = merged.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    val joined = merged.crossJoin(broadcast(stats))
+    val p = (col("ca") + lit(alpha)) / (col("na") + lit(alpha) * col("v"))
+    val q = (col("cb") + lit(alpha)) / (col("nb") + lit(alpha) * col("v"))
+    val m = (p + q) / 2
+    def dec(c: Column): Column = round(c, 12).cast("decimal(32,14)")
+    joined
+      .select(col("na"), col("nb"), col("v"),
+        dec(p * log(p / q)).as("c_ab"), dec(q * log(q / p)).as("c_ba"),
+        dec(p * log(p / m) / 2 + q * log(q / m) / 2).as("c_js"))
+      .groupBy("na", "nb", "v")
+      .agg(sum(col("c_ab")).as("s_ab"), sum(col("c_ba")).as("s_ba"),
+        sum(col("c_js")).as("s_js"))
+      .select(col("v").as("n_terms"),
+        col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        round(col("s_ab").cast("double"), 6).as("kl_ab"),
+        round(col("s_ba").cast("double"), 6).as("kl_ba"),
+        round(col("s_js").cast("double"), 6).as("js"))
+  }
+
   /** Order-sensitive polynomial rolling fingerprint over tokens,
     * expressible in portable SQL (used by the oracle gate):
     * sum over tokens of (position+1) * first-char-code * token-length,

@@ -3351,6 +3351,52 @@ object Queries {
         .ordered("doc_id")
   }
 
+  // X85 — corpus DRIFT monitor ([[graft.ext.TextOps.vocabDivergence]]):
+  // KL both ways + bounded Jensen-Shannon over the union vocab with
+  // add-0.5 smoothing, even-doc corpus vs odd-doc corpus — the check a
+  // pipeline runs between corpus versions ("did the new filter shift
+  // the distribution?"). One token-count agg per side, one full-outer
+  // vocab join, per-term contributions on the round-12 decimal
+  // consensus — the oracle runs the identical IEEE forms; a smoothing,
+  // union-vocab, or probability-normalization slip breaks the hash.
+  q("x85_vocab_divergence",
+    """WITH ta AS (
+      |  SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |tb AS (
+      |  SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |ca AS (SELECT term, COUNT(*)::BIGINT AS ca FROM ta WHERE term <> '' GROUP BY 1),
+      |cb AS (SELECT term, COUNT(*)::BIGINT AS cb FROM tb WHERE term <> '' GROUP BY 1),
+      |merged AS (
+      |  SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+      |  FROM ca FULL OUTER JOIN cb USING (term)),
+      |stats AS (
+      |  SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb,
+      |         COUNT(*)::BIGINT AS v FROM merged),
+      |c AS (
+      |  SELECT na, nb, v,
+      |    (ca + 0.5) / (na + 0.5 * v) AS p,
+      |    (cb + 0.5) / (nb + 0.5 * v) AS q
+      |  FROM merged CROSS JOIN stats),
+      |sums AS (
+      |  SELECT na, nb, v,
+      |    SUM(CAST(ROUND(p * LN(p / q), 12) AS DECIMAL(32,14))) AS s_ab,
+      |    SUM(CAST(ROUND(q * LN(q / p), 12) AS DECIMAL(32,14))) AS s_ba,
+      |    SUM(CAST(ROUND(p * LN(p / ((p + q) / 2)) / 2
+      |      + q * LN(q / ((p + q) / 2)) / 2, 12) AS DECIMAL(32,14))) AS s_js
+      |  FROM c GROUP BY 1, 2, 3)
+      |SELECT v AS n_terms, na AS n_tokens_a, nb AS n_tokens_b,
+      |  ROUND(CAST(s_ab AS DOUBLE), 6) AS kl_ab,
+      |  ROUND(CAST(s_ba AS DOUBLE), 6) AS kl_ba,
+      |  ROUND(CAST(s_js AS DOUBLE), 6) AS js
+      |FROM sums""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.ext.TextOps.vocabDivergence(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text")
+  }
+
   // X83 — WARC revisit records ([[graft.ext.Warc.writeRecordsDeduped]]
   // → [[readDeduped]] → [[resolveRevisits]]): every doc captured on
   // day 1; even docs re-captured UNCHANGED on day 2 — the recrawl

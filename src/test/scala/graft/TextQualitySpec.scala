@@ -240,4 +240,30 @@ class TextQualitySpec extends SparkTestBase {
     assert(out(2) == "touch\u00E9!")
     assert(out(3) == "100% ascii")
   }
+
+  test("vocabDivergence: identity is zero, JS symmetric and bounded, disjoint vocab maximal, alpha guard") {
+    import graft.ext.TextOps
+    val a = Seq("alpha beta beta gamma", "alpha delta").toDF("text")
+    val b = Seq("alpha beta", "epsilon zeta zeta").toDF("text")
+    def row(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      TextOps.vocabDivergence(x, y, "text").collect().head
+    // KL(P||P) == 0 exactly (every per-term contribution is ln(1) = 0)
+    val self = row(a, a)
+    assert(self.getAs[Double]("kl_ab") == 0.0 && self.getAs[Double]("js") == 0.0)
+    // symmetry: JS(a,b) == JS(b,a); KL directions swap
+    val ab = row(a, b); val ba = row(b, a)
+    assert(ab.getAs[Double]("js") == ba.getAs[Double]("js"))
+    assert(ab.getAs[Double]("kl_ab") == ba.getAs[Double]("kl_ba"))
+    assert(ab.getAs[Double]("js") > 0.0 &&
+      ab.getAs[Double]("js") <= math.log(2) + 1e-9) // JS bound (nats)
+    // a disjoint-vocab pair diverges more than an overlapping one
+    val c = Seq("eta theta iota").toDF("text")
+    assert(row(a, c).getAs[Double]("js") > ab.getAs[Double]("js"))
+    // union-vocab bookkeeping
+    assert(ab.getAs[Long]("n_terms") == 6) // alpha beta gamma delta epsilon zeta
+    assert(ab.getAs[Long]("n_tokens_a") == 6 && ab.getAs[Long]("n_tokens_b") == 5)
+    intercept[IllegalArgumentException] {
+      TextOps.vocabDivergence(a, b, "text", alpha = 0.0)
+    }
+  }
 }
