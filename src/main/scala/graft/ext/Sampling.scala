@@ -166,6 +166,37 @@ object Sampling {
       lit(n.toLong))
   }
 
+  /** CLUSTER-BALANCED sampling — diversity-preserving selection over an
+    * EMBEDDING column (the "cluster-then-sample" curation move,
+    * SemDeDup's diversification cousin): a seeded k-means quantizer
+    * ([[Ivf.build]] — the same cells the ANN index uses) partitions the
+    * corpus into `cells` semantic modes, then [[stratifiedTake]] keeps
+    * `perCell` per mode under the seeded draw — a dominant mode
+    * (boilerplate cluster, one over-crawled topic) can never fill the
+    * budget that a uniform sample would hand it. Under-populated cells
+    * keep everything. Returns the corpus columns + `cell`. Scale: the
+    * quantizer fit is one MLlib job over vectors; the take is the
+    * critical-bucket engine — per-cell exactness with no corpus-wide
+    * windows.
+    *
+    * Determinism caveat, stated rather than papered over: GIVEN the
+    * kmeans seed and a fixed input layout the whole selection is
+    * reproducible, but MLlib's k-means aggregates are not
+    * partitioning-invariant — re-laying-out the corpus can move cell
+    * boundaries and therefore the sample (unlike every hash-draw
+    * sampler above, whose draws are pure row functions). Pin the
+    * input layout (read the same files the same way) when exact
+    * reproducibility across runs matters. */
+  def clusterBalancedTake(corpus: DataFrame, idCol: String, vecCol: String,
+      cells: Int, perCell: Int, seed: String,
+      kmeansSeed: Long = 42L): DataFrame = {
+    val assigned = Ivf.build(corpus.select(col(idCol), col(vecCol)),
+      cells, kmeansSeed, idCol, vecCol).assigned
+    stratifiedTake(
+      corpus.join(assigned.select(col(idCol), col("cell")), Seq(idCol)),
+      Seq("cell"), col(idCol), seed, perCell)
+  }
+
   /** The critical-bucket quota engine over an arbitrary fixed-width
     * hex draw (bucket = the draw's leading 16 bits, so any draw whose
     * PREFIX is monotone in the desired order works). */

