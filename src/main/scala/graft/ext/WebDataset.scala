@@ -191,34 +191,7 @@ object WebDataset {
   def writeShardsBySize(df: DataFrame, keyCol: String,
       fields: Seq[(String, Column)], outDir: String, targetBytes: Long,
       seed: String = "wds-shards"): Unit = {
-    require(fields.nonEmpty, "writeShardsBySize needs at least one field")
-    require(targetBytes >= 2L * Block,
-      s"targetBytes must be at least one header+block (got $targetBytes)")
-    // tar-exact bytes per sample: Σ non-null fields (512 header +
-    // payload rounded up to 512); 512 = 2^9, so the round-up is shifts
-    val sampleBytes = fields.map { case (_, c) =>
-      val b = c.cast("binary")
-      when(b.isNotNull, lit(Block.toLong) +
-        shiftleft(shiftright(octet_length(b).cast("long") + (Block - 1), 9), 9))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-    val d = Sampling.drawHex(col(keyCol), seed)
-    val rows = df.select(Seq(col(keyCol).cast("string").as("__k"),
-        sampleBytes.as("__bytes"), d.as("__d")) ++
-        fields.map { case (ext, c) => c.cast("binary").as(s"__f_$ext") }: _*)
-      .withColumn("__bkt", conv(substring(col("__d"), 1, 4), 16, 10).cast("long"))
-    val perBucket = rows.groupBy("__bkt").agg(sum(col("__bytes")).as("__bb"))
-    val wB = Window.orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val starts = perBucket
-      .withColumn("__bstart", coalesce(sum(col("__bb")).over(wB), lit(0L)))
-      .select(col("__bkt"), col("__bstart"))
-    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("__d"), col("__k"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val assigned = rows.join(starts, Seq("__bkt"))
-      .withColumn("__prefix",
-        col("__bstart") + coalesce(sum(col("__bytes")).over(wIn), lit(0L)))
-      .withColumn("__shard", floor(col("__prefix") / targetBytes))
+    val assigned = assignShardsBySize(df, keyCol, fields, targetBytes, seed)
     val exts = fields.map(_._1)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
@@ -268,6 +241,45 @@ object WebDataset {
             throw t
         }
       }
+  }
+
+  /** The size-prefix-sum shard ASSIGNMENT behind [[writeShardsBySize]],
+    * exposed for plan assertions: returns the field-projected rows plus
+    * (__bkt, __d, __k, __bytes, __prefix, __shard). No global sort by
+    * construction — the only order-sensitive steps are the window over
+    * the ≤65536-row bucket-total metadata frame and the 65536-way
+    * bucket-partitioned prefix windows. */
+  private[graft] def assignShardsBySize(df: DataFrame, keyCol: String,
+      fields: Seq[(String, Column)], targetBytes: Long,
+      seed: String): DataFrame = {
+    require(fields.nonEmpty, "writeShardsBySize needs at least one field")
+    require(targetBytes >= 2L * Block,
+      s"targetBytes must be at least one header+block (got $targetBytes)")
+    // tar-exact bytes per sample: Σ non-null fields (512 header +
+    // payload rounded up to 512); 512 = 2^9, so the round-up is shifts
+    val sampleBytes = fields.map { case (_, c) =>
+      val b = c.cast("binary")
+      when(b.isNotNull, lit(Block.toLong) +
+        shiftleft(shiftright(octet_length(b).cast("long") + (Block - 1), 9), 9))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val d = Sampling.drawHex(col(keyCol), seed)
+    val rows = df.select(Seq(col(keyCol).cast("string").as("__k"),
+        sampleBytes.as("__bytes"), d.as("__d")) ++
+        fields.map { case (ext, c) => c.cast("binary").as(s"__f_$ext") }: _*)
+      .withColumn("__bkt", conv(substring(col("__d"), 1, 4), 16, 10).cast("long"))
+    val perBucket = rows.groupBy("__bkt").agg(sum(col("__bytes")).as("__bb"))
+    val wB = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = perBucket
+      .withColumn("__bstart", coalesce(sum(col("__bb")).over(wB), lit(0L)))
+      .select(col("__bkt"), col("__bstart"))
+    val wIn = Window.partitionBy(col("__bkt")).orderBy(col("__d"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows.join(starts, Seq("__bkt"))
+      .withColumn("__prefix",
+        col("__bstart") + coalesce(sum(col("__bytes")).over(wIn), lit(0L)))
+      .withColumn("__shard", floor(col("__prefix") / targetBytes))
   }
 
   /** Read tar shards back as ENTRY rows: (shard, key, ext, payload) —

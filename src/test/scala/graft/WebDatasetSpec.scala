@@ -100,6 +100,18 @@ class WebDatasetSpec extends SparkTestBase {
       val m = r.getMap[String, Array[Byte]](1)
       assert(m.keysIterator.toSet == Set("txt", "meta"), r.getString(0))
     }
+    // the scale claim, plan-asserted: the assignment never plans a
+    // GLOBAL row sort over the corpus — the only range exchange
+    // belongs to the metadata bucket-total window (sized <= 65536),
+    // whose sort key is the bucket id, never the per-row draw
+    val assigned = WebDataset.assignShardsBySize(df, "key",
+      Seq("txt" -> col("txt"), "meta" -> col("meta")), 16384, "wds-shards")
+    assigned.collect()
+    val plan = assigned.queryExecution.executedPlan.toString
+    val rangeExchanges = "rangepartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan.toLowerCase).map(_.group(1)).toSeq
+    assert(rangeExchanges.forall(k => k.contains("__bkt") && !k.contains("__d")),
+      s"global-order exchange over corpus rows:\n$plan")
     // determinism: a re-run with the same seed lands identical shards
     val dir2 = java.nio.file.Files.createTempDirectory("graft-wds-size2").toString
     WebDataset.writeShardsBySize(df.repartition(3), "key",
