@@ -36,11 +36,43 @@ object AtomicSink {
     * a prior job over the same outDir, or an already-committed
     * duplicate attempt) is replaced — both carry complete bytes, and
     * per-partition determinism makes the replacement byte-identical in
-    * the duplicate-attempt case. Never leaves `tmp` behind. */
+    * the duplicate-attempt case.
+    *
+    * Replacement is ATOMIC where the filesystem can express it: the
+    * FileContext rename with OVERWRITE (HDFS and the local FS both
+    * implement it as a single atomic replace), so concurrent readers
+    * never observe a window where `dest` is absent. Only when that API
+    * is unavailable does the delete-then-rename fallback run — and in
+    * the fallback, `tmp` (possibly the only complete copy at that
+    * point) is deleted ONLY after `dest` verifiably exists again (a
+    * racer's complete commit); any other second-rename failure
+    * propagates instead of silently discarding the data. */
   def commit(fs: FileSystem, tmp: Path, dest: Path): Unit = {
-    if (!fs.rename(tmp, dest)) { // HDFS rename refuses an existing dest
-      fs.delete(dest, false)
-      if (!fs.rename(tmp, dest)) fs.delete(tmp, false) // racer committed first
+    if (!fs.rename(tmp, dest)) { // plain FS rename refuses an existing dest
+      val qTmp = fs.makeQualified(tmp)
+      val qDest = fs.makeQualified(dest)
+      val atomic =
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(qDest.toUri, fs.getConf)
+            .rename(qTmp, qDest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          true
+        } catch {
+          // tmp vanished: success only if a racer's complete commit
+          // actually sits at dest — otherwise fall through and fail
+          case _: java.io.FileNotFoundException => fs.exists(dest)
+          case _: UnsupportedOperationException => false
+          case _: java.io.IOException => false
+        }
+      if (!atomic) {
+        fs.delete(dest, false)
+        if (!fs.rename(tmp, dest)) {
+          if (fs.exists(dest)) fs.delete(tmp, false) // racer committed a complete copy
+          else throw new java.io.IOException(
+            s"atomic commit failed: could not publish $tmp as $dest " +
+              "and no committed copy exists")
+        }
+      }
     }
   }
 

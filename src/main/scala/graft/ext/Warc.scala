@@ -364,13 +364,21 @@ object Warc {
     val uri = headerSafe(col(uriCol))
     val date = headerSafe(col(dateCol))
     // deterministic urn:uuid from md5(uri \n date \n ordinal): the
-    // per-record discriminator (partition id << 33 | row ordinal —
-    // deterministic under a fixed partitioning, so reproducible
-    // re-archives keep their ids) makes duplicate (uri, date) rows
-    // emit DISTINCT Record-IDs, the ISO 28500 global-uniqueness
-    // requirement; the version nibble is pinned to 3 (name-based MD5)
-    // and the variant to RFC 4122 (10xx) so external consumers see a
-    // well-formed UUID, formatted 8-4-4-4-12
+    // per-record discriminator (partition id << 33 | row ordinal)
+    // makes duplicate (uri, date) rows emit DISTINCT Record-IDs, the
+    // ISO 28500 global-uniqueness requirement. The ordinal is only
+    // reproducible if intra-partition row ORDER is — which a shuffle
+    // feeding the sink does not guarantee across task retries or
+    // speculative duplicates — so every sink path sorts its partitions
+    // by a content digest first ([[determinismKey]]): order becomes a
+    // pure function of partition CONTENT, ties are byte-identical rows
+    // (any tie permutation emits the same bytes), and a retried
+    // attempt re-produces the identical file — the property
+    // [[AtomicSink]]'s benign-double-commit argument and
+    // [[writeRecordsIndexed]]'s index validity rest on. The version
+    // nibble is pinned to 3 (name-based MD5) and the variant to
+    // RFC 4122 (10xx) so external consumers see a well-formed UUID,
+    // formatted 8-4-4-4-12
     val h = md5(concat(uri, lit("\n"), date, lit("\n"),
       monotonically_increasing_id().cast("string")).cast("binary"))
     val variantNibble = lower(hex(conv(substring(h, 17, 1), 16, 10)
@@ -393,6 +401,20 @@ object Warc {
     (rec, uri, date)
   }
 
+  /** The sink-side intra-partition sort key: sha1 over every column
+    * that reaches the record bytes. Sorting partitions by it before
+    * framing makes row order a pure function of partition CONTENT —
+    * the determinism task retries and speculative duplicates need
+    * (ties under the full-content key are byte-identical rows, so any
+    * tie order emits the same bytes). Null parts fold to empty so a
+    * null in one column cannot null the whole key and create
+    * non-identical ties. Each part hashes separately before the outer
+    * hash — bare concatenation would alias ("ab","c")/("a","bc") into
+    * a non-identical tie. */
+  private def determinismKey(parts: Column*): Column =
+    sha1(concat_ws("|", parts.map(c =>
+      sha1(coalesce(c.cast("binary"), lit(Array.empty[Byte])))): _*))
+
   def writeRecords(df: org.apache.spark.sql.DataFrame, uriCol: String,
       dateCol: String, payloadCol: String, outDir: String,
       warcType: String = "response",
@@ -409,7 +431,12 @@ object Warc {
       httpContentType, extraHeaders)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    df.select(rec.as("r")).foreachPartition {
+    // deterministic intra-partition order under retries/speculation:
+    // see [[determinismKey]] — the ordinal inside each Record-ID binds
+    // to content, not to nondeterministic shuffle arrival order
+    df.sortWithinPartitions(determinismKey(col(uriCol), col(dateCol),
+        warcType, httpContentType, extraHeaders, col(payloadCol)))
+      .select(rec.as("r")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val ctx = org.apache.spark.TaskContext.get()
@@ -455,7 +482,13 @@ object Warc {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(rec.as("r"), uri.as("u"), date.as("d"))
+    // the determinism sort matters doubly here: a speculative loser's
+    // commit can replace the winner's file AFTER Spark kept the
+    // winner's index rows — byte-identical output keeps those offsets
+    // valid ([[determinismKey]])
+    df.sortWithinPartitions(determinismKey(col(uriCol), col(dateCol),
+        col(payloadCol)))
+      .select(rec.as("r"), uri.as("u"), date.as("d"))
       .as[(Array[Byte], String, String)]
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
@@ -568,9 +601,13 @@ object Warc {
         val rows = it.buffered
         new Iterator[WarcRow] {
           private var pending: Iterator[WarcRow] = Iterator.empty
-          override def hasNext: Boolean = pending.hasNext || rows.hasNext
-          override def next(): WarcRow = {
-            while (!pending.hasNext) {
+          // Iterator-contract discipline: hasNext pre-builds the next
+          // non-empty batch, so a trailing run of unparseable index
+          // entries (corrupt/truncated ranges — parseBytes yields
+          // nothing) reports exhaustion instead of a true hasNext
+          // followed by a NoSuchElementException from next()
+          private def advance(): Unit =
+            while (!pending.hasNext && rows.hasNext) {
               // build the next coalesced span: same file, gaps within
               // tolerance, span bounded
               val (p, off0, len0) = rows.next()
@@ -603,8 +640,8 @@ object Warc {
                 }
               }
             }
-            pending.next()
-          }
+          override def hasNext: Boolean = { advance(); pending.hasNext }
+          override def next(): WarcRow = { advance(); pending.next() }
         }
       }
   }

@@ -47,8 +47,11 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WarcDataSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new WarcTable(WarcDataSource.pathsOf(properties.asScala.toMap))
+      properties: util.Map[String, String]): Table = {
+    val props = properties.asScala.toMap
+    new WarcTable(WarcDataSource.pathsOf(props),
+      WarcDataSource.maxFilesPerTriggerOf(props))
+  }
 }
 
 object WarcDataSource {
@@ -80,6 +83,20 @@ object WarcDataSource {
     all
   }
 
+  /** Streaming admission control knob (the FileStreamSource option of
+    * the same name): at most N new files per micro-batch. */
+  private[graft] def maxFilesPerTriggerOf(props: Map[String, String]): Option[Int] =
+    props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v
+    }.map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"maxFilesPerTrigger must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
+
   /** Driver-side glob expansion (the Warc.read listing), one entry per
     * FILE, deterministic order — file COUNT is the parallelism unit. */
   private[sources] def expandGlobs(paths: Seq[String]): Seq[String] = {
@@ -94,13 +111,20 @@ object WarcDataSource {
   }
 }
 
-final class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
+final class WarcTable(paths: Seq[String], maxFilesPerTrigger: Option[Int])
+    extends Table with SupportsRead {
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the read-time option wins over the table property (both arrive
+    // here for a spark.readStream.option(...) query)
+    val opt = WarcDataSource
+      .maxFilesPerTriggerOf(options.asScala.toMap)
+      .orElse(maxFilesPerTrigger)
+    new WarcScanBuilder(paths, opt)
+  }
 }
 
 /** Exact, reader-side evaluation of pushed V1 filters over the
@@ -178,7 +202,7 @@ private[sources] object WarcFilters {
   }
 }
 
-final class WarcScanBuilder(paths: Seq[String])
+final class WarcScanBuilder(paths: Seq[String], maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.Schema
@@ -191,16 +215,19 @@ final class WarcScanBuilder(paths: Seq[String])
     residual // accepted filters are exact — Spark need not re-evaluate
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new WarcScan(paths, required, pushed)
+  override def build(): Scan =
+    new WarcScan(paths, required, pushed, maxFilesPerTrigger)
 }
 
 final class WarcScan(paths: Seq[String], required: StructType,
-    filters: Array[Filter]) extends Scan with Batch {
+    filters: Array[Filter], maxFilesPerTrigger: Option[Int] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(paths, required, filters, checkpointLocation)
+    new WarcMicroBatchStream(paths, required, filters, checkpointLocation,
+      maxFilesPerTrigger)
   override def description(): String =
     s"WarcScan(${paths.mkString(",")}, columns=${required.fieldNames.mkString(",")}" +
       (if (filters.isEmpty) ")"
@@ -322,6 +349,21 @@ object WarcOffset {
   }
 }
 
+/** The PRE-COMPACTION offset form (a JSON array of every file seen so
+  * far), still deserialized so a checkpoint written by the old source
+  * restarts instead of hard-crashing: [[WarcMicroBatchStream]] folds a
+  * legacy start offset's files into its seen set and replans an
+  * uncommitted legacy batch as (end.files − start.files). The first
+  * fresh batch the restarted query plans commits a compact
+  * `{"batch":N}` offset, completing the upgrade — this class never
+  * serializes back into a NEW checkpoint entry beyond the replay. */
+final case class LegacyWarcOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(files.toArray)
+}
+
 /** The per-batch file log behind [[WarcOffset]]: directory of
   * `<batchId>` → JSON string array of the files NEW in that batch. */
 private[sources] final class WarcFileLog(logDir: org.apache.hadoop.fs.Path,
@@ -376,10 +418,11 @@ private[sources] final class WarcFileLog(logDir: org.apache.hadoop.fs.Path,
   * deterministic-batch contract every store-maintenance loop in this
   * repo runs on. */
 final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
-    filters: Array[Filter], checkpointLocation: String)
+    filters: Array[Filter], checkpointLocation: String,
+    maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
 
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
@@ -392,36 +435,89 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
   private def seen = state._2
   @volatile private var maxBatch: Long = Long.MinValue
   // AvailableNow: the listing captured at query start; every
-  // latestOffset until stop() drains exactly this snapshot
+  // latestOffset until stop() drains exactly this snapshot — with a
+  // file cap, in ⌈fresh/cap⌉ batches rather than one
   @volatile private var captured: Option[Seq[String]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
     captured = Some(WarcDataSource.expandGlobs(paths))
 
-  override def initialOffset(): Offset = WarcOffset(-1L)
-  override def latestOffset(): Offset = synchronized {
-    if (maxBatch == Long.MinValue) maxBatch = state._1
-    val listing = captured.getOrElse(WarcDataSource.expandGlobs(paths))
-    val fresh = listing.filterNot(seen)
-    if (fresh.nonEmpty) {
-      val next = maxBatch + 1
-      log.write(next, fresh) // persisted BEFORE the id is ever returned
-      seen ++= fresh
-      maxBatch = next
-    }
-    WarcOffset(maxBatch max -1L)
+  /** ADMISSION CONTROL (the `maxFilesPerTrigger` source option): the
+    * default limit Spark hands back to [[latestOffset(start,limit)*]]
+    * each trigger. Without it a cold start over an EXISTING archive —
+    * or a restart after downtime — planned every fresh file in ONE
+    * corpus-sized micro-batch: correct, but unbounded memory/wall-clock
+    * per trigger and no incremental checkpoint progress. */
+  override def getDefaultReadLimit(): ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Files-per-batch cap of a ReadLimit. Only the shapes this source
+    * can HONOR are accepted — a row-based limit cannot be enforced by a
+    * file source without reading the files, so claiming to accept one
+    * would silently not limit (the API-contract wart this replaces). */
+  private def capOf(limit: ReadLimit): Option[Int] = limit match {
+    case _: ReadAllAvailable => None
+    case m: ReadMaxFiles => Some(m.maxFiles())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(capOf).reduceOption(_ min _)
+    case other => throw new UnsupportedOperationException(
+      s"warc source cannot honor ReadLimit $other (file-count limits only)")
   }
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    latestOffset()
-  override def deserializeOffset(json: String): Offset = WarcOffset.fromJson(json)
+
+  private def advance(startSeen: Seq[String], cap: Option[Int]): Offset =
+    synchronized {
+      if (maxBatch == Long.MinValue) maxBatch = state._1
+      seen ++= startSeen // legacy-offset files: processed pre-upgrade
+      val listing = captured.getOrElse(WarcDataSource.expandGlobs(paths))
+      val fresh0 = listing.filterNot(seen)
+      val fresh = cap.fold(fresh0)(fresh0.take)
+      if (fresh.nonEmpty) {
+        val next = maxBatch + 1
+        log.write(next, fresh) // persisted BEFORE the id is ever returned
+        seen ++= fresh
+        maxBatch = next
+      }
+      WarcOffset(maxBatch max -1L)
+    }
+
+  override def initialOffset(): Offset = WarcOffset(-1L)
+  override def latestOffset(): Offset =
+    advance(Nil, maxFilesPerTrigger)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val legacy = start match {
+      case LegacyWarcOffset(files) => files
+      case _ => Nil
+    }
+    advance(legacy, capOf(limit))
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    if (node.isArray) {
+      // pre-compaction checkpoint entry: the full seen-file list
+      val files = (0 until node.size).map(i => node.get(i).asText())
+      LegacyWarcOffset(files)
+    } else WarcOffset.fromJson(json)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[WarcOffset].batch
-    val e = end.asInstanceOf[WarcOffset].batch
-    // re-read from the persisted log (not memory): a restart replans
-    // an uncommitted batch from the files its log recorded
-    ((s + 1) to e).flatMap(log.read)
-      .map(p => WarcInputPartition(p): InputPartition).toArray
+    val files = (start, end) match {
+      case (LegacyWarcOffset(s), LegacyWarcOffset(e)) =>
+        // replay of a batch planned ENTIRELY pre-upgrade
+        val done = s.toSet
+        e.filterNot(done)
+      case (LegacyWarcOffset(_), WarcOffset(e)) =>
+        // start is pre-upgrade (its files are NOT in the log; they are
+        // excluded via `seen` in advance()), end is post-upgrade: every
+        // logged batch up to `e` is new work
+        log.batchIds().filter(_ <= e).flatMap(log.read)
+      case (WarcOffset(s), WarcOffset(e)) =>
+        // re-read from the persisted log (not memory): a restart
+        // replans an uncommitted batch from the files its log recorded
+        ((s + 1) to e).flatMap(log.read)
+      case (s, e) => throw new IllegalStateException(
+        s"unexpected warc offset pair ($s, $e)")
+    }
+    files.map(p => WarcInputPartition(p): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     WarcReaderFactory(conf, required, filters)

@@ -477,8 +477,11 @@ object DocumentIngest {
       rankEvery: Int = 1,
       robotsTable: Option[String] = None,
       robotsAgent: String = "*",
-      decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders): Unit = {
-    val src = spark.readStream.format("warc").load(warcGlob)
+      decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream.format("warc")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val src = reader.load(warcGlob)
     val pages = warcPages(src, decoders = decoders)
       .select(col("target_uri").as("url"), col("html"))
     val q = pages.writeStream
@@ -516,9 +519,12 @@ object DocumentIngest {
     * (one source scan, not three) and unpersists before the commit. */
   def sidecarMaintenance(spark: org.apache.spark.sql.SparkSession,
       warcGlob: String, outDir: String, checkpointDir: String,
-      decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders)
+      decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders,
+      maxFilesPerTrigger: Option[Int] = None)
       : Unit = {
-    val src = spark.readStream.format("warc").load(warcGlob)
+    val reader = spark.readStream.format("warc")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val src = reader.load(warcGlob)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sidecarProcessBatch(batch, batchId, outDir, decoders)

@@ -253,4 +253,103 @@ class WarcSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == 4)
     assert(logDir.listFiles().count(_.getName.matches("\\d+")) == 3)
   }
+
+  test("admission control: maxFilesPerTrigger=k drains N files in ceil(N/k) batches, across restarts; replay no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-adm").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-adm-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-adm-ck").toString
+    def drop(name: String, uri: String): Unit = {
+      val f = new java.io.FileOutputStream(s"$warcDir/$name")
+      val w = new Warc.MemberGzipWriter(f)
+      try w.writeMember(record("response", uri, "HTTP/1.1 200 OK\r\n\r\nbody")): Unit
+      finally { w.end(); f.close() }
+    }
+    // a COLD START over an existing 5-file archive — the unbounded-
+    // first-batch hazard admission control exists for
+    (1 to 5).foreach(i => drop(f"d$i%02d.warc.gz", s"https://adm.example/$i"))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("warc")
+        .option("maxFilesPerTrigger", 2)
+        .load(warcDir + "/*.warc.gz")
+        .select("path", "target_uri")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.select("path").distinct().count()
+          batchSizes.synchronized { batchSizes += n }
+          b.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // 5 files at 2/trigger = 3 batches (2, 2, 1 files)
+    assert(batchSizes.sorted.toSeq == Seq(1L, 2L, 2L), batchSizes.toSeq)
+    assert(spark.read.parquet(outDir).count() == 5)
+    // restart with 3 new files: 2 more batches, nothing re-read
+    batchSizes.clear()
+    (6 to 8).foreach(i => drop(f"d$i%02d.warc.gz", s"https://adm.example/$i"))
+    runOnce()
+    assert(batchSizes.sorted.toSeq == Seq(1L, 2L), batchSizes.toSeq)
+    val got = spark.read.parquet(outDir).select("target_uri")
+      .as[String].collect().sorted.toSeq
+    assert(got == (1 to 8).map(i => s"https://adm.example/$i").sorted)
+    // the per-batch log: one file per admitted batch, none over the cap
+    val logDir = new java.io.File(s"$ckDir/sources/0/warc-file-log")
+    val logs = logDir.listFiles().filter(_.getName.matches("\\d+"))
+    assert(logs.length == 5) // 3 + 2 batches
+    logs.foreach { f =>
+      val files = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
+        java.nio.file.Files.readAllBytes(f.toPath), classOf[Array[String]])
+      assert(files.length <= 2, s"${f.getName}: ${files.length} files")
+    }
+    // replay with no new files: a no-op
+    batchSizes.clear()
+    runOnce()
+    assert(batchSizes.isEmpty || batchSizes.forall(_ == 0L), batchSizes.toSeq)
+    assert(spark.read.parquet(outDir).count() == 8)
+  }
+
+  test("legacy array offsets migrate: seen files excluded, uncommitted legacy batch replans as the diff, new commits are compact") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-leg").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-leg-ck").toString
+    def drop(name: String, uri: String): String = {
+      val f = new java.io.FileOutputStream(s"$warcDir/$name")
+      val w = new Warc.MemberGzipWriter(f)
+      try w.writeMember(record("response", uri, "HTTP/1.1 200 OK\r\n\r\nbody")): Unit
+      finally { w.end(); f.close() }
+      new org.apache.hadoop.fs.Path(s"$warcDir/$name").getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .globStatus(new org.apache.hadoop.fs.Path(s"$warcDir/$name"))
+        .head.getPath.toString
+    }
+    val f1 = drop("a.warc.gz", "https://leg.example/1")
+    val f2 = drop("b.warc.gz", "https://leg.example/2")
+    val f3 = drop("c.warc.gz", "https://leg.example/3")
+    val stream = new graft.sources.WarcMicroBatchStream(
+      Seq(warcDir + "/*.warc.gz"), graft.sources.WarcDataSource.Schema,
+      Array.empty, ckDir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // a pre-upgrade checkpoint: committed = [f1], planned-end = [f1,f2]
+    val committed = stream.deserializeOffset(
+      mapper.writeValueAsString(Array(f1)))
+    val plannedEnd = stream.deserializeOffset(
+      mapper.writeValueAsString(Array(f1, f2)))
+    // 1) the uncommitted legacy batch replans as exactly the diff
+    val replay = stream.planInputPartitions(committed, plannedEnd)
+      .map(_.asInstanceOf[graft.sources.WarcInputPartition].path)
+    assert(replay.toSeq == Seq(f2))
+    // 2) advancing from the legacy committed offset sees f1+f2 as seen
+    //    (f2 via its logged replay? no — via the END offset's files
+    //    being folded when IT was the start; here start=plannedEnd)
+    val next = stream.latestOffset(plannedEnd, ReadLimit.allAvailable())
+    assert(next.isInstanceOf[graft.sources.WarcOffset])
+    assert(next.json().matches("""\{"batch":\d+\}""")) // compact from now on
+    val fresh = stream.planInputPartitions(plannedEnd, next)
+      .map(_.asInstanceOf[graft.sources.WarcInputPartition].path)
+    assert(fresh.toSeq == Seq(f3), fresh.toSeq)
+  }
 }

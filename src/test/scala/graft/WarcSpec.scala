@@ -743,4 +743,103 @@ class WarcSpec extends SparkTestBase {
     assert(back.map(_.header("WARC-Record-ID").get).sorted ==
       back2.map(_.header("WARC-Record-ID").get).sorted)
   }
+
+  test("retry determinism: archives are byte-identical regardless of input row order (the AtomicSink double-commit premise)") {
+    import spark.implicits._
+    // a task retry/speculative duplicate re-reads its shuffle input in
+    // a DIFFERENT arrival order; the sink's content-keyed partition
+    // sort must erase that — modeled here by writing the same rows
+    // from a forward and a reversed source under the same hash
+    // partitioning
+    val rows = (0 until 24).map(i =>
+      (s"https://det.example/$i", f"2026-08-15T00:00:${i % 60}%02dZ", s"payload $i"))
+    def files(dir: String): Seq[(String, Array[Byte])] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+        .sortBy(_.getName)
+        .map(f => (f.getName, java.nio.file.Files.readAllBytes(f.toPath))).toSeq
+    val d1 = java.nio.file.Files.createTempDirectory("graft-det1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-det2").toString
+    Warc.writeRecords(rows.toDF("uri", "ts", "payload")
+      .repartition(3, col("uri")), "uri", "ts", "payload", d1)
+    Warc.writeRecords(rows.reverse.toDF("uri", "ts", "payload")
+      .repartition(3, col("uri")), "uri", "ts", "payload", d2)
+    val (f1, f2) = (files(d1), files(d2))
+    assert(f1.map(_._1) == f2.map(_._1))
+    f1.zip(f2).foreach { case ((n, b1), (_, b2)) =>
+      assert(java.util.Arrays.equals(b1, b2), s"$n differs between runs")
+    }
+    // the indexed twin too: identical bytes AND identical index rows
+    val i1 = java.nio.file.Files.createTempDirectory("graft-det3").toString
+    val i2 = java.nio.file.Files.createTempDirectory("graft-det4").toString
+    val x1 = Warc.writeRecordsIndexed(rows.toDF("uri", "ts", "payload")
+      .repartition(3, col("uri")), "uri", "ts", "payload", i1).collect().toSet
+    val x2 = Warc.writeRecordsIndexed(rows.reverse.toDF("uri", "ts", "payload")
+      .repartition(3, col("uri")), "uri", "ts", "payload", i2).collect().toSet
+    assert(x1.map(r => (r.offset, r.length, r.target_uri, r.warc_date)) ==
+      x2.map(r => (r.offset, r.length, r.target_uri, r.warc_date)))
+    files(i1).zip(files(i2)).foreach { case ((n, b1), (_, b2)) =>
+      assert(java.util.Arrays.equals(b1, b2), s"$n differs between runs")
+    }
+  }
+
+  test("readIndexed: a trailing unparseable index entry is skipped, not a NoSuchElementException") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    val df = (0 until 5).map(i =>
+      (s"https://k.example/$i", "2026-08-15T00:00:00Z", s"body $i"))
+      .toDF("uri", "ts", "payload")
+    val idx = Warc.writeRecordsIndexed(df.repartition(1), "uri", "ts", "payload", dir)
+      .collect().toSeq
+    val arc = idx.head.path
+    // a second "file" whose only index entry names a corrupt range:
+    // mid-member bytes are gzip garbage, parseBytes yields nothing —
+    // that partition's iterator holds ONLY unparseable entries (the
+    // old hasNext lied true and next() threw)
+    val corrupt = Warc.WarcIndexRow(arc, idx.head.offset + 5,
+      math.max(idx.head.length - 8, 4), "https://k.example/corrupt", "x")
+    val all = idx.map(r => r.copy()) :+ corrupt
+    // coLocate=false + per-row partitions: the corrupt entry sits alone
+    val frame = spark.createDataset(all).toDF().repartition(6)
+    val got = Warc.readIndexed(frame, coLocate = false, maxGapBytes = 0)
+      .collect()
+    assert(got.length == 5, got.mkString(","))
+    assert(got.map(_.target_uri).sorted.toSeq ==
+      (0 until 5).map(i => s"https://k.example/$i"))
+  }
+
+  test("AtomicSink.commit: atomic replace over an existing dest; racer-committed tmp-gone succeeds; tmp-and-dest-gone fails loudly") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft-atomic").toString)
+    def write(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val o = fs.create(p, true); o.write(s.getBytes(UTF_8)); o.close()
+    }
+    def readBack(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), UTF_8)
+      } finally in.close()
+    }
+    val dest = new org.apache.hadoop.fs.Path(dir, "out.bin")
+    // 1) replace an existing dest — new bytes win, dest present after
+    write(dest, "stale")
+    val t1 = graft.ext.AtomicSink.tempFor(dest, 1L)
+    write(t1, "fresh")
+    graft.ext.AtomicSink.commit(fs, t1, dest)
+    assert(readBack(dest) == "fresh" && !fs.exists(t1))
+    // 2) racer already committed and moved OUR tmp is gone, dest
+    //    complete: commit is a benign no-op, dest untouched
+    val t2 = graft.ext.AtomicSink.tempFor(dest, 2L)
+    graft.ext.AtomicSink.commit(fs, t2, dest) // t2 never existed
+    assert(readBack(dest) == "fresh")
+    // 3) tmp gone AND dest gone: data loss must be LOUD, not silent
+    val lone = new org.apache.hadoop.fs.Path(dir, "never.bin")
+    val t3 = graft.ext.AtomicSink.tempFor(lone, 3L)
+    intercept[java.io.IOException] {
+      graft.ext.AtomicSink.commit(fs, t3, lone)
+    }
+  }
 }
