@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Accumulated CDX capture index as a BUCKETED, urlkey-SORTED catalog
+  * store — the serving-side complement of the per-batch cdx sidecars
+  * [[graft.streaming.DocumentIngest.sidecarMaintenance]] derives: the
+  * per-batch layout is write-cheap but a site-scoped query over it
+  * must LIST and touch every `batch_id=N` directory, a cost that grows
+  * with batch count even though zone maps prune within each file. This
+  * store folds the accumulating batches into one bucketed table
+  * (hash-bucketed AND sorted on `urlkey`), so
+  *
+  *  - a SITE query ([[capturesForSite]]) is a contiguous-range
+  *    predicate over the SURT keyspace ([[UrlOps.surtKey]]: one site =
+  *    one key range) that reaches the parquet scan as a pushed filter
+  *    and prunes to the site's own row groups via min/max zone maps —
+  *    listing cost is one table, not one directory per batch;
+  *  - recurring urlkey-keyed joins against the store inherit the
+  *    bucket layout (no store-side Exchange — the seen-store
+  *    discipline, [[graft.store.Bucketing]]);
+  *  - appends are REPLAY-SAFE: a re-delivered micro-batch anti-joins
+  *    against the store on full row identity (null-safe, so a null
+  *    field cannot defeat the dedup) and appends nothing.
+  *
+  * Maintenance follows the seen-store protocol exactly: per-batch
+  * appends accumulate one file per bucket per batch; [[compact]] folds
+  * them back to one sorted file per bucket through the crash-safe
+  * rename-aside swap ([[graft.store.Bucketing.compactSwap]]), and every
+  * existence-guarded path runs [[graft.store.Bucketing
+  * .recoverCompacted]] first.
+  *
+  * 100-TB shape: append cost ∝ batch (the store side of the anti-join
+  * scans Exchange-free in bucket layout); compaction is one
+  * bucket-preserving rewrite on a maintenance cadence; a site read
+  * costs the site's row groups, never the index.
+  *
+  * Reference: rearview keeps no capture archive (persistence is
+  * Rails-side, `app/models/job.rb`); this is corpus-pipeline extension
+  * surface, the CommonCrawl CDX-index serving shape expressed
+  * Spark-native. */
+object CdxStore {
+
+  /** Rows of `captures` (any schema that includes a string `urlkey`
+    * column) folded into the store at batch cost. Rows with a NULL
+    * urlkey (unparseable URLs) are dropped — they cannot live in a
+    * urlkey-keyed range store; count them upstream if they matter.
+    * Creates the store when absent; idempotent under replay (anti-join
+    * on every store column, null-safe). */
+  def append(captures: DataFrame, table: String, buckets: Int = 32): Unit = {
+    val spark = captures.sparkSession
+    val rows = captures.filter(col("urlkey").isNotNull)
+    if (!graft.store.Bucketing.recoverCompacted(spark, table)) {
+      graft.store.Bucketing.dropWithLocation(spark, table)
+      rows.repartition(buckets, col("urlkey"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "urlkey").sortBy("urlkey")
+        .format("parquet").saveAsTable(table)
+    } else {
+      val delta = freshAgainstStore(rows, table).persist()
+      try {
+        // steady-state fast path: a replayed batch appends nothing
+        if (!delta.isEmpty)
+          delta.repartition(buckets, col("urlkey"))
+            .write.mode("append")
+            .bucketBy(buckets, "urlkey").sortBy("urlkey")
+            .format("parquet").saveAsTable(table)
+      } finally {
+        delta.unpersist()
+        ()
+      }
+    }
+  }
+
+  /** Fold the per-batch append files back to ONE sorted file per
+    * bucket (zone maps are only as tight as the files they describe —
+    * a site's key range fragments across every batch's file until
+    * compacted). Crash-safe swap; run on a maintenance cadence. */
+  def compact(spark: SparkSession, table: String, buckets: Int = 32): Unit =
+    graft.store.Bucketing.compactSwap(spark, table) { tmp =>
+      spark.table(table).distinct()
+        .repartition(buckets, col("urlkey"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "urlkey").sortBy("urlkey")
+        .format("parquet").saveAsTable(tmp)
+    }
+
+  /** The exclusive upper bound of a SURT prefix's key range: the
+    * prefix with its final char incremented — every key that STARTS
+    * WITH the prefix (and nothing else) falls in [prefix, end). */
+  private[graft] def siteRangeEnd(prefix: String): String = {
+    require(prefix.nonEmpty, "empty site prefix")
+    prefix.init + (prefix.last + 1).toChar
+  }
+
+  /** Every stored capture of one site, as a RANGE predicate over the
+    * SURT keyspace — `urlkey >= 'com,example)' AND urlkey <
+    * 'com,example*'` — that reaches the parquet scan pushed
+    * (CdxStoreSpec plan-asserts it) and zone-map-prunes to the site's
+    * own row groups. `sitePrefix` is the [[UrlOps.surtKey]] form of
+    * the site, e.g. `com,example)` for every path under example.com,
+    * or a deeper prefix (`com,example)/docs/`) for a subtree. */
+  def capturesForSite(spark: SparkSession, table: String,
+      sitePrefix: String): DataFrame = {
+    require(graft.store.Bucketing.recoverCompacted(spark, table),
+      s"no such cdx store: $table")
+    spark.table(table)
+      .filter(col("urlkey") >= lit(sitePrefix) &&
+        col("urlkey") < lit(siteRangeEnd(sitePrefix)))
+  }
+
+  /** The store-side anti-join on FULL row identity, null-safe on every
+    * column (a plain using-columns join would let any null field make
+    * a replayed row look fresh forever). Store side scans in bucket
+    * layout — only `candidates`, batch-sized, shuffles. */
+  private def freshAgainstStore(candidates: DataFrame,
+      table: String): DataFrame = {
+    val stored = candidates.sparkSession.table(table)
+    val cond: Column = stored.columns.map { c =>
+      candidates(c) <=> stored(c)
+    }.reduce(_ && _)
+    candidates.join(stored, cond, "left_anti")
+  }
+}

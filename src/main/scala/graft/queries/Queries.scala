@@ -3578,6 +3578,68 @@ object Queries {
       .ordered("doc_id")
   }
 
+  /** The x87 accumulated CDX store: the x77 indexed archive re-keyed
+    * with x82's SURT urlkeys and folded into a [[graft.ext.CdxStore]]
+    * through the REAL maintenance protocol — two appends (split by a
+    * uri hash), a REPLAY of the first (must append nothing — the
+    * idempotency exercised on the oracle path), then a compaction.
+    * Built once per scale dir. */
+  private val cdxStoreMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cdxStoreFor(s: SparkSession, dir: String): String =
+    cdxStoreMemo.getOrElseUpdate(dir, {
+      val t = "graft_cdxstore_" + Integer.toHexString(dir.hashCode)
+      graft.store.Bucketing.dropWithLocation(s, t)
+      val arc = java.nio.file.Files.createTempDirectory("graft-cdxgate").toString
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-cdxgate-idx").toString
+      val id = col("doc_id").cast("string")
+      val uri = concat(lit("https://WWW.H"), (col("doc_id") % 50).cast("string"),
+        lit(".Example.com/Item/"), id, lit("?Z="), id, lit("&a=1&M=2"))
+      val payload = concat(lit("HTTP/1.1 200 OK\r\n\r\n"),
+        coalesce(col("text"), lit("")))
+      graft.ext.Warc.writeRecordsIndexed(
+          Tables.documents(s, dir).select(uri.as("uri"),
+            lit("2026-08-15T00:00:00Z").as("ts"), payload.as("payload"))
+            .repartition(4),
+          "uri", "ts", "payload", arc).toDF()
+        .withColumn("urlkey", graft.ext.UrlOps.surtKey(col("target_uri")))
+        .write.mode("overwrite").parquet(idxDir)
+      val idx = s.read.parquet(idxDir)
+      val half = crc32(col("target_uri")) % 2 === 0
+      graft.ext.CdxStore.append(idx.filter(half), t, buckets = 8)
+      graft.ext.CdxStore.append(idx.filter(!half), t, buckets = 8)
+      graft.ext.CdxStore.append(idx.filter(half), t, buckets = 8) // replay: no-op
+      graft.ext.CdxStore.compact(s, t, buckets = 8)
+      t
+    })
+
+  // X87 — CDX STORE site-range serving ([[graft.ext.CdxStore
+  // .capturesForSite]] → [[graft.ext.Warc.readIndexed]]): the
+  // accumulated urlkey-bucketed+sorted capture store (built through
+  // append×2 + replay + compact — the real maintenance protocol)
+  // queried for ONE site as a SURT range predicate pushed to the
+  // parquet scan, winners' bodies fetched by positioned reads. Joins
+  // x82's urlkey form with x77's random-access fetch: the oracle
+  // states the closed form of site h7's captures; a broken append
+  // dedup (row count), range bound (rows from a neighbor site — note
+  // h7 vs h70: ')' < '0' makes the range END load-bearing), or a
+  // wrong offset (parse fails) each break the hash.
+  q("x87_cdx_site_serving",
+    """SELECT doc_id,
+      |  'com,example,h7)/item/' || CAST(doc_id AS VARCHAR)
+      |    || '?a=1&m=2&z=' || CAST(doc_id AS VARCHAR) AS urlkey,
+      |  COALESCE(text, '') AS body
+      |FROM documents WHERE doc_id % 50 = 7 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val site = graft.ext.CdxStore.capturesForSite(s,
+      cdxStoreFor(s, dir), "com,example,h7)")
+    graft.ext.Warc.readIndexed(site)
+      .select(
+        regexp_extract(col("target_uri"), "/Item/([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        graft.ext.UrlOps.surtKey(col("target_uri")).as("urlkey"),
+        graft.ext.Warc.httpBody(col("payload")).as("body"))
+      .ordered("doc_id")
+  }
+
   // X75 — anchor-text retrieval ([[graft.ext.Retrieval
   // .bm25fTopKFromIndex]], BM25F-lite): body BM25 off the memoized
   // STORED index + anchor-field BM25 off an index built straight from

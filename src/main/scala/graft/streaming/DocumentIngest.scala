@@ -520,14 +520,18 @@ object DocumentIngest {
   def sidecarMaintenance(spark: org.apache.spark.sql.SparkSession,
       warcGlob: String, outDir: String, checkpointDir: String,
       decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders,
-      maxFilesPerTrigger: Option[Int] = None)
+      maxFilesPerTrigger: Option[Int] = None,
+      cdxTable: Option[String] = None,
+      buckets: Int = 32,
+      compactEvery: Option[Int] = None)
       : Unit = {
     val reader = spark.readStream.format("warc")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val src = reader.load(warcGlob)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sidecarProcessBatch(batch, batchId, outDir, decoders)
+        sidecarProcessBatch(batch, batchId, outDir, decoders,
+          cdxTable, buckets, compactEvery)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -536,7 +540,9 @@ object DocumentIngest {
   }
 
   private[graft] def sidecarProcessBatch(batch: DataFrame, batchId: Long,
-      outDir: String, decoders: Seq[graft.ext.Warc.ContentDecoder]): Unit = {
+      outDir: String, decoders: Seq[graft.ext.Warc.ContentDecoder],
+      cdxTable: Option[String] = None, buckets: Int = 32,
+      compactEvery: Option[Int] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     batch.persist()
@@ -548,13 +554,25 @@ object DocumentIngest {
         s"$outDir/wet/batch_id=$batchId")
       graft.ext.Warc.writeWatRecords(recs, s"$outDir/wat/batch_id=$batchId",
         decoders)
-      batch.select(
-          graft.ext.UrlOps.surtKey(col("target_uri")).as("urlkey"),
-          col("target_uri"), col("warc_date"), col("warc_type"),
-          col("content_type"), col("content_length"),
-          col("path"), col("idx"))
-        .sort("urlkey") // batch-sized; zone maps then prune site ranges
-        .write.mode("overwrite").parquet(s"$outDir/cdx/batch_id=$batchId")
+      val cdx = batch.select(
+        graft.ext.UrlOps.surtKey(col("target_uri")).as("urlkey"),
+        col("target_uri"), col("warc_date"), col("warc_type"),
+        col("content_type"), col("content_length"),
+        col("path"), col("idx"))
+      cdxTable match {
+        case Some(t) =>
+          // accumulated SERVING store: urlkey-bucketed+sorted catalog
+          // table ([[graft.ext.CdxStore]]) — site queries range-prune
+          // over ONE table instead of listing every batch_id dir; the
+          // append is anti-joined on full row identity, so a replayed
+          // batch appends nothing
+          graft.ext.CdxStore.append(cdx, t, buckets)
+          compactEvery.filter(n => n > 0 && (batchId + 1) % n == 0)
+            .foreach(_ => graft.ext.CdxStore.compact(spark, t, buckets))
+        case None =>
+          cdx.sort("urlkey") // batch-sized; zone maps prune site ranges
+            .write.mode("overwrite").parquet(s"$outDir/cdx/batch_id=$batchId")
+      }
     } finally batch.unpersist(blocking = false)
   }
 

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{CdxStore, Warc}
+
+/** The accumulated CDX capture store: replay-safe appends, crash-safe
+  * compaction, and site-range serving with the predicate PUSHED to the
+  * parquet scan (the zone-map pruning contract). */
+class CdxStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def captures(site: Int, docs: Range, day: String) =
+    docs.map { i =>
+      (s"com,example,h$site)/item/$i",
+        s"https://h$site.example.com/item/$i", day,
+        "response", "application/http", 100L + i, s"/arc/part-$site.warc.gz",
+        i.toLong)
+    }.toDF("urlkey", "target_uri", "warc_date", "warc_type",
+      "content_type", "content_length", "path", "idx")
+
+  test("append x2 + replay no-op + compact: one sorted file per bucket; site range serves exactly the site; filter pushed") {
+    val t = "graft_cdxspec_" + Integer.toHexString(
+      java.util.UUID.randomUUID().hashCode())
+    graft.store.Bucketing.dropWithLocation(spark, t)
+    val b1 = captures(1, 0 until 20, "2026-08-14T00:00:00Z")
+      .unionByName(captures(2, 0 until 10, "2026-08-14T00:00:00Z"))
+    val b2 = captures(1, 20 until 30, "2026-08-15T00:00:00Z")
+      // null urlkey (unparseable URL): dropped, must not poison dedup
+      .unionByName(Seq((null: String, "u", "d", "t", "c", 1L, "p", 0L))
+        .toDF("urlkey", "target_uri", "warc_date", "warc_type",
+          "content_type", "content_length", "path", "idx"))
+    CdxStore.append(b1, t, buckets = 4)
+    CdxStore.append(b2, t, buckets = 4)
+    assert(spark.table(t).count() == 40)
+    // replayed batches: anti-joined on full identity — appends nothing
+    CdxStore.append(b1, t, buckets = 4)
+    CdxStore.append(b2, t, buckets = 4)
+    assert(spark.table(t).count() == 40)
+    // site query BEFORE compaction already correct
+    val site1 = CdxStore.capturesForSite(spark, t, "com,example,h1)")
+    assert(site1.count() == 30)
+    assert(site1.select("urlkey").as[String].collect()
+      .forall(_.startsWith("com,example,h1)")))
+    // the range predicate reaches the parquet scan as pushed filters
+    val plan = site1.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(urlkey,com,example,h1))") &&
+      plan.contains("LessThan(urlkey,com,example,h1*)"), plan)
+    // compact: one file per bucket, contents unchanged, range still serves
+    CdxStore.compact(spark, t, buckets = 4)
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+    val parts = loc.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == 4, parts.map(_.getName).toSeq)
+    assert(spark.table(t).count() == 40)
+    val after = CdxStore.capturesForSite(spark, t, "com,example,h2)")
+    assert(after.count() == 10)
+    assert(after.select("target_uri").as[String].collect()
+      .forall(_.startsWith("https://h2.example.com/")))
+    // a deeper prefix narrows to the subtree
+    assert(CdxStore.capturesForSite(spark, t, "com,example,h1)/item/2")
+      .count() == 11) // items 2 and 20..29
+    graft.store.Bucketing.dropWithLocation(spark, t)
+  }
+
+  test("sidecarMaintenance(cdxTable): batches fold into the store, compaction cadence fires, replay no-op; latestCaptures composes") {
+    val mk = (uri: String, body: String) => {
+      val payload = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+      val pb = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-08-15T00:00:00Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${pb.length}\r\n\r\n").getBytes("UTF-8") ++ pb ++
+        "\r\n\r\n".getBytes("UTF-8")
+    }
+    val warcDir = Files.createTempDirectory("graft-cdxt").toString
+    val outDir = Files.createTempDirectory("graft-cdxt-out").toString
+    val ckDir = Files.createTempDirectory("graft-cdxt-ck").toString
+    val t = "graft_cdxmaint_" + Integer.toHexString(
+      java.util.UUID.randomUUID().hashCode())
+    graft.store.Bucketing.dropWithLocation(spark, t)
+    def gz(path: String, recs: Array[Byte]*): Unit = {
+      val f = new java.io.FileOutputStream(path)
+      val w = new Warc.MemberGzipWriter(f)
+      try recs.foreach(w.writeMember) finally { w.end(); f.close() }
+    }
+    def runOnce(): Unit = graft.streaming.DocumentIngest.sidecarMaintenance(
+      spark, warcDir + "/*.warc.gz", outDir, ckDir,
+      cdxTable = Some(t), buckets = 4, compactEvery = Some(1))
+    gz(s"$warcDir/d1.warc.gz",
+      mk("https://cx.example/a", "<p>alpha body text long enough</p>"),
+      mk("https://cx.example/b", "<p>beta body text long enough</p>"))
+    runOnce()
+    gz(s"$warcDir/d2.warc.gz",
+      mk("https://cx.example/c", "<p>gamma body text long enough</p>"))
+    runOnce()
+    // no per-batch cdx dirs in store mode; the table carries all rows
+    assert(!new java.io.File(s"$outDir/cdx").exists())
+    val stored = spark.table(t)
+    assert(stored.count() == 3)
+    val site = CdxStore.capturesForSite(spark, t, "example,cx)")
+    assert(site.select("target_uri").as[String].collect().sorted.toSeq ==
+      Seq("https://cx.example/a", "https://cx.example/b", "https://cx.example/c"))
+    // replay with no new files: nothing re-appends
+    runOnce()
+    assert(spark.table(t).count() == 3)
+    // WET/WAT sidecars still per batch
+    val wetBatches = new java.io.File(s"$outDir/wet").listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(wetBatches == 2)
+    graft.store.Bucketing.dropWithLocation(spark, t)
+  }
+}
