@@ -657,6 +657,13 @@ object Warc {
     * Returns the [[WarcRow]] columns plus `url`. */
   def readLatestCaptures(index: DataFrame, normalize: Boolean = true)
       : DataFrame = {
+    // a DEDUPED archive's index (the linkage columns are the witness)
+    // routes through revisit resolution — without this, the newest
+    // capture of an unchanged page is a payload-FREE revisit record
+    // and the "latest capture" served would be an empty body
+    if (Seq("payload_digest", "refers_to_uri", "warc_type")
+        .forall(index.columns.contains(_)))
+      return readLatestCapturesDeduped(index, normalize)
     val winners = latestCaptures(index, normalize)
     val url =
       if (normalize)
@@ -664,6 +671,67 @@ object Warc {
       else col("target_uri")
     readIndexed(winners, coLocate = false).toDF()
       .withColumn("url", url)
+  }
+
+  /** Latest-capture serving over a DEDUPED archive
+    * ([[writeRecordsDedupedIndexed]]'s index): the newest capture per
+    * (normalized) URL wins regardless of record type, and a REVISIT
+    * winner serves the bytes of the original it Refers-To — fetched by
+    * positioned read and DIGEST-GATED (a fetched original whose sha1
+    * does not match the revisit's claimed digest is torn data and
+    * DROPS rather than serving wrong bytes — the [[resolveRevisits]]
+    * discipline). Returns (url, target_uri, warc_date, payload,
+    * was_revisit) where target_uri/warc_date are the WINNER's identity
+    * (the "when was this page last seen" answer) and payload is the
+    * resolved content.
+    *
+    * Cost shape: one metadata aggregation for winners + one join ∝
+    * revisit-winner count to find originals' ranges + ONE deduplicated
+    * positioned-read fetch pass (coalesced ranges) + one (path,
+    * offset)-keyed join to re-attach identities. Archive IO ∝ DISTINCT
+    * winner payloads — the whole point of the revisit format at a
+    * weekly-recrawl cadence. */
+  def readLatestCapturesDeduped(index: DataFrame, normalize: Boolean = true)
+      : DataFrame = {
+    val key =
+      if (normalize)
+        coalesce(UrlOps.normalizeUrl(col("target_uri")), col("target_uri"))
+      else col("target_uri")
+    val winners = index
+      .groupBy(key.as("url"))
+      .agg(max(struct(col("warc_date"), col("path"), col("offset"),
+        col("length"), col("target_uri"), col("warc_type"),
+        col("payload_digest"), col("refers_to_uri"), col("refers_to_date")))
+        .as("m"))
+      .select(col("url"), col("m.*"))
+    // originals: response rows keyed by their (uri, date) identity —
+    // what a revisit's Refers-To names. Duplicate identities are a
+    // data defect; min(range) picks deterministically.
+    val originals = index.filter(col("warc_type") === "response")
+      .groupBy(col("target_uri").as("refers_to_uri"),
+        col("warc_date").as("refers_to_date"))
+      .agg(min(struct(col("path"), col("offset"), col("length"))).as("o"))
+    val respTargets = winners.filter(col("warc_type") === "response")
+      .select(col("url"), col("target_uri"), col("warc_date"),
+        col("path"), col("offset"), col("length"),
+        col("payload_digest").as("__digest"), lit(false).as("was_revisit"))
+    val revTargets = winners.filter(col("warc_type") === "revisit")
+      .join(originals, Seq("refers_to_uri", "refers_to_date"))
+      .select(col("url"), col("target_uri"), col("warc_date"),
+        col("o.path").as("path"), col("o.offset").as("offset"),
+        col("o.length").as("length"),
+        col("payload_digest").as("__digest"), lit(true).as("was_revisit"))
+    val targets = respTargets.unionByName(revTargets)
+    // fetch each DISTINCT range once (N revisit winners of one
+    // original cost one read), identities re-attach by (path, offset)
+    val fetched = readIndexed(
+        targets.select(col("path"), col("offset"), col("length")).distinct(),
+        coLocate = false).toDF()
+      .select(col("path"), col("idx").as("offset"), col("payload"))
+    targets.join(fetched, Seq("path", "offset"))
+      .filter(concat(lit("sha1:"), sha1(col("payload"))) <=> col("__digest"))
+      .select(col("url"), col("target_uri"), col("warc_date"),
+        col("payload"), col("was_revisit"))
   }
 
   // -- column-level record parsing (derived-input oracles, captures) ------
@@ -913,9 +981,14 @@ object Warc {
     * record bytes still build in codegen and land through the
     * committed sink. Read back with [[readDeduped]] +
     * [[resolveRevisits]]. */
-  def writeRecordsDeduped(df: org.apache.spark.sql.DataFrame, uriCol: String,
-      dateCol: String, payloadCol: String, outDir: String,
-      httpContentType: String = "application/http; msgtype=response"): Unit = {
+  /** The digest-dedup decision frame shared by [[writeRecordsDeduped]]
+    * and [[writeRecordsDedupedIndexed]]: rows marked with winner-ship
+    * (`__isw`), the winner's identity (`__wu`/`__wd` — what revisits
+    * Refer-To), the payload-or-empty column, and the per-row
+    * (warcType, contentType, extraHeaders) framing columns. */
+  private def dedupMarked(df: org.apache.spark.sql.DataFrame, uriCol: String,
+      dateCol: String, payloadCol: String, httpContentType: String)
+      : (org.apache.spark.sql.DataFrame, Column, Column, Column) = {
     def hs(c: Column): Column = regexp_replace(c, "[\\r\\n]", "")
     val w = df.select(col(uriCol).cast("string").as("__u"),
         col(dateCol).cast("string").as("__d"),
@@ -937,10 +1010,83 @@ object Warc {
           "WARC-Payload-Digest: "), col("__digest"),
         lit("\r\nWARC-Refers-To-Target-URI: "), hs(col("__wu")),
         lit("\r\nWARC-Refers-To-Date: "), hs(col("__wd")), lit("\r\n")))
-    writeRecordsWith(marked, "__u", "__d", "__pay", outDir,
+    (marked,
       when(col("__isw"), lit("response")).otherwise(lit("revisit")),
       when(col("__isw"), lit(httpContentType)).otherwise(lit("warc/revisit")),
       extras)
+  }
+
+  def writeRecordsDeduped(df: org.apache.spark.sql.DataFrame, uriCol: String,
+      dateCol: String, payloadCol: String, outDir: String,
+      httpContentType: String = "application/http; msgtype=response"): Unit = {
+    val (marked, warcType, cType, extras) =
+      dedupMarked(df, uriCol, dateCol, payloadCol, httpContentType)
+    writeRecordsWith(marked, "__u", "__d", "__pay", outDir,
+      warcType, cType, extras)
+  }
+
+  /** One row per record of a DEDUPED archive: the byte range PLUS the
+    * revisit linkage — what [[readLatestCapturesDeduped]] resolves
+    * winners through without touching the archive. `payload_digest`
+    * is set on every row (response and revisit); `refers_to_*` only on
+    * revisits (empty otherwise). */
+  final case class WarcDedupIndexRow(path: String, offset: Long, length: Long,
+      target_uri: String, warc_date: String, warc_type: String,
+      payload_digest: String, refers_to_uri: String, refers_to_date: String)
+
+  /** [[writeRecordsDeduped]] + the CDX sidecar from one pass — the
+    * [[writeRecordsIndexed]] twin over the revisit mechanism (same
+    * member-byte-counter offsets, same lazy contract: persist the
+    * returned index immediately). The index carries the LINKAGE
+    * columns, so latest-capture serving over the deduped archive is a
+    * metadata decision + positioned reads ([[readLatestCapturesDeduped]])
+    * — without it, the two r15/r16 features did not compose: a plain
+    * [[latestCaptures]] over a deduped archive's index picks a
+    * payload-FREE revisit as the winner and serves an empty body. */
+  def writeRecordsDedupedIndexed(df: org.apache.spark.sql.DataFrame,
+      uriCol: String, dateCol: String, payloadCol: String, outDir: String,
+      httpContentType: String = "application/http; msgtype=response")
+      : Dataset[WarcDedupIndexRow] = {
+    val (marked, warcType, cType, extras) =
+      dedupMarked(df, uriCol, dateCol, payloadCol, httpContentType)
+    val (rec, uri, date) =
+      recordColumns("__u", "__d", "__pay", warcType, cType, extras)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val spark = df.sparkSession
+    import spark.implicits._
+    marked.sortWithinPartitions(determinismKey(col("__u"), col("__d"),
+        warcType, cType, extras, col("__pay")))
+      .select(rec.as("r"), uri.as("u"), date.as("d"), warcType.as("t"),
+        col("__digest").as("g"),
+        when(col("__isw"), lit("")).otherwise(col("__wu")).as("ru"),
+        when(col("__isw"), lit("")).otherwise(col("__wd")).as("rd"))
+      .as[(Array[Byte], String, String, String, String, String, String)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val ctx = org.apache.spark.TaskContext.get()
+          val pathStr = new org.apache.hadoop.fs.Path(outDir,
+            f"part-${ctx.partitionId()}%05d.warc.gz").toString
+          val path = new org.apache.hadoop.fs.Path(pathStr)
+          val fs = path.getFileSystem(conf.value)
+          val tmp = AtomicSink.tempFor(path, ctx.taskAttemptId())
+          val out = fs.create(tmp, true)
+          val w = new MemberGzipWriter(out)
+          @volatile var failed = false
+          ctx.addTaskFailureListener((_, _) => { failed = true })
+          ctx.addTaskCompletionListener[Unit] { _ =>
+            w.end(); out.close()
+            if (failed) AtomicSink.abort(fs, tmp)
+            else AtomicSink.commit(fs, tmp, path)
+          }
+          it.map { case (bytes, u, d, t, g, ru, rd) =>
+            val off = w.bytesWritten
+            val len = w.writeMember(bytes)
+            WarcDedupIndexRow(pathStr, off, len, u, d, t, g, ru, rd)
+          }
+        }
+      }
   }
 
   /** A deduped archive's rows WITH the revisit linkage headers:

@@ -3550,6 +3550,63 @@ object Queries {
       .ordered("doc_id")
   }
 
+  /** The x88 DEDUPED two-epoch archive + linkage index: every doc
+    * captured on day 1; even docs RE-captured UNCHANGED on day 2 —
+    * [[graft.ext.Warc.writeRecordsDedupedIndexed]] stores day 2 as
+    * payload-free revisits of day 1 and returns the index with the
+    * Refers-To linkage. Payloads carry the doc id so digest dedup
+    * never crosses documents. Memoized per scale dir. */
+  private val dedupIdxMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dedupIndexFor(s: SparkSession, dir: String): String =
+    dedupIdxMemo.getOrElseUpdate(dir, {
+      val arc = java.nio.file.Files.createTempDirectory("graft-rsv-arc").toString
+      val idx = java.nio.file.Files.createTempDirectory("graft-rsv-idx").toString
+      def epoch(day: String, filt: Column) =
+        Tables.documents(s, dir).filter(filt).select(
+          concat(lit("https://rs.example/doc/"),
+            col("doc_id").cast("string")).as("uri"),
+          lit(day).as("ts"),
+          concat(lit("HTTP/1.1 200 OK\r\n\r\nrs "),
+            col("doc_id").cast("string"), lit(" "),
+            coalesce(col("text"), lit(""))).as("payload"))
+      graft.ext.Warc.writeRecordsDedupedIndexed(
+          epoch("2026-08-14T00:00:00Z", lit(true))
+            .unionByName(epoch("2026-08-15T00:00:00Z", col("doc_id") % 2 === 0))
+            .repartition(4),
+          "uri", "ts", "payload", arc)
+        .write.mode("overwrite").parquet(idx)
+      idx
+    })
+
+  // X88 — REVISIT-AWARE latest-capture serving ([[graft.ext.Warc
+  // .writeRecordsDedupedIndexed]] → [[graft.ext.Warc
+  // .readLatestCapturesDeduped]], routed through the readLatestCaptures
+  // front door by the linkage-column witness): over the deduped
+  // two-epoch archive, every EVEN doc's newest capture is a
+  // payload-FREE revisit — the serving decision runs on the index,
+  // resolves the winner through Refers-To, fetches the ORIGINAL's byte
+  // range by positioned read, and digest-gates the bytes. The oracle
+  // states winner date + exact body + revisit-ness per doc; serving
+  // the revisit record's own (empty) payload, picking the wrong epoch,
+  // or a broken digest gate each break rows or hash.
+  q("x88_revisit_serving",
+    """SELECT doc_id,
+      |  'https://rs.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |  CASE WHEN doc_id % 2 = 0 THEN '2026-08-15T00:00:00Z'
+      |       ELSE '2026-08-14T00:00:00Z' END AS warc_date,
+      |  'rs ' || CAST(doc_id AS VARCHAR) || ' ' || COALESCE(text, '') AS body,
+      |  (doc_id % 2 = 0) AS was_revisit
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ext.Warc.readLatestCaptures(s.read.parquet(dedupIndexFor(s, dir)))
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("url"), col("warc_date"),
+        graft.ext.Warc.httpBody(col("payload")).as("body"),
+        col("was_revisit"))
+      .ordered("doc_id")
+  }
+
   // X77 — CDX-indexed RANDOM ACCESS into the archive ([[graft.ext.Warc
   // .writeRecordsIndexed]] sidecar → [[graft.ext.Warc.readIndexed]]):
   // a 1-in-17 subset of records fetched by POSITIONED READS of their

@@ -744,6 +744,56 @@ class WarcSpec extends SparkTestBase {
       back2.map(_.header("WARC-Record-ID").get).sorted)
   }
 
+  test("revisit-aware serving: revisit winners fill digest-exact bytes; cross-URI mirror resolves; torn digest drops") {
+    import spark.implicits._
+    val arc = java.nio.file.Files.createTempDirectory("graft-rsv").toString
+    // day 1: three pages; day 2: /a recaptured UNCHANGED (revisit of
+    // itself), /mirror captures the SAME bytes as /b (cross-URI
+    // revisit); /c never recaptured
+    val rows = Seq(
+      ("https://rv.example/a", "2026-08-14T00:00:00Z", "HTTP/1.1 200 OK\r\n\r\nbody a"),
+      ("https://rv.example/b", "2026-08-14T00:00:00Z", "HTTP/1.1 200 OK\r\n\r\nbody b"),
+      ("https://rv.example/c", "2026-08-14T00:00:00Z", "HTTP/1.1 200 OK\r\n\r\nbody c"),
+      ("https://rv.example/a", "2026-08-15T00:00:00Z", "HTTP/1.1 200 OK\r\n\r\nbody a"),
+      ("https://rv.example/mirror", "2026-08-15T00:00:00Z", "HTTP/1.1 200 OK\r\n\r\nbody b"))
+      .toDF("uri", "ts", "payload")
+    val idx = Warc.writeRecordsDedupedIndexed(rows.repartition(2),
+      "uri", "ts", "payload", arc).toDF()
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-rsv-ix").toString
+    idx.write.mode("overwrite").parquet(idxDir)
+    val stored = spark.read.parquet(idxDir)
+    // the front door detects the linkage columns and resolves
+    val got = Warc.readLatestCaptures(stored)
+      .select(col("url"), col("warc_date"),
+        Warc.httpBody(col("payload")).as("body"), col("was_revisit"))
+      .as[(String, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 4)
+    // /a's winner is the day-2 REVISIT — served with day-1's exact bytes
+    assert(got("https://rv.example/a") ==
+      (("2026-08-15T00:00:00Z", "body a", true)))
+    // /mirror's only capture is a cross-URI revisit of /b's bytes
+    assert(got("https://rv.example/mirror") ==
+      (("2026-08-15T00:00:00Z", "body b", true)))
+    assert(got("https://rv.example/b") ==
+      (("2026-08-14T00:00:00Z", "body b", false)))
+    assert(got("https://rv.example/c") ==
+      (("2026-08-14T00:00:00Z", "body c", false)))
+    // torn data: corrupt the digest a revisit claims — that winner
+    // DROPS rather than serving mismatched bytes
+    val torn = stored.withColumn("payload_digest",
+      when(col("warc_type") === "revisit" &&
+          col("target_uri") === "https://rv.example/mirror",
+        lit("sha1:0000000000000000000000000000000000000000"))
+        .otherwise(col("payload_digest")))
+    val tornGot = Warc.readLatestCapturesDeduped(torn)
+      .select("url").as[String].collect().toSet
+    assert(tornGot == Set("https://rv.example/a", "https://rv.example/b",
+      "https://rv.example/c"))
+    // index offsets stay valid: every range fetches and parses
+    assert(Warc.readIndexed(stored).count() == 5)
+  }
+
   test("retry determinism: archives are byte-identical regardless of input row order (the AtomicSink double-commit premise)") {
     import spark.implicits._
     // a task retry/speculative duplicate re-reads its shuffle input in
