@@ -192,55 +192,185 @@ object WebDataset {
       fields: Seq[(String, Column)], outDir: String, targetBytes: Long,
       seed: String = "wds-shards"): Unit = {
     val assigned = assignShardsBySize(df, keyCol, fields, targetBytes, seed)
+    writeAssignedShards(assigned, fields.map(_._1), outDir)
+  }
+
+  /** [[writeShardsBySize]] + the [[Export]] MANIFEST contract for tar
+    * shards: one row per shard (shard, n_samples, n_bytes — tar-EXACT —
+    * checksum, checksum_cols), where the checksum is the
+    * order-invariant per-sample `xxhash64(key, field-bytes…)` summed as
+    * exact DECIMAL over COLUMN VALUES — so a parquet [[Export]] of the
+    * same frame with the same checksum columns carries comparable
+    * checksums (xxhash64 over a string and over its UTF-8 binary cast
+    * agree), and a lost or TRUNCATED `.tar` — which without a manifest
+    * surfaced only at training time — is one [[auditTarShards]] away.
+    * The layout runs ONCE (localCheckpoint) and feeds both the shard
+    * write and the manifest aggregation. Returns the manifest (also
+    * landed at `<outDir>/_manifest`). */
+  def writeShardsBySizeWithManifest(df: DataFrame, keyCol: String,
+      fields: Seq[(String, Column)], outDir: String, targetBytes: Long,
+      seed: String = "wds-shards"): DataFrame = {
+    val assigned = assignShardsBySize(df, keyCol, fields, targetBytes, seed)
+      .localCheckpoint(true) // one layout pass feeds write AND manifest
+    try {
+      writeAssignedShards(assigned, fields.map(_._1), outDir)
+      writeTarManifest(assigned, fields.map(_._1), outDir)
+    } finally assigned.unpersist(): Unit
+  }
+
+  /** [[writeShards]] (one shard per partition) + the tar manifest —
+    * shard id = partition id, pinned by a localCheckpoint so the write
+    * and the manifest see the same assignment. */
+  def writeShardsWithManifest(df: DataFrame, keyCol: String,
+      fields: Seq[(String, Column)], outDir: String): DataFrame = {
+    require(fields.nonEmpty, "writeShards needs at least one field")
     val exts = fields.map(_._1)
+    val assigned = df.select(Seq(
+        spark_partition_id().cast("long").as("__shard"),
+        col(keyCol).cast("string").as("__k"),
+        sampleTarBytes(fields).as("__bytes")) ++
+        fields.map { case (ext, c) => c.cast("binary").as(s"__f_$ext") }: _*)
+      .withColumn("__d", col("__k")) // write order within a partition
+      .localCheckpoint(true)
+    try {
+      writeAssignedShards(assigned, exts, outDir, repartitionByShard = false)
+      writeTarManifest(assigned, exts, outDir)
+    } finally assigned.unpersist(): Unit
+  }
+
+  /** Tar-exact bytes of one sample: Σ non-null fields (512-byte header
+    * + payload rounded up to the block). 512 = 2^9 ⇒ shifts. */
+  private def sampleTarBytes(fields: Seq[(String, Column)]): Column =
+    fields.map { case (_, c) =>
+      val b = c.cast("binary")
+      when(b.isNotNull, lit(Block.toLong) +
+        shiftleft(shiftright(octet_length(b).cast("long") + (Block - 1), 9), 9))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The roll-on-shard-change tar writer over an assignment frame
+    * carrying (__shard, __d, __k, __f_<ext>…): rows hash-partition by
+    * shard id (a shard never splits across tasks) unless the input's
+    * own partitioning already IS the assignment
+    * (`repartitionByShard = false` — the partition-per-shard mode). */
+  private def writeAssignedShards(assigned: DataFrame, exts: Seq[String],
+      outDir: String, repartitionByShard: Boolean = true): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    assigned
+      assigned.sparkSession.sparkContext.hadoopConfiguration)
+    val sel = assigned
       .select(col("__shard") +: col("__d") +: col("__k") +:
         exts.map(e => col(s"__f_$e")): _*)
-      .repartition(col("__shard"))
-      .sortWithinPartitions("__shard", "__d", "__k")
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val ctx = org.apache.spark.TaskContext.get()
-        var fs: org.apache.hadoop.fs.FileSystem = null
-        var out: java.io.OutputStream = null
-        var tmp: org.apache.hadoop.fs.Path = null
-        var dest: org.apache.hadoop.fs.Path = null
-        var curShard = Long.MinValue
-        def finish(): Unit = if (out != null) {
-          out.write(new Array[Byte](2 * Block)) // end-of-archive
-          out.close(); out = null
-          AtomicSink.commit(fs, tmp, dest)
-        }
-        try {
-          it.foreach { row =>
-            val shard = row.getLong(0)
-            if (shard != curShard) {
-              finish()
-              dest = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tar")
-              if (fs == null) fs = dest.getFileSystem(conf.value)
-              tmp = AtomicSink.tempFor(dest, ctx.taskAttemptId())
-              out = fs.create(tmp, true)
-              curShard = shard
-            }
-            val key = row.getString(2)
-            exts.zipWithIndex.foreach { case (ext, i) =>
-              val bytes = row.getAs[Array[Byte]](i + 3)
-              if (bytes != null) {
-                out.write(header(s"$key.$ext", bytes.length.toLong))
-                out.write(bytes)
-                val pad = (Block - (bytes.length % Block)) % Block
-                if (pad > 0) out.write(new Array[Byte](pad))
-              }
+    val laid =
+      if (repartitionByShard)
+        sel.repartition(col("__shard"))
+          .sortWithinPartitions("__shard", "__d", "__k")
+      else sel
+    laid.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val ctx = org.apache.spark.TaskContext.get()
+      var fs: org.apache.hadoop.fs.FileSystem = null
+      var out: java.io.OutputStream = null
+      var tmp: org.apache.hadoop.fs.Path = null
+      var dest: org.apache.hadoop.fs.Path = null
+      var curShard = Long.MinValue
+      def finish(): Unit = if (out != null) {
+        out.write(new Array[Byte](2 * Block)) // end-of-archive
+        out.close(); out = null
+        AtomicSink.commit(fs, tmp, dest)
+      }
+      try {
+        it.foreach { row =>
+          val shard = row.getLong(0)
+          if (shard != curShard) {
+            finish()
+            dest = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tar")
+            if (fs == null) fs = dest.getFileSystem(conf.value)
+            tmp = AtomicSink.tempFor(dest, ctx.taskAttemptId())
+            out = fs.create(tmp, true)
+            curShard = shard
+          }
+          val key = row.getString(2)
+          exts.zipWithIndex.foreach { case (ext, i) =>
+            val bytes = row.getAs[Array[Byte]](i + 3)
+            if (bytes != null) {
+              out.write(header(s"$key.$ext", bytes.length.toLong))
+              out.write(bytes)
+              val pad = (Block - (bytes.length % Block)) % Block
+              if (pad > 0) out.write(new Array[Byte](pad))
             }
           }
-          finish()
-        } catch {
-          case t: Throwable =>
-            if (out != null) { out.close(); AtomicSink.abort(fs, tmp) }
-            throw t
         }
+        finish()
+      } catch {
+        case t: Throwable =>
+          if (out != null) { out.close(); AtomicSink.abort(fs, tmp) }
+          throw t
       }
+    }
+  }
+
+  /** The manifest aggregation + `_manifest` parquet: per-shard sample
+    * count, tar-exact byte total, and the order-invariant column-value
+    * checksum (per-sample xxhash64 over (key, field bytes…) summed as
+    * exact DECIMAL — null fields skip, matching the writer's
+    * skip-null-entries convention). `checksum_cols` records the term
+    * layout so the audit re-derives it from the manifest alone. */
+  private def writeTarManifest(assigned: DataFrame, exts: Seq[String],
+      outDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val term = xxhash64(col("__k") +: exts.map(e => col(s"__f_$e")): _*)
+    val manifest = assigned.groupBy(col("__shard").as("shard")).agg(
+        count(lit(1)).as("n_samples"),
+        sum(col("__bytes")).as("n_bytes"),
+        sum(term.cast(DecimalType(38, 0))).as("checksum"))
+      .withColumn("checksum_cols", lit(("key" +: exts).mkString(",")))
+      .orderBy("shard")
+    manifest.repartition(1).write.mode("overwrite")
+      .parquet(s"$outDir/_manifest")
+    manifest
+  }
+
+  /** Re-derive the manifest from the LANDED `.tar` shards and compare —
+    * the post-copy/pre-training integrity gate: returns rows that
+    * DISAGREE (empty = intact). A LOST shard surfaces as a
+    * manifest-only row; a TRUNCATED shard (tar tail cut — the parser's
+    * documented tolerance stops at the damage) as count/byte/checksum
+    * drift. Field layout comes from the manifest's own `checksum_cols`.
+    * Cost ∝ archive bytes (one streaming pass per shard — the same
+    * read a loader pays). */
+  def auditTarShards(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val manifest = spark.read.parquet(s"$outDir/_manifest")
+    val exts: Seq[String] = manifest.select("checksum_cols").limit(1)
+      .collect().headOption
+      .map(_.getString(0).split(",").toSeq.drop(1))
+      .getOrElse(Seq.empty)
+    require(exts.nonEmpty, s"manifest at $outDir/_manifest records no fields")
+    val manifestCmp = manifest.drop("checksum_cols")
+    val entries = readEntries(spark, s"$outDir/shard-*.tar").toDF()
+      .withColumn("__shard",
+        regexp_extract(col("shard"), "shard-([0-9]+)\\.tar$", 1).cast("long"))
+    // per-(shard, key): one column per field ext, then the SAME
+    // per-sample term the writer's manifest used
+    val fieldAggs = exts.map(e =>
+      max(when(col("ext") === e, col("payload"))).as(s"__f_$e"))
+    val bySample = entries.groupBy(col("__shard"), col("key"))
+      .agg(fieldAggs.head, fieldAggs.tail: _*)
+    val term = xxhash64(col("key") +: exts.map(e => col(s"__f_$e")): _*)
+    val bytes = exts.map { e =>
+      val b = col(s"__f_$e")
+      when(b.isNotNull, lit(Block.toLong) +
+        shiftleft(shiftright(octet_length(b).cast("long") + (Block - 1), 9), 9))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val landed = bySample.groupBy(col("__shard").as("shard")).agg(
+      count(lit(1)).as("n_samples"),
+      sum(bytes).as("n_bytes"),
+      sum(term.cast(DecimalType(38, 0))).as("checksum"))
+    landed.as("l").join(manifestCmp.as("m"), Seq("shard"), "full_outer")
+      .filter(col("l.n_samples").isNull || col("m.n_samples").isNull ||
+        col("l.n_samples") =!= col("m.n_samples") ||
+        col("l.n_bytes") =!= col("m.n_bytes") ||
+        col("l.checksum") =!= col("m.checksum"))
   }
 
   /** The size-prefix-sum shard ASSIGNMENT behind [[writeShardsBySize]],
@@ -255,14 +385,8 @@ object WebDataset {
     require(fields.nonEmpty, "writeShardsBySize needs at least one field")
     require(targetBytes >= 2L * Block,
       s"targetBytes must be at least one header+block (got $targetBytes)")
-    // tar-exact bytes per sample: Σ non-null fields (512 header +
-    // payload rounded up to 512); 512 = 2^9, so the round-up is shifts
-    val sampleBytes = fields.map { case (_, c) =>
-      val b = c.cast("binary")
-      when(b.isNotNull, lit(Block.toLong) +
-        shiftleft(shiftright(octet_length(b).cast("long") + (Block - 1), 9), 9))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+    // tar-exact bytes per sample ([[sampleTarBytes]])
+    val sampleBytes = sampleTarBytes(fields)
     val d = Sampling.drawHex(col(keyCol), seed)
     val rows = df.select(Seq(col(keyCol).cast("string").as("__k"),
         sampleBytes.as("__bytes"), d.as("__d")) ++

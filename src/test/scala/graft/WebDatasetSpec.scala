@@ -248,4 +248,69 @@ class WebDatasetSpec extends SparkTestBase {
     assert(parsed.nonEmpty && parsed.size < 8)
     assert(parsed.forall { case (n, d) => n.startsWith("k") && d.nonEmpty })
   }
+
+  test("tar manifest + audit: clean export audits empty; lost shard and truncated shard both flagged; checksums match the parquet export's") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wdsman").toString
+    val df = (0 until 60).map(i =>
+      (f"s$i%03d", s"text body $i " + ("x" * (i * 7 % 300)),
+        if (i % 5 == 0) null else s"""{"i":$i}"""))
+      .toDF("key", "txt", "json")
+    val manifest = WebDataset.writeShardsBySizeWithManifest(df, "key",
+      Seq("txt" -> col("txt"), "json" -> col("json")), dir,
+      targetBytes = 8192)
+    assert(manifest.agg(sum("n_samples")).head.getLong(0) == 60)
+    // intact export: audit has nothing to flag
+    assert(WebDataset.auditTarShards(spark, dir).count() == 0)
+    // the manifest is over COLUMN VALUES: the parquet Export of the
+    // same frame with the same term layout carries the same corpus
+    // checksum (xxhash64 agrees across a string and its binary cast)
+    val pq = java.nio.file.Files.createTempDirectory("graft-wdsman-pq").toString
+    val pman = graft.ext.Export.writeShards(
+      df.withColumn("ntok", lit(1L)), "key", "ntok", pq,
+      tokensPerShard = 20, checksumCols = Seq("key", "txt", "json"))
+    val tarSum = manifest.agg(sum("checksum")).head.getDecimal(0)
+    val pqSum = pman.agg(sum("checksum")).head.getDecimal(0)
+    assert(tarSum.compareTo(pqSum) == 0, s"tar=$tarSum parquet=$pqSum")
+    // LOST shard: delete one tar — audit flags exactly that shard row
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("shard-\\d+\\.tar")).sortBy(_.getName)
+    assert(shards.length >= 2, shards.map(_.getName).toSeq)
+    val lostId = shards.head.getName.stripPrefix("shard-")
+      .stripSuffix(".tar").toLong
+    assert(shards.head.delete())
+    val flaggedLost = WebDataset.auditTarShards(spark, dir)
+      .select("shard").as[Long].collect().toSet
+    assert(flaggedLost == Set(lostId), flaggedLost)
+    // TRUNCATED shard: cut the tail of another — flagged too
+    val victim = shards(1)
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    java.nio.file.Files.write(victim.toPath,
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2))
+    val flagged2 = WebDataset.auditTarShards(spark, dir)
+      .select("shard").as[Long].collect().toSet
+    val truncId = victim.getName.stripPrefix("shard-")
+      .stripSuffix(".tar").toLong
+    assert(flagged2 == Set(lostId, truncId), flagged2)
+  }
+
+  test("writeShardsWithManifest (partition-per-shard): manifest matches landed shards, audit clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wdsman2").toString
+    val df = (0 until 30).map(i => (f"p$i%03d", s"payload $i"))
+      .toDF("key", "txt")
+    val manifest = WebDataset.writeShardsWithManifest(df.repartition(3),
+      "key", Seq("txt" -> col("txt")), dir)
+    assert(manifest.count() == 3)
+    assert(manifest.agg(sum("n_samples")).head.getLong(0) == 30)
+    assert(WebDataset.auditTarShards(spark, dir).count() == 0)
+    // the landed tar bytes really are the manifest's n_bytes plus the
+    // fixed tar close (2 zero blocks)
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("shard-\\d+\\.tar"))
+      .map(f => f.getName.stripPrefix("shard-").stripSuffix(".tar").toLong ->
+        f.length()).toMap
+    manifest.collect().foreach { r =>
+      assert(sizes(r.getLong(0)) == r.getLong(2) + 2 * 512,
+        s"shard ${r.getLong(0)}")
+    }
+  }
 }
