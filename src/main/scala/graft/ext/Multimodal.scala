@@ -213,6 +213,108 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** Fixed-point cosine table for the 32-point DCT-II, built once
+      * with StrictMath (bit-exact across platforms by spec — Math.cos
+      * may differ per JVM/libm, which would make the hash
+      * platform-dependent): T(u)(x) = round(cos((2x+1)·u·π/64) · 2¹⁴).
+      * All downstream arithmetic is Long — no FP in the hash. */
+    private lazy val dctCos: Array[Array[Long]] = Array.tabulate(32, 32) {
+      (u, x) => Math.round(
+        StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64.0) * (1L << 14))
+    }
+
+    /** 64-bit DCT PERCEPTUAL HASH (pHash — the robustness upgrade over
+      * [[dHash]]: dHash compares ADJACENT cell means, so recompression/
+      * rescale noise flips exactly the near-tie gradient bits; pHash
+      * thresholds the 8×8 LOW-FREQUENCY DCT block against its median,
+      * and low-frequency structure is what JPEG quantization preserves
+      * by design). Pipeline, all integer: decoded pixels → BT.601 gray
+      * → area-averaged 32×32 grid (floor cell map — no platform
+      * scaler) → unnormalized 2D DCT-II via the fixed-point cosine
+      * table (the scipy/imagehash shape — a global positive scale
+      * cancels under thresholding, so the α(u) normalization is
+      * unnecessary) → bit(v,u) = 2·coeff > (sorted₃₁ + sorted₃₂)
+      * (integer median-of-64 without halving). Bounds: |coeff| ≤
+      * 255·32²·2²⁸ < 2⁴⁷ — doubling stays in Long. None for
+      * undecodable/empty inputs (callers DROP, the dHash discipline). */
+    def pHash(payload: Array[Byte]): Option[Long] =
+      try {
+        val img = read(payload)
+        pHashPixels(img.getWidth, img.getHeight, argb(img))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** [[pHash]]'s pixel-level core — shared with video-frame hashing
+      * call sites the way [[dHashPixels]] is. */
+    private[ext] def pHashPixels(w: Int, h: Int, px: Array[Int]): Option[Long] =
+      try {
+        if (w < 1 || h < 1) None
+        else {
+          val n = 32
+          val sums = new Array[Long](n * n)
+          val counts = new Array[Long](n * n)
+          var y = 0
+          while (y < h) {
+            val cy = math.min(y * n / h, n - 1)
+            var x = 0
+            while (x < w) {
+              val cx = math.min(x * n / w, n - 1)
+              val p = px(y * w + x)
+              val gray = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+                114 * (p & 0xff)) / 1000
+              sums(cy * n + cx) += gray
+              counts(cy * n + cx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val grid = new Array[Long](n * n)
+          var i = 0
+          while (i < n * n) {
+            grid(i) = if (counts(i) == 0) 0L else sums(i) / counts(i)
+            i += 1
+          }
+          // separable DCT, only the 8 low frequencies each axis:
+          // rows pass tmp(y)(u) = Σ_x grid(y,x)·T(u)(x), then
+          // coeff(v)(u) = Σ_y tmp(y)(u)·T(v)(y)
+          val tmp = new Array[Long](n * 8)
+          var yy = 0
+          while (yy < n) {
+            var u = 0
+            while (u < 8) {
+              var s = 0L
+              var x = 0
+              while (x < n) { s += grid(yy * n + x) * dctCos(u)(x); x += 1 }
+              tmp(yy * 8 + u) = s >> 14 // renormalize the fixed point
+              u += 1
+            }
+            yy += 1
+          }
+          val coeffs = new Array[Long](64)
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              var s = 0L
+              var y2 = 0
+              while (y2 < n) { s += tmp(y2 * 8 + u) * dctCos(v)(y2); y2 += 1 }
+              coeffs(v * 8 + u) = s >> 14
+              u += 1
+            }
+            v += 1
+          }
+          val sorted = coeffs.clone()
+          java.util.Arrays.sort(sorted)
+          val med2 = sorted(31) + sorted(32)
+          var bits = 0L
+          var k = 0
+          while (k < 64) {
+            if (2 * coeffs(k) > med2) bits |= 1L << k
+            k += 1
+          }
+          Some(bits)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     private def featuresOf(w: Int, h: Int, px: Array[Int]): Array[Float] = {
       var (sr, sg, sb, sl, se) = (0.0, 0.0, 0.0, 0.0, 0.0)
       var y = 0
@@ -1154,6 +1256,29 @@ object Multimodal {
     * small distance. Returns (id1, id2, hamming). */
   def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     Dedup.signatureNearDups(imageDHash(media), "media_id", "dhash", maxHamming)
+
+  /** DCT perceptual fingerprints: (media_id, phash) for every decodable
+    * image row ([[ImageIoCodec.pHash]]) — the recompression-robust
+    * sibling of [[imageDHash]]; same drop-undecodable discipline, same
+    * 8 bytes per image downstream. */
+  def imagePHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap(m => ImageIoCodec.pHash(m.payload).map(h => (m.media_id, h)))
+      }
+      .toDF("media_id", "phash")
+  }
+
+  /** Image near-dup pairs over the DCT pHash — the standard robustness
+    * upgrade when corpora mix encodings: dHash's adjacent-gradient
+    * bits flip under recompression/rescale combinations (JPEG noise
+    * lands exactly on near-tie cell comparisons), while the 8×8
+    * low-frequency DCT block is what JPEG quantization preserves by
+    * design. Same banding engine, same cost shape ([[Dedup
+    * .signatureNearDups]] — pairs meet only inside banded buckets). */
+  def imageNearDupsPhash(media: Dataset[MediaRow], maxHamming: Int = 6): DataFrame =
+    Dedup.signatureNearDups(imagePHash(media), "media_id", "phash", maxHamming)
 
   /** Audio fingerprints: (media_id, ehash) for every decodable audio
     * row ([[WavCodec.energyHash]]); undecodable/too-short payloads

@@ -3193,6 +3193,35 @@ object Queries {
       .orderBy("id1", "id2")
   }
 
+  // X12M — image near-dups over the DCT pHash ([[graft.ext.Multimodal
+  // .imageNearDupsPhash]]: integer 32×32-grid DCT-II via a fixed-point
+  // StrictMath cosine table, 8×8 low-frequency block thresholded at
+  // the median — the recompression-robust upgrade over dHash, whose
+  // near-tie gradient bits JPEG noise flips; ExtSpec pins the golden
+  // where a JPEG re-encode lands within pHash radius 6 but past dHash
+  // radius 6). Same x12l planted-twin design (pixel (0,0) forced
+  // white) at the banding engine's full radius 7: a 1-pixel change
+  // moves exactly one 32×32 grid cell, so the DCT shift flips only
+  // near-median bits — the hamming column rides the hash and the
+  // planted filter keeps rows linear in SF.
+  q("x12m_image_neardups_phash") { (s, dir) =>
+    import s.implicits._
+    val media = graft.ext.Multimodal.syntheticImageTable(s, dir)
+    val twins = media.filter(col("media_id") % 3 === 0)
+      .as[graft.ext.Multimodal.MediaRow]
+      .map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        img.setRGB(0, 0, 0xFFFFFF)
+        m.copy(media_id = m.media_id + 1000000L,
+          payload = graft.ext.Multimodal.ImageIoCodec.encodePng(img))
+      }
+    graft.ext.Multimodal.imageNearDupsPhash(media.unionByName(twins),
+        maxHamming = 7)
+      .filter(col("id2") === col("id1") + lit(1000000L))
+      .orderBy("id1", "id2")
+  }
+
   // X12J — audio near-dup pairs ([[graft.ext.Multimodal.audioNearDups]]:
   // energy-contour hash + the shared Hamming banding engine). Same
   // planted-twin design as x12i: the hash stage runs over the whole

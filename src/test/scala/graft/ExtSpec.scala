@@ -494,6 +494,82 @@ class ExtSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L), (1L, 6L), (2L, 6L)), s"$pairs")
   }
 
+  test("pHash: JPEG re-encode found at radius <= 6 where dHash misses; brightness invariant; undecodable drops") {
+    import Multimodal.ImageIoCodec
+    // the golden fixture (probe-selected, deterministic): a seeded
+    // smooth bilinear field, 48x48 from a 12x12 coarse grid, JPEG
+    // re-encoded at quality 0.05 — dHash's near-tie gradient bits flip
+    // past radius 6, the low-frequency DCT block does not
+    def smooth(seed: Long, n: Int, cg: Int): java.awt.image.BufferedImage = {
+      val rnd = new java.util.Random(seed)
+      val coarse = Array.fill(cg + 1, cg + 1)(rnd.nextInt(256))
+      val im = new java.awt.image.BufferedImage(n, n,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until n; x <- 0 until n) {
+        val fx = x * cg.toDouble / n; val fy = y * cg.toDouble / n
+        val ix = fx.toInt; val iy = fy.toInt
+        val ax = fx - ix; val ay = fy - iy
+        val v = coarse(iy)(ix) * (1 - ax) * (1 - ay) +
+          coarse(iy)(ix + 1) * ax * (1 - ay) +
+          coarse(iy + 1)(ix) * (1 - ax) * ay +
+          coarse(iy + 1)(ix + 1) * ax * ay
+        val g = math.max(0, math.min(255, v.toInt))
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      im
+    }
+    def jpeg(im: java.awt.image.BufferedImage, q: Float): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(im, null, null), p)
+      ios.close(); w.dispose()
+      bos.toByteArray
+    }
+    val im = smooth(4L, 48, 12)
+    val png = ImageIoCodec.encodePng(im)
+    val jpg = jpeg(im, 0.05f)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dDist = ham(ImageIoCodec.dHash(png).get, ImageIoCodec.dHash(jpg).get)
+    val pDist = ham(ImageIoCodec.pHash(png).get, ImageIoCodec.pHash(jpg).get)
+    assert(dDist > 6, s"fixture drifted: dHash distance $dDist")
+    assert(pDist <= 6, s"pHash distance $pDist")
+    // brightness shift (no clipping): only the DC coefficient moves —
+    // it was already above the median, so the hash is identical
+    def shifted(d: Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(48, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 48) {
+        val g0 = im.getRGB(x, y) & 0xff
+        val g = math.min(200, g0 / 2 + 50) + d // keep headroom for +40
+        b.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      ImageIoCodec.encodePng(b)
+    }
+    assert(ImageIoCodec.pHash(shifted(0)).get == ImageIoCodec.pHash(shifted(40)).get)
+    // undecodable bytes: None, never a throw
+    assert(ImageIoCodec.pHash("not a png".getBytes("UTF-8")).isEmpty)
+    // the distributed pair stage at radius 6: pHash pairs the PNG with
+    // its JPEG twin; dHash at the same radius does NOT
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, 48, 48, 0L),
+      Multimodal.MediaRow(2L, "image", jpg, 48, 48, 0L),
+      Multimodal.MediaRow(3L, "image",
+        ImageIoCodec.syntheticPng(77L, 18, 14), 18, 14, 0L))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val pPairs = Multimodal.imageNearDupsPhash(ds, maxHamming = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pPairs == Set((1L, 2L)), s"$pPairs")
+    val dPairs = Multimodal.imageNearDups(ds, maxHamming = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(dPairs.isEmpty, s"$dPairs")
+  }
+
   test("videoNearDups: byte-identical twin shares every sampled frame; pairs == the closed form over collected hashes") {
     import Multimodal.AviCodec
     val vidA = AviCodec.syntheticAvi(5L, 6, 36, 32, fps = 10)
