@@ -1,7 +1,13 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-pair-encoding tokenizer induction (Sennrich et al. 2016,
   * arXiv:1508.07909) — learning the tokenizer FROM the corpus is a
@@ -127,10 +133,14 @@ object Bpe {
     * (nested folds, checkpoint every 32 like [[segmentTable]]) — one
     * lineage truncation per ROUND instead of per merge. */
   def learnMergesFromVocabBatched(vocab: DataFrame, numMerges: Int,
-      sliceSize: Int = 256): BatchedLearn = {
+      sliceSize: Int = 256): BatchedLearn =
+    learnBatchedCore(vocab, numMerges, sliceSize, initialSymbols)
+
+  private def learnBatchedCore(vocab: DataFrame, numMerges: Int,
+      sliceSize: Int, init: Column => Column): BatchedLearn = {
     require(sliceSize >= 1, "sliceSize must be positive")
     var words = vocab
-      .select(col("word"), col("freq"), initialSymbols(col("word")).as("symbols"))
+      .select(col("word"), col("freq"), init(col("word")).as("symbols"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var rounds = 0
@@ -231,5 +241,149 @@ object Bpe {
       .join(broadcast(segments), Seq("word"), "left")
       .select(col(idCol), col("pos"),
         posexplode(coalesce(col("subwords"), initialSymbols(col("word"))))
+          .as(Seq("subpos", "subword")))
+
+  // -- byte-level variant (GPT-2-style) -------------------------------------
+
+  /** Byte-level pre-tokenization (Radford et al. 2019, the GPT-2
+    * tokenizer shape — what every modern byte-level BPE descends from):
+    * text splits on the GPT-2 regex (contractions, letter runs, digit
+    * runs, punctuation runs — each with its optional leading space —
+    * and whitespace), then each pretoken's UTF-8 BYTES map one-to-one
+    * to visible chars ([[ByteLevel.byteToChar]]). The base alphabet is
+    * the 256 byte symbols, so there is NO OOV by construction: any
+    * text — emoji, CJK, mojibake, binary junk — tokenizes, and
+    * detokenization is exact byte-level inversion. Case is preserved
+    * (no lowercase fold — the byte-level convention). The merge
+    * machinery is SHARED with the char-level learner: same batched
+    * accept-proof, same determinism contract; only the initial symbol
+    * spelling differs (no end-of-word sentinel — word boundaries come
+    * from the pre-tokenizer, with spaces folded into the following
+    * pretoken as the mapped space char). */
+  object ByteLevel {
+    /** GPT-2's bytes_to_unicode: the printable latin-1 bytes map to
+      * themselves; the rest shift above U+00FF in byte order — every
+      * byte gets ONE visible char, so byte symbols ride the string
+      * machinery (and parquet/JSON dumps stay readable). */
+    val byteToChar: Array[Char] = {
+      val printable = (('!' to '~') ++ ('¡' to '¬') ++
+        ('®' to 'ÿ')).map(_.toInt).toSet
+      val arr = new Array[Char](256)
+      var n = 0
+      var b = 0
+      while (b < 256) {
+        if (printable(b)) arr(b) = b.toChar
+        else { arr(b) = (256 + n).toChar; n += 1 }
+        b += 1
+      }
+      arr
+    }
+    val charToByte: Map[Char, Int] =
+      byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+    /** The GPT-2 pre-tokenizer regex (public vocab.bpe convention). */
+    val Pretokenizer: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+
+    /** Text → byte-level pretoken words (the kernel's Scala core,
+      * shared with the spec's reference implementation). */
+    def byteWords(text: String): Seq[String] = {
+      if (text == null) return Nil
+      val m = Pretokenizer.matcher(text)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (m.find()) {
+        val bytes = m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val sb = new java.lang.StringBuilder(bytes.length)
+        var i = 0
+        while (i < bytes.length) { sb.append(byteToChar(bytes(i) & 0xff)); i += 1 }
+        out += sb.toString
+      }
+      out.toSeq
+    }
+
+    /** Exact inverse of the byte mapping: a byte-word (or a
+      * concatenation of subwords) back to its original UTF-8 bytes —
+      * the round-trip BpeSpec pins. Throws on a char outside the
+      * 256-symbol alphabet (impossible for this tokenizer's output). */
+    def decode(word: String): Array[Byte] = {
+      val out = new Array[Byte](word.length)
+      var i = 0
+      while (i < word.length) { out(i) = charToByte(word.charAt(i)).toByte; i += 1 }
+      out
+    }
+  }
+
+  /** array<string> of a text column's byte-level pretoken words — one
+    * codegen kernel per row (regex pre-tokenize + byte map fused). */
+  def byteWords(text: Column): Column =
+    ColumnBridge.column(ByteWordsExpr(ColumnBridge.expr(text)))
+
+  final case class ByteWordsExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_bpe_byte_words"
+
+    def words(in: UTF8String): ArrayData =
+      new GenericArrayData(ByteLevel.byteWords(in.toString)
+        .map(w => UTF8String.fromString(w): Any).toArray)
+
+    override def nullSafeEval(input: Any): Any =
+      words(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        val ref = ctx.addReferenceObj("bytewords", this, classOf[ByteWordsExpr].getName)
+        s"${ev.value} = $ref.words($t);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Corpus → byte-level (word, freq) vocabulary — the byte twin of
+    * [[wordFreqs]]: case-preserving, space-folding, no empty filter
+    * needed (the regex emits no empty matches). */
+  def byteWordFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(byteWords(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Byte-word → its initial symbols: one char per BYTE, no
+    * end-of-word sentinel (boundaries live in the pre-tokenization). */
+  private def initialByteSymbols(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Learn byte-level merges — the SHARED batched loop
+    * ([[learnMergesFromVocabBatched]]'s accept-proof and determinism
+    * contract) over byte-symbol spellings. */
+  def learnByteMergesFromVocabBatched(vocab: DataFrame, numMerges: Int,
+      sliceSize: Int = 256): BatchedLearn =
+    learnBatchedCore(vocab, numMerges, sliceSize, initialByteSymbols)
+
+  /** Byte-level [[segmentTable]]: (word, subwords), no sentinel. */
+  def segmentTableBytes(vocab: DataFrame, merges: Seq[Merge],
+      checkpointEvery: Int = 32): DataFrame = {
+    val init = vocab.select(col("word"), initialByteSymbols(col("word")).as("symbols"))
+    val segmented = merges.zipWithIndex.foldLeft(init) { case (df, (m, i)) =>
+      val next = df.select(col("word"),
+        applyMerge(col("symbols"), m.left, m.right).as("symbols"))
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < merges.size)
+        next.localCheckpoint(true)
+      else next
+    }
+    segmented.select(col("word"), col("symbols").as("subwords"))
+  }
+
+  /** Byte-level [[tokenize]]: (idCol, pos, subpos, subword). Unknown
+    * words fall back to their byte symbols — with a 256-symbol base
+    * alphabet that fallback ALWAYS spells the word exactly, so the
+    * tokenizer is total and round-trip-exact on any input. */
+  def tokenizeBytes(df: DataFrame, idCol: String, textCol: String,
+      segments: DataFrame): DataFrame =
+    df.select(col(idCol),
+        posexplode(byteWords(col(textCol))).as(Seq("pos", "word")))
+      .join(broadcast(segments), Seq("word"), "left")
+      .select(col(idCol), col("pos"),
+        posexplode(coalesce(col("subwords"), initialByteSymbols(col("word"))))
           .as(Seq("subpos", "subword")))
 }

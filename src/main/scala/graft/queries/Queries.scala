@@ -409,6 +409,8 @@ object Queries {
   /** x31's learned BPE merges + cached vocab, one per scale dir. */
   private val bpeMemo = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[graft.ext.Bpe.Merge], DataFrame)]
+  private val bpeByteMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[graft.ext.Bpe.Merge], DataFrame)]
   private val unigramMemo = scala.collection.concurrent.TrieMap
     .empty[String, (graft.ext.UnigramLm.Model, DataFrame)]
 
@@ -5349,6 +5351,27 @@ object Queries {
     })
     val seg = graft.ext.Bpe.segmentTable(vocab, merges)
     graft.ext.Bpe.tokenize(docs, "doc_id", "text", seg)
+      .groupBy("subword").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("subword"))
+      .limit(50)
+  }
+
+  // X31B — BYTE-LEVEL BPE (GPT-2-style: [[graft.ext.Bpe.byteWords]]
+  // regex pre-tokenization + bytes_to_unicode base alphabet — no OOV
+  // by construction; the SHARED batched merge loop). Rows-only (the
+  // learner has no SQL twin; BpeSpec pins the whole fit bit-exact
+  // against a pure-Scala reference on UTF-8-heavy fixtures and the
+  // exact round-trip). Output: top-50 subwords of the byte-level
+  // tokenized corpus under 20 learned merges — space-folded 'Ġ'
+  // symbols and case-preserving spellings ride the hash.
+  q("x31b_bpe_bytes") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val (merges, vocab) = bpeByteMemo.getOrElseUpdate(dir, {
+      val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
+      (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
+    })
+    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
+    graft.ext.Bpe.tokenizeBytes(docs, "doc_id", "text", seg)
       .groupBy("subword").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("subword"))
       .limit(50)

@@ -138,4 +138,99 @@ class BpeSpec extends SparkTestBase {
     assert(table(word) == Seq(word, Bpe.Eow), table(word).take(5).mkString("|"))
     assert(table("plain") == Seq("p", "l", "a", "i", "n", Bpe.Eow))
   }
+
+  /** Byte-level reference: greedy BPE over byte-word freqs, NO
+    * end-of-word sentinel, same total tie rule — ground truth for the
+    * GPT-2-style variant. */
+  private def referenceByteMerges(freqs: Map[String, Long], n: Int): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] =
+      freqs.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var continueLoop = true
+    while (out.length < n && continueLoop) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty || counts.values.max < 2) continueLoop = false
+      else {
+        val (l, r) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += ((l, r))
+        words = words.map { case (syms, f) =>
+          val merged = scala.collection.mutable.ArrayBuffer[String]()
+          for (s <- syms) {
+            if (merged.nonEmpty && merged.last == l && s == r)
+              merged(merged.length - 1) = l + r
+            else merged += s
+          }
+          merged.toVector -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  // a UTF-8-hostile corpus: emoji (4-byte), CJK (3-byte), accents
+  // (2-byte), contractions, digits, mixed case, punctuation runs
+  private val byteCorpus = Seq(
+    "the cat's hat 🙂🙂 the cat can't stop",
+    "日本語のテキスト and the café's crème",
+    "We'll take 42 cats — 42 cats!! 🙂",
+    "the THE The café café 日本語")
+
+  test("byte-level merges == pure reference on a UTF-8-heavy corpus; GPT-2 mapping exact") {
+    // the mapping itself: printable identity, space -> Ġ (U+0120)
+    assert(Bpe.ByteLevel.byteToChar('a'.toInt) == 'a')
+    assert(Bpe.ByteLevel.byteToChar(' '.toInt) == 'Ġ')
+    assert(Bpe.ByteLevel.byteToChar(0) == 'Ā')
+    assert((0 until 256).forall(b =>
+      Bpe.ByteLevel.charToByte(Bpe.ByteLevel.byteToChar(b)) == b))
+    // pre-tokenization: spaces fold into the following pretoken,
+    // contractions split, digit runs separate
+    val toks = Bpe.ByteLevel.byteWords("the cat's 42!")
+    assert(toks.map(Bpe.ByteLevel.decode(_))
+      .map(new String(_, "UTF-8")) == Seq("the", " cat", "'s", " 42", "!"))
+    val df = byteCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val freqs = Bpe.byteWordFreqs(df, "text").as[(String, Long)].collect().toMap
+    // pure-JVM freq twin agrees with the distributed kernel
+    val jvmFreqs = byteCorpus.flatMap(Bpe.ByteLevel.byteWords)
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    assert(freqs == jvmFreqs)
+    val got = Bpe.learnByteMergesFromVocabBatched(
+      Bpe.byteWordFreqs(df, "text"), 24).merges.map(m => (m.left, m.right))
+    val want = referenceByteMerges(freqs, 24)
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("byte-level tokenization round-trips EXACTLY (emoji/CJK included); unseen input has no OOV") {
+    val df = byteCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val vocab = Bpe.byteWordFreqs(df, "text").cache()
+    val merges = Bpe.learnByteMergesFromVocabBatched(vocab, 16).merges
+    val seg = Bpe.segmentTableBytes(vocab, merges)
+    def roundTrip(input: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Bpe.tokenizeBytes(input, "id", "text", seg)
+        .groupBy("id").agg(concat_ws("",
+          array_sort(collect_list(struct(col("pos"), col("subpos"), col("subword"))))
+            .getField("subword")).as("joined"))
+        .as[(Long, String)].collect()
+        .map { case (id, j) =>
+          id -> new String(Bpe.ByteLevel.decode(j), "UTF-8")
+        }.toMap
+    val back = roundTrip(df)
+    byteCorpus.zipWithIndex.foreach { case (t, i) =>
+      assert(back(i.toLong) == t, s"doc $i: '${back(i.toLong)}' != '$t'")
+    }
+    // input with symbols NEVER seen at learn time — Cyrillic, Hangul,
+    // control bytes — still tokenizes (byte fallback) and round-trips
+    val alien = Seq((99L, "привет 안녕하세요 \t tab null"))
+      .toDF("id", "text")
+    val backAlien = roundTrip(alien)
+    assert(backAlien(99L) == "привет 안녕하세요 \t tab null")
+    // frequent words collapse: ' cat' (3 occurrences) should have
+    // merged into few symbols — strictly fewer than its byte count
+    val catSubs = seg.filter(col("word") === "Ġcat")
+      .select("subwords").as[Seq[String]].collect()
+    assert(catSubs.nonEmpty && catSubs.head.length < 4, catSubs.toSeq)
+  }
 }

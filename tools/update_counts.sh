@@ -23,7 +23,9 @@ sed -i -E "s/Registry at HEAD: [0-9]+ queries \([0-9]+ oracle-bearing, [0-9]+ ro
 # summary total — cross-check with `sbt test` if dynamic registration
 # is ever introduced. -t kept for compatibility; the scan is cheap,
 # so it always runs.
-t=$(grep -rhoE '^\s+test\("' src/test/scala | wc -l)
+# -a: a spec carrying UTF-8-heavy fixtures (emoji) must not be
+# skipped as "binary"
+t=$(grep -rahoE '^\s+test\("' src/test/scala | wc -l)
 echo "tests: $t"
 sed -i -E "s/# [0-9]+ tests/# $t tests/" README.md
 sed -i -E "s/\`sbt test\`: [0-9]+ tests/\`sbt test\`: $t tests/" SURVEY.md
