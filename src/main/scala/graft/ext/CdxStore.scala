@@ -110,6 +110,49 @@ object CdxStore {
         col("urlkey") < lit(siteRangeEnd(sitePrefix)))
   }
 
+  /** SITE-scoped latest-capture SERVING straight from the store — the
+    * weekly-recrawl serving shape, end to end: range-prune the site's
+    * captures ([[capturesForSite]]), decide winners on that metadata,
+    * resolve revisit winners through Refers-To with the digest gate
+    * ([[Warc.readLatestCapturesDeduped]]), fetch exactly the winners'
+    * byte ranges. Works on a PLAIN index store too (no linkage
+    * columns → the plain fused path).
+    *
+    * Cross-site mirrors: a revisit inside the site can Refer-To a
+    * capture OUTSIDE the site's key range. The referred keys are
+    * derived from the slice (site-bounded), and their store rows fetch
+    * through a PUSHED IN-predicate when the distinct key count fits
+    * `maxRefKeys` (zone maps prune to the referred row groups — cost
+    * stays ∝ site); past the cap it falls back to an urlkey equi-join,
+    * which the bucket layout runs store-side-Exchange-free (one
+    * bucket-layout scan of the index — still metadata, never archive
+    * bytes). */
+  def serveLatestCaptures(spark: SparkSession, table: String,
+      sitePrefix: String, normalize: Boolean = true,
+      maxRefKeys: Int = 10000): DataFrame = {
+    val slice = capturesForSite(spark, table, sitePrefix)
+    val linkage = Seq("payload_digest", "refers_to_uri", "warc_type")
+    if (!linkage.forall(slice.columns.contains(_)))
+      return Warc.readLatestCaptures(slice, normalize)
+    val end = siteRangeEnd(sitePrefix)
+    // referred keys OUTSIDE the site's own range (in-range originals
+    // are already in the slice), site-bounded by construction
+    val refKeys = slice.filter(col("warc_type") === "revisit")
+      .select(UrlOps.surtKey(col("refers_to_uri")).as("__rk"))
+      .filter(col("__rk").isNotNull &&
+        (col("__rk") < lit(sitePrefix) || col("__rk") >= lit(end)))
+      .distinct()
+    val keys = refKeys.limit(maxRefKeys + 1).collect().map(_.getString(0))
+    val extra =
+      if (keys.isEmpty) slice.limit(0)
+      else if (keys.length <= maxRefKeys)
+        spark.table(table).filter(col("urlkey").isin(keys.toSeq: _*))
+      else // too many refs for a pushed IN list: bucket-layout join
+        spark.table(table).join(refKeys.withColumnRenamed("__rk", "urlkey"),
+          Seq("urlkey"), "left_semi")
+    Warc.readLatestCapturesDeduped(slice, slice.unionByName(extra), normalize)
+  }
+
   /** The store-side anti-join on FULL row identity, null-safe on every
     * column (a plain using-columns join would let any null field make
     * a replayed row look fresh forever). Store side scans in bucket

@@ -692,7 +692,17 @@ object Warc {
     * winner payloads — the whole point of the revisit format at a
     * weekly-recrawl cadence. */
   def readLatestCapturesDeduped(index: DataFrame, normalize: Boolean = true)
-      : DataFrame = {
+      : DataFrame =
+    readLatestCapturesDeduped(index, index, normalize)
+
+  /** [[readLatestCapturesDeduped]] with the ORIGINALS searched in a
+    * (possibly wider) frame than the winner decision: a SITE-scoped
+    * slice of a deduped index can hold revisits whose Refers-To names
+    * a capture OUTSIDE the slice (cross-site mirrors) — the caller
+    * supplies the slice plus the targeted extra rows
+    * ([[CdxStore.serveLatestCaptures]] does exactly this). */
+  def readLatestCapturesDeduped(index: DataFrame, originalsIndex: DataFrame,
+      normalize: Boolean): DataFrame = {
     val key =
       if (normalize)
         coalesce(UrlOps.normalizeUrl(col("target_uri")), col("target_uri"))
@@ -707,7 +717,7 @@ object Warc {
     // originals: response rows keyed by their (uri, date) identity —
     // what a revisit's Refers-To names. Duplicate identities are a
     // data defect; min(range) picks deterministically.
-    val originals = index.filter(col("warc_type") === "response")
+    val originals = originalsIndex.filter(col("warc_type") === "response")
       .groupBy(col("target_uri").as("refers_to_uri"),
         col("warc_date").as("refers_to_date"))
       .agg(min(struct(col("path"), col("offset"), col("length"))).as("o"))

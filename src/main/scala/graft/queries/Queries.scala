@@ -3638,6 +3638,86 @@ object Queries {
       .ordered("doc_id")
   }
 
+  /** The x89 DEDUPED SITE store: the x88 revisit mechanism on
+    * site-structured URLs, plus a MIRROR site whose day-1 captures are
+    * byte-identical to site h7's (so they dedup into CROSS-SITE
+    * revisits of h7's originals), all folded into a [[graft.ext
+    * .CdxStore]] through the real append+compact protocol. Even/odd
+    * is constant within a %50 site, so the recapture criterion is
+    * doc_id % 3. Memoized per scale dir. */
+  private val cdxDedupMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cdxDedupStoreFor(s: SparkSession, dir: String): String =
+    cdxDedupMemo.getOrElseUpdate(dir, {
+      val t = "graft_cdxdedup_" + Integer.toHexString(dir.hashCode)
+      graft.store.Bucketing.dropWithLocation(s, t)
+      val arc = java.nio.file.Files.createTempDirectory("graft-cdxdd").toString
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-cdxdd-idx").toString
+      val id = col("doc_id").cast("string")
+      val pay = concat(lit("HTTP/1.1 200 OK\r\n\r\nsv "), id, lit(" "),
+        coalesce(col("text"), lit("")))
+      def cap(host: Column, day: String, filt: Column) =
+        Tables.documents(s, dir).filter(filt).select(
+          concat(lit("https://"), host, lit(".example.com/item/"), id).as("uri"),
+          lit(day).as("ts"), pay.as("payload"))
+      val site = concat(lit("h"), (col("doc_id") % 50).cast("string"))
+      graft.ext.Warc.writeRecordsDedupedIndexed(
+          cap(site, "2026-08-14T00:00:00Z", lit(true))
+            .unionByName(cap(site, "2026-08-15T00:00:00Z", col("doc_id") % 3 === 0))
+            .unionByName(cap(lit("mirror"), "2026-08-14T00:00:00Z",
+              col("doc_id") % 50 === 7))
+            .repartition(4),
+          "uri", "ts", "payload", arc).toDF()
+        .withColumn("urlkey", graft.ext.UrlOps.surtKey(col("target_uri")))
+        .write.mode("overwrite").parquet(idxDir)
+      val idx = s.read.parquet(idxDir)
+      val half = crc32(col("target_uri")) % 2 === 0
+      graft.ext.CdxStore.append(idx.filter(half), t, buckets = 8)
+      graft.ext.CdxStore.append(idx.filter(!half), t, buckets = 8)
+      graft.ext.CdxStore.compact(s, t, buckets = 8)
+      t
+    })
+
+  // X89 — SITE-scoped revisit-aware serving FROM THE STORE ([[graft
+  // .ext.CdxStore.serveLatestCaptures]] — the r17 #2/#3 features
+  // composed end to end): site h7 range-prunes off the compacted
+  // store, winners decide on the slice, in-site revisit winners
+  // (doc_id % 3 == 0 recaptures) resolve through Refers-To; the
+  // MIRROR site's every winner is a CROSS-SITE revisit whose original
+  // lives outside the slice — the referred keys fetch through the
+  // pushed-IN extra lookup, digest-gated. The oracle states both
+  // sites' full serving (winner date + exact body + revisit-ness); a
+  // broken range end, a slice-only originals join (mirror rows
+  // vanish), or a wrong epoch each break rows or hash.
+  q("x89_cdx_revisit_site",
+    """SELECT doc_id, url, warc_date, body, was_revisit FROM (
+      |  SELECT doc_id,
+      |    'https://h7.example.com/item/' || CAST(doc_id AS VARCHAR) AS url,
+      |    CASE WHEN doc_id % 3 = 0 THEN '2026-08-15T00:00:00Z'
+      |         ELSE '2026-08-14T00:00:00Z' END AS warc_date,
+      |    'sv ' || CAST(doc_id AS VARCHAR) || ' ' || COALESCE(text, '') AS body,
+      |    (doc_id % 3 = 0) AS was_revisit
+      |  FROM documents WHERE doc_id % 50 = 7
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'https://mirror.example.com/item/' || CAST(doc_id AS VARCHAR),
+      |    '2026-08-14T00:00:00Z',
+      |    'sv ' || CAST(doc_id AS VARCHAR) || ' ' || COALESCE(text, ''),
+      |    TRUE
+      |  FROM documents WHERE doc_id % 50 = 7)
+      |ORDER BY url, doc_id""".stripMargin) { (s, dir) =>
+    val t = cdxDedupStoreFor(s, dir)
+    def serve(prefix: String) =
+      graft.ext.CdxStore.serveLatestCaptures(s, t, prefix)
+        .select(
+          regexp_extract(col("url"), "/item/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("url"), col("warc_date"),
+          graft.ext.Warc.httpBody(col("payload")).as("body"),
+          col("was_revisit"))
+    serve("com,example,h7)").unionByName(serve("com,example,mirror)"))
+      .ordered("url", "doc_id")
+  }
+
   // X77 — CDX-indexed RANDOM ACCESS into the archive ([[graft.ext.Warc
   // .writeRecordsIndexed]] sidecar → [[graft.ext.Warc.readIndexed]]):
   // a 1-in-17 subset of records fetched by POSITIONED READS of their

@@ -113,4 +113,44 @@ class CdxStoreSpec extends SparkTestBase {
     assert(wetBatches == 2)
     graft.store.Bucketing.dropWithLocation(spark, t)
   }
+
+  test("serveLatestCaptures: cross-site revisit resolves via the out-of-range lookup, IN-list and join fallback agree") {
+    val arc = Files.createTempDirectory("graft-cdxsrv").toString
+    val t = "graft_cdxsrv_" + Integer.toHexString(
+      java.util.UUID.randomUUID().hashCode())
+    graft.store.Bucketing.dropWithLocation(spark, t)
+    // site a: /x captured day1, re-captured UNCHANGED day2 (in-site
+    // revisit); site mirror: same bytes as a's /y (cross-site revisit)
+    val rows = Seq(
+      ("https://a.example.com/x", "2026-08-14T00:00:00Z", "HTTP/1.1 200 OK\r\n\r\nbody x"),
+      ("https://a.example.com/x", "2026-08-15T00:00:00Z", "HTTP/1.1 200 OK\r\n\r\nbody x"),
+      ("https://a.example.com/y", "2026-08-14T00:00:00Z", "HTTP/1.1 200 OK\r\n\r\nbody y"),
+      ("https://mirror.example.com/y", "2026-08-15T00:00:00Z", "HTTP/1.1 200 OK\r\n\r\nbody y"))
+      .toDF("uri", "ts", "payload")
+    val idx = Warc.writeRecordsDedupedIndexed(rows.repartition(2),
+        "uri", "ts", "payload", arc).toDF()
+      .withColumn("urlkey", graft.ext.UrlOps.surtKey(col("target_uri")))
+    CdxStore.append(idx, t, buckets = 2)
+    def served(prefix: String, maxRefKeys: Int): Map[String, (String, String, Boolean)] =
+      CdxStore.serveLatestCaptures(spark, t, prefix, maxRefKeys = maxRefKeys)
+        .select(col("url"), col("warc_date"),
+          Warc.httpBody(col("payload")).as("body"), col("was_revisit"))
+        .as[(String, String, String, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // site a: /x's winner is the in-site day-2 revisit, /y the response
+    val a = served("com,example,a)", 10000)
+    assert(a == Map(
+      "https://a.example.com/x" -> (("2026-08-15T00:00:00Z", "body x", true)),
+      "https://a.example.com/y" -> (("2026-08-14T00:00:00Z", "body y", false))), a)
+    // mirror site: its only capture is a CROSS-SITE revisit of a)/y —
+    // the original lives outside the slice and fetches via the pushed
+    // IN lookup
+    val m = served("com,example,mirror)", 10000)
+    assert(m == Map(
+      "https://mirror.example.com/y" ->
+        (("2026-08-15T00:00:00Z", "body y", true))), m)
+    // the join fallback (maxRefKeys = 0) serves identically
+    assert(served("com,example,mirror)", 0) == m)
+    graft.store.Bucketing.dropWithLocation(spark, t)
+  }
 }
