@@ -386,4 +386,85 @@ object Bpe {
       .select(col(idCol), col("pos"),
         posexplode(coalesce(col("subwords"), initialByteSymbols(col("word"))))
           .as(Seq("subpos", "subword")))
+
+  /** The STABLE id assignment a training stack consumes (the GPT-2
+    * vocab shape): ids 0..255 are the byte symbols IN BYTE ORDER
+    * (id = the byte value — position-independent, corpus-independent),
+    * id 256+rank is each merge's product symbol. Total and injective
+    * over everything [[tokenizeBytes]] can emit (every subword is a
+    * byte symbol or a merge product), so id lookup never misses. */
+  def byteVocab(merges: Seq[Merge]): Map[String, Int] = {
+    val base = (0 until 256).map(b => ByteLevel.byteToChar(b).toString -> b)
+    val merged = merges.map(m => (m.left + m.right) -> (256 + m.rank))
+    val vocab = (base ++ merged).toMap
+    require(vocab.size == 256 + merged.map(_._1).distinct.size,
+      "merge products collide with the base alphabet")
+    vocab
+  }
+
+  /** [[tokenizeBytes]] to INTEGER token ids: (idCol, pos, subpos,
+    * token_id) — the tensor-ready shape. The vocab rides as a
+    * broadcast (vocab-sized) lookup frame; the id join is total by
+    * [[byteVocab]]'s construction, and the plan asserts it (an inner
+    * join would silently DROP a row on a vocab bug — the left join +
+    * null check turns that into a loud analysis-time invariant). */
+  def tokenizeBytesToIds(df: DataFrame, idCol: String, textCol: String,
+      segments: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = byteVocab(merges).toSeq.toDF("subword", "token_id")
+    tokenizeBytes(df, idCol, textCol, segments)
+      .join(broadcast(vocab), Seq("subword"), "left")
+      .select(col(idCol), col("pos"), col("subpos"),
+        // total by construction: surface a vocab bug as an error value
+        // (-1) the DetokenizeSpec/round-trip gates would catch, never
+        // as a silently dropped token
+        coalesce(col("token_id"), lit(-1)).as("token_id"))
+  }
+
+  /** Exact inverse of [[tokenizeBytesToIds]] per document: token ids
+    * in (pos, subpos) order back to the original text — driver-free
+    * (one aggregation + one codegen decode per row). `ids → symbol
+    * strings` inverts [[byteVocab]]; the concatenated symbol chars map
+    * back through the byte table and decode as UTF-8. */
+  def detokenizeIds(tokens: DataFrame, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val inv = byteVocab(merges).toSeq.map(_.swap).toDF("token_id", "subword")
+    tokens.join(broadcast(inv), Seq("token_id"), "left")
+      .groupBy(col(idCol))
+      .agg(concat_ws("", array_sort(collect_list(
+          struct(col("pos"), col("subpos"), col("subword"))))
+        .getField("subword")).as("joined"))
+      .select(col(idCol),
+        decodeByteSymbols(col("joined")).as("text"))
+  }
+
+  /** Concatenated byte-symbol chars → original UTF-8 text (the
+    * [[ByteLevel.decode]] kernel as a column). */
+  def decodeByteSymbols(symbols: Column): Column =
+    ColumnBridge.column(DecodeByteSymbolsExpr(ColumnBridge.expr(symbols)))
+
+  final case class DecodeByteSymbolsExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_bpe_decode_bytes"
+
+    def decode(in: UTF8String): UTF8String =
+      UTF8String.fromBytes(ByteLevel.decode(in.toString))
+
+    override def nullSafeEval(input: Any): Any =
+      decode(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        val ref = ctx.addReferenceObj("bytedec", this, classOf[DecodeByteSymbolsExpr].getName)
+        s"${ev.value} = $ref.decode($t);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 }

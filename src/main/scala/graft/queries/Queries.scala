@@ -5457,6 +5457,35 @@ object Queries {
       .limit(50)
   }
 
+  // X31C — token IDS + exact detokenization ([[graft.ext.Bpe
+  // .tokenizeBytesToIds]] → [[graft.ext.Bpe.detokenizeIds]]): the
+  // tensor-ready id stream under the stable GPT-2-shape vocab (bytes =
+  // their own ids, merges by rank), round-tripped back to text
+  // DISTRIBUTED (one aggregation + one codegen decode — no driver
+  // loop). The oracle is the conservation law the id path must
+  // preserve: detokenized text == the source text, byte-exact, for
+  // every doc — stated in SQL as the documents table itself. A vocab
+  // miss (-1), a dropped token, or an order bug breaks the hash.
+  q("x31c_bpe_ids_roundtrip",
+    """SELECT doc_id, COALESCE(text, '') AS text
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val (merges, vocab) = bpeByteMemo.getOrElseUpdate(dir, {
+      val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
+      (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
+    })
+    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
+    val toks = graft.ext.Bpe.tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
+    val detok = graft.ext.Bpe.detokenizeIds(toks, "doc_id", merges)
+    // an empty-text doc emits no tokens and so no detok row — restore
+    // it as the empty string (the conservation law covers it too)
+    docs.select(col("doc_id"))
+      .join(detok, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .ordered("doc_id")
+  }
+
   // X48 — unigram-LM (SentencePiece-style) tokenizer induction +
   // application, the second tokenizer family next to BPE (rows-only:
   // the EM fit has no SQL twin; UnigramLmSpec pins the whole fit

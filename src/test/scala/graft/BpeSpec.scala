@@ -233,4 +233,26 @@ class BpeSpec extends SparkTestBase {
       .select("subwords").as[Seq[String]].collect()
     assert(catSubs.nonEmpty && catSubs.head.length < 4, catSubs.toSeq)
   }
+
+  test("token ids: stable GPT-2-shape assignment, no miss, detokenizeIds round-trips exactly") {
+    val df = byteCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val vocab = Bpe.byteWordFreqs(df, "text").cache()
+    val merges = Bpe.learnByteMergesFromVocabBatched(vocab, 16).merges
+    val seg = Bpe.segmentTableBytes(vocab, merges)
+    // id assignment: bytes are their own ids, merges follow by rank
+    val ids = Bpe.byteVocab(merges)
+    assert(ids("a") == 'a'.toInt && ids("Ġ") == ' '.toInt)
+    merges.foreach(m => assert(ids(m.left + m.right) == 256 + m.rank))
+    val toks = Bpe.tokenizeBytesToIds(df, "id", "text", seg, merges)
+    // total: the byte-level alphabet means NO token can miss the vocab
+    assert(toks.filter(col("token_id") === -1).count() == 0)
+    assert(toks.agg(max("token_id")).head.getInt(0) < 256 + merges.size)
+    // exact round-trip through ids alone — emoji/CJK included
+    val back = Bpe.detokenizeIds(toks, "id", merges)
+      .as[(Long, String)].collect().toMap
+    byteCorpus.zipWithIndex.foreach { case (t, i) =>
+      assert(back(i.toLong) == t, s"doc $i: '${back(i.toLong)}'")
+    }
+  }
 }
