@@ -50,7 +50,8 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val props = properties.asScala.toMap
     new WarcTable(WarcDataSource.pathsOf(props),
-      WarcDataSource.maxFilesPerTriggerOf(props))
+      WarcDataSource.maxFilesPerTriggerOf(props),
+      WarcDataSource.maxBytesPerTriggerOf(props))
   }
 }
 
@@ -83,8 +84,10 @@ object WarcDataSource {
     all
   }
 
-  /** Streaming admission control knob (the FileStreamSource option of
-    * the same name): at most N new files per micro-batch. */
+  /** Streaming admission control knobs (the FileStreamSource options
+    * of the same names): at most N new files / B new bytes per
+    * micro-batch. Both may be set — the tighter bound wins per
+    * trigger. */
   private[graft] def maxFilesPerTriggerOf(props: Map[String, String]): Option[Int] =
     props.collectFirst {
       case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v
@@ -97,21 +100,39 @@ object WarcDataSource {
       n
     }
 
+  private[graft] def maxBytesPerTriggerOf(props: Map[String, String]): Option[Long] =
+    props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxBytesPerTrigger") => v
+    }.map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"maxBytesPerTrigger must be a positive long, got '$v'")
+      }
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+      n
+    }
+
   /** Driver-side glob expansion (the Warc.read listing), one entry per
     * FILE, deterministic order — file COUNT is the parallelism unit. */
-  private[sources] def expandGlobs(paths: Seq[String]): Seq[String] = {
+  private[sources] def expandGlobs(paths: Seq[String]): Seq[String] =
+    expandGlobsWithSize(paths).map(_._1)
+
+  /** [[expandGlobs]] with each file's LENGTH (free — the same
+    * globStatus carries it), the byte-based admission control input. */
+  private[sources] def expandGlobsWithSize(paths: Seq[String]): Seq[(String, Long)] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     paths.flatMap { g =>
       val pat = new org.apache.hadoop.fs.Path(g)
       val fs = pat.getFileSystem(conf)
       Option(fs.globStatus(pat)).getOrElse(Array.empty)
-        .filter(_.isFile).map(_.getPath.toString)
-    }.distinct.sorted
+        .filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+    }.distinct.sortBy(_._1)
   }
 }
 
-final class WarcTable(paths: Seq[String], maxFilesPerTrigger: Option[Int])
+final class WarcTable(paths: Seq[String], maxFilesPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long])
     extends Table with SupportsRead {
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.Schema
@@ -120,10 +141,10 @@ final class WarcTable(paths: Seq[String], maxFilesPerTrigger: Option[Int])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // the read-time option wins over the table property (both arrive
     // here for a spark.readStream.option(...) query)
-    val opt = WarcDataSource
-      .maxFilesPerTriggerOf(options.asScala.toMap)
-      .orElse(maxFilesPerTrigger)
-    new WarcScanBuilder(paths, opt)
+    val o = options.asScala.toMap
+    new WarcScanBuilder(paths,
+      WarcDataSource.maxFilesPerTriggerOf(o).orElse(maxFilesPerTrigger),
+      WarcDataSource.maxBytesPerTriggerOf(o).orElse(maxBytesPerTrigger))
   }
 }
 
@@ -202,7 +223,8 @@ private[sources] object WarcFilters {
   }
 }
 
-final class WarcScanBuilder(paths: Seq[String], maxFilesPerTrigger: Option[Int])
+final class WarcScanBuilder(paths: Seq[String], maxFilesPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.Schema
@@ -216,18 +238,20 @@ final class WarcScanBuilder(paths: Seq[String], maxFilesPerTrigger: Option[Int])
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new WarcScan(paths, required, pushed, maxFilesPerTrigger)
+    new WarcScan(paths, required, pushed, maxFilesPerTrigger,
+      maxBytesPerTrigger)
 }
 
 final class WarcScan(paths: Seq[String], required: StructType,
-    filters: Array[Filter], maxFilesPerTrigger: Option[Int] = None)
+    filters: Array[Filter], maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(paths, required, filters, checkpointLocation,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger)
   override def description(): String =
     s"WarcScan(${paths.mkString(",")}, columns=${required.fieldNames.mkString(",")}" +
       (if (filters.isEmpty) ")"
@@ -419,10 +443,11 @@ private[sources] final class WarcFileLog(logDir: org.apache.hadoop.fs.Path,
   * repo runs on. */
 final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
     filters: Array[Filter], checkpointLocation: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
@@ -436,41 +461,79 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
   @volatile private var maxBatch: Long = Long.MinValue
   // AvailableNow: the listing captured at query start; every
   // latestOffset until stop() drains exactly this snapshot — with a
-  // file cap, in ⌈fresh/cap⌉ batches rather than one
-  @volatile private var captured: Option[Seq[String]] = None
+  // file/byte cap, in as many batches as the caps require
+  @volatile private var captured: Option[Seq[(String, Long)]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    captured = Some(WarcDataSource.expandGlobs(paths))
+    captured = Some(WarcDataSource.expandGlobsWithSize(paths))
 
-  /** ADMISSION CONTROL (the `maxFilesPerTrigger` source option): the
-    * default limit Spark hands back to [[latestOffset(start,limit)*]]
-    * each trigger. Without it a cold start over an EXISTING archive —
-    * or a restart after downtime — planned every fresh file in ONE
-    * corpus-sized micro-batch: correct, but unbounded memory/wall-clock
-    * per trigger and no incremental checkpoint progress. */
-  override def getDefaultReadLimit(): ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  /** ADMISSION CONTROL (the `maxFilesPerTrigger`/`maxBytesPerTrigger`
+    * source options): the default limit Spark hands back to
+    * [[latestOffset(start,limit)*]] each trigger. Without it a cold
+    * start over an EXISTING archive — or a restart after downtime —
+    * planned every fresh file in ONE corpus-sized micro-batch:
+    * correct, but unbounded memory/wall-clock per trigger and no
+    * incremental checkpoint progress. Both knobs together compose
+    * (tighter bound wins per trigger). */
+  override def getDefaultReadLimit(): ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
-  /** Files-per-batch cap of a ReadLimit. Only the shapes this source
+  /** (files, bytes) caps of a ReadLimit. Only the shapes this source
     * can HONOR are accepted — a row-based limit cannot be enforced by a
     * file source without reading the files, so claiming to accept one
     * would silently not limit (the API-contract wart this replaces). */
-  private def capOf(limit: ReadLimit): Option[Int] = limit match {
-    case _: ReadAllAvailable => None
-    case m: ReadMaxFiles => Some(m.maxFiles())
+  private def capsOf(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case _: ReadAllAvailable => (None, None)
+    case m: ReadMaxFiles => (Some(m.maxFiles()), None)
+    case b: ReadMaxBytes => (None, Some(b.maxBytes()))
     case c: CompositeReadLimit =>
-      c.getReadLimits.toSeq.flatMap(capOf).reduceOption(_ min _)
+      c.getReadLimits.toSeq.map(capsOf).foldLeft(
+        (Option.empty[Int], Option.empty[Long])) { case ((f1, b1), (f2, b2)) =>
+        ((f1.toSeq ++ f2.toSeq).reduceOption(_ min _),
+          (b1.toSeq ++ b2.toSeq).reduceOption(_ min _))
+      }
     case other => throw new UnsupportedOperationException(
-      s"warc source cannot honor ReadLimit $other (file-count limits only)")
+      s"warc source cannot honor ReadLimit $other (file/byte limits only)")
   }
 
-  private def advance(startSeen: Seq[String], cap: Option[Int]): Offset =
+  /** Admit a prefix of `fresh` under the caps: stop BEFORE the file
+    * that would cross the byte budget — but always admit at least one
+    * (an over-budget single file must flow, not stall the stream
+    * forever; the FileStreamSource convention). */
+  private def admit(fresh: Seq[(String, Long)], fileCap: Option[Int],
+      byteCap: Option[Long]): Seq[String] = {
+    val limited = fileCap.fold(fresh)(fresh.take)
+    byteCap match {
+      case None => limited.map(_._1)
+      case Some(budget) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var used = 0L
+        var i = 0
+        while (i < limited.length &&
+            (out.isEmpty || used + limited(i)._2 <= budget)) {
+          used += limited(i)._2
+          out += limited(i)._1
+          i += 1
+        }
+        out.toSeq
+    }
+  }
+
+  private def advance(startSeen: Seq[String], fileCap: Option[Int],
+      byteCap: Option[Long]): Offset =
     synchronized {
       if (maxBatch == Long.MinValue) maxBatch = state._1
       seen ++= startSeen // legacy-offset files: processed pre-upgrade
-      val listing = captured.getOrElse(WarcDataSource.expandGlobs(paths))
-      val fresh0 = listing.filterNot(seen)
-      val fresh = cap.fold(fresh0)(fresh0.take)
+      val listing = captured.getOrElse(WarcDataSource.expandGlobsWithSize(paths))
+      val fresh0 = listing.filterNot(f => seen(f._1))
+      val fresh = admit(fresh0, fileCap, byteCap)
       if (fresh.nonEmpty) {
         val next = maxBatch + 1
         log.write(next, fresh) // persisted BEFORE the id is ever returned
@@ -482,13 +545,14 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
 
   override def initialOffset(): Offset = WarcOffset(-1L)
   override def latestOffset(): Offset =
-    advance(Nil, maxFilesPerTrigger)
+    advance(Nil, maxFilesPerTrigger, maxBytesPerTrigger)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val legacy = start match {
       case LegacyWarcOffset(files) => files
       case _ => Nil
     }
-    advance(legacy, capOf(limit))
+    val (f, b) = capsOf(limit)
+    advance(legacy, f, b)
   }
   override def deserializeOffset(json: String): Offset = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)

@@ -478,9 +478,11 @@ object DocumentIngest {
       robotsTable: Option[String] = None,
       robotsAgent: String = "*",
       decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None): Unit = {
     val reader = spark.readStream.format("warc")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n))
     val src = reader.load(warcGlob)
     val pages = warcPages(src, decoders = decoders)
       .select(col("target_uri").as("url"), col("html"))
@@ -523,10 +525,12 @@ object DocumentIngest {
       maxFilesPerTrigger: Option[Int] = None,
       cdxTable: Option[String] = None,
       buckets: Int = 32,
-      compactEvery: Option[Int] = None)
+      compactEvery: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None)
       : Unit = {
     val reader = spark.readStream.format("warc")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n))
     val src = reader.load(warcGlob)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -312,6 +312,51 @@ class WarcSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == 8)
   }
 
+  test("byte-based admission: maxBytesPerTrigger splits on the byte budget; an over-budget single file still flows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-badm").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-badm-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-badm-ck").toString
+    def drop(name: String, uri: String, bodyLen: Int): Unit = {
+      val f = new java.io.FileOutputStream(s"$warcDir/$name")
+      val w = new Warc.MemberGzipWriter(f)
+      // incompressible body so the on-disk size tracks bodyLen
+      val rnd = new java.util.Random(uri.hashCode.toLong)
+      val body = new Array[Byte](bodyLen); rnd.nextBytes(body)
+      try w.writeMember(record("response", uri,
+        "HTTP/1.1 200 OK\r\n\r\n") ++ body): Unit
+      finally { w.end(); f.close() }
+    }
+    // ~8 KB each; one 40 KB whale
+    (1 to 4).foreach(i => drop(f"d$i%02d.warc.gz", s"https://b.example/$i", 8000))
+    drop("d05.warc.gz", "https://b.example/5", 40000)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q = spark.readStream.format("warc")
+      .option("maxBytesPerTrigger", 20000)
+      .load(warcDir + "/*.warc.gz")
+      .select("path")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val files = b.select("path").distinct()
+          .collect().map(_.getString(0)).toSeq
+        batches.synchronized {
+          batches += files.map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+        }
+        b.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = batches.sortBy(_.head)
+    // 2 x 8KB fit one 20KB budget; the 40KB whale exceeds it alone but
+    // must still flow as its own batch
+    assert(got.flatten.sorted ==
+      (1 to 5).map(i => f"d$i%02d.warc.gz"), got)
+    assert(got.forall(b => b.size <= 2), got)
+    assert(got.exists(_ == Seq("d05.warc.gz")), got)
+    assert(spark.read.parquet(outDir).select("path").distinct().count() == 5)
+  }
+
   test("legacy array offsets migrate: seen files excluded, uncommitted legacy batch replans as the diff, new commits are compact") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val warcDir = java.nio.file.Files.createTempDirectory("graft-leg").toString
