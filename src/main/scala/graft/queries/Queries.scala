@@ -411,6 +411,8 @@ object Queries {
     .empty[String, (Seq[graft.ext.Bpe.Merge], DataFrame)]
   private val bpeByteMemo = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[graft.ext.Bpe.Merge], DataFrame)]
+  private val trainingExportDirMemo = scala.collection.concurrent.TrieMap
+    .empty[String, String]
   private val unigramMemo = scala.collection.concurrent.TrieMap
     .empty[String, (graft.ext.UnigramLm.Model, DataFrame)]
 
@@ -5484,6 +5486,39 @@ object Queries {
       .join(detok, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .ordered("doc_id")
+  }
+
+  // X90 — the training-export LAST MILE composed end to end (rows-only
+  // — the BPE token counts have no SQL twin; every stage is
+  // individually oracle- or spec-gated): documents → byte-level BPE
+  // token ids (x31b/x31c machinery) → per-doc token counts → a short-doc
+  // quality floor → deterministic shard layout + parquet export with
+  // the checksummed MANIFEST ([[graft.ext.Export.writeShards]]) → the
+  // audit a loader runs ([[graft.ext.Export.auditShards]]) folded into
+  // the output as a must-be-true column. Output = the manifest itself
+  // (shard, n_docs, n_tokens, checksum) — deterministic given the
+  // learned tokenizer, rows ∝ corpus/tokensPerShard (linear in SF);
+  // any nondeterminism in the chain (layout, checksum, audit) flips
+  // the dump-to-dump comparison the driver's rows-only protocol makes.
+  q("x90_training_export") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val (merges, vocab) = bpeByteMemo.getOrElseUpdate(dir, {
+      val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
+      (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
+    })
+    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
+    val counted = graft.ext.Bpe
+      .tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
+      .groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+      .filter(col("ntok") >= 10) // the short-doc quality floor
+    val out = trainingExportDirMemo.getOrElseUpdate(dir,
+      java.nio.file.Files.createTempDirectory("graft-trainexp").toString)
+    val manifest = graft.ext.Export.writeShards(counted, "doc_id", "ntok",
+      out, tokensPerShard = 2048)
+    val auditClean = graft.ext.Export
+      .auditShards(s, out, "doc_id", "ntok").isEmpty
+    manifest.withColumn("audit_clean", lit(auditClean)).ordered("shard")
   }
 
   // X48 — unigram-LM (SentencePiece-style) tokenizer induction +
