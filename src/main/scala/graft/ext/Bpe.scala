@@ -387,6 +387,23 @@ object Bpe {
         posexplode(coalesce(col("subwords"), initialByteSymbols(col("word"))))
           .as(Seq("subpos", "subword")))
 
+  /** Per-doc TOKEN COUNTS without materializing the tokens: the
+    * token-budget/packing input ([[graft.ext.Export.writeShards]],
+    * [[Sampling]] budgets) needs ntok, not the token stream — joining
+    * word rows against the segment table's SIZES skips the per-token
+    * explode entirely (≈ token-per-word× fewer intermediate rows; on
+    * the x90 chain that is the difference between a word-sized and a
+    * token-sized shuffle). Unknown words count their byte symbols —
+    * exactly what [[tokenizeBytes]]' fallback would emit. */
+  def tokenCountsBytes(df: DataFrame, idCol: String, textCol: String,
+      segments: DataFrame): DataFrame = {
+    val sizes = segments.select(col("word"), size(col("subwords")).as("__n"))
+    df.select(col(idCol), explode(byteWords(col(textCol))).as("word"))
+      .join(broadcast(sizes), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__n"), length(col("word")))).as("ntok"))
+  }
+
   /** The STABLE id assignment a training stack consumes (the GPT-2
     * vocab shape): ids 0..255 are the byte symbols IN BYTE ORDER
     * (id = the byte value — position-independent, corpus-independent),

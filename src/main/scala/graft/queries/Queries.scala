@@ -5508,14 +5508,15 @@ object Queries {
       (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
     })
     val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
-    val counted = graft.ext.Bpe
-      .tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
-      .groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    // token COUNTS without materializing tokens (word-sized, not
+    // token-sized, intermediate — BpeSpec pins equality with the
+    // materialized path)
+    val counted = graft.ext.Bpe.tokenCountsBytes(docs, "doc_id", "text", seg)
       .filter(col("ntok") >= 10) // the short-doc quality floor
     val out = trainingExportDirMemo.getOrElseUpdate(dir,
       java.nio.file.Files.createTempDirectory("graft-trainexp").toString)
     val manifest = graft.ext.Export.writeShards(counted, "doc_id", "ntok",
-      out, tokensPerShard = 2048)
+      out, tokensPerShard = 16384)
     val auditClean = graft.ext.Export
       .auditShards(s, out, "doc_id", "ntok").isEmpty
     manifest.withColumn("audit_clean", lit(auditClean)).ordered("shard")

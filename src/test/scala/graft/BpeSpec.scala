@@ -254,5 +254,14 @@ class BpeSpec extends SparkTestBase {
     byteCorpus.zipWithIndex.foreach { case (t, i) =>
       assert(back(i.toLong) == t, s"doc $i: '${back(i.toLong)}'")
     }
+    // tokenCountsBytes (no token materialization) == the materialized
+    // path's counts — incl. an UNSEEN word falling back to byte count
+    val withAlien = df.unionByName(Seq((99L, "привет novelword")).toDF("id", "text"))
+    val fast = Bpe.tokenCountsBytes(withAlien, "id", "text", seg)
+      .as[(Long, Long)].collect().toMap
+    val slow = Bpe.tokenizeBytes(withAlien, "id", "text", seg)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast == slow, s"fast $fast slow $slow")
   }
 }
