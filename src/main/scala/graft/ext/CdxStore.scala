@@ -10,19 +10,20 @@ import org.apache.spark.sql.functions._
   * must LIST and touch every `batch_id=N` directory, a cost that grows
   * with batch count even though zone maps prune within each file. This
   * store folds the accumulating batches into one bucketed table
-  * (hash-bucketed AND sorted on `urlkey`), so
+  * (hash-bucketed on (urlkey, row-signature) — the append anti-join's exact keys, so the bucketed scan is reused and appends never re-shuffle the store — and SORTED on `urlkey`), so
   *
   *  - a SITE query ([[capturesForSite]]) is a contiguous-range
   *    predicate over the SURT keyspace ([[UrlOps.surtKey]]: one site =
   *    one key range) that reaches the parquet scan as a pushed filter
   *    and prunes to the site's own row groups via min/max zone maps —
   *    listing cost is one table, not one directory per batch;
-  *  - recurring urlkey-keyed joins against the store inherit the
-  *    bucket layout (no store-side Exchange — the seen-store
-  *    discipline, [[graft.store.Bucketing]]);
+  *  - the APPEND anti-join — the per-micro-batch hot loop — runs with
+  *    NO store-side Exchange: its (urlkey, row-signature) keys are
+  *    exactly the bucket columns, so the bucketed scan is reused and
+  *    only the batch shuffles (plan-asserted);
   *  - appends are REPLAY-SAFE: a re-delivered micro-batch anti-joins
-  *    against the store on full row identity (null-safe, so a null
-  *    field cannot defeat the dedup) and appends nothing.
+  *    against the store on full row identity via the stored signature
+  *    and appends nothing.
   *
   * Maintenance follows the seen-store protocol exactly: per-batch
   * appends accumulate one file per bucket per batch; [[compact]] folds
@@ -42,29 +43,47 @@ import org.apache.spark.sql.functions._
   * Spark-native. */
 object CdxStore {
 
+  /** Every stored row carries its full-content signature as a REAL
+    * column: the replay-dedup anti-join must run on BARE attributes —
+    * a null-safe comparison per column compiles the join keys into
+    * `coalesce/isnull` EXPRESSIONS, which can never match the bucket
+    * layout's `HashPartitioning(urlkey)`, so every append re-shuffled
+    * the whole accumulated index (CdxStoreSpec's one-Exchange plan
+    * assert is the regression gate). sha1-over-to_json is
+    * collision-safe per schema (distinct rows → distinct JSON; null
+    * fields are omitted, which is unambiguous within one schema) and
+    * null-proof (a null field cannot null the signature). */
+  val SigCol = "row_sig"
+  private[graft] def withSig(df: DataFrame): DataFrame =
+    df.withColumn(SigCol, sha1(to_json(struct(
+      df.columns.sorted.map(col).toIndexedSeq: _*))))
+
   /** Rows of `captures` (any schema that includes a string `urlkey`
     * column) folded into the store at batch cost. Rows with a NULL
     * urlkey (unparseable URLs) are dropped — they cannot live in a
     * urlkey-keyed range store; count them upstream if they matter.
     * Creates the store when absent; idempotent under replay (anti-join
-    * on every store column, null-safe). */
+    * on (urlkey, [[SigCol]]) — full-row identity via the stored
+    * signature, bare-attribute keys so the store side keeps its bucket
+    * layout and only the batch shuffles). The stored schema gains the
+    * [[SigCol]] column; readers that care select their own columns. */
   def append(captures: DataFrame, table: String, buckets: Int = 32): Unit = {
     val spark = captures.sparkSession
-    val rows = captures.filter(col("urlkey").isNotNull)
+    val rows = withSig(captures.filter(col("urlkey").isNotNull))
     if (!graft.store.Bucketing.recoverCompacted(spark, table)) {
       graft.store.Bucketing.dropWithLocation(spark, table)
-      rows.repartition(buckets, col("urlkey"))
+      rows.repartition(buckets, col("urlkey"), col(SigCol))
         .write.mode("overwrite")
-        .bucketBy(buckets, "urlkey").sortBy("urlkey")
+        .bucketBy(buckets, "urlkey", SigCol).sortBy("urlkey")
         .format("parquet").saveAsTable(table)
     } else {
       val delta = freshAgainstStore(rows, table).persist()
       try {
         // steady-state fast path: a replayed batch appends nothing
         if (!delta.isEmpty)
-          delta.repartition(buckets, col("urlkey"))
+          delta.repartition(buckets, col("urlkey"), col(SigCol))
             .write.mode("append")
-            .bucketBy(buckets, "urlkey").sortBy("urlkey")
+            .bucketBy(buckets, "urlkey", SigCol).sortBy("urlkey")
             .format("parquet").saveAsTable(table)
       } finally {
         delta.unpersist()
@@ -80,9 +99,9 @@ object CdxStore {
   def compact(spark: SparkSession, table: String, buckets: Int = 32): Unit =
     graft.store.Bucketing.compactSwap(spark, table) { tmp =>
       spark.table(table).distinct()
-        .repartition(buckets, col("urlkey"))
+        .repartition(buckets, col("urlkey"), col(SigCol))
         .write.mode("overwrite")
-        .bucketBy(buckets, "urlkey").sortBy("urlkey")
+        .bucketBy(buckets, "urlkey", SigCol).sortBy("urlkey")
         .format("parquet").saveAsTable(tmp)
     }
 
@@ -123,10 +142,9 @@ object CdxStore {
     * derived from the slice (site-bounded), and their store rows fetch
     * through a PUSHED IN-predicate when the distinct key count fits
     * `maxRefKeys` (zone maps prune to the referred row groups — cost
-    * stays ∝ site); past the cap it falls back to an urlkey equi-join,
-    * which the bucket layout runs store-side-Exchange-free (one
-    * bucket-layout scan of the index — still metadata, never archive
-    * bytes). */
+    * stays ∝ site); past the cap it falls back to an urlkey equi-join
+    * over the index — one index-metadata shuffle, never archive
+    * bytes. */
   def serveLatestCaptures(spark: SparkSession, table: String,
       sitePrefix: String, normalize: Boolean = true,
       maxRefKeys: Int = 10000): DataFrame = {
@@ -153,16 +171,16 @@ object CdxStore {
     Warc.readLatestCapturesDeduped(slice, slice.unionByName(extra), normalize)
   }
 
-  /** The store-side anti-join on FULL row identity, null-safe on every
-    * column (a plain using-columns join would let any null field make
-    * a replayed row look fresh forever). Store side scans in bucket
-    * layout — only `candidates`, batch-sized, shuffles. */
-  private def freshAgainstStore(candidates: DataFrame,
-      table: String): DataFrame = {
-    val stored = candidates.sparkSession.table(table)
-    val cond: Column = stored.columns.map { c =>
-      candidates(c) <=> stored(c)
-    }.reduce(_ && _)
-    candidates.join(stored, cond, "left_anti")
-  }
+  /** The store-side anti-join on (urlkey, [[SigCol]]) — full-row
+    * identity through the stored signature, BARE-attribute equi keys:
+    * the store side scans in bucket layout and Spark reuses its
+    * `HashPartitioning(urlkey)` (a subset of the join keys) as the
+    * join distribution, so only `candidates` — batch-sized, already
+    * signature-stamped — shuffles. CdxStoreSpec plan-asserts exactly
+    * one Exchange. Package-visible for that assert. */
+  private[graft] def freshAgainstStore(candidates: DataFrame,
+      table: String): DataFrame =
+    candidates.join(
+      candidates.sparkSession.table(table).select(col("urlkey"), col(SigCol)),
+      Seq("urlkey", SigCol), "left_anti")
 }

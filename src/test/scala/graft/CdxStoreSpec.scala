@@ -114,6 +114,38 @@ class CdxStoreSpec extends SparkTestBase {
     graft.store.Bucketing.dropWithLocation(spark, t)
   }
 
+  test("append's anti-join shuffles ONLY the batch: one Exchange, store scan stays in bucket layout") {
+    val t = "graft_cdxplan_" + Integer.toHexString(
+      java.util.UUID.randomUUID().hashCode())
+    graft.store.Bucketing.dropWithLocation(spark, t)
+    CdxStore.append(captures(1, 0 until 40, "2026-08-14T00:00:00Z"), t, buckets = 4)
+    // at fixture scale AQE broadcasts the tiny store — the 100-TB
+    // question is the LARGE-store plan, so pin the no-broadcast shape:
+    // exactly ONE shuffle (the batch side); the stored scan's bucket
+    // layout (urlkey) is reused as the join distribution, so an append
+    // never re-shuffles the accumulated index
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val delta = CdxStore.freshAgainstStore(
+        CdxStore.withSig(captures(1, 30 until 60, "2026-08-14T00:00:00Z")), t)
+      // correctness: only the 20 genuinely new rows are fresh
+      assert(delta.count() == 20)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def exchanges(p: SparkPlan): Int = p match {
+        case _: ShuffleExchangeLike => 1 + p.children.map(exchanges).sum
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case q: QueryStageExec => exchanges(q.plan)
+        case other => other.children.map(exchanges).sum
+      }
+      val n = exchanges(delta.queryExecution.executedPlan)
+      assert(n == 1, s"$n exchanges:\n${delta.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    graft.store.Bucketing.dropWithLocation(spark, t)
+  }
+
   test("serveLatestCaptures: cross-site revisit resolves via the out-of-range lookup, IN-list and join fallback agree") {
     val arc = Files.createTempDirectory("graft-cdxsrv").toString
     val t = "graft_cdxsrv_" + Integer.toHexString(
