@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Bpe, LangId, ModelStore, QualityClassifier, UnigramLm}
+import graft.store.Tables
+
+/** Model-artifact persistence: every learned model round-trips
+  * EXACTLY through its parquet artifact — the train-once / apply-many
+  * discipline a reproducible corpus pipeline requires. */
+class ModelStoreSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("BPE merges round-trip exactly; a loaded tokenizer tokenizes identically") {
+    val docs = Tables.documents(spark, dir)
+    val vocab = Bpe.byteWordFreqs(docs, "text").cache()
+    val merges = Bpe.learnByteMergesFromVocabBatched(vocab, 12).merges
+    val p = Files.createTempDirectory("graft-ms-bpe").toString
+    ModelStore.saveBpeMerges(spark, merges, p)
+    val loaded = ModelStore.loadBpeMerges(spark, p)
+    assert(loaded == merges)
+    // the loaded artifact drives identical segmentation
+    val a = Bpe.segmentTableBytes(vocab, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val b = Bpe.segmentTableBytes(vocab, loaded).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+  }
+
+  test("Unigram model round-trips exactly, piece order preserved") {
+    val vocab = Bpe.wordFreqs(Tables.documents(spark, dir), "text").cache()
+    val model = UnigramLm.fit(vocab, targetSize = 120, seedSize = 400,
+      maxPieceLen = 5)
+    val p = Files.createTempDirectory("graft-ms-ulm").toString
+    ModelStore.saveUnigram(spark, model, p)
+    val loaded = ModelStore.loadUnigram(spark, p)
+    assert(loaded == model)
+  }
+
+  test("LangId model round-trips exactly, lang order preserved") {
+    val labeled = Seq(
+      ("the quick brown fox jumps over the lazy dog and runs", "en"),
+      ("der schnelle braune fuchs springt über den faulen hund", "de"),
+      ("le renard brun rapide saute par dessus le chien paresseux", "fr"),
+      ("the cat sat on the mat with the hat and the bat", "en"),
+      ("die katze sitzt auf der matte mit dem hut und läuft", "de"),
+      ("le chat est assis sur le tapis avec le chapeau", "fr"))
+    import spark.implicits._
+    val df = labeled.zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }
+      .toDF("id", "text", "lang")
+    val model = LangId.train(df, "id", "text", "lang", dim = 512,
+      minN = 2, maxN = 3, iters = 5)
+    val p = Files.createTempDirectory("graft-ms-lid").toString
+    ModelStore.saveLangId(spark, model, p)
+    val loaded = ModelStore.loadLangId(spark, p)
+    assert(loaded.dim == model.dim && loaded.minN == model.minN &&
+      loaded.maxN == model.maxN && loaded.langs == model.langs &&
+      loaded.intercepts == model.intercepts)
+    assert(loaded.weights.keySet == model.weights.keySet)
+    model.weights.foreach { case (k, v) => assert(loaded.weights(k) == v, s"idx $k") }
+    // identical predictions through the scorer
+    val probe = Seq((1L, "the dog and the fox"), (2L, "der hund und der fuchs"))
+      .toDF("id", "text")
+    def preds(m: LangId.Model) = LangId.predict(probe, m, "id", "text")
+      .select("id", "lang").as[(Long, String)].collect().toSet
+    assert(preds(loaded) == preds(model))
+  }
+
+  test("Quality classifier round-trips exactly; identical scores") {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("label",
+        (size(split(trim(col("text")), "\\s+")) >= 30).cast("int"))
+    val model = QualityClassifier.train(docs, "doc_id", "text", "label",
+      dim = 1024, iters = 3)
+    val p = Files.createTempDirectory("graft-ms-qc").toString
+    ModelStore.saveQuality(spark, model, p)
+    val loaded = ModelStore.loadQuality(spark, p)
+    assert(loaded == model)
+  }
+}
