@@ -147,8 +147,23 @@ object CdxStore {
     * bytes. */
   def serveLatestCaptures(spark: SparkSession, table: String,
       sitePrefix: String, normalize: Boolean = true,
-      maxRefKeys: Int = 10000): DataFrame = {
-    val slice = capturesForSite(spark, table, sitePrefix)
+      maxRefKeys: Int = 10000): DataFrame =
+    serveLatestCaptures(spark, table, sitePrefix, None, normalize, maxRefKeys)
+
+  /** [[serveLatestCaptures]] AS OF a date — the wayback query shape:
+    * only captures with `warc_date <= asOf` (ISO-8601 compares
+    * chronologically as a string) compete for winner-ship, so the
+    * site serves exactly as it stood at that instant. The as-of
+    * filter applies to the DECISION slice only: a revisit's original
+    * always predates it (the dedup winner is the EARLIEST capture),
+    * so every resolvable original is inside the cut by construction,
+    * and the out-of-range originals lookup stays unfiltered (those
+    * rows are named explicitly by Refers-To). */
+  def serveLatestCaptures(spark: SparkSession, table: String,
+      sitePrefix: String, asOf: Option[String], normalize: Boolean,
+      maxRefKeys: Int): DataFrame = {
+    val slice0 = capturesForSite(spark, table, sitePrefix)
+    val slice = asOf.fold(slice0)(t => slice0.filter(col("warc_date") <= lit(t)))
     val linkage = Seq("payload_digest", "refers_to_uri", "warc_type")
     if (!linkage.forall(slice.columns.contains(_)))
       return Warc.readLatestCaptures(slice, normalize)

@@ -134,6 +134,39 @@ object Packing {
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
   }
 
+  /** MATERIALIZED fixed-length training sequences — the tensor the
+    * loader actually reads, produced from the token stream + the
+    * [[packContiguous]] placement: every token's GLOBAL position is
+    * its doc's `tok_start` plus its within-doc index, sequence id =
+    * position / budget, and each sequence aggregates its tokens in
+    * position order. Returns (seq, token_ids, n) with n == budget for
+    * every sequence except the final partial one.
+    *
+    * `tokens` is the (idCol, pos, subpos, token_id) shape
+    * ([[Bpe.tokenizeBytesToIds]]); `packing` is [[packContiguous]]'s
+    * output over the SAME docs' counts. Shapes: one within-doc window
+    * (doc-partitioned — bounded by doc length, never corpus-ordered),
+    * one doc-keyed join, one hash aggregation per sequence; a sequence
+    * holds exactly `budget` ints. With a sharded packing
+    * (`partitionCols`) pass the shard columns as `extraKeys` so
+    * sequences stay per-shard. */
+  def packTokenIds(tokens: DataFrame, idCol: String, packing: DataFrame,
+      budget: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"), col("subpos"))
+    val placed = tokens
+      .withColumn("__i", row_number().over(w).cast("long") - 1)
+      .join(packing.select((idCol +: extraKeys).map(col) :+
+        col("tok_start"): _*), Seq(idCol) ++ extraKeys)
+      .withColumn("__g", col("tok_start") + col("__i"))
+    placed
+      .groupBy((extraKeys.map(col) :+ (col("__g") / budget).cast("long").as("seq")): _*)
+      .agg(transform(
+          array_sort(collect_list(struct(col("__g"), col("token_id")))),
+          _.getField("token_id")).as("token_ids"))
+      .withColumn("n", size(col("token_ids")))
+  }
+
   final case class PackedDoc(bucket: Int, bin: Int, id: Long, n_tokens: Int)
 
   /** First-fit-decreasing bin packing, whole documents only (no doc

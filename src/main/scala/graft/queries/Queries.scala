@@ -5522,6 +5522,32 @@ object Queries {
     manifest.withColumn("audit_clean", lit(auditClean)).ordered("shard")
   }
 
+  // X91 — MATERIALIZED packed training sequences ([[graft.ext.Packing
+  // .packTokenIds]] over [[graft.ext.Bpe.tokenizeBytesToIds]]'s
+  // stream + the x18 packContiguous placement): the tensor the loader
+  // reads — fixed 256-token sequences, docs contiguous. Rows-only
+  // (ids have no SQL twin; PackingSpec pins the conservation law —
+  // flattened sequences == the token stream in layout order — and the
+  // exact-length invariant). Output: one row per sequence with its
+  // length and an order-sensitive id checksum; any packing bug (a
+  // dropped token, a shifted boundary, an order flip) moves the hash.
+  q("x91_packed_sequences") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val (merges, vocab) = bpeByteMemo.getOrElseUpdate(dir, {
+      val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
+      (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
+    })
+    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
+    val toks = graft.ext.Bpe.tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
+    val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    val packing = graft.ext.Packing.packContiguous(
+      counts, "ntok", 256L, Seq(col("doc_id")))
+    graft.ext.Packing.packTokenIds(toks, "doc_id", packing, 256L)
+      .select(col("seq"), col("n"), xxhash64(col("token_ids")).as("ids_hash"))
+      .ordered("seq")
+  }
+
   // X48 — unigram-LM (SentencePiece-style) tokenizer induction +
   // application, the second tokenizer family next to BPE (rows-only:
   // the EM fit has no SQL twin; UnigramLmSpec pins the whole fit

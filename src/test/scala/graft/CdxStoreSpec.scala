@@ -183,6 +183,17 @@ class CdxStoreSpec extends SparkTestBase {
         (("2026-08-15T00:00:00Z", "body y", true))), m)
     // the join fallback (maxRefKeys = 0) serves identically
     assert(served("com,example,mirror)", 0) == m)
+    // AS-OF serving (the wayback shape): at day 1 the /x revisit does
+    // not exist yet — the day-1 response wins instead
+    val asOf = CdxStore.serveLatestCaptures(spark, t, "com,example,a)",
+        Some("2026-08-14T23:59:59Z"), normalize = true, maxRefKeys = 10000)
+      .select(col("url"), col("warc_date"),
+        Warc.httpBody(col("payload")).as("body"), col("was_revisit"))
+      .as[(String, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(asOf == Map(
+      "https://a.example.com/x" -> (("2026-08-14T00:00:00Z", "body x", false)),
+      "https://a.example.com/y" -> (("2026-08-14T00:00:00Z", "body y", false))), asOf)
     graft.store.Bucketing.dropWithLocation(spark, t)
   }
 }

@@ -142,4 +142,32 @@ class PackingSpec extends SparkTestBase {
     assert(packed.map(p => (p.bucket, p.bin, p.id)).sortBy(_._3).toSeq ==
       again.map(p => (p.bucket, p.bin, p.id)).sortBy(_._3).toSeq)
   }
+
+  test("packTokenIds: materialized sequences are exactly budget-length and conserve the token stream in layout order") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .limit(40)
+    val vocab = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
+    val merges = graft.ext.Bpe.learnByteMergesFromVocabBatched(vocab, 12).merges
+    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
+    val toks = graft.ext.Bpe.tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
+      .cache()
+    val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    val budget = 128L
+    val packing = Packing.packContiguous(counts, "ntok", budget, Seq(col("doc_id")))
+    val seqs = Packing.packTokenIds(toks, "doc_id", packing, budget)
+      .orderBy("seq").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    // every sequence full except the last; ids contiguous from 0
+    assert(seqs.map(_._1).toSeq == seqs.indices.map(_.toLong))
+    assert(seqs.init.forall(_._2.length == budget), seqs.map(_._2.length).toSeq)
+    assert(seqs.last._2.length <= budget && seqs.last._2.nonEmpty)
+    // CONSERVATION: the flattened sequences equal the token stream in
+    // doc-layout order (docs by doc_id, tokens by (pos, subpos))
+    val flat = seqs.flatMap(_._2).toSeq
+    val stream = toks.orderBy("doc_id", "pos", "subpos")
+      .select("token_id").as[Int].collect().toSeq
+    assert(flat == stream)
+  }
 }
