@@ -1099,6 +1099,170 @@ object Warc {
       }
   }
 
+  /** INCREMENTAL digest-dedup archiving — the cross-BATCH form of
+    * [[writeRecordsDedupedIndexed]]: a weekly recrawl arrives as a
+    * stream of batches, and content unchanged since ANY earlier batch
+    * must store as a payload-free revisit of the ORIGINAL capture, not
+    * as a fresh response per batch. The memory between batches is a
+    * bucketed DIGEST STORE (digest → the original's (uri, date) —
+    * ~60 bytes/distinct payload; the seen-store machinery: crash-safe
+    * compaction, recovery-aware guards, anti-joined appends so replay
+    * is a no-op):
+    *
+    *  1. batch rows join the store on digest (store side scans in
+    *     bucket layout — only the batch shuffles): a HIT becomes a
+    *     revisit referring to the STORED original;
+    *  2. misses elect a within-batch winner per digest (the
+    *     [[dedupMarked]] decision) — the winner stores full bytes,
+    *     its batch-mates revisit it;
+    *  3. the new (digest, winner) pairs fold into the store
+    *     (anti-joined append — a replayed batch folds nothing).
+    *
+    * Returns the batch's linkage index ([[WarcDedupIndexRow]] — feed
+    * it to a [[CdxStore]] with a urlkey column and the whole archive
+    * serves through [[readLatestCapturesDeduped]]). EAGER, unlike the
+    * lazy single-shot writer: the store fold must happen exactly once
+    * per batch, so the index materializes (localCheckpoint) before
+    * this returns — persist it from the returned frame. `outDir` must
+    * be BATCH-UNIQUE (`…/batch_id=N` — the sidecar convention): file
+    * names are per-partition, so two batches sharing a directory would
+    * overwrite each other. `batchId` identifies the batch ACROSS
+    * RETRIES: the store records which batch folded each digest, and
+    * the join excludes the current batch's own fold — so a REPLAY
+    * sees exactly the pre-batch view and re-produces byte-identical
+    * files (without this, a replayed batch's own digests would turn
+    * its new content into self-referential revisits whose full bytes
+    * exist nowhere — WarcSpec pins the replay byte-identity).
+    *
+    * 100-TB shape: one digest hash-agg + one digest-keyed join per
+    * batch (both ∝ batch), one store-side bucket-layout scan, archive
+    * bytes ∝ NEW content — the archive grows with the change rate
+    * across the whole crawl history, not per batch. */
+  def writeRecordsDedupedIncremental(df: org.apache.spark.sql.DataFrame,
+      uriCol: String, dateCol: String, payloadCol: String, outDir: String,
+      digestTable: String, batchId: Long, buckets: Int = 32,
+      httpContentType: String = "application/http; msgtype=response")
+      : Dataset[WarcDedupIndexRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def hs(c: Column): Column = regexp_replace(c, "[\\r\\n]", "")
+    val w = df.select(col(uriCol).cast("string").as("__u"),
+        col(dateCol).cast("string").as("__d"),
+        col(payloadCol).cast("binary").as("__p"))
+      .withColumn("__digest", concat(lit("sha1:"), sha1(col("__p"))))
+    val storeExists = graft.store.Bucketing.recoverCompacted(spark, digestTable)
+    // stored originals: digest → the capture every future revisit
+    // names. Bare-attribute equi key == the bucket column, so the
+    // store scans Exchange-free and only the batch shuffles.
+    // the store view EXCLUDES this batch's own fold: a REPLAYED batch
+    // must see exactly what the first attempt saw — otherwise its own
+    // previously-folded digests turn its new content into
+    // self-referential revisits whose full bytes exist nowhere (data
+    // loss under an overwrite-style retry)
+    val known =
+      if (storeExists)
+        spark.table(digestTable)
+          .filter(col("batch_id") =!= batchId)
+          .select(col("__digest"), col("orig_uri").as("__su"),
+            col("orig_date").as("__sd"))
+      else w.limit(0).select(col("__digest"),
+        col("__u").as("__su"), col("__d").as("__sd"))
+    val joined = w.join(known, Seq("__digest"), "left")
+    // within-batch winners among store MISSES only
+    val newWinners = joined.filter(col("__su").isNull)
+      .groupBy("__digest")
+      .agg(min(struct(col("__d"), col("__u"))).as("__w"))
+      .select(col("__digest"), col("__w.__d").as("__nd"),
+        col("__w.__u").as("__nu"))
+    val marked = joined.join(newWinners, Seq("__digest"), "left")
+      .withColumn("__wu", coalesce(col("__su"), col("__nu")))
+      .withColumn("__wd", coalesce(col("__sd"), col("__nd")))
+      .withColumn("__isw", col("__su").isNull &&
+        col("__d") === col("__wd") && col("__u") === col("__wu"))
+      .withColumn("__pay", when(col("__isw"), col("__p"))
+        .otherwise(lit(Array.empty[Byte])))
+    val warcType = when(col("__isw"), lit("response")).otherwise(lit("revisit"))
+    val cType = when(col("__isw"), lit(httpContentType))
+      .otherwise(lit("warc/revisit"))
+    val extras = when(col("__isw"),
+        concat(lit("WARC-Payload-Digest: "), col("__digest"), lit("\r\n")))
+      .otherwise(concat(
+        lit("WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
+          "WARC-Payload-Digest: "), col("__digest"),
+        lit("\r\nWARC-Refers-To-Target-URI: "), hs(col("__wu")),
+        lit("\r\nWARC-Refers-To-Date: "), hs(col("__wd")), lit("\r\n")))
+    val (rec, uri, date) =
+      recordColumns("__u", "__d", "__pay", warcType, cType, extras)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val index = marked.sortWithinPartitions(determinismKey(col("__u"),
+        col("__d"), warcType, cType, extras, col("__pay")))
+      .select(rec.as("r"), uri.as("u"), date.as("d"), warcType.as("t"),
+        col("__digest").as("g"),
+        when(col("__isw"), lit("")).otherwise(col("__wu")).as("ru"),
+        when(col("__isw"), lit("")).otherwise(col("__wd")).as("rd"))
+      .as[(Array[Byte], String, String, String, String, String, String)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val ctx = org.apache.spark.TaskContext.get()
+          val pathStr = new org.apache.hadoop.fs.Path(outDir,
+            f"part-${ctx.partitionId()}%05d.warc.gz").toString
+          val path = new org.apache.hadoop.fs.Path(pathStr)
+          val fs = path.getFileSystem(conf.value)
+          val tmp = AtomicSink.tempFor(path, ctx.taskAttemptId())
+          val out = fs.create(tmp, true)
+          val wz = new MemberGzipWriter(out)
+          @volatile var failed = false
+          ctx.addTaskFailureListener((_, _) => { failed = true })
+          ctx.addTaskCompletionListener[Unit] { _ =>
+            wz.end(); out.close()
+            if (failed) AtomicSink.abort(fs, tmp)
+            else AtomicSink.commit(fs, tmp, path)
+          }
+          it.map { case (bytes, u, d, t, g, ru, rd) =>
+            val off = wz.bytesWritten
+            val len = wz.writeMember(bytes)
+            WarcDedupIndexRow(pathStr, off, len, u, d, t, g, ru, rd)
+          }
+        }
+      }
+      .localCheckpoint(true) // archive written NOW; fold exactly once
+    // fold the NEW digests into the store (anti-joined — replay no-op)
+    val newDigests = index.toDF().filter(col("warc_type") === "response")
+      .select(col("payload_digest").as("__digest"),
+        col("target_uri").as("orig_uri"), col("warc_date").as("orig_date"),
+        lit(batchId).as("batch_id"))
+    if (!storeExists) {
+      graft.store.Bucketing.dropWithLocation(spark, digestTable)
+      newDigests.repartition(buckets, col("__digest"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "__digest").sortBy("__digest")
+        .format("parquet").saveAsTable(digestTable)
+    } else {
+      val fresh = newDigests.join(spark.table(digestTable)
+        .select("__digest"), Seq("__digest"), "left_anti")
+      if (!fresh.isEmpty)
+        fresh.repartition(buckets, col("__digest"))
+          .write.mode("append")
+          .bucketBy(buckets, "__digest").sortBy("__digest")
+          .format("parquet").saveAsTable(digestTable)
+    }
+    index
+  }
+
+  /** Fold the digest store's per-batch append files back to one per
+    * bucket (the seen-store cadence; crash-safe swap). */
+  def compactDigestStore(spark: SparkSession, digestTable: String,
+      buckets: Int = 32): Unit =
+    graft.store.Bucketing.compactSwap(spark, digestTable) { tmp =>
+      spark.table(digestTable).distinct()
+        .repartition(buckets, col("__digest"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "__digest").sortBy("__digest")
+        .format("parquet").saveAsTable(tmp)
+    }
+
   /** A deduped archive's rows WITH the revisit linkage headers:
     * [[WarcRow]]'s columns plus (payload_digest, refers_to_uri,
     * refers_to_date) — what [[resolveRevisits]] joins on. Same

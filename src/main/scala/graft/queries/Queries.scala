@@ -3720,6 +3720,70 @@ object Queries {
       .ordered("url", "doc_id")
   }
 
+  /** The x92 INCREMENTAL two-batch archive: batch 1 = all docs day 1,
+    * batch 2 = even docs recaptured UNCHANGED day 2 — through
+    * [[graft.ext.Warc.writeRecordsDedupedIncremental]] + the digest
+    * store, so batch 2's revisits refer CROSS-BATCH to batch 1's
+    * stored originals. Memoized per scale dir; returns the
+    * accumulated-index path. */
+  private val incDedupMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def incDedupIndexFor(s: SparkSession, dir: String): String =
+    incDedupMemo.getOrElseUpdate(dir, {
+      val t = "graft_incdigests_" + Integer.toHexString(dir.hashCode)
+      graft.store.Bucketing.dropWithLocation(s, t)
+      val idx = java.nio.file.Files.createTempDirectory("graft-inc-idx").toString
+      def batch(day: String, filt: Column) =
+        Tables.documents(s, dir).filter(filt).select(
+          concat(lit("https://inc.example/doc/"),
+            col("doc_id").cast("string")).as("uri"),
+          lit(day).as("ts"),
+          concat(lit("HTTP/1.1 200 OK\r\n\r\ninc "),
+            col("doc_id").cast("string"), lit(" "),
+            coalesce(col("text"), lit(""))).as("payload"))
+      val i1 = graft.ext.Warc.writeRecordsDedupedIncremental(
+        batch("2026-08-14T00:00:00Z", lit(true)).repartition(4),
+        "uri", "ts", "payload",
+        java.nio.file.Files.createTempDirectory("graft-inc-b1").toString,
+        t, batchId = 1L, buckets = 8)
+      val i2 = graft.ext.Warc.writeRecordsDedupedIncremental(
+        batch("2026-08-15T00:00:00Z", col("doc_id") % 2 === 0).repartition(4),
+        "uri", "ts", "payload",
+        java.nio.file.Files.createTempDirectory("graft-inc-b2").toString,
+        t, batchId = 2L, buckets = 8)
+      i1.toDF().unionByName(i2.toDF())
+        .write.mode("overwrite").parquet(idx)
+      idx
+    })
+
+  // X92 — INCREMENTAL cross-batch dedup archiving ([[graft.ext.Warc
+  // .writeRecordsDedupedIncremental]]: the bucketed digest store makes
+  // a weekly-recrawl stream store unchanged content as payload-FREE
+  // revisits of ORIGINALS FROM EARLIER BATCHES — the archive grows
+  // with the change rate across the whole crawl history, not per
+  // batch). Two real batches through the store, served over the
+  // accumulated index: the oracle states winner date + exact body +
+  // revisit-ness per doc; a broken store join (batch-2 responses), a
+  // wrong Refers-To (resolution fails, rows drop), or a digest
+  // mismatch each break rows or hash.
+  q("x92_incremental_dedup",
+    """SELECT doc_id,
+      |  'https://inc.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |  CASE WHEN doc_id % 2 = 0 THEN '2026-08-15T00:00:00Z'
+      |       ELSE '2026-08-14T00:00:00Z' END AS warc_date,
+      |  'inc ' || CAST(doc_id AS VARCHAR) || ' ' || COALESCE(text, '') AS body,
+      |  (doc_id % 2 = 0) AS was_revisit
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ext.Warc.readLatestCapturesDeduped(
+        s.read.parquet(incDedupIndexFor(s, dir)))
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("url"), col("warc_date"),
+        graft.ext.Warc.httpBody(col("payload")).as("body"),
+        col("was_revisit"))
+      .ordered("doc_id")
+  }
+
   // X77 — CDX-indexed RANDOM ACCESS into the archive ([[graft.ext.Warc
   // .writeRecordsIndexed]] sidecar → [[graft.ext.Warc.readIndexed]]):
   // a 1-in-17 subset of records fetched by POSITIONED READS of their

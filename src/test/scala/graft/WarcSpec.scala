@@ -794,6 +794,80 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.readIndexed(stored).count() == 5)
   }
 
+  test("incremental dedup archiving: cross-BATCH revisits refer to stored originals; replay folds nothing; serving exact") {
+    import spark.implicits._
+    val t = "graft_digests_" + Integer.toHexString(
+      java.util.UUID.randomUUID().hashCode())
+    graft.store.Bucketing.dropWithLocation(spark, t)
+    def dirFor(n: Int) =
+      java.nio.file.Files.createTempDirectory(s"graft-incdd$n").toString
+    def rows(day: String, pages: (String, String)*) =
+      pages.map { case (u, b) =>
+        (u, day, s"HTTP/1.1 200 OK\r\n\r\n$b") }.toDF("uri", "ts", "payload")
+    // batch 1: three pages, day 1
+    val d1 = dirFor(1)
+    val i1 = Warc.writeRecordsDedupedIncremental(
+      rows("2026-08-14T00:00:00Z",
+        "https://i.example/a" -> "body a",
+        "https://i.example/b" -> "body b",
+        "https://i.example/c" -> "body c").repartition(2),
+      "uri", "ts", "payload", d1, t, batchId = 1L, buckets = 4)
+    assert(i1.collect().forall(_.warc_type == "response"))
+    // batch 2, day 2: /a and /b UNCHANGED (cross-batch revisits of the
+    // STORED day-1 originals), /d new
+    val d2 = dirFor(2)
+    val i2 = Warc.writeRecordsDedupedIncremental(
+      rows("2026-08-15T00:00:00Z",
+        "https://i.example/a" -> "body a",
+        "https://i.example/b" -> "body b",
+        "https://i.example/d" -> "body d").repartition(2),
+      "uri", "ts", "payload", d2, t, batchId = 2L, buckets = 4)
+    val byUri = i2.collect().map(r => r.target_uri -> r).toMap
+    assert(byUri("https://i.example/a").warc_type == "revisit")
+    assert(byUri("https://i.example/a").refers_to_uri == "https://i.example/a")
+    assert(byUri("https://i.example/a").refers_to_date == "2026-08-14T00:00:00Z")
+    assert(byUri("https://i.example/d").warc_type == "response")
+    // the batch-2 archive carries NO payload bytes for the revisits
+    val arch2 = Warc.readDeduped(spark, d2 + "/*.warc.gz").collect()
+    assert(arch2.filter(_.getAs[String]("warc_type") == "revisit")
+      .forall(_.getAs[Array[Byte]]("payload").isEmpty))
+    // REPLAY batch 2 into its own fresh dir: byte-identical archive,
+    // store unchanged (fold is a no-op)
+    val storeRows = spark.table(t).count()
+    val d2r = dirFor(3)
+    Warc.writeRecordsDedupedIncremental(
+      rows("2026-08-15T00:00:00Z",
+        "https://i.example/a" -> "body a",
+        "https://i.example/b" -> "body b",
+        "https://i.example/d" -> "body d").repartition(2),
+      "uri", "ts", "payload", d2r, t, batchId = 2L, buckets = 4).collect()
+    assert(spark.table(t).count() == storeRows)
+    def bytes(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+      .map(f => java.nio.file.Files.readAllBytes(f.toPath))
+    bytes(d2).zip(bytes(d2r)).foreach { case (x, y) =>
+      assert(java.util.Arrays.equals(x, y))
+    }
+    // serving over the ACCUMULATED index: day-2 winners for a/b with
+    // day-1 bytes, digest-exact
+    val all = i1.toDF().unionByName(i2.toDF())
+    val got = Warc.readLatestCapturesDeduped(all)
+      .select(col("url"), col("warc_date"),
+        Warc.httpBody(col("payload")).as("body"), col("was_revisit"))
+      .as[(String, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("https://i.example/a") ==
+      (("2026-08-15T00:00:00Z", "body a", true)))
+    assert(got("https://i.example/c") ==
+      (("2026-08-14T00:00:00Z", "body c", false)))
+    assert(got("https://i.example/d") ==
+      (("2026-08-15T00:00:00Z", "body d", false)))
+    // compaction keeps everything
+    Warc.compactDigestStore(spark, t, buckets = 4)
+    assert(spark.table(t).count() == storeRows)
+    graft.store.Bucketing.dropWithLocation(spark, t)
+  }
+
   test("retry determinism: archives are byte-identical regardless of input row order (the AtomicSink double-commit premise)") {
     import spark.implicits._
     // a task retry/speculative duplicate re-reads its shuffle input in
