@@ -580,6 +580,63 @@ object DocumentIngest {
     } finally batch.unpersist(blocking = false)
   }
 
+  /** Streaming DEDUPING-ARCHIVE maintenance — the storage-side twin of
+    * [[sidecarMaintenance]]: each micro-batch of raw `.warc.gz` drops
+    * RE-ARCHIVES deduped ([[graft.ext.Warc
+    * .writeRecordsDedupedIncremental]] — content unchanged since ANY
+    * earlier batch stores as a payload-free revisit of the ORIGINAL
+    * capture, via the persistent bucketed digest store) into
+    * `outDir/warc/batch_id=<n>`, and folds the batch's linkage index,
+    * urlkey-keyed, into a [[graft.ext.CdxStore]] — so the accumulated
+    * archive serves site-scoped, revisit-resolved, as-of-capable
+    * queries ([[graft.ext.CdxStore.serveLatestCaptures]]) the moment a
+    * batch lands. Replay discipline: batch-addressed output dirs, the
+    * batch_id-scoped digest view (a replayed batch re-produces
+    * byte-identical archives), and the store appends are anti-joined —
+    * every effect idempotent, no markers needed. */
+  def dedupArchiveMaintenance(spark: org.apache.spark.sql.SparkSession,
+      warcGlob: String, outDir: String, checkpointDir: String,
+      digestTable: String, cdxTable: String, buckets: Int = 32,
+      compactEvery: Option[Int] = None,
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None): Unit = {
+    val reader = spark.readStream.format("warc")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n))
+    val src = reader.load(warcGlob)
+      .filter(col("warc_type") === "response") // pushed to the reader
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupArchiveProcessBatch(batch, batchId, outDir, digestTable,
+          cdxTable, buckets, compactEvery)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private[graft] def dedupArchiveProcessBatch(batch: DataFrame,
+      batchId: Long, outDir: String, digestTable: String, cdxTable: String,
+      buckets: Int, compactEvery: Option[Int]): Unit = {
+    if (!batch.isEmpty) {
+      val s = batch.sparkSession
+      val idx = graft.ext.Warc.writeRecordsDedupedIncremental(
+        batch.select(col("target_uri").as("uri"),
+          col("warc_date").as("ts"), col("payload")),
+        "uri", "ts", "payload", s"$outDir/warc/batch_id=$batchId",
+        digestTable, batchId, buckets)
+      graft.ext.CdxStore.append(
+        idx.toDF().withColumn("urlkey",
+          graft.ext.UrlOps.surtKey(col("target_uri"))),
+        cdxTable, buckets)
+      compactEvery.filter(n => n > 0 && (batchId + 1) % n == 0).foreach { _ =>
+        graft.ext.Warc.compactDigestStore(s, digestTable, buckets)
+        graft.ext.CdxStore.compact(s, cdxTable, buckets)
+      }
+    }
+  }
+
   /** Streaming SEED maintenance — the crawl-bootstrap complement of
     * [[frontierMaintenance]]: micro-batches of FETCHED governance
     * resources (robots.txt bodies and sitemap payloads, tagged by a

@@ -146,6 +146,66 @@ class CdxStoreSpec extends SparkTestBase {
     graft.store.Bucketing.dropWithLocation(spark, t)
   }
 
+  test("dedupArchiveMaintenance: streaming re-archive dedups cross-batch, store serves revisit-resolved, replay no-op") {
+    val mk = (uri: String, day: String, body: String) => {
+      val payload = s"HTTP/1.1 200 OK\r\n\r\n$body"
+      val pb = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: $day\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${pb.length}\r\n\r\n").getBytes("UTF-8") ++ pb ++
+        "\r\n\r\n".getBytes("UTF-8")
+    }
+    val warcDir = Files.createTempDirectory("graft-ddm").toString
+    val outDir = Files.createTempDirectory("graft-ddm-out").toString
+    val ckDir = Files.createTempDirectory("graft-ddm-ck").toString
+    val dg = "graft_ddm_dg_" + Integer.toHexString(
+      java.util.UUID.randomUUID().hashCode())
+    val cx = "graft_ddm_cx_" + Integer.toHexString(
+      java.util.UUID.randomUUID().hashCode())
+    Seq(dg, cx).foreach(graft.store.Bucketing.dropWithLocation(spark, _))
+    def gz(path: String, recs: Array[Byte]*): Unit = {
+      val f = new java.io.FileOutputStream(path)
+      val w = new Warc.MemberGzipWriter(f)
+      try recs.foreach(w.writeMember) finally { w.end(); f.close() }
+    }
+    def runOnce(): Unit = graft.streaming.DocumentIngest.dedupArchiveMaintenance(
+      spark, warcDir + "/*.warc.gz", outDir, ckDir, dg, cx,
+      buckets = 4, compactEvery = Some(2))
+    gz(s"$warcDir/d1.warc.gz",
+      mk("https://dd.example.com/a", "2026-08-14T00:00:00Z", "body a"),
+      mk("https://dd.example.com/b", "2026-08-14T00:00:00Z", "body b"))
+    runOnce()
+    // batch 2: /a recaptured UNCHANGED + /c new
+    gz(s"$warcDir/d2.warc.gz",
+      mk("https://dd.example.com/a", "2026-08-15T00:00:00Z", "body a"),
+      mk("https://dd.example.com/c", "2026-08-15T00:00:00Z", "body c"))
+    runOnce()
+    // batch 2's archive: /a is a payload-free CROSS-BATCH revisit
+    val b1 = Warc.readDeduped(spark, outDir + "/warc/batch_id=1/*.warc.gz")
+      .collect().map(r => r.getAs[String]("target_uri") ->
+        (r.getAs[String]("warc_type"), r.getAs[Array[Byte]]("payload").length))
+      .toMap
+    assert(b1("https://dd.example.com/a")._1 == "revisit" &&
+      b1("https://dd.example.com/a")._2 == 0, b1)
+    assert(b1("https://dd.example.com/c")._1 == "response")
+    // the store serves the site revisit-resolved
+    val got = CdxStore.serveLatestCaptures(spark, cx, "com,example,dd)")
+      .select(col("url"), col("warc_date"),
+        Warc.httpBody(col("payload")).as("body"), col("was_revisit"))
+      .as[(String, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "https://dd.example.com/a" -> (("2026-08-15T00:00:00Z", "body a", true)),
+      "https://dd.example.com/b" -> (("2026-08-14T00:00:00Z", "body b", false)),
+      "https://dd.example.com/c" -> (("2026-08-15T00:00:00Z", "body c", false))), got)
+    // replay with no new files: store counts unchanged
+    val (dgN, cxN) = (spark.table(dg).count(), spark.table(cx).count())
+    runOnce()
+    assert(spark.table(dg).count() == dgN && spark.table(cx).count() == cxN)
+    Seq(dg, cx).foreach(graft.store.Bucketing.dropWithLocation(spark, _))
+  }
+
   test("serveLatestCaptures: cross-site revisit resolves via the out-of-range lookup, IN-list and join fallback agree") {
     val arc = Files.createTempDirectory("graft-cdxsrv").toString
     val t = "graft_cdxsrv_" + Integer.toHexString(
