@@ -51,7 +51,9 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
     val props = properties.asScala.toMap
     new WarcTable(WarcDataSource.pathsOf(props),
       WarcDataSource.maxFilesPerTriggerOf(props),
-      WarcDataSource.maxBytesPerTriggerOf(props))
+      WarcDataSource.maxBytesPerTriggerOf(props),
+      WarcDataSource.logCompactIntervalOf(props),
+      WarcDataSource.maxFileAgeOf(props))
   }
 }
 
@@ -112,27 +114,82 @@ object WarcDataSource {
       n
     }
 
+  /** `logCompactInterval` (streaming): every Nth batch the source's
+    * file log folds into ONE snapshot file and older per-batch deltas
+    * are deleted, so a restart's recovery reads O(1 snapshot +
+    * interval) log files instead of one per batch ever committed (the
+    * CompactibleFileStreamLog discipline Spark's own file source
+    * uses). Default 10. */
+  private[graft] def logCompactIntervalOf(props: Map[String, String]): Option[Int] =
+    props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("logCompactInterval") => v
+    }.map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"logCompactInterval must be an integer >= 2, got '$v'")
+      }
+      require(n >= 2, s"logCompactInterval must be >= 2, got $n")
+      n
+    }
+
+  /** `maxFileAge` (streaming): files whose modification time is older
+    * than this relative to the NEWEST file in the listing are ignored
+    * — never admitted — and their seen-set entries are evicted, so an
+    * always-on crawl's driver heap stops growing with crawl lifetime
+    * (the FileStreamSource option of the same name). Because the age
+    * gate runs BEFORE the seen-set check, an evicted file can never be
+    * re-admitted: anything old enough to evict is old enough to
+    * ignore. Accepts `<n>[ms|s|m|h|d]` (bare number = ms). */
+  private[graft] def maxFileAgeOf(props: Map[String, String]): Option[Long] =
+    props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxFileAge") => v
+    }.map(parseDurationMs)
+
+  private[graft] def parseDurationMs(v: String): Long = {
+    val Dur = """(?i)\s*(\d+)\s*(ms|s|m|h|d)?\s*""".r
+    v match {
+      case Dur(n, unit) =>
+        val mult = Option(unit).map(_.toLowerCase(java.util.Locale.ROOT)) match {
+          case None | Some("ms") => 1L
+          case Some("s") => 1000L
+          case Some("m") => 60L * 1000L
+          case Some("h") => 3600L * 1000L
+          case Some("d") => 86400L * 1000L
+          case other => throw new IllegalArgumentException(s"bad unit $other")
+        }
+        val out = n.toLong * mult
+        require(out > 0, s"maxFileAge must be positive, got '$v'")
+        out
+      case _ => throw new IllegalArgumentException(
+        s"maxFileAge must be <n>[ms|s|m|h|d], got '$v'")
+    }
+  }
+
   /** Driver-side glob expansion (the Warc.read listing), one entry per
     * FILE, deterministic order — file COUNT is the parallelism unit. */
   private[sources] def expandGlobs(paths: Seq[String]): Seq[String] =
-    expandGlobsWithSize(paths).map(_._1)
+    expandGlobsWithMeta(paths).map(_._1)
 
-  /** [[expandGlobs]] with each file's LENGTH (free — the same
-    * globStatus carries it), the byte-based admission control input. */
-  private[sources] def expandGlobsWithSize(paths: Seq[String]): Seq[(String, Long)] = {
+  /** [[expandGlobs]] with each file's LENGTH (byte-based admission
+    * control input) and MODIFICATION TIME (the `maxFileAge` clock) —
+    * both free, the same globStatus carries them. */
+  private[sources] def expandGlobsWithMeta(paths: Seq[String]): Seq[(String, Long, Long)] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     paths.flatMap { g =>
       val pat = new org.apache.hadoop.fs.Path(g)
       val fs = pat.getFileSystem(conf)
       Option(fs.globStatus(pat)).getOrElse(Array.empty)
-        .filter(_.isFile).map(s => (s.getPath.toString, s.getLen))
+        .filter(_.isFile)
+        .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
     }.distinct.sortBy(_._1)
   }
 }
 
 final class WarcTable(paths: Seq[String], maxFilesPerTrigger: Option[Int],
-    maxBytesPerTrigger: Option[Long])
+    maxBytesPerTrigger: Option[Long],
+    logCompactInterval: Option[Int] = None,
+    maxFileAge: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.Schema
@@ -144,7 +201,9 @@ final class WarcTable(paths: Seq[String], maxFilesPerTrigger: Option[Int],
     val o = options.asScala.toMap
     new WarcScanBuilder(paths,
       WarcDataSource.maxFilesPerTriggerOf(o).orElse(maxFilesPerTrigger),
-      WarcDataSource.maxBytesPerTriggerOf(o).orElse(maxBytesPerTrigger))
+      WarcDataSource.maxBytesPerTriggerOf(o).orElse(maxBytesPerTrigger),
+      WarcDataSource.logCompactIntervalOf(o).orElse(logCompactInterval),
+      WarcDataSource.maxFileAgeOf(o).orElse(maxFileAge))
   }
 }
 
@@ -224,7 +283,9 @@ private[sources] object WarcFilters {
 }
 
 final class WarcScanBuilder(paths: Seq[String], maxFilesPerTrigger: Option[Int],
-    maxBytesPerTrigger: Option[Long])
+    maxBytesPerTrigger: Option[Long],
+    logCompactInterval: Option[Int] = None,
+    maxFileAge: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.Schema
@@ -239,19 +300,23 @@ final class WarcScanBuilder(paths: Seq[String], maxFilesPerTrigger: Option[Int],
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     new WarcScan(paths, required, pushed, maxFilesPerTrigger,
-      maxBytesPerTrigger)
+      maxBytesPerTrigger, logCompactInterval, maxFileAge)
 }
 
 final class WarcScan(paths: Seq[String], required: StructType,
     filters: Array[Filter], maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    logCompactInterval: Option[Int] = None,
+    maxFileAge: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(paths, required, filters, checkpointLocation,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger,
+      logCompactInterval.getOrElse(WarcFileLog.DefaultCompactInterval),
+      maxFileAge)
   override def description(): String =
     s"WarcScan(${paths.mkString(",")}, columns=${required.fieldNames.mkString(",")}" +
       (if (filters.isEmpty) ")"
@@ -388,44 +453,154 @@ final case class LegacyWarcOffset(files: Seq[String])
       .writeValueAsString(files.toArray)
 }
 
-/** The per-batch file log behind [[WarcOffset]]: directory of
-  * `<batchId>` → JSON string array of the files NEW in that batch. */
-private[sources] final class WarcFileLog(logDir: org.apache.hadoop.fs.Path,
-    conf: org.apache.hadoop.conf.Configuration) {
+/** The per-batch file log behind [[WarcOffset]], COMPACTED (the
+  * CompactibleFileStreamLog shape Spark's own FileStreamSource uses):
+  *
+  *  - delta file `<batchId>` — JSON array of `[path, modTime]` pairs,
+  *    the files NEW in that batch (bare-string elements from
+  *    pre-compaction checkpoints still parse, with modTime = -1 =
+  *    "unknown, treat as fresh");
+  *  - snapshot file `<batchId>.compact` — written INSTEAD of a delta
+  *    every `compactInterval`-th batch: JSON array of
+  *    `[path, modTime, batchId]` triples covering EVERY live file up
+  *    to and including that batch. Once the snapshot commits, all
+  *    older log files are deleted.
+  *
+  * So the directory holds ≤ 1 snapshot + (compactInterval − 1) deltas
+  * and [[recover]] reads O(snapshot + tail) files, not one per batch
+  * ever committed — the bookkeeping term that used to grow with crawl
+  * lifetime (an always-on crawl at 10⁵–10⁶ batches paid O(batches)
+  * driver reads per restart). */
+private[graft] final class WarcFileLog(logDir: org.apache.hadoop.fs.Path,
+    conf: org.apache.hadoop.conf.Configuration,
+    compactInterval: Int = WarcFileLog.DefaultCompactInterval) {
+  require(compactInterval >= 2, s"compactInterval must be >= 2, got $compactInterval")
   private val fs = logDir.getFileSystem(conf)
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** Log files read by the last [[recover]] — the boundedness the
+    * compaction exists for, asserted by WarcSourceSpec. */
+  @volatile private[graft] var recoverLogReads: Int = 0
 
-  /** All persisted batch ids, sorted. */
-  def batchIds(): Seq[Long] =
-    if (!fs.exists(logDir)) Nil
-    else fs.listStatus(logDir).toSeq
-      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-      .sorted
+  /** (delta batch ids, snapshot batch ids), each sorted. */
+  private def listIds(): (Seq[Long], Seq[Long]) =
+    if (!fs.exists(logDir)) (Nil, Nil)
+    else {
+      val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      (names.flatMap(n => scala.util.Try(n.toLong).toOption).sorted,
+        names.filter(_.endsWith(".compact"))
+          .flatMap(n => scala.util.Try(n.stripSuffix(".compact").toLong).toOption)
+          .sorted)
+    }
 
-  def read(batch: Long): Seq[String] = {
-    val in = fs.open(new org.apache.hadoop.fs.Path(logDir, batch.toString))
-    try mapper.readValue(in: java.io.InputStream, classOf[Array[String]]).toSeq
-    finally in.close()
+  private def parseFile(p: org.apache.hadoop.fs.Path): com.fasterxml.jackson.databind.JsonNode = {
+    val in = fs.open(p)
+    try mapper.readTree(in: java.io.InputStream) finally in.close()
   }
 
-  def write(batch: Long, files: Seq[String]): Unit = {
-    fs.mkdirs(logDir)
-    val dest = new org.apache.hadoop.fs.Path(logDir, batch.toString)
-    graft.ext.AtomicSink.writeCommitted(fs, dest, attemptId = batch) { tmp =>
-      val out = fs.create(tmp, true)
-      try out.write(mapper.writeValueAsBytes(files.toArray))
-      finally out.close()
+  /** (path, modTime) of a delta; tolerates the pre-compaction
+    * bare-string element form (modTime = -1 = unknown/fresh). */
+  private def readDelta(batch: Long): Seq[(String, Long)] = {
+    val node = parseFile(new org.apache.hadoop.fs.Path(logDir, batch.toString))
+    (0 until node.size).map { i =>
+      val e = node.get(i)
+      if (e.isTextual) (e.asText(), -1L)
+      else (e.get(0).asText(), e.get(1).asLong())
     }
   }
 
-  /** Recovery: (max batch id, union of all logged files). One listing
-    * + one read per batch, paid once per query start. */
-  def recover(): (Long, scala.collection.mutable.Set[String]) = {
-    val ids = batchIds()
-    val seen = scala.collection.mutable.Set.empty[String]
-    ids.foreach(b => seen ++= read(b))
-    (if (ids.isEmpty) -1L else ids.max, seen)
+  /** (path, modTime, batchId) triples of a snapshot. */
+  private def readCompact(id: Long): Seq[(String, Long, Long)] = {
+    val node = parseFile(new org.apache.hadoop.fs.Path(logDir, s"$id.compact"))
+    (0 until node.size).map { i =>
+      val e = node.get(i)
+      (e.get(0).asText(), e.get(1).asLong(), e.get(2).asLong())
+    }
   }
+
+  def isCompactBatch(batch: Long): Boolean =
+    batch >= 0 && (batch + 1) % compactInterval == 0
+
+  /** Persist batch `batch`. `delta` is the batch's new files;
+    * `snapshot` (evaluated only on compaction batches) must yield
+    * every live file INCLUDING this batch's, with its admitting batch
+    * id. Snapshot first, delete old files after — a crash between the
+    * two leaves harmless stragglers that the next compaction sweeps. */
+  def write(batch: Long, delta: Seq[(String, Long)],
+      snapshot: () => Iterator[(String, Long, Long)]): Unit = {
+    fs.mkdirs(logDir)
+    if (isCompactBatch(batch)) {
+      val dest = new org.apache.hadoop.fs.Path(logDir, s"$batch.compact")
+      graft.ext.AtomicSink.writeCommitted(fs, dest, attemptId = batch) { tmp =>
+        val out = fs.create(tmp, true)
+        try {
+          val arr = mapper.createArrayNode()
+          snapshot().foreach { case (p, t, b) =>
+            val e = mapper.createArrayNode(); e.add(p); e.add(t); e.add(b)
+            arr.add(e)
+          }
+          out.write(mapper.writeValueAsBytes(arr))
+        } finally out.close()
+      }
+      val (dIds, cIds) = listIds()
+      dIds.filter(_ <= batch).foreach(b =>
+        fs.delete(new org.apache.hadoop.fs.Path(logDir, b.toString), false))
+      cIds.filter(_ < batch).foreach(c =>
+        fs.delete(new org.apache.hadoop.fs.Path(logDir, s"$c.compact"), false))
+    } else {
+      val dest = new org.apache.hadoop.fs.Path(logDir, batch.toString)
+      graft.ext.AtomicSink.writeCommitted(fs, dest, attemptId = batch) { tmp =>
+        val out = fs.create(tmp, true)
+        try {
+          val arr = mapper.createArrayNode()
+          delta.foreach { case (p, t) =>
+            val e = mapper.createArrayNode(); e.add(p); e.add(t)
+            arr.add(e)
+          }
+          out.write(mapper.writeValueAsBytes(arr))
+        } finally out.close()
+      }
+    }
+  }
+
+  /** Files of batches in [from, to]: tail deltas read directly,
+    * batches folded into the latest snapshot served from it (filtered
+    * by their recorded batch id). Batch replay after a restart and the
+    * legacy-offset upgrade both go through here. */
+  def readRange(from: Long, to: Long): Seq[String] = {
+    if (to < from) return Nil
+    val (dIds, cIds) = listIds()
+    val latestCompact = cIds.lastOption.filter(_ >= from)
+    val fromCompact = latestCompact.toSeq.flatMap(c =>
+      readCompact(c).collect { case (p, _, b) if b >= from && b <= to => p })
+    val floor = latestCompact.getOrElse(from - 1)
+    val fromDeltas = dIds.filter(b => b > floor && b >= from && b <= to)
+      .flatMap(b => readDelta(b).map(_._1))
+    fromCompact ++ fromDeltas
+  }
+
+  /** Recovery: (max batch id, path → (modTime, admitting batch)).
+    * O(1 snapshot + tail deltas) reads, NOT one per batch ever. */
+  def recover(): (Long, scala.collection.mutable.Map[String, (Long, Long)]) = {
+    val (dIds, cIds) = listIds()
+    val seen = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    var reads = 0
+    val latest = cIds.lastOption
+    latest.foreach { id =>
+      readCompact(id).foreach { case (p, t, b) => seen(p) = (t, b) }
+      reads += 1
+    }
+    val floor = latest.getOrElse(-1L)
+    dIds.filter(_ > floor).foreach { b =>
+      readDelta(b).foreach { case (p, t) => seen(p) = (t, b) }
+      reads += 1
+    }
+    recoverLogReads = reads
+    ((dIds ++ cIds).foldLeft(-1L)(_ max _), seen)
+  }
+}
+
+private[graft] object WarcFileLog {
+  val DefaultCompactInterval = 10
 }
 
 /** Streaming front door for `.warc.gz` drops: new files matching the
@@ -444,7 +619,9 @@ private[sources] final class WarcFileLog(logDir: org.apache.hadoop.fs.Path,
 final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
     filters: Array[Filter], checkpointLocation: String,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    logCompactInterval: Int = WarcFileLog.DefaultCompactInterval,
+    maxFileAge: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
@@ -453,19 +630,25 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
   private val log = new WarcFileLog(
     new org.apache.hadoop.fs.Path(checkpointLocation, "warc-file-log"),
-    conf.value)
+    conf.value, logCompactInterval)
   // recovered once per query start: the compacted log replaces the
-  // file list the offset itself used to carry
-  private lazy val state: (Long, scala.collection.mutable.Set[String]) = log.recover()
+  // file list the offset itself used to carry. seen: path →
+  // (modTime, admitting batch id); modTime −1 = unknown (legacy log
+  // entry), treated as fresh until the listing backfills it.
+  private lazy val state: (Long, scala.collection.mutable.Map[String, (Long, Long)]) =
+    log.recover()
   private def seen = state._2
   @volatile private var maxBatch: Long = Long.MinValue
+  // monotonic newest-file clock: maxFileAge eviction cuts relative to
+  // this, never wall time, so a stalled upstream can't evict anything
+  @volatile private var latestTime: Long = Long.MinValue
   // AvailableNow: the listing captured at query start; every
   // latestOffset until stop() drains exactly this snapshot — with a
   // file/byte cap, in as many batches as the caps require
-  @volatile private var captured: Option[Seq[(String, Long)]] = None
+  @volatile private var captured: Option[Seq[(String, Long, Long)]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    captured = Some(WarcDataSource.expandGlobsWithSize(paths))
+    captured = Some(WarcDataSource.expandGlobsWithMeta(paths))
 
   /** ADMISSION CONTROL (the `maxFilesPerTrigger`/`maxBytesPerTrigger`
     * source options): the default limit Spark hands back to
@@ -507,19 +690,19 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
     * that would cross the byte budget — but always admit at least one
     * (an over-budget single file must flow, not stall the stream
     * forever; the FileStreamSource convention). */
-  private def admit(fresh: Seq[(String, Long)], fileCap: Option[Int],
-      byteCap: Option[Long]): Seq[String] = {
+  private def admit(fresh: Seq[(String, Long, Long)], fileCap: Option[Int],
+      byteCap: Option[Long]): Seq[(String, Long, Long)] = {
     val limited = fileCap.fold(fresh)(fresh.take)
     byteCap match {
-      case None => limited.map(_._1)
+      case None => limited
       case Some(budget) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
         var used = 0L
         var i = 0
         while (i < limited.length &&
             (out.isEmpty || used + limited(i)._2 <= budget)) {
           used += limited(i)._2
-          out += limited(i)._1
+          out += limited(i)
           i += 1
         }
         out.toSeq
@@ -530,14 +713,45 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
       byteCap: Option[Long]): Offset =
     synchronized {
       if (maxBatch == Long.MinValue) maxBatch = state._1
-      seen ++= startSeen // legacy-offset files: processed pre-upgrade
-      val listing = captured.getOrElse(WarcDataSource.expandGlobsWithSize(paths))
-      val fresh0 = listing.filterNot(f => seen(f._1))
+      // legacy-offset files: processed pre-upgrade (no time/batch known)
+      startSeen.foreach(p => if (!seen.contains(p)) seen(p) = (-1L, -1L))
+      val listing = captured.getOrElse(WarcDataSource.expandGlobsWithMeta(paths))
+      if (listing.nonEmpty)
+        latestTime = math.max(latestTime, listing.iterator.map(_._3).max)
+      val cutoff = maxFileAge.collect {
+        case age if latestTime != Long.MinValue => latestTime - age
+      }
+      // AGE GATE first, seen-check second: a file old enough to have
+      // been evicted from `seen` is by construction old enough to be
+      // ignored here, so eviction can never cause a re-read
+      val candidates = cutoff.fold(listing)(c => listing.filter(_._3 >= c))
+      if (maxFileAge.isDefined)
+        // backfill unknown (legacy-log) timestamps from the live
+        // listing so those entries age out instead of pinning forever
+        listing.foreach { case (p, _, t) =>
+          seen.get(p) match {
+            case Some((-1L, b)) => seen(p) = (t, b)
+            case _ => ()
+          }
+        }
+      val fresh0 = candidates.filterNot(f => seen.contains(f._1))
       val fresh = admit(fresh0, fileCap, byteCap)
       if (fresh.nonEmpty) {
         val next = maxBatch + 1
-        log.write(next, fresh) // persisted BEFORE the id is ever returned
-        seen ++= fresh
+        // snapshot (compaction batches only): live = not aged out —
+        // eviction happens in the PERSISTED log exactly when it
+        // happens in memory, so the log never re-grows the heap
+        def snapshot(): Iterator[(String, Long, Long)] = {
+          val kept = cutoff.fold(seen.iterator)(c =>
+            seen.iterator.filter { case (_, (t, _)) => t < 0 || t >= c })
+          kept.map { case (p, (t, b)) => (p, t, b) } ++
+            fresh.iterator.map(f => (f._1, f._3, next))
+        }
+        // persisted BEFORE the id is ever returned
+        log.write(next, fresh.map(f => (f._1, f._3)), snapshot _)
+        fresh.foreach(f => seen(f._1) = (f._3, next))
+        cutoff.foreach(c =>
+          seen.filterInPlace { case (_, (t, _)) => t < 0 || t >= c })
         maxBatch = next
       }
       WarcOffset(maxBatch max -1L)
@@ -573,11 +787,11 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
         // start is pre-upgrade (its files are NOT in the log; they are
         // excluded via `seen` in advance()), end is post-upgrade: every
         // logged batch up to `e` is new work
-        log.batchIds().filter(_ <= e).flatMap(log.read)
+        log.readRange(0L, e)
       case (WarcOffset(s), WarcOffset(e)) =>
         // re-read from the persisted log (not memory): a restart
         // replans an uncommitted batch from the files its log recorded
-        ((s + 1) to e).flatMap(log.read)
+        log.readRange(s + 1, e)
       case (s, e) => throw new IllegalStateException(
         s"unexpected warc offset pair ($s, $e)")
     }

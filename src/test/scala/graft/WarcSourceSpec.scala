@@ -243,8 +243,14 @@ class WarcSourceSpec extends SparkTestBase {
     val logs = logDir.listFiles().filter(_.getName.matches("\\d+")).sortBy(_.getName.toLong)
     assert(logs.map(_.getName).toSeq == Seq("0", "1", "2"), logs.mkString(","))
     val logged = logs.flatMap { f =>
-      new com.fasterxml.jackson.databind.ObjectMapper().readValue(
-        java.nio.file.Files.readAllBytes(f.toPath), classOf[Array[String]]).toSeq
+      // delta entries are [path, modTime] pairs (legacy bare strings
+      // still parse on the read side; new logs always write pairs)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readAllBytes(f.toPath))
+      (0 until node.size).map { i =>
+        val e = node.get(i)
+        if (e.isTextual) e.asText() else e.get(0).asText()
+      }
     }
     assert(logged.map(p => p.substring(p.lastIndexOf('/') + 1)).sorted.toSeq ==
       Seq("d1.warc.gz", "d2.warc.gz", "d3.warc.gz"))
@@ -301,9 +307,9 @@ class WarcSourceSpec extends SparkTestBase {
     val logs = logDir.listFiles().filter(_.getName.matches("\\d+"))
     assert(logs.length == 5) // 3 + 2 batches
     logs.foreach { f =>
-      val files = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
-        java.nio.file.Files.readAllBytes(f.toPath), classOf[Array[String]])
-      assert(files.length <= 2, s"${f.getName}: ${files.length} files")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readAllBytes(f.toPath))
+      assert(node.size <= 2, s"${f.getName}: ${node.size} files")
     }
     // replay with no new files: a no-op
     batchSizes.clear()
@@ -355,6 +361,117 @@ class WarcSourceSpec extends SparkTestBase {
     assert(got.forall(b => b.size <= 2), got)
     assert(got.exists(_ == Seq("d05.warc.gz")), got)
     assert(spark.read.parquet(outDir).select("path").distinct().count() == 5)
+  }
+
+  test("log compaction bounds recovery: restart reads <= snapshot+tail log files, not one per batch ever; replay no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cmp-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cmp-ck").toString
+    def drop(name: String, uri: String): Unit = {
+      val f = new java.io.FileOutputStream(s"$warcDir/$name")
+      val w = new Warc.MemberGzipWriter(f)
+      try w.writeMember(record("response", uri, "HTTP/1.1 200 OK\r\n\r\nbody")): Unit
+      finally { w.end(); f.close() }
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("warc")
+        .option("maxFilesPerTrigger", 1) // one file per batch → 1 batch/file
+        .load(warcDir + "/*.warc.gz")
+        .select("path", "target_uri")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    (1 to 25).foreach(i => drop(f"d$i%02d.warc.gz", s"https://cmp.example/$i"))
+    runOnce() // 25 batches (ids 0..24); compactions at 9 and 19
+    val logDir = new java.io.File(s"$ckDir/sources/0/warc-file-log")
+    def logNames(): Seq[String] = logDir.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq // ignore hadoop .crc sidecars
+    // ONE snapshot + the post-snapshot tail — NOT 25 per-batch files
+    assert(logNames() == Seq("19.compact", "20", "21", "22", "23", "24"), logNames())
+    // recovery is O(snapshot + tail): 1 + 5 reads here, <= 1 + interval always
+    val log = new graft.sources.WarcFileLog(
+      new org.apache.hadoop.fs.Path(logDir.toString),
+      spark.sparkContext.hadoopConfiguration)
+    val (maxBatch, seen) = log.recover()
+    assert(maxBatch == 24L)
+    assert(seen.size == 25) // the snapshot still covers every file
+    assert(log.recoverLogReads == 6, log.recoverLogReads)
+    // restart with one new file: exactly it is consumed (batch 25)
+    drop("d26.warc.gz", "https://cmp.example/26")
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 26)
+    // replay with nothing new: a no-op, log did not grow
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 26)
+    assert(logNames() ==
+      Seq("19.compact", "20", "21", "22", "23", "24", "25"))
+    // readRange serves compacted batches from the snapshot: batch 3's
+    // file was folded into 19.compact yet is still individually replayable
+    assert(log.readRange(3, 3).map(p => p.substring(p.lastIndexOf('/') + 1))
+      == Seq("d04.warc.gz"))
+  }
+
+  test("maxFileAge: too-old files are never admitted, aged seen entries are evicted from the compacted log, eviction never re-admits") {
+    import org.apache.spark.sql.streaming.Trigger
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-age").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-age-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-age-ck").toString
+    val day = 86400000L
+    val now = System.currentTimeMillis()
+    def drop(name: String, uri: String, mtime: Long): Unit = {
+      val f = new java.io.FileOutputStream(s"$warcDir/$name")
+      val w = new Warc.MemberGzipWriter(f)
+      try w.writeMember(record("response", uri, "HTTP/1.1 200 OK\r\n\r\nbody")): Unit
+      finally { w.end(); f.close() }
+      assert(new java.io.File(s"$warcDir/$name").setLastModified(mtime))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("warc")
+        .option("maxFileAge", "1d")
+        .option("logCompactInterval", 2) // compact at batches 1, 3, …
+        .load(warcDir + "/*.warc.gz")
+        .select("path", "target_uri")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def uris(): Seq[String] =
+      spark.read.parquet(outDir).select("target_uri").as[String]
+        .collect().sorted.toSeq
+    // 1) ancient A next to fresh-ish B: only B is admitted — too-old
+    //    files are IGNORED, not queued
+    drop("a.warc.gz", "https://age.example/A", now - 10 * day)
+    drop("b.warc.gz", "https://age.example/B", now - 5 * day)
+    runOnce() // batch 0: B alone (A is 5d older than the newest file)
+    assert(uris() == Seq("https://age.example/B"))
+    // 2) fresh C arrives: the newest-file clock advances, B ages past
+    //    the cutoff; batch 1 compacts, and the snapshot must have
+    //    EVICTED B (and never contained A)
+    drop("c.warc.gz", "https://age.example/C", now)
+    runOnce() // batch 1: C alone, then compaction
+    assert(uris() == Seq("https://age.example/B", "https://age.example/C"))
+    val logDir = new java.io.File(s"$ckDir/sources/0/warc-file-log")
+    assert(logDir.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq == Seq("1.compact"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(logDir, "1.compact").toPath))
+    val snapPaths = (0 until node.size).map(i => node.get(i).get(0).asText())
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+    assert(snapPaths == Seq("c.warc.gz"), snapPaths)
+    // 3) eviction never re-admits: B is gone from the recovered seen
+    //    set, but the age gate runs FIRST, so a restart with a fresh D
+    //    consumes exactly D — B (and A) stay out, nothing is re-read
+    drop("d.warc.gz", "https://age.example/D", now)
+    runOnce() // batch 2: D alone
+    assert(uris() == Seq("https://age.example/B", "https://age.example/C",
+      "https://age.example/D"))
+    runOnce() // replay: no-op
+    assert(uris().size == 3)
   }
 
   test("legacy array offsets migrate: seen files excluded, uncommitted legacy batch replans as the diff, new commits are compact") {
