@@ -49,6 +49,17 @@ object AtomicSink {
     * propagates instead of silently discarding the data. */
   def commit(fs: FileSystem, tmp: Path, dest: Path): Unit = {
     if (!fs.rename(tmp, dest)) { // plain FS rename refuses an existing dest
+      // tmp's length, captured while it still exists: "a racer's
+      // complete commit sits at dest" is checkable — deterministic
+      // bytes make the racer's copy EXACTLY this long, while a stale
+      // dest left by a prior job over the same outDir generally is
+      // not. None = tmp already gone (can't strengthen the check).
+      val tmpLen =
+        try Some(fs.getFileStatus(tmp).getLen)
+        catch { case _: java.io.FileNotFoundException => None }
+      def racerCommitted(): Boolean =
+        try tmpLen.forall(_ == fs.getFileStatus(dest).getLen)
+        catch { case _: java.io.FileNotFoundException => false }
       val qTmp = fs.makeQualified(tmp)
       val qDest = fs.makeQualified(dest)
       val atomic =
@@ -59,18 +70,18 @@ object AtomicSink {
           true
         } catch {
           // tmp vanished: success only if a racer's complete commit
-          // actually sits at dest — otherwise fall through and fail
-          case _: java.io.FileNotFoundException => fs.exists(dest)
+          // (length-verified) sits at dest — otherwise fall through
+          case _: java.io.FileNotFoundException => racerCommitted()
           case _: UnsupportedOperationException => false
           case _: java.io.IOException => false
         }
       if (!atomic) {
         fs.delete(dest, false)
         if (!fs.rename(tmp, dest)) {
-          if (fs.exists(dest)) fs.delete(tmp, false) // racer committed a complete copy
+          if (racerCommitted()) fs.delete(tmp, false)
           else throw new java.io.IOException(
             s"atomic commit failed: could not publish $tmp as $dest " +
-              "and no committed copy exists")
+              "and no complete committed copy exists")
         }
       }
     }

@@ -281,7 +281,17 @@ object Bpe {
     val charToByte: Map[Char, Int] =
       byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
 
-    /** The GPT-2 pre-tokenizer regex (public vocab.bpe convention). */
+    /** The GPT-2 pre-tokenizer regex (public vocab.bpe convention).
+      *
+      * DOCUMENTED DIVERGENCE: compiled without UNICODE_CHARACTER_CLASS,
+      * so Java's `\s` here matches ASCII whitespace only, while GPT-2's
+      * Python `\s` is Unicode-wide — Unicode spaces (NBSP U+00A0,
+      * IDEOGRAPHIC SPACE U+3000, …) fall into the punctuation branch
+      * instead of folding as leading spaces, so learned
+      * merges/segmentations can differ from a reference GPT-2 tokenizer
+      * on non-ASCII whitespace. Round-trip exactness is UNAFFECTED
+      * (every byte is still covered); flipping the flag would re-pin
+      * the BpeSpec goldens, so the ASCII behavior is kept and named. */
     val Pretokenizer: java.util.regex.Pattern = java.util.regex.Pattern.compile(
       "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
 
@@ -426,10 +436,19 @@ object Bpe {
     * join would silently DROP a row on a vocab bug — the left join +
     * null check turns that into a loud analysis-time invariant). */
   def tokenizeBytesToIds(df: DataFrame, idCol: String, textCol: String,
-      segments: DataFrame, merges: Seq[Merge]): DataFrame = {
+      segments: DataFrame, merges: Seq[Merge]): DataFrame =
+    tokenizeBytesToIds(df, idCol, textCol, segments, byteVocab(merges))
+
+  /** [[tokenizeBytesToIds]] against an EXPLICIT subword → id mapping —
+    * the path an IMPORTED tokenizer takes ([[ModelStore.importGpt2]]):
+    * a real GPT-2 `encoder.json` assigns base-byte ids by char
+    * codepoint, not byte value, so the file's mapping is the
+    * authority, never [[byteVocab]]'s convention. */
+  def tokenizeBytesToIds(df: DataFrame, idCol: String, textCol: String,
+      segments: DataFrame, vocabIds: Map[String, Int]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vocab = byteVocab(merges).toSeq.toDF("subword", "token_id")
+    val vocab = vocabIds.toSeq.toDF("subword", "token_id")
     tokenizeBytes(df, idCol, textCol, segments)
       .join(broadcast(vocab), Seq("subword"), "left")
       .select(col(idCol), col("pos"), col("subpos"),
@@ -445,11 +464,25 @@ object Bpe {
     * strings` inverts [[byteVocab]]; the concatenated symbol chars map
     * back through the byte table and decode as UTF-8. */
   def detokenizeIds(tokens: DataFrame, idCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge]): DataFrame =
+    detokenizeIds(tokens, idCol, byteVocab(merges))
+
+  /** [[detokenizeIds]] against an explicit subword → id mapping (the
+    * imported-tokenizer twin). An id ABSENT from the vocabulary —
+    * including the −1 error sentinel [[tokenizeBytesToIds]] emits on a
+    * vocab bug — fails LOUDLY here: without the check, the null
+    * subword would vanish inside concat_ws and a corrupted id stream
+    * would detokenize to shorter-but-plausible text. */
+  def detokenizeIds(tokens: DataFrame, idCol: String,
+      vocabIds: Map[String, Int]): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
-    val inv = byteVocab(merges).toSeq.map(_.swap).toDF("token_id", "subword")
+    val inv = vocabIds.toSeq.map(_.swap).toDF("token_id", "subword")
     tokens.join(broadcast(inv), Seq("token_id"), "left")
+      .withColumn("subword", when(col("subword").isNull,
+          raise_error(concat(lit("detokenizeIds: unknown token id "),
+            col("token_id").cast("string"))))
+        .otherwise(col("subword")))
       .groupBy(col(idCol))
       .agg(concat_ws("", array_sort(collect_list(
           struct(col("pos"), col("subpos"), col("subword"))))

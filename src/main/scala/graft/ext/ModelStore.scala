@@ -120,4 +120,96 @@ object ModelStore {
       .select("idx", "w").as[(Int, Double)].collect().toMap
     QualityClassifier.Model(dim, intercept, weights)
   }
+
+  // -- GPT-2 tokenizer interchange (encoder.json + vocab.bpe) ---------------
+
+  /** Export the trained byte-level BPE as the PUBLIC GPT-2 artifact
+    * pair every training stack consumes — `vocab.bpe` (`#version: 0.2`
+    * header, one space-separated `left right` merge per line in rank
+    * order) and `encoder.json` (subword → integer id, exactly
+    * [[Bpe.byteVocab]]'s assignment) — so the tokenizer can LEAVE the
+    * engine: the parquet form ([[saveBpeMerges]]) is engine-internal;
+    * this is the interchange format (Radford et al. 2019's released
+    * artifact shape). Byte-level symbols never contain a raw space
+    * (byte 0x20 maps to Ġ), which is what makes the space-separated
+    * merge file unambiguous — asserted, not assumed. */
+  def exportGpt2(spark: SparkSession, merges: Seq[Bpe.Merge],
+      dir: String): Unit = {
+    merges.foreach(m => require(!m.left.contains(' ') && !m.right.contains(' '),
+      s"merge symbols must be byte-level (no raw spaces): $m"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(conf)
+    fs.mkdirs(base)
+    val bpe = new StringBuilder("#version: 0.2\n")
+    merges.sortBy(_.rank).foreach(m => bpe ++= s"${m.left} ${m.right}\n")
+    writeUtf8(fs, new org.apache.hadoop.fs.Path(base, "vocab.bpe"),
+      bpe.toString)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val enc = mapper.createObjectNode()
+    Bpe.byteVocab(merges).toSeq.sortBy(_._2)
+      .foreach { case (sub, id) => enc.put(sub, id); () }
+    writeUtf8(fs, new org.apache.hadoop.fs.Path(base, "encoder.json"),
+      mapper.writeValueAsString(enc))
+  }
+
+  /** Import a GPT-2 artifact pair: `(merges in vocab.bpe line order,
+    * the encoder.json id mapping)`. The FILE's ids are the authority —
+    * a genuine GPT-2 encoder.json numbers base bytes by char
+    * codepoint, not byte value, so callers must tokenize through the
+    * returned mapping ([[Bpe.tokenizeBytesToIds]]'s explicit-vocab
+    * overload), never re-derive ids from the merges. Validated
+    * eagerly: every base byte symbol and every merge product must have
+    * an id (a gap would surface later as the −1 sentinel on real
+    * data — fail at load instead). */
+  def importGpt2(spark: SparkSession, dir: String)
+      : (Seq[Bpe.Merge], Map[String, Int]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(conf)
+    val bpeText = readUtf8(fs, new org.apache.hadoop.fs.Path(base, "vocab.bpe"))
+    val merges = bpeText.split("\n").iterator.map(_.stripSuffix("\r"))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.map { case (line, rank) =>
+        line.split(" ") match {
+          case Array(l, r) => Bpe.Merge(rank, l, r)
+          case _ => throw new IllegalArgumentException(
+            s"vocab.bpe line $rank is not 'left right': '$line'")
+        }
+      }.toSeq
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(
+      readUtf8(fs, new org.apache.hadoop.fs.Path(base, "encoder.json")))
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    node.properties().forEach(e => vocab(e.getKey) = e.getValue.asInt())
+    (0 until 256).foreach { b =>
+      val sym = Bpe.ByteLevel.byteToChar(b).toString
+      require(vocab.contains(sym),
+        s"encoder.json misses base byte symbol $b ('$sym')")
+    }
+    merges.foreach(m => require(vocab.contains(m.left + m.right),
+      s"encoder.json misses merge product '${m.left + m.right}'"))
+    require(vocab.values.toSeq.distinct.size == vocab.size,
+      "encoder.json assigns one id to two subwords")
+    (merges, vocab.toMap)
+  }
+
+  private def writeUtf8(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 }

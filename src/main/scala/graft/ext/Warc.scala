@@ -1228,11 +1228,18 @@ object Warc {
         }
       }
       .localCheckpoint(true) // archive written NOW; fold exactly once
-    // fold the NEW digests into the store (anti-joined — replay no-op)
+    // fold the NEW digests into the store (anti-joined — replay no-op).
+    // dropDuplicates: EXACT duplicate (uri, date, payload) input rows
+    // each satisfy __isw, so without it the same digest would enter the
+    // store once per copy and every later batch's left join on __digest
+    // would multiply matching rows (duplicated revisits in the archive
+    // until compaction's distinct ran). The copies are identical in
+    // every column, so keeping one is deterministic.
     val newDigests = index.toDF().filter(col("warc_type") === "response")
       .select(col("payload_digest").as("__digest"),
         col("target_uri").as("orig_uri"), col("warc_date").as("orig_date"),
         lit(batchId).as("batch_id"))
+      .dropDuplicates("__digest")
     if (!storeExists) {
       graft.store.Bucketing.dropWithLocation(spark, digestTable)
       newDigests.repartition(buckets, col("__digest"))
@@ -1257,6 +1264,31 @@ object Warc {
       buckets: Int = 32): Unit =
     graft.store.Bucketing.compactSwap(spark, digestTable) { tmp =>
       spark.table(digestTable).distinct()
+        .repartition(buckets, col("__digest"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "__digest").sortBy("__digest")
+        .format("parquet").saveAsTable(tmp)
+    }
+
+  /** RETENTION GC for the digest store — the archival-integrity twin
+    * of `Dedup.deleteFromBandStore`: when archive segments age out
+    * (originals captured before `olderThan` deleted by the archive's
+    * own retention), their digests MUST leave the store too, or the
+    * next recrawl of that content would emit a revisit whose
+    * Refers-To names bytes that no longer exist anywhere (a dangling
+    * revisit = silent data loss). Post-GC, recrawled content re-enters
+    * as a fresh RESPONSE and later recaptures refer to THAT original.
+    *
+    * `olderThan` is an ISO-8601 instant (chronological as a string) —
+    * compared against each digest's `orig_date`, i.e. the capture date
+    * of the ORIGINAL a revisit would name, exactly the row the archive
+    * retention deleted. Crash-safe compactSwap rewrite; one
+    * bucket-preserving pass, cost ∝ store. */
+  def gcDigestStore(spark: SparkSession, digestTable: String,
+      olderThan: String, buckets: Int = 32): Unit =
+    graft.store.Bucketing.compactSwap(spark, digestTable) { tmp =>
+      spark.table(digestTable).distinct()
+        .filter(col("orig_date") >= lit(olderThan))
         .repartition(buckets, col("__digest"))
         .write.mode("overwrite")
         .bucketBy(buckets, "__digest").sortBy("__digest")

@@ -3874,6 +3874,90 @@ object Queries {
       .ordered("doc_id")
   }
 
+  /** The x87b THREE-epoch as-of store: site h7 captured in full on
+    * day 1 (v1 bodies); %3 docs recaptured UNCHANGED on day 2
+    * (revisits of day 1); %7 docs recaptured CHANGED on day 3 (v3
+    * bodies, fresh responses). doc_id within a %50 site is constant
+    * parity, so the recapture criteria are %3/%7 (both cover all
+    * residues over 7+50k). Built through the real append+compact
+    * protocol; memoized per scale dir. */
+  private val cdxAsofMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cdxAsofStoreFor(s: SparkSession, dir: String): String =
+    cdxAsofMemo.getOrElseUpdate(dir, {
+      val t = "graft_cdxasof_" + Integer.toHexString(dir.hashCode)
+      graft.store.Bucketing.dropWithLocation(s, t)
+      val arc = java.nio.file.Files.createTempDirectory("graft-asof").toString
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-asof-idx").toString
+      val id = col("doc_id").cast("string")
+      def cap(day: String, filt: Column, ver: String) =
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 50 === 7 && filt).select(
+            concat(lit("https://h7.example.com/item/"), id).as("uri"),
+            lit(day).as("ts"),
+            concat(lit("HTTP/1.1 200 OK\r\n\r\n"), lit(ver), lit(" "), id,
+              lit(" "), coalesce(col("text"), lit(""))).as("payload"))
+      graft.ext.Warc.writeRecordsDedupedIndexed(
+          cap("2026-08-14T00:00:00Z", lit(true), "v1")
+            .unionByName(cap("2026-08-15T00:00:00Z", col("doc_id") % 3 === 0, "v1"))
+            .unionByName(cap("2026-08-16T00:00:00Z", col("doc_id") % 7 === 0, "v3"))
+            .repartition(4),
+          "uri", "ts", "payload", arc).toDF()
+        .withColumn("urlkey", graft.ext.UrlOps.surtKey(col("target_uri")))
+        .write.mode("overwrite").parquet(idxDir)
+      val idx = s.read.parquet(idxDir)
+      val half = crc32(col("target_uri")) % 2 === 0
+      graft.ext.CdxStore.append(idx.filter(half), t, buckets = 8)
+      graft.ext.CdxStore.append(idx.filter(!half), t, buckets = 8)
+      graft.ext.CdxStore.compact(s, t, buckets = 8)
+      t
+    })
+
+  // X87B — AS-OF (wayback) site serving ([[graft.ext.CdxStore
+  // .serveLatestCaptures]] with a temporal cut): over the three-epoch
+  // store, the mid-archive cut (end of day 2) serves DIFFERENT winners
+  // than HEAD — at the cut every %3 doc serves day 2's revisit
+  // (resolved through Refers-To to day 1's v1 bytes, the
+  // revisit-across-the-cut path) and everything else day 1's original;
+  // at HEAD every %7 doc instead serves day 3's CHANGED v3 response.
+  // Both cuts in one gate so the oracle itself witnesses they differ.
+  // A cut applied to the originals lookup (revisit resolution fails),
+  // a >= cut bound, or day-3 rows leaking into the cut each break
+  // rows or hash.
+  q("x87b_cdx_asof_serving",
+    """SELECT cut, doc_id, url, warc_date, body, was_revisit FROM (
+      |  SELECT 'asof' AS cut, doc_id,
+      |    'https://h7.example.com/item/' || CAST(doc_id AS VARCHAR) AS url,
+      |    CASE WHEN doc_id % 3 = 0 THEN '2026-08-15T00:00:00Z'
+      |         ELSE '2026-08-14T00:00:00Z' END AS warc_date,
+      |    'v1 ' || CAST(doc_id AS VARCHAR) || ' '
+      |      || COALESCE(text, '') AS body,
+      |    (doc_id % 3 = 0) AS was_revisit
+      |  FROM documents WHERE doc_id % 50 = 7
+      |  UNION ALL
+      |  SELECT 'head', doc_id,
+      |    'https://h7.example.com/item/' || CAST(doc_id AS VARCHAR),
+      |    CASE WHEN doc_id % 7 = 0 THEN '2026-08-16T00:00:00Z'
+      |         WHEN doc_id % 3 = 0 THEN '2026-08-15T00:00:00Z'
+      |         ELSE '2026-08-14T00:00:00Z' END,
+      |    (CASE WHEN doc_id % 7 = 0 THEN 'v3 ' ELSE 'v1 ' END)
+      |      || CAST(doc_id AS VARCHAR) || ' ' || COALESCE(text, ''),
+      |    (doc_id % 7 <> 0 AND doc_id % 3 = 0)
+      |  FROM documents WHERE doc_id % 50 = 7)
+      |ORDER BY cut, doc_id""".stripMargin) { (s, dir) =>
+    val t = cdxAsofStoreFor(s, dir)
+    def serve(asOf: Option[String], label: String) =
+      graft.ext.CdxStore.serveLatestCaptures(s, t, "com,example,h7)",
+          asOf, normalize = true, maxRefKeys = 10000)
+        .select(lit(label).as("cut"),
+          regexp_extract(col("url"), "/item/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("url"), col("warc_date"),
+          graft.ext.Warc.httpBody(col("payload")).as("body"),
+          col("was_revisit"))
+    serve(Some("2026-08-15T12:00:00Z"), "asof").unionByName(serve(None, "head"))
+      .ordered("cut", "doc_id")
+  }
+
   // X75 — anchor-text retrieval ([[graft.ext.Retrieval
   // .bm25fTopKFromIndex]], BM25F-lite): body BM25 off the memoized
   // STORED index + anchor-field BM25 off an index built straight from

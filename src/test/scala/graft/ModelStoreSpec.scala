@@ -30,6 +30,54 @@ class ModelStoreSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("GPT-2 interchange: encoder.json + vocab.bpe round-trip; imported ids tokenize the UTF-8-hostile corpus byte-identically; unknown id detokenizes LOUDLY") {
+    import spark.implicits._
+    // UTF-8-hostile: emoji (4-byte), CJK (3-byte), accents, tabs
+    val hostile = Seq(
+      (0L, "the cat's hat 🙂🙂 the cat can't stop"),
+      (1L, "日本語のテキスト and the café's crème"),
+      (2L, "привет 안녕 \t 42 cats!!"))
+      .toDF("id", "text")
+    val vocab = Bpe.byteWordFreqs(hostile, "text").cache()
+    val merges = Bpe.learnByteMergesFromVocabBatched(vocab, 16).merges
+    val p = Files.createTempDirectory("graft-ms-gpt2").toString
+    ModelStore.exportGpt2(spark, merges, p)
+    // the artifact pair exists in the public shape
+    val bpeLines = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(p, "vocab.bpe")), "UTF-8").split("\n")
+    assert(bpeLines.head == "#version: 0.2")
+    assert(bpeLines.length == merges.size + 1)
+    val (loadedMerges, loadedVocab) = ModelStore.importGpt2(spark, p)
+    assert(loadedMerges == merges)
+    assert(loadedVocab == Bpe.byteVocab(merges))
+    // re-tokenize through the FILE's id mapping: byte-identical ids
+    val seg = Bpe.segmentTableBytes(vocab, merges)
+    def idsOf(toks: org.apache.spark.sql.DataFrame) =
+      toks.select("id", "pos", "subpos", "token_id")
+        .as[(Long, Int, Int, Int)].collect().sorted.toSeq
+    val native = idsOf(Bpe.tokenizeBytesToIds(hostile, "id", "text", seg, merges))
+    val imported = idsOf(Bpe.tokenizeBytesToIds(hostile, "id", "text", seg,
+      loadedVocab))
+    assert(native == imported && native.nonEmpty)
+    // and the imported mapping detokenizes back to the exact corpus
+    val back = Bpe.detokenizeIds(
+        Bpe.tokenizeBytesToIds(hostile, "id", "text", seg, loadedVocab),
+        "id", loadedVocab)
+      .as[(Long, String)].collect().toMap
+    hostile.as[(Long, String)].collect().foreach { case (i, t) =>
+      assert(back(i) == t, s"doc $i")
+    }
+    // a corrupted id stream fails LOUDLY (never silently-shorter text)
+    val corrupt = Seq((0L, 0, 0, 999999)).toDF("id", "pos", "subpos", "token_id")
+    val e = intercept[Exception] {
+      Bpe.detokenizeIds(corrupt, "id", loadedVocab).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("unknown token id")), messages(e))
+  }
+
   test("Unigram model round-trips exactly, piece order preserved") {
     val vocab = Bpe.wordFreqs(Tables.documents(spark, dir), "text").cache()
     val model = UnigramLm.fit(vocab, targetSize = 120, seedSize = 400,

@@ -868,6 +868,67 @@ class WarcSpec extends SparkTestBase {
     graft.store.Bucketing.dropWithLocation(spark, t)
   }
 
+  test("digest-store GC: aged-out digests leave the store; a post-GC recrawl re-stores content as a fresh RESPONSE, never a dangling revisit; within-batch duplicate rows fold ONE digest row") {
+    import spark.implicits._
+    val t = "graft_digests_gc_" + Integer.toHexString(
+      java.util.UUID.randomUUID().hashCode())
+    graft.store.Bucketing.dropWithLocation(spark, t)
+    def dirFor(n: Int) =
+      java.nio.file.Files.createTempDirectory(s"graft-gcdd$n").toString
+    def rows(day: String, pages: (String, String)*) =
+      pages.map { case (u, b) =>
+        (u, day, s"HTTP/1.1 200 OK\r\n\r\n$b") }.toDF("uri", "ts", "payload")
+    // batch 1, day 1: /a twice (EXACT duplicate rows — the advised
+    // hazard: each copy satisfies __isw) and /b once
+    Warc.writeRecordsDedupedIncremental(
+      rows("2026-08-10T00:00:00Z",
+        "https://gc.example/a" -> "body a",
+        "https://gc.example/a" -> "body a",
+        "https://gc.example/b" -> "body b").repartition(2),
+      "uri", "ts", "payload", dirFor(1), t, batchId = 1L, buckets = 4).collect()
+    // ONE store row per digest despite the duplicate input rows
+    assert(spark.table(t).count() == 2)
+    assert(spark.table(t).groupBy("__digest").count()
+      .filter(col("count") > 1).isEmpty)
+    // batch 2, day 11: /a unchanged → cross-batch revisit of day-10
+    val i2 = Warc.writeRecordsDedupedIncremental(
+      rows("2026-08-11T00:00:00Z", "https://gc.example/a" -> "body a")
+        .repartition(2),
+      "uri", "ts", "payload", dirFor(2), t, batchId = 2L, buckets = 4)
+    assert(i2.collect().forall(r => r.warc_type == "revisit" &&
+      r.refers_to_date == "2026-08-10T00:00:00Z"))
+    // archive retention deletes pre-day-12 segments → GC their digests
+    Warc.gcDigestStore(spark, t, olderThan = "2026-08-12T00:00:00Z", buckets = 4)
+    assert(spark.table(t).count() == 0) // both originals predate the cut
+    // batch 3, day 13: /a recrawled UNCHANGED — but its old original is
+    // gone; it MUST re-store as a fresh response (a revisit here would
+    // refer to deleted bytes = silent data loss)
+    val i3 = Warc.writeRecordsDedupedIncremental(
+      rows("2026-08-13T00:00:00Z", "https://gc.example/a" -> "body a")
+        .repartition(2),
+      "uri", "ts", "payload", dirFor(3), t, batchId = 3L, buckets = 4)
+    val r3 = i3.collect()
+    assert(r3.forall(_.warc_type == "response"), r3.map(_.warc_type).toSeq)
+    assert(spark.table(t).count() == 1)
+    // batch 4, day 14: the next recapture refers to the NEW original
+    val i4 = Warc.writeRecordsDedupedIncremental(
+      rows("2026-08-14T00:00:00Z", "https://gc.example/a" -> "body a")
+        .repartition(2),
+      "uri", "ts", "payload", dirFor(4), t, batchId = 4L, buckets = 4)
+    val r4 = i4.collect()
+    assert(r4.forall(r => r.warc_type == "revisit" &&
+      r.refers_to_date == "2026-08-13T00:00:00Z"), r4.toSeq)
+    // serving over the SURVIVING archive (batches 3+4 — exactly what
+    // retention kept) is complete and digest-exact: no dangling refs
+    val got = Warc.readLatestCapturesDeduped(i3.toDF().unionByName(i4.toDF()))
+      .select(col("url"), col("warc_date"),
+        Warc.httpBody(col("payload")).as("body"), col("was_revisit"))
+      .as[(String, String, String, Boolean)].collect().toSeq
+    assert(got == Seq(("https://gc.example/a", "2026-08-14T00:00:00Z",
+      "body a", true)), got)
+    graft.store.Bucketing.dropWithLocation(spark, t)
+  }
+
   test("retry determinism: archives are byte-identical regardless of input row order (the AtomicSink double-commit premise)") {
     import spark.implicits._
     // a task retry/speculative duplicate re-reads its shuffle input in
