@@ -186,6 +186,69 @@ object CdxStore {
     Warc.readLatestCapturesDeduped(slice, slice.unionByName(extra), normalize)
   }
 
+  /** ZIPNUM-style serving export + "cluster.idx" SECONDARY INDEX (the
+    * index-of-the-index CommonCrawl publishes): the store re-laid out
+    * RANGE-SORTED on `urlkey` — `blocks` files, each covering a
+    * CONTIGUOUS slice of the SURT keyspace — plus one tiny parquet
+    * table with a row per block (file, key min/max, rows).
+    *
+    * Why a second layout: the live store is HASH-bucketed on urlkey
+    * (that is what makes appends Exchange-free), so every bucket file
+    * spans the whole keyspace and a site query must touch every
+    * bucket's zone maps — cheap, but the LISTING term is O(files) and
+    * at petabyte CDX scale (10⁵–10⁶ block files) even listing + footer
+    * reads dominate a one-site lookup. The range layout makes a site a
+    * contiguous run of blocks, and the secondary index — kilobytes —
+    * names exactly those blocks, so a lookup touches cluster.idx + its
+    * own blocks and NOTHING else ([[capturesForSiteIndexed]];
+    * CdxStoreSpec asserts the touched-file set). Rebuild on the
+    * compaction cadence: one range shuffle + one small aggregation,
+    * cost ∝ store — the read-optimized twin of the write-optimized
+    * bucket store, exactly CommonCrawl's cdx-…gz + cluster.idx pair. */
+  def exportRangeLayout(spark: SparkSession, table: String, dir: String,
+      blocks: Int = 64): Unit = {
+    require(graft.store.Bucketing.recoverCompacted(spark, table),
+      s"no such cdx store: $table")
+    require(blocks > 0, s"blocks must be positive, got $blocks")
+    spark.table(table)
+      .repartitionByRange(blocks, col("urlkey"))
+      .sortWithinPartitions("urlkey")
+      .write.mode("overwrite").parquet(s"$dir/blocks")
+    spark.read.parquet(s"$dir/blocks")
+      .groupBy(input_file_name().as("file"))
+      .agg(min("urlkey").as("k_min"), max("urlkey").as("k_max"),
+        count(lit(1)).as("n_rows"))
+      .repartition(1) // block-count-sized: the whole point is it's tiny
+      .write.mode("overwrite").parquet(s"$dir/cluster.idx")
+  }
+
+  /** Site lookup THROUGH the secondary index: read cluster.idx
+    * (kilobytes), keep blocks whose [k_min, k_max] intersects the
+    * site's SURT range, scan ONLY those files (plus the residual range
+    * predicate — a block can straddle site boundaries). The collect is
+    * cluster.idx-sized (≤ blocks rows), never data-sized. */
+  def capturesForSiteIndexed(spark: SparkSession, dir: String,
+      sitePrefix: String): DataFrame = {
+    val end = siteRangeEnd(sitePrefix)
+    val files = selectedBlocks(spark, dir, sitePrefix)
+    val all = spark.read.parquet(s"$dir/blocks")
+    if (files.isEmpty) all.limit(0)
+    else spark.read.parquet(files: _*)
+      .filter(col("urlkey") >= lit(sitePrefix) && col("urlkey") < lit(end))
+  }
+
+  /** The block files the secondary index selects for a site — the IO
+    * set [[capturesForSiteIndexed]] touches (package-visible so the
+    * spec can assert the scan reads exactly these and nothing else). */
+  private[graft] def selectedBlocks(spark: SparkSession, dir: String,
+      sitePrefix: String): Seq[String] = {
+    val end = siteRangeEnd(sitePrefix)
+    spark.read.parquet(s"$dir/cluster.idx")
+      .filter(col("k_max") >= lit(sitePrefix) && col("k_min") < lit(end))
+      .select("file")
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
   /** The store-side anti-join on (urlkey, [[SigCol]]) — full-row
     * identity through the stored signature, BARE-attribute equi keys:
     * the store side scans in bucket layout and Spark reuses its

@@ -116,16 +116,35 @@ object Packing {
     *
     * One cumulative-sum window. `partitionCols` (optional) shards the
     * layout so each shard packs independently — the 100-TB path where no
-    * global-ordered window exists; sequence ids are then per-shard. */
+    * global-ordered window exists; sequence ids are then per-shard.
+    *
+    * VALVE on the default: without `partitionCols` the window is
+    * single-partition (every row through one task) — fine for the
+    * bounded corpora the global layout exists for, a scale-killer
+    * callable by accident past that. Rather than pay an extra count
+    * job, a running `count().over` in the SAME window frame as the
+    * cumsum (one WindowExec, zero extra pass) raises loudly the moment
+    * row `maxGlobalRows + 1` streams through, naming the sharded path.
+    * The sharded variant is unguarded — its partitions are the
+    * caller's explicit scale decision. */
   def packContiguous(df: DataFrame, ntokCol: String, budget: Long,
-      orderBy: Seq[Column], partitionCols: Seq[Column] = Nil): DataFrame = {
+      orderBy: Seq[Column], partitionCols: Seq[Column] = Nil,
+      maxGlobalRows: Long = 5000000L): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w0 = if (partitionCols.isEmpty) Window.orderBy(orderBy: _*)
              else Window.partitionBy(partitionCols: _*).orderBy(orderBy: _*)
     val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val upto = sum(col(ntokCol).cast("long")).over(w)
     val before = upto - col(ntokCol)
-    df.withColumn("tok_start", before)
+    val tokStart =
+      if (partitionCols.nonEmpty) before
+      else when(count(lit(1)).over(w) > lit(maxGlobalRows),
+          raise_error(lit(s"packContiguous without partitionCols lays the " +
+            s"whole corpus through ONE task's global window; input exceeds " +
+            s"maxGlobalRows=$maxGlobalRows. Shard with partitionCols " +
+            s"(sequence ids become per-shard) or raise the valve explicitly.")))
+        .otherwise(before)
+    df.withColumn("tok_start", tokStart)
       .withColumn("seq_first", (col("tok_start") / budget).cast("long"))
       .withColumn("seq_last",
         when(col(ntokCol) > 0, ((col("tok_start") + col(ntokCol) - 1) / budget).cast("long"))

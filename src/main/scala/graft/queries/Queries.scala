@@ -3874,6 +3874,36 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X87C — zipnum-style SECONDARY-INDEX serving ([[graft.ext.CdxStore
+  // .exportRangeLayout]] → [[capturesForSiteIndexed]]): the x87 store
+  // re-laid out range-sorted with a cluster.idx block index, site h7
+  // looked up through the INDEX (touching only its own blocks —
+  // CdxStoreSpec IO-asserts the file set), bodies fetched by the same
+  // positioned reads. Same closed-form oracle as x87: a lookup that
+  // reads the wrong blocks, drops a block-straddling row, or breaks
+  // the residual range predicate each break rows or hash.
+  private val zipnumMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  q("x87c_cdx_zipnum_serving",
+    """SELECT doc_id,
+      |  'com,example,h7)/item/' || CAST(doc_id AS VARCHAR)
+      |    || '?a=1&m=2&z=' || CAST(doc_id AS VARCHAR) AS urlkey,
+      |  COALESCE(text, '') AS body
+      |FROM documents WHERE doc_id % 50 = 7 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val rl = zipnumMemo.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-zipnum-q").toString
+      graft.ext.CdxStore.exportRangeLayout(s, cdxStoreFor(s, dir), d, blocks = 16)
+      d
+    })
+    val site = graft.ext.CdxStore.capturesForSiteIndexed(s, rl, "com,example,h7)")
+    graft.ext.Warc.readIndexed(site)
+      .select(
+        regexp_extract(col("target_uri"), "/Item/([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+        graft.ext.UrlOps.surtKey(col("target_uri")).as("urlkey"),
+        graft.ext.Warc.httpBody(col("payload")).as("body"))
+      .ordered("doc_id")
+  }
+
   /** The x87b THREE-epoch as-of store: site h7 captured in full on
     * day 1 (v1 bodies); %3 docs recaptured UNCHANGED on day 2
     * (revisits of day 1); %7 docs recaptured CHANGED on day 3 (v3
@@ -5693,6 +5723,61 @@ object Queries {
       counts, "ntok", 256L, Seq(col("doc_id")))
     graft.ext.Packing.packTokenIds(toks, "doc_id", packing, 256L)
       .select(col("seq"), col("n"), xxhash64(col("token_ids")).as("ids_hash"))
+      .ordered("seq")
+  }
+
+  // X91B — packed sequences ORACLE-EXACT (the r17 verdict's #6: the
+  // placement is deterministic, so DuckDB replays [[graft.ext.Packing
+  // .packContiguous]]'s cumulative layout + [[packTokenIds]]'s
+  // global-position → sequence math with a window and integer
+  // division). Token stream = whitespace tokens with id = char length
+  // (a per-token integer both engines compute identically — the gate
+  // is the PLACEMENT, not id semantics; the real-BPE composition stays
+  // gated by x91/x31c). Output per sequence: length + an
+  // order-WEIGHTED id checksum (Σ id·k over in-sequence rank k) — a
+  // dropped token, shifted boundary, or order flip all move it.
+  q("x91b_packed_placement_oracle",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+      |      w -> w <> '') AS ws
+      |  FROM documents),
+      |placed AS (
+      |  SELECT doc_id, ws,
+      |    CAST(SUM(len(ws)) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - len(ws) AS tok_start
+      |  FROM toks WHERE len(ws) > 0),
+      |tok AS (
+      |  SELECT tok_start,
+      |    UNNEST(range(0, len(ws))) AS j,
+      |    UNNEST(list_transform(range(1, len(ws) + 1),
+      |      i -> length(ws[i]))) AS tid
+      |  FROM placed),
+      |ranked AS (
+      |  SELECT CAST(FLOOR((tok_start + j) / 64) AS BIGINT) AS seq,
+      |    CAST(tid AS BIGINT) AS tid,
+      |    ROW_NUMBER() OVER (PARTITION BY CAST(FLOOR((tok_start + j) / 64) AS BIGINT)
+      |      ORDER BY tok_start + j) AS k
+      |  FROM tok)
+      |SELECT seq, COUNT(*) AS n, CAST(SUM(tid * k) AS BIGINT) AS ids_csum
+      |FROM ranked GROUP BY seq ORDER BY seq""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val words = docs.select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), w => w =!= ""))
+          .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), lit(0).as("subpos"),
+        length(col("w")).cast("int").as("token_id"))
+    val counts = words.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    val packing = graft.ext.Packing.packContiguous(
+      counts, "ntok", 64L, Seq(col("doc_id")))
+    graft.ext.Packing.packTokenIds(words, "doc_id", packing, 64L)
+      .select(col("seq"), col("n").cast("long").as("n"),
+        aggregate(
+          transform(col("token_ids"),
+            (x, i) => x.cast("long") * (i.cast("long") + 1)),
+          lit(0L), (a, x) => a + x).as("ids_csum"))
       .ordered("seq")
   }
 

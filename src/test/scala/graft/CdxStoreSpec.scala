@@ -66,6 +66,45 @@ class CdxStoreSpec extends SparkTestBase {
     graft.store.Bucketing.dropWithLocation(spark, t)
   }
 
+  test("cluster.idx secondary index: a site lookup touches ONLY its own blocks (IO-asserted), results == the bucketed store's range query") {
+    val t = "graft_cdxzip_" + Integer.toHexString(
+      java.util.UUID.randomUUID().hashCode())
+    graft.store.Bucketing.dropWithLocation(spark, t)
+    // 20 sites x 30 docs so the range layout has real key spread
+    val all = (0 until 20).map(s =>
+      captures(s, 0 until 30, "2026-08-14T00:00:00Z")).reduce(_ unionByName _)
+    CdxStore.append(all, t, buckets = 4)
+    CdxStore.compact(spark, t, buckets = 4)
+    val dir = Files.createTempDirectory("graft-zipnum").toString
+    CdxStore.exportRangeLayout(spark, t, dir, blocks = 16)
+    // the secondary index is block-count-sized and covers every block
+    val idx = spark.read.parquet(s"$dir/cluster.idx")
+    val blockFiles = new java.io.File(s"$dir/blocks").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(idx.count() == blockFiles.size && blockFiles.size > 4)
+    // lookup through the index: exactly the bucketed store's answer
+    val viaIdx = CdxStore.capturesForSiteIndexed(spark, dir, "com,example,h7)")
+    val viaStore = CdxStore.capturesForSite(spark, t, "com,example,h7)")
+    def keyOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("urlkey", "target_uri", "warc_date").as[(String, String, String)]
+        .collect().sorted.toSeq
+    assert(keyOf(viaIdx) == keyOf(viaStore) && viaIdx.count() == 30)
+    // IO assert: the scan reads exactly the index-selected blocks —
+    // a contiguous few, NOT the whole layout (the listing term the
+    // secondary index exists to remove)
+    val selected = CdxStore.selectedBlocks(spark, dir, "com,example,h7)")
+    assert(selected.nonEmpty && selected.size < blockFiles.size / 2,
+      s"${selected.size} of ${blockFiles.size}")
+    assert(viaIdx.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1))
+      .toSet.subsetOf(selected.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet))
+    // the h7-vs-h70-style boundary: range end is exclusive at ')'+1
+    assert(keyOf(viaIdx).forall(_._1.startsWith("com,example,h7)")))
+    // a site with no captures selects nothing and returns empty
+    assert(CdxStore.selectedBlocks(spark, dir, "org,absent)").isEmpty)
+    assert(CdxStore.capturesForSiteIndexed(spark, dir, "org,absent)").isEmpty)
+    graft.store.Bucketing.dropWithLocation(spark, t)
+  }
+
   test("sidecarMaintenance(cdxTable): batches fold into the store, compaction cadence fires, replay no-op; latestCaptures composes") {
     val mk = (uri: String, body: String) => {
       val payload = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"

@@ -116,6 +116,31 @@ class PackingSpec extends SparkTestBase {
     assert(packed.count() == docs.count())
   }
 
+  test("packContiguous valve: a corpus-scale call WITHOUT partitionCols fails loudly past maxGlobalRows; the sharded path is unguarded") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("ntok"))
+    // tiny valve to model "corpus-scale" at fixture size: the global-
+    // window default must refuse, naming the sharded path
+    val e = intercept[Exception] {
+      Packing.packContiguous(docs, "ntok", 128L, Seq(col("doc_id")),
+        maxGlobalRows = 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("partitionCols")), messages(e))
+    // same rows THROUGH the sharded path: no valve (explicit scale
+    // decision), identical per-shard invariants
+    val sharded = Packing.packContiguous(
+      docs.withColumn("shard", col("doc_id") % 4), "ntok", 128L,
+      Seq(col("doc_id")), partitionCols = Seq(col("shard")),
+      maxGlobalRows = 10L)
+    assert(sharded.count() == docs.count())
+    // and a global call UNDER the valve is untouched (existing gates)
+    assert(Packing.packContiguous(docs.limit(5), "ntok", 128L,
+      Seq(col("doc_id")), maxGlobalRows = 10L).count() == 5)
+  }
+
   test("packFirstFitDecreasing: conservation, budget respected, FFD quality, deterministic") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("ntok"))
