@@ -249,6 +249,68 @@ object CdxStore {
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
+  /** [[serveLatestCaptures]] THROUGH the range layout: the same
+    * revisit-aware (optionally as-of) site serving, with BOTH lookups
+    * index-routed — the site slice through [[capturesForSiteIndexed]]
+    * and the out-of-range referred originals through [[blocksForKeys]]
+    * (one cluster.idx read + a binary search per key) — so a
+    * petabyte-scale layout serves a site touching the kilobyte index,
+    * the site's own blocks, and the referred originals' blocks only.
+    * Past `maxRefKeys` the originals fetch falls back to a semi-join
+    * over the full layout (index metadata, never archive bytes). */
+  def serveLatestCapturesIndexed(spark: SparkSession, dir: String,
+      sitePrefix: String, asOf: Option[String] = None,
+      normalize: Boolean = true, maxRefKeys: Int = 10000): DataFrame = {
+    val slice0 = capturesForSiteIndexed(spark, dir, sitePrefix)
+    val slice = asOf.fold(slice0)(t => slice0.filter(col("warc_date") <= lit(t)))
+    val linkage = Seq("payload_digest", "refers_to_uri", "warc_type")
+    if (!linkage.forall(slice.columns.contains(_)))
+      return Warc.readLatestCaptures(slice, normalize)
+    val end = siteRangeEnd(sitePrefix)
+    val refKeys = slice.filter(col("warc_type") === "revisit")
+      .select(UrlOps.surtKey(col("refers_to_uri")).as("__rk"))
+      .filter(col("__rk").isNotNull &&
+        (col("__rk") < lit(sitePrefix) || col("__rk") >= lit(end)))
+      .distinct()
+    val keys = refKeys.limit(maxRefKeys + 1).collect().map(_.getString(0))
+    val extra =
+      if (keys.isEmpty) slice.limit(0)
+      else if (keys.length <= maxRefKeys) {
+        val blocks = blocksForKeys(spark, dir, keys.toSeq)
+        if (blocks.isEmpty) slice.limit(0)
+        else spark.read.parquet(blocks: _*)
+          .filter(col("urlkey").isin(keys.toSeq: _*))
+      } else
+        spark.read.parquet(s"$dir/blocks")
+          .join(refKeys.withColumnRenamed("__rk", "urlkey"),
+            Seq("urlkey"), "left_semi")
+    Warc.readLatestCapturesDeduped(slice, slice.unionByName(extra), normalize)
+  }
+
+  /** Blocks containing any of `keys`: ONE cluster.idx read (block-
+    * count-sized collect) + a binary search per key over the sorted,
+    * disjoint block ranges — O(keys · log blocks) driver work, never
+    * keys × blocks. */
+  private[graft] def blocksForKeys(spark: SparkSession, dir: String,
+      keys: Seq[String]): Seq[String] = {
+    val idx = spark.read.parquet(s"$dir/cluster.idx")
+      .select("file", "k_min", "k_max")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._2)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    keys.foreach { k =>
+      // last block with k_min <= k: with sorted disjoint ranges it is
+      // the only candidate; membership confirmed against its k_max
+      var lo = 0; var hi = idx.length - 1; var best = -1
+      while (lo <= hi) {
+        val m = (lo + hi) >>> 1
+        if (idx(m)._2 <= k) { best = m; lo = m + 1 } else hi = m - 1
+      }
+      if (best >= 0 && k <= idx(best)._3) out += idx(best)._1
+    }
+    out.toSeq.sorted
+  }
+
   /** The store-side anti-join on (urlkey, [[SigCol]]) — full-row
     * identity through the stored signature, BARE-attribute equi keys:
     * the store side scans in bucket layout and Spark reuses its

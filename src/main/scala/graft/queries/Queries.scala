@@ -3720,6 +3720,50 @@ object Queries {
       .ordered("url", "doc_id")
   }
 
+  // X89B — zipnum REVISIT-AWARE serving ([[graft.ext.CdxStore
+  // .serveLatestCapturesIndexed]]): x89's deduped site store exported
+  // to the range layout and served THROUGH cluster.idx — site slice
+  // and the mirror site's cross-site referred originals both
+  // index-routed (one cluster.idx read + binary search per referred
+  // key, then only those blocks scanned). Same closed-form oracle as
+  // x89: a block-routing miss (mirror rows vanish), a broken residual
+  // predicate, or a wrong epoch each break rows or hash.
+  private val zipnumDedupMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  q("x89b_cdx_zipnum_revisit",
+    """SELECT doc_id, url, warc_date, body, was_revisit FROM (
+      |  SELECT doc_id,
+      |    'https://h7.example.com/item/' || CAST(doc_id AS VARCHAR) AS url,
+      |    CASE WHEN doc_id % 3 = 0 THEN '2026-08-15T00:00:00Z'
+      |         ELSE '2026-08-14T00:00:00Z' END AS warc_date,
+      |    'sv ' || CAST(doc_id AS VARCHAR) || ' ' || COALESCE(text, '') AS body,
+      |    (doc_id % 3 = 0) AS was_revisit
+      |  FROM documents WHERE doc_id % 50 = 7
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'https://mirror.example.com/item/' || CAST(doc_id AS VARCHAR),
+      |    '2026-08-14T00:00:00Z',
+      |    'sv ' || CAST(doc_id AS VARCHAR) || ' ' || COALESCE(text, ''),
+      |    TRUE
+      |  FROM documents WHERE doc_id % 50 = 7)
+      |ORDER BY url, doc_id""".stripMargin) { (s, dir) =>
+    val rl = zipnumDedupMemo.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-zipnum-dd").toString
+      graft.ext.CdxStore.exportRangeLayout(s, cdxDedupStoreFor(s, dir), d,
+        blocks = 16)
+      d
+    })
+    def serve(prefix: String) =
+      graft.ext.CdxStore.serveLatestCapturesIndexed(s, rl, prefix)
+        .select(
+          regexp_extract(col("url"), "/item/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("url"), col("warc_date"),
+          graft.ext.Warc.httpBody(col("payload")).as("body"),
+          col("was_revisit"))
+    serve("com,example,h7)").unionByName(serve("com,example,mirror)"))
+      .ordered("url", "doc_id")
+  }
+
   /** The x92 INCREMENTAL two-batch archive: batch 1 = all docs day 1,
     * batch 2 = even docs recaptured UNCHANGED day 2 — through
     * [[graft.ext.Warc.writeRecordsDedupedIncremental]] + the digest

@@ -479,10 +479,14 @@ object DocumentIngest {
       robotsAgent: String = "*",
       decoders: Seq[graft.ext.Warc.ContentDecoder] = graft.ext.Warc.defaultDecoders,
       maxFilesPerTrigger: Option[Int] = None,
-      maxBytesPerTrigger: Option[Long] = None): Unit = {
+      maxBytesPerTrigger: Option[Long] = None,
+      logCompactInterval: Option[Int] = None,
+      maxFileAge: Option[String] = None): Unit = {
     val reader = spark.readStream.format("warc")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n))
+    logCompactInterval.foreach(n => reader.option("logCompactInterval", n))
+    maxFileAge.foreach(a => reader.option("maxFileAge", a))
     val src = reader.load(warcGlob)
     val pages = warcPages(src, decoders = decoders)
       .select(col("target_uri").as("url"), col("html"))
@@ -526,11 +530,15 @@ object DocumentIngest {
       cdxTable: Option[String] = None,
       buckets: Int = 32,
       compactEvery: Option[Int] = None,
-      maxBytesPerTrigger: Option[Long] = None)
+      maxBytesPerTrigger: Option[Long] = None,
+      logCompactInterval: Option[Int] = None,
+      maxFileAge: Option[String] = None)
       : Unit = {
     val reader = spark.readStream.format("warc")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n))
+    logCompactInterval.foreach(n => reader.option("logCompactInterval", n))
+    maxFileAge.foreach(a => reader.option("maxFileAge", a))
     val src = reader.load(warcGlob)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -599,10 +607,14 @@ object DocumentIngest {
       digestTable: String, cdxTable: String, buckets: Int = 32,
       compactEvery: Option[Int] = None,
       maxFilesPerTrigger: Option[Int] = None,
-      maxBytesPerTrigger: Option[Long] = None): Unit = {
+      maxBytesPerTrigger: Option[Long] = None,
+      logCompactInterval: Option[Int] = None,
+      maxFileAge: Option[String] = None): Unit = {
     val reader = spark.readStream.format("warc")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n))
+    logCompactInterval.foreach(n => reader.option("logCompactInterval", n))
+    maxFileAge.foreach(a => reader.option("maxFileAge", a))
     val src = reader.load(warcGlob)
       .filter(col("warc_type") === "response") // pushed to the reader
     val q = src.writeStream
