@@ -194,6 +194,80 @@ object ModelStore {
     (merges, vocab.toMap)
   }
 
+  /** Export as the HuggingFace `tokenizer.json` shape (the tokenizers
+    * library's serialized form — `model.type = "BPE"` with the vocab
+    * map and rank-ordered `"left right"` merge strings, plus the
+    * byte-level pre-tokenizer/decoder declarations a consumer needs to
+    * reproduce [[Bpe.ByteLevel]]'s behavior). One file, same id
+    * authority rules as [[exportGpt2]]. */
+  def exportHuggingFace(spark: SparkSession, merges: Seq[Bpe.Merge],
+      path: String): Unit = {
+    merges.foreach(m => require(!m.left.contains(' ') && !m.right.contains(' '),
+      s"merge symbols must be byte-level (no raw spaces): $m"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    Option(p.getParent).foreach(fs.mkdirs(_))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0")
+    // declarations a tokenizers-library consumer keys behavior off
+    root.putObject("pre_tokenizer").put("type", "ByteLevel")
+      .put("add_prefix_space", false).put("use_regex", true)
+    root.putObject("decoder").put("type", "ByteLevel")
+    val model = root.putObject("model")
+    model.put("type", "BPE")
+    val vocabNode = model.putObject("vocab")
+    Bpe.byteVocab(merges).toSeq.sortBy(_._2)
+      .foreach { case (sub, id) => vocabNode.put(sub, id); () }
+    val mergesNode = model.putArray("merges")
+    merges.sortBy(_.rank).foreach(m => mergesNode.add(s"${m.left} ${m.right}"))
+    writeUtf8(fs, p, mapper.writeValueAsString(root))
+  }
+
+  /** Import a HuggingFace `tokenizer.json` (BPE model): `(merges in
+    * file order, the vocab id mapping)` — same contract and validation
+    * as [[importGpt2]]; the file's ids are the authority. */
+  def importHuggingFace(spark: SparkSession, path: String)
+      : (Seq[Bpe.Merge], Map[String, Int]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(readUtf8(fs, p))
+    val model = root.get("model")
+    require(model != null && model.get("type") != null &&
+      model.get("type").asText() == "BPE",
+      s"tokenizer.json model.type must be BPE, got " +
+        Option(model).flatMap(m => Option(m.get("type"))).map(_.asText()))
+    val vocab = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    model.get("vocab").properties()
+      .forEach(e => vocab(e.getKey) = e.getValue.asInt())
+    val mergesNode = model.get("merges")
+    val merges = (0 until mergesNode.size).map { rank =>
+      val e = mergesNode.get(rank)
+      // both published forms: "left right" strings and [left, right]
+      val (l, r) =
+        if (e.isArray) (e.get(0).asText(), e.get(1).asText())
+        else e.asText().split(" ") match {
+          case Array(a, b) => (a, b)
+          case _ => throw new IllegalArgumentException(
+            s"merges[$rank] is not 'left right': '${e.asText()}'")
+        }
+      Bpe.Merge(rank, l, r)
+    }
+    (0 until 256).foreach { b =>
+      val sym = Bpe.ByteLevel.byteToChar(b).toString
+      require(vocab.contains(sym),
+        s"tokenizer.json misses base byte symbol $b ('$sym')")
+    }
+    merges.foreach(m => require(vocab.contains(m.left + m.right),
+      s"tokenizer.json misses merge product '${m.left + m.right}'"))
+    require(vocab.values.toSeq.distinct.size == vocab.size,
+      "tokenizer.json assigns one id to two subwords")
+    (merges, vocab.toMap)
+  }
+
   private def writeUtf8(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, text: String): Unit = {
     val out = fs.create(p, true)

@@ -78,6 +78,39 @@ class ModelStoreSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("unknown token id")), messages(e))
   }
 
+  test("HuggingFace tokenizer.json interchange: round-trip exact, ids tokenize identically, agrees with the GPT-2 pair") {
+    import spark.implicits._
+    val hostile = Seq(
+      (0L, "the cat's hat 🙂🙂 the cat can't stop"),
+      (1L, "日本語のテキスト and the café's crème"))
+      .toDF("id", "text")
+    val vocab = Bpe.byteWordFreqs(hostile, "text").cache()
+    val merges = Bpe.learnByteMergesFromVocabBatched(vocab, 12).merges
+    val p = Files.createTempDirectory("graft-ms-hf").toString + "/tokenizer.json"
+    ModelStore.exportHuggingFace(spark, merges, p)
+    val (hfMerges, hfVocab) = ModelStore.importHuggingFace(spark, p)
+    assert(hfMerges == merges && hfVocab == Bpe.byteVocab(merges))
+    // the two interchange formats carry the SAME tokenizer
+    val p2 = Files.createTempDirectory("graft-ms-hf2").toString
+    ModelStore.exportGpt2(spark, merges, p2)
+    val (g2Merges, g2Vocab) = ModelStore.importGpt2(spark, p2)
+    assert(hfMerges == g2Merges && hfVocab == g2Vocab)
+    // imported ids tokenize byte-identically
+    val seg = Bpe.segmentTableBytes(vocab, merges)
+    def idsOf(v: Map[String, Int]) =
+      Bpe.tokenizeBytesToIds(hostile, "id", "text", seg, v)
+        .select("id", "pos", "subpos", "token_id")
+        .as[(Long, Int, Int, Int)].collect().sorted.toSeq
+    assert(idsOf(hfVocab) == idsOf(Bpe.byteVocab(merges)))
+    // the array-form merges some published files use parse too
+    val arr = new String(Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+      .replaceAll("\"([^\" ]+) ([^\" ]+)\"(,?)", "[\"$1\",\"$2\"]$3")
+    val p3 = Files.createTempDirectory("graft-ms-hf3").toString + "/tokenizer.json"
+    Files.write(java.nio.file.Paths.get(p3), arr.getBytes("UTF-8"))
+    val (arrMerges, arrVocab) = ModelStore.importHuggingFace(spark, p3)
+    assert(arrMerges == merges && arrVocab == hfVocab)
+  }
+
   test("Unigram model round-trips exactly, piece order preserved") {
     val vocab = Bpe.wordFreqs(Tables.documents(spark, dir), "text").cache()
     val model = UnigramLm.fit(vocab, targetSize = 120, seedSize = 400,
