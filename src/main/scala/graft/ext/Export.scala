@@ -218,6 +218,213 @@ object Export {
         col("l.checksum") =!= col("m.checksum"))
   }
 
+  /** BINARY indexed token shards — the mmap-ready artifact GPT-style
+    * training loaders consume (the Megatron-LM `.bin`/`.idx`
+    * convention, engine-side): per shard ONE `shard-NNNNN.bin` of raw
+    * LITTLE-ENDIAN int32 token ids, documents contiguous in the
+    * deterministic [[assignShards]] layout order, plus
+    *
+    *   - `idx/` (parquet): one row per document —
+    *     `(shard, <idCol>, offset, n_tokens)`, offset in TOKENS into
+    *     the shard's bin, so a trainer mmaps the bin and slices, and a
+    *     single-doc fetch is one positioned read of 4·n bytes
+    *     ([[readTokenBin]]);
+    *   - `_manifest` (parquet): per shard `(shard, n_docs, n_tokens,
+    *     n_bytes, sha1)` — the sha1 computed WHILE writing, so
+    *     [[auditTokenBin]] catches a lost, truncated, or bit-flipped
+    *     shard from the landed bytes alone.
+    *
+    * `tokens` is the `(idCol, pos, subpos, token_id)` shape
+    * ([[Bpe.tokenizeBytesToIds]]). Layout is a pure function of
+    * (corpus, seed, budget) — re-running reproduces byte-identical
+    * bins (content-ordered writer, AtomicSink commit). Scale shape:
+    * one count agg, one shard-bounded offset window (never
+    * corpus-global), one doc-keyed join, one write pass with at most
+    * `nShards` roll-on-shard-change writers; `groups` shards the
+    * layout itself (the [[assignShards]] 100-TB path). */
+  def writeTokenBin(tokens: DataFrame, idCol: String, outDir: String,
+      tokensPerShard: Long, seed: Long = 42L, groups: Int = 1): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val counts = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("ntok"))
+    val assigned = assignShards(counts, idCol, "ntok", tokensPerShard,
+      seed, groups)
+    // per-doc offset INTO its shard: same layout order as assignShards
+    // (xxhash64(id, seed), id), window bounded by one shard's docs
+    val layoutKey = xxhash64(col(idCol), lit(seed))
+    val wOff = Window.partitionBy(col("shard")).orderBy(layoutKey, col(idCol))
+    val index = assigned.withColumn("offset",
+        coalesce(sum(col("ntok")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col(idCol), col("offset"),
+        col("ntok").as("n_tokens"))
+      .localCheckpoint(true) // one layout feeds idx, writer, manifest
+    try {
+      index.repartition(1).write.mode("overwrite").parquet(s"$outDir/idx")
+      val maxShard = index.agg(max(col("shard"))).head
+      val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val manifest =
+        if (nShards == 0)
+          Seq.empty[(Long, Long, Long, Long, String)]
+            .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
+        else tokens
+          .join(index.select(col("shard"), col(idCol), lit(1L).as("__d")),
+            Seq(idCol))
+          .withColumn("__k", layoutKey)
+          .repartition(nShards, col("shard"))
+          .sortWithinPartitions(col("shard"), col("__k"), col(idCol),
+            col("pos"), col("subpos"))
+          .select(col("shard"), col("token_id").cast("int"),
+            col(idCol).cast("long"))
+          .as[(Long, Int, Long)]
+          .mapPartitions { it =>
+            // roll-on-shard-change: a hash partition may hold several
+            // shards; file names bind to the SHARD id, never the task
+            val ctx = org.apache.spark.TaskContext.get()
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long, String)]
+            var cur = -1L
+            var stream: java.io.OutputStream = null
+            var digest: java.security.MessageDigest = null
+            var nTok = 0L
+            // rows are (shard, layout, id)-sorted, so a doc's tokens
+            // are contiguous: count doc CHANGES, O(1) memory per shard
+            var nDocs = 0L
+            var lastDoc = Long.MinValue
+            var fs: org.apache.hadoop.fs.FileSystem = null
+            var tmp: org.apache.hadoop.fs.Path = null
+            var dest: org.apache.hadoop.fs.Path = null
+            val buf = java.nio.ByteBuffer.allocate(4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            def close(): Unit = if (stream != null) {
+              stream.close()
+              AtomicSink.commit(fs, tmp, dest)
+              out += ((cur, nDocs, nTok, nTok * 4L,
+                digest.digest().map("%02x".format(_)).mkString))
+              stream = null
+            }
+            def open(shard: Long): Unit = {
+              close()
+              cur = shard; nTok = 0L
+              nDocs = 0L; lastDoc = Long.MinValue
+              dest = new org.apache.hadoop.fs.Path(outDir,
+                f"shard-$shard%05d.bin")
+              fs = dest.getFileSystem(conf.value)
+              tmp = AtomicSink.tempFor(dest, ctx.taskAttemptId())
+              digest = java.security.MessageDigest.getInstance("SHA-1")
+              stream = new java.io.BufferedOutputStream(
+                new java.security.DigestOutputStream(fs.create(tmp, true),
+                  digest), 1 << 16)
+            }
+            @volatile var failed = false
+            ctx.addTaskFailureListener((_, _) => { failed = true })
+            ctx.addTaskCompletionListener[Unit] { _ =>
+              if (failed) { if (stream != null) stream.close();
+                if (fs != null) AtomicSink.abort(fs, tmp) }
+              else close()
+            }
+            it.foreach { case (shard, tok, doc) =>
+              if (shard != cur || stream == null) open(shard)
+              buf.clear(); buf.putInt(tok)
+              stream.write(buf.array(), 0, 4)
+              nTok += 1
+              if (doc != lastDoc) { nDocs += 1; lastDoc = doc }
+            }
+            close()
+            out.iterator
+          }
+          .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
+          .orderBy("shard")
+      val m = manifest.localCheckpoint(true)
+      m.repartition(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+      m
+    } finally index.unpersist(): Unit
+  }
+
+  /** Positioned-read fetch from a [[writeTokenBin]] export: for each
+    * index row, seek 4·offset into its shard's bin and read exactly
+    * 4·n_tokens bytes — cost ∝ requested documents, never export size
+    * (the CDX random-access pattern on the training artifact). Returns
+    * `(<idCol>, token_ids array<int>)`. Pass a filtered slice of
+    * `outDir/idx` (or any frame with shard/offset/n_tokens). */
+  def readTokenBin(index: DataFrame, idCol: String, outDir: String): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    index.select(col("shard").cast("long"), col(idCol).cast("long"),
+        col("offset").cast("long"), col("n_tokens").cast("int"))
+      .as[(Long, Long, Long, Int)]
+      .mapPartitions { it =>
+        // one open stream per shard per partition, rows grouped by
+        // shard to keep seeks forward-only within a group
+        val byShard = it.toSeq.groupBy(_._1)
+        byShard.iterator.flatMap { case (shard, rows) =>
+          val p = new org.apache.hadoop.fs.Path(outDir,
+            f"shard-$shard%05d.bin")
+          val in = p.getFileSystem(conf.value).open(p)
+          try rows.sortBy(_._3).map { case (_, id, off, n) =>
+            val bytes = new Array[Byte](n * 4)
+            in.readFully(off * 4L, bytes)
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            (id, Array.fill(n)(bb.getInt()))
+          } finally in.close()
+        }
+      }
+      .toDF(idCol, "token_ids")
+  }
+
+  /** Audit a [[writeTokenBin]] export from the LANDED bytes: stream
+    * every bin (one task per shard), recompute (n_bytes, sha1), join
+    * the manifest — a LOST shard is a manifest-only row, a truncated
+    * or bit-flipped one a length/sha1 drift. Returns the mismatches
+    * (empty = clean). */
+  def auditTokenBin(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val manifest = spark.read.parquet(s"$outDir/_manifest")
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bins = if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("shard-") && n.endsWith(".bin")).sorted
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val landed = spark.createDataset(bins)
+      .repartition(math.max(bins.size, 1))
+      .map { name =>
+        val shard = name.stripPrefix("shard-").stripSuffix(".bin").toLong
+        val path = new org.apache.hadoop.fs.Path(outDir, name)
+        // a shard the filesystem itself refuses to read (its own
+        // checksum layer caught the corruption first) is a FINDING,
+        // not an audit crash: report it unreadable and let the join
+        // flag it like any length/sha1 drift
+        try {
+          val in = path.getFileSystem(conf.value).open(path)
+          val digest = java.security.MessageDigest.getInstance("SHA-1")
+          var n = 0L
+          val buf = new Array[Byte](1 << 16)
+          try {
+            var r = in.read(buf)
+            while (r >= 0) {
+              if (r > 0) { digest.update(buf, 0, r); n += r }
+              r = in.read(buf)
+            }
+          } finally in.close()
+          (shard, n, digest.digest().map("%02x".format(_)).mkString)
+        } catch {
+          case e: java.io.IOException => (shard, -1L, s"unreadable: $e".take(160))
+        }
+      }
+      .toDF("shard", "n_bytes", "sha1")
+    landed.as("l").join(manifest.as("m"), Seq("shard"), "full_outer")
+      .filter(col("l.n_bytes").isNull || col("m.n_bytes").isNull ||
+        col("l.n_bytes") =!= col("m.n_bytes") ||
+        col("l.sha1") =!= col("m.sha1"))
+  }
+
   /** [[auditShards]] for a [[writeShardsJsonl]] export: the landed
     * side reads back through the JSON lines under the WRITER'S data
     * schema (`dataSchema` — pass `df.schema`; JSON inference would

@@ -5770,6 +5770,41 @@ object Queries {
       .ordered("seq")
   }
 
+  // X93 — BINARY indexed token shards ([[graft.ext.Export
+  // .writeTokenBin]] → [[auditTokenBin]] → [[readTokenBin]]): the
+  // mmap-ready .bin/.idx artifact a GPT-style loader consumes, off the
+  // real BPE id stream. Rows-only (raw bin bytes have no SQL twin;
+  // ExportSpec pins round-trip/tamper): output = the per-shard
+  // manifest (docs, tokens, bytes, WRITER-side sha1) with the audit
+  // (landed-bytes sha1 recompute) and the positioned-read conservation
+  // (Σ tokens fetched through the index == Σ manifest) folded in as
+  // must-be-true columns — deterministic given the learned tokenizer,
+  // byte-identical across invocations (seeded layout + content-ordered
+  // writer + AtomicSink).
+  q("x93_token_bin_export") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val (merges, vocab) = bpeByteMemo.getOrElseUpdate(dir, {
+      val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
+      (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
+    })
+    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
+    val toks = graft.ext.Bpe.tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
+    val out = tokenBinDirMemo.getOrElseUpdate(dir,
+      java.nio.file.Files.createTempDirectory("graft-tokbin").toString)
+    val manifest = graft.ext.Export.writeTokenBin(toks, "doc_id", out,
+      tokensPerShard = 16384)
+    val auditClean = graft.ext.Export.auditTokenBin(s, out).isEmpty
+    val total = manifest.agg(sum(col("n_tokens"))).head.getLong(0)
+    val fetched = graft.ext.Export.readTokenBin(
+        s.read.parquet(s"$out/idx"), "doc_id", out)
+      .agg(sum(size(col("token_ids")))).head.getLong(0)
+    manifest.withColumn("audit_clean", lit(auditClean))
+      .withColumn("readback_conserved", lit(fetched == total))
+      .ordered("shard")
+  }
+  private val tokenBinDirMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+
   // X91B — packed sequences ORACLE-EXACT (the r17 verdict's #6: the
   // placement is deterministic, so DuckDB replays [[graft.ext.Packing
   // .packContiguous]]'s cumulative layout + [[packTokenIds]]'s

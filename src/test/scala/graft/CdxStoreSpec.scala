@@ -210,7 +210,11 @@ class CdxStoreSpec extends SparkTestBase {
     }
     def runOnce(): Unit = graft.streaming.DocumentIngest.dedupArchiveMaintenance(
       spark, warcDir + "/*.warc.gz", outDir, ckDir, dg, cx,
-      buckets = 4, compactEvery = Some(2))
+      buckets = 4, compactEvery = Some(2),
+      // the r18 source knobs forwarded end-to-end: one file per batch
+      // and a 2-batch log compaction cadence — asserted on the
+      // checkpoint's own log directory below
+      maxFilesPerTrigger = Some(1), logCompactInterval = Some(2))
     gz(s"$warcDir/d1.warc.gz",
       mk("https://dd.example.com/a", "2026-08-14T00:00:00Z", "body a"),
       mk("https://dd.example.com/b", "2026-08-14T00:00:00Z", "body b"))
@@ -242,6 +246,11 @@ class CdxStoreSpec extends SparkTestBase {
     val (dgN, cxN) = (spark.table(dg).count(), spark.table(cx).count())
     runOnce()
     assert(spark.table(dg).count() == dgN && spark.table(cx).count() == cxN)
+    // the forwarded logCompactInterval reached the source: batch 1 (the
+    // 2nd batch) compacted the file log — one snapshot, no delta 0/1
+    val logNames = new java.io.File(s"$ckDir/sources/0/warc-file-log")
+      .listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(logNames == Seq("1.compact"), logNames)
     Seq(dg, cx).foreach(graft.store.Bucketing.dropWithLocation(spark, _))
   }
 

@@ -127,6 +127,53 @@ class ExportSpec extends SparkTestBase {
     assert(Export.auditShards(spark, out, "doc_id", "ntok").count() == 0)
   }
 
+  test("binary token shards: round-trip exact, byte-identical re-runs, positioned single-doc fetch, audit flags lost/truncated/bit-flipped bins") {
+    // a token stream with known per-doc content (id = doc_id*100 + pos)
+    val tokens = (0L until 40L).flatMap { d =>
+      (0 until (d % 7 + 1).toInt).map(p => (d, p, 0, (d * 100 + p).toInt))
+    }.toDF("doc_id", "pos", "subpos", "token_id")
+    val out = java.nio.file.Files.createTempDirectory("graft-bin").toString
+    val manifest = Export.writeTokenBin(tokens, "doc_id", out,
+      tokensPerShard = 16)
+    val shards = manifest.select("shard").as[Long].collect().sorted
+    assert(shards.length > 3, shards.toSeq)
+    // manifest accounting: bytes = 4 x tokens; totals conserve
+    assert(manifest.filter(col("n_bytes") =!= col("n_tokens") * 4).isEmpty)
+    assert(manifest.agg(sum("n_tokens")).head.getLong(0) == tokens.count())
+    // full round-trip through the index: every doc's ids in order
+    val back = Export.readTokenBin(
+        spark.read.parquet(s"$out/idx"), "doc_id", out)
+      .as[(Long, Seq[Int])].collect().toMap
+    (0L until 40L).foreach { d =>
+      val want = (0 until (d % 7 + 1).toInt).map(p => (d * 100 + p).toInt)
+      assert(back(d) == want, s"doc $d: ${back(d)}")
+    }
+    // single-doc fetch: one positioned read, same answer
+    val one = Export.readTokenBin(
+        spark.read.parquet(s"$out/idx").filter(col("doc_id") === 13L),
+        "doc_id", out)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(one == Map(13L -> Seq(1300, 1301, 1302, 1303, 1304, 1305, 1306)))
+    // audit clean; re-run byte-identical (same sha1 per shard)
+    assert(Export.auditTokenBin(spark, out).isEmpty)
+    val out2 = java.nio.file.Files.createTempDirectory("graft-bin2").toString
+    val m2 = Export.writeTokenBin(tokens.orderBy(col("token_id").desc),
+      "doc_id", out2, tokensPerShard = 16)
+    def sha(m: org.apache.spark.sql.DataFrame) =
+      m.select("shard", "sha1").as[(Long, String)].collect().sorted.toSeq
+    assert(sha(manifest) == sha(m2))
+    // tamper: truncate one bin, bit-flip another, delete a third
+    def binFile(s: Long) = new java.io.File(out, f"shard-$s%05d.bin")
+    val raf = new java.io.RandomAccessFile(binFile(shards(0)), "rw")
+    raf.setLength(raf.length() - 4); raf.close()
+    val raf2 = new java.io.RandomAccessFile(binFile(shards(1)), "rw")
+    raf2.seek(0); val b = raf2.read(); raf2.seek(0); raf2.write(b ^ 1); raf2.close()
+    assert(binFile(shards(2)).delete())
+    val bad = Export.auditTokenBin(spark, out)
+      .select("shard").as[Long].collect().sorted.toSeq
+    assert(bad == Seq(shards(0), shards(1), shards(2)), bad)
+  }
+
   test("jsonl export: manifest identical to parquet's, gzip round-trip exact, audit clean, lost shard flagged") {
     val pq = java.nio.file.Files.createTempDirectory("graft-shards-pq").toString
     val jl = java.nio.file.Files.createTempDirectory("graft-shards-jl").toString
