@@ -186,6 +186,33 @@ object Packing {
       .withColumn("n", size(col("token_ids")))
   }
 
+  /** Per-sequence DOCUMENT BOUNDARIES — the attention-mask metadata a
+    * trainer needs next to [[packTokenIds]]'s token arrays: packed
+    * sequences concatenate unrelated documents, and a block-diagonal
+    * attention mask (tokens attend within their own document only)
+    * needs, per sequence, the offsets where each document's tokens
+    * begin. Returns `(seq, n_docs, doc_ids, boundaries)` — `doc_ids`
+    * in layout order, `boundaries(i)` the in-sequence token offset
+    * where `doc_ids(i)` starts (a document spilling in from the
+    * previous sequence starts at 0). Derived from the PLACEMENT frame
+    * alone — no token join, rows ∝ Σ n_seqs: one explode over each
+    * doc's sequence range + one per-sequence aggregation. With a
+    * sharded packing pass the shard columns as `extraKeys`. */
+  def sequenceDocBoundaries(packing: DataFrame, idCol: String, budget: Long,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    packing
+      .select((extraKeys.map(col) :+ col(idCol) :+ col("tok_start") :+
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq")): _*)
+      .withColumn("off",
+        greatest(col("tok_start") - col("seq") * budget, lit(0L)))
+      .groupBy((extraKeys.map(col) :+ col("seq")): _*)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        transform(sort_array(collect_list(struct(col("off"), col(idCol)))),
+          _.getField(idCol)).as("doc_ids"),
+        sort_array(collect_list(col("off"))).as("boundaries"))
+  }
+
   final case class PackedDoc(bucket: Int, bin: Int, id: Long, n_tokens: Int)
 
   /** First-fit-decreasing bin packing, whole documents only (no doc

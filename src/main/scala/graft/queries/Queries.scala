@@ -5838,9 +5838,20 @@ object Queries {
       |    CAST(tid AS BIGINT) AS tid,
       |    ROW_NUMBER() OVER (PARTITION BY CAST(FLOOR((tok_start + j) / 64) AS BIGINT)
       |      ORDER BY tok_start + j) AS k
-      |  FROM tok)
-      |SELECT seq, COUNT(*) AS n, CAST(SUM(tid * k) AS BIGINT) AS ids_csum
-      |FROM ranked GROUP BY seq ORDER BY seq""".stripMargin) { (s, dir) =>
+      |  FROM tok),
+      |docspan AS (
+      |  SELECT tok_start,
+      |    UNNEST(range(CAST(FLOOR(tok_start / 64) AS BIGINT),
+      |      CAST(FLOOR((tok_start + len(ws) - 1) / 64) AS BIGINT) + 1)) AS seq
+      |  FROM placed),
+      |bnd AS (
+      |  SELECT seq, COUNT(*) AS n_docs,
+      |    CAST(SUM(GREATEST(tok_start - seq * 64, 0)) AS BIGINT) AS bsum
+      |  FROM docspan GROUP BY seq)
+      |SELECT r.seq, r.n, r.ids_csum, b.n_docs, b.bsum FROM (
+      |  SELECT seq, COUNT(*) AS n, CAST(SUM(tid * k) AS BIGINT) AS ids_csum
+      |  FROM ranked GROUP BY seq) r
+      |JOIN bnd b USING (seq) ORDER BY seq""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
     val words = docs.select(col("doc_id"),
@@ -5851,12 +5862,16 @@ object Queries {
     val counts = words.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
     val packing = graft.ext.Packing.packContiguous(
       counts, "ntok", 64L, Seq(col("doc_id")))
+    val bounds = graft.ext.Packing.sequenceDocBoundaries(packing, "doc_id", 64L)
+      .select(col("seq"), col("n_docs"),
+        aggregate(col("boundaries"), lit(0L), (a, x) => a + x).as("bsum"))
     graft.ext.Packing.packTokenIds(words, "doc_id", packing, 64L)
       .select(col("seq"), col("n").cast("long").as("n"),
         aggregate(
           transform(col("token_ids"),
             (x, i) => x.cast("long") * (i.cast("long") + 1)),
           lit(0L), (a, x) => a + x).as("ids_csum"))
+      .join(bounds, Seq("seq"))
       .ordered("seq")
   }
 

@@ -141,6 +141,41 @@ class PackingSpec extends SparkTestBase {
       Seq(col("doc_id")), maxGlobalRows = 10L).count() == 5)
   }
 
+  test("sequenceDocBoundaries: hand-checked attention-mask metadata — spill-in docs start at 0, every sequence accounted") {
+    import spark.implicits._
+    // docs A=3, B=3, C=2 tokens, budget 4, laid out in id order:
+    //   seq 0 = [A A A B]   → A@0, B@3
+    //   seq 1 = [B B C C]   → B@0 (spill-in), C@2
+    val counts = Seq((1L, 3L), (2L, 3L), (3L, 2L)).toDF("doc_id", "ntok")
+    val packing = Packing.packContiguous(counts, "ntok", 4L, Seq(col("doc_id")))
+    val got = Packing.sequenceDocBoundaries(packing, "doc_id", 4L)
+      .select("seq", "n_docs", "doc_ids", "boundaries")
+      .as[(Long, Long, Seq[Long], Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, Seq(1L, 2L), Seq(0L, 3L)),
+      (1L, 2L, Seq(2L, 3L), Seq(0L, 2L))), got)
+    // consistency with the materialized sequences: every sequence of
+    // packTokenIds has a boundary row, boundary count == doc count,
+    // and offsets stay inside the sequence
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+        posexplode(filter(split(coalesce(col("text"), lit("")), "\\s+"),
+          w => w =!= "")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), lit(0).as("subpos"),
+        length(col("w")).cast("int").as("token_id"))
+    val cnt = toks.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    val pk = Packing.packContiguous(cnt, "ntok", 64L, Seq(col("doc_id")))
+    val seqs = Packing.packTokenIds(toks, "doc_id", pk, 64L)
+    val bounds = Packing.sequenceDocBoundaries(pk, "doc_id", 64L)
+    assert(seqs.count() == bounds.count())
+    assert(bounds.filter(size(col("doc_ids")) =!= col("n_docs")).isEmpty)
+    assert(bounds.filter(
+      exists(col("boundaries"), b => b < 0 || b >= 64)).isEmpty)
+    // first boundary of every sequence is offset 0 (a doc starts or
+    // spills in at the sequence head by construction)
+    assert(bounds.filter(col("boundaries").getItem(0) =!= 0L).isEmpty)
+  }
+
   test("packFirstFitDecreasing: conservation, budget respected, FFD quality, deterministic") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("ntok"))
