@@ -5795,12 +5795,17 @@ object Queries {
     val manifest = graft.ext.Export.writeTokenBin(toks, "doc_id", out,
       tokensPerShard = 16384)
     val auditClean = graft.ext.Export.auditTokenBin(s, out).isEmpty
-    val total = manifest.agg(sum(col("n_tokens"))).head.getLong(0)
-    val fetched = graft.ext.Export.readTokenBin(
-        s.read.parquet(s"$out/idx"), "doc_id", out)
-      .agg(sum(size(col("token_ids")))).head.getLong(0)
+    // positioned-read witness on a 1-in-17 slice (the x77 pattern):
+    // fetch cost must stay ∝ requested docs, and the fetched token
+    // counts must equal the index's claim for exactly those docs
+    val slice = s.read.parquet(s"$out/idx").filter(col("doc_id") % 17 === 0)
+    val claimed = slice.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head.getLong(0)
+    val fetched = graft.ext.Export.readTokenBin(slice, "doc_id", out)
+      .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
+      .head.getLong(0)
     manifest.withColumn("audit_clean", lit(auditClean))
-      .withColumn("readback_conserved", lit(fetched == total))
+      .withColumn("readback_conserved", lit(fetched == claimed && claimed > 0))
       .ordered("shard")
   }
   private val tokenBinDirMemo = scala.collection.concurrent.TrieMap.empty[String, String]
