@@ -262,6 +262,9 @@ object Export {
     try {
       index.repartition(1).write.mode("overwrite").parquet(s"$outDir/idx")
       val maxShard = index.agg(max(col("shard"))).head
+      require(maxShard.isNullAt(0) || maxShard.getLong(0) < Int.MaxValue - 1,
+        s"shard count ${maxShard.getLong(0) + 1} exceeds Int range — " +
+          "raise tokensPerShard (a bin file should be GBs, not KBs)")
       val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
       val conf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
