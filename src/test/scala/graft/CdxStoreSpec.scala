@@ -302,6 +302,21 @@ class CdxStoreSpec extends SparkTestBase {
     assert(asOf == Map(
       "https://a.example.com/x" -> (("2026-08-14T00:00:00Z", "body x", false)),
       "https://a.example.com/y" -> (("2026-08-14T00:00:00Z", "body y", false))), asOf)
+    // the ZIPNUM path serves identically on every cut: HEAD, the as-of
+    // cut, and the cross-site-revisit site (its referred original
+    // routes through blocksForKeys), each == the bucketed store's
+    val rl = Files.createTempDirectory("graft-cdxsrv-rl").toString
+    CdxStore.exportRangeLayout(spark, t, rl, blocks = 8)
+    def servedIdx(prefix: String, asOfCut: Option[String])
+        : Map[String, (String, String, Boolean)] =
+      CdxStore.serveLatestCapturesIndexed(spark, rl, prefix, asOfCut)
+        .select(col("url"), col("warc_date"),
+          Warc.httpBody(col("payload")).as("body"), col("was_revisit"))
+        .as[(String, String, String, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(servedIdx("com,example,a)", None) == a)
+    assert(servedIdx("com,example,mirror)", None) == m)
+    assert(servedIdx("com,example,a)", Some("2026-08-14T23:59:59Z")) == asOf)
     graft.store.Bucketing.dropWithLocation(spark, t)
   }
 }
