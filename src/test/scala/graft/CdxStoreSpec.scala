@@ -99,6 +99,12 @@ class CdxStoreSpec extends SparkTestBase {
       .toSet.subsetOf(selected.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet))
     // the h7-vs-h70-style boundary: range end is exclusive at ')'+1
     assert(keyOf(viaIdx).forall(_._1.startsWith("com,example,h7)")))
+    // the residual range predicate reaches the selected blocks' scan
+    // pushed (a block straddling the site boundary prunes row groups)
+    val planIdx = viaIdx.queryExecution.executedPlan.toString
+    assert(planIdx.contains("PushedFilters") &&
+      planIdx.contains("GreaterThanOrEqual(urlkey,com,example,h7))") &&
+      planIdx.contains("LessThan(urlkey,com,example,h7*)"), planIdx)
     // a site with no captures selects nothing and returns empty
     assert(CdxStore.selectedBlocks(spark, dir, "org,absent)").isEmpty)
     assert(CdxStore.capturesForSiteIndexed(spark, dir, "org,absent)").isEmpty)
