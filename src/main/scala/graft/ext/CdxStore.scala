@@ -210,16 +210,63 @@ object CdxStore {
     require(graft.store.Bucketing.recoverCompacted(spark, table),
       s"no such cdx store: $table")
     require(blocks > 0, s"blocks must be positive, got $blocks")
+    // VERSIONED publish: an in-place overwrite would delete blocks a
+    // reader is mid-scan over (and a crash mid-rebuild would leave
+    // blocks/ and cluster.idx disagreeing). Each rebuild writes a
+    // complete v=N, then atomically swaps the `_current` pointer;
+    // versions older than the PREVIOUS are swept, so a reader that
+    // resolved the root just before the swap keeps a consistent layout
+    // for the duration of one whole rebuild cycle.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(conf)
+    val existing =
+      if (!fs.exists(base)) Seq.empty[Long]
+      else fs.listStatus(base).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+    val next = existing.foldLeft(-1L)(_ max _) + 1
+    val root = s"$dir/v=$next"
     spark.table(table)
       .repartitionByRange(blocks, col("urlkey"))
       .sortWithinPartitions("urlkey")
-      .write.mode("overwrite").parquet(s"$dir/blocks")
-    spark.read.parquet(s"$dir/blocks")
+      .write.mode("overwrite").parquet(s"$root/blocks")
+    spark.read.parquet(s"$root/blocks")
       .groupBy(input_file_name().as("file"))
       .agg(min("urlkey").as("k_min"), max("urlkey").as("k_max"),
         count(lit(1)).as("n_rows"))
       .repartition(1) // block-count-sized: the whole point is it's tiny
-      .write.mode("overwrite").parquet(s"$dir/cluster.idx")
+      .write.mode("overwrite").parquet(s"$root/cluster.idx")
+    AtomicSink.writeCommitted(fs, new org.apache.hadoop.fs.Path(base, "_current"),
+        attemptId = next) { tmp =>
+      val out = fs.create(tmp, true)
+      try out.write(s"v=$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    existing.filter(_ < next - 1).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true))
+  }
+
+  /** The published layout root: versioned exports resolve through the
+    * `_current` pointer; a pre-versioning layout (blocks/ directly
+    * under `dir`) reads as-is. */
+  private[graft] def currentRoot(spark: SparkSession, dir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(dir, "_current")
+    val fs = cur.getFileSystem(conf)
+    if (!fs.exists(cur)) dir
+    else {
+      val in = fs.open(cur)
+      val v = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally in.close()
+      s"$dir/$v"
+    }
   }
 
   /** Site lookup THROUGH the secondary index: read cluster.idx
@@ -229,9 +276,10 @@ object CdxStore {
     * cluster.idx-sized (≤ blocks rows), never data-sized. */
   def capturesForSiteIndexed(spark: SparkSession, dir: String,
       sitePrefix: String): DataFrame = {
+    val root = currentRoot(spark, dir)
     val end = siteRangeEnd(sitePrefix)
     val files = selectedBlocks(spark, dir, sitePrefix)
-    val all = spark.read.parquet(s"$dir/blocks")
+    val all = spark.read.parquet(s"$root/blocks")
     if (files.isEmpty) all.limit(0)
     else spark.read.parquet(files: _*)
       .filter(col("urlkey") >= lit(sitePrefix) && col("urlkey") < lit(end))
@@ -243,7 +291,7 @@ object CdxStore {
   private[graft] def selectedBlocks(spark: SparkSession, dir: String,
       sitePrefix: String): Seq[String] = {
     val end = siteRangeEnd(sitePrefix)
-    spark.read.parquet(s"$dir/cluster.idx")
+    spark.read.parquet(s"${currentRoot(spark, dir)}/cluster.idx")
       .filter(col("k_max") >= lit(sitePrefix) && col("k_min") < lit(end))
       .select("file")
       .collect().map(_.getString(0)).toSeq.sorted
@@ -293,7 +341,7 @@ object CdxStore {
     * keys × blocks. */
   private[graft] def blocksForKeys(spark: SparkSession, dir: String,
       keys: Seq[String]): Seq[String] = {
-    val idx = spark.read.parquet(s"$dir/cluster.idx")
+    val idx = spark.read.parquet(s"${currentRoot(spark, dir)}/cluster.idx")
       .select("file", "k_min", "k_max")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
       .sortBy(_._2)

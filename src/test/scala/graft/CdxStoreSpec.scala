@@ -77,9 +77,12 @@ class CdxStoreSpec extends SparkTestBase {
     CdxStore.compact(spark, t, buckets = 4)
     val dir = Files.createTempDirectory("graft-zipnum").toString
     CdxStore.exportRangeLayout(spark, t, dir, blocks = 16)
+    // versioned publish: the _current pointer names a complete v=N
+    val root = CdxStore.currentRoot(spark, dir)
+    assert(root == s"$dir/v=0", root)
     // the secondary index is block-count-sized and covers every block
-    val idx = spark.read.parquet(s"$dir/cluster.idx")
-    val blockFiles = new java.io.File(s"$dir/blocks").listFiles()
+    val idx = spark.read.parquet(s"$root/cluster.idx")
+    val blockFiles = new java.io.File(s"$root/blocks").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     assert(idx.count() == blockFiles.size && blockFiles.size > 4)
     // lookup through the index: exactly the bucketed store's answer
@@ -108,6 +111,21 @@ class CdxStoreSpec extends SparkTestBase {
     // a site with no captures selects nothing and returns empty
     assert(CdxStore.selectedBlocks(spark, dir, "org,absent)").isEmpty)
     assert(CdxStore.capturesForSiteIndexed(spark, dir, "org,absent)").isEmpty)
+    // REBUILD safety: a second export publishes v=1 and KEEPS v=0 (a
+    // reader that resolved the old root mid-rebuild stays consistent);
+    // a third sweeps v=0; lookups answer identically throughout
+    val before = keyOf(viaIdx)
+    CdxStore.exportRangeLayout(spark, t, dir, blocks = 16)
+    assert(CdxStore.currentRoot(spark, dir) == s"$dir/v=1")
+    assert(new java.io.File(s"$dir/v=0").exists()) // grandfathered
+    assert(keyOf(CdxStore.capturesForSiteIndexed(spark, dir,
+      "com,example,h7)")) == before)
+    CdxStore.exportRangeLayout(spark, t, dir, blocks = 16)
+    assert(CdxStore.currentRoot(spark, dir) == s"$dir/v=2")
+    assert(!new java.io.File(s"$dir/v=0").exists()) // swept
+    assert(new java.io.File(s"$dir/v=1").exists())
+    assert(keyOf(CdxStore.capturesForSiteIndexed(spark, dir,
+      "com,example,h7)")) == before)
     graft.store.Bucketing.dropWithLocation(spark, t)
   }
 
