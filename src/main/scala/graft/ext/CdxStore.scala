@@ -275,12 +275,18 @@ object CdxStore {
     * predicate — a block can straddle site boundaries). The collect is
     * cluster.idx-sized (≤ blocks rows), never data-sized. */
   def capturesForSiteIndexed(spark: SparkSession, dir: String,
+      sitePrefix: String): DataFrame =
+    capturesForSiteAt(spark, currentRoot(spark, dir), sitePrefix)
+
+  /** [[capturesForSiteIndexed]] against an already-resolved version
+    * root — every lookup resolves the `_current` pointer exactly ONCE,
+    * so a rebuild swapping the pointer mid-query can never mix two
+    * versions' files. */
+  private def capturesForSiteAt(spark: SparkSession, root: String,
       sitePrefix: String): DataFrame = {
-    val root = currentRoot(spark, dir)
     val end = siteRangeEnd(sitePrefix)
-    val files = selectedBlocks(spark, dir, sitePrefix)
-    val all = spark.read.parquet(s"$root/blocks")
-    if (files.isEmpty) all.limit(0)
+    val files = selectedBlocksAt(spark, root, sitePrefix)
+    if (files.isEmpty) spark.read.parquet(s"$root/blocks").limit(0)
     else spark.read.parquet(files: _*)
       .filter(col("urlkey") >= lit(sitePrefix) && col("urlkey") < lit(end))
   }
@@ -289,9 +295,13 @@ object CdxStore {
     * set [[capturesForSiteIndexed]] touches (package-visible so the
     * spec can assert the scan reads exactly these and nothing else). */
   private[graft] def selectedBlocks(spark: SparkSession, dir: String,
+      sitePrefix: String): Seq[String] =
+    selectedBlocksAt(spark, currentRoot(spark, dir), sitePrefix)
+
+  private def selectedBlocksAt(spark: SparkSession, root: String,
       sitePrefix: String): Seq[String] = {
     val end = siteRangeEnd(sitePrefix)
-    spark.read.parquet(s"${currentRoot(spark, dir)}/cluster.idx")
+    spark.read.parquet(s"$root/cluster.idx")
       .filter(col("k_max") >= lit(sitePrefix) && col("k_min") < lit(end))
       .select("file")
       .collect().map(_.getString(0)).toSeq.sorted
@@ -309,7 +319,8 @@ object CdxStore {
   def serveLatestCapturesIndexed(spark: SparkSession, dir: String,
       sitePrefix: String, asOf: Option[String] = None,
       normalize: Boolean = true, maxRefKeys: Int = 10000): DataFrame = {
-    val slice0 = capturesForSiteIndexed(spark, dir, sitePrefix)
+    val root = currentRoot(spark, dir) // resolved ONCE for the query
+    val slice0 = capturesForSiteAt(spark, root, sitePrefix)
     val slice = asOf.fold(slice0)(t => slice0.filter(col("warc_date") <= lit(t)))
     val linkage = Seq("payload_digest", "refers_to_uri", "warc_type")
     if (!linkage.forall(slice.columns.contains(_)))
@@ -324,12 +335,12 @@ object CdxStore {
     val extra =
       if (keys.isEmpty) slice.limit(0)
       else if (keys.length <= maxRefKeys) {
-        val blocks = blocksForKeys(spark, dir, keys.toSeq)
+        val blocks = blocksForKeysAt(spark, root, keys.toSeq)
         if (blocks.isEmpty) slice.limit(0)
         else spark.read.parquet(blocks: _*)
           .filter(col("urlkey").isin(keys.toSeq: _*))
       } else
-        spark.read.parquet(s"$dir/blocks")
+        spark.read.parquet(s"$root/blocks")
           .join(refKeys.withColumnRenamed("__rk", "urlkey"),
             Seq("urlkey"), "left_semi")
     Warc.readLatestCapturesDeduped(slice, slice.unionByName(extra), normalize)
@@ -340,8 +351,12 @@ object CdxStore {
     * disjoint block ranges — O(keys · log blocks) driver work, never
     * keys × blocks. */
   private[graft] def blocksForKeys(spark: SparkSession, dir: String,
+      keys: Seq[String]): Seq[String] =
+    blocksForKeysAt(spark, currentRoot(spark, dir), keys)
+
+  private def blocksForKeysAt(spark: SparkSession, root: String,
       keys: Seq[String]): Seq[String] = {
-    val idx = spark.read.parquet(s"${currentRoot(spark, dir)}/cluster.idx")
+    val idx = spark.read.parquet(s"$root/cluster.idx")
       .select("file", "k_min", "k_max")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
       .sortBy(_._2)

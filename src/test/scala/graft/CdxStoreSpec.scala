@@ -331,9 +331,10 @@ class CdxStoreSpec extends SparkTestBase {
     // routes through blocksForKeys), each == the bucketed store's
     val rl = Files.createTempDirectory("graft-cdxsrv-rl").toString
     CdxStore.exportRangeLayout(spark, t, rl, blocks = 8)
-    def servedIdx(prefix: String, asOfCut: Option[String])
-        : Map[String, (String, String, Boolean)] =
-      CdxStore.serveLatestCapturesIndexed(spark, rl, prefix, asOfCut)
+    def servedIdx(prefix: String, asOfCut: Option[String],
+        maxRefKeys: Int = 10000): Map[String, (String, String, Boolean)] =
+      CdxStore.serveLatestCapturesIndexed(spark, rl, prefix, asOfCut,
+          normalize = true, maxRefKeys = maxRefKeys)
         .select(col("url"), col("warc_date"),
           Warc.httpBody(col("payload")).as("body"), col("was_revisit"))
         .as[(String, String, String, Boolean)].collect()
@@ -341,6 +342,10 @@ class CdxStoreSpec extends SparkTestBase {
     assert(servedIdx("com,example,a)", None) == a)
     assert(servedIdx("com,example,mirror)", None) == m)
     assert(servedIdx("com,example,a)", Some("2026-08-14T23:59:59Z")) == asOf)
+    // the >maxRefKeys semi-join fallback resolves through the SAME
+    // versioned root (regression: it used to read the unversioned
+    // $dir/blocks and threw on a published layout)
+    assert(servedIdx("com,example,mirror)", None, maxRefKeys = 0) == m)
     graft.store.Bucketing.dropWithLocation(spark, t)
   }
 }
