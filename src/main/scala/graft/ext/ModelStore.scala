@@ -168,8 +168,16 @@ object ModelStore {
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(conf)
     val bpeText = readUtf8(fs, new org.apache.hadoop.fs.Path(base, "vocab.bpe"))
+    // Only the '#version' HEADER line is metadata (the reference loader
+    // is split('\n')[1:-1] — first line dropped positionally). A merge
+    // line may itself start with '#': byte 0x23 is its own byte-level
+    // symbol, so a corpus with '##' produces the merge line '# #' —
+    // filtering every '#'-leading line would silently drop such merges
+    // AND shift every later rank via zipWithIndex.
     val merges = bpeText.split("\n").iterator.map(_.stripSuffix("\r"))
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.filter { case (l, i) =>
+        l.nonEmpty && !(i == 0 && l.startsWith("#version"))
+      }.map(_._1)
       .zipWithIndex.map { case (line, rank) =>
         line.split(" ") match {
           case Array(l, r) => Bpe.Merge(rank, l, r)

@@ -78,6 +78,37 @@ class ModelStoreSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("unknown token id")), messages(e))
   }
 
+  test("GPT-2 import keeps '#'-leading merge lines (only the #version header is metadata)") {
+    import spark.implicits._
+    // '#' is byte 0x23, its own byte-level symbol — a corpus dominated
+    // by '##' produces the merge line '# #'. A loader that filters every
+    // '#'-prefixed line drops that merge AND shifts all later ranks.
+    val corpus = Seq(
+      (0L, "## ## ## ## markdown ## headers ## everywhere ##"),
+      (1L, "#### nested ## sections ## again ## and ## again"))
+      .toDF("id", "text")
+    val vocab = Bpe.byteWordFreqs(corpus, "text").cache()
+    val merges = Bpe.learnByteMergesFromVocabBatched(vocab, 10).merges
+    assert(merges.exists(m => m.left + m.right == "##"),
+      s"fixture must learn the '##' merge, got: $merges")
+    val p = Files.createTempDirectory("graft-ms-hash").toString
+    ModelStore.exportGpt2(spark, merges, p)
+    // the artifact really contains a '#'-leading merge line past the header
+    val lines = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(p, "vocab.bpe")), "UTF-8").split("\n")
+    assert(lines.tail.exists(_.startsWith("#")), lines.toSeq)
+    val (loadedMerges, loadedVocab) = ModelStore.importGpt2(spark, p)
+    assert(loadedMerges == merges, "ranks must not shift")
+    assert(loadedVocab == Bpe.byteVocab(merges))
+    // and the imported artifact tokenizes the corpus identically
+    val seg = Bpe.segmentTableBytes(vocab, merges)
+    def idsOf(v: Map[String, Int]) =
+      Bpe.tokenizeBytesToIds(corpus, "id", "text", seg, v)
+        .select("id", "pos", "subpos", "token_id")
+        .as[(Long, Int, Int, Int)].collect().sorted.toSeq
+    assert(idsOf(loadedVocab) == idsOf(Bpe.byteVocab(merges)))
+  }
+
   test("HuggingFace tokenizer.json interchange: round-trip exact, ids tokenize identically, agrees with the GPT-2 pair") {
     import spark.implicits._
     val hostile = Seq(
