@@ -122,11 +122,13 @@ object Packing {
     * single-partition (every row through one task) — fine for the
     * bounded corpora the global layout exists for, a scale-killer
     * callable by accident past that. Rather than pay an extra count
-    * job, a running `count().over` in the SAME window frame as the
-    * cumsum (one WindowExec, zero extra pass) raises loudly the moment
-    * row `maxGlobalRows + 1` streams through, naming the sharded path.
-    * The sharded variant is unguarded — its partitions are the
-    * caller's explicit scale decision. */
+    * job, a `row_number()` in the SAME window spec as the cumsum (one
+    * WindowExec, zero extra pass, and — unlike a running `count()`
+    * aggregate, which measured ~25% on the x91 gate — no second
+    * aggregate buffer) raises loudly the moment row `maxGlobalRows + 1`
+    * streams through, naming the sharded path. The sharded variant is
+    * unguarded — its partitions are the caller's explicit scale
+    * decision. */
   def packContiguous(df: DataFrame, ntokCol: String, budget: Long,
       orderBy: Seq[Column], partitionCols: Seq[Column] = Nil,
       maxGlobalRows: Long = 5000000L): DataFrame = {
@@ -138,7 +140,7 @@ object Packing {
     val before = upto - col(ntokCol)
     val tokStart =
       if (partitionCols.nonEmpty) before
-      else when(count(lit(1)).over(w) > lit(maxGlobalRows),
+      else when(row_number().over(w0) > lit(maxGlobalRows),
           raise_error(lit(s"packContiguous without partitionCols lays the " +
             s"whole corpus through ONE task's global window; input exceeds " +
             s"maxGlobalRows=$maxGlobalRows. Shard with partitionCols " +
