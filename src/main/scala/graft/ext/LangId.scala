@@ -72,15 +72,46 @@ object LangId {
           transform(sequence(lit(1), length(s) - n + 1), i => s.substr(i, n)))
           .otherwise(array().cast("array<string>"))))))
 
+  /** Total [[charNgrams]] count from the NORMALIZED LENGTH alone —
+    * Σ_{n∈[minN,maxN]} max(len − n + 1, 0) — closed-form arithmetic on
+    * the pre-explode row, so the per-doc gram total never needs a
+    * second pass over the exploded grams. Evaluate it on a NON-exploded
+    * branch: projected next to the Generate, the optimizer hoists it
+    * into the per-gram frame and the normalize runs once per gram. */
+  def gramCount(text: Column, minN: Int = 1, maxN: Int = 3): Column = {
+    val L = length(normText(text))
+    (minN to maxN).map(n => greatest(L - lit(n) + 1, lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** Widen a doc frame to session parallelism BEFORE a high-fan-out
+    * explode: the n-gram Generate amplifies ~(maxN·len)× — a pre-explode
+    * shuffle moves 1/amplification of the downstream volume, while an
+    * under-partitioned input (a compact cached table lands in a handful
+    * of partitions at small SF) runs the whole gram pipeline near-serial
+    * (measured on x56 at sf0.1: 5 partitions 2.6 s → 32-way 1.5 s).
+    * No-op when the input already has ≥ cores partitions — at
+    * production scale files outnumber cores and this never fires. */
+  private def spreadForExplode(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+
   /** Sparse hashed features: (idCol, idx, cnt), cnt = bucket count /
     * total gram count (L1-normalized, so margins are length-invariant). */
   def features(df: DataFrame, idCol: String, textCol: String, dim: Int,
       minN: Int, maxN: Int): DataFrame = {
-    val g = df.select(col(idCol), explode(charNgrams(col(textCol), minN, maxN)).as("g"))
-    val n = g.groupBy(idCol).agg(count(lit(1)).cast("double").as("_n"))
+    // one explode pass (the [[predictPortable]] shape): the per-doc
+    // gram total is closed-form on the base frame ([[gramCount]]),
+    // never a second aggregation pass over the exploded grams
+    val g = spreadForExplode(df)
+      .select(col(idCol), explode(charNgrams(col(textCol), minN, maxN)).as("g"))
+    val n = df.select(col(idCol),
+      gramCount(col(textCol), minN, maxN).cast("double").as("_n"))
     g.select(col(idCol), pmod(xxhash64(col("g")), lit(dim)).cast("int").as("idx"))
       .groupBy(idCol, "idx").agg(count(lit(1)).cast("double").as("_c"))
-      .join(n, idCol)
+      .join(n, idCol).filter(col("_n") > 0)
       .select(col(idCol), col("idx"), (col("_c") / col("_n")).as("cnt"))
   }
 
@@ -247,11 +278,24 @@ object LangId {
       baseOfBucket: Column => Column, deltaOfBucket: Column => Column,
       interceptOf: Int => Double): DataFrame = {
     val dec = DecimalType(28, 10)
-    val g = df.select(col(idCol), explode(charNgrams(col(textCol), minN, maxN)).as("g"))
-    val n = g.groupBy(idCol).agg(count(lit(1)).cast("double").as("_n"))
+    // ONE explode pass: the per-doc gram total is CLOSED-FORM length
+    // arithmetic ([[gramCount]]) on the BASE frame — the old shape
+    // re-ran the scan + normalize + explode a second time just to count
+    // rows the length already determines. Computing _n on a separate
+    // non-exploded branch matters: projected next to the Generate, the
+    // optimizer hoists the per-doc arithmetic into the per-GRAM frame
+    // and re-normalizes the document once per gram (measured 2.7×
+    // worse); an in-row HOF run-length fold avoids the shuffles but
+    // pays interpreted per-element decimal structs (measured 1.6×
+    // worse). The aggregated join shape keeps every per-gram operation
+    // inside codegen and joins doc-count-sized frames.
+    val wide = spreadForExplode(df)
+    val g = wide.select(col(idCol), explode(charNgrams(col(textCol), minN, maxN)).as("g"))
+    val n = df.select(col(idCol),
+      gramCount(col(textCol), minN, maxN).cast("double").as("_n"))
     val b = g.select(col(idCol), substring(md5(col("g")), 1, 4).as("bucket"))
       .groupBy(idCol, "bucket").agg(count(lit(1)).cast("double").as("_c"))
-    val sums = b.join(n, idCol).groupBy(idCol).agg(
+    val sums = b.join(n, idCol).filter(col("_n") > 0).groupBy(idCol).agg(
       sum(round(baseOfBucket(col("bucket")) * col("_c") / col("_n"), 9).cast(dec))
         .cast("double").as("_a"),
       sum(round(deltaOfBucket(col("bucket")) * col("_c") / col("_n"), 9).cast(dec))
