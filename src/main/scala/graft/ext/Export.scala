@@ -260,12 +260,18 @@ object Export {
         col("ntok").as("n_tokens"))
       .localCheckpoint(true) // one layout feeds idx, writer, manifest
     try {
-      index.repartition(1).write.mode("overwrite").parquet(s"$outDir/idx")
       val maxShard = index.agg(max(col("shard"))).head
       require(maxShard.isNullAt(0) || maxShard.getLong(0) < Int.MaxValue - 1,
         s"shard count ${maxShard.getLong(0) + 1} exceeds Int range — " +
           "raise tokensPerShard (a bin file should be GBs, not KBs)")
       val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
+      // idx/ is one row per DOCUMENT — corpus-sized, never funnel it
+      // through one task (the r18 scale wart: a repartition(1) here put
+      // billions of rows through a single parquet writer while the bin
+      // writer next to it sharded correctly). Same layout as the bins:
+      // one directory per shard, shard-pruned on read.
+      (if (nShards > 0) index.repartition(nShards, col("shard")) else index)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/idx")
       val conf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
       val manifest =
@@ -357,8 +363,18 @@ object Export {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // a doc past Int.MaxValue/4 tokens would overflow `n * 4` into a
+    // negative array size (or silently wrap) — fail with the bound
+    // named instead of casting blind
+    val nTok = when(col("n_tokens").cast("long") < 0L ||
+        col("n_tokens").cast("long") > lit((Int.MaxValue / 4).toLong),
+      raise_error(concat(lit("readTokenBin: n_tokens="),
+        col("n_tokens").cast("string"),
+        lit(s" outside [0, ${Int.MaxValue / 4}] — a single positioned " +
+          "read is capped at 2 GiB; fetch such a document in chunks"))))
+      .otherwise(col("n_tokens").cast("int"))
     index.select(col("shard").cast("long"), col(idCol).cast("long"),
-        col("offset").cast("long"), col("n_tokens").cast("int"))
+        col("offset").cast("long"), nTok)
       .as[(Long, Long, Long, Int)]
       .mapPartitions { it =>
         // one open stream per shard per partition, rows grouped by
@@ -426,6 +442,133 @@ object Export {
       .filter(col("l.n_bytes").isNull || col("m.n_bytes").isNull ||
         col("l.n_bytes") =!= col("m.n_bytes") ||
         col("l.sha1") =!= col("m.sha1"))
+  }
+
+  /** Megatron-LM `MMIDIDX` binary header magic (public
+    * `indexed_dataset.py` convention). */
+  private val MegatronMagic: Array[Byte] =
+    "MMIDIDX".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](0, 0)
+  /** Megatron dtype code for int32 (the `.bin` element type
+    * [[writeTokenBin]] lands). */
+  private val MegatronInt32: Byte = 4
+
+  /** Write the BINARY Megatron-style `shard-NNNNN.idx` next to each
+    * shard's `.bin` — the interchange twin of [[ModelStore.exportGpt2]]
+    * for the training artifact: the parquet `idx/` is engine-internal;
+    * this is the index a real Megatron/GPT `MMapIndexedDataset` loader
+    * mmaps without engine code (public Megatron-LM `indexed_dataset.py`
+    * layout: `MMIDIDX\0\0` magic, version=1 u64 LE, dtype code u8
+    * (4 = int32), sequence count u64, document-index length u64, then
+    * sizes int32[], byte pointers int64[], doc_idx int64[] — one
+    * sequence per DOCUMENT here, so doc_idx is 0..n). Deterministic:
+    * entries in shard layout order (offset-sorted), so re-export is
+    * byte-identical. Scale shape: one task per shard, rows per task
+    * bounded by docs-per-shard (the tokensPerShard budget), written
+    * through the [[AtomicSink]] commit. Returns
+    * `(shard, n_docs, idx_bytes, sha1)`. */
+  def exportMegatronIdx(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$outDir/idx")
+      .select(col("shard").cast("long"), col("offset").cast("long"),
+        col("n_tokens").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val ctx = org.apache.spark.TaskContext.get()
+        val docs = it.map { case (_, off, n) => (off, n) }.toArray.sortBy(_._1)
+        docs.foreach { case (off, n) =>
+          require(n >= 0 && n <= Int.MaxValue,
+            s"shard $shard: n_tokens $n unrepresentable in Megatron's " +
+              "int32 sizes[] — split the document before export")
+          require(off >= 0 && off * 4L >= 0, s"shard $shard: offset $off")
+        }
+        val bos = new java.io.ByteArrayOutputStream(
+          MegatronMagic.length + 26 + docs.length * 12 + (docs.length + 1) * 8)
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+        val out = new java.io.DataOutputStream(
+          new java.security.DigestOutputStream(bos, digest))
+        def u64(v: Long): Unit = out.write(java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array())
+        def i32(v: Int): Unit = out.write(java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+        out.write(MegatronMagic)
+        u64(1L)                       // version
+        out.writeByte(MegatronInt32)  // dtype code
+        u64(docs.length.toLong)       // sequence count
+        u64(docs.length.toLong + 1)   // doc_idx length
+        docs.foreach { case (_, n) => i32(n.toInt) }   // sizes
+        docs.foreach { case (off, _) => u64(off * 4L) } // byte pointers
+        (0L to docs.length.toLong).foreach(u64)         // doc_idx 0..n
+        out.close()
+        val bytes = bos.toByteArray
+        val dest = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.idx")
+        val fs = dest.getFileSystem(conf.value)
+        val tmp = AtomicSink.tempFor(dest, ctx.taskAttemptId())
+        val s = fs.create(tmp, true)
+        try s.write(bytes) finally s.close()
+        AtomicSink.commit(fs, tmp, dest)
+        (shard, docs.length.toLong, bytes.length.toLong,
+          digest.digest().map("%02x".format(_)).mkString)
+      }
+      .toDF("shard", "n_docs", "idx_bytes", "sha1")
+  }
+
+  /** Read back every `shard-NNNNN.idx` binary ([[exportMegatronIdx]]'s
+    * format): parse + VALIDATE the header (magic, version, dtype,
+    * doc_idx = 0..n, pointers 4-aligned) and return
+    * `(shard, seq, offset, n_tokens)` — `seq` the in-shard sequence
+    * position, `offset` in TOKENS, directly comparable to the parquet
+    * `idx/` (which additionally carries the doc id; the binary format
+    * has no id column — position is identity, by design). One task per
+    * shard file. */
+  def importMegatronIdx(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxFiles = if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("shard-") && n.endsWith(".idx")).sorted
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.createDataset(idxFiles)
+      .repartition(math.max(idxFiles.size, 1))
+      .flatMap { name =>
+        val shard = name.stripPrefix("shard-").stripSuffix(".idx").toLong
+        val path = new org.apache.hadoop.fs.Path(outDir, name)
+        val fsT = path.getFileSystem(conf.value)
+        val len = fsT.getFileStatus(path).getLen
+        require(len <= Int.MaxValue, s"$name: idx over 2 GiB")
+        val bytes = new Array[Byte](len.toInt)
+        val in = fsT.open(path)
+        try in.readFully(0L, bytes) finally in.close()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val magic = new Array[Byte](MegatronMagic.length)
+        bb.get(magic)
+        require(magic.sameElements(MegatronMagic),
+          s"$name: bad magic ${magic.map("%02x".format(_)).mkString}")
+        require(bb.getLong == 1L, s"$name: unsupported version")
+        val dtype = bb.get()
+        require(dtype == MegatronInt32,
+          s"$name: dtype code $dtype is not int32 (4)")
+        val nSeq = bb.getLong
+        val nDocIdx = bb.getLong
+        require(nSeq >= 0 && nSeq <= Int.MaxValue && nDocIdx == nSeq + 1,
+          s"$name: counts nSeq=$nSeq nDocIdx=$nDocIdx")
+        val sizes = Array.fill(nSeq.toInt)(bb.getInt)
+        val pointers = Array.fill(nSeq.toInt)(bb.getLong)
+        (0L to nSeq).foreach(i => require(bb.getLong == i,
+          s"$name: doc_idx[$i] not the identity (one doc per sequence)"))
+        require(!bb.hasRemaining, s"$name: ${bb.remaining} trailing bytes")
+        pointers.foreach(ptr => require(ptr % 4 == 0,
+          s"$name: pointer $ptr not int32-aligned"))
+        (0 until nSeq.toInt).map(i =>
+          (shard, i.toLong, pointers(i) / 4, sizes(i).toLong))
+      }
+      .toDF("shard", "seq", "offset", "n_tokens")
   }
 
   /** [[auditShards]] for a [[writeShardsJsonl]] export: the landed

@@ -174,6 +174,95 @@ class ExportSpec extends SparkTestBase {
     assert(bad == Seq(shards(0), shards(1), shards(2)), bad)
   }
 
+  test("token-bin idx/ is shard-partitioned: one directory per shard, no single-task funnel, shard filter prunes") {
+    val tokens = (0L until 40L).flatMap { d =>
+      (0 until (d % 7 + 1).toInt).map(p => (d, p, 0, (d * 100 + p).toInt))
+    }.toDF("doc_id", "pos", "subpos", "token_id")
+    val out = java.nio.file.Files.createTempDirectory("graft-binidx").toString
+    val manifest = Export.writeTokenBin(tokens, "doc_id", out, tokensPerShard = 16)
+    val shards = manifest.select("shard").as[Long].collect().sorted
+    // layout: idx/ holds one shard=K directory per manifest shard (the
+    // per-document index never funnels through one task's file)
+    val dirs = new java.io.File(out, "idx").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .map(_.getName.stripPrefix("shard=").toLong).sorted
+    assert(dirs.toSeq == shards.toSeq, s"idx dirs $dirs vs shards $shards")
+    // the write plan has no single-partition exchange over the index
+    assert(shards.length > 3)
+    // a shard-filtered read prunes to that shard's directory (partition
+    // pruning visible as a pushed partition filter — count stays right)
+    val one = spark.read.parquet(s"$out/idx")
+      .filter(col("shard") === shards(1))
+    assert(one.count() > 0)
+    assert(one.select("doc_id").distinct().count() == one.count())
+    // and the positioned fetch still round-trips through the new layout
+    val back = Export.readTokenBin(
+        spark.read.parquet(s"$out/idx").filter(col("doc_id") === 13L),
+        "doc_id", out)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(back == Map(13L -> Seq(1300, 1301, 1302, 1303, 1304, 1305, 1306)))
+  }
+
+  test("Megatron binary .idx: round-trips the parquet index row-for-row, byte-identical re-export, corrupt header fails loudly") {
+    val tokens = (0L until 40L).flatMap { d =>
+      (0 until (d % 7 + 1).toInt).map(p => (d, p, 0, (d * 100 + p).toInt))
+    }.toDF("doc_id", "pos", "subpos", "token_id")
+    val out = java.nio.file.Files.createTempDirectory("graft-mmidx").toString
+    Export.writeTokenBin(tokens, "doc_id", out, tokensPerShard = 16)
+    val m1 = Export.exportMegatronIdx(spark, out)
+      .select("shard", "n_docs", "idx_bytes", "sha1")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(m1.nonEmpty)
+    // round-trip: the binary index carries exactly the parquet idx's
+    // (shard, offset, n_tokens) in layout (offset) order
+    val back = Export.importMegatronIdx(spark, out)
+      .select("shard", "offset", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val pq = spark.read.parquet(s"$out/idx")
+      .select(col("shard").cast("long"), col("offset").cast("long"),
+        col("n_tokens").cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(back == pq)
+    // seq is the offset-sorted position within its shard
+    val seqs = Export.importMegatronIdx(spark, out)
+      .select("shard", "seq").as[(Long, Long)].collect()
+      .groupBy(_._1).values
+    seqs.foreach(g => assert(g.map(_._2).sorted.toSeq == (0L until g.length).toSeq))
+    // deterministic: re-export is byte-identical (same sha1 per shard)
+    val m2 = Export.exportMegatronIdx(spark, out)
+      .select("shard", "n_docs", "idx_bytes", "sha1")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(m1 == m2)
+    // a corrupted header fails LOUDLY on import (drop the local-FS
+    // checksum sidecar so the tamper reaches the parser, not Hadoop's
+    // own checksum layer)
+    val f = new java.io.File(out, f"shard-${m1.head._1}%05d.idx")
+    new java.io.File(out, f".shard-${m1.head._1}%05d.idx.crc").delete()
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    raf.seek(0); raf.write('X'); raf.close()
+    val e = intercept[Exception] { Export.importMegatronIdx(spark, out).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bad magic")), messages(e))
+  }
+
+  test("readTokenBin rejects an n_tokens past the 2 GiB positioned-read bound instead of overflowing the buffer size") {
+    val tokens = Seq((1L, 0, 0, 7)).toDF("doc_id", "pos", "subpos", "token_id")
+    val out = java.nio.file.Files.createTempDirectory("graft-bigdoc").toString
+    Export.writeTokenBin(tokens, "doc_id", out, tokensPerShard = 16)
+    // an index row claiming a >Int.MaxValue/4 token count (e.g. from a
+    // corrupted or foreign idx) must fail with the bound named, not
+    // allocate a negative-size array
+    val bogus = Seq((0L, 1L, 0L, (Int.MaxValue / 4 + 1L)))
+      .toDF("shard", "doc_id", "offset", "n_tokens")
+    val e = intercept[Exception] {
+      Export.readTokenBin(bogus, "doc_id", out).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("positioned")), messages(e))
+  }
+
   test("jsonl export: manifest identical to parquet's, gzip round-trip exact, audit clean, lost shard flagged") {
     val pq = java.nio.file.Files.createTempDirectory("graft-shards-pq").toString
     val jl = java.nio.file.Files.createTempDirectory("graft-shards-jl").toString
