@@ -458,6 +458,113 @@ object Bpe {
         coalesce(col("token_id"), lit(-1)).as("token_id"))
   }
 
+  /** [[tokenizeBytesToIds]] with SPECIAL TOKENS carried as atomic ids
+    * (the HuggingFace `added_tokens` contract, [[ModelStore
+    * .importHuggingFaceFull]]): each literal occurrence of a special's
+    * content becomes ONE token with the file's id — never byte-level
+    * segmented — and the text between occurrences tokenizes through the
+    * normal path. Longest special wins on overlap (the tokenizers
+    * library's added-token matching). Output shape is unchanged:
+    * `(idCol, pos, subpos, token_id)` with `pos` numbering
+    * words-and-specials in document order (one doc-bounded window
+    * renumber — never corpus-ordered). */
+  def tokenizeBytesToIdsWithSpecials(df: DataFrame, idCol: String,
+      textCol: String, segments: DataFrame, vocabIds: Map[String, Int],
+      specials: Seq[(String, Int)]): DataFrame = {
+    if (specials.isEmpty) return tokenizeBytesToIds(df, idCol, textCol, segments, vocabIds)
+    specials.foreach { case (c, _) => require(c.nonEmpty, "empty special token") }
+    require(specials.map(_._1).distinct.size == specials.size,
+      "duplicate special token contents")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // longest-first alternation so an overlapping shorter special never
+    // steals a longer one's prefix
+    val alt = specials.sortBy(-_._1.length)
+      .map(s => java.util.regex.Pattern.quote(s._1)).mkString("|")
+    // interleave the split segments with the matched specials:
+    // pieces = seg0, m0, seg1, m1, ..., segN  (split keeps trailing
+    // empties with limit -1, so counts always align: |segs| = |m| + 1)
+    val segs = split(col(textCol), alt, -1)
+    val matched = regexp_extract_all(col(textCol), lit(s"($alt)"), lit(1))
+    val pieces = df.select(col(idCol),
+        posexplode(flatten(zip_with(
+          segs, concat(matched, array(lit(null).cast("string"))),
+          (s, m) => array(struct(s.as("piece"), lit(false).as("is_special")),
+            struct(m.as("piece"), lit(true).as("is_special"))))))
+          .as(Seq("piecepos", "p")))
+      .filter(col("p.piece").isNotNull)
+      .select(col(idCol), col("piecepos"),
+        col("p.piece").as("piece"), col("p.is_special").as("is_special"))
+    val specialId = specials.foldLeft(lit(null).cast("int")) { case (acc, (c, id)) =>
+      when(col("piece") === c, lit(id)).otherwise(acc)
+    }
+    val specialRows = pieces.filter(col("is_special"))
+      .select(col(idCol), col("piecepos"), lit(0).as("wordpos"),
+        lit(0).as("subpos"), specialId.as("token_id"))
+    val vocab = vocabIds.toSeq.toDF("subword", "token_id")
+    val textRows = pieces.filter(!col("is_special"))
+      .select(col(idCol), col("piecepos"),
+        posexplode(byteWords(col("piece"))).as(Seq("wordpos", "word")))
+      .join(broadcast(segments), Seq("word"), "left")
+      .select(col(idCol), col("piecepos"), col("wordpos"),
+        posexplode(coalesce(col("subwords"), initialByteSymbols(col("word"))))
+          .as(Seq("subpos", "subword")))
+      .join(broadcast(vocab), Seq("subword"), "left")
+      .select(col(idCol), col("piecepos"), col("wordpos"), col("subpos"),
+        coalesce(col("token_id"), lit(-1)).as("token_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("piecepos"), col("wordpos"))
+    specialRows.unionByName(textRows)
+      .withColumn("pos", (dense_rank().over(w) - 1).cast("int"))
+      .select(col(idCol), col("pos"), col("subpos").cast("int"), col("token_id"))
+  }
+
+  /** Inverse of [[tokenizeBytesToIdsWithSpecials]]: specials splice
+    * back VERBATIM (their content is raw text, not byte-level symbols —
+    * decoding it through the byte table would garble any non-ASCII
+    * special), and each maximal run of ordinary tokens between specials
+    * decodes as one UTF-8 unit (bytes may split across subwords, so
+    * per-token decode would tear multi-byte sequences). Unknown ids
+    * fail loudly, as in [[detokenizeIds]]. */
+  def detokenizeIdsWithSpecials(tokens: DataFrame, idCol: String,
+      vocabIds: Map[String, Int], specials: Seq[(String, Int)]): DataFrame = {
+    if (specials.isEmpty) return detokenizeIds(tokens, idCol, vocabIds)
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val specialIds = specials.map(_._2).toSet
+    // specials take precedence over a vocab entry carrying the same id
+    // (real HF files list <|endoftext|>-class tokens in BOTH places)
+    val inv = (vocabIds.toSeq.filterNot(kv => specialIds.contains(kv._2))
+        .map { case (sw, id) => (id, sw, false) } ++
+      specials.map { case (c, id) => (id, c, true) })
+      .toDF("token_id", "piece", "is_special")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"), col("subpos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val runs = tokens.join(broadcast(inv), Seq("token_id"), "left")
+      .withColumn("piece", when(col("piece").isNull,
+          raise_error(concat(lit("detokenizeIds: unknown token id "),
+            col("token_id").cast("string"))))
+        .otherwise(col("piece")))
+      // run id = specials seen so far: a special starts its own run; the
+      // ordinary tokens after it share its run id (and sort after it)
+      .withColumn("run",
+        sum(when(col("is_special"), 1L).otherwise(0L)).over(w))
+      .groupBy(col(idCol), col("run"), col("is_special"))
+      .agg(min(struct(col("pos"), col("subpos"))).as("first"),
+        concat_ws("", array_sort(collect_list(
+            struct(col("pos"), col("subpos"), col("piece"))))
+          .getField("piece")).as("joined"))
+      .select(col(idCol), col("run"), col("first"),
+        when(col("is_special"), col("joined"))
+          .otherwise(decodeByteSymbols(col("joined"))).as("piece"))
+    runs.groupBy(col(idCol))
+      .agg(concat_ws("", array_sort(collect_list(
+          struct(col("run"), col("first"), col("piece"))))
+        .getField("piece")).as("text"))
+  }
+
   /** Exact inverse of [[tokenizeBytesToIds]] per document: token ids
     * in (pos, subpos) order back to the original text — driver-free
     * (one aggregation + one codegen decode per row). `ids → symbol

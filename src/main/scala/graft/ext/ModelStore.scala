@@ -209,7 +209,7 @@ object ModelStore {
     * reproduce [[Bpe.ByteLevel]]'s behavior). One file, same id
     * authority rules as [[exportGpt2]]. */
   def exportHuggingFace(spark: SparkSession, merges: Seq[Bpe.Merge],
-      path: String): Unit = {
+      path: String, specials: Seq[(String, Int)] = Nil): Unit = {
     merges.foreach(m => require(!m.left.contains(' ') && !m.right.contains(' '),
       s"merge symbols must be byte-level (no raw spaces): $m"))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -219,6 +219,19 @@ object ModelStore {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("version", "1.0")
+    // special tokens land in the added_tokens section (the tokenizers
+    // library's serialized shape for <|endoftext|>-class atomics)
+    if (specials.nonEmpty) {
+      val arr = root.putArray("added_tokens")
+      specials.foreach { case (content, id) =>
+        val t = arr.addObject()
+        t.put("id", id); t.put("content", content)
+        t.put("single_word", false); t.put("lstrip", false)
+        t.put("rstrip", false); t.put("normalized", false)
+        t.put("special", true)
+        ()
+      }
+    }
     // declarations a tokenizers-library consumer keys behavior off
     root.putObject("pre_tokenizer").put("type", "ByteLevel")
       .put("add_prefix_space", false).put("use_regex", true)
@@ -235,9 +248,31 @@ object ModelStore {
 
   /** Import a HuggingFace `tokenizer.json` (BPE model): `(merges in
     * file order, the vocab id mapping)` — same contract and validation
-    * as [[importGpt2]]; the file's ids are the authority. */
+    * as [[importGpt2]]; the file's ids are the authority. A file whose
+    * `added_tokens` section is NON-EMPTY fails loudly here (silently
+    * dropping `<|endoftext|>`-class specials would tokenize them as
+    * ordinary bytes); use [[importHuggingFaceFull]] to carry them. */
   def importHuggingFace(spark: SparkSession, path: String)
       : (Seq[Bpe.Merge], Map[String, Int]) = {
+    val (merges, vocab, specials) = importHuggingFaceFull(spark, path)
+    require(specials.isEmpty,
+      s"tokenizer.json declares ${specials.size} added_tokens " +
+        s"(${specials.take(3).map(_._1).mkString(", ")}…) — import via " +
+        "importHuggingFaceFull and tokenize through " +
+        "Bpe.tokenizeBytesToIdsWithSpecials so they stay atomic")
+    (merges, vocab)
+  }
+
+  /** [[importHuggingFace]] including the `added_tokens` section:
+    * `(merges, vocab, specials)` — each special `(content, id)`
+    * validated against the vocab (a special may repeat a vocab entry
+    * only with the SAME id — real GPT-2 files list `<|endoftext|>` in
+    * both places — and may never claim an id a different subword
+    * owns). Tokenize/detokenize through
+    * [[Bpe.tokenizeBytesToIdsWithSpecials]] /
+    * [[Bpe.detokenizeIdsWithSpecials]] so occurrences stay atomic. */
+  def importHuggingFaceFull(spark: SparkSession, path: String)
+      : (Seq[Bpe.Merge], Map[String, Int], Seq[(String, Int)]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -273,7 +308,28 @@ object ModelStore {
       s"tokenizer.json misses merge product '${m.left + m.right}'"))
     require(vocab.values.toSeq.distinct.size == vocab.size,
       "tokenizer.json assigns one id to two subwords")
-    (merges, vocab.toMap)
+    val added = Option(root.get("added_tokens")).toSeq
+      .flatMap(arr => (0 until arr.size).map(arr.get))
+      .map { t =>
+        require(t.get("content") != null && t.get("id") != null,
+          s"added_tokens entry missing content/id: $t")
+        (t.get("content").asText(), t.get("id").asInt())
+      }
+    require(added.map(_._1).distinct.size == added.size,
+      "added_tokens repeats a content")
+    require(added.map(_._2).distinct.size == added.size,
+      "added_tokens repeats an id")
+    val idToSub = vocab.map(_.swap)
+    added.foreach { case (content, id) =>
+      vocab.get(content) match {
+        case Some(v) => require(v == id,
+          s"added token '$content' id $id conflicts with vocab id $v")
+        case None => require(!idToSub.contains(id),
+          s"added token '$content' claims id $id, owned by subword " +
+            s"'${idToSub(id)}'")
+      }
+    }
+    (merges, vocab.toMap, added)
   }
 
   private def writeUtf8(fs: org.apache.hadoop.fs.FileSystem,

@@ -142,6 +142,56 @@ class ModelStoreSpec extends SparkTestBase {
     assert(arrMerges == merges && arrVocab == hfVocab)
   }
 
+  test("HF added_tokens: atomic through tokenize/detokenize, loud on the plain import, conflicting id rejected") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the café crème <|endoftext|> 日本語 🙂 <|pad|> end"),
+      (1L, "<|endoftext|>starts and ends<|endoftext|>"),
+      (2L, "no specials at all"))
+      .toDF("id", "text")
+    val vocab = Bpe.byteWordFreqs(corpus, "text").cache()
+    val merges = Bpe.learnByteMergesFromVocabBatched(vocab, 12).merges
+    val ids = Bpe.byteVocab(merges)
+    val specials = Seq("<|endoftext|>" -> 50256, "<|pad|>" -> 50257)
+    val p = Files.createTempDirectory("graft-ms-spec").toString + "/tokenizer.json"
+    ModelStore.exportHuggingFace(spark, merges, p, specials)
+    // the PLAIN import refuses: silently dropping specials would
+    // tokenize them as ordinary bytes
+    val e = intercept[IllegalArgumentException] {
+      ModelStore.importHuggingFace(spark, p)
+    }
+    assert(e.getMessage.contains("added_tokens"), e.getMessage)
+    // the full import carries them
+    val (m2, v2, s2) = ModelStore.importHuggingFaceFull(spark, p)
+    assert(m2 == merges && v2 == ids && s2 == specials)
+    // tokenize: each occurrence is ONE atomic token with the file's id
+    val seg = Bpe.segmentTableBytes(vocab, merges)
+    val toks = Bpe.tokenizeBytesToIdsWithSpecials(
+      corpus, "id", "text", seg, v2, s2)
+    val perDoc = toks.select("id", "token_id").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    assert(perDoc(0L).count(_ == 50256) == 1)
+    assert(perDoc(0L).count(_ == 50257) == 1)
+    assert(perDoc(1L).count(_ == 50256) == 2)
+    assert(!perDoc(2L).exists(t => t == 50256 || t == 50257))
+    assert(!toks.filter(col("token_id") === -1).limit(1).collect().nonEmpty)
+    // detokenize: specials splice back verbatim, runs decode as UTF-8
+    val back = Bpe.detokenizeIdsWithSpecials(toks, "id", v2, s2)
+      .as[(Long, String)].collect().toMap
+    corpus.as[(Long, String)].collect().foreach { case (i, t) =>
+      assert(back(i) == t, s"doc $i: '${back(i)}'")
+    }
+    // an added token claiming a different subword's id fails loudly
+    val bad = new String(Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+      .replace("50257", "0") // id 0 is the first base byte symbol
+    val pb = Files.createTempDirectory("graft-ms-spec2").toString + "/tokenizer.json"
+    Files.write(java.nio.file.Paths.get(pb), bad.getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      ModelStore.importHuggingFaceFull(spark, pb)
+    }
+    assert(e2.getMessage.contains("owned by subword"), e2.getMessage)
+  }
+
   test("Unigram model round-trips exactly, piece order preserved") {
     val vocab = Bpe.wordFreqs(Tables.documents(spark, dir), "text").cache()
     val model = UnigramLm.fit(vocab, targetSize = 120, seedSize = 400,
