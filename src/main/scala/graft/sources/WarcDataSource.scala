@@ -642,6 +642,15 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
   // monotonic newest-file clock: maxFileAge eviction cuts relative to
   // this, never wall time, so a stalled upstream can't evict anything
   @volatile private var latestTime: Long = Long.MinValue
+  // committed watermark: age eviction (memory AND persisted snapshot)
+  // applies only to entries whose admitting batch is ≤ this, so a
+  // replayed UNCOMMITTED batch can never lose aged files — the log
+  // stays replayable for every batch a restart can re-plan, at any
+  // maxFileAge (the r18 replay-horizon edge). Microbatch execution has
+  // at most ONE outstanding uncommitted batch, so at recovery every
+  // batch below the last logged one is committed; commit() raises the
+  // watermark live from there.
+  @volatile private var committedBatch: Long = Long.MinValue
   // AvailableNow: the listing captured at query start; every
   // latestOffset until stop() drains exactly this snapshot — with a
   // file/byte cap, in as many batches as the caps require
@@ -713,6 +722,7 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
       byteCap: Option[Long]): Offset =
     synchronized {
       if (maxBatch == Long.MinValue) maxBatch = state._1
+      committedBatch = math.max(committedBatch, state._1 - 1)
       // legacy-offset files: processed pre-upgrade (no time/batch known)
       startSeen.foreach(p => if (!seen.contains(p)) seen(p) = (-1L, -1L))
       val listing = captured.getOrElse(WarcDataSource.expandGlobsWithMeta(paths))
@@ -738,20 +748,29 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
       val fresh = admit(fresh0, fileCap, byteCap)
       if (fresh.nonEmpty) {
         val next = maxBatch + 1
-        // snapshot (compaction batches only): live = not aged out —
-        // eviction happens in the PERSISTED log exactly when it
-        // happens in memory, so the log never re-grows the heap
+        // snapshot (compaction batches only): live = not aged out OR
+        // not yet past the committed watermark — eviction happens in
+        // the PERSISTED log exactly when it happens in memory, so the
+        // log never re-grows the heap, and an uncommitted batch's
+        // entries survive regardless of age so its replay can always
+        // be served ([[committedBatch]]). Legacy entries (b = −1) are
+        // pre-upgrade committed by construction.
         def snapshot(): Iterator[(String, Long, Long)] = {
           val kept = cutoff.fold(seen.iterator)(c =>
-            seen.iterator.filter { case (_, (t, _)) => t < 0 || t >= c })
+            seen.iterator.filter { case (_, (t, b)) =>
+              t < 0 || t >= c || b > committedBatch })
           kept.map { case (p, (t, b)) => (p, t, b) } ++
             fresh.iterator.map(f => (f._1, f._3, next))
         }
         // persisted BEFORE the id is ever returned
         log.write(next, fresh.map(f => (f._1, f._3)), snapshot _)
         fresh.foreach(f => seen(f._1) = (f._3, next))
+        // memory eviction mirrors the snapshot rule: dropping an
+        // uncommitted-batch entry here would silently drop it from the
+        // NEXT snapshot too (seen is the snapshot's source)
         cutoff.foreach(c =>
-          seen.filterInPlace { case (_, (t, _)) => t < 0 || t >= c })
+          seen.filterInPlace { case (_, (t, b)) =>
+            t < 0 || t >= c || b > committedBatch })
         maxBatch = next
       }
       WarcOffset(maxBatch max -1L)
@@ -800,6 +819,11 @@ final class WarcMicroBatchStream(paths: Seq[String], required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     WarcReaderFactory(conf, required, filters)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = end match {
+    // raises the age-eviction watermark: only committed batches'
+    // entries may age out of the log (replayability guard)
+    case WarcOffset(b) => committedBatch = math.max(committedBatch, b)
+    case _ => () // legacy offsets carry no batch id; recovery floor covers them
+  }
   override def stop(): Unit = ()
 }

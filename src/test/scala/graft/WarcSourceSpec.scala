@@ -457,21 +457,40 @@ class WarcSourceSpec extends SparkTestBase {
     val logDir = new java.io.File(s"$ckDir/sources/0/warc-file-log")
     assert(logDir.listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted.toSeq == Seq("1.compact"))
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-      java.nio.file.Files.readAllBytes(
-        new java.io.File(logDir, "1.compact").toPath))
-    val snapPaths = (0 until node.size).map(i => node.get(i).get(0).asText())
-      .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
-    assert(snapPaths == Seq("c.warc.gz"), snapPaths)
-    // 3) eviction never re-admits: B is gone from the recovered seen
-    //    set, but the age gate runs FIRST, so a restart with a fresh D
-    //    consumes exactly D — B (and A) stay out, nothing is re-read
+    def snapPaths(name: String): Seq[String] = {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readAllBytes(new java.io.File(logDir, name).toPath))
+      (0 until node.size).map(i => node.get(i).get(0).asText())
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+    }
+    // B aged past the cutoff, but its batch is not yet past THIS run's
+    // committed watermark — the snapshot keeps it so a replay of its
+    // batch can never silently lose files (the replayability guard);
+    // A was never admitted and never appears
+    assert(snapPaths("1.compact") == Seq("b.warc.gz", "c.warc.gz"))
+    // the invariant itself: batch 0 is still individually replayable
+    // from the log even though its file aged out
+    val log0 = new graft.sources.WarcFileLog(
+      new org.apache.hadoop.fs.Path(logDir.toString),
+      spark.sparkContext.hadoopConfiguration, 2)
+    assert(log0.readRange(0, 0).map(p => p.substring(p.lastIndexOf('/') + 1))
+      == Seq("b.warc.gz"))
+    // 3) eviction never re-admits: B ages out of the SEEN set, but the
+    //    age gate runs FIRST, so a restart with a fresh D consumes
+    //    exactly D — B (and A) stay out, nothing is re-read
     drop("d.warc.gz", "https://age.example/D", now)
     runOnce() // batch 2: D alone
     assert(uris() == Seq("https://age.example/B", "https://age.example/C",
       "https://age.example/D"))
     runOnce() // replay: no-op
     assert(uris().size == 3)
+    // 4) once batch 0 is past the committed watermark, the NEXT
+    //    compaction evicts aged B from the persisted log too — the
+    //    heap/log bound survives, eviction is merely commit-gated
+    drop("e.warc.gz", "https://age.example/E", now)
+    runOnce() // batch 3: E alone, then compaction
+    assert(uris().size == 4)
+    assert(snapPaths("3.compact") == Seq("c.warc.gz", "d.warc.gz", "e.warc.gz"))
   }
 
   test("legacy array offsets migrate: seen files excluded, uncommitted legacy batch replans as the diff, new commits are compact") {
