@@ -220,11 +220,14 @@ object CdxStore {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(conf)
-    val existing =
-      if (!fs.exists(base)) Seq.empty[Long]
-      else fs.listStatus(base).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("v="))
-        .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+    // what readers CURRENTLY resolve — read BEFORE publishing: the
+    // sweep must key on the pointer, not on version numbers (a crashed
+    // rebuild leaves an unpublished partial with the HIGHEST number;
+    // sweeping "all but the last two numbers" would then delete the
+    // version readers actually resolve while retaining the useless
+    // partial)
+    val prevPublished = publishedVersion(fs, base)
+    val existing = listVersions(fs, base)
     val next = existing.foldLeft(-1L)(_ max _) + 1
     val root = s"$dir/v=$next"
     spark.table(table)
@@ -237,14 +240,177 @@ object CdxStore {
         count(lit(1)).as("n_rows"))
       .repartition(1) // block-count-sized: the whole point is it's tiny
       .write.mode("overwrite").parquet(s"$root/cluster.idx")
+    publishAndSweep(spark, fs, base, next, prevPublished, existing)
+  }
+
+  /** Versions present on disk (published or not). */
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(base)) Seq.empty[Long]
+    else fs.listStatus(base).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+
+  /** The version `_current` points at, if any. */
+  private def publishedVersion(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Option[Long] = {
+    val cur = new org.apache.hadoop.fs.Path(base, "_current")
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      val v = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally in.close()
+      scala.util.Try(v.stripPrefix("v=").toLong).toOption
+    }
+  }
+
+  /** Versions whose block FILES a version's cluster.idx references —
+    * an incremental refresh ([[refreshRangeLayout]]) reuses untouched
+    * block files in place, so a live index may point into OLDER version
+    * directories; those must survive the sweep. */
+  private def referencedVersions(spark: SparkSession, dir: String,
+      v: Long): Set[Long] = {
+    val idx = s"$dir/v=$v/cluster.idx"
+    val re = java.util.regex.Pattern.compile("/v=(\\d+)/blocks/")
+    spark.read.parquet(idx).select("file").collect().iterator
+      .map(_.getString(0))
+      .flatMap { f =>
+        val m = re.matcher(f)
+        if (m.find()) Some(m.group(1).toLong) else None
+      }.toSet
+  }
+
+  /** Atomically swap `_current` to `v=next`, then sweep: every version
+    * except the new one, the PREVIOUSLY PUBLISHED one (a reader that
+    * resolved the pointer just before the swap keeps a consistent
+    * layout for one whole rebuild cycle), and any version either of
+    * their indexes still references (file reuse) is deleted —
+    * including unpublished partials from crashed rebuilds. */
+  private def publishAndSweep(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path,
+      next: Long, prevPublished: Option[Long], existing: Seq[Long]): Unit = {
     AtomicSink.writeCommitted(fs, new org.apache.hadoop.fs.Path(base, "_current"),
         attemptId = next) { tmp =>
       val out = fs.create(tmp, true)
       try out.write(s"v=$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    existing.filter(_ < next - 1).foreach(v =>
+    val dir = base.toString
+    val keep = (Set(next) ++ prevPublished) ++
+      referencedVersions(spark, dir, next) ++
+      prevPublished.toSet.flatMap((p: Long) => referencedVersions(spark, dir, p))
+    existing.filterNot(keep).foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true))
+  }
+
+  /** INCREMENTAL range-layout refresh — the rebuild-cost closure for
+    * the petabyte posture: [[exportRangeLayout]] re-shuffles the WHOLE
+    * store every rebuild, but appends since the last publish touch few
+    * key ranges. This rewrites ONLY the blocks whose key range
+    * intersects `delta`'s urlkeys (each affected block re-derived from
+    * the STORE — the source of truth — via a pushed range predicate, so
+    * the cost is the affected ranges' row groups, never the store), and
+    * the new version's cluster.idx REUSES every untouched block file in
+    * place (absolute paths; the sweep keeps any version a live index
+    * still references). Versioned-publish contract unchanged: complete
+    * v=N+1, atomic `_current` swap, previous published version kept one
+    * full cycle.
+    *
+    * `delta` is the newly appended rows (or just their `urlkey`s) since
+    * the last publish — the append loop has them in hand; rows must
+    * already be in the store. Keys assigned to blocks by the same rule
+    * lookups use (last block with k_min ≤ key; keys below the first
+    * block extend block 0, keys past the last extend the final block).
+    * A refreshed block absorbs its range's growth unsplit — re-balance
+    * on the full-export cadence. No previous published version (or a
+    * pre-versioning layout) falls back to a full export. */
+  def refreshRangeLayout(spark: SparkSession, table: String, dir: String,
+      delta: DataFrame, blocks: Int = 64): Unit = {
+    require(graft.store.Bucketing.recoverCompacted(spark, table),
+      s"no such cdx store: $table")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(conf)
+    val prevPublished = publishedVersion(fs, base)
+    if (prevPublished.isEmpty)
+      return exportRangeLayout(spark, table, dir, blocks)
+    val prev = prevPublished.get
+    // the previous index: sorted disjoint ranges (block-count-sized)
+    val prevIdx = spark.read.parquet(s"$dir/v=$prev/cluster.idx")
+      .select("file", "k_min", "k_max", "n_rows")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_._2)
+    if (prevIdx.isEmpty) return exportRangeLayout(spark, table, dir, blocks)
+    // affected block ids: assign each distinct delta key by binary
+    // search over k_min (the lookup rule), collected — delta keys are
+    // append-sized; distinct first so the collect is key-range-bounded
+    val mins = prevIdx.map(_._2)
+    val deltaKeys = delta.filter(col("urlkey").isNotNull)
+      .select("urlkey").distinct().collect().map(_.getString(0))
+    val affected = scala.collection.mutable.SortedSet.empty[Int]
+    deltaKeys.foreach { k =>
+      var lo = 0; var hi = mins.length - 1; var best = 0
+      while (lo <= hi) {
+        val m = (lo + hi) >>> 1
+        if (mins(m) <= k) { best = m; lo = m + 1 } else hi = m - 1
+      }
+      affected += best
+    }
+    if (affected.isEmpty) return // nothing new: keep the current version
+    val existing = listVersions(fs, base)
+    val next = existing.foldLeft(-1L)(_ max _) + 1
+    val root = s"$dir/v=$next"
+    // rewrite each affected block from the store under its ASSIGNMENT
+    // range [k_min(i), k_min(i+1)) — first block unbounded below, last
+    // unbounded above. ONE FILE PER BLOCK, boundary-ALIGNED: a single
+    // range-repartitioned write over scattered affected blocks would
+    // let a sampled partition boundary span untouched blocks' ranges,
+    // and the binary-search lookup (last k_min ≤ key, one candidate)
+    // would then miss keys hiding past a kept entry. Each block writes
+    // to a scratch dir and its part file renames into blocks/ —
+    // driver-side renames ∝ affected blocks, a maintenance-cadence
+    // cost.
+    val ids = affected.toSeq
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/blocks"))
+    val newFiles = ids.map { i =>
+      val lo = if (i == 0) None else Some(mins(i))
+      val hi = if (i == prevIdx.length - 1) None else Some(mins(i + 1))
+      val scratch = s"$root/_rewrite/b$i"
+      spark.table(table)
+        .filter(lo.fold(lit(true))(l => col("urlkey") >= lit(l)) &&
+          hi.fold(lit(true))(h => col("urlkey") < lit(h)))
+        .repartition(1).sortWithinPartitions("urlkey")
+        .write.mode("overwrite").parquet(scratch)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1, s"block $i: ${part.length} part files")
+      val dest = new org.apache.hadoop.fs.Path(
+        s"$root/blocks", f"block-r$i%05d.parquet")
+      require(fs.rename(part.head, dest), s"rename ${part.head} -> $dest")
+      dest.toString
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_rewrite"), true)
+    val newEntries = spark.read.parquet(newFiles: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("urlkey").as("k_min"), max("urlkey").as("k_max"),
+        count(lit(1)).as("n_rows"))
+    // new index = untouched prev entries (files reused in place) ∪ the
+    // rewritten blocks' entries
+    import spark.implicits._
+    val kept = prevIdx.zipWithIndex.collect {
+      case ((f, kmin, kmax, n), i) if !affected.contains(i) => (f, kmin, kmax, n)
+    }.toSeq.toDF("file", "k_min", "k_max", "n_rows")
+    kept.unionByName(newEntries)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$root/cluster.idx")
+    publishAndSweep(spark, fs, base, next, prevPublished, existing)
   }
 
   /** The published layout root: versioned exports resolve through the

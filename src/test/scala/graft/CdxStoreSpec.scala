@@ -129,6 +129,98 @@ class CdxStoreSpec extends SparkTestBase {
     graft.store.Bucketing.dropWithLocation(spark, t)
   }
 
+  test("range-layout sweep keys on the _current pointer: a crashed rebuild's partial is GC'd, the readers' version survives") {
+    val t = "graft_cdxswp_" + Integer.toHexString(
+      java.util.UUID.randomUUID().hashCode())
+    graft.store.Bucketing.dropWithLocation(spark, t)
+    val all = (0 until 6).map(s =>
+      captures(s, 0 until 10, "2026-08-14T00:00:00Z")).reduce(_ unionByName _)
+    CdxStore.append(all, t, buckets = 4)
+    val dir = Files.createTempDirectory("graft-zipswp").toString
+    CdxStore.exportRangeLayout(spark, t, dir, blocks = 4) // v=0
+    CdxStore.exportRangeLayout(spark, t, dir, blocks = 4) // v=1, keeps v=0
+    assert(CdxStore.currentRoot(spark, dir) == s"$dir/v=1")
+    // a rebuild that CRASHED before the pointer swap: partial v=2 on
+    // disk, pointer still on v=1
+    val partial = new java.io.File(s"$dir/v=2/blocks")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(new java.io.File(partial, "junk").toPath,
+      "partial".getBytes("UTF-8"))
+    assert(CdxStore.currentRoot(spark, dir) == s"$dir/v=1")
+    // next successful publish: v=3; the sweep must key on what readers
+    // RESOLVED (v=1 stays one full cycle) and GC the unpublished
+    // partial — sweeping by version number would instead delete v=1,
+    // the version readers are mid-scan over, and retain useless v=2
+    CdxStore.exportRangeLayout(spark, t, dir, blocks = 4)
+    assert(CdxStore.currentRoot(spark, dir) == s"$dir/v=3")
+    assert(new java.io.File(s"$dir/v=1").exists(), "readers' version swept!")
+    assert(!new java.io.File(s"$dir/v=2").exists(), "crashed partial retained")
+    assert(!new java.io.File(s"$dir/v=0").exists())
+    assert(CdxStore.capturesForSiteIndexed(spark, dir, "com,example,h3)")
+      .count() == 10)
+    graft.store.Bucketing.dropWithLocation(spark, t)
+  }
+
+  test("incremental range-layout refresh: rewrites ONLY intersected blocks, reuses untouched files in place, lookups unchanged, reused versions survive the sweep") {
+    val t = "graft_cdxinc_" + Integer.toHexString(
+      java.util.UUID.randomUUID().hashCode())
+    graft.store.Bucketing.dropWithLocation(spark, t)
+    val all = (0 until 20).map(s =>
+      captures(s, 0 until 30, "2026-08-14T00:00:00Z")).reduce(_ unionByName _)
+    CdxStore.append(all, t, buckets = 4)
+    CdxStore.compact(spark, t, buckets = 4)
+    val dir = Files.createTempDirectory("graft-zipinc").toString
+    CdxStore.exportRangeLayout(spark, t, dir, blocks = 16) // v=0
+    val idx0 = spark.read.parquet(s"$dir/v=0/cluster.idx")
+      .select("file", "k_min").as[(String, String)].collect().sortBy(_._2)
+    assert(idx0.length > 4)
+    // a small append touching ONE site's key range
+    val delta = captures(7, 30 until 36, "2026-08-15T00:00:00Z")
+    CdxStore.append(delta, t, buckets = 4)
+    CdxStore.refreshRangeLayout(spark, t, dir, delta, blocks = 16)
+    assert(CdxStore.currentRoot(spark, dir) == s"$dir/v=1")
+    val idx1 = spark.read.parquet(s"$dir/v=1/cluster.idx")
+      .select("file", "k_min").as[(String, String)].collect().sortBy(_._2)
+    assert(idx1.length == idx0.length) // block count preserved
+    // rewrites <= affected blocks: the delta's keys share one site
+    // prefix, so at most 2 blocks intersect; every other entry is the
+    // SAME FILE (identity, not a copy) from v=0
+    val rewrittenFiles = idx1.map(_._1).filterNot(idx0.map(_._1).toSet)
+    assert(rewrittenFiles.nonEmpty && rewrittenFiles.length <= 2,
+      rewrittenFiles.toSeq)
+    assert(rewrittenFiles.forall(_.contains("/v=1/")), rewrittenFiles.toSeq)
+    val reused = idx1.map(_._1).filter(idx0.map(_._1).toSet)
+    assert(reused.length == idx0.length - rewrittenFiles.length)
+    assert(reused.forall(_.contains("/v=0/")))
+    // lookups unchanged: the refreshed site serves old + new captures,
+    // an untouched site serves identically, both == the bucketed store
+    def keyOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("urlkey", "warc_date").as[(String, String)].collect().sorted.toSeq
+    assert(keyOf(CdxStore.capturesForSiteIndexed(spark, dir, "com,example,h7)"))
+      == keyOf(CdxStore.capturesForSite(spark, t, "com,example,h7)")))
+    assert(CdxStore.capturesForSiteIndexed(spark, dir, "com,example,h7)")
+      .count() == 36)
+    assert(keyOf(CdxStore.capturesForSiteIndexed(spark, dir, "com,example,h3)"))
+      == keyOf(CdxStore.capturesForSite(spark, t, "com,example,h3)")))
+    // an empty delta publishes nothing
+    CdxStore.refreshRangeLayout(spark, t, dir, delta.limit(0), blocks = 16)
+    assert(CdxStore.currentRoot(spark, dir) == s"$dir/v=1")
+    // sweep honors file reuse: a FULL export (v=2) keeps v=1 (previous
+    // published) AND v=0 (v=1's index references its files); the next
+    // full export (v=3) releases both
+    CdxStore.exportRangeLayout(spark, t, dir, blocks = 16)
+    assert(CdxStore.currentRoot(spark, dir) == s"$dir/v=2")
+    assert(new java.io.File(s"$dir/v=1").exists())
+    assert(new java.io.File(s"$dir/v=0").exists(), "reused version swept!")
+    assert(keyOf(CdxStore.capturesForSiteIndexed(spark, dir, "com,example,h7)"))
+      == keyOf(CdxStore.capturesForSite(spark, t, "com,example,h7)")))
+    CdxStore.exportRangeLayout(spark, t, dir, blocks = 16)
+    assert(CdxStore.currentRoot(spark, dir) == s"$dir/v=3")
+    assert(!new java.io.File(s"$dir/v=0").exists())
+    assert(!new java.io.File(s"$dir/v=1").exists())
+    graft.store.Bucketing.dropWithLocation(spark, t)
+  }
+
   test("sidecarMaintenance(cdxTable): batches fold into the store, compaction cadence fires, replay no-op; latestCaptures composes") {
     val mk = (uri: String, body: String) => {
       val payload = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
