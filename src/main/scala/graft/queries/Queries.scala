@@ -4032,6 +4032,57 @@ object Queries {
       .ordered("cut", "doc_id")
   }
 
+  // X87D — AS-OF serving THROUGH the zipnum layout ([[graft.ext
+  // .CdxStore.serveLatestCapturesIndexed]] with a temporal cut): the
+  // r18 features composed — x87b's three-epoch store re-laid out
+  // range-sorted behind cluster.idx, BOTH cuts served through the
+  // indexed path (site slice via index-selected blocks + residual
+  // range predicate; out-of-range originals via binary-searched
+  // blocksForKeys). The residual-predicate × cut interaction is
+  // exactly where a bound slips: a cut applied before the range
+  // residual, a >= bound, or an originals lookup routed through the
+  // cut each break rows or hash. Same closed-form oracle as x87b.
+  private val zipnumAsofMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  q("x87d_cdx_zipnum_asof",
+    """SELECT cut, doc_id, url, warc_date, body, was_revisit FROM (
+      |  SELECT 'asof' AS cut, doc_id,
+      |    'https://h7.example.com/item/' || CAST(doc_id AS VARCHAR) AS url,
+      |    CASE WHEN doc_id % 3 = 0 THEN '2026-08-15T00:00:00Z'
+      |         ELSE '2026-08-14T00:00:00Z' END AS warc_date,
+      |    'v1 ' || CAST(doc_id AS VARCHAR) || ' '
+      |      || COALESCE(text, '') AS body,
+      |    (doc_id % 3 = 0) AS was_revisit
+      |  FROM documents WHERE doc_id % 50 = 7
+      |  UNION ALL
+      |  SELECT 'head', doc_id,
+      |    'https://h7.example.com/item/' || CAST(doc_id AS VARCHAR),
+      |    CASE WHEN doc_id % 7 = 0 THEN '2026-08-16T00:00:00Z'
+      |         WHEN doc_id % 3 = 0 THEN '2026-08-15T00:00:00Z'
+      |         ELSE '2026-08-14T00:00:00Z' END,
+      |    (CASE WHEN doc_id % 7 = 0 THEN 'v3 ' ELSE 'v1 ' END)
+      |      || CAST(doc_id AS VARCHAR) || ' ' || COALESCE(text, ''),
+      |    (doc_id % 7 <> 0 AND doc_id % 3 = 0)
+      |  FROM documents WHERE doc_id % 50 = 7)
+      |ORDER BY cut, doc_id""".stripMargin) { (s, dir) =>
+    val t = cdxAsofStoreFor(s, dir)
+    val rl = zipnumAsofMemo.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-zipasof-q").toString
+      graft.ext.CdxStore.exportRangeLayout(s, t, d, blocks = 16)
+      d
+    })
+    def serve(asOf: Option[String], label: String) =
+      graft.ext.CdxStore.serveLatestCapturesIndexed(s, rl, "com,example,h7)",
+          asOf, normalize = true, maxRefKeys = 10000)
+        .select(lit(label).as("cut"),
+          regexp_extract(col("url"), "/item/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("url"), col("warc_date"),
+          graft.ext.Warc.httpBody(col("payload")).as("body"),
+          col("was_revisit"))
+    serve(Some("2026-08-15T12:00:00Z"), "asof").unionByName(serve(None, "head"))
+      .ordered("cut", "doc_id")
+  }
+
   // X75 — anchor-text retrieval ([[graft.ext.Retrieval
   // .bm25fTopKFromIndex]], BM25F-lite): body BM25 off the memoized
   // STORED index + anchor-field BM25 off an index built straight from
