@@ -352,6 +352,114 @@ object Export {
     } finally index.unpersist(): Unit
   }
 
+  /** BINARY shards of PACKED TRAINING SEQUENCES — the tensor the
+    * loader actually mmaps: [[Packing.packTokenIds]]'s fixed-budget
+    * sequences laid out CONTIGUOUSLY IN SEQUENCE ORDER (packed data is
+    * order-defined — the seeded-hash layout [[writeTokenBin]] uses for
+    * documents would scramble the packing), `seqsPerShard` per
+    * `shard-NNNNN.bin`, raw little-endian int32. Same artifact triple
+    * as [[writeTokenBin]]: `idx/` parquet `(shard, seq, offset,
+    * n_tokens)` — [[readTokenBin]] fetches a single sequence as one
+    * positioned read, [[exportMegatronIdx]] writes the binary `.idx`
+    * next to each bin (identity doc_idx: each packed sequence is one
+    * training sample; per-sequence DOCUMENT boundaries for
+    * block-diagonal attention live in [[Packing
+    * .sequenceDocBoundaries]]'s sidecar), and `_manifest` carries the
+    * writer-side sha1 so [[auditTokenBin]] verifies landed bytes
+    * unchanged. Deterministic: layout is a pure function of the packed
+    * frame. Scale shape: one shard-bounded offset window, one
+    * repartition on shard, roll-on-shard-change writers. */
+  def writeSequenceBin(packed: DataFrame, outDir: String,
+      seqsPerShard: Long): DataFrame = {
+    require(seqsPerShard > 0, "seqsPerShard must be positive")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val laid = packed.select(col("seq").cast("long"),
+        col("token_ids"), col("n").cast("long"))
+      .withColumn("shard", (col("seq") / seqsPerShard).cast("long"))
+    val wOff = Window.partitionBy(col("shard")).orderBy(col("seq"))
+    val index = laid.withColumn("offset",
+        coalesce(sum(col("n")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("seq"), col("offset"),
+        col("n").as("n_tokens"))
+      .localCheckpoint(true)
+    try {
+      val maxShard = index.agg(max(col("shard"))).head
+      val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
+      (if (nShards > 0) index.repartition(nShards, col("shard")) else index)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/idx")
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val manifest =
+        if (nShards == 0)
+          Seq.empty[(Long, Long, Long, Long, String)]
+            .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
+        else laid
+          .repartition(nShards, col("shard"))
+          .sortWithinPartitions(col("shard"), col("seq"))
+          .select(col("shard"), col("token_ids"))
+          .as[(Long, Seq[Int])]
+          .mapPartitions { it =>
+            val ctx = org.apache.spark.TaskContext.get()
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long, String)]
+            var cur = -1L
+            var stream: java.io.OutputStream = null
+            var digest: java.security.MessageDigest = null
+            var nTok = 0L
+            var nSeqs = 0L
+            var fs: org.apache.hadoop.fs.FileSystem = null
+            var tmp: org.apache.hadoop.fs.Path = null
+            var dest: org.apache.hadoop.fs.Path = null
+            val buf = java.nio.ByteBuffer.allocate(4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            def close(): Unit = if (stream != null) {
+              stream.close()
+              AtomicSink.commit(fs, tmp, dest)
+              out += ((cur, nSeqs, nTok, nTok * 4L,
+                digest.digest().map("%02x".format(_)).mkString))
+              stream = null
+            }
+            def open(shard: Long): Unit = {
+              close()
+              cur = shard; nTok = 0L; nSeqs = 0L
+              dest = new org.apache.hadoop.fs.Path(outDir,
+                f"shard-$shard%05d.bin")
+              fs = dest.getFileSystem(conf.value)
+              tmp = AtomicSink.tempFor(dest, ctx.taskAttemptId())
+              digest = java.security.MessageDigest.getInstance("SHA-1")
+              stream = new java.io.BufferedOutputStream(
+                new java.security.DigestOutputStream(fs.create(tmp, true),
+                  digest), 1 << 16)
+            }
+            @volatile var failed = false
+            ctx.addTaskFailureListener((_, _) => { failed = true })
+            ctx.addTaskCompletionListener[Unit] { _ =>
+              if (failed) { if (stream != null) stream.close();
+                if (fs != null) AtomicSink.abort(fs, tmp) }
+              else close()
+            }
+            it.foreach { case (shard, ids) =>
+              if (shard != cur || stream == null) open(shard)
+              ids.foreach { tok =>
+                buf.clear(); buf.putInt(tok)
+                stream.write(buf.array(), 0, 4)
+              }
+              nTok += ids.length
+              nSeqs += 1
+            }
+            close()
+            out.iterator
+          }
+          .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
+          .orderBy("shard")
+      val m = manifest.localCheckpoint(true)
+      m.repartition(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+      m
+    } finally index.unpersist(): Unit
+  }
+
   /** Positioned-read fetch from a [[writeTokenBin]] export: for each
     * index row, seek 4·offset into its shard's bin and read exactly
     * 4·n_tokens bytes — cost ∝ requested documents, never export size
@@ -514,6 +622,9 @@ object Export {
           digest.digest().map("%02x".format(_)).mkString)
       }
       .toDF("shard", "n_docs", "idx_bytes", "sha1")
+      // EAGER: this is a side-effecting writer — a lazy return would
+      // write nothing until (unless) the caller collects it
+      .localCheckpoint(true)
   }
 
   /** Read back every `shard-NNNNN.idx` binary ([[exportMegatronIdx]]'s

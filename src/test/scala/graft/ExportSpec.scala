@@ -246,6 +246,58 @@ class ExportSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("bad magic")), messages(e))
   }
 
+  test("packed-sequence binary shards: sequence order preserved, positioned fetch exact, Megatron idx round-trips, audit + determinism hold") {
+    // a packed frame straight from the packing machinery: 30 docs of
+    // varying length packed into budget-16 sequences
+    val docs = (0L until 30L).map(d => (d, (d % 9 + 1).toInt))
+      .toDF("doc_id", "ntok")
+    val tokens = (0L until 30L).flatMap { d =>
+      (0 until (d % 9 + 1).toInt).map(p => (d, p, 0, (d * 100 + p).toInt))
+    }.toDF("doc_id", "pos", "subpos", "token_id")
+    val packing = graft.ext.Packing.packContiguous(
+      docs, "ntok", 16L, Seq(col("doc_id")))
+    val packed = graft.ext.Packing.packTokenIds(tokens, "doc_id", packing, 16L)
+    val want = packed.select("seq", "token_ids")
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(want.length > 4)
+    val out = java.nio.file.Files.createTempDirectory("graft-seqbin").toString
+    val m1 = Export.writeSequenceBin(packed, out, seqsPerShard = 3)
+    // manifest conserves; shards hold <= 3 sequences each
+    assert(m1.agg(sum("n_tokens")).head.getLong(0) == want.map(_._2.size).sum)
+    assert(m1.filter(col("n_docs") > 3).isEmpty)
+    // positioned fetch: every sequence exact through the idx
+    val back = Export.readTokenBin(
+        spark.read.parquet(s"$out/idx"), "seq", out)
+      .as[(Long, Seq[Int])].collect().toMap
+    want.foreach { case (s, ids) => assert(back(s) == ids, s"seq $s") }
+    // sequence ORDER inside a shard is the packing order: shard 0's raw
+    // bytes are seqs 0,1,2 concatenated (packed data is order-defined)
+    val bin0 = java.nio.file.Files.readAllBytes(
+      new java.io.File(out, "shard-00000.bin").toPath)
+    val bb = java.nio.ByteBuffer.wrap(bin0).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val flat0 = want.filter(_._1 < 3).flatMap(_._2)
+    assert(bin0.length == flat0.size * 4)
+    flat0.foreach(tok => assert(bb.getInt == tok))
+    // the binary Megatron idx composes: round-trips the parquet idx
+    Export.exportMegatronIdx(spark, out)
+    val mm = Export.importMegatronIdx(spark, out)
+      .select("shard", "offset", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val pq = spark.read.parquet(s"$out/idx")
+      .select(col("shard").cast("long"), col("offset").cast("long"),
+        col("n_tokens").cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(mm == pq)
+    // audit clean; deterministic re-run (permuted input, same bytes)
+    assert(Export.auditTokenBin(spark, out).isEmpty)
+    val out2 = java.nio.file.Files.createTempDirectory("graft-seqbin2").toString
+    val m2 = Export.writeSequenceBin(packed.orderBy(col("seq").desc), out2,
+      seqsPerShard = 3)
+    def sha(m: org.apache.spark.sql.DataFrame) =
+      m.select("shard", "sha1").as[(Long, String)].collect().sorted.toSeq
+    assert(sha(m1) == sha(m2))
+  }
+
   test("readTokenBin rejects an n_tokens past the 2 GiB positioned-read bound instead of overflowing the buffer size") {
     val tokens = Seq((1L, 0, 0, 7)).toDF("doc_id", "pos", "subpos", "token_id")
     val out = java.nio.file.Files.createTempDirectory("graft-bigdoc").toString
