@@ -348,21 +348,24 @@ object CdxStore {
         r.getLong(3)))
       .sortBy(_._2)
     if (prevIdx.isEmpty) return exportRangeLayout(spark, table, dir, blocks)
-    // affected block ids: assign each distinct delta key by binary
-    // search over k_min (the lookup rule), collected — delta keys are
-    // append-sized; distinct first so the collect is key-range-bounded
+    // affected block ids: assign every delta key DISTRIBUTEDLY by the
+    // lookup rule (last k_min ≤ key, keys below the first block extend
+    // block 0) against the broadcast block-boundary table, and collect
+    // only the distinct BLOCK ids — block-count-bounded, never
+    // delta-sized (a big append must not funnel its keyset through the
+    // driver)
     val mins = prevIdx.map(_._2)
-    val deltaKeys = delta.filter(col("urlkey").isNotNull)
-      .select("urlkey").distinct().collect().map(_.getString(0))
-    val affected = scala.collection.mutable.SortedSet.empty[Int]
-    deltaKeys.foreach { k =>
-      var lo = 0; var hi = mins.length - 1; var best = 0
-      while (lo <= hi) {
-        val m = (lo + hi) >>> 1
-        if (mins(m) <= k) { best = m; lo = m + 1 } else hi = m - 1
-      }
-      affected += best
-    }
+    import spark.implicits._
+    val bounds = mins.zipWithIndex.map { case (m, i) =>
+      (i, if (i == 0) "" else m, // block 0 unbounded below
+        if (i == mins.length - 1) None else Some(mins(i + 1)))
+    }.toSeq.toDF("__blk", "__lo", "__hi")
+    val affected = scala.collection.mutable.SortedSet.empty[Int] ++
+      delta.filter(col("urlkey").isNotNull).select("urlkey")
+        .join(broadcast(bounds),
+          col("urlkey") >= col("__lo") &&
+            (col("__hi").isNull || col("urlkey") < col("__hi")))
+        .select("__blk").distinct().collect().map(_.getInt(0))
     if (affected.isEmpty) return // nothing new: keep the current version
     val existing = listVersions(fs, base)
     val next = existing.foldLeft(-1L)(_ max _) + 1
