@@ -374,16 +374,20 @@ object Export {
     require(seqsPerShard > 0, "seqsPerShard must be positive")
     val spark = packed.sparkSession
     import spark.implicits._
+    // checkpoint the SHARDED frame, not the index: the index layout,
+    // the idx write, AND the bin writer all branch from it — without
+    // this the packTokenIds aggregation (a corpus-sized shuffle) would
+    // re-run once per branch
     val laid = packed.select(col("seq").cast("long"),
         col("token_ids"), col("n").cast("long"))
       .withColumn("shard", (col("seq") / seqsPerShard).cast("long"))
+      .localCheckpoint(true)
     val wOff = Window.partitionBy(col("shard")).orderBy(col("seq"))
     val index = laid.withColumn("offset",
         coalesce(sum(col("n")).over(
           wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("shard"), col("seq"), col("offset"),
         col("n").as("n_tokens"))
-      .localCheckpoint(true)
     try {
       val maxShard = index.agg(max(col("shard"))).head
       val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
@@ -457,7 +461,7 @@ object Export {
       val m = manifest.localCheckpoint(true)
       m.repartition(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
       m
-    } finally index.unpersist(): Unit
+    } finally laid.unpersist(): Unit
   }
 
   /** Positioned-read fetch from a [[writeTokenBin]] export: for each
