@@ -532,7 +532,8 @@ object DocumentIngest {
       compactEvery: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = None,
       logCompactInterval: Option[Int] = None,
-      maxFileAge: Option[String] = None)
+      maxFileAge: Option[String] = None,
+      rangeLayoutDir: Option[String] = None)
       : Unit = {
     val reader = spark.readStream.format("warc")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -543,7 +544,7 @@ object DocumentIngest {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sidecarProcessBatch(batch, batchId, outDir, decoders,
-          cdxTable, buckets, compactEvery)
+          cdxTable, buckets, compactEvery, rangeLayoutDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -554,7 +555,8 @@ object DocumentIngest {
   private[graft] def sidecarProcessBatch(batch: DataFrame, batchId: Long,
       outDir: String, decoders: Seq[graft.ext.Warc.ContentDecoder],
       cdxTable: Option[String] = None, buckets: Int = 32,
-      compactEvery: Option[Int] = None): Unit = {
+      compactEvery: Option[Int] = None,
+      rangeLayoutDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     batch.persist()
@@ -581,6 +583,17 @@ object DocumentIngest {
           graft.ext.CdxStore.append(cdx, t, buckets)
           compactEvery.filter(n => n > 0 && (batchId + 1) % n == 0)
             .foreach(_ => graft.ext.CdxStore.compact(spark, t, buckets))
+          // read-optimized serving layout, maintained INCREMENTALLY:
+          // every batch refreshes only the blocks its keys intersect
+          // ([[graft.ext.CdxStore.refreshRangeLayout]] — first batch
+          // publishes the full layout). Per-batch, not per-compaction:
+          // an incremental publish must cover EVERY append since the
+          // previous one, and the batch in hand is exactly that delta —
+          // a cadence would need delta accumulation across batches. A
+          // replayed batch re-publishes identical block content
+          // (append() already folded nothing) — wasteful, never wrong.
+          rangeLayoutDir.foreach(d =>
+            graft.ext.CdxStore.refreshRangeLayout(spark, t, d, cdx))
         case None =>
           cdx.sort("urlkey") // batch-sized; zone maps prune site ranges
             .write.mode("overwrite").parquet(s"$outDir/cdx/batch_id=$batchId")

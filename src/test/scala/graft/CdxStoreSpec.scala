@@ -242,13 +242,20 @@ class CdxStoreSpec extends SparkTestBase {
       val w = new Warc.MemberGzipWriter(f)
       try recs.foreach(w.writeMember) finally { w.end(); f.close() }
     }
+    val rlDir = Files.createTempDirectory("graft-cdxt-rl").toString
     def runOnce(): Unit = graft.streaming.DocumentIngest.sidecarMaintenance(
       spark, warcDir + "/*.warc.gz", outDir, ckDir,
-      cdxTable = Some(t), buckets = 4, compactEvery = Some(1))
+      cdxTable = Some(t), buckets = 4, compactEvery = Some(1),
+      rangeLayoutDir = Some(rlDir))
     gz(s"$warcDir/d1.warc.gz",
       mk("https://cx.example/a", "<p>alpha body text long enough</p>"),
       mk("https://cx.example/b", "<p>beta body text long enough</p>"))
     runOnce()
+    // first batch publishes the FULL layout; the indexed lookup agrees
+    // with the store already
+    assert(CdxStore.currentRoot(spark, rlDir) == s"$rlDir/v=0")
+    assert(CdxStore.capturesForSiteIndexed(spark, rlDir, "example,cx)")
+      .count() == 2)
     gz(s"$warcDir/d2.warc.gz",
       mk("https://cx.example/c", "<p>gamma body text long enough</p>"))
     runOnce()
@@ -259,9 +266,18 @@ class CdxStoreSpec extends SparkTestBase {
     val site = CdxStore.capturesForSite(spark, t, "example,cx)")
     assert(site.select("target_uri").as[String].collect().sorted.toSeq ==
       Seq("https://cx.example/a", "https://cx.example/b", "https://cx.example/c"))
-    // replay with no new files: nothing re-appends
+    // the second batch REFRESHED the layout incrementally (a new
+    // version was published) and the indexed lookup tracks the store
+    assert(CdxStore.currentRoot(spark, rlDir) == s"$rlDir/v=1")
+    assert(CdxStore.capturesForSiteIndexed(spark, rlDir, "example,cx)")
+      .select("target_uri").as[String].collect().sorted.toSeq ==
+      site.select("target_uri").as[String].collect().sorted.toSeq)
+    // replay with no new files: nothing re-appends, layout untouched
     runOnce()
     assert(spark.table(t).count() == 3)
+    assert(CdxStore.currentRoot(spark, rlDir) == s"$rlDir/v=1")
+    assert(CdxStore.capturesForSiteIndexed(spark, rlDir, "example,cx)")
+      .count() == 3)
     // WET/WAT sidecars still per batch
     val wetBatches = new java.io.File(s"$outDir/wet").listFiles()
       .count(_.getName.startsWith("batch_id="))
