@@ -5761,6 +5761,47 @@ object Queries {
       .ordered("doc_id")
   }
 
+  // X31D — SPECIAL-TOKEN round-trip ([[graft.ext.Bpe
+  // .tokenizeBytesToIdsWithSpecials]] → [[detokenizeIdsWithSpecials]]):
+  // documents wrapped in HF added_tokens-style specials — bos + a
+  // MID-TEXT separator + eot — tokenized with the specials ATOMIC
+  // (each occurrence one token with the declared id) and round-tripped
+  // back. Oracle = the constructed text itself (the conservation law,
+  // x31c's shape) PLUS the atomicity witness: n_special counts tokens
+  // with special ids, exactly 3 per doc — if the specials fell through
+  // to byte-level tokenization the round-trip would still pass (ASCII
+  // decodes identically), but n_special would read 0. A torn UTF-8 run
+  // at a special boundary, a non-atomic match, or a detok splice bug
+  // each break text or count.
+  q("x31d_special_tokens_roundtrip",
+    """SELECT doc_id,
+      |  '<|graftbos|>' || COALESCE(text, '') || '<|graftsep|>'
+      |    || substr(COALESCE(text, ''), 1, 10) || '<|grafteot|>' AS text,
+      |  CAST(3 AS BIGINT) AS n_special
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val (merges, vocab) = bpeByteMemo.getOrElseUpdate(dir, {
+      val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
+      (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
+    })
+    val specials = Seq("<|graftbos|>" -> 500000, "<|graftsep|>" -> 500001,
+      "<|grafteot|>" -> 500002)
+    val wrapped = docs.select(col("doc_id"),
+      concat(lit("<|graftbos|>"), col("text"), lit("<|graftsep|>"),
+        substring(col("text"), 1, 10), lit("<|grafteot|>")).as("text"))
+    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
+    val toks = graft.ext.Bpe.tokenizeBytesToIdsWithSpecials(
+      wrapped, "doc_id", "text", seg, graft.ext.Bpe.byteVocab(merges), specials)
+    val nSpec = toks.filter(col("token_id") >= 500000)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_special"))
+    graft.ext.Bpe.detokenizeIdsWithSpecials(toks, "doc_id",
+        graft.ext.Bpe.byteVocab(merges), specials)
+      .join(nSpec, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("n_special"))
+      .ordered("doc_id")
+  }
+
   // X90 — the training-export LAST MILE composed end to end (rows-only
   // — the BPE token counts have no SQL twin; every stage is
   // individually oracle- or spec-gated): documents → byte-level BPE
