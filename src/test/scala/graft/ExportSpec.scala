@@ -288,6 +288,17 @@ class ExportSpec extends SparkTestBase {
         col("n_tokens").cast("long"))
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(mm == pq)
+    // the BINARY index alone drives the fetch — a loader with no
+    // engine parquet reader composes importMegatronIdx → readTokenBin
+    // (seq identity = offset-sorted position, which IS the in-shard
+    // sequence order here)
+    val viaBinary = Export.readTokenBin(
+        Export.importMegatronIdx(spark, out)
+          .withColumn("gseq", col("shard") * 3 + col("seq"))
+          .drop("seq").withColumnRenamed("gseq", "seq"),
+        "seq", out)
+      .as[(Long, Seq[Int])].collect().toMap
+    want.foreach { case (s, ids) => assert(viaBinary(s) == ids, s"bin-idx seq $s") }
     // audit clean; deterministic re-run (permuted input, same bytes)
     assert(Export.auditTokenBin(spark, out).isEmpty)
     val out2 = java.nio.file.Files.createTempDirectory("graft-seqbin2").toString

@@ -192,6 +192,50 @@ class ModelStoreSpec extends SparkTestBase {
     assert(e2.getMessage.contains("owned by subword"), e2.getMessage)
   }
 
+  test("specials fuzz: seeded random placements round-trip exactly with exact atomic counts") {
+    import spark.implicits._
+    // seeded corpus: random UTF-8-mixed fragments with specials
+    // injected at random positions — adjacent specials, doc edges,
+    // specials straddling multi-byte text, empty fragments all occur
+    val specials = Seq("<|s1|>" -> 900001, "<|s2longer|>" -> 900002)
+    val frags = Array("the cat", "日本語", "🙂", "café", "", " x ",
+      "привет", "tab\there", "", "punct!?;")
+    val rnd = new scala.util.Random(4219)
+    val docs = (0L until 60L).map { i =>
+      val parts = (0 until rnd.nextInt(8)).map { _ =>
+        if (rnd.nextInt(3) == 0) specials(rnd.nextInt(2))._1
+        else frags(rnd.nextInt(frags.length))
+      }
+      (i, parts.mkString(""))
+    }
+    val df = docs.toDF("id", "text")
+    val vocab = Bpe.byteWordFreqs(df, "text").cache()
+    val merges = Bpe.learnByteMergesFromVocabBatched(vocab, 10).merges
+    val seg = Bpe.segmentTableBytes(vocab, merges)
+    val ids = Bpe.byteVocab(merges)
+    val toks = Bpe.tokenizeBytesToIdsWithSpecials(df, "id", "text", seg,
+      ids, specials)
+    // no vocab misses anywhere in the fuzz corpus
+    assert(toks.filter(col("token_id") === -1).isEmpty)
+    // atomic counts: one special token per literal occurrence
+    val counts = toks.filter(col("token_id") >= 900000)
+      .groupBy("id").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    def occurrences(s: String, sub: String): Int =
+      if (s.isEmpty) 0 else s.sliding(sub.length).count(_ == sub)
+    docs.foreach { case (i, t) =>
+      val want = specials.map(sp => occurrences(t, sp._1)).sum
+      assert(counts.getOrElse(i, 0L) == want.toLong, s"doc $i '$t'")
+    }
+    // exact round-trip for every non-empty doc (empty docs emit no
+    // tokens and so no detok row — the x31c convention)
+    val back = Bpe.detokenizeIdsWithSpecials(toks, "id", ids, specials)
+      .as[(Long, String)].collect().toMap
+    docs.filter(_._2.nonEmpty).foreach { case (i, t) =>
+      assert(back(i) == t, s"doc $i: '${back.getOrElse(i, "<absent>")}' != '$t'")
+    }
+  }
+
   test("Unigram model round-trips exactly, piece order preserved") {
     val vocab = Bpe.wordFreqs(Tables.documents(spark, dir), "text").cache()
     val model = UnigramLm.fit(vocab, targetSize = 120, seedSize = 400,
