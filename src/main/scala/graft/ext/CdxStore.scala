@@ -370,28 +370,43 @@ object CdxStore {
     val existing = listVersions(fs, base)
     val next = existing.foldLeft(-1L)(_ max _) + 1
     val root = s"$dir/v=$next"
-    // rewrite each affected block from the store under its ASSIGNMENT
-    // range [k_min(i), k_min(i+1)) — first block unbounded below, last
-    // unbounded above. ONE FILE PER BLOCK, boundary-ALIGNED: a single
+    // rewrite the affected blocks from the store under their ASSIGNMENT
+    // ranges [k_min(i), k_min(i+1)) — first block unbounded below, last
+    // unbounded above — in ONE JOB, boundary-ALIGNED: a single
     // range-repartitioned write over scattered affected blocks would
     // let a sampled partition boundary span untouched blocks' ranges,
     // and the binary-search lookup (last k_min ≤ key, one candidate)
-    // would then miss keys hiding past a kept entry. Each block writes
-    // to a scratch dir and its part file renames into blocks/ —
-    // driver-side renames ∝ affected blocks, a maintenance-cadence
-    // cost.
+    // would then miss keys hiding past a kept entry. So the block id
+    // itself is the partition key: one OR-of-ranges predicate (pushed —
+    // the store scan reads only matching row groups), the broadcast
+    // bounds join tags each row's block, and a hash repartition on the
+    // tag + partitionBy writes exactly one file per block into a
+    // scratch dir, whose part files rename into blocks/ — driver
+    // renames ∝ affected blocks, one Spark job total (the per-block
+    // job loop this replaces scheduled K store scans).
     val ids = affected.toSeq
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/blocks"))
-    val newFiles = ids.map { i =>
+    val affectedBoundsDf = ids.map { i =>
+      (i, if (i == 0) null else mins(i),
+        if (i == prevIdx.length - 1) null else mins(i + 1))
+    }.toDF("__blk", "__lo", "__hi")
+    val cond = ids.map { i =>
       val lo = if (i == 0) None else Some(mins(i))
       val hi = if (i == prevIdx.length - 1) None else Some(mins(i + 1))
-      val scratch = s"$root/_rewrite/b$i"
-      spark.table(table)
-        .filter(lo.fold(lit(true))(l => col("urlkey") >= lit(l)) &&
-          hi.fold(lit(true))(h => col("urlkey") < lit(h)))
-        .repartition(1).sortWithinPartitions("urlkey")
-        .write.mode("overwrite").parquet(scratch)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(scratch))
+      lo.fold(lit(true))(l => col("urlkey") >= lit(l)) &&
+        hi.fold(lit(true))(h => col("urlkey") < lit(h))
+    }.reduce(_ || _)
+    val scratch = s"$root/_rewrite"
+    spark.table(table).filter(cond)
+      .join(broadcast(affectedBoundsDf),
+        (col("__lo").isNull || col("urlkey") >= col("__lo")) &&
+          (col("__hi").isNull || col("urlkey") < col("__hi")))
+      .drop("__lo", "__hi")
+      .repartition(ids.size, col("__blk"))
+      .sortWithinPartitions(col("__blk"), col("urlkey"))
+      .write.mode("overwrite").partitionBy("__blk").parquet(scratch)
+    val newFiles = ids.map { i =>
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$scratch/__blk=$i"))
         .map(_.getPath).filter(_.getName.endsWith(".parquet"))
       require(part.length == 1, s"block $i: ${part.length} part files")
       val dest = new org.apache.hadoop.fs.Path(
@@ -399,7 +414,7 @@ object CdxStore {
       require(fs.rename(part.head, dest), s"rename ${part.head} -> $dest")
       dest.toString
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_rewrite"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
     val newEntries = spark.read.parquet(newFiles: _*)
       .groupBy(input_file_name().as("file"))
       .agg(min("urlkey").as("k_min"), max("urlkey").as("k_max"),
