@@ -759,6 +759,30 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SPLIT-LEAKAGE audit + repair — the pre-training gate that keeps
+    * duplicate content from straddling train/val/test: evaluating on a
+    * near-copy of a training document inflates every metric silently.
+    * Given a duplicate-cluster key (`keyCol` — a normalized-text hash,
+    * a MinHash cluster id, a [[connectedComponents]] component) and a
+    * split assignment per doc, returns `df` with the per-cluster facts
+    * joined on: `keep_id` (min id — the cluster leader), `cluster_size`,
+    * `n_splits` (distinct splits BEFORE repair — >1 = leaked),
+    * `repaired_split` (the LEADER's split: every member moves to it,
+    * deterministic under any partitioning), and `moved` (this row's
+    * split changed). Scale shape: one hash aggregation on the dedup key
+    * + one key equi-join — the exact shapes the dedup stage itself
+    * runs; no windows (a boilerplate cluster can be corpus-sized). */
+  def repairSplitLeakage(df: DataFrame, idCol: String, keyCol: String,
+      splitCol: String): DataFrame = {
+    val facts = df.groupBy(col(keyCol)).agg(
+      min(col(idCol)).as("keep_id"),
+      count(lit(1)).as("cluster_size"),
+      countDistinct(col(splitCol)).as("n_splits"),
+      min_by(col(splitCol), col(idCol)).as("repaired_split"))
+    df.join(facts, Seq(keyCol))
+      .withColumn("moved", col(splitCol) =!= col("repaired_split"))
+  }
+
   /** Cross-set n-gram decontamination (benchmark-leakage scan): flag
     * corpus docs sharing ≥ `minShared` distinct word n-grams with any
     * doc of a probe/eval set. The canonical pre-training hygiene step:

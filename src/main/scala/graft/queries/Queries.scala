@@ -2404,6 +2404,71 @@ object Queries {
       .ordered("domain")
   }
 
+  // X94 — SPLIT-LEAKAGE audit + repair ([[graft.ext.Dedup
+  // .repairSplitLeakage]]): duplicate clusters (x1b's normalized-text
+  // key) crossed with the domain split (x72's assignment) — a dup
+  // cluster spanning train AND val/test is exactly the leakage that
+  // silently inflates eval metrics. Derived-input fixture (the x75
+  // pattern — the base corpus has NO normalized dups): every %4==1 doc
+  // gains a copy whose appended punctuation normalizes away and whose
+  // shifted id (+100001) lands on the NEXT %50 domain, so many
+  // clusters genuinely straddle splits while others don't — the output
+  // witnesses leaked (n_splits=2, n_moved=1) AND clean (n_splits=1,
+  // n_moved=0) clusters. Per multi-doc cluster: size, distinct splits
+  // BEFORE repair, the leader's split every member moves to, and how
+  // many moved. A wrong leader rule, a missed cluster, or a
+  // non-deterministic repair each break rows or hash.
+  q("x94_split_leakage",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100001, text || ' !! ' FROM documents
+       |  WHERE doc_id % 4 = 1),
+       |d AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k,
+       |    CASE WHEN md5('h' || CAST(doc_id % 50 AS VARCHAR) || '.example'
+       |                  || ':' || '$SplitSeed')
+       |           < '${graft.ext.Sampling.hexThreshold(0.8)}' THEN 'train'
+       |         WHEN md5('h' || CAST(doc_id % 50 AS VARCHAR) || '.example'
+       |                  || ':' || '$SplitSeed')
+       |           < '${graft.ext.Sampling.hexThreshold(0.9)}' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM corpus),
+       |lead AS (
+       |  SELECT k, MIN(doc_id) AS keep_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_dups,
+       |    CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+       |    arg_min(split, doc_id) AS repaired_split
+       |  FROM d GROUP BY k)
+       |SELECT l.keep_id, l.n_dups, l.n_splits, l.repaired_split,
+       |  CAST(SUM(CASE WHEN d.split <> l.repaired_split THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_moved
+       |FROM d JOIN lead l USING (k)
+       |WHERE l.n_dups > 1
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 4 === 1).select(
+        (col("doc_id") + 100001L).as("doc_id"),
+        concat(col("text"), lit(" !! ")).as("text")))
+    val d = corpus
+      .select(col("doc_id"), md5(norm).as("k"),
+        concat(lit("h"), (col("doc_id") % 50).cast("string"),
+          lit(".example")).as("domain"))
+      .withColumn("split", graft.ext.Sampling.splitColumn(col("domain"),
+        SplitSeed, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    graft.ext.Dedup.repairSplitLeakage(d, "doc_id", "k", "split")
+      .filter(col("cluster_size") > 1)
+      .groupBy(col("keep_id"), col("cluster_size").as("n_dups"),
+        col("n_splits"), col("repaired_split"))
+      .agg(sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+      .select("keep_id", "n_dups", "n_splits", "repaired_split", "n_moved")
+      .ordered("keep_id")
+  }
+
   // X14 — train/val/test split sizes (80/10/10). Oracle runs the same
   // hex-threshold CASE; counts AND char mass must agree exactly.
   q("x14_split_sizes",

@@ -9,6 +9,33 @@ import graft.ext.Dedup
 class DedupClusterSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("repairSplitLeakage: leaked clusters move to the leader's split, clean and singleton clusters untouched") {
+    // cluster A leaks (train+val+test), B is clean (all train), C is a
+    // singleton; leader = min id, so A repairs to id 1's split
+    val d = Seq(
+      (1L, "A", "val"), (2L, "A", "train"), (3L, "A", "test"),
+      (4L, "B", "train"), (5L, "B", "train"),
+      (6L, "C", "test"))
+      .toDF("id", "k", "split")
+    val r = Dedup.repairSplitLeakage(d, "id", "k", "split")
+      .select("id", "keep_id", "cluster_size", "n_splits",
+        "repaired_split", "moved")
+      .as[(Long, Long, Long, Long, String, Boolean)].collect().sortBy(_._1)
+    assert(r.map(x => (x._1, x._2, x._3, x._4, x._5, x._6)).toSeq == Seq(
+      (1L, 1L, 3L, 3L, "val", false),
+      (2L, 1L, 3L, 3L, "val", true),
+      (3L, 1L, 3L, 3L, "val", true),
+      (4L, 4L, 2L, 1L, "train", false),
+      (5L, 4L, 2L, 1L, "train", false),
+      (6L, 6L, 1L, 1L, "test", false)))
+    // the repaired assignment has zero leakage by construction
+    val post = Dedup.repairSplitLeakage(
+      r.map(x => (x._1, if (x._1 <= 3) "A" else if (x._1 <= 5) "B" else "C",
+        x._5)).toSeq.toDF("id", "k", "split"),
+      "id", "k", "split")
+    assert(post.filter(col("n_splits") > 1).isEmpty)
+  }
+
   test("connectedComponents: transitive closure, multiple components, long chain") {
     // component {1,2,3,4} is a CHAIN (1-2, 2-3, 3-4): no pair (1,4) or
     // (1,3) exists, yet all four must resolve to min-id 1 — keeping
