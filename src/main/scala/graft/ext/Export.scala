@@ -470,6 +470,36 @@ object Export {
     * (the CDX random-access pattern on the training artifact). Returns
     * `(<idCol>, token_ids array<int>)`. Pass a filtered slice of
     * `outDir/idx` (or any frame with shard/offset/n_tokens). */
+  /** Greedily group offset-sorted `(id, offset, n)` spans into runs of
+    * CONTIGUOUS spans (next.offset == prev.offset + prev.n) capped at
+    * `maxTokens` per run — the trainer access pattern is a contiguous
+    * epoch window, and one positioned read per run beats one per
+    * document on any latency-bound store (S3/HDFS). Pure function,
+    * unit-tested directly. */
+  private def atMostInt(v: Long): Int = {
+    require(v >= 0 && v <= Int.MaxValue, s"read of $v bytes exceeds one buffer")
+    v.toInt
+  }
+
+  private[graft] def coalesceSpans(rows: Seq[(Long, Long, Int)],
+      maxTokens: Long): Seq[Seq[(Long, Long, Int)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Int)]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    var curTok = 0L
+    rows.foreach { r =>
+      val contiguous = cur.nonEmpty && {
+        val (_, off, n) = cur.last; off + n == r._2
+      }
+      if (cur.isEmpty || (contiguous && curTok + r._3 <= maxTokens)) {
+        cur += r; curTok += r._3
+      } else {
+        out += cur.toSeq; cur.clear(); cur += r; curTok = r._3
+      }
+    }
+    if (cur.nonEmpty) out += cur.toSeq
+    out.toSeq
+  }
+
   def readTokenBin(index: DataFrame, idCol: String, outDir: String): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
@@ -489,19 +519,32 @@ object Export {
         col("offset").cast("long"), nTok)
       .as[(Long, Long, Long, Int)]
       .mapPartitions { it =>
-        // one open stream per shard per partition, rows grouped by
-        // shard to keep seeks forward-only within a group
+        // one open stream per shard per partition, rows offset-sorted
+        // so seeks run forward-only — and CONTIGUOUS spans coalesce
+        // into one positioned read each ([[coalesceSpans]], capped at
+        // 16M tokens = 64 MiB/read): a trainer's epoch window is one
+        // contiguous run per shard, so the fetch is one IO, not one
+        // per document
         val byShard = it.toSeq.groupBy(_._1)
         byShard.iterator.flatMap { case (shard, rows) =>
           val p = new org.apache.hadoop.fs.Path(outDir,
             f"shard-$shard%05d.bin")
           val in = p.getFileSystem(conf.value).open(p)
-          try rows.sortBy(_._3).map { case (_, id, off, n) =>
-            val bytes = new Array[Byte](n * 4)
-            in.readFully(off * 4L, bytes)
-            val bb = java.nio.ByteBuffer.wrap(bytes)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            (id, Array.fill(n)(bb.getInt()))
+          try {
+            val spans = rows.sortBy(_._3)
+              .map { case (_, id, off, n) => (id, off, n) }
+            coalesceSpans(spans, maxTokens = 16L << 20).flatMap { run =>
+              val first = run.head._2
+              val total = run.iterator.map(_._3.toLong).sum
+              val bytes = new Array[Byte](atMostInt(total * 4L))
+              in.readFully(first * 4L, bytes)
+              val bb = java.nio.ByteBuffer.wrap(bytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              run.map { case (id, off, n) =>
+                bb.position(((off - first) * 4L).toInt)
+                (id, Array.fill(n)(bb.getInt()))
+              }
+            }
           } finally in.close()
         }
       }

@@ -309,6 +309,21 @@ class ExportSpec extends SparkTestBase {
     assert(sha(m1) == sha(m2))
   }
 
+  test("coalesceSpans: contiguous spans merge into one read, gaps and the byte cap split, order and content preserved") {
+    // (id, offset, n): 0-2 contiguous, gap, 3-4 contiguous
+    val spans = Seq((0L, 0L, 4), (1L, 4L, 2), (2L, 6L, 3),
+      (10L, 100L, 5), (11L, 105L, 1))
+    val runs = Export.coalesceSpans(spans, maxTokens = 1000L)
+    assert(runs.map(_.map(_._1)) == Seq(Seq(0L, 1L, 2L), Seq(10L, 11L)))
+    assert(runs.flatten == spans) // nothing lost, order preserved
+    // the cap splits a contiguous run (4+2 <= 6, +3 would exceed)
+    val capped = Export.coalesceSpans(spans.take(3), maxTokens = 6L)
+    assert(capped.map(_.map(_._1)) == Seq(Seq(0L, 1L), Seq(2L)))
+    // singletons and empty input
+    assert(Export.coalesceSpans(Nil, 10L).isEmpty)
+    assert(Export.coalesceSpans(Seq((7L, 3L, 2)), 1L) == Seq(Seq((7L, 3L, 2))))
+  }
+
   test("readTokenBin rejects an n_tokens past the 2 GiB positioned-read bound instead of overflowing the buffer size") {
     val tokens = Seq((1L, 0, 0, 7)).toDF("doc_id", "pos", "subpos", "token_id")
     val out = java.nio.file.Files.createTempDirectory("graft-bigdoc").toString
