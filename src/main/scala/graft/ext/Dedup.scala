@@ -712,6 +712,15 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // Round count IS the cost at fixture scale (one job per round;
+    // measured: x20 converges in 4 rounds, x26b's chain-heavy
+    // threshold-0.3 graph in 16 — ~0.27 s/round of job floor). True
+    // pointer-DOUBLING would halve rounds but each extra jump doubles
+    // the checkpointed frame's reference count inside a plan that
+    // carries the observe() — exactly the r13 Catalyst-hang footgun
+    // (see Graph.pageRankLoop); an intermediate checkpoint restores
+    // safety but pays a second job per round, a wash. Revisit only if
+    // a real corpus shows diameters past ~25 (maxIter).
     labels
   }
 
