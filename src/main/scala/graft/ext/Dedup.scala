@@ -778,18 +778,31 @@ object Dedup {
     * `n_splits` (distinct splits BEFORE repair — >1 = leaked),
     * `repaired_split` (the LEADER's split: every member moves to it,
     * deterministic under any partitioning), and `moved` (this row's
-    * split changed). Scale shape: one hash aggregation on the dedup key
-    * + one key equi-join — the exact shapes the dedup stage itself
-    * runs; no windows (a boilerplate cluster can be corpus-sized). */
+    * split changed). A NULL `keyCol` means "no cluster evidence" — the
+    * row passes through as its own singleton (keep_id = own id,
+    * cluster_size = 1, n_splits = 1, repaired_split = own split,
+    * moved = false) instead of being silently dropped by the equi-join
+    * or lumped into one giant null-key "cluster" by a null-safe join.
+    * `moved` is null-safe, so a NULL split compares as a value (a
+    * leader with a NULL split moving a labeled member still reads
+    * moved = true), never as a NULL verdict. Scale shape: one hash
+    * aggregation on the dedup key + one key equi-join — the exact
+    * shapes the dedup stage itself runs; no windows (a boilerplate
+    * cluster can be corpus-sized). */
   def repairSplitLeakage(df: DataFrame, idCol: String, keyCol: String,
       splitCol: String): DataFrame = {
-    val facts = df.groupBy(col(keyCol)).agg(
+    val facts = df.filter(col(keyCol).isNotNull).groupBy(col(keyCol)).agg(
       min(col(idCol)).as("keep_id"),
       count(lit(1)).as("cluster_size"),
       countDistinct(col(splitCol)).as("n_splits"),
       min_by(col(splitCol), col(idCol)).as("repaired_split"))
-    df.join(facts, Seq(keyCol))
-      .withColumn("moved", col(splitCol) =!= col("repaired_split"))
+    df.join(facts, Seq(keyCol), "left")
+      .withColumn("keep_id", coalesce(col("keep_id"), col(idCol)))
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("n_splits", coalesce(col("n_splits"), lit(1L)))
+      .withColumn("repaired_split",
+        when(col(keyCol).isNull, col(splitCol)).otherwise(col("repaired_split")))
+      .withColumn("moved", !(col(splitCol) <=> col("repaired_split")))
   }
 
   /** Cross-set n-gram decontamination (benchmark-leakage scan): flag

@@ -218,11 +218,173 @@ object Export {
         col("l.checksum") =!= col("m.checksum"))
   }
 
+  /** Element width of a binary-shard token dtype. `int32` is the
+    * universal default; `uint16` halves artifact bytes and trainer IO
+    * for every vocab under 65536 ids (most 32k–50k production vocabs)
+    * and is rejected LOUDLY at write time the moment any token id
+    * falls outside [0, 65536). */
+  private[ext] def dtypeWidth(dtype: String): Int = dtype match {
+    case "int32"  => 4
+    case "uint16" => 2
+    case other => throw new IllegalArgumentException(
+      s"unsupported token dtype '$other' (supported: int32, uint16)")
+  }
+
+  /** Megatron-LM dtype codes (public `indexed_dataset.py` numpy map). */
+  private def megatronCode(dtype: String): Byte = dtype match {
+    case "int32" => 4
+    case "uint16" => 8
+  }
+  private def dtypeOfCode(code: Byte): String = code match {
+    case 4 => "int32"
+    case 8 => "uint16"
+    case other => throw new IllegalArgumentException(
+      s"unsupported Megatron dtype code $other (supported: 4 = int32, 8 = uint16)")
+  }
+
+  /** The element dtype a [[writeTokenBin]]/[[writeSequenceBin]] export
+    * landed, read from its `_manifest` (`int32` for manifests written
+    * before the column existed, and for a bare index-plus-bins layout
+    * with no manifest at all — the historical format). */
+  def binDtype(spark: SparkSession, outDir: String): String =
+    try {
+      val m = spark.read.parquet(s"$outDir/_manifest")
+      if (!m.columns.contains("dtype")) "int32"
+      else m.select("dtype").limit(1).collect().headOption
+        .map(_.getString(0)).getOrElse("int32")
+    } catch { case _: org.apache.spark.sql.AnalysisException => "int32" }
+
+  /** Roll-on-shard-change binary shard writer — the per-partition
+    * engine shared by [[writeTokenBin]]/[[writeSequenceBin]] and their
+    * append paths ([[appendTokenBin]]/[[appendSequenceBin]]): rows
+    * arrive (shard, layout-key)-sorted, each shard's tokens stream
+    * into `shard-NNNNN.bin` (tmp file + [[AtomicSink]] commit — file
+    * names bind to the SHARD id, never the task, so a hash partition
+    * holding several shards rolls files on shard change), and the
+    * per-shard `(shard, n_docs, n_tokens, n_bytes, sha1)` manifest
+    * rows come back from [[results]].
+    *
+    * `tailSeed` is the append path's one touched EXISTING shard: on
+    * opening it, the landed bin's bytes stream through the digest
+    * FIRST (new file = old content + appended tokens, sha1 covering
+    * both) and the doc/token counters start at the stored totals — the
+    * only stored-side IO an append pays, bounded by one shard.
+    *
+    * Instantiate INSIDE the task (holds open streams) and call
+    * [[install]] with the live TaskContext so a failed attempt aborts
+    * its temp files instead of committing partial bytes. */
+  private final class ShardBinWriter(outDir: String,
+      conf: org.apache.spark.util.SerializableConfiguration, width: Int,
+      tailSeed: Map[Long, (Long, Long)]) {
+    private val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, String)]
+    private var cur = -1L
+    private var stream: java.io.OutputStream = null
+    private var digest: java.security.MessageDigest = null
+    private var nTok = 0L
+    private var nDocs = 0L
+    private var lastDoc = Long.MinValue
+    private var fs: org.apache.hadoop.fs.FileSystem = null
+    private var tmp: org.apache.hadoop.fs.Path = null
+    private var dest: org.apache.hadoop.fs.Path = null
+    private var attemptId = 0L
+    @volatile private var failed = false
+    private val buf = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    def install(ctx: org.apache.spark.TaskContext): this.type = {
+      attemptId = ctx.taskAttemptId()
+      ctx.addTaskFailureListener((_, _) => { failed = true })
+      ctx.addTaskCompletionListener[Unit] { _ =>
+        if (failed) {
+          if (stream != null) stream.close()
+          if (fs != null) AtomicSink.abort(fs, tmp)
+        } else close()
+      }
+      this
+    }
+
+    private def close(): Unit = if (stream != null) {
+      stream.close()
+      AtomicSink.commit(fs, tmp, dest)
+      out += ((cur, nDocs, nTok, nTok * width,
+        digest.digest().map("%02x".format(_)).mkString))
+      stream = null
+    }
+
+    private def open(shard: Long): Unit = {
+      close()
+      cur = shard; nTok = 0L; nDocs = 0L; lastDoc = Long.MinValue
+      dest = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.bin")
+      fs = dest.getFileSystem(conf.value)
+      tmp = AtomicSink.tempFor(dest, attemptId)
+      digest = java.security.MessageDigest.getInstance("SHA-1")
+      stream = new java.io.BufferedOutputStream(
+        new java.security.DigestOutputStream(fs.create(tmp, true), digest),
+        1 << 16)
+      tailSeed.get(shard).foreach { case (docs, toks) =>
+        // append path: stream the landed bytes through the digest so
+        // the committed file (and its manifest sha1) covers old +
+        // appended content. Copy EXACTLY the manifest-recorded length,
+        // never to EOF: if a prior attempt (a retry after commit, a
+        // speculative twin) already republished the tail, reading to
+        // EOF would re-append the new tokens on top of themselves —
+        // bounding the copy at the stored byte count makes the rewrite
+        // idempotent no matter what is sitting at dest
+        var remaining = toks * width
+        val src = fs.open(dest)
+        try {
+          val cbuf = new Array[Byte](1 << 16)
+          while (remaining > 0) {
+            val r = src.read(cbuf, 0, math.min(cbuf.length.toLong, remaining).toInt)
+            require(r > 0, s"tail shard $shard: landed bin shorter than " +
+              s"the manifest's ${toks * width} bytes")
+            stream.write(cbuf, 0, r); remaining -= r
+          }
+        } finally src.close()
+        nDocs = docs; nTok = toks
+      }
+    }
+
+    private def put(tok: Int): Unit = {
+      buf.clear()
+      if (width == 4) buf.putInt(tok)
+      else {
+        require(tok >= 0 && tok < 65536,
+          s"token id $tok unrepresentable as uint16 — ids must be in " +
+            "[0, 65536) for dtype=uint16; export with dtype=int32")
+        buf.putShort(tok.toShort)
+      }
+      stream.write(buf.array(), 0, width)
+    }
+
+    /** One token of `doc` — doc tokens must arrive contiguously
+      * (shard, layout, id)-sorted, so doc CHANGES count docs in O(1)
+      * memory per shard. */
+    def token(shard: Long, tok: Int, doc: Long): Unit = {
+      if (shard != cur || stream == null) open(shard)
+      put(tok); nTok += 1
+      if (doc != lastDoc) { nDocs += 1; lastDoc = doc }
+    }
+
+    /** One whole packed sequence (counts as one "doc" in the manifest —
+      * a packed sequence IS the training sample). */
+    def sequence(shard: Long, ids: Seq[Int]): Unit = {
+      if (shard != cur || stream == null) open(shard)
+      ids.foreach(put); nTok += ids.length; nDocs += 1
+    }
+
+    def results(): Iterator[(Long, Long, Long, Long, String)] = {
+      close(); out.iterator
+    }
+  }
+
   /** BINARY indexed token shards — the mmap-ready artifact GPT-style
     * training loaders consume (the Megatron-LM `.bin`/`.idx`
     * convention, engine-side): per shard ONE `shard-NNNNN.bin` of raw
-    * LITTLE-ENDIAN int32 token ids, documents contiguous in the
-    * deterministic [[assignShards]] layout order, plus
+    * LITTLE-ENDIAN token ids (`dtype`: int32 default, uint16 for
+    * ≤65k vocabs — half the artifact bytes), documents contiguous in
+    * the deterministic [[assignShards]] layout order, plus
     *
     *   - `idx/` (parquet): one row per document —
     *     `(shard, <idCol>, offset, n_tokens)`, offset in TOKENS into
@@ -243,9 +405,11 @@ object Export {
     * `nShards` roll-on-shard-change writers; `groups` shards the
     * layout itself (the [[assignShards]] 100-TB path). */
   def writeTokenBin(tokens: DataFrame, idCol: String, outDir: String,
-      tokensPerShard: Long, seed: Long = 42L, groups: Int = 1): DataFrame = {
+      tokensPerShard: Long, seed: Long = 42L, groups: Int = 1,
+      dtype: String = "int32"): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
+    val width = dtypeWidth(dtype)
     val counts = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("ntok"))
     val assigned = assignShards(counts, idCol, "ntok", tokensPerShard,
       seed, groups)
@@ -269,9 +433,14 @@ object Export {
       // through one task (the r18 scale wart: a repartition(1) here put
       // billions of rows through a single parquet writer while the bin
       // writer next to it sharded correctly). Same layout as the bins:
-      // one directory per shard, shard-pruned on read.
-      (if (nShards > 0) index.repartition(nShards, col("shard")) else index)
-        .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/idx")
+      // one directory per shard, shard-pruned on read. A ZERO-row
+      // corpus writes one plain (schema-carrying) empty file instead —
+      // partitionBy over nothing would land no data file at all and
+      // every downstream idx read would die on schema inference.
+      if (nShards > 0)
+        index.repartition(nShards, col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/idx")
+      else index.write.mode("overwrite").parquet(s"$outDir/idx")
       val conf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
       val manifest =
@@ -289,64 +458,18 @@ object Export {
             col(idCol).cast("long"))
           .as[(Long, Int, Long)]
           .mapPartitions { it =>
-            // roll-on-shard-change: a hash partition may hold several
-            // shards; file names bind to the SHARD id, never the task
-            val ctx = org.apache.spark.TaskContext.get()
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Long, Long, Long, String)]
-            var cur = -1L
-            var stream: java.io.OutputStream = null
-            var digest: java.security.MessageDigest = null
-            var nTok = 0L
-            // rows are (shard, layout, id)-sorted, so a doc's tokens
-            // are contiguous: count doc CHANGES, O(1) memory per shard
-            var nDocs = 0L
-            var lastDoc = Long.MinValue
-            var fs: org.apache.hadoop.fs.FileSystem = null
-            var tmp: org.apache.hadoop.fs.Path = null
-            var dest: org.apache.hadoop.fs.Path = null
-            val buf = java.nio.ByteBuffer.allocate(4)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            def close(): Unit = if (stream != null) {
-              stream.close()
-              AtomicSink.commit(fs, tmp, dest)
-              out += ((cur, nDocs, nTok, nTok * 4L,
-                digest.digest().map("%02x".format(_)).mkString))
-              stream = null
-            }
-            def open(shard: Long): Unit = {
-              close()
-              cur = shard; nTok = 0L
-              nDocs = 0L; lastDoc = Long.MinValue
-              dest = new org.apache.hadoop.fs.Path(outDir,
-                f"shard-$shard%05d.bin")
-              fs = dest.getFileSystem(conf.value)
-              tmp = AtomicSink.tempFor(dest, ctx.taskAttemptId())
-              digest = java.security.MessageDigest.getInstance("SHA-1")
-              stream = new java.io.BufferedOutputStream(
-                new java.security.DigestOutputStream(fs.create(tmp, true),
-                  digest), 1 << 16)
-            }
-            @volatile var failed = false
-            ctx.addTaskFailureListener((_, _) => { failed = true })
-            ctx.addTaskCompletionListener[Unit] { _ =>
-              if (failed) { if (stream != null) stream.close();
-                if (fs != null) AtomicSink.abort(fs, tmp) }
-              else close()
-            }
-            it.foreach { case (shard, tok, doc) =>
-              if (shard != cur || stream == null) open(shard)
-              buf.clear(); buf.putInt(tok)
-              stream.write(buf.array(), 0, 4)
-              nTok += 1
-              if (doc != lastDoc) { nDocs += 1; lastDoc = doc }
-            }
-            close()
-            out.iterator
+            val w = new ShardBinWriter(outDir, conf, width, Map.empty)
+              .install(org.apache.spark.TaskContext.get())
+            it.foreach { case (shard, tok, doc) => w.token(shard, tok, doc) }
+            w.results()
           }
           .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
-          .orderBy("shard")
-      val m = manifest.localCheckpoint(true)
+      // checkpoint BEFORE the sort: orderBy's range-exchange sampling
+      // pass re-executes the child, and the child here is the
+      // side-effecting bin writer — unchecked, every export wrote its
+      // bytes twice (benign for overwrite, 2× the IO at scale)
+      val m = manifest.withColumn("dtype", lit(dtype))
+        .localCheckpoint(true).orderBy("shard")
       m.repartition(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
       m
     } finally index.unpersist(): Unit
@@ -370,10 +493,11 @@ object Export {
     * frame. Scale shape: one shard-bounded offset window, one
     * repartition on shard, roll-on-shard-change writers. */
   def writeSequenceBin(packed: DataFrame, outDir: String,
-      seqsPerShard: Long): DataFrame = {
+      seqsPerShard: Long, dtype: String = "int32"): DataFrame = {
     require(seqsPerShard > 0, "seqsPerShard must be positive")
     val spark = packed.sparkSession
     import spark.implicits._
+    val width = dtypeWidth(dtype)
     // checkpoint the SHARDED frame, not the index: the index layout,
     // the idx write, AND the bin writer all branch from it — without
     // this the packTokenIds aggregation (a corpus-sized shuffle) would
@@ -390,11 +514,23 @@ object Export {
         col("n").as("n_tokens"))
     try {
       val maxShard = index.agg(max(col("shard"))).head
+      require(maxShard.isNullAt(0) || maxShard.getLong(0) < Int.MaxValue - 1,
+        s"shard count ${maxShard.getLong(0) + 1} exceeds Int range — " +
+          "raise seqsPerShard (a bin file should be GBs, not KBs)")
       val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
-      (if (nShards > 0) index.repartition(nShards, col("shard")) else index)
-        .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/idx")
+      // zero-row input: plain schema-carrying empty idx file (see
+      // [[writeTokenBin]] — partitionBy over nothing writes no data
+      // file and the read-back would die on schema inference)
+      if (nShards > 0)
+        index.repartition(nShards, col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/idx")
+      else index.write.mode("overwrite").parquet(s"$outDir/idx")
       val conf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
+      // manifest `n_docs` counts SEQUENCES here — a packed sequence IS
+      // the training sample (doc == sample is the whole artifact's
+      // unit), and the shared column name keeps `auditTokenBin` and
+      // every manifest consumer schema-compatible across both writers
       val manifest =
         if (nShards == 0)
           Seq.empty[(Long, Long, Long, Long, String)]
@@ -405,64 +541,245 @@ object Export {
           .select(col("shard"), col("token_ids"))
           .as[(Long, Seq[Int])]
           .mapPartitions { it =>
-            val ctx = org.apache.spark.TaskContext.get()
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Long, Long, Long, String)]
-            var cur = -1L
-            var stream: java.io.OutputStream = null
-            var digest: java.security.MessageDigest = null
-            var nTok = 0L
-            var nSeqs = 0L
-            var fs: org.apache.hadoop.fs.FileSystem = null
-            var tmp: org.apache.hadoop.fs.Path = null
-            var dest: org.apache.hadoop.fs.Path = null
-            val buf = java.nio.ByteBuffer.allocate(4)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            def close(): Unit = if (stream != null) {
-              stream.close()
-              AtomicSink.commit(fs, tmp, dest)
-              out += ((cur, nSeqs, nTok, nTok * 4L,
-                digest.digest().map("%02x".format(_)).mkString))
-              stream = null
-            }
-            def open(shard: Long): Unit = {
-              close()
-              cur = shard; nTok = 0L; nSeqs = 0L
-              dest = new org.apache.hadoop.fs.Path(outDir,
-                f"shard-$shard%05d.bin")
-              fs = dest.getFileSystem(conf.value)
-              tmp = AtomicSink.tempFor(dest, ctx.taskAttemptId())
-              digest = java.security.MessageDigest.getInstance("SHA-1")
-              stream = new java.io.BufferedOutputStream(
-                new java.security.DigestOutputStream(fs.create(tmp, true),
-                  digest), 1 << 16)
-            }
-            @volatile var failed = false
-            ctx.addTaskFailureListener((_, _) => { failed = true })
-            ctx.addTaskCompletionListener[Unit] { _ =>
-              if (failed) { if (stream != null) stream.close();
-                if (fs != null) AtomicSink.abort(fs, tmp) }
-              else close()
-            }
-            it.foreach { case (shard, ids) =>
-              if (shard != cur || stream == null) open(shard)
-              ids.foreach { tok =>
-                buf.clear(); buf.putInt(tok)
-                stream.write(buf.array(), 0, 4)
-              }
-              nTok += ids.length
-              nSeqs += 1
-            }
-            close()
-            out.iterator
+            val w = new ShardBinWriter(outDir, conf, width, Map.empty)
+              .install(org.apache.spark.TaskContext.get())
+            it.foreach { case (shard, ids) => w.sequence(shard, ids) }
+            w.results()
           }
           .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
-          .orderBy("shard")
-      val m = manifest.localCheckpoint(true)
+      // checkpoint BEFORE the sort: orderBy's range-exchange sampling
+      // pass re-executes the child, and the child here is the
+      // side-effecting bin writer — unchecked, every export wrote its
+      // bytes twice (benign for overwrite, 2× the IO at scale)
+      val m = manifest.withColumn("dtype", lit(dtype))
+        .localCheckpoint(true).orderBy("shard")
       m.repartition(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
       m
     } finally laid.unpersist(): Unit
   }
+
+  /** INCREMENTAL append to a [[writeTokenBin]] export — the
+    * daily-batch path: stored docs keep their (shard, offset)
+    * untouched; the batch's NEW docs (ids not already in `idx/` —
+    * re-appended ids are skipped, so a replayed batch is a no-op, the
+    * [[graft.streaming.DocumentIngest]] replay discipline) lay out by
+    * the same seeded-hash machinery into the TAIL shard's remaining
+    * budget and fresh shards beyond it. Only those files are written:
+    * untouched shard bins and idx files keep FILE IDENTITY; the tail
+    * bin (when it had budget left) is rewritten once from its landed
+    * bytes + the new tokens; `_manifest` is FOLDED (untouched rows
+    * carried, touched rows replaced), never recomputed from the
+    * corpus. Returns the DELTA manifest (touched shards only) — feed
+    * its shard ids to [[exportMegatronIdx]]'s `onlyShards` to refresh
+    * the binary idx of exactly the touched shards.
+    *
+    * Scale shape: the stored side contributes one PRUNED column scan
+    * of `idx/` (the 8-byte id column, for the new-id anti-join) plus
+    * at most ONE shard's byte copy; everything else is batch-sized —
+    * the same delta-cost contract the band store
+    * ([[Dedup.writeBandStoreBucketed]] + probe) and
+    * [[Retrieval.mergeIndex]] honor. `groups > 1` (the corpus-scale
+    * batch layout) starts at fresh shards instead of filling the tail
+    * (per-group tail state doesn't exist); the cost is at most one
+    * under-filled boundary shard per append. */
+  def appendTokenBin(tokens: DataFrame, idCol: String, outDir: String,
+      tokensPerShard: Long, seed: Long = 42L, groups: Int = 1): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val mPath = new org.apache.hadoop.fs.Path(s"$outDir/_manifest")
+    val fs0 = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs0.exists(mPath))
+      return writeTokenBin(tokens, idCol, outDir, tokensPerShard, seed, groups)
+    // sever lineage from the _manifest files this call will replace
+    val oldManifest = withDtypeCol(spark.read.parquet(s"$outDir/_manifest"))
+      .localCheckpoint(true)
+    if (oldManifest.isEmpty)
+      return writeTokenBin(tokens, idCol, outDir, tokensPerShard, seed, groups)
+    val dtype = oldManifest.select("dtype").head.getString(0)
+    val width = dtypeWidth(dtype)
+    val tail = oldManifest.orderBy(col("shard").desc)
+      .select("shard", "n_docs", "n_tokens").head
+    val (tailShard, tailDocs, tailToks) =
+      (tail.getLong(0), tail.getLong(1), tail.getLong(2))
+    val storedIds = spark.read.parquet(s"$outDir/idx").select(col(idCol))
+    // EAGER checkpoint, not persist: the idx append below refreshes the
+    // path's cache entries, and a persisted-but-recomputable anti-join
+    // against idx/ would re-run AFTER the append — seeing its own new
+    // ids as "stored" and silently emptying the delta. Severing the
+    // lineage makes the batch's new-doc set immune to the write.
+    // Batch-sized materialization, the append's working set.
+    val newToks = tokens.join(storedIds, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    locally {
+      val counts = newToks.groupBy(col(idCol)).agg(count(lit(1)).as("ntok"))
+      val layoutKey = xxhash64(col(idCol), lit(seed))
+      // layout the new docs AFTER the stored corpus: with groups == 1
+      // the cumulative layout starts at the tail shard's fill level
+      // (capped at the budget — an overfull tail, one straddling doc,
+      // opens a fresh shard); grouped layouts start at tailShard + 1
+      val assigned =
+        if (groups == 1) {
+          val fillBase = math.min(tailToks, tokensPerShard)
+          val w = Window.orderBy(layoutKey, col(idCol))
+          val cum = coalesce(sum(col("ntok")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          counts.withColumn("shard",
+            lit(tailShard) + ((cum + lit(fillBase)) / tokensPerShard).cast("long"))
+        } else
+          assignShards(counts, idCol, "ntok", tokensPerShard, seed, groups)
+            .withColumn("shard", col("shard") + lit(tailShard + 1))
+      val wOff = Window.partitionBy(col("shard")).orderBy(layoutKey, col(idCol))
+      val index = assigned.withColumn("offset",
+          coalesce(sum(col("ntok")).over(
+            wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            // tail-shard offsets continue after the stored tokens
+            + when(col("shard") === tailShard, lit(tailToks)).otherwise(lit(0L)))
+        .select(col("shard"), col(idCol), col("offset"),
+          col("ntok").as("n_tokens"))
+        .localCheckpoint(true)
+      try {
+        val maxShard = index.agg(max(col("shard"))).head
+        if (maxShard.isNullAt(0)) // nothing new: untouched export, empty delta
+          return oldManifest.limit(0)
+        require(maxShard.getLong(0) < Int.MaxValue - 1,
+          s"shard count ${maxShard.getLong(0) + 1} exceeds Int range — " +
+            "raise tokensPerShard (a bin file should be GBs, not KBs)")
+        val touched = index.select(col("shard")).distinct()
+          .as[Long].collect().sorted.toSeq // ≤ batch/tokensPerShard + 1
+        val tailSeed: Map[Long, (Long, Long)] =
+          if (touched.contains(tailShard)) Map(tailShard -> (tailDocs, tailToks))
+          else Map.empty
+        // idx: APPEND new files only — untouched shard directories (and
+        // the tail's existing file) keep identity; the tail dir gains
+        // one delta file, read back as the union
+        index.repartition(touched.size, col("shard"))
+          .write.mode("append").partitionBy("shard").parquet(s"$outDir/idx")
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val delta = newToks
+          .join(index.select(col("shard"), col(idCol)), Seq(idCol))
+          .withColumn("__k", layoutKey)
+          .repartition(touched.size, col("shard"))
+          .sortWithinPartitions(col("shard"), col("__k"), col(idCol),
+            col("pos"), col("subpos"))
+          .select(col("shard"), col("token_id").cast("int"),
+            col(idCol).cast("long"))
+          .as[(Long, Int, Long)]
+          .mapPartitions { it =>
+            val w = new ShardBinWriter(outDir, conf, width, tailSeed)
+              .install(org.apache.spark.TaskContext.get())
+            it.foreach { case (shard, tok, doc) => w.token(shard, tok, doc) }
+            w.results()
+          }
+          .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
+          .withColumn("dtype", lit(dtype))
+          // checkpoint BEFORE any sort: orderBy plans a range exchange
+          // whose sampling pass would execute the side-effecting writer
+          // a second time (re-copying the just-appended tail)
+          .localCheckpoint(true)
+          .orderBy("shard")
+        foldManifest(oldManifest, delta, touched, outDir)
+        delta
+      } finally index.unpersist(): Unit
+    }
+  }
+
+  /** [[appendTokenBin]] for a [[writeSequenceBin]] export: `packed` is
+    * the NEW batch's packed frame (its `seq` numbering starts at 0 —
+    * [[Packing.packTokenIds]]'s output as-is); sequences renumber to
+    * continue after the stored count, fill the tail shard's remaining
+    * sequence budget, and open fresh shards beyond it. Same contract:
+    * untouched files keep identity, the manifest folds, the DELTA
+    * manifest returns. */
+  def appendSequenceBin(packed: DataFrame, outDir: String,
+      seqsPerShard: Long): DataFrame = {
+    require(seqsPerShard > 0, "seqsPerShard must be positive")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val mPath = new org.apache.hadoop.fs.Path(s"$outDir/_manifest")
+    val fs0 = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs0.exists(mPath))
+      return writeSequenceBin(packed, outDir, seqsPerShard)
+    val oldManifest = withDtypeCol(spark.read.parquet(s"$outDir/_manifest"))
+      .localCheckpoint(true)
+    if (oldManifest.isEmpty)
+      return writeSequenceBin(packed, outDir, seqsPerShard)
+    val dtype = oldManifest.select("dtype").head.getString(0)
+    val width = dtypeWidth(dtype)
+    val tail = oldManifest.orderBy(col("shard").desc)
+      .select("shard", "n_docs", "n_tokens").head
+    val (tailShard, tailSeqs, tailToks) =
+      (tail.getLong(0), tail.getLong(1), tail.getLong(2))
+    val nStored = oldManifest.agg(sum(col("n_docs"))).head.getLong(0)
+    // the stored layout must have been cut at the SAME budget, or the
+    // seq → shard arithmetic below would disagree with landed files
+    require(tailShard == (nStored - 1) / seqsPerShard,
+      s"seqsPerShard=$seqsPerShard disagrees with the stored layout " +
+        s"($nStored sequences ending in shard $tailShard)")
+    val laid = packed.select((col("seq").cast("long") + nStored).as("seq"),
+        col("token_ids"), col("n").cast("long"))
+      .withColumn("shard", (col("seq") / seqsPerShard).cast("long"))
+      .localCheckpoint(true)
+    try {
+      val maxShard = laid.agg(max(col("shard"))).head
+      if (maxShard.isNullAt(0))
+        return oldManifest.limit(0)
+      require(maxShard.getLong(0) < Int.MaxValue - 1,
+        s"shard count ${maxShard.getLong(0) + 1} exceeds Int range — " +
+          "raise seqsPerShard (a bin file should be GBs, not KBs)")
+      val touched = laid.select(col("shard")).distinct()
+        .as[Long].collect().sorted.toSeq
+      val tailSeed: Map[Long, (Long, Long)] =
+        if (touched.contains(tailShard)) Map(tailShard -> (tailSeqs, tailToks))
+        else Map.empty
+      val wOff = Window.partitionBy(col("shard")).orderBy(col("seq"))
+      val index = laid.withColumn("offset",
+          coalesce(sum(col("n")).over(
+            wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            + when(col("shard") === tailShard, lit(tailToks)).otherwise(lit(0L)))
+        .select(col("shard"), col("seq"), col("offset"),
+          col("n").as("n_tokens"))
+      index.repartition(touched.size, col("shard"))
+        .write.mode("append").partitionBy("shard").parquet(s"$outDir/idx")
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val delta = laid
+        .repartition(touched.size, col("shard"))
+        .sortWithinPartitions(col("shard"), col("seq"))
+        .select(col("shard"), col("token_ids"))
+        .as[(Long, Seq[Int])]
+        .mapPartitions { it =>
+          val w = new ShardBinWriter(outDir, conf, width, tailSeed)
+            .install(org.apache.spark.TaskContext.get())
+          it.foreach { case (shard, ids) => w.sequence(shard, ids) }
+          w.results()
+        }
+        .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
+        .withColumn("dtype", lit(dtype))
+        // checkpoint BEFORE any sort (see [[appendTokenBin]]: a range
+        // exchange's sampling pass would re-run the tail rewrite)
+        .localCheckpoint(true)
+        .orderBy("shard")
+      foldManifest(oldManifest, delta, touched, outDir)
+      delta
+    } finally laid.unpersist(): Unit
+  }
+
+  /** Align a pre-dtype manifest (written before the column existed)
+    * with the current schema. */
+  private def withDtypeCol(m: DataFrame): DataFrame =
+    if (m.columns.contains("dtype")) m else m.withColumn("dtype", lit("int32"))
+
+  /** Fold an append's delta into the stored `_manifest`: untouched
+    * rows carried by value, touched rows replaced — shard-count-sized
+    * work, never corpus-sized. */
+  private def foldManifest(oldManifest: DataFrame, delta: DataFrame,
+      touched: Seq[Long], outDir: String): Unit =
+    oldManifest.filter(!col("shard").isin(touched: _*))
+      .unionByName(delta)
+      .orderBy("shard")
+      .repartition(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
 
   /** Positioned-read fetch from a [[writeTokenBin]] export: for each
     * index row, seek 4·offset into its shard's bin and read exactly
@@ -500,19 +817,69 @@ object Export {
     out.toSeq
   }
 
+  /** Seeded EPOCH-SHUFFLE read plan over a binary export's index — the
+    * trainer's actual access pattern: a full per-sample random
+    * permutation would defeat [[coalesceSpans]] (every span lands
+    * non-adjacent → one positioned read per document); the standard
+    * fix (the Megatron/streaming-loader practice) permutes fixed-size
+    * BLOCKS and keeps within-block order, so a shuffled epoch still
+    * coalesces to ~one IO per block while every epoch (seed) visits
+    * the data in a different order. Adds to the index frame:
+    *
+    *   - `block`: shard-local block id (`offset / blockTokens` — a
+    *     pure per-row expression, blocks are fixed TOKEN windows);
+    *   - `epoch_pos`: the row's dense position in the permuted epoch
+    *     (blocks ordered by xxhash64(shard, block, epochSeed), rows
+    *     inside a block in offset order).
+    *
+    * Deterministic per (index, blockTokens, epochSeed). Scale shape:
+    * the permutation lives on the BLOCK table (corpus tokens /
+    * blockTokens rows — 100 TB at the 16M-token read cap ≈ 6M rows,
+    * metadata-sized; the [[Sampling.takeQuotaByDraw]] discipline of
+    * windowing only metadata frames), per-block sizes are one hash
+    * aggregation, and the only corpus-row-sized operations are one
+    * (shard, block) equi-join and one BLOCK-bounded row_number — no
+    * corpus-global window anywhere. Consume with
+    * `repartitionByRange(col("epoch_pos"))` +
+    * `sortWithinPartitions("epoch_pos")` → [[readTokenBin]]: each
+    * task's spans group into whole blocks and coalesce. */
+  def epochShufflePlan(index: DataFrame, blockTokens: Long,
+      epochSeed: Long): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val withBlock = index.withColumn("block",
+      (col("offset").cast("long") / blockTokens).cast("long"))
+    val perm = xxhash64(col("shard"), col("block"), lit(epochSeed))
+    val blocks = withBlock.groupBy(col("shard"), col("block"))
+      .agg(count(lit(1)).as("__n"))
+    val wPerm = Window.orderBy(perm, col("shard"), col("block"))
+    val based = blocks.withColumn("__base",
+        coalesce(sum(col("__n")).over(
+          wPerm.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("block"), col("__base"))
+    val wIn = Window.partitionBy(col("shard"), col("block"))
+      .orderBy(col("offset"))
+    withBlock.join(based, Seq("shard", "block"))
+      .withColumn("epoch_pos",
+        col("__base") + row_number().over(wIn).cast("long") - 1L)
+      .drop("__base")
+  }
+
   def readTokenBin(index: DataFrame, idCol: String, outDir: String): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    // a doc past Int.MaxValue/4 tokens would overflow `n * 4` into a
-    // negative array size (or silently wrap) — fail with the bound
-    // named instead of casting blind
+    // element width follows the export's landed dtype (manifest record;
+    // int32 when absent) — a uint16 export reads back as the same ids
+    val width = dtypeWidth(binDtype(spark, outDir))
+    // a doc past Int.MaxValue/width tokens would overflow `n * width`
+    // into a negative array size (or silently wrap) — fail with the
+    // bound named instead of casting blind
     val nTok = when(col("n_tokens").cast("long") < 0L ||
-        col("n_tokens").cast("long") > lit((Int.MaxValue / 4).toLong),
+        col("n_tokens").cast("long") > lit((Int.MaxValue / width).toLong),
       raise_error(concat(lit("readTokenBin: n_tokens="),
         col("n_tokens").cast("string"),
-        lit(s" outside [0, ${Int.MaxValue / 4}] — a single positioned " +
+        lit(s" outside [0, ${Int.MaxValue / width}] — a single positioned " +
           "read is capped at 2 GiB; fetch such a document in chunks"))))
       .otherwise(col("n_tokens").cast("int"))
     index.select(col("shard").cast("long"), col(idCol).cast("long"),
@@ -522,9 +889,9 @@ object Export {
         // one open stream per shard per partition, rows offset-sorted
         // so seeks run forward-only — and CONTIGUOUS spans coalesce
         // into one positioned read each ([[coalesceSpans]], capped at
-        // 16M tokens = 64 MiB/read): a trainer's epoch window is one
-        // contiguous run per shard, so the fetch is one IO, not one
-        // per document
+        // 16M tokens = 64/32 MiB per read at int32/uint16): a trainer's
+        // epoch window is one contiguous run per shard, so the fetch is
+        // one IO, not one per document
         val byShard = it.toSeq.groupBy(_._1)
         byShard.iterator.flatMap { case (shard, rows) =>
           val p = new org.apache.hadoop.fs.Path(outDir,
@@ -536,13 +903,16 @@ object Export {
             coalesceSpans(spans, maxTokens = 16L << 20).flatMap { run =>
               val first = run.head._2
               val total = run.iterator.map(_._3.toLong).sum
-              val bytes = new Array[Byte](atMostInt(total * 4L))
-              in.readFully(first * 4L, bytes)
+              val bytes = new Array[Byte](atMostInt(total * width.toLong))
+              in.readFully(first * width.toLong, bytes)
               val bb = java.nio.ByteBuffer.wrap(bytes)
                 .order(java.nio.ByteOrder.LITTLE_ENDIAN)
               run.map { case (id, off, n) =>
-                bb.position(((off - first) * 4L).toInt)
-                (id, Array.fill(n)(bb.getInt()))
+                bb.position(((off - first) * width.toLong).toInt)
+                val arr =
+                  if (width == 4) Array.fill(n)(bb.getInt())
+                  else Array.fill(n)(bb.getShort() & 0xFFFF)
+                (id, arr)
               }
             }
           } finally in.close()
@@ -604,9 +974,6 @@ object Export {
   private val MegatronMagic: Array[Byte] =
     "MMIDIDX".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
       Array[Byte](0, 0)
-  /** Megatron dtype code for int32 (the `.bin` element type
-    * [[writeTokenBin]] lands). */
-  private val MegatronInt32: Byte = 4
 
   /** Write the BINARY Megatron-style `shard-NNNNN.idx` next to each
     * shard's `.bin` — the interchange twin of [[ModelStore.exportGpt2]]
@@ -614,19 +981,32 @@ object Export {
     * this is the index a real Megatron/GPT `MMapIndexedDataset` loader
     * mmaps without engine code (public Megatron-LM `indexed_dataset.py`
     * layout: `MMIDIDX\0\0` magic, version=1 u64 LE, dtype code u8
-    * (4 = int32), sequence count u64, document-index length u64, then
-    * sizes int32[], byte pointers int64[], doc_idx int64[] — one
-    * sequence per DOCUMENT here, so doc_idx is 0..n). Deterministic:
-    * entries in shard layout order (offset-sorted), so re-export is
+    * (4 = int32, 8 = uint16 — follows the export's landed dtype),
+    * sequence count u64, document-index length u64, then sizes
+    * int32[], byte pointers int64[], doc_idx int64[] — one sequence
+    * per DOCUMENT here, so doc_idx is 0..n). Deterministic: entries in
+    * shard layout order (offset-sorted), so re-export is
     * byte-identical. Scale shape: one task per shard, rows per task
     * bounded by docs-per-shard (the tokensPerShard budget), written
     * through the [[AtomicSink]] commit. Returns
-    * `(shard, n_docs, idx_bytes, sha1)`. */
-  def exportMegatronIdx(spark: SparkSession, outDir: String): DataFrame = {
+    * `(shard, n_docs, idx_bytes, sha1)`.
+    *
+    * `onlyShards` (the [[appendTokenBin]] delta-refresh path) limits
+    * the rewrite to the named shards: the `shard=` filter prunes the
+    * partitioned idx read to exactly the touched directories, so an
+    * append's idx refresh is delta-sized, never corpus-sized. */
+  def exportMegatronIdx(spark: SparkSession, outDir: String,
+      onlyShards: Seq[Long] = null): DataFrame = {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(s"$outDir/idx")
+    val dtypeCode = megatronCode(binDtype(spark, outDir))
+    val width = dtypeWidth(dtypeOfCode(dtypeCode))
+    val idxAll = spark.read.parquet(s"$outDir/idx")
+    val idx = Option(onlyShards).filter(_.nonEmpty)
+      .map(ss => idxAll.filter(col("shard").isin(ss: _*)))
+      .getOrElse(idxAll)
+    idx
       .select(col("shard").cast("long"), col("offset").cast("long"),
         col("n_tokens").cast("long"))
       .as[(Long, Long, Long)]
@@ -638,7 +1018,7 @@ object Export {
           require(n >= 0 && n <= Int.MaxValue,
             s"shard $shard: n_tokens $n unrepresentable in Megatron's " +
               "int32 sizes[] — split the document before export")
-          require(off >= 0 && off * 4L >= 0, s"shard $shard: offset $off")
+          require(off >= 0 && off * width.toLong >= 0, s"shard $shard: offset $off")
         }
         val bos = new java.io.ByteArrayOutputStream(
           MegatronMagic.length + 26 + docs.length * 12 + (docs.length + 1) * 8)
@@ -651,11 +1031,11 @@ object Export {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array())
         out.write(MegatronMagic)
         u64(1L)                       // version
-        out.writeByte(MegatronInt32)  // dtype code
+        out.writeByte(dtypeCode)      // dtype code (element width of .bin)
         u64(docs.length.toLong)       // sequence count
         u64(docs.length.toLong + 1)   // doc_idx length
         docs.foreach { case (_, n) => i32(n.toInt) }   // sizes
-        docs.foreach { case (off, _) => u64(off * 4L) } // byte pointers
+        docs.foreach { case (off, _) => u64(off * width.toLong) } // byte pointers
         (0L to docs.length.toLong).foreach(u64)         // doc_idx 0..n
         out.close()
         val bytes = bos.toByteArray
@@ -675,12 +1055,20 @@ object Export {
   }
 
   /** Read back every `shard-NNNNN.idx` binary ([[exportMegatronIdx]]'s
-    * format): parse + VALIDATE the header (magic, version, dtype,
-    * doc_idx = 0..n, pointers 4-aligned) and return
-    * `(shard, seq, offset, n_tokens)` — `seq` the in-shard sequence
-    * position, `offset` in TOKENS, directly comparable to the parquet
+    * format): parse + VALIDATE the header (magic, version, dtype code
+    * 4/int32 or 8/uint16, doc_idx monotone 0..nSeq, pointers
+    * element-aligned) and return `(shard, seq, offset, n_tokens)` —
+    * `seq` the in-shard sequence position, `offset` in TOKENS (byte
+    * pointer ÷ element width), directly comparable to the parquet
     * `idx/` (which additionally carries the doc id; the binary format
-    * has no id column — position is identity, by design). One task per
+    * has no id column — position is identity, by design).
+    *
+    * doc_idx: this writer emits the identity 0..n (one document per
+    * sequence), but a valid `.idx` from upstream Megatron
+    * preprocessing groups several sequences per document — doc_idx is
+    * then any monotone non-decreasing array starting at 0 and ending
+    * at nSeq. Both are accepted; the boundaries are validated and
+    * ignored (position stays the sequence identity). One task per
     * shard file. */
   def importMegatronIdx(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
@@ -709,22 +1097,28 @@ object Export {
         require(magic.sameElements(MegatronMagic),
           s"$name: bad magic ${magic.map("%02x".format(_)).mkString}")
         require(bb.getLong == 1L, s"$name: unsupported version")
-        val dtype = bb.get()
-        require(dtype == MegatronInt32,
-          s"$name: dtype code $dtype is not int32 (4)")
+        val width = dtypeWidth(dtypeOfCode(bb.get()))
         val nSeq = bb.getLong
         val nDocIdx = bb.getLong
-        require(nSeq >= 0 && nSeq <= Int.MaxValue && nDocIdx == nSeq + 1,
+        require(nSeq >= 0 && nSeq <= Int.MaxValue &&
+            nDocIdx >= 1 && nDocIdx <= nSeq + 1,
           s"$name: counts nSeq=$nSeq nDocIdx=$nDocIdx")
         val sizes = Array.fill(nSeq.toInt)(bb.getInt)
         val pointers = Array.fill(nSeq.toInt)(bb.getLong)
-        (0L to nSeq).foreach(i => require(bb.getLong == i,
-          s"$name: doc_idx[$i] not the identity (one doc per sequence)"))
+        var prev = -1L
+        (0 until nDocIdx.toInt).foreach { i =>
+          val v = bb.getLong
+          require((if (i == 0) v == 0L else v >= prev) && v <= nSeq,
+            s"$name: doc_idx[$i]=$v not monotone within [0, $nSeq]")
+          prev = v
+        }
+        require(prev == nSeq,
+          s"$name: doc_idx ends at $prev, expected nSeq=$nSeq")
         require(!bb.hasRemaining, s"$name: ${bb.remaining} trailing bytes")
-        pointers.foreach(ptr => require(ptr % 4 == 0,
-          s"$name: pointer $ptr not int32-aligned"))
+        pointers.foreach(ptr => require(ptr % width == 0,
+          s"$name: pointer $ptr not aligned to the $width-byte element"))
         (0 until nSeq.toInt).map(i =>
-          (shard, i.toLong, pointers(i) / 4, sizes(i).toLong))
+          (shard, i.toLong, pointers(i) / width, sizes(i).toLong))
       }
       .toDF("shard", "seq", "offset", "n_tokens")
   }

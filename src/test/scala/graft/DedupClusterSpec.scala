@@ -36,6 +36,25 @@ class DedupClusterSpec extends SparkTestBase {
     assert(post.filter(col("n_splits") > 1).isEmpty)
   }
 
+  test("repairSplitLeakage: NULL cluster keys pass through as singletons, NULL splits get a boolean verdict") {
+    // id 7 has no cluster evidence (NULL key) — it must survive as its
+    // own singleton, not vanish into the inner join or merge with id 8
+    // into one phantom null-key cluster; id 2's NULL split still earns
+    // a real boolean `moved` (true: the leader's split is 'train').
+    val d = Seq(
+      (1L, Some("A"), Some("train")), (2L, Some("A"), None),
+      (7L, None, Some("val")), (8L, None, Some("test")))
+      .toDF("id", "k", "split")
+    val r = Dedup.repairSplitLeakage(d, "id", "k", "split")
+      .select("id", "keep_id", "cluster_size", "repaired_split", "moved")
+      .as[(Long, Long, Long, Option[String], Boolean)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, 1L, 2L, Some("train"), false),
+      (2L, 1L, 2L, Some("train"), true),
+      (7L, 7L, 1L, Some("val"), false),
+      (8L, 8L, 1L, Some("test"), false)))
+  }
+
   test("connectedComponents: transitive closure, multiple components, long chain") {
     // component {1,2,3,4} is a CHAIN (1-2, 2-3, 3-4): no pair (1,4) or
     // (1,3) exists, yet all four must resolve to min-id 1 — keeping

@@ -341,6 +341,258 @@ class ExportSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("positioned")), messages(e))
   }
 
+  private def tokens40 = (0L until 40L).flatMap { d =>
+    (0 until (d % 7 + 1).toInt).map(p => (d, p, 0, (d * 100 + p).toInt))
+  }.toDF("doc_id", "pos", "subpos", "token_id")
+
+  test("uint16 dtype: half the bytes, exact round-trip, Megatron dtype code 8, out-of-range ids rejected loudly") {
+    val out16 = java.nio.file.Files.createTempDirectory("graft-u16").toString
+    val out32 = java.nio.file.Files.createTempDirectory("graft-u16c").toString
+    val m16 = Export.writeTokenBin(tokens40, "doc_id", out16,
+      tokensPerShard = 16, dtype = "uint16")
+    Export.writeTokenBin(tokens40, "doc_id", out32, tokensPerShard = 16)
+    // manifest: dtype recorded, bytes exactly halved vs int32
+    assert(m16.select("dtype").distinct().as[String].collect().toSeq == Seq("uint16"))
+    assert(m16.filter(col("n_bytes") =!= col("n_tokens") * 2).isEmpty)
+    assert(Export.binDtype(spark, out16) == "uint16" &&
+      Export.binDtype(spark, out32) == "int32")
+    // identical ids back from both dtypes; audit (byte-level) clean
+    def back(o: String) = Export.readTokenBin(
+        spark.read.parquet(s"$o/idx"), "doc_id", o)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(back(out16) == back(out32))
+    assert(Export.auditTokenBin(spark, out16).isEmpty)
+    // Megatron idx: dtype code 8 in the header byte, pointers in
+    // 2-byte units — the binary round-trips the parquet idx exactly
+    Export.exportMegatronIdx(spark, out16)
+    val idxBytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(out16, "shard-00000.idx").toPath)
+    assert(idxBytes(17) == 8, s"dtype byte ${idxBytes(17)}")
+    val mm = Export.importMegatronIdx(spark, out16)
+      .select("shard", "offset", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val pq = spark.read.parquet(s"$out16/idx")
+      .select(col("shard").cast("long"), col("offset").cast("long"),
+        col("n_tokens").cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(mm == pq)
+    // an id past 65535 must fail the write loudly, not truncate
+    val big = Seq((1L, 0, 0, 70000)).toDF("doc_id", "pos", "subpos", "token_id")
+    val outBad = java.nio.file.Files.createTempDirectory("graft-u16bad").toString
+    val e = intercept[Exception] {
+      Export.writeTokenBin(big, "doc_id", outBad, 16, dtype = "uint16")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("uint16")), messages(e))
+  }
+
+  test("zero-row token export: idx/ stays readable (schema-carrying empty file), audit and Megatron export are clean no-ops") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bin0").toString
+    val m = Export.writeTokenBin(tokens40.filter(lit(false)), "doc_id", out, 16)
+    assert(m.count() == 0)
+    // the r19 wart: partitionBy over zero rows left NO data file and
+    // this read threw on schema inference
+    val idx = spark.read.parquet(s"$out/idx")
+    assert(idx.count() == 0 &&
+      idx.columns.toSet == Set("shard", "doc_id", "offset", "n_tokens"))
+    assert(Export.auditTokenBin(spark, out).isEmpty)
+    assert(Export.exportMegatronIdx(spark, out).count() == 0)
+  }
+
+  test("appendTokenBin: only tail+new files written (untouched keep byte identity), audit clean over the union, replay is a no-op, Megatron refresh only touches the delta") {
+    val out = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val m1 = Export.writeTokenBin(tokens40, "doc_id", out, tokensPerShard = 16)
+    Export.exportMegatronIdx(spark, out)
+    val shards1 = m1.select("shard").as[Long].collect().sorted
+    val tail = shards1.max
+    def binBytes(): Map[String, Seq[Byte]] =
+      new java.io.File(out).listFiles().filter(_.getName.endsWith(".bin"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    def idxFiles(): Map[String, Seq[Byte]] =
+      new java.io.File(out, "idx").listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val binsBefore = binBytes()
+    val idxBefore = idxFiles()
+    // batch 2: 20 fresh docs
+    val batch2 = (100L until 120L).flatMap { d =>
+      (0 until (d % 5 + 1).toInt).map(p => (d, p, 0, (d * 100 + p).toInt))
+    }.toDF("doc_id", "pos", "subpos", "token_id")
+    val delta = Export.appendTokenBin(batch2, "doc_id", out, tokensPerShard = 16)
+    val touched = delta.select("shard").as[Long].collect().sorted.toSeq
+    assert(touched.nonEmpty && touched.head >= tail,
+      s"append may only touch the tail or beyond: $touched (tail $tail)")
+    // untouched bins byte-identical; touched tail (if touched) keeps
+    // its old bytes as a PREFIX (old content + appended tokens)
+    val binsAfter = binBytes()
+    binsBefore.foreach { case (name, bytes) =>
+      val shard = name.stripPrefix("shard-").stripSuffix(".bin").toLong
+      if (touched.contains(shard))
+        assert(binsAfter(name).take(bytes.size) == bytes, s"$name prefix")
+      else assert(binsAfter(name) == bytes, s"$name identity")
+    }
+    // every pre-append idx parquet file survives byte-identical (the
+    // append lands NEW files only)
+    val idxAfter = idxFiles()
+    idxBefore.foreach { case (path, bytes) =>
+      assert(idxAfter.get(path).contains(bytes), s"idx file $path identity")
+    }
+    // audit clean across the union; all 60 docs round-trip exactly
+    assert(Export.auditTokenBin(spark, out).isEmpty)
+    val back = Export.readTokenBin(
+        spark.read.parquet(s"$out/idx"), "doc_id", out)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(back.size == 60)
+    (0L until 40L).foreach { d =>
+      assert(back(d) == (0 until (d % 7 + 1).toInt).map(p => (d * 100 + p).toInt)) }
+    (100L until 120L).foreach { d =>
+      assert(back(d) == (0 until (d % 5 + 1).toInt).map(p => (d * 100 + p).toInt)) }
+    // folded manifest on disk = untouched old rows + delta rows
+    val folded = spark.read.parquet(s"$out/_manifest")
+    assert(folded.agg(sum("n_tokens")).head.getLong(0) ==
+      tokens40.count() + batch2.count())
+    assert(folded.select("shard").as[Long].collect().sorted.toSeq ==
+      (shards1.toSet ++ touched).toSeq.sorted)
+    // Megatron refresh of ONLY the touched shards leaves every binary
+    // idx (old untouched + refreshed delta) agreeing with the parquet
+    Export.exportMegatronIdx(spark, out, onlyShards = touched)
+    val mm = Export.importMegatronIdx(spark, out)
+      .select("shard", "offset", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val pq = spark.read.parquet(s"$out/idx")
+      .select(col("shard").cast("long"), col("offset").cast("long"),
+        col("n_tokens").cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(mm == pq)
+    // replayed batch: every id already stored → empty delta, no writes
+    val binsBeforeReplay = binBytes()
+    val replay = Export.appendTokenBin(batch2, "doc_id", out, tokensPerShard = 16)
+    assert(replay.count() == 0)
+    assert(binBytes() == binsBeforeReplay)
+    assert(Export.auditTokenBin(spark, out).isEmpty)
+  }
+
+  test("appendSequenceBin: sequences renumber past the stored count, tail fills, audit + round-trip hold, mismatched budget rejected") {
+    val docs = (0L until 30L).map(d => (d, (d % 9 + 1).toInt))
+      .toDF("doc_id", "ntok")
+    val toks = (0L until 30L).flatMap { d =>
+      (0 until (d % 9 + 1).toInt).map(p => (d, p, 0, (d * 100 + p).toInt))
+    }.toDF("doc_id", "pos", "subpos", "token_id")
+    val packing = graft.ext.Packing.packContiguous(docs, "ntok", 16L, Seq(col("doc_id")))
+    val packed = graft.ext.Packing.packTokenIds(toks, "doc_id", packing, 16L)
+    val out = java.nio.file.Files.createTempDirectory("graft-seqapp").toString
+    val m1 = Export.writeSequenceBin(packed, out, seqsPerShard = 3)
+    val nSeqs1 = m1.agg(sum("n_docs")).head.getLong(0)
+    val want1 = packed.select("seq", "token_ids")
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    // batch 2: a fresh corpus packed independently (seq restarts at 0)
+    val docs2 = (100L until 115L).map(d => (d, (d % 6 + 1).toInt))
+      .toDF("doc_id", "ntok")
+    val toks2 = (100L until 115L).flatMap { d =>
+      (0 until (d % 6 + 1).toInt).map(p => (d, p, 0, (d * 100 + p).toInt))
+    }.toDF("doc_id", "pos", "subpos", "token_id")
+    val packed2 = graft.ext.Packing.packTokenIds(toks2, "doc_id",
+      graft.ext.Packing.packContiguous(docs2, "ntok", 16L, Seq(col("doc_id"))), 16L)
+    val want2 = packed2.select("seq", "token_ids")
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val delta = Export.appendSequenceBin(packed2, out, seqsPerShard = 3)
+    assert(delta.count() > 0)
+    assert(Export.auditTokenBin(spark, out).isEmpty)
+    // every sequence — stored and appended (shifted by nSeqs1) — exact
+    val back = Export.readTokenBin(
+        spark.read.parquet(s"$out/idx"), "seq", out)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(back.size == want1.size + want2.size)
+    want1.foreach { case (s, ids) => assert(back(s) == ids, s"stored seq $s") }
+    want2.foreach { case (s, ids) => assert(back(s + nSeqs1) == ids, s"new seq $s") }
+    // a different seqsPerShard cannot silently corrupt the layout
+    val e = intercept[Exception] {
+      Export.appendSequenceBin(packed2.filter(lit(false)), out, seqsPerShard = 5)
+    }
+    assert(Option(e.getMessage).exists(_.contains("stored layout")), e.getMessage)
+  }
+
+  test("importMegatronIdx accepts a foreign monotone doc_idx (multi-sequence documents) and rejects a non-monotone one") {
+    def craft(dir: String, docIdx: Seq[Long]): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      def u64(v: Long): Unit = o.write(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array())
+      def i32(v: Int): Unit = o.write(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+      o.write("MMIDIDX".getBytes("US-ASCII")); o.write(0); o.write(0)
+      u64(1L); o.writeByte(4)
+      u64(3L); u64(docIdx.length.toLong)
+      Seq(2, 3, 4).foreach(i32)          // sizes
+      Seq(0L, 8L, 20L).foreach(u64)      // byte pointers (int32 units ×4)
+      docIdx.foreach(u64)
+      o.close()
+      java.nio.file.Files.write(
+        new java.io.File(dir, "shard-00000.idx").toPath, bos.toByteArray)
+    }
+    // Megatron-preprocessing style: doc 0 = seqs {0,1}, doc 1 = {2}
+    val ok = java.nio.file.Files.createTempDirectory("graft-mmok").toString
+    craft(ok, Seq(0L, 2L, 3L))
+    val got = Export.importMegatronIdx(spark, ok)
+      .select("seq", "offset", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 0L, 2L), (1L, 2L, 3L), (2L, 5L, 4L)))
+    // non-monotone boundaries fail loudly
+    val bad = java.nio.file.Files.createTempDirectory("graft-mmbad").toString
+    craft(bad, Seq(0L, 3L, 2L, 3L))
+    val e = intercept[Exception] {
+      Export.importMegatronIdx(spark, bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("monotone")), messages(e))
+  }
+
+  test("epochShufflePlan: deterministic seeded block permutation, dense epoch_pos, content preserved, reads coalesce per block not per doc") {
+    val out = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    Export.writeTokenBin(tokens40, "doc_id", out, tokensPerShard = 16)
+    val idx = spark.read.parquet(s"$out/idx")
+    def planOf(seedV: Long) =
+      Export.epochShufflePlan(idx, blockTokens = 8, epochSeed = seedV)
+        .select(col("shard").cast("long"), col("doc_id").cast("long"),
+          col("offset").cast("long"), col("n_tokens").cast("int"),
+          col("block").cast("long"), col("epoch_pos").cast("long"))
+        .as[(Long, Long, Long, Int, Long, Long)].collect()
+    val p7 = planOf(7L)
+    // dense permutation of every doc, deterministic per seed
+    assert(p7.map(_._6).sorted.toSeq == (0L until p7.length).toSeq)
+    assert(p7.map(_._2).sorted.toSeq == (0L until 40L).toSeq)
+    assert(planOf(7L).map(r => r._2 -> r._6).toMap ==
+      p7.map(r => r._2 -> r._6).toMap)
+    // a different seed gives a different visit order
+    assert(planOf(11L).map(r => r._2 -> r._6).toMap !=
+      p7.map(r => r._2 -> r._6).toMap)
+    // within a block epoch order IS offset order (the coalescing
+    // invariant); a trainer reading in epoch order per shard pays ≤
+    // one IO per BLOCK, far fewer than one per doc
+    p7.groupBy(r => (r._1, r._5)).values.foreach { blk =>
+      val inEpoch = blk.sortBy(_._6).map(_._3).toSeq
+      assert(inEpoch == inEpoch.sorted, "offset order inside a block")
+    }
+    var runs = 0; var blocks = 0
+    p7.groupBy(_._1).foreach { case (_, rows) =>
+      val spans = rows.sortBy(_._6).map(r => (r._2, r._3, r._4)).toSeq
+      runs += Export.coalesceSpans(spans, maxTokens = 1L << 20).size
+      blocks += rows.map(_._5).distinct.size
+    }
+    assert(runs <= blocks, s"$runs runs > $blocks blocks")
+    assert(runs < 40, s"coalescing must beat one read per doc ($runs)")
+    // the shuffled plan fetches the same bytes
+    val back = Export.readTokenBin(
+        Export.epochShufflePlan(idx, 8, 7L), "doc_id", out)
+      .as[(Long, Seq[Int])].collect().toMap
+    (0L until 40L).foreach { d =>
+      assert(back(d) == (0 until (d % 7 + 1).toInt).map(p => (d * 100 + p).toInt)) }
+  }
+
   test("jsonl export: manifest identical to parquet's, gzip round-trip exact, audit clean, lost shard flagged") {
     val pq = java.nio.file.Files.createTempDirectory("graft-shards-pq").toString
     val jl = java.nio.file.Files.createTempDirectory("graft-shards-jl").toString
