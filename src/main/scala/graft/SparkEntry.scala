@@ -36,5 +36,5 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     scala.collection.immutable.ListMap(
-      Queries.all.flatMap(d => d.oracle.map(d.name -> _)): _*)
+      Queries.all.flatMap(d => d.oracle.map(th => d.name -> th())): _*)
 }

@@ -98,10 +98,25 @@ object LangId {
   }
 
 
+  /** Engine-portable feature bucketer (gram → int in [0, dim)): md5
+    * character arithmetic every SQL engine computes identically (the
+    * x29b/x56 ascii discipline), for models whose STORED weights must
+    * be oracle-checkable outside the engine — the xxhash64 default has
+    * no SQL twin. The md5 repeats syntactically; projection-level CSE
+    * evaluates it once. */
+  def portableBucket(dim: Int)(g: Column): Column =
+    ((ascii(substring(md5(g), 1, 1)) * 53
+      + ascii(substring(md5(g), 2, 1)) * 17
+      + ascii(substring(md5(g), 3, 1)) * 7
+      + ascii(substring(md5(g), 4, 1))) % dim).cast("int")
+
   /** Sparse hashed features: (idCol, idx, cnt), cnt = bucket count /
-    * total gram count (L1-normalized, so margins are length-invariant). */
+    * total gram count (L1-normalized, so margins are length-invariant).
+    * `bucketOf` overrides the gram→bucket rule (default:
+    * `pmod(xxhash64(g), dim)` — engine-fast; pass [[portableBucket]]
+    * for oracle-checkable stored models). */
   def features(df: DataFrame, idCol: String, textCol: String, dim: Int,
-      minN: Int, maxN: Int): DataFrame = {
+      minN: Int, maxN: Int, bucketOf: Column => Column = null): DataFrame = {
     // one explode pass (the [[predictPortable]] shape): the per-doc
     // gram total is closed-form on the base frame ([[gramCount]]),
     // never a second aggregation pass over the exploded grams
@@ -109,7 +124,9 @@ object LangId {
       .select(col(idCol), explode(charNgrams(col(textCol), minN, maxN)).as("g"))
     val n = df.select(col(idCol),
       gramCount(col(textCol), minN, maxN).cast("double").as("_n"))
-    g.select(col(idCol), pmod(xxhash64(col("g")), lit(dim)).cast("int").as("idx"))
+    val idx = Option(bucketOf).map(f => f(col("g")))
+      .getOrElse(pmod(xxhash64(col("g")), lit(dim)).cast("int"))
+    g.select(col(idCol), idx.as("idx"))
       .groupBy(idCol, "idx").agg(count(lit(1)).cast("double").as("_c"))
       .join(n, idCol).filter(col("_n") > 0)
       .select(col(idCol), col("idx"), (col("_c") / col("_n")).as("cnt"))
@@ -124,7 +141,8 @@ object LangId {
     * gram features have scale ~1/len). */
   def train(df: DataFrame, idCol: String, textCol: String, langCol: String,
       dim: Int = 1024, minN: Int = 1, maxN: Int = 3, iters: Int = 20,
-      lr: Double = 150.0, l2: Double = 0.0, lrIntercept: Double = -1.0): Model = {
+      lr: Double = 150.0, l2: Double = 0.0, lrIntercept: Double = -1.0,
+      bucketOf: Column => Column = null): Model = {
     val lrB = if (lrIntercept > 0) lrIntercept else lr / 10.0
     val spark = df.sparkSession
     import spark.implicits._
@@ -132,7 +150,7 @@ object LangId {
     val langs = df.select(col(langCol).cast("string")).distinct()
       .as[String].collect().sorted.toSeq
     require(langs.size >= 2, s"need >= 2 languages, got $langs")
-    val feats = features(df, idCol, textCol, dim, minN, maxN)
+    val feats = features(df, idCol, textCol, dim, minN, maxN, bucketOf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = df.select(col(idCol), col(langCol).cast("string").as("_y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -307,6 +325,66 @@ object LangId {
     sums.select(col(idCol), array_max(array(entries: _*)).as("_best"))
       .select(col(idCol), col("_best.lang").as("lang"),
         round(col("_best.m"), 6).as("margin"))
+  }
+
+  /** Persist a fitted model as a parquet artifact (the
+    * [[Dsir.writeModel]] discipline: weights + intercepts + meta, each
+    * one tiny file — the model is index metadata, re-read by every
+    * scoring campaign instead of refit). */
+  def writeModel(spark: SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    model.weightRows(spark).repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/weights")
+    model.langs.zip(model.intercepts).toDF("lang", "b").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/intercepts")
+    Seq((model.dim, model.minN, model.maxN)).toDF("dim", "min_n", "max_n")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Read a [[writeModel]] artifact back — model-sized collects only. */
+  def readModel(spark: SparkSession, dir: String): Model = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta")
+      .select(col("dim").cast("int"), col("min_n").cast("int"),
+        col("max_n").cast("int")).head
+    val ib = spark.read.parquet(s"$dir/intercepts")
+      .select(col("lang"), col("b").cast("double"))
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    val langs = ib.map(_._1)
+    val weights = spark.read.parquet(s"$dir/weights")
+      .select(col("idx").cast("int"), col("lang"), col("w").cast("double"))
+      .as[(Int, String, Double)].collect()
+      .groupBy(_._1).map { case (i, rows) =>
+        val byLang = rows.map(r => r._2 -> r._3).toMap
+        i -> langs.map(l => byLang.getOrElse(l, 0.0))
+      }.toMap
+    Model(meta.getInt(0), meta.getInt(1), meta.getInt(2), langs,
+      ib.map(_._2), weights)
+  }
+
+  /** STORED-model scoring with an explicit (portable) bucketer — the
+    * [[predict]] discipline run off a persisted artifact: per-(doc,
+    * bucket) L1-normalized counts, 9-decimal rounded margin terms
+    * summed as exact DECIMAL, intercept add, argmax with ties to the
+    * lexicographically larger code. With [[portableBucket]] features,
+    * an external engine holding the same weight table re-derives every
+    * margin bit-exactly (gate x57b — the x29b "score the stored
+    * classifier" precedent). Returns (id, lang, margin). */
+  def predictStored(df: DataFrame, idCol: String, textCol: String,
+      model: Model, bucketOf: Column => Column): DataFrame = {
+    val dec = DecimalType(28, 10)
+    val wDf = broadcast(model.weightRows(df.sparkSession))
+    val bOf = typedLit(model.interceptOf)
+    features(df, idCol, textCol, model.dim, model.minN, model.maxN, bucketOf)
+      .join(wDf, Seq("idx"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(round(col("w") * col("cnt"), 9).cast(dec)).cast("double").as("_m"))
+      .select(col(idCol), col("lang"),
+        (col("_m") + element_at(bOf, col("lang"))).as("m"))
+      .groupBy(idCol)
+      .agg(max(struct(col("m"), col("lang"))).as("_b"))
+      .select(col(idCol), col("_b.lang").as("lang"),
+        round(col("_b.m"), 6).as("margin"))
   }
 
   /** Deterministic zero-resource bootstrap corpus: short documents

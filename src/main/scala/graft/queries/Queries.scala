@@ -24,11 +24,21 @@ import graft.store.Tables
 object Queries {
 
   type QFn = (SparkSession, String) => DataFrame
-  final case class QueryDef(name: String, fn: QFn, oracle: Option[String])
+  /** `oracle` is a THUNK: most gates carry a plain SQL string, but a
+    * stored-model gate (x57b) embeds TRAINED weights in its SQL — the
+    * training needs a live SparkSession, so the text can only be
+    * materialized when the oracle dump actually asks for it (Verify /
+    * DocCountsSpec), never at registry init. */
+  final case class QueryDef(name: String, fn: QFn, oracle: Option[() => String])
 
   private val defs = scala.collection.mutable.ArrayBuffer[QueryDef]()
   private def q(name: String, oracle: String = null)(fn: QFn): Unit =
-    defs += QueryDef(name, fn, Option(oracle))
+    defs += QueryDef(name, fn, Option(oracle).map(s => () => s))
+  /** Register with a LAZILY-built (memoized) oracle SQL. */
+  private def qLazy(name: String)(oracle: => String)(fn: QFn): Unit = {
+    lazy val memo = oracle
+    defs += QueryDef(name, fn, Some(() => memo))
+  }
 
   def all: Seq[QueryDef] = defs.toSeq
 
@@ -3464,6 +3474,29 @@ object Queries {
       .ordered("cell", "vec_id")
   }
 
+  // X86B — the cluster-balanced TAKE oracle-exact (the x26b "stored
+  // label plays the fitted quantizer" move): only the k-means cell
+  // assignment is engine-specific in x86 — here the stored `label`
+  // column pins it, and the ENTIRE take discipline ([[graft.ext
+  // .Sampling.stratifiedTake]]'s critical-bucket quota machinery:
+  // md5-seeded draw, first-n per stratum in (draw, key) order) runs
+  // against DuckDB's naive ROW_NUMBER re-derivation — a quota
+  // off-by-one, draw-formula drift, or tie-break slip breaks the hash.
+  q("x86b_cluster_take_oracle",
+    """WITH r AS (
+      |  SELECT label AS cell, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY label
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':x86b'), vec_id) AS rk
+      |  FROM embeddings)
+      |SELECT cell, vec_id FROM r WHERE rk <= 20
+      |ORDER BY cell, vec_id""".stripMargin) { (s, dir) =>
+    graft.ext.Sampling.stratifiedTake(
+        Tables.embeddings(s, dir).withColumn("cell", col("label")),
+        Seq("cell"), col("vec_id"), "x86b", 20)
+      .select(col("cell"), col("vec_id"))
+      .ordered("cell", "vec_id")
+  }
+
   // X85 — corpus DRIFT monitor ([[graft.ext.TextOps.vocabDivergence]]):
   // KL both ways + bounded Jensen-Shannon over the union vocab with
   // add-0.5 smoothing, even-doc corpus vs odd-doc corpus — the check a
@@ -4705,6 +4738,101 @@ object Queries {
           fallback = graft.ext.TextOps.langId(col("text"))).as("lang"))
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .ordered("lang")
+  }
+
+  /** x57b's STORED portable-bucket model: trained once per JVM on the
+    * deterministic seed corpus (sf-independent — the same weights in
+    * every session), written to parquet and READ BACK so the gate
+    * scores off the persisted artifact, not the in-memory fit. dim is
+    * small on purpose: the gate pins the store→read→score→argmax
+    * machinery bit-exactly (LangIdSpec pins model QUALITY at full
+    * dim); a small bucket space keeps the weight table embeddable in
+    * the oracle SQL. */
+  private val langIdStoredDim = 32
+  private val langIdStoredMemo =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ext.LangId.Model]
+  private def langIdStored(s: SparkSession): graft.ext.LangId.Model =
+    langIdStoredMemo.getOrElseUpdate("stored", {
+      val m = graft.ext.LangId.train(
+        graft.ext.LangId.Seed.corpus(s), "sid", "text", "lang",
+        dim = langIdStoredDim, iters = 12,
+        bucketOf = graft.ext.LangId.portableBucket(langIdStoredDim))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-langid-stored").toString
+      graft.ext.LangId.writeModel(s, m, path)
+      graft.ext.LangId.readModel(s, path)
+    })
+
+  /** Shortest-repr-exact double literal for oracle SQL: %.17E keeps 18
+    * significant digits — DuckDB's parse lands on the identical IEEE
+    * double, and the E form forces DOUBLE (never DECIMAL) typing. */
+  private def sqlDouble(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17E", Double.box(v))
+
+  /** x57b oracle SQL: the STORED model's weights and intercepts ride
+    * the query as VALUES tables — DuckDB re-derives the whole scoring
+    * pass (portable md5 buckets, L1 counts, 9-decimal rounded terms,
+    * DECIMAL sums, intercepts, argmax ties-to-larger) from the same
+    * artifact the engine reads. Built lazily (the [[qLazy]] contract):
+    * training needs a live session. */
+  private def x57bOracleSql(s: SparkSession): String = {
+    val m = langIdStored(s)
+    val wRows = m.weights.toSeq.sortBy(_._1).flatMap { case (i, vs) =>
+      m.langs.zip(vs).map { case (l, w) => s"($i, '$l', ${sqlDouble(w)})" }
+    }.mkString(",\n      ")
+    val iRows = m.langs.zip(m.intercepts)
+      .map { case (l, b) => s"('$l', ${sqlDouble(b)})" }.mkString(", ")
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(trim(substr(text, 1, 160))), '\\s+', ' ', 'g') AS s
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, UNNEST(list_concat(list_concat(
+       |    list_transform(range(1, len(s) + 1), i -> substr(s, i, 1)),
+       |    list_transform(range(1, len(s)), i -> substr(s, i, 2))),
+       |    list_transform(range(1, len(s) - 1), i -> substr(s, i, 3)))) AS g
+       |  FROM norm),
+       |n AS (SELECT doc_id, COUNT(*)::DOUBLE AS nn FROM grams GROUP BY 1),
+       |b AS (SELECT doc_id,
+       |        (ascii(substr(md5(g), 1, 1)) * 53 + ascii(substr(md5(g), 2, 1)) * 17
+       |         + ascii(substr(md5(g), 3, 1)) * 7 + ascii(substr(md5(g), 4, 1)))
+       |          % $langIdStoredDim AS idx,
+       |        COUNT(*)::DOUBLE AS c
+       |      FROM grams GROUP BY 1, 2),
+       |w(idx, lang, w) AS (VALUES
+       |      $wRows),
+       |ic(lang, b) AS (VALUES $iRows),
+       |t AS (
+       |  SELECT b.doc_id, w.lang,
+       |    CAST(ROUND(w.w * (b.c / n.nn), 9) AS DECIMAL(28,10)) AS term
+       |  FROM b JOIN n USING (doc_id) JOIN w ON w.idx = b.idx),
+       |m AS (
+       |  SELECT t.doc_id, t.lang, CAST(SUM(t.term) AS DOUBLE) + ic.b AS m
+       |  FROM t JOIN ic ON ic.lang = t.lang GROUP BY t.doc_id, t.lang, ic.b),
+       |r AS (
+       |  SELECT doc_id, lang, m,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY m DESC, lang DESC) AS rk
+       |  FROM m)
+       |SELECT doc_id, lang, ROUND(m, 6) AS margin
+       |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // X57B — TRAINED-langid scoring over the STORED model, ORACLE-EXACT
+  // (closing the x57 rows-only gap the way x29b closed x29's: the GD
+  // FIT stays engine-specific, but the fitted artifact is just a
+  // weight table — persisted, read back, and embedded in the oracle
+  // SQL, so the entire inference path over real trained weights has a
+  // hash-exact anchor; x56 pins the same math over closed-form
+  // weights, LangIdSpec pins fit quality + partition invariance).
+  qLazy("x57b_langid_stored")(
+      x57bOracleSql(SparkSession.active)) { (s, dir) =>
+    val m = langIdStored(s)
+    graft.ext.LangId.predictStored(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 160).as("t")),
+        "doc_id", "t", m,
+        graft.ext.LangId.portableBucket(langIdStoredDim))
+      .ordered("doc_id")
   }
 
   // X58 — exact substring-span dedup (Lee et al. 2022 ExactSubstr,
@@ -5966,6 +6094,62 @@ object Queries {
       .ordered("shard")
   }
   private val tokenBinDirMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // X93B — INCREMENTAL binary export ([[graft.ext.Export
+  // .appendTokenBin]]): the daily-batch last mile — base export on a
+  // third of the corpus, then TWO append batches, off the real BPE id
+  // stream. Rows-only (x93's rationale; ExportSpec pins file identity
+  // and replay): output = the FOLDED per-shard manifest with the
+  // must-be-true witnesses — audit clean over the union,
+  // untouched-shard sha1s carried unchanged from the base manifest,
+  // positioned-read conservation through the unioned idx, and a
+  // replayed batch appending NOTHING (the ingest replay discipline).
+  // Fresh directory per invocation: the append path is stateful by
+  // design, so the gate builds its own history every run.
+  q("x93b_token_bin_append") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val (merges, vocab) = bpeByteMemo.getOrElseUpdate(dir, {
+      val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
+      (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
+    })
+    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
+    // one tokenize pass serves the base write + both appends + replay
+    val toks = graft.ext.Bpe
+      .tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
+      .localCheckpoint(true)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-tokbin-app").toString
+    val base = graft.ext.Export.writeTokenBin(
+      toks.filter(col("doc_id") % 3 === 0), "doc_id", out, 16384)
+    val baseShas = base.select(col("shard"), col("sha1"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val d1 = graft.ext.Export.appendTokenBin(
+      toks.filter(col("doc_id") % 3 === 1), "doc_id", out, 16384)
+    val d2 = graft.ext.Export.appendTokenBin(
+      toks.filter(col("doc_id") % 3 === 2), "doc_id", out, 16384)
+    val touched = (d1.select("shard").collect() ++ d2.select("shard").collect())
+      .map(_.getLong(0)).toSet
+    val folded = s.read.parquet(s"$out/_manifest").localCheckpoint(true)
+    val foldedShas = folded.select(col("shard"), col("sha1"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouchedOk = baseShas.forall { case (sh, sha) =>
+      touched.contains(sh) || foldedShas.get(sh).contains(sha) }
+    val auditClean = graft.ext.Export.auditTokenBin(s, out).isEmpty
+    val slice = s.read.parquet(s"$out/idx").filter(col("doc_id") % 17 === 0)
+    val claimed = slice.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head.getLong(0)
+    val fetched = graft.ext.Export.readTokenBin(slice, "doc_id", out)
+      .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
+      .head.getLong(0)
+    val replayNoop = graft.ext.Export.appendTokenBin(
+      toks.filter(col("doc_id") % 3 === 2), "doc_id", out, 16384).isEmpty
+    folded.withColumn("audit_clean", lit(auditClean))
+      .withColumn("untouched_identical", lit(untouchedOk))
+      .withColumn("readback_conserved", lit(fetched == claimed && claimed > 0))
+      .withColumn("replay_noop", lit(replayNoop))
+      .ordered("shard")
+  }
 
   // X91B — packed sequences ORACLE-EXACT (the r17 verdict's #6: the
   // placement is deterministic, so DuckDB replays [[graft.ext.Packing
