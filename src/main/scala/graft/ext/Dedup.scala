@@ -531,14 +531,29 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
     val cand = cross.unionByName(within).distinct()
-    // verify against the union of stored + batch shingles, but only
-    // rows whose id appears in a candidate pair move. Each side is
-    // restricted BEFORE the union: a union erases the stored scan's
-    // bucketed partitioning, so filtering first keeps the store-sized
-    // frame on its own side of every exchange — downstream (the
-    // Jaccard joins) only candidate-sized data moves. Stored rows for
-    // re-appended batch ids are excluded at the touched-id level
-    // (candidate-sized anti-join), never by touching the store.
+    (cand, incrementalRowsFor(cand, newRows, newIds, storedShingles))
+  }
+
+  /** The touched-shingle side of [[incrementalCandidateRows]], over an
+    * EXPLICIT candidate frame: verify against the union of stored +
+    * batch shingles, but only rows whose id appears in a candidate
+    * pair move. Each side is restricted BEFORE the union: a union
+    * erases the stored scan's bucketed partitioning, so filtering
+    * first keeps the store-sized frame on its own side of every
+    * exchange — downstream (the Jaccard joins) only candidate-sized
+    * data moves. Stored rows for re-appended batch ids are excluded at
+    * the touched-id level (candidate-sized anti-join), never by
+    * touching the store.
+    *
+    * Exposed separately so a caller that MATERIALIZES the candidates
+    * (checkpoint — the gate posture, where persist can't be unwound)
+    * can derive the rows from the materialized frame: built through
+    * [[incrementalCandidateRows]]'s return values, the rows plan
+    * embeds the candidate plan, and a checkpoint of each would run
+    * candidate discovery twice (the r19 x2d finding — localCheckpoint,
+    * unlike persist, is invisible to the plan cache). */
+  def incrementalRowsFor(cand: DataFrame, newRows: DataFrame,
+      newIds: DataFrame, storedShingles: DataFrame): DataFrame = {
     val touched = cand.select(col("id1").as("id"))
       .unionByName(cand.select(col("id2").as("id"))).distinct()
     val oldTouched = touched.join(newIds, Seq("id"), "left_anti")
@@ -546,7 +561,7 @@ object Dedup {
       .join(oldTouched, Seq("id"), "left_semi")
       .select(col("id"), col("shingle"))
     val batchRows = newRows.join(touched, Seq("id"), "left_semi")
-    (cand, oldRows.unionByName(batchRows))
+    oldRows.unionByName(batchRows)
   }
 
   /** SimHash: 64-bit signature whose bit i is the sign of

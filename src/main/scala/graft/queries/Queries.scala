@@ -42,6 +42,26 @@ object Queries {
 
   def all: Seq[QueryDef] = defs.toSeq
 
+  /** Named STORED-FIXTURE builders (the r19 verdict's bench item): the
+    * memoized artifacts the fixture-dependent gates (x2c, x38c, x7b/c,
+    * x36b/c) probe. Bench builds + FORCES each one explicitly before
+    * the measured rounds and emits the build as its own `fixture:`
+    * entry in bench_detail.json, so per-query artifact numbers stop
+    * absorbing fixture cache-state variance (the r19 x38c/x2c
+    * phantom-regression class: 2× artifact swings with zero commits on
+    * either path). Forcing = materializing every lazily-cached frame
+    * the fixture serves, not just constructing it. */
+  def fixtures: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "bandStore" -> ((s, dir) => { bandStorePrefix(s, dir); () }),
+    "lexIndex" -> ((s, dir) => {
+      val ix = lexIndex(s, dir)
+      ix.postings.count(); ix.docLengths.count(); ix.stats.count()
+      ix.dfreq.count(); ()
+    }),
+    "ivfIndex" -> ((s, dir) => { ivfIndex(s, dir)._1.assigned.count(); () }),
+    "ivfPq" -> ((s, dir) => { ivfPqLoaded(s, dir).assigned.count(); () }),
+    "pqIndex" -> ((s, dir) => { pqIndex(s, dir)._2.count(); () }))
+
   /** Deterministic total order for a SMALL final result without the
     * global-sort tax: `orderBy` plans a range exchange whose sampling
     * pass is a whole extra Spark job per query — pure overhead when the
@@ -6206,8 +6226,13 @@ object Queries {
       .select(col("doc_id"), col("pos"), lit(0).as("subpos"),
         length(col("w")).cast("int").as("token_id"))
     val counts = words.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    // the placement feeds BOTH the boundaries branch and packTokenIds —
+    // lazy checkpoint so the cumsum layout runs once inside the final
+    // action instead of once per branch (corpus-sized work at scale;
+    // lazy = no extra materialization job at gate scale)
     val packing = graft.ext.Packing.packContiguous(
-      counts, "ntok", 64L, Seq(col("doc_id")))
+        counts, "ntok", 64L, Seq(col("doc_id")))
+      .localCheckpoint(false)
     val bounds = graft.ext.Packing.sequenceDocBoundaries(packing, "doc_id", 64L)
       .select(col("seq"), col("n_docs"),
         aggregate(col("boundaries"), lit(0L), (a, x) => a + x).as("bsum"))
@@ -7126,17 +7151,29 @@ object Queries {
     val batch = docs.filter(col("doc_id") % 5 === 0)
     val newRows = graft.ext.Dedup.shingleRows(batch, "doc_id", "text", 3)
     val newIds = batch.select(col("doc_id").as("id"))
-    val (cand, rows) = graft.ext.Dedup.incrementalCandidateRows(
+    val (cand0, _) = graft.ext.Dedup.incrementalCandidateRows(
       pinnedBands(batch), newRows, newIds,
       pinnedBands(docs), // full slice as store: every batch id re-appended
       graft.ext.Dedup.shingleRows(docs, "doc_id", "text", 3))
     // The verify stage references both frames multiple times —
     // materialize once (the incrementalProbe persist discipline;
-    // checkpoint because a gate can't unpersist after returning). Runs
-    // the SAME sorted-array kernel as the x2c probe, so the oracle
-    // anchors the code path the incremental pipeline actually executes.
-    graft.ext.Dedup.verifyJaccardArrays(
-        cand.localCheckpoint(true), rows.localCheckpoint(true))
+    // checkpoint because a gate can't unpersist after returning), and
+    // derive the rows from the CHECKPOINTED candidates: checkpointing
+    // the tuple's rows frame instead re-ran candidate discovery inside
+    // the rows job (the r19 #6 finding — localCheckpoint is invisible
+    // to the plan cache, unlike x2c's persist; store-sized work at
+    // production scale, though at sf0.1 the remaining 0.8 s is per-job
+    // floor across the probe's ~4 shuffle stages — lazy-checkpoint and
+    // single-action variants measured inside the same noise band, so
+    // the gate keeps the simple eager discipline and the r20 SURVEY
+    // documents the floor). Runs the SAME sorted-array kernel as the
+    // x2c probe, so the oracle anchors the code path the incremental
+    // pipeline actually executes.
+    val cand = cand0.localCheckpoint(true)
+    val rows = graft.ext.Dedup.incrementalRowsFor(cand, newRows, newIds,
+        graft.ext.Dedup.shingleRows(docs, "doc_id", "text", 3))
+      .localCheckpoint(true)
+    graft.ext.Dedup.verifyJaccardArrays(cand, rows)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
       .ordered("id1", "id2")
   }
