@@ -6115,6 +6115,56 @@ object Queries {
   }
   private val tokenBinDirMemo = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // X93C — EPOCH-SHUFFLED read plan over the binary export
+  // ([[graft.ext.Export.epochShufflePlan]]): a trainer's shuffled
+  // epoch as a seeded BLOCK permutation (fixed token windows,
+  // within-block order preserved) so the fetch still coalesces to
+  // ~one IO per block instead of one per document. Rows-only
+  // (ExportSpec pins the permutation/coalescing laws); output = one
+  // row per shard (docs, blocks) with the witnesses folded in:
+  // epoch_pos is a DENSE permutation, the same seed replays
+  // identically, a different seed visits differently, and the fetch
+  // THROUGH the shuffled plan conserves the index's token claim.
+  q("x93c_epoch_shuffle") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val toks = docs.select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"), w => w =!= ""))
+          .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), lit(0).as("subpos"),
+        length(col("w")).cast("int").as("token_id"))
+    val out = epochBinDirMemo.getOrElseUpdate(dir,
+      java.nio.file.Files.createTempDirectory("graft-epochbin").toString)
+    graft.ext.Export.writeTokenBin(toks, "doc_id", out, tokensPerShard = 8192)
+    val idx = s.read.parquet(s"$out/idx").localCheckpoint(true)
+    def plan(seed: Long) = graft.ext.Export
+      .epochShufflePlan(idx, blockTokens = 2048, epochSeed = seed)
+    val p7 = plan(7L).localCheckpoint(true)
+    val nDocs = idx.count()
+    val dense = p7.select(countDistinct(col("epoch_pos")),
+      max(col("epoch_pos"))).head
+    val denseOk = dense.getLong(0) == nDocs && dense.getLong(1) == nDocs - 1
+    val deterministic = p7.select(col("doc_id"), col("epoch_pos"))
+      .join(plan(7L).select(col("doc_id"), col("epoch_pos").as("p2")), "doc_id")
+      .filter(col("epoch_pos") =!= col("p2")).isEmpty
+    val divergent = p7.select(col("doc_id"), col("epoch_pos"))
+      .join(plan(11L).select(col("doc_id"), col("epoch_pos").as("p2")), "doc_id")
+      .filter(col("epoch_pos") =!= col("p2")).count() > 0
+    val claimed = idx.agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0)
+    val fetched = graft.ext.Export.readTokenBin(p7, "doc_id", out)
+      .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
+      .head.getLong(0)
+    p7.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("block")).as("n_blocks"))
+      .withColumn("dense_permutation", lit(denseOk))
+      .withColumn("same_seed_identical", lit(deterministic))
+      .withColumn("cross_seed_divergent", lit(divergent))
+      .withColumn("readback_conserved", lit(fetched == claimed && claimed > 0))
+      .ordered("shard")
+  }
+  private val epochBinDirMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+
   // X93B — INCREMENTAL binary export ([[graft.ext.Export
   // .appendTokenBin]]): the daily-batch last mile — base export on a
   // third of the corpus, then TWO append batches, off the real BPE id

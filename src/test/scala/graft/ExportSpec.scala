@@ -515,6 +515,69 @@ class ExportSpec extends SparkTestBase {
     assert(Option(e.getMessage).exists(_.contains("stored layout")), e.getMessage)
   }
 
+  test("append follows the stored dtype (uint16) and the grouped layout starts at fresh shards") {
+    // uint16 export + append: the append reads the element width from
+    // the manifest — a mixed-width tail rewrite would corrupt every
+    // offset after it
+    val out = java.nio.file.Files.createTempDirectory("graft-u16app").toString
+    Export.writeTokenBin(tokens40, "doc_id", out, 16, dtype = "uint16")
+    val batch = (200L until 210L).flatMap { d =>
+      (0 until 3).map(p => (d, p, 0, (d * 100 + p).toInt))
+    }.toDF("doc_id", "pos", "subpos", "token_id")
+    val delta = Export.appendTokenBin(batch, "doc_id", out, 16)
+    assert(delta.select("dtype").distinct().as[String].collect().toSeq == Seq("uint16"))
+    assert(delta.filter(col("n_bytes") =!= col("n_tokens") * 2).isEmpty)
+    assert(Export.auditTokenBin(spark, out).isEmpty)
+    val back = Export.readTokenBin(spark.read.parquet(s"$out/idx"), "doc_id", out)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(back.size == 50)
+    assert(back(205L) == Seq(20500, 20501, 20502))
+    // grouped append: every existing file (tail included) keeps byte
+    // identity — the corpus-scale layout trades tail-filling for
+    // window-free layout and only opens FRESH shards
+    val outG = java.nio.file.Files.createTempDirectory("graft-gapp").toString
+    val mG = Export.writeTokenBin(tokens40, "doc_id", outG, 16)
+    val tailG = mG.agg(max("shard")).head.getLong(0)
+    def allBins(o: String) = new java.io.File(o).listFiles()
+      .filter(_.getName.endsWith(".bin"))
+      .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val before = allBins(outG)
+    val dG = Export.appendTokenBin(batch, "doc_id", outG, 16, groups = 2)
+    assert(dG.select("shard").as[Long].collect().forall(_ > tailG))
+    assert(allBins(outG).view.filterKeys(before.contains).toMap == before)
+    assert(Export.auditTokenBin(spark, outG).isEmpty)
+  }
+
+  test("appendSequenceBin composes with the Megatron idx refresh on only the touched shards") {
+    val docs = (0L until 12L).map(d => (d, 4)).toDF("doc_id", "ntok")
+    val toks = (0L until 12L).flatMap { d =>
+      (0 until 4).map(p => (d, p, 0, (d * 100 + p).toInt))
+    }.toDF("doc_id", "pos", "subpos", "token_id")
+    val packed = graft.ext.Packing.packTokenIds(toks, "doc_id",
+      graft.ext.Packing.packContiguous(docs, "ntok", 8L, Seq(col("doc_id"))), 8L)
+    val out = java.nio.file.Files.createTempDirectory("graft-seqmm").toString
+    Export.writeSequenceBin(packed, out, seqsPerShard = 2)
+    Export.exportMegatronIdx(spark, out)
+    val docs2 = (100L until 106L).map(d => (d, 4)).toDF("doc_id", "ntok")
+    val toks2 = (100L until 106L).flatMap { d =>
+      (0 until 4).map(p => (d, p, 0, (d * 100 + p).toInt))
+    }.toDF("doc_id", "pos", "subpos", "token_id")
+    val packed2 = graft.ext.Packing.packTokenIds(toks2, "doc_id",
+      graft.ext.Packing.packContiguous(docs2, "ntok", 8L, Seq(col("doc_id"))), 8L)
+    val delta = Export.appendSequenceBin(packed2, out, seqsPerShard = 2)
+    val touched = delta.select("shard").as[Long].collect().sorted.toSeq
+    Export.exportMegatronIdx(spark, out, onlyShards = touched)
+    val mm = Export.importMegatronIdx(spark, out)
+      .select("shard", "offset", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val pq = spark.read.parquet(s"$out/idx")
+      .select(col("shard").cast("long"), col("offset").cast("long"),
+        col("n_tokens").cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(mm == pq && mm.nonEmpty)
+    assert(Export.auditTokenBin(spark, out).isEmpty)
+  }
+
   test("importMegatronIdx accepts a foreign monotone doc_idx (multi-sequence documents) and rejects a non-monotone one") {
     def craft(dir: String, docIdx: Seq[Long]): Unit = {
       val bos = new java.io.ByteArrayOutputStream()
