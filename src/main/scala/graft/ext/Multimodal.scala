@@ -126,6 +126,13 @@ object Multimodal {
     * integer math — ExtSpec pins decoded pixels and features to golden
     * values computed from first principles. */
   object ImageIoCodec extends Codec {
+    // ImageIO defaults to a DISK-backed stream cache: every read/write
+    // creates (and deletes) a temp file, which dominates wall time on
+    // small in-memory payloads (measured: the x12 image family spent
+    // more in cache-file churn than in decode+hash). All inputs here
+    // are byte arrays — cache in memory. JVM-global, idempotent,
+    // byte-identical output.
+    javax.imageio.ImageIO.setUseCache(false)
     val FeatureDim = 8
     override def featureDim: Int = FeatureDim
 
@@ -661,6 +668,10 @@ object Multimodal {
     * MJPEG decode is pinned by self-consistency in ExtSpec (extracted
     * frame bytes decode identically to the JPEG they wrap). */
   object AviCodec extends Codec {
+    // in-memory ImageIO stream cache for MJPEG frame decode (see
+    // [[ImageIoCodec]] — the disk-backed default pays a temp file per
+    // frame); set in both objects because either can initialize first
+    javax.imageio.ImageIO.setUseCache(false)
     val FeatureDim = 8
     override def featureDim: Int = FeatureDim
 
