@@ -387,6 +387,28 @@ object LangId {
         round(col("_b.m"), 6).as("margin"))
   }
 
+  /** [[predictStored]] with the [[portableBucket]] rule as ONE fused
+    * kernel ([[graft.functions.LangIdExpressions.PortableLangIdScore]])
+    * — per-document arithmetic needs no exchange: the DataFrame form
+    * planned an explode plus 4 Exchanges / 2 SortAggregates and spent
+    * ~2.3× DuckDB's oracle time on the x57b scan; the kernel runs the
+    * identical oracle-pinned numerics (md5 buckets, L1 counts,
+    * 9-decimal rounded terms, DECIMAL(28,10) sums, intercepts, argmax
+    * ties-to-larger, 6-decimal margin) as one JIT-able loop per row —
+    * margin-exact equality is spec-pinned (LangIdSpec) and the x57b
+    * gate hash-checks it against DuckDB at both SFs. Same output
+    * contract: docs with no grams (or no in-model bucket) drop. */
+  def predictStoredPortable(df: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val s = graft.functions.LangIdExpressions.portableLangIdScore(
+      col(textCol), model.dim, model.minN, model.maxN,
+      model.langs, model.intercepts, model.weights)
+    spreadForExplode(df) // kernel is CPU-dense: spread like the explode path
+      .select(col(idCol), s.as("_s"))
+      .filter(col("_s").isNotNull)
+      .select(col(idCol), col("_s.lang").as("lang"), col("_s.margin").as("margin"))
+  }
+
   /** Deterministic zero-resource bootstrap corpus: short documents
     * sampled (by closed-form index arithmetic — no RNG) from small
     * per-language function-word vocabularies. This is the labeled seed

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -103,6 +103,157 @@ object LangIdExpressions {
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** PORTABLE-bucket stored-model scoring kernel — the fused form of
+    * [[graft.ext.LangId.predictStored]]'s DataFrame pipeline (explode →
+    * md5 bucket → per-(doc,bucket) counts → weight join → decimal
+    * margin sums → argmax), which planned 4 Exchanges + 2
+    * SortAggregates for what is per-document arithmetic. One loop per
+    * row, zero shuffles, REPLICATING THE ORACLE-PINNED NUMERICS
+    * BIT-EXACTLY (gate x57b hash-compares margins):
+    *
+    *   - normalization/grams: the [[LangIdModelRef.score]] chain
+    *     (Spark trim/lower, java-regex `\s+`, code-point substrings);
+    *   - bucket: `(ascii(md5hex[0])·53 + ascii(md5hex[1])·17 +
+    *     ascii(md5hex[2])·7 + ascii(md5hex[3])) % dim` — md5 of the
+    *     gram's UTF-8 bytes, lowercase hex, exactly Spark's `md5`;
+    *   - margin term: `round(w · c/n, 9)` = `BigDecimal.valueOf(x)
+    *     .setScale(9, HALF_UP).toDouble` (Spark's Round on DOUBLE),
+    *     cast to DECIMAL(28,10) = `valueOf(t).setScale(10, HALF_UP)`
+    *     (Spark's Cast via the shortest-repr BigDecimal), summed as
+    *     exact decimals, `.doubleValue` (Spark's Decimal→double), +
+    *     intercept in plain IEEE;
+    *   - argmax: ascending-lang scan with `>=` — equal margins take the
+    *     lexicographically larger code (Spark's struct-max tie rule);
+    *   - result margin: `round(m, 6)`, same HALF_UP contract.
+    *
+    * Buckets ABSENT from the stored weight table contribute no term
+    * (the inner join's semantics); a document whose every bucket is
+    * absent — or that has no grams — scores null, which callers filter
+    * (the join path simply never produced its rows). Spec-pinned
+    * equal, margin-exact, to the DataFrame path (LangIdSpec). */
+  final class PortableLangIdModelRef(val dim: Int, val minN: Int,
+      val maxN: Int, val k: Int, val present: Array[Boolean],
+      val weights: Array[Double], val intercepts: Array[Double],
+      val langs: Array[UTF8String]) extends Serializable {
+
+    @transient private lazy val spaceRe = java.util.regex.Pattern.compile("\\s+")
+    // MessageDigest is stateful and not thread-safe; one per task thread
+    @transient private lazy val md5 =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    private val HexAscii: Array[Int] = "0123456789abcdef".map(_.toInt).toArray
+
+    def score(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val norm = spaceRe.matcher(input.trim().toLowerCase().toString).replaceAll(" ")
+      val cps = norm.codePoints().toArray
+      val len = cps.length
+      val counts = new Array[Int](dim)
+      val digest = md5.get()
+      var total = 0
+      var n = minN
+      while (n <= maxN) {
+        val last = len - n
+        var i = 0
+        while (i <= last) {
+          val bytes = new String(cps, i, n).getBytes(StandardCharsets.UTF_8)
+          val d = digest.digest(bytes) // digest() resets for the next gram
+          val h0 = HexAscii((d(0) >> 4) & 0xF)
+          val h1 = HexAscii(d(0) & 0xF)
+          val h2 = HexAscii((d(1) >> 4) & 0xF)
+          val h3 = HexAscii(d(1) & 0xF)
+          counts((h0 * 53 + h1 * 17 + h2 * 7 + h3) % dim) += 1
+          total += 1
+          i += 1
+        }
+        n += 1
+      }
+      if (total == 0) return null
+      var any = false
+      var best = -1
+      var bm = 0.0
+      var j = 0
+      while (j < k) {
+        var acc: java.math.BigDecimal = null
+        var idx = 0
+        while (idx < dim) {
+          if (counts(idx) > 0 && present(idx)) {
+            val t9 = java.math.BigDecimal
+              .valueOf(weights(idx * k + j) * (counts(idx).toDouble / total.toDouble))
+              .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+            val dec = java.math.BigDecimal.valueOf(t9)
+              .setScale(10, java.math.RoundingMode.HALF_UP)
+            acc = if (acc == null) dec else acc.add(dec)
+          }
+          idx += 1
+        }
+        if (acc != null) {
+          any = true
+          val m = acc.doubleValue() + intercepts(j)
+          if (best < 0 || java.lang.Double.compare(m, bm) >= 0) { best = j; bm = m }
+        }
+        j += 1
+      }
+      if (!any) return null
+      val margin = java.math.BigDecimal.valueOf(bm)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](langs(best), margin))
+    }
+  }
+
+  final case class PortableLangIdScore(child: Expression,
+      model: PortableLangIdModelRef)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("lang", StringType, nullable = false),
+      StructField("margin", DoubleType, nullable = false)))
+    override def nullable: Boolean = true // null: gram-less / all-OOV doc
+    override def prettyName: String = "graft_portable_langid_score"
+    // The function is pure, but advertising that lets the optimizer
+    // push the caller's isNotNull filter BELOW the pre-spread exchange,
+    // duplicating this (expensive: per-gram md5 + per-class decimal
+    // sums) kernel — once in the pushed filter on the unspread scan,
+    // once in the projection. Declaring it non-deterministic is the
+    // standard fence: may not be reordered, duplicated, or
+    // constant-folded; one evaluation per row, after the spread.
+    override lazy val deterministic: Boolean = false
+
+    override def nullSafeEval(v: Any): Any =
+      model.score(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val m = ctx.addReferenceObj("portableLangIdModel", model,
+          classOf[PortableLangIdModelRef].getName)
+        s"""
+           |${ev.value} = $m.score($v);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column form of [[PortableLangIdScore]]: struct(lang, margin), null
+    * when the document yields no in-model grams. */
+  def portableLangIdScore(text: Column, dim: Int, minN: Int, maxN: Int,
+      langs: Seq[String], intercepts: Seq[Double],
+      weights: Map[Int, Seq[Double]]): Column = {
+    val k = langs.size
+    val present = new Array[Boolean](dim)
+    val flat = new Array[Double](dim * k)
+    weights.foreach { case (i, vs) =>
+      present(i) = true
+      var j = 0
+      vs.foreach { w => flat(i * k + j) = w; j += 1 }
+    }
+    val ref = new PortableLangIdModelRef(dim, minN, maxN, k, present, flat,
+      intercepts.toArray, langs.map(UTF8String.fromString).toArray)
+    ColumnBridge.column(PortableLangIdScore(ColumnBridge.expr(text), ref))
   }
 
   /** Column form; null when the document yields no grams. */

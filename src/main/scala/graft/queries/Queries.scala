@@ -4847,11 +4847,13 @@ object Queries {
   qLazy("x57b_langid_stored")(
       x57bOracleSql(SparkSession.active)) { (s, dir) =>
     val m = langIdStored(s)
-    graft.ext.LangId.predictStored(
+    // fused portable-scoring kernel — bit-exact twin of
+    // LangId.predictStored(portableBucket) (spec-pinned; the DataFrame
+    // form planned 4 Exchanges for per-document arithmetic)
+    graft.ext.LangId.predictStoredPortable(
         Tables.documents(s, dir)
           .select(col("doc_id"), substring(col("text"), 1, 160).as("t")),
-        "doc_id", "t", m,
-        graft.ext.LangId.portableBucket(langIdStoredDim))
+        "doc_id", "t", m)
       .ordered("doc_id")
   }
 

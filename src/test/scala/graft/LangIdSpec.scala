@@ -70,6 +70,35 @@ class LangIdSpec extends SparkTestBase {
     assert(disagree == 0)
   }
 
+  test("predictStoredPortable (fused kernel) == predictStored(portableBucket), margin-exact") {
+    val dim = 32
+    val train = LangId.Seed.corpus(spark, docsPerLang = 12, salt = 0)
+      .filter(col("lang").isin("en", "de", "fr", "es", "ru", "zh"))
+    val m = LangId.train(train, "sid", "text", "lang", dim = dim, iters = 6,
+      bucketOf = LangId.portableBucket(dim))
+    // real corpus text + adversarial shapes (unicode, whitespace-only,
+    // empty, tabs/newlines) — anything that could expose a
+    // normalization, code-point, md5, or decimal-rounding mismatch
+    val texts = LangId.Seed.corpus(spark, docsPerLang = 8, salt = 7)
+      .select(col("sid").as("id"), col("text"))
+      .union(graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+        .limit(200).select(concat(lit("d"), col("doc_id")).as("id"),
+          substring(col("text"), 1, 160).as("text")))
+      .union(Seq(("e1", ""), ("e2", "  "), ("e3", "a"),
+        ("e4", "éü 中文 x"), ("e5", "ÄŐ\tmixed\n\nWS")).toDF("id", "text"))
+    val ref = LangId.predictStored(texts, "id", "text", m,
+        LangId.portableBucket(dim))
+      .select(col("id"), col("lang").as("l1"), col("margin").as("m1"))
+    val fused = LangId.predictStoredPortable(texts, "id", "text", m)
+      .select(col("id"), col("lang").as("l2"), col("margin").as("m2"))
+    // same doc set (drop rules agree), same lang, BIT-equal margin
+    val joined = ref.join(fused, Seq("id"), "full_outer")
+    assert(joined.filter(col("l1").isNull || col("l2").isNull).count() == 0)
+    val diff = joined.filter(col("l1") =!= col("l2") ||
+      col("m1") =!= col("m2")).collect()
+    assert(diff.isEmpty, s"kernel disagrees: ${diff.take(3).mkString("; ")}")
+  }
+
   test("no-gram docs fall back: default und, or the chained marker heuristic") {
     val docs = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
     val m = LangId.Model(dim = 64, minN = 1, maxN = 3, langs = Seq("de", "en"),
