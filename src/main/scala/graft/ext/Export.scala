@@ -121,6 +121,9 @@ object Export {
       // side re-derives with the same columns instead of trusting the
       // caller to repeat them (a mismatched choice reads as corruption)
       val cs = checksumColumns(assigned, checksumCols)
+      // shard-count rows: repartition(1)+sort instead of orderBy — a
+      // global orderBy plans a range exchange whose sampling pass is a
+      // whole extra job per export (the SmallOrdered rationale)
       val manifest = assigned.groupBy("shard").agg(
           count(lit(1)).as("n_docs"),
           sum(col(ntokCol)).as("n_tokens"),
@@ -129,9 +132,8 @@ object Export {
           // included, not just id/ntok) changes it
           checksumTerm(cs).as("checksum"))
         .withColumn("checksum_cols", lit(cs.mkString(",")))
-        .orderBy("shard")
-      manifest.repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/_manifest")
+        .repartition(1).sortWithinPartitions("shard")
+      manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
       manifest
     } finally assigned.unpersist(): Unit
   }
@@ -169,9 +171,8 @@ object Export {
           sum(col(ntokCol)).as("n_tokens"),
           checksumTerm(cs).as("checksum"))
         .withColumn("checksum_cols", lit(cs.mkString(",")))
-        .orderBy("shard")
-      manifest.repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/_manifest")
+        .repartition(1).sortWithinPartitions("shard") // see writeShards
+      manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
       manifest
     } finally assigned.unpersist(): Unit
   }
@@ -406,11 +407,20 @@ object Export {
     * layout itself (the [[assignShards]] 100-TB path). */
   def writeTokenBin(tokens: DataFrame, idCol: String, outDir: String,
       tokensPerShard: Long, seed: Long = 42L, groups: Int = 1,
-      dtype: String = "int32"): DataFrame = {
+      dtype: String = "int32", docCounts: DataFrame = null): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
     val width = dtypeWidth(dtype)
-    val counts = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("ntok"))
+    // layout needs per-doc token counts; deriving them from `tokens`
+    // scans the token stream TWICE (once here, once in the bin write) —
+    // and when `tokens` is an unmaterialized tokenize pipeline each
+    // scan re-runs the whole tokenizer. `docCounts` (idCol, ntok) lets
+    // the caller supply the counts from a cheaper source — e.g.
+    // [[Bpe.tokenCountsBytes]]'s word-sized segment-table join, pinned
+    // equal to the materialized count by BpeSpec — so the token stream
+    // is scanned exactly once. Must equal tokens.groupBy(id).count.
+    val counts = Option(docCounts).getOrElse(
+      tokens.groupBy(col(idCol)).agg(count(lit(1)).as("ntok")))
     val assigned = assignShards(counts, idCol, "ntok", tokensPerShard,
       seed, groups)
     // per-doc offset INTO its shard: same layout order as assignShards
@@ -464,13 +474,15 @@ object Export {
             w.results()
           }
           .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
-      // checkpoint BEFORE the sort: orderBy's range-exchange sampling
-      // pass re-executes the child, and the child here is the
+      // checkpoint BEFORE the sort: a global sort's range-exchange
+      // sampling pass re-executes the child, and the child here is the
       // side-effecting bin writer — unchecked, every export wrote its
-      // bytes twice (benign for overwrite, 2× the IO at scale)
+      // bytes twice (benign for overwrite, 2× the IO at scale). The
+      // sort itself is the one-partition form: shard-count rows, and a
+      // range exchange would be an extra sampling job per export.
       val m = manifest.withColumn("dtype", lit(dtype))
-        .localCheckpoint(true).orderBy("shard")
-      m.repartition(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+        .localCheckpoint(true).repartition(1).sortWithinPartitions("shard")
+      m.write.mode("overwrite").parquet(s"$outDir/_manifest")
       m
     } finally index.unpersist(): Unit
   }
@@ -547,13 +559,14 @@ object Export {
             w.results()
           }
           .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
-      // checkpoint BEFORE the sort: orderBy's range-exchange sampling
-      // pass re-executes the child, and the child here is the
+      // checkpoint BEFORE the sort: a global sort's range-exchange
+      // sampling pass re-executes the child, and the child here is the
       // side-effecting bin writer — unchecked, every export wrote its
-      // bytes twice (benign for overwrite, 2× the IO at scale)
+      // bytes twice (benign for overwrite, 2× the IO at scale). Sort in
+      // one partition: shard-count rows (see writeTokenBin).
       val m = manifest.withColumn("dtype", lit(dtype))
-        .localCheckpoint(true).orderBy("shard")
-      m.repartition(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+        .localCheckpoint(true).repartition(1).sortWithinPartitions("shard")
+      m.write.mode("overwrite").parquet(s"$outDir/_manifest")
       m
     } finally laid.unpersist(): Unit
   }
@@ -674,11 +687,12 @@ object Export {
           }
           .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
           .withColumn("dtype", lit(dtype))
-          // checkpoint BEFORE any sort: orderBy plans a range exchange
-          // whose sampling pass would execute the side-effecting writer
-          // a second time (re-copying the just-appended tail)
+          // checkpoint BEFORE any sort: a range exchange's sampling
+          // pass would execute the side-effecting writer a second time
+          // (re-copying the just-appended tail); sort in one partition
+          // — the delta is shard-count-sized
           .localCheckpoint(true)
-          .orderBy("shard")
+          .repartition(1).sortWithinPartitions("shard")
         foldManifest(oldManifest, delta, touched, outDir)
         delta
       } finally index.unpersist(): Unit
@@ -758,9 +772,10 @@ object Export {
         .toDF("shard", "n_docs", "n_tokens", "n_bytes", "sha1")
         .withColumn("dtype", lit(dtype))
         // checkpoint BEFORE any sort (see [[appendTokenBin]]: a range
-        // exchange's sampling pass would re-run the tail rewrite)
+        // exchange's sampling pass would re-run the tail rewrite);
+        // one-partition sort — the delta is shard-count-sized
         .localCheckpoint(true)
-        .orderBy("shard")
+        .repartition(1).sortWithinPartitions("shard")
       foldManifest(oldManifest, delta, touched, outDir)
       delta
     } finally laid.unpersist(): Unit
@@ -778,8 +793,8 @@ object Export {
       touched: Seq[Long], outDir: String): Unit =
     oldManifest.filter(!col("shard").isin(touched: _*))
       .unionByName(delta)
-      .orderBy("shard")
-      .repartition(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+      .repartition(1).sortWithinPartitions("shard") // shard-count rows
+      .write.mode("overwrite").parquet(s"$outDir/_manifest")
 
   /** Positioned-read fetch from a [[writeTokenBin]] export: for each
     * index row, seek 4·offset into its shard's bin and read exactly

@@ -6069,7 +6069,9 @@ object Queries {
     })
     val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
     val toks = graft.ext.Bpe.tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
-    val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+    // word-sized counts (BpeSpec-pinned equal to toks.groupBy().count)
+    // — the unmaterialized `toks` pipeline would re-tokenize for them
+    val counts = graft.ext.Bpe.tokenCountsBytes(docs, "doc_id", "text", seg)
     val packing = graft.ext.Packing.packContiguous(
       counts, "ntok", 256L, Seq(col("doc_id")))
     graft.ext.Packing.packTokenIds(toks, "doc_id", packing, 256L)
@@ -6099,8 +6101,12 @@ object Queries {
     val toks = graft.ext.Bpe.tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
     val out = tokenBinDirMemo.getOrElseUpdate(dir,
       java.nio.file.Files.createTempDirectory("graft-tokbin").toString)
+    // layout counts from the word-sized segment-table join (the x90
+    // trick, BpeSpec-pinned equal): without this the unmaterialized
+    // `toks` pipeline re-runs the whole tokenizer for the counts pass
     val manifest = graft.ext.Export.writeTokenBin(toks, "doc_id", out,
-      tokensPerShard = 16384)
+      tokensPerShard = 16384,
+      docCounts = graft.ext.Bpe.tokenCountsBytes(docs, "doc_id", "text", seg))
     val auditClean = graft.ext.Export.auditTokenBin(s, out).isEmpty
     // positioned-read witness on a 1-in-17 slice (the x77 pattern):
     // fetch cost must stay ∝ requested docs, and the fetched token
@@ -6137,7 +6143,13 @@ object Queries {
         length(col("w")).cast("int").as("token_id"))
     val out = epochBinDirMemo.getOrElseUpdate(dir,
       java.nio.file.Files.createTempDirectory("graft-epochbin").toString)
-    graft.ext.Export.writeTokenBin(toks, "doc_id", out, tokensPerShard = 8192)
+    // counts as a pure column on the base frame (docs with zero words
+    // are absent from the exploded token stream — filter to match)
+    val wsCounts = docs.select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), w => w =!= "")).cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+    graft.ext.Export.writeTokenBin(toks, "doc_id", out, tokensPerShard = 8192,
+      docCounts = wsCounts)
     val idx = s.read.parquet(s"$out/idx").localCheckpoint(true)
     def plan(seed: Long) = graft.ext.Export
       .epochShufflePlan(idx, blockTokens = 2048, epochSeed = seed)
