@@ -604,15 +604,18 @@ object Export {
     val fs0 = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs0.exists(mPath))
       return writeTokenBin(tokens, idCol, outDir, tokensPerShard, seed, groups)
-    // sever lineage from the _manifest files this call will replace
+    // sever lineage from the _manifest files this call will replace;
+    // ONE collect serves every manifest-derived scalar below (empty
+    // check, dtype, tail state) — the manifest is shard-count-sized,
+    // and the previous isEmpty/head/head trio was three driver jobs
     val oldManifest = withDtypeCol(spark.read.parquet(s"$outDir/_manifest"))
       .localCheckpoint(true)
-    if (oldManifest.isEmpty)
+    val mRows = oldManifest.select("shard", "n_docs", "n_tokens", "dtype").collect()
+    if (mRows.isEmpty)
       return writeTokenBin(tokens, idCol, outDir, tokensPerShard, seed, groups)
-    val dtype = oldManifest.select("dtype").head.getString(0)
+    val dtype = mRows.head.getString(3)
     val width = dtypeWidth(dtype)
-    val tail = oldManifest.orderBy(col("shard").desc)
-      .select("shard", "n_docs", "n_tokens").head
+    val tail = mRows.maxBy(_.getLong(0))
     val (tailShard, tailDocs, tailToks) =
       (tail.getLong(0), tail.getLong(1), tail.getLong(2))
     val storedIds = spark.read.parquet(s"$outDir/idx").select(col(idCol))
@@ -652,14 +655,15 @@ object Export {
           col("ntok").as("n_tokens"))
         .localCheckpoint(true)
       try {
-        val maxShard = index.agg(max(col("shard"))).head
-        if (maxShard.isNullAt(0)) // nothing new: untouched export, empty delta
-          return oldManifest.limit(0)
-        require(maxShard.getLong(0) < Int.MaxValue - 1,
-          s"shard count ${maxShard.getLong(0) + 1} exceeds Int range — " +
-            "raise tokensPerShard (a bin file should be GBs, not KBs)")
+        // one distinct-shard collect yields both the touched set and
+        // the max shard (formerly a separate aggregation job)
         val touched = index.select(col("shard")).distinct()
           .as[Long].collect().sorted.toSeq // ≤ batch/tokensPerShard + 1
+        if (touched.isEmpty) // nothing new: untouched export, empty delta
+          return oldManifest.limit(0)
+        require(touched.last < Int.MaxValue - 1,
+          s"shard count ${touched.last + 1} exceeds Int range — " +
+            "raise tokensPerShard (a bin file should be GBs, not KBs)")
         val tailSeed: Map[Long, (Long, Long)] =
           if (touched.contains(tailShard)) Map(tailShard -> (tailDocs, tailToks))
           else Map.empty
@@ -715,17 +719,19 @@ object Export {
     val fs0 = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs0.exists(mPath))
       return writeSequenceBin(packed, outDir, seqsPerShard)
+    // ONE collect for every manifest-derived scalar (see
+    // [[appendTokenBin]]): empty check, dtype, tail state, stored count
     val oldManifest = withDtypeCol(spark.read.parquet(s"$outDir/_manifest"))
       .localCheckpoint(true)
-    if (oldManifest.isEmpty)
+    val mRows = oldManifest.select("shard", "n_docs", "n_tokens", "dtype").collect()
+    if (mRows.isEmpty)
       return writeSequenceBin(packed, outDir, seqsPerShard)
-    val dtype = oldManifest.select("dtype").head.getString(0)
+    val dtype = mRows.head.getString(3)
     val width = dtypeWidth(dtype)
-    val tail = oldManifest.orderBy(col("shard").desc)
-      .select("shard", "n_docs", "n_tokens").head
+    val tail = mRows.maxBy(_.getLong(0))
     val (tailShard, tailSeqs, tailToks) =
       (tail.getLong(0), tail.getLong(1), tail.getLong(2))
-    val nStored = oldManifest.agg(sum(col("n_docs"))).head.getLong(0)
+    val nStored = mRows.map(_.getLong(1)).sum
     // the stored layout must have been cut at the SAME budget, or the
     // seq → shard arithmetic below would disagree with landed files
     require(tailShard == (nStored - 1) / seqsPerShard,
@@ -736,14 +742,15 @@ object Export {
       .withColumn("shard", (col("seq") / seqsPerShard).cast("long"))
       .localCheckpoint(true)
     try {
-      val maxShard = laid.agg(max(col("shard"))).head
-      if (maxShard.isNullAt(0))
-        return oldManifest.limit(0)
-      require(maxShard.getLong(0) < Int.MaxValue - 1,
-        s"shard count ${maxShard.getLong(0) + 1} exceeds Int range — " +
-          "raise seqsPerShard (a bin file should be GBs, not KBs)")
+      // one distinct-shard collect = touched set + max (see
+      // [[appendTokenBin]])
       val touched = laid.select(col("shard")).distinct()
         .as[Long].collect().sorted.toSeq
+      if (touched.isEmpty)
+        return oldManifest.limit(0)
+      require(touched.last < Int.MaxValue - 1,
+        s"shard count ${touched.last + 1} exceeds Int range — " +
+          "raise seqsPerShard (a bin file should be GBs, not KBs)")
       val tailSeed: Map[Long, (Long, Long)] =
         if (touched.contains(tailShard)) Map(tailShard -> (tailSeqs, tailToks))
         else Map.empty
