@@ -387,6 +387,27 @@ object LangId {
         round(col("_b.m"), 6).as("margin"))
   }
 
+  /** [[predictPortable]] with closed-form hex-coefficient weights as
+    * ONE fused kernel
+    * ([[graft.functions.LangIdExpressions.Rank1PortableLangIdScore]]) —
+    * the x56 gate's scoring discipline without the explode and the two
+    * aggregation exchanges. Bit-exact twin of predictPortable for
+    * `baseOfBucket`/`deltaOfBucket` of the hex-coefficient form (the
+    * only form the portable convention uses); spec-pinned margin-exact
+    * in LangIdSpec. */
+  def predictPortableFused(df: DataFrame, idCol: String, textCol: String,
+      langs: Seq[String], minN: Int, maxN: Int,
+      base: graft.functions.LangIdExpressions.HexCoef,
+      delta: graft.functions.LangIdExpressions.HexCoef,
+      interceptOf: Int => Double): DataFrame = {
+    val s = graft.functions.LangIdExpressions.rank1PortableLangIdScore(
+      col(textCol), minN, maxN, langs, base, delta, interceptOf)
+    spreadForExplode(df)
+      .select(col(idCol), s.as("_s"))
+      .filter(col("_s").isNotNull)
+      .select(col(idCol), col("_s.lang").as("lang"), col("_s.margin").as("margin"))
+  }
+
   /** [[predictStored]] with the [[portableBucket]] rule as ONE fused
     * kernel ([[graft.functions.LangIdExpressions.PortableLangIdScore]])
     * — per-document arithmetic needs no exchange: the DataFrame form

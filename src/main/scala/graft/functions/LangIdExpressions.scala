@@ -203,6 +203,143 @@ object LangIdExpressions {
     }
   }
 
+  /** Closed-form coefficients for one rank-1 bucket weight:
+    * `((h0·c0 + h1·c1 + h2·c2) % mod − off) / div` over the ASCII codes
+    * of the bucket's first three md5 hex chars (the x56 portable
+    * convention). */
+  final case class HexCoef(c0: Int, c1: Int, c2: Int, mod: Int, off: Int,
+      div: Double) extends Serializable {
+    def of(h0: Int, h1: Int, h2: Int): Double =
+      ((h0 * c0 + h1 * c1 + h2 * c2) % mod - off) / div
+  }
+
+  /** RANK-1 portable scoring kernel — the fused form of
+    * [[graft.ext.LangId.predictPortable]]: buckets are the md5 hex
+    * 4-prefix, each bucket carries closed-form (base, delta) weights,
+    * and class margins are `a + k·d + intercept(k)` over the two
+    * decimal-summed per-doc totals. Replays the oracle-pinned numerics
+    * of gate x56 bit-exactly (same BigDecimal contracts as
+    * [[PortableLangIdModelRef]], with predictPortable's own operand
+    * order `(w · c) / n`); argmax = array_max's struct ordering (ties
+    * to the larger code). Null when the document has no grams. */
+  final class Rank1PortableLangIdRef(val minN: Int, val maxN: Int,
+      val base: HexCoef, val delta: HexCoef, val intercepts: Array[Double],
+      val langs: Array[UTF8String]) extends Serializable {
+
+    @transient private lazy val spaceRe = java.util.regex.Pattern.compile("\\s+")
+    @transient private lazy val md5 =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    private val HexAscii: Array[Int] = "0123456789abcdef".map(_.toInt).toArray
+
+    def score(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+      val norm = spaceRe.matcher(input.trim().toLowerCase().toString).replaceAll(" ")
+      val cps = norm.codePoints().toArray
+      val len = cps.length
+      val digest = md5.get()
+      var total = 0
+      // collect 16-bit bucket keys (4 hex nibbles), then run-length on
+      // the sorted array — gram counts are prefix-bounded (≤ ~3·len)
+      var keys = new Array[Int](math.max(3 * len, 8))
+      var kn = 0
+      var n = minN
+      while (n <= maxN) {
+        val last = len - n
+        var i = 0
+        while (i <= last) {
+          val bytes = new String(cps, i, n).getBytes(StandardCharsets.UTF_8)
+          val d = digest.digest(bytes)
+          if (kn == keys.length) keys = java.util.Arrays.copyOf(keys, kn * 2)
+          keys(kn) = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+          kn += 1
+          total += 1
+          i += 1
+        }
+        n += 1
+      }
+      if (total == 0) return null
+      java.util.Arrays.sort(keys, 0, kn)
+      val nn = total.toDouble
+      var accA: java.math.BigDecimal = null
+      var accB: java.math.BigDecimal = null
+      var i = 0
+      while (i < kn) {
+        val key = keys(i)
+        var j = i
+        while (j < kn && keys(j) == key) j += 1
+        val c = (j - i).toDouble
+        val h0 = HexAscii((key >> 12) & 0xF)
+        val h1 = HexAscii((key >> 8) & 0xF)
+        val h2 = HexAscii((key >> 4) & 0xF)
+        // predictPortable's operand order: (weight · c) / n
+        val tA = java.math.BigDecimal.valueOf(base.of(h0, h1, h2) * c / nn)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        val tB = java.math.BigDecimal.valueOf(delta.of(h0, h1, h2) * c / nn)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        val dA = java.math.BigDecimal.valueOf(tA)
+          .setScale(10, java.math.RoundingMode.HALF_UP)
+        val dB = java.math.BigDecimal.valueOf(tB)
+          .setScale(10, java.math.RoundingMode.HALF_UP)
+        accA = if (accA == null) dA else accA.add(dA)
+        accB = if (accB == null) dB else accB.add(dB)
+        i = j
+      }
+      val a = accA.doubleValue()
+      val d = accB.doubleValue()
+      var best = 0
+      var bm = a + 0.0 * d + intercepts(0)
+      var k = 1
+      while (k < langs.length) {
+        val m = a + k.toDouble * d + intercepts(k)
+        if (java.lang.Double.compare(m, bm) >= 0) { best = k; bm = m }
+        k += 1
+      }
+      val margin = java.math.BigDecimal.valueOf(bm)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](langs(best), margin))
+    }
+  }
+
+  final case class Rank1PortableLangIdScore(child: Expression,
+      model: Rank1PortableLangIdRef)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("lang", StringType, nullable = false),
+      StructField("margin", DoubleType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_rank1_portable_langid_score"
+    // optimizer fence — see [[PortableLangIdScore.deterministic]]
+    override lazy val deterministic: Boolean = false
+
+    override def nullSafeEval(v: Any): Any =
+      model.score(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val m = ctx.addReferenceObj("rank1LangIdModel", model,
+          classOf[Rank1PortableLangIdRef].getName)
+        s"""
+           |${ev.value} = $m.score($v);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column form of [[Rank1PortableLangIdScore]]. */
+  def rank1PortableLangIdScore(text: Column, minN: Int, maxN: Int,
+      langs: Seq[String], base: HexCoef, delta: HexCoef,
+      interceptOf: Int => Double): Column = {
+    val ref = new Rank1PortableLangIdRef(minN, maxN, base, delta,
+      langs.indices.map(interceptOf).toArray,
+      langs.map(UTF8String.fromString).toArray)
+    ColumnBridge.column(Rank1PortableLangIdScore(ColumnBridge.expr(text), ref))
+  }
+
   final case class PortableLangIdScore(child: Expression,
       model: PortableLangIdModelRef)
       extends UnaryExpression with ExpectsInputTypes {

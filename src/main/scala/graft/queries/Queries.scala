@@ -4722,17 +4722,15 @@ object Queries {
        |SELECT doc_id, lang, ROUND(m, 6) AS margin
        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val langs = graft.ext.LangId.Seed.Vocab.map(_._1).sorted
-    val baseOf = (b: Column) =>
-      ((ascii(substring(b, 1, 1)) * 31 + ascii(substring(b, 2, 1)) * 7
-        + ascii(substring(b, 3, 1)) * 3) % 23 - 11) / lit(16.0)
-    val deltaOf = (b: Column) =>
-      ((ascii(substring(b, 1, 1)) * 13 + ascii(substring(b, 2, 1)) * 5
-        + ascii(substring(b, 3, 1)) * 11) % 19 - 9) / lit(12.0)
-    graft.ext.LangId.predictPortable(
+    // fused rank-1 portable kernel — bit-exact twin of
+    // LangId.predictPortable with these hex coefficients (spec-pinned;
+    // the DataFrame form paid an explode plus two agg exchanges)
+    graft.ext.LangId.predictPortableFused(
         Tables.documents(s, dir)
           .select(col("doc_id"), substring(col("text"), 1, 160).as("t")),
         "doc_id", "t", langs, minN = 1, maxN = 3,
-        baseOfBucket = baseOf, deltaOfBucket = deltaOf,
+        base = graft.functions.LangIdExpressions.HexCoef(31, 7, 3, 23, 11, 16.0),
+        delta = graft.functions.LangIdExpressions.HexCoef(13, 5, 11, 19, 9, 12.0),
         interceptOf = k => (k % 5 - 2) / 10.0)
       .ordered("doc_id")
   }

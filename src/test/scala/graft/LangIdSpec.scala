@@ -99,6 +99,36 @@ class LangIdSpec extends SparkTestBase {
     assert(diff.isEmpty, s"kernel disagrees: ${diff.take(3).mkString("; ")}")
   }
 
+  test("predictPortableFused (rank-1 kernel) == predictPortable, margin-exact") {
+    val langs = LangId.Seed.Vocab.map(_._1).sorted
+    val base = graft.functions.LangIdExpressions.HexCoef(31, 7, 3, 23, 11, 16.0)
+    val delta = graft.functions.LangIdExpressions.HexCoef(13, 5, 11, 19, 9, 12.0)
+    val baseOf = (b: org.apache.spark.sql.Column) =>
+      ((ascii(substring(b, 1, 1)) * 31 + ascii(substring(b, 2, 1)) * 7
+        + ascii(substring(b, 3, 1)) * 3) % 23 - 11) / lit(16.0)
+    val deltaOf = (b: org.apache.spark.sql.Column) =>
+      ((ascii(substring(b, 1, 1)) * 13 + ascii(substring(b, 2, 1)) * 5
+        + ascii(substring(b, 3, 1)) * 11) % 19 - 9) / lit(12.0)
+    val texts = LangId.Seed.corpus(spark, docsPerLang = 8, salt = 7)
+      .select(col("sid").as("id"), col("text"))
+      .union(graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+        .limit(200).select(concat(lit("d"), col("doc_id")).as("id"),
+          substring(col("text"), 1, 160).as("text")))
+      .union(Seq(("e1", ""), ("e2", "  "), ("e3", "a"),
+        ("e4", "éü 中文 x"), ("e5", "ÄŐ\tmixed\n\nWS")).toDF("id", "text"))
+    val ref = LangId.predictPortable(texts, "id", "text", langs, 1, 3,
+        baseOf, deltaOf, k => (k % 5 - 2) / 10.0)
+      .select(col("id"), col("lang").as("l1"), col("margin").as("m1"))
+    val fused = LangId.predictPortableFused(texts, "id", "text", langs, 1, 3,
+        base, delta, k => (k % 5 - 2) / 10.0)
+      .select(col("id"), col("lang").as("l2"), col("margin").as("m2"))
+    val joined = ref.join(fused, Seq("id"), "full_outer")
+    assert(joined.filter(col("l1").isNull || col("l2").isNull).count() == 0)
+    val diff = joined.filter(col("l1") =!= col("l2") ||
+      col("m1") =!= col("m2")).collect()
+    assert(diff.isEmpty, s"rank-1 kernel disagrees: ${diff.take(3).mkString("; ")}")
+  }
+
   test("no-gram docs fall back: default und, or the chained marker heuristic") {
     val docs = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
     val m = LangId.Model(dim = 64, minN = 1, maxN = 3, langs = Seq("de", "en"),
