@@ -458,6 +458,37 @@ object Bpe {
         coalesce(col("token_id"), lit(-1)).as("token_id"))
   }
 
+  /** [[tokenizeBytesToIds]] as ONE fused kernel
+    * ([[graft.functions.BpeExpressions.BpeTokenizeToIds]]) — same
+    * rows, no segment-table broadcast: the DataFrame form ships the
+    * corpus-derived word→subwords table to every task (vocabulary-
+    * sized, grows with the corpus) and pays two Generates + two
+    * broadcast joins per pass; the kernel carries only (merges, vocab
+    * ids) — model-sized, the true 100-TB scoring posture — and
+    * re-derives each word's segmentation with the exact
+    * [[segmentTableBytes]] semantics (spec-pinned equal in BpeSpec;
+    * the x31c/x93-family oracle gates hash the composition). */
+  def tokenizeBytesToIdsFused(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], vocabIds: Map[String, Int] = null): DataFrame = {
+    val vocab = Option(vocabIds).getOrElse(byteVocab(merges))
+    val k = graft.functions.BpeExpressions.bpeTokenizeToIds(
+      col(textCol), merges.map(m => (m.left, m.right)), vocab)
+    df.select(col(idCol), explode(k).as("t"))
+      .select(col(idCol), col("t.pos").as("pos"),
+        col("t.subpos").as("subpos"), col("t.token_id").as("token_id"))
+  }
+
+  /** [[tokenCountsBytes]] as a pure column kernel — per-doc totals
+    * with no explode/join/aggregation at all; docs with no byte-words
+    * drop (the groupBy path's absent-row semantics). */
+  def tokenCountsBytesFused(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], vocabIds: Map[String, Int] = null): DataFrame = {
+    val vocab = Option(vocabIds).getOrElse(byteVocab(merges))
+    val k = graft.functions.BpeExpressions.bpeTokenCount(
+      col(textCol), merges.map(m => (m.left, m.right)), vocab)
+    df.select(col(idCol), k.as("ntok")).filter(col("ntok") > 0)
+  }
+
   /** [[tokenizeBytesToIds]] with SPECIAL TOKENS carried as atomic ids
     * (the HuggingFace `added_tokens` contract, [[ModelStore
     * .importHuggingFaceFull]]): each literal occurrence of a special's

@@ -5963,8 +5963,9 @@ object Queries {
       val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
       (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
     })
-    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
-    val toks = graft.ext.Bpe.tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
+    // fused tokenizer kernel — row-exact twin of the segment-table
+    // join path (BpeSpec pin); no vocab-sized broadcast
+    val toks = graft.ext.Bpe.tokenizeBytesToIdsFused(docs, "doc_id", "text", merges)
     val detok = graft.ext.Bpe.detokenizeIds(toks, "doc_id", merges)
     // an empty-text doc emits no tokens and so no detok row — restore
     // it as the empty string (the conservation law covers it too)
@@ -6034,11 +6035,9 @@ object Queries {
       val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
       (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
     })
-    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
-    // token COUNTS without materializing tokens (word-sized, not
-    // token-sized, intermediate — BpeSpec pins equality with the
-    // materialized path)
-    val counted = graft.ext.Bpe.tokenCountsBytes(docs, "doc_id", "text", seg)
+    // token COUNTS as a pure column kernel (no explode/join/agg at
+    // all — BpeSpec pins equality with the materialized path)
+    val counted = graft.ext.Bpe.tokenCountsBytesFused(docs, "doc_id", "text", merges)
       .filter(col("ntok") >= 10) // the short-doc quality floor
     val out = trainingExportDirMemo.getOrElseUpdate(dir,
       java.nio.file.Files.createTempDirectory("graft-trainexp").toString)
@@ -6065,11 +6064,10 @@ object Queries {
       val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
       (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
     })
-    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
-    val toks = graft.ext.Bpe.tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
-    // word-sized counts (BpeSpec-pinned equal to toks.groupBy().count)
-    // — the unmaterialized `toks` pipeline would re-tokenize for them
-    val counts = graft.ext.Bpe.tokenCountsBytes(docs, "doc_id", "text", seg)
+    // fused tokenizer + count kernels (BpeSpec-pinned row-exact twins
+    // of the segment-table join path; counts equal toks.groupBy.count)
+    val toks = graft.ext.Bpe.tokenizeBytesToIdsFused(docs, "doc_id", "text", merges)
+    val counts = graft.ext.Bpe.tokenCountsBytesFused(docs, "doc_id", "text", merges)
     val packing = graft.ext.Packing.packContiguous(
       counts, "ntok", 256L, Seq(col("doc_id")))
     graft.ext.Packing.packTokenIds(toks, "doc_id", packing, 256L)
@@ -6095,16 +6093,15 @@ object Queries {
       val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
       (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
     })
-    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
-    val toks = graft.ext.Bpe.tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
+    // fused tokenizer + count kernels (BpeSpec-pinned row-exact): one
+    // kernel pass for the bin write, one pure-column pass for the
+    // layout counts — no segment-table broadcast, no count re-tokenize
+    val toks = graft.ext.Bpe.tokenizeBytesToIdsFused(docs, "doc_id", "text", merges)
     val out = tokenBinDirMemo.getOrElseUpdate(dir,
       java.nio.file.Files.createTempDirectory("graft-tokbin").toString)
-    // layout counts from the word-sized segment-table join (the x90
-    // trick, BpeSpec-pinned equal): without this the unmaterialized
-    // `toks` pipeline re-runs the whole tokenizer for the counts pass
     val manifest = graft.ext.Export.writeTokenBin(toks, "doc_id", out,
       tokensPerShard = 16384,
-      docCounts = graft.ext.Bpe.tokenCountsBytes(docs, "doc_id", "text", seg))
+      docCounts = graft.ext.Bpe.tokenCountsBytesFused(docs, "doc_id", "text", merges))
     val auditClean = graft.ext.Export.auditTokenBin(s, out).isEmpty
     // positioned-read witness on a 1-in-17 slice (the x77 pattern):
     // fetch cost must stay ∝ requested docs, and the fetched token
@@ -6195,10 +6192,10 @@ object Queries {
       val v = graft.ext.Bpe.byteWordFreqs(docs, "text").cache()
       (graft.ext.Bpe.learnByteMergesFromVocabBatched(v, 20).merges, v)
     })
-    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
-    // one tokenize pass serves the base write + both appends + replay
+    // one FUSED tokenize pass (BpeSpec-pinned row-exact) serves the
+    // base write + both appends + replay
     val toks = graft.ext.Bpe
-      .tokenizeBytesToIds(docs, "doc_id", "text", seg, merges)
+      .tokenizeBytesToIdsFused(docs, "doc_id", "text", merges)
       .localCheckpoint(true)
     val out = java.nio.file.Files
       .createTempDirectory("graft-tokbin-app").toString

@@ -264,4 +264,29 @@ class BpeSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(fast == slow, s"fast $fast slow $slow")
   }
+
+  test("fused tokenize/count kernels == segment-table join path, row-exact") {
+    val df = byteCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      // adversarial shapes: unseen symbols, empty, whitespace-only,
+      // plus real corpus text (the shapes that would expose a
+      // merge-order / code-point / fallback mismatch)
+      .unionByName(Seq((99L, "\u043f\u0440\u0438\u0432\u0435\u0442 novelword"), (100L, ""), (101L, "   "))
+        .toDF("id", "text"))
+      .unionByName(graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+        .limit(150).select((col("doc_id") + 1000L).as("id"),
+          coalesce(col("text"), lit("")).as("text")))
+    val vocab = Bpe.byteWordFreqs(df, "text").cache()
+    val merges = Bpe.learnByteMergesFromVocabBatched(vocab, 16).merges
+    val seg = Bpe.segmentTableBytes(vocab, merges)
+    val ref = Bpe.tokenizeBytesToIds(df, "id", "text", seg, merges)
+    val fused = Bpe.tokenizeBytesToIdsFused(df, "id", "text", merges)
+    assert(ref.unionByName(fused).distinct().count() == ref.distinct().count())
+    assert(ref.count() == fused.count())
+    val refC = Bpe.tokenCountsBytes(df, "id", "text", seg)
+      .as[(Long, Long)].collect().toMap
+    val fusedC = Bpe.tokenCountsBytesFused(df, "id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(refC == fusedC)
+  }
 }
