@@ -467,7 +467,15 @@ object Bpe {
     * ids) — model-sized, the true 100-TB scoring posture — and
     * re-derives each word's segmentation with the exact
     * [[segmentTableBytes]] semantics (spec-pinned equal in BpeSpec;
-    * the x31c/x93-family oracle gates hash the composition). */
+    * the x31c/x93-family oracle gates hash the composition).
+    *
+    * OOV NOTE: row-exact equality with [[tokenizeBytesToIds]] holds
+    * for words present in the join path's segment table (always true
+    * when the tokenized corpus is the vocab corpus). For a word ABSENT
+    * from that table the join path falls back to raw byte symbols
+    * while this kernel applies the merges — different ids, identical
+    * detokenized bytes (see the divergence note in
+    * [[graft.functions.BpeExpressions]]). */
   def tokenizeBytesToIdsFused(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge], vocabIds: Map[String, Int] = null): DataFrame = {
     val vocab = Option(vocabIds).getOrElse(byteVocab(merges))
@@ -480,7 +488,12 @@ object Bpe {
 
   /** [[tokenCountsBytes]] as a pure column kernel — per-doc totals
     * with no explode/join/aggregation at all; docs with no byte-words
-    * drop (the groupBy path's absent-row semantics). */
+    * drop (the groupBy path's absent-row semantics). Same OOV note as
+    * [[tokenizeBytesToIdsFused]]: counts agree with the join path only
+    * for in-vocab words (OOV words count their kernel segmentation,
+    * the join path their byte length) — pair these counts with KERNEL
+    * tokens, never with join-path tokens, on a corpus that may contain
+    * OOV words. */
   def tokenCountsBytesFused(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge], vocabIds: Map[String, Int] = null): DataFrame = {
     val vocab = Option(vocabIds).getOrElse(byteVocab(merges))
@@ -548,6 +561,29 @@ object Bpe {
     specialRows.unionByName(textRows)
       .withColumn("pos", (dense_rank().over(w) - 1).cast("int"))
       .select(col(idCol), col("pos"), col("subpos").cast("int"), col("token_id"))
+  }
+
+  /** [[tokenizeBytesToIdsWithSpecials]] as ONE fused kernel
+    * ([[graft.functions.BpeExpressions.BpeTokenizeWithSpecials]]) —
+    * same output frame (atomic special ids, the dense words-and-
+    * specials `pos` numbering), no corpus-sized segment-table
+    * broadcast: the model payload is (merges, vocab ids, specials),
+    * constant-sized. Special matching replicates the DataFrame path's
+    * longest-first literal alternation exactly (spec-pinned in
+    * BpeSpec). Same OOV note as [[tokenizeBytesToIdsFused]]. */
+  def tokenizeBytesToIdsWithSpecialsFused(df: DataFrame, idCol: String,
+      textCol: String, merges: Seq[Merge], vocabIds: Map[String, Int],
+      specials: Seq[(String, Int)]): DataFrame = {
+    if (specials.isEmpty)
+      return tokenizeBytesToIdsFused(df, idCol, textCol, merges, vocabIds)
+    specials.foreach { case (c, _) => require(c.nonEmpty, "empty special token") }
+    require(specials.map(_._1).distinct.size == specials.size,
+      "duplicate special token contents")
+    val k = graft.functions.BpeExpressions.bpeTokenizeWithSpecials(
+      col(textCol), merges.map(m => (m.left, m.right)), vocabIds, specials)
+    df.select(col(idCol), explode(k).as("t"))
+      .select(col(idCol), col("t.pos").as("pos"),
+        col("t.subpos").as("subpos"), col("t.token_id").as("token_id"))
   }
 
   /** Inverse of [[tokenizeBytesToIdsWithSpecials]]: specials splice

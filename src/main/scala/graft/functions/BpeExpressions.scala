@@ -28,8 +28,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * bounded cache (Zipf makes the hit rate high; the cache never
   * affects results).
   *
-  * Pinned equal to the join pipeline by BpeSpec (same rows, any text)
-  * and by the hash-exact x31c/x93-family gates downstream. */
+  * Pinned equal to the join pipeline by BpeSpec (same rows) for every
+  * word PRESENT in the segment-table vocabulary — which is all words
+  * when the tokenized corpus is the vocab corpus, the x31c/x93-family
+  * posture (hash-exact gates downstream).
+  *
+  * DOCUMENTED DIVERGENCE (out-of-vocabulary words): the join path
+  * falls back to raw byte symbols (no merges) for a word absent from
+  * its materialized segment table — an artifact of materializing
+  * segmentation only for the vocab — while these kernels apply the
+  * merges to ANY word (the behavior a real BPE tokenizer has, and the
+  * only one expressible without corpus-sized state). The two paths
+  * then emit different token ids for OOV words, but BOTH streams
+  * detokenize to byte-identical text (merging never loses bytes) and
+  * produce the same per-special counts (ordinary ids never collide
+  * with special ids). BpeSpec pins both facts on an OOV corpus. Do
+  * NOT mix join-path counts with kernel tokens (or vice versa) in one
+  * [[graft.ext.Export.writeTokenBin]] call when the corpus may
+  * contain OOV words — writeTokenBin's manifest/index invariant fails
+  * loudly on such a mismatch. */
 object BpeExpressions {
 
   /** The model payload: merges in rank order + subword → id. */
@@ -182,10 +199,98 @@ object BpeExpressions {
       copy(child = newChild)
   }
 
+  /** [[BpeModelRef]] plus the HF `added_tokens` atomic-id contract —
+    * the fused twin of [[graft.ext.Bpe.tokenizeBytesToIdsWithSpecials]]'
+    * split/extract/interleave pipeline. Matching replicates the
+    * DataFrame path's regex semantics exactly: literal specials,
+    * leftmost non-overlapping scan, longest special wins at any
+    * position (the path sorts the alternation longest-first and Java
+    * regex takes the first alternative that matches). `pos` numbers
+    * words-and-specials in document order (the dense_rank twin: an
+    * empty text piece between adjacent specials emits nothing and
+    * advances nothing). */
+  final class BpeSpecialsRef(val model: BpeModelRef,
+      specialsIn: Array[(String, Int)]) extends Serializable {
+    private val specials: Array[(String, Int)] = specialsIn.sortBy(-_._1.length)
+
+    def tokenizeRow(v: UTF8String): ArrayData = {
+      val text = v.toString
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var pos = 0
+      def emitWords(piece: String): Unit =
+        graft.ext.Bpe.ByteLevel.byteWords(piece).foreach { w =>
+          val ids = model.idsOf(w)
+          var sp = 0
+          while (sp < ids.length) {
+            out += new GenericInternalRow(Array[Any](pos, sp, ids(sp)))
+            sp += 1
+          }
+          pos += 1
+        }
+      var segStart = 0
+      var i = 0
+      while (i < text.length) {
+        var k = 0
+        var matched = -1
+        while (k < specials.length && matched < 0) {
+          if (text.startsWith(specials(k)._1, i)) matched = k
+          k += 1
+        }
+        if (matched >= 0) {
+          if (i > segStart) emitWords(text.substring(segStart, i))
+          out += new GenericInternalRow(
+            Array[Any](pos, 0, specials(matched)._2))
+          pos += 1
+          i += specials(matched)._1.length
+          segStart = i
+        } else i += 1
+      }
+      if (segStart < text.length) emitWords(text.substring(segStart))
+      new GenericArrayData(out.toArray)
+    }
+  }
+
+  /** text → array<struct<pos,subpos,token_id>> with specials atomic —
+    * the exact row shape [[graft.ext.Bpe
+    * .tokenizeBytesToIdsWithSpecials]] emits (same `pos` numbering,
+    * same atomic ids), carried by the model-sized (merges, vocab,
+    * specials) payload instead of the corpus-sized segment-table
+    * broadcast. */
+  final case class BpeTokenizeWithSpecials(child: Expression,
+      ref: BpeSpecialsRef)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("subpos", IntegerType, nullable = false),
+      StructField("token_id", IntegerType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "graft_bpe_tokenize_specials"
+
+    override def nullSafeEval(v: Any): Any =
+      ref.tokenizeRow(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v => {
+        val m = ctx.addReferenceObj("bpeSpecials", ref,
+          classOf[BpeSpecialsRef].getName)
+        s"$m.tokenizeRow($v)"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def bpeTokenizeToIds(text: Column, merges: Seq[(String, String)],
       vocabIds: Map[String, Int]): Column =
     ColumnBridge.column(BpeTokenizeToIds(ColumnBridge.expr(text),
       new BpeModelRef(merges.toArray, vocabIds)))
+
+  def bpeTokenizeWithSpecials(text: Column, merges: Seq[(String, String)],
+      vocabIds: Map[String, Int], specials: Seq[(String, Int)]): Column =
+    ColumnBridge.column(BpeTokenizeWithSpecials(ColumnBridge.expr(text),
+      new BpeSpecialsRef(new BpeModelRef(merges.toArray, vocabIds),
+        specials.toArray)))
 
   def bpeTokenCount(text: Column, merges: Seq[(String, String)],
       vocabIds: Map[String, Int]): Column =

@@ -6004,9 +6004,14 @@ object Queries {
     val wrapped = docs.select(col("doc_id"),
       concat(lit("<|graftbos|>"), col("text"), lit("<|graftsep|>"),
         substring(col("text"), 1, 10), lit("<|grafteot|>")).as("text"))
-    val seg = graft.ext.Bpe.segmentTableBytes(vocab, merges)
-    val toks = graft.ext.Bpe.tokenizeBytesToIdsWithSpecials(
-      wrapped, "doc_id", "text", seg, graft.ext.Bpe.byteVocab(merges), specials)
+    // fused specials-aware tokenizer kernel — no corpus-sized
+    // segment-table broadcast; the substr piece's cut words are OOV
+    // and segment differently from the join path, but the declared
+    // output is invariant to segmentation (detok is byte-exact for any
+    // merge-product stream and ordinary ids never reach the special
+    // range) — BpeSpec pins both laws on an OOV corpus
+    val toks = graft.ext.Bpe.tokenizeBytesToIdsWithSpecialsFused(
+      wrapped, "doc_id", "text", merges, graft.ext.Bpe.byteVocab(merges), specials)
     val nSpec = toks.filter(col("token_id") >= 500000)
       .groupBy("doc_id").agg(count(lit(1)).as("n_special"))
     graft.ext.Bpe.detokenizeIdsWithSpecials(toks, "doc_id",

@@ -289,4 +289,81 @@ class BpeSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(refC == fusedC)
   }
+
+  test("fused kernels on OUT-OF-VOCAB words: documented divergence, invariant laws hold") {
+    // vocab learned from a TRAIN corpus, kernels applied to a DIFFERENT
+    // corpus whose words are absent from the segment table — the case
+    // the join path handles with a raw-byte fallback and the kernels
+    // with merges (the documented divergence in BpeExpressions)
+    val train = byteCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val vocab = Bpe.byteWordFreqs(train, "text").cache()
+    val merges = Bpe.learnByteMergesFromVocabBatched(vocab, 16).merges
+    val seg = Bpe.segmentTableBytes(vocab, merges)
+    val oov = Seq((1L, "the cat catcatcat zzqx catnap"),
+      (2L, "привет lowersat"), (3L, "the cat sat"))
+      .toDF("id", "text")
+    val ref = Bpe.tokenizeBytesToIds(oov, "id", "text", seg, merges)
+    val fused = Bpe.tokenizeBytesToIdsFused(oov, "id", "text", merges)
+    // the divergence is REAL here: at least one OOV word segments
+    // differently (fewer tokens under merges than raw bytes)
+    val refN = ref.count(); val fusedN = fused.count()
+    assert(fusedN < refN, s"expected kernel merges to fire on OOV words ($fusedN vs $refN)")
+    // law 1: both streams detokenize to the identical original text
+    val backRef = Bpe.detokenizeIds(ref, "id", merges).as[(Long, String)].collect().toMap
+    val backFused = Bpe.detokenizeIds(fused, "id", merges).as[(Long, String)].collect().toMap
+    assert(backRef == backFused)
+    assert(backFused(1L) == "the cat catcatcat zzqx catnap")
+    // law 2: the fused COUNT kernel equals the fused token stream's
+    // per-doc counts (the pairing writeTokenBin's docCounts relies on)
+    val fusedC = Bpe.tokenCountsBytesFused(oov, "id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    val fromToks = fused.groupBy("id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(fusedC == fromToks)
+  }
+
+  test("specials fused kernel == join path row-exact in-vocab; laws hold on the x31d OOV shape") {
+    val docs = byteCorpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .unionByName(graft.store.Tables.documents(spark, "/root/testdata/sf0.001")
+        .limit(100).select((col("doc_id") + 1000L).as("id"),
+          coalesce(col("text"), lit("")).as("text")))
+    val vocab = Bpe.byteWordFreqs(docs, "text").cache()
+    val merges = Bpe.learnByteMergesFromVocabBatched(vocab, 16).merges
+    val seg = Bpe.segmentTableBytes(vocab, merges)
+    val ids = Bpe.byteVocab(merges)
+    val specials = Seq("<|bos|>" -> 500000, "<|sep|>" -> 500001,
+      "<|eot|>" -> 500002, "<|se|>" -> 500003) // <|se|> prefixes <|sep|>: longest-match pin
+    // in-vocab wrap: every text piece is a FULL doc text (all words in
+    // vocab), plus adversarial shapes — adjacent specials (empty piece
+    // between), special at start/end, the shorter special standalone
+    val wrapped = docs.select(col("id"),
+      concat(lit("<|bos|>"), col("text"), lit("<|sep|><|eot|>"),
+        col("text"), lit("<|se|>")).as("text"))
+    val ref = Bpe.tokenizeBytesToIdsWithSpecials(
+      wrapped, "id", "text", seg, ids, specials)
+    val fused = Bpe.tokenizeBytesToIdsWithSpecialsFused(
+      wrapped, "id", "text", merges, ids, specials)
+    assert(ref.unionByName(fused).distinct().count() == ref.distinct().count())
+    assert(ref.count() == fused.count())
+    // OOV shape (the x31d gate): a substr cut makes the tail word of
+    // the prefix piece OOV → token streams may diverge, but the
+    // declared-output laws hold: detok byte-exact and special counts equal
+    val cut = docs.select(col("id"),
+      concat(lit("<|bos|>"), col("text"), lit("<|sep|>"),
+        substring(col("text"), 1, 10), lit("<|eot|>")).as("text"))
+    val refC = Bpe.tokenizeBytesToIdsWithSpecials(cut, "id", "text", seg, ids, specials)
+    val fusedC = Bpe.tokenizeBytesToIdsWithSpecialsFused(cut, "id", "text", merges, ids, specials)
+    val backRef = Bpe.detokenizeIdsWithSpecials(refC, "id", ids, specials)
+      .as[(Long, String)].collect().toMap
+    val backFused = Bpe.detokenizeIdsWithSpecials(fusedC, "id", ids, specials)
+      .as[(Long, String)].collect().toMap
+    assert(backRef == backFused)
+    def nSpec(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("token_id") >= 500000).groupBy("id")
+        .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(nSpec(refC) == nSpec(fusedC))
+    assert(nSpec(fusedC).values.forall(_ == 3L))
+  }
 }
