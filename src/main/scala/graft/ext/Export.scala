@@ -104,15 +104,20 @@ object Export {
   def writeShards(df: DataFrame, idCol: String, ntokCol: String,
       outDir: String, tokensPerShard: Long, seed: Long = 42L,
       groups: Int = 1, checksumCols: Seq[String] = Nil): DataFrame = {
+    // max(shard) rides the layout checkpoint as an observe() metric
+    // (the pageRankLoop fusion) — the separate agg job per export was
+    // pure driver overhead
+    val obs = org.apache.spark.sql.Observation()
     val assigned = assignShards(df, idCol, ntokCol, tokensPerShard, seed, groups)
+      .observe(obs, max(col("shard")).as("mx"))
       .localCheckpoint(true) // one layout pass feeds both writes
     try {
       // one output file per shard: repartition ON the shard id so the
       // write task holds exactly its shard (the bucketed-store "one
       // file per bucket" discipline). Empty input ⇒ empty shard dir +
       // empty (schema-complete) manifest, not an NPE on max(shard).
-      val maxShard = assigned.agg(max(col("shard"))).head
-      val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
+      val maxShard = obs.get.get("mx").flatMap(Option(_)).map(_.asInstanceOf[Long])
+      val nShards = maxShard.fold(0)(_.toInt + 1)
       if (nShards > 0)
         assigned.repartition(nShards, col("shard"))
           .write.mode("overwrite").partitionBy("shard").parquet(outDir)
@@ -153,11 +158,13 @@ object Export {
       outDir: String, tokensPerShard: Long, seed: Long = 42L,
       groups: Int = 1, checksumCols: Seq[String] = Nil,
       compression: String = "gzip"): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
     val assigned = assignShards(df, idCol, ntokCol, tokensPerShard, seed, groups)
+      .observe(obs, max(col("shard")).as("mx")) // see writeShards
       .localCheckpoint(true)
     try {
-      val maxShard = assigned.agg(max(col("shard"))).head
-      val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
+      val nShards = obs.get.get("mx").flatMap(Option(_))
+        .map(_.asInstanceOf[Long]).fold(0)(_.toInt + 1)
       val dataCols = assigned.columns.filter(_ != "shard").toSeq
       val lines = assigned.select(col("shard"),
         to_json(struct(dataCols.map(col): _*)).as("value"))
@@ -427,18 +434,22 @@ object Export {
     // (xxhash64(id, seed), id), window bounded by one shard's docs
     val layoutKey = xxhash64(col(idCol), lit(seed))
     val wOff = Window.partitionBy(col("shard")).orderBy(layoutKey, col(idCol))
+    // max(shard) rides the layout checkpoint as an observe() metric —
+    // the separate agg job per export was pure driver overhead
+    val idxObs = org.apache.spark.sql.Observation()
     val index = assigned.withColumn("offset",
         coalesce(sum(col("ntok")).over(
           wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("shard"), col(idCol), col("offset"),
         col("ntok").as("n_tokens"))
+      .observe(idxObs, max(col("shard")).as("mx"))
       .localCheckpoint(true) // one layout feeds idx, writer, manifest
     try {
-      val maxShard = index.agg(max(col("shard"))).head
-      require(maxShard.isNullAt(0) || maxShard.getLong(0) < Int.MaxValue - 1,
-        s"shard count ${maxShard.getLong(0) + 1} exceeds Int range — " +
+      val maxShard = idxObs.get.get("mx").flatMap(Option(_)).map(_.asInstanceOf[Long])
+      require(maxShard.forall(_ < Int.MaxValue - 1),
+        s"shard count ${maxShard.map(_ + 1).getOrElse(0L)} exceeds Int range — " +
           "raise tokensPerShard (a bin file should be GBs, not KBs)")
-      val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
+      val nShards = maxShard.fold(0)(_.toInt + 1)
       // idx/ is one row per DOCUMENT — corpus-sized, never funnel it
       // through one task (the r18 scale wart: a repartition(1) here put
       // billions of rows through a single parquet writer while the bin
@@ -480,10 +491,35 @@ object Export {
       // bytes twice (benign for overwrite, 2× the IO at scale). The
       // sort itself is the one-partition form: shard-count rows, and a
       // range exchange would be an extra sampling job per export.
-      val m = manifest.withColumn("dtype", lit(dtype))
-        .localCheckpoint(true).repartition(1).sortWithinPartitions("shard")
-      m.write.mode("overwrite").parquet(s"$outDir/_manifest")
-      m
+      val ck = manifest.withColumn("dtype", lit(dtype)).localCheckpoint(true)
+      // `docCounts` is a trust-the-caller contract; verify it INSIDE
+      // the manifest write job (no extra action): the writer's landed
+      // per-shard (docs, tokens) must equal the index's claims — both
+      // shard-count-sized — or idx offsets silently disagree with the
+      // laid bytes and every positioned read is corrupt. Fails loudly
+      // on any landed shard whose counts drift.
+      val claims = index.groupBy(col("shard")).agg(
+        sum(col("n_tokens")).as("__ctok"), count(lit(1)).as("__cdoc"))
+      val guarded = ck.join(claims, Seq("shard"), "left")
+        .withColumn("sha1", when(
+            col("__ctok").isNull || col("__ctok") =!= col("n_tokens") ||
+              col("__cdoc") =!= col("n_docs"),
+            raise_error(concat(
+              lit("writeTokenBin: shard "), col("shard").cast("string"),
+              lit(" landed (docs,tokens)=("), col("n_docs").cast("string"),
+              lit(","), col("n_tokens").cast("string"),
+              lit(") but the index claims ("),
+              coalesce(col("__cdoc").cast("string"), lit("none")), lit(","),
+              coalesce(col("__ctok").cast("string"), lit("none")),
+              lit(") — docCounts disagrees with the token stream"))))
+          .otherwise(col("sha1")))
+        .drop("__ctok", "__cdoc")
+        .repartition(1).sortWithinPartitions("shard")
+      guarded.write.mode("overwrite").parquet(s"$outDir/_manifest")
+      // the returned frame must not reference `index` (unpersisted in
+      // the finally below — a localCheckpoint cannot recompute); the
+      // guard already ran inside the write
+      ck.repartition(1).sortWithinPartitions("shard")
     } finally index.unpersist(): Unit
   }
 
@@ -514,9 +550,13 @@ object Export {
     // the idx write, AND the bin writer all branch from it — without
     // this the packTokenIds aggregation (a corpus-sized shuffle) would
     // re-run once per branch
+    // max(shard) rides the layout checkpoint as an observe() metric —
+    // the separate agg job per export was pure driver overhead
+    val obs = org.apache.spark.sql.Observation()
     val laid = packed.select(col("seq").cast("long"),
         col("token_ids"), col("n").cast("long"))
       .withColumn("shard", (col("seq") / seqsPerShard).cast("long"))
+      .observe(obs, max(col("shard")).as("mx"))
       .localCheckpoint(true)
     val wOff = Window.partitionBy(col("shard")).orderBy(col("seq"))
     val index = laid.withColumn("offset",
@@ -525,11 +565,11 @@ object Export {
       .select(col("shard"), col("seq"), col("offset"),
         col("n").as("n_tokens"))
     try {
-      val maxShard = index.agg(max(col("shard"))).head
-      require(maxShard.isNullAt(0) || maxShard.getLong(0) < Int.MaxValue - 1,
-        s"shard count ${maxShard.getLong(0) + 1} exceeds Int range — " +
+      val maxShard = obs.get.get("mx").flatMap(Option(_)).map(_.asInstanceOf[Long])
+      require(maxShard.forall(_ < Int.MaxValue - 1),
+        s"shard count ${maxShard.map(_ + 1).getOrElse(0L)} exceeds Int range — " +
           "raise seqsPerShard (a bin file should be GBs, not KBs)")
-      val nShards = if (maxShard.isNullAt(0)) 0 else maxShard.getLong(0).toInt + 1
+      val nShards = maxShard.fold(0)(_.toInt + 1)
       // zero-row input: plain schema-carrying empty idx file (see
       // [[writeTokenBin]] — partitionBy over nothing writes no data
       // file and the read-back would die on schema inference)
@@ -604,29 +644,40 @@ object Export {
     val fs0 = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs0.exists(mPath))
       return writeTokenBin(tokens, idCol, outDir, tokensPerShard, seed, groups)
-    // sever lineage from the _manifest files this call will replace;
     // ONE collect serves every manifest-derived scalar below (empty
-    // check, dtype, tail state) — the manifest is shard-count-sized,
-    // and the previous isEmpty/head/head trio was three driver jobs
-    val oldManifest = withDtypeCol(spark.read.parquet(s"$outDir/_manifest"))
-      .localCheckpoint(true)
-    val mRows = oldManifest.select("shard", "n_docs", "n_tokens", "dtype").collect()
+    // check, dtype, tail state) AND the fold at the end: the manifest
+    // is shard-count-sized, so it lives as local rows — the previous
+    // shape paid a localCheckpoint job plus a collect job per append,
+    // and the fold re-read the checkpoint
+    val mDf = withDtypeCol(spark.read.parquet(s"$outDir/_manifest"))
+    val mSchema = mDf.schema
+    val mRows = mDf.collect()
+    val oldManifest = spark.createDataFrame(
+      java.util.Arrays.asList(mRows: _*), mSchema)
     if (mRows.isEmpty)
       return writeTokenBin(tokens, idCol, outDir, tokensPerShard, seed, groups)
-    val dtype = mRows.head.getString(3)
+    def fld(r: org.apache.spark.sql.Row, n: String) = r.getLong(r.fieldIndex(n))
+    val dtype = mRows.head.getString(mRows.head.fieldIndex("dtype"))
     val width = dtypeWidth(dtype)
-    val tail = mRows.maxBy(_.getLong(0))
+    val tail = mRows.maxBy(fld(_, "shard"))
     val (tailShard, tailDocs, tailToks) =
-      (tail.getLong(0), tail.getLong(1), tail.getLong(2))
+      (fld(tail, "shard"), fld(tail, "n_docs"), fld(tail, "n_tokens"))
     val storedIds = spark.read.parquet(s"$outDir/idx").select(col(idCol))
     // EAGER checkpoint, not persist: the idx append below refreshes the
     // path's cache entries, and a persisted-but-recomputable anti-join
     // against idx/ would re-run AFTER the append — seeing its own new
     // ids as "stored" and silently emptying the delta. Severing the
     // lineage makes the batch's new-doc set immune to the write.
-    // Batch-sized materialization, the append's working set.
+    // Batch-sized materialization, the append's working set. The
+    // new-doc count rides the checkpoint as an observe() metric: a
+    // REPLAYED batch (count 0) exits here with the empty delta instead
+    // of paying the layout/index/touched machinery for nothing.
+    val ntObs = org.apache.spark.sql.Observation()
     val newToks = tokens.join(storedIds, Seq(idCol), "left_anti")
+      .observe(ntObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
+    if (ntObs.get.get("n").fold(0L)(_.asInstanceOf[Long]) == 0L)
+      return oldManifest.limit(0)
     locally {
       val counts = newToks.groupBy(col(idCol)).agg(count(lit(1)).as("ntok"))
       val layoutKey = xxhash64(col(idCol), lit(seed))
@@ -646,6 +697,10 @@ object Export {
           assignShards(counts, idCol, "ntok", tokensPerShard, seed, groups)
             .withColumn("shard", col("shard") + lit(tailShard + 1))
       val wOff = Window.partitionBy(col("shard")).orderBy(layoutKey, col(idCol))
+      // the touched-shard set (≤ batch/tokensPerShard + 1, and with it
+      // the max shard) rides the index checkpoint as an observe()
+      // metric — formerly a separate distinct+collect job per append
+      val shObs = org.apache.spark.sql.Observation()
       val index = assigned.withColumn("offset",
           coalesce(sum(col("ntok")).over(
             wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
@@ -653,12 +708,11 @@ object Export {
             + when(col("shard") === tailShard, lit(tailToks)).otherwise(lit(0L)))
         .select(col("shard"), col(idCol), col("offset"),
           col("ntok").as("n_tokens"))
+        .observe(shObs, collect_set(col("shard")).as("sh"))
         .localCheckpoint(true)
       try {
-        // one distinct-shard collect yields both the touched set and
-        // the max shard (formerly a separate aggregation job)
-        val touched = index.select(col("shard")).distinct()
-          .as[Long].collect().sorted.toSeq // ≤ batch/tokensPerShard + 1
+        val touched = shObs.get.get("sh").fold(Seq.empty[Long])(
+          _.asInstanceOf[scala.collection.Seq[Long]].toSeq.sorted)
         if (touched.isEmpty) // nothing new: untouched export, empty delta
           return oldManifest.limit(0)
         require(touched.last < Int.MaxValue - 1,
@@ -720,32 +774,39 @@ object Export {
     if (!fs0.exists(mPath))
       return writeSequenceBin(packed, outDir, seqsPerShard)
     // ONE collect for every manifest-derived scalar (see
-    // [[appendTokenBin]]): empty check, dtype, tail state, stored count
-    val oldManifest = withDtypeCol(spark.read.parquet(s"$outDir/_manifest"))
-      .localCheckpoint(true)
-    val mRows = oldManifest.select("shard", "n_docs", "n_tokens", "dtype").collect()
+    // [[appendTokenBin]]): empty check, dtype, tail state, stored
+    // count — and the manifest lives as LOCAL rows for the fold (no
+    // localCheckpoint job, no re-read)
+    val mDf = withDtypeCol(spark.read.parquet(s"$outDir/_manifest"))
+    val mSchema = mDf.schema
+    val mRows = mDf.collect()
+    val oldManifest = spark.createDataFrame(
+      java.util.Arrays.asList(mRows: _*), mSchema)
     if (mRows.isEmpty)
       return writeSequenceBin(packed, outDir, seqsPerShard)
-    val dtype = mRows.head.getString(3)
+    def fld(r: org.apache.spark.sql.Row, n: String) = r.getLong(r.fieldIndex(n))
+    val dtype = mRows.head.getString(mRows.head.fieldIndex("dtype"))
     val width = dtypeWidth(dtype)
-    val tail = mRows.maxBy(_.getLong(0))
+    val tail = mRows.maxBy(fld(_, "shard"))
     val (tailShard, tailSeqs, tailToks) =
-      (tail.getLong(0), tail.getLong(1), tail.getLong(2))
-    val nStored = mRows.map(_.getLong(1)).sum
+      (fld(tail, "shard"), fld(tail, "n_docs"), fld(tail, "n_tokens"))
+    val nStored = mRows.map(fld(_, "n_docs")).sum
     // the stored layout must have been cut at the SAME budget, or the
     // seq → shard arithmetic below would disagree with landed files
     require(tailShard == (nStored - 1) / seqsPerShard,
       s"seqsPerShard=$seqsPerShard disagrees with the stored layout " +
         s"($nStored sequences ending in shard $tailShard)")
+    // the touched-shard set rides the layout checkpoint as an
+    // observe() metric (see [[appendTokenBin]])
+    val shObs = org.apache.spark.sql.Observation()
     val laid = packed.select((col("seq").cast("long") + nStored).as("seq"),
         col("token_ids"), col("n").cast("long"))
       .withColumn("shard", (col("seq") / seqsPerShard).cast("long"))
+      .observe(shObs, collect_set(col("shard")).as("sh"))
       .localCheckpoint(true)
     try {
-      // one distinct-shard collect = touched set + max (see
-      // [[appendTokenBin]])
-      val touched = laid.select(col("shard")).distinct()
-        .as[Long].collect().sorted.toSeq
+      val touched = shObs.get.get("sh").fold(Seq.empty[Long])(
+        _.asInstanceOf[scala.collection.Seq[Long]].toSeq.sorted)
       if (touched.isEmpty)
         return oldManifest.limit(0)
       require(touched.last < Int.MaxValue - 1,
@@ -886,14 +947,17 @@ object Export {
       .drop("__base")
   }
 
-  def readTokenBin(index: DataFrame, idCol: String, outDir: String): DataFrame = {
+  def readTokenBin(index: DataFrame, idCol: String, outDir: String,
+      dtype: String = null): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     // element width follows the export's landed dtype (manifest record;
-    // int32 when absent) — a uint16 export reads back as the same ids
-    val width = dtypeWidth(binDtype(spark, outDir))
+    // int32 when absent) — a uint16 export reads back as the same ids.
+    // A caller already holding the manifest (or the writer's return)
+    // passes `dtype` and skips the manifest-probe job.
+    val width = dtypeWidth(Option(dtype).getOrElse(binDtype(spark, outDir)))
     // a doc past Int.MaxValue/width tokens would overflow `n * width`
     // into a negative array size (or silently wrap) — fail with the
     // bound named instead of casting blind

@@ -6107,16 +6107,25 @@ object Queries {
     val manifest = graft.ext.Export.writeTokenBin(toks, "doc_id", out,
       tokensPerShard = 16384,
       docCounts = graft.ext.Bpe.tokenCountsBytesFused(docs, "doc_id", "text", merges))
-    val auditClean = graft.ext.Export.auditTokenBin(s, out).isEmpty
+    // the audit (streams every landed bin) and the positioned-read
+    // witness are INDEPENDENT jobs over the final state — overlap them
+    // (guide §2.6: the scheduler runs concurrent jobs; the audit's
+    // straggler tail backfills with the readback's tasks)
+    val auditF = scala.concurrent.Future(
+      graft.ext.Export.auditTokenBin(s, out).isEmpty)(
+      scala.concurrent.ExecutionContext.global)
     // positioned-read witness on a 1-in-17 slice (the x77 pattern):
     // fetch cost must stay ∝ requested docs, and the fetched token
     // counts must equal the index's claim for exactly those docs
     val slice = s.read.parquet(s"$out/idx").filter(col("doc_id") % 17 === 0)
     val claimed = slice.agg(coalesce(sum(col("n_tokens")), lit(0L)))
       .head.getLong(0)
-    val fetched = graft.ext.Export.readTokenBin(slice, "doc_id", out)
+    val fetched = graft.ext.Export.readTokenBin(slice, "doc_id", out,
+        dtype = "int32") // this invocation's own writeTokenBin default
       .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
       .head.getLong(0)
+    val auditClean = scala.concurrent.Await.result(
+      auditF, scala.concurrent.duration.Duration.Inf)
     manifest.withColumn("audit_clean", lit(auditClean))
       .withColumn("readback_conserved", lit(fetched == claimed && claimed > 0))
       .ordered("shard")
@@ -6154,18 +6163,29 @@ object Queries {
     def plan(seed: Long) = graft.ext.Export
       .epochShufflePlan(idx, blockTokens = 2048, epochSeed = seed)
     val p7 = plan(7L).localCheckpoint(true)
-    val nDocs = idx.count()
+    // witness-job folds (same checks, fewer driver round-trips): doc
+    // count + token claim in ONE aggregation over the checkpointed
+    // index; the same-seed and cross-seed comparisons in ONE job via a
+    // three-way join (a mismatch count of 0 ⇔ the old isEmpty test)
+    val idxStats = idx.agg(count(lit(1)),
+      coalesce(sum(col("n_tokens")), lit(0L))).head
+    val nDocs = idxStats.getLong(0)
+    val claimed = idxStats.getLong(1)
     val dense = p7.select(countDistinct(col("epoch_pos")),
       max(col("epoch_pos"))).head
     val denseOk = dense.getLong(0) == nDocs && dense.getLong(1) == nDocs - 1
-    val deterministic = p7.select(col("doc_id"), col("epoch_pos"))
+    val cmp = p7.select(col("doc_id"), col("epoch_pos"))
       .join(plan(7L).select(col("doc_id"), col("epoch_pos").as("p2")), "doc_id")
-      .filter(col("epoch_pos") =!= col("p2")).isEmpty
-    val divergent = p7.select(col("doc_id"), col("epoch_pos"))
-      .join(plan(11L).select(col("doc_id"), col("epoch_pos").as("p2")), "doc_id")
-      .filter(col("epoch_pos") =!= col("p2")).count() > 0
-    val claimed = idx.agg(coalesce(sum(col("n_tokens")), lit(0L))).head.getLong(0)
-    val fetched = graft.ext.Export.readTokenBin(p7, "doc_id", out)
+      .join(plan(11L).select(col("doc_id"), col("epoch_pos").as("p3")), "doc_id")
+      .agg(
+        coalesce(sum(when(col("epoch_pos") =!= col("p2"), 1L)
+          .otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("epoch_pos") =!= col("p3"), 1L)
+          .otherwise(0L)), lit(0L))).head
+    val deterministic = cmp.getLong(0) == 0
+    val divergent = cmp.getLong(1) > 0
+    val fetched = graft.ext.Export.readTokenBin(p7, "doc_id", out,
+        dtype = "int32") // this invocation's own writeTokenBin default
       .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
       .head.getLong(0)
     p7.groupBy(col("shard"))
@@ -6214,18 +6234,33 @@ object Queries {
       toks.filter(col("doc_id") % 3 === 2), "doc_id", out, 16384)
     val touched = (d1.select("shard").collect() ++ d2.select("shard").collect())
       .map(_.getLong(0)).toSet
-    val folded = s.read.parquet(s"$out/_manifest").localCheckpoint(true)
-    val foldedShas = folded.select(col("shard"), col("sha1"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ONE collect of the shard-count-sized folded manifest serves the
+    // sha witness, the readback dtype, AND the declared output's base
+    // frame (as local rows) — formerly a checkpoint job + a collect +
+    // a re-read
+    val foldedDf = s.read.parquet(s"$out/_manifest")
+    val foldedRows = foldedDf.collect()
+    val folded = s.createDataFrame(
+      java.util.Arrays.asList(foldedRows: _*), foldedDf.schema)
+    def fld(r: org.apache.spark.sql.Row, n: String) = r.fieldIndex(n)
+    val foldedShas = foldedRows
+      .map(r => r.getLong(fld(r, "shard")) -> r.getString(fld(r, "sha1"))).toMap
     val untouchedOk = baseShas.forall { case (sh, sha) =>
       touched.contains(sh) || foldedShas.get(sh).contains(sha) }
-    val auditClean = graft.ext.Export.auditTokenBin(s, out).isEmpty
+    // audit and positioned-read witness are independent jobs over the
+    // final state — overlap them (guide §2.6, the x93 note)
+    val auditF = scala.concurrent.Future(
+      graft.ext.Export.auditTokenBin(s, out).isEmpty)(
+      scala.concurrent.ExecutionContext.global)
     val slice = s.read.parquet(s"$out/idx").filter(col("doc_id") % 17 === 0)
     val claimed = slice.agg(coalesce(sum(col("n_tokens")), lit(0L)))
       .head.getLong(0)
-    val fetched = graft.ext.Export.readTokenBin(slice, "doc_id", out)
+    val fetched = graft.ext.Export.readTokenBin(slice, "doc_id", out,
+        dtype = foldedRows.head.getString(fld(foldedRows.head, "dtype")))
       .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
       .head.getLong(0)
+    val auditClean = scala.concurrent.Await.result(
+      auditF, scala.concurrent.duration.Duration.Inf)
     val replayNoop = graft.ext.Export.appendTokenBin(
       toks.filter(col("doc_id") % 3 === 2), "doc_id", out, 16384).isEmpty
     folded.withColumn("audit_clean", lit(auditClean))
