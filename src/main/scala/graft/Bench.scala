@@ -47,7 +47,14 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    graft.store.Tables.cacheEnabled = true // scan each base table once
+    // scan each base table once (steady-state posture, identical every
+    // round since r1). SPARK_GRAFT_TABLE_CACHE=false A/Bs the COLD
+    // posture — base tables re-scan from parquet inside every timed
+    // run — so the steady-state numbers are falsifiable (r20 verdict
+    // item). Default true: the driver contract is unchanged when the
+    // variable is absent.
+    graft.store.Tables.cacheEnabled =
+      sys.env.getOrElse("SPARK_GRAFT_TABLE_CACHE", "true").toBoolean
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

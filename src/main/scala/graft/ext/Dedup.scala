@@ -1105,12 +1105,16 @@ object Dedup {
       .filter(col("__c") >= 2)
       .select(col("__wh"), col("__w").as("__dw"), col("__keep"))
     val cw = candWins
+    // no distinct() before the per-doc fold: collect_set IS the dedup.
+    // (Catalyst's RemoveRedundantAggregates already dropped the
+    // explicit distinct below the duplicate-agnostic collect_set —
+    // plan-verified identical, plans/r21/x58 — so this is source-level
+    // honesty, not a plan change: the (id, pos) set shuffles once.)
     val marks = cw.join(dup,
         cw("__wh") === dup("__wh") && col("__w") === col("__dw"))
       .filter(!(col(idCol) === col("__keep").getField(idCol) &&
         col("__s") === col("__keep").getField("__s")))
       .select(col(idCol), explode(sequence(col("__s"), col("__s") + L - 1)).as("__p"))
-      .distinct()
     val mp = marks.groupBy(idCol).agg(collect_set(col("__p")).as("__mp"))
     val mpc = coalesce(col("__mp"), array().cast("array<int>"))
     val kept = when(col("__n") === 0, array().cast("array<int>"))

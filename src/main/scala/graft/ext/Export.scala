@@ -948,7 +948,7 @@ object Export {
   }
 
   def readTokenBin(index: DataFrame, idCol: String, outDir: String,
-      dtype: String = null): DataFrame = {
+      dtype: String = null, claimCol: String = null): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -998,13 +998,18 @@ object Export {
                 val arr =
                   if (width == 4) Array.fill(n)(bb.getInt())
                   else Array.fill(n)(bb.getShort() & 0xFFFF)
-                (id, arr)
+                // the index's own n_tokens claim rides along so a
+                // conservation witness (Σ fetched vs Σ claimed) is ONE
+                // aggregation over ONE idx scan, not two jobs
+                (id, arr, n.toLong)
               }
             }
           } finally in.close()
         }
       }
-      .toDF(idCol, "token_ids")
+      .toDF(idCol, "token_ids", "__claim")
+      .transform(d => if (claimCol == null) d.drop("__claim")
+        else d.withColumnRenamed("__claim", claimCol))
   }
 
   /** Audit a [[writeTokenBin]] export from the LANDED bytes: stream

@@ -126,18 +126,21 @@ object Multimodal {
     * integer math — ExtSpec pins decoded pixels and features to golden
     * values computed from first principles. */
   object ImageIoCodec extends Codec {
-    // ImageIO defaults to a DISK-backed stream cache: every read/write
-    // creates (and deletes) a temp file, which dominates wall time on
-    // small in-memory payloads (measured: the x12 image family spent
-    // more in cache-file churn than in decode+hash). All inputs here
-    // are byte arrays — cache in memory. JVM-global, idempotent,
-    // byte-identical output.
-    javax.imageio.ImageIO.setUseCache(false)
     val FeatureDim = 8
     override def featureDim: Int = FeatureDim
 
     private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      // explicit in-memory stream: ImageIO's DEFAULT path wraps the
+      // InputStream in a DISK-backed cache — a temp file created and
+      // deleted per decode, which dominated wall time on these small
+      // in-memory payloads (measured: the x12 image family spent more
+      // in cache-file churn than in decode+hash). Scoped per call
+      // rather than ImageIO.setUseCache(false): that flag is JVM-global
+      // and would silently retune every other ImageIO user in the
+      // process. Byte-identical output; ImageIO.read closes the stream.
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
       require(img != null, "payload is not a decodable image")
       img
     }
@@ -403,7 +406,11 @@ object Multimodal {
 
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      // explicit in-memory output stream (see read()'s note — the
+      // OutputStream overload would route through the disk cache);
+      // close() flushes the cache into bos before toByteArray
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
       bos.toByteArray
     }
 
@@ -668,10 +675,6 @@ object Multimodal {
     * MJPEG decode is pinned by self-consistency in ExtSpec (extracted
     * frame bytes decode identically to the JPEG they wrap). */
   object AviCodec extends Codec {
-    // in-memory ImageIO stream cache for MJPEG frame decode (see
-    // [[ImageIoCodec]] — the disk-backed default pays a temp file per
-    // frame); set in both objects because either can initialize first
-    javax.imageio.ImageIO.setUseCache(false)
     val FeatureDim = 8
     override def featureDim: Int = FeatureDim
 
@@ -736,7 +739,10 @@ object Multimodal {
 
     private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
+      // explicit in-memory output stream (see [[ImageIoCodec]] — the
+      // OutputStream overload would route through ImageIO's disk cache)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "jpg", ios) finally ios.close()
       bos.toByteArray
     }
 
@@ -828,7 +834,11 @@ object Multimodal {
               frames += decodeDib(bytes, w, h, bitCount)
             case s if s.length == 4 && s.endsWith("dc") =>
               val bytes = new Array[Byte](sz); bb.get(bytes)
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              // in-memory stream per frame (see [[ImageIoCodec]].read —
+              // the default path pays a temp file per MJPEG frame)
+              val img = javax.imageio.ImageIO.read(
+                new javax.imageio.stream.MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes)))
               require(img != null, "undecodable compressed frame")
               frames += img
             case _ => // strh/idx1/JUNK/vedt…: skip
@@ -952,7 +962,10 @@ object Multimodal {
         val img =
           if (tag.endsWith("db")) decodeDib(bytes, lay.width, lay.height, lay.bitCount)
           else {
-            val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            // in-memory stream (see [[ImageIoCodec]].read)
+            val im = javax.imageio.ImageIO.read(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
             require(im != null, "undecodable compressed frame")
             im
           }

@@ -71,9 +71,14 @@ object LangIdExpressions {
         var j = 1
         while (j < k) {
           val m = margins(j) / total + intercepts(j)
-          // >= : equal margins take the later (lexicographically larger)
-          // lang, langs being sorted ascending — the struct-max tie rule
-          if (java.lang.Double.compare(m, bm) >= 0) { best = j; bm = m }
+          // ties take the lexicographically LARGER lang — the struct-max
+          // rule — by comparing the strings themselves (UTF8String binary
+          // order = Spark string order), so the rule holds for ANY lang
+          // order, not just the sorted arrays train/readModel produce
+          val c = java.lang.Double.compare(m, bm)
+          if (c > 0 || (c == 0 && langs(j).compareTo(langs(best)) > 0)) {
+            best = j; bm = m
+          }
           j += 1
         }
         langs(best)
@@ -191,7 +196,12 @@ object LangIdExpressions {
         if (acc != null) {
           any = true
           val m = acc.doubleValue() + intercepts(j)
-          if (best < 0 || java.lang.Double.compare(m, bm) >= 0) { best = j; bm = m }
+          // string-compared tie (see LangIdModelRef.score): the
+          // struct-max rule independent of the caller's lang order
+          val c = if (best < 0) 1 else java.lang.Double.compare(m, bm)
+          if (c > 0 || (c == 0 && langs(j).compareTo(langs(best)) > 0)) {
+            best = j; bm = m
+          }
         }
         j += 1
       }
@@ -291,7 +301,12 @@ object LangIdExpressions {
       var k = 1
       while (k < langs.length) {
         val m = a + k.toDouble * d + intercepts(k)
-        if (java.lang.Double.compare(m, bm) >= 0) { best = k; bm = m }
+        // string-compared tie (see LangIdModelRef.score): the
+        // struct-max rule independent of the caller's lang order
+        val c = java.lang.Double.compare(m, bm)
+        if (c > 0 || (c == 0 && langs(k).compareTo(langs(best)) > 0)) {
+          best = k; bm = m
+        }
         k += 1
       }
       val margin = java.math.BigDecimal.valueOf(bm)

@@ -3281,8 +3281,11 @@ object Queries {
     val twins = media.filter(col("media_id") % 3 === 0)
       .as[graft.ext.Multimodal.MediaRow]
       .map { m =>
+        // in-memory stream (see [[graft.ext.Multimodal.ImageIoCodec]]
+        // .read — the default path pays a disk cache file per decode)
         val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.payload))
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload)))
         img.setRGB(0, 0, 0xFFFFFF)
         m.copy(media_id = m.media_id + 1000000L,
           payload = graft.ext.Multimodal.ImageIoCodec.encodePng(img))
@@ -3309,8 +3312,11 @@ object Queries {
     val twins = media.filter(col("media_id") % 3 === 0)
       .as[graft.ext.Multimodal.MediaRow]
       .map { m =>
+        // in-memory stream (see [[graft.ext.Multimodal.ImageIoCodec]]
+        // .read — the default path pays a disk cache file per decode)
         val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.payload))
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload)))
         img.setRGB(0, 0, 0xFFFFFF)
         m.copy(media_id = m.media_id + 1000000L,
           payload = graft.ext.Multimodal.ImageIoCodec.encodePng(img))
@@ -6116,14 +6122,16 @@ object Queries {
       scala.concurrent.ExecutionContext.global)
     // positioned-read witness on a 1-in-17 slice (the x77 pattern):
     // fetch cost must stay ∝ requested docs, and the fetched token
-    // counts must equal the index's claim for exactly those docs
+    // counts must equal the index's claim for exactly those docs —
+    // both sums in ONE job over ONE idx scan (the claim rides the
+    // read kernel)
     val slice = s.read.parquet(s"$out/idx").filter(col("doc_id") % 17 === 0)
-    val claimed = slice.agg(coalesce(sum(col("n_tokens")), lit(0L)))
-      .head.getLong(0)
-    val fetched = graft.ext.Export.readTokenBin(slice, "doc_id", out,
-        dtype = "int32") // this invocation's own writeTokenBin default
-      .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
-      .head.getLong(0)
+    val rb = graft.ext.Export.readTokenBin(slice, "doc_id", out,
+        dtype = "int32", // this invocation's own writeTokenBin default
+        claimCol = "n_claimed")
+      .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+        coalesce(sum(col("n_claimed")), lit(0L))).head
+    val (fetched, claimed) = (rb.getLong(0), rb.getLong(1))
     val auditClean = scala.concurrent.Await.result(
       auditF, scala.concurrent.duration.Duration.Inf)
     manifest.withColumn("audit_clean", lit(auditClean))
@@ -6253,12 +6261,13 @@ object Queries {
       graft.ext.Export.auditTokenBin(s, out).isEmpty)(
       scala.concurrent.ExecutionContext.global)
     val slice = s.read.parquet(s"$out/idx").filter(col("doc_id") % 17 === 0)
-    val claimed = slice.agg(coalesce(sum(col("n_tokens")), lit(0L)))
-      .head.getLong(0)
-    val fetched = graft.ext.Export.readTokenBin(slice, "doc_id", out,
-        dtype = foldedRows.head.getString(fld(foldedRows.head, "dtype")))
-      .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
-      .head.getLong(0)
+    // fetched + claimed in ONE job over ONE idx scan (the x93 shape)
+    val rb = graft.ext.Export.readTokenBin(slice, "doc_id", out,
+        dtype = foldedRows.head.getString(fld(foldedRows.head, "dtype")),
+        claimCol = "n_claimed")
+      .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+        coalesce(sum(col("n_claimed")), lit(0L))).head
+    val (fetched, claimed) = (rb.getLong(0), rb.getLong(1))
     val auditClean = scala.concurrent.Await.result(
       auditF, scala.concurrent.duration.Duration.Inf)
     val replayNoop = graft.ext.Export.appendTokenBin(
