@@ -210,6 +210,27 @@ object Graph {
     pageRankLoop(e, iterations, damping)
   }
 
+  /** [[pageRank]] that returns None on an empty edge set INSTEAD of
+    * requiring the caller to probe: a guarding `edges.isEmpty` pays a
+    * full materialization of the edge subtree (for the frontier gates
+    * that is the whole extract→resolve→normalize chain — measured
+    * 0.58 s per gate at sf0.1) and then [[pageRank]] re-materializes
+    * the same subtree for its layout. Here the probe is a take(1) over
+    * the ALREADY-checkpointed layout — one pass, not two. Identical
+    * layout path, bit-identical ranks. (No observe() on `e` for the
+    * count: pageRankLoop holds three references to it — the
+    * observe+3-refs Catalyst driver-spin footgun noted there.) */
+  private[graft] def pageRankIfNonEmpty(edges: DataFrame,
+      iterations: Int = 10, damping: Double = 0.85): Option[DataFrame] = {
+    require(iterations >= 1, "iterations must be positive")
+    require(damping > 0 && damping < 1, "damping must be in (0,1)")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    if (e.isEmpty) { e.unpersist(); None }
+    else Some(pageRankLoop(e, iterations, damping))
+  }
+
   /** The power-iteration rounds over an ALREADY deduplicated,
     * src-layout edge frame (the in-memory checkpoint from [[pageRank]]
     * or a bucketed [[writeEdgeStore]] scan). */
