@@ -704,6 +704,14 @@ object Dedup {
       val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        // materialized ONCE: the pointer jump below references this
+        // frame on BOTH join sides with DIFFERENT keys (component vs
+        // id), so the two exchanges cannot share a stage and the whole
+        // edges⋈labels→groupBy subtree executed twice per round. Eager
+        // checkpoint, no observe — two downstream references plus the
+        // jump's own observe stay inside the 2-reference Catalyst
+        // bound (the Graph.pageRankLoop footgun note).
+        .localCheckpoint(true)
       // pointer jump: component ← that node's own current component.
       // Labels are always node ids (min includes self), so the self-join
       // key always resolves.
@@ -722,20 +730,26 @@ object Dedup {
           .sum(col("component").cast("decimal(38,0)")).as("s"))
         .localCheckpoint(true)
       val sum = obs.get.get("s").orNull.asInstanceOf[java.math.BigDecimal]
+      // next is eagerly materialized above — release the round's
+      // intermediate (a long CC run would otherwise hold one dead
+      // checkpoint per round in executor memory)
+      propagated.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
       converged = prevSum.contains(sum)
       prevSum = Some(sum)
       labels = next
       iter += 1
     }
-    // Round count IS the cost at fixture scale (one job per round;
-    // measured: x20 converges in 4 rounds, x26b's chain-heavy
-    // threshold-0.3 graph in 16 — ~0.27 s/round of job floor). True
-    // pointer-DOUBLING would halve rounds but each extra jump doubles
-    // the checkpointed frame's reference count inside a plan that
-    // carries the observe() — exactly the r13 Catalyst-hang footgun
-    // (see Graph.pageRankLoop); an intermediate checkpoint restores
-    // safety but pays a second job per round, a wash. Revisit only if
-    // a real corpus shows diameters past ~25 (maxIter).
+    // Round count IS the cost at fixture scale (two jobs per round —
+    // propagate+checkpoint, jump+checkpoint; measured: x20 converges
+    // in 4 rounds, x26b's chain-heavy threshold-0.3 graph in 16). True
+    // pointer-DOUBLING was TRIED (r21): a second jump per round, each
+    // stage behind its own eager checkpoint within the 2-reference
+    // bound — Spark 4.1's stats estimator spun the driver for minutes
+    // and then threw `ArithmeticException: BigInteger would overflow
+    // supported range` inside SizeInBytesOnlyStatsPlanVisitor while
+    // planning the round's checkpoint. Reverted; revisit only if a
+    // real corpus shows diameters past ~25 (maxIter).
     labels
   }
 
