@@ -482,13 +482,31 @@ object CdxStore {
       sitePrefix: String): Seq[String] =
     selectedBlocksAt(spark, currentRoot(spark, dir), sitePrefix)
 
+  /** cluster.idx rows (file, k_min, k_max) sorted by k_min, memoized
+    * per RESOLVED VERSION ROOT: published roots are immutable (every
+    * rebuild writes a complete `v=N` and atomically swaps `_current`,
+    * so a new version is a new key and a swept root's entry is dead
+    * weight, kilobytes). This is the zipnum serving posture — the
+    * secondary index pinned in memory, exactly what cdx servers do
+    * with cluster.idx — NOT cross-run result caching: the memo is
+    * in-process, index metadata only, and every block scan still reads
+    * the landed files. Saves a Spark read+collect job pair per probe. */
+  private val clusterIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(String, String, String)]]()
+  private def clusterIdxAt(spark: SparkSession,
+      root: String): Array[(String, String, String)] =
+    clusterIdxMemo.computeIfAbsent(root, _ =>
+      spark.read.parquet(s"$root/cluster.idx")
+        .select("file", "k_min", "k_max")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .sortBy(_._2))
+
   private def selectedBlocksAt(spark: SparkSession, root: String,
       sitePrefix: String): Seq[String] = {
     val end = siteRangeEnd(sitePrefix)
-    spark.read.parquet(s"$root/cluster.idx")
-      .filter(col("k_max") >= lit(sitePrefix) && col("k_min") < lit(end))
-      .select("file")
-      .collect().map(_.getString(0)).toSeq.sorted
+    clusterIdxAt(spark, root)
+      .collect { case (f, kmin, kmax) if kmax >= sitePrefix && kmin < end => f }
+      .toSeq.sorted
   }
 
   /** [[serveLatestCaptures]] THROUGH the range layout: the same
@@ -540,10 +558,7 @@ object CdxStore {
 
   private def blocksForKeysAt(spark: SparkSession, root: String,
       keys: Seq[String]): Seq[String] = {
-    val idx = spark.read.parquet(s"$root/cluster.idx")
-      .select("file", "k_min", "k_max")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
-      .sortBy(_._2)
+    val idx = clusterIdxAt(spark, root) // sorted by k_min (memo contract)
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
     keys.foreach { k =>
       // last block with k_min <= k: with sorted disjoint ranges it is
